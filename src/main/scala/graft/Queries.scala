@@ -1,0 +1,544 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{windows => W, TaIndicators => TA}
+import graft.operators.{Relational, Resample}
+import graft.time.TimeNorm
+
+/** The verifiable operator surface: one entry per SURVEY §2 operator,
+  * each with a DuckDB-equivalent oracle where ANSI SQL can express it.
+  *
+  * Cross-engine determinism rules used throughout (so the driver's
+  * hash-compare is stable):
+  *  - money-style sums go through DECIMAL(18,2) (exact, associative,
+  *    order-independent) and only then back to DOUBLE;
+  *  - per-row double arithmetic is left raw (IEEE ops are bit-equal
+  *    across engines when the expression tree matches);
+  *  - anything touching libm (log) or accumulation-order-sensitive
+  *    algorithms (stddev, EWM folds) is rounded to 6 decimals;
+  *  - timestamps are emitted as BIGINT epoch-microseconds;
+  *  - every query ends in a total ORDER BY.
+  */
+object Queries {
+
+  final case class QDef(name: String,
+                        fn: (SparkSession, String) => DataFrame,
+                        oracle: Option[String])
+
+  /** Table loader. Normalizes two parquet quirks of the testdata so every
+    * query sees plain UTC `TimestampType`: nanosecond timestamps (read as
+    * raw longs via the legacy conf, then truncated to µs — matching
+    * DuckDB's µs timestamps) and TIMESTAMP_NTZ columns (reinterpreted as
+    * UTC; the session timezone is UTC). */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/$name.parquet")
+    val cols = raw.schema.fields.map { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.LongType if name == "events" && f.name == "ts" =>
+          expr("timestamp_micros(ts div 1000)").as("ts")
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          col(f.name).cast("timestamp").as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    raw.select(cols.toSeq: _*)
+  }
+
+  private val D = DecimalType(18, 2)
+  /** Exact order-independent sum of a 2-dp double column. */
+  private def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+  private def micros(c: Column): Column = unix_micros(c)
+
+  // EWM constants shared between the Spark plan and the oracle SQL text.
+  private def alphaOfSpan(span: Int): Double = 2.0 / (span + 1.0)
+  private def emaFoldSql(listExpr: String, alpha: Double): String = {
+    val a = java.lang.Double.toString(alpha)
+    val b = java.lang.Double.toString(1.0 - alpha)
+    s"list_reduce($listExpr, (acc, x) -> acc * $b + x * $a)"
+  }
+  private val wAll = "partition by user_id order by ts, event_id rows between unbounded preceding and current row"
+
+  // ------------------------------------------------------------------
+  // Relational core (P/J/A/O rows of SURVEY §2) on the TPC-H-ish tables
+  // ------------------------------------------------------------------
+
+  private val q1PricingSummary = QDef(
+    "q1_pricing_summary",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+              (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2)))
+            .cast("double").as("sum_disc_price"),
+          sum((col("l_extendedprice").cast(DecimalType(12, 2)) *
+              (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2)))
+            .cast(DecimalType(16, 4)) * (lit(1.0) + col("l_tax")).cast(DecimalType(4, 2)))
+            .cast("double").as("sum_charge"),
+          (sum(col("l_quantity").cast(D)).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) AS DECIMAL(16,4)) * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  private val q3TopRevenue = QDef(
+    "q3_top_revenue",
+    (s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > to_timestamp(lit("1997-01-01")))
+      // customer is tiny (sf·150k rows) → broadcast; lineitem⋈orders shuffles
+      // on orderkey only.
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+            (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2)))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"), micros(col("o_orderdate")).as("o_orderdate_us"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1997-01-01' AND l_shipdate > TIMESTAMP '1997-01-01'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""))
+
+  private val qSemiJoin = QDef(
+    "q_semi_join",
+    (s, dir) => {
+      val ord = t(s, dir, "orders")
+      val returned = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      ord.join(returned, ord("o_orderkey") === returned("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      ORDER BY o_orderkey"""))
+
+  private val qAntiJoin = QDef(
+    "q_anti_join",
+    (s, dir) => {
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+      ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      ORDER BY o_orderkey"""))
+
+  private val qTopNPerGroup = QDef(
+    "q_topn_per_group",
+    (s, dir) => Relational.topNPerGroup(
+        t(s, dir, "orders"), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn"),
+    Some("""
+      SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) x
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn"""))
+
+  private val qPivotStatus = QDef(
+    "q_pivot_status",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(sum(col("o_totalprice").cast(D)))
+      .select(col("o_orderpriority"),
+        coalesce(col("O").cast("double"), lit(0.0)).as("total_o"),
+        coalesce(col("F").cast("double"), lit(0.0)).as("total_f"),
+        coalesce(col("P").cast("double"), lit(0.0)).as("total_p"))
+      .orderBy("o_orderpriority"),
+    Some("""
+      SELECT o_orderpriority,
+             COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS total_o,
+             COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS total_f,
+             COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS total_p
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  // ------------------------------------------------------------------
+  // Events: filters, resample, bars, range reads (P1/P2, A5, S18, O4)
+  // ------------------------------------------------------------------
+
+  private val qEventFilter = QDef(
+    "q_event_filter",
+    (s, dir) => t(s, dir, "events")
+      .filter(col("event_type") === "purchase" &&
+        col("ts") >= to_timestamp(lit("2024-01-05")) &&
+        col("ts") < to_timestamp(lit("2024-01-20")))
+      .select(col("event_id"), micros(col("ts")).as("ts_us"), col("user_id"), col("value"))
+      .orderBy("event_id"),
+    Some("""
+      SELECT event_id, epoch_us(ts) AS ts_us, user_id, value
+      FROM events
+      WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+      ORDER BY event_id"""))
+
+  private val qResample1h = QDef(
+    "q_resample_1h",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value")).as("value_sum"),
+        (dsum(col("value")) / count(lit(1))).as("value_mean"))
+      .select(col("event_type"), micros(col("bucket")).as("bucket_us"),
+        col("n"), col("value_sum"), col("value_mean"))
+      .orderBy("event_type", "bucket_us"),
+    Some("""
+      SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS value_mean
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY event_type, bucket_us"""))
+
+  private val qBars1d = QDef(
+    "q_bars_1d",
+    (s, dir) => Resample.bars(t(s, dir, "events"), "ts", "value", "event_id",
+        "1 day", Seq("event_type"), exactVolume = true)
+      .select(col("event_type"), micros(col("bar_ts")).as("bar_ts_us"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n_ticks"))
+      .orderBy("event_type", "bar_ts_us"),
+    Some("""
+      SELECT event_type, epoch_us(date_trunc('day', ts)) AS bar_ts_us,
+             ARG_MIN(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
+             ARG_MAX(value, ts) AS close,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+             COUNT(*) AS n_ticks
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY event_type, bar_ts_us"""))
+
+  private val qRangeRead = QDef(
+    "q_range_read",
+    (s, dir) => t(s, dir, "events")
+      .filter(col("user_id") === 7 &&
+        col("ts").between(to_timestamp(lit("2024-01-05")), to_timestamp(lit("2024-01-25"))))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(200)
+      .select(col("event_id"), micros(col("ts")).as("ts_us"), col("event_type"), col("value")),
+    Some("""
+      SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+      FROM events
+      WHERE user_id = 7 AND ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-25'
+      ORDER BY ts DESC, event_id DESC
+      LIMIT 200"""))
+
+  // ------------------------------------------------------------------
+  // Per-series window functions on events (W1-W12)
+  // ------------------------------------------------------------------
+
+  private def seriesW = W.series(Seq("user_id"), Seq("ts", "event_id"))
+
+  private val qLagReturns = QDef(
+    "q_lag_returns",
+    (s, dir) => {
+      val w = seriesW
+      t(s, dir, "events")
+        .select(col("user_id"), micros(col("ts")).as("ts_us"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          W.diff(col("value"), 1, w).as("diff_1"),
+          W.pctChange(col("value"), 1, w).as("ret_1"),
+          round(W.logReturn(col("value"), w), 6).as("logret_1"),
+          lead(col("value"), 1).over(w).as("next_value"))
+        .orderBy("user_id", "ts_us")
+    },
+    Some(s"""
+      SELECT user_id, epoch_us(ts) AS ts_us, value,
+             LAG(value, 1) OVER w AS prev_value,
+             value - LAG(value, 1) OVER w AS diff_1,
+             value / LAG(value, 1) OVER w - 1 AS ret_1,
+             ROUND(LN(NULLIF(value, 0)) - LAG(LN(NULLIF(value, 0)), 1) OVER w, 6) AS logret_1,
+             LEAD(value, 1) OVER w AS next_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, ts_us"""))
+
+  private val qRollingStats = QDef(
+    "q_rolling_stats",
+    (s, dir) => {
+      val w = seriesW
+      val f = W.trailing(w, 5)
+      val cnt = count(col("value")).over(f)
+      val sumDec = sum(col("value").cast(D)).over(f).cast("double")
+      t(s, dir, "events")
+        .select(col("user_id"), micros(col("ts")).as("ts_us"), col("value"),
+          when(cnt >= 5, sumDec).as("roll_sum_5"),
+          when(cnt >= 5, sumDec / lit(5)).as("roll_mean_5"),
+          round(W.rollingStd(col("value"), 5, w), 6).as("roll_std_5"),
+          W.rollingMin(col("value"), 5, w).as("roll_min_5"),
+          W.rollingMax(col("value"), 5, w).as("roll_max_5"))
+        .orderBy("user_id", "ts_us")
+    },
+    Some("""
+      SELECT user_id, epoch_us(ts) AS ts_us, value,
+             CASE WHEN COUNT(value) OVER w5 >= 5 THEN CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w5 AS DOUBLE) END AS roll_sum_5,
+             CASE WHEN COUNT(value) OVER w5 >= 5 THEN CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w5 AS DOUBLE) / 5 END AS roll_mean_5,
+             CASE WHEN COUNT(value) OVER w5 >= 5 THEN ROUND(STDDEV_SAMP(value) OVER w5, 6) END AS roll_std_5,
+             CASE WHEN COUNT(value) OVER w5 >= 5 THEN MIN(value) OVER w5 END AS roll_min_5,
+             CASE WHEN COUNT(value) OVER w5 >= 5 THEN MAX(value) OVER w5 END AS roll_max_5
+      FROM events
+      WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts_us"""))
+
+  private val qCumulative = QDef(
+    "q_cumulative",
+    (s, dir) => {
+      val w = seriesW
+      val r = W.running(w)
+      val cmax = max(col("value")).over(r)
+      t(s, dir, "events")
+        .select(col("user_id"), micros(col("ts")).as("ts_us"), col("value"),
+          sum(col("value").cast(D)).over(r).cast("double").as("cum_sum"),
+          cmax.as("cum_max"),
+          ((col("value") - cmax) / nullif(cmax, lit(0))).as("drawdown"))
+        .orderBy("user_id", "ts_us")
+    },
+    Some("""
+      SELECT user_id, epoch_us(ts) AS ts_us, value,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS cum_sum,
+             MAX(value) OVER w AS cum_max,
+             (value - MAX(value) OVER w) / NULLIF(MAX(value) OVER w, 0) AS drawdown
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts_us"""))
+
+  private val qEma = QDef(
+    "q_ema",
+    (s, dir) => t(s, dir, "events")
+      .select(col("user_id"), micros(col("ts")).as("ts_us"), col("value"),
+        round(W.ema(col("value"), 12, seriesW), 6).as("ema_12"),
+        round(W.ema(col("value"), 26, seriesW), 6).as("ema_26"))
+      .orderBy("user_id", "ts_us"),
+    Some(s"""
+      SELECT user_id, epoch_us(ts) AS ts_us, value,
+             ROUND(${emaFoldSql(s"list(value) OVER ($wAll)", alphaOfSpan(12))}, 6) AS ema_12,
+             ROUND(${emaFoldSql(s"list(value) OVER ($wAll)", alphaOfSpan(26))}, 6) AS ema_26
+      FROM events
+      ORDER BY user_id, ts_us"""))
+
+  private val qMacd = QDef(
+    "q_macd",
+    (s, dir) => {
+      // signal = EWM over the macd series → second windowed pass
+      val base = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          TA.macdLine(col("value"), seriesW).as("macd_raw"))
+      base.select(col("user_id"), micros(col("ts")).as("ts_us"),
+          round(col("macd_raw"), 6).as("macd"),
+          round(W.ema(col("macd_raw"), 9, seriesW), 6).as("macd_signal_9"),
+          round(col("macd_raw") - W.ema(col("macd_raw"), 9, seriesW), 6).as("macd_hist"))
+        .orderBy("user_id", "ts_us")
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT user_id, ts, event_id,
+               ${emaFoldSql(s"list(value) OVER ($wAll)", alphaOfSpan(12))}
+               - ${emaFoldSql(s"list(value) OVER ($wAll)", alphaOfSpan(26))} AS macd_raw
+        FROM events)
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             ROUND(macd_raw, 6) AS macd,
+             ROUND(${emaFoldSql(s"list(macd_raw) OVER ($wAll)", alphaOfSpan(9))}, 6) AS macd_signal_9,
+             ROUND(macd_raw - ${emaFoldSql(s"list(macd_raw) OVER ($wAll)", alphaOfSpan(9))}, 6) AS macd_hist
+      FROM m
+      ORDER BY user_id, ts_us"""))
+
+  private val qRsi = QDef(
+    "q_rsi",
+    (s, dir) => {
+      val w = seriesW
+      t(s, dir, "events")
+        .withColumn("_delta", W.diff(col("value"), 1, w))
+        .select(col("user_id"), micros(col("ts")).as("ts_us"),
+          round(TA.rsiSmaFromDelta(col("_delta"), 14, w), 6).as("rsi_sma_14"),
+          round(TA.rsiEwmFromDelta(col("_delta"), 14, w), 6).as("rsi_ewm_14"))
+        .orderBy("user_id", "ts_us")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT user_id, ts, event_id,
+               value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        FROM events),
+      g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN delta > 0 THEN delta WHEN delta IS NOT NULL THEN 0.0 END AS up,
+               CASE WHEN delta < 0 THEN -delta WHEN delta IS NOT NULL THEN 0.0 END AS down
+        FROM d),
+      r AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN COUNT(up) OVER w14 >= 14 THEN AVG(up) OVER w14 END AS roll_up,
+               CASE WHEN COUNT(down) OVER w14 >= 14 THEN AVG(down) OVER w14 END AS roll_down,
+               CASE WHEN len(list_filter(list(up) OVER wc, x -> x IS NOT NULL)) = 0 THEN NULL
+                    ELSE ${emaFoldSql("list_filter(list(up) OVER wc, x -> x IS NOT NULL)", 1.0 / 14.0)} END AS avg_gain,
+               CASE WHEN len(list_filter(list(down) OVER wc, x -> x IS NOT NULL)) = 0 THEN NULL
+                    ELSE ${emaFoldSql("list_filter(list(down) OVER wc, x -> x IS NOT NULL)", 1.0 / 14.0)} END AS avg_loss
+        FROM g
+        WINDOW w14 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+               wc AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             ROUND(100.0 - 100.0 / (1.0 + roll_up / NULLIF(roll_down, 0)), 6) AS rsi_sma_14,
+             ROUND(CASE WHEN avg_loss = 0 AND avg_gain > 0 THEN 100.0
+                        ELSE 100.0 - 100.0 / (1.0 + avg_gain / NULLIF(avg_loss, 0)) END, 6) AS rsi_ewm_14
+      FROM r
+      ORDER BY user_id, ts_us"""))
+
+  // ------------------------------------------------------------------
+  // Gap detection, dedup, time normalization, JSON (J3, §2.7, §2.8)
+  // ------------------------------------------------------------------
+
+  private val qGapDaily = QDef(
+    "q_gap_daily",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        date_trunc("day", col("ts")).as("d"))
+      Relational.missingFromGrid(ev, Seq("event_type"), "d", 86400L)
+        .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("missing_day"))
+        .orderBy("event_type", "missing_day")
+    },
+    Some("""
+      WITH b AS (SELECT event_type, MIN(date_trunc('day', ts)) mn, MAX(date_trunc('day', ts)) mx
+                 FROM events GROUP BY 1),
+      grid AS (SELECT event_type, UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS d FROM b),
+      got AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS d FROM events)
+      SELECT g.event_type, strftime(g.d, '%Y-%m-%d') AS missing_day
+      FROM grid g
+      WHERE NOT EXISTS (SELECT 1 FROM got t WHERE t.event_type = g.event_type AND t.d = g.d)
+      ORDER BY event_type, missing_day"""))
+
+  private val qDedupLastWin = QDef(
+    "q_dedup_lastwin",
+    (s, dir) => Relational.lastWriteWins(t(s, dir, "events"),
+        Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        micros(col("ts")).as("ts_us"), col("value"))
+      .orderBy("user_id", "event_type"),
+    Some("""
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) x
+      WHERE rn = 1
+      ORDER BY user_id, event_type"""))
+
+  private val qTimeNorm = QDef(
+    "q_time_norm",
+    (s, dir) => {
+      // integer (not double) division to stay exact at epoch magnitudes
+      val mixed = when(col("event_id") % 2 === 0, expr("unix_micros(ts) div 1000000"))
+        .otherwise(expr("unix_micros(ts) div 1000"))
+      val staged = t(s, dir, "events")
+        .select(col("event_id"), mixed.as("mixed_epoch"),
+          TimeNorm.epochToTimestamp(mixed).as("recovered"))
+      staged.select(col("event_id"), col("mixed_epoch"),
+          micros(col("recovered")).as("recovered_us"),
+          TimeNorm.dt(col("recovered")).as("dt"),
+          TimeNorm.floorEpoch(expr("unix_micros(recovered) div 1000000"), 300L).as("floored_5m"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH m AS (
+        SELECT event_id,
+               CASE WHEN event_id % 2 = 0 THEN epoch_us(ts) // 1000000
+                    ELSE epoch_us(ts) // 1000 END AS mixed_epoch
+        FROM events),
+      r AS (
+        SELECT event_id, mixed_epoch,
+               CASE WHEN mixed_epoch > 10000000000 THEN make_timestamp(mixed_epoch * 1000)
+                    ELSE make_timestamp(mixed_epoch * 1000000) END AS recovered
+        FROM m)
+      SELECT event_id, mixed_epoch, epoch_us(recovered) AS recovered_us,
+             strftime(recovered, '%Y-%m-%d') AS dt,
+             (epoch_us(recovered) // 1000000) - ((epoch_us(recovered) // 1000000) % 300) AS floored_5m
+      FROM r
+      ORDER BY event_id"""))
+
+  private val qJsonExtract = QDef(
+    "q_json_extract",
+    (s, dir) => t(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+      .orderBy("k"),
+    Some("""
+      SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      FROM events
+      GROUP BY 1
+      ORDER BY k"""))
+
+  private val qFfill = QDef(
+    "q_ffill",
+    (s, dir) => {
+      val w = seriesW
+      val sparse = when(col("event_type") === "purchase", col("value"))
+      t(s, dir, "events")
+        .select(col("user_id"), micros(col("ts")).as("ts_us"), col("event_type"),
+          W.ffill(sparse, w).as("last_purchase_value"),
+          W.bfill(sparse, w).as("next_purchase_value"))
+        .orderBy("user_id", "ts_us")
+    },
+    Some("""
+      SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value,
+             FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_value
+      FROM events
+      ORDER BY user_id, ts_us"""))
+
+  // ------------------------------------------------------------------
+  // Registry
+  // ------------------------------------------------------------------
+
+  val all: Seq[QDef] = Seq(
+    q1PricingSummary, q3TopRevenue, qSemiJoin, qAntiJoin, qTopNPerGroup,
+    qPivotStatus, qEventFilter, qResample1h, qBars1d, qRangeRead,
+    qLagReturns, qRollingStats, qCumulative, qEma, qMacd, qRsi,
+    qGapDaily, qDedupLastWin, qTimeNorm, qJsonExtract, qFfill
+  )
+}

@@ -1,0 +1,64 @@
+package graft.features
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{windows => W, TaIndicators => TA}
+import graft.time.TimeNorm
+import graft.types.Schemas
+
+/** The market feature factory — Spark re-expression of
+  * `adi/app/features/factory/market_factory.py:73-156`.
+  *
+  * Where the reference computes one in-memory series at a time (one
+  * symbol/exchange/timeframe per frame, sorted), this version declares the
+  * same 11 features over `Window.partitionBy(symbol, exchange, timeframe)
+  * .orderBy(timestamp)` so ANY number of series computes in one distributed
+  * pass: the shuffle key is exactly the reference's "one series per frame"
+  * invariant, each series' rows land in one partition, and all window
+  * expressions over the same frame evaluate in a single WindowExec.
+  */
+object MarketFeatures {
+
+  val FeatureVersion = "market.v1"
+
+  val seriesKeys: Seq[String] = Seq("symbol", "exchange", "timeframe")
+
+  val featureCols: Seq[String] = Seq(
+    "ret_1", "logret_1", "rvol_5", "rvol_20", "ema_12", "ema_26",
+    "macd", "macd_signal_9", "rsi_14", "hl_spread", "oi_obv")
+
+  /** Build the v1 feature frame from a normalized OHLCV frame.
+    * Output conforms to [[Schemas.FEATURE]]; rows whose features are all
+    * null (the very first row of each series) are dropped when
+    * `dropnaFinal`, mirroring the factory's final mask
+    * (`market_factory.py:151-155`). */
+  def build(ohlcv: DataFrame, dropnaFinal: Boolean = true): DataFrame = {
+    val w = W.series(seriesKeys, Seq("timestamp"))
+    val close = col("close")
+
+    // Pass 1: window expressions directly over input columns (siblings).
+    val pass1 = ohlcv
+      .withColumn("feature_version", lit(FeatureVersion))
+      .withColumn("ret_1", W.pctChange(close, 1, w))
+      .withColumn("logret_1", W.logReturn(close, w))
+      .withColumn("_delta", W.diff(close, 1, w))
+      .withColumn("ema_12", W.ema(close, 12, w))
+      .withColumn("ema_26", W.ema(close, 26, w))
+      .withColumn("macd", col("ema_12") - col("ema_26"))
+      .withColumn("hl_spread", TA.hlSpread(col("high"), col("low"), close))
+    // Pass 2: windows over pass-1 outputs (Spark forbids nested window
+    // expressions; consecutive Window operators share one shuffle+sort).
+    val withFeatures = pass1
+      .withColumn("rvol_5", W.rollingStd(col("logret_1"), 5, w))
+      .withColumn("rvol_20", W.rollingStd(col("logret_1"), 20, w))
+      .withColumn("macd_signal_9", W.ema(col("macd"), 9, w))
+      .withColumn("rsi_14", TA.rsiSmaFromDelta(col("_delta"), 14, w))
+      .withColumn("oi_obv", TA.obvFromDelta(col("_delta"), col("volume"), w))
+      .withColumn("dt", TimeNorm.dt(col("timestamp")))
+
+    val conformed = Schemas.conformTo(withFeatures, Schemas.FEATURE, keepExtra = false)
+    if (dropnaFinal)
+      conformed.filter(featureCols.map(col(_).isNotNull).reduce(_ || _))
+    else conformed
+  }
+}

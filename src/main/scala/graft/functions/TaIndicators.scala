@@ -1,0 +1,215 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.functions._
+import graft.functions.windows._
+
+/** Technical-indicator library — re-expresses
+  * `adi/app/features/processors/ta_indicators.py` (and the factory helpers
+  * of `adi/app/features/factory/market_factory.py:47-67`) as declarative
+  * Spark expressions over an explicit series window
+  * `Window.partitionBy(seriesKeys).orderBy(ts)`.
+  *
+  * Layering contract: Spark forbids nesting one window function inside
+  * another, so every indicator is split into composable pieces:
+  *  - plain-`Column` functions whose window expressions are *siblings*
+  *    (legal in one select): macdLine, bollinger, vwap, cci, stochasticK,
+  *    roc, trueRange, drawdown, zscore, …
+  *  - `*From*` functions that consume an already-materialized intermediate
+  *    column (the output of a previous select): atrFromTr, rsiSmaFromDelta…
+  *  - `with*` DataFrame transformers that run the required passes.
+  * Catalyst places consecutive Window operators over the same
+  * (partition, order) spec after a single shuffle+sort, so staging adds no
+  * extra exchange at scale.
+  *
+  * Warm-up semantics follow pandas `rolling(n)` (null until n non-null
+  * observations). Division-by-zero is explicit with `nullif` (pandas emits
+  * ±inf where the reference's tests never look; deviations documented).
+  */
+object TaIndicators {
+
+  // ---------- sibling-safe Column functions ----------
+
+  /** MACD line = EMA(fast) − EMA(slow) (`ta_indicators.py:79-89`). */
+  def macdLine(close: Column, w: WindowSpec, fast: Int = 12, slow: Int = 26): Column =
+    ema(close, fast, w) - ema(close, slow, w)
+
+  /** Bollinger bands (`ta_indicators.py:91-100`). */
+  def bollingerMiddle(close: Column, n: Int, w: WindowSpec): Column = rollingMean(close, n, w)
+  def bollingerUpper(close: Column, n: Int, k: Double, w: WindowSpec): Column =
+    rollingMean(close, n, w) + lit(k) * rollingStd(close, n, w)
+  def bollingerLower(close: Column, n: Int, k: Double, w: WindowSpec): Column =
+    rollingMean(close, n, w) - lit(k) * rollingStd(close, n, w)
+
+  /** Rolling VWAP (`ta_indicators.py:102-117`). */
+  def vwap(price: Column, volume: Column, n: Int, w: WindowSpec): Column =
+    rollingSum(price * volume, n, w) / nullif(rollingSum(volume, n, w), lit(0))
+
+  /** True range: max(h−l, |h−prev_c|, |l−prev_c|); `greatest` skips nulls
+    * exactly like pandas' row-max on the first row
+    * (`ta_indicators.py:133-142`). Contains a lag — materialize before
+    * feeding any rolling op. */
+  def trueRange(high: Column, low: Column, close: Column, w: WindowSpec): Column = {
+    val prevClose = lag(close, 1).over(w)
+    greatest(high - low, abs(high - prevClose), abs(low - prevClose))
+  }
+
+  /** ATR = SMA(TR, n) over a materialized TR column (`ta_indicators.py:133-145`). */
+  def atrFromTr(tr: Column, n: Int, w: WindowSpec): Column = rollingMean(tr, n, w)
+
+  /** OBV from a materialized Δclose column: cumsum(sign(Δ, 0-filled) ·
+    * volume 0-filled) (`ta_indicators.py:147-154`, `market_factory.py:64-67`). */
+  def obvFromDelta(deltaClose: Column, volume: Column, w: WindowSpec): Column =
+    cumSum(signum(coalesce(deltaClose, lit(0.0))) * coalesce(volume, lit(0.0)), w)
+
+  /** Typical price. */
+  def typicalPrice(high: Column, low: Column, close: Column): Column =
+    (high + low + close) / 3.0
+
+  /** CCI (`ta_indicators.py:5-26,156-164`): (TP − MA) / (c · MD), 0 when
+    * MD = 0, null during warm-up. MD — the mean absolute deviation of TP
+    * around the *current* row's MA — is the nested-window shape (W19),
+    * solved with collect_list + aggregate HOF (window exprs stay siblings). */
+  def cci(high: Column, low: Column, close: Column, n: Int, c: Double, w: WindowSpec): Column = {
+    val tp = typicalPrice(high, low, close)
+    val ma = rollingMean(tp, n, w)
+    val md = rollingMeanAbsDev(tp, ma, n, w)
+    when(md.isNull, lit(null)).otherwise(
+      when(md === 0, lit(0.0)).otherwise((tp - ma) / (lit(c) * md)))
+  }
+
+  /** Stochastic %K (`ta_indicators.py:166-174`); flat windows → null
+    * (pandas ±inf/NaN). */
+  def stochasticK(high: Column, low: Column, close: Column, kWindow: Int, w: WindowSpec): Column = {
+    val lowMin = rollingMin(low, kWindow, w)
+    val highMax = rollingMax(high, kWindow, w)
+    lit(100.0) * (close - lowMin) / nullif(highMax - lowMin, lit(0))
+  }
+
+  /** %D = SMA(%K, d) over a materialized %K column. */
+  def stochasticDFromK(k: Column, dWindow: Int, w: WindowSpec): Column =
+    rollingMean(k, dWindow, w)
+
+  /** ROC (`ta_indicators.py:208-212`). */
+  def roc(close: Column, n: Int, w: WindowSpec): Column =
+    lit(100.0) * (close - lag(close, n).over(w)) / lag(close, n).over(w)
+
+  /** (high − low) / close, zero-close → null (`market_factory.py:119`). */
+  def hlSpread(high: Column, low: Column, close: Column): Column =
+    (high - low) / nullif(close, lit(0))
+
+  // ---------- *From* functions over materialized intermediates ----------
+
+  /** Up/down moves from a materialized Δ column; null Δ (first row) stays
+    * null — pandas clip preserves NaN. */
+  def upMove(delta: Column): Column =
+    when(delta > 0, delta).otherwise(when(delta.isNotNull, lit(0.0)))
+  def downMove(delta: Column): Column =
+    when(delta < 0, -delta).otherwise(when(delta.isNotNull, lit(0.0)))
+
+  /** RSI, SMA flavor (`market_factory.py:54-62`): rolling(n).mean of
+    * up/down with `roll_down.replace(0, nan)` — all-gain windows are null
+    * by construction (kept verbatim; SURVEY §7 risk 4). */
+  def rsiSmaFromDelta(delta: Column, n: Int, w: WindowSpec): Column = {
+    val rollUp = rollingMean(upMove(delta), n, w)
+    val rollDown = rollingMean(downMove(delta), n, w)
+    lit(100.0) - lit(100.0) / (lit(1.0) + rollUp / nullif(rollDown, lit(0)))
+  }
+
+  /** RSI, EWM flavor (`ta_indicators.py:59-77`): Wilder smoothing
+    * `ewm(alpha=1/n, adjust=False)` of up/down moves.
+    * loss = 0 ∧ gain > 0 → 100 (pandas rs = inf); both 0 → null. */
+  def rsiEwmFromDelta(delta: Column, n: Int, w: WindowSpec): Column = {
+    val avgGain = ewmMean(upMove(delta), 1.0 / n, w)
+    val avgLoss = ewmMean(downMove(delta), 1.0 / n, w)
+    when(avgLoss === 0 && avgGain > 0, lit(100.0))
+      .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + avgGain / nullif(avgLoss, lit(0))))
+  }
+
+  // ---------- multi-pass DataFrame transformers ----------
+
+  /** MACD line + signal + histogram (`ta_indicators.py:79-89`): the signal
+    * is an EWM *of the macd series*, hence a second pass. */
+  def withMacd(df: DataFrame, close: String, w: WindowSpec,
+               fast: Int = 12, slow: Int = 26, signal: Int = 9): DataFrame =
+    df.withColumn("macd", macdLine(col(close), w, fast, slow))
+      .withColumn(s"macd_signal_$signal", ema(col("macd"), signal, w))
+      .withColumn("macd_hist", col("macd") - col(s"macd_signal_$signal"))
+
+  /** ATR (two passes: TR, then SMA). */
+  def withAtr(df: DataFrame, high: String, low: String, close: String,
+              n: Int, w: WindowSpec, out: String = "atr"): DataFrame =
+    df.withColumn("_tr", trueRange(col(high), col(low), col(close), w))
+      .withColumn(out, atrFromTr(col("_tr"), n, w))
+      .drop("_tr")
+
+  /** ADX (`ta_indicators.py:176-193`) — three passes:
+    * (1) ±DM conditionals + TR, (2) ±DI and DX, (3) SMA(DX). Zero-ATR /
+    * zero-DI-sum rows → null (pandas inf). */
+  def withAdx(df: DataFrame, high: String, low: String, close: String,
+              n: Int, w: WindowSpec, out: String = "adx"): DataFrame = {
+    val up = diff(col(high), 1, w)
+    val down = -diff(col(low), 1, w)
+    val staged = df
+      .withColumn("_plus_dm", when((up > down) && (up > 0), up).otherwise(lit(0.0)))
+      .withColumn("_minus_dm", when((down > up) && (down > 0), down).otherwise(lit(0.0)))
+      .withColumn("_tr", trueRange(col(high), col(low), col(close), w))
+    val atr_ = atrFromTr(col("_tr"), n, w)
+    val plusDi = lit(100.0) * rollingMean(col("_plus_dm"), n, w) / nullif(atr_, lit(0))
+    val minusDi = lit(100.0) * rollingMean(col("_minus_dm"), n, w) / nullif(atr_, lit(0))
+    staged
+      .withColumn("_dx", lit(100.0) * abs(plusDi - minusDi) / nullif(plusDi + minusDi, lit(0)))
+      .withColumn(out, rollingMean(col("_dx"), n, w))
+      .drop("_plus_dm", "_minus_dm", "_tr", "_dx")
+  }
+
+  /** MFI (`ta_indicators.py:195-206`) — two passes (flows need lag(TP));
+    * zero total flow → null. */
+  def withMfi(df: DataFrame, high: String, low: String, close: String, volume: String,
+              n: Int, w: WindowSpec, out: String = "mfi"): DataFrame = {
+    val tp = typicalPrice(col(high), col(low), col(close))
+    val staged = df
+      .withColumn("_tp", tp)
+      .withColumn("_prev_tp", lag(tp, 1).over(w))
+    val moneyFlow = col("_tp") * col(volume)
+    val posFlow = when(col("_tp") > col("_prev_tp"), moneyFlow).otherwise(lit(0.0))
+    val negFlow = when(col("_tp") < col("_prev_tp"), moneyFlow).otherwise(lit(0.0))
+    val posMf = rollingSum(posFlow, n, w)
+    val negMf = rollingSum(negFlow, n, w)
+    staged
+      .withColumn(out, lit(100.0) * posMf / nullif(posMf + negMf, lit(0)))
+      .drop("_tp", "_prev_tp")
+  }
+
+  /** Stochastic %K and %D (two passes). */
+  def withStochastic(df: DataFrame, high: String, low: String, close: String,
+                     kWindow: Int, dWindow: Int, w: WindowSpec): DataFrame =
+    df.withColumn("percent_k", stochasticK(col(high), col(low), col(close), kWindow, w))
+      .withColumn("percent_d", stochasticDFromK(col("percent_k"), dWindow, w))
+
+  // ---------- onchain feature set (`onchain_features.py`) ----------
+
+  /** Drawdown vs running max (`onchain_features.py:36-43`). */
+  def drawdown(x: Column, w: WindowSpec): Column = {
+    val rm = cumMax(x, w)
+    (x - rm) / nullif(rm, lit(0))
+  }
+
+  /** |x| > threshold as 0/1 (`onchain_features.py:46-51`). */
+  def whaleFlow(x: Column, threshold: Double): Column =
+    (abs(x) > threshold).cast("int")
+
+  /** Annualized rolling volatility of pct-change returns over a
+    * materialized returns column (`onchain_features.py:62-70`; the
+    * reference assumes 1-second bars). */
+  def annualizedVolFromReturns(returns: Column, n: Int, w: WindowSpec): Column =
+    rollingStd(returns, n, w) * sqrt(lit(365.0 * 86400.0 / n))
+
+  /** Whole-series z-score (`onchain_features.py:73-78`): entire-partition
+    * window — distributed, no driver collect. */
+  def zscore(x: Column, w: WindowSpec): Column = {
+    val e = entire(w)
+    (x - avg(x).over(e)) / nullif(stddev_samp(x).over(e), lit(0))
+  }
+}

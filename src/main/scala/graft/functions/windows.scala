@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftFunctions
+
+/** Per-series ordered window primitives.
+  *
+  * The reference processes one (symbol, exchange, timeframe) series per
+  * in-memory frame, sorted by timestamp
+  * (`adi/app/features/factory/market_factory.py:97-98`); our engine makes
+  * that partitioning explicit so the same math distributes over any number
+  * of series. All rolling ops reproduce pandas `rolling(n)` warm-up
+  * semantics (`min_periods = n`, counting non-null observations): the first
+  * `n-1` rows are null — enforced with a `count(x).over(frame) >= n` guard
+  * (SURVEY §7 risk 2).
+  */
+object windows {
+
+  /** `Window.partitionBy(keys).orderBy(ts)` — the canonical series window. */
+  def series(keys: Seq[String], orderBy: Seq[String]): WindowSpec =
+    Window.partitionBy(keys.map(col): _*).orderBy(orderBy.map(col): _*)
+
+  /** Trailing `n`-row frame ending at the current row (pandas rolling(n)). */
+  def trailing(w: WindowSpec, n: Int): WindowSpec = w.rowsBetween(-(n - 1), 0)
+
+  /** Unbounded-preceding running frame (pandas cumsum/cummax). */
+  def running(w: WindowSpec): WindowSpec =
+    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Entire-partition frame (global per-series stats, e.g. z-score). */
+  def entire(w: WindowSpec): WindowSpec =
+    w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+  private def guarded(x: Column, n: Int, w: WindowSpec, agg: Column => Column): Column = {
+    val f = trailing(w, n)
+    when(count(x).over(f) >= n, agg(x).over(f))
+  }
+
+  /** pandas `rolling(n).mean()` (W5). */
+  def rollingMean(x: Column, n: Int, w: WindowSpec): Column = guarded(x, n, w, avg)
+
+  /** pandas `rolling(n).std()` — sample std, ddof=1 (W6; SURVEY §7 risk 3). */
+  def rollingStd(x: Column, n: Int, w: WindowSpec): Column = guarded(x, n, w, stddev_samp)
+
+  /** pandas `rolling(n).sum()` (W7). */
+  def rollingSum(x: Column, n: Int, w: WindowSpec): Column = guarded(x, n, w, sum)
+
+  /** pandas `rolling(n).min()` / `.max()` (W8). */
+  def rollingMin(x: Column, n: Int, w: WindowSpec): Column = guarded(x, n, w, min)
+  def rollingMax(x: Column, n: Int, w: WindowSpec): Column = guarded(x, n, w, max)
+
+  /** pandas `rolling(n).median()` — exact, linear interpolation (W9). */
+  def rollingMedian(x: Column, n: Int, w: WindowSpec): Column =
+    rollingQuantile(x, 0.5, n, w)
+
+  /** pandas `rolling(n).quantile(q, interpolation='linear')` — exact
+    * `percentile` (an ImperativeAggregate; fine over a short frame) (W9). */
+  def rollingQuantile(x: Column, q: Double, n: Int, w: WindowSpec): Column =
+    guarded(x, n, w, c => percentile(c, lit(q)))
+
+  /** pandas `cumsum()` (W10). */
+  def cumSum(x: Column, w: WindowSpec): Column = sum(x).over(running(w))
+
+  /** pandas `cummax()` (W11). */
+  def cumMax(x: Column, w: WindowSpec): Column = max(x).over(running(w))
+
+  /** pandas `diff(p)` (W1). */
+  def diff(x: Column, p: Int, w: WindowSpec): Column = x - lag(x, p).over(w)
+
+  /** pandas `pct_change(p)` (W2). */
+  def pctChange(x: Column, p: Int, w: WindowSpec): Column = x / lag(x, p).over(w) - 1
+
+  /** log return: `log(x.replace(0, nan)).diff()` (W3,
+    * `market_factory.py:107`). */
+  def logReturn(x: Column, w: WindowSpec): Column = {
+    val lx = log(nullif(x, lit(0)))
+    lx - lag(lx, 1).over(w)
+  }
+
+  /** Forward-fill: last non-null value at or before the current row (J4,
+    * `orderbook_features.py:133-137` `.fillna(method='ffill')`). */
+  def ffill(x: Column, w: WindowSpec): Column =
+    last(x, ignoreNulls = true).over(running(w))
+
+  /** Backward-fill (pandas `bfill`). */
+  def bfill(x: Column, w: WindowSpec): Column =
+    first(x, ignoreNulls = true)
+      .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+
+  /** pandas `ewm(alpha=α, adjust=False).mean()` — custom Catalyst window
+    * expression (W12), exact recurrence, O(1) state per series. Resolution
+    * goes through the function registry (the same path as built-in window
+    * functions) so the analyzer sees ordinary unresolved children. */
+  def ewmMean(x: Column, alpha: Double, w: WindowSpec): Column = {
+    GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    call_function(GraftFunctions.EwmMeanName, x, lit(alpha)).over(w)
+  }
+
+  /** EMA with span `k`: alpha = 2/(k+1) (`ta_indicators.py:127-131`). */
+  def ema(x: Column, span: Int, w: WindowSpec): Column =
+    ewmMean(x, 2.0 / (span + 1.0), w)
+
+  /** Rolling mean absolute deviation around the current row's rolling mean
+    * (the CCI denominator, W19): `mean(|x_i - MA_t|)` for the n rows of the
+    * trailing frame. A nested-window shape Spark can't express directly —
+    * composed as `collect_list().over(frame)` + `aggregate` HOF (SURVEY §4).
+    * O(n·w) but w is small (e.g. 20); stays inside codegen. */
+  def rollingMeanAbsDev(x: Column, ma: Column, n: Int, w: WindowSpec): Column = {
+    val f = trailing(w, n)
+    val arr = collect_list(x).over(f)
+    when(count(x).over(f) >= n,
+      aggregate(arr, lit(0.0), (acc, v) => acc + abs(v - ma)) / n)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{windows => W}
+
+/** Relational building blocks the reference implements imperatively:
+  * per-group top-N (A4/O3), side pivots (A1/A2), gap anti-joins (J3),
+  * as-of/ffill alignment (J4), last-write-wins dedup (§2.7).
+  */
+object Relational {
+
+  /** Per-group top-N by an ordering — the order-book "top 5 levels"
+    * pattern (`adi/app/features/processors/orderbook_features.py:73-91`).
+    * row_number over a partitioned window: single shuffle on the group
+    * keys, no driver involvement. */
+  def topNPerGroup(df: DataFrame, groupKeys: Seq[String], order: Seq[Column], n: Int,
+                   rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(groupKeys.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
+  }
+
+  /** Pivot-sum by a category column with fixed values (A1,
+    * `orderbook_features.py:104-118`): `groupBy(idx).pivot(cat, values)
+    * .sum(value)`, absent combos filled 0. Fixed value list keeps it a
+    * single pass (no distinct-values pre-query). */
+  def pivotSum(df: DataFrame, idx: Seq[String], cat: String, values: Seq[String],
+               value: String): DataFrame =
+    df.groupBy(idx.map(col): _*).pivot(cat, values).sum(value).na.fill(0.0, values)
+
+  /** Expected-grid gap detection (J3, `adi/app/features/jobs/backfill.py:45-76`):
+    * build the dense expected timestamp grid per key with `sequence()`
+    * (distributed — no driver loop, unlike the reference's Python range)
+    * and anti-join what's stored. Returns the missing (keys, ts) rows. */
+  def missingFromGrid(stored: DataFrame, keys: Seq[String], tsCol: String,
+                      stepSec: Long): DataFrame = {
+    val grid = stored
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(tsCol)).as("_mn"), max(col(tsCol)).as("_mx"))
+      .select(keys.map(col) :+
+        explode(sequence(col("_mn"), col("_mx"), expr(s"interval $stepSec seconds"))).as(tsCol): _*)
+    grid.join(stored.select((keys :+ tsCol).map(col): _*).distinct(),
+      keys :+ tsCol, "left_anti")
+  }
+
+  /** Last-write-wins upsert dedup on key columns (§2.7 — the Redis
+    * per-key overwrite semantics, `redis_store.py:184-192`): keep the
+    * newest row per key by (orderCol desc, tiebreak desc). */
+  def lastWriteWins(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** As-of forward-fill alignment of a sparse column onto a dense axis
+    * (J4, `orderbook_features.py:133-137`): full outer on the axis then
+    * ffill — here generalized as "ffill this column over this window". */
+  def ffillColumn(df: DataFrame, colName: String, partitionKeys: Seq[String],
+                  orderBy: Seq[String]): DataFrame =
+    df.withColumn(colName, W.ffill(col(colName), W.series(partitionKeys, orderBy)))
+}

@@ -1,0 +1,98 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Exponentially-weighted moving mean as a native Catalyst window function.
+  *
+  * Semantics: pandas `ewm(alpha=α, adjust=False).mean()` —
+  * `y_0 = x_0; y_t = (1-α)·y_{t-1} + α·x_t` — the recurrence behind EMA/MACD
+  * /RSI in the reference (`adi/app/features/processors/ta_indicators.py:73-83,
+  * 127-131`, `adi/app/features/factory/market_factory.py:51-52,112-115`).
+  *
+  * Spark has no built-in EWM: the recurrence has unbounded memory of the
+  * past, so no fixed window frame expresses it. As an
+  * [[AggregateWindowFunction]] (a running-frame DeclarativeAggregate, the
+  * same machinery as `rank`) it evaluates in one ordered pass per window
+  * partition with O(1) state — exact, distributed, and composable with
+  * `Window.partitionBy(...).orderBy(...)`.
+  *
+  * Null handling: null inputs leave the state untouched and leading nulls
+  * yield null output (matches pandas' skipping of leading NaNs; interior
+  * NaNs under pandas' default `ignore_na=False` decay weights differently —
+  * documented deviation, the reference never feeds interior NaNs).
+  */
+case class EwmMean(child: Expression, alpha: Double)
+    extends AggregateWindowFunction with UnaryLike[Expression] {
+
+  require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ewm_mean"
+
+  private lazy val state = AttributeReference("ewm", DoubleType, nullable = true)()
+  override def aggBufferAttributes: Seq[AttributeReference] = state :: Nil
+  override lazy val initialValues: Seq[Expression] = Literal(null, DoubleType) :: Nil
+
+  private def x: Expression = Cast(child, DoubleType)
+
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(x), state,
+      If(IsNull(state), x,
+        Add(Multiply(state, Literal(1.0 - alpha)), Multiply(x, Literal(alpha)))))
+  )
+
+  override lazy val evaluateExpression: Expression = state
+
+  override protected def withNewChildInternal(newChild: Expression): EwmMean =
+    copy(child = newChild)
+}
+
+/** Bridge between graft's public API (Column) and Catalyst (Expression).
+  * Lives under `org.apache.spark.sql` to reach the `private[sql]` converters
+  * of Spark 4's classic Column implementation.
+  *
+  * NOTE: `expression(col)` yields a *lazy* `ColumnNodeExpression` wrapper
+  * that reports `resolved = true` before analysis — embedding it as the
+  * child of a custom Expression breaks CheckAnalysis. Custom expressions
+  * must instead go through [[GraftFunctions.register]] +
+  * `functions.call_function`, which hands the analyzer ordinary unresolved
+  * children (the same path Spark's own window functions take). */
+object CatalystBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
+
+/** Registers graft's custom Catalyst expressions in a session's function
+  * registry so they are callable from both the Column API
+  * (`functions.call_function("graft_ewm_mean", x, lit(a))`) and plain SQL. */
+object GraftFunctions {
+  val EwmMeanName = "graft_ewm_mean"
+
+  private def evalAlpha(e: Expression): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case other if other.foldable =>
+      other.eval() match {
+        case d: Double => d
+        case d: java.math.BigDecimal => d.doubleValue()
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+        case v => throw new IllegalArgumentException(s"ewm alpha must be numeric, got $v")
+      }
+    case other =>
+      throw new IllegalArgumentException(s"ewm alpha must be a literal, got $other")
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(EwmMeanName,
+      exprs => EwmMean(exprs.head, evalAlpha(exprs(1))), "built-in")
+  }
+}

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json in DuckDB against the same tables,
+and compares row count, schema (sorted column names), and cell values
+(column-name-sorted, exact for ints/strings, tiny epsilon report for floats).
+"""
+import json, math, sys
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    return df
+
+def compare(name, got, want):
+    problems = []
+    if list(sorted(got.columns)) != list(sorted(want.columns)):
+        return [f"schema mismatch: spark={sorted(got.columns)} oracle={sorted(want.columns)}"]
+    if len(got) != len(want):
+        return [f"rowcount mismatch: spark={len(got)} oracle={len(want)}"]
+    got, want = norm(got), norm(want)
+    for c in got.columns:
+        a, b = got[c].values, want[c].values
+        for i in range(len(a)):
+            x, y = a[i], b[i]
+            xn = x is None or (isinstance(x, float) and math.isnan(x)) or pd.isna(x)
+            yn = y is None or (isinstance(y, float) and math.isnan(y)) or pd.isna(y)
+            if xn and yn:
+                continue
+            if xn != yn:
+                problems.append(f"col {c} row {i}: null mismatch spark={x} oracle={y}")
+            elif isinstance(x, float) or isinstance(y, float):
+                if x != y:
+                    problems.append(f"col {c} row {i}: float diff spark={x!r} oracle={y!r} (d={abs(float(x)-float(y)):.3e})")
+            elif x != y:
+                problems.append(f"col {c} row {i}: value diff spark={x!r} oracle={y!r}")
+            if len(problems) >= 5:
+                return problems
+    return problems
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            fail += 1
+            continue
+        try:
+            want = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            fail += 1
+            continue
+        problems = compare(name, got, want)
+        if problems:
+            print(f"FAIL {name}:")
+            for p in problems:
+                print(f"   {p}")
+            fail += 1
+        else:
+            print(f"OK   {name} ({len(got)} rows)")
+            ok += 1
+    print(f"\n{ok} ok, {fail} fail")
+    return 1 if fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
