@@ -532,6 +532,258 @@ object Queries {
       ORDER BY user_id, ts_us"""))
 
   // ------------------------------------------------------------------
+  // TA indicators on OHLCV bars resampled from events (W5-W8, W13-W23)
+  // ------------------------------------------------------------------
+
+  /** Hourly OHLCV bars per event_type — shared base for the TA queries. */
+  private def hourlyBars(s: SparkSession, dir: String): DataFrame =
+    Resample.bars(t(s, dir, "events"), "ts", "value", "event_id",
+      "1 hour", Seq("event_type"), exactVolume = true)
+
+  private val barsCte = """
+      bars AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar_ts,
+               ARG_MIN(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
+               ARG_MAX(value, ts) AS close,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        FROM events GROUP BY 1, 2)"""
+
+  private def barsW = W.series(Seq("event_type"), Seq("bar_ts"))
+
+  private val qTaTrend = QDef(
+    "q_ta_trend",
+    (s, dir) => {
+      val w = barsW
+      val staged = hourlyBars(s, dir)
+        .withColumn("_tr", TA.trueRange(col("high"), col("low"), col("close"), w))
+        .withColumn("_delta", W.diff(col("close"), 1, w))
+      staged.select(col("event_type"), micros(col("bar_ts")).as("bar_ts_us"), col("close"),
+          round(W.rollingMean(col("close"), 5, w), 6).as("sma_5"),
+          round(TA.bollingerUpper(col("close"), 20, 2.0, w), 6).as("boll_upper"),
+          round(TA.bollingerLower(col("close"), 20, 2.0, w), 6).as("boll_lower"),
+          round(TA.vwap(col("close"), col("volume"), 5, w), 6).as("vwap_5"),
+          TA.roc(col("close"), 5, w).as("roc_5"),
+          round(TA.atrFromTr(col("_tr"), 14, w), 6).as("atr_14"),
+          round(TA.obvFromDelta(col("_delta"), col("volume"), w), 6).as("obv"))
+        .orderBy("event_type", "bar_ts_us")
+    },
+    Some(s"""
+      WITH $barsCte,
+      staged AS (
+        SELECT *,
+               GREATEST(high - low, ABS(high - LAG(close) OVER wo), ABS(low - LAG(close) OVER wo)) AS tr,
+               close - LAG(close) OVER wo AS delta
+        FROM bars
+        WINDOW wo AS (PARTITION BY event_type ORDER BY bar_ts))
+      SELECT event_type, epoch_us(bar_ts) AS bar_ts_us, close,
+             CASE WHEN COUNT(close) OVER w5 >= 5 THEN ROUND(AVG(close) OVER w5, 6) END AS sma_5,
+             CASE WHEN COUNT(close) OVER w20 >= 20 THEN ROUND(AVG(close) OVER w20 + 2.0 * STDDEV_SAMP(close) OVER w20, 6) END AS boll_upper,
+             CASE WHEN COUNT(close) OVER w20 >= 20 THEN ROUND(AVG(close) OVER w20 - 2.0 * STDDEV_SAMP(close) OVER w20, 6) END AS boll_lower,
+             ROUND((CASE WHEN COUNT(close * volume) OVER w5 >= 5 THEN SUM(close * volume) OVER w5 END)
+                   / NULLIF(CASE WHEN COUNT(volume) OVER w5 >= 5 THEN SUM(volume) OVER w5 END, 0), 6) AS vwap_5,
+             100.0 * (close - LAG(close, 5) OVER wo) / LAG(close, 5) OVER wo AS roc_5,
+             CASE WHEN COUNT(tr) OVER w14 >= 14 THEN ROUND(AVG(tr) OVER w14, 6) END AS atr_14,
+             ROUND(SUM(SIGN(COALESCE(delta, 0.0)) * COALESCE(volume, 0.0)) OVER wc, 6) AS obv
+      FROM staged
+      WINDOW wo AS (PARTITION BY event_type ORDER BY bar_ts),
+             w5 AS (PARTITION BY event_type ORDER BY bar_ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             w14 AS (PARTITION BY event_type ORDER BY bar_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+             w20 AS (PARTITION BY event_type ORDER BY bar_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+             wc AS (PARTITION BY event_type ORDER BY bar_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY event_type, bar_ts_us"""))
+
+  private val qTaOscillators = QDef(
+    "q_ta_oscillators",
+    (s, dir) => {
+      val w = barsW
+      val withK = TA.withMfi(
+        TA.withAdx(
+          TA.withStochastic(hourlyBars(s, dir), "high", "low", "close", 14, 3, w),
+          "high", "low", "close", 14, w, out = "adx_14"),
+        "high", "low", "close", "volume", 14, w, out = "mfi_14")
+      withK.select(col("event_type"), micros(col("bar_ts")).as("bar_ts_us"),
+          col("percent_k"),
+          round(col("percent_d"), 6).as("percent_d"),
+          round(TA.cci(col("high"), col("low"), col("close"), 20, 0.015, w), 6).as("cci_20"),
+          round(col("mfi_14"), 6).as("mfi_14"),
+          round(col("adx_14"), 6).as("adx_14"))
+        .orderBy("event_type", "bar_ts_us")
+    },
+    Some(s"""
+      WITH $barsCte,
+      s1 AS (
+        SELECT *,
+               high - LAG(high) OVER wo AS up,
+               -(low - LAG(low) OVER wo) AS down,
+               GREATEST(high - low, ABS(high - LAG(close) OVER wo), ABS(low - LAG(close) OVER wo)) AS tr,
+               (high + low + close) / 3.0 AS tp,
+               LAG((high + low + close) / 3.0) OVER wo AS prev_tp
+        FROM bars
+        WINDOW wo AS (PARTITION BY event_type ORDER BY bar_ts)),
+      s2 AS (
+        SELECT *,
+               CASE WHEN up > down AND up > 0 THEN up ELSE 0.0 END AS plus_dm,
+               CASE WHEN down > up AND down > 0 THEN down ELSE 0.0 END AS minus_dm,
+               CASE WHEN tp > prev_tp THEN tp * volume ELSE 0.0 END AS pos_flow,
+               CASE WHEN tp < prev_tp THEN tp * volume ELSE 0.0 END AS neg_flow
+        FROM s1),
+      s3 AS (
+        SELECT *,
+               CASE WHEN COUNT(low) OVER w14 >= 14
+                    THEN 100.0 * (close - MIN(low) OVER w14) / NULLIF(MAX(high) OVER w14 - MIN(low) OVER w14, 0) END AS percent_k,
+               100.0 * (CASE WHEN COUNT(plus_dm) OVER w14 >= 14 THEN AVG(plus_dm) OVER w14 END)
+                 / NULLIF(CASE WHEN COUNT(tr) OVER w14 >= 14 THEN AVG(tr) OVER w14 END, 0) AS plus_di,
+               100.0 * (CASE WHEN COUNT(minus_dm) OVER w14 >= 14 THEN AVG(minus_dm) OVER w14 END)
+                 / NULLIF(CASE WHEN COUNT(tr) OVER w14 >= 14 THEN AVG(tr) OVER w14 END, 0) AS minus_di,
+               100.0 * (CASE WHEN COUNT(pos_flow) OVER w14 >= 14 THEN SUM(pos_flow) OVER w14 END)
+                 / NULLIF((CASE WHEN COUNT(pos_flow) OVER w14 >= 14 THEN SUM(pos_flow) OVER w14 END)
+                          + (CASE WHEN COUNT(neg_flow) OVER w14 >= 14 THEN SUM(neg_flow) OVER w14 END), 0) AS mfi_14,
+               CASE WHEN COUNT(tp) OVER w20 >= 20 THEN AVG(tp) OVER w20 END AS tp_ma,
+               CASE WHEN COUNT(tp) OVER w20 >= 20 THEN list(tp) OVER w20 END AS tp_arr
+        FROM s2
+        WINDOW w14 AS (PARTITION BY event_type ORDER BY bar_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+               w20 AS (PARTITION BY event_type ORDER BY bar_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+      s4 AS (
+        SELECT *,
+               CASE WHEN plus_di IS NULL OR minus_di IS NULL THEN NULL
+                    ELSE 100.0 * ABS(plus_di - minus_di) / NULLIF(plus_di + minus_di, 0) END AS dx,
+               CASE WHEN tp_arr IS NULL THEN NULL
+                    ELSE list_reduce(list_transform(tp_arr, y -> ABS(y - tp_ma)), (a, b) -> a + b) / 20 END AS md
+        FROM s3)
+      SELECT event_type, epoch_us(bar_ts) AS bar_ts_us,
+             percent_k,
+             CASE WHEN COUNT(percent_k) OVER w3 >= 3 THEN ROUND(AVG(percent_k) OVER w3, 6) END AS percent_d,
+             CASE WHEN md IS NULL THEN NULL
+                  WHEN md = 0 THEN 0.0
+                  ELSE ROUND((tp - tp_ma) / (0.015 * md), 6) END AS cci_20,
+             ROUND(mfi_14, 6) AS mfi_14,
+             CASE WHEN COUNT(dx) OVER w14 >= 14 THEN ROUND(AVG(dx) OVER w14, 6) END AS adx_14
+      FROM s4
+      WINDOW w3 AS (PARTITION BY event_type ORDER BY bar_ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             w14 AS (PARTITION BY event_type ORDER BY bar_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+      ORDER BY event_type, bar_ts_us"""))
+
+  // ------------------------------------------------------------------
+  // Onchain feature set (W1/W2/W9/W10/W11/W26-W28) per user series
+  // ------------------------------------------------------------------
+
+  private val qOnchainFeatures = QDef(
+    "q_onchain_features",
+    (s, dir) => {
+      val w = seriesW
+      val staged = t(s, dir, "events")
+        .withColumn("_ret", W.pctChange(col("value"), 1, w))
+      staged.select(col("user_id"), micros(col("ts")).as("ts_us"), col("value"),
+          W.diff(col("value"), 1, w).as("diff_1"),
+          round(W.rollingMedian(col("value"), 5, w), 6).as("roll_med_5"),
+          round(W.rollingQuantile(col("value"), 0.25, 5, w), 6).as("roll_q25_5"),
+          round(TA.zscore(col("value"), w), 6).as("zscore"),
+          TA.whaleFlow(col("value"), 100.0).as("whale_100"),
+          round(TA.annualizedVolFromReturns(col("_ret"), 5, w), 6).as("ann_vol_5"),
+          TA.drawdown(col("value"), w).as("drawdown"))
+        .orderBy("user_id", "ts_us")
+    },
+    Some("""
+      WITH staged AS (
+        SELECT *, value / LAG(value) OVER wo - 1 AS ret
+        FROM events
+        WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, epoch_us(ts) AS ts_us, value,
+             value - LAG(value) OVER wo AS diff_1,
+             CASE WHEN COUNT(value) OVER w5 >= 5 THEN ROUND(quantile_cont(value, 0.5) OVER w5, 6) END AS roll_med_5,
+             CASE WHEN COUNT(value) OVER w5 >= 5 THEN ROUND(quantile_cont(value, 0.25) OVER w5, 6) END AS roll_q25_5,
+             ROUND((value - AVG(value) OVER wp) / NULLIF(STDDEV_SAMP(value) OVER wp, 0), 6) AS zscore,
+             CAST(ABS(value) > 100.0 AS INT) AS whale_100,
+             CASE WHEN COUNT(ret) OVER w5 >= 5
+                  THEN ROUND(STDDEV_SAMP(ret) OVER w5 * SQRT(365.0 * 86400.0 / 5), 6) END AS ann_vol_5,
+             (value - MAX(value) OVER wc) / NULLIF(MAX(value) OVER wc, 0) AS drawdown
+      FROM staged
+      WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+             wp AS (PARTITION BY user_id),
+             w5 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             wc AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts_us"""))
+
+  // ------------------------------------------------------------------
+  // Flagship: the full market feature factory over resampled bars (§3.1
+  // step 5 / §3.3) — every v1 feature with a full SQL oracle.
+  // ------------------------------------------------------------------
+
+  private val qMarketFeatures = QDef(
+    "q_market_features",
+    (s, dir) => {
+      val ohlcv = hourlyBars(s, dir).select(
+        col("bar_ts").as("timestamp"),
+        col("event_type").as("symbol"),
+        lit("events").as("exchange"),
+        lit("1h").as("timeframe"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+      graft.features.MarketFeatures.build(ohlcv)
+        .select(col("symbol"), micros(col("timestamp")).as("ts_us"), col("dt"),
+          col("feature_version"),
+          col("ret_1"),
+          round(col("logret_1"), 6).as("logret_1"),
+          round(col("rvol_5"), 6).as("rvol_5"),
+          round(col("rvol_20"), 6).as("rvol_20"),
+          round(col("ema_12"), 6).as("ema_12"),
+          round(col("ema_26"), 6).as("ema_26"),
+          round(col("macd"), 6).as("macd"),
+          round(col("macd_signal_9"), 6).as("macd_signal_9"),
+          round(col("rsi_14"), 6).as("rsi_14"),
+          col("hl_spread"),
+          round(col("oi_obv"), 6).as("oi_obv"))
+        .orderBy("symbol", "ts_us")
+    },
+    Some(s"""
+      WITH $barsCte,
+      s1 AS (
+        SELECT *,
+               close / LAG(close) OVER wo - 1 AS ret_1,
+               LN(NULLIF(close, 0)) - LAG(LN(NULLIF(close, 0))) OVER wo AS logret_1,
+               close - LAG(close) OVER wo AS delta,
+               ${emaFoldSql("list(close) OVER wc", alphaOfSpan(12))} AS ema_12,
+               ${emaFoldSql("list(close) OVER wc", alphaOfSpan(26))} AS ema_26,
+               (high - low) / NULLIF(close, 0) AS hl_spread
+        FROM bars
+        WINDOW wo AS (PARTITION BY event_type ORDER BY bar_ts),
+               wc AS (PARTITION BY event_type ORDER BY bar_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      s2 AS (
+        SELECT *,
+               ema_12 - ema_26 AS macd_raw,
+               CASE WHEN delta > 0 THEN delta WHEN delta IS NOT NULL THEN 0.0 END AS up,
+               CASE WHEN delta < 0 THEN -delta WHEN delta IS NOT NULL THEN 0.0 END AS down
+        FROM s1),
+      s3 AS (
+        SELECT *,
+               CASE WHEN COUNT(logret_1) OVER w5 >= 5 THEN STDDEV_SAMP(logret_1) OVER w5 END AS rvol_5,
+               CASE WHEN COUNT(logret_1) OVER w20 >= 20 THEN STDDEV_SAMP(logret_1) OVER w20 END AS rvol_20,
+               ${emaFoldSql("list(macd_raw) OVER wc", alphaOfSpan(9))} AS macd_signal_9,
+               CASE WHEN COUNT(up) OVER w14 >= 14 THEN AVG(up) OVER w14 END AS roll_up,
+               CASE WHEN COUNT(down) OVER w14 >= 14 THEN AVG(down) OVER w14 END AS roll_down,
+               SUM(SIGN(COALESCE(delta, 0.0)) * COALESCE(volume, 0.0)) OVER wc AS oi_obv
+        FROM s2
+        WINDOW w5 AS (PARTITION BY event_type ORDER BY bar_ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+               w14 AS (PARTITION BY event_type ORDER BY bar_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+               w20 AS (PARTITION BY event_type ORDER BY bar_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+               wc AS (PARTITION BY event_type ORDER BY bar_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_type AS symbol, epoch_us(bar_ts) AS ts_us,
+             strftime(bar_ts, '%Y-%m-%d') AS dt,
+             'market.v1' AS feature_version,
+             ret_1,
+             ROUND(logret_1, 6) AS logret_1,
+             ROUND(rvol_5, 6) AS rvol_5,
+             ROUND(rvol_20, 6) AS rvol_20,
+             ROUND(ema_12, 6) AS ema_12,
+             ROUND(ema_26, 6) AS ema_26,
+             ROUND(ema_12 - ema_26, 6) AS macd,
+             ROUND(macd_signal_9, 6) AS macd_signal_9,
+             ROUND(100.0 - 100.0 / (1.0 + roll_up / NULLIF(roll_down, 0)), 6) AS rsi_14,
+             hl_spread,
+             ROUND(oi_obv, 6) AS oi_obv
+      FROM s3
+      ORDER BY symbol, ts_us"""))
+
+  // ------------------------------------------------------------------
   // Registry
   // ------------------------------------------------------------------
 
@@ -539,6 +791,7 @@ object Queries {
     q1PricingSummary, q3TopRevenue, qSemiJoin, qAntiJoin, qTopNPerGroup,
     qPivotStatus, qEventFilter, qResample1h, qBars1d, qRangeRead,
     qLagReturns, qRollingStats, qCumulative, qEma, qMacd, qRsi,
-    qGapDaily, qDedupLastWin, qTimeNorm, qJsonExtract, qFfill
+    qGapDaily, qDedupLastWin, qTimeNorm, qJsonExtract, qFfill,
+    qTaTrend, qTaOscillators, qOnchainFeatures, qMarketFeatures
   )
 }

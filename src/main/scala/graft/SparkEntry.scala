@@ -5,10 +5,10 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * plan with a DuckDB oracle where ANSI SQL can express it. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Runs the full training-matrix-style path: per-series window features
-    * over the events table. */
+    * The full market feature factory (§3.1 step 5): resample events to
+    * OHLCV bars, compute all 11 v1 features per series. */
   def entry(spark: SparkSession): DataFrame =
-    Queries.all.find(_.name == "q_ema").get.fn(spark, "/root/testdata/sf0.001")
+    Queries.all.find(_.name == "q_market_features").get.fn(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all.map(q => q.name -> q.fn).toMap
