@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{windows => W, TaIndicators => TA}
-import graft.operators.{Relational, Resample}
+import graft.operators.{Dedup, Multimodal, Relational, Resample, Similarity, TextAnalysis}
 import graft.time.TimeNorm
 
 /** The verifiable operator surface: one entry per SURVEY §2 operator,
@@ -36,6 +36,8 @@ object Queries {
     * UTC; the session timezone is UTC). */
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // pandas/DuckDB-matching arithmetic: div-by-zero → null, silent overflow
+    s.conf.set("spark.sql.ansi.enabled", "false")
     val raw = s.read.parquet(s"$dir/$name.parquet")
     val cols = raw.schema.fields.map { f =>
       f.dataType match {
@@ -784,6 +786,198 @@ object Queries {
       ORDER BY symbol, ts_us"""))
 
   // ------------------------------------------------------------------
+  // Training-data pipeline ops: dedup, text analysis, similarity (M9)
+  // ------------------------------------------------------------------
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  private val qDedupExact = QDef(
+    "q_dedup_exact",
+    (s, dir) => Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id"),
+    Some("""
+      SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY text
+      ORDER BY doc_id"""))
+
+  private val qTextStats = QDef(
+    "q_text_stats",
+    (s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      t(s, dir, "documents")
+        .withColumn("_toks", toks)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("_toks")).as("n_tokens"),
+          TextAnalysis.charCount(col("_toks")).as("n_token_chars"),
+          TextAnalysis.avgTokenLen(col("_toks")).as("avg_token_len"),
+          TextAnalysis.uniqueTokenRatio(col("_toks")).as("uniq_ratio"),
+          TextAnalysis.wordSetCount(col("_toks"), TextAnalysis.StopwordsEn).as("n_stop_en"),
+          TextAnalysis.qualityScore(col("_toks")).as("quality"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               list_reduce(list_transform(toks, t -> length(t)), (a, b) -> a + b) AS n_token_chars,
+               len(list_filter(toks, t -> t IN (${sqlList(TextAnalysis.StopwordsEn)}))) AS n_stop_en,
+               len(list_distinct(toks)) AS n_uniq
+        FROM d)
+      SELECT doc_id, n_tokens, n_token_chars,
+             CAST(n_token_chars AS DOUBLE) / NULLIF(n_tokens, 0) AS avg_token_len,
+             CAST(n_uniq AS DOUBLE) / NULLIF(n_tokens, 0) AS uniq_ratio,
+             n_stop_en,
+             0.4 * LEAST((CAST(n_stop_en AS DOUBLE) / NULLIF(n_tokens, 0)) * 5.0, 1.0)
+               + 0.4 * (CAST(n_uniq AS DOUBLE) / NULLIF(n_tokens, 0))
+               + 0.2 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 1.0 ELSE 0.0 END) AS quality
+      FROM s
+      ORDER BY doc_id"""))
+
+  private val qLangId = QDef(
+    "q_lang_id",
+    (s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      t(s, dir, "documents")
+        .withColumn("_toks", toks)
+        .select(col("doc_id"), col("lang").as("lang_labeled"),
+          TextAnalysis.langId(col("text"), col("_toks")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents),
+      sc AS (
+        SELECT doc_id, lang, text,
+               len(list_filter(toks, t -> t IN (${sqlList(TextAnalysis.StopwordsEn)}))) AS s_en,
+               len(list_filter(toks, t -> t IN (${sqlList(TextAnalysis.StopwordsDe)}))) AS s_de,
+               len(list_filter(toks, t -> t IN (${sqlList(TextAnalysis.StopwordsFr)}))) AS s_fr,
+               len(list_filter(toks, t -> t IN (${sqlList(TextAnalysis.StopwordsEs)}))) AS s_es
+        FROM d)
+      SELECT doc_id, lang AS lang_labeled,
+             CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                  WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+                  WHEN s_en >= GREATEST(s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_de >= GREATEST(s_fr, s_es) THEN 'de'
+                  WHEN s_fr >= s_es THEN 'fr'
+                  ELSE 'es' END AS lang_pred
+      FROM sc
+      ORDER BY doc_id"""))
+
+  private val qJaccardNearDup = QDef(
+    "q_jaccard_neardup",
+    (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        Seq("source"), "text", "doc_id", shingleN = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b"),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(range(len(toks) - 2),
+                 i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+        FROM d),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+                 / NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0) AS jaccard
+        FROM sh a, sh b
+        WHERE a.source = b.source AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jaccard FROM p
+      WHERE jaccard >= 0.8
+      ORDER BY id_a, id_b"""))
+
+  private val qMinhashNearDup = QDef(
+    "q_minhash_neardup",
+    (s, dir) => Dedup.minhashNearDupPairs(t(s, dir, "documents"),
+        "text", "doc_id", shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      .orderBy("id_a", "id_b"),
+    None) // Spark-internal xxhash64 — not SQL-expressible in DuckDB
+
+  private val qSimhash = QDef(
+    "q_simhash",
+    (s, dir) => Dedup.simhash64(t(s, dir, "documents"), "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .withColumn("bucket16", shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)))
+      .orderBy("doc_id"),
+    None) // Spark-internal xxhash64
+
+  private val qFingerprint = QDef(
+    "q_fingerprint",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(TextAnalysis.tokens(col("text"))).as("fingerprint"))
+      .orderBy("doc_id"),
+    None) // wrapping-long polynomial over xxhash64
+
+  private val qKnnBrute = QDef(
+    "q_knn_brute",
+    (s, dir) => Similarity.knnBrute(t(s, dir, "embeddings"), "embedding", "vec_id",
+        queryId = 0, k = 10)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")),
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      SELECT e.vec_id,
+             ROUND(list_reduce(list_transform(range(64), k -> e.v[k+1] * q.qv[k+1]), (x, y) -> x + y)
+               / NULLIF(sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y))
+                        * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y)), 0), 6) AS cosine
+      FROM e, q
+      WHERE e.vec_id != 0
+      ORDER BY cosine DESC, vec_id
+      LIMIT 10"""))
+
+  private val qKnnLsh = QDef(
+    "q_knn_lsh",
+    (s, dir) => Similarity.knnLsh(t(s, dir, "embeddings"), "embedding", "vec_id",
+        queryId = 0, k = 10, planes = 6, tables = 4)
+      .select(col("id").as("vec_id"), round(col("cosine"), 6).as("cosine")),
+    None) // hash-derived hyperplanes — not SQL-expressible
+
+  private val qEmbedNearDup = QDef(
+    "q_embed_neardup",
+    (s, dir) => Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"),
+        Seq("label"), "embedding", "vec_id", threshold = 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b"),
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_reduce(list_transform(range(64), k -> a.v[k+1] * b.v[k+1]), (x, y) -> x + y)
+                 / NULLIF(sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+                          * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)), 0) AS cosine
+        FROM e a, e b
+        WHERE a.label = b.label AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM p
+      WHERE cosine >= 0.4
+      ORDER BY id_a, id_b"""))
+
+  private val qMultimodal = QDef(
+    "q_multimodal",
+    (s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 256)
+      Multimodal.withDecodedFeatures(media, "content", Multimodal.StubCodec)
+        .select(col("media_id"), col("meta.format").as("format"),
+          size(col("features")).as("feature_dim"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+          (coalesce(col("meta.duration_ms"), lit(0L)) / lit(500L)).cast("long").as("n_frames_500ms"))
+        .orderBy("media_id")
+    },
+    None) // stubbed codec — deterministic but not SQL-expressible
+
+  // ------------------------------------------------------------------
   // Registry
   // ------------------------------------------------------------------
 
@@ -792,6 +986,8 @@ object Queries {
     qPivotStatus, qEventFilter, qResample1h, qBars1d, qRangeRead,
     qLagReturns, qRollingStats, qCumulative, qEma, qMacd, qRsi,
     qGapDaily, qDedupLastWin, qTimeNorm, qJsonExtract, qFfill,
-    qTaTrend, qTaOscillators, qOnchainFeatures, qMarketFeatures
+    qTaTrend, qTaOscillators, qOnchainFeatures, qMarketFeatures,
+    qDedupExact, qTextStats, qLangId, qJaccardNearDup, qMinhashNearDup,
+    qSimhash, qFingerprint, qKnnBrute, qKnnLsh, qEmbedNearDup, qMultimodal
   )
 }

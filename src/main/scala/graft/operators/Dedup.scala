@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §7 M9):
+  * exact, MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design: exact dedup groups by a 64-bit content hash (shuffles
+  * ~16 bytes/row instead of the document body); MinHash/SimHash shuffle
+  * fixed-size signatures and find candidate pairs by band-bucket
+  * equi-joins — never an unblocked O(n²) cross join. Exact Jaccard is
+  * reserved for candidate verification or explicitly blocked pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per distinct text. Groups on
+    * (xxhash64(text), length(text)) so the shuffle carries the hash, not
+    * the body — at 100 TB this is the difference between shuffling 16 B
+    * and 10 KB per row. 64-bit collision odds are negligible at any
+    * realistic group count (~1e-9 at 10^5 docs); a 128-bit variant would
+    * swap in md5. Returns (kept id, n_copies). */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(xxhash64(col(textCol)).as("_h"), length(col(textCol)).as("_len"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("_h", "_len")
+
+  /** Word n-gram shingles (distinct) from a token array. Documents shorter
+    * than n tokens collapse to a single whole-document shingle. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** Exact Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      nullif(size(array_union(a, b)), lit(0))
+
+  /** k-permutation MinHash signatures, one row per doc, as an
+    * explode + 64-way min aggregation. Plan shape: tokenize → explode
+    * shingles → project k hash columns (one xxhash64 per permutation,
+    * whole-stage codegen) → groupBy(id) with k `min` aggs (map-side
+    * partial aggregation → the shuffle carries one k·8-byte signature
+    * per doc, not the shingles). Nested-lambda HOF formulations of the
+    * same thing drop out of codegen and run ~100× slower. */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int, k: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(TextAnalysis.tokens(col(textCol)), shingleN)).as("s"))
+    val hashed = sh.select(col("id") +:
+      (0 until k).map(i => xxhash64(col("s"), lit(i)).as(s"_h$i")): _*)
+    hashed.groupBy("id")
+      .agg(min(s"_h0").as("_m0"), (1 until k).map(i => min(s"_h$i").as(s"_m$i")): _*)
+      .select(col("id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
+  /** LSH band keys for a MinHash signature: hash of each r-row band.
+    * With k = bands·r, two docs of Jaccard s share ≥1 band with
+    * probability 1 − (1 − s^r)^bands. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b))
+
+  /** MinHash-LSH near-duplicate pairs, verified with exact shingle
+    * Jaccard. Signature build as above → posexplode band keys → self
+    * equi-join on the band bucket (shuffle on a 16-byte key; never a
+    * cross join) → distinct candidate pairs → exact-Jaccard verification
+    * computed from the raw texts as a pure projection (candidates are
+    * few; no shingle arrays are shuffled). */
+  def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                          shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.8): DataFrame = {
+    val sigs = minhashSignatures(df, textCol, idCol, shingleN, k)
+    val bandsDf = sigs.select(col("id"),
+      posexplode(lshBandKeys(col("sig"), bands, k / bands)).as(Seq("band", "key")))
+    val cands = bandsDf.as("a")
+      .join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val docs = df.select(col(idCol).as("id"),
+      shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("sh"))
+    cands
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash per doc: bit j is the sign of
+    * Σ_tokens (2·bit_j(xxhash64(token)) − 1). Same explode + 64-sum
+    * aggregation shape as [[minhashSignatures]] (codegen + map-side
+    * combine); the final fold to one long is a plain projection. */
+  def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .withColumn("_h", xxhash64(col("t")))
+    val sums = tok.groupBy("id").agg(
+      sum(shiftright(col("_h"), 0).bitwiseAND(lit(1L)) * 2 - 1).as("_b0"),
+      (1 until 64).map(j =>
+        sum(shiftright(col("_h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"_b$j")): _*)
+    val simhash = (0 until 64).map(j =>
+      when(col(s"_b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    sums.select(col("id"), simhash.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket on each of the four 16-bit chunks
+    * (any pair within Hamming ≤ 3 of a 64-bit hash must agree exactly on
+    * at least one chunk — pigeonhole), then verify Hamming ≤ maxHamming. */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val base = simhash64(df, textCol, idCol).withColumnRenamed("simhash", "sh")
+    val chunks = base.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "ck")))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram-Jaccard near-dup pairs within explicit blocking keys
+    * (e.g. source) — the verification-grade path; O(pairs-within-block). */
+  def ngramJaccardPairs(df: DataFrame, blockKeys: Seq[String], textCol: String,
+                        idCol: String, shingleN: Int = 3,
+                        threshold: Double = 0.8): DataFrame = {
+    val base = df.select((blockKeys.map(col) :+ col(idCol).as("id") :+
+      shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("sh")): _*)
+    base.as("a")
+      .join(base.as("b"),
+        blockKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup pairs within blocking keys. */
+  def embeddingNearDupPairs(df: DataFrame, blockKeys: Seq[String], vecCol: String,
+                            idCol: String, threshold: Double): DataFrame = {
+    val v = Similarity.toDoubleVec(col(vecCol))
+    val base = df.select((blockKeys.map(col) :+ col(idCol).as("id") :+ v.as("v")): _*)
+    base.as("a")
+      .join(base.as("b"),
+        blockKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -45,13 +45,15 @@ def compare(name, got, want):
                 return problems
     return problems
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
@@ -77,4 +79,4 @@ def main(sf_dir, out_dir):
     return 1 if fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
