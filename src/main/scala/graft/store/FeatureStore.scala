@@ -1,0 +1,139 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.time.TimeNorm
+
+/** Partitioned-table feature store — the relational re-expression of the
+  * reference's Redis KV store (`adi/app/features/store/redis_store.py`).
+  *
+  * Key mapping (SURVEY §1.1):
+  *  - Redis key `features:{domain}:{SYM}:{tf}:{epoch}`  →  partition
+  *    columns (domain, symbol, timeframe) + a `ts` column;
+  *  - per-key SET overwrite (last-write-wins)           →  upsert =
+  *    dynamic partition overwrite of merge(old, new) deduped by key;
+  *  - ZSET epoch range index (`:110-118,190-192`)       →  partition
+  *    pruning + parquet min/max stats on ts — no index to maintain;
+  *  - TTL sweep (`adi/app/features/jobs/backfill.py:191-215`) →
+  *    retention delete of whole dt partitions.
+  *
+  * Scale: point/range reads prune to one (domain, symbol, timeframe)
+  * directory; upserts rewrite only the dt partitions present in the
+  * incoming batch (`partitionOverwriteMode=dynamic`), never the table.
+  */
+class FeatureStore(spark: SparkSession, basePath: String) {
+
+  val keyCols: Seq[String] = Seq("domain", "symbol", "timeframe")
+  private val partCols = keyCols :+ "dt"
+
+  /** Empty stores read as an empty feature-schema frame (so point/range
+    * reads after a full TTL sweep degrade gracefully instead of failing
+    * schema inference). */
+  private def table(): DataFrame =
+    if (exists())
+      try spark.read.parquet(basePath)
+      catch { case _: org.apache.spark.sql.AnalysisException => emptyTable() }
+    else emptyTable()
+
+  private def emptyTable(): DataFrame = {
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("domain",
+          org.apache.spark.sql.types.StringType) +: graft.types.Schemas.FEATURE.fields)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  private def exists(): Boolean =
+    new java.io.File(basePath).exists() &&
+      new java.io.File(basePath).listFiles() != null &&
+      new java.io.File(basePath).listFiles().nonEmpty
+
+  /** Canonicalize + stamp write metadata. `writeSeq` breaks ties between
+    * writes of the same key (the reference's "last SET wins"). */
+  private def prepare(df: DataFrame, domain: String, writeSeq: Long): DataFrame =
+    df.withColumn("domain", lit(domain))
+      .withColumn("symbol", TimeNorm.canonSymbol(col("symbol")))
+      .withColumn("dt", coalesce(col("dt"), TimeNorm.dt(col("timestamp"))))
+      .withColumn("_write_seq", lit(writeSeq))
+
+  /** Batch upsert with last-write-wins per (key cols, timestamp) —
+    * `batch_write` + SET-overwrite semantics (`redis_store.py:170-196`).
+    * Rewrites only affected dt partitions. */
+  def upsert(df: DataFrame, domain: String, writeSeq: Long = System.currentTimeMillis()): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val incoming = prepare(df, domain, writeSeq)
+    val merged =
+      if (!exists()) incoming
+      else {
+        val affected = incoming.select(partCols.map(col): _*).distinct()
+        val old = table().join(affected, partCols, "left_semi")
+        old.unionByName(incoming, allowMissingColumns = true)
+      }
+    val w = Window.partitionBy((keyCols :+ "timestamp").map(col): _*)
+      .orderBy(col("_write_seq").desc)
+    val deduped = merged
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+    // cache the merged view before overwriting the partitions it reads from
+    val materialized = deduped.cache()
+    materialized.count()
+    materialized.write.mode("overwrite").partitionBy(partCols: _*).parquet(basePath)
+    materialized.unpersist()
+  }
+
+  /** Point read — `read` (`redis_store.py:151-168`): exact key + epoch. */
+  def pointRead(domain: String, symbol: String, timeframe: String,
+                epochSec: Long): DataFrame =
+    rangeRead(domain, symbol, timeframe, epochSec, epochSec, limit = 1)
+
+  /** Batch point read — `batch_read` (`redis_store.py:198-219`). */
+  def batchRead(domain: String, symbol: String, timeframe: String,
+                epochs: Seq[Long]): DataFrame =
+    pruned(domain, symbol, timeframe)
+      .filter(unix_timestamp(col("timestamp")).isin(epochs: _*))
+
+  /** Range read — `range_read` (`redis_store.py:221-259`): ts BETWEEN,
+    * newest-first when `reverse`, LIMIT n. The ZSET index's job is done
+    * by partition pruning + parquet stats. */
+  def rangeRead(domain: String, symbol: String, timeframe: String,
+                startEpochSec: Long, endEpochSec: Long,
+                limit: Int = 200, reverse: Boolean = false): DataFrame = {
+    val base = pruned(domain, symbol, timeframe)
+      .filter(col("timestamp").between(
+        timestamp_seconds(lit(startEpochSec)), timestamp_seconds(lit(endEpochSec))))
+    val ordered =
+      if (reverse) base.orderBy(col("timestamp").desc)
+      else base.orderBy(col("timestamp"))
+    ordered.limit(limit)
+  }
+
+  private def pruned(domain: String, symbol: String, timeframe: String): DataFrame = {
+    val sym = symbol.replace("/", "-").replace(":", "-").toUpperCase
+    table()
+      .filter(col("domain") === domain && col("symbol") === sym &&
+        col("timeframe") === timeframe)
+  }
+
+  /** TTL retention — `ttl_sweep_once` (`jobs/backfill.py:191-215`)
+    * re-expressed as partition drop: delete dt partitions strictly older
+    * than the cutoff. No per-key state, no SCAN. */
+  def ttlSweep(cutoffDt: String): Seq[String] = {
+    val root = new java.io.File(basePath)
+    if (!root.exists()) return Seq.empty
+    def walk(f: java.io.File, depth: Int): Seq[java.io.File] =
+      if (depth == 0) Seq(f)
+      else Option(f.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq.filter(_.isDirectory)
+        .flatMap(walk(_, depth - 1)))
+    val dtDirs = walk(root, partCols.length).filter(_.getName.startsWith("dt="))
+    val expired = dtDirs.filter(_.getName.stripPrefix("dt=") < cutoffDt)
+    expired.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d)
+    }
+    expired.map(_.getPath)
+  }
+}

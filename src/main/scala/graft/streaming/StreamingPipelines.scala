@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.features.MarketFeatures
+import graft.types.Schemas
+
+/** Structured Streaming layer (SURVEY §2.9).
+  *
+  * Source mapping: the reference's infinite WebSocket/RSS asyncio loops
+  * (`adi/app/adapters/ccxt_adapter.py:151-163`,
+  * `news_adapter.py:138-171`) become streaming sources — a file-drop
+  * directory stands in for the socket in tests, exactly as the reference's
+  * tests monkeypatch the adapters.
+  */
+object StreamingPipelines {
+
+  /** Market stream → features → sink, as a foreachBatch pipeline (ST1):
+    * each micro-batch runs the same `MarketFeatures.build` used in batch.
+    * Note the per-batch build computes features within the batch only
+    * (parity with the reference's per-poll feature write,
+    * `routes.py:858-892`); cross-batch window continuity is the job of
+    * [[statefulTaStream]]. */
+  def marketFeaturesStream(spark: SparkSession, inputDir: String,
+                           sink: DataFrame => Unit,
+                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(Schemas.MARKET)
+      .parquet(inputDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(MarketFeatures.build(batch.toDF()))
+      }
+      .start()
+
+  /** RSS-style stream with bounded dedupe state (ST2): the reference's
+    * unbounded in-memory `seen_ids` set (`news_adapter.py:139-156` — leaks
+    * by design) becomes `dropDuplicatesWithinWatermark("id")` — same
+    * semantics inside the watermark, bounded state (documented deviation:
+    * duplicates older than the watermark can reappear). */
+  def dedupedNewsStream(spark: SparkSession, inputDir: String,
+                        watermark: String = "1 hour"): DataFrame =
+    spark.readStream
+      .schema(Schemas.NEWS)
+      .parquet(inputDir)
+      .withWatermark("published_at", watermark)
+      .dropDuplicatesWithinWatermark(Seq("id"))
+
+  // ------------------------------------------------------------------
+  // ST3: stateful chunk-carry TA — flatMapGroupsWithState port of
+  // StatefulTAProcessor (`adi/app/features/processors/stateful_processor
+  // .py:11-41`): carry the last (window) rows per series so rolling
+  // windows are continuous across micro-batches.
+  // ------------------------------------------------------------------
+
+  case class Bar(symbol: String, epochSec: Long, high: Double, low: Double, close: Double)
+  case class TaOut(symbol: String, epochSec: Long, cci: Option[Double], roc: Option[Double])
+  case class Carry(rows: List[Bar])
+
+  /** CCI mean-abs-dev + ROC over a full in-memory series — the per-group
+    * kernel (mirrors `_batch_indicators_nb`, `ta_indicators.py:29-57`);
+    * only called on (carry ++ batch) slices, never a whole partition. */
+  def batchIndicators(rows: IndexedSeq[Bar], window: Int,
+                                         constant: Double): IndexedSeq[TaOut] =
+    rows.indices.map { i =>
+      val cci =
+        if (i < window - 1) None
+        else {
+          val tp = (j: Int) => (rows(j).high + rows(j).low + rows(j).close) / 3.0
+          val ma = (i - window + 1 to i).map(tp).sum / window
+          val md = (i - window + 1 to i).map(j => math.abs(tp(j) - ma)).sum / window
+          val cur = tp(i)
+          Some(if (md != 0) (cur - ma) / (constant * md) else 0.0)
+        }
+      val roc =
+        if (i < window) None
+        else Some(100.0 * (rows(i).close - rows(i - window).close) / rows(i - window).close)
+      TaOut(rows(i).symbol, rows(i).epochSec, cci, roc)
+    }
+
+  /** Stateful streaming TA: per symbol, prepend the carried last `window`
+    * rows, compute, emit only the new rows, keep the new tail as carry —
+    * the exact `_carry` protocol of the reference, with Spark managing
+    * state placement/recovery. Proven equivalent to whole-series compute
+    * by the chunk-equivalence spec (§5). */
+  def statefulTa(ds: Dataset[Bar], window: Int = 20, constant: Double = 0.015)
+                (implicit spark: SparkSession): Dataset[TaOut] = {
+    import spark.implicits._
+    ds.groupByKey(_.symbol)
+      .flatMapGroupsWithState[Carry, TaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Bar], state: GroupState[Carry]) =>
+          val batch = rows.toIndexedSeq.sortBy(_.epochSec)
+          val carry = state.getOption.map(_.rows.toIndexedSeq).getOrElse(IndexedSeq.empty)
+          val all = carry ++ batch
+          val out = batchIndicators(all, window, constant).drop(carry.length)
+          state.update(Carry(all.takeRight(window).toList))
+          out.iterator
+      }
+  }
+}

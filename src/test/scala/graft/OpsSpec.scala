@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Relational + training-data-pipeline operator specs. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topNPerGroup keeps n rows per key in order") {
+    val df = Seq(("a", 1), ("a", 5), ("a", 3), ("b", 9)).toDF("k", "v")
+    val out = Relational.topNPerGroup(df, Seq("k"), Seq(col("v").desc), 2)
+      .orderBy("k", "rn").collect()
+    assert(out.map(r => (r.getAs[String]("k"), r.getAs[Int]("v"))).toSeq ==
+      Seq(("a", 5), ("a", 3), ("b", 9)))
+  }
+
+  test("pivotSum fills absent combos with zero (A1)") {
+    val df = Seq(("t1", "bid", 2.0), ("t1", "bid", 3.0), ("t2", "ask", 4.0))
+      .toDF("ts", "side", "amount")
+    val out = Relational.pivotSum(df, Seq("ts"), "side", Seq("bid", "ask"), "amount")
+      .orderBy("ts").collect()
+    assert(out(0).getDouble(1) == 5.0 && out(0).getDouble(2) == 0.0)
+    assert(out(1).getDouble(1) == 0.0 && out(1).getDouble(2) == 4.0)
+  }
+
+  test("missingFromGrid finds the hole (J3)") {
+    val ts = Seq(0L, 60L, 180L).map(s => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)))
+    val df = ts.map(("k", _)).toDF("key", "ts")
+    val missing = Relational.missingFromGrid(df, Seq("key"), "ts", 60L).collect()
+    assert(missing.length == 1 && missing(0).getTimestamp(1).toInstant.getEpochSecond == 120L)
+  }
+
+  test("lastWriteWins keeps newest row per key (§2.7)") {
+    val df = Seq(("k", 1L, "old"), ("k", 2L, "new")).toDF("key", "seq", "v")
+    val out = Relational.lastWriteWins(df, Seq("key"), Seq(col("seq")))
+    assert(out.collect().map(_.getString(2)).toSeq == Seq("new"))
+  }
+
+  test("exact dedup keeps min id and counts copies") {
+    val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "text", "doc_id").orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("minhash LSH finds planted near-dup and skips distinct docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 59).map(i => s"tok$i").mkString(" ") + " changed"
+    val other = (100 to 160).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(df, "text", "doc_id", threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"tok$i").mkString(" ") + " a b"
+    val other = (100 to 160).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val h = Dedup.simhash64(df, "text", "doc_id").orderBy("id")
+      .collect().map(_.getLong(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0), h(1)) < ham(h(0), h(2)))
+    assert(ham(h(0), h(1)) <= 16)
+  }
+
+  test("shingle jaccard of disjoint texts is 0, identical is 1") {
+    val df = Seq(("s", 1L, "a b c d e"), ("s", 2L, "a b c d e"), ("s", 3L, "x y z w v"))
+      .toDF("source", "doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, Seq("source"), "text", "doc_id",
+      shingleN = 2, threshold = 0.0).orderBy("id_a", "id_b").collect()
+    val m = pairs.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(m((1L, 2L)) == 1.0 && m((1L, 3L)) == 0.0)
+  }
+
+  test("knnBrute ranks an identical vector first") {
+    val q = Array(1.0f, 0.0f, 0.0f)
+    val df = Seq((0L, q, 0), (1L, Array(1.0f, 0.01f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 0), (3L, Array(-1.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnBrute(df, "embedding", "vec_id", 0L, 3).collect()
+    assert(out.head.getLong(0) == 1L && out.head.getDouble(1) > 0.99)
+    assert(out.last.getLong(0) == 3L)
+  }
+
+  test("lsh signature is deterministic and similar vectors collide") {
+    val df = Seq((0L, Array.fill(16)(1.0f)), (1L, Array.fill(16)(0.99f)))
+      .toDF("vec_id", "embedding")
+    val v = Similarity.toDoubleVec(col("embedding"))
+    val sigs = df.select(Similarity.lshSignature(v, 8, 0)).collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1)) // scaled copies project identically
+  }
+
+  test("text stats + lang id + quality are deterministic") {
+    val df = Seq((1L, "the quick brown fox the end"), (2L, "der und das ist ein test"))
+      .toDF("doc_id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val out = df.select(col("doc_id"), TextAnalysis.tokenCount(toks).as("n"),
+        TextAnalysis.langId(col("text"), toks).as("lang"),
+        TextAnalysis.fingerprint(toks).as("fp"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 6 && out(0).getString(2) == "en")
+    assert(out(1).getString(2) == "de")
+    assert(out(0).getLong(3) != out(1).getLong(3))
+    assert(out(0).getLong(3) >= 0 && out(0).getLong(3) < 2147483647L)
+  }
+
+  test("multimodal decode plumbing: batched, deterministic, null-safe") {
+    val media = Multimodal.syntheticMedia(spark, 10)
+    val out = Multimodal.withDecodedFeatures(media, "content", Multimodal.StubCodec, batchSize = 3)
+    val rows = out.orderBy("media_id").collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[scala.collection.Seq[Float]]("features").length ==
+      Multimodal.StubCodec.featureDim))
+    // determinism across runs
+    val again = Multimodal.withDecodedFeatures(media, "content", Multimodal.StubCodec)
+      .orderBy("media_id").collect()
+    assert(rows.map(_.getAs[scala.collection.Seq[Float]]("features").toList).toSeq ==
+      again.map(_.getAs[scala.collection.Seq[Float]]("features").toList).toSeq)
+    val frames = Multimodal.sampleFrameIndexes(media, 500L)
+      .groupBy("media_id").count().orderBy("media_id").collect()
+    assert(frames.head.getLong(1) == 3) // 0,500,1000 for duration 1000ms
+  }
+}

@@ -1,0 +1,178 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.features.MarketFeatures
+import graft.jobs.Backfill
+import graft.sources.{Connectors, LakeWriter}
+import graft.store.FeatureStore
+import graft.streaming.StreamingPipelines
+import graft.types.Schemas
+
+/** Store / lake / connectors / backfill / streaming specs
+  * (reference §5: store roundtrip, e2e flows, adapter fixtures). */
+class SystemSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft").toString
+
+  test("lake writer: hive layout, sanitized partition values, sorted files") {
+    val dir = tmp()
+    LakeWriter.write(ohlcvRamp(10).withColumn("symbol", lit("BTC/USDT")),
+      dir, Schemas.MARKET, "timestamp", partitions = Seq("exchange", "symbol", "dt"))
+    val paths = Files.walk(new java.io.File(dir).toPath).iterator()
+    val all = Iterator.continually(paths).takeWhile(_.hasNext).map(_.next().toString).toList
+    assert(all.exists(_.contains("exchange=binance")))
+    assert(all.exists(_.contains("symbol=BTC_USDT"))) // '/' sanitized (utils.py:53-58)
+    val back = LakeWriter.read(spark, dir, Map("exchange" -> "binance"))
+    assert(back.count() == 10)
+  }
+
+  test("lake writer: strict single-dt mode rejects multi-day batches (utils.py:110-114)") {
+    val dir = tmp()
+    val twoDays = ohlcvRamp(10).withColumn("timestamp",
+      col("timestamp") + expr("make_interval(0,0,0,1,0,0,0) * (volume > 10.4)::int"))
+    intercept[IllegalArgumentException] {
+      LakeWriter.write(twoDays, dir, Schemas.MARKET, "timestamp", strictSingleDt = true)
+    }
+  }
+
+  test("feature store roundtrip: upsert → point/range read, key shape, last-write-wins") {
+    val dir = tmp()
+    val store = new FeatureStore(spark, dir)
+    val feats = MarketFeatures.build(ohlcvRamp(30))
+    store.upsert(feats, "market", writeSeq = 1L)
+    // range read, newest first, limit (redis_store.py:221-259)
+    val base = java.time.Instant.parse("2025-08-01T00:00:00Z").getEpochSecond
+    val r = store.rangeRead("market", "btc/usdt", "1m", base, base + 3600, limit = 5, reverse = true)
+      .collect()
+    assert(r.length == 5)
+    assert(r.head.getAs[java.sql.Timestamp]("timestamp").toInstant.getEpochSecond == base + 29 * 60)
+    assert(r.head.getAs[String]("symbol") == "BTC-USDT") // canon key (redis_store.py:62-65)
+    // point read
+    val p = store.pointRead("market", "BTC-USDT", "1m", base + 60)
+    assert(p.count() == 1)
+    // last-write-wins overwrite: same keys, new payload
+    val overwrite = feats.withColumn("ret_1", lit(42.0))
+    store.upsert(overwrite, "market", writeSeq = 2L)
+    val after = store.pointRead("market", "BTC-USDT", "1m", base + 60).head()
+    assert(after.getAs[Double]("ret_1") == 42.0)
+    assert(store.rangeRead("market", "BTC-USDT", "1m", base, base + 3600,
+      limit = Int.MaxValue).count() == 30) // no duplicates after overwrite
+  }
+
+  test("feature store TTL sweep drops expired dt partitions (jobs/backfill.py:191-215)") {
+    val dir = tmp()
+    val store = new FeatureStore(spark, dir)
+    store.upsert(MarketFeatures.build(ohlcvRamp(30)), "market", writeSeq = 1L)
+    assert(store.ttlSweep("2025-01-01").isEmpty)  // nothing older
+    assert(store.ttlSweep("2026-01-01").nonEmpty) // all expired
+    assert(store.rangeRead("market", "BTC-USDT", "1m", 0, 4102444800L,
+      limit = Int.MaxValue).count() == 0)
+  }
+
+  test("connectors: ccxt ohlcv fixture → canonical market frame; malformed → schema-stable empty") {
+    val fixture = Seq(
+      """{"ohlcv": [[1704067200000, 1.0, 2.0, 0.5, 1.5, 10.0], [1704067260000, 1.5, 2.5, 1.0, 2.0, 11.0]]}"""
+    ).toDS()
+    val raw = spark.read.json(fixture)
+    val out = Connectors.CcxtOhlcv("BTC/USDT", "binance", "1m").normalize(raw)
+    assert(out.schema.fieldNames.toSeq == Schemas.MARKET.fieldNames.toSeq)
+    val rows = out.orderBy("timestamp").collect()
+    assert(rows.length == 2 && rows(0).getAs[Double]("close") == 1.5)
+    assert(rows(0).getAs[String]("dt") == "2024-01-01")
+    val empty = Connectors.CcxtOhlcv("X", "y", "1m")
+      .normalize(spark.read.json(Seq("""{"error": "nope"}""").toDS()))
+    assert(empty.schema.fieldNames.toSeq == Schemas.MARKET.fieldNames.toSeq && empty.count() == 0)
+  }
+
+  test("connectors: covalent balance scaling, reddit fields, news dedupe, sentiment math") {
+    val cov = spark.read.json(Seq(
+      """{"items": [{"contract_ticker_symbol": "ETH", "balance": "2500000000000000000", "contract_decimals": 18, "contract_address": "0xabc", "contract_name": "Ether"}]}"""
+    ).toDS())
+    val covOut = Connectors.Covalent(1704067200000L).normalize(cov).head()
+    assert(approx(covOut.getAs[Double]("value"), 2.5)) // balance / 10^decimals
+    val reddit = spark.read.json(Seq(
+      """{"data": {"children": [{"data": {"id": "p1", "author": "u", "title": "t", "selftext": "s", "score": 5, "num_comments": 2, "subreddit": "r", "created_utc": 1704067200}}]}}"""
+    ).toDS())
+    val rOut = Connectors.Reddit.normalize(reddit).head()
+    assert(rOut.getAs[Long]("score") == 5L && rOut.getAs[String]("source") == "reddit")
+    val news = spark.read.json(Seq(
+      """{"articles": [{"id": "n1", "published_at": "2024-01-01T00:00:00Z", "title": "a", "url": "u", "author": "x", "description": "d"}, {"id": "n1", "published_at": "2024-01-01T00:00:00Z", "title": "a", "url": "u", "author": "x", "description": "d"}]}"""
+    ).toDS())
+    assert(Connectors.News("rss").normalize(news).count() == 1) // seen-id dedupe
+    val sent = Seq((0.9, 0.1), (0.5, 0.5), (0.2, 0.8)).toDF("p_pos", "p_neg")
+      .select(Connectors.sentimentSigned(col("p_pos"), col("p_neg")).as("s"),
+        Connectors.sentimentLabel(col("p_pos")).as("l")).collect()
+    assert(approx(sent(0).getDouble(0), 0.8) && sent(0).getString(1) == "positive")
+    assert(sent(1).getString(1) == "neutral" && sent(2).getString(1) == "negative")
+  }
+
+  test("backfill: plan finds holes, fill writes only missing bars (ST5)") {
+    val dir = tmp()
+    val store = new FeatureStore(spark, dir)
+    val full = ohlcvRamp(30)
+    val base = java.time.Instant.parse("2025-08-01T00:00:00Z").getEpochSecond
+    // seed store with features for all but minutes 10..14
+    val holey = full.filter(!((unix_timestamp(col("timestamp")) - base) / 60).between(10, 14))
+    store.upsert(MarketFeatures.build(holey), "market", writeSeq = 1L)
+    val plan = Backfill.planMissing(spark, store, "BTC-USDT", "1m",
+      lookbackMinutes = 29, nowEpochSec = base + 29 * 60)
+    val missing = plan.missing.collect().map(_.getTimestamp(0).toInstant.getEpochSecond).sorted
+    // minute 0's features were dropped by the factory's all-null mask too
+    assert(missing.toSeq.contains(base + 10 * 60) && missing.length >= 5)
+    val stats = Backfill.fillOnce(spark, store, plan, (lo, hi) =>
+      full.filter(unix_timestamp(col("timestamp")).between(lo, hi)))
+    assert(stats("written") >= 5)
+    val refilled = Backfill.planMissing(spark, store, "BTC-USDT", "1m", 19, base + 29 * 60)
+    assert(refilled.missing.count() == 0)
+  }
+
+  test("streaming: stateful TA chunk-carry ≡ whole-series (ST3 equivalence gate)") {
+    import StreamingPipelines._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val bars = (1 to 30).map(i =>
+      Bar("S", 1000L + i, i.toDouble + 1, i.toDouble - 1, i.toDouble)).toIndexedSeq
+    val whole = batchIndicators(bars, 5, 0.015)
+    // chunked through the streaming state machine: two micro-batches split at 20
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Bar]
+    val q = statefulTa(mem.toDS(), window = 5)
+      .writeStream.format("memory").queryName("ta_out")
+      .outputMode("append").start()
+    mem.addData(bars.take(20): _*)
+    q.processAllAvailable()
+    mem.addData(bars.drop(20): _*)
+    q.processAllAvailable()
+    val got = spark.table("ta_out").as[TaOut].collect().sortBy(_.epochSec).toSeq
+    q.stop()
+    assert(got == whole)
+  }
+
+  test("streaming: file-drop market stream builds features via foreachBatch (ST1)") {
+    val in = tmp(); val outRows = new java.util.concurrent.atomic.AtomicLong()
+    ohlcvRamp(20).write.parquet(in + "/drop1")
+    val q = StreamingPipelines.marketFeaturesStream(spark, in + "/*",
+      batch => outRows.addAndGet(batch.count()), Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    assert(outRows.get() >= 19)
+  }
+
+  test("streaming: dropDuplicatesWithinWatermark bounds the RSS seen-set (ST2)") {
+    val in = tmp()
+    val news = Seq(("n1", "2024-01-01 00:00:00"), ("n1", "2024-01-01 00:00:10"),
+      ("n2", "2024-01-01 00:01:00"))
+      .toDF("id", "published_at")
+      .select(to_timestamp(col("published_at")).as("published_at"), col("id"))
+    LakeWriter.write(news, in, Schemas.NEWS, "published_at")
+    val stream = StreamingPipelines.dedupedNewsStream(spark, in)
+    val q = stream.writeStream.format("memory").queryName("news_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("news_out").select("id").distinct().count() ==
+      spark.table("news_out").count()) // no duplicate ids surfaced
+  }
+}
