@@ -871,15 +871,17 @@ object Queries {
 
   private val qJaccardNearDup = QDef(
     "q_jaccard_neardup",
-    (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
-        Seq("source"), "text", "doc_id", shingleN = 3, threshold = 0.8)
+    // prefix-filtered EXACT similarity join (whole corpus, no blocking) —
+    // same result set as the oracle's full pairwise scan
+    (s, dir) => Dedup.jaccardSimilarityJoin(t(s, dir, "documents"),
+        "text", "doc_id", shingleN = 3, threshold = 0.8)
       .orderBy("id_a", "id_b"),
     Some("""
       WITH d AS (
-        SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         FROM documents),
       sh AS (
-        SELECT doc_id, source,
+        SELECT doc_id,
                list_distinct(list_transform(range(len(toks) - 2),
                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
         FROM d),
@@ -888,7 +890,7 @@ object Queries {
                CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
                  / NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0) AS jaccard
         FROM sh a, sh b
-        WHERE a.source = b.source AND a.doc_id < b.doc_id)
+        WHERE a.doc_id < b.doc_id)
       SELECT id_a, id_b, jaccard FROM p
       WHERE jaccard >= 0.8
       ORDER BY id_a, id_b"""))

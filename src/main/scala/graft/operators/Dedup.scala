@@ -132,6 +132,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** EXACT set-similarity join with prefix filtering (PPJoin-style): two
+    * sets with Jaccard ≥ τ must share at least one element among each
+    * set's first ⌊(1−τ)·|A|⌋+1 elements under ANY global total order
+    * (here: xxhash64 order — uniform buckets). Candidates come from an
+    * equi-join on prefix elements — near-linear in corpus size for
+    * non-pathological data — and are verified with exact Jaccard plus the
+    * size-ratio bound J(A,B) ≤ min/max. No blocking keys needed; returns
+    * exactly the pairs a full cross join would. */
+  def jaccardSimilarityJoin(df: DataFrame, textCol: String, idCol: String,
+                            shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(TextAnalysis.tokens(col(textCol)), shingleN)
+    // shingles sorted by hash: array of (hash, shingle) structs sorted by hash
+    val sorted = array_sort(transform(sh, s => struct(xxhash64(s).as("h"), s.as("s"))))
+    val base = df.select(col(idCol).as("id"), sorted.as("sh"))
+      .withColumn("n", size(col("sh")))
+      .withColumn("prefix",
+        slice(col("sh"), lit(1), (col("n") - ceil(col("n") * lit(threshold)) + 1).cast("int")))
+    val pref = base.select(col("id"), col("n"), explode(col("prefix")).as("p"))
+      .select(col("id"), col("n"), col("p.h").as("ph"))
+    val cands = pref.as("a")
+      .join(pref.as("b"),
+        col("a.ph") === col("b.ph") && col("a.id") < col("b.id") &&
+          // size-ratio bound: J ≤ min/max < τ prunes before verification
+          least(col("a.n"), col("b.n")) >= ceil(greatest(col("a.n"), col("b.n")) * lit(threshold)))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = df.select(col(idCol).as("id"), shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("s"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("s_a"), col("s_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Exact n-gram-Jaccard near-dup pairs within explicit blocking keys
     * (e.g. source) — the verification-grade path; O(pairs-within-block). */
   def ngramJaccardPairs(df: DataFrame, blockKeys: Seq[String], textCol: String,
@@ -148,17 +183,21 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Embedding-cosine near-dup pairs within blocking keys. */
+  /** Embedding-cosine near-dup pairs within blocking keys. Norms are
+    * precomputed per vector (not per pair) — higher-order array folds are
+    * interpreted, so per-pair work must be exactly one dot product. */
   def embeddingNearDupPairs(df: DataFrame, blockKeys: Seq[String], vecCol: String,
                             idCol: String, threshold: Double): DataFrame = {
     val v = Similarity.toDoubleVec(col(vecCol))
     val base = df.select((blockKeys.map(col) :+ col(idCol).as("id") :+ v.as("v")): _*)
+      .withColumn("nrm", Similarity.norm(col("v")))
     base.as("a")
       .join(base.as("b"),
         blockKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+        (Similarity.dot(col("a.v"), col("b.v")) /
+          nullif(col("a.nrm") * col("b.nrm"), lit(0))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
