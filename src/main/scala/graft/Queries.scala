@@ -48,7 +48,22 @@ object Queries {
         case _ => col(f.name)
       }
     }
-    raw.select(cols.toSeq: _*)
+    // keep the raw nanos column: predicates on the converted ts can't reach
+    // the parquet scan, so range queries add a redundant _ts_ns bound that
+    // does push down (row-group pruning at scale)
+    if (name == "events") raw.select(cols.toSeq :+ col("ts").as("_ts_ns"): _*)
+    else raw.select(cols.toSeq: _*)
+  }
+
+  /** Pushdown-friendly time-range predicate for the events table: the
+    * semantic filter on `ts` plus a conservative raw-nanos bound that
+    * reaches the parquet scan (see [[t]]). */
+  private def tsRangePushdown(loInclusive: String, hiInclusive: String): Column = {
+    val lo = java.time.Instant.parse(loInclusive + "T00:00:00Z")
+    val hi = java.time.Instant.parse(hiInclusive + "T00:00:00Z")
+    def us(i: java.time.Instant): Long = i.getEpochSecond * 1000000L
+    col("_ts_ns").between(us(lo) * 1000L, us(hi) * 1000L + 999L) &&
+      col("ts").between(to_timestamp(lit(loInclusive)), to_timestamp(lit(hiInclusive)))
   }
 
   private val D = DecimalType(18, 2)
@@ -256,8 +271,7 @@ object Queries {
   private val qRangeRead = QDef(
     "q_range_read",
     (s, dir) => t(s, dir, "events")
-      .filter(col("user_id") === 7 &&
-        col("ts").between(to_timestamp(lit("2024-01-05")), to_timestamp(lit("2024-01-25"))))
+      .filter(col("user_id") === 7 && tsRangePushdown("2024-01-05", "2024-01-25"))
       .orderBy(col("ts").desc, col("event_id").desc)
       .limit(200)
       .select(col("event_id"), micros(col("ts")).as("ts_us"), col("event_type"), col("value")),
@@ -786,6 +800,148 @@ object Queries {
       ORDER BY symbol, ts_us"""))
 
   // ------------------------------------------------------------------
+  // Orderbook features (A1-A4, W29/W30, J4) over a book synthesized
+  // deterministically from events (the testdata ships no book table)
+  // ------------------------------------------------------------------
+
+  /** Synthetic order book: hourly snapshots, side by event parity, unique
+    * prices (value + event_id·1e-6) so level ordering is total. */
+  private def syntheticBook(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      date_trunc("hour", col("ts")).as("ts"),
+      when(col("event_id") % 2 === 0, "bid").otherwise("ask").as("side"),
+      (col("value") + col("event_id") * lit(1e-6)).as("price"),
+      col("value").as("amount"))
+
+  private val bookCte = """
+      book AS (
+        SELECT date_trunc('hour', ts) AS ts,
+               CASE WHEN event_id % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
+               value + event_id * 0.000001 AS price,
+               value AS amount
+        FROM events)"""
+
+  private val qOrderbook = QDef(
+    "q_orderbook",
+    (s, dir) => {
+      val book = syntheticBook(s, dir)
+      // imbalance with decimal-exact volume sums (W29/A1)
+      val vol = book.groupBy("ts").agg(
+        sum(when(col("side") === "bid", col("amount")).otherwise(lit(0.0)).cast(D))
+          .cast("double").as("bid_vol"),
+        sum(when(col("side") === "ask", col("amount")).otherwise(lit(0.0)).cast(D))
+          .cast("double").as("ask_vol"))
+      val total = col("bid_vol") + col("ask_vol")
+      val imb = vol.select(col("ts"),
+        when(total =!= 0, (col("bid_vol") - col("ask_vol")) / total).otherwise(0.0)
+          .as("imbalance"))
+      // spread with as-of ffill of best ask onto the bid axis (W30/A3/J4)
+      val spread = graft.features.OrderbookFeatures.spreadSeries(book)
+      // top-2 depth per side (A4/O3)
+      val depth = graft.features.OrderbookFeatures.depthSeries(book, nLevels = 2)
+      imb.join(spread, Seq("ts"), "left").join(depth, Seq("ts"), "left")
+        .select(micros(col("ts")).as("ts_us"), col("imbalance"), col("spread"),
+          col("bid_depth_1"), col("bid_depth_2"), col("ask_depth_1"), col("ask_depth_2"))
+        .orderBy("ts_us")
+    },
+    Some(s"""
+      WITH $bookCte,
+      vol AS (
+        SELECT ts,
+               CAST(SUM(CAST(CASE WHEN side = 'bid' THEN amount ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS bid_vol,
+               CAST(SUM(CAST(CASE WHEN side = 'ask' THEN amount ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS ask_vol
+        FROM book GROUP BY ts),
+      imb AS (
+        SELECT ts, CASE WHEN bid_vol + ask_vol != 0
+                        THEN (bid_vol - ask_vol) / (bid_vol + ask_vol) ELSE 0.0 END AS imbalance
+        FROM vol),
+      bb AS (SELECT ts, MAX(price) AS best_bid FROM book WHERE side = 'bid' GROUP BY ts),
+      ba AS (SELECT ts, MIN(price) AS best_ask FROM book WHERE side = 'ask' GROUP BY ts),
+      sp AS (
+        SELECT bb.ts,
+               COALESCE(LAST_VALUE(ba.best_ask IGNORE NULLS)
+                 OVER (ORDER BY bb.ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - bb.best_bid, 0.0) AS spread
+        FROM bb LEFT JOIN ba ON bb.ts = ba.ts),
+      ranked AS (
+        SELECT ts, side, amount,
+               ROW_NUMBER() OVER (PARTITION BY ts, side
+                 ORDER BY CASE WHEN side = 'bid' THEN -price ELSE price END) AS rn
+        FROM book),
+      depth AS (
+        SELECT ts,
+               MAX(CASE WHEN side = 'bid' AND rn = 1 THEN amount END) AS bid_depth_1,
+               MAX(CASE WHEN side = 'bid' AND rn = 2 THEN amount END) AS bid_depth_2,
+               MAX(CASE WHEN side = 'ask' AND rn = 1 THEN amount END) AS ask_depth_1,
+               MAX(CASE WHEN side = 'ask' AND rn = 2 THEN amount END) AS ask_depth_2
+        FROM ranked WHERE rn <= 2 GROUP BY ts)
+      SELECT epoch_us(i.ts) AS ts_us, i.imbalance, s.spread,
+             d.bid_depth_1, d.bid_depth_2, d.ask_depth_1, d.ask_depth_2
+      FROM imb i
+      LEFT JOIN sp s ON i.ts = s.ts
+      LEFT JOIN depth d ON i.ts = d.ts
+      ORDER BY ts_us"""))
+
+  // ------------------------------------------------------------------
+  // Flagship §3.3: training matrix = features ⟕ close ⟕ resampled
+  // aggregates + lead labels + zero fills (J1/J2/W4/A5)
+  // ------------------------------------------------------------------
+
+  private val qTrainingMatrix = QDef(
+    "q_training_matrix",
+    (s, dir) => {
+      val bars = hourlyBars(s, dir)
+        .select(col("event_type").as("symbol"), col("bar_ts").as("timestamp"),
+          col("open"), col("high"), col("low"), col("close"), col("volume"))
+      val w = W.series(Seq("symbol"), Seq("timestamp"))
+      val features = bars.select(col("symbol"), col("timestamp"),
+        W.pctChange(col("close"), 1, w).as("ret_1"))
+      // hourly "social" aggregate: mean pseudo-sentiment + post count (A5)
+      val social = t(s, dir, "events")
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("timestamp"))
+        .agg((sum((col("value") / 100.0).cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1))).as("sent_mean"),
+          count(lit(1)).as("count"))
+      val matrix = graft.features.TrainingMatrix.build(
+        features, bars, marketJoinKeys = Seq("symbol", "timestamp"),
+        aggs = Map("social" -> social), aggJoinKeys = Seq("timestamp"),
+        labelKeys = Seq("symbol"), labelOrder = Seq("timestamp"))
+      matrix.select(col("symbol"), micros(col("timestamp")).as("ts_us"),
+          col("ret_1"), col("close"),
+          round(col("social_sent_mean"), 6).as("social_sent_mean"),
+          col("social_count"),
+          col("ret_next"), col("y_dir"))
+        .orderBy("symbol", "ts_us")
+    },
+    Some(s"""
+      WITH $barsCte,
+      f AS (
+        SELECT event_type AS symbol, bar_ts AS timestamp, close,
+               close / LAG(close) OVER (PARTITION BY event_type ORDER BY bar_ts) - 1 AS ret_1
+        FROM bars),
+      social AS (
+        SELECT date_trunc('hour', ts) AS timestamp,
+               CAST(SUM(CAST(value / 100.0 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS sent_mean,
+               COUNT(*) AS cnt
+        FROM events WHERE event_type = 'click' GROUP BY 1),
+      joined AS (
+        SELECT f.symbol, f.timestamp, f.ret_1, f.close,
+               COALESCE(s.sent_mean, 0.0) AS social_sent_mean,
+               COALESCE(s.cnt, 0) AS social_count
+        FROM f LEFT JOIN social s ON f.timestamp = s.timestamp),
+      labeled AS (
+        SELECT *,
+               LEAD(ret_1, 1) OVER (PARTITION BY symbol ORDER BY timestamp) AS ret_next
+        FROM joined)
+      SELECT symbol, epoch_us(timestamp) AS ts_us, ret_1, close,
+             ROUND(social_sent_mean, 6) AS social_sent_mean, social_count,
+             ret_next, CAST(ret_next > 0 AS BIGINT) AS y_dir
+      FROM labeled
+      WHERE ret_next IS NOT NULL
+      ORDER BY symbol, ts_us"""))
+
+  // ------------------------------------------------------------------
   // Training-data pipeline ops: dedup, text analysis, similarity (M9)
   // ------------------------------------------------------------------
 
@@ -989,6 +1145,7 @@ object Queries {
     qLagReturns, qRollingStats, qCumulative, qEma, qMacd, qRsi,
     qGapDaily, qDedupLastWin, qTimeNorm, qJsonExtract, qFfill,
     qTaTrend, qTaOscillators, qOnchainFeatures, qMarketFeatures,
+    qOrderbook, qTrainingMatrix,
     qDedupExact, qTextStats, qLangId, qJaccardNearDup, qMinhashNearDup,
     qSimhash, qFingerprint, qKnnBrute, qKnnLsh, qEmbedNearDup, qMultimodal
   )

@@ -49,6 +49,21 @@ object LakeWriter {
     basePath
   }
 
+  /** Legacy one-row raw persist (S20, `adi/app/storage.py:9-18`):
+    * flatten a raw JSON payload and append it under source/symbol/date
+    * partitions. */
+  def persistRaw(spark: org.apache.spark.sql.SparkSession, basePath: String,
+                 source: String, symbol: String, rawJson: String,
+                 dateStr: String): String = {
+    import spark.implicits._
+    val df = spark.read.json(Seq(rawJson).toDS())
+      .withColumn("source", lit(source))
+      .withColumn("symbol", TimeNorm.sanitizePartitionValue(lit(symbol)))
+      .withColumn("date", lit(dateStr))
+    df.write.mode("append").partitionBy("source", "symbol", "date").parquet(basePath)
+    basePath
+  }
+
   /** Pruned read back: partition filters reach the directory listing, ts
     * filters reach parquet row-group stats (`load_ohlcv`,
     * `adi/scripts/build_market_dataset.py:41-73`). */
