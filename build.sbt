@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Many queries × whole-stage codegen (incl. 64-agg minhash/simhash
+  // plans) overflow the default ~240 MB JIT code cache mid-run, silently
+  // dropping hot stages to the interpreter (observed 15 s → 500 s on the
+  // same query). Give the JIT room.
+  "-XX:ReservedCodeCacheSize=1024m",
 )

@@ -65,9 +65,13 @@ object Similarity {
   def knnLsh(df: DataFrame, vecCol: String, idCol: String, queryId: Long,
              k: Int, planes: Int = 12, tables: Int = 4): DataFrame = {
     val v = toDoubleVec(col(vecCol))
+    // persisted: the corpus scan and the query-row filter both read this
+    // frame, and signature projection is the expensive part (interpreted
+    // array folds per plane)
     val sigs = df.select(col(idCol).as("id"), v.as("v"),
       posexplode(array((0 until tables).map(t => lshSignature(v, planes, t)): _*))
         .as(Seq("table", "sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qSigs = sigs.filter(col("id") === queryId)
       .select(col("table").as("qtable"), col("sig").as("qsig"), col("v").as("qv"))
     sigs.filter(col("id") =!= queryId)
