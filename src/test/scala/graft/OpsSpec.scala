@@ -74,6 +74,19 @@ class OpsSpec extends SparkSpec {
     assert(m((1L, 2L)) == 1.0 && m((1L, 3L)) == 0.0)
   }
 
+  test("shingleRows matches array shingles incl. short-doc fallback; similarity join exact") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y"), (4L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.shingleRows(df, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // doc 3 has < 3 tokens → whole-doc shingle
+    assert(rows.contains((3L, "x y")))
+    assert(rows.count(_._1 == 1L) == 4) // 6 tokens → 4 trigrams
+    val pairs = Dedup.jaccardSimilarityJoin(df, "text", "doc_id", 3, 0.8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 2L, 1.0)))
+  }
+
   test("knnBrute ranks an identical vector first") {
     val q = Array(1.0f, 0.0f, 0.0f)
     val df = Seq((0L, q, 0), (1L, Array(1.0f, 0.01f, 0.0f), 0),
