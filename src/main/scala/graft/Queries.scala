@@ -804,10 +804,12 @@ object Queries {
   // deterministically from events (the testdata ships no book table)
   // ------------------------------------------------------------------
 
-  /** Synthetic order book: hourly snapshots, side by event parity, unique
-    * prices (value + event_id·1e-6) so level ordering is total. */
+  /** Synthetic order book: hourly snapshots per symbol (= event_type, so
+    * the series windows genuinely partition), side by event parity,
+    * unique prices (value + event_id·1e-6) so level ordering is total. */
   private def syntheticBook(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").select(
+      col("event_type").as("symbol"),
       date_trunc("hour", col("ts")).as("ts"),
       when(col("event_id") % 2 === 0, "bid").otherwise("ask").as("side"),
       (col("value") + col("event_id") * lit(1e-6)).as("price"),
@@ -815,7 +817,8 @@ object Queries {
 
   private val bookCte = """
       book AS (
-        SELECT date_trunc('hour', ts) AS ts,
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS ts,
                CASE WHEN event_id % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
                value + event_id * 0.000001 AS price,
                value AS amount
@@ -825,62 +828,66 @@ object Queries {
     "q_orderbook",
     (s, dir) => {
       val book = syntheticBook(s, dir)
+      val keys = Seq("symbol")
       // imbalance with decimal-exact volume sums (W29/A1)
-      val vol = book.groupBy("ts").agg(
+      val vol = book.groupBy("symbol", "ts").agg(
         sum(when(col("side") === "bid", col("amount")).otherwise(lit(0.0)).cast(D))
           .cast("double").as("bid_vol"),
         sum(when(col("side") === "ask", col("amount")).otherwise(lit(0.0)).cast(D))
           .cast("double").as("ask_vol"))
       val total = col("bid_vol") + col("ask_vol")
-      val imb = vol.select(col("ts"),
+      val imb = vol.select(col("symbol"), col("ts"),
         when(total =!= 0, (col("bid_vol") - col("ask_vol")) / total).otherwise(0.0)
           .as("imbalance"))
-      // spread with as-of ffill of best ask onto the bid axis (W30/A3/J4)
-      val spread = graft.features.OrderbookFeatures.spreadSeries(book)
+      // spread with as-of ffill of best ask onto the bid axis, windows
+      // partitioned per book (W30/A3/J4)
+      val spread = graft.features.OrderbookFeatures.spreadSeries(book, keys)
       // top-2 depth per side (A4/O3)
-      val depth = graft.features.OrderbookFeatures.depthSeries(book, nLevels = 2)
-      imb.join(spread, Seq("ts"), "left").join(depth, Seq("ts"), "left")
-        .select(micros(col("ts")).as("ts_us"), col("imbalance"), col("spread"),
+      val depth = graft.features.OrderbookFeatures.depthSeries(book, nLevels = 2, keys = keys)
+      imb.join(spread, Seq("symbol", "ts"), "left")
+        .join(depth, Seq("symbol", "ts"), "left")
+        .select(col("symbol"), micros(col("ts")).as("ts_us"), col("imbalance"),
+          col("spread"),
           col("bid_depth_1"), col("bid_depth_2"), col("ask_depth_1"), col("ask_depth_2"))
-        .orderBy("ts_us")
+        .orderBy("symbol", "ts_us")
     },
     Some(s"""
       WITH $bookCte,
       vol AS (
-        SELECT ts,
+        SELECT symbol, ts,
                CAST(SUM(CAST(CASE WHEN side = 'bid' THEN amount ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS bid_vol,
                CAST(SUM(CAST(CASE WHEN side = 'ask' THEN amount ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS ask_vol
-        FROM book GROUP BY ts),
+        FROM book GROUP BY symbol, ts),
       imb AS (
-        SELECT ts, CASE WHEN bid_vol + ask_vol != 0
+        SELECT symbol, ts, CASE WHEN bid_vol + ask_vol != 0
                         THEN (bid_vol - ask_vol) / (bid_vol + ask_vol) ELSE 0.0 END AS imbalance
         FROM vol),
-      bb AS (SELECT ts, MAX(price) AS best_bid FROM book WHERE side = 'bid' GROUP BY ts),
-      ba AS (SELECT ts, MIN(price) AS best_ask FROM book WHERE side = 'ask' GROUP BY ts),
+      bb AS (SELECT symbol, ts, MAX(price) AS best_bid FROM book WHERE side = 'bid' GROUP BY symbol, ts),
+      ba AS (SELECT symbol, ts, MIN(price) AS best_ask FROM book WHERE side = 'ask' GROUP BY symbol, ts),
       sp AS (
-        SELECT bb.ts,
+        SELECT bb.symbol, bb.ts,
                COALESCE(LAST_VALUE(ba.best_ask IGNORE NULLS)
-                 OVER (ORDER BY bb.ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 OVER (PARTITION BY bb.symbol ORDER BY bb.ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  - bb.best_bid, 0.0) AS spread
-        FROM bb LEFT JOIN ba ON bb.ts = ba.ts),
+        FROM bb LEFT JOIN ba ON bb.symbol = ba.symbol AND bb.ts = ba.ts),
       ranked AS (
-        SELECT ts, side, amount,
-               ROW_NUMBER() OVER (PARTITION BY ts, side
+        SELECT symbol, ts, side, amount,
+               ROW_NUMBER() OVER (PARTITION BY symbol, ts, side
                  ORDER BY CASE WHEN side = 'bid' THEN -price ELSE price END) AS rn
         FROM book),
       depth AS (
-        SELECT ts,
+        SELECT symbol, ts,
                MAX(CASE WHEN side = 'bid' AND rn = 1 THEN amount END) AS bid_depth_1,
                MAX(CASE WHEN side = 'bid' AND rn = 2 THEN amount END) AS bid_depth_2,
                MAX(CASE WHEN side = 'ask' AND rn = 1 THEN amount END) AS ask_depth_1,
                MAX(CASE WHEN side = 'ask' AND rn = 2 THEN amount END) AS ask_depth_2
-        FROM ranked WHERE rn <= 2 GROUP BY ts)
-      SELECT epoch_us(i.ts) AS ts_us, i.imbalance, s.spread,
+        FROM ranked WHERE rn <= 2 GROUP BY symbol, ts)
+      SELECT i.symbol, epoch_us(i.ts) AS ts_us, i.imbalance, s.spread,
              d.bid_depth_1, d.bid_depth_2, d.ask_depth_1, d.ask_depth_2
       FROM imb i
-      LEFT JOIN sp s ON i.ts = s.ts
-      LEFT JOIN depth d ON i.ts = d.ts
-      ORDER BY ts_us"""))
+      LEFT JOIN sp s ON i.symbol = s.symbol AND i.ts = s.ts
+      LEFT JOIN depth d ON i.symbol = d.symbol AND i.ts = d.ts
+      ORDER BY i.symbol, ts_us"""))
 
   // ------------------------------------------------------------------
   // Flagship §3.3: training matrix = features ⟕ close ⟕ resampled
@@ -1037,9 +1044,13 @@ object Queries {
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         FROM documents),
       sh AS (
+        -- sub-n-token docs collapse to one whole-document shingle,
+        -- mirroring shingleRows' pos-0 fallback
         SELECT doc_id,
-               list_distinct(list_transform(range(len(toks) - 2),
-                 i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+               END AS s
         FROM d),
       p AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,

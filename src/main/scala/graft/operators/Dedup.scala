@@ -178,28 +178,40 @@ object Dedup {
     * exactly the pairs a full cross join would. */
   def jaccardSimilarityJoin(df: DataFrame, textCol: String, idCol: String,
                             shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // inverted-index overlap join: explode distinct shingles, self-join on
-    // the shingle (the posting list), count matches per pair → overlap o,
-    // and Jaccard = o / (|A| + |B| − o). Everything is equi-joins + a
-    // count aggregate — whole-stage codegen, no array ops per pair (array
-    // intersect/union verification is interpreted and melts down on dense
-    // corpora: 16s→477s run variance before this shape).
-    // Cost is Σ_shingle C(df,2) pair-postings; a df cap (stop-shingle
-    // drop) would bound hostile corpora at the price of exactness — kept
-    // exact here and measured: ~1.3M pair-postings at bench scale.
-    val exploded = shingleRows(df, textCol, idCol, shingleN)
-    val sized = exploded
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("id")))
-    val pairs = sized.as("a")
-      .join(sized.as("b"),
+    // Candidate generation joins PREFIX postings only. Soundness (PPJoin
+    // Lemma 1, Xiao et al. 2008): J(A,B) ≥ τ ⟹ overlap ≥ ⌈τ·max(|A|,|B|)⌉
+    // = α, and any two sets with overlap ≥ α must share an element among
+    // their (|X|−α+1)-prefixes under a global total order. Our kept
+    // prefixes (|X|−⌈τ·|X|⌉+1 ≥ |X|−α+1 elements, xxhash64 order with a
+    // lexical tiebreak) are at least that long, so no qualifying pair is
+    // lost. One hot "stop shingle" shared by half the corpus lands in
+    // almost no prefixes — candidate cost stays near-linear where the
+    // full inverted-index join (round 1) was Σ_shingle C(df,2).
+    // Verification is overlap counting on the FULL posting lists —
+    // equi-joins + a count aggregate, whole-stage codegen, no per-pair
+    // array ops (interpreted intersect/union melted down: 16s→477s).
+    val byId = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    // persisted: feeds ranking plus both verification sides (fan-out 3).
+    // Lifetime is caller-managed — Bench/Verify clearCache between queries.
+    val ranked = shingleRows(df, textCol, idCol, shingleN)
+      .withColumn("n", count(lit(1)).over(byId))
+      .withColumn("rk", row_number().over(byId.orderBy(xxhash64(col("s")), col("s"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefix = ranked.filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
           // size-ratio bound: J ≤ min/max < τ — prunes inside the join
           least(col("a.n"), col("b.n")) >= ceil(greatest(col("a.n"), col("b.n")) * lit(threshold)))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    val overlap = cands
+      .join(ranked.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(ranked.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b", "na", "nb")
       .agg(count(lit(1)).as("overlap"))
-    pairs
+    overlap
       .withColumn("jaccard",
         col("overlap").cast("double") / (col("na") + col("nb") - col("overlap")))
       .filter(col("jaccard") >= threshold)
@@ -237,6 +249,35 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (Similarity.dot(col("a.v"), col("b.v")) /
           nullif(col("a.nrm") * col("b.nrm"), lit(0))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Label-FREE embedding near-dup: random-hyperplane LSH blocking (any
+    * shared (table, sig) bucket) replaces the label blocks, so no O(n²)
+    * within-block pair explosion and no dependency on having labels at
+    * all. Candidates are verified with exact cosine via the codegen dot
+    * product. Recall for a pair at angle θ is 1 − (1 − p^planes)^tables
+    * with p = 1 − θ/π — tune planes down / tables up when hunting for
+    * moderately-similar pairs; defaults target near-dups (cosine ≳ 0.9). */
+  def embeddingNearDupPairsLsh(df: DataFrame, vecCol: String, idCol: String,
+                               threshold: Double, planes: Int = 8,
+                               tables: Int = 8): DataFrame = {
+    val sigs = Similarity.lshSignatures(df, vecCol, idCol, planes, tables)
+    val cands = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = df.select(col(idCol).as("id"),
+        Similarity.toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (Similarity.dot(col("va"), col("vb")) /
+          nullif(col("na") * col("nb"), lit(0))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

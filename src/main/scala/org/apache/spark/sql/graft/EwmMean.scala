@@ -72,6 +72,7 @@ object CatalystBridge {
   * (`functions.call_function("graft_ewm_mean", x, lit(a))`) and plain SQL. */
 object GraftFunctions {
   val EwmMeanName = "graft_ewm_mean"
+  val DotName = "graft_dot"
 
   private def evalAlpha(e: Expression): Double = e match {
     case Literal(v: Double, _) => v
@@ -94,5 +95,7 @@ object GraftFunctions {
       .sessionState.functionRegistry
     registry.createOrReplaceTempFunction(EwmMeanName,
       exprs => EwmMean(exprs.head, evalAlpha(exprs(1))), "built-in")
+    registry.createOrReplaceTempFunction(DotName,
+      exprs => DotProduct(exprs.head, exprs(1)), "built-in")
   }
 }

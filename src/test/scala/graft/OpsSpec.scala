@@ -97,12 +97,91 @@ class OpsSpec extends SparkSpec {
     assert(out.last.getLong(0) == 3L)
   }
 
-  test("lsh signature is deterministic and similar vectors collide") {
+  test("lsh signatures are deterministic and scaled copies collide in every table") {
     val df = Seq((0L, Array.fill(16)(1.0f)), (1L, Array.fill(16)(0.99f)))
       .toDF("vec_id", "embedding")
-    val v = Similarity.toDoubleVec(col("embedding"))
-    val sigs = df.select(Similarity.lshSignature(v, 8, 0)).collect().map(_.getLong(0))
-    assert(sigs(0) == sigs(1)) // scaled copies project identically
+    val sigs = Similarity.lshSignatures(df, "embedding", "vec_id", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(sigs.size == 4)
+    assert((0 until 2).forall(t => sigs((0L, t)) == sigs((1L, t))))
+  }
+
+  test("graft_dot is an exact index-order fold over float/double arrays") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    assert(df.select(Similarity.dot(col("a"), col("b"))).head.getDouble(0) == 32.0)
+    // mismatched lengths → null (zip_with-fold parity)
+    val mm = Seq((Array(1.0f), Array(1.0, 2.0))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b"))).head
+    assert(mm.isNullAt(0))
+    // norm of a 3-4-0 vector is 5
+    val n = Seq(Tuple1(Array(3.0f, 4.0f, 0.0f))).toDF("v")
+      .select(Similarity.norm(col("v"))).head.getDouble(0)
+    assert(math.abs(n - 5.0) < 1e-12)
+  }
+
+  test("prefix-filtered similarity join: exact on a skewed corpus, candidates collapse") {
+    import org.apache.spark.sql.expressions.Window
+    // one hot trigram ("h1 h2 h3") in half the corpus + unique tails; a
+    // planted identical pair is the only true near-dup at τ=0.8
+    val docs = (1 to 40).map { i =>
+      if (i % 2 == 0)
+        (i.toLong, s"h1 h2 h3 u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g")
+      else
+        (i.toLong, s"v${i}a v${i}b v${i}c v${i}d v${i}e v${i}f v${i}g v${i}h v${i}i v${i}j")
+    } ++ Seq((100L, "dup w1 w2 w3 w4 w5 w6 w7"), (101L, "dup w1 w2 w3 w4 w5 w6 w7"))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = Dedup.jaccardSimilarityJoin(df, "text", "doc_id", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((100L, 101L, 1.0)))
+    // pair-postings with the full inverted index vs the prefix index
+    val sh = Dedup.shingleRows(df, "text", "doc_id", 3)
+    def pairPostings(side: org.apache.spark.sql.DataFrame): Long =
+      side.as("a").join(side.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id")).count()
+    val full = pairPostings(sh)
+    val byId = Window.partitionBy("id")
+    val ranked = sh.withColumn("n", count(lit(1)).over(byId))
+      .withColumn("rk", row_number().over(byId.orderBy(xxhash64(col("s")), col("s"))))
+    val prefix = ranked.filter(col("rk") <= col("n") - ceil(col("n") * 0.8) + 1)
+    val pruned = pairPostings(prefix.select("id", "s"))
+    // 20 docs share the hot shingle → C(20,2)=190 full postings; prefixes
+    // keep ~2/8 shingles per doc, so postings must collapse
+    assert(full >= 190, s"fixture lost its hot shingle: $full")
+    assert(pruned < full / 2, s"prefix filter did not prune: $pruned vs $full")
+  }
+
+  test("label-free LSH embedding near-dup finds the planted pair exactly") {
+    val vecs = (1 to 50).map { i =>
+      (i.toLong, Array.tabulate(16)(j => (((i * 31 + j * 7) % 17) - 8).toFloat))
+    } ++ Seq((1000L, Array.fill(16)(0.5f)), (1001L, Array.fill(16)(0.499f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairsLsh(df, "embedding", "vec_id", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1000L, 1001L)))
+    // every reported pair passed the exact-cosine verification
+    val verified = Dedup.embeddingNearDupPairsLsh(df, "embedding", "vec_id", 0.999)
+      .collect().map(_.getDouble(2))
+    assert(verified.forall(_ >= 0.999))
+  }
+
+  test("persisted LSH index: probe prunes partitions + pushes sig filter") {
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    // modulus 31 > max id so no two base vectors are accidental duplicates
+    val vecs = (0 to 30).map { i =>
+      (i.toLong, Array.tabulate(16)(j => (((i * 17 + j * 5) % 31) - 15).toFloat))
+    } ++ Seq((99L, Array.tabulate(16)(j => (((0 * 17 + j * 5) % 31) - 15) * 0.99f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    Similarity.writeLshIndex(df, "embedding", "vec_id", s"$dir/idx", planes = 6, tables = 3)
+    val out = Similarity.knnLshIndexed(s"$dir/idx", df, "embedding", "vec_id",
+      queryId = 0L, k = 5, planes = 6, tables = 3)
+    val hits = out.collect()
+    // the scaled copy of vec 0 shares every bucket and ranks first
+    assert(hits.head.getLong(0) == 99L && hits.head.getDouble(1) > 0.999)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"index probe should prune (table, bucket) partitions:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("In(sig"),
+      s"sig IN (...) should push down to parquet:\n$plan")
   }
 
   test("text stats + lang id + quality are deterministic") {
