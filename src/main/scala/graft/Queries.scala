@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{windows => W, TaIndicators => TA}
-import graft.operators.{Dedup, Multimodal, Relational, Resample, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Resample, SentimentScorer, Similarity, TextAnalysis}
 import graft.time.TimeNorm
 
 /** The verifiable operator surface: one entry per SURVEY §2 operator,
@@ -446,18 +446,23 @@ object Queries {
 
   private val qGapDaily = QDef(
     "q_gap_daily",
+    // gaps are PLANTED (days 5/13/21 dropped) so the oracle compares
+    // non-empty results — the synthetic events have no natural holes and
+    // round 1's 0-rows-vs-0-rows green verified nothing
     (s, dir) => {
-      val ev = t(s, dir, "events").select(col("event_type"),
-        date_trunc("day", col("ts")).as("d"))
+      val ev = t(s, dir, "events")
+        .filter(!dayofmonth(col("ts")).isin(5, 13, 21))
+        .select(col("event_type"), date_trunc("day", col("ts")).as("d"))
       Relational.missingFromGrid(ev, Seq("event_type"), "d", 86400L)
         .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("missing_day"))
         .orderBy("event_type", "missing_day")
     },
     Some("""
-      WITH b AS (SELECT event_type, MIN(date_trunc('day', ts)) mn, MAX(date_trunc('day', ts)) mx
-                 FROM events GROUP BY 1),
+      WITH e AS (SELECT * FROM events WHERE date_part('day', ts) NOT IN (5, 13, 21)),
+      b AS (SELECT event_type, MIN(date_trunc('day', ts)) mn, MAX(date_trunc('day', ts)) mx
+                 FROM e GROUP BY 1),
       grid AS (SELECT event_type, UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS d FROM b),
-      got AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS d FROM events)
+      got AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS d FROM e)
       SELECT g.event_type, strftime(g.d, '%Y-%m-%d') AS missing_day
       FROM grid g
       WHERE NOT EXISTS (SELECT 1 FROM got t WHERE t.event_type = g.event_type AND t.d = g.d)
@@ -1085,6 +1090,37 @@ object Queries {
       .orderBy("doc_id"),
     None) // wrapping-long polynomial over xxhash64
 
+  private val qSentiment = QDef(
+    "q_sentiment",
+    // U3 inference stage over the deterministic lexicon stub — exercises
+    // the batched mapPartitions plumbing end to end; the oracle reproduces
+    // the stub's smoothed-lexicon math exactly
+    (s, dir) => SentimentScorer.withSentiment(
+        t(s, dir, "documents").select("doc_id", "text"), "text",
+        SentimentScorer.LexiconStub)
+      .select(col("doc_id"), round(col("p_pos"), 6).as("p_pos"),
+        round(col("sentiment_score"), 6).as("score_signed"),
+        col("sentiment_label"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               len(list_filter(toks, x -> list_contains(
+                 ['good','great','bull','bullish','gain','up','win','moon','fast','big'], x))) AS np,
+               len(list_filter(toks, x -> list_contains(
+                 ['bad','terrible','bear','bearish','loss','down','fear','crash','slow','small'], x))) AS nn
+        FROM d),
+      p AS (SELECT doc_id, (1.0 + np) / (2.0 + np + nn) AS p_pos FROM c)
+      SELECT doc_id, ROUND(p_pos, 6) AS p_pos,
+             ROUND(GREATEST(-1.0, LEAST(1.0, p_pos - (1.0 - p_pos))), 6) AS score_signed,
+             CASE WHEN p_pos >= 0.6 THEN 'positive'
+                  WHEN p_pos <= 0.4 THEN 'negative'
+                  ELSE 'neutral' END AS sentiment_label
+      FROM p ORDER BY doc_id"""))
+
   private val qKnnBrute = QDef(
     "q_knn_brute",
     (s, dir) => Similarity.knnBrute(t(s, dir, "embeddings"), "embedding", "vec_id",
@@ -1133,6 +1169,21 @@ object Queries {
       WHERE cosine >= 0.4
       ORDER BY id_a, id_b"""))
 
+  private val qEmbedNearDupLsh = QDef(
+    "q_embed_neardup_lsh",
+    // label-FREE near-dup path: hyperplane-LSH blocking + exact-cosine
+    // verification. At this low threshold (0.4, θ≈66°) LSH needs shallow
+    // planes / many tables for recall — the blocking gain grows with the
+    // threshold; the point of the query is exercising the label-free path
+    // end to end. Cross-checked against the exact label-blocked join in
+    // OpsSpec (precision is exact by construction; recall ≥ the banding
+    // bound).
+    (s, dir) => Dedup.embeddingNearDupPairsLsh(t(s, dir, "embeddings"),
+        "embedding", "vec_id", threshold = 0.4, planes = 4, tables = 16)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b"),
+    None) // xxhash-derived hyperplanes — not SQL-expressible in DuckDB
+
   private val qMultimodal = QDef(
     "q_multimodal",
     (s, dir) => {
@@ -1158,6 +1209,7 @@ object Queries {
     qTaTrend, qTaOscillators, qOnchainFeatures, qMarketFeatures,
     qOrderbook, qTrainingMatrix,
     qDedupExact, qTextStats, qLangId, qJaccardNearDup, qMinhashNearDup,
-    qSimhash, qFingerprint, qKnnBrute, qKnnLsh, qEmbedNearDup, qMultimodal
+    qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qEmbedNearDup,
+    qEmbedNearDupLsh, qMultimodal
   )
 }

@@ -91,9 +91,10 @@ object TaIndicators {
   def stochasticDFromK(k: Column, dWindow: Int, w: WindowSpec): Column =
     rollingMean(k, dWindow, w)
 
-  /** ROC (`ta_indicators.py:208-212`). */
+  /** ROC (`ta_indicators.py:208-212`). nullif-guarded denominator so a
+    * zero base yields null regardless of the session ANSI flag. */
   def roc(close: Column, n: Int, w: WindowSpec): Column =
-    lit(100.0) * (close - lag(close, n).over(w)) / lag(close, n).over(w)
+    lit(100.0) * (close - lag(close, n).over(w)) / nullif(lag(close, n).over(w), lit(0))
 
   /** (high − low) / close, zero-close → null (`market_factory.py:119`). */
   def hlSpread(high: Column, low: Column, close: Column): Column =

@@ -69,8 +69,12 @@ object windows {
   /** pandas `diff(p)` (W1). */
   def diff(x: Column, p: Int, w: WindowSpec): Column = x - lag(x, p).over(w)
 
-  /** pandas `pct_change(p)` (W2). */
-  def pctChange(x: Column, p: Int, w: WindowSpec): Column = x / lag(x, p).over(w) - 1
+  /** pandas `pct_change(p)` (W2). The denominator is nullif-guarded so a
+    * zero base yields null under ANSI and non-ANSI sessions alike —
+    * library semantics must not depend on the session-global ANSI flag
+    * (Spark 4 defaults it ON; only test/query sessions turn it off). */
+  def pctChange(x: Column, p: Int, w: WindowSpec): Column =
+    x / nullif(lag(x, p).over(w), lit(0)) - 1
 
   /** log return: `log(x.replace(0, nan)).diff()` (W3,
     * `market_factory.py:107`). */

@@ -22,21 +22,27 @@ object Backfill {
 
   /** Expected grid [floor(end), …, floor(end) − lookback] at the timeframe
     * step, minus what the store already has → missing epochs
-    * (`plan_missing_market_keys`, `backfill.py:45-76`; J3). */
+    * (`plan_missing_market_keys`, `backfill.py:45-76`; J3).
+    *
+    * The grid is anchored at the FLOORED end and steps down (matching the
+    * reference's end-anchored loop, `backfill.py:56-61`): anchoring at
+    * `end − lookback` puts every grid point off the step boundary whenever
+    * the lookback isn't a multiple of the timeframe step — all slots then
+    * read as missing and the floor-aligned fill never matches them. */
   def planMissing(spark: SparkSession, store: FeatureStore, symbol: String,
                   timeframe: String, lookbackMinutes: Int,
                   nowEpochSec: Long): Plan = {
     val step = TimeNorm.timeframeSeconds(timeframe)
     val end = nowEpochSec - (nowEpochSec % step)
-    val start = end - lookbackMinutes * 60L
-    val expectedN = (end - start) / step + 1
-    val grid = spark.range(start, end + step, step)
-      .select(timestamp_seconds(col("id")).as("timestamp"))
+    val nSteps = lookbackMinutes * 60L / step + 1
+    val grid = spark.range(0, nSteps)
+      .select(timestamp_seconds(lit(end) - col("id") * step).as("timestamp"))
     val stored = store
-      .rangeRead("market", symbol, timeframe, start, end, limit = Int.MaxValue)
+      .rangeRead("market", symbol, timeframe, end - (nSteps - 1) * step, end,
+        limit = Int.MaxValue)
       .select("timestamp")
     val missing = grid.join(stored, Seq("timestamp"), "left_anti")
-    Plan(symbol, timeframe, expectedN, missing)
+    Plan(symbol, timeframe, nSteps, missing)
   }
 
   /** Fill: fetch OHLCV covering the missing range (connector-supplied),

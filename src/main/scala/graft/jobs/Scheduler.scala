@@ -1,0 +1,121 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+import graft.sources.{Connectors, LakeWriter}
+import graft.store.FeatureStore
+import graft.time.TimeNorm
+import graft.types.Schemas
+
+/** Scheduled-job driver (ST4/ST8) — the engine's
+  * `adi/app/scheduler/main.py:200-362` (APScheduler cron service posting
+  * to the ingest API; cadences from the compose `MARKET_JOBS` /
+  * `MARKET_INGEST_JOBS` / `TTL_SWEEP_CRON` env).
+  *
+  * Structured Streaming's `Trigger.ProcessingTime` is the cluster-native
+  * replacement for cron-in-a-sidecar: a rate-source query ticks at the
+  * job cadence and `foreachBatch` fires the job body once per tick — the
+  * reference's `max_instances=1` comes free (a micro-batch cannot overlap
+  * itself), checkpoint/restart comes from the streaming runtime, and
+  * `Trigger.AvailableNow` gives the reference's run-on-boot one-shot
+  * (`RUN_ON_START`). Job outcomes are counted like the reference's
+  * JOB_SUCCESS/JOB_FAILURE metrics, as a log line per run.
+  */
+object Scheduler {
+
+  /** Run `body(tickEpoch)` every `intervalSec` under Spark's streaming
+    * runtime. The body failing marks the tick failed without killing the
+    * query (`_run_with_metrics` semantics: log + count, keep scheduling).
+    * Returns the live query; callers stop it. */
+  def schedule(spark: SparkSession, jobId: String, intervalSec: Long)
+              (body: Long => Unit): StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .writeStream
+      .queryName(jobId)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(intervalSec * 1000L))
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], tick: Long) =>
+        val t0 = System.nanoTime()
+        try {
+          body(tick)
+          System.err.println(f"[job] $jobId tick=$tick ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        } catch { case e: Throwable =>
+          System.err.println(s"[job] $jobId tick=$tick FAILED: ${e.getMessage}")
+        }
+      }
+      .start()
+
+  /** One backfill run — `run_market_backfill_job`
+    * (`scheduler/main.py:208-219`): plan the missing grid, fill from the
+    * connector, upsert into the store. */
+  def backfillOnce(spark: SparkSession, store: FeatureStore, symbol: String,
+                   timeframe: String, lookbackMinutes: Int,
+                   fetch: (Long, Long) => DataFrame,
+                   nowEpochSec: Long = System.currentTimeMillis() / 1000): Map[String, Long] = {
+    val plan = Backfill.planMissing(spark, store, symbol, timeframe,
+      lookbackMinutes, nowEpochSec)
+    Backfill.fillOnce(spark, store, plan, fetch)
+  }
+
+  /** One ingest run — `run_market_ingest_job` (`scheduler/main.py:231-244`,
+    * POST `/ingest/market/{exchange}`): normalize the connector payload and
+    * append it to the market lake. */
+  def ingestOnce(raw: DataFrame, exchange: String, symbol: String,
+                 timeframe: String, lakePath: String): Long = {
+    val normalized = Connectors.CcxtOhlcv(symbol, exchange, timeframe).normalize(raw)
+    LakeWriter.write(normalized, lakePath, Schemas.MARKET, "timestamp",
+      partitions = Seq("exchange", "symbol", "dt"))
+    normalized.count()
+  }
+
+  /** One TTL sweep — `run_ttl_sweep_job` (`scheduler/main.py:220-229`):
+    * drop feature partitions older than the retention window. */
+  def ttlSweepOnce(store: FeatureStore, ttlDays: Int,
+                   nowEpochSec: Long = System.currentTimeMillis() / 1000): Seq[String] = {
+    val cutoff = java.time.LocalDate.ofInstant(
+      java.time.Instant.ofEpochSecond(nowEpochSec - ttlDays * 86400L),
+      java.time.ZoneOffset.UTC).toString
+    store.ttlSweep(cutoff)
+  }
+
+  /** Compose-cadence defaults (docker-compose `MARKET_JOBS`): backfill
+    * every 5 min, ingest every 1 min, TTL sweep every 15 min. */
+  val BackfillIntervalSec = 300L
+  val IngestIntervalSec = 60L
+  val TtlSweepIntervalSec = 900L
+
+  /** Thin operational main: `Scheduler <storePath> <lakePath> <symbol>
+    * <timeframe> [lookbackMinutes] [ttlDays]` — wires the three cadenced
+    * jobs against a live store the way the compose file wires the
+    * scheduler sidecar. The fetch/payload edges are connector inputs; this
+    * main reads file-drop directories next to the lake (the same stand-in
+    * the streaming layer uses for sockets). */
+  def main(args: Array[String]): Unit = {
+    val storePath = args(0)
+    val lakePath = args(1)
+    val symbol = if (args.length > 2) args(2) else "BTC-USDT"
+    val timeframe = if (args.length > 3) args(3) else "1m"
+    val lookback = if (args.length > 4) args(4).toInt else 15
+    val ttlDays = if (args.length > 5) args(5).toInt else 30
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val store = new FeatureStore(spark, storePath)
+    val fetch: (Long, Long) => DataFrame = (lo, hi) =>
+      LakeWriter.read(spark, lakePath,
+          Map("exchange" -> "sched", "symbol" -> symbol))
+        .filter(unix_timestamp(col("timestamp")).between(lo, hi))
+    val queries = Seq(
+      schedule(spark, s"backfill:$symbol:$timeframe", BackfillIntervalSec) { _ =>
+        backfillOnce(spark, store, symbol, timeframe, lookback, fetch); ()
+      },
+      schedule(spark, "ttl_sweep", TtlSweepIntervalSec) { _ =>
+        ttlSweepOnce(store, ttlDays); ()
+      })
+    queries.foreach(_.awaitTermination())
+  }
+}

@@ -133,23 +133,39 @@ object Connectors {
   }
 
   /** Twitter search w/ sentiment scores (S9,
-    * `adi/app/adapters/sentiment_adapter.py:81-155`). The model call is an
-    * external stage (U3); its signed-score normalization
+    * `adi/app/adapters/sentiment_adapter.py:81-155`). Tweets are scored at
+    * ingest (U3): payloads that already carry model probabilities
+    * (`p_pos`/`p_neg`) use them directly; otherwise the text runs through
+    * the [[graft.operators.SentimentScorer]] inference stage — batched
+    * per-partition model calls, mirroring the reference's per-tweet
+    * pipeline invocation (`sentiment_adapter.py:132`,
+    * `ml_utils.py:56-61`). The signed-score normalization
     * `clamp(p_pos − p_neg)` and 0.4/0.6 3-class margins
     * (`adi/app/ingestion_service/ml_utils.py:34-54`) are plain columns. */
-  case object TwitterSentiment extends Connector {
+  case class TwitterSentiment(
+      model: graft.operators.SentimentScorer.Model =
+        graft.operators.SentimentScorer.LexiconStub) extends Connector {
     val domain = "social"
     def normalize(raw: DataFrame): DataFrame = {
       if (!raw.columns.contains("tweets")) return emptyOf(raw.sparkSession, Schemas.SOCIAL)
       val tw = raw.select(explode(col("tweets")).as("t")).select(col("t.*"))
-      val parsed = tw.select(
+      val hasProbs = tw.columns.contains("p_pos")
+      val baseCols = Seq(
         to_timestamp(col("created_at")).as("ts"),
         col("id").cast("string").as("id"),
         col("text").cast("string").as("text"),
         col("author_id").cast("string").as("author"),
         col("retweets").cast("long").as("retweets"),
-        col("likes").cast("long").as("likes"),
-        sentimentSigned(col("p_pos"), col("p_neg")).as("sentiment_score"))
+        col("likes").cast("long").as("likes")) ++
+        (if (hasProbs) Seq(col("p_pos"), col("p_neg")) else Nil)
+      val base = tw.select(baseCols: _*)
+      val scored =
+        if (hasProbs)
+          base.withColumn("sentiment_score",
+            sentimentSigned(col("p_pos"), col("p_neg")))
+        else
+          graft.operators.SentimentScorer.withSentiment(base, "text", model)
+      val parsed = scored
         .withColumn("source", lit("twitter"))
       conformWithDt(parsed, Schemas.SOCIAL, "ts")
     }
@@ -157,11 +173,11 @@ object Connectors {
 
   /** U3 normalization: signed score in [-1, 1]. */
   def sentimentSigned(pPos: Column, pNeg: Column): Column =
-    greatest(lit(-1.0), least(lit(1.0), pPos - pNeg))
+    graft.operators.SentimentScorer.sentimentSigned(pPos, pNeg)
 
   /** U3 3-class label at the 0.4/0.6 margins. */
   def sentimentLabel(pPos: Column): Column =
-    when(pPos >= 0.6, "positive").when(pPos <= 0.4, "negative").otherwise("neutral")
+    graft.operators.SentimentScorer.sentimentLabel(pPos)
 
   /** News REST (S10, `adi/app/adapters/news_adapter.py:40-136`) and the
     * one-shot RSS batch (S11, `adi/scripts/rss_to_parquet.py:20-45`):
@@ -179,8 +195,15 @@ object Connectors {
         col("author").cast("string").as("author"),
         col("description").cast("string").as("description"))
         .withColumn("source", lit(sourceName))
+      // RSS seen-set semantics, batch flavor (§2.7). The reference keeps
+      // the first-seen article per id (arrival order); batch has no
+      // arrival order, so keep the earliest (published_at, url) instead —
+      // dropDuplicates alone keeps a partition-arrival-dependent row.
+      val byId = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("published_at"), col("url"))
       conformWithDt(parsed, Schemas.NEWS, "published_at")
-        .dropDuplicates("id") // RSS seen-set semantics, batch flavor (§2.7)
+        .withColumn("_rn", row_number().over(byId))
+        .filter(col("_rn") === 1).drop("_rn")
     }
   }
 }

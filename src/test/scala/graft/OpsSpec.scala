@@ -184,6 +184,99 @@ class OpsSpec extends SparkSpec {
       s"sig IN (...) should push down to parquet:\n$plan")
   }
 
+  test("simhash + fingerprint closed forms on tiny fixtures (no-oracle cross-check)") {
+    // pull the engine's own xxhash64 for the fixture tokens, then check
+    // the operators against the closed-form expectations
+    val h = spark.range(1)
+      .select(xxhash64(lit("alpha")).as("ha"), xxhash64(lit("beta")).as("hb")).head
+    val (ha, hb) = (h.getLong(0), h.getLong(1))
+    // single-token doc: every bit vote IS that token's hash bit
+    val sh = Dedup.simhash64(
+        Seq((1L, "alpha"), (2L, "alpha alpha alpha"), (3L, "alpha beta"))
+          .toDF("doc_id", "text"), "text", "doc_id")
+      .orderBy("id").collect().map(_.getLong(1))
+    assert(sh(0) == ha, "single-token simhash must equal the token hash")
+    assert(sh(1) == ha, "repeated tokens don't change the vote signs")
+    // two distinct tokens: bit survives only when both votes are +1 → AND
+    assert(sh(2) == (ha & hb))
+    // fingerprint: rolling polynomial acc = pmod(acc*31 + pmod(h, M), M)
+    val M = 2147483647L
+    def pm(x: Long) = ((x % M) + M) % M
+    val expected = pm(pm(ha) * 31L + pm(hb))
+    val fp = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint(TextAnalysis.tokens(col("text"))))
+      .head.getLong(0)
+    assert(fp == expected)
+    // order sensitivity: permuted doc fingerprints differently
+    val fp2 = Seq((1L, "beta alpha")).toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint(TextAnalysis.tokens(col("text"))))
+      .head.getLong(0)
+    assert(fp2 == pm(pm(hb) * 31L + pm(ha)) && fp2 != fp)
+  }
+
+  test("knnLsh candidates rank consistently with brute force (no-oracle cross-check)") {
+    val df = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 16.0 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.knnBrute(df, "embedding", "vec_id", 0L, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.knnLsh(df, "embedding", "vec_id", 0L, 5,
+        planes = 6, tables = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(lsh.nonEmpty)
+    // exact-cosine ranking inside the bucket: every hit that brute force
+    // also scored must carry the identical cosine
+    lsh.filter(p => brute.contains(p._1)).foreach { case (id, c) =>
+      assert(math.abs(c - brute(id)) < 1e-9, s"cosine mismatch for $id") }
+    // recall: the top brute hit collides with the query in >=1 table whp;
+    // deterministic given the hash-derived planes, so assert it directly
+    val bruteTop = Similarity.knnBrute(df, "embedding", "vec_id", 0L, 5)
+      .collect().map(_.getLong(0)).toSet
+    val recall = lsh.map(_._1).count(bruteTop) / 5.0
+    assert(recall >= 0.4, s"recall@5 vs brute force too low: $recall")
+  }
+
+  test("minhash pairs are a verified subset of the exact similarity join") {
+    // 20 distinct base docs + 8 planted near-dups (2 of 40 tokens changed)
+    val base = (0 until 20).map { i =>
+      (i.toLong, (0 until 40).map(t => s"w${i}_$t").mkString(" "))
+    }
+    val dups = (0 until 8).map { i =>
+      (100L + i, ((0 until 38).map(t => s"w${i}_$t") ++ Seq("x", "y")).mkString(" "))
+    }
+    val df = (base ++ dups).toDF("doc_id", "text")
+    val exact = Dedup.jaccardSimilarityJoin(df, "text", "doc_id", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashNearDupPairs(df, "text", "doc_id", 3, 64, 16, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 8, s"fixture should yield 8 exact pairs, got ${exact.size}")
+    // precision is exact by construction (candidates verified with exact
+    // Jaccard); recall follows the banding bound 1-(1-s^4)^16 ≈ 1 at s≥0.7
+    assert(mh.subsetOf(exact), s"unverified pairs leaked: ${mh -- exact}")
+    assert(mh.size >= exact.size - 1, s"minhash recall too low: ${mh.size}/${exact.size}")
+  }
+
+  test("label-free LSH near-dup recall vs the exact pair set") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 16.0 + j).toFloat))
+    } ++ (0 until 6).map { i =>
+      // planted: tiny perturbation of vector i → cosine ≈ 1
+      (200L + i, Array.tabulate(16)(j => (math.sin(i * 16.0 + j) * 0.995).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    // exact full-corpus pairs via a constant blocking key
+    val exact = Dedup.embeddingNearDupPairs(
+        df.withColumn("k", lit(1)), Seq("k"), "embedding", "vec_id", 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupPairsLsh(df, "embedding", "vec_id", 0.98,
+        planes = 8, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 6)
+    assert(lsh.subsetOf(exact), s"unverified pairs leaked: ${lsh -- exact}")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall vs exact too low: $recall")
+  }
+
   test("text stats + lang id + quality are deterministic") {
     val df = Seq((1L, "the quick brown fox the end"), (2L, "der und das ist ein test"))
       .toDF("doc_id", "text")

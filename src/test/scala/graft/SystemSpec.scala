@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.features.MarketFeatures
-import graft.jobs.Backfill
+import graft.jobs.{Backfill, Scheduler}
 import graft.sources.{Connectors, LakeWriter}
 import graft.store.FeatureStore
 import graft.streaming.StreamingPipelines
@@ -111,6 +111,22 @@ class SystemSpec extends SparkSpec {
     assert(sent(1).getString(1) == "neutral" && sent(2).getString(1) == "negative")
   }
 
+  test("twitter ingest scores text through the inference stage (U3)") {
+    // no p_pos/p_neg in the payload → the SentimentScorer stage runs:
+    // "good good up" → np=3, nn=0 → p_pos = 4/5 → signed = 0.6
+    val tweets = spark.read.json(Seq(
+      """{"tweets": [{"id": "t1", "created_at": "2024-01-01T00:00:00Z", "text": "good good up", "author_id": "a", "retweets": 1, "likes": 2}]}"""
+    ).toDS())
+    val scored = Connectors.TwitterSentiment().normalize(tweets).head()
+    assert(approx(scored.getAs[Double]("sentiment_score"), 0.6))
+    // payload-provided probabilities short-circuit the model
+    val withProbs = spark.read.json(Seq(
+      """{"tweets": [{"id": "t2", "created_at": "2024-01-01T00:00:00Z", "text": "whatever", "author_id": "a", "retweets": 0, "likes": 0, "p_pos": 0.9, "p_neg": 0.1}]}"""
+    ).toDS())
+    val direct = Connectors.TwitterSentiment().normalize(withProbs).head()
+    assert(approx(direct.getAs[Double]("sentiment_score"), 0.8))
+  }
+
   test("backfill: plan finds holes, fill writes only missing bars (ST5)") {
     val dir = tmp()
     val store = new FeatureStore(spark, dir)
@@ -129,6 +145,39 @@ class SystemSpec extends SparkSpec {
     assert(stats("written") >= 5)
     val refilled = Backfill.planMissing(spark, store, "BTC-USDT", "1m", 19, base + 29 * 60)
     assert(refilled.missing.count() == 0)
+  }
+
+  test("scheduler: two ticks of a cadenced backfill fill a temp store (ST4/ST8)") {
+    val store = new FeatureStore(spark, tmp())
+    val full = ohlcvRamp(30)
+    val base = java.time.Instant.parse("2025-08-01T00:00:00Z").getEpochSecond
+    val ticks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = Scheduler.schedule(spark, "backfill:test:BTC-USDT:1m", intervalSec = 1) { _ =>
+      Scheduler.backfillOnce(spark, store, "BTC-USDT", "1m", lookbackMinutes = 29,
+        fetch = (lo, hi) => full.filter(unix_timestamp(col("timestamp")).between(lo, hi)),
+        nowEpochSec = base + 29 * 60)
+      ticks.incrementAndGet(); ()
+    }
+    try {
+      val deadline = System.currentTimeMillis() + 90000
+      while (ticks.get() < 2 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q.stop()
+    assert(ticks.get() >= 2, s"expected >=2 scheduler ticks, got ${ticks.get()}")
+    val stored = store.rangeRead("market", "BTC-USDT", "1m",
+      base, base + 29 * 60, limit = Int.MaxValue)
+    assert(stored.count() >= 25) // first tick fills; second is a no-op refill
+  }
+
+  test("backfill grid is end-anchored: off-multiple lookbacks stay on step boundaries") {
+    // timeframe 1h, lookback 90min: a start-anchored grid would put every
+    // point at :34:56 past the hour and report everything missing forever
+    val store = new FeatureStore(spark, tmp())
+    val now = java.time.Instant.parse("2025-08-01T12:34:56Z").getEpochSecond
+    val plan = Backfill.planMissing(spark, store, "BTC-USDT", "1h",
+      lookbackMinutes = 90, nowEpochSec = now)
+    val eps = plan.missing.collect().map(_.getTimestamp(0).toInstant.getEpochSecond).sorted
+    assert(plan.expected == 2 && eps.length == 2)
+    assert(eps.forall(_ % 3600 == 0), s"grid off the hour boundary: ${eps.toSeq}")
   }
 
   test("streaming: stateful TA chunk-carry ≡ whole-series (ST3 equivalence gate)") {
