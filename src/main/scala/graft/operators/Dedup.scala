@@ -27,34 +27,44 @@ object Dedup {
 
   /** Word n-gram shingles (distinct) from a token array. Documents shorter
     * than n tokens collapse to a single whole-document shingle.
-    * NOTE small-data/verification use only: the `slice(toks, …)` inside
-    * the lambda re-evaluates the outer tokenizer per element (interpreted
-    * HOFs have no common-subexpression elimination — caught via thread
-    * dump: StringSplit.nullSafeEval per shingle). The scale path is
-    * [[shingleRows]]. */
+    * CAUTION: `toks` must be a MATERIALIZED attribute (not an inline
+    * `split(...)` expression) — interpreted HOFs have no common-
+    * subexpression elimination, so an inline tokenizer re-evaluates per
+    * element (caught in round 1 via thread dump: StringSplit.nullSafeEval
+    * per shingle). [[shingleArrays]] provides the safe construction. */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
       .otherwise(array(concat_ws(" ", toks)))
 
-  /** Distinct (id, shingle) rows, fully relational: tokenize once,
-    * posexplode, build each n-gram with `lead` over the in-document token
-    * order, drop partial tails (keeping position 0 so sub-n-token docs
-    * yield their whole-document shingle), distinct. Whole-stage codegen
-    * end to end, one shuffle on the doc id; the input is spread across
-    * the cluster first so a single-file scan can't serialize the work. */
-  def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val tok = spread.select(col(idCol).as("id"),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "t")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
-    val parts = col("t") +: (1 until n).map(k => lead(col("t"), k).over(w))
-    tok.select(col("id"), col("pos"), concat_ws(" ", parts: _*).as("s"),
-        lead(col("t"), n - 1).over(w).isNotNull.as("_full"))
-      .filter(col("_full") || col("pos") === 0)
-      .select("id", "s").distinct()
-  }
+  /** Per-doc distinct shingle arrays `(id, shs)`. The tokenizer runs in a
+    * projection BELOW an exchange boundary, so the `transform` lambda
+    * above it sees a materialized array attribute (no per-element
+    * re-tokenization), and the repartition spreads single-file scans
+    * across the cluster. Everything here is per-row — no windows, no
+    * global distinct: a doc's shingle set needs only that doc's tokens,
+    * so the round-1 window+distinct formulation paid two shuffles and a
+    * deep DAG for what one projection does (the deep DAG, not data
+    * volume, is what made the round-1 near-dup queries noise-fragile). */
+  def shingleArrays(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("toks"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), shingles(col("toks"), n).as("shs"))
+
+  /** Distinct (id, shingle) rows — explode of [[shingleArrays]]. One
+    * shuffle total (the spreading repartition). */
+  def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    shingleArrays(df, textCol, idCol, n).select(col("id"), explode(col("shs")).as("s"))
+
+  /** Per-doc distinct shingle HASHES `(id, hs, n)` — the 16-byte join
+    * currency of the near-dup pipelines (shuffling 64-bit hashes instead
+    * of shingle strings; xxhash64 collisions at corpus scale are ~2⁻⁶⁴·
+    * pairs, the same accepted odds as [[exactDedup]]). */
+  def shingleHashArrays(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    shingleArrays(df, textCol, idCol, n)
+      .select(col("id"), transform(col("shs"), s => xxhash64(s)).as("hs"))
+      .withColumn("n", size(col("hs")))
 
   /** Exact Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -97,12 +107,18 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                           threshold: Double = 0.8): DataFrame = {
-    // one shingle-row frame feeds signatures, sizes, and both sides of
-    // the verification — persisted (its fan-out is 4; postings are small
-    // next to the corpus)
-    val sh = shingleRows(df, textCol, idCol, shingleN)
+    // one per-doc hash-array frame (|docs| rows, ~n·8 B each) feeds
+    // signatures, sizes, and both verification sides — cached cheaply;
+    // round 1 cached the exploded posting frame instead, which cost more
+    // to materialize than to recompute
+    val arrs = shingleHashArrays(df, textCol, idCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = minhashSignaturesFromRows(sh, k)
+    val hrows = arrs.select(col("id"), explode(col("hs")).as("h"))
+    val hashed = hrows.select(col("id") +:
+      (0 until k).map(i => xxhash64(col("h"), lit(i)).as(s"_h$i")): _*)
+    val sigs = hashed.groupBy("id")
+      .agg(min(s"_h0").as("_m0"), (1 until k).map(i => min(s"_h$i").as(s"_m$i")): _*)
+      .select(col("id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
     val bandsDf = sigs.select(col("id"),
       posexplode(lshBandKeys(col("sig"), bands, k / bands)).as(Seq("band", "key")))
     val cands = bandsDf.as("a")
@@ -113,10 +129,20 @@ object Dedup {
       .distinct()
     // exact-Jaccard verification as overlap counting on the candidate set
     // (relational, codegen — no per-pair array ops)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    verifyByOverlap(cands, arrs, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs by overlap counting on
+    * exploded hash postings: o = |A∩B| via an (id, h) equi-join, then
+    * J = o / (|A| + |B| − o) — equi-joins + one count aggregate, fully
+    * codegen, no per-pair array ops. `arrs` is the (id, hs, n) frame. */
+  private def verifyByOverlap(cands: DataFrame, arrs: DataFrame,
+                              threshold: Double): DataFrame = {
+    val hrows = arrs.select(col("id"), explode(col("hs")).as("h"))
+    val sizes = arrs.select(col("id"), col("n"))
     val overlap = cands
-      .join(sh.select(col("id").as("id_a"), col("s")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .join(hrows.select(col("id").as("id_a"), col("h")), "id_a")
+      .join(hrows.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("overlap"))
     overlap
       .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
@@ -182,40 +208,31 @@ object Dedup {
     // Lemma 1, Xiao et al. 2008): J(A,B) ≥ τ ⟹ overlap ≥ ⌈τ·max(|A|,|B|)⌉
     // = α, and any two sets with overlap ≥ α must share an element among
     // their (|X|−α+1)-prefixes under a global total order. Our kept
-    // prefixes (|X|−⌈τ·|X|⌉+1 ≥ |X|−α+1 elements, xxhash64 order with a
-    // lexical tiebreak) are at least that long, so no qualifying pair is
-    // lost. One hot "stop shingle" shared by half the corpus lands in
-    // almost no prefixes — candidate cost stays near-linear where the
-    // full inverted-index join (round 1) was Σ_shingle C(df,2).
-    // Verification is overlap counting on the FULL posting lists —
-    // equi-joins + a count aggregate, whole-stage codegen, no per-pair
-    // array ops (interpreted intersect/union melted down: 16s→477s).
-    val byId = org.apache.spark.sql.expressions.Window.partitionBy("id")
-    // persisted: feeds ranking plus both verification sides (fan-out 3).
-    // Lifetime is caller-managed — Bench/Verify clearCache between queries.
-    val ranked = shingleRows(df, textCol, idCol, shingleN)
-      .withColumn("n", count(lit(1)).over(byId))
-      .withColumn("rk", row_number().over(byId.orderBy(xxhash64(col("s")), col("s"))))
+    // prefixes (|X|−⌈τ·|X|⌉+1 ≥ |X|−α+1 smallest hashes) are at least
+    // that long, so no qualifying pair is lost. One hot "stop shingle"
+    // shared by half the corpus lands in almost no prefixes — candidate
+    // cost stays near-linear where the full inverted-index join (round 1)
+    // was Σ_shingle C(df,2).
+    // The prefix is a PER-ROW slice of the doc's sorted hash array — the
+    // round-1 window-rank formulation paid a shuffle+sort and a cached
+    // posting table for what array_sort does in place. Verification is
+    // overlap counting on the full hash postings (equi-joins + one count
+    // aggregate, codegen — interpreted intersect/union melted down:
+    // 16s→477s).
+    val arrs = shingleHashArrays(df, textCol, idCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prefix = ranked.filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
-    val cands = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+    val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
+    val pre = arrs
+      .select(col("id"), col("n"),
+        explode(slice(array_sort(col("hs")), lit(1), prefixLen)).as("h"))
+    val cands = pre.as("a")
+      .join(pre.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           // size-ratio bound: J ≤ min/max < τ — prunes inside the join
           least(col("a.n"), col("b.n")) >= ceil(greatest(col("a.n"), col("b.n")) * lit(threshold)))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val overlap = cands
-      .join(ranked.select(col("id").as("id_a"), col("s")), "id_a")
-      .join(ranked.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b", "na", "nb")
-      .agg(count(lit(1)).as("overlap"))
-    overlap
-      .withColumn("jaccard",
-        col("overlap").cast("double") / (col("na") + col("nb") - col("overlap")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyByOverlap(cands, arrs, threshold)
   }
 
   /** Exact n-gram-Jaccard near-dup pairs within explicit blocking keys

@@ -72,4 +72,60 @@ object LakeWriter {
     partitionFilters.foldLeft(spark.read.parquet(basePath)) {
       case (d, (k, v)) => d.filter(col(k) === v)
     }
+
+  // ------------------------------------------------------------------
+  // Legacy `year=/month=/day=` layout — the reference's ingest route
+  // writes exchange/symbol/year/month/day partitions
+  // (`adi/app/ingestion_service/routes.py:245-251`) while newer jobs use
+  // `dt=`; a migrated lake carries both, so both need read/write paths.
+  // ------------------------------------------------------------------
+
+  /** Write in the legacy layout: `extraPartitions ++ year/month/day`
+    * derived from `tsCol`, same conform/sanitize/sort contract as
+    * [[write]]. */
+  def writeLegacy(df: DataFrame, basePath: String, schema: StructType,
+                  tsCol: String, extraPartitions: Seq[String] = Seq("exchange", "symbol"),
+                  mode: String = "append"): String = {
+    val conformed = Schemas.conformTo(df, schema, keepExtra = false).drop("dt")
+      .withColumn("year", year(col(tsCol)))
+      .withColumn("month", month(col(tsCol)))
+      .withColumn("day", dayofmonth(col(tsCol)))
+    val parts = extraPartitions ++ Seq("year", "month", "day")
+    val sanitized = extraPartitions.foldLeft(conformed) { (d, p) =>
+      if (d.schema(p).dataType == org.apache.spark.sql.types.StringType)
+        d.withColumn(p, TimeNorm.sanitizePartitionValue(col(p)))
+      else d
+    }
+    sanitized
+      .sortWithinPartitions((parts :+ tsCol).map(col): _*)
+      .write.mode(mode).partitionBy(parts: _*).parquet(basePath)
+    basePath
+  }
+
+  /** Read a legacy-layout table, reconstructing the `dt` column the
+    * modern layout carries. Apply [[legacyDtRange]] BEFORE this column is
+    * used for range filters — predicates on the reconstructed `dt` can't
+    * prune directories, predicates on year/month/day can. */
+  def readLegacy(spark: org.apache.spark.sql.SparkSession, basePath: String,
+                 partitionFilters: Map[String, String] = Map.empty): DataFrame =
+    read(spark, basePath, partitionFilters)
+      .withColumn("dt",
+        date_format(make_date(col("year"), col("month"), col("day")), "yyyy-MM-dd"))
+      .drop("year", "month", "day")
+
+  /** dt-range predicate over the legacy partition columns — references
+    * year/month/day only, so the directory listing itself is pruned
+    * (the pruning role of `_date_in_range_from_dt_folder`,
+    * `adi/app/features/backfill/core.py:35-38`). */
+  def legacyDtRange(startDt: String, endDt: String): org.apache.spark.sql.Column = {
+    val s = java.time.LocalDate.parse(startDt)
+    val e = java.time.LocalDate.parse(endDt)
+    val lower = (col("year") > s.getYear) ||
+      (col("year") === s.getYear && ((col("month") > s.getMonthValue) ||
+        (col("month") === s.getMonthValue && col("day") >= s.getDayOfMonth)))
+    val upper = (col("year") < e.getYear) ||
+      (col("year") === e.getYear && ((col("month") < e.getMonthValue) ||
+        (col("month") === e.getMonthValue && col("day") <= e.getDayOfMonth)))
+    lower && upper
+  }
 }

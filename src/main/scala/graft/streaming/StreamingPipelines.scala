@@ -37,6 +37,25 @@ object StreamingPipelines {
       }
       .start()
 
+  /** ST1 over the DSv2 ticker source (S4): a socket-shaped
+    * `MicroBatchStream` (offsets/partitions/commit — see
+    * [[TickerSource]]) replaces the file-drop stand-in; each micro-batch
+    * runs the same `MarketFeatures.build` as the batch path. */
+  def tickerFeaturesStream(spark: SparkSession, options: Map[String, String],
+                           sink: DataFrame => Unit,
+                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    options.foldLeft(
+        spark.readStream.format(classOf[TickerSourceProvider].getName))(
+        (r, kv) => r.option(kv._1, kv._2))
+      .load()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(MarketFeatures.build(batch.toDF()))
+      }
+      .start()
+
   /** RSS-style stream with bounded dedupe state (ST2): the reference's
     * unbounded in-memory `seen_ids` set (`news_adapter.py:139-156` — leaks
     * by design) becomes `dropDuplicatesWithinWatermark("id")` — same

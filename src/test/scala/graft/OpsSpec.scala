@@ -134,16 +134,14 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.toSeq == Seq((100L, 101L, 1.0)))
     // pair-postings with the full inverted index vs the prefix index
-    val sh = Dedup.shingleRows(df, "text", "doc_id", 3)
+    val arrs = Dedup.shingleHashArrays(df, "text", "doc_id", 3)
     def pairPostings(side: org.apache.spark.sql.DataFrame): Long =
       side.as("a").join(side.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id")).count()
-    val full = pairPostings(sh)
-    val byId = Window.partitionBy("id")
-    val ranked = sh.withColumn("n", count(lit(1)).over(byId))
-      .withColumn("rk", row_number().over(byId.orderBy(xxhash64(col("s")), col("s"))))
-    val prefix = ranked.filter(col("rk") <= col("n") - ceil(col("n") * 0.8) + 1)
-    val pruned = pairPostings(prefix.select("id", "s"))
+        col("a.h") === col("b.h") && col("a.id") < col("b.id")).count()
+    val full = pairPostings(arrs.select(col("id"), explode(col("hs")).as("h")))
+    val prefixLen = (col("n") - ceil(col("n") * 0.8) + 1).cast("int")
+    val pruned = pairPostings(arrs.select(col("id"),
+      explode(slice(array_sort(col("hs")), lit(1), prefixLen)).as("h")))
     // 20 docs share the hot shingle → C(20,2)=190 full postings; prefixes
     // keep ~2/8 shingles per doc, so postings must collapse
     assert(full >= 190, s"fixture lost its hot shingle: $full")

@@ -147,6 +147,54 @@ class SystemSpec extends SparkSpec {
     assert(refilled.missing.count() == 0)
   }
 
+  test("legacy year=/month=/day= layout: write, pruned range read, dt reconstruction") {
+    val dir = tmp()
+    val df = Seq(
+      ("2024-01-30T12:00:00Z", 1.0), ("2024-01-31T12:00:00Z", 2.0),
+      ("2024-02-01T12:00:00Z", 3.0), ("2024-02-02T12:00:00Z", 4.0))
+      .map { case (t, c) => (java.sql.Timestamp.from(java.time.Instant.parse(t)), c) }
+      .toDF("timestamp", "close")
+      .withColumn("symbol", lit("BTC/USDT")).withColumn("exchange", lit("binance"))
+      .withColumn("timeframe", lit("1d"))
+    LakeWriter.writeLegacy(df, dir, Schemas.MARKET, "timestamp")
+    val walked = Files.walk(new java.io.File(dir).toPath).iterator()
+    val all = Iterator.continually(walked).takeWhile(_.hasNext).map(_.next().toString).toList
+    assert(all.exists(_.contains("symbol=BTC_USDT")), "legacy layout sanitizes too")
+    assert(all.exists(p => p.contains("year=2024") && p.contains("month=1") && p.contains("day=31")))
+    // range predicate on the legacy partition columns prunes the listing
+    val pruned = LakeWriter.read(spark, dir)
+      .filter(LakeWriter.legacyDtRange("2024-01-31", "2024-02-01"))
+    assert(pruned.count() == 2)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    // dt reconstruction matches the modern layout's derived column
+    val back = LakeWriter.readLegacy(spark, dir).filter(col("dt") === "2024-02-01")
+    assert(back.count() == 1 && back.head().getAs[Double]("close") == 3.0)
+  }
+
+  test("DSv2 ticker source: deterministic bars drive ST1 end to end (S4)") {
+    val feats = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamingPipelines.tickerFeaturesStream(spark,
+      Map("symbols" -> "BTC-USDT,ETH-USDT", "startEpochSec" -> "1704067200",
+        "stepSec" -> "60", "barsPerBatch" -> "30", "maxBars" -> "30"),
+      sink = out => { feats.addAndGet(out.count()); () })
+    q.awaitTermination(120000)
+    assert(feats.get() > 0, "streamed bars should produce features")
+    // raw determinism: the same offsets replay the same bars
+    val raw = spark.readStream
+      .format(classOf[graft.streaming.TickerSourceProvider].getName)
+      .option("symbols", "BTC-USDT,ETH-USDT").option("startEpochSec", "1704067200")
+      .option("stepSec", "60").option("barsPerBatch", "30").option("maxBars", "30")
+      .load()
+    val mq = raw.writeStream.format("memory").queryName("ticker_raw")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    mq.awaitTermination(120000)
+    val rows = spark.table("ticker_raw")
+    assert(rows.count() == 60) // 30 bars × 2 symbols
+    val expected = graft.streaming.TickerSource.bar("BTC-USDT", 5L)._4
+    assert(rows.filter(col("symbol") === "BTC-USDT" &&
+      col("close") === expected).count() >= 1)
+  }
+
   test("scheduler: two ticks of a cadenced backfill fill a temp store (ST4/ST8)") {
     val store = new FeatureStore(spark, tmp())
     val full = ohlcvRamp(30)
