@@ -30,6 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Many queries × whole-stage codegen (incl. 64-agg minhash/simhash
   // plans) overflow the default ~240 MB JIT code cache mid-run, silently
   // dropping hot stages to the interpreter (observed 15 s → 500 s on the
-  // same query). Give the JIT room.
-  "-XX:ReservedCodeCacheSize=1024m",
+  // same query). 1 GB still degraded late in 80-run bench sessions
+  // (round 2); give the JIT ample room — reserved ≠ committed, so the
+  // only cost is address space.
+  "-XX:ReservedCodeCacheSize=2048m",
 )

@@ -4,22 +4,24 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main. Runs every `SparkEntry.queries` entry against
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query seconds.
   *
-  * Two trust mechanisms (round-1 verdict asked for both):
-  *   - best-of-N timing (`SPARK_GRAFT_BENCH_REPS`, default 2): the
-  *     reported per-query number is the fastest rep, so a single
-  *     noisy-neighbor window can't brand a query slow;
-  *   - per-rep host CPU-steal deltas from `/proc/stat` (cpu line, field 8,
-  *     cumulative "stolen" jiffies): measured on this container, an
-  *     identical query ran 3.1 s at 12 steal jiffies and 178 s at 11,315 —
-  *     recording the delta makes the wall time falsifiable. `steal` in the
-  *     output is the delta of the best rep; `reps` carries every
-  *     (sec, steal) pair.
+  * Trust mechanisms (round-1 verdict asked for falsifiable numbers):
+  *   - best-of-N timing (`SPARK_GRAFT_BENCH_REPS`, default 2), with the
+  *     reps taken as FULL PASSES over the suite rather than back-to-back:
+  *     host-noise windows on this box last minutes and degrade whole
+  *     stretches of a run (measured: the same query 2.3 s in a fresh JVM
+  *     vs 47–184 s inside a degraded window, at near-zero steal), so
+  *     adjacent reps would both land in the same window while pass-spaced
+  *     reps don't;
+  *   - per-rep host CPU-steal deltas from `/proc/stat` (cpu field 8) and
+  *     CPU pressure-stall deltas from `/proc/pressure/cpu` (`some total`
+  *     µs): a number with near-zero steal+PSI is a clean measurement.
+  * JSON: `queries` (best sec), `steal_jiffies`/`psi_cpu_us` (best rep's
+  * deltas), `reps` ([sec, steal, psi_us] per pass), `steal_total`.
   */
 object Bench {
 
-  /** Cumulative steal jiffies (time this VM's vCPUs were runnable but the
-    * host ran someone else) — `/proc/stat` aggregate cpu line, field 8.
-    * -1 if unreadable (non-Linux). */
+  /** Cumulative steal jiffies — `/proc/stat` aggregate cpu line, field 8.
+    * -1 if unreadable. */
   private def stealJiffies(): Long =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
@@ -27,6 +29,18 @@ object Bench {
         case Some(line) =>
           val f = line.trim.split("\\s+")
           if (f.length > 8) f(8).toLong else 0L
+        case None => -1L
+      } finally src.close()
+    } catch { case _: Throwable => -1L }
+
+  /** Cumulative CPU pressure-stall µs — `/proc/pressure/cpu`, `some
+    * total=` field. Catches host noise that steal accounting misses. */
+  private def psiCpuUs(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/pressure/cpu")
+      try src.getLines().find(_.startsWith("some")) match {
+        case Some(line) =>
+          "total=(\\d+)".r.findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(-1L)
         case None => -1L
       } finally src.close()
     } catch { case _: Throwable => -1L }
@@ -42,33 +56,36 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val stealStart = stealJiffies()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val runs = (1 to reps).map { _ =>
+    val names = SparkEntry.queries.keys.toSeq
+    val runs = scala.collection.mutable.Map.empty[String, List[(Double, Long, Long)]]
+      .withDefaultValue(Nil)
+    (1 to reps).foreach { pass =>
+      SparkEntry.queries.foreach { case (name, fn) =>
         val s0 = stealJiffies()
+        val p0 = psiCpuUs()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
         val sec = (System.nanoTime() - t0) / 1e9
-        // isolate reps/queries: drop persisted frames some operators pin
+        // isolate queries: drop persisted frames some operators pin
         spark.catalog.clearCache()
-        (sec, stealJiffies() - s0)
+        runs(name) = runs(name) :+ ((sec, stealJiffies() - s0, psiCpuUs() - p0))
+        System.err.println(f"[bench] pass$pass $name $sec%.1fs " +
+          s"(steal ${stealJiffies() - s0} jf)")
       }
-      val best = runs.minBy(_._1)
-      System.err.println(f"[bench] $name ${best._1}%.1fs (steal ${best._2} jf; " +
-        runs.map { case (s, j) => f"$s%.1fs/$j" }.mkString(" ") + ")")
-      name -> (best, runs)
     }
     def jmap(kv: Iterable[(String, String)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.map { case (k, (best, _)) => k -> best._1.toString })
-    val steal = jmap(results.map { case (k, (best, _)) => k -> best._2.toString })
-    val repsJson = jmap(results.map { case (k, (_, runs)) =>
-      k -> runs.map { case (s, j) => s"[$s,$j]" }.mkString("[", ",", "]") })
-    val total = results.values.map(_._1._1).sum
-    val stealTotal = stealJiffies() - stealStart
+    val best = names.map(n => n -> runs(n).minBy(_._1)).toMap
+    val qs = jmap(names.map(n => n -> best(n)._1.toString))
+    val steal = jmap(names.map(n => n -> best(n)._2.toString))
+    val psi = jmap(names.map(n => n -> best(n)._3.toString))
+    val repsJson = jmap(names.map(n =>
+      n -> runs(n).map { case (s, j, p) => s"[$s,$j,$p]" }.mkString("[", ",", "]")))
+    val total = names.map(best(_)._1).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""steal_jiffies":$steal,"reps":$repsJson,"steal_total":$stealTotal,""" +
-      s""""n_reps":$reps,"sf":"$sfDir"}""")
+      s""""steal_jiffies":$steal,"psi_cpu_us":$psi,"reps":$repsJson,""" +
+      s""""steal_total":${stealJiffies() - stealStart},"n_reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -219,12 +219,20 @@ object Queries {
 
   private val qEventFilter = QDef(
     "q_event_filter",
-    (s, dir) => t(s, dir, "events")
-      .filter(col("event_type") === "purchase" &&
-        col("ts") >= to_timestamp(lit("2024-01-05")) &&
-        col("ts") < to_timestamp(lit("2024-01-20")))
-      .select(col("event_id"), micros(col("ts")).as("ts_us"), col("user_id"), col("value"))
-      .orderBy("event_id"),
+    (s, dir) => {
+      // raw-nanos bounds mirror the ts predicates exactly (ts is the
+      // µs-truncation of _ts_ns) and DO reach the parquet scan — without
+      // them the range filter evaluates post-scan (round-2 plan audit)
+      def ns(d: String): Long =
+        java.time.Instant.parse(d + "T00:00:00Z").getEpochSecond * 1000000000L
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase" &&
+          col("_ts_ns") >= ns("2024-01-05") && col("_ts_ns") < ns("2024-01-20") &&
+          col("ts") >= to_timestamp(lit("2024-01-05")) &&
+          col("ts") < to_timestamp(lit("2024-01-20")))
+        .select(col("event_id"), micros(col("ts")).as("ts_us"), col("user_id"), col("value"))
+        .orderBy("event_id")
+    },
     Some("""
       SELECT event_id, epoch_us(ts) AS ts_us, user_id, value
       FROM events
