@@ -42,7 +42,9 @@ object Scheduler {
           body(tick)
           System.err.println(f"[job] $jobId tick=$tick ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
         } catch { case e: Throwable =>
-          System.err.println(s"[job] $jobId tick=$tick FAILED: ${e.getMessage}")
+          // e.toString, not getMessage: interruption during query stop
+          // surfaces as a null-message SparkException
+          System.err.println(s"[job] $jobId tick=$tick FAILED: $e")
         }
       }
       .start()

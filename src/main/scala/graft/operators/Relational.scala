@@ -58,4 +58,32 @@ object Relational {
   def ffillColumn(df: DataFrame, colName: String, partitionKeys: Seq[String],
                   orderBy: Seq[String]): DataFrame =
     df.withColumn(colName, W.ffill(col(colName), W.series(partitionKeys, orderBy)))
+
+  // ------------------------------------------------------------------
+  // Skew tools. AQE splits skewed SORT-MERGE join partitions at runtime,
+  // and map-side partial aggregation already spreads hot keys for
+  // algebraic aggregates — but a skewed shuffled-hash/bucketed join, or
+  // a skewed key under an AQE-ineligible join, still funnels one
+  // reducer. Classic key salting covers those at 100 TB scale.
+  // ------------------------------------------------------------------
+
+  /** Salted equi-join of a skew-keyed big side against a
+    * too-big-to-broadcast small side: the big side's rows get a
+    * deterministic salt in [0, saltBuckets), the small side is
+    * replicated once per salt value, and the join key becomes
+    * (keys, salt) — a hot key's rows spread over `saltBuckets` reducers
+    * instead of one. Result is row-identical to the unsalted join.
+    * The salt hashes the whole row (a monotonic id would break
+    * determinism under task retries). Use when AQE's skew split can't
+    * apply (shuffled-hash joins, bucketed tables) — broadcast the small
+    * side instead whenever it fits. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(saltBuckets.toLong)))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    saltedBig.join(replicated, keys :+ "_salt", joinType).drop("_salt")
+  }
 }

@@ -87,12 +87,18 @@ object Similarity {
     * so the signature build is paid once, not per query. */
   def knnLsh(df: DataFrame, vecCol: String, idCol: String, queryId: Long,
              k: Int, planes: Int = 12, tables: Int = 4): DataFrame = {
-    val sigs = lshSignatures(df, vecCol, idCol, planes, tables)
+    // signature agg runs over the 1-row query frame and the corpus frame
+    // separately — filtering one shared frame would re-run the full
+    // corpus aggregation for both sides (no subtree reuse across
+    // different pushed filters)
+    val sigs = lshSignatures(df.filter(col(idCol) =!= queryId), vecCol, idCol,
+      planes, tables)
     val vecs = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
-    val qSigs = sigs.filter(col("id") === queryId)
+    val qSigs = lshSignatures(df.filter(col(idCol) === queryId), vecCol, idCol,
+        planes, tables)
       .select(col("table").as("qtable"), col("sig").as("qsig"))
     val qVec = vecs.filter(col("id") === queryId).select(col("v").as("qv"))
-    val cands = sigs.filter(col("id") =!= queryId)
+    val cands = sigs
       .join(broadcast(qSigs),
         col("table") === col("qtable") && col("sig") === col("qsig"))
       .select("id").distinct()

@@ -38,6 +38,21 @@ class OpsSpec extends SparkSpec {
     assert(out.collect().map(_.getString(2)).toSeq == Seq("new"))
   }
 
+  test("saltedJoin is row-identical to the plain join on a skewed key") {
+    // 90% of the big side shares one hot key
+    val big = ((1 to 90).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i)))
+      .toDF("k", "v")
+    val small = (Seq("hot") ++ (1 to 5).map(i => s"k$i")).zipWithIndex.toDF("k", "w")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "w").orderBy("k", "v", "w").collect().toSeq
+    val plain = big.join(small, Seq("k"))
+    val salted = Relational.saltedJoin(big, small, Seq("k"), saltBuckets = 8)
+    assert(sorted(salted) == sorted(plain))
+    val plainLeft = big.join(small, Seq("k"), "left")
+    val saltedLeft = Relational.saltedJoin(big, small, Seq("k"), 8, "left")
+    assert(sorted(saltedLeft) == sorted(plainLeft))
+  }
+
   test("exact dedup keeps min id and counts copies") {
     val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("doc_id", "text")
     val out = Dedup.exactDedup(df, "text", "doc_id").orderBy("doc_id").collect()

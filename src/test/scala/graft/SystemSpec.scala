@@ -147,6 +147,18 @@ class SystemSpec extends SparkSpec {
     assert(refilled.missing.count() == 0)
   }
 
+  test("persistRaw lands one-row raw payloads under source/symbol/date (S20)") {
+    val dir = tmp()
+    LakeWriter.persistRaw(spark, dir, "glassnode", "BTC/USD",
+      """{"metric": "active_addresses", "value": 123}""", "2024-01-01")
+    LakeWriter.persistRaw(spark, dir, "glassnode", "BTC/USD",
+      """{"metric": "active_addresses", "value": 456}""", "2024-01-02")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2)
+    assert(back.filter(col("date") === "2024-01-01").head().getAs[Long]("value") == 123L)
+    assert(back.select("symbol").distinct().head().getString(0) == "BTC_USD") // sanitized
+  }
+
   test("legacy year=/month=/day= layout: write, pruned range read, dt reconstruction") {
     val dir = tmp()
     val df = Seq(
