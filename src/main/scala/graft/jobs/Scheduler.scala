@@ -101,6 +101,7 @@ object Scheduler {
     val timeframe = if (args.length > 3) args(3) else "1m"
     val lookback = if (args.length > 4) args(4).toInt else 15
     val ttlDays = if (args.length > 5) args(5).toInt else 30
+    val exchange = if (args.length > 6) args(6) else "binance"
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", 32)
@@ -109,7 +110,7 @@ object Scheduler {
     val store = new FeatureStore(spark, storePath)
     val fetch: (Long, Long) => DataFrame = (lo, hi) =>
       LakeWriter.read(spark, lakePath,
-          Map("exchange" -> "sched", "symbol" -> symbol))
+          Map("exchange" -> exchange, "symbol" -> symbol))
         .filter(unix_timestamp(col("timestamp")).between(lo, hi))
     val queries = Seq(
       schedule(spark, s"backfill:$symbol:$timeframe", BackfillIntervalSec) { _ =>

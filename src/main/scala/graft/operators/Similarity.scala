@@ -127,6 +127,73 @@ object Similarity {
       .sortWithinPartitions("sig")
       .write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
 
+  // ------------------------------------------------------------------
+  // IVF index — the other classic ANN scale path: coarse-quantize the
+  // corpus into KMeans cells, store vectors partitioned by cell, probe
+  // only the nProbe cells nearest the query. Complements the LSH index:
+  // IVF adapts to the data distribution (clustered corpora), LSH needs
+  // no training pass.
+  // ------------------------------------------------------------------
+
+  /** Train a KMeans coarse quantizer and persist the corpus as an IVF
+    * index: `path/vectors` partitioned by `cell` (directory pruning at
+    * probe time), `path/centroids` as a tiny lookup table. The training
+    * sample is bounded (`trainSampleRows`) so the fit cost stays constant
+    * while assignment remains a full distributed pass. */
+  def writeIvfIndex(df: DataFrame, vecCol: String, idCol: String, path: String,
+                    nCells: Int = 64, trainSampleRows: Long = 100000L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val data = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("fv", array_to_vector(toDoubleVec(col("v"))))
+    val n = data.count()
+    val sample = if (n > trainSampleRows)
+      data.sample(withReplacement = false, trainSampleRows.toDouble / n, seed = 42L)
+    else data
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(sample)
+    model.transform(data).drop("fv")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }
+    df.sparkSession.createDataFrame(centroids.toIndexedSeq)
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a persisted IVF index: rank centroids by distance to the
+    * query vector (a `nCells`-row driver computation, like the
+    * reference's index lookup), read ONLY the nProbe nearest cell
+    * partitions, exact-rank by cosine. Recall grows with nProbe;
+    * nProbe = nCells degrades gracefully to the brute-force scan. */
+  def knnIvfIndexed(indexPath: String, df: DataFrame, vecCol: String,
+                    idCol: String, queryId: Long, k: Int,
+                    nProbe: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    val qVecArr = df.filter(col(idCol) === queryId)
+      .select(toDoubleVec(col(vecCol))).head.getSeq[Double](0)
+    val cells = spark.read.parquet(s"$indexPath/centroids")
+      .collect()
+      .map(r => (r.getAs[Int]("cell"), r.getSeq[Double](1)))
+      .sortBy { case (_, c) =>
+        val dot = c.zip(qVecArr).map { case (a, b) => a * b }.sum
+        -dot / (math.sqrt(c.map(x => x * x).sum) *
+          math.sqrt(qVecArr.map(x => x * x).sum))
+      }
+      .take(nProbe).map(_._1)
+    val qVec = df.filter(col(idCol) === queryId)
+      .select(toDoubleVec(col(vecCol)).as("qv"))
+    spark.read.parquet(s"$indexPath/vectors")
+      .filter(col("cell").isin(cells.toIndexedSeq: _*) && col("id") =!= queryId)
+      .crossJoin(broadcast(qVec))
+      .select(col("id"), cosine(toDoubleVec(col("v")), col("qv")).as("cosine"))
+      .orderBy(round(col("cosine"), 6).desc, col("id"))
+      .limit(k)
+  }
+
   /** Probe a persisted index: compute the query vector's `tables`
     * signatures (1-row pipeline; the `tables`-row collect is a scalar
     * driver value, not a data-plane collect), read ONLY the matching

@@ -69,6 +69,27 @@ object StreamingPipelines {
       .withWatermark("published_at", watermark)
       .dropDuplicatesWithinWatermark(Seq("id"))
 
+  /** ST7: watermarked tumbling-window OHLCV bars over a market stream —
+    * the streaming flavor of `Resample.bars` (`resample('1h')` in
+    * `adi/app/features/backfill/core.py` resample paths). `min_by`/
+    * `max_by` on timestamp give open/close deterministically; the
+    * watermark bounds state and drops rows later than `watermark`. */
+  def windowedBars(stream: DataFrame, barWidth: String = "1 hour",
+                   watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("timestamp", watermark)
+      .groupBy(col("symbol"), window(col("timestamp"), barWidth).as("bar"))
+      .agg(
+        min_by(col("open"), col("timestamp")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("timestamp")).as("close"),
+        sum(col("volume")).as("volume"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("symbol"), col("bar.start").as("bar_ts"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n_ticks"))
+
   // ------------------------------------------------------------------
   // ST3: stateful chunk-carry TA — flatMapGroupsWithState port of
   // StatefulTAProcessor (`adi/app/features/processors/stateful_processor

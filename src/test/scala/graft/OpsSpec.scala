@@ -290,6 +290,29 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall vs exact too low: $recall")
   }
 
+  test("IVF index: probe reads only nProbe cells and finds the planted neighbor") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val vecs = (0 to 200).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 16.0 + j).toFloat))
+    } ++ Seq((999L, Array.tabulate(16)(j => (math.sin(j.toDouble) * 0.99).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    Similarity.writeIvfIndex(df, "embedding", "vec_id", s"$dir/idx", nCells = 8)
+    val out = Similarity.knnIvfIndexed(s"$dir/idx", df, "embedding", "vec_id",
+      queryId = 0L, k = 5, nProbe = 2)
+    val hits = out.collect()
+    // the scaled copy of vec 0 lands in vec 0's cell and ranks first
+    assert(hits.head.getLong(0) == 999L && hits.head.getDouble(1) > 0.999)
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"IVF probe should prune cell partitions:\n${plan.take(1200)}")
+    // recall vs brute force at the same k
+    val brute = Similarity.knnBrute(df, "embedding", "vec_id", 0L, 5)
+      .collect().map(_.getLong(0)).toSet
+    val recall = hits.map(_.getLong(0)).count(brute) / 5.0
+    assert(recall >= 0.4, s"IVF recall@5 too low: $recall")
+  }
+
   test("text stats + lang id + quality are deterministic") {
     val df = Seq((1L, "the quick brown fox the end"), (2L, "der und das ist ein test"))
       .toDF("doc_id", "text")

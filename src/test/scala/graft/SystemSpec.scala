@@ -207,6 +207,27 @@ class SystemSpec extends SparkSpec {
       col("close") === expected).count() >= 1)
   }
 
+  test("streaming windowed bars: tumbling OHLCV over the ticker stream (ST7)") {
+    val raw = spark.readStream
+      .format(classOf[graft.streaming.TickerSourceProvider].getName)
+      .option("symbols", "BTC-USDT").option("startEpochSec", "1704067200")
+      .option("stepSec", "60").option("barsPerBatch", "120").option("maxBars", "120")
+      .load()
+    val q = StreamingPipelines.windowedBars(raw, "1 hour")
+      .writeStream.format("memory").queryName("stream_bars")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val bars = spark.table("stream_bars").orderBy("bar_ts").collect()
+    assert(bars.length == 2) // 120 one-minute ticks = two hourly bars
+    val expectedHigh = (0L until 60L)
+      .map(i => graft.streaming.TickerSource.bar("BTC-USDT", i)._2).max
+    assert(bars.head.getAs[Long]("n_ticks") == 60)
+    assert(math.abs(bars.head.getAs[Double]("high") - expectedHigh) < 1e-12)
+    // open of the first bar is tick 0's open (min_by timestamp)
+    assert(bars.head.getAs[Double]("open") ==
+      graft.streaming.TickerSource.bar("BTC-USDT", 0L)._1)
+  }
+
   test("scheduler: two ticks of a cadenced backfill fill a temp store (ST4/ST8)") {
     val store = new FeatureStore(spark, tmp())
     val full = ohlcvRamp(30)
