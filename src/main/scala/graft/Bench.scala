@@ -55,12 +55,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    import org.apache.spark.sql.functions.{col => c, sum => fsum}
+    /** Fixed CPU-bound probe with a constant cost (~0.2 s clean): its
+      * wall time is a machine-health index that needs no host metrics.
+      * Degradation windows here slow the guest 10–50× while steal AND
+      * /proc/pressure stay near zero (hypervisor throttling is invisible
+      * from inside) — a slow probe next to a slow query says "machine",
+      * a fast probe says "plan". Warmed up once so JIT isn't measured. */
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(50000000L).select(fsum(c("id") % 7L)).head
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // JIT/codegen warm-up for the probe itself
+
     val stealStart = stealJiffies()
     val names = SparkEntry.queries.keys.toSeq
-    val runs = scala.collection.mutable.Map.empty[String, List[(Double, Long, Long)]]
+    val runs = scala.collection.mutable.Map.empty[String, List[(Double, Long, Long, Double)]]
       .withDefaultValue(Nil)
     (1 to reps).foreach { pass =>
       SparkEntry.queries.foreach { case (name, fn) =>
+        val calib = calibrate()
         val s0 = stealJiffies()
         val p0 = psiCpuUs()
         val t0 = System.nanoTime()
@@ -69,9 +85,9 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         // isolate queries: drop persisted frames some operators pin
         spark.catalog.clearCache()
-        runs(name) = runs(name) :+ ((sec, stealJiffies() - s0, psiCpuUs() - p0))
+        runs(name) = runs(name) :+ ((sec, stealJiffies() - s0, psiCpuUs() - p0, calib))
         System.err.println(f"[bench] pass$pass $name $sec%.1fs " +
-          s"(steal ${stealJiffies() - s0} jf)")
+          f"(steal ${stealJiffies() - s0} jf, calib $calib%.2fs)")
       }
     }
     def jmap(kv: Iterable[(String, String)]): String =
@@ -80,12 +96,15 @@ object Bench {
     val qs = jmap(names.map(n => n -> best(n)._1.toString))
     val steal = jmap(names.map(n => n -> best(n)._2.toString))
     val psi = jmap(names.map(n => n -> best(n)._3.toString))
+    val calib = jmap(names.map(n => n -> best(n)._4.toString))
     val repsJson = jmap(names.map(n =>
-      n -> runs(n).map { case (s, j, p) => s"[$s,$j,$p]" }.mkString("[", ",", "]")))
+      n -> runs(n).map { case (s, j, p, cal) => s"[$s,$j,$p,$cal]" }
+        .mkString("[", ",", "]")))
     val total = names.map(best(_)._1).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""steal_jiffies":$steal,"psi_cpu_us":$psi,"reps":$repsJson,""" +
-      s""""steal_total":${stealJiffies() - stealStart},"n_reps":$reps,"sf":"$sfDir"}""")
+      s""""steal_jiffies":$steal,"psi_cpu_us":$psi,"calib_sec":$calib,""" +
+      s""""reps":$repsJson,"steal_total":${stealJiffies() - stealStart},""" +
+      s""""n_reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -99,11 +99,13 @@ object Dedup {
       b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b))
 
   /** MinHash-LSH near-duplicate pairs, verified with exact shingle
-    * Jaccard. Signature build as above → posexplode band keys → self
-    * equi-join on the band bucket (shuffle on a 16-byte key; never a
-    * cross join) → distinct candidate pairs → exact-Jaccard verification
-    * computed from the raw texts as a pure projection (candidates are
-    * few; no shingle arrays are shuffled). */
+    * Jaccard. k permutation hashes per shingle hash → k-way min
+    * aggregation (map-side combine; the shuffle carries one k·8-byte
+    * signature per doc) → posexplode band keys → self equi-join on the
+    * band bucket (shuffle on a 16-byte key; never a cross join) →
+    * distinct candidate pairs → exact-Jaccard verification by overlap
+    * counting on the hash postings (candidates are few; no shingle
+    * strings are ever shuffled). */
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                           threshold: Double = 0.8): DataFrame = {

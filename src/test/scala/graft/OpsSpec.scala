@@ -249,6 +249,19 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall@5 vs brute force too low: $recall")
   }
 
+  test("minhash ≡ exact similarity join on the real documents table (sf0.001)") {
+    // cross-engine signal for the no-oracle q_minhash_neardup: on real
+    // testdata the verified minhash pairs must equal the exact join's
+    // pairs whenever banding recall is ~1 (s ≥ τ ⇒ P(miss) ≈ 1e-4)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs(Dedup.jaccardSimilarityJoin(docs, "text", "doc_id", 3, 0.8))
+    val mh = pairs(Dedup.minhashNearDupPairs(docs, "text", "doc_id", 3, 64, 16, 0.8))
+    assert(exact.nonEmpty, "fixture should contain near-dup documents")
+    assert(mh == exact, s"minhash != exact: missing=${exact -- mh} extra=${mh -- exact}")
+  }
+
   test("minhash pairs are a verified subset of the exact similarity join") {
     // 20 distinct base docs + 8 planted near-dups (2 of 40 tokens changed)
     val base = (0 until 20).map { i =>
