@@ -21,8 +21,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Cumulative steal jiffies — `/proc/stat` aggregate cpu line, field 8.
-    * -1 if unreadable. */
-  private def stealJiffies(): Long =
+    * -1 if unreadable. Shared with the graft.tools profilers so the parse
+    * (and its short-line guard) can't drift between copies. */
+  private[graft] def stealJiffies(): Long =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try src.getLines().find(_.startsWith("cpu ")) match {
@@ -52,6 +53,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same session semantics Verify green-lights: timing a query that
+      // computes different rows than the verified one would be meaningless
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -74,36 +78,48 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq
     val runs = scala.collection.mutable.Map.empty[String, List[(Double, Long, Long, Double)]]
       .withDefaultValue(Nil)
+    val errors = scala.collection.mutable.Map.empty[String, String]
     (1 to reps).foreach { pass =>
       SparkEntry.queries.foreach { case (name, fn) =>
         val calib = calibrate()
         val s0 = stealJiffies()
         val p0 = psiCpuUs()
         val t0 = System.nanoTime()
+        var failed = false
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          failed = true
+          errors(name) = e.toString.replaceAll("[\"\\\\\\n\\r]", " ").take(200)
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
         val sec = (System.nanoTime() - t0) / 1e9
         // isolate queries: drop persisted frames some operators pin
         spark.catalog.clearCache()
-        runs(name) = runs(name) :+ ((sec, stealJiffies() - s0, psiCpuUs() - p0, calib))
+        // a failing rep must never enter best-of-N — a quickly-crashing
+        // query would otherwise "improve" the suite total
+        if (!failed)
+          runs(name) = runs(name) :+ ((sec, stealJiffies() - s0, psiCpuUs() - p0, calib))
         System.err.println(f"[bench] pass$pass $name $sec%.1fs " +
-          f"(steal ${stealJiffies() - s0} jf, calib $calib%.2fs)")
+          f"(steal ${stealJiffies() - s0} jf, calib $calib%.2fs)" +
+          (if (failed) " FAILED" else ""))
       }
     }
     def jmap(kv: Iterable[(String, String)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val best = names.map(n => n -> runs(n).minBy(_._1)).toMap
-    val qs = jmap(names.map(n => n -> best(n)._1.toString))
-    val steal = jmap(names.map(n => n -> best(n)._2.toString))
-    val psi = jmap(names.map(n => n -> best(n)._3.toString))
-    val calib = jmap(names.map(n => n -> best(n)._4.toString))
-    val repsJson = jmap(names.map(n =>
+    val ok = names.filter(runs(_).nonEmpty)
+    val best = ok.map(n => n -> runs(n).minBy(_._1)).toMap
+    val qs = jmap(ok.map(n => n -> best(n)._1.toString))
+    val steal = jmap(ok.map(n => n -> best(n)._2.toString))
+    val psi = jmap(ok.map(n => n -> best(n)._3.toString))
+    val calib = jmap(ok.map(n => n -> best(n)._4.toString))
+    val repsJson = jmap(ok.map(n =>
       n -> runs(n).map { case (s, j, p, cal) => s"[$s,$j,$p,$cal]" }
         .mkString("[", ",", "]")))
-    val total = names.map(best(_)._1).sum
+    val errJson = jmap(errors.toSeq.sortBy(_._1)
+      .map { case (n, m) => n -> ("\"" + m + "\"") })
+    val total = ok.map(best(_)._1).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""steal_jiffies":$steal,"psi_cpu_us":$psi,"calib_sec":$calib,""" +
-      s""""reps":$repsJson,"steal_total":${stealJiffies() - stealStart},""" +
+      s""""reps":$repsJson,"errors":$errJson,""" +
+      s""""steal_total":${stealJiffies() - stealStart},""" +
       s""""n_reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -88,12 +88,33 @@ object Scheduler {
   val IngestIntervalSec = 60L
   val TtlSweepIntervalSec = 900L
 
+  /** One tick of the file-drop ingest edge: consume any raw CCXT payload
+    * files dropped into `dropPath` (the same socket stand-in the streaming
+    * layer uses), append them to the lake, then delete the consumed files
+    * so the next tick is incremental. Returns rows ingested. */
+  def ingestDropsOnce(spark: SparkSession, dropPath: String, exchange: String,
+                      symbol: String, timeframe: String, lakePath: String): Long = {
+    val dir = new org.apache.hadoop.fs.Path(dropPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0L
+    val files = fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+      .filterNot(_.getName.startsWith(".")) // skip in-flight temp files
+    if (files.isEmpty) return 0L
+    val raw = spark.read.json(files.map(_.toString).toIndexedSeq: _*)
+    val n = ingestOnce(raw, exchange, symbol, timeframe, lakePath)
+    files.foreach(p => fs.delete(p, false))
+    n
+  }
+
   /** Thin operational main: `Scheduler <storePath> <lakePath> <symbol>
-    * <timeframe> [lookbackMinutes] [ttlDays]` — wires the three cadenced
-    * jobs against a live store the way the compose file wires the
-    * scheduler sidecar. The fetch/payload edges are connector inputs; this
-    * main reads file-drop directories next to the lake (the same stand-in
-    * the streaming layer uses for sockets). */
+    * <timeframe> [lookbackMinutes] [ttlDays] [exchange] [dropPath]` —
+    * wires the three cadenced jobs (ingest / backfill / TTL sweep) against
+    * a live store the way the compose file wires the scheduler sidecar.
+    * The fetch/payload edges are connector inputs; raw payloads arrive as
+    * file drops in `dropPath` (default `<lakePath>_drops`, the same
+    * stand-in the streaming layer uses for sockets). Backfill reads the
+    * lake the ingest job populates and degrades to an empty fetch while
+    * the lake is still empty instead of failing its tick. */
   def main(args: Array[String]): Unit = {
     val storePath = args(0)
     val lakePath = args(1)
@@ -102,17 +123,28 @@ object Scheduler {
     val lookback = if (args.length > 4) args(4).toInt else 15
     val ttlDays = if (args.length > 5) args(5).toInt else 30
     val exchange = if (args.length > 6) args(6) else "binance"
+    val dropPath = if (args.length > 7) args(7) else s"${lakePath}_drops"
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     val store = new FeatureStore(spark, storePath)
+    def lakeExists(): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(lakePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
     val fetch: (Long, Long) => DataFrame = (lo, hi) =>
-      LakeWriter.read(spark, lakePath,
+      if (!lakeExists())
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          graft.types.Schemas.MARKET)
+      else LakeWriter.read(spark, lakePath,
           Map("exchange" -> exchange, "symbol" -> symbol))
         .filter(unix_timestamp(col("timestamp")).between(lo, hi))
     val queries = Seq(
+      schedule(spark, s"ingest:$exchange:$symbol", IngestIntervalSec) { _ =>
+        ingestDropsOnce(spark, dropPath, exchange, symbol, timeframe, lakePath); ()
+      },
       schedule(spark, s"backfill:$symbol:$timeframe", BackfillIntervalSec) { _ =>
         backfillOnce(spark, store, symbol, timeframe, lookback, fetch); ()
       },

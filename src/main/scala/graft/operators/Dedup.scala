@@ -242,8 +242,15 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, blockKeys: Seq[String], textCol: String,
                         idCol: String, shingleN: Int = 3,
                         threshold: Double = 0.8): DataFrame = {
-    val base = df.select((blockKeys.map(col) :+ col(idCol).as("id") :+
-      shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("sh")): _*)
+    // tokenize BELOW an exchange boundary so the shingle lambda sees a
+    // materialized array attribute (the CAUTION on `shingles`: an inline
+    // tokenizer re-evaluates per shingle element, interpreted)
+    val base = df
+      .select((blockKeys.map(col) :+ col(idCol).as("id") :+
+        TextAnalysis.tokens(col(textCol)).as("toks")): _*)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select((blockKeys.map(col) :+ col("id") :+
+        shingles(col("toks"), shingleN).as("sh")): _*)
     base.as("a")
       .join(base.as("b"),
         blockKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&

@@ -72,7 +72,11 @@ object Relational {
     * deterministic salt in [0, saltBuckets), the small side is
     * replicated once per salt value, and the join key becomes
     * (keys, salt) — a hot key's rows spread over `saltBuckets` reducers
-    * instead of one. Result is row-identical to the unsalted join.
+    * instead of one. Result is row-identical to the unsalted join for
+    * join types that preserve each small-side row at most once per big
+    * match (inner/left/semi/anti on the big side); right and full outer
+    * are rejected — replication would emit `saltBuckets` null-padded
+    * copies of an unmatched small-side row.
     * The salt hashes the whole row (a monotonic id would break
     * determinism under task retries). Use when AQE's skew split can't
     * apply (shuffled-hash joins, bucketed tables) — broadcast the small
@@ -80,6 +84,10 @@ object Relational {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(!Set("right", "rightouter", "full", "fullouter", "outer").contains(jt),
+      s"saltedJoin cannot preserve $joinType semantics: unmatched small-side " +
+        "rows would appear once per salt bucket; salt the other side instead")
     val saltedBig = big.withColumn("_salt",
       pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(saltBuckets.toLong)))
     val replicated = small.withColumn("_salt",

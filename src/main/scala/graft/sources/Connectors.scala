@@ -149,7 +149,9 @@ object Connectors {
     def normalize(raw: DataFrame): DataFrame = {
       if (!raw.columns.contains("tweets")) return emptyOf(raw.sparkSession, Schemas.SOCIAL)
       val tw = raw.select(explode(col("tweets")).as("t")).select(col("t.*"))
-      val hasProbs = tw.columns.contains("p_pos")
+      // both probabilities must be present; a payload carrying only one
+      // is unscored and falls back to the inference stage
+      val hasProbs = tw.columns.contains("p_pos") && tw.columns.contains("p_neg")
       val baseCols = Seq(
         to_timestamp(col("created_at")).as("ts"),
         col("id").cast("string").as("id"),

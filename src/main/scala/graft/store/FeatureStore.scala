@@ -77,10 +77,21 @@ class FeatureStore(spark: SparkSession, basePath: String) {
         // batch touches (a driver-side partition list, not data) and read
         // only those — never a full-table listing (round-1 verdict #4).
         val f = fs()
+        // directory names must use Spark's own partition-path escaping
+        // (and the Hive null convention) or values containing escaped
+        // characters would miss their real directory here and the dynamic
+        // overwrite below would drop the old rows
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        def seg(name: String, v: Any): String = {
+          val value =
+            if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+            else ExternalCatalogUtils.escapePathName(v.toString)
+          s"${ExternalCatalogUtils.escapePathName(name)}=$value"
+        }
         val affectedPaths = incoming.select(partCols.map(col): _*).distinct()
           .collect()
           .map(r => partCols.indices
-            .map(i => s"${partCols(i)}=${r.get(i)}").mkString("/"))
+            .map(i => seg(partCols(i), r.get(i))).mkString("/"))
           .map(rel => new org.apache.hadoop.fs.Path(basePath, rel))
           .filter(f.exists)
         if (affectedPaths.isEmpty) incoming

@@ -124,12 +124,22 @@ class TickerMicroBatchStream(options: CaseInsensitiveStringMap) extends MicroBat
   // virtual-time watermark: advances per poll, capped at maxBars
   private val highWater = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** A fresh stream instance starts at 0; on restart Spark hands back the
+    * checkpointed offsets via deserializeOffset/commit, and the watermark
+    * must never regress below them or committed bar ranges would replay. */
+  private def advanceTo(barIdx: Long): Unit =
+    highWater.updateAndGet(w => math.max(w, math.min(barIdx, maxBars)))
+
   override def initialOffset(): Offset = TickerOffset(0L)
 
   override def latestOffset(): Offset =
     TickerOffset(highWater.updateAndGet(w => math.min(w + barsPerBatch, maxBars)))
 
-  override def deserializeOffset(json: String): Offset = TickerOffset.fromJson(json)
+  override def deserializeOffset(json: String): Offset = {
+    val o = TickerOffset.fromJson(json)
+    advanceTo(o.barIdx)
+    o
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[TickerOffset].barIdx
@@ -160,6 +170,7 @@ class TickerMicroBatchStream(options: CaseInsensitiveStringMap) extends MicroBat
       }
     }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    advanceTo(end.asInstanceOf[TickerOffset].barIdx)
   override def stop(): Unit = ()
 }

@@ -6,12 +6,7 @@ import org.apache.spark.sql.SparkSession
   * smallest reproduction of a bench number (`runMain graft.tools.OneQuery
   * q_name [reps]`, SPARK_GRAFT_SF_DIR selects the scale). */
 object OneQuery {
-  private def steal(): Long =
-    try {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      try src.getLines().find(_.startsWith("cpu ")).map(_.trim.split("\\s+")(8).toLong).getOrElse(-1L)
-      finally src.close()
-    } catch { case _: Throwable => -1L }
+  private def steal(): Long = graft.Bench.stealJiffies()
 
   def main(args: Array[String]): Unit = {
     val name = args(0)
@@ -20,6 +15,7 @@ object OneQuery {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -51,6 +51,12 @@ class OpsSpec extends SparkSpec {
     val plainLeft = big.join(small, Seq("k"), "left")
     val saltedLeft = Relational.saltedJoin(big, small, Seq("k"), 8, "left")
     assert(sorted(saltedLeft) == sorted(plainLeft))
+    // right/full outer would emit one null-padded copy of an unmatched
+    // small-side row per salt bucket — rejected, not silently wrong
+    Seq("right", "full", "full_outer").foreach { jt =>
+      intercept[IllegalArgumentException](
+        Relational.saltedJoin(big, small, Seq("k"), 8, jt))
+    }
   }
 
   test("exact dedup keeps min id and counts copies") {

@@ -305,4 +305,60 @@ class SystemSpec extends SparkSpec {
     assert(spark.table("news_out").select("id").distinct().count() ==
       spark.table("news_out").count()) // no duplicate ids surfaced
   }
+
+  test("ticker source never regresses below a checkpoint-restored offset") {
+    import graft.streaming.TickerSource.TickerOffset
+    def stream() = new graft.streaming.TickerMicroBatchStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("barsPerBatch", "30", "maxBars", "90")))
+    // restart path 1: Spark re-reads the checkpointed offset log
+    val s1 = stream()
+    s1.deserializeOffset("""{"bar":60}""")
+    val next1 = s1.latestOffset().asInstanceOf[TickerOffset].barIdx
+    assert(next1 == 90, s"poll after restore must advance past 60, got $next1")
+    // restart path 2: Spark replays commit() for the last completed batch
+    val s2 = stream()
+    s2.commit(TickerOffset(60L))
+    val next2 = s2.latestOffset().asInstanceOf[TickerOffset].barIdx
+    assert(next2 == 90, s"poll after commit replay must advance past 60, got $next2")
+  }
+
+  test("feature store upsert keeps old rows when partition values need path escaping") {
+    val store = new FeatureStore(spark, tmp())
+    // ':' and ' ' are escaped in partition directory names (timeframe=1%20m%3Ax);
+    // a path built without Spark's escaping misses the dir and the dynamic
+    // overwrite silently drops the previously stored rows
+    def batch(epoch: Long, v: Double) = Seq((epoch, "BTC-USDT", "1 m:x", v))
+      .toDF("e", "symbol", "timeframe", "value")
+      .select(timestamp_seconds(col("e")).as("timestamp"), col("symbol"),
+        col("timeframe"), col("value"), lit(null).cast("string").as("dt"))
+    val base = java.time.Instant.parse("2025-08-01T00:00:00Z").getEpochSecond
+    store.upsert(batch(base, 1.0), "market", writeSeq = 1)
+    store.upsert(batch(base + 60, 2.0), "market", writeSeq = 2)
+    val rows = store.rangeRead("market", "BTC-USDT", "1 m:x", base, base + 120)
+    assert(rows.count() == 2, "second upsert must merge, not replace, the escaped partition")
+  }
+
+  test("scheduler ingest tick consumes file drops into the lake exactly once") {
+    val lake = tmp() + "/lake"
+    val drops = tmp()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(drops, "drop1.json"),
+      """{"ohlcv": [[1704067200000, 1.0, 2.0, 0.5, 1.5, 10.0], [1704067260000, 1.5, 2.5, 1.0, 2.0, 11.0]]}""")
+    val n1 = Scheduler.ingestDropsOnce(spark, drops, "binance", "BTC/USDT", "1m", lake)
+    assert(n1 == 2, s"first tick should ingest the dropped bars, got $n1")
+    assert(LakeWriter.read(spark, lake, Map("symbol" -> "BTC_USDT")).count() == 2)
+    // consumed drops are deleted: the next tick is a no-op, not a re-append
+    val n2 = Scheduler.ingestDropsOnce(spark, drops, "binance", "BTC/USDT", "1m", lake)
+    assert(n2 == 0 && LakeWriter.read(spark, lake, Map("symbol" -> "BTC_USDT")).count() == 2)
+  }
+
+  test("twitter payload with only one probability column falls back to inference") {
+    // p_pos without p_neg: treating it as scored would fail analysis on
+    // the missing column; the stage must score the text instead
+    val partial = spark.read.json(Seq(
+      """{"tweets": [{"id": "t3", "created_at": "2024-01-01T00:00:00Z", "text": "good good up", "author_id": "a", "retweets": 0, "likes": 0, "p_pos": 0.9}]}"""
+    ).toDS())
+    val scored = Connectors.TwitterSentiment().normalize(partial).head()
+    assert(approx(scored.getAs[Double]("sentiment_score"), 0.6)) // stub model's score
+  }
 }
