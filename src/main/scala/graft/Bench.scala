@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query seconds.
   *
   * Trust mechanisms (round-1 verdict asked for falsifiable numbers):
-  *   - best-of-N timing (`SPARK_GRAFT_BENCH_REPS`, default 2), with the
+  *   - best-of-N timing (`SPARK_GRAFT_BENCH_REPS`, default 3), with the
   *     reps taken as FULL PASSES over the suite rather than back-to-back:
   *     host-noise windows on this box last minutes and degrade whole
   *     stretches of a run (measured: the same query 2.3 s in a fresh JVM
@@ -49,7 +49,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // 3 pass-spaced reps: degradation windows last minutes, so two passes
+    // can both straddle one window; a third ~30 s clean pass is cheap
+    // insurance that best-of-N reflects the plan, not the host
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
