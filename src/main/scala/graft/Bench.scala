@@ -68,11 +68,13 @@ object Bench {
       * wall time is a machine-health index that needs no host metrics.
       * Degradation windows here slow the guest 10–50× while steal AND
       * /proc/pressure stay near zero (hypervisor throttling is invisible
-      * from inside) — a slow probe next to a slow query says "machine",
-      * a fast probe says "plan". Warmed up once so JIT isn't measured. */
+      * from inside) — a slow probe next to a slow query says "machine".
+      * ONE-SIDED: a fast probe does NOT clear a multi-stage query, since
+      * the noise mode stretches inter-stage gaps that one dense stage
+      * never sees (see BASELINE.md). Warmed once so JIT isn't measured. */
     def calibrate(): Double = {
       val t0 = System.nanoTime()
-      spark.range(50000000L).select(fsum(c("id") % 7L)).head
+      spark.range(50000000L).select(fsum(c("id") % 7L)).head()
       (System.nanoTime() - t0) / 1e9
     }
     calibrate() // JIT/codegen warm-up for the probe itself

@@ -174,7 +174,7 @@ object Similarity {
                     nProbe: Int = 4): DataFrame = {
     val spark = df.sparkSession
     val qVecArr = df.filter(col(idCol) === queryId)
-      .select(toDoubleVec(col(vecCol))).head.getSeq[Double](0)
+      .select(toDoubleVec(col(vecCol))).head().getSeq[Double](0)
     val cells = spark.read.parquet(s"$indexPath/centroids")
       .collect()
       .map(r => (r.getAs[Int]("cell"), r.getSeq[Double](1)))
@@ -216,7 +216,7 @@ object Similarity {
       col("table") === lit(t) && col("bucket") === lit(s % IndexBuckets) }
     val pairCond = orChain { case (t, s) =>
       col("table") === lit(t) && col("sig") === lit(s) }
-    val sigIn = col("sig").isin(qSigs.map(_._2).distinct: _*)
+    val sigIn = col("sig").isin(qSigs.map(_._2).distinct.toIndexedSeq: _*)
     val vecs = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
     val qVec = vecs.filter(col("id") === queryId).select(col("v").as("qv"))
     spark.read.parquet(indexPath)

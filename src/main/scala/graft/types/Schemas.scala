@@ -132,7 +132,7 @@ object Schemas {
     val extras =
       if (keepExtra) df.columns.filterNot(schemaNames.contains).map(col)
       else Array.empty[org.apache.spark.sql.Column]
-    df.select(schemaCols ++ extras: _*)
+    df.select((schemaCols ++ extras).toIndexedSeq: _*)
   }
 
   /** Strict validation: fail fast when a column exists with an
