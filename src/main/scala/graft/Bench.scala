@@ -93,7 +93,7 @@ object Bench {
         var failed = false
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           failed = true
-          errors(name) = e.toString.replaceAll("[\"\\\\\\n\\r]", " ").take(200)
+          errors(name) = e.toString.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
         val sec = (System.nanoTime() - t0) / 1e9
         // isolate queries: drop persisted frames some operators pin
@@ -120,8 +120,13 @@ object Bench {
         .mkString("[", ",", "]")))
     val errJson = jmap(errors.toSeq.sortBy(_._1)
       .map { case (n, m) => n -> ("\"" + m + "\"") })
+    // a query failing EVERY rep leaves `queries`, which would shrink
+    // `value` and read as a speedup — flag it front and center
+    val allFailed = names.filterNot(ok.contains)
+    val failedJson = allFailed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(best(_)._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""failed_queries":$failedJson,"queries":$qs,""" +
       s""""steal_jiffies":$steal,"psi_cpu_us":$psi,"calib_sec":$calib,""" +
       s""""reps":$repsJson,"errors":$errJson,""" +
       s""""steal_total":${stealJiffies() - stealStart},""" +

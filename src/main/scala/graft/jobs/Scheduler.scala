@@ -63,13 +63,19 @@ object Scheduler {
 
   /** One ingest run — `run_market_ingest_job` (`scheduler/main.py:231-244`,
     * POST `/ingest/market/{exchange}`): normalize the connector payload and
-    * append it to the market lake. */
+    * append it to the market lake. The normalized frame is pinned so the
+    * row count doesn't re-execute the parse pipeline after the write. */
   def ingestOnce(raw: DataFrame, exchange: String, symbol: String,
                  timeframe: String, lakePath: String): Long = {
-    val normalized = Connectors.CcxtOhlcv(symbol, exchange, timeframe).normalize(raw)
-    LakeWriter.write(normalized, lakePath, Schemas.MARKET, "timestamp",
-      partitions = Seq("exchange", "symbol", "dt"))
-    normalized.count()
+    val normalized = Connectors.CcxtOhlcv(symbol, exchange, timeframe)
+      .normalize(raw).cache()
+    try {
+      val n = normalized.count()
+      if (n > 0) // an all-malformed payload must not create an empty lake dir
+        LakeWriter.write(normalized, lakePath, Schemas.MARKET, "timestamp",
+          partitions = Seq("exchange", "symbol", "dt"))
+      n
+    } finally normalized.unpersist()
   }
 
   /** One TTL sweep — `run_ttl_sweep_job` (`scheduler/main.py:220-229`):
@@ -91,7 +97,14 @@ object Scheduler {
   /** One tick of the file-drop ingest edge: consume any raw CCXT payload
     * files dropped into `dropPath` (the same socket stand-in the streaming
     * layer uses), append them to the lake, then delete the consumed files
-    * so the next tick is incremental. Returns rows ingested. */
+    * so the next tick is incremental.
+    *
+    * Delivery is AT-LEAST-ONCE, like the reference's ingest POST: a crash
+    * (or a failed delete, which is logged and retried next tick) between
+    * the lake append and the drop deletion re-appends those bars. The
+    * feature path is insulated by the store's last-write-wins upsert;
+    * a consumer of the raw lake dedupes with `Relational.lastWriteWins`.
+    * Returns rows ingested. */
   def ingestDropsOnce(spark: SparkSession, dropPath: String, exchange: String,
                       symbol: String, timeframe: String, lakePath: String): Long = {
     val dir = new org.apache.hadoop.fs.Path(dropPath)
@@ -102,9 +115,31 @@ object Scheduler {
     if (files.isEmpty) return 0L
     val raw = spark.read.json(files.map(_.toString).toIndexedSeq: _*)
     val n = ingestOnce(raw, exchange, symbol, timeframe, lakePath)
-    files.foreach(p => fs.delete(p, false))
+    files.foreach { p =>
+      if (!fs.delete(p, false) && fs.exists(p))
+        System.err.println(s"[job] ingest: could not delete consumed drop $p; " +
+          "its rows will re-append next tick (at-least-once)")
+    }
     n
   }
+
+  /** Backfill's fetch edge over the ingest-populated lake. The lake
+    * writer sanitizes partition values (BTC/USDT → BTC_USDT), so the read
+    * filter compares against the SANITIZED symbol — filtering on the raw
+    * CLI symbol would never match what ingest wrote — and the symbol
+    * column is restored to the raw form afterwards so the store's
+    * canonical key (BTC-USDT) doesn't fork from planMissing's reads. An
+    * empty or zero-row lake (dir exists, no parquet yet) degrades to an
+    * empty fetch instead of failing every backfill tick. */
+  def lakeFetch(spark: SparkSession, lakePath: String, exchange: String,
+                symbol: String)(lo: Long, hi: Long): DataFrame =
+    try LakeWriter.read(spark, lakePath, Map("exchange" -> exchange))
+      .filter(col("symbol") === TimeNorm.sanitizePartitionValue(lit(symbol)) &&
+        unix_timestamp(col("timestamp")).between(lo, hi))
+      .withColumn("symbol", lit(symbol))
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.types.Schemas.MARKET) }
 
   /** Thin operational main: `Scheduler <storePath> <lakePath> <symbol>
     * <timeframe> [lookbackMinutes] [ttlDays] [exchange] [dropPath]` —
@@ -130,17 +165,7 @@ object Scheduler {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     val store = new FeatureStore(spark, storePath)
-    def lakeExists(): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(lakePath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
-    val fetch: (Long, Long) => DataFrame = (lo, hi) =>
-      if (!lakeExists())
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          graft.types.Schemas.MARKET)
-      else LakeWriter.read(spark, lakePath,
-          Map("exchange" -> exchange, "symbol" -> symbol))
-        .filter(unix_timestamp(col("timestamp")).between(lo, hi))
+    val fetch: (Long, Long) => DataFrame = lakeFetch(spark, lakePath, exchange, symbol)
     val queries = Seq(
       schedule(spark, s"ingest:$exchange:$symbol", IngestIntervalSec) { _ =>
         ingestDropsOnce(spark, dropPath, exchange, symbol, timeframe, lakePath); ()

@@ -339,7 +339,7 @@ class SystemSpec extends SparkSpec {
     assert(rows.count() == 2, "second upsert must merge, not replace, the escaped partition")
   }
 
-  test("scheduler ingest tick consumes file drops into the lake exactly once") {
+  test("scheduler ingest tick deletes consumed drops so the next tick is a no-op") {
     val lake = tmp() + "/lake"
     val drops = tmp()
     java.nio.file.Files.writeString(java.nio.file.Paths.get(drops, "drop1.json"),
@@ -350,6 +350,31 @@ class SystemSpec extends SparkSpec {
     // consumed drops are deleted: the next tick is a no-op, not a re-append
     val n2 = Scheduler.ingestDropsOnce(spark, drops, "binance", "BTC/USDT", "1m", lake)
     assert(n2 == 0 && LakeWriter.read(spark, lake, Map("symbol" -> "BTC_USDT")).count() == 2)
+  }
+
+  test("scheduler e2e: slash-form symbol survives ingest → lake fetch → store fill") {
+    // the lake partitions as BTC_USDT, the store keys as BTC-USDT; the
+    // fetch edge must bridge both or backfill silently fetches 0 forever
+    val lake = tmp() + "/lake"
+    val drops = tmp()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(drops, "d.json"),
+      """{"ohlcv": [[1704067200000, 1.0, 2.0, 0.5, 1.5, 10.0], [1704067260000, 1.5, 2.5, 1.0, 2.0, 11.0]]}""")
+    assert(Scheduler.ingestDropsOnce(spark, drops, "binance", "BTC/USDT", "1m", lake) == 2)
+    val lo = 1704067200L
+    val fetched = Scheduler.lakeFetch(spark, lake, "binance", "BTC/USDT")(lo, lo + 60)
+    assert(fetched.count() == 2, "sanitized-symbol filter must match the lake partitions")
+    assert(fetched.select("symbol").head().getString(0) == "BTC/USDT",
+      "fetch must restore the raw symbol for the store's canonical key")
+    // zero-row/fresh lake degrades to empty, not AnalysisException
+    assert(Scheduler.lakeFetch(spark, tmp() + "/nolake", "binance", "BTC/USDT")(lo, lo + 60)
+      .count() == 0)
+    // and the full backfill tick lands features under the canon store key
+    val store = new FeatureStore(spark, tmp())
+    Scheduler.backfillOnce(spark, store, "BTC/USDT", "1m", lookbackMinutes = 1,
+      fetch = Scheduler.lakeFetch(spark, lake, "binance", "BTC/USDT"),
+      nowEpochSec = lo + 60)
+    assert(store.rangeRead("market", "BTC-USDT", "1m", lo, lo + 60).count() > 0,
+      "backfilled bars must be readable under the canonical store key")
   }
 
   test("twitter payload with only one probability column falls back to inference") {
