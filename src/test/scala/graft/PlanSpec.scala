@@ -72,6 +72,32 @@ class PlanSpec extends SparkSpec {
       s"query side not broadcast:\n${plan.take(1500)}")
   }
 
+  test("feature-store range read prunes on the key partition columns") {
+    // the Redis ZSET index re-expressed as layout: a point/range read must
+    // reach the scan as PartitionFilters on (domain, symbol, timeframe) —
+    // a filter evaluated post-scan would list/read the whole store at scale
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan").toString
+    val store = new graft.store.FeatureStore(spark, dir)
+    store.upsert(graft.features.MarketFeatures.build(ohlcvRamp(10)), "market", 1L)
+    val base = java.time.Instant.parse("2025-08-01T00:00:00Z").getEpochSecond
+    val plan = planOf(store.rangeRead("market", "BTC-USDT", "1m", base, base + 600))
+    val pf = "PartitionFilters: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(Seq("domain", "symbol", "timeframe").forall(pf.contains),
+      s"store key filters not applied as partition filters: $pf")
+  }
+
+  test("lake fetch filters reach the partition listing, not a post-scan filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan").toString
+    graft.sources.LakeWriter.write(ohlcvRamp(10), dir, graft.types.Schemas.MARKET,
+      "timestamp", partitions = Seq("exchange", "symbol", "dt"))
+    val plan = planOf(graft.jobs.Scheduler.lakeFetch(spark, dir, "binance", "BTC/USDT")(
+      java.time.Instant.parse("2025-08-01T00:00:00Z").getEpochSecond,
+      java.time.Instant.parse("2025-08-01T01:00:00Z").getEpochSecond))
+    val pf = "PartitionFilters: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(pf.contains("exchange") && pf.contains("symbol"),
+      s"lake fetch must prune exchange/symbol partitions: $pf")
+  }
+
   test("near-dup pipelines contain no interpreted per-pair lambdas in joins") {
     // the dot product must be the codegen graft_dot expression, never a
     // zip_with/aggregate fold (round-1 scale-killer #2)
