@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Dedup, Relational}
+import graft.time.TimeNorm
+
+/** Randomized invariant specs. Each property generates a batch of random
+  * cases with ScalaCheck generators (fixed seed — CI determinism) and
+  * verifies the invariant over the whole batch in ONE Spark job, instead
+  * of a job per sample. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Materialize `n` samples from a Gen with a fixed seed. */
+  private def samples[T](g: Gen[T], n: Int): List[T] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(42L))
+      .getOrElse(fail("generator exhausted"))
+
+  test("epoch heuristics: seconds and milliseconds forms agree (any sane instant)") {
+    // scalar threshold (epochToTimestamp) and column-median
+    // (epochColumnToTimestamp) must both map e and e*1000 to the instant e
+    val epochs = samples(Gen.choose(1262304000L, 4102444800L), 300) // 2010..2100
+    val df = epochs.toDF("e").cache()
+    val scalar = df.select(
+        TimeNorm.epochToTimestamp(col("e")).as("fromSec"),
+        TimeNorm.epochToTimestamp(col("e") * 1000).as("fromMs"))
+      .filter(col("fromSec") =!= col("fromMs"))
+    assert(scalar.count() == 0, "scalar heuristic disagrees between units")
+    val colSec = TimeNorm.epochColumnToTimestamp(df, "e", "ts")
+    val colMs = TimeNorm.epochColumnToTimestamp(
+      df.select((col("e") * 1000).as("e")), "e", "ts")
+    assert(colSec.select("ts").except(colMs.select("ts")).count() == 0,
+      "column-median heuristic disagrees between units")
+    df.unpersist()
+  }
+
+  test("floorEpoch: idempotent, ≤ input, step-aligned, within one step") {
+    val df = samples(Gen.choose(0L, 4102444800L), 300).toDF("e").cache()
+    for (step <- Seq(1L, 30L, 60L, 300L, 3600L, 86400L, 604800L)) {
+      val bad = df.select(col("e"), TimeNorm.floorEpoch(col("e"), step).as("f"))
+        .filter(col("f") > col("e") || col("f") % step =!= 0 ||
+          col("e") - col("f") >= step ||
+          TimeNorm.floorEpoch(col("f"), step) =!= col("f")) // idempotence
+      assert(bad.count() == 0,
+        s"floor invariant violated at step=$step: ${bad.head(3).toSeq}")
+    }
+    df.unpersist()
+  }
+
+  test("jaccard: reflexive = 1, symmetric, bounded in [0, 1]") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val text = Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val docs = samples(Gen.zip(text, text), 150).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "ta", "tb")
+      .repartition(4)
+      .select(col("id"),
+        Dedup.shingles(split(col("ta"), " "), 3).as("sa"),
+        Dedup.shingles(split(col("tb"), " "), 3).as("sb"))
+    val bad = docs.select(
+        Dedup.jaccard(col("sa"), col("sa")).as("jaa"),
+        Dedup.jaccard(col("sa"), col("sb")).as("jab"),
+        Dedup.jaccard(col("sb"), col("sa")).as("jba"))
+      .filter(col("jaa") =!= 1.0 || col("jab") =!= col("jba") ||
+        col("jab") < 0.0 || col("jab") > 1.0)
+    assert(bad.count() == 0, s"jaccard invariant violated: ${bad.head(3).toSeq}")
+  }
+
+  test("saltedJoin ≡ plain join for random frames and bucket counts") {
+    val keyGen = Gen.oneOf((1 to 8).map(i => s"k$i"))
+    for (buckets <- Seq(1, 3, 7)) {
+      val big = samples(Gen.zip(keyGen, Gen.choose(0, 1000)), 120).toDF("k", "v")
+      val small = samples(Gen.zip(keyGen, Gen.choose(0, 1000)), 12).toDF("k", "w")
+      def sorted(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "v", "w").orderBy("k", "v", "w").collect().toSeq
+      assert(sorted(Relational.saltedJoin(big, small, Seq("k"), buckets)) ==
+        sorted(big.join(small, Seq("k"))), s"inner mismatch at buckets=$buckets")
+      assert(sorted(Relational.saltedJoin(big, small, Seq("k"), buckets, "left")) ==
+        sorted(big.join(small, Seq("k"), "left")), s"left mismatch at buckets=$buckets")
+    }
+  }
+
+  test("sanitize: no NaN or Infinity survives, finite values pass through") {
+    val vals = Gen.oneOf(
+      Gen.choose(-1e12, 1e12),
+      Gen.oneOf(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity, 0.0, -0.0))
+    val df = samples(vals, 400).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val out = graft.functions.Sanitize.cleanNumbers(df)
+    val survived = out.filter(isnan(col("x")) || col("x") === Double.PositiveInfinity ||
+      col("x") === Double.NegativeInfinity)
+    assert(survived.count() == 0, "NaN/Inf survived sanitize")
+    val finite = df.filter(!isnan(col("x")) &&
+      col("x") =!= Double.PositiveInfinity && col("x") =!= Double.NegativeInfinity)
+    assert(out.filter(col("x").isNotNull).count() == finite.count(),
+      "sanitize dropped or invented finite values")
+  }
+}
