@@ -176,19 +176,41 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket on each of the four 16-bit chunks
-    * (any pair within Hamming ≤ 3 of a 64-bit hash must agree exactly on
-    * at least one chunk — pigeonhole), then verify Hamming ≤ maxHamming. */
+  /** SimHash near-dup pairs, Manku-style combination blocking (Manku,
+    * Jain & Das Sarma, "Detecting Near-Duplicates for Web Crawling",
+    * WWW'07 §3): split the 64-bit fingerprint into `blocks` blocks; a
+    * pair within Hamming ≤ `maxHamming` differs in at most `maxHamming`
+    * blocks, so it agrees EXACTLY on some combination of
+    * `blocks − maxHamming` blocks (pigeonhole) — bucket on every such
+    * combination's concatenated bits, then verify Hamming on the full
+    * fingerprint. Result set is exactly the Hamming-ball join.
+    *
+    * Why combinations instead of bucketing per single block: the bucket
+    * key width drives RANDOM collisions between dissimilar docs. Single
+    * 16-bit chunks (blocks=4 behavior) collide at 2⁻¹⁶ — quadratic
+    * candidate noise at ~10⁹ docs — while blocks=6 keys on ~32 bits
+    * (C(6,3) = 20 tables at 2⁻³² collisions), which is the difference
+    * between an unusable and a linear-ish candidate set at corpus scale.
+    * Table count C(blocks, maxHamming) and per-row explode fan-out grow
+    * with `blocks`; 20 keys × 16 B per row is still a trivial shuffle. */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3, blocks: Int = 6): DataFrame = {
+    require(blocks > maxHamming, "need more blocks than flippable bits")
+    val widths = (0 until blocks).map(j => 64 / blocks + (if (j < 64 % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(j: Int): Column =
+      shiftright(col("sh"), offsets(j)).bitwiseAND(lit((1L << widths(j)) - 1))
+    // one bucket key per combination of (blocks − maxHamming) blocks:
+    // the chosen blocks' bits concatenated into one long (≤ 64 bits)
+    val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
+    val keys = combos.map(c =>
+      c.foldLeft(lit(0L)) { (acc, j) => shiftleft(acc, widths(j)).bitwiseOR(block(j)) })
     val base = simhash64(df, textCol, idCol).withColumnRenamed("simhash", "sh")
-    val chunks = base.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("chunk", "ck")))
-    chunks.as("a")
-      .join(chunks.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+    val buckets = base.select(col("id"), col("sh"),
+      posexplode(array(keys: _*)).as(Seq("table", "bk")))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.table") === col("b.table") && col("a.bk") === col("b.bk") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming64(col("a.sh"), col("b.sh")).as("hamming"))

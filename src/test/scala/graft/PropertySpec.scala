@@ -82,6 +82,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("simhash combination blocking ≡ brute-force Hamming-ball join") {
+    // the pigeonhole blocking is a pure pre-filter: over a random corpus
+    // (with planted near-dups) its verified pairs must equal the cross
+    // join's, for more than one (maxHamming, blocks) shape
+    val word = Gen.oneOf((0 until 40).map(i => s"w$i"))
+    val texts = samples(Gen.listOfN(30, word).map(_.mkString(" ")), 40)
+    val docs = (texts ++ texts.take(12).map(_ + " w0 w1"))  // planted near-dups
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .repartition(4).cache()
+    val sigs = Dedup.simhash64(docs, "text", "doc_id")
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Dedup.hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    for ((k, m) <- Seq((3, 6), (3, 4), (2, 8))) {
+      val expected = pairs(brute.filter(col("hamming") <= k))
+      val got = pairs(Dedup.simhashNearDupPairs(docs, "text", "doc_id", k, m))
+      assert(got == expected,
+        s"(maxHamming=$k, blocks=$m): missing=${expected -- got} extra=${got -- expected}")
+    }
+    docs.unpersist()
+  }
+
   test("sanitize: no NaN or Infinity survives, finite values pass through") {
     val vals = Gen.oneOf(
       Gen.choose(-1e12, 1e12),
