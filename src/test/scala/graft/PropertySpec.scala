@@ -107,6 +107,31 @@ class PropertySpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("prefix-filtered similarity join ≡ brute-force Jaccard over random corpora") {
+    // the PPJoin prefix is a pure pre-filter: over random small-vocab
+    // corpora (repetition makes real near-dups likely) its pairs must
+    // equal a full cross join's at every tested threshold
+    val word = Gen.oneOf((0 until 12).map(i => s"t$i"))
+    val texts = samples(Gen.choose(4, 10).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" "))), 60)
+    val docs = (texts ++ texts.take(15)) // planted exact dups too
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .repartition(4).cache()
+    val sh = Dedup.shingleArrays(docs, "text", "doc_id", 3)
+    val brute = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Dedup.jaccard(col("a.shs"), col("b.shs")).as("jaccard"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (tau <- Seq(0.5, 0.8, 1.0)) {
+      val expected = pairs(brute.filter(col("jaccard") >= tau))
+      val got = pairs(Dedup.jaccardSimilarityJoin(docs, "text", "doc_id", 3, tau))
+      assert(got == expected,
+        s"tau=$tau: missing=${expected -- got} extra=${got -- expected}")
+    }
+    docs.unpersist()
+  }
+
   test("sanitize: no NaN or Infinity survives, finite values pass through") {
     val vals = Gen.oneOf(
       Gen.choose(-1e12, 1e12),
