@@ -109,12 +109,15 @@ class FeatureStore(spark: SparkSession, basePath: String) {
       .drop("_rn")
     // cache the merged view before overwriting the partitions it reads from
     val materialized = deduped.cache()
-    materialized.count()
-    // per-write dynamic overwrite (no session-global conf mutation):
-    // only the partitions present in `merged` are replaced
-    materialized.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCols: _*).parquet(basePath)
+    // an empty batch writes nothing — no empty table dir to trip schema
+    // inference later (`test_pipeline_empty_input_returns_empty_and_no_keys`,
+    // adi tests/features/pipelines/test_market_pipeline.py:67)
+    if (materialized.count() > 0)
+      // per-write dynamic overwrite (no session-global conf mutation):
+      // only the partitions present in `merged` are replaced
+      materialized.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCols: _*).parquet(basePath)
     materialized.unpersist()
   }
 

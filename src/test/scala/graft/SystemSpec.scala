@@ -74,6 +74,18 @@ class SystemSpec extends SparkSpec {
       limit = Int.MaxValue).count() == 0)
   }
 
+  test("empty upsert writes nothing and reads stay empty (test_market_pipeline.py:67)") {
+    val dir = tmp()
+    val store = new FeatureStore(spark, dir)
+    store.upsert(MarketFeatures.build(ohlcvRamp(5)).limit(0), "market", writeSeq = 1L)
+    assert(new java.io.File(dir).listFiles() == null ||
+      new java.io.File(dir).listFiles().isEmpty, "empty batch must not create files")
+    assert(store.rangeRead("market", "BTC-USDT", "1m", 0, 4102444800L).count() == 0)
+    // and a later real upsert still works against the untouched dir
+    store.upsert(MarketFeatures.build(ohlcvRamp(5)), "market", writeSeq = 2L)
+    assert(store.rangeRead("market", "BTC-USDT", "1m", 0, 4102444800L).count() > 0)
+  }
+
   test("connectors: ccxt ohlcv fixture → canonical market frame; malformed → schema-stable empty") {
     val fixture = Seq(
       """{"ohlcv": [[1704067200000, 1.0, 2.0, 0.5, 1.5, 10.0], [1704067260000, 1.5, 2.5, 1.0, 2.0, 11.0]]}"""
