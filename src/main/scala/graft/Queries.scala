@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{windows => W, TaIndicators => TA}
-import graft.operators.{Dedup, Multimodal, Relational, Resample, SentimentScorer, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Resample, SentimentScorer, Similarity, TemporalJoins, TextAnalysis}
 import graft.time.TimeNorm
 
 /** The verifiable operator surface: one entry per SURVEY §2 operator,
@@ -1206,6 +1206,78 @@ object Queries {
     None) // stubbed codec — deterministic but not SQL-expressible
 
   // ------------------------------------------------------------------
+  // Temporal joins (generalization of J4; SURVEY §2.3)
+  // ------------------------------------------------------------------
+
+  /** As-of join: each purchase gets the user's most recent prior click
+    * (equal ts matches). Union+fill plan — one shuffle on user_id, no
+    * candidate-pair blowup (TemporalJoins.asofJoin). The click side is
+    * pre-aggregated to one row per (user_id, ts) so the match is
+    * deterministic in both engines. */
+  private val qAsofJoin = QDef(
+    "q_asof_join",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+        .select(col("user_id"), col("ts").as("click_ts"), col("click_value"))
+      TemporalJoins.asofJoin(purchases, clicks, Seq("user_id"),
+          leftTs = "ts", rightTs = "click_ts",
+          payload = Seq("click_ts", "click_value"))
+        .select(col("event_id"), col("user_id"), micros(col("ts")).as("ts_us"),
+          col("value"), micros(col("click_ts")).as("click_ts_us"),
+          col("click_value"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, ts AS click_ts, max(value) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+             epoch_us(c.click_ts) AS click_ts_us, c.click_value
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      ORDER BY event_id"""))
+
+  /** Range join: clicks attributed to same-user 30-minute error windows.
+    * Bucketized equi-join (TemporalJoins.rangeJoin) — the oracle's
+    * inequality join is the semantics, not the plan. */
+  private val qRangeJoin = QDef(
+    "q_range_join",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val windows = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("window_id"), col("user_id").as("user_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+      TemporalJoins.rangeJoin(clicks, windows, Seq("user_id"),
+          tsCol = "ts", startCol = "w_start", endCol = "w_end",
+          bucketSec = 1800)
+        .select(col("window_id"), col("click_id"),
+          micros(col("ts")).as("ts_us"))
+        .orderBy("window_id", "click_id")
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_id AS click_id, user_id, ts FROM events
+        WHERE event_type = 'click'),
+      w AS (
+        SELECT event_id AS window_id, user_id, ts AS w_start,
+               ts + INTERVAL 30 MINUTE AS w_end
+        FROM events WHERE event_type = 'error')
+      SELECT w.window_id, c.click_id, epoch_us(c.ts) AS ts_us
+      FROM c JOIN w
+        ON c.user_id = w.user_id AND c.ts >= w.w_start AND c.ts < w.w_end
+      ORDER BY window_id, click_id"""))
+
+  // ------------------------------------------------------------------
   // Registry
   // ------------------------------------------------------------------
 
@@ -1214,6 +1286,7 @@ object Queries {
     qPivotStatus, qEventFilter, qResample1h, qBars1d, qRangeRead,
     qLagReturns, qRollingStats, qCumulative, qEma, qMacd, qRsi,
     qGapDaily, qDedupLastWin, qTimeNorm, qJsonExtract, qFfill,
+    qAsofJoin, qRangeJoin,
     qTaTrend, qTaOscillators, qOnchainFeatures, qMarketFeatures,
     qOrderbook, qTrainingMatrix,
     qDedupExact, qTextStats, qLangId, qJaccardNearDup, qMinhashNearDup,

@@ -362,4 +362,89 @@ class OpsSpec extends SparkSpec {
       .groupBy("media_id").count().orderBy("media_id").collect()
     assert(frames.head.getLong(1) == 3) // 0,500,1000 for duration 1000ms
   }
+
+  // ------------------------------------------------------------------
+  // Temporal joins
+  // ------------------------------------------------------------------
+
+  private def ts(sec: Long) =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+
+  test("asofJoin backward: latest prior match, equal-ts match, no-match null") {
+    val left = Seq(("u", ts(100), 1L), ("u", ts(200), 2L), ("u", ts(50), 3L),
+        ("v", ts(100), 4L))
+      .toDF("k", "t", "lid")
+    val right = Seq(("u", ts(90), "a"), ("u", ts(200), "b"), ("w", ts(10), "x"))
+      .toDF("k", "rt", "payload")
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"),
+        leftTs = "t", rightTs = "rt", payload = Seq("rt", "payload"))
+      .orderBy("lid").collect()
+    // lid 1: rt=90 (latest <= 100); lid 2: rt=200 (equal ts matches);
+    // lid 3 and 4: nothing at or before -> null payload
+    assert(out(0).getAs[String]("payload") == "a")
+    assert(out(1).getAs[String]("payload") == "b")
+    assert(out(2).isNullAt(out(2).fieldIndex("payload")))
+    assert(out(3).isNullAt(out(3).fieldIndex("payload")))
+  }
+
+  test("asofJoin forward + tolerance gates distant matches to null") {
+    val left = Seq(("u", ts(100), 1L), ("u", ts(300), 2L)).toDF("k", "t", "lid")
+    val right = Seq(("u", ts(110), "near"), ("u", ts(900), "far")).toDF("k", "rt", "p")
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"),
+        leftTs = "t", rightTs = "rt", payload = Seq("rt", "p"),
+        direction = "forward", toleranceSec = Some(60L))
+      .orderBy("lid").collect()
+    assert(out(0).getAs[String]("p") == "near") // 10s ahead, inside tolerance
+    assert(out(1).isNullAt(out(1).fieldIndex("p"))) // 600s ahead, gated out
+  }
+
+  test("asofJoin: null payload FIELD in the matched row does not fall through") {
+    val left = Seq(("u", ts(100), 1L)).toDF("k", "t", "lid")
+    val right = Seq(("u", ts(50), "old"), ("u", ts(90), null))
+      .toDF("k", "rt", "p")
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"),
+      leftTs = "t", rightTs = "rt", payload = Seq("rt", "p")).collect()
+    // the match is the rt=90 row whose p IS null — not the older "old"
+    assert(out(0).getAs[java.sql.Timestamp]("rt") == ts(90))
+    assert(out(0).isNullAt(out(0).fieldIndex("p")))
+  }
+
+  test("asofJoin ≡ brute-force inequality join + row_number (random frames)") {
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 300).map(i =>
+      (s"k${rnd.nextInt(5)}", ts(rnd.nextInt(1000).toLong), i.toLong))
+      .toDF("k", "t", "lid")
+    // distinct (k, rt) pairs — asofJoin's documented uniqueness precondition
+    val right = rnd.shuffle((0 until 1000).map(_.toLong)).take(200).map(s =>
+      (s"k${s % 7}", ts(s), s"p$s")).toDF("k", "rt", "p")
+    val fast = TemporalJoins.asofJoin(left, right, Seq("k"),
+        leftTs = "t", rightTs = "rt", payload = Seq("rt", "p"))
+      .select("lid", "rt", "p").orderBy("lid").collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lid").orderBy(col("rt").desc)
+    val brute = left.join(right, left("k") === right("k") && col("t") >= col("rt"), "left")
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select("lid", "rt", "p").orderBy("lid").collect().toSeq
+    assert(fast == brute)
+  }
+
+  test("rangeJoin ≡ inequality join; empty intervals match nothing") {
+    val rnd = new scala.util.Random(11)
+    val points = (0 until 400).map(i =>
+      (s"k${rnd.nextInt(4)}", ts(rnd.nextInt(2000).toLong), i.toLong))
+      .toDF("k", "t", "pid")
+    val intervals = (0 until 60).map { i =>
+      val s = rnd.nextInt(2000).toLong
+      // lengths 0..600s: spans zero to many 120s buckets, incl. empty
+      (s"k${rnd.nextInt(4)}", ts(s), ts(s + (i % 4) * 200L), i.toLong)
+    }.toDF("k", "s", "e", "iid")
+    val fast = TemporalJoins.rangeJoin(points, intervals, Seq("k"),
+        tsCol = "t", startCol = "s", endCol = "e", bucketSec = 120)
+      .select("pid", "iid").orderBy("pid", "iid").collect().toSeq
+    val brute = points.join(intervals, points("k") === intervals("k") &&
+        col("t") >= col("s") && col("t") < col("e"))
+      .select("pid", "iid").orderBy("pid", "iid").collect().toSeq
+    assert(fast == brute)
+    assert(brute.nonEmpty) // non-vacuous fixture
+  }
 }

@@ -109,4 +109,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("zip_with") && !plan.contains("lambdafunction"),
       s"interpreted HOF found in the pair-join plan:\n${plan.take(1500)}")
   }
+
+  test("asofJoin plans as union + keyed window — never a nested-loop join") {
+    val plan = planOf(SparkEntry.queries("q_asof_join")(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"as-of join fell back to a pair-blowup join:\n${plan.take(2000)}")
+    val specs = "windowspecdefinition\\(([^,]+),".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id")),
+      s"as-of fill window must partition on the join key: $specs")
+  }
+
+  test("rangeJoin plans as an equi-join on (key, bucket) — never a nested loop") {
+    val plan = planOf(SparkEntry.queries("q_range_join")(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested-loop plan:\n${plan.take(2000)}")
+    assert(plan.contains("_b"), "expected the bucket column in the join keys")
+  }
 }
