@@ -1096,7 +1096,147 @@ object Queries {
       .select(col("doc_id"),
         TextAnalysis.fingerprint(TextAnalysis.tokens(col("text"))).as("fingerprint"))
       .orderBy("doc_id"),
-    None) // wrapping-long polynomial over xxhash64
+    // engine-portable since round 2: md5-based token hash + plain modular
+    // arithmetic reproduce bit-exactly in any engine
+    Some("""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(toks, t ->
+              CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) % 2147483647)),
+          (acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint
+      FROM d ORDER BY doc_id"""))
+
+  /** Near-dup clustering: exact-Jaccard pairs at τ=0.8 → connected
+    * components (hash-min + pointer jumping) → (doc, component). The
+    * oracle recomputes the pair graph in SQL and takes min-reachable-id
+    * per node via a recursive CTE — an independent transitive-closure
+    * formulation of the same semantics. */
+  private val qNearDupCluster = QDef(
+    "q_neardup_cluster",
+    (s, dir) => {
+      val pairs = Dedup.jaccardSimilarityJoin(t(s, dir, "documents"),
+        "text", "doc_id", shingleN = 3, threshold = 0.8)
+      Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+               END AS s
+        FROM d),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+              / NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0) >= 0.8),
+      e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+      reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+      SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u ORDER BY doc_id"""))
+
+  /** Gopher-style repetition/boilerplate metrics: duplicate-line fraction
+    * and most-frequent-bigram share, relationally (explode → count →
+    * max; no per-doc quadratic lambdas). */
+  private val qQualityRepetition = QDef(
+    "q_quality_repetition",
+    (s, dir) => TextAnalysis.repetitionStats(t(s, dir, "documents"), "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id"),
+    Some("""
+      WITH base AS (
+        SELECT doc_id, string_split(text, chr(10)) AS lines,
+               string_split_regex(trim(text), '\s+') AS toks
+        FROM documents),
+      b2 AS (SELECT doc_id, len(toks) AS n_tokens,
+                    CASE WHEN len(toks) >= 2
+                         THEN list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])
+                         ELSE [] END AS grams,
+                    list_filter(lines, l -> trim(l) <> '') AS nel
+             FROM base),
+      ls AS (SELECT doc_id, len(nel) AS n_lines, len(list_distinct(nel)) AS n_distinct_lines FROM b2),
+      bg AS (SELECT doc_id, g, COUNT(*) AS c
+             FROM (SELECT doc_id, unnest(grams) AS g FROM b2) GROUP BY doc_id, g),
+      tb AS (SELECT doc_id, MAX(c) AS top_bigram_n, SUM(c) AS n_bigrams FROM bg GROUP BY doc_id)
+      SELECT b2.doc_id, b2.n_tokens,
+             COALESCE(ls.n_lines, 0) AS n_lines,
+             COALESCE(CAST(ls.n_lines - ls.n_distinct_lines AS DOUBLE) / NULLIF(ls.n_lines, 0), 0.0) AS dup_line_frac,
+             COALESCE(tb.top_bigram_n, 0) AS top_bigram_n,
+             COALESCE(CAST(tb.top_bigram_n AS DOUBLE) / NULLIF(tb.n_bigrams, 0), 0.0) AS top_bigram_frac
+      FROM b2 LEFT JOIN ls ON b2.doc_id = ls.doc_id LEFT JOIN tb ON b2.doc_id = tb.doc_id
+      ORDER BY b2.doc_id"""))
+
+  /** PII scrub over planted PII (the corpus has none — like q_gap_daily's
+    * planted gaps, a deterministic in-query plant makes the oracle
+    * non-vacuous): every 5th doc gains an email + IPv4 + phone, then both
+    * engines count and redact with byte-identical alternation-free
+    * regexes. */
+  private val qPiiScrub = QDef(
+    "q_pii_scrub",
+    (s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("t",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" reach user"), col("doc_id"),
+            lit("@example.com or 10.0."), col("doc_id") % 256,
+            lit(".1 or +417912"), lit(10000) + col("doc_id") % 90000))
+          .otherwise(col("text")))
+      planted.select(col("doc_id") +: TextAnalysis.piiCounts(col("t")) :+
+          TextAnalysis.scrubPii(col("t")).as("scrubbed"): _*)
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+      WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN text || ' reach user' || doc_id || '@example.com or 10.0.' || (doc_id % 256) || '.1 or +417912' || (10000 + doc_id % 90000)
+                    ELSE text END AS t
+        FROM documents)
+      SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+             len(regexp_extract_all(t, '\+\d{7,15}')) AS n_phones,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\+\d{7,15}', '<PHONE>', 'g') AS scrubbed
+      FROM planted ORDER BY doc_id"""))
+
+  /** Token-budget sequence packing, sharded by language (the scale lever:
+    * a running sum parallelizes across shards, serializes globally). */
+  private val qPackSequences = QDef(
+    "q_pack_sequences",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          TextAnalysis.tokenCount(TextAnalysis.tokens(col("text"))).as("n_tok"))
+      TextAnalysis.packSequences(docs, "n_tok", "doc_id", 512, Seq("lang"))
+        .select(col("lang"), col("doc_id"), col("n_tokens"),
+          col("cum_tokens"), col("bin"))
+        .orderBy("lang", "doc_id")
+    },
+    Some(raw"""
+      WITH t AS (
+        SELECT lang, doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT lang, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM t)
+      SELECT lang, doc_id, n_tokens, cum_tokens,
+             CAST(FLOOR((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS bin
+      FROM c ORDER BY lang, doc_id"""))
 
   private val qSentiment = QDef(
     "q_sentiment",
@@ -1291,6 +1431,7 @@ object Queries {
     qOrderbook, qTrainingMatrix,
     qDedupExact, qTextStats, qLangId, qJaccardNearDup, qMinhashNearDup,
     qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qEmbedNearDup,
-    qEmbedNearDupLsh, qMultimodal
+    qEmbedNearDupLsh, qMultimodal,
+    qNearDupCluster, qQualityRepetition, qPiiScrub, qPackSequences
   )
 }

@@ -300,6 +300,69 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Connected components over a near-dup pair graph — the clustering
+    * step every corpus-scale dedup pipeline needs after pair generation
+    * (pairs say "A≈B"; deletion needs "the component of A", or transitive
+    * chains survive). Returns `(id, component)` with component = min id
+    * reachable, for every id that appears in a pair.
+    *
+    * Algorithm: hash-min label propagation with pointer jumping — each
+    * round takes the min label over neighbors, then compresses paths by
+    * looking up the label's own label (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 family). Pointer
+    * jumping makes convergence O(log diameter) rounds, which is what
+    * saves chain-shaped components (evolving boilerplate produces paths,
+    * not cliques) at corpus scale. Labels only ever decrease, so the
+    * changed-count is a monotone convergence witness. Every round is two
+    * equi-joins + a min aggregate; lineage is truncated per round with
+    * `localCheckpoint` (iterative DataFrame plans otherwise grow an
+    * exponentially deep DAG). */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val e0 = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // 1. neighbor min: candidate label for u from every neighbor's label
+      val nbr = edges
+        .join(labels.select(col("id").as("v"), col("component").as("nl")), "v")
+        .select(col("u").as("id"), col("nl").as("component"))
+      val afterNbr = labels.select(col("id"), col("component")).union(nbr)
+        .groupBy("id").agg(min("component").as("component"))
+      // 2. pointer jump: component <- label(component) (path compression)
+      val jumped = afterNbr.as("l")
+        .join(labels.select(col("id").as("component"), col("component").as("pl")).as("p"),
+          Seq("component"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("pl"), col("component")))
+          .as("component"))
+      val next = jumped.localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.component") < col("o.component"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Dedup survivors after clustering: every doc of `df` minus non-canonical
+    * members of near-dup components (canonical = min id). One left join
+    * against the component map — docs in no pair survive untouched. */
+  def canonicalize(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val comps = connectedComponents(pairs)
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("component").isNull || col("component") === col(idCol))
+      .drop("component")
+  }
+
   /** Label-FREE embedding near-dup: random-hyperplane LSH blocking (any
     * shared (table, sig) bucket) replaces the label blocks, so no O(n²)
     * within-block pair explosion and no dependency on having labels at

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -68,13 +68,110 @@ object TextAnalysis {
       .otherwise(lit("es"))
   }
 
-  /** Rolling polynomial fingerprint of the token stream, mod 2^31-1 —
-    * order-sensitive (permuted documents fingerprint differently). Modular
-    * arithmetic keeps every intermediate below 2^36, safe under ANSI
-    * overflow checking. */
+  /** Engine-portable 48-bit token hash: the first 12 hex chars of
+    * md5(UTF-8 bytes). Unlike xxhash64 (Spark-internal seed/variant),
+    * md5 is identical across engines, so fingerprints built on it are
+    * verifiable byte-for-byte by an external oracle. */
+  def tokenHash48(t: Column): Column =
+    conv(substring(md5(t), 1, 12), 16, 10).cast("long")
+
+  /** Rolling polynomial fingerprint of the token stream, mod 2^31−1 —
+    * order-sensitive (permuted documents fingerprint differently) and
+    * engine-portable (md5-based token hash, plain modular arithmetic: any
+    * engine reproduces it). Every intermediate stays below 2^36, safe
+    * under ANSI overflow checking. Per-row linear work, no shuffle. */
   def fingerprint(toks: Column): Column = {
     val M = 2147483647L // 2^31 - 1
     aggregate(toks, lit(0L),
-      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(M)), lit(M)))
+      (acc, t) => pmod(acc * lit(31L) + pmod(tokenHash48(t), lit(M)), lit(M)))
+  }
+
+  // ---- PII scrubbing ------------------------------------------------------
+  // Patterns are deliberately alternation-free with greedy quantifiers only,
+  // so Java regex (leftmost-first backtracking) and RE2-family engines
+  // (leftmost-longest) produce identical matches — the scrub is
+  // oracle-verifiable across engines.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{7,15}"
+
+  /** Redact emails, IPv4 addresses, and international phone numbers.
+    * Order matters: emails first (an email never contains an IP-shaped
+    * substring after redaction), phones last (a phone regex must not eat
+    * the digits of an already-redacted IP). */
+  def scrubPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val i = regexp_replace(e, Ipv4Re, "<IP>")
+    regexp_replace(i, PhoneRe, "<PHONE>")
+  }
+
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(EmailRe)).as("n_emails"),
+    regexp_count(text, lit(Ipv4Re)).as("n_ips"),
+    regexp_count(text, lit(PhoneRe)).as("n_phones"))
+
+  // ---- Repetition / boilerplate metrics (Gopher-style filters) -----------
+
+  /** ALL token bigrams (order-kept, duplicates kept — unlike
+    * `Dedup.shingles`, which distincts). Empty for docs under 2 tokens. */
+  def rawBigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-doc repetition statistics — the duplicate-line / top-n-gram
+    * family of boilerplate filters used by LLM-corpus cleaners (Gopher
+    * rules): `dup_line_frac` (1 − distinct/total non-empty lines),
+    * `top_bigram_n` (occurrences of the most frequent token bigram) and
+    * `top_bigram_frac` (that count over all bigram slots). Relational
+    * shape: explode lines / bigrams → count per (doc, gram) → max per doc
+    * — two shuffles on (doc, gram), map-side combined; no per-doc O(n²)
+    * lambda. Docs with <2 tokens get 0 bigram stats; docs with no
+    * non-empty lines get dup_line_frac 0. */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+        split(col(textCol), "\n").as("lines"),
+        tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+    val lines = base.select(col("id"), explode(col("lines")).as("line"))
+      .filter(trim(col("line")) =!= "")
+    val lineStats = lines.groupBy("id").agg(
+      count(lit(1)).as("n_lines"),
+      countDistinct(col("line")).as("n_distinct_lines"))
+    val bigrams = base.select(col("id"), explode(rawBigrams(col("toks"))).as("g"))
+    val topBigram = bigrams.groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max("c").as("top_bigram_n"), sum("c").as("n_bigrams"))
+    base.select(col("id"), col("n_tokens"))
+      .join(lineStats, Seq("id"), "left")
+      .join(topBigram, Seq("id"), "left")
+      .select(col("id"),
+        col("n_tokens"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce((col("n_lines") - col("n_distinct_lines")).cast("double") /
+          nullif(col("n_lines"), lit(0)), lit(0.0)).as("dup_line_frac"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        coalesce(col("top_bigram_n").cast("double") /
+          nullif(col("n_bigrams"), lit(0)), lit(0.0)).as("top_bigram_frac"))
+  }
+
+  // ---- Sequence packing ---------------------------------------------------
+
+  /** Deterministic token-budget packing: within each shard (e.g. a
+    * language), order docs by id, accumulate token counts, and assign
+    * bin = ⌊(cumsum − n_tokens) / seqLen⌋ — contiguous ~seqLen-token
+    * groups ready for training-batch assembly. Sharding is the scale
+    * lever: packing is a running sum, so it parallelizes across shards
+    * and is one keyed window (one shuffle) within them — a GLOBAL
+    * running sum would serialize on a single partition, which is why the
+    * shard columns are required, not optional. */
+  def packSequences(df: DataFrame, tokenCol: String, idCol: String,
+                    seqLen: Int, shardCols: Seq[String]): DataFrame = {
+    require(shardCols.nonEmpty, "packing shards are required (global packing serializes)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCols.map(col): _*).orderBy(col(idCol))
+    df.select((shardCols.map(col) :+ col(idCol) :+ col(tokenCol).as("n_tokens")): _*)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin", floor((col("cum_tokens") - col("n_tokens")) / seqLen))
   }
 }

@@ -218,10 +218,17 @@ class OpsSpec extends SparkSpec {
     assert(sh(1) == ha, "repeated tokens don't change the vote signs")
     // two distinct tokens: bit survives only when both votes are +1 → AND
     assert(sh(2) == (ha & hb))
-    // fingerprint: rolling polynomial acc = pmod(acc*31 + pmod(h, M), M)
+    // fingerprint: rolling polynomial acc = pmod(acc*31 + pmod(h48, M), M)
+    // with the PORTABLE md5-derived token hash (JVM closed form below —
+    // independent of Spark's md5/conv expressions)
     val M = 2147483647L
     def pm(x: Long) = ((x % M) + M) % M
-    val expected = pm(pm(ha) * 31L + pm(hb))
+    def h48(t: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 12), 16)
+    }
+    val expected = pm(pm(h48("alpha")) * 31L + pm(h48("beta")))
     val fp = Seq((1L, "alpha beta")).toDF("doc_id", "text")
       .select(TextAnalysis.fingerprint(TextAnalysis.tokens(col("text"))))
       .head.getLong(0)
@@ -230,7 +237,7 @@ class OpsSpec extends SparkSpec {
     val fp2 = Seq((1L, "beta alpha")).toDF("doc_id", "text")
       .select(TextAnalysis.fingerprint(TextAnalysis.tokens(col("text"))))
       .head.getLong(0)
-    assert(fp2 == pm(pm(hb) * 31L + pm(ha)) && fp2 != fp)
+    assert(fp2 == pm(pm(h48("beta")) * 31L + pm(h48("alpha"))) && fp2 != fp)
   }
 
   test("knnLsh candidates rank consistently with brute force (no-oracle cross-check)") {
@@ -446,5 +453,73 @@ class OpsSpec extends SparkSpec {
       .select("pid", "iid").orderBy("pid", "iid").collect().toSeq
     assert(fast == brute)
     assert(brute.nonEmpty) // non-vacuous fixture
+  }
+
+  test("connectedComponents: chains, cliques, singleton-pair isolation") {
+    // chain 1-2-3-4-5 (tests multi-hop propagation), clique 10-11-12,
+    // isolated pair 20-21, self-contained pair with reversed order 31-30
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L), (31L, 30L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comps(_) == 10L))
+    assert(Seq(20L, 21L).forall(comps(_) == 20L))
+    assert(Seq(30L, 31L).forall(comps(_) == 30L))
+    assert(comps.size == 12)
+  }
+
+  test("connectedComponents converges on a long path in few rounds") {
+    // a 64-node path: naive min-propagation needs 63 rounds; pointer
+    // jumping must close it within the default maxIter=20
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+    assert(comps.length == 64 && comps.forall(_.getLong(1) == 0L))
+  }
+
+  test("canonicalize keeps min-id per near-dup component, others untouched") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (7L, "y"), (9L, "z"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.canonicalize(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 7L, 9L))
+  }
+
+  test("repetitionStats: dup lines and top bigram are exact") {
+    val docs = Seq(
+      (1L, "a b a b a"),          // bigrams: ab,ba,ab,ba → top 2 of 4
+      (2L, "x\ny\nx\n\n z "),     // non-empty lines x,y,x,z → 1 dup of 4
+      (3L, "solo"))               // <2 tokens → zero bigram stats
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "text", "doc_id")
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("top_bigram_n") == 2 &&
+      out(0).getAs[Double]("top_bigram_frac") == 0.5)
+    assert(out(1).getAs[Long]("n_lines") == 4 &&
+      out(1).getAs[Double]("dup_line_frac") == 0.25)
+    assert(out(2).getAs[Long]("top_bigram_n") == 0 &&
+      out(2).getAs[Double]("top_bigram_frac") == 0.0)
+  }
+
+  test("scrubPii redacts email/ip/phone and counts match") {
+    val df = Seq((1L, "mail a.b+c@ex-ample.org then 192.168.0.1 then +41791234567 end"))
+      .toDF("id", "t")
+    val r = df.select(TextAnalysis.piiCounts(col("t")) :+
+      TextAnalysis.scrubPii(col("t")).as("s"): _*).head()
+    assert(r.getAs[Int]("n_emails") == 1 && r.getAs[Int]("n_ips") == 1 &&
+      r.getAs[Int]("n_phones") == 1)
+    assert(r.getAs[String]("s") == "mail <EMAIL> then <IP> then <PHONE> end")
+  }
+
+  test("packSequences: bins respect the token budget per shard") {
+    val docs = (1L to 20L).map(i => ("en", i, 100L)).toDF("lang", "doc_id", "n_tok")
+    val out = TextAnalysis.packSequences(docs, "n_tok", "doc_id", 512, Seq("lang"))
+      .orderBy("doc_id").collect()
+    // 100-token docs into 512 budget → bins of 5,5,5,5 docs... bin k starts
+    // when cum-before crosses k*512
+    assert(out.map(_.getAs[Long]("bin")).toSeq ==
+      Seq(0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 3, 3, 3, 3).map(_.toLong))
   }
 }
