@@ -1075,20 +1075,80 @@ object Queries {
       WHERE jaccard >= 0.8
       ORDER BY id_a, id_b"""))
 
+  // Portable since round 2: md5-derived 48-bit base hash + universal-hash
+  // permutations (aᵢ·h+bᵢ mod 2³¹−1) + arithmetic band folds — the full
+  // MinHash-LSH pipeline (candidate generation INCLUDED) reproduces
+  // bit-exactly in DuckDB.
   private val qMinhashNearDup = QDef(
     "q_minhash_neardup",
     (s, dir) => Dedup.minhashNearDupPairs(t(s, dir, "documents"),
         "text", "doc_id", shingleN = 3, k = 64, bands = 16, threshold = 0.8)
       .orderBy("id_a", "id_b"),
-    None) // Spark-internal xxhash64 — not SQL-expressible in DuckDB
+    Some(raw"""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+               END AS s
+        FROM d),
+      hd AS (SELECT doc_id, CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT) AS h
+             FROM (SELECT doc_id, unnest(s) AS x FROM sh)),
+      hb AS (SELECT doc_id, h, h % 2147483647 AS hm FROM hd),
+      hp AS (SELECT doc_id, i,
+               MIN((((1103515245*(i+1) + 12345) % 2147483647) * hm
+                    + ((1103515245*(i+101) + 12345) % 2147483647)) % 2147483647) AS m
+             FROM hb CROSS JOIN range(64) r(i) GROUP BY doc_id, i),
+      b0 AS (SELECT doc_id, i // 4 AS band, i, m FROM hp),
+      bandk AS (SELECT doc_id, band,
+               list_reduce(list_prepend(CAST(band + 7 AS BIGINT), list(m ORDER BY i)),
+                 (acc, x) -> (acc * 1000003 + x) % 2147483647) AS bk
+             FROM b0 GROUP BY doc_id, band),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bandk a JOIN bandk b
+                 ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
+      ov AS (SELECT c.id_a, c.id_b, COUNT(*) AS o
+             FROM cand c
+             JOIN hd x ON x.doc_id = c.id_a
+             JOIN hd y ON y.doc_id = c.id_b AND y.h = x.h
+             GROUP BY c.id_a, c.id_b),
+      v AS (SELECT o.id_a, o.id_b, CAST(o.o AS DOUBLE) / (sa.n + sb.n - o.o) AS jaccard
+            FROM ov o JOIN sz sa ON sa.doc_id = o.id_a JOIN sz sb ON sb.doc_id = o.id_b)
+      SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""))
 
+  // Portable since round 2: the token hash is md5-derived
+  // (TextAnalysis.tokenHash64), so the bit-vote majority reproduces
+  // exactly in DuckDB (sign bit handled via the hi/lo halves — no
+  // engine-dependent shift-of-negative semantics anywhere).
   private val qSimhash = QDef(
     "q_simhash",
     (s, dir) => Dedup.simhash64(t(s, dir, "documents"), "text", "doc_id")
       .withColumnRenamed("id", "doc_id")
       .withColumn("bucket16", shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)))
       .orderBy("doc_id"),
-    None) // Spark-internal xxhash64
+    Some(raw"""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      tk AS (SELECT doc_id, unnest(toks) AS t FROM d),
+      hh AS (SELECT doc_id,
+               CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS hi,
+               CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) AS lo
+             FROM tk),
+      votes AS (SELECT doc_id, j,
+               SUM((CASE WHEN j < 32 THEN (lo >> j) & 1 ELSE (hi >> (j - 32)) & 1 END) * 2 - 1) AS v
+             FROM hh CROSS JOIN range(64) r(j) GROUP BY doc_id, j),
+      sig AS (SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 THEN
+                 (CASE WHEN j = 63 THEN -9223372036854775808 ELSE (CAST(1 AS BIGINT) << j) END)
+                 ELSE 0 END) AS BIGINT) AS simhash
+             FROM votes GROUP BY doc_id),
+      u AS (SELECT doc_id, simhash,
+               CAST(simhash AS HUGEINT)
+                 + (CASE WHEN simhash < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END) AS usig
+            FROM sig)
+      SELECT doc_id, simhash, CAST(usig // 281474976710656 AS BIGINT) AS bucket16
+      FROM u ORDER BY doc_id"""))
 
   private val qFingerprint = QDef(
     "q_fingerprint",

@@ -57,13 +57,25 @@ object Dedup {
   def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     shingleArrays(df, textCol, idCol, n).select(col("id"), explode(col("shs")).as("s"))
 
-  /** Per-doc distinct shingle HASHES `(id, hs, n)` — the 16-byte join
-    * currency of the near-dup pipelines (shuffling 64-bit hashes instead
-    * of shingle strings; xxhash64 collisions at corpus scale are ~2⁻⁶⁴·
-    * pairs, the same accepted odds as [[exactDedup]]). */
+  /** Modulus for the portable permutation/band arithmetic: the Mersenne
+    * prime 2³¹−1. Every product in the universal-hash family stays below
+    * 2⁶², overflow-safe in any engine's 64-bit integers. */
+  val P31 = 2147483647L
+  /** Universal-hash permutation constants (fixed LCG-derived, shared with
+    * oracle SQL as plain arithmetic on the permutation index). */
+  def permA(i: Int): Long = (1103515245L * (i + 1) + 12345L) % P31
+  def permB(i: Int): Long = (1103515245L * (i + 101) + 12345L) % P31
+
+  /** Per-doc distinct shingle HASHES `(id, hs, n)` — the compact join
+    * currency of the near-dup pipelines (shuffling fixed-width hashes
+    * instead of shingle strings). The hash is the PORTABLE md5-derived
+    * 48-bit [[TextAnalysis.tokenHash48]] — bit-identical in any engine,
+    * so the whole MinHash pipeline is oracle-verifiable end to end.
+    * Collision odds at corpus scale: ~|shingles|²/2⁴⁹ — ~2·10⁻⁵ at 10⁵
+    * distinct shingles, the same accepted-odds class as [[exactDedup]]. */
   def shingleHashArrays(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     shingleArrays(df, textCol, idCol, n)
-      .select(col("id"), transform(col("shs"), s => xxhash64(s)).as("hs"))
+      .select(col("id"), transform(col("shs"), s => TextAnalysis.tokenHash48(s)).as("hs"))
       .withColumn("n", size(col("hs")))
 
   /** Exact Jaccard similarity of two distinct-element arrays. */
@@ -82,21 +94,30 @@ object Dedup {
                         shingleN: Int, k: Int): DataFrame =
     minhashSignaturesFromRows(shingleRows(df, textCol, idCol, shingleN), k)
 
-  /** Signatures from an (id, s) shingle-row frame. */
+  /** Signatures from an (id, s) shingle-row frame. Permutation i is the
+    * universal hash (aᵢ·h + bᵢ) mod 2³¹−1 over the portable base hash —
+    * plain codegen arithmetic (cheaper than k seeded hash calls) and
+    * reproducible by an external oracle. */
   def minhashSignaturesFromRows(sh: DataFrame, k: Int): DataFrame = {
-    val hashed = sh.select(col("id") +:
-      (0 until k).map(i => xxhash64(col("s"), lit(i)).as(s"_h$i")): _*)
+    val base = sh.withColumn("_hb", pmod(TextAnalysis.tokenHash48(col("s")), lit(P31)))
+    val hashed = base.select(col("id") +:
+      (0 until k).map(i =>
+        pmod(lit(permA(i)) * col("_hb") + lit(permB(i)), lit(P31)).as(s"_h$i")): _*)
     hashed.groupBy("id")
       .agg(min(s"_h0").as("_m0"), (1 until k).map(i => min(s"_h$i").as(s"_m$i")): _*)
       .select(col("id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
   }
 
-  /** LSH band keys for a MinHash signature: hash of each r-row band.
-    * With k = bands·r, two docs of Jaccard s share ≥1 band with
-    * probability 1 − (1 − s^r)^bands. */
+  /** LSH band keys for a MinHash signature: a rolling arithmetic fold of
+    * each r-row band, seeded with the band index — a closed-form codegen
+    * expression (no HOF, no hash call), identical in oracle SQL. With
+    * k = bands·r, two docs of Jaccard s share ≥1 band with probability
+    * 1 − (1 − s^r)^bands. */
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b))
+    array((0 until bands).map { b =>
+      (0 until rowsPerBand).foldLeft(lit((b + 7).toLong): Column)((acc, j) =>
+        pmod(acc * lit(1000003L) + element_at(sig, b * rowsPerBand + j + 1), lit(P31)))
+    }: _*)
 
   /** MinHash-LSH near-duplicate pairs, verified with exact shingle
     * Jaccard. k permutation hashes per shingle hash → k-way min
@@ -116,8 +137,10 @@ object Dedup {
     val arrs = shingleHashArrays(df, textCol, idCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hrows = arrs.select(col("id"), explode(col("hs")).as("h"))
+      .withColumn("_hb", pmod(col("h"), lit(P31)))
     val hashed = hrows.select(col("id") +:
-      (0 until k).map(i => xxhash64(col("h"), lit(i)).as(s"_h$i")): _*)
+      (0 until k).map(i =>
+        pmod(lit(permA(i)) * col("_hb") + lit(permB(i)), lit(P31)).as(s"_h$i")): _*)
     val sigs = hashed.groupBy("id")
       .agg(min(s"_h0").as("_m0"), (1 until k).map(i => min(s"_h$i").as(s"_m$i")): _*)
       .select(col("id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
@@ -156,13 +179,14 @@ object Dedup {
   }
 
   /** 64-bit SimHash per doc: bit j is the sign of
-    * Σ_tokens (2·bit_j(xxhash64(token)) − 1). Same explode + 64-sum
-    * aggregation shape as [[minhashSignatures]] (codegen + map-side
-    * combine); the final fold to one long is a plain projection. */
+    * Σ_tokens (2·bit_j(h64(token)) − 1), with the PORTABLE md5-derived
+    * [[TextAnalysis.tokenHash64]] (oracle-reproducible). Same explode +
+    * 64-sum aggregation shape as [[minhashSignatures]] (codegen +
+    * map-side combine); the final fold to one long is a projection. */
   def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .withColumn("_h", xxhash64(col("t")))
+      .withColumn("_h", TextAnalysis.tokenHash64(col("t")))
     val sums = tok.groupBy("id").agg(
       sum(shiftright(col("_h"), 0).bitwiseAND(lit(1L)) * 2 - 1).as("_b0"),
       (1 until 64).map(j =>

@@ -75,6 +75,16 @@ object TextAnalysis {
   def tokenHash48(t: Column): Column =
     conv(substring(md5(t), 1, 12), 16, 10).cast("long")
 
+  /** Engine-portable 64-bit token hash: the first 16 hex chars of md5 as
+    * a signed two's-complement long, assembled from two 32-bit halves so
+    * no intermediate overflows (the shift into the sign bit is the only
+    * wrap, and it's the defined two's-complement one). */
+  def tokenHash64(t: Column): Column = {
+    val hi = conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(md5(t), 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
   /** Rolling polynomial fingerprint of the token stream, mod 2^31−1 —
     * order-sensitive (permuted documents fingerprint differently) and
     * engine-portable (md5-based token hash, plain modular arithmetic: any

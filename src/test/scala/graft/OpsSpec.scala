@@ -203,12 +203,17 @@ class OpsSpec extends SparkSpec {
       s"sig IN (...) should push down to parquet:\n$plan")
   }
 
-  test("simhash + fingerprint closed forms on tiny fixtures (no-oracle cross-check)") {
-    // pull the engine's own xxhash64 for the fixture tokens, then check
-    // the operators against the closed-form expectations
-    val h = spark.range(1)
-      .select(xxhash64(lit("alpha")).as("ha"), xxhash64(lit("beta")).as("hb")).head
-    val (ha, hb) = (h.getLong(0), h.getLong(1))
+  test("simhash + fingerprint closed forms on tiny fixtures (cross-check)") {
+    // compute the portable md5-derived token hash in plain JVM code —
+    // independent of Spark's md5/conv/shift expressions — then check the
+    // operators against the closed-form expectations
+    def h64(t: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(d.substring(0, 8), 16) << 32) |
+        java.lang.Long.parseLong(d.substring(8, 16), 16)
+    }
+    val (ha, hb) = (h64("alpha"), h64("beta"))
     // single-token doc: every bit vote IS that token's hash bit
     val sh = Dedup.simhash64(
         Seq((1L, "alpha"), (2L, "alpha alpha alpha"), (3L, "alpha beta"))
