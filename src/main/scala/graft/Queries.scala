@@ -1349,12 +1349,42 @@ object Queries {
       ORDER BY cosine DESC, vec_id
       LIMIT 10"""))
 
+  // Portable since round 2: hyperplane weights are a two-round LCG over
+  // (table, plane, dim) — see Similarity.planeWeight — and projections are
+  // strict left folds (codegen DotProduct ≙ list_reduce), so bucketing
+  // AND ranking reproduce bit-exactly in DuckDB.
   private val qKnnLsh = QDef(
     "q_knn_lsh",
     (s, dir) => Similarity.knnLsh(t(s, dir, "embeddings"), "embedding", "vec_id",
         queryId = 0, k = 10, planes = 6, tables = 4)
       .select(col("id").as("vec_id"), round(col("cosine"), 6).as("cosine")),
-    None) // hash-derived hyperplanes — not SQL-expressible
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      grid AS (SELECT r1.t, r2.p FROM range(4) r1(t), range(6) r2(p)),
+      proj AS (
+        SELECT e.vec_id, g.t, g.p,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), d ->
+                 e.v[d+1] * ((((((((g.t*1000003 + g.p*10007 + d) * 1103515245 + 12345) % 2147483647)
+                   * 1103515245 + 12345) % 2147483647) % 20001) - 10000) / 10000.0))),
+                 (a, x) -> a + x) AS pr
+        FROM e CROSS JOIN grid g),
+      sigs AS (
+        SELECT vec_id, t,
+               CAST(SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
+        FROM proj GROUP BY vec_id, t),
+      q AS (SELECT t, sig FROM sigs WHERE vec_id = 0),
+      cand AS (SELECT DISTINCT s.vec_id FROM sigs s JOIN q ON s.t = q.t AND s.sig = q.sig
+               WHERE s.vec_id != 0),
+      qv AS (SELECT v FROM e WHERE vec_id = 0)
+      SELECT c.vec_id,
+             ROUND(list_reduce(list_transform(range(64), k -> ev.v[k+1] * qv.v[k+1]), (x, y) -> x + y)
+               / NULLIF(sqrt(list_reduce(list_transform(ev.v, x -> x * x), (x, y) -> x + y))
+                        * sqrt(list_reduce(list_transform(qv.v, x -> x * x), (x, y) -> x + y)), 0), 6) AS cosine
+      FROM cand c JOIN e ev ON ev.vec_id = c.vec_id, qv
+      ORDER BY cosine DESC, c.vec_id
+      LIMIT 10"""))
 
   private val qEmbedNearDup = QDef(
     "q_embed_neardup",
@@ -1390,7 +1420,36 @@ object Queries {
         "embedding", "vec_id", threshold = 0.4, planes = 4, tables = 16)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b"),
-    None) // xxhash-derived hyperplanes — not SQL-expressible in DuckDB
+    // portable since round 2 (LCG hyperplanes + strict-fold projections;
+    // the filter is on the UNROUNDED cosine, rounding only in the output,
+    // mirroring the Spark plan exactly)
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      grid AS (SELECT r1.t, r2.p FROM range(16) r1(t), range(4) r2(p)),
+      proj AS (
+        SELECT e.vec_id, g.t, g.p,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), d ->
+                 e.v[d+1] * ((((((((g.t*1000003 + g.p*10007 + d) * 1103515245 + 12345) % 2147483647)
+                   * 1103515245 + 12345) % 2147483647) % 20001) - 10000) / 10000.0))),
+                 (a, x) -> a + x) AS pr
+        FROM e CROSS JOIN grid g),
+      sigs AS (
+        SELECT vec_id, t,
+               CAST(SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
+        FROM proj GROUP BY vec_id, t),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT c.id_a, c.id_b,
+               list_reduce(list_transform(range(64), k -> va.v[k+1] * vb.v[k+1]), (x, y) -> x + y)
+                 / NULLIF(sqrt(list_reduce(list_transform(va.v, x -> x * x), (x, y) -> x + y))
+                          * sqrt(list_reduce(list_transform(vb.v, x -> x * x), (x, y) -> x + y)), 0) AS cosine
+        FROM cand c JOIN e va ON va.vec_id = c.id_a JOIN e vb ON vb.vec_id = c.id_b)
+      SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM scored
+      WHERE cosine >= 0.4
+      ORDER BY id_a, id_b"""))
 
   private val qMultimodal = QDef(
     "q_multimodal",
@@ -1403,7 +1462,26 @@ object Queries {
           (coalesce(col("meta.duration_ms"), lit(0L)) / lit(500L)).cast("long").as("n_frames_500ms"))
         .orderBy("media_id")
     },
-    None) // stubbed codec — deterministic but not SQL-expressible
+    // Portable since round 2: the synthetic payload is arithmetic on
+    // media_id and the stub codec is a wrapping-64-bit polynomial fold,
+    // which DuckDB emulates with HUGEINT mod-2⁶⁴ arithmetic (signed
+    // reinterpretation before the final % — Java semantics). The oracle
+    // regenerates the media table itself (the query is self-contained).
+    Some("""
+      WITH m AS (SELECT i AS media_id FROM range(256) r(i)),
+      f AS (SELECT media_id,
+        list_reduce(
+          list_prepend(CAST(1125899906842597 AS HUGEINT),
+            list_transform(range(64), j -> CAST((media_id*31 + j) % 127 AS HUGEINT))),
+          (h, b) -> (31*h + b) % 18446744073709551616) AS hu
+        FROM m),
+      s AS (SELECT media_id,
+              CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616 ELSE hu END AS hs
+            FROM f)
+      SELECT media_id, 'img' AS format, 8 AS feature_dim,
+             ROUND(CAST(CAST((hs % 10000) / 10000.0 AS REAL) AS DOUBLE), 6) AS f0,
+             (1000 * (media_id % 10 + 1)) // 500 AS n_frames_500ms
+      FROM s ORDER BY media_id"""))
 
   // ------------------------------------------------------------------
   // Temporal joins (generalization of J4; SURVEY §2.3)
