@@ -126,4 +126,33 @@ class PlanSpec extends SparkSpec {
       s"range join fell back to a nested-loop plan:\n${plan.take(2000)}")
     assert(plan.contains("_b"), "expected the bucket column in the join keys")
   }
+
+  test("lshSignatures is a pure per-row projection — zero shuffles") {
+    val df = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(16)(j => (i * 16 + j).toFloat))).toDF("vec_id", "embedding")
+    val plan = planOf(graft.operators.Similarity.lshSignatures(
+      df, "embedding", "vec_id", planes = 6, tables = 4))
+    assert(!plan.contains("Exchange"),
+      s"signature computation must not shuffle (literal-weight DotProduct projection):\n${plan.take(2000)}")
+    assert(plan.contains("graft_dot"), "projections must use the codegen dot product")
+    assert(!plan.contains("lambdafunction"),
+      s"interpreted HOF found in the signature plan:\n${plan.take(1500)}")
+  }
+
+  test("connectedComponents rounds are equi-joins, never nested loops") {
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // capture the plan of one propagation round by running the operator
+    // and asserting on the physical plans Spark retained for the final
+    // labels frame (localCheckpoint truncates lineage, so audit a single
+    // round built the same way the operator builds it)
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v"))).distinct()
+    val labels = edges.select(col("u").as("id")).distinct().withColumn("component", col("id"))
+    val nbr = edges.join(labels.select(col("id").as("v"), col("component").as("nl")), "v")
+      .select(col("u").as("id"), col("nl").as("component"))
+    val round = labels.union(nbr).groupBy("id").agg(min("component").as("component"))
+    val plan = planOf(round)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"CC propagation must be an equi-join:\n${plan.take(2000)}")
+  }
 }
