@@ -1272,6 +1272,25 @@ object Queries {
                '\+\d{7,15}', '<PHONE>', 'g') AS scrubbed
       FROM planted ORDER BY doc_id"""))
 
+  /** Cardinality sketching (A-family, beyond-reference): HLL++
+    * `approx_count_distinct` next to the exact count, emitting a
+    * within-tolerance verdict the oracle checks — the sketch is the 100 TB
+    * path (fixed memory, one pass, mergeable across partitions) and this
+    * query pins its accuracy contract against DuckDB's exact count. */
+  private val qApproxDistinct = QDef(
+    "q_approx_distinct",
+    (s, dir) => t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") /
+          col("n_exact") <= 0.05).as("within_tol"))
+      .orderBy("event_type"),
+    Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_tol
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** Token-budget sequence packing, sharded by language (the scale lever:
     * a running sum parallelizes across shards, serializes globally). */
   private val qPackSequences = QDef(
@@ -1570,6 +1589,7 @@ object Queries {
     qDedupExact, qTextStats, qLangId, qJaccardNearDup, qMinhashNearDup,
     qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qEmbedNearDup,
     qEmbedNearDupLsh, qMultimodal,
-    qNearDupCluster, qQualityRepetition, qPiiScrub, qPackSequences
+    qNearDupCluster, qQualityRepetition, qPiiScrub, qPackSequences,
+    qApproxDistinct
   )
 }

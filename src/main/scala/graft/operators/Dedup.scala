@@ -340,9 +340,14 @@ object Dedup {
     * changed-count is a monotone convergence witness. Every round is two
     * equi-joins + a min aggregate; lineage is truncated per round with
     * `localCheckpoint` (iterative DataFrame plans otherwise grow an
-    * exponentially deep DAG). */
+    * exponentially deep DAG). Convergence is detected by comparing
+    * Σ component across rounds: labels are per-node NON-INCREASING, so
+    * the (exact, decimal) sum is strictly decreasing until fixpoint and
+    * equal exactly at it — one cheap aggregate per round instead of a
+    * join + count. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val e0 = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
     val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct()
@@ -350,9 +355,13 @@ object Dedup {
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
-    var changed = 1L
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast(DecimalType(38, 0)))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    var converged = prevSum == null // empty pair set: nothing to propagate
+    while (!converged && iter < maxIter) {
       // 1. neighbor min: candidate label for u from every neighbor's label
       val nbr = edges
         .join(labels.select(col("id").as("v"), col("component").as("nl")), "v")
@@ -365,12 +374,10 @@ object Dedup {
           Seq("component"), "left")
         .select(col("id"), least(col("component"), coalesce(col("pl"), col("component")))
           .as("component"))
-      val next = jumped.localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.component") < col("o.component"))
-        .count()
-      labels = next
+      labels = jumped.localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     edges.unpersist()
