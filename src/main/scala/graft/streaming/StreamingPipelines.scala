@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.features.MarketFeatures
 import graft.types.Schemas
@@ -141,5 +141,37 @@ object StreamingPipelines {
           state.update(Carry(all.takeRight(window).toList))
           out.iterator
       }
+  }
+
+  /** The same chunk-carry protocol on Spark 4's `transformWithState` —
+    * the current stateful API (typed per-key state handles, timers, state
+    * TTL, RocksDB-backed with changelog checkpointing). The carry is a
+    * `ValueState[Carry]`; semantics are identical to [[statefulTa]] and
+    * the equivalence spec drives both implementations through the same
+    * chunked-vs-whole gate. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  class TaCarryProcessor(window: Int, constant: Double)
+      extends StatefulProcessor[String, Bar, TaOut] {
+    @transient private var carry: ValueState[Carry] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      carry = getHandle.getValueState[Carry]("carry",
+        org.apache.spark.sql.Encoders.product[Carry], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Bar],
+                                 timerValues: TimerValues): Iterator[TaOut] = {
+      val batch = rows.toIndexedSeq.sortBy(_.epochSec)
+      val prev = Option(carry.get()).map(_.rows.toIndexedSeq).getOrElse(IndexedSeq.empty)
+      val all = prev ++ batch
+      val out = batchIndicators(all, window, constant).drop(prev.length)
+      carry.update(Carry(all.takeRight(window).toList))
+      out.iterator
+    }
+  }
+
+  def statefulTaTws(ds: Dataset[Bar], window: Int = 20, constant: Double = 0.015)
+                   (implicit spark: SparkSession): Dataset[TaOut] = {
+    import spark.implicits._
+    ds.groupByKey(_.symbol)
+      .transformWithState(new TaCarryProcessor(window, constant),
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -294,6 +294,36 @@ class SystemSpec extends SparkSpec {
     assert(got == whole)
   }
 
+  test("streaming: transformWithState chunk-carry ≡ whole-series (ST3, Spark-4 API)") {
+    import StreamingPipelines._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val bars = (1 to 30).map(i =>
+        Bar("S", 1000L + i, i.toDouble + 1, i.toDouble - 1, i.toDouble)).toIndexedSeq
+      val whole = batchIndicators(bars, 5, 0.015)
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Bar]
+      val q = statefulTaTws(mem.toDS(), window = 5)
+        .writeStream.format("memory").queryName("ta_tws_out")
+        .outputMode("append").start()
+      mem.addData(bars.take(20): _*)
+      q.processAllAvailable()
+      mem.addData(bars.drop(20): _*)
+      q.processAllAvailable()
+      val got = spark.table("ta_tws_out").as[TaOut].collect().sortBy(_.epochSec).toSeq
+      q.stop()
+      assert(got == whole)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming: file-drop market stream builds features via foreachBatch (ST1)") {
     val in = tmp(); val outRows = new java.util.concurrent.atomic.AtomicLong()
     ohlcvRamp(20).write.parquet(in + "/drop1")
