@@ -1272,6 +1272,56 @@ object Queries {
                '\+\d{7,15}', '<PHONE>', 'g') AS scrubbed
       FROM planted ORDER BY doc_id"""))
 
+  /** Cross-doc repeated-span mining (boilerplate detection): 8-token
+    * shingles shared by ≥2 documents, ranked by document frequency — the
+    * relational shape (explode → groupBy span → distinct-doc count) is
+    * exactly the scalable form; a per-doc-pair comparison would be
+    * quadratic. Top spans feed span-removal / boilerplate filters. */
+  private val qDupSpans = QDef(
+    "q_dup_spans",
+    (s, dir) => Dedup.shingleRows(t(s, dir, "documents"), "text", "doc_id", 8)
+      .groupBy("s").agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("s"))
+      .limit(20)
+      .select(col("s").as("span"), col("n_docs")),
+    Some(raw"""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(range(len(toks) - 7),
+                      i -> array_to_string(toks[i+1:i+8], ' ')))
+               END AS s
+        FROM d),
+      r AS (SELECT doc_id, unnest(s) AS s FROM sh)
+      SELECT s AS span, COUNT(DISTINCT doc_id) AS n_docs
+      FROM r GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+      ORDER BY n_docs DESC, s LIMIT 20"""))
+
+  /** Deterministic hash-based train/val/test split (80/10/10), reported
+    * as per-(lang, split) doc and token counts. Hash-bucket assignment is
+    * the leak-proof form: a doc's split never changes as the corpus
+    * grows, across engines and partitionings. */
+  private val qHashSplit = QDef(
+    "q_hash_split",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.split3(col("doc_id")).as("split"),
+        TextAnalysis.tokenCount(TextAnalysis.tokens(col("text"))).as("n_tok"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("lang", "split"),
+    Some(raw"""
+      WITH b AS (
+        SELECT lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 AS bkt,
+               len(string_split_regex(trim(text), '\s+')) AS n_tok
+        FROM documents)
+      SELECT lang,
+             CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+             COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+      FROM b GROUP BY 1, 2 ORDER BY lang, split"""))
+
   /** Cardinality sketching (A-family, beyond-reference): HLL++
     * `approx_count_distinct` next to the exact count, emitting a
     * within-tolerance verdict the oracle checks — the sketch is the 100 TB
@@ -1590,6 +1640,6 @@ object Queries {
     qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qEmbedNearDup,
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qPiiScrub, qPackSequences,
-    qApproxDistinct
+    qApproxDistinct, qDupSpans, qHashSplit
   )
 }

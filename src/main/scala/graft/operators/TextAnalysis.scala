@@ -165,6 +165,24 @@ object TextAnalysis {
           nullif(col("n_bigrams"), lit(0)), lit(0.0)).as("top_bigram_frac"))
   }
 
+  // ---- Deterministic corpus splitting ------------------------------------
+
+  /** Hash bucket in [0, buckets) from the PORTABLE md5-derived hash of the
+    * id's decimal string — stable across engines, runs, partitionings and
+    * corpus growth (a doc keeps its split when new docs arrive, unlike
+    * row_number-based splits), which is what makes hash splits the
+    * leak-proof train/val/test assignment. */
+  def hashBucket(id: Column, buckets: Int): Column =
+    pmod(tokenHash48(id.cast("string")), lit(buckets.toLong))
+
+  /** Standard three-way split by hash bucket (train/val/test). */
+  def split3(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = hashBucket(id, 100)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
   // ---- Sequence packing ---------------------------------------------------
 
   /** Deterministic token-budget packing: within each shard (e.g. a

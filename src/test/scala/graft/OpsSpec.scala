@@ -518,6 +518,35 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[String]("s") == "mail <EMAIL> then <IP> then <PHONE> end")
   }
 
+  test("custom expressions are callable from SQL text (registry surface)") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head.getDouble(0)
+    assert(dot == 11.0)
+    val ewm = spark.sql("""
+      WITH t(ts, x) AS (VALUES (1, 1.0d), (2, 2.0d), (3, 3.0d))
+      SELECT graft_ewm_mean(x, 0.5) OVER (ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e FROM t
+      ORDER BY ts""").collect().map(_.getDouble(0))
+    // adjust=False recurrence: 1.0, 1.5, 2.25
+    assert(ewm.toSeq == Seq(1.0, 1.5, 2.25))
+  }
+
+  test("split3 assignment is stable and has sane proportions") {
+    val ids = spark.range(10000).toDF("doc_id")
+    val counts = ids.select(TextAnalysis.split3(col("doc_id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000)
+    assert(counts("train") > 7500 && counts("train") < 8500, s"skewed: $counts")
+    assert(counts("val") > 700 && counts("val") < 1300, s"skewed: $counts")
+    // stability: the same id maps to the same split in a different frame
+    val a = ids.filter(col("doc_id") === 4242)
+      .select(TextAnalysis.split3(col("doc_id"))).head.getString(0)
+    val b = spark.range(4242, 4243).toDF("doc_id")
+      .select(TextAnalysis.split3(col("doc_id"))).head.getString(0)
+    assert(a == b)
+  }
+
   test("packSequences: bins respect the token budget per shard") {
     val docs = (1L to 20L).map(i => ("en", i, 100L)).toDF("lang", "doc_id", "n_tok")
     val out = TextAnalysis.packSequences(docs, "n_tok", "doc_id", 512, Seq("lang"))
