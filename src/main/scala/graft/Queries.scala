@@ -1418,8 +1418,8 @@ object Queries {
       ORDER BY cosine DESC, vec_id
       LIMIT 10"""))
 
-  // Portable since round 2: hyperplane weights are a two-round LCG over
-  // (table, plane, dim) — see Similarity.planeWeight — and projections are
+  // Portable since round 2: hyperplane weights are md5-derived from the
+  // (table, plane, dim) key — see Similarity.planeWeight — and projections are
   // strict left folds (codegen DotProduct ≙ list_reduce), so bucketing
   // AND ranking reproduce bit-exactly in DuckDB.
   private val qKnnLsh = QDef(
@@ -1435,8 +1435,8 @@ object Queries {
       proj AS (
         SELECT e.vec_id, g.t, g.p,
                list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), d ->
-                 e.v[d+1] * ((((((((g.t*1000003 + g.p*10007 + d) * 1103515245 + 12345) % 2147483647)
-                   * 1103515245 + 12345) % 2147483647) % 20001) - 10000) / 10000.0))),
+                 e.v[d+1] * ((CAST(('0x' || substr(md5(g.t || ',' || g.p || ',' || d), 1, 12)) AS BIGINT)
+                   % 20001 - 10000) / 10000.0))),
                  (a, x) -> a + x) AS pr
         FROM e CROSS JOIN grid g),
       sigs AS (
@@ -1489,7 +1489,7 @@ object Queries {
         "embedding", "vec_id", threshold = 0.4, planes = 4, tables = 16)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b"),
-    // portable since round 2 (LCG hyperplanes + strict-fold projections;
+    // portable since round 2 (md5 hyperplanes + strict-fold projections;
     // the filter is on the UNROUNDED cosine, rounding only in the output,
     // mirroring the Spark plan exactly)
     Some("""
@@ -1500,8 +1500,8 @@ object Queries {
       proj AS (
         SELECT e.vec_id, g.t, g.p,
                list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), d ->
-                 e.v[d+1] * ((((((((g.t*1000003 + g.p*10007 + d) * 1103515245 + 12345) % 2147483647)
-                   * 1103515245 + 12345) % 2147483647) % 20001) - 10000) / 10000.0))),
+                 e.v[d+1] * ((CAST(('0x' || substr(md5(g.t || ',' || g.p || ',' || d), 1, 12)) AS BIGINT)
+                   % 20001 - 10000) / 10000.0))),
                  (a, x) -> a + x) AS pr
         FROM e CROSS JOIN grid g),
       sigs AS (

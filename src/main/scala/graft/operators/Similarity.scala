@@ -51,15 +51,18 @@ object Similarity {
   }
 
   /** Deterministic hyperplane weight in [-1, 1] for (table, plane, dim):
-    * a two-round LCG over the combined index — plain integer arithmetic
-    * (every intermediate < 2⁶²) that the DuckDB oracle reproduces
-    * exactly, so LSH bucketing itself is oracle-verifiable. No RNG
-    * state; the index never has to materialize its planes. */
+    * md5 of the "t,p,d" key (first 48 bits) scaled to [-1, 1] — portable
+    * (the DuckDB oracle reproduces it, so LSH bucketing itself is
+    * oracle-verifiable) and WELL-MIXED: an LCG over the combined index
+    * was measurably correlated across consecutive dims (hot buckets 2.6×
+    * the md5 variant's on the sf0.1 embeddings → 2.3× the candidate
+    * pairs). Weights materialize once on the driver as literals; the
+    * index never stores its planes. */
   def planeWeight(table: Int, plane: Int, dim: Int): Double = {
-    val c = table.toLong * 1000003L + plane.toLong * 10007L + dim.toLong
-    val h1 = (c * 1103515245L + 12345L) % 2147483647L
-    val h2 = (h1 * 1103515245L + 12345L) % 2147483647L
-    ((h2 % 20001L) - 10000L).toDouble / 10000.0
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$table,$plane,$dim".getBytes("UTF-8"))
+    val h48 = java.lang.Long.parseLong(md.take(6).map("%02x".format(_)).mkString, 16)
+    ((h48 % 20001L) - 10000L).toDouble / 10000.0
   }
 
   /** Signature frame `(id, table, sig)` for every row. Each projection is

@@ -132,6 +132,31 @@ class PropertySpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("connectedComponents ≡ union-find over random graphs") {
+    // random sparse pair sets over a 200-node id space: the distributed
+    // hash-min + pointer-jumping labels must match a plain in-memory
+    // union-find with min-id canonical representatives
+    val pairGen = for {
+      a <- Gen.choose(0L, 199L); b <- Gen.choose(0L, 199L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    for (n <- Seq(30, 120)) {
+      val pairs = samples(pairGen, n).distinct
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      val expected = parent.keys.map(k => k -> find(k)).toMap
+      val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"CC mismatch at n=$n")
+    }
+  }
+
   test("sanitize: no NaN or Infinity survives, finite values pass through") {
     val vals = Gen.oneOf(
       Gen.choose(-1e12, 1e12),
