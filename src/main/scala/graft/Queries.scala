@@ -1279,12 +1279,20 @@ object Queries {
     * quadratic. Top spans feed span-removal / boilerplate filters. */
   private val qDupSpans = QDef(
     "q_dup_spans",
+    // group on the span HASH, not the span string: shingleRows is already
+    // distinct-per-doc, so count(*) per hash = document frequency, and
+    // min(s) carries ONE string per span through the map-side combine —
+    // the shuffle moves 8-byte hashes + one string per distinct span per
+    // partition instead of every posting's 8-gram text (the difference
+    // between shuffling ~1% and 100% of the corpus at scale). Cross-span
+    // hash collisions are the same accepted 2⁻⁶⁴ class as exactDedup.
     (s, dir) => Dedup.shingleRows(t(s, dir, "documents"), "text", "doc_id", 8)
-      .groupBy("s").agg(countDistinct(col("id")).as("n_docs"))
+      .select(xxhash64(col("s")).as("h"), col("s"), col("id"))
+      .groupBy("h").agg(count(lit(1)).as("n_docs"), min(col("s")).as("span"))
       .filter(col("n_docs") >= 2)
-      .orderBy(col("n_docs").desc, col("s"))
+      .orderBy(col("n_docs").desc, col("span"))
       .limit(20)
-      .select(col("s").as("span"), col("n_docs")),
+      .select(col("span"), col("n_docs")),
     Some(raw"""
       WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
       sh AS (

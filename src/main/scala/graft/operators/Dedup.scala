@@ -352,8 +352,11 @@ object Dedup {
     val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // seed with min(self, neighbors): equivalent to one propagation round
+    // over identity labels, for the price of the aggregate that would
+    // otherwise build the identity map
+    var labels = edges.groupBy("u").agg(min(col("v")).as("mv"))
+      .select(col("u").as("id"), least(col("u"), col("mv")).as("component"))
       .localCheckpoint(true)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("component").cast(DecimalType(38, 0)))).head()

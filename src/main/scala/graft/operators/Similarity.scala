@@ -80,15 +80,18 @@ object Similarity {
     require(planes <= 63, s"planes must fit a long, got $planes")
     val dim = df.select(size(col(vecCol))).head(1)
       .headOption.map(_.getInt(0)).getOrElse(0)
-    val v = toDoubleVec(col(vecCol))
-    val sigPerTable = (0 until tables).map { t =>
-      (0 until planes).map { p =>
-        val w = typedlit((0 until dim).map(d => planeWeight(t, p, d)))
-        when(dot(v, w) > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_))
-    }
+    // one codegen'd expression computing every table's signature in a
+    // single pass (planes×tables sibling DotProducts overflow Janino's
+    // method limits and silently drop to interpreted eval — see
+    // LshSignatures scaladoc)
+    val flat = typedlit(for {
+      t <- 0 until tables; p <- 0 until planes; d <- 0 until dim
+    } yield planeWeight(t, p, d))
+    GraftFunctions.register(df.sparkSession)
+    val sigs = call_function(GraftFunctions.LshSigsName,
+      toDoubleVec(col(vecCol)), flat, lit(planes), lit(tables))
     df.select(col(idCol).as("id"),
-      posexplode(array(sigPerTable: _*)).as(Seq("table", "sig")))
+      posexplode(sigs).as(Seq("table", "sig")))
   }
 
   /** LSH-bucketed approximate top-k (index built inline): candidates share

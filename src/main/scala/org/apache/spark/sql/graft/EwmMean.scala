@@ -73,6 +73,7 @@ object CatalystBridge {
 object GraftFunctions {
   val EwmMeanName = "graft_ewm_mean"
   val DotName = "graft_dot"
+  val LshSigsName = "graft_lsh_sigs"
 
   private def evalAlpha(e: Expression): Double = e match {
     case Literal(v: Double, _) => v
@@ -97,5 +98,7 @@ object GraftFunctions {
       exprs => EwmMean(exprs.head, evalAlpha(exprs(1))), "built-in")
     registry.createOrReplaceTempFunction(DotName,
       exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(LshSigsName,
+      exprs => LshSignatures(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Codegen'd dot product of two numeric arrays (`array<float>` or
   * `array<double>`), the hot kernel of every embedding-similarity path
@@ -89,4 +89,128 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** All `tables` LSH signatures of a vector in ONE tight loop:
+  * sig[t] = Σ_p (Σ_d v[d]·w[t,p,d] > 0) << p, weights passed as a flat
+  * foldable literal `array<double>` in (t, p, d) order.
+  *
+  * Why one expression instead of planes×tables [[DotProduct]] calls: 64
+  * sibling dot products in a projection blow the generated method past
+  * Janino's limits, so Spark silently falls back to interpreted eval —
+  * measured 2.4 s for 2,000 rows at sf0.1 (the whole computation is ~8M
+  * flops, i.e. milliseconds when compiled). This form generates three
+  * small nested loops over one reference-object weight array. Summation
+  * per (t, p) is in dim order — the same strict left fold as DotProduct,
+  * so buckets stay bit-reproducible by the DuckDB oracle. */
+case class LshSignatures(vec: Expression, weightsExpr: Expression,
+                         planesExpr: Expression, tablesExpr: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(vec, weightsExpr, planesExpr, tablesExpr)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_lsh_sigs"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val wOk = weightsExpr.foldable && (weightsExpr.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    val pOk = planesExpr.foldable && planesExpr.dataType == IntegerType
+    val tOk = tablesExpr.foldable && tablesExpr.dataType == IntegerType
+    if (vecOk && wOk && pOk && tOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double>, foldable array<double>, foldable int, foldable int)")
+  }
+
+  @transient private lazy val planes: Int = planesExpr.eval().asInstanceOf[Int]
+  @transient private lazy val tables: Int = tablesExpr.eval().asInstanceOf[Int]
+  @transient private lazy val flatWeights: Array[Double] =
+    weightsExpr.eval().asInstanceOf[ArrayData].toDoubleArray()
+  @transient private lazy val dims: Int = {
+    require(planes > 0 && planes <= 63 && tables > 0, s"bad planes=$planes tables=$tables")
+    require(flatWeights.length % (planes * tables) == 0,
+      s"weights length ${flatWeights.length} not divisible by planes*tables")
+    flatWeights.length / (planes * tables)
+  }
+
+  private def compute(v: ArrayData): Any = {
+    if (v.numElements() != dims) return null
+    var d = 0
+    while (d < dims) { if (v.isNullAt(d)) return null; d += 1 }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        var s = 0.0
+        val base = (t * planes + p) * dims
+        var i = 0
+        while (i < dims) { s += v.getDouble(i) * flatWeights(base + i); i += 1 }
+        if (s > 0) sig |= 1L << p
+        p += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = vec.eval(input)
+    if (v == null) null else compute(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("lshWeights", flatWeights, "double[]")
+    val vEval = vec.genCode(ctx)
+    val (dN, pN, tN) = (dims, planes, tables)
+    val v = ctx.freshName("v")
+    val out = ctx.freshName("out")
+    val bad = ctx.freshName("bad")
+    val sig = ctx.freshName("sig")
+    val s = ctx.freshName("s")
+    val base = ctx.freshName("base")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code =
+      code"""
+         |${vEval.code}
+         |boolean ${ev.isNull} = ${vEval.isNull};
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $v = ${vEval.value};
+         |  if ($v.numElements() != $dN) { ${ev.isNull} = true; }
+         |  else {
+         |    boolean $bad = false;
+         |    for (int d = 0; d < $dN; d++) if ($v.isNullAt(d)) { $bad = true; break; }
+         |    if ($bad) { ${ev.isNull} = true; }
+         |    else {
+         |      long[] $out = new long[$tN];
+         |      for (int t = 0; t < $tN; t++) {
+         |        long $sig = 0L;
+         |        for (int p = 0; p < $pN; p++) {
+         |          double $s = 0.0;
+         |          int $base = (t * $pN + p) * $dN;
+         |          for (int d = 0; d < $dN; d++) $s += $v.getDouble(d) * $w[$base + d];
+         |          if ($s > 0) $sig |= 1L << p;
+         |        }
+         |        $out[t] = $sig;
+         |      }
+         |      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |    }
+         |  }
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): LshSignatures =
+    copy(vec = newChildren(0), weightsExpr = newChildren(1),
+      planesExpr = newChildren(2), tablesExpr = newChildren(3))
 }

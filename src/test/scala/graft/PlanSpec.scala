@@ -133,8 +133,9 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(graft.operators.Similarity.lshSignatures(
       df, "embedding", "vec_id", planes = 6, tables = 4))
     assert(!plan.contains("Exchange"),
-      s"signature computation must not shuffle (literal-weight DotProduct projection):\n${plan.take(2000)}")
-    assert(plan.contains("graft_dot"), "projections must use the codegen dot product")
+      s"signature computation must not shuffle (literal-weight codegen projection):\n${plan.take(2000)}")
+    assert(plan.contains("graft_lsh_sigs"),
+      "projections must use the single-pass codegen signature expression")
     assert(!plan.contains("lambdafunction"),
       s"interpreted HOF found in the signature plan:\n${plan.take(1500)}")
   }
