@@ -85,8 +85,8 @@ object Dedup {
 
   /** k-permutation MinHash signatures, one row per doc, as an
     * explode + 64-way min aggregation. Plan shape: tokenize → explode
-    * shingles → project k hash columns (one xxhash64 per permutation,
-    * whole-stage codegen) → groupBy(id) with k `min` aggs (map-side
+    * shingles → project k hash columns (one universal-hash multiply-add
+    * per permutation, whole-stage codegen) → groupBy(id) with k `min` aggs (map-side
     * partial aggregation → the shuffle carries one k·8-byte signature
     * per doc, not the shingles). Nested-lambda HOF formulations of the
     * same thing drop out of codegen and run ~100× slower. */
