@@ -1349,6 +1349,26 @@ object Queries {
       SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_tol
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Quantile sketching with an accuracy contract, mirroring
+    * [[qApproxDistinct]]: `approx_percentile` (KLL-class sketch — fixed
+    * memory, mergeable, the 100 TB path) next to the exact percentile,
+    * oracle-pinned to stay within 2% relative error. */
+  private val qApproxQuantile = QDef(
+    "q_approx_quantile",
+    (s, dir) => t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"), lit(0.5), lit(2000)).as("p50_approx"),
+        expr("percentile(value, 0.5)").as("p50_exact"))
+      .select(col("event_type"), round(col("p50_exact"), 6).as("p50_exact"),
+        (abs(col("p50_approx") - col("p50_exact")) /
+          abs(col("p50_exact")) <= 0.02).as("within_tol"))
+      .orderBy("event_type"),
+    Some("""
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+             TRUE AS within_tol
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** Token-budget sequence packing, sharded by language (the scale lever:
     * a running sum parallelizes across shards, serializes globally). */
   private val qPackSequences = QDef(
@@ -1648,6 +1668,6 @@ object Queries {
     qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qEmbedNearDup,
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qPiiScrub, qPackSequences,
-    qApproxDistinct, qDupSpans, qHashSplit
+    qApproxDistinct, qDupSpans, qHashSplit, qApproxQuantile
   )
 }

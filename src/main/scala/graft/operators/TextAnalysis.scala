@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization (the BPE-ish regex split). */
+  /** Whitespace tokenization (the BPE-ish regex split). NOTE the exact
+    * SQL semantics, shared with every oracle: `trim` strips SPACES only
+    * (not \n/\t), and the split keeps trailing empty tokens — so text
+    * with trailing non-space whitespace tokenizes to a final "" token in
+    * BOTH engines. Callers needing strict tokens should pre-normalize. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   def tokenCount(toks: Column): Column = size(toks)

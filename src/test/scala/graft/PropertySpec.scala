@@ -157,6 +157,71 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scrubPii is idempotent and removes every match on random PII soup") {
+    val word = Gen.oneOf("alpha", "beta", "x1", "the", "data")
+    val pii = Gen.oneOf(
+      Gen.const("bob.smith+tag@example-mail.org"),
+      Gen.const("10.1.2.34"),
+      Gen.const("+41791234567"),
+      word)
+    val doc = Gen.listOfN(12, pii).map(_.mkString(" "))
+    val docs = samples(doc, 200).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val once = docs.select(col("id"), graft.operators.TextAnalysis.scrubPii(col("t")).as("s"))
+    val twice = once.select(col("id"), graft.operators.TextAnalysis.scrubPii(col("s")).as("s"))
+    assert(once.exceptAll(twice).count() == 0, "scrub is not idempotent")
+    val leftovers = once.select(graft.operators.TextAnalysis.piiCounts(col("s")): _*)
+      .filter(col("n_emails") > 0 || col("n_ips") > 0 || col("n_phones") > 0)
+    assert(leftovers.count() == 0, "PII survived the scrub")
+  }
+
+  test("repetitionStats ≡ in-memory brute force on random docs") {
+    val word = Gen.oneOf("a", "b", "c", "dd", "eee")
+    val line = Gen.chooseNum(0, 4).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val doc = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, line).map(_.mkString("\n")))
+    val docsL = samples(doc, 120).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = graft.operators.TextAnalysis
+      .repetitionStats(docsL.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
+    docsL.foreach { case (id, text) =>
+      val lines = text.split("\n", -1).filter(_.trim.nonEmpty)
+      // mirror SQL semantics exactly: trim strips SPACES only (not \n),
+      // and split keeps trailing empty tokens (limit -1)
+      val sqlTrimmed = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val toks = sqlTrimmed.split("\\s+", -1).toSeq
+      val grams = if (toks.length >= 2) toks.sliding(2).map(_.mkString(" ")).toSeq else Nil
+      val topN = if (grams.isEmpty) 0L else grams.groupBy(identity).values.map(_.size).max.toLong
+      val expected = (lines.length.toLong,
+        if (lines.isEmpty) 0.0 else (lines.length - lines.distinct.length).toDouble / lines.length,
+        topN,
+        if (grams.isEmpty) 0.0 else topN.toDouble / grams.length)
+      assert(got(id) == expected, s"doc $id: got ${got(id)}, expected $expected for ${text.replace("\n", "\\n")}")
+    }
+  }
+
+  test("packSequences: per-shard bins are contiguous and budget-consistent") {
+    val tok = Gen.chooseNum(1L, 700L)
+    val rows = samples(tok, 300).zipWithIndex.map { case (n, i) =>
+      (s"shard${i % 3}", i.toLong, n) }
+    val out = graft.operators.TextAnalysis
+      .packSequences(rows.toDF("lang", "doc_id", "n_tok"), "n_tok", "doc_id", 512, Seq("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out.groupBy(_._1).foreach { case (_, shard) =>
+      val s = shard.sortBy(_._2)
+      // bins start at 0, never decrease, never skip more than the doc that
+      // crossed the boundary allows; cum is the prefix sum
+      var cum = 0L
+      s.foreach { case (_, _, n, c, b) =>
+        cum += n
+        assert(c == cum, "cum_tokens is not the prefix sum")
+        assert(b == (c - n) / 512, "bin is not floor(cum-before / budget)")
+      }
+      assert(s.head._5 == 0L)
+      assert(s.sliding(2).forall(w => w.length < 2 || w(1)._5 >= w(0)._5), "bins decrease")
+    }
+  }
+
   test("sanitize: no NaN or Infinity survives, finite values pass through") {
     val vals = Gen.oneOf(
       Gen.choose(-1e12, 1e12),
