@@ -128,4 +128,20 @@ object LakeWriter {
         (col("month") === e.getMonthValue && col("day") <= e.getDayOfMonth)))
     lower && upper
   }
+
+  /** Write a frame as a BUCKETED managed table: rows are hash-partitioned
+    * into `nBuckets` files per partition by `bucketCols` and sorted
+    * within each bucket. Two tables bucketed the same way join with ZERO
+    * exchanges — at 100 TB this turns every repeated fact⋈fact join on
+    * the bucket key (e.g. features ⋈ labels on series key) from a
+    * full-corpus shuffle into a local merge, paid once at write time.
+    * Managed-table API because bucket metadata lives in the catalog;
+    * plain parquet paths can't carry it. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int = 32, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

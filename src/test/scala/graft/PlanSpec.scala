@@ -127,6 +127,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("_b"), "expected the bucket column in the join keys")
   }
 
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    val a = (0 until 500).map(i => (s"k${i % 50}", i.toLong)).toDF("k", "va")
+    val b = (0 until 500).map(i => (s"k${i % 50}", i * 2L)).toDF("k", "vb")
+    graft.sources.LakeWriter.writeBucketed(a, "bspec_a", Seq("k"), nBuckets = 8)
+    graft.sources.LakeWriter.writeBucketed(b, "bspec_b", Seq("k"), nBuckets = 8)
+    try {
+      // disable broadcast so the join would otherwise shuffle both sides
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("bspec_a").join(spark.table("bspec_b"), "k")
+        val plan = planOf(joined)
+        assert(!plan.contains("Exchange"),
+          s"bucketed join must not shuffle:\n${plan.take(2000)}")
+        assert(joined.count() == 5000) // 50 keys × 10 × 10
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bspec_a")
+      spark.sql("DROP TABLE IF EXISTS bspec_b")
+    }
+  }
+
   test("lshSignatures is a pure per-row projection — zero shuffles") {
     val df = (0 until 50).map(i =>
       (i.toLong, Array.tabulate(16)(j => (i * 16 + j).toFloat))).toDF("vec_id", "embedding")
