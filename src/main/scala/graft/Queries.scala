@@ -1205,6 +1205,47 @@ object Queries {
         SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
       SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u ORDER BY doc_id"""))
 
+  /** The full dedup pipeline as one query: exact-Jaccard pairs at τ=0.8 →
+    * connected components → drop every non-canonical member (canonical =
+    * min id). What survives IS the training corpus; this is the query a
+    * user actually runs before tokenization. */
+  private val qCanonicalize = QDef(
+    "q_canonicalize",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardSimilarityJoin(docs, "text", "doc_id",
+        shingleN = 3, threshold = 0.8)
+      Dedup.canonicalize(docs, pairs, "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+               END AS s
+        FROM d),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+              / NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0) >= 0.8),
+      e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+      reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u)
+      SELECT doc.doc_id, doc.lang, doc.n_chars
+      FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.doc_id
+      WHERE c.component IS NULL OR c.component = doc.doc_id
+      ORDER BY doc.doc_id"""))
+
   /** Gopher-style repetition/boilerplate metrics: duplicate-line fraction
     * and most-frequent-bigram share, relationally (explode → count →
     * max; no per-doc quadratic lambdas). */
@@ -1668,6 +1709,6 @@ object Queries {
     qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qEmbedNearDup,
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qPiiScrub, qPackSequences,
-    qApproxDistinct, qDupSpans, qHashSplit, qApproxQuantile
+    qApproxDistinct, qDupSpans, qHashSplit, qApproxQuantile, qCanonicalize
   )
 }
