@@ -25,18 +25,20 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("_h", "_len")
 
-  /** Word n-gram shingles (distinct) from a token array. Documents shorter
-    * than n tokens collapse to a single whole-document shingle.
-    * CAUTION: `toks` must be a MATERIALIZED attribute (not an inline
-    * `split(...)` expression) — interpreted HOFs have no common-
-    * subexpression elimination, so an inline tokenizer re-evaluates per
-    * element (caught in round 1 via thread dump: StringSplit.nullSafeEval
-    * per shingle). [[shingleArrays]] provides the safe construction. */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array(concat_ws(" ", toks)))
+  /** Word n-gram shingles (distinct, first-occurrence order) from a token
+    * array; documents shorter than n tokens collapse to a single
+    * whole-document shingle. Implemented as the codegen
+    * `graft_shingles` expression — one tight JVM loop per row. The HOF
+    * form (`array_distinct(transform(sequence, i → concat_ws(slice)))`)
+    * is interpreted per ELEMENT and measured ~10× slower at sf0.1; it
+    * also re-evaluated inline tokenizers per element (round-1 thread-dump
+    * finding), a hazard the expression form removes entirely. */
+  def shingles(toks: Column, n: Int): Column = {
+    org.apache.spark.sql.graft.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(org.apache.spark.sql.graft.GraftFunctions.ShinglesName,
+      toks, lit(n))
+  }
 
   /** Per-doc distinct shingle arrays `(id, shs)`. The tokenizer runs in a
     * projection BELOW an exchange boundary, so the `transform` lambda

@@ -74,6 +74,7 @@ object GraftFunctions {
   val EwmMeanName = "graft_ewm_mean"
   val DotName = "graft_dot"
   val LshSigsName = "graft_lsh_sigs"
+  val ShinglesName = "graft_shingles"
 
   private def evalAlpha(e: Expression): Double = e match {
     case Literal(v: Double, _) => v
@@ -100,5 +101,7 @@ object GraftFunctions {
       exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(LshSigsName,
       exprs => LshSignatures(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
+    registry.createOrReplaceTempFunction(ShinglesName,
+      exprs => Shingles(exprs.head, exprs(1)), "built-in")
   }
 }
