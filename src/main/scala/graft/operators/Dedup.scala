@@ -100,8 +100,13 @@ object Dedup {
     * universal hash (aᵢ·h + bᵢ) mod 2³¹−1 over the portable base hash —
     * plain codegen arithmetic (cheaper than k seeded hash calls) and
     * reproducible by an external oracle. */
-  def minhashSignaturesFromRows(sh: DataFrame, k: Int): DataFrame = {
-    val base = sh.withColumn("_hb", pmod(TextAnalysis.tokenHash48(col("s")), lit(P31)))
+  def minhashSignaturesFromRows(sh: DataFrame, k: Int): DataFrame =
+    minhashSignaturesFromHashRows(
+      sh.select(col("id"), TextAnalysis.tokenHash48(col("s")).as("h")), k)
+
+  /** Signatures from an (id, h) 48-bit-hash-row frame. */
+  def minhashSignaturesFromHashRows(hrows: DataFrame, k: Int): DataFrame = {
+    val base = hrows.withColumn("_hb", pmod(col("h"), lit(P31)))
     val hashed = base.select(col("id") +:
       (0 until k).map(i =>
         pmod(lit(permA(i)) * col("_hb") + lit(permB(i)), lit(P31)).as(s"_h$i")): _*)
@@ -138,14 +143,8 @@ object Dedup {
     // to materialize than to recompute
     val arrs = shingleHashArrays(df, textCol, idCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hrows = arrs.select(col("id"), explode(col("hs")).as("h"))
-      .withColumn("_hb", pmod(col("h"), lit(P31)))
-    val hashed = hrows.select(col("id") +:
-      (0 until k).map(i =>
-        pmod(lit(permA(i)) * col("_hb") + lit(permB(i)), lit(P31)).as(s"_h$i")): _*)
-    val sigs = hashed.groupBy("id")
-      .agg(min(s"_h0").as("_m0"), (1 until k).map(i => min(s"_h$i").as(s"_m$i")): _*)
-      .select(col("id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+    val sigs = minhashSignaturesFromHashRows(
+      arrs.select(col("id"), explode(col("hs")).as("h")), k)
     val bandsDf = sigs.select(col("id"),
       posexplode(lshBandKeys(col("sig"), bands, k / bands)).as(Seq("band", "key")))
     val cands = bandsDf.as("a")
@@ -324,6 +323,79 @@ object Dedup {
         (Similarity.dot(col("a.v"), col("b.v")) /
           nullif(col("a.nrm") * col("b.nrm"), lit(0))).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental dedup: persisted MinHash index + probe. At 100 TB you
+  // never re-dedup the whole corpus per ingest batch — you probe new
+  // docs against a standing index and append them to it.
+  // ------------------------------------------------------------------
+
+  /** Persist the MinHash LSH index of a corpus at `path`:
+    * `bands/` — (id, key) band postings, partitioned by `band` (bands
+    * directories; directory pruning at probe time) and sorted by `key`
+    * within files (parquet min/max row-group pruning);
+    * `postings/` — (id, h) exploded 48-bit shingle hashes for exact
+    * overlap verification; `sizes/` — (id, n). `mode=append` grows the
+    * index with each ingested batch. */
+  def writeMinhashIndex(df: DataFrame, textCol: String, idCol: String,
+                        path: String, shingleN: Int = 3, k: Int = 64,
+                        bands: Int = 16, mode: String = "overwrite"): Unit = {
+    val arrs = shingleHashArrays(df, textCol, idCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sigs = minhashSignaturesFromHashRows(
+        arrs.select(col("id"), explode(col("hs")).as("h")), k)
+      sigs.select(col("id"),
+          posexplode(lshBandKeys(col("sig"), bands, k / bands)).as(Seq("band", "key")))
+        .repartition(col("band"))
+        .sortWithinPartitions("key")
+        .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+      arrs.select(col("id"), explode(col("hs")).as("h"))
+        .write.mode(mode).parquet(s"$path/postings")
+      arrs.select(col("id"), col("n"))
+        .write.mode(mode).parquet(s"$path/sizes")
+    } finally arrs.unpersist()
+  }
+
+  /** Near-dup pairs of a NEW batch against a persisted index — the
+    * incremental form of [[minhashNearDupPairs]]: band keys of the batch
+    * equi-join the index's band postings (shuffle = the BATCH's
+    * signatures, never the corpus; the index side is directory-pruned to
+    * matching bands and row-group-pruned on sorted keys), then exact
+    * overlap verification joins only the candidates' postings. Returns
+    * `(new_id, old_id, jaccard)`. Identical hashing/banding constants to
+    * the batch operator, so index+probe ≡ one-shot pairs on the union. */
+  def nearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                          newDf: DataFrame, textCol: String, idCol: String,
+                          shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.8): DataFrame = {
+    val newArrs = shingleHashArrays(newDf, textCol, idCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newSigs = minhashSignaturesFromHashRows(
+      newArrs.select(col("id"), explode(col("hs")).as("h")), k)
+    val newBands = newSigs.select(col("id").as("new_id"),
+      posexplode(lshBandKeys(col("sig"), bands, k / bands)).as(Seq("band", "key")))
+    val idxBands = spark.read.parquet(s"$path/bands")
+      .select(col("id").as("old_id"), col("band"), col("key"))
+    val cands = newBands.join(idxBands, Seq("band", "key"))
+      .filter(col("new_id") =!= col("old_id"))
+      .select("new_id", "old_id").distinct()
+    val newRows = newArrs.select(col("id").as("new_id"), explode(col("hs")).as("h"))
+    val idxRows = spark.read.parquet(s"$path/postings")
+      .select(col("id").as("old_id"), col("h"))
+    val overlap = cands
+      .join(newRows, "new_id")
+      .join(idxRows, Seq("old_id", "h"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("overlap"))
+    val newSizes = newArrs.select(col("id").as("new_id"), col("n").as("na"))
+    val idxSizes = spark.read.parquet(s"$path/sizes")
+      .select(col("id").as("old_id"), col("n").as("nb"))
+    overlap.join(newSizes, "new_id").join(idxSizes, "old_id")
+      .withColumn("jaccard",
+        col("overlap").cast("double") / (col("na") + col("nb") - col("overlap")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"), col("jaccard"))
   }
 
   /** Connected components over a near-dup pair graph — the clustering

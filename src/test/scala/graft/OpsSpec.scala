@@ -460,6 +460,29 @@ class OpsSpec extends SparkSpec {
     assert(brute.nonEmpty) // non-vacuous fixture
   }
 
+  test("incremental dedup: index + probe ≡ one-shot pairs on the union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toString
+    // old corpus (ids 0-199) and a new batch (ids 1000+) with planted
+    // near-dups of old docs plus fresh docs
+    def doc(seed: Int) = (0 until 30).map(i => s"w${(seed + i * 7) % 23}").mkString(" ")
+    val old = (0 until 200).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1000L, doc(3)),                     // exact dup of old doc 3
+      (1001L, doc(7) + " tail extra"),     // near-dup of old doc 7
+      (1002L, "completely different text about nothing shared at all"))
+      .toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(old, "text", "doc_id", dir)
+    val inc = Dedup.nearDupAgainstIndex(spark, dir, fresh, "text", "doc_id")
+      .select("new_id", "old_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = Dedup.minhashNearDupPairs(old.union(fresh), "text", "doc_id")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a >= 1000) != (b >= 1000) }  // cross-batch only
+      .map { case (a, b) => if (a >= 1000) (a, b) else (b, a) }.toSet
+    assert(inc == oneShot, s"incremental=$inc oneShot=$oneShot")
+    assert(inc.contains((1000L, 3L)), "planted exact dup not found via index")
+  }
+
   test("connectedComponents: chains, cliques, singleton-pair isolation") {
     // chain 1-2-3-4-5 (tests multi-hop propagation), clique 10-11-12,
     // isolated pair 20-21, self-contained pair with reversed order 31-30
