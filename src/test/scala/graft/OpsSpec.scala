@@ -553,6 +553,14 @@ class OpsSpec extends SparkSpec {
       ORDER BY ts""").collect().map(_.getDouble(0))
     // adjust=False recurrence: 1.0, 1.5, 2.25
     assert(ewm.toSeq == Seq(1.0, 1.5, 2.25))
+    val shingles = spark.sql(
+      "SELECT graft_shingles(array('a', 'b', 'a', 'b'), 2) AS s").head.getSeq[String](0)
+    assert(shingles == Seq("a b", "b a")) // distinct, first-occurrence order
+    val sigs = spark.sql(
+      "SELECT graft_lsh_sigs(array(1.0d, -2.0d), array(0.5d, 0.5d, -0.5d, 0.5d), 2, 1) AS g")
+      .head.getSeq[Long](0)
+    // plane 0: 0.5·1 + 0.5·(−2) < 0 → bit 0 off; plane 1: −0.5·1+0.5·(−2) < 0 → bit 1 off
+    assert(sigs == Seq(0L))
   }
 
   test("split3 assignment is stable and has sane proportions") {
