@@ -1348,6 +1348,63 @@ object Queries {
       FROM r GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
       ORDER BY n_docs DESC, s LIMIT 20"""))
 
+  /** Eval-set contamination detection (decontamination): corpus docs
+    * sharing ≥3 distinct 8-token spans with any eval doc. The eval set is
+    * carved deterministically from the corpus (doc_id % 97 == 0 — the
+    * planted-fixture pattern of q_gap_daily/q_pii_scrub). Relational
+    * shape: shingle both sides → equi-join on the span hash → distinct-
+    * span count per (corpus, eval) pair — never a doc×doc comparison, and
+    * the join currency is 8-byte hashes. */
+  private val qContamination = QDef(
+    "q_contamination",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val eval_ = docs.filter(col("doc_id") % 97 === 0)
+      // plant contamination (the corpus and eval fixture don't overlap
+      // naturally — an empty compare would verify nothing): corpus doc
+      // eval_id+1 absorbs its eval neighbor's text
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .join(eval_.select((col("doc_id") + 1).as("doc_id"), col("text").as("etext")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("etext").isNotNull, concat(col("text"), lit(" "), col("etext")))
+            .otherwise(col("text")).as("text"))
+      val cRows = Dedup.shingleRows(corpus, "text", "doc_id", 8)
+        .select(col("id").as("corpus_id"), xxhash64(col("s")).as("h"))
+      val eRows = Dedup.shingleRows(eval_, "text", "doc_id", 8)
+        .select(col("id").as("eval_id"), xxhash64(col("s")).as("h"))
+      cRows.join(eRows, "h")
+        .groupBy("corpus_id", "eval_id")
+        .agg(count(lit(1)).as("n_shared_spans"))
+        .filter(col("n_shared_spans") >= 3)
+        .orderBy("corpus_id", "eval_id")
+    },
+    Some(raw"""
+      WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      corpus AS (
+        SELECT d.doc_id,
+               CASE WHEN ev.doc_id IS NOT NULL THEN d.text || ' ' || ev.text
+                    ELSE d.text END AS text
+        FROM documents d LEFT JOIN ev ON d.doc_id = ev.doc_id + 1
+        WHERE d.doc_id % 97 != 0),
+      allside AS (
+        SELECT doc_id, text, 'c' AS side FROM corpus
+        UNION ALL SELECT doc_id, text, 'e' AS side FROM ev),
+      sh AS (
+        SELECT doc_id, side,
+               CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(range(len(toks) - 7),
+                      i -> array_to_string(toks[i+1:i+8], ' ')))
+               END AS s
+        FROM (SELECT doc_id, side, string_split_regex(trim(text), '\s+') AS toks FROM allside)),
+      r AS (SELECT doc_id, side, unnest(s) AS s FROM sh)
+      SELECT c.doc_id AS corpus_id, e.doc_id AS eval_id, COUNT(*) AS n_shared_spans
+      FROM (SELECT * FROM r WHERE side = 'c') c
+      JOIN (SELECT * FROM r WHERE side = 'e') e ON c.s = e.s
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+      ORDER BY corpus_id, eval_id"""))
+
   /** Deterministic hash-based train/val/test split (80/10/10), reported
     * as per-(lang, split) doc and token counts. Hash-bucket assignment is
     * the leak-proof form: a doc's split never changes as the corpus
@@ -1709,6 +1766,7 @@ object Queries {
     qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qEmbedNearDup,
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qPiiScrub, qPackSequences,
-    qApproxDistinct, qDupSpans, qHashSplit, qApproxQuantile, qCanonicalize
+    qApproxDistinct, qDupSpans, qHashSplit, qApproxQuantile, qCanonicalize,
+    qContamination
   )
 }

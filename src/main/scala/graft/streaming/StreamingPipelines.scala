@@ -174,4 +174,42 @@ object StreamingPipelines {
       .transformWithState(new TaCarryProcessor(window, constant),
         TimeMode.None(), OutputMode.Append())
   }
+
+  // ------------------------------------------------------------------
+  // Streaming incremental dedup: the 100 TB ingest loop. Each micro-batch
+  // probes the standing MinHash index, keeps only docs that near-dup
+  // NOTHING already indexed (nor an earlier doc of the same batch), and
+  // appends the survivors' signatures to the index — so the corpus only
+  // ever grows by novel content and no batch re-processes the corpus.
+  // ------------------------------------------------------------------
+
+  /** foreachBatch body: returns the deduped batch after updating the
+    * index at `indexPath`. Exposed for testing; wire into a stream with
+    * `.writeStream.foreachBatch((b, _) => { val kept =
+    * incrementalDedupBatch(...); sink(kept) })`. */
+  def incrementalDedupBatch(spark: SparkSession, indexPath: String,
+                            batch: DataFrame, textCol: String, idCol: String,
+                            threshold: Double = 0.8): DataFrame = {
+    import graft.operators.Dedup
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/bands"))
+    // within-batch dedup first (batch ⊆ novel content invariant)
+    val pairs = Dedup.minhashNearDupPairs(batch, textCol, idCol, threshold = threshold)
+    val withinKept = Dedup.canonicalize(batch, pairs, idCol)
+    val kept =
+      if (!exists) withinKept
+      else {
+        val hits = Dedup.nearDupAgainstIndex(spark, indexPath, withinKept,
+            textCol, idCol, threshold = threshold)
+          .select(col("new_id").as(idCol)).distinct()
+        withinKept.join(hits, Seq(idCol), "left_anti")
+      }
+    val materialized = kept.persist()
+    materialized.count() // settle before the index append reads the same paths
+    Dedup.writeMinhashIndex(materialized, textCol, idCol, indexPath,
+      mode = if (exists) "append" else "overwrite")
+    materialized.unpersist()
+    kept
+  }
 }

@@ -483,6 +483,28 @@ class OpsSpec extends SparkSpec {
     assert(inc.contains((1000L, 3L)), "planted exact dup not found via index")
   }
 
+  test("streaming incremental dedup: batches keep only novel docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    // disjoint word spaces per seed — an arithmetic-progression token
+    // space (earlier draft) made distinct seeds shifted near-copies
+    def doc(seed: Int) = (0 until 30).map(i => s"w${seed}x$i").mkString(" ")
+    // batch 1: three docs, one an exact in-batch dup
+    val b1 = Seq((1L, doc(1)), (2L, doc(2)), (3L, doc(1))).toDF("doc_id", "text")
+    val k1 = graft.streaming.StreamingPipelines.incrementalDedupBatch(spark, dir, b1, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(k1 == Seq(1L, 2L), s"in-batch dup must drop: $k1")
+    // batch 2: a dup of batch-1's doc 2, and a novel doc
+    val b2 = Seq((10L, doc(2)), (11L, doc(9))).toDF("doc_id", "text")
+    val k2 = graft.streaming.StreamingPipelines.incrementalDedupBatch(spark, dir, b2, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(k2 == Seq(11L), s"cross-batch dup must drop: $k2")
+    // batch 3: a dup of batch-2's survivor — the index must have grown
+    val b3 = Seq((20L, doc(9)), (21L, doc(40))).toDF("doc_id", "text")
+    val k3 = graft.streaming.StreamingPipelines.incrementalDedupBatch(spark, dir, b3, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(k3 == Seq(21L), s"index must accumulate across batches: $k3")
+  }
+
   test("connectedComponents: chains, cliques, singleton-pair isolation") {
     // chain 1-2-3-4-5 (tests multi-hop propagation), clique 10-11-12,
     // isolated pair 20-21, self-contained pair with reversed order 31-30
