@@ -186,10 +186,20 @@ object StreamingPipelines {
   /** foreachBatch body: returns the deduped batch after updating the
     * index at `indexPath`. Exposed for testing; wire into a stream with
     * `.writeStream.foreachBatch((b, _) => { val kept =
-    * incrementalDedupBatch(...); sink(kept) })`. */
+    * incrementalDedupBatch(...); sink(kept) })`.
+    *
+    * `clearOperatorCaches` (default true): the dedup operators persist
+    * small internal frames that would otherwise accumulate batch over
+    * batch in a long-running loop; clearing the session DataFrame cache
+    * after the survivors settle bounds memory. It clears ALL CacheManager
+    * entries — set false when the session shares caches with other work.
+    * The returned frame is `localCheckpoint`ed (RDD-level storage —
+    * unaffected by the cache clear), which also matters for correctness:
+    * a lazy plan would re-probe the index AFTER this call just grew it. */
   def incrementalDedupBatch(spark: SparkSession, indexPath: String,
                             batch: DataFrame, textCol: String, idCol: String,
-                            threshold: Double = 0.8): DataFrame = {
+                            threshold: Double = 0.8,
+                            clearOperatorCaches: Boolean = true): DataFrame = {
     import graft.operators.Dedup
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
@@ -205,11 +215,10 @@ object StreamingPipelines {
           .select(col("new_id").as(idCol)).distinct()
         withinKept.join(hits, Seq(idCol), "left_anti")
       }
-    val materialized = kept.persist()
-    materialized.count() // settle before the index append reads the same paths
-    Dedup.writeMinhashIndex(materialized, textCol, idCol, indexPath,
+    val settled = kept.localCheckpoint(true)
+    if (clearOperatorCaches) spark.catalog.clearCache()
+    Dedup.writeMinhashIndex(settled, textCol, idCol, indexPath,
       mode = if (exists) "append" else "overwrite")
-    materialized.unpersist()
-    kept
+    settled
   }
 }
