@@ -104,7 +104,11 @@ object Scheduler {
     * the lake append and the drop deletion re-appends those bars. The
     * feature path is insulated by the store's last-write-wins upsert;
     * a consumer of the raw lake dedupes with `Relational.lastWriteWins`.
-    * Returns rows ingested. */
+    * Files that parse to ZERO rows are quarantined (`.quarantine/`), not
+    * deleted — "consumed" requires rows in the lake. Known limitation: a
+    * tick mixing parseable and unparseable files deletes all of them once
+    * any rows land; producers should write one payload per file via the
+    * dot-prefix temp convention. Returns rows ingested. */
   def ingestDropsOnce(spark: SparkSession, dropPath: String, exchange: String,
                       symbol: String, timeframe: String, lakePath: String): Long = {
     val dir = new org.apache.hadoop.fs.Path(dropPath)
@@ -115,6 +119,22 @@ object Scheduler {
     if (files.isEmpty) return 0L
     val raw = spark.read.json(files.map(_.toString).toIndexedSeq: _*)
     val n = ingestOnce(raw, exchange, symbol, timeframe, lakePath)
+    if (n == 0L) {
+      // nothing parsed/normalized out of these files — deleting them here
+      // would destroy data that was never ingested (a malformed or
+      // partially-written payload is NOT "consumed"). Quarantine instead:
+      // at-least-once means files may only disappear after their rows hit
+      // the lake; a human or a fixed parser can replay the quarantine.
+      val qDir = new org.apache.hadoop.fs.Path(dropPath, ".quarantine")
+      fs.mkdirs(qDir)
+      files.foreach { p =>
+        if (!fs.rename(p, new org.apache.hadoop.fs.Path(qDir, p.getName)))
+          System.err.println(s"[job] ingest: could not quarantine zero-row drop $p")
+      }
+      System.err.println(s"[job] ingest: ${files.length} drop file(s) yielded 0 rows; " +
+        s"moved to $qDir for inspection (not deleted)")
+      return 0L
+    }
     files.foreach { p =>
       if (!fs.delete(p, false) && fs.exists(p))
         System.err.println(s"[job] ingest: could not delete consumed drop $p; " +

@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Optionally persist an internal frame. The near-dup operators reuse
+    * their shingle-hash frames across plan branches; caching trades
+    * memory for recompute. Pass `cache = false` in long-lived sessions /
+    * ingest loops where per-call pinned blocks would accumulate — since
+    * the codegen shingle kernel, recompute costs tenths of a second per
+    * million shingles, so uncached is the right default there. */
+  private def cached(df: DataFrame, cache: Boolean): DataFrame =
+    if (cache) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+
   /** Exact dedup: keep the lowest id per distinct text. Groups on
     * (xxhash64(text), length(text)) so the shuffle carries the hash, not
     * the body — at 100 TB this is the difference between shuffling 16 B
@@ -136,13 +146,13 @@ object Dedup {
     * strings are ever shuffled). */
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-                          threshold: Double = 0.8): DataFrame = {
+                          threshold: Double = 0.8,
+                          cache: Boolean = true): DataFrame = {
     // one per-doc hash-array frame (|docs| rows, ~n·8 B each) feeds
     // signatures, sizes, and both verification sides — cached cheaply;
     // round 1 cached the exploded posting frame instead, which cost more
     // to materialize than to recompute
-    val arrs = shingleHashArrays(df, textCol, idCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val arrs = cached(shingleHashArrays(df, textCol, idCol, shingleN), cache)
     val sigs = minhashSignaturesFromHashRows(
       arrs.select(col("id"), explode(col("hs")).as("h")), k)
     val bandsDf = sigs.select(col("id"),
@@ -252,7 +262,8 @@ object Dedup {
     * size-ratio bound J(A,B) ≤ min/max. No blocking keys needed; returns
     * exactly the pairs a full cross join would. */
   def jaccardSimilarityJoin(df: DataFrame, textCol: String, idCol: String,
-                            shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+                            shingleN: Int = 3, threshold: Double = 0.8,
+                            cache: Boolean = true): DataFrame = {
     // Candidate generation joins PREFIX postings only. Soundness (PPJoin
     // Lemma 1, Xiao et al. 2008): J(A,B) ≥ τ ⟹ overlap ≥ ⌈τ·max(|A|,|B|)⌉
     // = α, and any two sets with overlap ≥ α must share an element among
@@ -268,8 +279,7 @@ object Dedup {
     // overlap counting on the full hash postings (equi-joins + one count
     // aggregate, codegen — interpreted intersect/union melted down:
     // 16s→477s).
-    val arrs = shingleHashArrays(df, textCol, idCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val arrs = cached(shingleHashArrays(df, textCol, idCol, shingleN), cache)
     val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
     val pre = arrs
       .select(col("id"), col("n"),
@@ -369,9 +379,9 @@ object Dedup {
   def nearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                           newDf: DataFrame, textCol: String, idCol: String,
                           shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-                          threshold: Double = 0.8): DataFrame = {
-    val newArrs = shingleHashArrays(newDf, textCol, idCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                          threshold: Double = 0.8,
+                          cache: Boolean = true): DataFrame = {
+    val newArrs = cached(shingleHashArrays(newDf, textCol, idCol, shingleN), cache)
     val newSigs = minhashSignaturesFromHashRows(
       newArrs.select(col("id"), explode(col("hs")).as("h")), k)
     val newBands = newSigs.select(col("id").as("new_id"),

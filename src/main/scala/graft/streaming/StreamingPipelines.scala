@@ -188,35 +188,31 @@ object StreamingPipelines {
     * `.writeStream.foreachBatch((b, _) => { val kept =
     * incrementalDedupBatch(...); sink(kept) })`.
     *
-    * `clearOperatorCaches` (default true): the dedup operators persist
-    * small internal frames that would otherwise accumulate batch over
-    * batch in a long-running loop; clearing the session DataFrame cache
-    * after the survivors settle bounds memory. It clears ALL CacheManager
-    * entries — set false when the session shares caches with other work.
-    * The returned frame is `localCheckpoint`ed (RDD-level storage —
-    * unaffected by the cache clear), which also matters for correctness:
-    * a lazy plan would re-probe the index AFTER this call just grew it. */
+    * The operators run with `cache = false` — a long-running loop must
+    * not pin one cached frame per batch, and recompute is cheap since the
+    * codegen shingle kernel. The returned frame is `localCheckpoint`ed,
+    * which matters for correctness, not just cost: a lazy plan would
+    * re-probe the index AFTER this call just grew it. */
   def incrementalDedupBatch(spark: SparkSession, indexPath: String,
                             batch: DataFrame, textCol: String, idCol: String,
-                            threshold: Double = 0.8,
-                            clearOperatorCaches: Boolean = true): DataFrame = {
+                            threshold: Double = 0.8): DataFrame = {
     import graft.operators.Dedup
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/bands"))
     // within-batch dedup first (batch ⊆ novel content invariant)
-    val pairs = Dedup.minhashNearDupPairs(batch, textCol, idCol, threshold = threshold)
+    val pairs = Dedup.minhashNearDupPairs(batch, textCol, idCol,
+      threshold = threshold, cache = false)
     val withinKept = Dedup.canonicalize(batch, pairs, idCol)
     val kept =
       if (!exists) withinKept
       else {
         val hits = Dedup.nearDupAgainstIndex(spark, indexPath, withinKept,
-            textCol, idCol, threshold = threshold)
+            textCol, idCol, threshold = threshold, cache = false)
           .select(col("new_id").as(idCol)).distinct()
         withinKept.join(hits, Seq(idCol), "left_anti")
       }
     val settled = kept.localCheckpoint(true)
-    if (clearOperatorCaches) spark.catalog.clearCache()
     Dedup.writeMinhashIndex(settled, textCol, idCol, indexPath,
       mode = if (exists) "append" else "overwrite")
     settled

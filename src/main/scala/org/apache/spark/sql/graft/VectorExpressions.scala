@@ -139,8 +139,18 @@ case class LshSignatures(vec: Expression, weightsExpr: Expression,
     flatWeights.length / (planes * tables)
   }
 
+  /** Fail fast on a ragged vector: a null would silently drop the row
+    * from every LSH path (index, candidates, pair output) — silent data
+    * loss, strictly worse than an error naming the defect. */
+  private def badDim(actual: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"graft_lsh_sigs: vector of dimension $actual in a corpus indexed at " +
+        s"dimension $dims — LSH requires a uniform embedding dimension")
+  /** Codegen entry point for the same fail-fast (called from generated code). */
+  def badDimPublic(actual: Int): Unit = badDim(actual)
+
   private def compute(v: ArrayData): Any = {
-    if (v.numElements() != dims) return null
+    if (v.numElements() != dims) badDim(v.numElements())
     var d = 0
     while (d < dims) { if (v.isNullAt(d)) return null; d += 1 }
     val out = new Array[Long](tables)
@@ -169,6 +179,8 @@ case class LshSignatures(vec: Expression, weightsExpr: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val w = ctx.addReferenceObj("lshWeights", flatWeights, "double[]")
+    val self = ctx.addReferenceObj("lshSigsExpr", this,
+      "org.apache.spark.sql.graft.LshSignatures")
     val vEval = vec.genCode(ctx)
     val (dN, pN, tN) = (dims, planes, tables)
     val v = ctx.freshName("v")
@@ -185,7 +197,7 @@ case class LshSignatures(vec: Expression, weightsExpr: Expression,
          |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
          |if (!${ev.isNull}) {
          |  org.apache.spark.sql.catalyst.util.ArrayData $v = ${vEval.value};
-         |  if ($v.numElements() != $dN) { ${ev.isNull} = true; }
+         |  if ($v.numElements() != $dN) { $self.badDimPublic($v.numElements()); }
          |  else {
          |    boolean $bad = false;
          |    for (int d = 0; d < $dN; d++) if ($v.isNullAt(d)) { $bad = true; break; }

@@ -392,6 +392,15 @@ class SystemSpec extends SparkSpec {
     // consumed drops are deleted: the next tick is a no-op, not a re-append
     val n2 = Scheduler.ingestDropsOnce(spark, drops, "binance", "BTC/USDT", "1m", lake)
     assert(n2 == 0 && LakeWriter.read(spark, lake, Map("symbol" -> "BTC_USDT")).count() == 2)
+    // a drop that parses to zero rows is QUARANTINED, never deleted —
+    // "consumed" requires rows in the lake (at-least-once contract)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(drops, "bad.json"),
+      """{"garbage": true}""")
+    val n3 = Scheduler.ingestDropsOnce(spark, drops, "binance", "BTC/USDT", "1m", lake)
+    assert(n3 == 0)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(drops, "bad.json")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(drops, ".quarantine", "bad.json")),
+      "zero-row drop must move to quarantine, not vanish")
   }
 
   test("scheduler e2e: slash-form symbol survives ingest → lake fetch → store fill") {
