@@ -430,9 +430,39 @@ object Dedup {
     * equal exactly at it — one cheap aggregate per round instead of a
     * join + count. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+                          bCol: String = "id_b", maxIter: Int = 20,
+                          driverCutoffPairs: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val e0 = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    // Adaptive execution: near-dup pair graphs are tiny relative to the
+    // corpus that produced them (pairs ≈ duplicates, not documents). Under
+    // the cutoff (default 2²⁰ pairs ≈ 16 MB) a driver union-find finishes
+    // in milliseconds where the distributed loop pays several shuffle
+    // rounds of fixed overhead; above it, the distributed path scales
+    // unbounded. The count that decides is an aggregate the loop would
+    // have paid anyway; both paths produce identical (id, component) rows.
+    val nPairs = e0.count()
+    if (nPairs <= driverCutoffPairs) {
+      val spark = pairs.sparkSession
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        parent.putIfAbsent(r, r)
+        r
+      }
+      e0.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet.forEach(k => out += ((k, find(k))))
+      import spark.implicits._
+      return out.toSeq.toDF("id", "component")
+    }
     val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -520,11 +520,13 @@ class OpsSpec extends SparkSpec {
     assert(comps.size == 12)
   }
 
-  test("connectedComponents converges on a long path in few rounds") {
+  test("connectedComponents converges on a long path in few rounds (distributed path)") {
     // a 64-node path: naive min-propagation needs 63 rounds; pointer
-    // jumping must close it within the default maxIter=20
+    // jumping must close it within the default maxIter=20. cutoff=0
+    // forces the distributed loop (the driver union-find would otherwise
+    // absorb a fixture this small).
     val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comps = Dedup.connectedComponents(pairs).collect()
+    val comps = Dedup.connectedComponents(pairs, driverCutoffPairs = 0L).collect()
     assert(comps.length == 64 && comps.forall(_.getLong(1) == 0L))
   }
 

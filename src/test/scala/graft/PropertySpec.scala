@@ -151,9 +151,15 @@ class PropertySpec extends SparkSpec {
         if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
       }
       val expected = parent.keys.map(k => k -> find(k)).toMap
-      val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"CC mismatch at n=$n")
+      // both execution paths must agree with the reference union-find:
+      // the driver fast path (default cutoff) and the distributed
+      // hash-min loop (cutoff 0)
+      for (cutoff <- Seq(Long.MaxValue, 0L)) {
+        val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"),
+            driverCutoffPairs = cutoff)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"CC mismatch at n=$n cutoff=$cutoff")
+      }
     }
   }
 
