@@ -886,7 +886,7 @@ object Queries {
       ranked AS (
         SELECT symbol, ts, side, amount,
                ROW_NUMBER() OVER (PARTITION BY symbol, ts, side
-                 ORDER BY CASE WHEN side = 'bid' THEN -price ELSE price END) AS rn
+                 ORDER BY CASE WHEN side = 'bid' THEN -price ELSE price END, amount) AS rn
         FROM book),
       depth AS (
         SELECT symbol, ts,

@@ -60,11 +60,14 @@ object OrderbookFeatures {
     * `bid_depth_1..n` / `ask_depth_1..n` (`orderbook_features.py:140-157`,
     * A4 as row_number + pivot — one shuffle, no per-group apply). The
     * `first` in the pivot sees exactly one row per (group, slot) — the
-    * row_number makes slots unique — so it is deterministic. */
+    * row_number makes slots unique — so it is deterministic. Amount is a
+    * secondary sort key: equal-price levels would otherwise be ranked by
+    * partition arrival order. */
   def depthSeries(df: DataFrame, nLevels: Int = 5, keys: Seq[String] = Nil): DataFrame = {
     val ranked = df.withColumn("rn", row_number().over(
       Window.partitionBy((keys :+ "ts" :+ "side").map(col): _*)
-        .orderBy(when(col("side") === "bid", -col("price")).otherwise(col("price")))))
+        .orderBy(when(col("side") === "bid", -col("price")).otherwise(col("price")),
+          col("amount"))))
       .filter(col("rn") <= nLevels)
     val labeled = ranked.withColumn("slot", concat(col("side"), lit("_depth_"), col("rn")))
     val slots = (1 to nLevels).flatMap(i => Seq(s"bid_depth_$i", s"ask_depth_$i"))
