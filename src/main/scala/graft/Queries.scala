@@ -1428,6 +1428,29 @@ object Queries {
              COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
       FROM b GROUP BY 1, 2 ORDER BY lang, split"""))
 
+  /** Corpus mixing: deterministic per-language rate sampling
+    * (`TextAnalysis.stratifiedSample`) — downweight the dominant
+    * language, keep the rest at distinct weights. The oracle re-derives
+    * every keep/drop decision from the same portable md5 bucket, so the
+    * compare is row-exact MEMBERSHIP, not just counts. */
+  private val qStratifiedSample = QDef(
+    "q_stratified_sample",
+    (s, dir) => TextAnalysis.stratifiedSample(
+        t(s, dir, "documents"), "lang", "doc_id",
+        rates = Map("en" -> 0.5, "zh" -> 0.8), defaultRate = 0.25)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id"),
+    Some(raw"""
+      SELECT doc_id, lang
+      FROM (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 12)) AS BIGINT)
+                 % 1000000 AS bkt,
+               CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.8 ELSE 0.25 END AS rate
+        FROM documents)
+      WHERE bkt < CAST(FLOOR(rate * 1000000) AS BIGINT)
+      ORDER BY doc_id"""))
+
   /** Cardinality sketching (A-family, beyond-reference): HLL++
     * `approx_count_distinct` next to the exact count, emitting a
     * within-tolerance verdict the oracle checks — the sketch is the 100 TB
@@ -1766,7 +1789,7 @@ object Queries {
     qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qEmbedNearDup,
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qPiiScrub, qPackSequences,
-    qApproxDistinct, qDupSpans, qHashSplit, qApproxQuantile, qCanonicalize,
-    qContamination
+    qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample,
+    qApproxQuantile, qCanonicalize, qContamination
   )
 }

@@ -187,6 +187,34 @@ object TextAnalysis {
       .otherwise(lit("test"))
   }
 
+  /** Deterministic per-stratum rate sampling — the corpus-mixing primitive
+    * (sample stratum s at weight rates(s), e.g. downweight a dominant
+    * language or upsample a scarce one). A row survives iff its portable
+    * hash bucket over 10⁶ falls under ⌊rate·10⁶⌋, so the decision is a
+    * pure per-row projection: no shuffle, no RNG state, reproducible
+    * across engines/partitionings, and STABLE UNDER CORPUS GROWTH — a
+    * doc's keep/drop never changes as rows arrive (unlike
+    * `df.sample`, whose per-partition RNG streams reshuffle membership
+    * on any repartition). `salt` decorrelates independent samples drawn
+    * from the same ids (and decorrelates sampling from [[split3]], which
+    * hashes the bare id). Rates compose multiplicatively only on
+    * DIFFERENT salts; resampling the same salt at r2 ≥ r1 is a superset
+    * (buckets are nested by construction). */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       rates: Map[String, Double], defaultRate: Double = 1.0,
+                       salt: String = "mix"): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val buckets = 1000000L
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val bucket = pmod(
+      tokenHash48(concat(col(idCol).cast("string"), lit(":" + salt))),
+      lit(buckets))
+    df.filter(bucket < floor(rate * buckets).cast("long"))
+  }
+
   // ---- Sequence packing ---------------------------------------------------
 
   /** Deterministic token-budget packing: within each shard (e.g. a

@@ -228,6 +228,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSample: nested rates, growth-invariant membership, rate accuracy") {
+    import graft.operators.TextAnalysis
+    val rows = samples(Gen.oneOf("en", "zh", "de"), 2000).zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }
+    val df = rows.toDF("doc_id", "lang").cache()
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").collect().map(_.getLong(0)).toSet
+    val lo = ids(TextAnalysis.stratifiedSample(df, "lang", "doc_id",
+      Map("en" -> 0.3, "zh" -> 0.1), defaultRate = 0.5))
+    val hi = ids(TextAnalysis.stratifiedSample(df, "lang", "doc_id",
+      Map("en" -> 0.6, "zh" -> 0.4), defaultRate = 0.9))
+    assert(lo.subsetOf(hi), "raising every rate must only add rows (nested buckets)")
+    // growth invariance: sampling half the corpus keeps exactly the
+    // sampled ids that fall in that half — membership is per-row
+    val half = df.filter(col("doc_id") < 1000)
+    val halfSample = ids(TextAnalysis.stratifiedSample(half, "lang", "doc_id",
+      Map("en" -> 0.3, "zh" -> 0.1), defaultRate = 0.5))
+    assert(halfSample == lo.filter(_ < 1000), "membership changed with corpus size")
+    // rate accuracy: en sampled at 0.3 over ~667 docs should land within
+    // ±0.1 absolute (md5 buckets are uniform; this is a 5σ-ish band)
+    val en = rows.count(_._2 == "en").toDouble
+    val enKept = df.filter(col("lang") === "en").count() -
+      df.filter(col("lang") === "en").except(
+        TextAnalysis.stratifiedSample(df, "lang", "doc_id",
+          Map("en" -> 0.3), defaultRate = 1.0).select("doc_id", "lang")).count()
+    assert(math.abs(enKept / en - 0.3) < 0.1, s"en keep-rate ${enKept / en} far from 0.3")
+    df.unpersist()
+  }
+
   test("sanitize: no NaN or Infinity survives, finite values pass through") {
     val vals = Gen.oneOf(
       Gen.choose(-1e12, 1e12),
