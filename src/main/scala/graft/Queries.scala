@@ -1428,6 +1428,35 @@ object Queries {
              COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
       FROM b GROUP BY 1, 2 ORDER BY lang, split"""))
 
+  /** BPE-ish token accounting next to the whitespace count — per-language
+    * budget totals plus the mean pieces-per-ws-token fertility, the
+    * number that exposes how badly whitespace counts undercount CJK. The
+    * oracle runs the identical lookahead-free GPT-2 pre-tokenizer regex
+    * in RE2. */
+  private val qBpeTokens = QDef(
+    "q_bpe_tokens",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("lang"),
+        TextAnalysis.tokenCount(TextAnalysis.tokens(col("text"))).as("n_ws"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
+      .groupBy("lang")
+      .agg(sum("n_ws").as("ws_tokens"), sum("n_bpe").as("bpe_tokens"))
+      // corpus-level fertility as a ratio of exact integer sums — an avg
+      // of per-doc double ratios would be summation-order-dependent
+      .withColumn("fertility",
+        col("bpe_tokens").cast("double") / col("ws_tokens"))
+      .orderBy("lang"),
+    Some(raw"""
+      WITH c AS (
+        SELECT lang,
+               len(string_split_regex(trim(text), '\s+')) AS n_ws,
+               len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe
+        FROM documents)
+      SELECT lang, SUM(n_ws) AS ws_tokens, SUM(n_bpe) AS bpe_tokens,
+             CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws) AS fertility
+      FROM c GROUP BY lang ORDER BY lang"""))
+
   /** Corpus mixing: deterministic per-language rate sampling
     * (`TextAnalysis.stratifiedSample`) — downweight the dominant
     * language, keep the rest at distinct weights. The oracle re-derives
@@ -1789,7 +1818,7 @@ object Queries {
     qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qEmbedNearDup,
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qPiiScrub, qPackSequences,
-    qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample,
+    qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,
     qApproxQuantile, qCanonicalize, qContamination
   )
 }

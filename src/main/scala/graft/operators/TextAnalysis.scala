@@ -22,6 +22,24 @@ object TextAnalysis {
 
   def tokenCount(toks: Column): Column = size(toks)
 
+  /** GPT-2-style pre-tokenizer pieces — the BPE-ish token count proper
+    * (contraction suffixes, space-prefixed letter runs / digit runs /
+    * punctuation runs, whitespace runs). Deliberately LOOKAHEAD-FREE: the
+    * canonical GPT-2 pattern ends `\s+(?!\S)|\s+`, but RE2 engines (the
+    * oracle's) reject lookahead, so trailing-space attachment differs
+    * from tiktoken by at most one piece per whitespace run — fine for
+    * counting, documented for anyone comparing against a real tokenizer.
+    * Same first-match-wins semantics in Java regex and RE2. */
+  val BpeTokenRe: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenRe), lit(0))
+
+  /** Piece count per doc: the unit LLM data budgets are denominated in
+    * (whitespace tokens undercount CJK/punctuation-heavy text badly). */
+  def bpeTokenCount(text: Column): Column = size(bpePieces(text))
+
   /** Sum of token lengths via aggregate HOF (exact integer arithmetic). */
   def charCount(toks: Column): Column =
     aggregate(toks, lit(0), (acc, t) => acc + length(t))

@@ -358,6 +358,28 @@ class OpsSpec extends SparkSpec {
     assert(out(0).getLong(3) >= 0 && out(0).getLong(3) < 2147483647L)
   }
 
+  test("bpePieces: GPT-2-style splits on contractions, digits, CJK, punctuation") {
+    val df = Seq(
+      (1L, "It's 42 degrees, isn't it?"),
+      (2L, "深度学习模型"),     // CJK: 1 ws token, many letter-run pieces? (no spaces → one run)
+      (3L, "a  b"),            // double space: ws run piece
+      (4L, "")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.bpePieces(col("text")).as("p"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[String](1) ==
+      Seq("It", "'s", " 42", " degrees", ",", " isn", "'t", " it", "?"))
+    // CJK has no spaces: one unbroken letter run = 1 piece, where the
+    // whitespace count also says 1 — fertility divergence shows up on
+    // mixed punctuation/number text, not pure letter runs
+    assert(out(1).getInt(2) == 1)
+    // a double space is a \s+ run piece (single spaces attach to the
+    // following word; the lookahead-free pattern can't split the run)
+    assert(out(2).getSeq[String](1) == Seq("a", "  ", "b"))
+    assert(out(3).getInt(2) == 0)
+  }
+
   test("multimodal decode plumbing: batched, deterministic, null-safe") {
     val media = Multimodal.syntheticMedia(spark, 10)
     val out = Multimodal.withDecodedFeatures(media, "content", Multimodal.StubCodec, batchSize = 3)
