@@ -1428,6 +1428,47 @@ object Queries {
              COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
       FROM b GROUP BY 1, 2 ORDER BY lang, split"""))
 
+  /** Per-source quota capping — the domain-quota cleaner (bound any one
+    * source's contribution to the corpus): rank docs within each source
+    * by quality desc / doc_id asc (total order → reproducible cut), keep
+    * the top 15. One window shuffle on `source`; at 100 TB the rank is
+    * per-source-partition parallel, and a hot source degrades to that
+    * source's partition only (saltable if one domain dominates). */
+  private val qSourceQuota = QDef(
+    "q_source_quota",
+    (s, dir) => {
+      val scored = t(s, dir, "documents")
+        .withColumn("_toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("_toks")).as("quality"))
+      Relational.topNPerGroup(scored, Seq("source"),
+          Seq(col("quality").desc, col("doc_id").asc), 15, rankCol = "rank")
+        .select(col("source"), col("rank"), col("doc_id"), col("quality"))
+        .orderBy("source", "rank")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id, source,
+               len(toks) AS n_tokens,
+               len(list_filter(toks, t -> t IN (${sqlList(TextAnalysis.StopwordsEn)}))) AS n_stop_en,
+               len(list_distinct(toks)) AS n_uniq
+        FROM d),
+      q AS (
+        SELECT doc_id, source,
+               0.4 * LEAST((CAST(n_stop_en AS DOUBLE) / NULLIF(n_tokens, 0)) * 5.0, 1.0)
+                 + 0.4 * (CAST(n_uniq AS DOUBLE) / NULLIF(n_tokens, 0))
+                 + 0.2 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 1.0 ELSE 0.0 END) AS quality
+        FROM s),
+      r AS (
+        SELECT source, doc_id, quality,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank
+        FROM q)
+      SELECT source, rank, doc_id, quality FROM r
+      WHERE rank <= 15 ORDER BY source, rank"""))
+
   /** BPE-ish token accounting next to the whitespace count — per-language
     * budget totals plus the mean pieces-per-ws-token fertility, the
     * number that exposes how badly whitespace counts undercount CJK. The
@@ -1819,6 +1860,6 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qPiiScrub, qPackSequences,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,
-    qApproxQuantile, qCanonicalize, qContamination
+    qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
   )
 }
