@@ -433,7 +433,11 @@ object Dedup {
                           bCol: String = "id_b", maxIter: Int = 20,
                           driverCutoffPairs: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // e0 is consumed twice on either path (count + collect, or count +
+    // edge build) — without this persist the whole upstream pair
+    // pipeline (often a MinHash join) re-executes per consumption
     val e0 = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Adaptive execution: near-dup pair graphs are tiny relative to the
     // corpus that produced them (pairs ≈ duplicates, not documents). Under
     // the cutoff (default 2²⁰ pairs ≈ 16 MB) a driver union-find finishes
@@ -453,7 +457,9 @@ object Dedup {
         parent.putIfAbsent(r, r)
         r
       }
-      e0.collect().foreach { row =>
+      val rows = e0.collect()
+      e0.unpersist()
+      rows.foreach { row =>
         val (a, b) = (row.getLong(0), row.getLong(1))
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
@@ -471,7 +477,8 @@ object Dedup {
     // otherwise build the identity map
     var labels = edges.groupBy("u").agg(min(col("v")).as("mv"))
       .select(col("u").as("id"), least(col("u"), col("mv")).as("component"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // eager: edges is materialized past e0 here
+    e0.unpersist()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("component").cast(DecimalType(38, 0)))).head()
         .getDecimal(0)
