@@ -162,6 +162,17 @@ class PlanSpec extends SparkSpec {
       s"interpreted HOF found in the signature plan:\n${plan.take(1500)}")
   }
 
+  test("stratifiedSample is a pure scan+filter — zero shuffles, no window") {
+    val df = (0 until 100).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val plan = planOf(graft.operators.TextAnalysis.stratifiedSample(
+      df, "lang", "doc_id", Map("en" -> 0.3), defaultRate = 0.5))
+    assert(!plan.contains("Exchange"),
+      s"sampling decision must be per-row (no shuffle):\n${plan.take(2000)}")
+    assert(!plan.contains("Window"),
+      "sampling must not rank rows (hash threshold, not row_number)")
+  }
+
   test("connectedComponents rounds are equi-joins, never nested loops") {
     val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     // capture the plan of one propagation round by running the operator
