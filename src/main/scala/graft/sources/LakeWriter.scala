@@ -129,6 +129,46 @@ object LakeWriter {
     lower && upper
   }
 
+  /** Compact small files — the maintenance pass a streamed-into lake
+    * needs at scale (every micro-batch append leaves a file per task;
+    * at 100 TB the listing + open cost of millions of tiny files
+    * dominates scans long before data volume does). Rewrites the
+    * (optionally filtered) partitions as range-clustered files of at
+    * most `targetRowsPerFile` rows: `repartitionByRange` over
+    * (partitions, ts) splits hot partitions across tasks while keeping
+    * each output file a contiguous (partition, ts) slice, and slice
+    * count is derived from the actual row count so a small table
+    * collapses to one file per partition instead of inheriting
+    * `spark.sql.shuffle.partitions` shards. Dynamic partition overwrite
+    * (per-writer option, no session conf mutation) replaces only the
+    * partitions present in the snapshot — with `partitionFilters`, the
+    * rest of the lake is untouched. The snapshot is persisted before the
+    * overwrite, same read-then-replace contract as `FeatureStore.upsert`.
+    * Returns the number of rows rewritten. */
+  def compact(spark: org.apache.spark.sql.SparkSession, basePath: String,
+              tsCol: String, partitions: Seq[String] = Seq("dt"),
+              targetRowsPerFile: Long = 1L << 20,
+              partitionFilters: Map[String, String] = Map.empty): Long = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val base = read(spark, basePath, partitionFilters)
+    val total = base.count()
+    if (total == 0) return 0L
+    val nSlices = math.max(1L, (total + targetRowsPerFile - 1) / targetRowsPerFile)
+      .min(Int.MaxValue.toLong).toInt
+    val cols = (partitions :+ tsCol).map(col)
+    val snap = base
+      .repartitionByRange(nSlices, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    snap.count() // materialize before overwriting the files it reads from
+    snap.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .partitionBy(partitions: _*).parquet(basePath)
+    snap.unpersist()
+    total
+  }
+
   /** Write a frame as a BUCKETED managed table: rows are hash-partitioned
     * into `nBuckets` files per partition by `bucketCols` and sorted
     * within each bucket. Two tables bucketed the same way join with ZERO

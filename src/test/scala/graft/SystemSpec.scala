@@ -195,6 +195,32 @@ class SystemSpec extends SparkSpec {
     assert(back.count() == 1 && back.head().getAs[Double]("close") == 3.0)
   }
 
+  test("compact: collapses append-fragmented files, filtered partitions only, row-identical") {
+    val dir = tmp()
+    def day(d: Int, v: Double) = Seq((s"2024-03-0${d}T12:00:00Z", v))
+      .map { case (t, c) => (java.sql.Timestamp.from(java.time.Instant.parse(t)), c) }
+      .toDF("timestamp", "close")
+      .withColumn("symbol", lit("BTC/USDT")).withColumn("exchange", lit("binance"))
+      .withColumn("timeframe", lit("1d"))
+    // 6 appends into dt=2024-03-01, 2 into dt=2024-03-02
+    (1 to 6).foreach(i => LakeWriter.write(day(1, i.toDouble), dir, Schemas.MARKET, "timestamp"))
+    (1 to 2).foreach(i => LakeWriter.write(day(2, 10.0 + i), dir, Schemas.MARKET, "timestamp"))
+    def files(dt: String) = {
+      val d = new java.io.File(s"$dir/dt=$dt")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .count(f => f.getName.endsWith(".parquet"))
+    }
+    assert(files("2024-03-01") >= 6, "appends should fragment the partition")
+    val before = LakeWriter.read(spark, dir).orderBy("timestamp", "close").collect()
+    val n = LakeWriter.compact(spark, dir, "timestamp",
+      partitionFilters = Map("dt" -> "2024-03-01"))
+    assert(n == 6, s"compact rewrote $n rows, expected 6")
+    assert(files("2024-03-01") == 1, "compacted partition should be one file")
+    assert(files("2024-03-02") == 2, "unfiltered partition must be untouched")
+    val after = LakeWriter.read(spark, dir).orderBy("timestamp", "close").collect()
+    assert(before.toSeq == after.toSeq, "compaction changed the data")
+  }
+
   test("DSv2 ticker source: deterministic bars drive ST1 end to end (S4)") {
     val feats = new java.util.concurrent.atomic.AtomicLong(0)
     val q = StreamingPipelines.tickerFeaturesStream(spark,
