@@ -88,11 +88,32 @@ object Scheduler {
     store.ttlSweep(cutoff)
   }
 
+  /** One maintenance tick: compact today's lake partition — the one the
+    * 1-min ingest cadence is actively fragmenting (each tick's append is
+    * ≥1 new file; a day of 1-min ticks is ~1,440 files per series until
+    * compacted). Scoped by dt so the rewrite cost tracks one day's data,
+    * not lake size. Returns rows rewritten (0 when the lake doesn't
+    * exist yet or today has no partition). */
+  def compactOnce(spark: SparkSession, lakePath: String,
+                  nowEpochSec: Long = System.currentTimeMillis() / 1000): Long = {
+    val base = new org.apache.hadoop.fs.Path(lakePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return 0L
+    val dt = java.time.LocalDate.ofInstant(
+      java.time.Instant.ofEpochSecond(nowEpochSec), java.time.ZoneOffset.UTC).toString
+    LakeWriter.compact(spark, lakePath, "timestamp",
+      partitions = Seq("exchange", "symbol", "dt"),
+      partitionFilters = Map("dt" -> dt))
+  }
+
   /** Compose-cadence defaults (docker-compose `MARKET_JOBS`): backfill
-    * every 5 min, ingest every 1 min, TTL sweep every 15 min. */
+    * every 5 min, ingest every 1 min, TTL sweep every 15 min; lake
+    * compaction hourly (beyond-reference maintenance — the reference's
+    * pandas writer rewrote whole files and never fragmented). */
   val BackfillIntervalSec = 300L
   val IngestIntervalSec = 60L
   val TtlSweepIntervalSec = 900L
+  val CompactIntervalSec = 3600L
 
   /** One tick of the file-drop ingest edge: consume any raw CCXT payload
     * files dropped into `dropPath` (the same socket stand-in the streaming
@@ -195,6 +216,9 @@ object Scheduler {
       },
       schedule(spark, "ttl_sweep", TtlSweepIntervalSec) { _ =>
         ttlSweepOnce(store, ttlDays); ()
+      },
+      schedule(spark, "compact", CompactIntervalSec) { _ =>
+        compactOnce(spark, lakePath); ()
       })
     queries.foreach(_.awaitTermination())
   }

@@ -407,6 +407,27 @@ class SystemSpec extends SparkSpec {
     assert(rows.count() == 2, "second upsert must merge, not replace, the escaped partition")
   }
 
+  test("scheduler compact tick defragments today's ingest partition only") {
+    val lake = tmp() + "/lake"
+    val drops = tmp()
+    // three ingest ticks = three appended files in one (exchange, symbol, dt)
+    (0 until 3).foreach { i =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(drops, s"d$i.json"),
+        s"""{"ohlcv": [[${1704067200000L + i * 60000}, 1.0, 2.0, 0.5, 1.5, 10.0]]}""")
+      Scheduler.ingestDropsOnce(spark, drops, "binance", "BTC/USDT", "1m", lake)
+    }
+    val part = new java.io.File(s"$lake/exchange=binance/symbol=BTC_USDT/dt=2024-01-01")
+    def nFiles = part.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 3, "each ingest tick should append a file")
+    val before = LakeWriter.read(spark, lake).orderBy("timestamp").collect()
+    // a tick dated to the data's day compacts it; 0 rows on a missing lake
+    val now = java.time.Instant.parse("2024-01-01T12:00:00Z").getEpochSecond
+    assert(Scheduler.compactOnce(spark, lake, now) == 3)
+    assert(nFiles == 1, "compaction should collapse the day's files")
+    assert(LakeWriter.read(spark, lake).orderBy("timestamp").collect().toSeq == before.toSeq)
+    assert(Scheduler.compactOnce(spark, tmp() + "/absent", now) == 0L)
+  }
+
   test("scheduler ingest tick deletes consumed drops so the next tick is a no-op") {
     val lake = tmp() + "/lake"
     val drops = tmp()
