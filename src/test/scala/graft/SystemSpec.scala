@@ -407,6 +407,33 @@ class SystemSpec extends SparkSpec {
     assert(rows.count() == 2, "second upsert must merge, not replace, the escaped partition")
   }
 
+  test("stratifiedSample on a stream: stateless filter, membership ≡ batch") {
+    // the sampling decision is a pure per-row hash threshold, so the same
+    // operator runs unchanged on a streaming frame with no state store
+    // and admits exactly the rows the batch plan admits
+    val rows = (0L until 400L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+    val batchIds = graft.operators.TextAnalysis.stratifiedSample(
+        rows.toDF("doc_id", "lang"), "lang", "doc_id",
+        Map("en" -> 0.4), defaultRate = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.stratifiedSample(
+        mem.toDS().toDF("doc_id", "lang"), "lang", "doc_id",
+        Map("en" -> 0.4), defaultRate = 0.2)
+      .writeStream.format("memory").queryName("strat_out")
+      .outputMode("append").start()
+    mem.addData(rows.take(250): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(250): _*)
+    q.processAllAvailable()
+    val streamIds = spark.table("strat_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(streamIds == batchIds, "stream membership must equal batch membership")
+    assert(batchIds.nonEmpty, "fixture must sample a non-empty set")
+  }
+
   test("scheduler compact tick defragments today's ingest partition only") {
     val lake = tmp() + "/lake"
     val drops = tmp()
