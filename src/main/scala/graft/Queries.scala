@@ -1425,7 +1425,7 @@ object Queries {
         FROM documents)
       SELECT lang,
              CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
-             COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+             COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
       FROM b GROUP BY 1, 2 ORDER BY lang, split"""))
 
   /** Per-source quota capping — the domain-quota cleaner (bound any one
@@ -1494,7 +1494,7 @@ object Queries {
                len(regexp_extract_all(text,
                  '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe
         FROM documents)
-      SELECT lang, SUM(n_ws) AS ws_tokens, SUM(n_bpe) AS bpe_tokens,
+      SELECT lang, CAST(SUM(n_ws) AS BIGINT) AS ws_tokens, CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
              CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws) AS fertility
       FROM c GROUP BY lang ORDER BY lang"""))
 
@@ -1567,7 +1567,8 @@ object Queries {
     (s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("lang"), col("doc_id"),
-          TextAnalysis.tokenCount(TextAnalysis.tokens(col("text"))).as("n_tok"))
+          // cast: oracle len() is BIGINT; size() is int32 — driver hashes dtypes
+          TextAnalysis.tokenCount(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
       TextAnalysis.packSequences(docs, "n_tok", "doc_id", 512, Seq("lang"))
         .select(col("lang"), col("doc_id"), col("n_tokens"),
           col("cum_tokens"), col("bin"))
@@ -1579,8 +1580,8 @@ object Queries {
         FROM documents),
       c AS (
         SELECT lang, doc_id, n_tokens,
-               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+               CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         FROM t)
       SELECT lang, doc_id, n_tokens, cum_tokens,
              CAST(FLOOR((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS bin

@@ -26,6 +26,16 @@ def compare(name, got, want):
     if len(got) != len(want):
         return [f"rowcount mismatch: spark={len(got)} oracle={len(want)}"]
     got, want = norm(got), norm(want)
+    # Dtype strictness: the driver hashes physical values, so a DuckDB
+    # HUGEINT (pandas object) vs Spark int64 diverges even when every value
+    # is equal. Catch that class locally.
+    for c in got.columns:
+        if str(got[c].dtype) != str(want[c].dtype):
+            problems.append(
+                f"col {c}: dtype mismatch spark={got[c].dtype} oracle={want[c].dtype}"
+                " (driver hash would diverge — cast in the oracle SQL)")
+    if problems:
+        return problems
     for c in got.columns:
         a, b = got[c].values, want[c].values
         for i in range(len(a)):
