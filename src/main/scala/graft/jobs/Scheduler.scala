@@ -88,22 +88,37 @@ object Scheduler {
     store.ttlSweep(cutoff)
   }
 
-  /** One maintenance tick: compact today's lake partition — the one the
-    * 1-min ingest cadence is actively fragmenting (each tick's append is
-    * ≥1 new file; a day of 1-min ticks is ~1,440 files per series until
-    * compacted). Scoped by dt so the rewrite cost tracks one day's data,
-    * not lake size. Returns rows rewritten (0 when the lake doesn't
-    * exist yet or today has no partition). */
+  /** One maintenance tick: compact CLOSED lake partitions — dt days the
+    * ingest cadence can no longer touch. `LakeWriter.compact` is a
+    * non-atomic read-snapshot-then-overwrite, so compacting the live
+    * partition races the 1-min ingest tick: rows appended between the
+    * snapshot and the commit would be overwritten away, and their
+    * consumed drop files are already deleted (unrecoverable). A dt
+    * partition is closed once every bar that could land in it has had
+    * `ingestHorizonSec` to arrive: dt < day(now − horizon). With the
+    * default 1 h horizon, yesterday becomes compactable at 01:00 UTC —
+    * late bars timestamped 23:59 still have the full hour to be ingested
+    * first. `lookbackDays` bounds the rewrite to recent fragmentation
+    * (the hourly cadence has already compacted anything older), so the
+    * tick cost tracks days-of-data, not lake size. Both bounds reference
+    * the dt partition column only → pruned at the directory listing.
+    * Returns rows rewritten (0 when the lake doesn't exist yet or no
+    * closed partition is in range). */
   def compactOnce(spark: SparkSession, lakePath: String,
-                  nowEpochSec: Long = System.currentTimeMillis() / 1000): Long = {
+                  nowEpochSec: Long = System.currentTimeMillis() / 1000,
+                  ingestHorizonSec: Long = 3600L,
+                  lookbackDays: Int = 7): Long = {
     val base = new org.apache.hadoop.fs.Path(lakePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return 0L
-    val dt = java.time.LocalDate.ofInstant(
-      java.time.Instant.ofEpochSecond(nowEpochSec), java.time.ZoneOffset.UTC).toString
+    val closedBefore = java.time.LocalDate.ofInstant(
+      java.time.Instant.ofEpochSecond(nowEpochSec - ingestHorizonSec),
+      java.time.ZoneOffset.UTC)
+    val floor = closedBefore.minusDays(lookbackDays)
     LakeWriter.compact(spark, lakePath, "timestamp",
       partitions = Seq("exchange", "symbol", "dt"),
-      partitionFilters = Map("dt" -> dt))
+      partitionPredicate = Some(
+        col("dt") < closedBefore.toString && col("dt") >= floor.toString))
   }
 
   /** Compose-cadence defaults (docker-compose `MARKET_JOBS`): backfill

@@ -144,13 +144,26 @@ object LakeWriter {
     * partitions present in the snapshot — with `partitionFilters`, the
     * rest of the lake is untouched. The snapshot is persisted before the
     * overwrite, same read-then-replace contract as `FeatureStore.upsert`.
+    *
+    * CONCURRENCY CONTRACT: the read-snapshot-then-overwrite is NOT atomic
+    * against writers of the SAME partitions — rows appended to an
+    * in-scope partition between the snapshot and the commit are lost with
+    * the overwrite. Callers must scope compaction to CLOSED partitions
+    * (no live writer), via `partitionFilters` or `partitionPredicate` —
+    * see `Scheduler.compactOnce`, which compacts only dt partitions past
+    * the ingest horizon. `partitionPredicate` exists for exactly that:
+    * range predicates over partition columns (e.g. `dt < today`) that the
+    * equality-only `partitionFilters` can't express; it references
+    * partition columns, so pruning happens at the directory listing.
     * Returns the number of rows rewritten. */
   def compact(spark: org.apache.spark.sql.SparkSession, basePath: String,
               tsCol: String, partitions: Seq[String] = Seq("dt"),
               targetRowsPerFile: Long = 1L << 20,
-              partitionFilters: Map[String, String] = Map.empty): Long = {
+              partitionFilters: Map[String, String] = Map.empty,
+              partitionPredicate: Option[org.apache.spark.sql.Column] = None): Long = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
-    val base = read(spark, basePath, partitionFilters)
+    val base = partitionPredicate.foldLeft(
+      read(spark, basePath, partitionFilters))(_ filter _)
     val total = base.count()
     if (total == 0) return 0L
     val nSlices = math.max(1L, (total + targetRowsPerFile - 1) / targetRowsPerFile)

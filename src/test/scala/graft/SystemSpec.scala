@@ -434,7 +434,7 @@ class SystemSpec extends SparkSpec {
     assert(batchIds.nonEmpty, "fixture must sample a non-empty set")
   }
 
-  test("scheduler compact tick defragments today's ingest partition only") {
+  test("scheduler compact tick defragments only CLOSED dt partitions") {
     val lake = tmp() + "/lake"
     val drops = tmp()
     // three ingest ticks = three appended files in one (exchange, symbol, dt)
@@ -447,12 +447,64 @@ class SystemSpec extends SparkSpec {
     def nFiles = part.listFiles().count(_.getName.endsWith(".parquet"))
     assert(nFiles >= 3, "each ingest tick should append a file")
     val before = LakeWriter.read(spark, lake).orderBy("timestamp").collect()
-    // a tick dated to the data's day compacts it; 0 rows on a missing lake
-    val now = java.time.Instant.parse("2024-01-01T12:00:00Z").getEpochSecond
-    assert(Scheduler.compactOnce(spark, lake, now) == 3)
-    assert(nFiles == 1, "compaction should collapse the day's files")
+    // a tick DURING the data's day must not touch the live partition —
+    // the ingest cadence is still appending to it (data-loss race)
+    val during = java.time.Instant.parse("2024-01-01T12:00:00Z").getEpochSecond
+    assert(Scheduler.compactOnce(spark, lake, during) == 0L,
+      "live dt partition must never be compacted")
+    assert(nFiles >= 3, "live partition files must be untouched")
+    // within the ingest horizon after midnight the day is STILL open
+    // (a 23:59 bar may not have arrived yet)
+    val justAfter = java.time.Instant.parse("2024-01-02T00:30:00Z").getEpochSecond
+    assert(Scheduler.compactOnce(spark, lake, justAfter) == 0L,
+      "dt within the ingest horizon is still open")
+    // past the horizon the day is closed → compacted
+    val closed = java.time.Instant.parse("2024-01-02T02:00:00Z").getEpochSecond
+    assert(Scheduler.compactOnce(spark, lake, closed) == 3)
+    assert(nFiles == 1, "compaction should collapse the closed day's files")
     assert(LakeWriter.read(spark, lake).orderBy("timestamp").collect().toSeq == before.toSeq)
-    assert(Scheduler.compactOnce(spark, tmp() + "/absent", now) == 0L)
+    assert(Scheduler.compactOnce(spark, tmp() + "/absent", closed) == 0L)
+    // beyond the lookback window old partitions are left alone (already
+    // compacted by earlier ticks; keeps tick cost bounded)
+    val farFuture = java.time.Instant.parse("2024-03-01T00:00:00Z").getEpochSecond
+    assert(Scheduler.compactOnce(spark, lake, farFuture) == 0L)
+  }
+
+  test("compaction races live ingest safely: concurrent appends to the open dt survive") {
+    // the round-3 defect: compactOnce compacted TODAY's partition while
+    // the 1-min ingest tick appended to it — rows landing between the
+    // read-snapshot and the overwrite commit were silently destroyed.
+    // With the closed-partition rule the scopes are disjoint by
+    // construction: this spec runs a compact tick CONCURRENTLY with a
+    // burst of appends to the open partition and proves every row
+    // survives, whatever the interleaving.
+    val lake = tmp() + "/lake"
+    def bar(dtIso: String, minute: Int, close: Double) =
+      Seq((java.sql.Timestamp.from(java.time.Instant.parse(s"${dtIso}T12:0$minute:00Z")), close))
+        .toDF("timestamp", "close")
+        .withColumn("symbol", lit("BTC/USDT")).withColumn("exchange", lit("binance"))
+        .withColumn("timeframe", lit("1m"))
+    // closed day: fragmented by 5 separate appends; open day: 1 row so far
+    (1 to 5).foreach(i => LakeWriter.write(bar("2024-01-01", i, i.toDouble),
+      lake, Schemas.MARKET, "timestamp", partitions = Seq("exchange", "symbol", "dt")))
+    LakeWriter.write(bar("2024-01-02", 0, 100.0),
+      lake, Schemas.MARKET, "timestamp", partitions = Seq("exchange", "symbol", "dt"))
+    val now = java.time.Instant.parse("2024-01-02T12:00:00Z").getEpochSecond
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val compacting = Future { Scheduler.compactOnce(spark, lake, now) }
+    // ingest keeps appending to the OPEN day while the compact tick runs
+    (1 to 5).foreach(i => LakeWriter.write(bar("2024-01-02", i, 100.0 + i),
+      lake, Schemas.MARKET, "timestamp", partitions = Seq("exchange", "symbol", "dt")))
+    val rewritten = Await.result(compacting, 120.seconds)
+    assert(rewritten == 5, s"compact tick must rewrite only the closed day, got $rewritten")
+    val all = LakeWriter.read(spark, lake)
+      .select(col("dt").cast("string"), col("close")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    val expected = (1 to 5).map(i => ("2024-01-01", i.toDouble)).toSet ++
+      (0 to 5).map(i => ("2024-01-02", 100.0 + i)).toSet
+    assert(all == expected, s"rows lost or mutated across concurrent compact+ingest: $all")
   }
 
   test("scheduler ingest tick deletes consumed drops so the next tick is a no-op") {

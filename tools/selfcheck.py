@@ -19,16 +19,45 @@ def norm(df):
     df = df[sorted(df.columns)]
     return df
 
+def canon_dtypes(df):
+    """Collapse representation-only dtype differences between the two
+    readers (pd.read_parquet vs duckdb .df()) so the local gate tracks the
+    driver's hash semantics: integer WIDTH differences (int32 vs int64,
+    nullable Int64) and datetime UNIT differences (ns vs us) hash equal on
+    the driver; object-typed columns (DuckDB HUGEINT/DECIMAL) do NOT and
+    must stay a distinct dtype so that class is still caught locally."""
+    out = df.copy()
+    for c in out.columns:
+        k = str(out[c].dtype)
+        if k.startswith(("int", "uint", "Int", "UInt")):
+            # nullable ints with nulls promote to float64 in BOTH readers'
+            # default paths; without nulls they are plain int64 values
+            out[c] = out[c].astype("float64") if out[c].isna().any() \
+                else out[c].astype("int64")
+        elif k.startswith(("float", "Float")):
+            out[c] = out[c].astype("float64")
+        elif k.startswith("bool"):
+            out[c] = out[c].astype("bool") if not out[c].isna().any() \
+                else out[c].astype("object")
+        elif k.startswith("datetime64") and "," not in k:
+            out[c] = out[c].astype("datetime64[ns]")
+        elif k.startswith("datetime64[") and "," in k:  # tz-aware: unit only
+            tz = k.split(",", 1)[1].rstrip("]").strip()
+            out[c] = out[c].astype(f"datetime64[ns, {tz}]")
+    return out
+
 def compare(name, got, want):
     problems = []
     if list(sorted(got.columns)) != list(sorted(want.columns)):
         return [f"schema mismatch: spark={sorted(got.columns)} oracle={sorted(want.columns)}"]
     if len(got) != len(want):
         return [f"rowcount mismatch: spark={len(got)} oracle={len(want)}"]
-    got, want = norm(got), norm(want)
-    # Dtype strictness: the driver hashes physical values, so a DuckDB
-    # HUGEINT (pandas object) vs Spark int64 diverges even when every value
-    # is equal. Catch that class locally.
+    got, want = canon_dtypes(norm(got)), canon_dtypes(norm(want))
+    # Dtype strictness AFTER canonicalization: the driver hashes physical
+    # values, so a DuckDB HUGEINT (pandas object) vs Spark int64 diverges
+    # even when every value is equal. Catch that class locally — but not
+    # width/unit-only differences the driver hashes as equal (see
+    # canon_dtypes).
     for c in got.columns:
         if str(got[c].dtype) != str(want[c].dtype):
             problems.append(
