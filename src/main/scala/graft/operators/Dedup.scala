@@ -341,16 +341,83 @@ object Dedup {
   // docs against a standing index and append them to it.
   // ------------------------------------------------------------------
 
+  private def indexFs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Batch ids whose index writes are COMMITTED (marker file present in
+    * `_commits/`). Everything else under the index root is invisible to
+    * readers — a crash between table writes leaves no torn state. */
+  def committedBatches(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Seq[String] = {
+    val fs = indexFs(spark, path)
+    val d = new org.apache.hadoop.fs.Path(s"$path/_commits")
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).filter(_.isFile).map(_.getPath.getName).toSeq
+  }
+
+  /** Read one index table (`bands`/`postings`/`sizes`), restricted to
+    * committed batches. Pre-batch-layout indexes (no `batch` partition
+    * column, no `_commits/`) read as-is. The committed filter references
+    * the `batch` partition column only → uncommitted batch directories
+    * are pruned at the listing, never scanned. */
+  private def readIndexTable(spark: org.apache.spark.sql.SparkSession,
+                             path: String, table: String): DataFrame = {
+    val df = spark.read.parquet(s"$path/$table")
+    if (!df.columns.contains("batch")) df // legacy flat layout
+    else {
+      val committed = committedBatches(spark, path)
+      df.filter(col("batch").cast("string").isin(committed: _*)).drop("batch")
+    }
+  }
+
   /** Persist the MinHash LSH index of a corpus at `path`:
     * `bands/` — (id, key) band postings, partitioned by `band` (bands
-    * directories; directory pruning at probe time) and sorted by `key`
-    * within files (parquet min/max row-group pruning);
-    * `postings/` — (id, h) exploded 48-bit shingle hashes for exact
-    * overlap verification; `sizes/` — (id, n). `mode=append` grows the
-    * index with each ingested batch. */
+    * directories; directory pruning at probe time) and sorted by
+    * (band, key) within files — band FIRST, because the writer re-sorts
+    * rows by partition column anyway and a key-only sort order would be
+    * destroyed by that re-sort, silently losing parquet min/max
+    * row-group pruning on `key`; `postings/` — (id, h) exploded 48-bit
+    * shingle hashes for exact overlap verification; `sizes/` — (id, n).
+    *
+    * GROWTH IS ATOMIC AND IDEMPOTENT per batch: each write lands under
+    * `batch=<batchId>` subdirectories of all three tables and becomes
+    * visible only when the `_commits/<batchId>` marker is created (one
+    * atomic file-create = the commit point). Readers (see
+    * [[nearDupAgainstIndex]]) filter to committed batches, so a crash
+    * between the three table writes exposes nothing, and a RETRIED batch
+    * (at-least-once `foreachBatch` delivery) is a no-op skip instead of a
+    * double-append — duplicated sizes/postings rows would otherwise
+    * inflate every overlap and jaccard the probe computes. Single writer
+    * assumed (a streaming query's batches are serialized); ids must be
+    * `[A-Za-z0-9_-]+`. `mode=overwrite` clears the index first;
+    * `mode=append` adds one batch. An empty `batchId` auto-assigns
+    * (max numeric committed id + 1) — fine for ad-hoc batch use, but an
+    * at-least-once loop must pass its OWN stable batch id (e.g. the
+    * foreachBatch batch id) or replays append as fresh batches.
+    * Returns true if the batch was written, false if it was already
+    * committed (idempotent skip). */
   def writeMinhashIndex(df: DataFrame, textCol: String, idCol: String,
                         path: String, shingleN: Int = 3, k: Int = 64,
-                        bands: Int = 16, mode: String = "overwrite"): Unit = {
+                        bands: Int = 16, mode: String = "overwrite",
+                        batchId: String = ""): Boolean = {
+    val spark = df.sparkSession
+    val fs = indexFs(spark, path)
+    if (mode == "overwrite")
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val committed = committedBatches(spark, path)
+    val bid =
+      if (batchId.nonEmpty) batchId
+      else (committed.flatMap(s => scala.util.Try(s.toLong).toOption)
+        .maxOption.getOrElse(-1L) + 1L).toString
+    require(bid.matches("[A-Za-z0-9_-]+"), s"unsafe index batch id: $bid")
+    if (committed.contains(bid)) {
+      System.err.println(s"[dedup] index batch $bid already committed at $path — skipping (replay)")
+      return false
+    }
+    // clear partial leftovers of a crashed earlier attempt at this batch
+    Seq("bands", "postings", "sizes").foreach(t =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$t/batch=$bid"), true))
     val arrs = shingleHashArrays(df, textCol, idCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -359,12 +426,16 @@ object Dedup {
       sigs.select(col("id"),
           posexplode(lshBandKeys(col("sig"), bands, k / bands)).as(Seq("band", "key")))
         .repartition(col("band"))
-        .sortWithinPartitions("key")
-        .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+        .sortWithinPartitions("band", "key")
+        .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands/batch=$bid")
       arrs.select(col("id"), explode(col("hs")).as("h"))
-        .write.mode(mode).parquet(s"$path/postings")
+        .write.mode("overwrite").parquet(s"$path/postings/batch=$bid")
       arrs.select(col("id"), col("n"))
-        .write.mode(mode).parquet(s"$path/sizes")
+        .write.mode("overwrite").parquet(s"$path/sizes/batch=$bid")
+      val cd = new org.apache.hadoop.fs.Path(s"$path/_commits")
+      fs.mkdirs(cd)
+      fs.create(new org.apache.hadoop.fs.Path(cd, bid), false).close()
+      true
     } finally arrs.unpersist()
   }
 
@@ -386,20 +457,20 @@ object Dedup {
       newArrs.select(col("id"), explode(col("hs")).as("h")), k)
     val newBands = newSigs.select(col("id").as("new_id"),
       posexplode(lshBandKeys(col("sig"), bands, k / bands)).as(Seq("band", "key")))
-    val idxBands = spark.read.parquet(s"$path/bands")
+    val idxBands = readIndexTable(spark, path, "bands")
       .select(col("id").as("old_id"), col("band"), col("key"))
     val cands = newBands.join(idxBands, Seq("band", "key"))
       .filter(col("new_id") =!= col("old_id"))
       .select("new_id", "old_id").distinct()
     val newRows = newArrs.select(col("id").as("new_id"), explode(col("hs")).as("h"))
-    val idxRows = spark.read.parquet(s"$path/postings")
+    val idxRows = readIndexTable(spark, path, "postings")
       .select(col("id").as("old_id"), col("h"))
     val overlap = cands
       .join(newRows, "new_id")
       .join(idxRows, Seq("old_id", "h"))
       .groupBy("new_id", "old_id").agg(count(lit(1)).as("overlap"))
     val newSizes = newArrs.select(col("id").as("new_id"), col("n").as("na"))
-    val idxSizes = spark.read.parquet(s"$path/sizes")
+    val idxSizes = readIndexTable(spark, path, "sizes")
       .select(col("id").as("old_id"), col("n").as("nb"))
     overlap.join(newSizes, "new_id").join(idxSizes, "old_id")
       .withColumn("jaccard",

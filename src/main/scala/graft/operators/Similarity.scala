@@ -76,16 +76,27 @@ object Similarity {
     * aggregates (one shuffle, arrival-order float sums); this is the
     * third and final shape. */
   def lshSignatures(df: DataFrame, vecCol: String, idCol: String,
-                    planes: Int, tables: Int): DataFrame = {
+                    planes: Int, tables: Int, dim: Int = 0): DataFrame = {
     require(planes <= 63, s"planes must fit a long, got $planes")
-    val dim = df.select(size(col(vecCol))).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    // dim = 0 probes the data for the vector width. The probe skips null
+    // vectors (a leading null NPE'd in round 3) and short-circuits at the
+    // first non-null row; it is an eager job per call, so repeated-call
+    // sites can pass `dim` explicitly to skip it. All-null input is an
+    // error — every downstream bucket would silently be empty.
+    val probed =
+      if (dim > 0) dim
+      else df.filter(col(vecCol).isNotNull).select(size(col(vecCol))).head(1)
+        .headOption.map(_.getInt(0)).getOrElse {
+          require(df.isEmpty,
+            s"lshSignatures: every $vecCol is null — nothing to hash")
+          0
+        }
     // one codegen'd expression computing every table's signature in a
     // single pass (planes×tables sibling DotProducts overflow Janino's
     // method limits and silently drop to interpreted eval — see
     // LshSignatures scaladoc)
     val flat = typedlit(for {
-      t <- 0 until tables; p <- 0 until planes; d <- 0 until dim
+      t <- 0 until tables; p <- 0 until planes; d <- 0 until probed
     } yield planeWeight(t, p, d))
     GraftFunctions.register(df.sparkSession)
     val sigs = call_function(GraftFunctions.LshSigsName,

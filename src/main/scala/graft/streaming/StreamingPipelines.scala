@@ -185,8 +185,16 @@ object StreamingPipelines {
 
   /** foreachBatch body: returns the deduped batch after updating the
     * index at `indexPath`. Exposed for testing; wire into a stream with
-    * `.writeStream.foreachBatch((b, _) => { val kept =
-    * incrementalDedupBatch(...); sink(kept) })`.
+    * `.writeStream.foreachBatch((b, id) => { val kept =
+    * incrementalDedupBatch(spark, path, b, "text", "doc_id",
+    * batchId = id.toString); sink(kept) })` — PASS THE STREAMING BATCH ID:
+    * foreachBatch delivery is at-least-once, and the stable id is what
+    * makes a replayed batch an idempotent no-op on the index
+    * (`Dedup.writeMinhashIndex` skips already-committed batch ids; the
+    * recomputed kept-set is identical because the batch's own survivors
+    * in the index are filtered by id equality and its near-dups were
+    * already dropped within-batch). An empty `batchId` auto-assigns —
+    * only safe for ad-hoc non-retried use.
     *
     * The operators run with `cache = false` — a long-running loop must
     * not pin one cached frame per batch, and recompute is cheap since the
@@ -195,11 +203,13 @@ object StreamingPipelines {
     * re-probe the index AFTER this call just grew it. */
   def incrementalDedupBatch(spark: SparkSession, indexPath: String,
                             batch: DataFrame, textCol: String, idCol: String,
-                            threshold: Double = 0.8): DataFrame = {
+                            threshold: Double = 0.8,
+                            batchId: String = ""): DataFrame = {
     import graft.operators.Dedup
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/bands"))
+    // "exists" = something COMMITTED, not "directories present": a torn
+    // first write (crash before its commit marker) must read as an empty
+    // index and be overwritten by the retry, not probed
+    val exists = Dedup.committedBatches(spark, indexPath).nonEmpty
     // within-batch dedup first (batch ⊆ novel content invariant)
     val pairs = Dedup.minhashNearDupPairs(batch, textCol, idCol,
       threshold = threshold, cache = false)
@@ -214,7 +224,7 @@ object StreamingPipelines {
       }
     val settled = kept.localCheckpoint(true)
     Dedup.writeMinhashIndex(settled, textCol, idCol, indexPath,
-      mode = if (exists) "append" else "overwrite")
+      mode = if (exists) "append" else "overwrite", batchId = batchId)
     settled
   }
 }

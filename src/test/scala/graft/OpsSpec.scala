@@ -127,6 +127,31 @@ class OpsSpec extends SparkSpec {
     assert((0 until 2).forall(t => sigs((0L, t)) == sigs((1L, t))))
   }
 
+  test("lshSignatures dim probe: null-leading input works, explicit dim skips the probe, all-null errors") {
+    // round-3 defect: the dim probe read the FIRST row's size — a null
+    // leading vector NPE'd the whole signature build
+    val withNull = Seq((0L, null.asInstanceOf[Array[Float]]),
+      (1L, Array.fill(16)(1.0f)), (2L, Array.fill(16)(0.99f)))
+      .toDF("vec_id", "embedding")
+    val sigs = Similarity.lshSignatures(withNull, "embedding", "vec_id", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // the null-vector doc simply gets no signatures; the rest still collide
+    assert(sigs.size == 4 && !sigs.keySet.exists(_._1 == 0L))
+    assert((0 until 2).forall(t => sigs((1L, t)) == sigs((2L, t))))
+    // explicit dim produces identical signatures with zero probe jobs
+    val explicit = Similarity.lshSignatures(withNull, "embedding", "vec_id", 8, 2, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(explicit == sigs)
+    // all-null input is a clear error, not silently-empty buckets
+    val allNull = Seq((0L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshSignatures(allNull, "embedding", "vec_id", 8, 2)
+    }
+    assert(e.getMessage.contains("null"))
+    // an EMPTY frame stays fine (no rows → no signatures, no error)
+    assert(Similarity.lshSignatures(withNull.limit(0), "embedding", "vec_id", 8, 2).count() == 0)
+  }
+
   test("graft_dot is an exact index-order fold over float/double arrays") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0, 5.0, 6.0))).toDF("a", "b")
     assert(df.select(Similarity.dot(col("a"), col("b"))).head.getDouble(0) == 32.0)
@@ -503,6 +528,66 @@ class OpsSpec extends SparkSpec {
       .map { case (a, b) => if (a >= 1000) (a, b) else (b, a) }.toSet
     assert(inc == oneShot, s"incremental=$inc oneShot=$oneShot")
     assert(inc.contains((1000L, 3L)), "planted exact dup not found via index")
+  }
+
+  test("minhash index growth is idempotent: a replayed batch changes nothing") {
+    // at-least-once foreachBatch delivery replays batches; round 3's
+    // triple-append index double-counted sizes/postings rows on replay,
+    // inflating every overlap/jaccard the probe computes
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhreplay").toString
+    def doc(seed: Int) = (0 until 30).map(i => s"w${seed}y$i").mkString(" ")
+    val b1 = Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text")
+    val b2 = Seq((10L, doc(2)), (11L, doc(9))).toDF("doc_id", "text")
+    val k1 = graft.streaming.StreamingPipelines.incrementalDedupBatch(
+      spark, dir, b1, "text", "doc_id", batchId = "0")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val k2 = graft.streaming.StreamingPipelines.incrementalDedupBatch(
+      spark, dir, b2, "text", "doc_id", batchId = "1")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(k1 == Seq(1L, 2L) && k2 == Seq(11L))
+    def indexState() = {
+      val probe = Dedup.nearDupAgainstIndex(spark, dir,
+          Seq((100L, doc(9))).toDF("doc_id", "text"), "text", "doc_id")
+        .select("new_id", "old_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sizes = spark.read.parquet(s"$dir/sizes").count()
+      val postings = spark.read.parquet(s"$dir/postings").count()
+      (probe, sizes, postings)
+    }
+    val before = indexState()
+    assert(before._1 == Set((100L, 11L)), s"probe must hit batch-2's survivor: $before")
+    // REPLAY batch 1 (same batch id, same rows): kept set identical, no
+    // index growth, probe results unchanged
+    val k2r = graft.streaming.StreamingPipelines.incrementalDedupBatch(
+      spark, dir, b2, "text", "doc_id", batchId = "1")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(k2r == k2, s"replayed batch must keep the same docs: $k2r vs $k2")
+    assert(indexState() == before, "replayed batch must not change the index")
+    // direct writer replay is also a no-op skip
+    assert(!Dedup.writeMinhashIndex(b2, "text", "doc_id", dir,
+      mode = "append", batchId = "1"))
+  }
+
+  test("minhash index: uncommitted (torn) batch is invisible until its retry commits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhtorn").toString
+    def doc(seed: Int) = (0 until 30).map(i => s"w${seed}z$i").mkString(" ")
+    val b1 = Seq((1L, doc(1))).toDF("doc_id", "text")
+    assert(Dedup.writeMinhashIndex(b1, "text", "doc_id", dir, batchId = "0"))
+    // simulate a crash between the table writes and the commit marker of
+    // batch 1: its data directories exist, its marker does not
+    val b2 = Seq((2L, doc(7))).toDF("doc_id", "text")
+    assert(Dedup.writeMinhashIndex(b2, "text", "doc_id", dir,
+      mode = "append", batchId = "1"))
+    val marker = java.nio.file.Paths.get(dir, "_commits", "1")
+    java.nio.file.Files.delete(marker) // the crash: data landed, commit didn't
+    val probe = Seq((100L, doc(7))).toDF("doc_id", "text")
+    def hits() = Dedup.nearDupAgainstIndex(spark, dir, probe, "text", "doc_id")
+      .select("old_id").collect().map(_.getLong(0)).toSet
+    assert(hits() == Set.empty[Long], "torn batch must be invisible to probes")
+    // the retry rewrites the batch and commits — now visible
+    assert(Dedup.writeMinhashIndex(b2, "text", "doc_id", dir,
+      mode = "append", batchId = "1"))
+    assert(hits() == Set(2L), "retried batch must be visible after its commit")
   }
 
   test("streaming incremental dedup: batches keep only novel docs") {
