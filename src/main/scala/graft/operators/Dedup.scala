@@ -136,18 +136,53 @@ object Dedup {
         pmod(acc * lit(1000003L) + element_at(sig, b * rowsPerBand + j + 1), lit(P31)))
     }: _*)
 
+  /** Drop pathological LSH buckets before a self-join on the bucket key.
+    * N rows in one bucket become C(N,2) candidate pairs in ONE task: 10k
+    * identical docs (adversarial or just a boilerplate page crawled 10k
+    * times) put ~5·10⁷ pairs on a single straggler — the one remaining
+    * scale-killer in the dedup path at corpus scale. Buckets over
+    * `maxBucketSize` are dropped with a logged warning: their members
+    * are near-identical EN MASSE, which [[exactDedup]] already catches
+    * for the identical case, and genuinely-distinct docs still meet in
+    * their other (non-hot) bands/tables. Detection is one map-side-
+    * combined count over the bucket keys (16 B rows); the hot set is
+    * checkpointed (it is tiny by construction — ≤ rows/maxBucketSize
+    * keys) and broadcast-anti-joined away. `maxBucketSize <= 0`
+    * disables the cap. The detection count is an eager job — callers
+    * that loop should pass `cache = true` upstream so the scan it
+    * shares with the main query is materialized once. */
+  private def capHotBuckets(buckets: DataFrame, keyCols: Seq[String],
+                            maxBucketSize: Int, what: String): DataFrame = {
+    if (maxBucketSize <= 0) return buckets
+    val hot = buckets.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > maxBucketSize)
+      .drop("_bc")
+      .localCheckpoint(true) // materialize: the count and the anti-join below reuse it
+    val nHot = hot.count()
+    if (nHot == 0) buckets
+    else {
+      System.err.println(s"[dedup] $what: dropping $nHot hot bucket(s) over " +
+        s"$maxBucketSize rows — a self-join there would square into a " +
+        "straggler task; mass-identical members are caught by exactDedup")
+      buckets.join(broadcast(hot), keyCols, "left_anti")
+    }
+  }
+
   /** MinHash-LSH near-duplicate pairs, verified with exact shingle
     * Jaccard. k permutation hashes per shingle hash → k-way min
     * aggregation (map-side combine; the shuffle carries one k·8-byte
-    * signature per doc) → posexplode band keys → self equi-join on the
-    * band bucket (shuffle on a 16-byte key; never a cross join) →
-    * distinct candidate pairs → exact-Jaccard verification by overlap
-    * counting on the hash postings (candidates are few; no shingle
-    * strings are ever shuffled). */
+    * signature per doc) → posexplode band keys → hot-bucket cap (see
+    * [[capHotBuckets]]) → self equi-join on the band bucket (shuffle on
+    * a 16-byte key; never a cross join) → distinct candidate pairs →
+    * exact-Jaccard verification by overlap counting on the hash
+    * postings (candidates are few; no shingle strings are ever
+    * shuffled). */
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                           threshold: Double = 0.8,
-                          cache: Boolean = true): DataFrame = {
+                          cache: Boolean = true,
+                          maxBucketSize: Int = 1000): DataFrame = {
     // one per-doc hash-array frame (|docs| rows, ~n·8 B each) feeds
     // signatures, sizes, and both verification sides — cached cheaply;
     // round 1 cached the exploded posting frame instead, which cost more
@@ -155,10 +190,16 @@ object Dedup {
     val arrs = cached(shingleHashArrays(df, textCol, idCol, shingleN), cache)
     val sigs = minhashSignaturesFromHashRows(
       arrs.select(col("id"), explode(col("hs")).as("h")), k)
-    val bandsDf = sigs.select(col("id"),
-      posexplode(lshBandKeys(col("sig"), bands, k / bands)).as(Seq("band", "key")))
-    val cands = bandsDf.as("a")
-      .join(bandsDf.as("b"),
+    // the band frame is consumed three ways (hot detection + both join
+    // sides) — cache it alongside arrs so the signature aggregation runs
+    // once, not per consumer
+    val bandsDf = cached(sigs.select(col("id"),
+      posexplode(lshBandKeys(col("sig"), bands, k / bands)).as(Seq("band", "key"))),
+      cache)
+    val capped = capHotBuckets(bandsDf, Seq("band", "key"), maxBucketSize,
+      "minhashNearDupPairs")
+    val cands = capped.as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -229,7 +270,9 @@ object Dedup {
     * Table count C(blocks, maxHamming) and per-row explode fan-out grow
     * with `blocks`; 20 keys × 16 B per row is still a trivial shuffle. */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-                          maxHamming: Int = 3, blocks: Int = 6): DataFrame = {
+                          maxHamming: Int = 3, blocks: Int = 6,
+                          maxBucketSize: Int = 1000,
+                          cache: Boolean = true): DataFrame = {
     require(blocks > maxHamming, "need more blocks than flippable bits")
     val widths = (0 until blocks).map(j => 64 / blocks + (if (j < 64 % blocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
@@ -241,8 +284,10 @@ object Dedup {
     val keys = combos.map(c =>
       c.foldLeft(lit(0L)) { (acc, j) => shiftleft(acc, widths(j)).bitwiseOR(block(j)) })
     val base = simhash64(df, textCol, idCol).withColumnRenamed("simhash", "sh")
-    val buckets = base.select(col("id"), col("sh"),
-      posexplode(array(keys: _*)).as(Seq("table", "bk")))
+    val bucketsAll = cached(base.select(col("id"), col("sh"),
+      posexplode(array(keys: _*)).as(Seq("table", "bk"))), cache)
+    val buckets = capHotBuckets(bucketsAll, Seq("table", "bk"), maxBucketSize,
+      "simhashNearDupPairs")
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.table") === col("b.table") && col("a.bk") === col("b.bk") &&
@@ -503,7 +548,20 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 20,
                           driverCutoffPairs: Long = 1L << 20): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+    // Guard the long cast: a string (or other non-integral) id column
+    // would cast to null, collapsing EVERY pair to (null, null) — one
+    // giant bogus component and silently wrong canonicalize survivors.
+    // Integral ids only; hash other id types explicitly upstream so the
+    // collision risk is a visible caller decision, not a hidden cast.
+    for (c <- Seq(aCol, bCol)) {
+      val dt = pairs.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"connectedComponents: id column '$c' is $dt, not an integral type. " +
+          "Non-numeric ids would be nulled by the long cast and every pair " +
+          "would merge into one bogus component. Hash them first (e.g. " +
+          "xxhash64(col) with a kept (id, hash) mapping) or renumber densely.")
+    }
     // e0 is consumed twice on either path (count + collect, or count +
     // edge build) — without this persist the whole upstream pair
     // pipeline (often a MinHash join) re-executes per consumption

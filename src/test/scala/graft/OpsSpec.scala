@@ -530,6 +530,46 @@ class OpsSpec extends SparkSpec {
     assert(inc.contains((1000L, 3L)), "planted exact dup not found via index")
   }
 
+  test("hot-bucket skew cap: mass-identical docs can't square the LSH band joins") {
+    // 300 copies of one boilerplate page: every band bucket they share
+    // holds 300 rows → C(300,2) ≈ 45k candidate pairs per band in ONE
+    // task (at corpus scale: 10k copies → 5·10⁷, a straggler). The cap
+    // drops those buckets; mass-identical members are exactDedup's job,
+    // and ordinary near-dup pairs survive via their own (cold) buckets.
+    val boiler = (0 until 12).map(i => s"boiler$i").mkString(" ")
+    def doc(seed: Int) = (0 until 30).map(i => s"w${seed}q$i").mkString(" ")
+    val mass = (0 until 300).map(i => (i.toLong, boiler))
+    val near = Seq((9000L, doc(5)), (9001L, doc(5) + " tiny tail"))
+    val df = (mass ++ near).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(df, "text", "doc_id",
+        maxBucketSize = 50)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((9000L, 9001L)), "cold-bucket near-dups must survive the cap")
+    assert(!pairs.exists { case (a, b) => a < 300 && b < 300 },
+      "hot buckets must be dropped from the band join")
+    // the mass dups are still caught — by the exact path
+    val exact = Dedup.exactDedup(df, "text", "doc_id")
+      .filter(col("n_copies") === 300).collect()
+    assert(exact.length == 1 && exact.head.getLong(0) == 0L)
+    // cap disabled (or a small mass under the cap) finds the mass pairs —
+    // proving the cap, not a banding bug, removed them above
+    val small = ((0 until 20).map(i => (i.toLong, boiler)) ++ near)
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashNearDupPairs(small, "text", "doc_id",
+        maxBucketSize = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((0L, 1L)) && uncapped.contains((9000L, 9001L)))
+    // simhash path: same shape, same guarantee
+    val sPairs = Dedup.simhashNearDupPairs(df, "text", "doc_id",
+        maxBucketSize = 50)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sPairs.exists { case (a, b) => a < 300 && b < 300 })
+    val sUncapped = Dedup.simhashNearDupPairs(small, "text", "doc_id",
+        maxBucketSize = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sUncapped.contains((0L, 1L)))
+  }
+
   test("minhash index growth is idempotent: a replayed batch changes nothing") {
     // at-least-once foreachBatch delivery replays batches; round 3's
     // triple-append index double-counted sizes/postings rows on replay,
@@ -610,6 +650,27 @@ class OpsSpec extends SparkSpec {
     val k3 = graft.streaming.StreamingPipelines.incrementalDedupBatch(spark, dir, b3, "text", "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(k3 == Seq(21L), s"index must accumulate across batches: $k3")
+  }
+
+  test("connectedComponents rejects non-integral ids instead of silently nulling them") {
+    // round-3 defect: cast("long") on string ids produced (null, null)
+    // pairs — one bogus component, wrong canonicalize survivors, no error
+    val stringPairs = Seq(("doc-a", "doc-b"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(stringPairs)
+    }
+    assert(e.getMessage.contains("integral") && e.getMessage.contains("id_a"))
+    // canonicalize goes through the same guard
+    val docs = Seq(("doc-a", "x"), ("doc-b", "y")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.canonicalize(docs,
+        stringPairs.withColumnRenamed("id_a", "id_a"), "doc_id").collect()
+    }
+    // int ids (narrower integral) still work via widening cast
+    val intPairs = Seq((1, 2), (2, 3)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(intPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
   test("connectedComponents: chains, cliques, singleton-pair isolation") {
