@@ -390,15 +390,33 @@ object Dedup {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Batch ids whose index writes are COMMITTED (marker file present in
-    * `_commits/`). Everything else under the index root is invisible to
-    * readers — a crash between table writes leaves no torn state. */
-  def committedBatches(spark: org.apache.spark.sql.SparkSession,
-                       path: String): Seq[String] = {
+  /** All commit markers: name → the batch ids this marker SUPERSEDES
+    * (empty for ordinary batches; a compaction's consolidated batch
+    * lists the batches it replaced — see [[compactMinhashIndex]]). */
+  private def indexMarkers(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Map[String, Seq[String]] = {
     val fs = indexFs(spark, path)
     val d = new org.apache.hadoop.fs.Path(s"$path/_commits")
-    if (!fs.exists(d)) Seq.empty
-    else fs.listStatus(d).filter(_.isFile).map(_.getPath.getName).toSeq
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).filter(_.isFile).map { st =>
+      val in = fs.open(st.getPath)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      st.getPath.getName -> body.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    }.toMap
+  }
+
+  /** Batch ids whose index writes are COMMITTED and not superseded by a
+    * later compaction (marker file present in `_commits/`, id absent
+    * from every marker's superseded list). Everything else under the
+    * index root is invisible to readers — a crash between table writes
+    * leaves no torn state, and a crash between a compaction's commit and
+    * its garbage collection leaves no double counting. */
+  def committedBatches(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Seq[String] = {
+    val markers = indexMarkers(spark, path)
+    val superseded = markers.values.flatten.toSet
+    markers.keys.filterNot(superseded).toSeq
   }
 
   /** Read one index table (`bands`/`postings`/`sizes`), restricted to
@@ -450,13 +468,20 @@ object Dedup {
     val fs = indexFs(spark, path)
     if (mode == "overwrite")
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    val committed = committedBatches(spark, path)
+    val markers = indexMarkers(spark, path)
     val bid =
       if (batchId.nonEmpty) batchId
-      else (committed.flatMap(s => scala.util.Try(s.toLong).toOption)
+      // auto ids count over ALL marker names AND superseded ids — a
+      // compacted-away id must never be reused, its content already
+      // lives inside the consolidated batch (and reusing it would skip
+      // as a "replay")
+      else ((markers.keys ++ markers.values.flatten)
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
         .maxOption.getOrElse(-1L) + 1L).toString
     require(bid.matches("[A-Za-z0-9_-]+"), s"unsafe index batch id: $bid")
-    if (committed.contains(bid)) {
+    if (markers.contains(bid) || markers.values.exists(_.contains(bid))) {
+      // committed, or committed-then-consolidated by a compaction —
+      // either way this batch's rows are in the index already
       System.err.println(s"[dedup] index batch $bid already committed at $path — skipping (replay)")
       return false
     }
@@ -482,6 +507,74 @@ object Dedup {
       fs.create(new org.apache.hadoop.fs.Path(cd, bid), false).close()
       true
     } finally arrs.unpersist()
+  }
+
+  /** Compact the batch-keyed MinHash index: consolidate every committed
+    * batch into ONE new batch per table. An at-least-once ingest loop
+    * appends a `batch=<id>` directory (with per-task files) to all three
+    * tables per micro-batch — after N batches a probe lists/open-costs
+    * O(N) small files and the per-batch `band` sort no longer gives
+    * global row-group pruning. Cadence this like `LakeWriter.compact`
+    * (the index is just another streamed-into table).
+    *
+    * Atomicity via the superseded list: the consolidated data lands
+    * under a fresh `batch=c<n>` (invisible — no marker), then its marker
+    * is created with the replaced batch ids as its BODY. Readers treat
+    * ids named in any marker body as superseded, so visibility flips at
+    * that single file-create: before it, old batches; after it, only the
+    * consolidated one — never both. Markers and data of the replaced
+    * batches are then garbage-collected; a crash before GC double-counts
+    * nothing, and the next compaction clears leftovers. Probe results
+    * are row-identical before and after. Safe alongside a live appender
+    * (a batch committed mid-compaction is simply not consolidated this
+    * round); only one compactor at a time. Returns the number of batches
+    * consolidated (0 = nothing to do). */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Int = {
+    val fs = indexFs(spark, path)
+    val markers = indexMarkers(spark, path)
+    val superseded = markers.values.flatten.toSet
+    val committed = markers.keys.filterNot(superseded).toSeq.sorted
+    if (committed.size <= 1) return 0
+    // GC any orphaned compactor output from a crashed earlier run (data
+    // written, marker never created). Only compactor-owned ids (c*) are
+    // eligible: an appender's in-flight batch dir must not be touched.
+    val tables = Seq("bands", "postings", "sizes")
+    for (t <- tables; p = new org.apache.hadoop.fs.Path(s"$path/$t") if fs.exists(p);
+         st <- fs.listStatus(p) if st.isDirectory) {
+      val name = st.getPath.getName // batch=<id>
+      val id = name.stripPrefix("batch=")
+      if (id.startsWith("c") && !markers.contains(id)) fs.delete(st.getPath, true)
+    }
+    val cid = "c" + ((markers.keys ++ markers.values.flatten)
+      .filter(_.startsWith("c"))
+      .flatMap(s => scala.util.Try(s.stripPrefix("c").toLong).toOption)
+      .maxOption.getOrElse(-1L) + 1L)
+    val inScope = col("batch").cast("string").isin(committed: _*)
+    // bands keep their layout contract: band-partitioned directories,
+    // (band, key) sort within files for row-group pruning at probe time
+    spark.read.parquet(s"$path/bands").filter(inScope).drop("batch")
+      .repartition(col("band"))
+      .sortWithinPartitions("band", "key")
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands/batch=$cid")
+    spark.read.parquet(s"$path/postings").filter(inScope).drop("batch")
+      .repartition(col("id"))
+      .write.mode("overwrite").parquet(s"$path/postings/batch=$cid")
+    spark.read.parquet(s"$path/sizes").filter(inScope).drop("batch")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/sizes/batch=$cid")
+    // THE commit point: one atomic file-create flips visibility from the
+    // old batches to the consolidated one
+    val cd = new org.apache.hadoop.fs.Path(s"$path/_commits")
+    val out = fs.create(new org.apache.hadoop.fs.Path(cd, cid), false)
+    try out.write(committed.mkString("\n").getBytes("UTF-8")) finally out.close()
+    // garbage collection — everything below is invisible already
+    committed.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commits/$id"), false)
+      tables.foreach(t =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$t/batch=$id"), true))
+    }
+    committed.size
   }
 
   /** Near-dup pairs of a NEW batch against a persisted index — the

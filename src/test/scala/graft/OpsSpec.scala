@@ -608,6 +608,48 @@ class OpsSpec extends SparkSpec {
       mode = "append", batchId = "1"))
   }
 
+  test("minhash index compaction: probe-identical, file count collapsed, appendable after") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhcompact").toString
+    def doc(seed: Int) = (0 until 30).map(i => s"w${seed}c$i").mkString(" ")
+    // five appended batches, one doc each
+    (0 until 5).foreach { b =>
+      val df = Seq((b.toLong, doc(b))).toDF("doc_id", "text")
+      assert(Dedup.writeMinhashIndex(df, "text", "doc_id", dir,
+        mode = if (b == 0) "overwrite" else "append", batchId = b.toString))
+    }
+    def postingsFiles() = {
+      val root = java.nio.file.Paths.get(dir, "postings")
+      java.nio.file.Files.walk(root).filter(_.toString.endsWith(".parquet")).count()
+    }
+    def probe(seed: Int) = Dedup.nearDupAgainstIndex(spark, dir,
+        Seq((100L, doc(seed))).toDF("doc_id", "text"), "text", "doc_id")
+      .select("old_id").collect().map(_.getLong(0)).toSet
+    val filesBefore = postingsFiles()
+    val hitsBefore = (0 until 5).map(probe)
+    assert(hitsBefore == (0 until 5).map(b => Set(b.toLong)),
+      s"each batch's doc must be probeable pre-compaction: $hitsBefore")
+    // consolidate
+    assert(Dedup.compactMinhashIndex(spark, dir) == 5)
+    assert(Dedup.committedBatches(spark, dir) == Seq("c0"))
+    assert(postingsFiles() < filesBefore,
+      s"compaction must collapse files: $filesBefore -> ${postingsFiles()}")
+    assert((0 until 5).map(probe) == hitsBefore, "probe results must be row-identical")
+    // still appendable after compaction — streaming ids continue, replays
+    // of consolidated batches stay no-ops
+    assert(!Dedup.writeMinhashIndex(Seq((0L, doc(0))).toDF("doc_id", "text"),
+      "text", "doc_id", dir, mode = "append", batchId = "3"),
+      "a consolidated-away batch id must replay as a no-op")
+    assert(Dedup.writeMinhashIndex(Seq((9L, doc(9))).toDF("doc_id", "text"),
+      "text", "doc_id", dir, mode = "append", batchId = "5"))
+    assert(probe(9) == Set(9L) && probe(2) == Set(2L))
+    // second compaction consolidates {c0, 5} and stays probe-identical
+    assert(Dedup.compactMinhashIndex(spark, dir) == 2)
+    assert(Dedup.committedBatches(spark, dir) == Seq("c1"))
+    assert(probe(9) == Set(9L) && probe(2) == Set(2L))
+    // nothing left to consolidate
+    assert(Dedup.compactMinhashIndex(spark, dir) == 0)
+  }
+
   test("minhash index: uncommitted (torn) batch is invisible until its retry commits") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mhtorn").toString
     def doc(seed: Int) = (0 until 30).map(i => s"w${seed}z$i").mkString(" ")
@@ -778,5 +820,89 @@ class OpsSpec extends SparkSpec {
     // when cum-before crosses k*512
     assert(out.map(_.getAs[Long]("bin")).toSeq ==
       Seq(0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 3, 3, 3, 3).map(_.toLong))
+  }
+}
+
+/** Test backends for the inference-backend contract spec — top level so
+  * closures capture them without dragging the (non-serializable) suite. */
+object BackendFixtures {
+  val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Deliberately NOT Serializable — a stand-in for an ONNX session. */
+  class FakeEmbedRuntime(dim: Int) extends EmbeddingRuntime {
+    BackendFixtures.builds.incrementAndGet()
+    def encodeBatch(texts: Seq[String]): Seq[Array[Float]] =
+      texts.map(t => Array.tabulate(dim)(i => (t.length + i).toFloat))
+  }
+  case class FakeRuntimeEncoder(dim: Int, tag: String) extends RuntimeEncoder {
+    protected def runtimeKey: Any = ("fake-embed", dim, tag)
+    protected def loadRuntime(): EmbeddingRuntime = new FakeEmbedRuntime(dim)
+  }
+
+  class FakeSentimentRuntime extends SentimentRuntime {
+    BackendFixtures.builds.incrementAndGet()
+    def scoreBatch(texts: Seq[String]): Seq[(Double, Double)] =
+      texts.map(t => if (t.contains("up")) (0.9, 0.1) else (0.2, 0.8))
+  }
+  case class FakeRuntimeModel(tag: String) extends RuntimeSentimentModel {
+    protected def runtimeKey: Any = ("fake-sent", tag)
+    protected def loadRuntime(): SentimentRuntime = new FakeSentimentRuntime
+  }
+}
+
+/** Serialization-safe init contract for pluggable inference backends:
+  * driver never builds the runtime, each JVM builds it exactly once
+  * (whatever the task/partition count), and a backend serializes cleanly
+  * even after its runtime was forced. */
+class BackendContractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def roundtrip[T](x: T): T = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bos)
+    out.writeObject(x); out.close()
+    new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray)).readObject().asInstanceOf[T]
+  }
+
+  test("embedding backend: no driver init, one build per JVM, serializable when built") {
+    graft.operators.InferenceRuntimeCache.clear()
+    BackendFixtures.builds.set(0)
+    val enc = BackendFixtures.FakeRuntimeEncoder(4, "embA")
+    assert(BackendFixtures.builds.get() == 0, "constructing a backend must not load the model")
+    val df = (0 until 32).map(i => (i.toLong, "x" * (i % 5 + 1))).toDF("doc_id", "text")
+      .repartition(8)
+    val out = TextEmbeddings.withEmbeddings(df, "text", enc, batchSize = 4)
+      .select("doc_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out(3L) == Seq(4.0f, 5.0f, 6.0f, 7.0f)) // len("x"*4)+i
+    // 8 partitions, 32 rows, ONE model load (the reference's _PIPELINE
+    // singleton, per executor JVM) — @transient lazy alone would load
+    // once per deserialized task copy
+    assert(BackendFixtures.builds.get() == 1,
+      s"expected exactly one runtime build, got ${BackendFixtures.builds.get()}")
+    // a re-serialized backend reuses the cached runtime
+    assert(roundtrip(enc).encode(Seq("xx")).head.head == 2.0f)
+    assert(BackendFixtures.builds.get() == 1)
+  }
+
+  test("sentiment backend: same contract through withSentiment") {
+    graft.operators.InferenceRuntimeCache.clear()
+    BackendFixtures.builds.set(0)
+    val model = BackendFixtures.FakeRuntimeModel("sentA")
+    // serializing BEFORE any build must work (config-only payload)
+    val shipped = roundtrip(model)
+    assert(BackendFixtures.builds.get() == 0)
+    val df = Seq((1L, "going up"), (2L, "going down")).toDF("id", "text").repartition(2)
+    val out = SentimentScorer.withSentiment(df, "text", shipped)
+      .select("id", "sentiment_label").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "positive", 2L -> "negative"))
+    assert(BackendFixtures.builds.get() == 1)
+    // forcing the runtime on the driver (ad-hoc scoring) doesn't break a
+    // later ship: the runtime field is transient, only config serializes
+    assert(model.predict(Seq("up")).head._1 == 0.9)
+    assert(roundtrip(model).predict(Seq("down")).head._2 == 0.8)
+    assert(BackendFixtures.builds.get() == 1, "every copy shares the per-JVM runtime")
   }
 }
