@@ -1,0 +1,122 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Scale rehearsal for the heavy dedup pipelines: replicate the sf0.1
+  * documents corpus R× into DISJOINT token spaces (every token gets a
+  * per-replica suffix, so each replica carries the original corpus's
+  * internal duplicate structure but no cross-replica near-dups) and
+  * measure how candidate counts and wall-clock grow with corpus size.
+  * The claim under test is the one that matters at 100 TB: band-bucket
+  * candidate generation is ~LINEAR in corpus size (never all-pairs), and
+  * connected components converges through its distributed loop when the
+  * pair graph outgrows the driver cutoff.
+  *
+  * Replicas are materialized to parquet under target/ first so every
+  * measured run starts from a real scan, like the bench queries.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=... runMain graft.tools.ScaleRehearsal`
+  * (env `SPARK_GRAFT_REHEARSAL_MULTS` overrides the default 1,3,10).
+  * Prints one stderr line per (multiplier, stage) and a final JSON line
+  * on stdout for BASELINE.md. */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mults = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_MULTS", "1,3,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val outBase = "target/rehearsal"
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+
+    def replicate(r: Int): DataFrame =
+      if (r == 0) base
+      else base.select(
+        (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        // per-replica token suffix → replica token spaces are disjoint:
+        // the duplicate structure inside each replica is preserved, no
+        // cross-replica pairs are created
+        regexp_replace(col("text"), "(\\S+)", "$1zz" + r).as("text"))
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val results = mults.map { m =>
+      val path = s"$outBase/docs_x$m"
+      (0 until m).map(replicate).reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(path)
+      val docs = spark.read.parquet(path)
+      val nDocs = docs.count()
+
+      // raw LSH candidate volume — the quantity that must stay ~linear
+      // (rebuilt from the same public pieces the operator composes)
+      val arrs = Dedup.shingleHashArrays(docs, "text", "doc_id", 3)
+      val sigs = Dedup.minhashSignaturesFromHashRows(
+        arrs.select(col("id"), explode(col("hs")).as("h")), 64)
+      val bandsDf = sigs.select(col("id"),
+        posexplode(Dedup.lshBandKeys(col("sig"), 16, 4)).as(Seq("band", "key")))
+      val (nCands, tCands) = timed {
+        bandsDf.as("a").join(bandsDf.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id"), col("b.id")).distinct().count()
+      }
+
+      val (nMinhash, tMinhash) = timed {
+        Dedup.minhashNearDupPairs(docs, "text", "doc_id").count()
+      }
+      spark.catalog.clearCache()
+      val (nJacc, tJacc) = timed {
+        Dedup.jaccardSimilarityJoin(docs, "text", "doc_id").count()
+      }
+      spark.catalog.clearCache()
+      // canonicalize end to end; at the largest multiplier force the
+      // DISTRIBUTED CC loop (cutoff 0) — the driver union-find otherwise
+      // absorbs pair graphs this small, leaving the at-scale path
+      // unexercised
+      val distributed = m == mults.max
+      val (nKept, tCanon) = timed {
+        val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id")
+        val comps = Dedup.connectedComponents(pairs,
+          driverCutoffPairs = if (distributed) 0L else 1L << 20)
+        docs.join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .filter(col("component").isNull || col("component") === col("doc_id"))
+          .count()
+      }
+      spark.catalog.clearCache()
+      System.err.println(f"[rehearsal] x$m%-3d docs=$nDocs%-7d " +
+        f"cands=$nCands%-8d (${tCands}%5.1fs)  minhash=$nMinhash%-6d (${tMinhash}%5.1fs)  " +
+        f"jaccard=$nJacc%-6d (${tJacc}%5.1fs)  kept=$nKept%-7d canon=${tCanon}%5.1fs" +
+        (if (distributed) " [distributed CC]" else ""))
+      Map("mult" -> m, "docs" -> nDocs, "candidates" -> nCands,
+        "minhash_pairs" -> nMinhash, "minhash_sec" -> tMinhash,
+        "jaccard_pairs" -> nJacc, "jaccard_sec" -> tJacc,
+        "kept" -> nKept, "canonicalize_sec" -> tCanon,
+        "distributed_cc" -> distributed)
+    }
+
+    def j(v: Any): String = v match {
+      case s: String => "\"" + s + "\""
+      case d: Double => f"$d%.2f"
+      case m: Map[_, _] =>
+        m.map { case (k, x) => "\"" + k + "\":" + j(x) }.mkString("{", ",", "}")
+      case other => other.toString
+    }
+    println(j(Map("metric" -> "scale_rehearsal", "sf_base" -> sfDir)) // scaffold line
+      .dropRight(1) + ",\"runs\":[" + results.map(j).mkString(",") + "]}")
+    spark.stop()
+  }
+}
