@@ -589,12 +589,22 @@ object Dedup {
                           newDf: DataFrame, textCol: String, idCol: String,
                           shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                           threshold: Double = 0.8,
-                          cache: Boolean = true): DataFrame = {
+                          cache: Boolean = true,
+                          maxBucketSize: Int = 1000): DataFrame = {
     val newArrs = cached(shingleHashArrays(newDf, textCol, idCol, shingleN), cache)
     val newSigs = minhashSignaturesFromHashRows(
       newArrs.select(col("id"), explode(col("hs")).as("h")), k)
-    val newBands = newSigs.select(col("id").as("new_id"),
-      posexplode(lshBandKeys(col("sig"), bands, k / bands)).as(Seq("band", "key")))
+    // Skew: the probe join's per-bucket cost is |batch bucket| × |index
+    // bucket|. Capping the BATCH side (batch-sized detection, cheap)
+    // bounds it to maxBucketSize × |index bucket|; the index side needs
+    // no cap of its own because the incremental loop only ever appends
+    // NOVEL content — mass-identical docs are deduped before indexing,
+    // so hot buckets cannot accumulate there.
+    val newBands = capHotBuckets(
+      cached(newSigs.select(col("id").as("new_id"),
+        posexplode(lshBandKeys(col("sig"), bands, k / bands)).as(Seq("band", "key"))),
+        cache),
+      Seq("band", "key"), maxBucketSize, "nearDupAgainstIndex(batch side)")
     val idxBands = readIndexTable(spark, path, "bands")
       .select(col("id").as("old_id"), col("band"), col("key"))
     val cands = newBands.join(idxBands, Seq("band", "key"))
@@ -749,8 +759,13 @@ object Dedup {
     * moderately-similar pairs; defaults target near-dups (cosine ≳ 0.9). */
   def embeddingNearDupPairsLsh(df: DataFrame, vecCol: String, idCol: String,
                                threshold: Double, planes: Int = 8,
-                               tables: Int = 8): DataFrame = {
-    val sigs = Similarity.lshSignatures(df, vecCol, idCol, planes, tables)
+                               tables: Int = 8, maxBucketSize: Int = 1000,
+                               cache: Boolean = true): DataFrame = {
+    // same skew exposure as the MinHash band join: N identical embeddings
+    // share every (table, sig) bucket → C(N,2) pairs in one task
+    val sigs = capHotBuckets(
+      cached(Similarity.lshSignatures(df, vecCol, idCol, planes, tables), cache),
+      Seq("table", "sig"), maxBucketSize, "embeddingNearDupPairsLsh")
     val cands = sigs.as("a")
       .join(sigs.as("b"),
         col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&

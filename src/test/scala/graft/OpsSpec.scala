@@ -568,6 +568,46 @@ class OpsSpec extends SparkSpec {
         maxBucketSize = 0)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sUncapped.contains((0L, 1L)))
+    // embedding-LSH path: N identical vectors share every (table, sig)
+    // bucket — capped the same way, cold pairs survive
+    val vecs = ((0 until 300).map(i => (i.toLong, Array.fill(8)(1.0f))) ++
+      Seq((9000L, Array.tabulate(8)(j => if (j == 0) -1.0f else 0.3f)),
+        (9001L, Array.tabulate(8)(j => if (j == 0) -1.0f else 0.31f))))
+      .toDF("vec_id", "embedding")
+    val ePairs = Dedup.embeddingNearDupPairsLsh(vecs, "embedding", "vec_id",
+        0.99, maxBucketSize = 50)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ePairs.contains((9000L, 9001L)), "cold-bucket embedding pair must survive")
+    assert(!ePairs.exists { case (a, b) => a < 300 && b < 300 })
+    val eUncapped = Dedup.embeddingNearDupPairsLsh(vecs.filter(col("vec_id") < 20 ||
+        col("vec_id") >= 9000), "embedding", "vec_id", 0.99, maxBucketSize = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(eUncapped.contains((0L, 1L)) && eUncapped.contains((9000L, 9001L)))
+  }
+
+  test("index probe caps hot batch-side buckets but deduped batches keep full recall") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhprobecap").toString
+    def doc(seed: Int) = (0 until 30).map(i => s"w${seed}p$i").mkString(" ")
+    val old = (0 until 50).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(old, "text", "doc_id", dir)
+    // a RAW batch with 300 identical docs: their band buckets blow the cap
+    // and those docs probe nothing (mass dups are within-batch dedup's
+    // job) — cold docs in the same batch still hit the index
+    val raw = ((1000 until 1300).map(i => (i.toLong, doc(7))) ++
+      Seq((2000L, doc(3) + " tail"))).toDF("doc_id", "text")
+    val hits = Dedup.nearDupAgainstIndex(spark, dir, raw, "text", "doc_id",
+        maxBucketSize = 50)
+      .select("new_id", "old_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((2000L, 3L)), s"cold doc must match, capped mass must not: $hits")
+    // the REAL loop dedupes within-batch first — the surviving singleton
+    // probes under the cap and recalls its index match
+    val deduped = Dedup.canonicalize(raw,
+      Dedup.minhashNearDupPairs(raw, "text", "doc_id"), "doc_id")
+    val hits2 = Dedup.nearDupAgainstIndex(spark, dir, deduped, "text", "doc_id",
+        maxBucketSize = 50)
+      .select("new_id", "old_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits2 == Set((1000L, 7L), (2000L, 3L)),
+      s"deduped batch keeps full recall against the index: $hits2")
   }
 
   test("minhash index growth is idempotent: a replayed batch changes nothing") {
