@@ -507,6 +507,50 @@ class SystemSpec extends SparkSpec {
     assert(all == expected, s"rows lost or mutated across concurrent compact+ingest: $all")
   }
 
+  test("streaming incremental dedup end-to-end: foreachBatch wiring, stable batch ids, checkpoint resume") {
+    // the OpsSpec tests drive incrementalDedupBatch directly; this one
+    // proves the documented WIRING — a real writeStream.foreachBatch
+    // passing the streaming batch id, with checkpoint-based resume
+    // assigning fresh ids to later batches
+    val in = tmp()
+    val idx = tmp() + "/idx"
+    val ckpt = tmp() + "/ckpt"
+    val sch = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    def doc(seed: Int) = (0 until 30).map(i => s"w${seed}s$i").mkString(" ")
+    def runOnce(): Seq[Long] = {
+      val kept = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.schema(sch).json(in)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          StreamingPipelines.incrementalDedupBatch(spark, idx, b.toDF(),
+              "text", "doc_id", batchId = id.toString)
+            .select("doc_id").collect().foreach(r => kept.add(r.getLong(0)))
+        }
+        .start()
+      q.awaitTermination(120000)
+      kept.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted.toSeq
+    }
+    def drop(name: String, rows: Seq[(Long, Int)]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(in, name),
+        rows.map { case (id, s) => s"""{"doc_id": $id, "text": "${doc(s)}"}""" }
+          .mkString("\n"))
+    // batch 0: three docs, one an in-batch dup
+    drop("b0.json", Seq((1L, 1), (2L, 2), (3L, 1)))
+    assert(runOnce() == Seq(1L, 2L), "in-batch dup must drop")
+    assert(graft.operators.Dedup.committedBatches(spark, idx) == Seq("0"))
+    // batch 1 arrives; the SAME checkpoint resumes and assigns id 1
+    drop("b1.json", Seq((10L, 2), (11L, 9)))
+    assert(runOnce() == Seq(11L), "cross-batch dup must drop on resume")
+    assert(graft.operators.Dedup.committedBatches(spark, idx).sorted == Seq("0", "1"))
+    // nothing new → no batch, no index growth
+    assert(runOnce() == Seq.empty)
+    assert(graft.operators.Dedup.committedBatches(spark, idx).sorted == Seq("0", "1"))
+  }
+
   test("scheduler ingest tick deletes consumed drops so the next tick is a no-op") {
     val lake = tmp() + "/lake"
     val drops = tmp()
