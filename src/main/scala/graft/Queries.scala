@@ -1118,6 +1118,61 @@ object Queries {
             FROM ov o JOIN sz sa ON sa.doc_id = o.id_a JOIN sz sb ON sb.doc_id = o.id_b)
       SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""))
 
+  // The INCREMENTAL dedup path (persisted index + probe) under the same
+  // oracle: index the even-id half of the corpus (writeMinhashIndex —
+  // batch-committed band/posting/size tables), probe the odd-id half
+  // against it (nearDupAgainstIndex). Identical hashing/banding
+  // constants make index+probe ≡ the cross-parity subset of one-shot
+  // pairs, which is exactly what the oracle computes relationally — so
+  // the at-least-once ingest loop's core operator is hash-verified, not
+  // just spec-verified. The per-run temp index is the point: the query
+  // exercises the real write→commit→read cycle, including committed-
+  // batch filtering and band-directory pruning.
+  private val qNearDupIncremental = QDef(
+    "q_neardup_incremental",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = java.nio.file.Files.createTempDirectory("graft_qidx").toString
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", idx)
+      Dedup.nearDupAgainstIndex(s, idx, docs.filter(col("doc_id") % 2 === 1),
+          "text", "doc_id")
+        .orderBy("new_id", "old_id")
+    },
+    Some(raw"""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+               END AS s
+        FROM d),
+      hd AS (SELECT doc_id, CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT) AS h
+             FROM (SELECT doc_id, unnest(s) AS x FROM sh)),
+      hb AS (SELECT doc_id, h, h % 2147483647 AS hm FROM hd),
+      hp AS (SELECT doc_id, i,
+               MIN((((1103515245*(i+1) + 12345) % 2147483647) * hm
+                    + ((1103515245*(i+101) + 12345) % 2147483647)) % 2147483647) AS m
+             FROM hb CROSS JOIN range(64) r(i) GROUP BY doc_id, i),
+      b0 AS (SELECT doc_id, i // 4 AS band, i, m FROM hp),
+      bandk AS (SELECT doc_id, band,
+               list_reduce(list_prepend(CAST(band + 7 AS BIGINT), list(m ORDER BY i)),
+                 (acc, x) -> (acc * 1000003 + x) % 2147483647) AS bk
+             FROM b0 GROUP BY doc_id, band),
+      cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+               FROM bandk a JOIN bandk b ON a.band = b.band AND a.bk = b.bk
+               WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
+      ov AS (SELECT c.new_id, c.old_id, COUNT(*) AS o
+             FROM cand c
+             JOIN hd x ON x.doc_id = c.new_id
+             JOIN hd y ON y.doc_id = c.old_id AND y.h = x.h
+             GROUP BY c.new_id, c.old_id),
+      v AS (SELECT o.new_id, o.old_id, CAST(o.o AS DOUBLE) / (sa.n + sb.n - o.o) AS jaccard
+            FROM ov o JOIN sz sa ON sa.doc_id = o.new_id JOIN sz sb ON sb.doc_id = o.old_id)
+      SELECT new_id, old_id, jaccard FROM v WHERE jaccard >= 0.8 ORDER BY new_id, old_id"""))
+
   // Portable since round 2: the token hash is md5-derived
   // (TextAnalysis.tokenHash64), so the bit-vote majority reproduces
   // exactly in DuckDB (sign bit handled via the hi/lo halves — no
@@ -1857,6 +1912,7 @@ object Queries {
     qTaTrend, qTaOscillators, qOnchainFeatures, qMarketFeatures,
     qOrderbook, qTrainingMatrix,
     qDedupExact, qTextStats, qLangId, qJaccardNearDup, qMinhashNearDup,
+    qNearDupIncremental,
     qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qEmbedNearDup,
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qPiiScrub, qPackSequences,
