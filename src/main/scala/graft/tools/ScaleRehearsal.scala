@@ -108,6 +108,36 @@ object ScaleRehearsal {
         "distributed_cc" -> distributed)
     }
 
+    // Skew rehearsal: a mass-identical block (the 10k-times-crawled
+    // boilerplate page) planted into the base corpus. Uncapped, every
+    // shared band bucket squares into C(N,2) candidate pairs inside one
+    // task — timed at two sizes to show the quadratic; capped (default
+    // 1000), the hot buckets are dropped and the run stays at corpus
+    // cost whatever N is.
+    if (sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_SKEW", "1") != "0") {
+      val boiler = (0 until 12).map(i => s"boilerplate$i").mkString(" ")
+      def withMass(n: Int): DataFrame = {
+        import spark.implicits._
+        base.unionByName((0 until n)
+          .map(i => (20000000L + i, boiler)).toDF("doc_id", "text"))
+      }
+      for (n <- Seq(1000, 2000)) {
+        val (pairs, t) = timed {
+          Dedup.minhashNearDupPairs(withMass(n), "text", "doc_id",
+            maxBucketSize = 0, cache = true).count()
+        }
+        spark.catalog.clearCache()
+        System.err.println(f"[rehearsal] skew UNCAPPED n=$n%-6d pairs=$pairs%-9d ${t}%5.1fs")
+      }
+      val (pairsCap, tCap) = timed {
+        Dedup.minhashNearDupPairs(withMass(10000), "text", "doc_id",
+          cache = true).count()
+      }
+      spark.catalog.clearCache()
+      System.err.println(f"[rehearsal] skew CAPPED   n=10000 pairs=$pairsCap%-9d ${tCap}%5.1fs " +
+        "(mass handled by exactDedup; corpus-cost bound regardless of N)")
+    }
+
     def j(v: Any): String = v match {
       case s: String => "\"" + s + "\""
       case d: Double => f"$d%.2f"
