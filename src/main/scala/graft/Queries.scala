@@ -1332,6 +1332,54 @@ object Queries {
       FROM b2 LEFT JOIN ls ON b2.doc_id = ls.doc_id LEFT JOIN tb ON b2.doc_id = tb.doc_id
       ORDER BY b2.doc_id"""))
 
+  // Gopher/C4-style hard quality rules: per-rule booleans + the keep
+  // conjunction, one codegen scan. Thresholds chosen to BIND on the
+  // synthetic corpus (length and diversity both split it) so the oracle
+  // is non-vacuous in every rule column.
+  private val qQualityRules = QDef(
+    "q_quality_rules",
+    (s, dir) => TextAnalysis.qualityRules(t(s, dir, "documents"),
+        "text", "doc_id", minWords = 50, maxWords = 100000,
+        minMeanWordLen = 3.0, maxMeanWordLen = 10.0, minUniqueRatio = 0.4)
+      .orderBy("doc_id"),
+    Some(raw"""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      m AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_words,
+              CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                / NULLIF(len(toks), 0) AS mean_word_len,
+              CAST(len(list_distinct(toks)) AS DOUBLE)
+                / NULLIF(len(toks), 0) AS unique_ratio
+            FROM d)
+      SELECT doc_id, n_words, mean_word_len, unique_ratio,
+             (n_words >= 50 AND n_words <= 100000) AS pass_length,
+             (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_word_len,
+             (unique_ratio >= 0.4) AS pass_diversity,
+             ((n_words >= 50 AND n_words <= 100000)
+              AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+              AND (unique_ratio >= 0.4)) AS keep
+      FROM m ORDER BY doc_id"""))
+
+  // Context-window chunking (chunkSize 64, stride 48 → overlapping
+  // windows on any doc past 48 tokens): sequence + posexplode + slice,
+  // zero shuffle — the standard pretraining chunker as one scan.
+  private val qChunkTokens = QDef(
+    "q_chunk_tokens",
+    (s, dir) => TextAnalysis.chunkTokens(t(s, dir, "documents"),
+        "text", "doc_id", chunkSize = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id"),
+    Some(raw"""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      c AS (SELECT doc_id, toks,
+                   unnest(range(0, CAST(greatest(len(toks), 1) AS BIGINT), 48)) AS start_tok
+            FROM d)
+      SELECT doc_id,
+             start_tok // 48 AS chunk_id,
+             start_tok,
+             CAST(least(64, len(toks) - start_tok) AS BIGINT) AS n_tok,
+             array_to_string(toks[CAST(start_tok + 1 AS INT):CAST(start_tok + 64 AS INT)], ' ') AS chunk_text
+      FROM c ORDER BY doc_id, chunk_id"""))
+
   /** PII scrub over planted PII (the corpus has none — like q_gap_daily's
     * planted gaps, a deterministic in-query plant makes the oracle
     * non-vacuous): every 5th doc gains an email + IPv4 + phone, then both
@@ -1915,7 +1963,7 @@ object Queries {
     qNearDupIncremental,
     qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qEmbedNearDup,
     qEmbedNearDupLsh, qMultimodal,
-    qNearDupCluster, qQualityRepetition, qPiiScrub, qPackSequences,
+    qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
   )

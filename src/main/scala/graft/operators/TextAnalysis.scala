@@ -252,4 +252,58 @@ object TextAnalysis {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("bin", floor((col("cum_tokens") - col("n_tokens")) / seqLen))
   }
+
+  /** Gopher/C4-style quality RULE filter (Rae et al. 2021 §A1.1 family):
+    * hard per-document bounds, each exposed as its own boolean so a
+    * pipeline can report WHY a doc dropped (the standard corpus-cleaning
+    * report shape), plus the conjunction as `keep`. Rules: word count in
+    * [minWords, maxWords]; mean word length in [minMeanWordLen,
+    * maxMeanWordLen]; unique-token ratio ≥ minUniqueRatio (mass-repeated
+    * text). Pure per-row column arithmetic — no shuffle, no UDF; a
+    * corpus-scale clean is one codegen'd scan. Complements
+    * [[qualityScore]] (soft blend) — cleaners usually apply BOTH: rules
+    * first, score threshold second. */
+  def qualityRules(df: DataFrame, textCol: String, idCol: String,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                   minUniqueRatio: Double = 0.3): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(col(idCol),
+        size(toks).cast("long").as("n_words"),
+        avgTokenLen(toks).as("mean_word_len"),
+        uniqueTokenRatio(toks).as("unique_ratio"))
+      .withColumn("pass_length",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("pass_word_len",
+        col("mean_word_len") >= minMeanWordLen && col("mean_word_len") <= maxMeanWordLen)
+      .withColumn("pass_diversity", col("unique_ratio") >= minUniqueRatio)
+      .withColumn("keep",
+        col("pass_length") && col("pass_word_len") && col("pass_diversity"))
+  }
+
+  /** Context-window chunking: split each document's token stream into
+    * chunks of `chunkSize` tokens starting every `stride` tokens
+    * (stride < chunkSize ⇒ overlapping windows, the standard pretraining
+    * chunker shape). Returns `(doc_id, chunk_id, start_tok, n_tok,
+    * chunk_text)` — one row per chunk, `chunk_id` dense per doc. The
+    * whole operator is `sequence` + `posexplode` + `slice` — native
+    * codegen expressions, no lambda HOFs, no shuffle: chunking 100 TB is
+    * a single scan whose output feeds [[packSequences]] / the embedding
+    * stage directly. Short documents yield one (short) chunk. */
+  def chunkTokens(df: DataFrame, textCol: String, idCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_id", "start_tok")))
+      .select(col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(chunkSize), size(col("toks")) - col("start_tok"))
+          .cast("long").as("n_tok"),
+        concat_ws(" ", slice(col("toks"), col("start_tok") + 1, lit(chunkSize)))
+          .as("chunk_text"))
+  }
 }
