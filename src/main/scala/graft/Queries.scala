@@ -1380,6 +1380,102 @@ object Queries {
              array_to_string(toks[CAST(start_tok + 1 AS INT):CAST(start_tok + 64 AS INT)], ' ') AS chunk_text
       FROM c ORDER BY doc_id, chunk_id"""))
 
+  // Segment-level exact dedup (paragraph-dedup stand-in on a corpus with
+  // no newline structure): non-overlapping 8-token segments, corpus-wide
+  // keep-first, rebuild from survivors. Binding at sf0.01: 135 distinct
+  // segments duplicated (279 instances) → real removals in text_dedup.
+  private val qSegmentDedup = QDef(
+    "q_segment_dedup",
+    (s, dir) => TextAnalysis.segmentDedup(t(s, dir, "documents"),
+        "text", "doc_id", segTokens = 8)
+      .orderBy("doc_id"),
+    Some(raw"""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      st AS (SELECT doc_id, toks, unnest(range(0, CAST(greatest(len(toks), 1) AS BIGINT), 8)) AS s FROM d),
+      seg AS (SELECT doc_id, s, array_to_string(toks[CAST(s + 1 AS INT):CAST(s + 8 AS INT)], ' ') AS seg
+              FROM st WHERE len(toks) - s >= 8),
+      rn AS (SELECT doc_id, s, row_number() OVER (PARTITION BY seg ORDER BY doc_id, s) AS rn FROM seg),
+      rem AS (SELECT doc_id, list(s ORDER BY s) AS rem_s FROM rn WHERE rn > 1 GROUP BY doc_id),
+      f AS (SELECT d.doc_id, d.toks,
+                   range(0, CAST(greatest(len(d.toks), 1) AS BIGINT), 8) AS starts,
+                   coalesce(rem.rem_s, []) AS rem_s
+            FROM d LEFT JOIN rem ON d.doc_id = rem.doc_id)
+      SELECT doc_id,
+             CAST(len(starts) AS BIGINT) AS n_segments,
+             CAST(len(rem_s) AS BIGINT) AS n_removed,
+             coalesce(array_to_string(flatten(list_transform(
+               list_filter(starts, s -> NOT list_contains(rem_s, s)),
+               s -> toks[CAST(s + 1 AS INT):CAST(s + 8 AS INT)])), ' '), '') AS text_dedup
+      FROM f ORDER BY doc_id"""))
+
+  // Corpus unigram-LM quality scoring (CCNet-perplexity proxy): the
+  // fixed-point µnat quantization makes per-doc sums integer —
+  // order-independent, hence hashable cross-engine despite touching ln.
+  private val qUnigramLm = QDef(
+    "q_unigram_lm",
+    (s, dir) => TextAnalysis.unigramLogProb(t(s, dir, "documents"),
+        "text", "doc_id", headTokens = 1024)
+      .orderBy("doc_id"),
+    Some(raw"""
+      WITH d AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+      v AS (SELECT tok, count(*) AS c FROM d GROUP BY tok),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d),
+      s AS (SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE) / total) * 1e6) AS BIGINT) AS nll_fp
+            FROM v CROSS JOIN tot),
+      g AS (SELECT doc_id, CAST(SUM(nll_fp) AS BIGINT) AS fp, CAST(count(*) AS BIGINT) AS n_tokens
+            FROM d JOIN s USING (tok) GROUP BY doc_id)
+      SELECT doc_id, n_tokens,
+             CAST(fp AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e6) AS mean_nll
+      FROM g ORDER BY doc_id"""))
+
+  // SemDeDup-style semantic dedup: deterministic centroids (k lowest-id
+  // vectors), argmax-cosine assignment, within-cluster removal against
+  // the repCap lowest-id representatives. All cosine arithmetic is the
+  // same strict left fold both engines compute bit-identically; the
+  // tau compare runs on the UNROUNDED value, like q_embed_neardup.
+  private val qSemanticDedup = QDef(
+    "q_semantic_dedup",
+    (s, dir) => Similarity.semanticDedup(t(s, dir, "embeddings"),
+        "embedding", "vec_id", k = 8, tau = 0.4, repCap = 64)
+      .orderBy("vec_id"),
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      c AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM e ORDER BY vec_id LIMIT 8),
+      a AS (
+        SELECT e.vec_id, c.cid,
+               list_reduce(list_transform(range(64), k -> e.v[k+1] * c.cv[k+1]), (x, y) -> x + y)
+                 / NULLIF(sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y))
+                          * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (x, y) -> x + y)), 0) AS cos
+        FROM e CROSS JOIN c),
+      asg AS (
+        SELECT vec_id, cid AS cluster_id
+        FROM (SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+              FROM a)
+        WHERE rn = 1),
+      reps AS (
+        SELECT vec_id AS rep_id, cluster_id
+        FROM (SELECT vec_id, cluster_id,
+                     row_number() OVER (PARTITION BY cluster_id ORDER BY vec_id) AS rk
+              FROM asg)
+        WHERE rk <= 64),
+      rem AS (
+        SELECT DISTINCT q.vec_id
+        FROM asg q JOIN reps r ON q.cluster_id = r.cluster_id AND r.rep_id < q.vec_id
+        JOIN e ev ON ev.vec_id = q.vec_id
+        JOIN e er ON er.vec_id = r.rep_id
+        WHERE list_reduce(list_transform(range(64), k -> ev.v[k+1] * er.v[k+1]), (x, y) -> x + y)
+                / NULLIF(sqrt(list_reduce(list_transform(ev.v, x -> x * x), (x, y) -> x + y))
+                         * sqrt(list_reduce(list_transform(er.v, x -> x * x), (x, y) -> x + y)), 0) >= 0.4)
+      SELECT asg.vec_id, CAST(asg.cluster_id AS BIGINT) AS cluster_id,
+             (rem.vec_id IS NULL) AS keep
+      FROM asg LEFT JOIN rem ON asg.vec_id = rem.vec_id
+      ORDER BY asg.vec_id"""))
+
   /** PII scrub over planted PII (the corpus has none — like q_gap_daily's
     * planted gaps, a deterministic in-query plant makes the oracle
     * non-vacuous): every 5th doc gains an email + IPv4 + phone, then both
@@ -1964,6 +2060,7 @@ object Queries {
     qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qEmbedNearDup,
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
+    qSegmentDedup, qUnigramLm, qSemanticDedup,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
   )

@@ -253,4 +253,65 @@ object Similarity {
       .orderBy(round(col("cosine"), 6).desc, col("id"))
       .limit(k)
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * coarse-cluster the embedding space, then drop, within each cluster,
+    * every vector semantically too close (cosine ≥ `tau`) to a
+    * lower-id "representative" — the cheap relational form of
+    * embedding-space dedup for pretraining corpora, complementing the
+    * token-level [[Dedup]] paths (it catches paraphrases that share no
+    * n-grams).
+    *
+    * Fully deterministic, so an external oracle reproduces it exactly:
+    * centroids are the `k` lowest-id vectors (no KMeans iterations —
+    * k-means++-quality centers don't change the dedup contract, only the
+    * cluster balance), assignment is argmax cosine with lowest-centroid
+    * tie-break, and each vector is compared against its cluster's
+    * `repCap` lowest-id members only. That last bound is the scale
+    * contract: work is n·repCap dot products — never an intra-cluster
+    * all-pairs blow-up — at the price of missing dups both of whose ids
+    * rank past `repCap` in a huge cluster (real SemDeDup accepts the
+    * same trade by scaling k with n; do that here too: keep n/k near
+    * repCap).
+    *
+    * Scale shape: the k centroid rows are the only driver collect
+    * (metadata-scale, like [[knnIvfIndexed]]'s); assignment is a pure
+    * codegen projection against literal centroids (no shuffle); the
+    * representative set (≤ k·repCap rows) broadcasts, so removal is a
+    * map-side join + filter. The one shuffle is the per-cluster
+    * row_number for representative election. Returns
+    * `(vec_id, cluster_id, keep)` for every input row. */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    k: Int = 8, tau: Double = 0.4,
+                    repCap: Int = 64): DataFrame = {
+    require(k > 0 && repCap > 0, s"need k > 0 and repCap > 0, got k=$k repCap=$repCap")
+    import org.apache.spark.sql.expressions.Window
+    val e = df.select(col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("v"))
+    val cents: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k)
+      .collect().toIndexedSeq.map(_.getSeq[Double](1))
+    val vNorm = sqrt(dot(col("v"), col("v")))
+    // k sibling codegen DotProducts against literal centroid vectors (the
+    // centroid self-dot constant-folds); argmax via array_max +
+    // array_position = first (lowest-cid) maximum
+    val cosArr = array(cents.map { cv =>
+      val c = typedlit(cv)
+      dot(col("v"), c) / nullif(vNorm * sqrt(dot(c, c)), lit(0))
+    }: _*)
+    val assigned = e.withColumn("cluster_id",
+      (array_position(cosArr, array_max(cosArr)) - 1).cast("long"))
+    val reps = assigned
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("cluster_id").orderBy("vec_id")))
+      .where(col("_rk") <= repCap)
+      .select(col("cluster_id").as("_rc"), col("vec_id").as("rep_id"),
+        col("v").as("rep_v"))
+    val removed = assigned
+      .join(broadcast(reps),
+        col("cluster_id") === col("_rc") && col("rep_id") < col("vec_id"))
+      .where(cosine(col("v"), col("rep_v")) >= tau)
+      .select("vec_id").distinct()
+      .withColumn("_rm", lit(true))
+    assigned.join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"), col("_rm").isNull.as("keep"))
+  }
 }

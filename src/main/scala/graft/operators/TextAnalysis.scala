@@ -306,4 +306,104 @@ object TextAnalysis {
         concat_ws(" ", slice(col("toks"), col("start_tok") + 1, lit(chunkSize)))
           .as("chunk_text"))
   }
+
+  /** Segment-level exact dedup — the scalable relational stand-in for
+    * paragraph / exact-substring dedup (the corpus has no newline
+    * structure, so the segment unit is a NON-overlapping `segTokens`-token
+    * window; swap the splitter for `\n` paragraphs on prose corpora).
+    * Every non-first copy (first = lowest `(doc_id, start)` corpus-wide)
+    * of a duplicated full-length segment is removed and the survivors are
+    * re-joined in order. The sub-`segTokens` tail is never dedup
+    * material — it is always kept.
+    *
+    * Scale shape: segment BODIES never shuffle. The scan hashes each
+    * segment to 8 bytes (`xxhash64`; a collision needs ~2³² segments —
+    * the same exact-dedup contract as [[Dedup.exactDedup]]); winners are
+    * a map-side-combined min-aggregation over `(hash, doc, start)`; the
+    * probe joins the skinny frame back on the hash; only `(doc_id,
+    * removed-starts)` int lists flow to the rebuild join, and the rebuild
+    * re-slices the original text in one projection. At 100 TB that is two
+    * skinny shuffles plus one tiny one — the document text moves zero
+    * times. Returns `(doc_id, n_segments, n_removed, text_dedup)`;
+    * `text_dedup` is whitespace-normalized (single spaces), as is
+    * inherent to token-joined reassembly. */
+  def segmentDedup(df: DataFrame, textCol: String, idCol: String,
+                   segTokens: Int = 8): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    def starts = sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+      lit(segTokens))
+    val segs = base
+      .select(col("doc_id"), col("toks"), explode(starts).as("start"))
+      .where(size(col("toks")) - col("start") >= segTokens)
+      .select(col("doc_id"), col("start"),
+        xxhash64(concat_ws(" ",
+          slice(col("toks"), col("start") + 1, lit(segTokens)))).as("h"))
+    val winners = segs.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("start"))).as("w"),
+        count(lit(1)).as("c"))
+      .where(col("c") > 1)
+    val removed = segs.join(winners, "h")
+      .where(struct(col("doc_id"), col("start")) =!= col("w"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("start"))).as("rem"))
+    val rem = coalesce(col("rem"), typedlit(Array.empty[Int]))
+    base.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(starts).cast("long").as("n_segments"),
+        size(rem).cast("long").as("n_removed"),
+        concat_ws(" ", flatten(transform(
+          filter(starts, s => !array_contains(rem, s)),
+          s => slice(col("toks"), s + 1, lit(segTokens))))).as("text_dedup"))
+  }
+
+  /** Corpus unigram-LM scoring — the relational proxy for the
+    * CCNet/KenLM perplexity quality filter: pass 1 builds the unigram
+    * model (token → count / total) over the WHOLE corpus, pass 2 scores
+    * each document by its mean negative log-likelihood under that model.
+    * Low `mean_nll` ≈ stereotyped/common text, high ≈ rare-token soup —
+    * the standard bucket-then-filter signal.
+    *
+    * Determinism at any partitioning: per-token −ln p is quantized to
+    * fixed-point BIGINT (µnats) in the vocabulary, and per-doc scores SUM
+    * INTEGERS — associative, so the result is bit-identical regardless of
+    * partition/arrival order (a raw double sum is not), and the oracle
+    * reproduces it exactly. libm-vs-JVM `log` 1-ulp drift would need to
+    * land within ~1e-9 of a quantization boundary to flip a value.
+    *
+    * Scale shape: the vocabulary aggregation map-side-combines (Zipf
+    * head collapses locally). The score join is the classic hot-key
+    * case — "the" joins everywhere — so the `headTokens` most frequent
+    * tokens are broadcast and joined map-side; only the hot-key-free
+    * tail shuffles. Returns `(doc_id, n_tokens, mean_nll)`. */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String,
+                     headTokens: Int = 1024): DataFrame = {
+    require(headTokens >= 0, s"headTokens must be >= 0, got $headTokens")
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = tok.groupBy().agg(count(lit(1)).as("total"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .select(col("tok"), col("c"),
+        round(-log(col("c").cast("double") / col("total")) * 1e6)
+          .cast("long").as("nll_fp"))
+    // Zipf-head broadcast: the headTokens hottest tokens resolve map-side
+    // (TakeOrderedAndProject — driver holds headTokens rows, not the
+    // vocabulary); the shuffled remainder has no skewed key left.
+    val head = scored.orderBy(col("c").desc, col("tok")).limit(headTokens)
+      .select(col("tok"), col("nll_fp"))
+    val tail = scored.join(broadcast(head.select("tok")), Seq("tok"), "left_anti")
+      .select(col("tok"), col("nll_fp"))
+    val viaHead = tok.join(broadcast(head), Seq("tok"))
+    val viaTail = tok
+      .join(broadcast(head.select(col("tok"), lit(1).as("_hit"))), Seq("tok"), "left")
+      .where(col("_hit").isNull)
+      .join(tail, Seq("tok"))
+    viaHead.unionByName(viaTail.select("tok", "doc_id", "nll_fp"))
+      .groupBy("doc_id")
+      .agg(sum(col("nll_fp")).as("fp"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("fp").cast("double") / (col("n_tokens").cast("double") * 1e6))
+          .as("mean_nll"))
+  }
 }
