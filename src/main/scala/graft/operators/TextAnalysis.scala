@@ -316,15 +316,18 @@ object TextAnalysis {
     * re-joined in order. The sub-`segTokens` tail is never dedup
     * material — it is always kept.
     *
-    * Scale shape: segment BODIES never shuffle. The scan hashes each
-    * segment to 8 bytes (`xxhash64`; a collision needs ~2³² segments —
-    * the same exact-dedup contract as [[Dedup.exactDedup]]); winners are
-    * a map-side-combined min-aggregation over `(hash, doc, start)`; the
-    * probe joins the skinny frame back on the hash; only `(doc_id,
-    * removed-starts)` int lists flow to the rebuild join, and the rebuild
-    * re-slices the original text in one projection. At 100 TB that is two
-    * skinny shuffles plus one tiny one — the document text moves zero
-    * times. Returns `(doc_id, n_segments, n_removed, text_dedup)`;
+    * Scale shape: segment BODIES never shuffle through the dedup core.
+    * The scan hashes each segment to 8 bytes (`xxhash64`; a collision
+    * needs ~2³² segments — the same exact-dedup contract as
+    * [[Dedup.exactDedup]]); winners are a map-side-combined
+    * min-aggregation over `(hash, doc, start)`; the probe joins the
+    * skinny frame back on the hash; only `(doc_id, removed-starts)` int
+    * lists flow to the rebuild, which re-slices the original text in one
+    * projection. The rebuild join is the pipeline's ONE place document
+    * text can move: broadcast when the removal lists fit (AQE), else a
+    * single body shuffle on doc_id — vs bodies through every stage in
+    * the naive shape. PlanSpec pins the core-shuffles-are-skinny
+    * property. Returns `(doc_id, n_segments, n_removed, text_dedup)`;
     * `text_dedup` is whitespace-normalized (single spaces), as is
     * inherent to token-joined reassembly. */
   def segmentDedup(df: DataFrame, textCol: String, idCol: String,

@@ -189,4 +189,52 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"CC propagation must be an equi-join:\n${plan.take(2000)}")
   }
+
+  /** (Arguments, Input) pairs for every Exchange block of a formatted
+    * plan — lets a spec assert WHAT each shuffle carries, not just
+    * whether one exists. */
+  private def exchanges(plan: String): Seq[(String, String)] =
+    raw"\(\d+\) Exchange\n(?:Input \[\d+\]: \[([^\]]*)\]\n)?(?:Arguments: ([^\n]*))?".r
+      .findAllMatchIn(plan)
+      .map(m => (Option(m.group(2)).getOrElse(""), Option(m.group(1)).getOrElse("")))
+      .toSeq
+
+  test("segmentDedup's dedup-core shuffles are skinny — no text/toks in a hash-keyed exchange") {
+    val docs = (0 until 64).map(i =>
+      (i.toLong, (0 until 20).map(j => s"t${(i * 20 + j) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = planOf(graft.operators.TextAnalysis.segmentDedup(docs, "text", "doc_id"))
+    val ex = exchanges(plan)
+    assert(ex.nonEmpty, s"expected shuffles in the dedup core:\n${plan.take(1500)}")
+    val bodyCarrying = ex.filter { case (args, input) =>
+      args.contains("hashpartitioning(h#") &&
+        (input.contains("text#") || input.contains("toks#"))
+    }
+    assert(bodyCarrying.isEmpty,
+      s"segment-hash shuffle carries document bodies: $bodyCarrying")
+  }
+
+  test("unigramLogProb joins the Zipf head map-side (broadcast, no shuffle of hot keys)") {
+    val docs = (0 until 64).map(i => (i.toLong, s"the the the rare$i")).toDF("doc_id", "text")
+    val plan = planOf(graft.operators.TextAnalysis.unigramLogProb(docs, "text", "doc_id"))
+    assert(plan.contains("BroadcastExchange"),
+      s"head vocabulary must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"),
+      "the scalar total must broadcast, never cross-join materially")
+  }
+
+  test("semanticDedup: assignment is shuffle-free, representative join broadcasts") {
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(j => (i + j).toFloat))).toDF("vec_id", "embedding")
+    // assignment alone (the per-row projection against literal centroids)
+    // must plan with zero exchanges — like lshSignatures
+    val asg = graft.operators.Similarity.semanticDedup(vecs, "embedding", "vec_id",
+      k = 4, tau = 0.9, repCap = 8)
+    val plan = planOf(asg)
+    assert(plan.contains("graft_dot"), "cosines must be the codegen dot product")
+    assert(plan.contains("BroadcastExchange"),
+      s"representative set must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "within-cluster removal must stay an equi-join on cluster_id")
+  }
 }
