@@ -1476,6 +1476,53 @@ object Queries {
       FROM asg LEFT JOIN rem ON asg.vec_id = rem.vec_id
       ORDER BY asg.vec_id"""))
 
+  // Temperature-based corpus mixing over the skewed lang strata (en is
+  // ~3.4× fr at sf0.01, so α=0.5 binds: en keeps ~√(64/218)≈54%, fr 100%).
+  // The ⌊rate·10⁶⌋ quantization BEFORE the bucket compare makes the
+  // row-exact membership reproducible despite pow() living in libm.
+  private val qTemperatureMix = QDef(
+    "q_temperature_mix",
+    (s, dir) => TextAnalysis.temperatureMix(t(s, dir, "documents"),
+        "lang", "doc_id", alpha = 0.5)
+      .select("doc_id", "lang", "rate_fp", "keep")
+      .orderBy("doc_id"),
+    Some("""
+      WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+      m AS (SELECT min(c) AS c_min FROM c),
+      r AS (SELECT lang,
+                   CAST(floor(pow(CAST(c_min AS DOUBLE) / c, 0.5) * 1000000) AS BIGINT) AS rate_fp
+            FROM c CROSS JOIN m),
+      b AS (SELECT doc_id, lang,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 12)) AS BIGINT)
+                     % 1000000 AS bkt
+            FROM documents)
+      SELECT b.doc_id, b.lang, r.rate_fp, (b.bkt < r.rate_fp) AS keep
+      FROM b JOIN r USING (lang) ORDER BY b.doc_id"""))
+
+  // Per-doc TF-IDF top terms: integer tf·⌊ln(N/df)·10⁶⌋ scores make the
+  // ranking deterministic cross-engine (ties by term).
+  private val qTfidfTerms = QDef(
+    "q_tfidf_terms",
+    (s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"),
+        "text", "doc_id", k = 5)
+      .orderBy("doc_id", "rank"),
+    Some(raw"""
+      WITH tokf AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tokf GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      idf AS (SELECT term, CAST(round(ln(CAST(n_docs AS DOUBLE) / df_docs) * 1e6) AS BIGINT) AS idf_fp
+              FROM dfq CROSS JOIN nd),
+      sc AS (SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+                    tf.tf * idf.idf_fp AS score_fp
+             FROM tf JOIN idf USING (term)),
+      r AS (SELECT doc_id, term, tf, score_fp,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY score_fp DESC, term) AS rank
+            FROM sc)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf,
+             CAST(score_fp AS DOUBLE) / 1e6 AS tfidf
+      FROM r WHERE rank <= 5 ORDER BY doc_id, rank"""))
+
   /** PII scrub over planted PII (the corpus has none — like q_gap_daily's
     * planted gaps, a deterministic in-query plant makes the oracle
     * non-vacuous): every 5th doc gains an email + IPv4 + phone, then both
@@ -2060,7 +2107,7 @@ object Queries {
     qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qEmbedNearDup,
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
-    qSegmentDedup, qUnigramLm, qSemanticDedup,
+    qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qTfidfTerms,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
   )

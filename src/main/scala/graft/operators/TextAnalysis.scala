@@ -233,6 +233,69 @@ object TextAnalysis {
     df.filter(bucket < floor(rate * buckets).cast("long"))
   }
 
+  /** Temperature-based corpus mixing (the multilingual/multi-source
+    * α-sampling rule, Conneau & Lample 2019 §3.1 style): stratum s with
+    * count c_s is kept at rate (c_min/c_s)^(1−α) — α = 1 keeps the
+    * natural distribution, α → 0 flattens every stratum to the smallest
+    * one's size, in between damps dominant strata. Rates DERIVE from the
+    * corpus itself (one skinny count aggregation) rather than arriving
+    * as config like [[stratifiedSample]]'s.
+    *
+    * Membership is the same portable-hash bucket rule as
+    * [[stratifiedSample]] (growth-stable, shuffle-free per row), and the
+    * rate is quantized to ⌊rate·10⁶⌋ BEFORE the compare, so a 1-ulp
+    * `pow` divergence between engines can't flip a row. Returns the
+    * input plus `rate_fp` (kept µ-fraction) and `keep`; filter on `keep`
+    * to materialize the mix. The rates frame is strata-cardinality rows
+    * — always broadcast. */
+  def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
+                     alpha: Double = 0.5, salt: String = "temp"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"need 0 < alpha <= 1, got $alpha")
+    val buckets = 1000000L
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("c"))
+    val cmin = counts.groupBy().agg(min(col("c")).as("c_min"))
+    val rates = counts.crossJoin(broadcast(cmin))
+      .select(col(strataCol),
+        floor(pow(col("c_min").cast("double") / col("c"), 1.0 - alpha) * buckets)
+          .cast("long").as("rate_fp"))
+    val bucket = pmod(
+      tokenHash48(concat(col(idCol).cast("string"), lit(":" + salt))),
+      lit(buckets))
+    df.join(broadcast(rates), Seq(strataCol))
+      .withColumn("keep", bucket < col("rate_fp"))
+  }
+
+  /** Per-document TF-IDF top-k characteristic terms — the standard
+    * corpus-exploration / keyword-extraction pass. IDF is quantized to
+    * fixed-point µnats (`idf_fp = round(ln(N/df)·10⁶)`) so the per-term
+    * score `tf·idf_fp` is INTEGER arithmetic: rank order is
+    * deterministic cross-engine and immune to float-sum ordering.
+    * Everything that shuffles is skinny — `(doc_id, term-hashable
+    * strings, counts)`; document bodies never move. The final ranking
+    * window partitions by doc (never global). Returns
+    * `(doc_id, rank, term, tf, tfidf)` with ties broken by term. */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+    val nDocs = df.groupBy().agg(count(lit(1)).as("n_docs"))
+    val idf = dfreq.crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        round(log(col("n_docs").cast("double") / col("df_docs")) * 1e6)
+          .cast("long").as("idf_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_fp").desc, col("term"))
+    tf.join(idf, "term")
+      .withColumn("score_fp", col("tf") * col("idf_fp"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"),
+        col("tf"), (col("score_fp").cast("double") / 1e6).as("tfidf"))
+  }
+
   // ---- Sequence packing ---------------------------------------------------
 
   /** Deterministic token-budget packing: within each shard (e.g. a

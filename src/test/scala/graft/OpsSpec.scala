@@ -861,6 +861,91 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("bin")).toSeq ==
       Seq(0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 3, 3, 3, 3).map(_.toLong))
   }
+
+  test("segmentDedup: non-first copies removed (cross- and within-doc), tails always kept") {
+    val segA = (1 to 8).map(i => s"w$i").mkString(" ")
+    val segB = (1 to 8).map(i => s"u$i").mkString(" ")
+    val segC = (1 to 8).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$segA $segB tail1 tail2"),    // owns segA+segB; 2-token tail
+      (2L, s"$segA x1 x2 x3 x4 x5 x6 x7"), // repeats segA; own 7-token tail
+      (3L, "short doc"),                   // sub-segment doc, untouched
+      (4L, s"$segC $segC"))                // within-doc dup: keep first copy
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.segmentDedup(docs, "text", "doc_id", segTokens = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_segments") == 3 &&
+      out(0).getAs[Long]("n_removed") == 0 &&
+      out(0).getAs[String]("text_dedup") == s"$segA $segB tail1 tail2")
+    assert(out(1).getAs[Long]("n_removed") == 1 &&
+      out(1).getAs[String]("text_dedup") == "x1 x2 x3 x4 x5 x6 x7")
+    assert(out(2).getAs[Long]("n_segments") == 1 &&
+      out(2).getAs[Long]("n_removed") == 0 &&
+      out(2).getAs[String]("text_dedup") == "short doc")
+    assert(out(3).getAs[Long]("n_removed") == 1 &&
+      out(3).getAs[String]("text_dedup") == segC)
+  }
+
+  test("unigramLogProb: uniform model scores exactly, head/tail split changes nothing") {
+    val docs = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    // counts a=2, b=2 of total 4 → every token −ln(0.5) → 693147 µnats
+    val out = TextAnalysis.unigramLogProb(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_tokens") == 3 && out(1).getAs[Long]("n_tokens") == 1)
+    assert(out.forall(_.getAs[Double]("mean_nll") == 0.693147))
+    // headTokens=0 (all-shuffle) and headTokens=1 (split: head={a}, tail={b})
+    // are pure execution-strategy choices — results identical
+    for (h <- Seq(0, 1)) {
+      val alt = TextAnalysis.unigramLogProb(docs, "text", "doc_id", headTokens = h)
+        .orderBy("doc_id").collect()
+      assert(alt.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq, s"headTokens=$h diverged")
+    }
+  }
+
+  test("temperatureMix: smallest stratum whole, dominant stratum damped to (c_min/c)^(1-a)") {
+    val docs = ((1L to 200L).map(i => (i, "big")) ++ (201L to 210L).map(i => (i, "small")))
+      .toDF("doc_id", "src")
+    val out = TextAnalysis.temperatureMix(docs, "src", "doc_id", alpha = 0.5)
+    val rates = out.select("src", "rate_fp").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("small") == 1000000L)
+    assert(rates("big") == math.floor(math.sqrt(10.0 / 200.0) * 1e6).toLong)
+    val kept = out.where(col("keep")).groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 10, "the smallest stratum must survive whole")
+    assert(kept("big") > 20 && kept("big") < 70, s"~22% of 200 expected, got ${kept("big")}")
+    // alpha = 1 → natural distribution, nothing dropped
+    assert(TextAnalysis.temperatureMix(docs, "src", "doc_id", alpha = 1.0)
+      .where(!col("keep")).count() == 0)
+  }
+
+  test("tfidfTopTerms ranks distinctive terms above universal ones") {
+    val docs = Seq((1L, "apple banana apple"), (2L, "apple cherry"), (3L, "apple date"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", k = 2)
+      .orderBy("doc_id", "rank").collect()
+    // 'apple' appears in every doc → idf 0 → below any distinctive term
+    assert(out.filter(_.getAs[Long]("rank") == 1L).map(_.getAs[String]("term")).toSeq ==
+      Seq("banana", "cherry", "date"))
+    val d1Apple = out.find(r =>
+      r.getAs[Long]("doc_id") == 1L && r.getAs[String]("term") == "apple").get
+    assert(d1Apple.getAs[Long]("tf") == 2L && d1Apple.getAs[Double]("tfidf") == 0.0)
+  }
+
+  test("semanticDedup: near-dup of a lower-id representative dropped, orthogonal kept") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0.9f, 0.1f, 0f, 0f)), // cos≈0.994 to centroid/rep 1 → dropped
+      (4L, Array(0f, 0f, 1f, 0f)))     // orthogonal to everything → kept
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, "embedding", "vec_id", k = 2, tau = 0.4)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (0L, true) && out(2L) == (1L, true))
+    assert(out(3L)._1 == 0L && !out(3L)._2, "near-dup of rep 1 must be dropped")
+    assert(out(4L)._2, "orthogonal vector must survive")
+  }
 }
 
 /** Test backends for the inference-backend contract spec — top level so
@@ -944,60 +1029,5 @@ class BackendContractSpec extends SparkSpec {
     assert(model.predict(Seq("up")).head._1 == 0.9)
     assert(roundtrip(model).predict(Seq("down")).head._2 == 0.8)
     assert(BackendFixtures.builds.get() == 1, "every copy shares the per-JVM runtime")
-  }
-
-  test("segmentDedup: non-first copies removed (cross- and within-doc), tails always kept") {
-    val segA = (1 to 8).map(i => s"w$i").mkString(" ")
-    val segB = (1 to 8).map(i => s"u$i").mkString(" ")
-    val segC = (1 to 8).map(i => s"v$i").mkString(" ")
-    val docs = Seq(
-      (1L, s"$segA $segB tail1 tail2"),    // owns segA+segB; 2-token tail
-      (2L, s"$segA x1 x2 x3 x4 x5 x6 x7"), // repeats segA; own 7-token tail
-      (3L, "short doc"),                   // sub-segment doc, untouched
-      (4L, s"$segC $segC"))                // within-doc dup: keep first copy
-      .toDF("doc_id", "text")
-    val out = TextAnalysis.segmentDedup(docs, "text", "doc_id", segTokens = 8)
-      .orderBy("doc_id").collect()
-    assert(out(0).getAs[Long]("n_segments") == 3 &&
-      out(0).getAs[Long]("n_removed") == 0 &&
-      out(0).getAs[String]("text_dedup") == s"$segA $segB tail1 tail2")
-    assert(out(1).getAs[Long]("n_removed") == 1 &&
-      out(1).getAs[String]("text_dedup") == "x1 x2 x3 x4 x5 x6 x7")
-    assert(out(2).getAs[Long]("n_segments") == 1 &&
-      out(2).getAs[Long]("n_removed") == 0 &&
-      out(2).getAs[String]("text_dedup") == "short doc")
-    assert(out(3).getAs[Long]("n_removed") == 1 &&
-      out(3).getAs[String]("text_dedup") == segC)
-  }
-
-  test("unigramLogProb: uniform model scores exactly, head/tail split changes nothing") {
-    val docs = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
-    // counts a=2, b=2 of total 4 → every token −ln(0.5) → 693147 µnats
-    val out = TextAnalysis.unigramLogProb(docs, "text", "doc_id")
-      .orderBy("doc_id").collect()
-    assert(out(0).getAs[Long]("n_tokens") == 3 && out(1).getAs[Long]("n_tokens") == 1)
-    assert(out.forall(_.getAs[Double]("mean_nll") == 0.693147))
-    // headTokens=0 (all-shuffle) and headTokens=1 (split: head={a}, tail={b})
-    // are pure execution-strategy choices — results identical
-    for (h <- Seq(0, 1)) {
-      val alt = TextAnalysis.unigramLogProb(docs, "text", "doc_id", headTokens = h)
-        .orderBy("doc_id").collect()
-      assert(alt.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq, s"headTokens=$h diverged")
-    }
-  }
-
-  test("semanticDedup: near-dup of a lower-id representative dropped, orthogonal kept") {
-    val vecs = Seq(
-      (1L, Array(1f, 0f, 0f, 0f)),
-      (2L, Array(0f, 1f, 0f, 0f)),
-      (3L, Array(0.9f, 0.1f, 0f, 0f)), // cos≈0.994 to centroid/rep 1 → dropped
-      (4L, Array(0f, 0f, 1f, 0f)))     // orthogonal to everything → kept
-      .toDF("vec_id", "embedding")
-    val out = Similarity.semanticDedup(vecs, "embedding", "vec_id", k = 2, tau = 0.4)
-      .orderBy("vec_id").collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
-    assert(out(1L) == (0L, true) && out(2L) == (1L, true))
-    assert(out(3L)._1 == 0L && !out(3L)._2, "near-dup of rep 1 must be dropped")
-    assert(out(4L)._2, "orthogonal vector must survive")
   }
 }
