@@ -289,16 +289,13 @@ object Similarity {
     val e = df.select(col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("v"))
     val cents: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k)
       .collect().toIndexedSeq.map(_.getSeq[Double](1))
-    val vNorm = sqrt(dot(col("v"), col("v")))
-    // k sibling codegen DotProducts against literal centroid vectors (the
-    // centroid self-dot constant-folds); argmax via array_max +
-    // array_position = first (lowest-cid) maximum
-    val cosArr = array(cents.map { cv =>
-      val c = typedlit(cv)
-      dot(col("v"), c) / nullif(vNorm * sqrt(dot(c, c)), lit(0))
-    }: _*)
+    // one fused codegen argmax over all centroids — k sibling DotProducts
+    // would overflow Janino past k≈64 and drop to interpreted eval, and
+    // semantic dedup wants k to grow with the corpus (cluster ≈ repCap)
+    GraftFunctions.register(df.sparkSession)
     val assigned = e.withColumn("cluster_id",
-      (array_position(cosArr, array_max(cosArr)) - 1).cast("long"))
+      call_function(GraftFunctions.NearestCentroidName, col("v"),
+        typedlit(cents.flatten), lit(cents.size)).cast("long"))
     val reps = assigned
       .withColumn("_rk", row_number().over(
         Window.partitionBy("cluster_id").orderBy("vec_id")))

@@ -97,15 +97,48 @@ object ScaleRehearsal {
           .count()
       }
       spark.catalog.clearCache()
+      // segment-level exact dedup: removals must scale linearly with the
+      // replicated dup structure (replicas are token-disjoint, so no
+      // cross-replica segments), wall-clock ~linearly with the corpus
+      val (nSegRemoved, tSeg) = timed {
+        graft.operators.TextAnalysis.segmentDedup(docs, "text", "doc_id")
+          .agg(sum(col("n_removed"))).head().getLong(0)
+      }
+      spark.catalog.clearCache()
       System.err.println(f"[rehearsal] x$m%-3d docs=$nDocs%-7d " +
         f"cands=$nCands%-8d (${tCands}%5.1fs)  minhash=$nMinhash%-6d (${tMinhash}%5.1fs)  " +
-        f"jaccard=$nJacc%-6d (${tJacc}%5.1fs)  kept=$nKept%-7d canon=${tCanon}%5.1fs" +
+        f"jaccard=$nJacc%-6d (${tJacc}%5.1fs)  kept=$nKept%-7d canon=${tCanon}%5.1fs  " +
+        f"segrm=$nSegRemoved%-6d (${tSeg}%5.1fs)" +
         (if (distributed) " [distributed CC]" else ""))
       Map("mult" -> m, "docs" -> nDocs, "candidates" -> nCands,
         "minhash_pairs" -> nMinhash, "minhash_sec" -> tMinhash,
         "jaccard_pairs" -> nJacc, "jaccard_sec" -> tJacc,
         "kept" -> nKept, "canonicalize_sec" -> tCanon,
+        "segment_removed" -> nSegRemoved, "segment_sec" -> tSeg,
         "distributed_cc" -> distributed)
+    }
+
+    // Semantic-dedup vector scale-up: synthetic unit-ish vectors at three
+    // sizes, k grown with n (cluster size ≈ repCap, the operator's scale
+    // contract) — the fused graft_nearest_centroid assignment must stay
+    // compiled at k in the hundreds (k sibling DotProducts would not).
+    if (sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_SEMANTIC", "1") != "0") {
+      import graft.operators.Similarity
+      for (n <- Seq(2000, 20000, 60000)) {
+        val k = math.max(8, n / 250)
+        val vecs = spark.range(n.toLong).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            d => sin(col("id") * lit(0.7) + d.cast("double")).cast("float"))
+            .as("embedding"))
+          .repartition(32)
+        val (removed, t) = timed {
+          val out = Similarity.semanticDedup(vecs, "embedding", "vec_id",
+            k = k, tau = 0.95)
+          out.where(!col("keep")).count()
+        }
+        System.err.println(
+          f"[rehearsal] semantic n=$n%-6d k=$k%-4d removed=$removed%-6d ${t}%5.1fs")
+      }
     }
 
     // Skew rehearsal: a mass-identical block (the 10k-times-crawled

@@ -75,6 +75,7 @@ object GraftFunctions {
   val DotName = "graft_dot"
   val LshSigsName = "graft_lsh_sigs"
   val ShinglesName = "graft_shingles"
+  val NearestCentroidName = "graft_nearest_centroid"
 
   private def evalAlpha(e: Expression): Double = e match {
     case Literal(v: Double, _) => v
@@ -103,5 +104,7 @@ object GraftFunctions {
       exprs => LshSignatures(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
     registry.createOrReplaceTempFunction(ShinglesName,
       exprs => Shingles(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(NearestCentroidName,
+      exprs => NearestCentroid(exprs.head, exprs(1), exprs(2)), "built-in")
   }
 }

@@ -227,6 +227,161 @@ case class LshSignatures(vec: Expression, weightsExpr: Expression,
       planesExpr = newChildren(2), tablesExpr = newChildren(3))
 }
 
+/** Argmax-cosine centroid assignment in ONE tight loop: index of the
+  * centroid (flat `array<double>` literal, k·dims in centroid-major
+  * order) with the highest cosine to the row vector, ties → lowest
+  * index.
+  *
+  * Why one expression and not k sibling [[DotProduct]]s + `array_max` +
+  * `array_position`: exactly the [[LshSignatures]] lesson — ~64 sibling
+  * dot products blow the generated method past Janino's limits and the
+  * projection silently drops to interpreted eval. Semantic dedup wants
+  * k to GROW with the corpus (keep cluster size ≈ repCap), so
+  * assignment must stay compiled at k in the hundreds-plus.
+  *
+  * Arithmetic is oracle-reproducible: each dot and each norm is the
+  * strict dim-order left fold (centroid norms are precomputed once with
+  * the same fold), cosine = dot/(normV·normC). A zero denominator folds
+  * to NaN, which never wins a `>` compare, so an all-degenerate row
+  * lands in centroid 0 — matching a SQL `ORDER BY cos DESC NULLS LAST,
+  * cid` tie-break. Mismatched dimension fails fast (silent misassignment
+  * would poison the dedup); a null vector or element yields null. */
+case class NearestCentroid(vec: Expression, centroidsExpr: Expression,
+                           kExpr: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(vec, centroidsExpr, kExpr)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val cOk = centroidsExpr.foldable && (centroidsExpr.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (vecOk && cOk && kExpr.foldable && kExpr.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double>, foldable array<double>, foldable int)")
+  }
+
+  @transient private lazy val k: Int = kExpr.eval().asInstanceOf[Int]
+  @transient private lazy val flatCents: Array[Double] =
+    centroidsExpr.eval().asInstanceOf[ArrayData].toDoubleArray()
+  @transient private lazy val dims: Int = {
+    require(k > 0, s"k must be positive, got $k")
+    require(flatCents.length % k == 0,
+      s"centroid array length ${flatCents.length} not divisible by k=$k")
+    flatCents.length / k
+  }
+  /** Per-centroid norms, same strict dim-order fold the oracle computes. */
+  @transient lazy val centNorms: Array[Double] = {
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      var d = 0
+      while (d < dims) { val x = flatCents(c * dims + d); s += x * x; d += 1 }
+      out(c) = math.sqrt(s)
+      c += 1
+    }
+    out
+  }
+
+  private def badDim(actual: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$prettyName: vector of dimension $actual against centroids of " +
+        s"dimension $dims — assignment requires a uniform embedding dimension")
+  def badDimPublic(actual: Int): Unit = badDim(actual)
+
+  private def compute(v: ArrayData): Any = {
+    if (v.numElements() != dims) badDim(v.numElements())
+    var d = 0
+    while (d < dims) { if (v.isNullAt(d)) return null; d += 1 }
+    var nv = 0.0
+    d = 0
+    while (d < dims) { val x = v.getDouble(d); nv += x * x; d += 1 }
+    val normV = math.sqrt(nv)
+    var best = Double.NegativeInfinity
+    var bestI = 0
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      val base = c * dims
+      var i = 0
+      while (i < dims) { dot += v.getDouble(i) * flatCents(base + i); i += 1 }
+      val cos = dot / (normV * centNorms(c)) // 0-denominator → NaN, never wins
+      if (cos > best) { best = cos; bestI = c }
+      c += 1
+    }
+    bestI
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = vec.eval(input)
+    if (v == null) null else compute(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("centroids", flatCents, "double[]")
+    val norms = ctx.addReferenceObj("centNorms", centNorms, "double[]")
+    val self = ctx.addReferenceObj("nearestCentroidExpr", this,
+      "org.apache.spark.sql.graft.NearestCentroid")
+    val vEval = vec.genCode(ctx)
+    val (dN, kN) = (dims, k)
+    val v = ctx.freshName("v")
+    val bad = ctx.freshName("bad")
+    val nv = ctx.freshName("nv")
+    val normV = ctx.freshName("normV")
+    val best = ctx.freshName("best")
+    val bestI = ctx.freshName("bestI")
+    val dot = ctx.freshName("dot")
+    val cos = ctx.freshName("cos")
+    val base = ctx.freshName("base")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code =
+      code"""
+         |${vEval.code}
+         |boolean ${ev.isNull} = ${vEval.isNull};
+         |int ${ev.value} = 0;
+         |if (!${ev.isNull}) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $v = ${vEval.value};
+         |  if ($v.numElements() != $dN) { $self.badDimPublic($v.numElements()); }
+         |  else {
+         |    boolean $bad = false;
+         |    for (int d = 0; d < $dN; d++) if ($v.isNullAt(d)) { $bad = true; break; }
+         |    if ($bad) { ${ev.isNull} = true; }
+         |    else {
+         |      double $nv = 0.0;
+         |      for (int d = 0; d < $dN; d++) { double x = $v.getDouble(d); $nv += x * x; }
+         |      double $normV = Math.sqrt($nv);
+         |      double $best = Double.NEGATIVE_INFINITY;
+         |      int $bestI = 0;
+         |      for (int c = 0; c < $kN; c++) {
+         |        double $dot = 0.0;
+         |        int $base = c * $dN;
+         |        for (int d = 0; d < $dN; d++) $dot += $v.getDouble(d) * $w[$base + d];
+         |        double $cos = $dot / ($normV * $norms[c]);
+         |        if ($cos > $best) { $best = $cos; $bestI = c; }
+         |      }
+         |      ${ev.value} = $bestI;
+         |    }
+         |  }
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): NearestCentroid =
+    copy(vec = newChildren(0), centroidsExpr = newChildren(1),
+      kExpr = newChildren(2))
+}
+
 /** Row-granularity shingle kernel shared by eval and codegen. */
 object ShingleUtil {
   private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")

@@ -835,6 +835,11 @@ class OpsSpec extends SparkSpec {
       .head.getSeq[Long](0)
     // plane 0: 0.5·1 + 0.5·(−2) < 0 → bit 0 off; plane 1: −0.5·1+0.5·(−2) < 0 → bit 1 off
     assert(sigs == Seq(0L))
+    // centroids (0,1) and (1,0): vec (1,0) → index 1; tie (1,1) → lowest index 0
+    assert(spark.sql("SELECT graft_nearest_centroid(array(1.0d, 0.0d), array(0.0d, 1.0d, 1.0d, 0.0d), 2) AS c")
+      .head.getInt(0) == 1)
+    assert(spark.sql("SELECT graft_nearest_centroid(array(1.0d, 1.0d), array(0.0d, 1.0d, 1.0d, 0.0d), 2) AS c")
+      .head.getInt(0) == 0)
   }
 
   test("split3 assignment is stable and has sane proportions") {

@@ -226,12 +226,17 @@ class PlanSpec extends SparkSpec {
   test("semanticDedup: assignment is shuffle-free, representative join broadcasts") {
     val vecs = (0 until 64).map(i =>
       (i.toLong, Array.tabulate(8)(j => (i + j).toFloat))).toDF("vec_id", "embedding")
+      // keep the fixture out of ConvertToLocalRelation: a pure local
+      // relation would be eagerly projected and hide the expressions
+      .repartition(2)
     // assignment alone (the per-row projection against literal centroids)
     // must plan with zero exchanges — like lshSignatures
     val asg = graft.operators.Similarity.semanticDedup(vecs, "embedding", "vec_id",
       k = 4, tau = 0.9, repCap = 8)
     val plan = planOf(asg)
-    assert(plan.contains("graft_dot"), "cosines must be the codegen dot product")
+    assert(plan.contains("graft_nearest_centroid"),
+      "assignment must be the fused argmax expression (k-scalable codegen)")
+    assert(plan.contains("graft_dot"), "removal cosines must be the codegen dot product")
     assert(plan.contains("BroadcastExchange"),
       s"representative set must broadcast:\n${plan.take(1500)}")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
