@@ -182,6 +182,62 @@ object LakeWriter {
     total
   }
 
+  /** Z-order clustered parquet write — multi-dimensional locality for
+    * row-group/file pruning. Each z-column is min-max quantized to
+    * `bits` buckets and the bucket bits are interleaved into one z-value;
+    * range-partitioning + sorting by that value gives every output file
+    * a TIGHT min/max envelope on EVERY z-column simultaneously, so a
+    * selective filter on any of them prunes most files from the scan
+    * (classic Morton layout; a single-column sort only prunes its own
+    * column). At 100 TB this is the difference between "filters on
+    * (symbol, ts) read ~√F of F files" and "filters on the second sort
+    * column read everything".
+    *
+    * The min/max ranges are one scalar aggregate (driver metadata, like
+    * the IVF centroid read). Min-max quantization is skew-sensitive: a
+    * heavy-hitter value crowds its bucket and weakens pruning for its
+    * neighbors — acceptable for time/id-like columns; quantile-quantize
+    * upstream if a z-column is pathologically skewed. Numeric and
+    * timestamp columns only. Returns rows written. */
+  def zorderWrite(df: DataFrame, path: String, zCols: Seq[String],
+                  bits: Int = 12, targetRowsPerFile: Long = 1L << 20): Long = {
+    require(zCols.size >= 2, "z-ordering needs >= 2 columns (else just sort)")
+    require(bits >= 1 && bits * zCols.size <= 62,
+      s"bits*cols must fit a long, got $bits*${zCols.size}")
+    val asNum = zCols.map(c => col(c).cast("double"))
+    val rangeRow = df.select(
+      asNum.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(c).as(s"mn$i"), max(c).as(s"mx$i")) }: _*).head()
+    val total = df.count()
+    if (total == 0) return 0L
+    val buckets = zCols.indices.map { i =>
+      // an all-null z-column has no range: it contributes bucket 0
+      if (rangeRow.isNullAt(2 * i)) lit(0L)
+      else {
+      val (mn, mx) = (rangeRow.getDouble(2 * i), rangeRow.getDouble(2 * i + 1))
+      val span = mx - mn
+      if (span <= 0) lit(0L)
+      else least(lit((1L << bits) - 1), greatest(lit(0L),
+        floor((asNum(i) - lit(mn)) / lit(span) * lit(1L << bits)).cast("long")))
+      }
+    }
+    val zval = (0 until bits).flatMap { b =>
+      buckets.zipWithIndex.map { case (bk, i) =>
+        shiftleft(shiftright(bk, b).bitwiseAND(lit(1L)), b * zCols.size + i)
+      }
+    }.reduce(_ bitwiseOR _)
+    val nSlices = math.max(1L, (total + targetRowsPerFile - 1) / targetRowsPerFile)
+      .min(Int.MaxValue.toLong).toInt
+    df.withColumn("_z", zval)
+      .repartitionByRange(nSlices, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(path)
+    total
+  }
+
   /** Write a frame as a BUCKETED managed table: rows are hash-partitioned
     * into `nBuckets` files per partition by `bucketCols` and sorted
     * within each bucket. Two tables bucketed the same way join with ZERO

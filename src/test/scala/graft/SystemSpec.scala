@@ -598,6 +598,38 @@ class SystemSpec extends SparkSpec {
       "backfilled bars must be readable under the canonical store key")
   }
 
+  test("zorderWrite: a selective filter on EITHER z-column touches a fraction of the files") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val rows = (0 until 20000).map { i =>
+      (i.toLong % 128L, (i * 2654435761L % 100000L).toDouble, s"p$i")
+    }.toDF("user_id", "value", "payload").repartition(8)
+    val zPath = tmp() + "/z"
+    val linPath = tmp() + "/lin"
+    val n = LakeWriter.zorderWrite(rows, zPath, Seq("user_id", "value"),
+      bits = 8, targetRowsPerFile = 1250)
+    assert(n == 20000)
+    // control: same file count, single-column (value) range layout
+    rows.repartitionByRange(16, col("value")).sortWithinPartitions("value")
+      .write.mode("overwrite").option("maxRecordsPerFile", 1250).parquet(linPath)
+    def filesTouched(path: String, cond: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).where(cond)
+        .select(input_file_name()).distinct().count()
+    val zTotal = spark.read.parquet(zPath)
+      .select(input_file_name()).distinct().count()
+    assert(zTotal >= 8, s"expected a multi-file layout, got $zTotal files")
+    // user_id slice: the value-sorted layout scatters it over every file;
+    // the z-layout confines it to ~sqrt-of-files
+    val slice = col("user_id") < 8
+    val zT = filesTouched(zPath, slice)
+    val linT = filesTouched(linPath, slice)
+    assert(zT * 2 <= linT,
+      s"z-order must prune user_id slices: z=$zT of $zTotal vs linear=$linT")
+    // and the value dimension still prunes too (z-order keeps BOTH)
+    val vSlice = col("value") < 5000.0
+    assert(filesTouched(zPath, vSlice) < zTotal,
+      "value slices must not touch every z-ordered file")
+  }
+
   test("twitter payload with only one probability column falls back to inference") {
     // p_pos without p_neg: treating it as scored would fail analysis on
     // the missing column; the stage must score the text instead
