@@ -1016,6 +1016,36 @@ class BackendContractSpec extends SparkSpec {
     assert(BackendFixtures.builds.get() == 1)
   }
 
+  test("trained logistic backend: real learned weights, scored through the seam") {
+    graft.operators.InferenceRuntimeCache.clear()
+    val posV = Array("surge", "rally", "gain", "profit", "up", "strong", "bull", "record")
+    val negV = Array("crash", "plunge", "loss", "down", "weak", "bear", "fraud", "panic")
+    val neutral = Array("the", "market", "today", "price", "asset", "report", "volume")
+    val rng = new scala.util.Random(7)
+    def doc(v: Array[String]): String =
+      (Seq.fill(6)(v(rng.nextInt(v.length))) ++
+        Seq.fill(4)(neutral(rng.nextInt(neutral.length)))).mkString(" ")
+    val train = ((0 until 150).map(_ => (doc(posV), 1.0)) ++
+      (0 until 150).map(_ => (doc(negV), 0.0))).toDF("text", "label")
+    val model = TrainedSentiment.train(train, "text", "label",
+      dim = 512, maxIter = 30)
+    assert(model.weights.length == 512 && model.weights.exists(_ != 0.0),
+      "training must produce non-trivial weights")
+    // a serialization round-trip ships config only and scores identically
+    val shipped = roundtrip(model)
+    // held-out docs from the same generator, scored distributed
+    val heldOut = (0 until 40).map(i =>
+      (doc(if (i % 2 == 0) posV else negV), if (i % 2 == 0) 1.0 else 0.0))
+      .toDF("text", "label").repartition(4)
+    val scored = SentimentScorer.withSentiment(heldOut, "text", shipped)
+    val correct = scored.where(
+      (col("p_pos") > 0.5) === (col("label") === 1.0)).count()
+    assert(correct >= 36, s"learned model must generalize: $correct/40 correct")
+    // label surface behaves like every other backend
+    assert(scored.where(col("label") === 1.0)
+      .agg(avg(col("sentiment_score"))).head.getDouble(0) > 0.5)
+  }
+
   test("sentiment backend: same contract through withSentiment") {
     graft.operators.InferenceRuntimeCache.clear()
     BackendFixtures.builds.set(0)
