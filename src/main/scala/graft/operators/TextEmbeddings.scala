@@ -42,6 +42,51 @@ object TextEmbeddings {
     }
   }
 
+  /** Model-free REAL embedder — hashing + dense random projection
+    * (Johnson–Lindenstrauss): tokens tf-hash into `vocabDim` buckets
+    * (few collisions, unlike [[HashingEncoder]]'s direct `dim` buckets),
+    * then project through a fixed md5-derived matrix to `dim` and L2
+    * normalize. Cosine between encodings approximates token-overlap
+    * cosine with JL distortion — enough to drive the ANN / semantic-
+    * dedup operators with meaningful geometry, deterministically, with
+    * zero model weights to download.
+    *
+    * The `dim×vocabDim` projection (~2 MB at defaults) is the HEAVY
+    * runtime: built lazily once per executor JVM through the
+    * [[LazyRuntime]] contract; only `(dim, vocabDim)` serialize. */
+  final case class RandomProjectionEncoder(dim: Int = 64, vocabDim: Int = 4096)
+      extends RuntimeEncoder {
+    require(dim > 0 && vocabDim >= dim, s"need vocabDim >= dim > 0, got $dim/$vocabDim")
+
+    override protected def runtimeKey: Any = ("rproj", dim, vocabDim)
+
+    override protected def loadRuntime(): EmbeddingRuntime = {
+      // row-major [dim][vocabDim], entries in [-1, 1] from the same
+      // md5 generator as the LSH hyperplanes (well-mixed, portable)
+      val proj = Array.tabulate(dim)(d =>
+        Array.tabulate(vocabDim)(v => Similarity.planeWeight(1 << 20 | d, v, 0)))
+      val vDim = vocabDim
+      val oDim = dim
+      new EmbeddingRuntime {
+        def encodeBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+          val counts = new scala.collection.mutable.HashMap[Int, Double]()
+          t.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+            val i = math.floorMod(
+              scala.util.hashing.MurmurHash3.stringHash(tok, 42), vDim)
+            counts(i) = counts.getOrElse(i, 0.0) + 1.0
+          }
+          val y = new Array[Double](oDim)
+          counts.foreach { case (i, c) =>
+            var d = 0
+            while (d < oDim) { y(d) += proj(d)(i) * c; d += 1 }
+          }
+          val n = math.sqrt(y.map(x => x * x).sum)
+          if (n > 0) y.map(x => (x / n).toFloat) else new Array[Float](oDim)
+        }
+      }
+    }
+  }
+
   /** texts → `embedding: array<float>` via batched mapPartitions. */
   def withEmbeddings(df: DataFrame, textCol: String, encoder: Encoder,
                      batchSize: Int = 64): DataFrame = {

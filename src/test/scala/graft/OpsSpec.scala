@@ -1046,6 +1046,32 @@ class BackendContractSpec extends SparkSpec {
       .agg(avg(col("sentiment_score"))).head.getDouble(0) > 0.5)
   }
 
+  test("random-projection encoder: JL geometry through the lazy-runtime seam") {
+    graft.operators.InferenceRuntimeCache.clear()
+    val enc = TextEmbeddings.RandomProjectionEncoder(dim = 32, vocabDim = 1024)
+    val shipped = roundtrip(enc) // config-only, before any runtime build
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val Seq(x, y, z) = shipped.encode(Seq(
+      "alpha beta gamma delta", "alpha beta gamma epsilon", "zeta eta theta iota"))
+    assert(math.abs(cos(x, x) - 1.0) < 1e-6, "encodings must be L2-normalized")
+    assert(cos(x, y) > cos(x, z) + 0.2,
+      s"token overlap must dominate the geometry: ${cos(x, y)} vs ${cos(x, z)}")
+    assert(shipped.encode(Seq("alpha beta")).head.toSeq ==
+      enc.encode(Seq("alpha beta")).head.toSeq, "deterministic across copies")
+    // end to end: encode a corpus, semantic-dedup the identical pair
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "zeta eta theta entirely other")).toDF("id", "text")
+    val emb = TextEmbeddings.withEmbeddings(df.repartition(2), "text", shipped)
+    val keep = Similarity.semanticDedup(emb, "embedding", "id", k = 2, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep(1L) && !keep(2L) && keep(3L),
+      s"identical doc 2 must drop against rep 1, distinct doc 3 survives: $keep")
+  }
+
   test("sentiment backend: same contract through withSentiment") {
     graft.operators.InferenceRuntimeCache.clear()
     BackendFixtures.builds.set(0)
