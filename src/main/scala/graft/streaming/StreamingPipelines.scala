@@ -227,4 +227,48 @@ object StreamingPipelines {
       mode = if (exists) "append" else "overwrite", batchId = batchId)
     settled
   }
+
+  /** The continuous corpus-ingestion batch body — the LLM training-data
+    * front door, composing the pipeline's cleaning operators in the
+    * canonical order on every micro-batch:
+    *
+    *   1. hard quality rules (Gopher/C4-style word-count / word-length /
+    *      diversity gates — cheapest first, one codegen scan),
+    *   2. PII scrub (rewrite, not drop),
+    *   3. exact dedup within the batch (16 B/row shuffle),
+    *   4. near-dup dedup within the batch AND against the standing
+    *      MinHash index, growing it atomically ([[incrementalDedupBatch]]
+    *      — at-least-once replays are no-ops).
+    *
+    * Returns the kept frame and the per-stage drop report `(arrived,
+    * quality_dropped, exact_dropped, neardup_dropped, kept)` — the shape
+    * corpus-cleaning runs publish. The counts cost one action per stage
+    * boundary; each stage's output is what the next stage consumes, so
+    * nothing is computed twice beyond those counts. */
+  def documentIngestBatch(spark: SparkSession, indexPath: String,
+                          batch: DataFrame, textCol: String, idCol: String,
+                          threshold: Double = 0.8, batchId: String = "",
+                          minWords: Int = 10): (DataFrame, Map[String, Long]) = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val arrived = batch.count()
+    val passIds = TextAnalysis.qualityRules(batch, textCol, idCol,
+        minWords = minWords)
+      .where(col("keep")).select(col(idCol))
+    val clean = batch.join(passIds, Seq(idCol), "left_semi")
+      .withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
+    val afterQuality = clean.count()
+    val exactKept = clean.join(
+      Dedup.exactDedup(clean, textCol, idCol).select(idCol),
+      Seq(idCol), "left_semi")
+    val afterExact = exactKept.count()
+    val kept = incrementalDedupBatch(spark, indexPath, exactKept,
+      textCol, idCol, threshold, batchId)
+    val nKept = kept.count()
+    (kept, Map(
+      "arrived" -> arrived,
+      "quality_dropped" -> (arrived - afterQuality),
+      "exact_dropped" -> (afterQuality - afterExact),
+      "neardup_dropped" -> (afterExact - nKept),
+      "kept" -> nKept))
+  }
 }

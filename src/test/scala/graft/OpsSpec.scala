@@ -734,6 +734,31 @@ class OpsSpec extends SparkSpec {
     assert(k3 == Seq(21L), s"index must accumulate across batches: $k3")
   }
 
+  test("documentIngestBatch: quality -> scrub -> exact -> incremental near-dup, with a drop report") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    def doc(seed: Int) = (0 until 30).map(i => s"w${seed}x$i").mkString(" ")
+    val b1 = Seq(
+      (1L, doc(1)),                                  // kept
+      (2L, doc(2) + " reach me@example.org"),        // kept, PII scrubbed
+      (3L, doc(1)),                                  // exact dup of 1 → dropped
+      (4L, "too short")                              // quality gate → dropped
+    ).toDF("doc_id", "text")
+    val (kept1, report1) = graft.streaming.StreamingPipelines.documentIngestBatch(
+      spark, dir, b1, "text", "doc_id", batchId = "b1")
+    val k1 = kept1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(k1 == Seq(1L, 2L), s"batch 1 survivors: $k1")
+    assert(report1 == Map("arrived" -> 4L, "quality_dropped" -> 1L,
+      "exact_dropped" -> 1L, "neardup_dropped" -> 0L, "kept" -> 2L), report1.toString)
+    assert(kept1.where(col("doc_id") === 2L).head.getAs[String]("text")
+      .contains("<EMAIL>"), "PII must be scrubbed in the stored text")
+    // batch 2: near-dup of batch 1's doc 1 (same words + small tail)
+    val b2 = Seq((10L, doc(1) + " tiny tail"), (11L, doc(9))).toDF("doc_id", "text")
+    val (kept2, report2) = graft.streaming.StreamingPipelines.documentIngestBatch(
+      spark, dir, b2, "text", "doc_id", batchId = "b2")
+    assert(kept2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L))
+    assert(report2("neardup_dropped") == 1L && report2("kept") == 1L, report2.toString)
+  }
+
   test("connectedComponents rejects non-integral ids instead of silently nulling them") {
     // round-3 defect: cast("long") on string ids produced (null, null)
     // pairs — one bogus component, wrong canonicalize survivors, no error
