@@ -287,8 +287,16 @@ object Similarity {
     require(k > 0 && repCap > 0, s"need k > 0 and repCap > 0, got k=$k repCap=$repCap")
     import org.apache.spark.sql.expressions.Window
     val e = df.select(col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("v"))
-    val cents: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k)
+    // null vectors can't be centroids (the lshSignatures round-3 lesson:
+    // a leading null must not NPE the driver probe); they also can't be
+    // assigned — they get a null cluster_id and survive (`keep = true`),
+    // like every other path that passes unscorable rows through
+    val cents: Seq[Seq[Double]] = e.where(col("v").isNotNull)
+      .orderBy("vec_id").limit(k)
       .collect().toIndexedSeq.map(_.getSeq[Double](1))
+    if (cents.isEmpty)
+      return e.select(col("vec_id"),
+        lit(null).cast("long").as("cluster_id"), lit(true).as("keep"))
     // one fused codegen argmax over all centroids — k sibling DotProducts
     // would overflow Janino past k≈64 and drop to interpreted eval, and
     // semantic dedup wants k to grow with the corpus (cluster ≈ repCap)
@@ -297,6 +305,7 @@ object Similarity {
       call_function(GraftFunctions.NearestCentroidName, col("v"),
         typedlit(cents.flatten), lit(cents.size)).cast("long"))
     val reps = assigned
+      .where(col("cluster_id").isNotNull) // null-vector rows represent nothing
       .withColumn("_rk", row_number().over(
         Window.partitionBy("cluster_id").orderBy("vec_id")))
       .where(col("_rk") <= repCap)

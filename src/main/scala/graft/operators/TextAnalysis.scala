@@ -261,7 +261,13 @@ object TextAnalysis {
     val bucket = pmod(
       tokenHash48(concat(col(idCol).cast("string"), lit(":" + salt))),
       lit(buckets))
-    df.join(broadcast(rates), Seq(strataCol))
+    // null-SAFE stratum join: groupBy above puts null-stratum rows in
+    // their own group with their own rate, and a plain equi-join would
+    // silently drop them (null never equals null) — a mixing pass must
+    // never lose documents
+    df.join(broadcast(rates.withColumnRenamed(strataCol, "_strata")),
+        col(strataCol) <=> col("_strata"))
+      .drop("_strata")
       .withColumn("keep", bucket < col("rate_fp"))
   }
 
@@ -453,11 +459,18 @@ object TextAnalysis {
       .select(col("tok"), col("c"),
         round(-log(col("c").cast("double") / col("total")) * 1e6)
           .cast("long").as("nll_fp"))
-    // Zipf-head broadcast: the headTokens hottest tokens resolve map-side
-    // (TakeOrderedAndProject — driver holds headTokens rows, not the
-    // vocabulary); the shuffled remainder has no skewed key left.
-    val head = scored.orderBy(col("c").desc, col("tok")).limit(headTokens)
-      .select(col("tok"), col("nll_fp"))
+    // Zipf-head broadcast: the headTokens hottest tokens resolve map-side.
+    // The election is ONE driver collect (≤ headTokens rows, like the
+    // semanticDedup centroid read) reused as a local relation by all
+    // three consumers below — as lazy subtrees each broadcast would
+    // re-run the vocabulary aggregation + TakeOrdered independently.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val headRows: Seq[(String, Long)] = scored
+      .orderBy(col("c").desc, col("tok")).limit(headTokens)
+      .select(col("tok"), col("nll_fp")).collect().toIndexedSeq
+      .map(r => (r.getString(0), r.getLong(1)))
+    val head = headRows.toDF("tok", "nll_fp")
     val tail = scored.join(broadcast(head.select("tok")), Seq("tok"), "left_anti")
       .select(col("tok"), col("nll_fp"))
     val viaHead = tok.join(broadcast(head), Seq("tok"))

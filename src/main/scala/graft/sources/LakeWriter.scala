@@ -205,10 +205,19 @@ object LakeWriter {
     require(bits >= 1 && bits * zCols.size <= 62,
       s"bits*cols must fit a long, got $bits*${zCols.size}")
     val asNum = zCols.map(c => col(c).cast("double"))
+    // ranges come from FINITE values only: one NaN would make max() NaN,
+    // span NaN, and every bucket on that dimension silently 0 (ANSI off
+    // casts NaN→0) — clustering quietly destroyed. Non-finite rows still
+    // write; their bucket clamps to an edge. Row count rides the same
+    // single aggregate (no second scan of a 100 TB input).
+    def finite(c: org.apache.spark.sql.Column) =
+      when(!isnan(c) && c =!= lit(Double.PositiveInfinity) &&
+        c =!= lit(Double.NegativeInfinity), c)
     val rangeRow = df.select(
       asNum.zipWithIndex.flatMap { case (c, i) =>
-        Seq(min(c).as(s"mn$i"), max(c).as(s"mx$i")) }: _*).head()
-    val total = df.count()
+        Seq(min(finite(c)).as(s"mn$i"), max(finite(c)).as(s"mx$i")) } :+
+        count(lit(1)).as("_n"): _*).head()
+    val total = rangeRow.getLong(2 * zCols.size)
     if (total == 0) return 0L
     val buckets = zCols.indices.map { i =>
       // an all-null z-column has no range: it contributes bucket 0

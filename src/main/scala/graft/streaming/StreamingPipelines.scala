@@ -242,28 +242,36 @@ object StreamingPipelines {
     *
     * Returns the kept frame and the per-stage drop report `(arrived,
     * quality_dropped, exact_dropped, neardup_dropped, kept)` — the shape
-    * corpus-cleaning runs publish. The counts cost one action per stage
-    * boundary; each stage's output is what the next stage consumes, so
-    * nothing is computed twice beyond those counts. */
+    * corpus-cleaning runs publish. Stage outputs are persisted across
+    * their count + downstream consumption (a lazy chain would re-run
+    * quality/scrub/exactDedup once per later action — the same rework
+    * [[incrementalDedupBatch]]'s own localCheckpoint prevents) and
+    * unpersisted before return; the returned frame itself is settled by
+    * that localCheckpoint. */
   def documentIngestBatch(spark: SparkSession, indexPath: String,
                           batch: DataFrame, textCol: String, idCol: String,
                           threshold: Double = 0.8, batchId: String = "",
                           minWords: Int = 10): (DataFrame, Map[String, Long]) = {
     import graft.operators.{Dedup, TextAnalysis}
+    import org.apache.spark.storage.StorageLevel
     val arrived = batch.count()
     val passIds = TextAnalysis.qualityRules(batch, textCol, idCol,
         minWords = minWords)
       .where(col("keep")).select(col(idCol))
     val clean = batch.join(passIds, Seq(idCol), "left_semi")
       .withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val afterQuality = clean.count()
     val exactKept = clean.join(
       Dedup.exactDedup(clean, textCol, idCol).select(idCol),
       Seq(idCol), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val afterExact = exactKept.count()
     val kept = incrementalDedupBatch(spark, indexPath, exactKept,
       textCol, idCol, threshold, batchId)
     val nKept = kept.count()
+    clean.unpersist()
+    exactKept.unpersist()
     (kept, Map(
       "arrived" -> arrived,
       "quality_dropped" -> (arrived - afterQuality),

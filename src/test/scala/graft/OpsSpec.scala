@@ -962,6 +962,27 @@ class OpsSpec extends SparkSpec {
     assert(d1Apple.getAs[Long]("tf") == 2L && d1Apple.getAs[Double]("tfidf") == 0.0)
   }
 
+  test("semanticDedup: null vectors survive unclustered; empty input returns the empty frame") {
+    val vecs = Seq((1L, Array(1f, 0f)), (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, "embedding", "vec_id", k = 2, tau = 0.4)
+      .orderBy("vec_id").collect()
+    assert(out(1).isNullAt(1) && out(1).getBoolean(2),
+      "a null vector must pass through with null cluster and keep=true")
+    assert(!out(0).isNullAt(1) && !out(2).isNullAt(1))
+    val empty = Similarity.semanticDedup(vecs.where(lit(false)), "embedding", "vec_id", k = 2)
+    assert(empty.columns.toSeq == Seq("vec_id", "cluster_id", "keep") && empty.count() == 0)
+  }
+
+  test("temperatureMix never loses null-stratum rows") {
+    val docs = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "a"))
+      .toDF("doc_id", "src")
+    val out = TextAnalysis.temperatureMix(docs, "src", "doc_id", alpha = 0.5)
+    assert(out.count() == 3, "the mixing pass must surface every row")
+    // the null stratum is the smallest (c=1) → rate 1.0 → kept
+    assert(out.where(col("src").isNull).head.getAs[Boolean]("keep"))
+  }
+
   test("semanticDedup: near-dup of a lower-id representative dropped, orthogonal kept") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),
