@@ -783,4 +783,43 @@ object Dedup {
           nullif(col("na") * col("nb"), lit(0))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Bloom-filter decontamination pre-screen — the scale path for
+    * eval-set contamination when the corpus is the 100 TB side. The
+    * exact span-hash join (q_contamination's shape) shuffles every
+    * corpus span hash; this instead builds a Bloom filter over the EVAL
+    * side's span hashes (eval sets are small) and probes each corpus
+    * span MAP-SIDE: the corpus never shuffles — the only aggregation is
+    * the per-doc count of positive probes, map-side-combined `(id,
+    * count)` rows for the rare docs with any hit.
+    *
+    * One-sided contract: returned docs (`n_flagged_spans >=
+    * minSharedSpans`) are a SUPERSET of truly contaminated docs — route
+    * them (a tiny set) to the exact join for span-level confirmation;
+    * absent docs are DEFINITIVELY clean at this span length. `fpp` prices
+    * the excess: P(a clean doc with s spans flags) ≈ Binomial(s, fpp) ≥
+    * minSharedSpans. The probe is a broadcast closure call per span —
+    * not codegen, but O(1) and shuffle-free, which is the trade that
+    * matters at corpus scale. Deterministic (fixed sketch hashing), so
+    * the spec can assert exact equality against the exact join. */
+  def contaminationBloomFlags(corpus: DataFrame, evalSet: DataFrame,
+                              textCol: String, idCol: String, n: Int = 8,
+                              minSharedSpans: Int = 3,
+                              fpp: Double = 1e-4): DataFrame = {
+    require(minSharedSpans >= 1 && fpp > 0 && fpp < 1,
+      s"bad minSharedSpans=$minSharedSpans fpp=$fpp")
+    val spark = corpus.sparkSession
+    val evalHashes = shingleRows(evalSet, textCol, idCol, n)
+      .select(xxhash64(col("s")).as("h")).distinct()
+    val nEval = math.max(1L, evalHashes.count())
+    val bf = evalHashes.stat.bloomFilter("h", nEval, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    shingleRows(corpus, textCol, idCol, n)
+      .select(col("id"), xxhash64(col("s")).as("h"))
+      .where(mightContain(col("h")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_flagged_spans"))
+      .where(col("n_flagged_spans") >= minSharedSpans)
+  }
 }

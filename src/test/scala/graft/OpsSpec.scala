@@ -734,6 +734,29 @@ class OpsSpec extends SparkSpec {
     assert(k3 == Seq(21L), s"index must accumulate across batches: $k3")
   }
 
+  test("contaminationBloomFlags: shuffle-free pre-screen agrees with the exact join on planted contamination") {
+    def doc(seed: Int) = (0 until 40).map(i => s"w${seed}x$i").mkString(" ")
+    val eval_ = (100 to 104).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val corpus = ((0 until 60).map(i => (i.toLong, doc(i))) ++ Seq(
+      (200L, doc(500) + " " + doc(101)),   // absorbed eval doc 101
+      (201L, doc(501) + " " + doc(103))))  // absorbed eval doc 103
+      .toDF("doc_id", "text")
+    val flagged = Dedup.contaminationBloomFlags(corpus, eval_, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(200L, 201L),
+      s"pre-screen must flag exactly the planted docs here: $flagged")
+    // each absorbed 40-token eval doc contributes 33 shared 8-gram spans
+    assert(flagged.values.forall(_ >= 33L), s"span counts too low: $flagged")
+    // one-sided contract vs the exact join: bloom flags ⊇ exact hits
+    val exact = Dedup.shingleRows(corpus, "text", "doc_id", 8)
+      .select(col("id"), xxhash64(col("s")).as("h"))
+      .join(Dedup.shingleRows(eval_, "text", "doc_id", 8)
+        .select(xxhash64(col("s")).as("h")).distinct(), "h")
+      .groupBy("id").agg(count(lit(1)).as("c")).where(col("c") >= 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(flagged.keySet), s"bloom missed true hits: $exact vs $flagged")
+  }
+
   test("documentIngestBatch: quality -> scrub -> exact -> incremental near-dup, with a drop report") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     def doc(seed: Int) = (0 until 30).map(i => s"w${seed}x$i").mkString(" ")
