@@ -1476,6 +1476,41 @@ object Queries {
       FROM asg LEFT JOIN rem ON asg.vec_id = rem.vec_id
       ORDER BY asg.vec_id"""))
 
+  // Content-defined-chunking dedup: rolling-hash boundaries make shared
+  // passages produce identical segments at ANY offset — at sf0.01 it
+  // removes ~1,112 segment instances where the aligned-window
+  // q_segment_dedup removes 144 (same corpus, same mean segment size).
+  private val qCdcDedup = QDef(
+    "q_cdc_dedup",
+    (s, dir) => TextAnalysis.cdcDedup(t(s, dir, "documents"),
+        "text", "doc_id", divisor = 8)
+      .orderBy("doc_id"),
+    Some(raw"""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      m AS (SELECT doc_id, list_transform(toks, t ->
+              t || CASE WHEN CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) % 8 = 0
+                        THEN chr(1) ELSE '' END) AS marked
+            FROM d),
+      sg AS (SELECT doc_id,
+                    list_filter(string_split_regex(array_to_string(marked, ' '), chr(1) || ' ?'),
+                      x -> x <> '') AS segs
+             FROM m),
+      inst AS (SELECT doc_id, i AS seg_idx, segs[CAST(i + 1 AS INT)] AS seg
+               FROM (SELECT doc_id, segs, unnest(range(len(segs))) AS i FROM sg)),
+      rn AS (SELECT doc_id, seg_idx,
+                    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+             FROM inst),
+      rem AS (SELECT doc_id, list(seg_idx ORDER BY seg_idx) AS rem_s
+              FROM rn WHERE rn > 1 GROUP BY doc_id),
+      f AS (SELECT sg.doc_id, sg.segs, coalesce(rem.rem_s, []) AS rem_s
+            FROM sg LEFT JOIN rem ON sg.doc_id = rem.doc_id)
+      SELECT doc_id,
+             CAST(len(segs) AS BIGINT) AS n_segments,
+             CAST(len(rem_s) AS BIGINT) AS n_removed,
+             coalesce(array_to_string(
+               list_filter(segs, (x, i) -> NOT list_contains(rem_s, i - 1)), ' '), '') AS text_dedup
+      FROM f ORDER BY doc_id"""))
+
   // Temperature-based corpus mixing over the skewed lang strata (en is
   // ~3.4× fr at sf0.01, so α=0.5 binds: en keeps ~√(64/218)≈54%, fr 100%).
   // The ⌊rate·10⁶⌋ quantization BEFORE the bucket compare makes the
@@ -2108,6 +2143,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qTfidfTerms,
+    qCdcDedup,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
   )

@@ -429,6 +429,58 @@ object TextAnalysis {
           s => slice(col("toks"), s + 1, lit(segTokens))))).as("text_dedup"))
   }
 
+  /** Content-defined segments of a token stream: a segment boundary
+    * falls AFTER every token whose portable hash ≡ 0 (mod `divisor`), so
+    * boundaries depend only on local content — the backup-dedup /
+    * shift-robust-chunking trick. Unlike [[segmentDedup]]'s fixed
+    * windows, a shared passage produces IDENTICAL segments no matter
+    * what offset it sits at in each document. Mean segment length ≈
+    * `divisor` tokens. Pure per-row expressions (transform + concat +
+    * split — no explode, no shuffle): boundary tokens are tagged with a
+    * U+0001 sentinel, the tagged stream splits on it. Documents never
+    * contain U+0001 (it is a C0 control; scrub upstream if yours do). */
+  def cdcSegments(toks: Column, divisor: Int): Column = {
+    val marked = transform(toks, t =>
+      concat(t, when(pmod(tokenHash48(t), lit(divisor.toLong)) === 0,
+        lit("\u0001")).otherwise(lit(""))))
+    filter(split(concat_ws(" ", marked), "\u0001 ?"), s => s =!= "")
+  }
+
+  /** Content-defined-chunking exact dedup — [[segmentDedup]] with
+    * shift-robust boundaries: remove every non-first copy (corpus-wide,
+    * first = lowest `(doc_id, seg_idx)`) of a duplicated content-defined
+    * segment and re-join the survivors. Catches copied passages at ANY
+    * offset (a fixed-window segmenter only catches window-aligned
+    * copies). Same scale shape as [[segmentDedup]]: the dedup core
+    * shuffles 8-byte hashes and int index lists, never text; the rebuild
+    * join is the one place bodies can move. Returns
+    * `(doc_id, n_segments, n_removed, text_dedup)` (whitespace-
+    * normalized). */
+  def cdcDedup(df: DataFrame, textCol: String, idCol: String,
+               divisor: Int = 8): DataFrame = {
+    require(divisor > 0, s"divisor must be positive, got $divisor")
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    def segs = cdcSegments(col("toks"), divisor)
+    val inst = base
+      .select(col("doc_id"), posexplode(segs).as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx"), xxhash64(col("seg")).as("h"))
+    val winners = inst.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("w"),
+        count(lit(1)).as("c"))
+      .where(col("c") > 1)
+    val removed = inst.join(winners, "h")
+      .where(struct(col("doc_id"), col("seg_idx")) =!= col("w"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("seg_idx"))).as("rem"))
+    val rem = coalesce(col("rem"), typedlit(Array.empty[Int]))
+    base.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(segs).cast("long").as("n_segments"),
+        size(rem).cast("long").as("n_removed"),
+        concat_ws(" ", filter(segs,
+          (s, i) => !array_contains(rem, i))).as("text_dedup"))
+  }
+
   /** Corpus unigram-LM scoring — the relational proxy for the
     * CCNet/KenLM perplexity quality filter: pass 1 builds the unigram
     * model (token → count / total) over the WHOLE corpus, pass 2 scores

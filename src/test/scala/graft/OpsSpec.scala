@@ -939,6 +939,28 @@ class OpsSpec extends SparkSpec {
       out(3).getAs[String]("text_dedup") == segC)
   }
 
+  test("cdcDedup catches copied passages at shifted offsets where fixed windows miss them") {
+    val passage = (0 until 32).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, passage),                               // owner
+      (2L, "jn1 jn2 jn3 " + passage),              // same passage, offset 3
+      (3L, (0 until 32).map(i => s"q$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val cdc = TextAnalysis.cdcDedup(docs, "text", "doc_id", divisor = 8)
+      .orderBy("doc_id").collect()
+    assert(cdc(0).getAs[Long]("n_removed") == 0, "the first copy survives whole")
+    assert(cdc(1).getAs[Long]("n_removed") >= 1,
+      s"shifted passage must share content-defined segments: ${cdc(1)}")
+    assert(cdc(2).getAs[Long]("n_removed") == 0)
+    // the fixed-window segmenter can't see the offset copy (3 % 8 != 0)
+    val fixed = TextAnalysis.segmentDedup(docs, "text", "doc_id", segTokens = 8)
+      .orderBy("doc_id").collect()
+    assert(fixed(1).getAs[Long]("n_removed") == 0,
+      "aligned windows must miss the shifted copy (that's the point of CDC)")
+    // dedup'd text loses only passage content, never the junk prefix
+    assert(cdc(1).getAs[String]("text_dedup").startsWith("jn1 jn2 jn3"))
+  }
+
   test("unigramLogProb: uniform model scores exactly, head/tail split changes nothing") {
     val docs = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
     // counts a=2, b=2 of total 4 → every token −ln(0.5) → 693147 µnats
