@@ -1428,6 +1428,40 @@ object Queries {
              CAST(fp AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e6) AS mean_nll
       FROM g ORDER BY doc_id"""))
 
+  // Interpolated bigram LM (KenLM-proxy, λ=0.5): position 0 under the
+  // unigram model, later positions under λ·p(w|prev) + (1−λ)·p(w); all
+  // per-position terms quantized to µnat BIGINTs → order-free sums.
+  private val qBigramLm = QDef(
+    "q_bigram_lm",
+    (s, dir) => TextAnalysis.bigramLogProb(t(s, dir, "documents"),
+        "text", "doc_id", lambda = 0.5)
+      .orderBy("doc_id"),
+    Some(raw"""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+      uni AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t),
+      fst AS (SELECT d.doc_id,
+                CAST(round(-ln(CAST(u.c AS DOUBLE) / tot.total) * 1e6) AS BIGINT) AS fp
+              FROM d JOIN uni u ON u.tok = d.toks[1] CROSS JOIN tot),
+      p AS (SELECT doc_id, toks[CAST(i AS INT)] AS prev, toks[CAST(i + 1 AS INT)] AS cur
+            FROM (SELECT doc_id, toks, unnest(range(1, CAST(len(toks) AS BIGINT))) AS i
+                  FROM d WHERE len(toks) >= 2)),
+      bi AS (SELECT prev, cur, count(*) AS cb FROM p GROUP BY prev, cur),
+      pf AS (SELECT p.doc_id,
+               CAST(round(-ln(0.5 * (CAST(bi.cb AS DOUBLE) / up.c)
+                              + (1.0 - 0.5) * (CAST(uc.c AS DOUBLE) / tot.total)) * 1e6) AS BIGINT) AS fp
+             FROM p
+             JOIN bi USING (prev, cur)
+             JOIN uni up ON up.tok = p.prev
+             JOIN uni uc ON uc.tok = p.cur
+             CROSS JOIN tot),
+      g AS (SELECT doc_id, CAST(SUM(fp) AS BIGINT) AS fp, CAST(count(*) AS BIGINT) AS n_tokens
+            FROM (SELECT * FROM fst UNION ALL SELECT * FROM pf) GROUP BY doc_id)
+      SELECT doc_id, n_tokens,
+             CAST(fp AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e6) AS mean_nll
+      FROM g ORDER BY doc_id"""))
+
   // SemDeDup-style semantic dedup: deterministic centroids (k lowest-id
   // vectors), argmax-cosine assignment, within-cluster removal against
   // the repCap lowest-id representatives. All cosine arithmetic is the
@@ -2143,7 +2177,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qTfidfTerms,
-    qCdcDedup,
+    qCdcDedup, qBigramLm,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
   )

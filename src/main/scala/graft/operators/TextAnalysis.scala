@@ -302,6 +302,64 @@ object TextAnalysis {
         col("tf"), (col("score_fp").cast("double") / 1e6).as("tfidf"))
   }
 
+  /** Interpolated bigram-LM scoring — one step closer to the KenLM
+    * perplexity filter than [[unigramLogProb]]: position 0 scores under
+    * the unigram model, every later position under
+    * `−ln(λ·p(wᵢ|wᵢ₋₁) + (1−λ)·p(wᵢ))` with `p(wᵢ|wᵢ₋₁) =
+    * c(wᵢ₋₁wᵢ)/c(wᵢ₋₁)`. Same determinism contract: every per-position
+    * term quantizes to µnat BIGINTs in the model frames, per-doc sums
+    * are integer (order-free), and the final mean is an exact division.
+    * Both models come from the corpus itself, so no position is ever
+    * out-of-vocabulary.
+    *
+    * Scale shape: bigram pairs explode to `(doc, prev, cur)` skinny
+    * rows; the three model joins (unigram on cur, unigram on prev for
+    * the conditional's denominator, bigram on the pair) are
+    * hash-partitioned joins on token strings — map-side-combined counts,
+    * no document bodies anywhere. Returns `(doc_id, n_tokens,
+    * mean_nll)`. */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
+                    lambda: Double = 0.7): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val tok = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val uni = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = tok.groupBy().agg(count(lit(1)).as("total"))
+    val uniP = uni.crossJoin(broadcast(total))
+    // position-0 NLL under the unigram model
+    val firstFp = base
+      .select(col("doc_id"), element_at(col("toks"), 1).as("tok"))
+      .join(uniP, Seq("tok"))
+      .select(col("doc_id"),
+        round(-log(col("c").cast("double") / col("total")) * 1e6)
+          .cast("long").as("fp"))
+    // (doc, prev, cur) pairs for positions 1..n-1
+    val pairs = base
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("prev"),
+          element_at(col("toks"), i + 1).as("cur")))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val bi = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    val pairFp = pairs
+      .join(bi, Seq("prev", "cur"))
+      .join(uniP.select(col("tok").as("prev"), col("c").as("cprev")), Seq("prev"))
+      .join(uniP.select(col("tok").as("cur"), col("c").as("ccur"),
+        col("total")), Seq("cur"))
+      .select(col("doc_id"),
+        round(-log(
+          lit(lambda) * (col("cb").cast("double") / col("cprev")) +
+            lit(1.0 - lambda) * (col("ccur").cast("double") / col("total"))) * 1e6)
+          .cast("long").as("fp"))
+    firstFp.unionByName(pairFp)
+      .groupBy("doc_id")
+      .agg(sum(col("fp")).as("fp"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("fp").cast("double") / (col("n_tokens").cast("double") * 1e6))
+          .as("mean_nll"))
+  }
+
   // ---- Sequence packing ---------------------------------------------------
 
   /** Deterministic token-budget packing: within each shard (e.g. a

@@ -1007,6 +1007,23 @@ class OpsSpec extends SparkSpec {
     assert(d1Apple.getAs[Long]("tf") == 2L && d1Apple.getAs[Double]("tfidf") == 0.0)
   }
 
+  test("bigramLogProb: closed-form interpolated scores on a tiny corpus") {
+    // corpus "a b" ×2: uni a=2,b=2 of 4; bigram (a,b) cb=2, c(a)=2
+    // pos0: −ln(2/4) → 693147 µnats; pos1: −ln(0.5·(2/2) + 0.5·(2/4)) =
+    // −ln(0.75) → 287682 µnats
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, "text", "doc_id", lambda = 0.5)
+      .orderBy("doc_id").collect()
+    val expected = (693147L + 287682L).toDouble / (2 * 1e6)
+    assert(out.length == 2 && out.forall(r =>
+      r.getAs[Long]("n_tokens") == 2 && r.getAs[Double]("mean_nll") == expected),
+      out.mkString(","))
+    // a single-token doc scores unigram-only; a sole token has p=1 → 0 nll
+    val solo = TextAnalysis.bigramLogProb(Seq((9L, "solo")).toDF("doc_id", "text"),
+      "text", "doc_id").head()
+    assert(solo.getAs[Long]("n_tokens") == 1 && solo.getAs[Double]("mean_nll") == 0.0)
+  }
+
   test("semanticDedup: null vectors survive unclustered; empty input returns the empty frame") {
     val vecs = Seq((1L, Array(1f, 0f)), (2L, null.asInstanceOf[Array[Float]]),
       (3L, Array(0f, 1f))).toDF("vec_id", "embedding")
