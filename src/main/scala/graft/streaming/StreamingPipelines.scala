@@ -279,4 +279,35 @@ object StreamingPipelines {
       "neardup_dropped" -> (afterExact - nKept),
       "kept" -> nKept))
   }
+
+  /** [[documentIngestBatch]] as a RUNNING job: JSONL file-drop (the
+    * standard corpus delivery format) → per-batch clean → survivors
+    * appended to the output lake, per-stage drop reports appended to a
+    * queryable parquet telemetry table. `AvailableNow` + checkpoint give
+    * stable batch ids across restarts, and the index commit markers make
+    * at-least-once replays no-ops — the same guarantees the incremental
+    * dedup e2e spec pins, now for the whole front door. */
+  def documentIngestStream(spark: SparkSession, inputDir: String,
+                           schema: org.apache.spark.sql.types.StructType,
+                           indexPath: String, outPath: String,
+                           reportPath: String, checkpoint: String,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): StreamingQuery =
+    spark.readStream.schema(schema).json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val (kept, report) = documentIngestBatch(spark, indexPath, b.toDF(),
+          textCol, idCol, batchId = id.toString)
+        kept.write.mode("append").parquet(outPath)
+        import spark.implicits._
+        Seq((id, report("arrived"), report("quality_dropped"),
+          report("exact_dropped"), report("neardup_dropped"), report("kept")))
+          .toDF("batch_id", "arrived", "quality_dropped", "exact_dropped",
+            "neardup_dropped", "kept")
+          .coalesce(1).write.mode("append").parquet(reportPath)
+        ()
+      }
+      .start()
 }

@@ -598,6 +598,44 @@ class SystemSpec extends SparkSpec {
       "backfilled bars must be readable under the canonical store key")
   }
 
+  test("document ingest stream end-to-end: clean, dedup, append survivors + telemetry across batches") {
+    val in = tmp()
+    val idx = tmp() + "/idx"
+    val out = tmp() + "/out"
+    val rep = tmp() + "/rep"
+    val ckpt = tmp() + "/ckpt"
+    val sch = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    def doc(seed: Int) = (0 until 30).map(i => s"w${seed}g$i").mkString(" ")
+    def runOnce(): Unit = {
+      val q = StreamingPipelines.documentIngestStream(spark, in, sch, idx, out, rep, ckpt)
+      q.awaitTermination(120000)
+    }
+    def drop(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(in, name),
+        rows.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }.mkString("\n"))
+    // batch 0: a keeper, an exact dup, a quality reject
+    drop("b0.json", Seq((1L, doc(1)), (2L, doc(1)), (3L, "too short")))
+    runOnce()
+    val kept0 = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept0 == Seq(1L), s"batch 0 survivors: $kept0")
+    // batch 1: near-dup of batch 0's survivor + a novel doc
+    drop("b1.json", Seq((10L, doc(1) + " tail bit"), (11L, doc(7))))
+    runOnce()
+    val keptAll = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptAll == Seq(1L, 11L), s"cross-batch near-dup must drop: $keptAll")
+    // telemetry table carries the per-stage story
+    val reports = spark.read.parquet(rep).orderBy("batch_id").collect()
+    assert(reports.length == 2)
+    assert(reports(0).getAs[Long]("quality_dropped") == 1L &&
+      reports(0).getAs[Long]("exact_dropped") == 1L)
+    assert(reports(1).getAs[Long]("neardup_dropped") == 1L &&
+      reports(1).getAs[Long]("kept") == 1L)
+  }
+
   test("zorderWrite: a selective filter on EITHER z-column touches a fraction of the files") {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val rows = (0 until 20000).map { i =>
