@@ -1510,6 +1510,33 @@ object Queries {
       FROM asg LEFT JOIN rem ON asg.vec_id = rem.vec_id
       ORDER BY asg.vec_id"""))
 
+  // Gap-based sessionization on the events stream (gap 30,000 s ≈ the
+  // median inter-event gap per user at sf0.01, so the boundary binds:
+  // most users split into several sessions, none into per-event ones).
+  private val qSessionize = QDef(
+    "q_sessionize",
+    (s, dir) => Relational.sessionize(t(s, dir, "events"),
+        Seq("user_id"), "ts", gapSec = 30000L)
+      .select("user_id", "session_id", "n_events", "start_us", "end_us", "duration_us")
+      .orderBy("user_id", "session_id"),
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      s AS (SELECT user_id, us,
+              CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > CAST(30000 AS BIGINT) * 1000000
+                     OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                   THEN 1 ELSE 0 END AS ns
+            FROM e),
+      c AS (SELECT user_id, us,
+                   SUM(ns) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+            FROM s)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             count(*) AS n_events,
+             min(us) AS start_us, max(us) AS end_us,
+             max(us) - min(us) AS duration_us
+      FROM c GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+
   // Content-defined-chunking dedup: rolling-hash boundaries make shared
   // passages produce identical segments at ANY offset — at sf0.01 it
   // removes ~1,112 segment instances where the aligned-window
@@ -2177,7 +2204,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qTfidfTerms,
-    qCdcDedup, qBigramLm,
+    qCdcDedup, qBigramLm, qSessionize,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
   )

@@ -81,6 +81,32 @@ object Relational {
     * determinism under task retries). Use when AQE's skew split can't
     * apply (shuffled-hash joins, bucketed tables) — broadcast the small
     * side instead whenever it fits. */
+  /** Gap-based sessionization — the canonical event-pipeline operator:
+    * within each entity, a new session starts when the gap to the
+    * previous event exceeds `gapSec`. Two stacked windows on the SAME
+    * `(keys, orderBy ts)` spec (boundary flag via lag, session ordinal
+    * via running sum) → one shuffle, one sort, per-entity parallelism —
+    * the 100 TB shape; a global sessionizer would serialize. Returns one
+    * row per session: keys, `session_id` (0-based per entity),
+    * `n_events`, `start_us`/`end_us` (epoch-µs BIGINTs, the engine's
+    * cross-engine timestamp convention), `duration_us`. */
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String,
+                 gapSec: Long): DataFrame = {
+    require(keys.nonEmpty, "sessionization needs entity keys (global = serialized)")
+    require(gapSec > 0, s"gapSec must be positive, got $gapSec")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val us = unix_micros(col(tsCol))
+    val newSession = when(
+      us - lag(us, 1).over(w) > gapSec * 1000000L || lag(us, 1).over(w).isNull,
+      lit(1L)).otherwise(lit(0L))
+    df.withColumn("_ns", newSession)
+      .withColumn("session_id", sum(col("_ns")).over(w) - 1)
+      .groupBy((keys.map(col) :+ col("session_id")): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(us).as("start_us"), max(us).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")

@@ -939,6 +939,24 @@ class OpsSpec extends SparkSpec {
       out(3).getAs[String]("text_dedup") == segC)
   }
 
+  test("sessionize: gap boundaries split per entity, session aggregates are exact") {
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(2000)), (1L, ts(2010)),
+      (2L, ts(5))).toDF("user_id", "ts")
+    val out = Relational.sessionize(events, Seq("user_id"), "ts", gapSec = 1000)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("session_id") == 0L &&
+      out(0).getAs[Long]("n_events") == 2L &&
+      out(0).getAs[Long]("duration_us") == 10000000L)
+    assert(out(1).getAs[Long]("session_id") == 1L &&
+      out(1).getAs[Long]("start_us") == 2000000000L)
+    assert(out(2).getAs[Long]("user_id") == 2L &&
+      out(2).getAs[Long]("n_events") == 1L &&
+      out(2).getAs[Long]("duration_us") == 0L)
+  }
+
   test("cdcDedup catches copied passages at shifted offsets where fixed windows miss them") {
     val passage = (0 until 32).map(i => s"p$i").mkString(" ")
     val docs = Seq(
