@@ -1537,6 +1537,71 @@ object Queries {
       FROM c GROUP BY user_id, session_id
       ORDER BY user_id, session_id"""))
 
+  /** DuckDB cosine between two list-of-double columns — the strict
+    * dim-order left fold [[org.apache.spark.sql.graft.NearestCentroid]]
+    * and `DotProduct` compute (shared by q_semantic_dedup / q_kmeans). */
+  private def duckCos(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(64), k -> $a[k+1] * $b[k+1]), (x, y) -> x + y)
+       / NULLIF(sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform($b, x -> x * x), (x, y) -> x + y)), 0)"""
+
+  /** One Lloyd round in the oracle: assign every vector to its
+    * argmax-cosine centroid from `cents`, then rebuild centroids as
+    * per-dimension fixed-point means (exact BIGINT sums of ⌊x·10⁶⌋ —
+    * order-independent, so DuckDB and Spark see bit-identical centroids).
+    * Empty cells COALESCE back to their previous centroid. */
+  private def kmeansRoundSql(i: Int, prevCents: String): String = s"""
+      a$i AS (
+        SELECT e.vec_id, e.v, c.cid, ${duckCos("e.v", "c.cv")} AS cos
+        FROM e CROSS JOIN $prevCents c WHERE e.v IS NOT NULL),
+      g$i AS (
+        SELECT vec_id, v, cid FROM (
+          SELECT vec_id, v, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+          FROM a$i)
+        WHERE rn = 1),
+      s$i AS (
+        SELECT cid, pos, CAST(SUM(CAST(floor(x * 1e6) AS BIGINT)) AS BIGINT) AS sfx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM g$i)
+        GROUP BY cid, pos),
+      c$i AS (
+        SELECT $prevCents.cid, COALESCE(l.cv, $prevCents.cv) AS cv
+        FROM $prevCents LEFT JOIN (
+          SELECT cid, list(CAST(sfx AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) ORDER BY pos) AS cv
+          FROM s$i GROUP BY cid) l USING (cid))"""
+
+  // Spherical k-means, 2 deterministic Lloyd rounds at k=8: init = the 8
+  // lowest-id vectors, argmax-cosine assignment, per-dim FIXED-POINT
+  // centroid means — the oracle replays both rounds bit-identically
+  // (float means would drift with partitioning; ⌊x·10⁶⌋ BIGINT sums
+  // can't).
+  private val qKmeans = QDef(
+    "q_kmeans",
+    (s, dir) => Similarity.kmeansAssign(t(s, dir, "embeddings"),
+        "embedding", "vec_id", k = 8, iters = 2)
+      .orderBy("vec_id"),
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM e WHERE v IS NOT NULL ORDER BY vec_id LIMIT 8),
+      ${kmeansRoundSql(1, "c0")},
+      ${kmeansRoundSql(2, "c1")},
+      af AS (
+        SELECT e.vec_id, c.cid, ${duckCos("e.v", "c.cv")} AS cos
+        FROM e CROSS JOIN c2 c WHERE e.v IS NOT NULL),
+      gf AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+          FROM af)
+        WHERE rn = 1)
+      SELECT e.vec_id, CAST(gf.cid AS BIGINT) AS cluster_id
+      FROM e LEFT JOIN gf USING (vec_id) ORDER BY e.vec_id"""))
+
   // Content-defined-chunking dedup: rolling-hash boundaries make shared
   // passages produce identical segments at ANY offset — at sf0.01 it
   // removes ~1,112 segment instances where the aligned-window
@@ -2204,7 +2269,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qTfidfTerms,
-    qCdcDedup, qBigramLm, qSessionize,
+    qCdcDedup, qBigramLm, qSessionize, qKmeans,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
   )

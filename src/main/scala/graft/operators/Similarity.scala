@@ -320,4 +320,65 @@ object Similarity {
     assigned.join(removed, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster_id"), col("_rm").isNull.as("keep"))
   }
+
+  /** Distributed spherical k-means (Lloyd's) with a cross-engine-
+    * deterministic contract, for topic-balancing a pretraining corpus
+    * (cluster-proportional sampling, per-cluster quotas) — the iterative
+    * complement to [[semanticDedup]]'s one-shot lowest-id centroids.
+    *
+    * Determinism is the whole design (an external SQL oracle replays
+    * every iteration exactly):
+    *  - init: the `k` lowest-id non-null vectors (no random seeding);
+    *  - assignment: argmax cosine against LITERAL centroids via the fused
+    *    codegen [[org.apache.spark.sql.graft.NearestCentroid]] (strict
+    *    dim-order folds, lowest-cell tie-break) — a pure projection, no
+    *    shuffle;
+    *  - update: per-dimension FIXED-POINT means — each member contributes
+    *    `⌊v_d·10⁶⌋` to an exact BIGINT sum (order-independent, unlike a
+    *    float sum whose value depends on partitioning), and the new
+    *    component is `sum/10⁶/n` computed in one fixed double shape.
+    *    Every engine therefore sees bit-identical centroids at every
+    *    iteration, so assignment boundaries can't drift.
+    *
+    * Scale shape: per iteration one skinny shuffle — `(cell, pos, fx)`
+    * rows, 20 B each, map-side partially aggregated — and one k·dim-row
+    * driver collect (metadata scale, like [[knnIvfIndexed]]'s centroid
+    * read). The corpus itself never shuffles. Empty cells keep their
+    * previous centroid (no respawn — deterministic). Null vectors get a
+    * null cluster_id, like [[semanticDedup]].
+    *
+    * Returns `(vec_id, cluster_id)` after `iters` Lloyd rounds. */
+  def kmeansAssign(df: DataFrame, vecCol: String, idCol: String,
+                   k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(iters >= 0, s"need iters >= 0, got $iters")
+    val e = df.select(col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("v"))
+    var cents: IndexedSeq[Seq[Double]] = e.where(col("v").isNotNull)
+      .orderBy("vec_id").limit(k)
+      .collect().toIndexedSeq.map(_.getSeq[Double](1))
+    if (cents.isEmpty)
+      return e.select(col("vec_id"), lit(null).cast("long").as("cluster_id"))
+    GraftFunctions.register(df.sparkSession)
+    def assign(frame: DataFrame): DataFrame = frame.withColumn("cluster_id",
+      call_function(GraftFunctions.NearestCentroidName, col("v"),
+        typedlit(cents.flatten), lit(cents.size)).cast("long"))
+    for (_ <- 1 to iters) {
+      val sums = assign(e).where(col("cluster_id").isNotNull)
+        .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster_id", "pos")
+        .agg(sum(floor(col("x") * 1e6).cast("long")).as("sfx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getAs[Long]("cluster_id"))
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        byCell.get(cid.toLong) match {
+          case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).toSeq
+            .map(r => r.getAs[Long]("sfx").toDouble / 1e6 /
+              r.getAs[Long]("n").toDouble)
+          case None => old
+        }
+      }
+    }
+    assign(e).select("vec_id", "cluster_id")
+  }
 }

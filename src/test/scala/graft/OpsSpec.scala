@@ -1054,6 +1054,33 @@ class OpsSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("vec_id", "cluster_id", "keep") && empty.count() == 0)
   }
 
+  test("kmeansAssign: Lloyd rounds actually move the boundary; nulls pass through") {
+    // init centroids = ids 0,1 (both near the x-axis). Round 1 sends
+    // {1,2,3} to cell 1, whose mean swings toward the y-axis — so round
+    // 2 pulls id 1 (an x-axis vector) BACK to cell 0. iters=0 must show
+    // the pre-update assignment, proving the iterations are real.
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(0.05f, 1f)),
+      (4L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    def asg(iters: Int): Map[Long, Any] =
+      Similarity.kmeansAssign(vecs, "embedding", "vec_id", k = 2, iters = iters)
+        .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    val zero = asg(0)
+    assert(zero(0L) == 0L && zero(1L) == 1L && zero(2L) == 1L && zero(3L) == 1L,
+      s"iters=0 is the raw lowest-id-centroid assignment, got $zero")
+    val two = asg(2)
+    assert(two(0L) == 0L && two(1L) == 0L && two(2L) == 1L && two(3L) == 1L,
+      s"after 2 Lloyd rounds id 1 must migrate to the x-axis cell, got $two")
+    assert(two(4L) == null && zero(4L) == null,
+      "null vectors get a null cluster_id")
+    // degenerate: every vector null → all-null assignment, no NPE
+    val allNull = Similarity.kmeansAssign(
+      Seq((7L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", k = 2, iters = 1).collect()
+    assert(allNull.length == 1 && allNull(0).get(1) == null)
+  }
+
   test("temperatureMix never loses null-stratum rows") {
     val docs = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "a"))
       .toDF("doc_id", "src")
