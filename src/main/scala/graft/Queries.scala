@@ -1537,6 +1537,89 @@ object Queries {
       FROM c GROUP BY user_id, session_id
       ORDER BY user_id, session_id"""))
 
+  /** One profile row in the oracle: global stats for `colName`, with the
+    * min/max slots filled by family (num / ts-as-epoch-µs / str). */
+  private def profileBlockSql(colName: String, kind: String): String = {
+    val minMax = kind match {
+      case "num" => s"CAST(min($colName) AS DOUBLE) AS min_num, CAST(max($colName) AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+      case "ts" => s"CAST(epoch_us(min($colName)) AS DOUBLE) AS min_num, CAST(epoch_us(max($colName)) AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+      case "str" => s"CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, min($colName) AS min_str, max($colName) AS max_str"
+    }
+    s"""SELECT '$colName' AS "column", n_rows,
+          CAST(SUM(CASE WHEN $colName IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+          CAST(count(DISTINCT $colName) AS BIGINT) AS n_distinct,
+          $minMax
+        FROM e CROSS JOIN n GROUP BY n_rows"""
+  }
+
+  // One-pass column profiling of the events stream. The raw table has
+  // zero nulls, so the null-count path is made binding the q_pii_scrub
+  // way: both engines plant NULLs (value on id%7, props on id%11)
+  // before profiling.
+  private val qProfile = QDef(
+    "q_profile",
+    (s, dir) => {
+      val ev = t(s, dir, "events").drop("_ts_ns")
+        .withColumn("value", when(col("event_id") % 7 === 0,
+          lit(null).cast("double")).otherwise(col("value")))
+        .withColumn("props", when(col("event_id") % 11 === 0,
+          lit(null).cast("string")).otherwise(col("props")))
+      Relational.profile(ev).orderBy("column")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT event_id, ts, user_id, event_type,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
+               CASE WHEN event_id % 11 = 0 THEN NULL ELSE props END AS props
+        FROM events),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM e)
+      SELECT * FROM (
+        ${profileBlockSql("event_id", "num")}
+        UNION ALL ${profileBlockSql("ts", "ts")}
+        UNION ALL ${profileBlockSql("user_id", "num")}
+        UNION ALL ${profileBlockSql("event_type", "str")}
+        UNION ALL ${profileBlockSql("value", "num")}
+        UNION ALL ${profileBlockSql("props", "str")}
+      ) ORDER BY "column""""))
+
+  // Okapi BM25 keyword search: query {dup, spark, window} mixes the
+  // corpus's one rare term (df≈25 of 500 docs at sf0.01 → idf ≈ 3) with
+  // two near-ubiquitous ones (idf ≈ 0.26), so the ranking binds on the
+  // rare term. Per-term scores quantize to ⌊score·10⁶⌋ BIGINTs before
+  // the per-doc sum → order-free; ranking (score desc, doc_id) is total.
+  private val qBm25 = QDef(
+    "q_bm25",
+    (s, dir) => TextAnalysis.bm25Search(t(s, dir, "documents"),
+        "text", "doc_id", queryTerms = Seq("dup", "spark", "window"),
+        k1 = 1.2, b = 0.75, topK = 20),
+    Some(raw"""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+      tq AS (SELECT doc_id, unnest(toks) AS term FROM d),
+      tf AS (SELECT t.doc_id, dl.dl, t.term, CAST(count(*) AS BIGINT) AS tf
+             FROM tq t JOIN dl USING (doc_id)
+             WHERE t.term IN ('dup', 'spark', 'window')
+             GROUP BY t.doc_id, dl.dl, t.term),
+      idf AS (SELECT term,
+                CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df_docs AS DOUBLE) + 0.5)
+                              / (CAST(df_docs AS DOUBLE) + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_fp,
+                CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+              FROM (SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY term)
+              CROSS JOIN tot),
+      sc AS (SELECT tf.doc_id,
+               CAST(floor((CAST(idf_fp AS DOUBLE) / 1e6)
+                 * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(tf AS DOUBLE)
+                    + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                 * 1e6) AS BIGINT) AS fp
+             FROM tf JOIN idf USING (term)),
+      g AS (SELECT doc_id, CAST(SUM(fp) AS BIGINT) AS score_fp,
+                   CAST(count(*) AS BIGINT) AS n_terms
+            FROM sc GROUP BY doc_id)
+      SELECT doc_id, n_terms, CAST(score_fp AS DOUBLE) / 1e6 AS score
+      FROM g ORDER BY score DESC, doc_id LIMIT 20"""))
+
   /** DuckDB cosine between two list-of-double columns — the strict
     * dim-order left fold [[org.apache.spark.sql.graft.NearestCentroid]]
     * and `DotProduct` compute (shared by q_semantic_dedup / q_kmeans). */
@@ -2269,7 +2352,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qTfidfTerms,
-    qCdcDedup, qBigramLm, qSessionize, qKmeans,
+    qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qProfile,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
   )

@@ -67,20 +67,56 @@ object Relational {
   // reducer. Classic key salting covers those at 100 TB scale.
   // ------------------------------------------------------------------
 
-  /** Salted equi-join of a skew-keyed big side against a
-    * too-big-to-broadcast small side: the big side's rows get a
-    * deterministic salt in [0, saltBuckets), the small side is
-    * replicated once per salt value, and the join key becomes
-    * (keys, salt) — a hot key's rows spread over `saltBuckets` reducers
-    * instead of one. Result is row-identical to the unsalted join for
-    * join types that preserve each small-side row at most once per big
-    * match (inner/left/semi/anti on the big side); right and full outer
-    * are rejected — replication would emit `saltBuckets` null-padded
-    * copies of an unmatched small-side row.
-    * The salt hashes the whole row (a monotonic id would break
-    * determinism under task retries). Use when AQE's skew split can't
-    * apply (shuffled-hash joins, bucketed tables) — broadcast the small
-    * side instead whenever it fits. */
+  /** One-pass column profiling — the data-quality report every pipeline
+    * run should emit before training consumes its output: one row per
+    * input column with `(n_rows, n_nulls, n_distinct, min/max)`.
+    * Numeric, boolean, and timestamp columns report min/max on a double
+    * scale (timestamps as epoch-µs, the engine's cross-engine timestamp
+    * convention); string columns report binary-collation min/max
+    * strings; each family's other slots are null.
+    *
+    * Scale shape: ONE aggregation job over the input. The exact
+    * distinct counts ride Spark's multi-count-distinct Expand (one
+    * shuffle whose width is the column count — at 100 TB swap
+    * `count_distinct` for `approx_count_distinct`, same plan minus the
+    * Expand; exact is the right default for a correctness-gated
+    * profile). The per-column explosion happens on the single
+    * aggregated row, never on the data. */
+  def profile(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields.toSeq
+    require(fields.nonEmpty, "profile of a zero-column frame")
+    def numView(f: StructField): Option[Column] = f.dataType match {
+      case _: NumericType => Some(col(f.name).cast("double"))
+      case TimestampType => Some(unix_micros(col(f.name)).cast("double"))
+      case BooleanType => Some(col(f.name).cast("int").cast("double"))
+      case _ => None
+    }
+    val aggs: Seq[Column] = count(lit(1)).cast("long").as("n_rows") +:
+      fields.flatMap { f =>
+        val n = f.name
+        val mn = numView(f).getOrElse(lit(null).cast("double"))
+        val ms = if (f.dataType == StringType) col(n) else lit(null).cast("string")
+        Seq(
+          sum(when(col(n).isNull, 1L).otherwise(0L)).cast("long").as(s"${n}__nulls"),
+          count_distinct(col(n)).cast("long").as(s"${n}__distinct"),
+          min(mn).as(s"${n}__min_num"), max(mn).as(s"${n}__max_num"),
+          min(ms).as(s"${n}__min_str"), max(ms).as(s"${n}__max_str"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val structs = array(fields.map { f =>
+      val n = f.name
+      struct(lit(n).as("column"),
+        col(s"${n}__nulls").as("n_nulls"), col(s"${n}__distinct").as("n_distinct"),
+        col(s"${n}__min_num").as("min_num"), col(s"${n}__max_num").as("max_num"),
+        col(s"${n}__min_str").as("min_str"), col(s"${n}__max_str").as("max_str"))
+    }: _*)
+    one.select(col("n_rows"), explode(structs).as("p"))
+      .select(col("p.column").as("column"), col("n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_num"), col("p.max_num"),
+        col("p.min_str"), col("p.max_str"))
+  }
+
   /** Gap-based sessionization — the canonical event-pipeline operator:
     * within each entity, a new session starts when the gap to the
     * previous event exceeds `gapSec`. Two stacked windows on the SAME
@@ -107,6 +143,20 @@ object Relational {
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 
+  /** Salted equi-join of a skew-keyed big side against a
+    * too-big-to-broadcast small side: the big side's rows get a
+    * deterministic salt in [0, saltBuckets), the small side is
+    * replicated once per salt value, and the join key becomes
+    * (keys, salt) — a hot key's rows spread over `saltBuckets` reducers
+    * instead of one. Result is row-identical to the unsalted join for
+    * join types that preserve each small-side row at most once per big
+    * match (inner/left/semi/anti on the big side); right and full outer
+    * are rejected — replication would emit `saltBuckets` null-padded
+    * copies of an unmatched small-side row.
+    * The salt hashes the whole row (a monotonic id would break
+    * determinism under task retries). Use when AQE's skew split can't
+    * apply (shuffled-hash joins, bucketed tables) — broadcast the small
+    * side instead whenever it fits. */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")

@@ -302,6 +302,63 @@ object TextAnalysis {
         col("tf"), (col("score_fp").cast("double") / 1e6).as("tfidf"))
   }
 
+  /** Okapi BM25 ranked retrieval over the corpus — the keyword-search
+    * complement to the embedding paths in [[graft.operators.Similarity]]:
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    * the standard smoothed idf `ln((N−df+0.5)/(df+0.5)+1)` (always > 0).
+    *
+    * Determinism contract (driver-hash-stable): idf quantizes to µnat
+    * BIGINTs; `avgdl = Σdl/N` is one double division of two exact
+    * BIGINTs; each per-term score is a fixed-shape double expression
+    * quantized to `⌊score·10⁶⌋` BEFORE the per-doc sum, so the sum is
+    * exact integer arithmetic — order-free under any partitioning — and
+    * the final ranking (score desc, doc_id) is total.
+    *
+    * Scale shape: the corpus-wide token explode is filtered to the query
+    * vocabulary BEFORE any shuffle (a handful of literal terms → the
+    * grouped frames are ~|query|·N_matching rows, never corpus-sized);
+    * doc lengths are a per-row projection; N/Σdl is one map-side-combined
+    * global agg broadcast back; idf (|query| rows) broadcasts into the
+    * scoring join. Returns the top `topK` rows
+    * `(doc_id, n_terms, score)`. */
+  def bm25Search(df: DataFrame, textCol: String, idCol: String,
+                 queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+                 topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Search needs at least one query term")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val docs = df.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val totals = docs.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).cast("long").as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df_docs"))
+      .crossJoin(broadcast(totals))
+      .select(col("term"),
+        round(log((col("n_docs").cast("double") - col("df_docs").cast("double") + 0.5)
+            / (col("df_docs").cast("double") + 0.5) + 1.0) * 1e6)
+          .cast("long").as("idf_fp"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    tf.join(broadcast(idf), "term")
+      .withColumn("score_term_fp",
+        floor((col("idf_fp").cast("double") / 1e6)
+          * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double")
+             + lit(k1) * (lit(1.0 - b) + lit(b)
+               * (col("dl").cast("double") / col("avgdl"))))
+          * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("score_term_fp").as("score_fp"),
+        count(lit(1)).cast("long").as("n_terms"))
+      .select(col("doc_id"), col("n_terms"),
+        (col("score_fp").cast("double") / 1e6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Interpolated bigram-LM scoring — one step closer to the KenLM
     * perplexity filter than [[unigramLogProb]]: position 0 scores under
     * the unigram model, every later position under

@@ -90,6 +90,33 @@ object StreamingPipelines {
         col("open"), col("high"), col("low"), col("close"),
         col("volume"), col("n_ticks"))
 
+  /** Watermarked SESSION windows over an event stream — the streaming
+    * flavor of [[graft.operators.Relational.sessionize]], on Spark's
+    * native `session_window` state machine: events within `gap` of each
+    * other merge into one growing session per key (ACROSS micro-batches,
+    * via the state store); the watermark closes a session once event
+    * time passes its end+gap, emits it downstream (append mode emits
+    * closed sessions only), and evicts its state — so state is bounded
+    * by the number of OPEN sessions, never by history. Emits one row per
+    * closed session: keys, session start/end (the merged window), event
+    * count, and epoch-µs bounds/duration matching the batch operator's
+    * output convention. */
+  def sessionWindows(stream: DataFrame, keys: Seq[String], tsCol: String,
+                     gap: String = "30 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy((keys.map(col) :+
+        session_window(col(tsCol), gap).as("session")): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col(tsCol))).as("start_us"),
+        max(unix_micros(col(tsCol))).as("end_us"))
+      .select(keys.map(col) ++ Seq(
+        col("session.start").as("session_start"),
+        col("session.end").as("session_end"),
+        col("n_events"), col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us")): _*)
+
   // ------------------------------------------------------------------
   // ST3: stateful chunk-carry TA — flatMapGroupsWithState port of
   // StatefulTAProcessor (`adi/app/features/processors/stateful_processor

@@ -1054,6 +1054,52 @@ class OpsSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("vec_id", "cluster_id", "keep") && empty.count() == 0)
   }
 
+  test("profile: per-column nulls/distinct/min-max across type families") {
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val df = Seq(
+      (1L, Some(2.5), "b", Some(ts(100)), Some(true)),
+      (2L, None, "a", Some(ts(50)), Some(false)),
+      (3L, Some(2.5), null.asInstanceOf[String], None, None)
+    ).toDF("id", "x", "s", "t", "flag")
+    val p = Relational.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("id", "x", "s", "t", "flag"))
+    assert(p.values.forall(_.getLong(1) == 3L), "n_rows on every row")
+    val x = p("x")
+    assert(x.getLong(2) == 1L && x.getLong(3) == 1L &&
+      x.getDouble(4) == 2.5 && x.getDouble(5) == 2.5 && x.isNullAt(6))
+    val s = p("s")
+    assert(s.getLong(2) == 1L && s.getLong(3) == 2L &&
+      s.isNullAt(4) && s.getString(6) == "a" && s.getString(7) == "b")
+    val t0 = p("t")
+    assert(t0.getLong(2) == 1L && t0.getDouble(4) == 50e6 && t0.getDouble(5) == 100e6,
+      "timestamps profile on the epoch-us scale")
+    val f = p("flag")
+    assert(f.getLong(3) == 2L && f.getDouble(4) == 0.0 && f.getDouble(5) == 1.0)
+  }
+
+  test("bm25Search: closed-form scores, rare-term dominance, topK cut") {
+    val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "y y y y"))
+      .toDF("doc_id", "text")
+    // N=3, avgdl=3; df(x)=2 → idf = ln((3-2+0.5)/(2+0.5)+1) = ln(1.6)
+    val idf = math.round(math.log(1.6) * 1e6) / 1e6
+    val out = TextAnalysis.bm25Search(docs, "text", "doc_id", Seq("x"))
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "only x-bearing docs score; higher tf at same-ish dl ranks first")
+    val s1 = math.floor(idf * (2.0 * 2.2) / (2.0 + 1.2 * (0.25 + 0.75 * (3.0 / 3.0))) * 1e6) / 1e6
+    val s2 = math.floor(idf * (1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * (2.0 / 3.0))) * 1e6) / 1e6
+    assert(out(0).getAs[Double]("score") == s1 && out(1).getAs[Double]("score") == s2,
+      s"fixed-point scores must be exact, got ${out.toSeq}")
+    // multi-term: doc 1 matches both terms, its per-term scores sum
+    val multi = TextAnalysis.bm25Search(docs, "text", "doc_id", Seq("x", "y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi(1L) == 2L && multi(2L) == 1L && multi(3L) == 1L)
+    // topK truncates the ranking, not the scoring
+    assert(TextAnalysis.bm25Search(docs, "text", "doc_id", Seq("x", "y"), topK = 1)
+      .count() == 1)
+  }
+
   test("kmeansAssign: Lloyd rounds actually move the boundary; nulls pass through") {
     // init centroids = ids 0,1 (both near the x-axis). Round 1 sends
     // {1,2,3} to cell 1, whose mean swings toward the y-axis — so round

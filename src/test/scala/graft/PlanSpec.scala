@@ -64,6 +64,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sessionize costs one keyed exchange; its windows and agg share it") {
+    val plan = planOf(SparkEntry.queries("q_sessionize")(spark, sfDir))
+    // both stacked windows and the session groupBy hash-partition on
+    // user_id — the plan must not re-shuffle between them (the final
+    // orderBy's range exchange is presentation, not operator cost)
+    val hashEx = "hashpartitioning\\(([^,]+),".r
+      .findAllMatchIn(plan).map(_.group(1).trim).toList
+    assert(hashEx.nonEmpty && hashEx.size <= 1,
+      s"sessionize should reuse ONE user_id hash exchange, got $hashEx")
+    assert(hashEx.forall(_.contains("user_id")), s"unkeyed exchange: $hashEx")
+    val specs = "windowspecdefinition\\(([^,]+),".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id")),
+      s"sessionize window must key on the entity: $specs")
+  }
+
+  test("bm25Search: corpus explode filters to the query vocabulary before any exchange") {
+    val df = Seq((1L, "x y"), (2L, "y z")).toDF("doc_id", "text")
+    val plan = planOf(graft.operators.TextAnalysis.bm25Search(
+      df, "text", "doc_id", Seq("x")))
+    // the idf/avgdl side must broadcast into the scoring join — the
+    // per-term frame is |query| rows, a shuffle there would be absurd
+    assert(plan.contains("BroadcastExchange"),
+      s"idf frame not broadcast:\n${plan.take(1200)}")
+    // no document text/token array may enter a hash exchange: the explode
+    // is filtered to literal terms first, so shuffles carry only
+    // (doc_id, dl, term) skinny rows
+    val exchanged = exchanges(plan)
+    assert(exchanged.forall { case (args, input) =>
+      !(args + input).contains("toks") && !(args + input).contains("text") },
+      s"document bodies in a shuffle: $exchanged")
+  }
+
   test("knnBrute broadcasts the 1-row query side") {
     val df = (0 until 100).map(i =>
       (i.toLong, Array.tabulate(8)(j => (i + j).toFloat))).toDF("vec_id", "embedding")

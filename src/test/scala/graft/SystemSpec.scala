@@ -266,6 +266,44 @@ class SystemSpec extends SparkSpec {
       graft.streaming.TickerSource.bar("BTC-USDT", 0L)._1)
   }
 
+  test("streaming session windows: cross-batch merge, watermark closes and emits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingPipelines.sessionWindows(
+        mem.toDF().toDF("user_id", "ts"), Seq("user_id"), "ts",
+        gap = "60 seconds", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1 opens two sessions; batch 2 EXTENDS user 1's (t=15 merges
+      // into [0,10] — cross-batch state) and advances the watermark far
+      // past both; batch 3 triggers the emission of the closed sessions
+      mem.addData((1L, ts(0)), (1L, ts(10)), (2L, ts(5)))
+      q.processAllAvailable()
+      mem.addData((1L, ts(15)), (9L, ts(10000)))
+      q.processAllAvailable()
+      mem.addData((9L, ts(20000)))
+      q.processAllAvailable()
+      val out = spark.table("sessions").orderBy("user_id").collect()
+      assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 9L),
+        s"exactly the watermark-closed sessions emit, got ${out.toSeq}")
+      val u1 = out(0)
+      assert(u1.getAs[Long]("n_events") == 3L,
+        "the batch-2 event must merge into the batch-1 session")
+      assert(u1.getAs[Long]("start_us") == 0L && u1.getAs[Long]("end_us") == 15000000L &&
+        u1.getAs[Long]("duration_us") == 15000000L)
+      assert(out(1).getAs[Long]("n_events") == 1L &&
+        out(1).getAs[Long]("duration_us") == 0L)
+      // user 9's t=20000 session is still OPEN (nothing advanced the
+      // watermark past it) — it must NOT have emitted
+      assert(out(2).getAs[Long]("start_us") == 10000L * 1000000L &&
+        out.forall(_.getAs[Long]("start_us") != 20000L * 1000000L))
+    } finally q.stop()
+  }
+
   test("scheduler: two ticks of a cadenced backfill fill a temp store (ST4/ST8)") {
     val store = new FeatureStore(spark, tmp())
     val full = ohlcvRamp(30)
