@@ -1537,6 +1537,52 @@ object Queries {
       FROM c GROUP BY user_id, session_id
       ORDER BY user_id, session_id"""))
 
+  // Efraimidis–Spirakis weighted sampling without replacement, weighted
+  // by n_chars: rank key = µnat-quantized ln(u)/w with u from the
+  // portable 48-bit id hash — top-100 is the exact weighted draw, and
+  // the (key desc, doc_id) order is total in both engines.
+  private val qWeightedSample = QDef(
+    "q_weighted_sample",
+    (s, dir) => TextAnalysis.weightedSample(t(s, dir, "documents"),
+        "doc_id", "n_chars", k = 100)
+      .select("doc_id", "n_chars", "sample_key"),
+    Some("""
+      WITH h AS (
+        SELECT doc_id, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsamp'), 1, 12)) AS BIGINT) AS h48
+        FROM documents),
+      k AS (
+        SELECT doc_id, n_chars,
+               CAST(round(ln((CAST(h48 AS DOUBLE) + 1.0) / 281474976710656.0) * 1e6) AS BIGINT) AS lnu_fp
+        FROM h)
+      SELECT doc_id, n_chars,
+             CAST(lnu_fp AS DOUBLE) / CAST(n_chars AS DOUBLE) AS sample_key
+      FROM k ORDER BY sample_key DESC, doc_id LIMIT 100"""))
+
+  // Corpus collocations: adjacent-bigram PMI over exact integer count
+  // ratios, µnat-quantized before ranking. minCount=5 floors support;
+  // the 31-term synthetic vocab still separates structure from noise.
+  private val qCollocations = QDef(
+    "q_collocations",
+    (s, dir) => TextAnalysis.collocations(t(s, dir, "documents"),
+        "text", "doc_id", minCount = 5L, topK = 20),
+    Some(raw"""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents),
+      p AS (SELECT toks[CAST(i AS INT)] AS prev, toks[CAST(i + 1 AS INT)] AS cur
+            FROM (SELECT doc_id, toks, unnest(range(1, CAST(len(toks) AS BIGINT))) AS i
+                  FROM d WHERE len(toks) >= 2)),
+      bi AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c_pair FROM p GROUP BY prev, cur),
+      l AS (SELECT prev, CAST(SUM(c_pair) AS BIGINT) AS c_left FROM bi GROUP BY prev),
+      r AS (SELECT cur, CAST(SUM(c_pair) AS BIGINT) AS c_right FROM bi GROUP BY cur),
+      nb AS (SELECT CAST(SUM(c_pair) AS BIGINT) AS n_bi FROM bi)
+      SELECT bi.prev || ' ' || bi.cur AS bigram, bi.c_pair AS pair_count,
+             CAST(CAST(round(ln((CAST(n_bi AS DOUBLE) * CAST(bi.c_pair AS DOUBLE))
+               / (CAST(c_left AS DOUBLE) * CAST(c_right AS DOUBLE))) * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS pmi
+      FROM bi JOIN l USING (prev) JOIN r USING (cur) CROSS JOIN nb
+      WHERE bi.c_pair >= 5
+      ORDER BY pmi DESC, bigram LIMIT 20"""))
+
   /** One profile row in the oracle: global stats for `colName`, with the
     * min/max slots filled by family (num / ts-as-epoch-µs / str). */
   private def profileBlockSql(colName: String, kind: String): String = {
@@ -2353,6 +2399,7 @@ object Queries {
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qTfidfTerms,
     qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qProfile,
+    qWeightedSample, qCollocations,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
   )

@@ -302,6 +302,80 @@ object TextAnalysis {
         col("tf"), (col("score_fp").cast("double") / 1e6).as("tfidf"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis A-ES, Inf. Process. Lett. 97(5), 2006): each
+    * row draws u ∈ (0,1] from the portable 48-bit hash of its id and
+    * ranks by ln(u)/w — the top `k` keys are exactly a weighted sample
+    * without replacement. The training-data use is mixture draws:
+    * sample a fixed token budget biased by quality/length weights,
+    * reproducibly (same corpus + salt → same sample, no RNG state, no
+    * seed-per-partition hazards).
+    *
+    * Determinism: u is exact integer arithmetic over the md5 hash;
+    * `ln(u)` quantizes to µnat BIGINTs (the engine's libm rule), and
+    * the rank key is one exact-int double division `lnu_fp / w` — so
+    * the (key desc, id) order is total and engine-independent.
+    *
+    * Scale shape: a pure per-row projection followed by a global top-k
+    * (TakeOrdered — per-partition heaps, never a full sort). Weights
+    * must be positive; null/non-positive weights fail fast rather than
+    * silently skewing the draw. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String = "wsamp"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = tokenHash48(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val u = (h.cast("double") + 1.0) / lit(281474976710656.0) // 2^48
+    val lnuFp = round(log(u) * 1e6).cast("long")
+    val w = col(weightCol).cast("double")
+    val key = lnuFp.cast("double") / w
+    df.withColumn("_w", w)
+      .withColumn("sample_key",
+        when(col("_w").isNull || col("_w") <= 0.0,
+          raise_error(concat(lit(s"weightedSample: non-positive weight in '$weightCol' for id "),
+            col(idCol).cast("string")))).otherwise(key))
+      .drop("_w")
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Collocation mining — corpus-level adjacent-bigram PMI (pointwise
+    * mutual information), the classic phrase-detection pass (Mikolov et
+    * al. 2013 phrase2vec style) run before tokenizer/vocab decisions:
+    * PMI(a,b) = ln(N_bi · c(a,b) / (c₁(a) · c₂(b))) over adjacent pairs,
+    * where c₁/c₂ count a token's occurrences as bigram left/right — so
+    * ln arguments are exact integer ratios (quantized to µnat BIGINTs),
+    * and the (pmi desc, bigram) ranking is total. `minCount` floors
+    * pair support (PMI of rare pairs is noise).
+    *
+    * Scale shape: identical to [[bigramLogProb]]'s — bigram pairs are
+    * skinny `(prev, cur)` rows with map-side-combined counts; the two
+    * marginal joins are broadcastable (vocab-sized). Returns the top
+    * `topK` `(bigram, pair_count, pmi)`. */
+  def collocations(df: DataFrame, textCol: String, idCol: String,
+                   minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 2)
+    val pairs = toks.select(posexplode(col("toks")).as(Seq("i", "cur")),
+        col("toks"))
+      .where(col("i") >= 1)
+      .select(element_at(col("toks"), col("i")).as("prev"), col("cur"))
+    val bi = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("c_pair"))
+    val left = bi.groupBy("prev").agg(sum("c_pair").as("c_left"))
+    val right = bi.groupBy("cur").agg(sum("c_pair").as("c_right"))
+    val nBi = bi.agg(sum("c_pair").as("n_bi"))
+    bi.where(col("c_pair") >= minCount)
+      .join(broadcast(left), "prev")
+      .join(broadcast(right), "cur")
+      .crossJoin(broadcast(nBi))
+      .select(concat(col("prev"), lit(" "), col("cur")).as("bigram"),
+        col("c_pair").as("pair_count"),
+        (round(log((col("n_bi").cast("double") * col("c_pair").cast("double"))
+          / (col("c_left").cast("double") * col("c_right").cast("double"))) * 1e6)
+          .cast("long").cast("double") / 1e6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** Okapi BM25 ranked retrieval over the corpus — the keyword-search
     * complement to the embedding paths in [[graft.operators.Similarity]]:
     * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with

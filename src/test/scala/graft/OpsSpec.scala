@@ -1054,6 +1054,45 @@ class OpsSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("vec_id", "cluster_id", "keep") && empty.count() == 0)
   }
 
+  test("weightedSample: dominant weight always drawn, proportionality holds, bad weights fail fast") {
+    val docs = (1L to 1000L).map(i => (i, if (i <= 100) 900L else 1L))
+      .toDF("doc_id", "w")
+    // ln(u)/w → 0⁻ as w grows: a row with overwhelming weight is a
+    // near-certain draw — the 100 ids with w=900 hold ~99% of the total
+    // weight, so a k=100 sample should be nearly all of them
+    val got = TextAnalysis.weightedSample(docs, "doc_id", "w", k = 100)
+      .collect().map(_.getLong(0))
+    val heavy = got.count(_ <= 100L)
+    assert(heavy >= 90, s"expected the heavy stratum to dominate, got $heavy/100")
+    // deterministic: the same draw twice, element-for-element
+    val again = TextAnalysis.weightedSample(docs, "doc_id", "w", k = 100)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == again.toSeq)
+    // non-positive weight is an error, not a silent skew
+    val bad = Seq((1L, 0L)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      TextAnalysis.weightedSample(bad, "doc_id", "w", k = 1).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("non-positive weight"))
+  }
+
+  test("collocations: exact PMI closed form, minCount floor, tie-break") {
+    val docs = ((1L to 10L).map(i => (i, "new york")) ++
+      (11L to 20L).map(i => (i, "a b"))).toDF("doc_id", "text")
+    // 20 bigrams total: 10 (new,york) + 10 (a,b); both have
+    // pmi = ln(20·10/(10·10)) = ln 2; ties order by bigram string
+    val out = TextAnalysis.collocations(docs, "text", "doc_id",
+      minCount = 5L, topK = 20).collect()
+    val ln2 = math.round(math.log(2.0) * 1e6) / 1e6
+    assert(out.map(_.getString(0)).toSeq == Seq("a b", "new york"))
+    assert(out.forall(r => r.getLong(1) == 10L && r.getDouble(2) == ln2),
+      s"closed-form PMI mismatch: ${out.toSeq}")
+    // a pair under the support floor disappears
+    val floored = TextAnalysis.collocations(docs, "text", "doc_id",
+      minCount = 11L, topK = 20)
+    assert(floored.count() == 0)
+  }
+
   test("profile: per-column nulls/distinct/min-max across type families") {
     def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
     val df = Seq(
