@@ -1301,6 +1301,116 @@ object Queries {
       WHERE c.component IS NULL OR c.component = doc.doc_id
       ORDER BY doc.doc_id"""))
 
+  /** Quality-aware canonicalization: same pair graph and components as
+    * q_canonicalize, but each cluster's survivor is its LONGEST member
+    * (ties: lowest id) — the keep-the-best-copy production policy. The
+    * oracle reuses the recursive-CTE closure and elects per-component
+    * with a window. */
+  private val qCanonicalizeBest = QDef(
+    "q_canonicalize_best",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardSimilarityJoin(docs, "text", "doc_id",
+        shingleN = 3, threshold = 0.8)
+      Dedup.canonicalizeBest(docs, pairs, "doc_id", "n_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+               END AS s
+        FROM d),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+              / NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0) >= 0.8),
+      e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+      reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+      m AS (SELECT doc.doc_id, doc.lang, doc.n_chars,
+                   COALESCE(c.component, doc.doc_id) AS comp
+            FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.doc_id),
+      r AS (SELECT doc_id, lang, n_chars,
+                   row_number() OVER (PARTITION BY comp ORDER BY n_chars DESC, doc_id) AS rk
+            FROM m)
+      SELECT doc_id, lang, n_chars FROM r WHERE rk = 1 ORDER BY doc_id"""))
+
+  // Boilerplate LINE removal: both engines plant line structure (a
+  // newline every 8 tokens) plus a shared footer on every 3rd doc
+  // (~167 docs at sf0.01 ≥ minDf 50 → the footer is removed from ALL
+  // of them, organic df≈2 lines survive).
+  private val qLineDedup = QDef(
+    "q_line_dedup",
+    (s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("t",
+        concat(
+          regexp_replace(col("text"), "((?:\\S+ ){8})", "$1\n"),
+          when(col("doc_id") % 3 === 0,
+            lit("\nshared footer boilerplate line")).otherwise(lit(""))))
+      TextAnalysis.lineDedup(planted, "t", "doc_id", minDf = 50L)
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+      WITH p AS (
+        SELECT doc_id,
+               regexp_replace(text, '((?:\S+ ){8})', '\1' || chr(10), 'g')
+               || CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) || 'shared footer boilerplate line'
+                       ELSE '' END AS t
+        FROM documents),
+      l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+                   generate_subscripts(string_split(t, chr(10)), 1) AS idx
+            FROM p),
+      c AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM l GROUP BY line),
+      k AS (SELECT l.doc_id, l.line, l.idx FROM l JOIN c USING (line) WHERE line_df < 50),
+      r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY idx) AS text_clean
+            FROM k GROUP BY doc_id),
+      nl AS (SELECT doc_id, CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines FROM p)
+      SELECT nl.doc_id, nl.n_lines,
+             nl.n_lines - COALESCE(r.n_kept, 0) AS n_removed,
+             COALESCE(r.text_clean, '') AS text_clean
+      FROM nl LEFT JOIN r USING (doc_id) ORDER BY nl.doc_id"""))
+
+  // Windowed funnel signup → click → purchase with a 1-day window from
+  // the anchor: earliest-anchor semantics, per-user depth reached.
+  private val qFunnel = QDef(
+    "q_funnel",
+    (s, dir) => Relational.funnel(t(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"), withinSec = 86400L)
+      .orderBy("user_id"),
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      f1 AS (SELECT user_id, CAST(min(us) AS BIGINT) AS t1
+             FROM e WHERE event_type = 'signup' GROUP BY user_id),
+      f2 AS (SELECT f1.user_id, f1.t1,
+                    CAST(min(CASE WHEN e.us > f1.t1 AND e.us <= f1.t1 + 86400000000
+                                  THEN e.us END) AS BIGINT) AS t2
+             FROM f1 LEFT JOIN e ON e.user_id = f1.user_id AND e.event_type = 'click'
+             GROUP BY f1.user_id, f1.t1),
+      f3 AS (SELECT f2.user_id, f2.t1, f2.t2,
+                    CAST(min(CASE WHEN e.us > f2.t2 AND e.us <= f2.t1 + 86400000000
+                                  THEN e.us END) AS BIGINT) AS t3
+             FROM f2 LEFT JOIN e ON e.user_id = f2.user_id AND e.event_type = 'purchase'
+             GROUP BY f2.user_id, f2.t1, f2.t2)
+      SELECT user_id, t1, t2, t3,
+             CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_level
+      FROM f3 ORDER BY user_id"""))
+
   /** Gopher-style repetition/boilerplate metrics: duplicate-line fraction
     * and most-frequent-bigram share, relationally (explode → count →
     * max; no per-doc quadratic lambdas). */
@@ -2399,7 +2509,7 @@ object Queries {
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qTfidfTerms,
     qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qProfile,
-    qWeightedSample, qCollocations,
+    qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
   )

@@ -750,6 +750,28 @@ object Dedup {
       .drop("component")
   }
 
+  /** Quality-aware canonicalization: like [[canonicalize]], but the
+    * surviving member of each near-dup cluster is the one with the
+    * HIGHEST `scoreCol` (ties: lowest id) rather than the lowest id —
+    * the production dedup policy (keep the best copy of the page, not
+    * an arbitrary one). Singletons (never paired) survive untouched.
+    *
+    * Scale shape: components from the same hash-min propagation as
+    * [[canonicalize]]; the election is one row_number window
+    * partitioned by component — cluster-sized partitions (bounded by
+    * the near-dup cluster size, not the corpus), one shuffle. */
+  def canonicalizeBest(df: DataFrame, pairs: DataFrame, idCol: String,
+                       scoreCol: String): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val joined = df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(coalesce(col("component"), col(idCol)))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    joined.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1)
+      .drop("_rk", "component")
+  }
+
   /** Label-FREE embedding near-dup: random-hyperplane LSH blocking (any
     * shared (table, sig) bucket) replaces the label blocks, so no O(n²)
     * within-block pair explosion and no dependency on having labels at

@@ -143,6 +143,49 @@ object Relational {
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 
+  /** Windowed funnel analysis over an event stream — "how far down
+    * signup → click → purchase does each user get, within `withinSec`
+    * of their first step?" Earliest-anchor semantics, fully
+    * deterministic: t₁ is the user's EARLIEST step-1 event; each later
+    * tᵢ is the earliest step-i event strictly after tᵢ₋₁ and within the
+    * window of t₁; a missing step nulls every later step.
+    * `funnel_level` = how many steps completed (≥1 by construction —
+    * only users with a step-1 anchor appear; left-join the user
+    * universe for zero-level rows).
+    *
+    * Scale shape: per step one filtered scan (`typeCol` equality pushes
+    * to the source) + one keyed aggregation — rows entering each round
+    * are only that step's events, the accumulator stays one row per
+    * anchored user, and nothing ever fans out quadratically (the
+    * candidate join is user-keyed, pruned by the min aggregate in the
+    * same stage). Steps are sequential rounds like [[graft.operators.Dedup.connectedComponents]]'
+    * propagation — O(|steps|) stages, each shuffle-bounded by the
+    * step's event count. */
+  def funnel(df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+             steps: Seq[String], withinSec: Long): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs ≥2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(withinSec > 0, s"withinSec must be positive, got $withinSec")
+    val ev = df.select(col(userCol).as("user_id"), col(typeCol).as("_et"),
+      unix_micros(col(tsCol)).as("_us"))
+    var acc = ev.filter(col("_et") === steps.head)
+      .groupBy("user_id").agg(min("_us").as("t1"))
+    for (i <- 2 to steps.size) {
+      val si = ev.filter(col("_et") === steps(i - 1))
+        .select(col("user_id"), col("_us").as("_si"))
+      val prev = (1 until i).map(j => s"t$j")
+      acc = acc.join(si, Seq("user_id"), "left")
+        .groupBy("user_id", prev: _*)
+        .agg(min(when(col("_si") > col(s"t${i - 1}") &&
+          col("_si") <= col("t1") + lit(withinSec * 1000000L),
+          col("_si"))).as(s"t$i"))
+    }
+    val level = steps.indices
+      .map(i => when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    acc.withColumn("funnel_level", level)
+  }
+
   /** Salted equi-join of a skew-keyed big side against a
     * too-big-to-broadcast small side: the big side's rows get a
     * deterministic salt in [0, saltBuckets), the small side is

@@ -302,6 +302,46 @@ object TextAnalysis {
         col("tf"), (col("score_fp").cast("double") / 1e6).as("tfidf"))
   }
 
+  /** Corpus-level boilerplate LINE removal (the CCNet/RefinedWeb
+    * pre-dedup pass): a line appearing in ≥ `minDf` DISTINCT documents
+    * is boilerplate (headers, footers, cookie banners) and is dropped
+    * from EVERY document — unlike [[segmentDedup]]'s keep-first policy,
+    * no copy survives; the first crawl of a template page is as
+    * polluted as the millionth. Documents are then rebuilt in original
+    * line order.
+    *
+    * Scale shape: the document-frequency count shuffles 8-byte line
+    * hashes, never line text; the hot-line set is tiny by construction
+    * (≤ n_lines/minDf entries) and broadcast-anti-joins away; the
+    * rebuild groups each doc's own surviving lines (one shuffle keyed
+    * by doc). Returns `(doc_id, n_lines, n_removed, text_clean)` for
+    * every input doc — zero-line docs come back with empty text, not
+    * dropped. */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+                minDf: Long = 50L): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would drop every line, got $minDf")
+    val lines = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+      .withColumn("h", xxhash64(col("line")))
+    val hot = lines.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("line_df"))
+      .where(col("line_df") >= minDf)
+      .select("h")
+    val kept = lines.join(broadcast(hot), Seq("h"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("idx"), col("line")))),
+          s => s.getField("line"))).as("text_clean"))
+    df.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement
     * (Efraimidis–Spirakis A-ES, Inf. Process. Lett. 97(5), 2006): each
     * row draws u ∈ (0,1] from the portable 48-bit hash of its id and

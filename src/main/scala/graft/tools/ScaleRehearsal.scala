@@ -171,6 +171,50 @@ object ScaleRehearsal {
         "(mass handled by exactDedup; corpus-cost bound regardless of N)")
     }
 
+    // Round-5 operator additions. k-means: per-round cost is one codegen
+    // projection + a skinny (cell,pos,fx) shuffle, so wall-clock must
+    // stay ~linear in n even as k grows with the corpus. BM25: the
+    // corpus-side cost is tokenize+explode+filter (linear scan work) —
+    // the scoring frames stay query-vocabulary-sized at ANY corpus size.
+    // Sessionize: one keyed shuffle over the event stream.
+    if (sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_NEWOPS", "1") != "0") {
+      import graft.operators.{Relational, Similarity, TextAnalysis}
+      for (n <- Seq(2000, 20000, 60000)) {
+        val k = math.max(8, n / 1000)
+        val vecs = spark.range(n.toLong).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            d => sin(col("id") * lit(0.7) + d.cast("double")).cast("float"))
+            .as("embedding"))
+          .repartition(32)
+        val (cells, t) = timed {
+          Similarity.kmeansAssign(vecs, "embedding", "vec_id", k = k, iters = 2)
+            .select("cluster_id").distinct().count()
+        }
+        System.err.println(
+          f"[rehearsal] kmeans n=$n%-6d k=$k%-4d cells=$cells%-4d ${t}%5.1fs")
+      }
+      for (m <- Seq(1, mults.max)) {
+        val docs = spark.read.parquet(s"$outBase/docs_x$m")
+        val (hits, t) = timed {
+          TextAnalysis.bm25Search(docs, "text", "doc_id",
+            Seq("dup", "spark", "window"), topK = 20).count()
+        }
+        System.err.println(f"[rehearsal] bm25 x$m%-3d hits=$hits%-3d ${t}%5.1fs")
+      }
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("ts"))
+      for (m <- Seq(1, mults.max)) {
+        val rep = (0 until m).map(r => ev.select(
+            (col("user_id") + lit(r * 10000000L)).as("user_id"), col("ts")))
+          .reduce(_ unionByName _)
+        val (sessions, t) = timed {
+          Relational.sessionize(rep, Seq("user_id"), "ts", gapSec = 30000L).count()
+        }
+        System.err.println(f"[rehearsal] sessionize x$m%-3d sessions=$sessions%-7d ${t}%5.1fs")
+      }
+    }
+
     def j(v: Any): String = v match {
       case s: String => "\"" + s + "\""
       case d: Double => f"$d%.2f"

@@ -1054,6 +1054,72 @@ class OpsSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("vec_id", "cluster_id", "keep") && empty.count() == 0)
   }
 
+  test("canonicalizeBest keeps the highest-score copy; singletons untouched; ties to low id") {
+    val docs = Seq(
+      (1L, "a b c d e f g h", 8L),    // near-dup of 2, shorter
+      (2L, "a b c d e f g h i", 9L),  // longer — must survive over 1
+      (3L, "z y x w v u t s", 8L),    // singleton
+      (4L, "p q r s t u v w", 8L),    // near-dup of 5, same score → low id wins
+      (5L, "p q r s t u v w", 8L)
+    ).toDF("doc_id", "text", "n_chars")
+    val pairs = Dedup.jaccardSimilarityJoin(docs, "text", "doc_id",
+      shingleN = 3, threshold = 0.7)
+    val kept = Dedup.canonicalizeBest(docs, pairs, "doc_id", "n_chars")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L),
+      s"expected best-copy survivors {2,3,4}, got $kept")
+    // contrast: min-id policy keeps 1, not 2
+    val minId = Dedup.canonicalize(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 3L, 4L))
+  }
+
+  test("lineDedup drops corpus-hot lines from every doc, preserves order, keeps empty docs") {
+    val boiler = "all rights reserved"
+    val docs = Seq(
+      (1L, s"alpha\n$boiler\nbeta"),
+      (2L, s"$boiler\ngamma"),
+      (3L, s"delta\n$boiler"),
+      (4L, boiler), // ONLY boilerplate → must come back empty, not vanish
+      (5L, "unique one\nunique two")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(docs, "text", "doc_id", minDf = 3L)
+      .orderBy("doc_id").collect()
+    assert(out.length == 5)
+    assert(out(0).getAs[String]("text_clean") == "alpha\nbeta" &&
+      out(0).getAs[Long]("n_removed") == 1L)
+    assert(out(1).getAs[String]("text_clean") == "gamma")
+    assert(out(2).getAs[String]("text_clean") == "delta")
+    assert(out(3).getAs[String]("text_clean") == "" &&
+      out(3).getAs[Long]("n_removed") == 1L)
+    assert(out(4).getAs[String]("text_clean") == "unique one\nunique two" &&
+      out(4).getAs[Long]("n_removed") == 0L)
+  }
+
+  test("funnel: earliest-anchor chains, missing/out-of-window/out-of-order steps") {
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val ev = Seq(
+      // user 1 completes in order within the window
+      (1L, "signup", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      // user 2: click BEFORE the signup anchor never counts
+      (2L, "click", ts(5)), (2L, "signup", ts(10)),
+      // user 3: purchase outside the window of the anchor
+      (3L, "signup", ts(0)), (3L, "click", ts(10)), (3L, "purchase", ts(5000)),
+      // user 4: no signup anchor → absent from the funnel
+      (4L, "click", ts(0)), (4L, "purchase", ts(10))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Relational.funnel(ev, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"), withinSec = 100L)
+      .orderBy("user_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0).getAs[Long]("funnel_level") == 3L &&
+      out(0).getAs[Long]("t3") == 20000000L)
+    assert(out(1).getAs[Long]("funnel_level") == 1L,
+      "a step preceding the anchor must not complete the funnel")
+    assert(out(2).getAs[Long]("funnel_level") == 2L,
+      "a step outside the anchor window must not count")
+  }
+
   test("weightedSample: dominant weight always drawn, proportionality holds, bad weights fail fast") {
     val docs = (1L to 1000L).map(i => (i, if (i <= 100) 900L else 1L))
       .toDF("doc_id", "w")
