@@ -1301,6 +1301,48 @@ object Queries {
       WHERE c.component IS NULL OR c.component = doc.doc_id
       ORDER BY doc.doc_id"""))
 
+  /** One BPE training round in the oracle: weighted pair counts over the
+    * vocab frame, argmax (n desc, a, b) with the same ≥2 support floor,
+    * then the greedy left-to-right fold rewrite (accumulator seeded by
+    * wrapping each piece — DuckDB's list_reduce has no init argument). */
+  private def bpeRoundSql(i: Int): String = {
+    val prev = if (i == 1) "w0" else s"w${i - 1}"
+    s"""
+      pc$i AS (
+        SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(c) AS BIGINT) AS n
+        FROM (SELECT unnest(list_zip(list_slice(p, 1, len(p)-1), list_slice(p, 2, len(p)))) AS pr, c
+              FROM $prev WHERE len(p) >= 2)
+        GROUP BY pr[1], pr[2]),
+      t$i AS (SELECT a, b, n FROM pc$i WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1),
+      w$i AS (
+        SELECT c, CASE WHEN len(p) < 2 THEN p ELSE
+          list_reduce(list_transform(p, x -> [x]),
+            (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
+                             THEN list_append(list_slice(acc, 1, len(acc)-1), t.a || t.b)
+                             ELSE list_append(acc, x[1]) END) END AS p
+        FROM $prev CROSS JOIN t$i t)"""
+  }
+
+  // Distributed BPE merge training, 6 rounds: the oracle unrolls each
+  // round (weighted pair count → argmax → greedy fold rewrite) over the
+  // same vocab frame. Pair counts are exact integers; the argmax
+  // tie-break (n desc, left, right) is total — both engines must learn
+  // the IDENTICAL merge table.
+  private val qBpeTrain = QDef(
+    "q_bpe_train",
+    (s, dir) => TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", merges = 6)
+      .orderBy("step"),
+    Some((raw"""
+      WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+      w0 AS (SELECT string_split(w, '') AS p, CAST(count(*) AS BIGINT) AS c
+             FROM tok WHERE w <> '' GROUP BY w),""" +
+      (1 to 6).map(bpeRoundSql).mkString(",") + raw"""
+      SELECT * FROM (""" +
+      (1 to 6).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS step, a AS "left", b AS "right", n AS pair_count FROM t$i""")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY step")))
+
   /** Quality-aware canonicalization: same pair graph and components as
     * q_canonicalize, but each cluster's survivor is its LONGEST member
     * (ties: lowest id) — the keep-the-best-copy production policy. The
@@ -2510,6 +2552,7 @@ object Queries {
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qTfidfTerms,
     qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qProfile,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
+    qBpeTrain,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
   )

@@ -302,6 +302,64 @@ object TextAnalysis {
         col("tf"), (col("score_fp").cast("double") / 1e6).as("tfidf"))
   }
 
+  /** Distributed BPE merge training (Sennrich et al. 2016, arXiv:
+    * 1508.07909) — learn the first `merges` byte-pair merges from the
+    * corpus itself, the tokenizer-construction pass of an LLM data
+    * pipeline. Classic formulation: pair statistics are counted over
+    * the DISTINCT-WORD frame weighted by word frequency (never over
+    * running text), each round takes the argmax pair (count desc, then
+    * lexicographic — fully deterministic) and greedily rewrites every
+    * word's piece sequence left-to-right.
+    *
+    * Scale shape: the corpus is touched ONCE (word count); every round
+    * then runs on the vocabulary frame — skinny (pieces, count) rows,
+    * distributed pair explode + map-side-combined weighted count + a
+    * 1-row argmax collect (metadata scale), and the rewrite is one
+    * codegen'd `aggregate` fold per word. `localCheckpoint` truncates
+    * the M-deep lambda lineage each round, exactly like the CC loop.
+    * Returns the merge table `(step, left, right, pair_count)` — the
+    * artifact a tokenizer ships. Stops early when no pair repeats. */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges > 0 && merges <= 256, s"merges out of range: $merges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col("c"), split(col("w"), "").as("pieces"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (step <- 1 to merges if !exhausted) {
+      val top = vocab.where(size(col("pieces")) >= 2)
+        .select(col("c"), explode(zip_with(
+          slice(col("pieces"), lit(1), size(col("pieces")) - 1),
+          slice(col("pieces"), lit(2), size(col("pieces")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum("c").as("n"))
+        .where(col("n") >= 2) // a pair seen once compresses nothing
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((step.toLong, a, b, n))
+        vocab = vocab.withColumn("pieces",
+          when(size(col("pieces")) < 2, col("pieces")).otherwise(
+            aggregate(
+              slice(col("pieces"), lit(2), size(col("pieces")) - 1),
+              slice(col("pieces"), lit(1), lit(1)),
+              (acc, x) => when(
+                element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                .otherwise(concat(acc, array(x))))))
+          .localCheckpoint()
+      }
+    }
+    learned.toSeq.toDF("step", "left", "right", "pair_count")
+  }
+
   /** Corpus-level boilerplate LINE removal (the CCNet/RefinedWeb
     * pre-dedup pass): a line appearing in ≥ `minDf` DISTINCT documents
     * is boilerplate (headers, footers, cookie banners) and is dropped

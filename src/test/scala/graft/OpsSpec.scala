@@ -1054,6 +1054,26 @@ class OpsSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("vec_id", "cluster_id", "keep") && empty.count() == 0)
   }
 
+  test("bpeTrain: the classic low/lower corpus learns the textbook merges, then stops") {
+    // words: low×3 lower×2 newest×1. Pair counts round 1: (l,o)=5 and
+    // (o,w)=5 tie → lexicographic tie-break picks (l,o); then (lo,w)=5;
+    // then (e,r)=2 beats (low,e)=2 lexicographically; then (low,er)=2;
+    // every remaining pair is unique (support < 2) → early stop at 4
+    // merges even though 8 were requested.
+    val docs = Seq((1L, "low low low lower lower newest")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, "text", merges = 8)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "l", "o", 5L), (2L, "lo", "w", 5L),
+      (3L, "e", "r", 2L), (4L, "low", "er", 2L)),
+      s"merge table mismatch: ${got.toSeq}")
+    // degenerate: corpus of 1-char words has no pairs at all
+    val none = TextAnalysis.bpeTrain(
+      Seq((1L, "a b a")).toDF("doc_id", "text"), "text", merges = 4)
+    assert(none.count() == 0)
+  }
+
   test("canonicalizeBest keeps the highest-score copy; singletons untouched; ties to low id") {
     val docs = Seq(
       (1L, "a b c d e f g h", 8L),    // near-dup of 2, shorter
