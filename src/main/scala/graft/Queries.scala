@@ -1315,7 +1315,7 @@ object Queries {
         GROUP BY pr[1], pr[2]),
       t$i AS (SELECT a, b, n FROM pc$i WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1),
       w$i AS (
-        SELECT c, CASE WHEN len(p) < 2 THEN p ELSE
+        SELECT w, c, CASE WHEN len(p) < 2 THEN p ELSE
           list_reduce(list_transform(p, x -> [x]),
             (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
                              THEN list_append(list_slice(acc, 1, len(acc)-1), t.a || t.b)
@@ -1334,7 +1334,7 @@ object Queries {
       .orderBy("step"),
     Some((raw"""
       WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
-      w0 AS (SELECT string_split(w, '') AS p, CAST(count(*) AS BIGINT) AS c
+      w0 AS (SELECT w, string_split(w, '') AS p, CAST(count(*) AS BIGINT) AS c
              FROM tok WHERE w <> '' GROUP BY w),""" +
       (1 to 6).map(bpeRoundSql).mkString(",") + raw"""
       SELECT * FROM (""" +
@@ -1342,6 +1342,27 @@ object Queries {
         s"""SELECT CAST($i AS BIGINT) AS step, a AS "left", b AS "right", n AS pair_count FROM t$i""")
         .mkString(" UNION ALL ") +
       ") ORDER BY step")))
+
+  // Train-then-tokenize end to end: learn the 6-merge tokenizer from the
+  // corpus, then measure every doc's token count under it. The apply
+  // step is a (doc_id, w) join against the trained vocab frame — the
+  // oracle reuses the 6 unrolled rounds and joins w6.
+  private val qBpeTokenize = QDef(
+    "q_bpe_tokenize",
+    (s, dir) => TextAnalysis.bpeTokenize(t(s, dir, "documents"),
+        "text", "doc_id", merges = 6)
+      .orderBy("doc_id"),
+    Some((raw"""
+      WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+      w0 AS (SELECT w, string_split(w, '') AS p, CAST(count(*) AS BIGINT) AS c
+             FROM tok WHERE w <> '' GROUP BY w),""" +
+      (1 to 6).map(bpeRoundSql).mkString(",") + raw""",
+      cnt AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(SUM(len(w6.p)) AS BIGINT) AS n_pieces
+              FROM tok t JOIN w6 ON t.w = w6.w GROUP BY t.doc_id)
+      SELECT d.doc_id, COALESCE(cnt.n_words, 0) AS n_words,
+             COALESCE(cnt.n_pieces, 0) AS n_pieces
+      FROM documents d LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""")))
 
   /** Quality-aware canonicalization: same pair graph and components as
     * q_canonicalize, but each cluster's survivor is its LONGEST member
@@ -2552,7 +2573,7 @@ object Queries {
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qTfidfTerms,
     qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qProfile,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
-    qBpeTrain,
+    qBpeTrain, qBpeTokenize,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
   )

@@ -320,13 +320,45 @@ object TextAnalysis {
     * Returns the merge table `(step, left, right, pair_count)` — the
     * artifact a tokenizer ships. Stops early when no pair repeats. */
   def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
-    require(merges > 0 && merges <= 256, s"merges out of range: $merges")
     val spark = df.sparkSession
     import spark.implicits._
+    bpeTrainVocab(df, textCol, merges)._2
+      .toDF("step", "left", "right", "pair_count")
+  }
+
+  /** Train + tokenize in one pass: learn `merges` BPE merges from the
+    * corpus ([[bpeTrain]]) and measure every document under the learned
+    * tokenizer. The final vocab frame already holds each distinct
+    * word's piece sequence, so the apply step is a skinny (doc_id, w)
+    * join against it — the corpus text is never re-folded. Returns
+    * `(doc_id, n_words, n_pieces)`; n_pieces is the doc's token count
+    * under the trained tokenizer (empty docs: 0/0). */
+  def bpeTokenize(df: DataFrame, textCol: String, idCol: String,
+                  merges: Int): DataFrame = {
+    val (vocab, _) = bpeTrainVocab(df, textCol, merges)
+    val toks = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+    val counted = toks
+      .join(vocab.select(col("w"), size(col("pieces")).as("_np")), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("_np").as("n_pieces"))
+    df.select(col(idCol).as("doc_id"))
+      .join(counted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+  }
+
+  /** Shared BPE training core: returns the final vocab frame
+    * `(w, c, pieces)` and the learned merge list. */
+  private def bpeTrainVocab(df: DataFrame, textCol: String, merges: Int)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
+    require(merges > 0 && merges <= 256, s"merges out of range: $merges")
     var vocab = df.select(explode(tokens(col(textCol))).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .select(col("c"), split(col("w"), "").as("pieces"))
+      .select(col("w"), col("c"), split(col("w"), "").as("pieces"))
       .localCheckpoint()
     val learned = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
@@ -357,7 +389,7 @@ object TextAnalysis {
           .localCheckpoint()
       }
     }
-    learned.toSeq.toDF("step", "left", "right", "pair_count")
+    (vocab, learned.toList)
   }
 
   /** Corpus-level boilerplate LINE removal (the CCNet/RefinedWeb

@@ -1074,6 +1074,23 @@ class OpsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("bpeTokenize: the learned tokenizer compresses seen words to single pieces") {
+    // after the 4 learned merges (see bpeTrain spec), low → [low] and
+    // lower → [low,er] → [lower]; newest never merges (all pairs unique)
+    // and stays 6 chars
+    val docs = Seq(
+      (1L, "low low low lower lower newest"),
+      (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTokenize(docs, "text", "doc_id", merges = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_words") == 6L &&
+      out(0).getAs[Long]("n_pieces") == 3L + 2L + 6L,
+      s"expected 11 pieces for doc 1, got ${out(0)}")
+    assert(out(1).getAs[Long]("n_words") == 0L &&
+      out(1).getAs[Long]("n_pieces") == 0L,
+      "an empty doc must come back 0/0, not vanish")
+  }
+
   test("canonicalizeBest keeps the highest-score copy; singletons untouched; ties to low id") {
     val docs = Seq(
       (1L, "a b c d e f g h", 8L),    // near-dup of 2, shorter
