@@ -1343,6 +1343,32 @@ object Queries {
         .mkString(" UNION ALL ") +
       ") ORDER BY step")))
 
+  // Per-language distribution drift vs the corpus blend: exact integer
+  // probability ratios, µnat-quantized log terms, integer accumulation.
+  private val qSourceDivergence = QDef(
+    "q_source_divergence",
+    (s, dir) => TextAnalysis.sourceDivergence(t(s, dir, "documents"),
+        "text", "lang")
+      .orderBy("stratum"),
+    Some(raw"""
+      WITH tok AS (SELECT lang AS stratum, unnest(string_split_regex(trim(text), '\s+')) AS w
+                   FROM documents),
+      sw AS (SELECT stratum, w, CAST(count(*) AS BIGINT) AS c_sw
+             FROM tok WHERE w <> '' GROUP BY stratum, w),
+      st AS (SELECT stratum, CAST(SUM(c_sw) AS BIGINT) AS c_s FROM sw GROUP BY stratum),
+      wt AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w),
+      tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS c_tot FROM wt),
+      terms AS (SELECT sw.stratum, sw.c_sw, st.c_s,
+                  CAST(round(ln((CAST(sw.c_sw AS DOUBLE) * CAST(c_tot AS DOUBLE))
+                    / (CAST(st.c_s AS DOUBLE) * CAST(wt.c_w AS DOUBLE))) * 1e6) AS BIGINT) AS lnterm_fp
+                FROM sw JOIN wt USING (w) JOIN st USING (stratum) CROSS JOIN tot),
+      g AS (SELECT stratum, CAST(SUM(c_sw * lnterm_fp) AS BIGINT) AS num_fp,
+                   max(c_s) AS c_s
+            FROM terms GROUP BY stratum)
+      SELECT stratum, c_s AS n_tokens,
+             CAST(num_fp AS DOUBLE) / (CAST(c_s AS DOUBLE) * 1e6) AS kl_nats
+      FROM g ORDER BY stratum"""))
+
   // Train-then-tokenize end to end: learn the 6-merge tokenizer from the
   // corpus, then measure every doc's token count under it. The apply
   // step is a (doc_id, w) join against the trained vocab frame — the
@@ -2573,7 +2599,7 @@ object Queries {
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qTfidfTerms,
     qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qProfile,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
-    qBpeTrain, qBpeTokenize,
+    qBpeTrain, qBpeTokenize, qSourceDivergence,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
   )

@@ -302,6 +302,43 @@ object TextAnalysis {
         col("tf"), (col("score_fp").cast("double") / 1e6).as("tfidf"))
   }
 
+  /** Per-stratum distribution drift: KL(P_stratum ‖ P_corpus) over the
+    * unigram token distributions — the corpus-mixture monitoring metric
+    * (is one source's language drifting from the blend it's supposed to
+    * feed?). KL = Σ_w p_s(w)·ln(p_s(w)/p(w)); every probability is an
+    * exact integer ratio, each log term quantizes to µnat BIGINTs, and
+    * the per-stratum accumulation is the exact integer sum
+    * Σ c_sw·lnterm_fp — order-free — divided once by c_s·10⁶ at the
+    * end. A stratum with the corpus distribution scores 0; divergent
+    * strata score higher (always ≥ 0 up to quantization).
+    *
+    * Scale shape: (stratum, token) counts are skinny map-side-combined
+    * rows; the corpus token marginal is vocabulary-sized and broadcasts
+    * into the join. Returns `(stratum, n_tokens, kl_nats)`. */
+  def sourceDivergence(df: DataFrame, textCol: String,
+                       strataCol: String): DataFrame = {
+    val tok = df.select(col(strataCol).as("stratum"),
+        explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+    val sw = tok.groupBy("stratum", "w").agg(count(lit(1)).as("c_sw"))
+    val s = sw.groupBy("stratum").agg(sum("c_sw").as("c_s"))
+    val wTot = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+    val corpus = wTot.agg(sum("c_w").as("c_tot"))
+    sw.join(broadcast(wTot), "w")
+      .join(s, "stratum")
+      .crossJoin(broadcast(corpus))
+      .withColumn("lnterm_fp",
+        round(log((col("c_sw").cast("double") * col("c_tot").cast("double"))
+          / (col("c_s").cast("double") * col("c_w").cast("double"))) * 1e6)
+          .cast("long"))
+      .groupBy("stratum")
+      .agg(sum(col("c_sw") * col("lnterm_fp")).as("num_fp"),
+        max("c_s").as("c_s"))
+      .select(col("stratum"), col("c_s").as("n_tokens"),
+        (col("num_fp").cast("double")
+          / (col("c_s").cast("double") * 1e6)).as("kl_nats"))
+  }
+
   /** Distributed BPE merge training (Sennrich et al. 2016, arXiv:
     * 1508.07909) — learn the first `merges` byte-pair merges from the
     * corpus itself, the tokenizer-construction pass of an LLM data

@@ -1074,6 +1074,24 @@ class OpsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("sourceDivergence: corpus-matching strata score 0, divergent strata score ln-ratio") {
+    val docs = Seq(
+      (1L, "A", "x x y y"), (2L, "B", "x x y y"), (3L, "C", "z z z z")
+    ).toDF("doc_id", "src", "text")
+    val out = TextAnalysis.sourceDivergence(docs, "text", "src")
+      .orderBy("stratum").collect()
+    // corpus = 4x 4y 4z. A and B: p=(.5,.5) vs corpus (1/3,1/3) →
+    // kl = ln(1.5) exactly at µnat quantization; C: ln(3)
+    val ln15 = math.round(math.log(1.5) * 1e6) * 4.0 / 4e6
+    val ln3 = math.round(math.log(3.0) * 1e6) * 4.0 / 4e6
+    assert(out.map(_.getString(0)).toSeq == Seq("A", "B", "C"))
+    assert(out(0).getAs[Double]("kl_nats") == ln15 &&
+      out(1).getAs[Double]("kl_nats") == ln15 &&
+      out(2).getAs[Double]("kl_nats") == ln3,
+      s"closed-form KL mismatch: ${out.toSeq}")
+    assert(out.forall(_.getAs[Long]("n_tokens") == 4L))
+  }
+
   test("bpeTokenize: the learned tokenizer compresses seen words to single pieces") {
     // after the 4 learned merges (see bpeTrain spec), low → [low] and
     // lower → [low,er] → [lower]; newest never merges (all pairs unique)

@@ -97,6 +97,27 @@ class PlanSpec extends SparkSpec {
       s"document bodies in a shuffle: $exchanged")
   }
 
+  test("kmeansAssign: the assignment pass is a pure projection — zero shuffles") {
+    val df = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(j => (i * 7 + j).toFloat))).toDF("vec_id", "embedding")
+    // iters = 0 isolates the assignment projection (each Lloyd round adds
+    // only the skinny fixed-point agg on top of this same shape)
+    val plan = planOf(graft.operators.Similarity.kmeansAssign(
+      df, "embedding", "vec_id", k = 4, iters = 0))
+    assert(!plan.contains("Exchange"),
+      s"centroid assignment must not shuffle the corpus:\n${plan.take(1200)}")
+  }
+
+  test("profile is ONE aggregation pass (Expand for multi-distinct, no per-column jobs)") {
+    val df = spark.range(100).select(col("id"), (col("id") % 7).as("k"),
+      col("id").cast("string").as("s"))
+    val plan = planOf(graft.operators.Relational.profile(df))
+    assert(plan.contains("Expand"),
+      "exact multi-column distinct should ride Spark's Expand")
+    val nEx = raw"\(\d+\) Exchange".r.findAllIn(plan).length
+    assert(nEx <= 2, s"profile should cost at most the Expand aggregation's exchanges, got $nEx:\n${plan.take(1200)}")
+  }
+
   test("knnBrute broadcasts the 1-row query side") {
     val df = (0 until 100).map(i =>
       (i.toLong, Array.tabulate(8)(j => (i + j).toFloat))).toDF("vec_id", "embedding")
