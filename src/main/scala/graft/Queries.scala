@@ -1343,6 +1343,80 @@ object Queries {
         .mkString(" UNION ALL ") +
       ") ORDER BY step")))
 
+  /** The whole cleaning pipeline as ONE query — what a user actually
+    * runs before tokenization: Gopher-style quality gate → exact dedup
+    * (keep lowest id per identical text) → near-dup canonicalization
+    * (exact-Jaccard pairs τ=0.8 → CC → min-id survivor) → deterministic
+    * train/val/test split. Output: the surviving corpus with its split
+    * assignment and token budget. Every stage reuses an independently
+    * oracle-checked operator; this query checks their COMPOSITION
+    * (filter-before-dedup ordering, dedup-before-split stability). */
+  private val qPipelineE2e = QDef(
+    "q_pipeline_e2e",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keep = TextAnalysis.qualityRules(docs, "text", "doc_id",
+          minWords = 50, maxWords = 100000, minMeanWordLen = 3.0,
+          maxMeanWordLen = 10.0, minUniqueRatio = 0.4)
+        .where(col("keep")).select("doc_id")
+      val clean = docs.join(keep, "doc_id")
+      val exactSurvivors = Dedup.exactDedup(clean, "text", "doc_id")
+        .select("doc_id")
+      val ed = clean.join(exactSurvivors, "doc_id")
+      val pairs = Dedup.jaccardSimilarityJoin(ed, "text", "doc_id",
+        shingleN = 3, threshold = 0.8)
+      Dedup.canonicalize(ed, pairs, "doc_id")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.split3(col("doc_id")).as("split"),
+          TextAnalysis.tokenCount(TextAnalysis.tokens(col("text")))
+            .cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+      WITH RECURSIVE d0 AS (
+        SELECT doc_id, text, lang, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents),
+      q AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / NULLIF(len(toks), 0) AS mwl,
+                 CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / NULLIF(len(toks), 0) AS ur
+          FROM d0)
+        WHERE n_words >= 50 AND n_words <= 100000
+          AND mwl >= 3.0 AND mwl <= 10.0 AND ur >= 0.4),
+      c AS (SELECT d0.* FROM d0 JOIN q USING (doc_id)),
+      ex AS (SELECT MIN(doc_id) AS doc_id FROM c GROUP BY text),
+      ed AS (SELECT c.* FROM c JOIN ex USING (doc_id)),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+               END AS s
+        FROM ed),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+              / NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0) >= 0.8),
+      eg AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+      reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM eg)
+        UNION
+        SELECT r.u, eg.v FROM reach r JOIN eg ON r.v = eg.u),
+      comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u)
+      SELECT ed.doc_id, ed.lang,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(ed.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(ed.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(len(ed.toks) AS BIGINT) AS n_tokens
+      FROM ed LEFT JOIN comp cp ON ed.doc_id = cp.doc_id
+      WHERE cp.component IS NULL OR cp.component = ed.doc_id
+      ORDER BY ed.doc_id"""))
+
   // Per-language distribution drift vs the corpus blend: exact integer
   // probability ratios, µnat-quantized log terms, integer accumulation.
   private val qSourceDivergence = QDef(
@@ -2599,7 +2673,7 @@ object Queries {
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qTfidfTerms,
     qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qProfile,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
-    qBpeTrain, qBpeTokenize, qSourceDivergence,
+    qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
   )

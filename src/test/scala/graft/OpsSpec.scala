@@ -1074,6 +1074,31 @@ class OpsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("pipeline composition: quality gate before dedup, dedup before split") {
+    // 60 distinct tokens → passes every quality rule; "bad" fails n_words
+    val good = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val goodDup = good + " extraone" // near-dup of good (J ≈ 0.97)
+    val docs = Seq(
+      (1L, good), (2L, good), // exact dups — 1 survives
+      (3L, goodDup),          // near-dup — canonicalize folds into 1's cluster
+      (4L, "bad"),            // fails the quality gate
+      (5L, (0 until 55).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val keep = TextAnalysis.qualityRules(docs, "text", "doc_id",
+      minWords = 50, maxWords = 100000, minMeanWordLen = 3.0,
+      maxMeanWordLen = 10.0, minUniqueRatio = 0.4)
+      .where(col("keep")).select("doc_id")
+    val clean = docs.join(keep, "doc_id")
+    val ed = clean.join(
+      Dedup.exactDedup(clean, "text", "doc_id").select("doc_id"), "doc_id")
+    val pairs = Dedup.jaccardSimilarityJoin(ed, "text", "doc_id",
+      shingleN = 3, threshold = 0.8)
+    val out = Dedup.canonicalize(ed, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 5L),
+      s"expected {1 (exact+near dups folded), 5}, got $out")
+  }
+
   test("sourceDivergence: corpus-matching strata score 0, divergent strata score ln-ratio") {
     val docs = Seq(
       (1L, "A", "x x y y"), (2L, "B", "x x y y"), (3L, "C", "z z z z")
