@@ -1343,6 +1343,54 @@ object Queries {
         .mkString(" UNION ALL ") +
       ") ORDER BY step")))
 
+  /** One PageRank round in the oracle: floor-divided contributions along
+    * the symmetrized edges, exact integer sum, integer damping. */
+  private def pageRankRoundSql(i: Int): String = {
+    val prev = if (i == 1) "r0" else s"r${i - 1}"
+    s"""
+      s$i AS (SELECT eg.v AS id, CAST(SUM(r.r_fp // deg.d) AS BIGINT) AS s
+              FROM eg JOIN deg ON deg.u = eg.u JOIN $prev r ON r.id = eg.u
+              GROUP BY eg.v),
+      r$i AS (SELECT s$i.id, CAST(bb.base + (s * 85) // 100 AS BIGINT) AS r_fp
+              FROM s$i CROSS JOIN bb)"""
+  }
+
+  // PageRank over the near-dup pair graph, 3 rounds: integer nano-unit
+  // ranks end to end (floor-divided contributions, integer damping) —
+  // bit-identical across engines, no float accumulation anywhere.
+  private val qPageRank = QDef(
+    "q_pagerank",
+    (s, dir) => {
+      val pairs = Dedup.jaccardSimilarityJoin(t(s, dir, "documents"),
+        "text", "doc_id", shingleN = 3, threshold = 0.8)
+      Dedup.pageRank(pairs, iters = 3).orderBy("id")
+    },
+    Some(raw"""
+      WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+               END AS s
+        FROM d),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+              / NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0) >= 0.8),
+      eg AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+      deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM eg GROUP BY u),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+      bb AS (SELECT CAST((CAST(1000000000 AS BIGINT) * 15) // (100 * n) AS BIGINT) AS base FROM nn),
+      r0 AS (SELECT u AS id, CAST(CAST(1000000000 AS BIGINT) // n AS BIGINT) AS r_fp
+             FROM deg CROSS JOIN nn),""" +
+      (1 to 3).map(pageRankRoundSql).mkString(",") + raw"""
+      SELECT id, CAST(r_fp AS DOUBLE) / 1000000000 AS rank
+      FROM r3 ORDER BY id"""))
+
   /** The whole cleaning pipeline as ONE query — what a user actually
     * runs before tokenization: Gopher-style quality gate → exact dedup
     * (keep lowest id per identical text) → near-dup canonicalization
@@ -2673,7 +2721,7 @@ object Queries {
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qTfidfTerms,
     qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qProfile,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
-    qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e,
+    qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
   )

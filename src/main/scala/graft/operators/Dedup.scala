@@ -743,6 +743,53 @@ object Dedup {
   /** Dedup survivors after clustering: every doc of `df` minus non-canonical
     * members of near-dup components (canonical = min id). One left join
     * against the component map — docs in no pair survive untouched. */
+  /** Fixed-point PageRank over an undirected pair graph (e.g. the
+    * near-dup graph: rank ≈ how centrally a document sits in its
+    * duplication neighborhood — high-rank members of big clusters are
+    * template pages worth inspecting). Pairs symmetrize to a directed
+    * edge set; ranks live as INTEGER nano-units end to end — init
+    * ⌊10⁹/N⌋, per-edge contribution `r_fp div degree` (floor division),
+    * update `⌊15·10⁹/(100·N)⌋ + (Σ·85) div 100` — so every engine
+    * computes bit-identical ranks at every round: no float accumulation
+    * anywhere. Dangling nodes can't exist (symmetrized degree ≥ 1).
+    *
+    * Scale shape: per round one edge join on `u` + one map-side-combined
+    * sum on `v` — the CC loop's cost profile, localCheckpoint-truncated.
+    * Ranks sum to ≤ 1 (floor losses only). Same integral-id guard as
+    * [[connectedComponents]] (shared cast hazard). Returns
+    * `(id, rank)` with rank = r_fp/10⁹ after `iters` rounds. */
+  def pageRank(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+               iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    for (c <- Seq(aCol, bCol)) {
+      val dt = pairs.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"pageRank: id column '$c' is $dt, not an integral type — hash or " +
+          "renumber upstream (see connectedComponents)")
+    }
+    val e = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val edges = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    val n = deg.count()
+    if (n == 0)
+      return pairs.sparkSession.emptyDataFrame
+        .withColumn("id", lit(null).cast("long"))
+        .withColumn("rank", lit(null).cast("double"))
+    val Scale = 1000000000L
+    val base = (Scale * 15L) / (100L * n)
+    var r = deg.select(col("u").as("id"), lit(Scale / n).as("r_fp"))
+    for (_ <- 1 to iters) {
+      r = edges.join(deg, "u").join(r.withColumnRenamed("id", "u"), "u")
+        .select(col("v").as("id"), expr("r_fp div d").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+        .select(col("id"), (lit(base) + expr("(s * 85) div 100")).as("r_fp"))
+        .localCheckpoint()
+    }
+    r.select(col("id"), (col("r_fp").cast("double") / Scale).as("rank"))
+  }
+
   def canonicalize(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
     val comps = connectedComponents(pairs)
     df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")

@@ -1074,6 +1074,31 @@ class OpsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("pageRank: exact integer replica on a path graph; hub outranks leaves; id guard") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.pageRank(pairs, iters = 2).orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // exact replica of the integer contract: N=3, scale 1e9, damping 85/100
+    val S = 1000000000L; val n = 3L; val base = S * 15L / (100L * n)
+    val deg = Map(1L -> 1L, 2L -> 2L, 3L -> 1L)
+    var r = Map(1L -> S / n, 2L -> S / n, 3L -> S / n)
+    for (_ <- 1 to 2) {
+      val contrib = Map(
+        1L -> r(2L) / deg(2L),
+        2L -> (r(1L) / deg(1L) + r(3L) / deg(3L)),
+        3L -> r(2L) / deg(2L))
+      r = contrib.map { case (k, s) => k -> (base + s * 85L / 100L) }
+    }
+    assert(got == r.map { case (k, v) => k -> v.toDouble / S },
+      s"integer-contract mismatch: got $got expected $r")
+    assert(got(1L) == got(3L) && got(2L) > got(1L),
+      "the hub must outrank the symmetric leaves")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.pageRank(Seq(("a", "b")).toDF("id_a", "id_b"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("pipeline composition: quality gate before dedup, dedup before split") {
     // 60 distinct tokens → passes every quality rule; "bad" fails n_words
     val good = (0 until 60).map(i => s"tok$i").mkString(" ")
