@@ -1343,6 +1343,39 @@ object Queries {
         .mkString(" UNION ALL ") +
       ") ORDER BY step")))
 
+  // Incremental sessionization UNDER THE ORACLE: sessionize the even
+  // half of the events, fold the odd half in via mergeSessions — the
+  // oracle is the plain full-history sessionization, so the driver
+  // hash-checks incremental ≡ full (the q_neardup_incremental pattern).
+  private val qSessionizeIncremental = QDef(
+    "q_sessionize_incremental",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val stored = Relational.sessionize(
+        ev.where(col("event_id") % 2 === 0), Seq("user_id"), "ts", gapSec = 30000L)
+      Relational.mergeSessions(stored,
+          ev.where(col("event_id") % 2 === 1), Seq("user_id"), "ts", gapSec = 30000L)
+        .select("user_id", "session_id", "n_events", "start_us", "end_us", "duration_us")
+        .orderBy("user_id", "session_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      s AS (SELECT user_id, us,
+              CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > CAST(30000 AS BIGINT) * 1000000
+                     OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                   THEN 1 ELSE 0 END AS ns
+            FROM e),
+      c AS (SELECT user_id, us,
+                   SUM(ns) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+            FROM s)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             count(*) AS n_events,
+             min(us) AS start_us, max(us) AS end_us,
+             max(us) - min(us) AS duration_us
+      FROM c GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+
   /** One PageRank round in the oracle: floor-divided contributions along
     * the symmetrized edges, exact integer sum, integer damping. */
   private def pageRankRoundSql(i: Int): String = {
@@ -2721,7 +2754,7 @@ object Queries {
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qTfidfTerms,
     qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qProfile,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
-    qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank,
+    qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
   )

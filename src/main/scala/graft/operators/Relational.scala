@@ -143,6 +143,63 @@ object Relational {
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 
+  /** Gap-sessionization generalized to weighted INTERVALS: rows are
+    * `(keys, startUs, endUs, n)` and two intervals merge when the gap
+    * between one's start and the running max end of everything before
+    * it is ≤ `gapSec` (running max, not lag — an interval can swallow
+    * its successors entirely, so the previous ROW's end is not the
+    * session frontier). Point events are intervals with start = end.
+    * Same one-shuffle shape as [[sessionize]]. */
+  def sessionizeIntervals(df: DataFrame, keys: Seq[String],
+                          startCol: String, endCol: String, nCol: String,
+                          gapSec: Long): DataFrame = {
+    require(keys.nonEmpty, "sessionization needs entity keys")
+    require(gapSec > 0, s"gapSec must be positive, got $gapSec")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(startCol), col(endCol))
+    val frontier = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val newSession = when(
+      frontier.isNull || col(startCol) - frontier > gapSec * 1000000L,
+      lit(1L)).otherwise(lit(0L))
+    df.withColumn("_ns", newSession)
+      .withColumn("session_id", sum(col("_ns")).over(w) - 1)
+      .groupBy((keys.map(col) :+ col("session_id")): _*)
+      .agg(sum(col(nCol)).as("n_events"),
+        min(col(startCol)).as("start_us"), max(col(endCol)).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  /** Incremental sessionization — fold a new batch of events into a
+    * stored session table WITHOUT recomputing untouched users: only the
+    * batch's entities reload their stored sessions (as weighted
+    * intervals; bounds + counts are sufficient statistics for gap
+    * merging), merge with the new points through
+    * [[sessionizeIntervals]] (a new event may BRIDGE two stored
+    * sessions — the interval form handles that), and everyone else
+    * passes through untouched. Provably ≡ re-sessionizing the full
+    * event history (spec gate), at the cost of the batch's users only —
+    * the feature-store affected-partition pattern applied to sessions.
+    * Assumes exactly-once event delivery; replayed events re-count
+    * (document upstream dedup). */
+  def mergeSessions(stored: DataFrame, newEvents: DataFrame,
+                    keys: Seq[String], tsCol: String,
+                    gapSec: Long): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val affected = newEvents.select(keys.map(col): _*).distinct()
+    val pts = newEvents.select(keys.map(col) ++ Seq(us.as("_s"), us.as("_e"),
+      lit(1L).as("_n")): _*)
+    val reopened = stored.join(broadcast(affected), keys)
+      .select(keys.map(col) ++ Seq(col("start_us").as("_s"),
+        col("end_us").as("_e"), col("n_events").as("_n")): _*)
+    val merged = sessionizeIntervals(reopened.unionByName(pts), keys,
+      "_s", "_e", "_n", gapSec)
+    val untouched = stored.join(broadcast(affected), keys, "left_anti")
+      .select((keys :+ "session_id" :+ "n_events" :+ "start_us" :+ "end_us"
+        :+ "duration_us").map(col): _*)
+    untouched.unionByName(merged.select(untouched.columns.map(col): _*))
+  }
+
   /** Windowed funnel analysis over an event stream — "how far down
     * signup → click → purchase does each user get, within `withinSec`
     * of their first step?" Earliest-anchor semantics, fully

@@ -1074,6 +1074,33 @@ class OpsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("mergeSessions ≡ full re-sessionization; a new event bridges stored sessions") {
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // history: user 1 has two sessions [0,10] and [1500,1510] (gap 1000);
+    // user 2 one session; user 3 untouched by the batch
+    val history = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(1500)), (1L, ts(1510)),
+      (2L, ts(100)), (3L, ts(7))).toDF("user_id", "ts")
+    val stored = Relational.sessionize(history, Seq("user_id"), "ts", gapSec = 1000)
+    // the batch: an event at t=800 is within the gap of BOTH stored
+    // sessions and BRIDGES them; user 2 gains a separate later session
+    val batch = Seq((1L, ts(800)), (2L, ts(9999))).toDF("user_id", "ts")
+    val incremental = Relational.mergeSessions(stored, batch,
+        Seq("user_id"), "ts", gapSec = 1000)
+      .orderBy("user_id", "session_id").collect()
+    val full = Relational.sessionize(history.unionByName(batch),
+        Seq("user_id"), "ts", gapSec = 1000)
+      .select("user_id", "session_id", "n_events", "start_us", "end_us", "duration_us")
+      .orderBy("user_id", "session_id").collect()
+    assert(incremental.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq,
+      s"incremental ${incremental.toSeq} != full ${full.toSeq}")
+    // and the bridge really happened: user 1 has ONE session of 5 events
+    val u1 = incremental.filter(_.getLong(0) == 1L)
+    assert(u1.length == 1 && u1(0).getAs[Long]("n_events") == 5L &&
+      u1(0).getAs[Long]("start_us") == 0L &&
+      u1(0).getAs[Long]("end_us") == 1510000000L)
+  }
+
   test("pageRank: exact integer replica on a path graph; hub outranks leaves; id guard") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val got = Dedup.pageRank(pairs, iters = 2).orderBy("id").collect()
