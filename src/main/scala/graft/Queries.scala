@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{windows => W, TaIndicators => TA}
-import graft.operators.{Dedup, Multimodal, Relational, Resample, SentimentScorer, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Resample, SentimentScorer, Similarity, Sketches, TemporalJoins, TextAnalysis}
 import graft.time.TimeNorm
 
 /** The verifiable operator surface: one entry per SURVEY §2 operator,
@@ -1342,6 +1342,82 @@ object Queries {
         s"""SELECT CAST($i AS BIGINT) AS step, a AS "left", b AS "right", n AS pair_count FROM t$i""")
         .mkString(" UNION ALL ") +
       ") ORDER BY step")))
+
+  // KMV set-intersection sketches with the exact contract: user-day
+  // activity sets per event type (≈2k elements each), k=256 sketches,
+  // all 10 pairwise overlap estimates next to their exact truths.
+  private val qKmvOverlap = QDef(
+    "q_kmv_overlap",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          expr("(unix_micros(ts) div 1000000) div 86400").cast("string"))
+          .as("elem"))
+      Sketches.kmvOverlap(ev, "event_type", "elem", k = 256, tol = 0.5)
+    },
+    Some("""
+      WITH el AS (
+        SELECT DISTINCT event_type AS set_id,
+               CAST(user_id AS VARCHAR) || ':' ||
+               CAST((epoch_us(ts) // 1000000) // 86400 AS VARCHAR) AS e
+        FROM events),
+      hs AS (SELECT DISTINCT set_id,
+                    CAST(('0x' || substr(md5(e), 1, 12)) AS BIGINT) AS h
+             FROM el),
+      sk AS (SELECT set_id, h FROM (
+               SELECT set_id, h, row_number() OVER (PARTITION BY set_id ORDER BY h) AS rk
+               FROM hs) WHERE rk <= 256),
+      sets AS (SELECT DISTINCT set_id FROM el),
+      pr AS (SELECT x.set_id AS a, y.set_id AS b
+             FROM sets x JOIN sets y ON x.set_id < y.set_id),
+      tg AS (SELECT a, b, h,
+                    MAX(CASE WHEN set_id = a THEN 1 ELSE 0 END) AS in_a,
+                    MAX(CASE WHEN set_id = b THEN 1 ELSE 0 END) AS in_b
+             FROM pr JOIN sk ON set_id = a OR set_id = b
+             GROUP BY a, b, h),
+      tk AS (SELECT * FROM (
+               SELECT tg.*, row_number() OVER (PARTITION BY a, b ORDER BY h) AS rk
+               FROM tg) WHERE rk <= 256),
+      es AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_merged,
+                    max(h) AS h_k, CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+             FROM tk GROUP BY a, b),
+      e2 AS (SELECT a, b, n_both, n_merged,
+                    CASE WHEN n_merged < 256 THEN CAST(n_merged AS DOUBLE)
+                         ELSE CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(h_k AS DOUBLE)
+                    END AS u_est
+             FROM es),
+      e3 AS (SELECT a, b,
+                    (CAST(n_both AS DOUBLE) / CAST(n_merged AS DOUBLE)) * u_est AS est_intersection
+             FROM e2),
+      ex AS (SELECT ea.set_id AS a, eb.set_id AS b,
+                    CAST(count(*) AS BIGINT) AS exact_intersection
+             FROM el ea JOIN el eb ON ea.e = eb.e AND ea.set_id < eb.set_id
+             GROUP BY ea.set_id, eb.set_id)
+      SELECT e3.a AS set_a, e3.b AS set_b, e3.est_intersection,
+             COALESCE(ex.exact_intersection, 0) AS exact_intersection,
+             (abs(e3.est_intersection - COALESCE(ex.exact_intersection, 0))
+              <= 0.5 * CAST(greatest(COALESCE(ex.exact_intersection, 0), 1) AS DOUBLE)) AS ok
+      FROM e3 LEFT JOIN ex ON e3.a = ex.a AND e3.b = ex.b
+      ORDER BY set_a, set_b"""))
+
+  // Daily cohort retention over the events stream: first-activity-day
+  // cohorts × day offsets, exact integer bucketing.
+  private val qCohortRetention = QDef(
+    "q_cohort_retention",
+    (s, dir) => Relational.cohortRetention(t(s, dir, "events"),
+        "user_id", "ts", bucketSec = 86400L)
+      .orderBy("cohort_bucket", "offset"),
+    Some("""
+      WITH act AS (
+        SELECT DISTINCT user_id, (epoch_us(ts) // 1000000) // 86400 AS bucket
+        FROM events),
+      cohort AS (SELECT user_id, CAST(min(bucket) AS BIGINT) AS cohort_bucket
+                 FROM act GROUP BY user_id)
+      SELECT cohort_bucket, CAST(act.bucket - cohort_bucket AS BIGINT) AS "offset",
+             CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+      FROM act JOIN cohort USING (user_id)
+      GROUP BY cohort_bucket, "offset"
+      ORDER BY cohort_bucket, "offset""""))
 
   // Incremental sessionization UNDER THE ORACLE: sessionize the even
   // half of the events, fold the odd half in via mergeSessions — the
@@ -2754,7 +2830,7 @@ object Queries {
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qTfidfTerms,
     qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qProfile,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
-    qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental,
+    qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
   )

@@ -200,6 +200,32 @@ object Relational {
     untouched.unionByName(merged.select(untouched.columns.map(col): _*))
   }
 
+  /** Cohort retention — the activity-grid companion to [[funnel]]:
+    * users cohort by their FIRST-activity bucket (epoch-time floor
+    * division by `bucketSec`, exact integer arithmetic), and each
+    * (cohort, offset) cell counts the distinct users active `offset`
+    * buckets after their cohort start. `offset = 0` is the cohort size
+    * (every user is active in their first bucket by construction).
+    *
+    * Scale shape: one keyed agg for first-activity, one distinct over
+    * skinny `(user, bucket)` rows, one count agg — no window over the
+    * raw events, nothing user-quadratic. Returns
+    * `(cohort_bucket, offset, n_users)`. */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
+                      bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+    // integer floor chain (div, not fp division) so the bucketing is
+    // exact and matches the oracle's `//`
+    val bucket = expr(s"(unix_micros($tsCol) div 1000000) div $bucketSec")
+    val act = df.select(col(userCol).as("user_id"),
+      bucket.cast("long").as("bucket")).distinct()
+    val cohort = act.groupBy("user_id").agg(min("bucket").as("cohort_bucket"))
+    act.join(cohort, "user_id")
+      .groupBy(col("cohort_bucket"),
+        (col("bucket") - col("cohort_bucket")).as("offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
   /** Windowed funnel analysis over an event stream — "how far down
     * signup → click → purchase does each user get, within `withinSec`
     * of their first step?" Earliest-anchor semantics, fully

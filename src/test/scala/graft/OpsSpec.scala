@@ -1074,6 +1074,38 @@ class OpsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("kmvOverlap: exact below k, estimator within contract above k") {
+    // below k the merged sketch IS the union: estimate must be EXACT
+    val small = ((1 to 20).map(i => ("A", i)) ++ (11 to 30).map(i => ("B", i)))
+      .toDF("set_id", "elem")
+    val s = Sketches.kmvOverlap(small, "set_id", "elem", k = 64).head()
+    assert(s.getAs[Double]("est_intersection") == 10.0 &&
+      s.getAs[Long]("exact_intersection") == 10L && s.getAs[Boolean]("ok"),
+      s"below-k path must be exact, got $s")
+    // estimation regime: 2000-element sets, 1000 shared, k=128 — the
+    // estimator must land inside the 50% contract
+    val big = ((1 to 2000).map(i => ("A", i)) ++ (1001 to 3000).map(i => ("B", i)))
+      .toDF("set_id", "elem")
+    val b = Sketches.kmvOverlap(big, "set_id", "elem", k = 128).head()
+    assert(b.getAs[Long]("exact_intersection") == 1000L && b.getAs[Boolean]("ok"),
+      s"estimation-regime contract violated: $b")
+  }
+
+  test("cohortRetention: first-activity cohorts, exact offset grid") {
+    def ts(day: Long, h: Long = 5) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(day * 86400 + h * 3600))
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(1)), (1L, ts(1, 9)), // active days 0,1 (dup within day)
+      (2L, ts(0)),                              // day 0 only
+      (3L, ts(1)), (3L, ts(2))                  // cohort day 1, active 1,2
+    ).toDF("user_id", "ts")
+    val got = Relational.cohortRetention(ev, "user_id", "ts", bucketSec = 86400L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L),
+      s"retention grid mismatch: $got")
+  }
+
   test("mergeSessions ≡ full re-sessionization; a new event bridges stored sessions") {
     def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
     // history: user 1 has two sessions [0,10] and [1500,1510] (gap 1000);
