@@ -2219,6 +2219,42 @@ object Queries {
       SELECT b.doc_id, b.lang, r.rate_fp, (b.bkt < r.rate_fp) AS keep
       FROM b JOIN r USING (lang) ORDER BY b.doc_id"""))
 
+  // DSIR importance resampling targeting lang='en': hashed-unigram bucket
+  // likelihood ratios (µnat-quantized BIGINT sums → order-free), Gumbel
+  // top-100 draw from the portable id hash. Binding: 100 of 500 docs
+  // selected ∝ exp(logw), en-heavy by construction.
+  private val qImportanceResample = QDef(
+    "q_importance_resample",
+    (s, dir) => TextAnalysis.importanceResample(t(s, dir, "documents"),
+        "text", "doc_id", isTarget = col("lang") === "en",
+        sampleN = 100, buckets = 4096)
+      .orderBy("doc_id"),
+    Some(raw"""
+      WITH tk AS (
+        SELECT doc_id, is_target,
+               CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) % 4096 AS b
+        FROM (SELECT doc_id, (lang = 'en') AS is_target,
+                     unnest(string_split_regex(trim(text), '\s+')) AS w
+              FROM documents)
+        WHERE length(w) > 0),
+      c AS (SELECT b, count(*) AS c_r,
+                   CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+            FROM tk GROUP BY b),
+      tot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r, CAST(SUM(c_t) AS BIGINT) AS n_t FROM c),
+      lam AS (SELECT b,
+                CAST(round(ln((CAST(c_t + 1 AS DOUBLE) / CAST(n_t + 4096 AS DOUBLE))
+                              / (CAST(c_r + 1 AS DOUBLE) / CAST(n_r + 4096 AS DOUBLE))) * 1e6) AS BIGINT) AS lam_fp
+              FROM c CROSS JOIN tot),
+      g AS (SELECT doc_id, count(*) AS n_tokens, CAST(SUM(lam_fp) AS BIGINT) AS logw_fp
+            FROM tk JOIN lam USING (b) GROUP BY doc_id),
+      k AS (SELECT doc_id, n_tokens, logw_fp,
+              logw_fp + CAST(round(-ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 12)) AS BIGINT) + 1.0)
+                / 281474976710656.0)) * 1e6) AS BIGINT) AS sample_key_fp
+            FROM g),
+      sel AS (SELECT * FROM k ORDER BY sample_key_fp DESC, doc_id LIMIT 100)
+      SELECT doc_id, n_tokens, CAST(logw_fp AS DOUBLE) / 1e6 AS logw_nats, sample_key_fp
+      FROM sel ORDER BY doc_id"""))
+
   // Per-doc TF-IDF top terms: integer tf·⌊ln(N/df)·10⁶⌋ scores make the
   // ranking deterministic cross-engine (ties by term).
   private val qTfidfTerms = QDef(
@@ -2827,7 +2863,7 @@ object Queries {
     qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qEmbedNearDup,
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
-    qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qTfidfTerms,
+    qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
     qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qProfile,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,

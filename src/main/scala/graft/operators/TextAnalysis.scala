@@ -339,6 +339,62 @@ object TextAnalysis {
           / (col("c_s").cast("double") * 1e6)).as("kl_nats"))
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169)
+    * — select raw-corpus documents that LOOK LIKE a target subcorpus, the
+    * standard pretraining-data targeting pass. Features are hashed unigram
+    * buckets (hashed n-gram DSIR with n=1): per-bucket likelihood ratios
+    * between an add-one-smoothed target bucket model and the raw-corpus
+    * bucket model. The per-doc log importance weight Σ_tok ln(p_t(b)/p_r(b))
+    * is a sum of µnat-quantized per-bucket BIGINTs — order-independent,
+    * hence engine-exact. The draw itself is Gumbel top-k over
+    * `logw_fp + g(id)` with the Gumbel noise derived from the portable
+    * 48-bit id hash — sampling ∝ exp(logw), reproducible on any engine
+    * (the log-space analog of [[weightedSample]]'s A-ES key).
+    *
+    * Scale shape: two token scans (bucket counting; per-doc λ sums) with
+    * map-side combine onto ≤`buckets` keys; the λ table is buckets-sized
+    * and BROADCAST into the per-doc sum; selection is a global top-k heap
+    * (TakeOrdered), never a full sort. Document bodies never shuffle —
+    * only skinny (doc, bucket) pairs cross the wire, so the pass costs
+    * the same two scans at 100 TB. Returns the `sampleN` selected docs
+    * with their diagnostics, ordered by id. */
+  def importanceResample(df: DataFrame, textCol: String, idCol: String,
+                         isTarget: Column, sampleN: Int,
+                         buckets: Int = 4096,
+                         salt: String = "dsir"): DataFrame = {
+    require(sampleN > 0, s"sampleN must be positive, got $sampleN")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val toks = df.select(col(idCol).as("doc_id"), isTarget.as("is_target"),
+        explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .select(col("doc_id"), col("is_target"),
+        pmod(tokenHash48(col("w")), lit(buckets.toLong)).as("b"))
+    val counts = toks.groupBy("b").agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("c_t"))
+    val tots = counts.agg(sum("c_r").as("n_r"), sum("c_t").as("n_t"))
+    // λ(b) in µnats; the ln argument is the same 3-division double tree
+    // the oracle computes, and round() absorbs last-ulp libm drift.
+    val lam = counts.crossJoin(broadcast(tots))
+      .select(col("b"),
+        round(log(((col("c_t") + 1L).cast("double") / (col("n_t") + buckets).cast("double"))
+          / ((col("c_r") + 1L).cast("double") / (col("n_r") + buckets).cast("double"))) * 1e6)
+          .cast("long").as("lam_fp"))
+    val perDoc = toks.join(broadcast(lam), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lam_fp").as("logw_fp"))
+    val u = (tokenHash48(concat(col("doc_id").cast("string"), lit(":" + salt)))
+      .cast("double") + 1.0) / lit(281474976710656.0) // 2^48
+    perDoc
+      .withColumn("sample_key_fp",
+        col("logw_fp") + round(-log(-log(u)) * 1e6).cast("long"))
+      .orderBy(col("sample_key_fp").desc, col("doc_id"))
+      .limit(sampleN)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("logw_fp").cast("double") / 1e6).as("logw_nats"),
+        col("sample_key_fp"))
+  }
+
   /** Distributed BPE merge training (Sennrich et al. 2016, arXiv:
     * 1508.07909) — learn the first `merges` byte-pair merges from the
     * corpus itself, the tokenizer-construction pass of an LLM data

@@ -1306,6 +1306,40 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage != null && e.getMessage.contains("non-positive weight"))
   }
 
+  test("importanceResample: target-like docs dominate the draw, deterministic, fail-fast") {
+    // two sub-languages with disjoint vocabularies: targets speak
+    // "alpha beta gamma", the rest "zeta eta theta"; a doc's bucket
+    // profile then fully determines which model it resembles
+    val docs = (1L to 400L).map { i =>
+      val target = i <= 100
+      val text = if (target) "alpha beta gamma alpha beta" else "zeta eta theta zeta eta"
+      (i, text, target)
+    }.toDF("doc_id", "text", "is_t")
+    val got = TextAnalysis.importanceResample(docs, "text", "doc_id",
+      isTarget = col("is_t"), sampleN = 80, buckets = 512)
+    val rows = got.collect()
+    assert(rows.length == 80)
+    // target-vocabulary docs carry logw = Σ ln ratios ≫ non-target docs
+    // (which are penalized by the same construction); even with Gumbel
+    // noise the draw should be overwhelmingly target-like. Target-text
+    // docs are 100 of 400 but should fill most of the 80 slots.
+    val targetIds = rows.map(_.getLong(0)).count(_ <= 100L)
+    assert(targetIds >= 70, s"expected target-like docs to dominate, got $targetIds/80")
+    // per-doc weight sign sanity: selected target docs have positive logw
+    val posW = rows.filter(_.getLong(0) <= 100L).map(_.getDouble(2))
+    assert(posW.forall(_ > 0.0), "target-doc log-ratio weights should be positive")
+    // deterministic end to end
+    val again = TextAnalysis.importanceResample(docs, "text", "doc_id",
+      isTarget = col("is_t"), sampleN = 80, buckets = 512).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.importanceResample(docs, "text", "doc_id", col("is_t"), sampleN = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.importanceResample(docs, "text", "doc_id", col("is_t"), sampleN = 1, buckets = 0)
+    }
+  }
+
   test("collocations: exact PMI closed form, minCount floor, tie-break") {
     val docs = ((1L to 10L).map(i => (i, "new york")) ++
       (11L to 20L).map(i => (i, "a b"))).toDF("doc_id", "text")
