@@ -2058,6 +2058,55 @@ object Queries {
         UNION ALL ${profileBlockSql("props", "str")}
       ) ORDER BY "column""""))
 
+  // Per-event-type equi-width histograms: 20 dense bins (zeros included)
+  // between exact group min/max; bucket = floor of one IEEE division —
+  // the same double tree both engines evaluate.
+  private val qHistogram = QDef(
+    "q_histogram",
+    (s, dir) => Relational.histogramBy(t(s, dir, "events"),
+        Seq("event_type"), "value", bins = 20)
+      .orderBy("event_type", "bin"),
+    Some("""
+      WITH b AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+                 FROM events WHERE value IS NOT NULL GROUP BY event_type),
+      cnt AS (SELECT e.event_type,
+               CASE WHEN b.mx = b.mn THEN 0
+                    ELSE least(19, CAST(floor((e.value - b.mn) / ((b.mx - b.mn) / 20.0)) AS BIGINT)) END AS bin,
+               count(*) AS bin_count
+              FROM events e JOIN b USING (event_type)
+              WHERE e.value IS NOT NULL GROUP BY 1, 2),
+      g AS (SELECT event_type, mn, mx, unnest(range(0, 20)) AS bin FROM b)
+      SELECT g.event_type, CAST(g.bin AS BIGINT) AS bin,
+             round(g.mn + g.bin * ((g.mx - g.mn) / 20.0), 6) AS bin_lo,
+             round(g.mn + (g.bin + 1) * ((g.mx - g.mn) / 20.0), 6) AS bin_hi,
+             coalesce(cnt.bin_count, 0) AS bin_count
+      FROM g LEFT JOIN cnt ON g.event_type = cnt.event_type AND g.bin = cnt.bin
+      ORDER BY g.event_type, bin"""))
+
+  // Robust per-type outlier flags: |x − median| > 3·1.4826·MAD. Exact
+  // medians (interpolated percentile — the same lower+(upper−lower)·frac
+  // tree in both engines); binding: 559 of ~10k events flagged at sf0.01
+  // (the value column is exponential-tailed, mean/σ would overflag).
+  private val qOutlierMad = QDef(
+    "q_outlier_mad",
+    (s, dir) => Relational.madOutliers(t(s, dir, "events"),
+        Seq("event_type"), "value", k = 3.0)
+      .select("event_id", "event_type", "value", "med", "mad", "robust_z")
+      .orderBy("event_id"),
+    Some("""
+      WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events WHERE value IS NOT NULL GROUP BY event_type),
+      d AS (SELECT e.event_id, e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS dev
+            FROM events e JOIN m USING (event_type) WHERE e.value IS NOT NULL),
+      a AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY event_type)
+      SELECT d.event_id, d.event_type, d.value,
+             round(d.med, 6) AS med, round(a.mad, 6) AS mad,
+             round(d.dev / (1.4826 * a.mad), 6) AS robust_z
+      FROM d JOIN a USING (event_type)
+      WHERE a.mad > 0 AND d.dev > 3.0 * (1.4826 * a.mad)
+      ORDER BY d.event_id"""))
+
   // Okapi BM25 keyword search: query {dup, spark, window} mixes the
   // corpus's one rare term (df≈25 of 500 docs at sf0.01 → idf ≈ 3) with
   // two near-ubiquitous ones (idf ≈ 0.26), so the ranking binds on the
@@ -2864,7 +2913,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
-    qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qProfile,
+    qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qProfile, qHistogram, qOutlierMad,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,

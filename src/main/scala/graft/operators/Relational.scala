@@ -117,6 +117,73 @@ object Relational {
         col("p.min_str"), col("p.max_str"))
   }
 
+  /** Per-group equi-width histograms — the data-profiling companion to
+    * [[profile]]: `bins` equal-width buckets between each group's exact
+    * min and max, EVERY bin emitted (zero counts included) so the output
+    * is a dense plotting/monitoring grid. Two aggregations over the same
+    * keys (bounds, then bucket counts) and a broadcast of the group-sized
+    * bounds frame — the value column is scanned twice, shuffled never
+    * (bucket counts combine map-side onto ≤ keys×bins rows). Bucket
+    * arithmetic is the same IEEE double tree on both engines (floor of
+    * one division); `bin_lo`/`bin_hi` are rounded to 6dp for output
+    * stability. Groups with max == min collapse into bucket 0. */
+  def histogramBy(df: DataFrame, keys: Seq[String], valueCol: String,
+                  bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val v = col(valueCol).cast("double")
+    val bounds = df.where(v.isNotNull)
+      .groupBy(keys.map(col): _*).agg(min(v).as("_mn"), max(v).as("_mx"))
+    val width = (col("_mx") - col("_mn")) / lit(bins.toDouble)
+    val bucket = when(col("_mx") === col("_mn"), lit(0L))
+      .otherwise(least(lit(bins - 1L), floor((v - col("_mn")) / width).cast("long")))
+    val counts = df.where(v.isNotNull)
+      .join(broadcast(bounds), keys)
+      .groupBy(keys.map(col) :+ bucket.as("bin"): _*)
+      .agg(count(lit(1)).as("bin_count"))
+    val grid = bounds.select(keys.map(col) :+ col("_mn") :+ col("_mx") :+
+        explode(sequence(lit(0L), lit(bins - 1L))).as("bin"): _*)
+    grid.join(counts, keys :+ "bin", "left")
+      .select(keys.map(col) :+ col("bin") :+
+        round(col("_mn") + col("bin") * ((col("_mx") - col("_mn")) / lit(bins.toDouble)), 6).as("bin_lo") :+
+        round(col("_mn") + (col("bin") + 1L) * ((col("_mx") - col("_mn")) / lit(bins.toDouble)), 6).as("bin_hi") :+
+        coalesce(col("bin_count"), lit(0L)).as("bin_count"): _*)
+  }
+
+  /** Robust outlier detection per group — median/MAD flagging (the
+    * monitoring pass that survives the heavy tails that break mean/σ
+    * z-scores): a row is an outlier when
+    * `|x − median| > k · 1.4826 · MAD` (1.4826 scales MAD to σ under
+    * normality). Medians are EXACT percentiles — two grouped percentile
+    * aggregations (values, then absolute deviations) whose per-group
+    * memory is bounded by the group's distinct-value count; at 100 TB
+    * with high-cardinality value columns switch `approxAccuracy` on to
+    * use `percentile_approx` (sketch-bounded memory, same plan shape).
+    * Returns only the flagged rows with their `robust_z` (rounded 6dp;
+    * the flag itself compares unrounded doubles — the same IEEE tree on
+    * any engine). Groups with MAD = 0 (over half the mass on one value)
+    * flag nothing rather than dividing by zero. */
+  def madOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
+                  k: Double = 3.0,
+                  approxAccuracy: Option[Int] = None): DataFrame = {
+    require(k > 0.0, s"k must be positive, got $k")
+    val v = col(valueCol).cast("double")
+    def pct(c: Column): Column = approxAccuracy match {
+      case Some(acc) => percentile_approx(c, lit(0.5), lit(acc))
+      case None => percentile(c, lit(0.5))
+    }
+    val med = df.where(v.isNotNull)
+      .groupBy(keys.map(col): _*).agg(pct(v).as("_med"))
+    val dev = df.where(v.isNotNull).join(broadcast(med), keys)
+      .withColumn("_dev", abs(v - col("_med")))
+    val mad = dev.groupBy(keys.map(col): _*).agg(pct(col("_dev")).as("_mad"))
+    dev.join(broadcast(mad), keys)
+      .where(col("_mad") > 0.0 && col("_dev") > lit(k) * (lit(1.4826) * col("_mad")))
+      .withColumn("robust_z", round(col("_dev") / (lit(1.4826) * col("_mad")), 6))
+      .withColumn("med", round(col("_med"), 6))
+      .withColumn("mad", round(col("_mad"), 6))
+      .drop("_med", "_dev", "_mad")
+  }
+
   /** Gap-based sessionization — the canonical event-pipeline operator:
     * within each entity, a new session starts when the gap to the
     * previous event exceeds `gapSec`. Two stacked windows on the SAME

@@ -1306,6 +1306,45 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage != null && e.getMessage.contains("non-positive weight"))
   }
 
+  test("histogramBy: closed-form buckets, dense zero bins, degenerate group, max capped") {
+    val df = (Seq.tabulate(11)(i => ("a", i.toDouble)) ++ Seq(("b", 7.0), ("b", 7.0)))
+      .toDF("g", "v")
+    val h = Relational.histogramBy(df, Seq("g"), "v", bins = 5)
+      .orderBy("g", "bin").collect()
+    // group a: 0..10, width 2 → counts 2,2,2,2,3 (10 capped into bin 4)
+    val a = h.filter(_.getString(0) == "a")
+    assert(a.map(_.getLong(4)).toSeq == Seq(2L, 2L, 2L, 2L, 3L))
+    assert(a.map(r => (r.getDouble(2), r.getDouble(3))).toSeq ==
+      Seq((0.0, 2.0), (2.0, 4.0), (4.0, 6.0), (6.0, 8.0), (8.0, 10.0)))
+    // degenerate group b (max == min): all mass in bin 0, bins still dense
+    val b = h.filter(_.getString(0) == "b")
+    assert(b.length == 5 && b.head.getLong(4) == 2L && b.tail.forall(_.getLong(4) == 0L))
+    intercept[IllegalArgumentException] {
+      Relational.histogramBy(df, Seq("g"), "v", bins = 0)
+    }
+  }
+
+  test("madOutliers: closed-form flag, MAD-zero group flags nothing, approx path agrees") {
+    val df = (Seq(0.0, 10.0, 20.0, 30.0, 1000.0).map(("t", _)) ++
+      Seq(1.0, 1.0, 1.0, 1.0, 100.0).map(("z", _)))
+      .toDF("g", "v").withColumn("id", monotonically_increasing_id())
+    val out = Relational.madOutliers(df, Seq("g"), "v", k = 3.0)
+    val rows = out.select("g", "v", "med", "mad", "robust_z").collect()
+    // group t: med 20, devs {20,10,0,10,980}, MAD 10 → only 1000 clears
+    // 3·1.4826·10 = 44.478; robust_z = 980/14.826
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "t" && r.getDouble(1) == 1000.0)
+    assert(r.getDouble(2) == 20.0 && r.getDouble(3) == 10.0)
+    assert(math.abs(r.getDouble(4) - 980.0 / 14.826) < 1e-6)
+    // group z has MAD 0 (median of devs {0,0,0,0,99}) → guarded, no flags
+    // even though 100 is wildly off-median
+    val approx = Relational.madOutliers(df, Seq("g"), "v", k = 3.0,
+      approxAccuracy = Some(10000)).select("g", "v").collect()
+    assert(approx.map(x => (x.getString(0), x.getDouble(1))).toSeq ==
+      Seq(("t", 1000.0)))
+  }
+
   test("importanceResample: target-like docs dominate the draw, deterministic, fail-fast") {
     // two sub-languages with disjoint vocabularies: targets speak
     // "alpha beta gamma", the rest "zeta eta theta"; a doc's bucket
