@@ -117,6 +117,37 @@ object StreamingPipelines {
         col("n_events"), col("start_us"), col("end_us"),
         (col("end_us") - col("start_us")).as("duration_us")): _*)
 
+  /** Watermarked STREAM-STREAM interval join — the event-attribution
+    * primitive (impression ⟕ conversion within an attribution window):
+    * a right event joins a left event with equal keys when it lands in
+    * `[leftTs, leftTs + within]`. Both sides are watermarked and the
+    * range predicate is on both event-time columns, so the state store
+    * keeps each side only for `watermark + within` of event time — state
+    * is bounded by stream RATE times the window, never by history; Spark
+    * evicts expired rows every micro-batch. `leftOuter` additionally
+    * emits unmatched left events (null right columns) once the watermark
+    * proves no match can still arrive — exactly-once attribution with
+    * explicit non-conversions. Matches pair ACROSS micro-batches through
+    * the state store. Emits keys, both event times, and `lag_us`
+    * (conversion delay; null for non-converted left-outer rows). */
+  def attributionJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      within: String = "30 minutes",
+                      watermark: String = "10 minutes",
+                      joinType: String = "inner"): DataFrame = {
+    require(leftTs != rightTs,
+      s"left/right event-time columns must be named differently, both are '$leftTs'")
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val rangeCond = col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within")
+    l.join(r, keyCond && rangeCond, joinType)
+      .select(keys.map(k => col(s"l.$k").as(k)) ++ Seq(
+        col(leftTs), col(rightTs),
+        (unix_micros(col(rightTs)) - unix_micros(col(leftTs))).as("lag_us")): _*)
+  }
+
   // ------------------------------------------------------------------
   // ST3: stateful chunk-carry TA — flatMapGroupsWithState port of
   // StatefulTAProcessor (`adi/app/features/processors/stateful_processor

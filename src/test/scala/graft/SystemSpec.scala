@@ -304,6 +304,50 @@ class SystemSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join: cross-batch match, window bound, outer non-conversion") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val imps = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingPipelines.attributionJoin(
+        imps.toDF().toDF("user_id", "imp_ts"),
+        clicks.toDF().toDF("user_id", "click_ts"),
+        Seq("user_id"), "imp_ts", "click_ts",
+        within = "60 seconds", watermark = "0 seconds", joinType = "leftOuter")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      // batch 1: impressions only — the join state must hold them.
+      // (Times sit above epoch 0: the initial watermark IS epoch 0 and
+      // an event AT the watermark is already late.)
+      imps.addData((1L, ts(1000)), (2L, ts(1005)))
+      q.processAllAvailable()
+      // batch 2: user 1 converts IN window (cross-batch pair); user 2's
+      // click is 495 s after the impression — outside the 60 s window
+      clicks.addData((1L, ts(1030)), (2L, ts(1500)))
+      q.processAllAvailable()
+      // advance both watermarks far past imp_ts+within so user 2's
+      // impression is provably unconvertible, then tick once more to
+      // let the eviction batch emit the outer row
+      imps.addData((9L, ts(100000))); clicks.addData((9L, ts(100000)))
+      q.processAllAvailable()
+      imps.addData((9L, ts(200000))); clicks.addData((9L, ts(200000)))
+      q.processAllAvailable()
+      val out = spark.table("attrib").orderBy("user_id", "imp_ts").collect()
+        .filter(_.getLong(0) != 9L)
+      assert(out.length == 2, s"expected user-1 match + user-2 non-conversion, got ${out.toSeq}")
+      val u1 = out(0)
+      assert(u1.getLong(0) == 1L && u1.getAs[Long]("lag_us") == 30000000L,
+        s"in-window cross-batch attribution must pair with 30 s lag: $u1")
+      val u2 = out(1)
+      assert(u2.getLong(0) == 2L && u2.isNullAt(2) && u2.isNullAt(3),
+        s"out-of-window click must NOT attribute; outer row emits null conversion: $u2")
+    } finally q.stop()
+  }
+
   test("scheduler: two ticks of a cadenced backfill fill a temp store (ST4/ST8)") {
     val store = new FeatureStore(spark, tmp())
     val full = ohlcvRamp(30)
