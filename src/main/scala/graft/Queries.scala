@@ -2107,6 +2107,33 @@ object Queries {
       WHERE a.mad > 0 AND d.dev > 3.0 * (1.4826 * a.mad)
       ORDER BY d.event_id"""))
 
+  // SCD2 dimension history (user's current event_type as the tracked
+  // attribute): the Spark side folds INCREMENTALLY — init on the first
+  // 15 days, merge the rest — while the oracle compresses the full
+  // stream in one pass; equality under the hash check proves the
+  // incremental ≡ full contract for time-ordered batches.
+  private val qScd2History = QDef(
+    "q_scd2_history",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = to_timestamp(lit("2024-01-16"))
+      val stored = Relational.scd2Init(ev.where(col("ts") < cut),
+        Seq("user_id"), Seq("event_type"), "ts")
+      Relational.scd2Merge(stored, ev.where(col("ts") >= cut),
+          Seq("user_id"), Seq("event_type"), "ts")
+        .orderBy("user_id", "eff_from_us", "event_type")
+    },
+    Some("""
+      WITH v AS (SELECT DISTINCT user_id, event_type, epoch_us(ts) AS eff_from_us FROM events),
+      o AS (SELECT user_id, event_type, eff_from_us,
+                   row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+            FROM v WINDOW w AS (PARTITION BY user_id ORDER BY eff_from_us, event_type)),
+      k AS (SELECT user_id, event_type, eff_from_us FROM o
+            WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+      SELECT user_id, event_type, eff_from_us,
+             lead(eff_from_us) OVER (PARTITION BY user_id ORDER BY eff_from_us, event_type) AS eff_to_us
+      FROM k ORDER BY user_id, eff_from_us, event_type"""))
+
   // Okapi BM25 keyword search: query {dup, spark, window} mixes the
   // corpus's one rare term (df≈25 of 500 docs at sf0.01 → idf ≈ 3) with
   // two near-ubiquitous ones (idf ≈ 0.26), so the ranking binds on the
@@ -2913,7 +2940,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
-    qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qProfile, qHistogram, qOutlierMad,
+    qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qProfile, qHistogram, qOutlierMad, qScd2History,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,

@@ -267,6 +267,65 @@ object Relational {
     untouched.unionByName(merged.select(untouched.columns.map(col): _*))
   }
 
+  /** SCD2 dimension-history merge — the warehouse "slowly changing
+    * dimension" operator: fold an update stream into a versioned
+    * dimension table where each row is a `[eff_from_us, eff_to_us)`
+    * validity interval and the open version has `eff_to_us` null. The
+    * core is run-length compression of the per-key version stream:
+    * versions ordered by `(eff_from, attrs)` keep only rows whose
+    * attributes differ from their predecessor (null-safe, every attr),
+    * then `eff_to = lead(eff_from)` rebuilds the contiguous chain. The
+    * fold is IDEMPOTENT (replaying the same updates changes nothing),
+    * and under per-key TIME-ORDERED batches (every update at-or-after
+    * the key's stored history — the standard warehouse load contract)
+    * incremental folds ≡ one full fold over the raw stream, the
+    * [[mergeSessions]] contract. Late updates inside a CLOSED run are
+    * the one case compression cannot absorb (the run's dropped repeats
+    * are gone); such rewinds need a rebuild from the raw event log —
+    * [[scd2Init]] over the key's full history.
+    *
+    * Scale shape: only keys PRESENT in the update batch reload their
+    * stored history (broadcast semi/anti on the batch's key set — batch-
+    * sized, small); untouched keys pass through without a shuffle. The
+    * compression itself is two stacked windows on one `(keys)` spec —
+    * one exchange, per-key parallelism, nothing key-quadratic. */
+  def scd2Merge(stored: DataFrame, updates: DataFrame, keys: Seq[String],
+                attrCols: Seq[String], tsCol: String): DataFrame = {
+    require(keys.nonEmpty, "scd2Merge needs dimension keys")
+    require(attrCols.nonEmpty, "scd2Merge needs tracked attribute columns")
+    val affected = updates.select(keys.map(col): _*).distinct()
+    val up = updates.select(keys.map(col) ++ attrCols.map(col) :+
+      unix_micros(col(tsCol)).as("eff_from_us"): _*)
+    val reopened = stored.join(broadcast(affected), keys, "left_semi")
+      .select(keys.map(col) ++ attrCols.map(col) :+ col("eff_from_us"): _*)
+    val recompressed = scd2Compress(reopened.unionByName(up), keys, attrCols)
+    val untouched = stored.join(broadcast(affected), keys, "left_anti")
+      .select(keys.map(col) ++ attrCols.map(col) :+
+        col("eff_from_us") :+ col("eff_to_us"): _*)
+    untouched.unionByName(recompressed)
+  }
+
+  /** Build an SCD2 dimension from scratch (no stored history): run-length
+    * compression of the raw update stream. See [[scd2Merge]]. */
+  def scd2Init(updates: DataFrame, keys: Seq[String],
+               attrCols: Seq[String], tsCol: String): DataFrame =
+    scd2Compress(updates.select(keys.map(col) ++ attrCols.map(col) :+
+      unix_micros(col(tsCol)).as("eff_from_us"): _*), keys, attrCols)
+
+  private def scd2Compress(versions: DataFrame, keys: Seq[String],
+                           attrCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("eff_from_us") +: attrCols.map(col): _*)
+    val anyChanged = attrCols.map(a => not(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _)
+    versions.distinct()
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_chg", anyChanged)
+      .where(col("_rn") === 1 || col("_chg"))
+      .withColumn("eff_to_us", lead(col("eff_from_us"), 1).over(w))
+      .drop("_rn", "_chg")
+  }
+
   /** Cohort retention — the activity-grid companion to [[funnel]]:
     * users cohort by their FIRST-activity bucket (epoch-time floor
     * division by `bucketSec`, exact integer arithmetic), and each

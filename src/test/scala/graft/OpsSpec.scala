@@ -1306,6 +1306,41 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage != null && e.getMessage.contains("non-positive weight"))
   }
 
+  test("scd2Merge: closed-form chain, idempotent replay, untouched keys pass through") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: gold@10, gold@20 (repeat — compressed), silver@30, silver@40
+    // user 2: bronze@15 only
+    val b1 = Seq((1L, "gold", ts(10)), (1L, "gold", ts(20)), (2L, "bronze", ts(15)))
+      .toDF("user_id", "tier", "ts")
+    val b2 = Seq((1L, "silver", ts(30)), (1L, "silver", ts(40)))
+      .toDF("user_id", "tier", "ts")
+    val stored = Relational.scd2Init(b1, Seq("user_id"), Seq("tier"), "ts")
+    assert(stored.count() == 2) // gold run compressed, bronze open
+    val merged = Relational.scd2Merge(stored, b2, Seq("user_id"), Seq("tier"), "ts")
+    val rows = merged.orderBy("user_id", "eff_from_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, "gold", 10000000L, 30000000L),   // closed by the silver version
+      (1L, "silver", 30000000L, -1L),        // open; the @40 repeat compressed
+      (2L, "bronze", 15000000L, -1L)))       // untouched key passes through
+    // idempotent: replaying batch 2 changes nothing
+    val replay = Relational.scd2Merge(merged, b2, Seq("user_id"), Seq("tier"), "ts")
+      .orderBy("user_id", "eff_from_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(replay.toSeq == rows.toSeq)
+    // incremental ≡ full for time-ordered batches
+    val full = Relational.scd2Init(b1.unionByName(b2), Seq("user_id"), Seq("tier"), "ts")
+      .orderBy("user_id", "eff_from_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(full.toSeq == rows.toSeq)
+    intercept[IllegalArgumentException] {
+      Relational.scd2Merge(stored, b2, Seq("user_id"), Seq(), "ts")
+    }
+  }
+
   test("histogramBy: closed-form buckets, dense zero bins, degenerate group, max capped") {
     val df = (Seq.tabulate(11)(i => ("a", i.toDouble)) ++ Seq(("b", 7.0), ("b", 7.0)))
       .toDF("g", "v")
