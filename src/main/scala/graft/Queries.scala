@@ -2107,6 +2107,35 @@ object Queries {
       WHERE a.mad > 0 AND d.dev > 3.0 * (1.4826 * a.mad)
       ORDER BY d.event_id"""))
 
+  // Count-min-sketch heavy hitters over order part keys, with both CMS
+  // guarantees as oracle-pinned verdicts: one-sided overcount and the
+  // ε = 3/width bound. The grid, probes, and estimates are integer+md5
+  // end to end — n_est itself hash-matches cross-engine.
+  private val qCmsTopk = QDef(
+    "q_cms_topk",
+    (s, dir) => Sketches.cmsHeavyHitters(t(s, dir, "lineitem"),
+      "l_partkey", topK = 20),
+    Some("""
+      WITH items AS (SELECT CAST(l_partkey AS VARCHAR) AS item
+                     FROM lineitem WHERE l_partkey IS NOT NULL),
+      js AS (SELECT unnest(range(0, 4)) AS j),
+      g AS (SELECT j, CAST(('0x' || substr(md5(item || ':cms:' || j), 1, 12)) AS BIGINT) % 1024 AS b,
+                   count(*) AS c
+            FROM items CROSS JOIN js GROUP BY 1, 2),
+      n AS (SELECT count(*) AS n_total FROM items),
+      ex AS (SELECT item, count(*) AS n_exact FROM items GROUP BY item
+             ORDER BY n_exact DESC, item LIMIT 20),
+      probe AS (SELECT ex.item, ex.n_exact, js.j,
+                  CAST(('0x' || substr(md5(ex.item || ':cms:' || js.j), 1, 12)) AS BIGINT) % 1024 AS b
+                FROM ex CROSS JOIN js),
+      est AS (SELECT item, max(n_exact) AS n_exact, min(g.c) AS c_min
+              FROM probe JOIN g USING (j, b) GROUP BY item)
+      SELECT item, n_exact, c_min AS n_est,
+             (c_min >= n_exact) AS one_sided,
+             ((c_min - n_exact) * 1024 <= 3 * n_total) AS within_bound
+      FROM est CROSS JOIN n
+      ORDER BY n_exact DESC, item"""))
+
   // SCD2 dimension history (user's current event_type as the tracked
   // attribute): the Spark side folds INCREMENTALLY — init on the first
   // 15 days, merge the rest — while the oracle compresses the full
@@ -2940,7 +2969,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
-    qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qProfile, qHistogram, qOutlierMad, qScd2History,
+    qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,

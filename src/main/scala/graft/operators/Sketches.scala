@@ -90,4 +90,54 @@ object Sketches {
             .cast("double")).as("ok"))
       .orderBy("set_a", "set_b")
   }
+
+  /** Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005) WITH
+    * the exact contract: build the `depth × width` counter grid
+    * relationally (per hash row j, bucket = portable md5 hash of
+    * `item:salt:j` mod width; one grouped count), estimate each
+    * candidate's frequency as the MIN of its `depth` bucket counters,
+    * and emit it next to the exact count plus the two CMS guarantees as
+    * verdict columns: `one_sided` (est ≥ exact — the sketch only ever
+    * OVERcounts, by collision mass) and `within_bound`
+    * (`(est − exact) · width ≤ 3 · N` — the ε = 3/width error bar,
+    * integer arithmetic end to end).
+    *
+    * Scale shape: the sketch is ONE grouped count onto ≤ depth·width
+    * keys (map-side combined — the classic mergeable-summary property:
+    * per-partition grids sum), broadcast into the candidate probe; the
+    * exact side is the grouped count + global top-k heap the sketch
+    * replaces at 100 TB (drop the exact columns there; the grid stays
+    * a few KB at ANY corpus size). Everything is integer + md5 —
+    * estimates reproduce bit-for-bit on any engine. */
+  def cmsHeavyHitters(df: DataFrame, itemCol: String, topK: Int,
+                      depth: Int = 4, width: Int = 1024,
+                      salt: String = "cms"): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(depth > 0 && width > 0, s"bad grid: depth=$depth width=$width")
+    val items = df.select(col(itemCol).cast("string").as("item"))
+      .where(col("item").isNotNull)
+    def bucket(item: org.apache.spark.sql.Column) =
+      pmod(TextAnalysis.tokenHash48(
+        concat(item, lit(":" + salt + ":"), col("j").cast("string"))),
+        lit(width.toLong))
+    val grid = items
+      .withColumn("j", explode(sequence(lit(0L), lit(depth - 1L))))
+      .groupBy(col("j"), bucket(col("item")).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val n = items.agg(count(lit(1)).as("n_total"))
+    val exactTop = items.groupBy("item").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("item")).limit(topK)
+    exactTop
+      .withColumn("j", explode(sequence(lit(0L), lit(depth - 1L))))
+      .withColumn("b", bucket(col("item")))
+      .join(broadcast(grid), Seq("j", "b"))
+      .groupBy("item")
+      .agg(max("n_exact").as("n_exact"), min("c").as("n_est"))
+      .crossJoin(broadcast(n))
+      .select(col("item"), col("n_exact"), col("n_est"),
+        (col("n_est") >= col("n_exact")).as("one_sided"),
+        ((col("n_est") - col("n_exact")) * width <= lit(3L) * col("n_total"))
+          .as("within_bound"))
+      .orderBy(col("n_exact").desc, col("item"))
+  }
 }

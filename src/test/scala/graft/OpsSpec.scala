@@ -1306,6 +1306,28 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage != null && e.getMessage.contains("non-positive weight"))
   }
 
+  test("cmsHeavyHitters: exact on a wide grid, one-sided under forced collisions") {
+    val df = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c") ++
+      (1 to 10).map(i => s"x$i")).toDF("item")
+    // wide grid: 13 distinct items over 1024 buckets × 4 rows — min over
+    // rows kills any single collision, estimates are exact
+    val wide = Sketches.cmsHeavyHitters(df, "item", topK = 3).collect()
+    assert(wide.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 50L, 50L), ("b", 30L, 30L), ("c", 20L, 20L)))
+    assert(wide.forall(r => r.getBoolean(3) && r.getBoolean(4)))
+    // width 2, depth 1: items MUST collide; estimates only ever overcount
+    val tiny = Sketches.cmsHeavyHitters(df, "item", topK = 13,
+      depth = 1, width = 2).collect()
+    assert(tiny.forall(_.getBoolean(3)), "CMS must never undercount")
+    assert(tiny.exists(r => r.getLong(2) > r.getLong(1)),
+      "a 2-bucket grid over 13 items must show collision overcount")
+    // the two buckets partition the stream: each estimate is its bucket's mass
+    assert(tiny.map(_.getLong(2)).distinct.sorted.toSeq.size <= 2)
+    intercept[IllegalArgumentException] {
+      Sketches.cmsHeavyHitters(df, "item", topK = 0)
+    }
+  }
+
   test("scd2Merge: closed-form chain, idempotent replay, untouched keys pass through") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     // user 1: gold@10, gold@20 (repeat — compressed), silver@30, silver@40
