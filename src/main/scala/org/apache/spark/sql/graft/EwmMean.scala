@@ -76,6 +76,8 @@ object GraftFunctions {
   val LshSigsName = "graft_lsh_sigs"
   val ShinglesName = "graft_shingles"
   val NearestCentroidName = "graft_nearest_centroid"
+  val PqCodesName = "graft_pq_codes"
+  val PqAdcName = "graft_pq_adc"
 
   private def evalAlpha(e: Expression): Double = e match {
     case Literal(v: Double, _) => v
@@ -106,5 +108,9 @@ object GraftFunctions {
       exprs => Shingles(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(NearestCentroidName,
       exprs => NearestCentroid(exprs.head, exprs(1), exprs(2)), "built-in")
+    registry.createOrReplaceTempFunction(PqCodesName,
+      exprs => PqAssignCodes(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
+    registry.createOrReplaceTempFunction(PqAdcName,
+      exprs => PqAdcDistance(exprs.head, exprs(1), exprs(2)), "built-in")
   }
 }

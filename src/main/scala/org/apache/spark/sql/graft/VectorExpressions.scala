@@ -462,3 +462,246 @@ case class Shingles(toks: Expression, nExpr: Expression)
       newLeft: Expression, newRight: Expression): Shingles =
     copy(toks = newLeft, nExpr = newRight)
 }
+
+/** Product-quantization code assignment (Jégou et al. 2011, "Product
+  * Quantization for Nearest Neighbor Search"): splits an `array<double>`
+  * vector into `m` contiguous subspaces and returns the `array<int>` of
+  * per-subspace ARGMIN-L2 codebook codes (lowest code wins ties — fully
+  * deterministic). The flat codebook (`m · ksub · dsub` doubles, laid out
+  * subspace-major) must be foldable: it is embedded in the generated code
+  * once, so encoding is a pure per-row projection — the whole corpus PQ-
+  * encodes with zero shuffle.
+  *
+  * One expression computes ALL m codes per row: m sibling expressions
+  * would re-scan the vector m times and bloat Janino past the JIT
+  * threshold at realistic m. */
+case class PqAssignCodes(vec: Expression, codebookExpr: Expression,
+                         mExpr: Expression, ksubExpr: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(vec, codebookExpr, mExpr, ksubExpr)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val cOk = codebookExpr.foldable && (codebookExpr.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (vecOk && cOk && mExpr.foldable && mExpr.dataType == IntegerType &&
+        ksubExpr.foldable && ksubExpr.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double>, foldable array<double>, foldable int, foldable int)")
+  }
+
+  @transient private lazy val m: Int = mExpr.eval().asInstanceOf[Int]
+  @transient private lazy val ksub: Int = ksubExpr.eval().asInstanceOf[Int]
+  @transient lazy val flatBook: Array[Double] =
+    codebookExpr.eval().asInstanceOf[ArrayData].toDoubleArray()
+  @transient lazy val dsub: Int = {
+    require(m > 0 && ksub > 0, s"need m > 0 and ksub > 0, got m=$m ksub=$ksub")
+    require(flatBook.length % (m * ksub) == 0,
+      s"codebook length ${flatBook.length} not divisible by m·ksub=${m * ksub}")
+    flatBook.length / (m * ksub)
+  }
+  def mPublic: Int = m
+  def ksubPublic: Int = ksub
+
+  private def badDim(actual: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$prettyName: vector of dimension $actual against an m=$m × dsub=$dsub codebook")
+  def badDimPublic(actual: Int): Unit = badDim(actual)
+
+  private def compute(v: ArrayData): Any = {
+    if (v.numElements() != m * dsub) badDim(v.numElements())
+    var d = 0
+    while (d < m * dsub) { if (v.isNullAt(d)) return null; d += 1 }
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = Double.PositiveInfinity
+      var bestC = 0
+      var c = 0
+      while (c < ksub) {
+        var dist = 0.0
+        val base = (s * ksub + c) * dsub
+        var i = 0
+        while (i < dsub) {
+          val diff = v.getDouble(s * dsub + i) - flatBook(base + i)
+          dist += diff * diff
+          i += 1
+        }
+        if (dist < best) { best = dist; bestC = c }
+        c += 1
+      }
+      codes(s) = bestC
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(codes)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = vec.eval(input)
+    if (v == null) null else compute(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val book = ctx.addReferenceObj("pqBook", flatBook, "double[]")
+    val self = ctx.addReferenceObj("pqAssignExpr", this,
+      "org.apache.spark.sql.graft.PqAssignCodes")
+    val vEval = vec.genCode(ctx)
+    val (mN, kN, dN) = (m, ksub, dsub)
+    val v = ctx.freshName("v")
+    val bad = ctx.freshName("bad")
+    val codes = ctx.freshName("codes")
+    val best = ctx.freshName("best")
+    val bestC = ctx.freshName("bestC")
+    val dist = ctx.freshName("dist")
+    val diff = ctx.freshName("diff")
+    val base = ctx.freshName("base")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code =
+      code"""
+         |${vEval.code}
+         |boolean ${ev.isNull} = ${vEval.isNull};
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $v = ${vEval.value};
+         |  if ($v.numElements() != ${mN * dN}) { $self.badDimPublic($v.numElements()); }
+         |  boolean $bad = false;
+         |  for (int d = 0; d < ${mN * dN}; d++) if ($v.isNullAt(d)) { $bad = true; break; }
+         |  if ($bad) { ${ev.isNull} = true; }
+         |  else {
+         |    int[] $codes = new int[$mN];
+         |    for (int s = 0; s < $mN; s++) {
+         |      double $best = Double.POSITIVE_INFINITY;
+         |      int $bestC = 0;
+         |      for (int c = 0; c < $kN; c++) {
+         |        double $dist = 0.0;
+         |        int $base = (s * $kN + c) * $dN;
+         |        for (int d = 0; d < $dN; d++) {
+         |          double $diff = $v.getDouble(s * $dN + d) - $book[$base + d];
+         |          $dist += $diff * $diff;
+         |        }
+         |        if ($dist < $best) { $best = $dist; $bestC = c; }
+         |      }
+         |      $codes[s] = $bestC;
+         |    }
+         |    ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($codes);
+         |  }
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PqAssignCodes =
+    copy(vec = newChildren(0), codebookExpr = newChildren(1),
+      mExpr = newChildren(2), ksubExpr = newChildren(3))
+}
+
+/** Asymmetric-distance (ADC) lookup for PQ search: given a row's
+  * `array<int>` PQ codes and a foldable per-query distance table
+  * (`m · ksub` doubles: the exact L2² from the query's subvector to every
+  * codebook centroid, computed once on the driver), returns
+  * `Σ_s table[s·ksub + codes[s]]` — the PQ approximation of the
+  * query-to-row L2². A pure projection over the (tiny) encoded column:
+  * the scan reads m ints per row instead of the full vector, which is
+  * the entire point of PQ at 100 TB. */
+case class PqAdcDistance(codes: Expression, tableExpr: Expression,
+                         ksubExpr: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(codes, tableExpr, ksubExpr)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_adc"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val codesOk = codes.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    val tOk = tableExpr.foldable && (tableExpr.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (codesOk && tOk && ksubExpr.foldable && ksubExpr.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<int>, foldable array<double>, foldable int)")
+  }
+
+  @transient private lazy val ksub: Int = ksubExpr.eval().asInstanceOf[Int]
+  @transient lazy val table: Array[Double] =
+    tableExpr.eval().asInstanceOf[ArrayData].toDoubleArray()
+  @transient lazy val m: Int = {
+    require(ksub > 0, s"ksub must be positive, got $ksub")
+    require(table.length % ksub == 0,
+      s"distance table length ${table.length} not divisible by ksub=$ksub")
+    table.length / ksub
+  }
+
+  private def badShape(actual: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$prettyName: $actual codes against an m=$m table")
+  def badShapePublic(actual: Int): Unit = badShape(actual)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val c = codes.eval(input)
+    if (c == null) null
+    else {
+      val arr = c.asInstanceOf[ArrayData]
+      if (arr.numElements() != m) badShape(arr.numElements())
+      var s = 0
+      var sum = 0.0
+      while (s < m) {
+        val code = arr.getInt(s)
+        require(code >= 0 && code < ksub, s"$prettyName: code $code out of [0,$ksub)")
+        sum += table(s * ksub + code)
+        s += 1
+      }
+      sum
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("adcTable", table, "double[]")
+    val self = ctx.addReferenceObj("pqAdcExpr", this,
+      "org.apache.spark.sql.graft.PqAdcDistance")
+    val cEval = codes.genCode(ctx)
+    val (mN, kN) = (m, ksub)
+    val arr = ctx.freshName("arr")
+    val sum = ctx.freshName("sum")
+    val codeV = ctx.freshName("code")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code =
+      code"""
+         |${cEval.code}
+         |boolean ${ev.isNull} = ${cEval.isNull};
+         |double ${ev.value} = 0.0;
+         |if (!${ev.isNull}) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $arr = ${cEval.value};
+         |  if ($arr.numElements() != $mN) { $self.badShapePublic($arr.numElements()); }
+         |  double $sum = 0.0;
+         |  for (int s = 0; s < $mN; s++) {
+         |    int $codeV = $arr.getInt(s);
+         |    if ($codeV < 0 || $codeV >= $kN)
+         |      throw new IllegalArgumentException("graft_pq_adc: code out of range: " + $codeV);
+         |    $sum += $t[s * $kN + $codeV];
+         |  }
+         |  ${ev.value} = $sum;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PqAdcDistance =
+    copy(codes = newChildren(0), tableExpr = newChildren(1),
+      ksubExpr = newChildren(2))
+}

@@ -1306,6 +1306,70 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage != null && e.getMessage.contains("non-positive weight"))
   }
 
+  test("PQ: zero-quantization-error closed form — ADC equals exact L2 squared") {
+    // 4 vectors, m=2 subspaces of dim 2, ksub=4: the seeds ARE the data,
+    // so every subvector is a codebook centroid and reconstruction is
+    // exact — ADC distances must equal the true L2² to the query
+    val vs = Seq(
+      (1L, Seq(0.0, 0.0, 1.0, 1.0)), (2L, Seq(1.0, 0.0, 0.0, 1.0)),
+      (3L, Seq(0.0, 1.0, 1.0, 0.0)), (4L, Seq(2.0, 2.0, 2.0, 2.0)))
+      .toDF("vec_id", "v")
+    val book = Similarity.pqTrain(vs, "v", "vec_id", m = 2, ksub = 4, iters = 1)
+    val enc = Similarity.pqEncode(vs, "v", "vec_id", book, m = 2, ksub = 4)
+    val q = Seq(0.0, 0.0, 1.0, 1.0) // = vector 1
+    val got = Similarity.pqSearch(enc, book, m = 2, ksub = 4, q, queryId = 1L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    def l2sq(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expect = Seq(2L -> Seq(1.0, 0.0, 0.0, 1.0), 3L -> Seq(0.0, 1.0, 1.0, 0.0),
+      4L -> Seq(2.0, 2.0, 2.0, 2.0)).toMap
+    expect.foreach { case (id, vec) =>
+      assert(math.abs(got(id) - l2sq(q, vec)) < 1e-12,
+        s"ADC for $id: ${got(id)} != exact ${l2sq(q, vec)}")
+    }
+    // training is deterministic: identical codebook on a re-run
+    val again = Similarity.pqTrain(vs, "v", "vec_id", m = 2, ksub = 4, iters = 1)
+    assert(book.toSeq == again.toSeq)
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(vs, "v", "vec_id", m = 3, ksub = 4) // 4 % 3 != 0
+    }
+  }
+
+  test("PQ: recall against brute-force L2 on the real embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (m, ksub) = (16, 16)
+    val book = Similarity.pqTrain(emb, "embedding", "vec_id", m, ksub, iters = 4)
+    val enc = Similarity.pqEncode(emb, "embedding", "vec_id", book, m, ksub)
+    val qRow = emb.where(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding"))).collect().head.getSeq[Double](0)
+    val pq = Similarity.pqSearch(enc, book, m, ksub, qRow, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    // brute-force exact L2 top-10
+    val withD = emb.where(col("vec_id") =!= 0L)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("qv", typedlit(qRow))
+      .withColumn("d2",
+        Similarity.dot(col("v"), col("v")) - lit(2.0) * Similarity.dot(col("v"), col("qv"))
+          + lit(qRow.map(x => x * x).sum))
+      .orderBy(col("d2"), col("vec_id")).limit(10)
+    val exact = withD.collect().map(_.getLong(0)).toSet
+    // pure ADC: quantization-error-limited (deterministic 0.5 here)
+    val recall = (pq & exact).size / 10.0
+    assert(recall >= 0.4, s"PQ ADC recall@10 too low: $recall (pq=$pq exact=$exact)")
+    // shortlist-100 exact re-rank: the production config — near-total recall
+    val vecs = emb.select(col("vec_id"), col("embedding").as("v"))
+    val rr = Similarity.pqSearch(enc, book, m, ksub, qRow, queryId = 0L, k = 10,
+      rerank = 100, vectors = Some(vecs)).collect().map(_.getLong(0)).toSet
+    val rrRecall = (rr & exact).size / 10.0
+    assert(rrRecall >= 0.8, s"re-ranked recall@10 too low: $rrRecall (rr=$rr exact=$exact)")
+    // codes really are m small ints
+    val c = enc.where(col("codes").isNotNull).select("codes").head.getSeq[Int](0)
+    assert(c.length == m && c.forall(x => x >= 0 && x < ksub))
+    intercept[IllegalArgumentException] {
+      Similarity.pqSearch(enc, book, m, ksub, qRow, 0L, k = 10, rerank = 5)
+    }
+  }
+
   test("cmsHeavyHitters: exact on a wide grid, one-sided under forced collisions") {
     val df = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c") ++
       (1 to 10).map(i => s"x$i")).toDF("item")

@@ -108,6 +108,24 @@ class PlanSpec extends SparkSpec {
       s"centroid assignment must not shuffle the corpus:\n${plan.take(1200)}")
   }
 
+  test("PQ encode and ADC scan are pure projections — no Exchange, heap top-k only") {
+    val df = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(j => (i * 7 + j).toFloat))).toDF("vec_id", "embedding")
+    val book = graft.operators.Similarity.pqTrain(df, "embedding", "vec_id",
+      m = 4, ksub = 4, iters = 0)
+    val enc = graft.operators.Similarity.pqEncode(df, "embedding", "vec_id",
+      book, m = 4, ksub = 4)
+    assert(!planOf(enc).contains("Exchange"),
+      s"PQ encoding must not shuffle the corpus:\n${planOf(enc).take(1200)}")
+    val search = graft.operators.Similarity.pqSearch(enc, book, m = 4, ksub = 4,
+      (0 until 8).map(_.toDouble), queryId = 0L, k = 5)
+    val plan = planOf(search)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ADC top-k must be a heap, not a global sort:\n${plan.take(1200)}")
+    assert(!plan.contains("ShuffleExchange"),
+      s"ADC scan must not shuffle row bodies:\n${plan.take(1200)}")
+  }
+
   test("profile is ONE aggregation pass (Expand for multi-distinct, no per-column jobs)") {
     val df = spark.range(100).select(col("id"), (col("id") % 7).as("k"),
       col("id").cast("string").as("s"))
