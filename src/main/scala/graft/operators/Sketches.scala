@@ -114,8 +114,12 @@ object Sketches {
                       salt: String = "cms"): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
     require(depth > 0 && width > 0, s"bad grid: depth=$depth width=$width")
+    // the spreading repartition (the Dedup.shingleArrays lesson): a
+    // single-file scan would run depth·N md5 hashes on 1-2 input
+    // partitions; 8 B items spread far cheaper than they hash
     val items = df.select(col(itemCol).cast("string").as("item"))
       .where(col("item").isNotNull)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     def bucket(item: org.apache.spark.sql.Column) =
       pmod(TextAnalysis.tokenHash48(
         concat(item, lit(":" + salt + ":"), col("j").cast("string"))),
@@ -124,7 +128,10 @@ object Sketches {
       .withColumn("j", explode(sequence(lit(0L), lit(depth - 1L))))
       .groupBy(col("j"), bucket(col("item")).as("b"))
       .agg(count(lit(1)).as("c"))
-    val n = items.agg(count(lit(1)).as("n_total"))
+    // N falls out of the sketch itself (each hash row partitions the
+    // stream), so the stream is scanned twice total — sketch + truth —
+    // not three times
+    val n = grid.where(col("j") === 0L).agg(sum("c").as("n_total"))
     val exactTop = items.groupBy("item").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("item")).limit(topK)
     exactTop
