@@ -403,11 +403,15 @@ object Similarity {
               m: Int = 8, ksub: Int = 16, iters: Int = 2): Array[Double] = {
     require(m > 0 && ksub > 0, s"need m > 0 and ksub > 0, got m=$m ksub=$ksub")
     require(iters >= 0, s"need iters >= 0, got $iters")
+    // drop vectors with null ELEMENTS too, not just null vectors: they
+    // can't seed (null centroid components) and their null assignment
+    // codes would otherwise unbox to 0 in the update collect, silently
+    // overwriting code-0 centroids with garbage
     val e = df.select(col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("v"))
-      .where(col("v").isNotNull)
+      .where(col("v").isNotNull && forall(col("v"), x => x.isNotNull))
     val seed = e.orderBy("vec_id").limit(ksub).collect()
       .map(_.getSeq[Double](1)).toIndexedSeq
-    require(seed.nonEmpty, "pqTrain: no non-null vectors to train on")
+    require(seed.nonEmpty, "pqTrain: no fully-non-null vectors to train on")
     val dim = seed.head.length
     require(dim % m == 0, s"pqTrain: dimension $dim not divisible by m=$m")
     val dsub = dim / m
@@ -465,17 +469,22 @@ object Similarity {
     * `rerank` > 0 adds the standard second stage (IVF-PQ practice —
     * quantization error caps pure-ADC recall): take the top-`rerank` ADC
     * shortlist, fetch ONLY those rows' true vectors (broadcast semi-join
-    * of the shortlist ids into `vectors` — shortlist-sized, tiny), and
-    * return the top-k by EXACT L2². Measured on the sf0.001 embeddings:
-    * ADC-only recall@10 ≈ 0.5, shortlist-100 re-rank ≈ 1.0, while the
-    * full-vector read stays k-bounded. */
+    * of the shortlist ids into `vectors`, which must be a `(vec_id, v)`
+    * frame — the fetch is shortlist-sized, tiny), and return the top-k
+    * by EXACT L2². Measured on the sf0.001 embeddings: ADC-only
+    * recall@10 ≈ 0.5, shortlist-100 re-rank ≈ 1.0, while the
+    * full-vector read stays k-bounded. Both paths return
+    * `(vec_id, dist)` nearest-first — ADC-approximate L2² without
+    * re-rank, exact L2² with it. */
   def pqSearch(encoded: DataFrame, book: Array[Double], m: Int, ksub: Int,
                queryVec: Seq[Double], queryId: Long, k: Int,
                rerank: Int = 0, vectors: Option[DataFrame] = None): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     require(rerank == 0 || rerank >= k, s"rerank must be 0 or >= k, got $rerank")
     require(rerank == 0 || vectors.nonEmpty,
-      "rerank needs the original vectors frame (vec_id, vector)")
+      "rerank needs the original vectors as a (vec_id, v) frame")
+    require(vectors.forall(f => f.columns.contains("vec_id") && f.columns.contains("v")),
+      s"vectors must be a (vec_id, v) frame, got (${vectors.map(_.columns.mkString(", ")).getOrElse("")})")
     val dsub = book.length / (m * ksub)
     require(queryVec.length == m * dsub,
       s"query dimension ${queryVec.length} != m·dsub = ${m * dsub}")
@@ -495,21 +504,20 @@ object Similarity {
       .where(col("vec_id") =!= queryId && col("codes").isNotNull)
       .select(col("vec_id"),
         call_function(GraftFunctions.PqAdcName, col("codes"),
-          typedlit(table.toSeq), lit(ksub)).as("adc_dist"))
-      .orderBy(col("adc_dist"), col("vec_id"))
+          typedlit(table.toSeq), lit(ksub)).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
       .limit(if (rerank > 0) rerank else k)
     if (rerank == 0) adc
     else {
-      val (vdf, vecCol, idCol) = (vectors.get, "v", "vec_id")
       val qSq = queryVec.map(x => x * x).sum
-      vdf
-        .join(broadcast(adc.select(col("vec_id"))), Seq(idCol), "left_semi")
-        .select(col(idCol), toDoubleVec(col(vecCol)).as("_v"))
+      vectors.get
+        .join(broadcast(adc.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), toDoubleVec(col("v")).as("_v"))
         .withColumn("_qv", typedlit(queryVec))
-        .select(col(idCol),
+        .select(col("vec_id"),
           (dot(col("_v"), col("_v")) - lit(2.0) * dot(col("_v"), col("_qv"))
-            + lit(qSq)).as("l2_sq"))
-        .orderBy(col("l2_sq"), col(idCol))
+            + lit(qSq)).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
         .limit(k)
     }
   }

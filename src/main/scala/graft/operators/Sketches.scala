@@ -128,10 +128,11 @@ object Sketches {
       .withColumn("j", explode(sequence(lit(0L), lit(depth - 1L))))
       .groupBy(col("j"), bucket(col("item")).as("b"))
       .agg(count(lit(1)).as("c"))
-    // N falls out of the sketch itself (each hash row partitions the
-    // stream), so the stream is scanned twice total — sketch + truth —
-    // not three times
-    val n = grid.where(col("j") === 0L).agg(sum("c").as("n_total"))
+    // N from the raw column, pre-repartition: the filter-on-j=0 grid
+    // derivation looked free but Catalyst pushes the grouping-key
+    // predicate below the aggregate into a THIRD hashed scan; a plain
+    // count touches one column and no md5
+    val n = df.where(col(itemCol).isNotNull).agg(count(lit(1)).as("n_total"))
     val exactTop = items.groupBy("item").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("item")).limit(topK)
     exactTop

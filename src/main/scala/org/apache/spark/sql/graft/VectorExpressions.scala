@@ -658,7 +658,11 @@ case class PqAdcDistance(codes: Expression, tableExpr: Expression,
     else {
       val arr = c.asInstanceOf[ArrayData]
       if (arr.numElements() != m) badShape(arr.numElements())
+      // null code element → null distance (a nullable codes column read
+      // back from parquet must not silently score as centroid 0)
       var s = 0
+      while (s < m) { if (arr.isNullAt(s)) return null; s += 1 }
+      s = 0
       var sum = 0.0
       while (s < m) {
         val code = arr.getInt(s)
@@ -679,6 +683,7 @@ case class PqAdcDistance(codes: Expression, tableExpr: Expression,
     val arr = ctx.freshName("arr")
     val sum = ctx.freshName("sum")
     val codeV = ctx.freshName("code")
+    val bad = ctx.freshName("bad")
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     ev.copy(code =
       code"""
@@ -688,14 +693,19 @@ case class PqAdcDistance(codes: Expression, tableExpr: Expression,
          |if (!${ev.isNull}) {
          |  org.apache.spark.sql.catalyst.util.ArrayData $arr = ${cEval.value};
          |  if ($arr.numElements() != $mN) { $self.badShapePublic($arr.numElements()); }
-         |  double $sum = 0.0;
-         |  for (int s = 0; s < $mN; s++) {
-         |    int $codeV = $arr.getInt(s);
-         |    if ($codeV < 0 || $codeV >= $kN)
-         |      throw new IllegalArgumentException("graft_pq_adc: code out of range: " + $codeV);
-         |    $sum += $t[s * $kN + $codeV];
+         |  boolean $bad = false;
+         |  for (int s = 0; s < $mN; s++) if ($arr.isNullAt(s)) { $bad = true; break; }
+         |  if ($bad) { ${ev.isNull} = true; }
+         |  else {
+         |    double $sum = 0.0;
+         |    for (int s = 0; s < $mN; s++) {
+         |      int $codeV = $arr.getInt(s);
+         |      if ($codeV < 0 || $codeV >= $kN)
+         |        throw new IllegalArgumentException("graft_pq_adc: code out of range: " + $codeV);
+         |      $sum += $t[s * $kN + $codeV];
+         |    }
+         |    ${ev.value} = $sum;
          |  }
-         |  ${ev.value} = $sum;
          |}
        """.stripMargin)
   }

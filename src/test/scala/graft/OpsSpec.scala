@@ -1330,6 +1330,19 @@ class OpsSpec extends SparkSpec {
     // training is deterministic: identical codebook on a re-run
     val again = Similarity.pqTrain(vs, "v", "vec_id", m = 2, ksub = 4, iters = 1)
     assert(book.toSeq == again.toSeq)
+    // a vector with a NULL ELEMENT must not poison training (its null
+    // assignment codes would unbox to 0 and overwrite code-0 centroids):
+    // same codebook with the bad row present, and it encodes to null
+    val withBad = vs.unionByName(
+      Seq((5L, Seq[Option[Double]](Some(9.0), None, Some(9.0), Some(9.0))))
+        .toDF("vec_id", "v").select(col("vec_id"),
+          col("v").cast("array<double>").as("v")))
+    val bookBad = Similarity.pqTrain(withBad, "v", "vec_id", m = 2, ksub = 4, iters = 1)
+    assert(bookBad.toSeq == book.toSeq,
+      "a null-element vector must be excluded from codebook training")
+    val encBad = Similarity.pqEncode(withBad, "v", "vec_id", bookBad, m = 2, ksub = 4)
+    assert(encBad.where(col("vec_id") === 5L).head.isNullAt(1),
+      "null-element vectors must encode to null codes")
     intercept[IllegalArgumentException] {
       Similarity.pqTrain(vs, "v", "vec_id", m = 3, ksub = 4) // 4 % 3 != 0
     }

@@ -122,7 +122,7 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(search)
     assert(plan.contains("TakeOrderedAndProject"),
       s"ADC top-k must be a heap, not a global sort:\n${plan.take(1200)}")
-    assert(!plan.contains("ShuffleExchange"),
+    assert(!plan.replace("BroadcastExchange", "").contains("Exchange"),
       s"ADC scan must not shuffle row bodies:\n${plan.take(1200)}")
   }
 
