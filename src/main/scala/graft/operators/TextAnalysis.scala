@@ -369,9 +369,16 @@ object TextAnalysis {
       .where(length(col("w")) > 0)
       .select(col("doc_id"), col("is_target"),
         pmod(tokenHash48(col("w")), lit(buckets.toLong)).as("b"))
-    val counts = toks.groupBy("b").agg(
-      count(lit(1)).as("c_r"),
-      sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("c_t"))
+    // Materialize the bucket counts ONCE: `counts` is ≤`buckets` rows
+    // (metadata scale), but leaving it lazy re-runs the whole
+    // tokenize+md5 corpus scan for every consumer (totals, λ table) —
+    // 3 scans instead of DSIR's inherent 2. Collect and rebuild as a
+    // local relation so the λ derivation prices at driver scale.
+    val countsRows = toks.groupBy("b").agg(
+        count(lit(1)).as("c_r"),
+        sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("c_t"))
+    val counts = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(countsRows.collect(): _*), countsRows.schema)
     val tots = counts.agg(sum("c_r").as("n_r"), sum("c_t").as("n_t"))
     // λ(b) in µnats; the ln argument is the same 3-division double tree
     // the oracle computes, and round() absorbs last-ulp libm drift.
