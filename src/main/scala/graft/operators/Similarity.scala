@@ -321,6 +321,67 @@ object Similarity {
       .select(col("vec_id"), col("cluster_id"), col("_rm").isNull.as("keep"))
   }
 
+  /** Deterministic training sample: keep rows whose engine-portable
+    * 48-bit hash of `"<id>:<salt>"` lands under `fraction` of the hash
+    * space (md5-based [[TextAnalysis.tokenHash48]] — reproducible by an
+    * external SQL oracle, unlike `df.sample`'s XORShiftRandom). At 100 TB
+    * codebook/centroid TRAINING must not pay a full-corpus scan per Lloyd
+    * round; standard practice fits on a sample and assigns everything —
+    * this is the deterministic version of that sample. `fraction >= 1`
+    * returns the frame untouched (no filter in the plan). */
+  def lowestHashSample(df: DataFrame, idCol: String, fraction: Double,
+                       salt: String = "trainsmp"): DataFrame = {
+    require(fraction > 0.0, s"need fraction > 0, got $fraction")
+    if (fraction >= 1.0) df
+    else df.where(
+      pmod(TextAnalysis.tokenHash48(
+        concat(col(idCol).cast("string"), lit(":" + salt))), lit(1000000L))
+        < lit((fraction * 1e6).toLong))
+  }
+
+  /** Train the deterministic spherical-k-means centroids used by
+    * [[kmeansAssign]] and [[writeIvfPqIndex]]: `k` lowest-id non-null
+    * seed vectors, then `iters` fixed-point Lloyd rounds (argmax-cosine
+    * assignment, exact `⌊x·10⁶⌋` BIGINT sums — see [[kmeansAssign]] for
+    * why fixed point). `trainFraction < 1` runs seeding AND every update
+    * round over the [[lowestHashSample]] only — the per-round scan cost
+    * drops proportionally while assignment stays full-corpus. Empty is
+    * possible (all-null input): returns no centroids. */
+  def kmeansCentroids(df: DataFrame, vecCol: String, idCol: String,
+                      k: Int, iters: Int,
+                      trainFraction: Double = 1.0): IndexedSeq[Seq[Double]] = {
+    require(k > 0, s"need k > 0, got $k")
+    require(iters >= 0, s"need iters >= 0, got $iters")
+    val e0 = df.select(col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("v"))
+    val e = lowestHashSample(e0, "vec_id", trainFraction)
+    var cents: IndexedSeq[Seq[Double]] = e.where(col("v").isNotNull)
+      .orderBy("vec_id").limit(k)
+      .collect().toIndexedSeq.map(_.getSeq[Double](1))
+    if (cents.isEmpty) return cents
+    GraftFunctions.register(df.sparkSession)
+    for (_ <- 1 to iters) {
+      val sums = e.withColumn("cluster_id",
+          call_function(GraftFunctions.NearestCentroidName, col("v"),
+            typedlit(cents.flatten), lit(cents.size)).cast("long"))
+        .where(col("cluster_id").isNotNull)
+        .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster_id", "pos")
+        .agg(sum(floor(col("x") * 1e6).cast("long")).as("sfx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getAs[Long]("cluster_id"))
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        byCell.get(cid.toLong) match {
+          case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).toSeq
+            .map(r => r.getAs[Long]("sfx").toDouble / 1e6 /
+              r.getAs[Long]("n").toDouble)
+          case None => old
+        }
+      }
+    }
+    cents
+  }
+
   /** Distributed spherical k-means (Lloyd's) with a cross-engine-
     * deterministic contract, for topic-balancing a pretraining corpus
     * (cluster-proportional sampling, per-cluster quotas) — the iterative
@@ -345,41 +406,23 @@ object Similarity {
     * driver collect (metadata scale, like [[knnIvfIndexed]]'s centroid
     * read). The corpus itself never shuffles. Empty cells keep their
     * previous centroid (no respawn — deterministic). Null vectors get a
-    * null cluster_id, like [[semanticDedup]].
+    * null cluster_id, like [[semanticDedup]]. `trainFraction < 1` trains
+    * the centroids on the deterministic [[lowestHashSample]] only (the
+    * 100-TB shape); the final assignment always covers every row.
     *
     * Returns `(vec_id, cluster_id)` after `iters` Lloyd rounds. */
   def kmeansAssign(df: DataFrame, vecCol: String, idCol: String,
-                   k: Int = 8, iters: Int = 2): DataFrame = {
-    require(k > 0, s"need k > 0, got $k")
-    require(iters >= 0, s"need iters >= 0, got $iters")
+                   k: Int = 8, iters: Int = 2,
+                   trainFraction: Double = 1.0): DataFrame = {
     val e = df.select(col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("v"))
-    var cents: IndexedSeq[Seq[Double]] = e.where(col("v").isNotNull)
-      .orderBy("vec_id").limit(k)
-      .collect().toIndexedSeq.map(_.getSeq[Double](1))
+    val cents = kmeansCentroids(df, vecCol, idCol, k, iters, trainFraction)
     if (cents.isEmpty)
       return e.select(col("vec_id"), lit(null).cast("long").as("cluster_id"))
     GraftFunctions.register(df.sparkSession)
-    def assign(frame: DataFrame): DataFrame = frame.withColumn("cluster_id",
-      call_function(GraftFunctions.NearestCentroidName, col("v"),
-        typedlit(cents.flatten), lit(cents.size)).cast("long"))
-    for (_ <- 1 to iters) {
-      val sums = assign(e).where(col("cluster_id").isNotNull)
-        .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cluster_id", "pos")
-        .agg(sum(floor(col("x") * 1e6).cast("long")).as("sfx"),
-          count(lit(1)).as("n"))
-        .collect()
-      val byCell = sums.groupBy(_.getAs[Long]("cluster_id"))
-      cents = cents.zipWithIndex.map { case (old, cid) =>
-        byCell.get(cid.toLong) match {
-          case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).toSeq
-            .map(r => r.getAs[Long]("sfx").toDouble / 1e6 /
-              r.getAs[Long]("n").toDouble)
-          case None => old
-        }
-      }
-    }
-    assign(e).select("vec_id", "cluster_id")
+    e.withColumn("cluster_id",
+        call_function(GraftFunctions.NearestCentroidName, col("v"),
+          typedlit(cents.flatten), lit(cents.size)).cast("long"))
+      .select("vec_id", "cluster_id")
   }
 
   // ------------------------------------------------------------------
@@ -397,18 +440,25 @@ object Similarity {
     * profile; the corpus never shuffles and assignment is the fused
     * codegen [[org.apache.spark.sql.graft.PqAssignCodes]] projection.
     * Deterministic end to end: lowest-id seed vectors (subvector c of
-    * seed vector c), fixed-point means, lowest-code tie-breaks. Returns
+    * seed vector c), fixed-point means, lowest-code tie-breaks.
+    * `trainFraction < 1` runs seeding and every Lloyd round over the
+    * deterministic [[lowestHashSample]] only — at 100 TB the codebook
+    * (a few KB of centroids) needs a representative sample, not the
+    * corpus, and the per-round scan cost drops proportionally. Returns
     * the flat subspace-major codebook (`m · ksub · dsub` doubles). */
   def pqTrain(df: DataFrame, vecCol: String, idCol: String,
-              m: Int = 8, ksub: Int = 16, iters: Int = 2): Array[Double] = {
+              m: Int = 8, ksub: Int = 16, iters: Int = 2,
+              trainFraction: Double = 1.0): Array[Double] = {
     require(m > 0 && ksub > 0, s"need m > 0 and ksub > 0, got m=$m ksub=$ksub")
     require(iters >= 0, s"need iters >= 0, got $iters")
     // drop vectors with null ELEMENTS too, not just null vectors: they
     // can't seed (null centroid components) and their null assignment
     // codes would otherwise unbox to 0 in the update collect, silently
     // overwriting code-0 centroids with garbage
-    val e = df.select(col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("v"))
-      .where(col("v").isNotNull && forall(col("v"), x => x.isNotNull))
+    val e = lowestHashSample(
+      df.select(col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("v"))
+        .where(col("v").isNotNull && forall(col("v"), x => x.isNotNull)),
+      "vec_id", trainFraction)
     val seed = e.orderBy("vec_id").limit(ksub).collect()
       .map(_.getSeq[Double](1)).toIndexedSeq
     require(seed.nonEmpty, "pqTrain: no fully-non-null vectors to train on")
@@ -485,20 +535,7 @@ object Similarity {
       "rerank needs the original vectors as a (vec_id, v) frame")
     require(vectors.forall(f => f.columns.contains("vec_id") && f.columns.contains("v")),
       s"vectors must be a (vec_id, v) frame, got (${vectors.map(_.columns.mkString(", ")).getOrElse("")})")
-    val dsub = book.length / (m * ksub)
-    require(queryVec.length == m * dsub,
-      s"query dimension ${queryVec.length} != m·dsub = ${m * dsub}")
-    val table = new Array[Double](m * ksub)
-    for (s <- 0 until m; c <- 0 until ksub) {
-      var dist = 0.0
-      var d = 0
-      while (d < dsub) {
-        val diff = queryVec(s * dsub + d) - book((s * ksub + c) * dsub + d)
-        dist += diff * diff
-        d += 1
-      }
-      table(s * ksub + c) = dist
-    }
+    val table = adcTable(book, m, ksub, queryVec)
     GraftFunctions.register(encoded.sparkSession)
     val adc = encoded
       .where(col("vec_id") =!= queryId && col("codes").isNotNull)
