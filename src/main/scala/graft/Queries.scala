@@ -29,42 +29,38 @@ object Queries {
                         fn: (SparkSession, String) => DataFrame,
                         oracle: Option[String])
 
-  /** Table loader. Normalizes two parquet quirks of the testdata so every
-    * query sees plain UTC `TimestampType`: nanosecond timestamps (read as
-    * raw longs via the legacy conf, then truncated to µs — matching
-    * DuckDB's µs timestamps) and TIMESTAMP_NTZ columns (reinterpreted as
-    * UTC; the session timezone is UTC). */
+  /** Table loader. Normalizes the testdata's TIMESTAMP_NTZ (µs) columns
+    * to plain UTC `TimestampType`: the session timezone is UTC, so the
+    * reinterpretation is the identity on the underlying micros — matching
+    * DuckDB, which reads the same parquet columns natively. */
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // pandas/DuckDB-matching arithmetic: div-by-zero → null, silent overflow
     s.conf.set("spark.sql.ansi.enabled", "false")
     val raw = s.read.parquet(s"$dir/$name.parquet")
     val cols = raw.schema.fields.map { f =>
       f.dataType match {
-        case org.apache.spark.sql.types.LongType if name == "events" && f.name == "ts" =>
-          expr("timestamp_micros(ts div 1000)").as("ts")
         case org.apache.spark.sql.types.TimestampNTZType =>
           col(f.name).cast("timestamp").as(f.name)
         case _ => col(f.name)
       }
     }
-    // keep the raw nanos column: predicates on the converted ts can't reach
-    // the parquet scan, so range queries add a redundant _ts_ns bound that
-    // does push down (row-group pruning at scale)
-    if (name == "events") raw.select(cols.toSeq :+ col("ts").as("_ts_ns"): _*)
+    // keep the raw NTZ column too: predicates on the CAST ts can't reach
+    // the parquet scan, so range queries add a redundant bound on the raw
+    // column that does push down (row-group pruning at scale)
+    if (name == "events") raw.select(cols.toSeq :+ col("ts").as("_ts_raw"): _*)
     else raw.select(cols.toSeq: _*)
   }
 
+  /** TIMESTAMP_NTZ literal for raw-column pushdown bounds. */
+  private def ntzLit(isoLocal: String): Column =
+    lit(java.time.LocalDateTime.parse(isoLocal + "T00:00:00"))
+
   /** Pushdown-friendly time-range predicate for the events table: the
-    * semantic filter on `ts` plus a conservative raw-nanos bound that
-    * reaches the parquet scan (see [[t]]). */
-  private def tsRangePushdown(loInclusive: String, hiInclusive: String): Column = {
-    val lo = java.time.Instant.parse(loInclusive + "T00:00:00Z")
-    val hi = java.time.Instant.parse(hiInclusive + "T00:00:00Z")
-    def us(i: java.time.Instant): Long = i.getEpochSecond * 1000000L
-    col("_ts_ns").between(us(lo) * 1000L, us(hi) * 1000L + 999L) &&
+    * semantic filter on `ts` plus the same bounds on the raw NTZ column,
+    * which DO reach the parquet scan (see [[t]]). */
+  private def tsRangePushdown(loInclusive: String, hiInclusive: String): Column =
+    col("_ts_raw").between(ntzLit(loInclusive), ntzLit(hiInclusive)) &&
       col("ts").between(to_timestamp(lit(loInclusive)), to_timestamp(lit(hiInclusive)))
-  }
 
   private val D = DecimalType(18, 2)
   /** Exact order-independent sum of a 2-dp double column. */
@@ -220,14 +216,12 @@ object Queries {
   private val qEventFilter = QDef(
     "q_event_filter",
     (s, dir) => {
-      // raw-nanos bounds mirror the ts predicates exactly (ts is the
-      // µs-truncation of _ts_ns) and DO reach the parquet scan — without
-      // them the range filter evaluates post-scan (round-2 plan audit)
-      def ns(d: String): Long =
-        java.time.Instant.parse(d + "T00:00:00Z").getEpochSecond * 1000000000L
+      // raw-NTZ bounds mirror the ts predicates exactly (ts is the UTC
+      // reinterpretation of _ts_raw) and DO reach the parquet scan —
+      // without them the range filter evaluates post-scan (round-2 audit)
       t(s, dir, "events")
         .filter(col("event_type") === "purchase" &&
-          col("_ts_ns") >= ns("2024-01-05") && col("_ts_ns") < ns("2024-01-20") &&
+          col("_ts_raw") >= ntzLit("2024-01-05") && col("_ts_raw") < ntzLit("2024-01-20") &&
           col("ts") >= to_timestamp(lit("2024-01-05")) &&
           col("ts") < to_timestamp(lit("2024-01-20")))
         .select(col("event_id"), micros(col("ts")).as("ts_us"), col("user_id"), col("value"))
@@ -2035,7 +2029,7 @@ object Queries {
   private val qProfile = QDef(
     "q_profile",
     (s, dir) => {
-      val ev = t(s, dir, "events").drop("_ts_ns")
+      val ev = t(s, dir, "events").drop("_ts_raw")
         .withColumn("value", when(col("event_id") % 7 === 0,
           lit(null).cast("double")).otherwise(col("value")))
         .withColumn("props", when(col("event_id") % 11 === 0,
@@ -2782,6 +2776,62 @@ object Queries {
       ORDER BY cosine DESC, c.vec_id
       LIMIT 10"""))
 
+  // IVF-PQ composed serving index: deterministic coarse cells (the exact
+  // q_kmeans fixed-point machinery at k=8, iters=2), PQ codes in
+  // cell-partitioned parquet, probe = 2 nearest cells → ADC shortlist →
+  // exact-L2² re-rank. The oracle replays the cell training + probe cell
+  // choice + exact distances; the shortlist here covers the probed cells
+  // (rerank ≥ corpus) so the result is exactly "top-10 by L2² within the
+  // probed cells" — the ADC-quantization recall trade is pinned
+  // separately in OpsSpec at production rerank.
+  private val qIvfPq = QDef(
+    "q_ivfpq_search",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = "target/qidx/ivfpq_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      Similarity.writeIvfPqIndex(emb, "embedding", "vec_id", path,
+        nCells = 8, m = 16, ksub = 16, iters = 2)
+      val qv = emb.where(col("vec_id") === 0L)
+        .select(Similarity.toDoubleVec(col("embedding"))).head().getSeq[Double](0)
+      Similarity.knnIvfPq(s, path, qv, queryId = 0L, k = 10,
+          nProbe = 2, rerank = 100000)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM e WHERE v IS NOT NULL ORDER BY vec_id LIMIT 8),
+      ${kmeansRoundSql(1, "c0")},
+      ${kmeansRoundSql(2, "c1")},
+      af AS (
+        SELECT e.vec_id, c.cid, ${duckCos("e.v", "c.cv")} AS cos
+        FROM e CROSS JOIN c2 c WHERE e.v IS NOT NULL),
+      gf AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+          FROM af)
+        WHERE rn = 1),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      pc AS (
+        SELECT c.cid FROM c2 c, q
+        ORDER BY ${duckCos("q.qv", "c.cv")} DESC, c.cid LIMIT 2),
+      cand AS (
+        SELECT e.vec_id, e.v FROM e
+        JOIN gf USING (vec_id)
+        WHERE gf.cid IN (SELECT cid FROM pc) AND e.vec_id != 0),
+      d AS (
+        SELECT c.vec_id,
+               list_reduce(list_transform(c.v, x -> x * x), (x, y) -> x + y)
+                 - 2.0 * list_reduce(list_transform(range(64), k -> c.v[k+1] * q.qv[k+1]), (x, y) -> x + y)
+                 + list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y) AS d2
+        FROM cand c, q)
+      SELECT vec_id, ROUND(d2, 6) AS dist
+      FROM d ORDER BY d2, vec_id LIMIT 10"""))
+
   private val qEmbedNearDup = QDef(
     "q_embed_neardup",
     (s, dir) => Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"),
@@ -2965,7 +3015,7 @@ object Queries {
     qOrderbook, qTrainingMatrix,
     qDedupExact, qTextStats, qLangId, qJaccardNearDup, qMinhashNearDup,
     qNearDupIncremental,
-    qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qEmbedNearDup,
+    qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qIvfPq, qEmbedNearDup,
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,

@@ -11,6 +11,22 @@ import graft.functions.{windows => W}
   */
 object Relational {
 
+  /** Default cap on a FORCED broadcast of an incremental-merge key set
+    * (~a few tens of MB of key tuples — comfortably inside executor
+    * memory, far above any sane batch). */
+  val DefaultBroadcastMaxKeys: Long = 4000000L
+
+  /** Broadcast a key-set frame only when it is provably small. The
+    * `broadcast` hint OVERRIDES Spark's size check, so an unconditional
+    * hint turns a full-reload batch (key set ≈ the dimension itself)
+    * into a driver/executor OOM. Above the cap we drop the hint and let
+    * the planner + AQE pick the join — shuffle semi/anti at worst. The
+    * `count` gate is one aggregate over the (batch-sized) key set,
+    * cheap next to the merge it guards; `maxKeys <= 0` means never
+    * force. */
+  private def maybeBroadcast(keySet: DataFrame, maxKeys: Long): DataFrame =
+    if (maxKeys > 0 && keySet.count() <= maxKeys) broadcast(keySet) else keySet
+
   /** Per-group top-N by an ordering — the order-book "top 5 levels"
     * pattern (`adi/app/features/processors/orderbook_features.py:73-91`).
     * row_number over a partitioned window: single shuffle on the group
@@ -251,17 +267,19 @@ object Relational {
     * (document upstream dedup). */
   def mergeSessions(stored: DataFrame, newEvents: DataFrame,
                     keys: Seq[String], tsCol: String,
-                    gapSec: Long): DataFrame = {
+                    gapSec: Long,
+                    broadcastMaxKeys: Long = DefaultBroadcastMaxKeys): DataFrame = {
     val us = unix_micros(col(tsCol))
-    val affected = newEvents.select(keys.map(col): _*).distinct()
+    val affected = maybeBroadcast(
+      newEvents.select(keys.map(col): _*).distinct(), broadcastMaxKeys)
     val pts = newEvents.select(keys.map(col) ++ Seq(us.as("_s"), us.as("_e"),
       lit(1L).as("_n")): _*)
-    val reopened = stored.join(broadcast(affected), keys)
+    val reopened = stored.join(affected, keys)
       .select(keys.map(col) ++ Seq(col("start_us").as("_s"),
         col("end_us").as("_e"), col("n_events").as("_n")): _*)
     val merged = sessionizeIntervals(reopened.unionByName(pts), keys,
       "_s", "_e", "_n", gapSec)
-    val untouched = stored.join(broadcast(affected), keys, "left_anti")
+    val untouched = stored.join(affected, keys, "left_anti")
       .select((keys :+ "session_id" :+ "n_events" :+ "start_us" :+ "end_us"
         :+ "duration_us").map(col): _*)
     untouched.unionByName(merged.select(untouched.columns.map(col): _*))
@@ -285,21 +303,25 @@ object Relational {
     * [[scd2Init]] over the key's full history.
     *
     * Scale shape: only keys PRESENT in the update batch reload their
-    * stored history (broadcast semi/anti on the batch's key set — batch-
-    * sized, small); untouched keys pass through without a shuffle. The
+    * stored history (semi/anti on the batch's key set — broadcast only
+    * below [[DefaultBroadcastMaxKeys]], see [[maybeBroadcast]]: a
+    * full-reload batch must not force an unbounded broadcast);
+    * untouched keys pass through without a shuffle. The
     * compression itself is two stacked windows on one `(keys)` spec —
     * one exchange, per-key parallelism, nothing key-quadratic. */
   def scd2Merge(stored: DataFrame, updates: DataFrame, keys: Seq[String],
-                attrCols: Seq[String], tsCol: String): DataFrame = {
+                attrCols: Seq[String], tsCol: String,
+                broadcastMaxKeys: Long = DefaultBroadcastMaxKeys): DataFrame = {
     require(keys.nonEmpty, "scd2Merge needs dimension keys")
     require(attrCols.nonEmpty, "scd2Merge needs tracked attribute columns")
-    val affected = updates.select(keys.map(col): _*).distinct()
+    val affected = maybeBroadcast(
+      updates.select(keys.map(col): _*).distinct(), broadcastMaxKeys)
     val up = updates.select(keys.map(col) ++ attrCols.map(col) :+
       unix_micros(col(tsCol)).as("eff_from_us"): _*)
-    val reopened = stored.join(broadcast(affected), keys, "left_semi")
+    val reopened = stored.join(affected, keys, "left_semi")
       .select(keys.map(col) ++ attrCols.map(col) :+ col("eff_from_us"): _*)
     val recompressed = scd2Compress(reopened.unionByName(up), keys, attrCols)
-    val untouched = stored.join(broadcast(affected), keys, "left_anti")
+    val untouched = stored.join(affected, keys, "left_anti")
       .select(keys.map(col) ++ attrCols.map(col) :+
         col("eff_from_us") :+ col("eff_to_us"): _*)
     untouched.unionByName(recompressed)

@@ -328,10 +328,14 @@ object Similarity {
     * codebook/centroid TRAINING must not pay a full-corpus scan per Lloyd
     * round; standard practice fits on a sample and assigns everything —
     * this is the deterministic version of that sample. `fraction >= 1`
-    * returns the frame untouched (no filter in the plan). */
+    * returns the frame untouched (no filter in the plan). Null ids hash
+    * to null and are excluded from the sample (they can't be addressed
+    * deterministically); at `fraction >= 1` they pass through. */
   def lowestHashSample(df: DataFrame, idCol: String, fraction: Double,
                        salt: String = "trainsmp"): DataFrame = {
-    require(fraction > 0.0, s"need fraction > 0, got $fraction")
+    // the hash space is bucketed into millionths: fractions under 1e-6
+    // would truncate to an always-empty sample — fail loudly instead
+    require(fraction >= 1e-6, s"need fraction >= 1e-6, got $fraction")
     if (fraction >= 1.0) df
     else df.where(
       pmod(TextAnalysis.tokenHash48(
@@ -506,6 +510,133 @@ object Similarity {
     df.select(col(idCol).as("vec_id"),
       call_function(GraftFunctions.PqCodesName, toDoubleVec(col(vecCol)),
         typedlit(book.toSeq), lit(m), lit(ksub)).as("codes"))
+  }
+
+  /** The ADC lookup table for one query: exact L2² from each of the
+    * query's `m` subvectors to each of the `ksub` codebook centroids in
+    * that subspace (`m · ksub` doubles, driver-side, codebook-scale).
+    * Scoring an encoded row is then just `m` table lookups. */
+  private def adcTable(book: Array[Double], m: Int, ksub: Int,
+                       queryVec: Seq[Double]): Array[Double] = {
+    val dsub = book.length / (m * ksub)
+    require(queryVec.length == m * dsub,
+      s"query dimension ${queryVec.length} != m·dsub = ${m * dsub}")
+    val table = new Array[Double](m * ksub)
+    for (s <- 0 until m; c <- 0 until ksub) {
+      var dist = 0.0
+      var d = 0
+      while (d < dsub) {
+        val diff = queryVec(s * dsub + d) - book((s * ksub + c) * dsub + d)
+        dist += diff * diff
+        d += 1
+      }
+      table(s * ksub + c) = dist
+    }
+    table
+  }
+
+  // ------------------------------------------------------------------
+  // IVF-PQ — the composed serving index (Jégou et al. 2011, the FAISS
+  // IVFPQ layout): coarse k-means cells prune the search space
+  // (directory-partitioned, like [[writeIvfIndex]]), PQ codes compress
+  // what's left to m small ints per row ([[pqEncode]]), and a probe is
+  //   nearest cells → ADC over ONLY those cells' codes → exact re-rank.
+  // At 100 TB this is the difference between scanning the corpus per
+  // query ([[pqSearch]]'s linear ADC) and scanning nProbe/nCells of it.
+  // ------------------------------------------------------------------
+
+  /** Build and persist the IVF-PQ index under `path`:
+    *   - `vectors/` — one table `(vec_id, codes, v)` PARTITIONED BY the
+    *     coarse cell, so a probe's `cell IN (…)` prunes directories; the
+    *     ADC scan reads only `(vec_id, codes)` and the re-rank fetch
+    *     only shortlist rows' `v` (parquet column pruning does both).
+    *   - `centroids/` — `(cell, centroid)`, nCells rows (driver-scale).
+    *   - `meta/` — one row `(m, ksub, book)`, the PQ codebook.
+    *
+    * Deterministic end to end — coarse cells come from the fixed-point
+    * [[kmeansCentroids]] (an external SQL oracle replays them), codes
+    * from [[pqTrain]]'s lowest-id-seeded subspace k-means. Both training
+    * passes honor `trainFraction` (sample-train, full-corpus assign —
+    * the 100-TB shape); encoding + cell assignment stay one full
+    * zero-shuffle codegen projection. Null / null-element vectors are
+    * not indexed (they can't be scored; [[pqEncode]] yields null codes). */
+  def writeIvfPqIndex(df: DataFrame, vecCol: String, idCol: String, path: String,
+                      nCells: Int = 8, m: Int = 8, ksub: Int = 16,
+                      iters: Int = 2, trainFraction: Double = 1.0): Unit = {
+    require(nCells > 0, s"need nCells > 0, got $nCells")
+    val spark = df.sparkSession
+    val cents = kmeansCentroids(df, vecCol, idCol, nCells, iters, trainFraction)
+    require(cents.nonEmpty, "writeIvfPqIndex: no non-null vectors to index")
+    val book = pqTrain(df, vecCol, idCol, m, ksub, iters, trainFraction)
+    GraftFunctions.register(spark)
+    df.select(col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("v"))
+      .where(col("v").isNotNull && forall(col("v"), x => x.isNotNull))
+      .withColumn("cell",
+        call_function(GraftFunctions.NearestCentroidName, col("v"),
+          typedlit(cents.flatten), lit(cents.size)).cast("int"))
+      .withColumn("codes",
+        call_function(GraftFunctions.PqCodesName, col("v"),
+          typedlit(book.toSeq), lit(m), lit(ksub)))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    spark.createDataFrame(cents.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    spark.createDataFrame(Seq((m, ksub, book.toSeq)))
+      .toDF("m", "ksub", "book")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Probe a persisted IVF-PQ index: rank the nCells centroids by cosine
+    * to the query (driver-side, metadata-scale — ties break to the
+    * lowest cell), then over ONLY the `nProbe` nearest cells' partitions
+    * run the ADC scan (m table lookups per row, codes column only) to a
+    * `rerank`-sized shortlist, and exact-L2²-re-rank just those rows'
+    * true vectors (broadcast semi-join inside the same pruned
+    * partitions). No wide shuffle anywhere: both rankings are top-k
+    * heaps, the shortlist join is a broadcast. `nProbe = nCells`
+    * degrades gracefully to [[pqSearch]]-over-everything; recall grows
+    * with both knobs. Returns `(vec_id, dist)` (exact L2²), nearest
+    * first. */
+  def knnIvfPq(spark: SparkSession, indexPath: String, queryVec: Seq[Double],
+               queryId: Long, k: Int, nProbe: Int = 2,
+               rerank: Int = 100): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(nProbe > 0, s"need nProbe > 0, got $nProbe")
+    require(rerank >= k, s"rerank must be >= k, got $rerank (k=$k)")
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val (m, ksub) = (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"))
+    val book = meta.getAs[scala.collection.Seq[Double]]("book").toArray
+    // centroid ranking replicates the oracle's strict left folds exactly
+    // (sum starts at 0.0 — IEEE-identical to DuckDB's list_reduce)
+    val qSq = queryVec.map(x => x * x).sum
+    val qNorm = math.sqrt(qSq)
+    val probed = spark.read.parquet(s"$indexPath/centroids").collect()
+      .map { r =>
+        val c = r.getAs[scala.collection.Seq[Double]]("centroid")
+        val d = c.iterator.zip(queryVec.iterator).map { case (a, b) => a * b }.sum
+        val cos = d / (math.sqrt(c.map(x => x * x).sum) * qNorm)
+        (r.getAs[Int]("cell"), cos)
+      }
+      .sortBy { case (cell, cos) => (-cos, cell) }
+      .take(nProbe).map(_._1)
+    val table = adcTable(book, m, ksub, queryVec)
+    GraftFunctions.register(spark)
+    // `cell IN (…)` references only the partition column → directory
+    // pruning; unprobed cells are never opened
+    val part = spark.read.parquet(s"$indexPath/vectors")
+      .where(col("cell").isin(probed.toIndexedSeq: _*) &&
+        col("vec_id") =!= queryId)
+    val shortlist = part
+      .select(col("vec_id"),
+        call_function(GraftFunctions.PqAdcName, col("codes"),
+          typedlit(table.toSeq), lit(ksub)).as("adc"))
+      .orderBy(col("adc"), col("vec_id")).limit(rerank)
+    part.join(broadcast(shortlist.select("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"),
+        (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), typedlit(queryVec))
+          + lit(qSq)).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(k)
   }
 
   /** PQ ANN search (ADC): the query's exact subvector-to-centroid L2²

@@ -43,13 +43,16 @@ object Sketches {
     * intersection estimate is `ρ·U` with ρ = the fraction of merged-k
     * hashes present in BOTH sketches. Exact intersections come from a
     * distinct element self-join — the expensive truth the sketch
-    * replaces at scale; at 100 TB you'd drop the exact columns and keep
-    * the sketch join, which touches k rows per set pair.
+    * replaces at scale; `withExact = false` IS the 100-TB path: it
+    * skips that self-join entirely (the sketch join touches k rows per
+    * set pair) and returns `(set_a, set_b, est_intersection)` only.
     *
-    * Returns `(set_a, set_b, est_intersection, exact_intersection, ok)`
+    * With the (default, oracle-checked) exact contract on, returns
+    * `(set_a, set_b, est_intersection, exact_intersection, ok)`
     * ordered by pair. */
   def kmvOverlap(df: DataFrame, setCol: String, elemCol: String,
-                 k: Int, tol: Double = 0.5): DataFrame = {
+                 k: Int, tol: Double = 0.5,
+                 withExact: Boolean = true): DataFrame = {
     val elems = df.select(col(setCol).as("set_id"),
       col(elemCol).cast("string").as("e")).distinct()
     val sk = kmvSketch(df, setCol, elemCol, k)
@@ -77,6 +80,9 @@ object Sketches {
       .withColumn("est_intersection",
         (col("n_both").cast("double") / col("n_merged").cast("double"))
           * col("u_est"))
+    if (!withExact)
+      return est.select(col("a").as("set_a"), col("b").as("set_b"),
+        col("est_intersection")).orderBy("set_a", "set_b")
     val exact = elems.as("ea").join(elems.as("eb"),
         col("ea.e") === col("eb.e") && col("ea.set_id") < col("eb.set_id"))
       .groupBy(col("ea.set_id").as("a"), col("eb.set_id").as("b"))

@@ -207,9 +207,8 @@ object ScaleRehearsal {
         }
         System.err.println(f"[rehearsal] bm25 x$m%-3d hits=$hits%-3d ${t}%5.1fs")
       }
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
-        .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("ts"))
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
       for (m <- Seq(1, mults.max)) {
         val rep = (0 until m).map(r => ev.select(
             (col("user_id") + lit(r * 10000000L)).as("user_id"), col("ts")))
@@ -230,10 +229,9 @@ object ScaleRehearsal {
     // projection (linear), ADC search a scan + heap (flat overhead).
     if (sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_R4OPS", "1") != "0") {
       import graft.operators.{Relational, Similarity, Sketches, TextAnalysis}
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev4 = spark.read.parquet(s"$sfDir/events.parquet")
         .select(col("user_id"), col("event_type"), col("value"),
-          expr("timestamp_micros(ts div 1000)").as("ts"))
+          col("ts").cast("timestamp").as("ts"))
       def repEv(m: Int): DataFrame = (0 until m).map(r => ev4.select(
           (col("user_id") + lit(r * 10000000L)).as("user_id"),
           col("event_type"), col("value"), col("ts")))
@@ -280,6 +278,56 @@ object ScaleRehearsal {
           Similarity.pqSearch(enc, book, 16, 16, q, queryId = -1L, k = 10).count()
         }
         System.err.println(f"[rehearsal] pq n=$n%-6d encode ${tEnc}%5.1fs search ${tSearch}%5.1fs")
+      }
+    }
+
+    // Round-6: sampled codebook/centroid training (trainFraction — the
+    // 100-TB shape: every Lloyd round scans only the deterministic hash
+    // sample; assignment stays full-corpus). The claim under test:
+    // per-round training wall drops ~with the fraction, and the sampled
+    // model's outputs stay at full-train quality (assignment agreement
+    // for k-means; re-rank top-10 overlap for PQ).
+    if (sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_SAMPLED", "1") != "0") {
+      import graft.operators.Similarity
+      for (n <- Seq(20000, 60000)) {
+        val k = math.max(8, n / 1000)
+        val vecs = spark.range(n.toLong).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            d => sin(col("id") * lit(0.7) + d.cast("double")).cast("float"))
+            .as("embedding"))
+          .repartition(32)
+        val (_, tFull) = timed {
+          Similarity.kmeansCentroids(vecs, "embedding", "vec_id", k, iters = 2)
+        }
+        val (_, tSamp) = timed {
+          Similarity.kmeansCentroids(vecs, "embedding", "vec_id", k, iters = 2,
+            trainFraction = 0.1)
+        }
+        val full = Similarity.kmeansAssign(vecs, "embedding", "vec_id", k, iters = 2)
+        val samp = Similarity.kmeansAssign(vecs, "embedding", "vec_id", k, iters = 2,
+          trainFraction = 0.1)
+        val agree = full.withColumnRenamed("cluster_id", "a")
+          .join(samp.withColumnRenamed("cluster_id", "b"), "vec_id")
+          .where(col("a") === col("b")).count()
+        val (bookF, tPqF) = timed {
+          Similarity.pqTrain(vecs, "embedding", "vec_id", m = 16, ksub = 16, iters = 2)
+        }
+        val (bookS, tPqS) = timed {
+          Similarity.pqTrain(vecs, "embedding", "vec_id", m = 16, ksub = 16, iters = 2,
+            trainFraction = 0.1)
+        }
+        val q = (0 until 64).map(d => math.sin(d.toDouble))
+        val vfr = vecs.select(col("vec_id"), col("embedding").as("v"))
+        def top10(book: Array[Double]): Set[Long] = {
+          val enc = Similarity.pqEncode(vecs, "embedding", "vec_id", book, 16, 16)
+          Similarity.pqSearch(enc, book, 16, 16, q, queryId = -1L, k = 10,
+            rerank = 100, vectors = Some(vfr)).collect().map(_.getLong(0)).toSet
+        }
+        val overlap = (top10(bookF) & top10(bookS)).size
+        System.err.println(f"[rehearsal] sampled n=$n%-6d k=$k%-4d " +
+          f"kmeans full ${tFull}%5.1fs / 0.1-sample ${tSamp}%5.1fs " +
+          f"agree=${agree * 100.0 / n}%5.1f%%  " +
+          f"pq full ${tPqF}%5.1fs / 0.1-sample ${tPqS}%5.1fs rerank-top10 overlap=$overlap/10")
       }
     }
 

@@ -1626,6 +1626,112 @@ class OpsSpec extends SparkSpec {
     assert(out(3L)._1 == 0L && !out(3L)._2, "near-dup of rep 1 must be dropped")
     assert(out(4L)._2, "orthogonal vector must survive")
   }
+
+  test("lowestHashSample: deterministic, fraction-bounded, identity at fraction >= 1") {
+    val df = spark.range(4000).select(col("id").as("doc_id"))
+    def ids(fraction: Double): Set[Long] =
+      Similarity.lowestHashSample(df, "doc_id", fraction)
+        .collect().map(_.getLong(0)).toSet
+    val a = ids(0.25)
+    assert(a == ids(0.25), "sample must be deterministic across runs")
+    val rate = a.size / 4000.0
+    assert(rate > 0.20 && rate < 0.30, s"0.25-sample rate off: $rate")
+    // same salt, lower threshold → nested samples (the monotone property
+    // that makes fraction a tuning knob, not a reshuffle)
+    assert(ids(0.1).subsetOf(a), "0.1-sample must nest inside the 0.25-sample")
+    // fraction >= 1 returns the frame untouched — same plan object
+    assert(Similarity.lowestHashSample(df, "doc_id", 1.0) eq df)
+    // sub-millionth fractions would truncate to an empty sample: loud failure
+    intercept[IllegalArgumentException] {
+      Similarity.lowestHashSample(df, "doc_id", 1e-7)
+    }
+    // null ids are excluded below 1.0 (no deterministic address), kept at 1.0
+    val withNull = Seq(Some(1L), Some(2L), None).toDF("doc_id")
+    assert(Similarity.lowestHashSample(withNull, "doc_id", 0.999999)
+      .where(col("doc_id").isNull).count() == 0)
+    assert(Similarity.lowestHashSample(withNull, "doc_id", 1.0)
+      .where(col("doc_id").isNull).count() == 1)
+  }
+
+  test("kmeansAssign: trainFraction=1.0 is bit-identical to the default path; " +
+    "sampled training still assigns the full corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def asg(tf: Double): Seq[(Long, Any)] =
+      Similarity.kmeansAssign(emb, "embedding", "vec_id", k = 8, iters = 2,
+          trainFraction = tf)
+        .orderBy("vec_id").collect().map(r => r.getLong(0) -> r.get(1)).toSeq
+    val full = Similarity.kmeansAssign(emb, "embedding", "vec_id", k = 8, iters = 2)
+      .orderBy("vec_id").collect().map(r => r.getLong(0) -> r.get(1)).toSeq
+    assert(asg(1.0) == full,
+      "trainFraction=1.0 must not change the r4-green q_kmeans result")
+    // sampled training: every row still gets an assignment, and the
+    // sample-trained centroids still spread rows over many cells
+    val sampled = asg(0.25)
+    assert(sampled.size == full.size, "assignment must cover the full corpus")
+    assert(sampled.forall(_._2 != null) == full.forall(_._2 != null))
+    val cells = sampled.map(_._2).distinct.size
+    assert(cells >= 4, s"sample-trained k=8 collapsed to $cells cells")
+  }
+
+  test("pqTrain: trainFraction=0.25 codebook keeps shortlist-100 rerank recall@10 = 1.0") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (m, ksub) = (16, 16)
+    val book = Similarity.pqTrain(emb, "embedding", "vec_id", m, ksub, iters = 4,
+      trainFraction = 0.25)
+    // deterministic: the sampled training replays bit-identically
+    assert(book.toSeq == Similarity.pqTrain(emb, "embedding", "vec_id", m, ksub,
+      iters = 4, trainFraction = 0.25).toSeq)
+    val enc = Similarity.pqEncode(emb, "embedding", "vec_id", book, m, ksub)
+    val qRow = emb.where(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding"))).collect().head.getSeq[Double](0)
+    val exact = emb.where(col("vec_id") =!= 0L)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("qv", typedlit(qRow))
+      .withColumn("d2",
+        Similarity.dot(col("v"), col("v")) - lit(2.0) * Similarity.dot(col("v"), col("qv"))
+          + lit(qRow.map(x => x * x).sum))
+      .orderBy(col("d2"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val vecs = emb.select(col("vec_id"), col("embedding").as("v"))
+    val rr = Similarity.pqSearch(enc, book, m, ksub, qRow, queryId = 0L, k = 10,
+      rerank = 100, vectors = Some(vecs)).collect().map(_.getLong(0)).toSet
+    val recall = (rr & exact).size / 10.0
+    assert(recall >= 1.0,
+      s"sample-trained codebook lost re-rank recall: $recall (rr=$rr exact=$exact)")
+  }
+
+  test("knnIvfPq: composed index recall@10 on the real embeddings >= the LSH-indexed baseline") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.writeIvfPqIndex(emb, "embedding", "vec_id", s"$dir/idx",
+      nCells = 8, m = 16, ksub = 16, iters = 2)
+    val qRow = emb.where(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding"))).head.getSeq[Double](0)
+    val got = Similarity.knnIvfPq(spark, s"$dir/idx", qRow, queryId = 0L,
+      k = 10, nProbe = 4, rerank = 100).collect().map(_.getLong(0)).toSet
+    // global exact-L2 ground truth (the metric the probe serves)
+    val exactL2 = emb.where(col("vec_id") =!= 0L)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("qv", typedlit(qRow))
+      .withColumn("d2",
+        Similarity.dot(col("v"), col("v")) - lit(2.0) * Similarity.dot(col("v"), col("qv"))
+          + lit(qRow.map(x => x * x).sum))
+      .orderBy(col("d2"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val ivfRecall = (got & exactL2).size / 10.0
+    // the LSH-indexed baseline at its production defaults, scored against
+    // ITS metric's ground truth (cosine) — the bar the composed index
+    // must clear
+    Similarity.writeLshIndex(emb, "embedding", "vec_id", s"$dir/lsh")
+    val lshGot = Similarity.knnLshIndexed(s"$dir/lsh", emb, "embedding", "vec_id",
+      queryId = 0L, k = 10).collect().map(_.getLong(0)).toSet
+    val exactCos = Similarity.knnBrute(emb, "embedding", "vec_id", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val lshRecall = (lshGot & exactCos).size / 10.0
+    assert(ivfRecall >= lshRecall,
+      s"IVF-PQ recall@10 $ivfRecall below the LSH-indexed baseline $lshRecall")
+    assert(ivfRecall >= 0.8, s"IVF-PQ recall@10 too low: $ivfRecall (got=$got)")
+  }
 }
 
 /** Test backends for the inference-backend contract spec — top level so

@@ -31,7 +31,6 @@ class PlanSpec extends SparkSpec {
   }
 
   test("narrow projections prune the scan schema (P7)") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/events.parquet").select("event_id", "value")
     val plan = planOf(df)
     val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
@@ -313,5 +312,88 @@ class PlanSpec extends SparkSpec {
       s"representative set must broadcast:\n${plan.take(1500)}")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "within-cluster removal must stay an equi-join on cluster_id")
+  }
+
+  test("mergeSessions/scd2Merge: oversized key sets drop the forced broadcast") {
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val history = (0 until 200).map(u => (u.toLong, ts(u * 10L))).toDF("user_id", "ts")
+    val stored = graft.operators.Relational.sessionize(
+      history, Seq("user_id"), "ts", gapSec = 5)
+    val batch = (0 until 100).map(u => (u.toLong, ts(100000L + u))).toDF("user_id", "ts")
+    val dim = (0 until 200).map(u => (u.toLong, "t0", ts(0L))).toDF("user_id", "tier", "ts")
+    val scd = graft.operators.Relational.scd2Init(dim, Seq("user_id"), Seq("tier"), "ts")
+    val up = (0 until 100).map(u => (u.toLong, "t1", ts(9999L))).toDF("user_id", "tier", "ts")
+    // disable size-based auto-broadcast so a BroadcastExchange in the plan
+    // can only come from the FORCED hint — the thing under test
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val over = planOf(graft.operators.Relational.mergeSessions(
+        stored, batch, Seq("user_id"), "ts", gapSec = 5, broadcastMaxKeys = 10))
+      assert(!over.contains("BroadcastExchange"),
+        s"key set above the cap must not be force-broadcast:\n${over.take(1500)}")
+      val under = planOf(graft.operators.Relational.mergeSessions(
+        stored, batch, Seq("user_id"), "ts", gapSec = 5))
+      assert(under.contains("BroadcastExchange"),
+        "batch-sized key set should still take the broadcast fast path")
+      val overScd = planOf(graft.operators.Relational.scd2Merge(
+        scd, up, Seq("user_id"), Seq("tier"), "ts", broadcastMaxKeys = 10))
+      assert(!overScd.contains("BroadcastExchange"),
+        s"scd2Merge above the cap must not force-broadcast:\n${overScd.take(1500)}")
+      // the guarded (shuffle) path returns the same rows as the forced one
+      val a = graft.operators.Relational.scd2Merge(
+          scd, up, Seq("user_id"), Seq("tier"), "ts", broadcastMaxKeys = 10)
+        .orderBy("user_id", "eff_from_us").collect().map(_.toSeq).toSeq
+      val b = graft.operators.Relational.scd2Merge(
+          scd, up, Seq("user_id"), Seq("tier"), "ts")
+        .orderBy("user_id", "eff_from_us").collect().map(_.toSeq).toSeq
+      assert(a == b, "guarded and broadcast paths must agree")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("knnIvfPq probe: cell-partition-pruned scans, heap top-k, no wide shuffle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_plan").toString
+    val df = (0 until 128).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 3.0 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.operators.Similarity.writeIvfPqIndex(df, "embedding", "vec_id",
+      s"$dir/idx", nCells = 8, m = 4, ksub = 8, iters = 1)
+    val q = (0 until 16).map(j => math.sin(j.toDouble))
+    val probe = graft.operators.Similarity.knnIvfPq(spark, s"$dir/idx", q,
+      queryId = -1L, k = 5, nProbe = 2, rerank = 20)
+    val plan = planOf(probe)
+    // both scans (ADC codes + re-rank vectors) must prune to the probed
+    // cells via PartitionFilters — unprobed directories never open
+    val pf = "PartitionFilters: \\[[^\\]]*".r.findAllIn(plan).toList
+    assert(pf.nonEmpty && pf.forall(_.contains("cell")),
+      s"probe scans must carry cell partition filters: $pf\n${plan.take(1500)}")
+    // shortlist + final top-k are heaps, never a global sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"probe top-k must be a heap:\n${plan.take(1200)}")
+    // the only exchange is the broadcast of the rerank-sized shortlist
+    assert(!plan.replace("BroadcastExchange", "").contains("Exchange"),
+      s"probe must not shuffle the corpus:\n${plan.take(1500)}")
+    // and the probe actually answers (5 nearest by exact L2²)
+    assert(probe.count() == 5)
+  }
+
+  test("kmvOverlap withExact=false: no element self-join, estimates unchanged") {
+    val df = ((1 to 200).map(i => ("A", i)) ++ (101 to 300).map(i => ("B", i)))
+      .toDF("set_id", "elem")
+    val est = graft.operators.Sketches.kmvOverlap(df, "set_id", "elem", k = 64,
+      withExact = false)
+    assert(est.columns.toSeq == Seq("set_a", "set_b", "est_intersection"))
+    // the 100-TB contract: the per-pair work is k sketch rows — the plan
+    // must join strictly fewer times than the exact-truth variant (whose
+    // element self-join is the cost the sketch exists to avoid)
+    def joins(p: String): Int = raw"\(\d+\) [A-Za-z]*Join".r.findAllIn(p).length
+    val full = graft.operators.Sketches.kmvOverlap(df, "set_id", "elem", k = 64)
+    assert(joins(planOf(est)) < joins(planOf(full)),
+      "estimate-only path must drop the element self-join")
+    val estRow = est.head()
+    val fullRow = full.head()
+    assert(estRow.getAs[Double]("est_intersection") ==
+      fullRow.getAs[Double]("est_intersection"),
+      "dropping the truth side must not move the estimate")
   }
 }
