@@ -546,10 +546,12 @@ object Similarity {
   // ------------------------------------------------------------------
 
   /** Build and persist the IVF-PQ index under `path`:
-    *   - `vectors/` — one table `(vec_id, codes, v)` PARTITIONED BY the
-    *     coarse cell, so a probe's `cell IN (…)` prunes directories; the
+    *   - `vectors/batch=<id>/cell=<c>` — one table `(vec_id, codes, v)`
+    *     PARTITIONED BY append batch and coarse cell, so a probe's
+    *     `batch IN (committed) AND cell IN (…)` prunes directories; the
     *     ADC scan reads only `(vec_id, codes)` and the re-rank fetch
     *     only shortlist rows' `v` (parquet column pruning does both).
+    *     The build is `batch=0`; [[appendToIvfPqIndex]] adds more.
     *   - `centroids/` — `(cell, centroid)`, nCells rows (driver-scale).
     *   - `meta/` — one row `(m, ksub, book)`, the PQ codebook.
     *
@@ -559,32 +561,151 @@ object Similarity {
     * passes honor `trainFraction` (sample-train, full-corpus assign —
     * the 100-TB shape); encoding + cell assignment stay one full
     * zero-shuffle codegen projection. Null / null-element vectors are
-    * not indexed (they can't be scored; [[pqEncode]] yields null codes). */
+    * not indexed (they can't be scored; [[pqEncode]] yields null codes).
+    *
+    * `residual = true` (default, the FAISS IVFPQ layout) PQ-encodes
+    * `v − centroid[cell]` instead of `v`: residuals have lower variance
+    * than raw vectors, so the same codebook budget quantizes them more
+    * accurately and the ADC shortlist needs fewer rows for the same
+    * recall. The codebook is then trained on (sampled) residuals — an
+    * interpreted `zip_with` subtract on the TRAINING rows only; the
+    * full-corpus encode stays the fused codegen projection (the offset
+    * is one `element_at` into the literal centroid table per row). */
   def writeIvfPqIndex(df: DataFrame, vecCol: String, idCol: String, path: String,
                       nCells: Int = 8, m: Int = 8, ksub: Int = 16,
-                      iters: Int = 2, trainFraction: Double = 1.0): Unit = {
+                      iters: Int = 2, trainFraction: Double = 1.0,
+                      residual: Boolean = true): Unit = {
     require(nCells > 0, s"need nCells > 0, got $nCells")
     val spark = df.sparkSession
     val cents = kmeansCentroids(df, vecCol, idCol, nCells, iters, trainFraction)
     require(cents.nonEmpty, "writeIvfPqIndex: no non-null vectors to index")
-    val book = pqTrain(df, vecCol, idCol, m, ksub, iters, trainFraction)
     GraftFunctions.register(spark)
-    df.select(col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("v"))
+    val centsLit = typedlit(cents.map(_.toIndexedSeq))
+    def cellOf(v: Column): Column =
+      call_function(GraftFunctions.NearestCentroidName, v,
+        typedlit(cents.flatten), lit(cents.size)).cast("int")
+    val book =
+      if (!residual) pqTrain(df, vecCol, idCol, m, ksub, iters, trainFraction)
+      else {
+        val res = df
+          .select(col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("v"))
+          .where(col("v").isNotNull && forall(col("v"), x => x.isNotNull))
+          .select(col("vec_id"), zip_with(col("v"),
+            element_at(centsLit, cellOf(col("v")) + 1),
+            (a, b) => a - b).as("r"))
+        pqTrain(res, "r", "vec_id", m, ksub, iters, trainFraction)
+      }
+    // a rebuild replaces the whole index generation: stale batch dirs and
+    // commit markers from a previous build must not leak into the new one
+    val fs = ivfFs(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commits"), true)
+    ivfEncode(df, vecCol, idCol, cents, book, m, ksub, residual)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/vectors/batch=0")
+    spark.createDataFrame(cents.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    spark.createDataFrame(Seq((m, ksub, book.toSeq, residual)))
+      .toDF("m", "ksub", "book", "residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    ivfCommit(spark, path, "0")
+  }
+
+  /** The shared index encode: one zero-shuffle codegen projection
+    * computing `(vec_id, v, cell, codes)` against FROZEN centroids and
+    * codebook — used by the initial build and every append. */
+  private def ivfEncode(df: DataFrame, vecCol: String, idCol: String,
+                        cents: IndexedSeq[Seq[Double]], book: Array[Double],
+                        m: Int, ksub: Int, residual: Boolean): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val centsLit = typedlit(cents.map(_.toIndexedSeq))
+    val encoded = df
+      .select(col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("v"))
       .where(col("v").isNotNull && forall(col("v"), x => x.isNotNull))
       .withColumn("cell",
         call_function(GraftFunctions.NearestCentroidName, col("v"),
           typedlit(cents.flatten), lit(cents.size)).cast("int"))
-      .withColumn("codes",
-        call_function(GraftFunctions.PqCodesName, col("v"),
-          typedlit(book.toSeq), lit(m), lit(ksub)))
+    if (!residual) encoded.withColumn("codes",
+      call_function(GraftFunctions.PqCodesName, col("v"),
+        typedlit(book.toSeq), lit(m), lit(ksub)))
+    else encoded.withColumn("codes",
+      call_function(GraftFunctions.PqCodesName, col("v"),
+        typedlit(book.toSeq), lit(m), lit(ksub),
+        element_at(centsLit, col("cell") + 1)))
+  }
+
+  private def ivfFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Batch ids whose appends are COMMITTED (marker file in `_commits/`).
+    * Data directories without a marker are invisible to probes — the
+    * single-file-create commit point, like the MinHash index
+    * ([[Dedup.committedBatches]]). */
+  def ivfCommittedBatches(spark: SparkSession, path: String): Seq[String] = {
+    val d = new org.apache.hadoop.fs.Path(s"$path/_commits")
+    val fs = ivfFs(spark, path)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).filter(_.isFile).map(_.getPath.getName).toSeq.sorted
+  }
+
+  private def ivfCommit(spark: SparkSession, path: String, bid: String): Unit = {
+    val fs = ivfFs(spark, path)
+    val cd = new org.apache.hadoop.fs.Path(s"$path/_commits")
+    fs.mkdirs(cd)
+    fs.create(new org.apache.hadoop.fs.Path(cd, bid), false).close()
+  }
+
+  /** Append a batch of NEW vectors to a persisted IVF-PQ index without
+    * retraining: the batch encodes against the index's frozen centroids
+    * and codebook (the same zero-shuffle codegen projection as the
+    * build) and lands under `vectors/batch=<id>/cell=*`, invisible to
+    * probes until the `_commits/<id>` marker exists — a crash mid-write
+    * leaves no torn state, and replaying a committed batch id is a
+    * skipped no-op (at-least-once ingest loops are safe). Returns true
+    * iff this call committed the batch.
+    *
+    * The trade every frozen-quantizer index makes: appended vectors are
+    * quantized by centroids/codebooks trained before they existed. Under
+    * drift, recall on new content degrades gracefully (cells still
+    * partition the space; the exact re-rank stage is unaffected) —
+    * rebuild via [[writeIvfPqIndex]] when the drift shows up in recall
+    * monitoring, exactly like re-training any serving ANN index. */
+  def appendToIvfPqIndex(df: DataFrame, vecCol: String, idCol: String,
+                         indexPath: String, batchId: String = ""): Boolean = {
+    val spark = df.sparkSession
+    val committed = ivfCommittedBatches(spark, indexPath)
+    require(committed.nonEmpty,
+      s"no committed IVF-PQ index at $indexPath — writeIvfPqIndex first")
+    val bid =
+      if (batchId.nonEmpty) batchId
+      else (committed.flatMap(s => scala.util.Try(s.toLong).toOption)
+        .maxOption.getOrElse(-1L) + 1L).toString
+    require(bid.matches("[A-Za-z0-9_-]+"), s"unsafe index batch id: $bid")
+    if (committed.contains(bid)) {
+      System.err.println(
+        s"[ivfpq] batch $bid already committed at $indexPath — skipping (replay)")
+      return false
+    }
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val (m, ksub) = (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"))
+    val book = meta.getAs[scala.collection.Seq[Double]]("book").toArray
+    val residual = meta.getAs[Boolean]("residual")
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toIndexedSeq.toSeq)
+      .toIndexedSeq
+    // clear partial leftovers of a crashed earlier attempt at this batch
+    ivfFs(spark, indexPath).delete(
+      new org.apache.hadoop.fs.Path(s"$indexPath/vectors/batch=$bid"), true)
+    ivfEncode(df, vecCol, idCol, cents, book, m, ksub, residual)
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
-    spark.createDataFrame(cents.zipWithIndex.map { case (c, i) => (i, c) })
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    spark.createDataFrame(Seq((m, ksub, book.toSeq)))
-      .toDF("m", "ksub", "book")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/vectors/batch=$bid")
+    ivfCommit(spark, indexPath, bid)
+    true
   }
 
   /** Probe a persisted IVF-PQ index: rank the nCells centroids by cosine
@@ -607,31 +728,54 @@ object Similarity {
     val meta = spark.read.parquet(s"$indexPath/meta").head()
     val (m, ksub) = (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"))
     val book = meta.getAs[scala.collection.Seq[Double]]("book").toArray
+    val residual = meta.getAs[Boolean]("residual")
     // centroid ranking replicates the oracle's strict left folds exactly
     // (sum starts at 0.0 — IEEE-identical to DuckDB's list_reduce)
     val qSq = queryVec.map(x => x * x).sum
     val qNorm = math.sqrt(qSq)
-    val probed = spark.read.parquet(s"$indexPath/centroids").collect()
-      .map { r =>
-        val c = r.getAs[scala.collection.Seq[Double]]("centroid")
+    val cents = spark.read.parquet(s"$indexPath/centroids").collect()
+      .map(r => r.getAs[Int]("cell") ->
+        r.getAs[scala.collection.Seq[Double]]("centroid").toIndexedSeq)
+      .toMap
+    val probed = cents.toArray
+      .map { case (cell, c) =>
         val d = c.iterator.zip(queryVec.iterator).map { case (a, b) => a * b }.sum
         val cos = d / (math.sqrt(c.map(x => x * x).sum) * qNorm)
-        (r.getAs[Int]("cell"), cos)
+        (cell, cos)
       }
       .sortBy { case (cell, cos) => (-cos, cell) }
       .take(nProbe).map(_._1)
-    val table = adcTable(book, m, ksub, queryVec)
     GraftFunctions.register(spark)
-    // `cell IN (…)` references only the partition column → directory
-    // pruning; unprobed cells are never opened
+    // `batch IN (committed)` and `cell IN (…)` reference only partition
+    // columns → directory pruning: torn appends (no commit marker) and
+    // unprobed cells are never opened
+    val committed = ivfCommittedBatches(spark, indexPath)
+    require(committed.nonEmpty, s"no committed batches at $indexPath")
+    val committedPred =
+      col("batch").cast("string").isin(committed.toIndexedSeq: _*)
     val part = spark.read.parquet(s"$indexPath/vectors")
-      .where(col("cell").isin(probed.toIndexedSeq: _*) &&
+      .where(committedPred && col("cell").isin(probed.toIndexedSeq: _*) &&
         col("vec_id") =!= queryId)
-    val shortlist = part
-      .select(col("vec_id"),
-        call_function(GraftFunctions.PqAdcName, col("codes"),
-          typedlit(table.toSeq), lit(ksub)).as("adc"))
-      .orderBy(col("adc"), col("vec_id")).limit(rerank)
+    // ADC: residual indexes get one table per probed cell (the query's
+    // residual against THAT cell) — nProbe driver-side tables, one
+    // pruned scan each, unioned into the shortlist heap; raw indexes
+    // share a single table across one scan
+    val adcOf: Column => Column = { tbl =>
+      call_function(GraftFunctions.PqAdcName, col("codes"), tbl, lit(ksub))
+    }
+    val scored =
+      if (!residual)
+        part.select(col("vec_id"),
+          adcOf(typedlit(adcTable(book, m, ksub, queryVec).toSeq)).as("adc"))
+      else probed.map { cell =>
+        val qRes = queryVec.zip(cents(cell)).map { case (a, b) => a - b }
+        spark.read.parquet(s"$indexPath/vectors")
+          .where(committedPred && col("cell") === cell &&
+            col("vec_id") =!= queryId)
+          .select(col("vec_id"),
+            adcOf(typedlit(adcTable(book, m, ksub, qRes).toSeq)).as("adc"))
+      }.reduce(_ unionByName _)
+    val shortlist = scored.orderBy(col("adc"), col("vec_id")).limit(rerank)
     part.join(broadcast(shortlist.select("vec_id")), Seq("vec_id"), "left_semi")
       .select(col("vec_id"),
         (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), typedlit(queryVec))

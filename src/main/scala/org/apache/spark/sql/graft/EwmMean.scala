@@ -109,7 +109,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(NearestCentroidName,
       exprs => NearestCentroid(exprs.head, exprs(1), exprs(2)), "built-in")
     registry.createOrReplaceTempFunction(PqCodesName,
-      exprs => PqAssignCodes(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
+      exprs => PqAssignCodes(exprs.head, exprs(1), exprs(2), exprs(3),
+        exprs.lift(4)), "built-in")
     registry.createOrReplaceTempFunction(PqAdcName,
       exprs => PqAdcDistance(exprs.head, exprs(1), exprs(2)), "built-in")
   }

@@ -474,30 +474,37 @@ case class Shingles(toks: Expression, nExpr: Expression)
   *
   * One expression computes ALL m codes per row: m sibling expressions
   * would re-scan the vector m times and bloat Janino past the JIT
-  * threshold at realistic m. */
+  * threshold at realistic m.
+  *
+  * The optional per-ROW `offset` array is subtracted element-wise before
+  * assignment — the IVF-PQ residual (encode `v − centroid[cell]`, the
+  * FAISS IVFPQ layout): residuals have lower variance than raw vectors,
+  * so the same codebook budget quantizes them more accurately. A null
+  * offset (or any null offset element) yields null codes, like a null
+  * vector. */
 case class PqAssignCodes(vec: Expression, codebookExpr: Expression,
-                         mExpr: Expression, ksubExpr: Expression)
+                         mExpr: Expression, ksubExpr: Expression,
+                         offset: Option[Expression] = None)
     extends Expression {
 
-  override def children: Seq[Expression] = Seq(vec, codebookExpr, mExpr, ksubExpr)
+  override def children: Seq[Expression] =
+    Seq(vec, codebookExpr, mExpr, ksubExpr) ++ offset
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_pq_codes"
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val vecOk = vec.dataType match {
+    def arrOk(e: Expression): Boolean = e.dataType match {
       case ArrayType(DoubleType, _) => true
       case _ => false
     }
-    val cOk = codebookExpr.foldable && (codebookExpr.dataType match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
-    })
-    if (vecOk && cOk && mExpr.foldable && mExpr.dataType == IntegerType &&
-        ksubExpr.foldable && ksubExpr.dataType == IntegerType)
+    val cOk = codebookExpr.foldable && arrOk(codebookExpr)
+    if (arrOk(vec) && cOk && mExpr.foldable && mExpr.dataType == IntegerType &&
+        ksubExpr.foldable && ksubExpr.dataType == IntegerType &&
+        offset.forall(arrOk))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects (array<double>, foldable array<double>, foldable int, foldable int)")
+      s"$prettyName expects (array<double>, foldable array<double>, foldable int, foldable int[, array<double> offset])")
   }
 
   @transient private lazy val m: Int = mExpr.eval().asInstanceOf[Int]
@@ -518,10 +525,14 @@ case class PqAssignCodes(vec: Expression, codebookExpr: Expression,
       s"$prettyName: vector of dimension $actual against an m=$m × dsub=$dsub codebook")
   def badDimPublic(actual: Int): Unit = badDim(actual)
 
-  private def compute(v: ArrayData): Any = {
+  private def compute(v: ArrayData, off: ArrayData): Any = {
     if (v.numElements() != m * dsub) badDim(v.numElements())
+    if (off != null && off.numElements() != m * dsub) badDim(off.numElements())
     var d = 0
-    while (d < m * dsub) { if (v.isNullAt(d)) return null; d += 1 }
+    while (d < m * dsub) {
+      if (v.isNullAt(d) || (off != null && off.isNullAt(d))) return null
+      d += 1
+    }
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -533,7 +544,9 @@ case class PqAssignCodes(vec: Expression, codebookExpr: Expression,
         val base = (s * ksub + c) * dsub
         var i = 0
         while (i < dsub) {
-          val diff = v.getDouble(s * dsub + i) - flatBook(base + i)
+          val x = if (off == null) v.getDouble(s * dsub + i)
+            else v.getDouble(s * dsub + i) - off.getDouble(s * dsub + i)
+          val diff = x - flatBook(base + i)
           dist += diff * diff
           i += 1
         }
@@ -548,7 +561,11 @@ case class PqAssignCodes(vec: Expression, codebookExpr: Expression,
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = vec.eval(input)
-    if (v == null) null else compute(v.asInstanceOf[ArrayData])
+    if (v == null) return null
+    val off = offset.map(_.eval(input)).orNull
+    if (offset.nonEmpty && off == null) return null
+    compute(v.asInstanceOf[ArrayData],
+      if (off == null) null else off.asInstanceOf[ArrayData])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -556,8 +573,10 @@ case class PqAssignCodes(vec: Expression, codebookExpr: Expression,
     val self = ctx.addReferenceObj("pqAssignExpr", this,
       "org.apache.spark.sql.graft.PqAssignCodes")
     val vEval = vec.genCode(ctx)
+    val oEval = offset.map(_.genCode(ctx))
     val (mN, kN, dN) = (m, ksub, dsub)
     val v = ctx.freshName("v")
+    val o = ctx.freshName("off")
     val bad = ctx.freshName("bad")
     val codes = ctx.freshName("codes")
     val best = ctx.freshName("best")
@@ -565,17 +584,31 @@ case class PqAssignCodes(vec: Expression, codebookExpr: Expression,
     val dist = ctx.freshName("dist")
     val diff = ctx.freshName("diff")
     val base = ctx.freshName("base")
+    val xv = ctx.freshName("xv")
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val offCode = oEval.map(_.code.toString).getOrElse("")
+    val offNull = oEval.map(e => s" || ${e.isNull}").getOrElse("")
+    val offDecl = oEval.map(e =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData $o = ${e.value};").getOrElse("")
+    val offDimCheck = oEval.map(_ =>
+      s"if ($o.numElements() != ${mN * dN}) { $self.badDimPublic($o.numElements()); }")
+      .getOrElse("")
+    val offElemNull = oEval.map(_ => s" || $o.isNullAt(d)").getOrElse("")
+    val offSub = oEval.map(_ => s" - $o.getDouble(s * $dN + d)").getOrElse("")
     ev.copy(code =
       code"""
          |${vEval.code}
-         |boolean ${ev.isNull} = ${vEval.isNull};
+         |$offCode
+         |boolean ${ev.isNull} = ${vEval.isNull}$offNull;
          |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
          |if (!${ev.isNull}) {
          |  org.apache.spark.sql.catalyst.util.ArrayData $v = ${vEval.value};
+         |  $offDecl
          |  if ($v.numElements() != ${mN * dN}) { $self.badDimPublic($v.numElements()); }
+         |  $offDimCheck
          |  boolean $bad = false;
-         |  for (int d = 0; d < ${mN * dN}; d++) if ($v.isNullAt(d)) { $bad = true; break; }
+         |  for (int d = 0; d < ${mN * dN}; d++)
+         |    if ($v.isNullAt(d)$offElemNull) { $bad = true; break; }
          |  if ($bad) { ${ev.isNull} = true; }
          |  else {
          |    int[] $codes = new int[$mN];
@@ -586,7 +619,8 @@ case class PqAssignCodes(vec: Expression, codebookExpr: Expression,
          |        double $dist = 0.0;
          |        int $base = (s * $kN + c) * $dN;
          |        for (int d = 0; d < $dN; d++) {
-         |          double $diff = $v.getDouble(s * $dN + d) - $book[$base + d];
+         |          double $xv = $v.getDouble(s * $dN + d)$offSub;
+         |          double $diff = $xv - $book[$base + d];
          |          $dist += $diff * $diff;
          |        }
          |        if ($dist < $best) { $best = $dist; $bestC = c; }
@@ -602,7 +636,8 @@ case class PqAssignCodes(vec: Expression, codebookExpr: Expression,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): PqAssignCodes =
     copy(vec = newChildren(0), codebookExpr = newChildren(1),
-      mExpr = newChildren(2), ksubExpr = newChildren(3))
+      mExpr = newChildren(2), ksubExpr = newChildren(3),
+      offset = if (newChildren.length > 4) Some(newChildren(4)) else None)
 }
 
 /** Asymmetric-distance (ADC) lookup for PQ search: given a row's

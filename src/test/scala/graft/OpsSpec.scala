@@ -1732,6 +1732,99 @@ class OpsSpec extends SparkSpec {
       s"IVF-PQ recall@10 $ivfRecall below the LSH-indexed baseline $lshRecall")
     assert(ivfRecall >= 0.8, s"IVF-PQ recall@10 too low: $ivfRecall (got=$got)")
   }
+
+  test("writeIvfPqIndex: residual and raw layouts agree under exhaustive re-rank; " +
+    "offsetted codes = codes of the subtracted vector") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_res").toString
+    Similarity.writeIvfPqIndex(emb, "embedding", "vec_id", s"$dir/res",
+      nCells = 8, m = 16, ksub = 16, iters = 2, residual = true)
+    Similarity.writeIvfPqIndex(emb, "embedding", "vec_id", s"$dir/raw",
+      nCells = 8, m = 16, ksub = 16, iters = 2, residual = false)
+    val qRow = emb.where(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding"))).head.getSeq[Double](0)
+    // with the shortlist covering every probed row, both layouts reduce to
+    // exact L2² within the probed cells — bit-identical results (cells and
+    // re-rank don't depend on the code layout)
+    def exhaustive(p: String) =
+      Similarity.knnIvfPq(spark, p, qRow, queryId = 0L, k = 10,
+        nProbe = 4, rerank = 100000).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(exhaustive(s"$dir/res") == exhaustive(s"$dir/raw"))
+    // the residual layout keeps the production recall bar at a SMALL
+    // shortlist (the point of residual encoding: tighter ADC)
+    val got = Similarity.knnIvfPq(spark, s"$dir/res", qRow, queryId = 0L,
+      k = 10, nProbe = 4, rerank = 50).collect().map(_.getLong(0)).toSet
+    val exact = emb.where(col("vec_id") =!= 0L)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("qv", typedlit(qRow))
+      .withColumn("d2",
+        Similarity.dot(col("v"), col("v")) - lit(2.0) * Similarity.dot(col("v"), col("qv"))
+          + lit(qRow.map(x => x * x).sum))
+      .orderBy(col("d2"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert((got & exact).size / 10.0 >= 0.8,
+      s"residual IVF-PQ recall@10 at rerank=50 too low (got=$got exact=$exact)")
+    // unit contract of the offset argument: codes(v, offset=o) must equal
+    // codes(v − o) with no offset
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import org.apache.spark.sql.graft.GraftFunctions.PqCodesName
+    val book = Similarity.pqTrain(emb, "embedding", "vec_id", m = 16, ksub = 16, iters = 1)
+    val off = (0 until 64).map(d => 0.125 * ((d % 4) - 1.5))
+    val v = emb.select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val a = v.select(col("vec_id"),
+        call_function(PqCodesName, col("v"), typedlit(book.toSeq),
+          lit(16), lit(16), typedlit(off)).as("c"))
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    val b = v.select(col("vec_id"),
+        call_function(PqCodesName,
+          zip_with(col("v"), typedlit(off), (x, y) => x - y),
+          typedlit(book.toSeq), lit(16), lit(16)).as("c"))
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    assert(a.toSeq == b.toSeq, "offsetted codes must equal codes of the subtracted vector")
+  }
+
+  test("appendToIvfPqIndex: committed batches join the probe, torn appends stay " +
+    "invisible, replays skip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+    // base corpus: vectors far from the +x axis query direction
+    val base = (0 until 128).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 3.0 + j + 2.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeIvfPqIndex(base, "embedding", "vec_id", s"$dir/idx",
+      nCells = 4, m = 4, ksub = 8, iters = 1)
+    val q = (0 until 16).map(j => math.sin(j.toDouble))
+    def top1: Long = Similarity.knnIvfPq(spark, s"$dir/idx", q, queryId = -1L,
+      k = 1, nProbe = 4, rerank = 1000).head().getLong(0)
+    val before = top1
+    // the appended batch plants an almost-exact copy of the query
+    val planted = Seq((900L,
+      (0 until 16).map(j => (math.sin(j.toDouble) * 0.999).toFloat).toArray))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.appendToIvfPqIndex(planted, "embedding", "vec_id", s"$dir/idx"),
+      "first append must commit")
+    assert(top1 == 900L, s"probe must see the committed append (was $before)")
+    // replay of the same batch id: no-op, no double rows
+    assert(!Similarity.appendToIvfPqIndex(planted, "embedding", "vec_id",
+      s"$dir/idx", batchId = "1"), "replay must skip")
+    val committed = Similarity.ivfCommittedBatches(spark, s"$dir/idx")
+    assert(committed == Seq("0", "1"), s"unexpected commit set: $committed")
+    // torn append: batch directory on disk but no commit marker → invisible
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$dir/idx/vectors/batch=1"),
+      fs, new org.apache.hadoop.fs.Path(s"$dir/idx/vectors/batch=torn"),
+      false, spark.sparkContext.hadoopConfiguration)
+    val n = Similarity.knnIvfPq(spark, s"$dir/idx", q, queryId = -1L,
+      k = 5, nProbe = 4, rerank = 1000)
+      .where(col("vec_id") === 900L).count()
+    assert(n == 1, "a torn (unmarked) batch directory must not double-count rows")
+    // a rebuild clears the old generation: no stale batches survive
+    Similarity.writeIvfPqIndex(base, "embedding", "vec_id", s"$dir/idx",
+      nCells = 4, m = 4, ksub = 8, iters = 1)
+    assert(Similarity.ivfCommittedBatches(spark, s"$dir/idx") == Seq("0"))
+    assert(top1 != 900L, "rebuilt index must not contain the old append")
+  }
 }
 
 /** Test backends for the inference-backend contract spec — top level so
