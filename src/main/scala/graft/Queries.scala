@@ -2791,8 +2791,10 @@ object Queries {
       val path = "target/qidx/ivfpq_v2_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       // the index build is deterministic in the input, so a bench rep
       // reuses the previous rep's index — the serving shape (build once,
-      // probe many); delete target/qidx to force a rebuild
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/meta")))
+      // probe many). Validity = the protocol's own commit marker, NOT the
+      // meta file: an interrupted build leaves meta without a marker, and
+      // keying on meta would skip the rebuild forever.
+      if (Similarity.ivfCommittedBatches(s, path).isEmpty)
         Similarity.writeIvfPqIndex(emb, "embedding", "vec_id", path,
           nCells = 8, m = 16, ksub = 16, iters = 2)
       val qv = emb.where(col("vec_id") === 0L)
@@ -2835,6 +2837,71 @@ object Queries {
         FROM cand c, q)
       SELECT vec_id, ROUND(d2, 6) AS dist
       FROM d ORDER BY d2, vec_id LIMIT 10"""))
+
+  // Batched IVF-PQ: three corpus queries served in ONE job through the
+  // same persisted index as q_ivfpq_search (build-if-missing on the
+  // commit marker; identical deterministic build). Exhaustive shortlist
+  // again makes the result exactly "per-query top-10 by L2² within that
+  // query's 2 probed cells" — the per-query window generalization of the
+  // single-query oracle.
+  private val qIvfPqBatch = QDef(
+    "q_ivfpq_batch",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = "target/qidx/ivfpq_v2_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (Similarity.ivfCommittedBatches(s, path).isEmpty)
+        Similarity.writeIvfPqIndex(emb, "embedding", "vec_id", path,
+          nCells = 8, m = 16, ksub = 16, iters = 2)
+      Similarity.knnIvfPqBatch(s, path,
+          emb.where(col("vec_id").isin(0L, 1L, 2L)), "vec_id", "embedding",
+          k = 10, nProbe = 2, rerank = 100000)
+        .select(col("query_id"), col("vec_id"), round(col("dist"), 6).as("dist"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM e WHERE v IS NOT NULL ORDER BY vec_id LIMIT 8),
+      ${kmeansRoundSql(1, "c0")},
+      ${kmeansRoundSql(2, "c1")},
+      af AS (
+        SELECT e.vec_id, c.cid, ${duckCos("e.v", "c.cv")} AS cos
+        FROM e CROSS JOIN c2 c WHERE e.v IS NOT NULL),
+      gf AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+          FROM af)
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+      pc AS (
+        SELECT query_id, cid FROM (
+          SELECT q.query_id, c.cid,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${duckCos("q.qv", "c.cv")} DESC, c.cid) AS rn
+          FROM q CROSS JOIN c2 c)
+        WHERE rn <= 2),
+      cand AS (
+        SELECT pc.query_id, e.vec_id, e.v, q.qv
+        FROM e
+        JOIN gf USING (vec_id)
+        JOIN pc ON pc.cid = gf.cid
+        JOIN q ON q.query_id = pc.query_id
+        WHERE e.vec_id != pc.query_id),
+      d AS (
+        SELECT query_id, vec_id,
+               list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)
+                 - 2.0 * list_reduce(list_transform(range(64), k -> v[k+1] * qv[k+1]), (x, y) -> x + y)
+                 + list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y) AS d2
+        FROM cand)
+      SELECT query_id, vec_id, ROUND(d2, 6) AS dist FROM (
+        SELECT query_id, vec_id, d2,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
+        FROM d)
+      WHERE rn <= 10
+      ORDER BY query_id, d2, vec_id"""))
 
   private val qEmbedNearDup = QDef(
     "q_embed_neardup",
@@ -3019,7 +3086,7 @@ object Queries {
     qOrderbook, qTrainingMatrix,
     qDedupExact, qTextStats, qLangId, qJaccardNearDup, qMinhashNearDup,
     qNearDupIncremental,
-    qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qIvfPq, qEmbedNearDup,
+    qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qIvfPq, qIvfPqBatch, qEmbedNearDup,
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,

@@ -20,12 +20,20 @@ object Relational {
     * `broadcast` hint OVERRIDES Spark's size check, so an unconditional
     * hint turns a full-reload batch (key set ≈ the dimension itself)
     * into a driver/executor OOM. Above the cap we drop the hint and let
-    * the planner + AQE pick the join — shuffle semi/anti at worst. The
-    * `count` gate is one aggregate over the (batch-sized) key set,
-    * cheap next to the merge it guards; `maxKeys <= 0` means never
-    * force. */
+    * the planner + AQE pick the join — shuffle semi/anti at worst.
+    *
+    * The gate counts `limit(maxKeys+1)` rather than the full set, so the
+    * oversized case can stop as soon as the cap is provably exceeded
+    * instead of paying a complete distinct count. It IS an eager action
+    * at plan-construction time, and the joins re-derive the key set (no
+    * `persist` — this function can't own an unpersist lifecycle); that
+    * one extra batch-sized pass is the price of not OOMing on the
+    * pathological batch. `maxKeys <= 0` means never force. */
   private def maybeBroadcast(keySet: DataFrame, maxKeys: Long): DataFrame =
-    if (maxKeys > 0 && keySet.count() <= maxKeys) broadcast(keySet) else keySet
+    if (maxKeys > 0 &&
+        keySet.limit(math.min(maxKeys + 1, Int.MaxValue).toInt).count() <= maxKeys)
+      broadcast(keySet)
+    else keySet
 
   /** Per-group top-N by an ordering — the order-book "top 5 levels"
     * pattern (`adi/app/features/processors/orderbook_features.py:73-91`).

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftFunctions
 
@@ -737,6 +738,12 @@ object Similarity {
       .map(r => r.getAs[Int]("cell") ->
         r.getAs[scala.collection.Seq[Double]]("centroid").toIndexedSeq)
       .toMap
+    // dim check up front: the residual path's zips would otherwise
+    // silently truncate a wrong-dimension query and return wrong
+    // neighbors (the raw path fails loudly in adcTable)
+    val dim = cents.head._2.length
+    require(queryVec.length == dim,
+      s"query dimension ${queryVec.length} != index dimension $dim")
     val probed = cents.toArray
       .map { case (cell, c) =>
         val d = c.iterator.zip(queryVec.iterator).map { case (a, b) => a * b }.sum
@@ -781,6 +788,107 @@ object Similarity {
         (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), typedlit(queryVec))
           + lit(qSq)).as("dist"))
       .orderBy(col("dist"), col("vec_id")).limit(k)
+  }
+
+  /** Batched IVF-PQ search: run a whole DataFrame of queries through a
+    * persisted index in ONE job — the serving shape for offline kNN
+    * (dedup candidates, retrieval evals, embedding joins), where the
+    * driver-orchestrated [[knnIvfPq]] would loop thousands of Spark
+    * jobs.
+    *
+    * Relational plan, no driver loop:
+    *   1. each query ranks the nCells centroids (broadcast
+    *      centroid table, codegen cosine) and keeps its `nProbe`
+    *      nearest cells — a skinny `(query_id, cell)` frame;
+    *   2. the vectors table, pruned to committed batches AND the union
+    *      of probed cells (partition-column `isin` — directory pruning),
+    *      joins the broadcast query-cell frame on `cell`;
+    *   3. the approximate distance is `‖qv − decode(codes)‖²` via the
+    *      codegen [[org.apache.spark.sql.graft.PqDecode]] — bit-for-the-
+    *      same-math as ADC (the subspaces partition the dims), computed
+    *      per pair because a per-query foldable table can't exist;
+    *   4. per-query shortlist (window top-`rerank`), then exact-L2²
+    *      re-rank of only those rows' true vectors, window top-`k`.
+    *
+    * The only wide exchanges are skinny: the per-query windows carry
+    * `(query_id, vec_id, dist)`. Queries are assumed batch-sized
+    * (broadcastable); corpus-sized query sets should shard the batch.
+    * `excludeSelf` drops `vec_id == query_id` rows (the
+    * [[knnIvfPq]] convention when queries come from the corpus).
+    * Returns `(query_id, vec_id, dist)`, nearest first per query. */
+  def knnIvfPqBatch(spark: SparkSession, indexPath: String, queries: DataFrame,
+                    queryIdCol: String, queryVecCol: String, k: Int,
+                    nProbe: Int = 2, rerank: Int = 100,
+                    excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(nProbe > 0, s"need nProbe > 0, got $nProbe")
+    require(rerank >= k, s"rerank must be >= k, got $rerank (k=$k)")
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val (m, ksub) = (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"))
+    val book = meta.getAs[scala.collection.Seq[Double]]("book").toArray
+    val residual = meta.getAs[Boolean]("residual")
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toIndexedSeq.toSeq)
+      .toIndexedSeq
+    GraftFunctions.register(spark)
+    val centsLit = typedlit(cents.map(_.toIndexedSeq))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      toDoubleVec(col(queryVecCol)).as("qv"))
+    // 1. per-query probed cells: nCells rows per query, ranked by the
+    // same codegen cosine the single-query path computes on the driver
+    val centDf = spark.createDataFrame(
+        cents.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("cell", "centroid")
+    val wq = Window.partitionBy("query_id")
+    val qcells = q.crossJoin(broadcast(centDf))
+      .select(col("query_id"), col("cell"),
+        cosine(col("qv"), toDoubleVec(col("centroid"))).as("cos"))
+      .withColumn("_rk", row_number().over(
+        wq.orderBy(col("cos").desc, col("cell"))))
+      .where(col("_rk") <= nProbe)
+      .select("query_id", "cell")
+    val probedCells = qcells.select("cell").distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val committed = ivfCommittedBatches(spark, indexPath)
+    require(committed.nonEmpty, s"no committed batches at $indexPath")
+    val part = spark.read.parquet(s"$indexPath/vectors")
+      .where(col("batch").cast("string").isin(committed.toIndexedSeq: _*) &&
+        col("cell").isin(probedCells: _*))
+    // 2.+3. candidates = codes rows × the queries probing their cell;
+    // approximate distance from the decoded (residual-shifted) vector
+    val recon =
+      if (!residual)
+        call_function(GraftFunctions.PqDecodeName, col("codes"),
+          typedlit(book.toSeq), lit(ksub))
+      else
+        call_function(GraftFunctions.PqDecodeName, col("codes"),
+          typedlit(book.toSeq), lit(ksub), element_at(centsLit, col("cell") + 1))
+    val selfGuard =
+      if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)
+    val cand = part.select(col("vec_id"), col("cell"), recon.as("_r"))
+      .join(broadcast(qcells.join(q, "query_id")), Seq("cell"))
+      .where(selfGuard && col("_r").isNotNull)
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("_r"), col("_r")) - lit(2.0) * dot(col("_r"), col("qv"))
+          + dot(col("qv"), col("qv"))).as("adc"))
+    val shortlist = cand
+      .withColumn("_rk", row_number().over(
+        wq.orderBy(col("adc"), col("vec_id"))))
+      .where(col("_rk") <= rerank)
+      .select("query_id", "vec_id")
+    // 4. exact re-rank: fetch only shortlist rows' true vectors
+    part.select(col("vec_id"), col("v"))
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("qv"))
+          + dot(col("qv"), col("qv"))).as("dist"))
+      .withColumn("_rk", row_number().over(
+        wq.orderBy(col("dist"), col("vec_id"))))
+      .where(col("_rk") <= k)
+      .select("query_id", "vec_id", "dist")
+      .orderBy("query_id", "dist", "vec_id")
   }
 
   /** PQ ANN search (ADC): the query's exact subvector-to-centroid L2²

@@ -305,10 +305,10 @@ object ScaleRehearsal {
       for (n <- Seq(20000, 60000)) {
         val k = math.max(8, n / 1000)
         val vecs = randVecs(n)
-        val (_, tFull) = timed {
+        val (centsFull, tFull) = timed {
           Similarity.kmeansCentroids(vecs, "embedding", "vec_id", k, iters = 2)
         }
-        val (_, tSamp) = timed {
+        val (centsSamp, tSamp) = timed {
           Similarity.kmeansCentroids(vecs, "embedding", "vec_id", k, iters = 2,
             trainFraction = 0.1)
         }
@@ -330,11 +330,9 @@ object ScaleRehearsal {
               element_at(cl, col("cid") + 1))).as("o"))
             .head().getDouble(0)
         }
-        val objFull = objective(
-          Similarity.kmeansCentroids(vecs, "embedding", "vec_id", k, iters = 2))
-        val objSamp = objective(
-          Similarity.kmeansCentroids(vecs, "embedding", "vec_id", k, iters = 2,
-            trainFraction = 0.1))
+        // training is deterministic — score the centroids just timed
+        val objFull = objective(centsFull)
+        val objSamp = objective(centsSamp)
         val (bookF, tPqF) = timed {
           Similarity.pqTrain(vecs, "embedding", "vec_id", m = 16, ksub = 16, iters = 2)
         }

@@ -78,6 +78,7 @@ object GraftFunctions {
   val NearestCentroidName = "graft_nearest_centroid"
   val PqCodesName = "graft_pq_codes"
   val PqAdcName = "graft_pq_adc"
+  val PqDecodeName = "graft_pq_decode"
 
   private def evalAlpha(e: Expression): Double = e match {
     case Literal(v: Double, _) => v
@@ -113,5 +114,7 @@ object GraftFunctions {
         exprs.lift(4)), "built-in")
     registry.createOrReplaceTempFunction(PqAdcName,
       exprs => PqAdcDistance(exprs.head, exprs(1), exprs(2)), "built-in")
+    registry.createOrReplaceTempFunction(PqDecodeName,
+      exprs => PqDecode(exprs.head, exprs(1), exprs(2), exprs.lift(3)), "built-in")
   }
 }

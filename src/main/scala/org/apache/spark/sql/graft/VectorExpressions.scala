@@ -750,3 +750,142 @@ case class PqAdcDistance(codes: Expression, tableExpr: Expression,
     copy(codes = newChildren(0), tableExpr = newChildren(1),
       ksubExpr = newChildren(2))
 }
+
+/** PQ decode: reconstruct the quantized vector from its `array<int>`
+  * codes — `recon[s·dsub + d] = book[(s·ksub + codes[s])·dsub + d]`,
+  * plus the optional per-row `offset` (the IVF cell centroid for
+  * residual indexes). Because the m subspaces partition the dimensions,
+  * `‖q − recon‖²` equals the ADC table sum EXACTLY — this is the ADC
+  * computation re-expressed per PAIR, for batched multi-query search
+  * where a per-query foldable table can't exist. m·dsub flops per pair
+  * instead of m lookups: the price of joining queries relationally. */
+case class PqDecode(codes: Expression, codebookExpr: Expression,
+                    ksubExpr: Expression,
+                    offset: Option[Expression] = None)
+    extends Expression {
+
+  override def children: Seq[Expression] =
+    Seq(codes, codebookExpr, ksubExpr) ++ offset
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_decode"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val codesOk = codes.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    def arrOk(e: Expression): Boolean = e.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (codesOk && codebookExpr.foldable && arrOk(codebookExpr) &&
+        ksubExpr.foldable && ksubExpr.dataType == IntegerType &&
+        offset.forall(arrOk))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<int>, foldable array<double>, foldable int[, array<double> offset])")
+  }
+
+  @transient private lazy val ksub: Int = ksubExpr.eval().asInstanceOf[Int]
+  @transient lazy val flatBook: Array[Double] =
+    codebookExpr.eval().asInstanceOf[ArrayData].toDoubleArray()
+
+  private def badShape(msg: String): Nothing =
+    throw new IllegalArgumentException(s"$prettyName: $msg")
+  def badShapePublic(msg: String): Unit = badShape(msg)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val c = codes.eval(input)
+    if (c == null) return null
+    val off = offset.map(_.eval(input)).orNull
+    if (offset.nonEmpty && off == null) return null
+    val arr = c.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m == 0 || flatBook.length % (m.toLong * ksub) != 0)
+      badShape(s"$m codes against book of ${flatBook.length} (ksub=$ksub)")
+    val dsub = flatBook.length / (m * ksub)
+    val offArr = if (off == null) null else off.asInstanceOf[ArrayData]
+    if (offArr != null && offArr.numElements() != m * dsub)
+      badShape(s"offset dim ${offArr.numElements()} != ${m * dsub}")
+    val out = new Array[Double](m * dsub)
+    var s = 0
+    while (s < m) {
+      if (arr.isNullAt(s)) return null
+      val code = arr.getInt(s)
+      if (code < 0 || code >= ksub) badShape(s"code $code out of [0,$ksub)")
+      var d = 0
+      while (d < dsub) {
+        if (offArr != null && offArr.isNullAt(s * dsub + d)) return null
+        val o = if (offArr == null) 0.0 else offArr.getDouble(s * dsub + d)
+        out(s * dsub + d) = flatBook((s * ksub + code) * dsub + d) + o
+        d += 1
+      }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val book = ctx.addReferenceObj("pqBook", flatBook, "double[]")
+    val self = ctx.addReferenceObj("pqDecodeExpr", this,
+      "org.apache.spark.sql.graft.PqDecode")
+    val cEval = codes.genCode(ctx)
+    val oEval = offset.map(_.genCode(ctx))
+    val kN = ksub
+    val bookLen = flatBook.length
+    val arr = ctx.freshName("arr")
+    val o = ctx.freshName("off")
+    val m = ctx.freshName("m")
+    val dsub = ctx.freshName("dsub")
+    val out = ctx.freshName("out")
+    val codeV = ctx.freshName("code")
+    val bad = ctx.freshName("bad")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val offCode = oEval.map(_.code.toString).getOrElse("")
+    val offNull = oEval.map(e => s" || ${e.isNull}").getOrElse("")
+    val offDecl = oEval.map(e =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData $o = ${e.value};").getOrElse("")
+    val offDimCheck = oEval.map(_ =>
+      s"""if ($o.numElements() != $m * $dsub) { $self.badShapePublic("offset dim " + $o.numElements()); }""")
+      .getOrElse("")
+    val offElemNull = oEval.map(_ => s" || $o.isNullAt(s * $dsub + d)").getOrElse("")
+    val offAdd = oEval.map(_ => s" + $o.getDouble(s * $dsub + d)").getOrElse("")
+    ev.copy(code =
+      code"""
+         |${cEval.code}
+         |$offCode
+         |boolean ${ev.isNull} = ${cEval.isNull}$offNull;
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $arr = ${cEval.value};
+         |  int $m = $arr.numElements();
+         |  if ($m == 0 || $bookLen % ($m * $kN) != 0)
+         |    { $self.badShapePublic($m + " codes against book of $bookLen"); }
+         |  int $dsub = $bookLen / ($m * $kN);
+         |  $offDecl
+         |  $offDimCheck
+         |  boolean $bad = false;
+         |  double[] $out = new double[$m * $dsub];
+         |  for (int s = 0; s < $m && !$bad; s++) {
+         |    if ($arr.isNullAt(s)) { $bad = true; break; }
+         |    int $codeV = $arr.getInt(s);
+         |    if ($codeV < 0 || $codeV >= $kN)
+         |      { $self.badShapePublic("code out of range: " + $codeV); }
+         |    for (int d = 0; d < $dsub; d++) {
+         |      if (false$offElemNull) { $bad = true; break; }
+         |      $out[s * $dsub + d] = $book[(s * $kN + $codeV) * $dsub + d]$offAdd;
+         |    }
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out); }
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PqDecode =
+    copy(codes = newChildren(0), codebookExpr = newChildren(1),
+      ksubExpr = newChildren(2),
+      offset = if (newChildren.length > 3) Some(newChildren(3)) else None)
+}

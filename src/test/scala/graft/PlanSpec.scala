@@ -23,11 +23,13 @@ class PlanSpec extends SparkSpec {
   test("range filter pushes down to the events parquet scan (P2)") {
     val plan = planOf(SparkEntry.queries("q_event_filter")(spark, sfDir))
     assert(plan.contains("PushedFilters"), "no pushed filters in scan")
-    // the event_type equality and the raw-nanos range must reach the scan
+    // the event_type equality and the raw-NTZ time range must reach the
+    // scan (the `_ts_raw` alias pushes as a filter on the underlying
+    // parquet `ts` column; a predicate on the CAST ts column would not)
     assert(plan.contains("EqualTo(event_type,purchase)"),
       s"event_type filter not pushed:\n${plan.take(2500)}")
-    assert(plan.contains("GreaterThanOrEqual(ts,") || plan.contains("GreaterThanOrEqual(_ts_ns"),
-      s"nanos range not pushed:\n${plan.take(2500)}")
+    assert(plan.contains("GreaterThanOrEqual(ts,"),
+      s"NTZ range not pushed:\n${plan.take(2500)}")
   }
 
   test("narrow projections prune the scan schema (P7)") {
@@ -375,6 +377,34 @@ class PlanSpec extends SparkSpec {
       s"probe must not shuffle the corpus:\n${plan.take(1500)}")
     // and the probe actually answers (5 nearest by exact L2²)
     assert(probe.count() == 5)
+  }
+
+  test("knnIvfPqBatch: pruned scans, per-query windows, skinny exchanges only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_bplan").toString
+    val df = (0 until 128).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 3.0 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.operators.Similarity.writeIvfPqIndex(df, "embedding", "vec_id",
+      s"$dir/idx", nCells = 8, m = 4, ksub = 8, iters = 1)
+    val out = graft.operators.Similarity.knnIvfPqBatch(spark, s"$dir/idx",
+      df.limit(3), "vec_id", "embedding", k = 5, nProbe = 2, rerank = 20)
+    val plan = planOf(out)
+    // corpus scans prune to probed cells (and committed batches)
+    val pf = "PartitionFilters: \\[[^\\]]*".r.findAllIn(plan).toList
+    assert(pf.nonEmpty && pf.forall(p => p.contains("cell") && p.contains("batch")),
+      s"batch probe must prune cell+batch partitions: $pf")
+    // per-query rankings window on query_id — never a global sort
+    val specs = "windowspecdefinition\\(([^,]+),".r
+      .findAllIn(plan).matchData.map(_.group(1)).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("query_id")),
+      s"batch rankings must window per query: $specs")
+    // the decoded vector (_r) and true vector (v) stay OUT of exchanges:
+    // shuffles carry only (query_id, vec_id, dist) triples
+    val exchanged = exchanges(plan)
+    assert(exchanged.forall { case (args, input) =>
+      !(args + input).contains("_r#") && !(args + input).contains("qv#") },
+      s"bulky vectors in a shuffle: $exchanged")
+    assert(out.count() == 15, "3 queries x top-5")
   }
 
   test("kmvOverlap withExact=false: no element self-join, estimates unchanged") {
