@@ -891,6 +891,77 @@ object Similarity {
       .orderBy("query_id", "dist", "vec_id")
   }
 
+  /** Exact-cosine near-dups of a NEW batch against a persisted IVF-PQ
+    * index — the embedding-space analog of
+    * [[Dedup.nearDupAgainstIndex]]: the whole batch probes the index in
+    * one job ([[knnIvfPqBatch]]), and each query's top-`k` L2²
+    * candidates are tested against `tau` on the EXACT cosine (computed
+    * from the candidates' true vectors — a k-bounded fetch). Retrieval
+    * ranks by the index metric (L2²); for normalized embeddings that
+    * ranking coincides with cosine — pass pre-normalized vectors for
+    * exact SemDeDup semantics on unnormalized corpora.
+    *
+    * Returns `(new_id, old_id, cosine)` with cosine ≥ tau. Self-pairs
+    * (`new_id == old_id`) are excluded, which is what makes the
+    * incremental loop replay-stable: a replayed batch finds its own
+    * committed rows in the index, and only the SELF match is at
+    * cosine 1 by construction. */
+  def semanticNearDupAgainstIndex(spark: SparkSession, indexPath: String,
+                                  batch: DataFrame, vecCol: String, idCol: String,
+                                  tau: Double, k: Int = 5, nProbe: Int = 4,
+                                  rerank: Int = 50): DataFrame = {
+    val knn = knnIvfPqBatch(spark, indexPath, batch, idCol, vecCol,
+      k = k, nProbe = nProbe, rerank = rerank, excludeSelf = true)
+    val committed = ivfCommittedBatches(spark, indexPath)
+    val idxVecs = spark.read.parquet(s"$indexPath/vectors")
+      .where(col("batch").cast("string").isin(committed.toIndexedSeq: _*))
+      .select(col("vec_id"), col("v"))
+    val q = batch.select(col(idCol).as("query_id"),
+      toDoubleVec(col(vecCol)).as("qv"))
+    knn.join(idxVecs, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id").as("new_id"), col("vec_id").as("old_id"),
+        cosine(col("v"), col("qv")).as("cosine"))
+      .where(col("cosine") >= tau)
+  }
+
+  /** One micro-batch of the incremental SEMANTIC dedup loop — the
+    * embedding analog of [[Dedup.incrementalDedupBatch]], composing the
+    * round's index pieces into the production ingest shape:
+    *   1. drop batch rows within `tau` (exact cosine) of an already-
+    *      indexed vector ([[semanticNearDupAgainstIndex]] — one probe
+    *      job for the whole batch);
+    *   2. dedup the remainder batch-internally ([[semanticDedup]] —
+    *      paraphrase clusters arriving together);
+    *   3. append the survivors to the index atomically
+    *      ([[appendToIvfPqIndex]] under `batchId`).
+    *
+    * Replay-safe end to end: the append skips a committed `batchId`,
+    * and the dedup decisions are REPLAY-STABLE — a replayed batch finds
+    * its committed survivors in the index, self-matches are excluded,
+    * previously-dropped rows still match their surviving near-dup
+    * (now via the index instead of in-batch), so the returned survivor
+    * set is identical. Returns the surviving `(id, vec)` rows. */
+  def incrementalSemanticDedupBatch(spark: SparkSession, indexPath: String,
+                                    batch: DataFrame, vecCol: String,
+                                    idCol: String, batchId: String,
+                                    tau: Double = 0.95, kBatch: Int = 8,
+                                    nProbe: Int = 4, rerank: Int = 50): DataFrame = {
+    val dupOfIndex = semanticNearDupAgainstIndex(spark, indexPath, batch,
+        vecCol, idCol, tau, k = 5, nProbe = nProbe, rerank = rerank)
+      .select(col("new_id").as(idCol)).distinct()
+    val novel = batch.join(broadcast(dupOfIndex), Seq(idCol), "left_anti")
+    val keep = semanticDedup(novel, vecCol, idCol, k = kBatch, tau = tau)
+      .where(col("keep")).select(col("vec_id").as(idCol))
+    // materialize once: the probe + dedup pipeline would otherwise run
+    // twice (the append write and the caller's consumption of the
+    // returned frame)
+    val survivors = novel.join(broadcast(keep), Seq(idCol), "left_semi")
+      .localCheckpoint()
+    appendToIvfPqIndex(survivors, vecCol, idCol, indexPath, batchId)
+    survivors
+  }
+
   /** PQ ANN search (ADC): the query's exact subvector-to-centroid L2²
     * distances form an `m · ksub` table (driver-side, codebook-scale),
     * and every encoded row scores as m table lookups via the codegen

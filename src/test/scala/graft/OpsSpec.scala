@@ -1874,6 +1874,50 @@ class OpsSpec extends SparkSpec {
           s"batch=${prod(qid)} single=$single")
     }
   }
+
+  test("incrementalSemanticDedupBatch: index dups dropped, in-batch dups collapsed, " +
+    "novel appended, replay identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup_inc").toString
+    def unit(xs: Double*): Array[Float] = {
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      xs.map(x => (x / n).toFloat).toArray
+    }
+    // base corpus: 3 well-separated unit directions — every batch-vs-
+    // index cosine is unambiguous
+    val base = Seq(
+      (1L, unit(1, 0, 0, 0)), (2L, unit(0, 1, 0, 0)), (3L, unit(0, 0, 1, 0)))
+    Similarity.writeIvfPqIndex(base.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", s"$dir/idx", nCells = 2, m = 4, ksub = 2, iters = 1)
+    // the batch: 100 = near-dup of indexed 1 (dropped via the index),
+    // 101+102 = an internal near-dup pair (one survives), 103 = novel
+    // (cos 0.5 to every axis, ~0.26 to the 101/102 direction). kBatch=1
+    // puts the whole remainder in one cluster so the internal pair is
+    // actually compared.
+    val batch = Seq(
+      (100L, unit(0.999, 0.01, 0, 0)),
+      (101L, unit(0, 0.01, 0.02, 0.999)),
+      (102L, unit(0, 0.012, 0.02, 0.998)),
+      (103L, unit(0.5, 0.5, 0.5, 0.5))).toDF("vec_id", "embedding")
+    val s1 = Similarity.incrementalSemanticDedupBatch(spark, s"$dir/idx",
+        batch, "embedding", "vec_id", batchId = "b1", tau = 0.95, kBatch = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(!s1.contains(100L), "near-dup of an indexed vector must be dropped")
+    assert(s1.contains(103L), "novel vector must survive")
+    assert((s1 & Set(101L, 102L)).size == 1,
+      s"exactly one of the internal near-dup pair survives, got $s1")
+    // survivors are served by the index now
+    val probe = Similarity.knnIvfPq(spark, s"$dir/idx",
+      Seq(0.5, 0.5, 0.5, 0.5), queryId = -1L,
+      k = 1, nProbe = 2, rerank = 100).head().getLong(0)
+    assert(probe == 103L, s"appended survivor must be probeable, got $probe")
+    // replay: same survivor set, no double rows in the index
+    val s2 = Similarity.incrementalSemanticDedupBatch(spark, s"$dir/idx",
+        batch, "embedding", "vec_id", batchId = "b1", tau = 0.95, kBatch = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(s2 == s1, s"replay must return the same survivors: $s2 vs $s1")
+    val committed = Similarity.ivfCommittedBatches(spark, s"$dir/idx")
+    assert(committed == Seq("0", "b1"), s"unexpected commits: $committed")
+  }
 }
 
 /** Test backends for the inference-backend contract spec — top level so
