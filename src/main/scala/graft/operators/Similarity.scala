@@ -941,16 +941,32 @@ object Similarity {
     * its committed survivors in the index, self-matches are excluded,
     * previously-dropped rows still match their surviving near-dup
     * (now via the index instead of in-batch), so the returned survivor
-    * set is identical. Returns the surviving `(id, vec)` rows. */
+    * set is identical. On the FIRST batch (no committed index) the
+    * survivors bootstrap the index via [[writeIvfPqIndex]] with the
+    * `nCells/m/ksub/iters` knobs, and the caller's `batchId` gets its
+    * own commit marker so a replay of that first batch skips too.
+    * Wire into a stream exactly like
+    * [[graft.streaming.StreamingPipelines.incrementalDedupBatch]]:
+    * `.foreachBatch((b, id) => sink(incrementalSemanticDedupBatch(
+    * spark, path, b, "embedding", "doc_id", batchId = id.toString)))`
+    * — PASS THE STREAMING BATCH ID (at-least-once delivery).
+    * Returns the surviving `(id, vec)` rows. */
   def incrementalSemanticDedupBatch(spark: SparkSession, indexPath: String,
                                     batch: DataFrame, vecCol: String,
                                     idCol: String, batchId: String,
                                     tau: Double = 0.95, kBatch: Int = 8,
-                                    nProbe: Int = 4, rerank: Int = 50): DataFrame = {
-    val dupOfIndex = semanticNearDupAgainstIndex(spark, indexPath, batch,
-        vecCol, idCol, tau, k = 5, nProbe = nProbe, rerank = rerank)
-      .select(col("new_id").as(idCol)).distinct()
-    val novel = batch.join(broadcast(dupOfIndex), Seq(idCol), "left_anti")
+                                    nProbe: Int = 4, rerank: Int = 50,
+                                    nCells: Int = 8, m: Int = 8,
+                                    ksub: Int = 16, iters: Int = 2): DataFrame = {
+    val committed = ivfCommittedBatches(spark, indexPath)
+    val novel =
+      if (committed.isEmpty) batch
+      else {
+        val dupOfIndex = semanticNearDupAgainstIndex(spark, indexPath, batch,
+            vecCol, idCol, tau, k = 5, nProbe = nProbe, rerank = rerank)
+          .select(col("new_id").as(idCol)).distinct()
+        batch.join(broadcast(dupOfIndex), Seq(idCol), "left_anti")
+      }
     val keep = semanticDedup(novel, vecCol, idCol, k = kBatch, tau = tau)
       .where(col("keep")).select(col("vec_id").as(idCol))
     // materialize once: the probe + dedup pipeline would otherwise run
@@ -958,7 +974,17 @@ object Similarity {
     // returned frame)
     val survivors = novel.join(broadcast(keep), Seq(idCol), "left_semi")
       .localCheckpoint()
-    appendToIvfPqIndex(survivors, vecCol, idCol, indexPath, batchId)
+    if (committed.nonEmpty)
+      appendToIvfPqIndex(survivors, vecCol, idCol, indexPath, batchId)
+    else if (!survivors.isEmpty) {
+      // bootstrap: survivors train and seed the index (batch=0); the
+      // caller's batch id gets its own marker so an at-least-once replay
+      // of THIS batch skips the append path above
+      writeIvfPqIndex(survivors, vecCol, idCol, indexPath,
+        nCells = nCells, m = m, ksub = ksub, iters = iters)
+      if (batchId.nonEmpty && batchId != "0")
+        ivfCommit(spark, indexPath, batchId)
+    }
     survivors
   }
 

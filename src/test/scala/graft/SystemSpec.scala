@@ -633,6 +633,61 @@ class SystemSpec extends SparkSpec {
     assert(graft.operators.Dedup.committedBatches(spark, idx).sorted == Seq("0", "1"))
   }
 
+  test("streaming semantic dedup end-to-end: bootstrap, foreachBatch wiring, checkpoint resume") {
+    // the OpsSpec test drives incrementalSemanticDedupBatch directly;
+    // this one proves the streaming WIRING: a real writeStream
+    // .foreachBatch passing the streaming batch id, index bootstrap on
+    // the first batch, cross-batch dedup after checkpoint resume
+    val in = tmp()
+    val idx = tmp() + "/semidx"
+    val ckpt = tmp() + "/ckpt"
+    val sch = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("embedding", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    def runOnce(): Seq[Long] = {
+      val kept = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.schema(sch).json(in)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.operators.Similarity.incrementalSemanticDedupBatch(spark, idx,
+              b.toDF(), "embedding", "doc_id", batchId = id.toString,
+              tau = 0.95, kBatch = 1, nCells = 2, m = 4, ksub = 2, iters = 1)
+            .select("doc_id").collect().foreach(r => kept.add(r.getLong(0)))
+        }
+        .start()
+      q.awaitTermination(120000)
+      kept.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted.toSeq
+    }
+    def drop(name: String, rows: Seq[(Long, Seq[Double])]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(in, name),
+        rows.map { case (id, v) =>
+          s"""{"doc_id": $id, "embedding": [${v.mkString(", ")}]}"""
+        }.mkString("\n"))
+    // batch 0 BOOTSTRAPS the index: an in-batch near-dup pair + one
+    // orthogonal vector
+    drop("b0.json", Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.999, 0.01, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0))))
+    assert(runOnce() == Seq(1L, 3L), "in-batch semantic dup must drop at bootstrap")
+    assert(graft.operators.Similarity.ivfCommittedBatches(spark, idx) == Seq("0"))
+    // batch 1 resumes from the SAME checkpoint (id 1): a cross-batch dup
+    // of indexed 3 drops, a novel direction survives and is appended
+    drop("b1.json", Seq(
+      (10L, Seq(0.01, 0.999, 0.0, 0.0)),
+      (11L, Seq(0.0, 0.0, 1.0, 0.0))))
+    assert(runOnce() == Seq(11L), "cross-batch semantic dup must drop on resume")
+    assert(graft.operators.Similarity.ivfCommittedBatches(spark, idx).sorted ==
+      Seq("0", "1"))
+    // nothing new → no batch, no index growth
+    assert(runOnce() == Seq.empty)
+    assert(graft.operators.Similarity.ivfCommittedBatches(spark, idx).sorted ==
+      Seq("0", "1"))
+  }
+
   test("scheduler ingest tick deletes consumed drops so the next tick is a no-op") {
     val lake = tmp() + "/lake"
     val drops = tmp()
