@@ -2784,19 +2784,28 @@ object Queries {
   // (rerank ≥ corpus) so the result is exactly "top-10 by L2² within the
   // probed cells" — the ADC-quantization recall trade is pinned
   // separately in OpsSpec at production rerank.
+  /** Build-if-missing shared IVF-PQ index for the q_ivfpq_* queries —
+    * ONE definition of path + build params so the two queries can never
+    * drift onto differently-parameterized builds of the same dir. The
+    * build is deterministic in the input, so a bench rep reuses the
+    * previous rep's index — the serving shape (build once, probe many).
+    * Validity = the protocol's own commit marker, NOT the meta file: an
+    * interrupted build leaves meta without a marker, and keying on meta
+    * would skip the rebuild forever. */
+  private def ensureIvfPqIndex(s: SparkSession, dir: String): String = {
+    val emb = t(s, dir, "embeddings")
+    val path = "target/qidx/ivfpq_v2_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (Similarity.ivfCommittedBatches(s, path).isEmpty)
+      Similarity.writeIvfPqIndex(emb, "embedding", "vec_id", path,
+        nCells = 8, m = 16, ksub = 16, iters = 2)
+    path
+  }
+
   private val qIvfPq = QDef(
     "q_ivfpq_search",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val path = "target/qidx/ivfpq_v2_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      // the index build is deterministic in the input, so a bench rep
-      // reuses the previous rep's index — the serving shape (build once,
-      // probe many). Validity = the protocol's own commit marker, NOT the
-      // meta file: an interrupted build leaves meta without a marker, and
-      // keying on meta would skip the rebuild forever.
-      if (Similarity.ivfCommittedBatches(s, path).isEmpty)
-        Similarity.writeIvfPqIndex(emb, "embedding", "vec_id", path,
-          nCells = 8, m = 16, ksub = 16, iters = 2)
+      val path = ensureIvfPqIndex(s, dir)
       val qv = emb.where(col("vec_id") === 0L)
         .select(Similarity.toDoubleVec(col("embedding"))).head().getSeq[Double](0)
       Similarity.knnIvfPq(s, path, qv, queryId = 0L, k = 10,
@@ -2848,10 +2857,7 @@ object Queries {
     "q_ivfpq_batch",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val path = "target/qidx/ivfpq_v2_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      if (Similarity.ivfCommittedBatches(s, path).isEmpty)
-        Similarity.writeIvfPqIndex(emb, "embedding", "vec_id", path,
-          nCells = 8, m = 16, ksub = 16, iters = 2)
+      val path = ensureIvfPqIndex(s, dir)
       Similarity.knnIvfPqBatch(s, path,
           emb.where(col("vec_id").isin(0L, 1L, 2L)), "vec_id", "embedding",
           k = 10, nProbe = 2, rerank = 100000)

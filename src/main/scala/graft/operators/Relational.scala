@@ -29,11 +29,16 @@ object Relational {
     * `persist` — this function can't own an unpersist lifecycle); that
     * one extra batch-sized pass is the price of not OOMing on the
     * pathological batch. `maxKeys <= 0` means never force. */
-  private def maybeBroadcast(keySet: DataFrame, maxKeys: Long): DataFrame =
-    if (maxKeys > 0 &&
-        keySet.limit(math.min(maxKeys + 1, Int.MaxValue).toInt).count() <= maxKeys)
-      broadcast(keySet)
-    else keySet
+  private def maybeBroadcast(keySet: DataFrame, maxKeys: Long): DataFrame = {
+    if (maxKeys <= 0) return keySet
+    // caps past limit()'s Int range can't use the early-out; pay the
+    // full count rather than silently disabling the guard (clamping the
+    // limit to Int.MaxValue would make the gate vacuously true)
+    val small =
+      if (maxKeys >= Int.MaxValue - 1) keySet.count() <= maxKeys
+      else keySet.limit(maxKeys.toInt + 1).count() <= maxKeys
+    if (small) broadcast(keySet) else keySet
+  }
 
   /** Per-group top-N by an ordering — the order-book "top 5 levels"
     * pattern (`adi/app/features/processors/orderbook_features.py:73-91`).

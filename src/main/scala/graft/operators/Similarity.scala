@@ -833,8 +833,22 @@ object Similarity {
       .toIndexedSeq
     GraftFunctions.register(spark)
     val centsLit = typedlit(cents.map(_.toIndexedSeq))
+    val dim = cents.head.length
+    // materialize the query frame ONCE: the pipeline below consumes it
+    // from three places (cell ranking, candidate join, re-rank join) —
+    // a lazy nondeterministic input (sample, tie-broken limit) could
+    // otherwise rank a cell at probe time that the partition filter,
+    // collected from a separate evaluation, excludes. Null vectors are
+    // unservable and dropped here; a wrong dimension fails loudly below
+    // (the knnIvfPq contract — null distances would otherwise sort a
+    // garbage top-k FIRST under Spark's default nulls-first ordering).
     val q = queries.select(col(queryIdCol).as("query_id"),
-      toDoubleVec(col(queryVecCol)).as("qv"))
+        toDoubleVec(col(queryVecCol)).as("qv"))
+      .where(col("qv").isNotNull && forall(col("qv"), x => x.isNotNull))
+      .withColumn("_dimchk", assert_true(size(col("qv")) === lit(dim),
+        lit(s"query dimension != index dimension $dim")))
+      .drop("_dimchk")
+      .localCheckpoint()
     // 1. per-query probed cells: nCells rows per query, ranked by the
     // same codegen cosine the single-query path computes on the driver
     val centDf = spark.createDataFrame(
@@ -918,7 +932,10 @@ object Similarity {
       .select(col("vec_id"), col("v"))
     val q = batch.select(col(idCol).as("query_id"),
       toDoubleVec(col(vecCol)).as("qv"))
-    knn.join(idxVecs, Seq("vec_id"))
+    // broadcast the (batch × k)-bounded knn side: the index scan must
+    // stay a map-side probe — a shuffle join here would move every
+    // committed vector's full array per micro-batch
+    idxVecs.join(broadcast(knn), Seq("vec_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id").as("new_id"), col("vec_id").as("old_id"),
         cosine(col("v"), col("qv")).as("cosine"))
@@ -937,11 +954,13 @@ object Similarity {
     *      ([[appendToIvfPqIndex]] under `batchId`).
     *
     * Replay-safe end to end: the append skips a committed `batchId`,
-    * and the dedup decisions are REPLAY-STABLE — a replayed batch finds
-    * its committed survivors in the index, self-matches are excluded,
-    * previously-dropped rows still match their surviving near-dup
-    * (now via the index instead of in-batch), so the returned survivor
-    * set is identical. On the FIRST batch (no committed index) the
+    * and the dedup decisions are REPLAY-STABLE — when `batchId` is
+    * already committed, the index probe excludes ALL of the batch's own
+    * ids (not just self-matches), which reproduces exactly the index
+    * view the first run saw, so the returned survivor set is identical
+    * even when in-batch dedup let two mutual near-dups both survive
+    * (the [[semanticDedup]] repCap window). On the FIRST batch (no
+    * committed index) the
     * survivors bootstrap the index via [[writeIvfPqIndex]] with the
     * `nCells/m/ksub/iters` knobs, and the caller's `batchId` gets its
     * own commit marker so a replay of that first batch skips too.
@@ -962,9 +981,17 @@ object Similarity {
     val novel =
       if (committed.isEmpty) batch
       else {
-        val dupOfIndex = semanticNearDupAgainstIndex(spark, indexPath, batch,
-            vecCol, idCol, tau, k = 5, nProbe = nProbe, rerank = rerank)
-          .select(col("new_id").as(idCol)).distinct()
+        val hits = semanticNearDupAgainstIndex(spark, indexPath, batch,
+          vecCol, idCol, tau, k = 5, nProbe = nProbe, rerank = rerank)
+        // replay: this batch's rows are already in the index — matches
+        // against ANY batch member must not count, or a pair of mutual
+        // near-dups that both survived the first run would now kill each
+        // other; excluding them reproduces the first run's index view
+        val hitsVsOld =
+          if (!committed.contains(batchId)) hits
+          else hits.join(broadcast(batch.select(col(idCol).as("old_id"))),
+            Seq("old_id"), "left_anti")
+        val dupOfIndex = hitsVsOld.select(col("new_id").as(idCol)).distinct()
         batch.join(broadcast(dupOfIndex), Seq(idCol), "left_anti")
       }
     val keep = semanticDedup(novel, vecCol, idCol, k = kBatch, tau = tau)

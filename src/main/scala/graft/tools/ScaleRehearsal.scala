@@ -412,6 +412,26 @@ object ScaleRehearsal {
         System.err.println(f"[rehearsal] ivfpq n=$n%-6d build ${tBuild}%5.1fs " +
           f"probe(2/32 cells) cold ${tCold}%5.1fs warm ${tWarm}%5.1fs " +
           f"vs full ADC scan ${tScan}%5.1fs (rows touched $touched/$corpus)")
+        // batched serving: ~65 queries (stride n/64 over [0,n]) in ONE
+        // relational job vs the driver-orchestrated per-query loop — the
+        // per-query fixed cost (≈5 small jobs each) must amortize away
+        val qFrame = vecs.where(col("vec_id") % lit(n / 64) === 0)
+        val nQ = qFrame.count()
+        val (_, tBatch) = timed {
+          Similarity.knnIvfPqBatch(spark, path, qFrame, "vec_id", "embedding",
+            k = 10, nProbe = 2, rerank = 100).count()
+        }
+        val (_, tLoop) = timed {
+          qFrame.select(col("vec_id"),
+              Similarity.toDoubleVec(col("embedding")).as("v")).collect()
+            .take(8).foreach { r =>
+              Similarity.knnIvfPq(spark, path, r.getSeq[Double](1),
+                r.getLong(0), k = 10, nProbe = 2, rerank = 100).count()
+            }
+        }
+        System.err.println(f"[rehearsal] ivfpq-batch n=$n%-6d $nQ%3d queries " +
+          f"in one job ${tBatch}%5.1fs vs 8-query driver loop ${tLoop}%5.1fs " +
+          f"(loop extrapolates ~${tLoop / 8 * nQ}%5.1fs for $nQ)")
       }
     }
 

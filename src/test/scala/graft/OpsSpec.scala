@@ -1918,6 +1918,56 @@ class OpsSpec extends SparkSpec {
     val committed = Similarity.ivfCommittedBatches(spark, s"$dir/idx")
     assert(committed == Seq("0", "b1"), s"unexpected commits: $committed")
   }
+
+  test("incrementalSemanticDedupBatch: replay identical even when MUTUAL near-dups " +
+    "both survived in-batch dedup") {
+    // kBatch=2 on a 2-row remainder gives each row its own cluster, so
+    // the mutual pair is never compared in-batch and BOTH commit — the
+    // replay must not let their committed copies kill each other
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup_rep").toString
+    def unit(xs: Double*): Array[Float] = {
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      xs.map(x => (x / n).toFloat).toArray
+    }
+    val base = Seq(
+      (1L, unit(1, 0, 0, 0)), (2L, unit(0, 1, 0, 0)), (3L, unit(0, 0, 1, 0)))
+    Similarity.writeIvfPqIndex(base.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", s"$dir/idx", nCells = 2, m = 4, ksub = 2, iters = 1)
+    val batch = Seq(
+      (201L, unit(0, 0.01, 0.02, 0.999)),
+      (202L, unit(0, 0.012, 0.02, 0.998))).toDF("vec_id", "embedding")
+    def run(): Set[Long] = Similarity.incrementalSemanticDedupBatch(spark,
+        s"$dir/idx", batch, "embedding", "vec_id", batchId = "m1",
+        tau = 0.95, kBatch = 2)
+      .collect().map(_.getLong(0)).toSet
+    val s1 = run()
+    assert(s1 == Set(201L, 202L),
+      s"kBatch=2 must let the never-compared pair both survive, got $s1")
+    assert(run() == s1, "replay must return the identical survivor set")
+  }
+
+  test("knnIvfPqBatch: null query vectors are unservable and dropped; wrong dim fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_null").toString
+    val df = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 3.0 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.operators.Similarity.writeIvfPqIndex(df, "embedding", "vec_id",
+      s"$dir/idx", nCells = 2, m = 4, ksub = 4, iters = 1)
+    val qs = Seq(
+      (0L, Array.tabulate(8)(j => math.sin(j.toDouble).toFloat)),
+      (1L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val got = Similarity.knnIvfPqBatch(spark, s"$dir/idx", qs,
+        "vec_id", "embedding", k = 3, nProbe = 2, rerank = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L),
+      s"null-vector query must be dropped, not served garbage: $got")
+    val wrongDim = Seq((0L, Array.tabulate(16)(j => j.toFloat)))
+      .toDF("vec_id", "embedding")
+    intercept[Exception] {
+      Similarity.knnIvfPqBatch(spark, s"$dir/idx", wrongDim,
+        "vec_id", "embedding", k = 3).collect()
+    }
+  }
 }
 
 /** Test backends for the inference-backend contract spec — top level so
