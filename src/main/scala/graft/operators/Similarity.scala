@@ -641,22 +641,96 @@ object Similarity {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Batch ids whose appends are COMMITTED (marker file in `_commits/`).
-    * Data directories without a marker are invisible to probes — the
-    * single-file-create commit point, like the MinHash index
-    * ([[Dedup.committedBatches]]). */
-  def ivfCommittedBatches(spark: SparkSession, path: String): Seq[String] = {
+  /** All commit markers: name → the batch ids this marker SUPERSEDES
+    * (empty for ordinary appends; a compaction's consolidated batch
+    * lists the batches it replaced — see [[compactIvfPqIndex]]). */
+  private def ivfMarkers(spark: SparkSession,
+                         path: String): Map[String, Seq[String]] = {
     val d = new org.apache.hadoop.fs.Path(s"$path/_commits")
     val fs = ivfFs(spark, path)
-    if (!fs.exists(d)) Seq.empty
-    else fs.listStatus(d).filter(_.isFile).map(_.getPath.getName).toSeq.sorted
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).filter(_.isFile).map { st =>
+      val in = fs.open(st.getPath)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      st.getPath.getName -> body.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    }.toMap
   }
 
-  private def ivfCommit(spark: SparkSession, path: String, bid: String): Unit = {
+  /** Batch ids whose appends are COMMITTED and not superseded by a
+    * later compaction (marker file in `_commits/`, id absent from every
+    * marker's superseded list). Data directories without a marker are
+    * invisible to probes — the single-file-create commit point, like
+    * the MinHash index ([[Dedup.committedBatches]]). */
+  def ivfCommittedBatches(spark: SparkSession, path: String): Seq[String] = {
+    val markers = ivfMarkers(spark, path)
+    val superseded = markers.values.flatten.toSet
+    markers.keys.filterNot(superseded).toSeq.sorted
+  }
+
+  private def ivfCommit(spark: SparkSession, path: String, bid: String,
+                        supersedes: Seq[String] = Seq.empty): Unit = {
     val fs = ivfFs(spark, path)
     val cd = new org.apache.hadoop.fs.Path(s"$path/_commits")
     fs.mkdirs(cd)
-    fs.create(new org.apache.hadoop.fs.Path(cd, bid), false).close()
+    val out = fs.create(new org.apache.hadoop.fs.Path(cd, bid), false)
+    try { if (supersedes.nonEmpty) out.write(supersedes.mkString("\n").getBytes("UTF-8")) }
+    finally out.close()
+  }
+
+  /** Compact the batch-keyed IVF-PQ index: consolidate every committed
+    * batch's `vectors/batch=<id>` directory into ONE new batch — the
+    * [[Dedup.compactMinhashIndex]] lifecycle applied to the ANN index.
+    * An at-least-once ingest loop appends per-task files per
+    * micro-batch; after N batches a probe lists/open-costs O(N) small
+    * files per probed cell. Codes, cells and the codebook are untouched
+    * (compaction moves bytes, never re-quantizes).
+    *
+    * Atomicity via the superseded list: the consolidated data lands
+    * under a fresh `batch=c<n>` (invisible — no marker), then its
+    * marker is created with the replaced batch ids as its BODY. Readers
+    * treat ids named in any marker body as superseded, so visibility
+    * flips at that single file-create; markers and data of the replaced
+    * batches are then garbage-collected. A crash before GC
+    * double-counts nothing; a crashed compactor's orphan `c*`
+    * directory is cleared on the next run. Safe alongside a live
+    * appender (a batch committed mid-compaction is simply not
+    * consolidated this round); one compactor at a time. Returns the
+    * number of batches consolidated (0 = nothing to do). */
+  def compactIvfPqIndex(spark: SparkSession, path: String): Int = {
+    val fs = ivfFs(spark, path)
+    val markers = ivfMarkers(spark, path)
+    val superseded = markers.values.flatten.toSet
+    val committed = markers.keys.filterNot(superseded).toSeq.sorted
+    if (committed.size <= 1) return 0
+    // GC orphaned compactor output (data written, marker never created);
+    // only compactor-owned c* ids are eligible — never a live append dir
+    val vecRoot = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    if (fs.exists(vecRoot))
+      fs.listStatus(vecRoot).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("batch=c"))
+        .map(_.stripPrefix("batch="))
+        .filterNot(markers.contains)
+        .foreach(id => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$path/vectors/batch=$id"), true))
+    val cid = "c" + ((markers.keys ++ superseded)
+      .filter(_.startsWith("c"))
+      .flatMap(s => scala.util.Try(s.stripPrefix("c").toLong).toOption)
+      .maxOption.getOrElse(-1L) + 1L)
+    val inScope = col("batch").cast("string").isin(committed.toIndexedSeq: _*)
+    spark.read.parquet(s"$path/vectors").where(inScope).drop("batch")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/vectors/batch=$cid")
+    // THE commit point: one atomic file-create flips visibility from the
+    // old batches to the consolidated one
+    ivfCommit(spark, path, cid, supersedes = committed)
+    // GC — everything below is invisible already
+    committed.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commits/$id"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors/batch=$id"), true)
+    }
+    committed.size
   }
 
   /** Append a batch of NEW vectors to a persisted IVF-PQ index without
@@ -677,15 +751,22 @@ object Similarity {
   def appendToIvfPqIndex(df: DataFrame, vecCol: String, idCol: String,
                          indexPath: String, batchId: String = ""): Boolean = {
     val spark = df.sparkSession
-    val committed = ivfCommittedBatches(spark, indexPath)
-    require(committed.nonEmpty,
+    val markers = ivfMarkers(spark, indexPath)
+    require(markers.nonEmpty,
       s"no committed IVF-PQ index at $indexPath — writeIvfPqIndex first")
+    // auto ids count over ALL marker names AND superseded ids — a
+    // compacted-away id must never be reused: its content already lives
+    // inside the consolidated batch, and reusing it would skip as a
+    // "replay"
+    val seen = markers.keys.toSet ++ markers.values.flatten
     val bid =
       if (batchId.nonEmpty) batchId
-      else (committed.flatMap(s => scala.util.Try(s.toLong).toOption)
+      else (seen.flatMap(s => scala.util.Try(s.toLong).toOption)
         .maxOption.getOrElse(-1L) + 1L).toString
     require(bid.matches("[A-Za-z0-9_-]+"), s"unsafe index batch id: $bid")
-    if (committed.contains(bid)) {
+    if (seen.contains(bid)) {
+      // committed, or committed-then-consolidated by a compaction —
+      // either way this batch's rows are in the index already
       System.err.println(
         s"[ivfpq] batch $bid already committed at $indexPath — skipping (replay)")
       return false
@@ -977,7 +1058,11 @@ object Similarity {
                                     nProbe: Int = 4, rerank: Int = 50,
                                     nCells: Int = 8, m: Int = 8,
                                     ksub: Int = 16, iters: Int = 2): DataFrame = {
+    val markers = ivfMarkers(spark, indexPath)
     val committed = ivfCommittedBatches(spark, indexPath)
+    // a batch consolidated by a later compaction is still "committed"
+    // for replay purposes — its rows live inside the consolidated batch
+    val everCommitted = markers.keys.toSet ++ markers.values.flatten
     val novel =
       if (committed.isEmpty) batch
       else {
@@ -988,7 +1073,7 @@ object Similarity {
         // near-dups that both survived the first run would now kill each
         // other; excluding them reproduces the first run's index view
         val hitsVsOld =
-          if (!committed.contains(batchId)) hits
+          if (!everCommitted.contains(batchId)) hits
           else hits.join(broadcast(batch.select(col(idCol).as("old_id"))),
             Seq("old_id"), "left_anti")
         val dupOfIndex = hitsVsOld.select(col("new_id").as(idCol)).distinct()

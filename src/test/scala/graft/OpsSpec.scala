@@ -1968,6 +1968,42 @@ class OpsSpec extends SparkSpec {
         "vec_id", "embedding", k = 3).collect()
     }
   }
+
+  test("compactIvfPqIndex: probe-identical, batches collapse, appendable after, " +
+    "double-compact no-op, replayed consolidated batch still skips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_cmp").toString
+    def vecs(ids: Range) = ids.map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 3.0 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeIvfPqIndex(vecs(0 until 64), "embedding", "vec_id",
+      s"$dir/idx", nCells = 2, m = 4, ksub = 4, iters = 1)
+    assert(Similarity.appendToIvfPqIndex(vecs(100 until 110), "embedding",
+      "vec_id", s"$dir/idx", batchId = "a1"))
+    assert(Similarity.appendToIvfPqIndex(vecs(200 until 210), "embedding",
+      "vec_id", s"$dir/idx", batchId = "a2"))
+    val q = (0 until 8).map(j => math.sin(j.toDouble))
+    def probe(): Seq[(Long, Double)] =
+      Similarity.knnIvfPq(spark, s"$dir/idx", q, queryId = -1L, k = 10,
+        nProbe = 2, rerank = 1000).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = probe()
+    assert(Similarity.compactIvfPqIndex(spark, s"$dir/idx") == 3)
+    assert(probe() == before, "compaction must be probe-invisible")
+    assert(Similarity.ivfCommittedBatches(spark, s"$dir/idx") == Seq("c0"))
+    // the consolidated dir is the only batch dir left on disk
+    val dirs = new java.io.File(s"$dir/idx/vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("batch=c0"), s"old batch dirs must be GC'd: $dirs")
+    // still appendable; a replay of a CONSOLIDATED batch id still skips
+    assert(Similarity.appendToIvfPqIndex(vecs(300 until 305), "embedding",
+      "vec_id", s"$dir/idx", batchId = "a3"))
+    assert(!Similarity.appendToIvfPqIndex(vecs(100 until 110), "embedding",
+      "vec_id", s"$dir/idx", batchId = "a1"),
+      "a compacted-away batch id must still read as committed")
+    // double compact consolidates the pair, then no-ops
+    assert(Similarity.compactIvfPqIndex(spark, s"$dir/idx") == 2)
+    assert(Similarity.compactIvfPqIndex(spark, s"$dir/idx") == 0)
+    assert(probe() == before, "post-append compaction keeps base rows probeable")
+  }
 }
 
 /** Test backends for the inference-backend contract spec — top level so
