@@ -368,8 +368,10 @@ object ScaleRehearsal {
       // IVF-PQ probe vs the linear ADC scan, BOTH reading parquet (the
       // serving shape): the probe must price like nProbe/nCells of the
       // corpus plus fixed per-query overhead (metadata reads, broadcast),
-      // not like the full scan — the composed index's scale claim.
-      for (n <- Seq(60000)) {
+      // not like the full scan — the composed index's scale claim. The 4×
+      // corpus step shows the crossover: the scan grows with n, the
+      // pruned probe stays ~flat.
+      for (n <- Seq(60000, 240000)) {
         val vecs = randVecs(n)
         val path = s"$outBase/ivfpq_x$n"
         val (_, tBuild) = timed {
