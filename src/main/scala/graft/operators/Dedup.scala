@@ -399,10 +399,17 @@ object Dedup {
     val d = new org.apache.hadoop.fs.Path(s"$path/_commits")
     if (!fs.exists(d)) Map.empty
     else fs.listStatus(d).filter(_.isFile).map { st =>
-      val in = fs.open(st.getPath)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      st.getPath.getName -> body.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      val name = st.getPath.getName
+      // only compactor markers (c*) carry bodies; skipping the open for
+      // ordinary appends keeps probes at one listing + #compactions reads
+      val body =
+        if (!name.startsWith("c")) ""
+        else {
+          val in = fs.open(st.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        }
+      name -> body.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
     }.toMap
   }
 
@@ -479,6 +486,10 @@ object Dedup {
         .flatMap(s => scala.util.Try(s.toLong).toOption)
         .maxOption.getOrElse(-1L) + 1L).toString
     require(bid.matches("[A-Za-z0-9_-]+"), s"unsafe index batch id: $bid")
+    // the c prefix is the compactor's namespace: its orphan sweep deletes
+    // any uncommitted c* directory, which must never be a live append
+    require(!bid.startsWith("c"),
+      s"batch ids starting with 'c' are reserved for the compactor: $bid")
     if (markers.contains(bid) || markers.values.exists(_.contains(bid))) {
       // committed, or committed-then-consolidated by a compaction —
       // either way this batch's rows are in the index already
@@ -535,11 +546,19 @@ object Dedup {
     val markers = indexMarkers(spark, path)
     val superseded = markers.values.flatten.toSet
     val committed = markers.keys.filterNot(superseded).toSeq.sorted
+    val tables = Seq("bands", "postings", "sizes")
+    // resume a crashed GC: superseded ids are invisible already — their
+    // stale markers and data dirs are safe to clear whenever noticed
+    superseded.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commits/$id"), false)
+      tables.foreach(t =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$t/batch=$id"), true))
+    }
     if (committed.size <= 1) return 0
     // GC any orphaned compactor output from a crashed earlier run (data
     // written, marker never created). Only compactor-owned ids (c*) are
-    // eligible: an appender's in-flight batch dir must not be touched.
-    val tables = Seq("bands", "postings", "sizes")
+    // eligible: an appender's in-flight batch dir must not be touched
+    // (the c prefix is rejected in writeMinhashIndex's id validation).
     for (t <- tables; p = new org.apache.hadoop.fs.Path(s"$path/$t") if fs.exists(p);
          st <- fs.listStatus(p) if st.isDirectory) {
       val name = st.getPath.getName // batch=<id>
@@ -564,10 +583,16 @@ object Dedup {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/sizes/batch=$cid")
     // THE commit point: one atomic file-create flips visibility from the
-    // old batches to the consolidated one
+    // old batches to the consolidated one. The superseded list is
+    // TRANSITIVE — it carries forward every id the consolidated batches
+    // themselves superseded (marker bodies are transitive by induction),
+    // or a second compaction would erase the only record of the first's
+    // replaced ids and their append replays would re-ingest
+    val supersedes =
+      (committed ++ committed.flatMap(markers.getOrElse(_, Seq.empty))).distinct
     val cd = new org.apache.hadoop.fs.Path(s"$path/_commits")
     val out = fs.create(new org.apache.hadoop.fs.Path(cd, cid), false)
-    try out.write(committed.mkString("\n").getBytes("UTF-8")) finally out.close()
+    try out.write(supersedes.mkString("\n").getBytes("UTF-8")) finally out.close()
     // garbage collection — everything below is invisible already
     committed.foreach { id =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commits/$id"), false)

@@ -650,10 +650,18 @@ object Similarity {
     val fs = ivfFs(spark, path)
     if (!fs.exists(d)) Map.empty
     else fs.listStatus(d).filter(_.isFile).map { st =>
-      val in = fs.open(st.getPath)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      st.getPath.getName -> body.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      val name = st.getPath.getName
+      // only compactor markers (c*) ever carry bodies — skipping the
+      // open for ordinary appends keeps the serving path at ONE listing
+      // plus #compactions reads, not one read per append ever made
+      val body =
+        if (!name.startsWith("c")) ""
+        else {
+          val in = fs.open(st.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        }
+      name -> body.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
     }.toMap
   }
 
@@ -693,18 +701,30 @@ object Similarity {
     * flips at that single file-create; markers and data of the replaced
     * batches are then garbage-collected. A crash before GC
     * double-counts nothing; a crashed compactor's orphan `c*`
-    * directory is cleared on the next run. Safe alongside a live
-    * appender (a batch committed mid-compaction is simply not
-    * consolidated this round); one compactor at a time. Returns the
-    * number of batches consolidated (0 = nothing to do). */
+    * directory and any partially-GC'd superseded leftovers are cleared
+    * on the next run. Safe alongside a live appender (a batch committed
+    * mid-compaction is simply not consolidated this round — and the
+    * `c` id prefix is reserved for the compactor, so the orphan sweep
+    * can never touch an appender's in-flight directory); one compactor
+    * at a time. Probes that LISTED the old batches while a compaction's
+    * GC runs can hit deleted files — for a serving index, run
+    * compaction in a maintenance window or behind a read-path retry.
+    * Returns the number of batches consolidated (0 = nothing to do). */
   def compactIvfPqIndex(spark: SparkSession, path: String): Int = {
     val fs = ivfFs(spark, path)
     val markers = ivfMarkers(spark, path)
     val superseded = markers.values.flatten.toSet
     val committed = markers.keys.filterNot(superseded).toSeq.sorted
+    // resume a crashed GC: superseded ids are invisible already — their
+    // stale markers and data dirs are safe to clear whenever noticed
+    superseded.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commits/$id"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors/batch=$id"), true)
+    }
     if (committed.size <= 1) return 0
     // GC orphaned compactor output (data written, marker never created);
     // only compactor-owned c* ids are eligible — never a live append dir
+    // (the c prefix is rejected in appendToIvfPqIndex's id validation)
     val vecRoot = new org.apache.hadoop.fs.Path(s"$path/vectors")
     if (fs.exists(vecRoot))
       fs.listStatus(vecRoot).filter(_.isDirectory)
@@ -723,8 +743,15 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/vectors/batch=$cid")
     // THE commit point: one atomic file-create flips visibility from the
-    // old batches to the consolidated one
-    ivfCommit(spark, path, cid, supersedes = committed)
+    // old batches to the consolidated one. The superseded list is
+    // TRANSITIVE — it carries forward every id the consolidated batches
+    // themselves superseded, or a second compaction would erase the
+    // only record of the first's replaced ids and their append replays
+    // would re-ingest (marker bodies are transitive by induction, so
+    // one level of flatMap closes the chain)
+    val supersedes =
+      (committed ++ committed.flatMap(markers.getOrElse(_, Seq.empty))).distinct
+    ivfCommit(spark, path, cid, supersedes = supersedes)
     // GC — everything below is invisible already
     committed.foreach { id =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commits/$id"), false)
@@ -764,6 +791,10 @@ object Similarity {
       else (seen.flatMap(s => scala.util.Try(s.toLong).toOption)
         .maxOption.getOrElse(-1L) + 1L).toString
     require(bid.matches("[A-Za-z0-9_-]+"), s"unsafe index batch id: $bid")
+    // the c prefix is the compactor's namespace: its orphan sweep deletes
+    // any uncommitted c* directory, which must never be a live append
+    require(!bid.startsWith("c"),
+      s"batch ids starting with 'c' are reserved for the compactor: $bid")
     if (seen.contains(bid)) {
       // committed, or committed-then-consolidated by a compaction —
       // either way this batch's rows are in the index already
@@ -1059,7 +1090,8 @@ object Similarity {
                                     nCells: Int = 8, m: Int = 8,
                                     ksub: Int = 16, iters: Int = 2): DataFrame = {
     val markers = ivfMarkers(spark, indexPath)
-    val committed = ivfCommittedBatches(spark, indexPath)
+    val committed = markers.keys
+      .filterNot(markers.values.flatten.toSet).toSeq.sorted
     // a batch consolidated by a later compaction is still "committed"
     // for replay purposes — its rows live inside the consolidated batch
     val everCommitted = markers.keys.toSet ++ markers.values.flatten

@@ -688,6 +688,12 @@ class OpsSpec extends SparkSpec {
     assert(probe(9) == Set(9L) && probe(2) == Set(2L))
     // nothing left to consolidate
     assert(Dedup.compactMinhashIndex(spark, dir) == 0)
+    // TRANSITIVE supersede: c1's body must still carry the ids the FIRST
+    // compaction replaced — a replay of batch 3 two compactions later
+    // must stay a no-op, not a double-ingest
+    assert(!Dedup.writeMinhashIndex(Seq((0L, doc(3))).toDF("doc_id", "text"),
+      "text", "doc_id", dir, mode = "append", batchId = "3"),
+      "a batch consolidated two compactions ago must still replay as a no-op")
   }
 
   test("minhash index: uncommitted (torn) batch is invisible until its retry commits") {
@@ -2003,6 +2009,18 @@ class OpsSpec extends SparkSpec {
     assert(Similarity.compactIvfPqIndex(spark, s"$dir/idx") == 2)
     assert(Similarity.compactIvfPqIndex(spark, s"$dir/idx") == 0)
     assert(probe() == before, "post-append compaction keeps base rows probeable")
+    // TRANSITIVE supersede: after the SECOND compaction the only marker
+    // is c1 — it must still carry the first compaction's replaced ids,
+    // or replaying a1 here would re-append rows already inside c1
+    assert(!Similarity.appendToIvfPqIndex(vecs(100 until 110), "embedding",
+      "vec_id", s"$dir/idx", batchId = "a1"),
+      "a batch consolidated TWO compactions ago must still read as committed")
+    // the compactor's id namespace is reserved: a user append can never
+    // collide with the orphan sweep
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(vecs(400 until 405), "embedding",
+        "vec_id", s"$dir/idx", batchId = "custom1")
+    }
   }
 }
 
