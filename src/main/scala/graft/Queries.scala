@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{windows => W, TaIndicators => TA}
-import graft.operators.{Dedup, Multimodal, Relational, Resample, SentimentScorer, Similarity, Sketches, TemporalJoins, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Resample, Retrieval, SentimentScorer, Similarity, Sketches, TemporalJoins, TextAnalysis}
 import graft.time.TimeNorm
 
 /** The verifiable operator surface: one entry per SURVEY §2 operator,
@@ -2195,6 +2195,65 @@ object Queries {
       SELECT doc_id, n_terms, CAST(score_fp AS DOUBLE) / 1e6 AS score
       FROM g ORDER BY score DESC, doc_id LIMIT 20"""))
 
+  // Hybrid retrieval: the q_bm25 lexical top-20 RRF-fused with the
+  // q_knn_brute semantic top-20 (query = vec 0's embedding). Per-list
+  // contributions quantize to ⌊10⁶/(60+rank)⌋ BIGINTs before the sum —
+  // order-free — and both component rankings are the already-proven
+  // deterministic ones, so the fused ranking hash-matches cross-engine.
+  private val qHybridSearch = QDef(
+    "q_hybrid_search",
+    (s, dir) => Retrieval.hybridSearchRrf(
+      t(s, dir, "documents"), "text", "doc_id",
+      t(s, dir, "embeddings"), "embedding", "vec_id",
+      queryTerms = Seq("dup", "spark", "window"), queryId = 0,
+      topKEach = 20, rrfK = 60, topK = 10),
+    Some(raw"""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+      tq AS (SELECT doc_id, unnest(toks) AS term FROM d),
+      tf AS (SELECT t.doc_id, dl.dl, t.term, CAST(count(*) AS BIGINT) AS tf
+             FROM tq t JOIN dl USING (doc_id)
+             WHERE t.term IN ('dup', 'spark', 'window')
+             GROUP BY t.doc_id, dl.dl, t.term),
+      idf AS (SELECT term,
+                CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df_docs AS DOUBLE) + 0.5)
+                              / (CAST(df_docs AS DOUBLE) + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_fp,
+                CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+              FROM (SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY term)
+              CROSS JOIN tot),
+      sc AS (SELECT tf.doc_id,
+               CAST(floor((CAST(idf_fp AS DOUBLE) / 1e6)
+                 * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(tf AS DOUBLE)
+                    + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                 * 1e6) AS BIGINT) AS fp
+             FROM tf JOIN idf USING (term)),
+      g AS (SELECT doc_id, CAST(SUM(fp) AS BIGINT) AS score_fp FROM sc GROUP BY doc_id),
+      bm AS (SELECT doc_id, CAST(score_fp AS DOUBLE) / 1e6 AS score
+             FROM g ORDER BY score DESC, doc_id LIMIT 20),
+      lex AS (SELECT doc_id AS id,
+                CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+              FROM bm),
+      e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      knn AS (SELECT e.vec_id,
+                ROUND(list_reduce(list_transform(range(64), k -> e.v[k+1] * q.qv[k+1]), (x, y) -> x + y)
+                  / NULLIF(sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y))
+                           * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y)), 0), 6) AS cos6
+              FROM e, q WHERE e.vec_id != 0
+              ORDER BY cos6 DESC, vec_id LIMIT 20),
+      semr AS (SELECT vec_id AS id,
+                 CAST(row_number() OVER (ORDER BY cos6 DESC, vec_id) AS BIGINT) AS sem_rank
+               FROM knn)
+      SELECT COALESCE(l.id, s.id) AS doc_id, l.lex_rank, s.sem_rank,
+             CAST(COALESCE(CAST(floor(1000000.0 / (60.0 + CAST(l.lex_rank AS DOUBLE))) AS BIGINT), 0)
+                + COALESCE(CAST(floor(1000000.0 / (60.0 + CAST(s.sem_rank AS DOUBLE))) AS BIGINT), 0)
+               AS DOUBLE) / 1e6 AS rrf_score
+      FROM lex l FULL OUTER JOIN semr s ON l.id = s.id
+      ORDER BY rrf_score DESC, doc_id LIMIT 10"""))
+
   /** DuckDB cosine between two list-of-double columns — the strict
     * dim-order left fold [[org.apache.spark.sql.graft.NearestCentroid]]
     * and `DotProduct` compute (shared by q_semantic_dedup / q_kmeans). */
@@ -3096,7 +3155,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
-    qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
+    qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qHybridSearch, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,

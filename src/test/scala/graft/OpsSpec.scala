@@ -2022,6 +2022,79 @@ class OpsSpec extends SparkSpec {
         "vec_id", s"$dir/idx", batchId = "custom1")
     }
   }
+
+  test("rrfFuse: closed-form integer scores, n_lists counts, total order") {
+    // floor(1e6/(60+r)): r=1→16393, 2→16129, 3→15873, 4→15625
+    val l1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val l2 = Seq((20L, 1L), (10L, 2L), (40L, 3L)).toDF("id", "rank")
+    val l3 = Seq((40L, 1L), (50L, 2L)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq(l1, l2, l3), "id", "rank", rrfK = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact expectations: 10 → 16393+16129; 20 → 16129+16393; 40 → 15873+16393
+    val expect = Seq(
+      (10L, 2L, 0.032522), (20L, 2L, 0.032522),
+      (40L, 2L, 0.032266), (30L, 1L, 0.015873), (50L, 1L, 0.016129))
+      .sortBy(t => (-t._3, t._1))
+    assert(out.toSeq == expect, s"got ${out.toSeq}")
+  }
+
+  test("rrfFuse null rank contributes zero; bad args fail loudly") {
+    val l = Seq((1L, Some(1L)), (2L, None)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq(l), "id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) == 0.016393 && out(2L) == 0.0)
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Nil, "id", "rank"))
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(l), "id", "rank", topK = 0))
+  }
+
+  test("hybridRrf: both-list docs outrank single-list tops; absent ranks stay null") {
+    // lex: a=1, b=2; sem: b=1, c=2 → b (16129+16393) > a (16393) > c (16129)
+    val lex = Seq(("a", 1L), ("b", 2L)).toDF("id", "lex_rank")
+    val sem = Seq(("b", 1L), ("c", 2L)).toDF("id", "sem_rank")
+    val out = Retrieval.hybridRrf(lex, sem).collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq("b", "a", "c"))
+    assert(out(0) == ("b", Some(2L), Some(1L), 0.032522))
+    assert(out(1) == ("a", Some(1L), None, 0.016393))
+    assert(out(2) == ("c", None, Some(2L), 0.016129))
+  }
+
+  test("hybridSearchRrf: composed ranking agrees with hand-fused component top-ks") {
+    val docs = Seq(
+      (1L, "spark window dedup spark"), (2L, "spark filler filler filler"),
+      (3L, "window only here"), (4L, "nothing relevant at all"),
+      (5L, "dup dup dup mentions")).toDF("doc_id", "text")
+    // embeddings: query vec 0; 5 is closest, then 1, then 9 (orthogonal-ish)
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (5L, Seq(1.0f, 0.01f, 0.0f)), (9L, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Retrieval.hybridSearchRrf(docs, "text", "doc_id",
+      emb, "embedding", "vec_id",
+      queryTerms = Seq("dup", "spark", "window"), queryId = 0L,
+      topKEach = 3, rrfK = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getDouble(3)))
+    // hand fusion: lexical ranks from bm25Search, semantic from knnBrute
+    val lexRanks = TextAnalysis.bm25Search(docs, "text", "doc_id",
+      Seq("dup", "spark", "window"), topK = 3)
+      .orderBy(col("score").desc, col("doc_id")).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val semRanks = Similarity.knnBrute(emb, "embedding", "vec_id", 0L, 3)
+      .orderBy(round(col("cosine"), 6).desc, col("vec_id")).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    def fp(r: Option[Long]) = r.map(x => math.floor(1e6 / (60.0 + x)).toLong).getOrElse(0L)
+    val expect = (lexRanks.keySet ++ semRanks.keySet).toSeq
+      .map { id =>
+        (id, lexRanks.get(id), semRanks.get(id),
+          (fp(lexRanks.get(id)) + fp(semRanks.get(id))).toDouble / 1e6)
+      }
+      .sortBy(t => (-t._4, t._1))
+    assert(out.toSeq == expect, s"got ${out.toSeq}\nexpected $expect")
+    // sanity on the construction: both branches actually contributed
+    assert(lexRanks.nonEmpty && semRanks.nonEmpty)
+    assert(out.exists(r => r._2.isDefined && r._3.isDefined),
+      "at least one doc must appear in both lists for the fusion to bind")
+  }
 }
 
 /** Test backends for the inference-backend contract spec — top level so
