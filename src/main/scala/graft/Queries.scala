@@ -2254,6 +2254,60 @@ object Queries {
       FROM lex l FULL OUTER JOIN semr s ON l.id = s.id
       ORDER BY rrf_score DESC, doc_id LIMIT 10"""))
 
+  /** One unrolled MMR greedy step for the q_mmr_rerank oracle: from the
+    * candidates not yet in `sel{i-1}`, compute each one's max ⌊cos·10⁶⌋
+    * against the selected set and pick the integer-MMR argmax
+    * (λ_fp·rel6 − (1−λ)_fp·maxsim6; ties on id). Mirrors
+    * [[kmeansRoundSql]]'s round-unrolling pattern. */
+  private def mmrStepSql(i: Int, lamFp: Long, omFp: Long): String = s"""
+      m$i AS (
+        SELECT r.id, MAX(CAST(floor(${duckCos("r.v", "s.v")} * 1e6) AS BIGINT)) AS maxsim6
+        FROM c0 r, sel${i - 1} s
+        WHERE r.id NOT IN (SELECT id FROM sel${i - 1})
+        GROUP BY r.id),
+      p$i AS (
+        SELECT c.id, c.rel6, c.v,
+               CAST($lamFp AS BIGINT) * c.rel6 - CAST($omFp AS BIGINT) * m.maxsim6 AS score
+        FROM c0 c JOIN m$i m USING (id)
+        ORDER BY score DESC, id LIMIT 1),
+      sel$i AS (
+        SELECT * FROM sel${i - 1}
+        UNION ALL SELECT id, rel6, v, score, CAST($i AS BIGINT) AS mmr_rank FROM p$i)"""
+
+  // MMR diversity rerank of the vec-0 cosine shortlist (top 20, λ=0.5,
+  // 5 picks): the greedy argmax loop replays step by step in SQL — same
+  // integer objective λ_fp·rel6 − (1−λ)_fp·maxsim6, same id tie-break —
+  // so the selection ORDER itself is hash-checked, not just membership.
+  private val qMmrRerank = QDef(
+    "q_mmr_rerank",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cand = Similarity.knnBrute(emb, "embedding", "vec_id", queryId = 0, k = 20)
+        .select(col("vec_id"), col("cosine").as("rel"))
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      Retrieval.mmrRerank(cand, "vec_id", "rel", "embedding",
+          lambda = 0.5, topK = 5)
+        .orderBy("mmr_rank")
+    },
+    Some {
+      val steps = (2 to 5).map(mmrStepSql(_, 500000L, 500000L)).mkString(",")
+      raw"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      cand AS (SELECT e.vec_id, ${duckCos("e.v", "q.qv")} AS rel, e.v
+               FROM e, q WHERE e.vec_id != 0
+               ORDER BY ROUND(rel, 6) DESC, vec_id LIMIT 20),
+      c0 AS (SELECT vec_id AS id, CAST(floor(rel * 1e6) AS BIGINT) AS rel6, v FROM cand),
+      p1 AS (SELECT id, rel6, v, CAST(500000 AS BIGINT) * rel6 AS score
+             FROM c0 ORDER BY score DESC, id LIMIT 1),
+      sel1 AS (SELECT id, rel6, v, score, CAST(1 AS BIGINT) AS mmr_rank FROM p1),$steps
+      SELECT id AS vec_id, mmr_rank,
+             CAST(rel6 AS DOUBLE) / 1e6 AS rel,
+             CAST(score AS DOUBLE) / 1e12 AS mmr_score
+      FROM sel5 ORDER BY mmr_rank"""
+    })
+
   /** DuckDB cosine between two list-of-double columns — the strict
     * dim-order left fold [[org.apache.spark.sql.graft.NearestCentroid]]
     * and `DotProduct` compute (shared by q_semantic_dedup / q_kmeans). */
@@ -3155,7 +3209,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
-    qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qHybridSearch, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
+    qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qHybridSearch, qMmrRerank, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,

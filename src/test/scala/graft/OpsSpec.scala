@@ -2095,6 +2095,51 @@ class OpsSpec extends SparkSpec {
     assert(out.exists(r => r._2.isDefined && r._3.isDefined),
       "at least one doc must appear in both lists for the fusion to bind")
   }
+
+  test("mmrRerank: redundancy demoted — near-dup of the top pick loses to a diverse doc") {
+    // rel order: 1 (0.99) > 2 (0.98) > 3 (0.50), but 2 is a near-copy of 1
+    // (cos ≈ 1) while 3 is orthogonal. λ=0.5: pick 1 first; then
+    // 2 scores 0.5·0.98 − 0.5·~1.0 < 3's 0.5·0.50 − 0.5·0 → 3 before 2.
+    val sl = Seq(
+      (1L, 0.99, Seq(1.0, 0.0)), (2L, 0.98, Seq(1.0, 0.001)),
+      (3L, 0.50, Seq(0.0, 1.0)))
+      .toDF("id", "rel", "vec")
+    val out = Retrieval.mmrRerank(sl, "id", "rel", "vec", lambda = 0.5, topK = 3)
+      .orderBy("mmr_rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 1L), (3L, 2L), (2L, 3L)), s"got ${out.toSeq}")
+  }
+
+  test("mmrRerank: lambda=1 is pure relevance with id tie-break; first pick ignores similarity") {
+    val sl = Seq(
+      (7L, 0.9, Seq(1.0, 0.0)), (3L, 0.9, Seq(1.0, 0.0)), (5L, 0.1, Seq(0.0, 1.0)))
+      .toDF("id", "rel", "vec")
+    val out = Retrieval.mmrRerank(sl, "id", "rel", "vec", lambda = 1.0, topK = 3)
+      .orderBy("mmr_rank").collect().map(_.getLong(0))
+    // equal rel 0.9: id 3 before id 7 (tie on the integer objective)
+    assert(out.toSeq == Seq(3L, 7L, 5L), s"got ${out.toSeq}")
+  }
+
+  test("mmrRerank guards: oversized shortlist, null rel/vec, mixed dims fail loudly") {
+    val big = (1 to 12).map(i => (i.toLong, 1.0 / i, Seq(1.0, 0.0)))
+      .toDF("id", "rel", "vec")
+    intercept[IllegalArgumentException](
+      Retrieval.mmrRerank(big, "id", "rel", "vec", maxShortlist = 10))
+    val nullRel = Seq((1L, Option.empty[Double], Some(Seq(1.0)))).toDF("id", "rel", "vec")
+    intercept[IllegalArgumentException](
+      Retrieval.mmrRerank(nullRel, "id", "rel", "vec"))
+    val mixed = Seq((1L, 0.5, Seq(1.0, 0.0)), (2L, 0.4, Seq(1.0)))
+      .toDF("id", "rel", "vec")
+    intercept[IllegalArgumentException](
+      Retrieval.mmrRerank(mixed, "id", "rel", "vec"))
+  }
+
+  test("mmrRerank: topK beyond the shortlist returns everything, ranked") {
+    val sl = Seq((1L, 0.9, Seq(1.0, 0.0)), (2L, 0.1, Seq(0.0, 1.0)))
+      .toDF("id", "rel", "vec")
+    val out = Retrieval.mmrRerank(sl, "id", "rel", "vec", topK = 10).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+  }
 }
 
 /** Test backends for the inference-backend contract spec — top level so
