@@ -2373,6 +2373,51 @@ object Queries {
       SELECT e.vec_id, CAST(gf.cid AS BIGINT) AS cluster_id
       FROM e LEFT JOIN gf USING (vec_id) ORDER BY e.vec_id"""))
 
+  // Cluster-balanced sampling: the q_kmeans latent topics become the
+  // strata of a q_temperature_mix α-draw — balance a corpus whose domain
+  // labels don't exist. The oracle replays the ENTIRE chain (2 Lloyd
+  // rounds → assignment → per-cluster rates → hash-bucket draw); the
+  // null-safe stratum join keeps any unassignable (null-vector) rows.
+  private val qClusterBalance = QDef(
+    "q_cluster_balance",
+    (s, dir) => Similarity.clusterBalancedSample(t(s, dir, "embeddings"),
+        "embedding", "vec_id", k = 8, iters = 2, alpha = 0.5)
+      .select("vec_id", "cluster_id", "rate_fp", "keep")
+      .orderBy("vec_id"),
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM e WHERE v IS NOT NULL ORDER BY vec_id LIMIT 8),
+      ${kmeansRoundSql(1, "c0")},
+      ${kmeansRoundSql(2, "c1")},
+      af AS (
+        SELECT e.vec_id, c.cid, ${duckCos("e.v", "c.cv")} AS cos
+        FROM e CROSS JOIN c2 c WHERE e.v IS NOT NULL),
+      gf AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+          FROM af)
+        WHERE rn = 1),
+      asg AS (
+        SELECT e.vec_id, CAST(gf.cid AS BIGINT) AS cluster_id
+        FROM e LEFT JOIN gf USING (vec_id)),
+      cc AS (SELECT cluster_id, count(*) AS c FROM asg GROUP BY cluster_id),
+      mm AS (SELECT min(c) AS c_min FROM cc),
+      rr AS (SELECT cluster_id,
+                    CAST(floor(pow(CAST(c_min AS DOUBLE) / c, 0.5) * 1000000) AS BIGINT) AS rate_fp
+             FROM cc CROSS JOIN mm),
+      bb AS (SELECT vec_id, cluster_id,
+                    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':cbal'), 1, 12)) AS BIGINT)
+                      % 1000000 AS bkt
+             FROM asg)
+      SELECT bb.vec_id, bb.cluster_id, rr.rate_fp, (bb.bkt < rr.rate_fp) AS keep
+      FROM bb JOIN rr ON bb.cluster_id IS NOT DISTINCT FROM rr.cluster_id
+      ORDER BY bb.vec_id"""))
+
   // Content-defined-chunking dedup: rolling-hash boundaries make shared
   // passages produce identical segments at ANY offset — at sf0.01 it
   // removes ~1,112 segment instances where the aligned-window
@@ -3209,7 +3254,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
-    qCdcDedup, qBigramLm, qSessionize, qKmeans, qBm25, qHybridSearch, qMmrRerank, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
+    qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qMmrRerank, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,

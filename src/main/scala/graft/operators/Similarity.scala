@@ -430,6 +430,27 @@ object Similarity {
       .select("vec_id", "cluster_id")
   }
 
+  /** Topic-balanced corpus sampling over LATENT strata: cluster the
+    * embedding space with [[kmeansAssign]] and α-temperature-sample per
+    * cluster ([[TextAnalysis.temperatureMix]]) — the cluster-balanced
+    * curation pass for corpora whose domain labels don't exist (web
+    * crawl): dominant latent topics are damped to `(c_min/c)^(1−α)`,
+    * rare topics kept whole. Both stages keep their audited scale
+    * shapes: assignment is a zero-shuffle codegen projection (the corpus
+    * never shuffles; per Lloyd round one skinny fixed-point exchange,
+    * sample-trainable via `trainFraction`), and the mix is one
+    * cluster-count agg + a broadcast rate join + a portable hash-bucket
+    * filter. Returns `(vec_id, cluster_id, rate_fp, keep)` — callers
+    * filter on `keep`. Deterministic end to end, so the whole
+    * cluster→rate→draw chain replays in SQL. */
+  def clusterBalancedSample(df: DataFrame, vecCol: String, idCol: String,
+                            k: Int = 8, iters: Int = 2, alpha: Double = 0.5,
+                            trainFraction: Double = 1.0,
+                            salt: String = "cbal"): DataFrame = {
+    val assigned = kmeansAssign(df, vecCol, idCol, k, iters, trainFraction)
+    TextAnalysis.temperatureMix(assigned, "cluster_id", "vec_id", alpha, salt)
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (Jégou et al. 2011): the compressed-vector ANN
   // tier above IVF — at 100 TB the corpus is scanned as m small ints per

@@ -2133,6 +2133,31 @@ class OpsSpec extends SparkSpec {
       Retrieval.mmrRerank(mixed, "id", "rel", "vec"))
   }
 
+  test("clusterBalancedSample: dominant latent topic damped, rare kept whole, no row lost") {
+    // two tight clusters: 40 docs near (1,0), 10 near (0,1) — k-means
+    // with k=2 separates them; α=0.5 keeps the small cluster whole
+    // (rate 10⁶) and damps the big one to (10/40)^0.5 = 0.5
+    val vecs = ((0 until 40).map(i => (i.toLong, Seq(1.0, 0.001 * i))) ++
+      (100 until 110).map(i => (i.toLong, Seq(0.001 * (i - 100), 1.0))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.clusterBalancedSample(vecs, "embedding", "vec_id",
+      k = 2, iters = 2, alpha = 0.5)
+    assert(out.count() == 50, "a mixing pass must never lose documents")
+    val rates = out.groupBy("cluster_id").agg(
+      first("rate_fp").as("rate_fp"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(rates(10L) == 1000000L, s"rare cluster must keep rate 1e6: $rates")
+    assert(rates(40L) == 500000L, s"dominant cluster must damp to (10/40)^0.5: $rates")
+    // kept fraction of the dominant cluster tracks its rate (hash-uniform)
+    val keptBig = out.where(col("keep") && col("rate_fp") === 500000L).count()
+    assert(keptBig >= 10 && keptBig <= 30, s"~half of 40 expected, got $keptBig")
+    // deterministic: same frame twice, identical draw
+    val again = Similarity.clusterBalancedSample(vecs, "embedding", "vec_id",
+      k = 2, iters = 2, alpha = 0.5)
+    assert(out.orderBy("vec_id").collect().toSeq ==
+      again.orderBy("vec_id").collect().toSeq)
+  }
+
   test("mmrRerank: topK beyond the shortlist returns everything, ranked") {
     val sl = Seq((1L, 0.9, Seq(1.0, 0.0)), (2L, 0.1, Seq(0.0, 1.0)))
       .toDF("id", "rel", "vec")

@@ -426,4 +426,50 @@ class PlanSpec extends SparkSpec {
       fullRow.getAs[Double]("est_intersection"),
       "dropping the truth side must not move the estimate")
   }
+
+  test("hybridSearchRrf: corpus work ends in heap top-ks; fusion never shuffles bodies or vectors") {
+    val docs = (0 until 64).map(i =>
+      (i.toLong, (0 until 15).map(j => s"w${(i * 7 + j) % 53}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val emb = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 2.0 + j))))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Retrieval.hybridSearchRrf(docs, "text", "doc_id",
+      emb, "embedding", "vec_id", queryTerms = Seq("w1", "w2"), queryId = 0L,
+      topKEach = 10, topK = 5)
+    val plan = planOf(out)
+    // each component retriever must end in a heap top-k (TakeOrdered),
+    // so the rank windows and the fusion join only ever see ≤topKEach
+    // rows — never a corpus-wide global sort
+    val heaps = raw"\(\d+\) TakeOrderedAndProject".r.findAllIn(plan).length
+    assert(heaps >= 2, s"both retriever top-ks must be heaps (got $heaps):\n${plan.take(1500)}")
+    // no exchange may carry document text or embedding vectors: BM25
+    // shuffles (doc_id, term, counts), the knn side broadcasts the
+    // 1-row query and heap-reduces — fused frames are rank-only
+    val bulky = exchanges(plan).filter { case (args, input) =>
+      (args + input).contains("text#") || (args + input).contains("embedding#") }
+    assert(bulky.isEmpty, s"corpus bodies/vectors in a shuffle: $bulky")
+    assert(!plan.contains("CartesianProduct"),
+      "scalar/query broadcasts must never become a materialized cross join")
+    assert(out.count() == 5)
+  }
+
+  test("clusterBalancedSample: assignment is a zero-shuffle projection; rates broadcast back") {
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 2.0 + j))))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.clusterBalancedSample(
+      vecs, "embedding", "vec_id", k = 4, iters = 1)
+    val plan = planOf(out)
+    // the corpus-side path: nearest-centroid assignment is a per-row
+    // codegen projection against literal centroids, and the per-cluster
+    // rate table joins back via broadcast — the only hash exchange is
+    // the skinny cluster-count agg (cluster_id, count)
+    assert(plan.contains("BroadcastExchange"),
+      s"rate table must broadcast:\n${plan.take(1500)}")
+    val bulky = exchanges(plan).filter { case (args, input) =>
+      (args + input).contains("embedding#") || (args + input).contains("v#") }
+    assert(bulky.isEmpty, s"vectors must never shuffle: $bulky")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
