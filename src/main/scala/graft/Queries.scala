@@ -1254,6 +1254,53 @@ object Queries {
         SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
       SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u ORDER BY doc_id"""))
 
+  // Leakage-safe splitting: near-dup components (same pair frame as
+  // q_neardup_cluster) are assigned to train/val/test ATOMICALLY — the
+  // split hash runs on the component's min-id representative, so a
+  // near-copy of a training doc can never surface in eval. Oracle replays
+  // components recursively, then the same md5-bucket CASE as q_hash_split.
+  private val qLeakageSplit = QDef(
+    "q_leakage_split",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardSimilarityJoin(docs, "text", "doc_id",
+        shingleN = 3, threshold = 0.8)
+      Dedup.leakageSafeSplit(docs, pairs, "doc_id")
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+               END AS s
+        FROM d),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+              / NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0) >= 0.8),
+      e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+      reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+      j AS (SELECT dd.doc_id, COALESCE(c.component, dd.doc_id) AS split_key
+            FROM documents dd LEFT JOIN comp c USING (doc_id)),
+      b AS (SELECT doc_id, split_key,
+                   CAST(('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 12)) AS BIGINT)
+                     % 100 AS bkt
+            FROM j)
+      SELECT doc_id, split_key,
+             CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+      FROM b ORDER BY doc_id"""))
+
   /** The full dedup pipeline as one query: exact-Jaccard pairs at τ=0.8 →
     * connected components → drop every non-canonical member (canonical =
     * min id). What survives IS the training corpus; this is the query a
@@ -3257,7 +3304,7 @@ object Queries {
     qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qMmrRerank, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
-    qApproxDistinct, qDupSpans, qHashSplit, qStratifiedSample, qBpeTokens,
+    qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
   )
 }

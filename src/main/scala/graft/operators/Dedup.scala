@@ -822,6 +822,34 @@ object Dedup {
       .drop("component")
   }
 
+  /** Leakage-safe train/val/test split: assign every near-dup CLUSTER —
+    * not every document — to one split, so a near-copy of a training doc
+    * can never land in val/test and silently inflate eval scores (the
+    * standard contamination failure when splits hash bare doc ids).
+    * `pairs` is any near-dup pair frame ([[jaccardSimilarityJoin]],
+    * [[minhashNearDupPairs]], …); members of a component share its
+    * min-id representative as `split_key` and singletons (never paired)
+    * keep their own id, so the component frame stays proportional to
+    * DUPLICATED docs only, never the corpus. The split itself is
+    * [[TextAnalysis.split3]]'s portable hash bucket over the key —
+    * deterministic, growth-stable, engine-reproducible.
+    *
+    * Scale shape: [[connectedComponents]]' audited skinny hash-min
+    * rounds + ONE equi-join of the corpus against the components frame;
+    * the split decision is a per-row projection. Returns the input
+    * plus `(split_key, split)`. */
+  def leakageSafeSplit(df: DataFrame, pairs: DataFrame, idCol: String,
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"need 0 < trainPct and trainPct + valPct <= 100, got $trainPct/$valPct")
+    val comps = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    df.join(comps, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("component"), col(idCol)))
+      .withColumn("split",
+        TextAnalysis.split3(col("split_key"), trainPct, valPct))
+      .drop("component")
+  }
+
   /** Quality-aware canonicalization: like [[canonicalize]], but the
     * surviving member of each near-dup cluster is the one with the
     * HIGHEST `scoreCol` (ties: lowest id) rather than the lowest id —

@@ -2133,6 +2133,32 @@ class OpsSpec extends SparkSpec {
       Retrieval.mmrRerank(mixed, "id", "rel", "vec"))
   }
 
+  test("leakageSafeSplit: every near-dup cluster lands in ONE split; singletons hash their own id") {
+    val docs = (0L to 19L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two components: {0,1,2} (chain) and {7,8}; the rest singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Dedup.leakageSafeSplit(docs, pairs, "doc_id")
+    assert(out.count() == 20, "a split pass must never lose documents")
+    val bySplit = out.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    val keyOf = bySplit.map(t => t._1 -> t._2).toMap
+    val splitOf = bySplit.map(t => t._1 -> t._3).toMap
+    // component members share the min-id key AND the split
+    assert(Seq(0L, 1L, 2L).map(keyOf).distinct == Seq(0L))
+    assert(Seq(0L, 1L, 2L).map(splitOf).distinct.size == 1)
+    assert(Seq(7L, 8L).map(keyOf).distinct == Seq(7L))
+    assert(Seq(7L, 8L).map(splitOf).distinct.size == 1)
+    // singletons keep their own id and match the bare-id split3 hash
+    val single = out.where(col("doc_id") === 12L).head()
+    assert(single.getLong(2) == 12L)
+    val bare = docs.where(col("doc_id") === 12L)
+      .select(TextAnalysis.split3(col("doc_id"))).head().getString(0)
+    assert(single.getString(3) == bare,
+      "singleton split must equal the plain hash split (stable as dups appear elsewhere)")
+    intercept[IllegalArgumentException](
+      Dedup.leakageSafeSplit(docs, pairs, "doc_id", trainPct = 90, valPct = 20))
+  }
+
   test("clusterBalancedSample: dominant latent topic damped, rare kept whole, no row lost") {
     // two tight clusters: 40 docs near (1,0), 10 near (0,1) — k-means
     // with k=2 separates them; α=0.5 keeps the small cluster whole
