@@ -2734,6 +2734,44 @@ object Queries {
              COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
       FROM b GROUP BY 1, 2 ORDER BY lang, split"""))
 
+  // Quality-ranked token-budget cut: keep the best ~15k of 27k corpus
+  // tokens (quality proxy = n_chars/1000). The oracle replays the exact
+  // bucket machinery — per-q6 totals, exclusive bucket prefix, boundary
+  // bucket's within-bucket id-ordered cumsum — so the greedy prefix
+  // membership is hash-checked doc by doc.
+  private val qTokenBudget = QDef(
+    "q_token_budget",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok",
+          TextAnalysis.tokenCount(TextAnalysis.tokens(col("text"))).cast("long"))
+        .withColumn("quality", col("n_chars").cast("double") / 1000.0)
+      TextAnalysis.tokenBudgetCut(docs, "quality", "n_tok", "doc_id",
+          budget = 15000L)
+        .select(col("doc_id"), col("q6"), col("n_tok"), col("keep"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+      WITH b AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+               CAST(floor((CAST(n_chars AS DOUBLE) / 1000.0) * 1e6) AS BIGINT) AS q6
+        FROM documents),
+      a AS (SELECT q6, CAST(SUM(n_tok) AS BIGINT) AS btok FROM b GROUP BY q6),
+      c AS (SELECT q6, btok,
+                   CAST(COALESCE(SUM(btok) OVER (ORDER BY q6 DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+            FROM a),
+      j AS (SELECT b.doc_id, b.n_tok, b.q6, c.btok, c.bef,
+                   CAST(SUM(b.n_tok) OVER (PARTITION BY b.q6 ORDER BY b.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS inc
+            FROM b JOIN c USING (q6))
+      SELECT doc_id, q6, n_tok,
+             CASE WHEN bef + btok <= 15000 THEN TRUE
+                  WHEN bef > 15000 THEN FALSE
+                  ELSE bef + inc <= 15000 END AS keep
+      FROM j ORDER BY doc_id"""))
+
   /** Per-source quota capping — the domain-quota cleaner (bound any one
     * source's contribution to the corpus): rank docs within each source
     * by quality desc / doc_id asc (total order → reproducible cut), keep
@@ -3304,7 +3342,7 @@ object Queries {
     qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qMmrRerank, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
-    qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qStratifiedSample, qBpeTokens,
+    qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qTokenBudget, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -248,6 +249,66 @@ object TextAnalysis {
     * input plus `rate_fp` (kept µ-fraction) and `keep`; filter on `keep`
     * to materialize the mix. The rates frame is strata-cardinality rows
     * — always broadcast. */
+  /** Quality-ranked token-budget cut: keep the highest-quality documents
+    * whose running token total fits `budget` — "take the best B tokens",
+    * the final selection step once quality scores exist. Semantics are
+    * the exact greedy prefix over the total order (quality desc, id
+    * asc): a document is kept iff its INCLUSIVE running token sum ≤
+    * `budget`.
+    *
+    * Scale shape — the naive version is a corpus-wide sorted cumsum
+    * (one global single-partition window: the classic scale-killer).
+    * Instead: quality quantizes to `⌊q·10⁶⌋` buckets, ONE skinny agg
+    * computes per-bucket token totals (≤ ~10⁶ rows whatever the corpus
+    * size), the bucket-prefix cumsum runs over that bucket frame only,
+    * and each doc's verdict joins back by bucket: buckets fully under
+    * budget keep everything, buckets past it drop everything, and ONLY
+    * the single boundary bucket pays an ordered within-bucket cumsum
+    * (partitioned window over just its rows). Degenerate corpora where
+    * most docs share one quality value degrade toward the global sort
+    * — by construction, not by accident (the boundary bucket IS the
+    * corpus then).
+    *
+    * Determinism: integer token sums, integer bucket ids, id
+    * tie-breaks — the kept set is bit-reproducible cross-engine. Null
+    * quality ranks below every real score (its own sentinel bucket,
+    * kept only if budget remains). Returns the input plus `(q6, keep)`;
+    * filter on `keep` to materialize the cut. */
+  def tokenBudgetCut(df: DataFrame, qualityCol: String, tokensCol: String,
+                     idCol: String, budget: Long): DataFrame = {
+    require(budget >= 0L, s"budget must be non-negative, got $budget")
+    val base = df.withColumn("q6",
+      when(col(qualityCol).isNull, lit(Long.MinValue))
+        .otherwise(floor(col(qualityCol).cast("double") * 1e6).cast("long")))
+      .withColumn("_tok", col(tokensCol).cast("long"))
+    val buckets = base.groupBy("q6").agg(sum("_tok").as("_btok"))
+    // exclusive prefix over the SKINNY bucket frame (distinct q6 values
+    // only) — the lone unpartitioned window, never corpus-sized
+    val wq = Window.orderBy(col("q6").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = buckets.withColumn("_before",
+      coalesce(sum("_btok").over(wq), lit(0L)))
+    // bucket frame broadcast: its cardinality is bounded by the quality
+    // RANGE × 10⁶ (for the usual [0,1] scores ≤ 10⁶ + 1 rows), never by
+    // the corpus — so the corpus-side join is map-side, no shuffle
+    val joined = base.join(broadcast(cum), Seq("q6"))
+    val boundary = col("_before") <= lit(budget) &&
+      col("_before") + col("_btok") > lit(budget)
+    // non-boundary buckets resolve from the two bucket-level numbers —
+    // a pure projection, no per-row ordering anywhere
+    val resolved = joined.where(!boundary)
+      .withColumn("keep", col("_before") + col("_btok") <= lit(budget))
+    // ONLY the single boundary bucket pays the ordered cumsum — the
+    // where() sits below the window, so the sort sees just its rows
+    // (cost: a second scan of the corpus instead of a corpus-wide
+    // sort — two map passes beat one wide shuffle at any real scale)
+    val wb = Window.partitionBy("q6").orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bnd = joined.where(boundary)
+      .withColumn("keep", col("_before") + sum("_tok").over(wb) <= lit(budget))
+    resolved.unionByName(bnd).drop("_tok", "_btok", "_before")
+  }
+
   def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
                      alpha: Double = 0.5, salt: String = "temp"): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"need 0 < alpha <= 1, got $alpha")

@@ -2133,6 +2133,35 @@ class OpsSpec extends SparkSpec {
       Retrieval.mmrRerank(mixed, "id", "rel", "vec"))
   }
 
+  test("tokenBudgetCut: greedy prefix semantics — bucket machinery equals the global sorted cumsum") {
+    // mixed shape: distinct buckets, one shared bucket, a null quality
+    val docs = Seq(
+      (1L, Some(0.9), 10L), (2L, Some(0.8), 10L),
+      (3L, Some(0.5), 10L), (4L, Some(0.5), 10L), (5L, Some(0.5), 10L),
+      (6L, Option.empty[Double], 5L))
+      .toDF("doc_id", "quality", "n_tok")
+    def kept(budget: Long): Seq[Long] =
+      TextAnalysis.tokenBudgetCut(docs, "quality", "n_tok", "doc_id", budget)
+        .where(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    // reference: plain greedy over (quality desc nulls-last, id asc)
+    def oracle(budget: Long): Seq[Long] = {
+      val order = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 10L), (6L, 5L))
+      var run = 0L
+      order.takeWhile { case (_, t) => run += t; run <= budget }.map(_._1).sorted
+    }
+    for (b <- Seq(0L, 5L, 15L, 25L, 40L, 50L, 55L, 100L))
+      assert(kept(b) == oracle(b), s"budget $b: ${kept(b)} vs ${oracle(b)}")
+    // boundary bucket binds mid-bucket: budget 45 keeps 3,4 but not 5
+    assert(kept(45L) == Seq(1L, 2L, 3L, 4L))
+    // null quality is last: kept only once every scored doc fits
+    assert(!kept(50L).contains(6L) && kept(55L).contains(6L))
+    assert(docs.transform(d =>
+      TextAnalysis.tokenBudgetCut(d, "quality", "n_tok", "doc_id", 25L))
+      .count() == 6, "the cut labels every row, it never drops rows")
+    intercept[IllegalArgumentException](
+      TextAnalysis.tokenBudgetCut(docs, "quality", "n_tok", "doc_id", -1L))
+  }
+
   test("leakageSafeSplit: every near-dup cluster lands in ONE split; singletons hash their own id") {
     val docs = (0L to 19L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // two components: {0,1,2} (chain) and {7,8}; the rest singletons
