@@ -2453,9 +2453,11 @@ object Queries {
         SELECT e.vec_id, CAST(gf.cid AS BIGINT) AS cluster_id
         FROM e LEFT JOIN gf USING (vec_id)),
       cc AS (SELECT cluster_id, count(*) AS c FROM asg GROUP BY cluster_id),
-      mm AS (SELECT min(c) AS c_min FROM cc),
+      mm AS (SELECT min(c) AS c_min FROM cc WHERE cluster_id IS NOT NULL),
       rr AS (SELECT cluster_id,
-                    CAST(floor(pow(CAST(c_min AS DOUBLE) / c, 0.5) * 1000000) AS BIGINT) AS rate_fp
+                    CASE WHEN cluster_id IS NULL THEN CAST(1000000 AS BIGINT)
+                         ELSE CAST(floor(pow(CAST(c_min AS DOUBLE) / c, 0.5) * 1000000) AS BIGINT)
+                    END AS rate_fp
              FROM cc CROSS JOIN mm),
       bb AS (SELECT vec_id, cluster_id,
                     CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':cbal'), 1, 12)) AS BIGINT)
@@ -2512,16 +2514,18 @@ object Queries {
       .orderBy("doc_id"),
     Some("""
       WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
-      m AS (SELECT min(c) AS c_min FROM c),
+      m AS (SELECT min(c) AS c_min FROM c WHERE lang IS NOT NULL),
       r AS (SELECT lang,
-                   CAST(floor(pow(CAST(c_min AS DOUBLE) / c, 0.5) * 1000000) AS BIGINT) AS rate_fp
+                   CASE WHEN lang IS NULL THEN CAST(1000000 AS BIGINT)
+                        ELSE CAST(floor(pow(CAST(c_min AS DOUBLE) / c, 0.5) * 1000000) AS BIGINT)
+                   END AS rate_fp
             FROM c CROSS JOIN m),
       b AS (SELECT doc_id, lang,
                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 12)) AS BIGINT)
                      % 1000000 AS bkt
             FROM documents)
       SELECT b.doc_id, b.lang, r.rate_fp, (b.bkt < r.rate_fp) AS keep
-      FROM b JOIN r USING (lang) ORDER BY b.doc_id"""))
+      FROM b JOIN r ON b.lang IS NOT DISTINCT FROM r.lang ORDER BY b.doc_id"""))
 
   // DSIR importance resampling targeting lang='en': hashed-unigram bucket
   // likelihood ratios (µnat-quantized BIGINT sums → order-free), Gumbel

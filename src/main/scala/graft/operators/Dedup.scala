@@ -842,12 +842,16 @@ object Dedup {
                        trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"need 0 < trainPct and trainPct + valPct <= 100, got $trainPct/$valPct")
+    // underscore-temp the components column: the input frame may well
+    // carry its own "component" (it plausibly flowed through another
+    // components-based step) and an ambiguous reference must not throw
     val comps = connectedComponents(pairs).withColumnRenamed("id", idCol)
+      .withColumnRenamed("component", "_lscomp")
     df.join(comps, Seq(idCol), "left")
-      .withColumn("split_key", coalesce(col("component"), col(idCol)))
+      .withColumn("split_key", coalesce(col("_lscomp"), col(idCol)))
       .withColumn("split",
         TextAnalysis.split3(col("split_key"), trainPct, valPct))
-      .drop("component")
+      .drop("_lscomp")
   }
 
   /** Quality-aware canonicalization: like [[canonicalize]], but the

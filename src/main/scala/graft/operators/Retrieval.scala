@@ -49,10 +49,13 @@ object Retrieval {
     require(rrfK >= 0, s"rrfK must be non-negative, got $rrfK")
     require(topK > 0, s"topK must be positive, got $topK")
     val tagged = lists.map(
-      _.select(col(idCol).as("id"), rrfFp(col(rankCol), rrfK).as("fp")))
+      _.select(col(idCol).as("id"), rrfFp(col(rankCol), rrfK).as("fp"),
+        // a null rank means "absent from this list" — it must not count
+        // toward n_lists any more than it contributes score
+        when(col(rankCol).isNotNull, lit(1)).as("present")))
       .reduce(_ unionAll _)
     tagged.groupBy("id")
-      .agg(count(lit(1)).cast("long").as("n_lists"),
+      .agg(count(col("present")).cast("long").as("n_lists"),
         sum("fp").as("score_fp"))
       .select(col("id"), col("n_lists"),
         (col("score_fp").cast("double") / 1e6).as("rrf_score"))
@@ -136,36 +139,69 @@ object Retrieval {
       require(cands.forall(_.v.length == h.v.length),
         s"mixed $vecCol dimensions in the shortlist")
     }
-    // strict left-fold cosine — the same evaluation order as the codegen
-    // DotProduct / DuckDB list_reduce, so ⌊cos·10⁶⌋ matches the oracle
-    def cos6(a: Array[Double], b: Array[Double]): Long = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < a.length) { dot += a(i) * b(i); i += 1 }
-      i = 0
-      while (i < a.length) { na += a(i) * a(i); i += 1 }
-      i = 0
-      while (i < b.length) { nb += b(i) * b(i); i += 1 }
-      val denom = math.sqrt(na) * math.sqrt(nb)
-      if (denom == 0.0) 0L else math.floor(dot / denom * 1e6).toLong
+    val n = cands.length
+    // norms once per candidate (strict left fold, same order as the
+    // codegen DotProduct / DuckDB list_reduce)
+    val norms = cands.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.v.length) { s += c.v(i) * c.v(i); i += 1 }
+      math.sqrt(s)
+    }
+    // ⌊cos·10⁶⌋ between candidates i and j; None when either vector is
+    // all-zero — the oracle's NULLIF(denom, 0) makes that cosine NULL,
+    // and SQL MAX skips NULLs, so the running max below must too
+    def cos6(i: Int, j: Int): Option[Long] = {
+      val a = cands(i).v; val b = cands(j).v
+      var dot = 0.0; var k = 0
+      while (k < a.length) { dot += a(k) * b(k); k += 1 }
+      val denom = norms(i) * norms(j)
+      if (denom == 0.0) None else Some(math.floor(dot / denom * 1e6).toLong)
     }
     val lamFp = math.floor(lambda * 1e6).toLong
     val oneMinusFp = math.floor((1.0 - lambda) * 1e6).toLong
-    val selected = scala.collection.mutable.ArrayBuffer.empty[(Cand, Long)]
-    val remaining = scala.collection.mutable.ArrayBuffer(cands.toSeq: _*)
-    while (selected.length < math.min(topK, cands.length)) {
-      val scored = remaining.map { c =>
-        val maxSim6 =
-          if (selected.isEmpty) 0L
-          else selected.iterator.map(s => cos6(c.v, s._1.v)).max
-        (c, lamFp * c.rel6 - oneMinusFp * maxSim6)
+    // incremental greedy: each candidate keeps a running max-sim against
+    // the selected set, updated only against the NEWEST pick — O(topK·n)
+    // cosines total, not O(topK²·n). maxSim stays None while every
+    // cosine so far was undefined (all-zero vector somewhere): then the
+    // MMR score is NULL in the oracle and must sort after every defined
+    // score (DuckDB default NULLS LAST), ties on id.
+    val maxSim = Array.fill[Option[Long]](n)(None)
+    val picked = new Array[Boolean](n)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Option[Long])]
+    while (selected.length < math.min(topK, n)) {
+      var bestIdx = -1; var bestScore: Option[Long] = None
+      var i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val score: Option[Long] =
+            if (selected.isEmpty) Some(lamFp * cands(i).rel6)
+            else maxSim(i).map(ms => lamFp * cands(i).rel6 - oneMinusFp * ms)
+          val better =
+            if (bestIdx < 0) true
+            else (score, bestScore) match {
+              case (Some(s), Some(bs)) =>
+                s > bs || (s == bs && cands(i).id < cands(bestIdx).id)
+              case (Some(_), None) => true
+              case (None, Some(_)) => false
+              case (None, None) => cands(i).id < cands(bestIdx).id
+            }
+          if (better) { bestIdx = i; bestScore = score }
+        }
+        i += 1
       }
-      val best = scored.minBy { case (c, s) => (-s, c.id) }
-      selected += ((best._1, best._2))
-      remaining -= best._1
+      picked(bestIdx) = true
+      selected += ((bestIdx, bestScore))
+      i = 0
+      while (i < n) {
+        if (!picked(i)) cos6(i, bestIdx).foreach { c =>
+          maxSim(i) = Some(maxSim(i).fold(c)(math.max(_, c)))
+        }
+        i += 1
+      }
     }
-    selected.toSeq.zipWithIndex.map { case ((c, s), i) =>
-      (c.id, i + 1L, c.rel6.toDouble / 1e6, s.toDouble / 1e12)
+    selected.toSeq.zipWithIndex.map { case ((idx, s), i) =>
+      val c = cands(idx)
+      (c.id, i + 1L, c.rel6.toDouble / 1e6, s.map(_.toDouble / 1e12))
     }.toDF("id", "mmr_rank", "rel", "mmr_score")
       .select(col("id").as(idCol), col("mmr_rank"), col("rel"), col("mmr_score"))
   }

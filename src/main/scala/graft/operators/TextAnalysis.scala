@@ -234,27 +234,15 @@ object TextAnalysis {
     df.filter(bucket < floor(rate * buckets).cast("long"))
   }
 
-  /** Temperature-based corpus mixing (the multilingual/multi-source
-    * α-sampling rule, Conneau & Lample 2019 §3.1 style): stratum s with
-    * count c_s is kept at rate (c_min/c_s)^(1−α) — α = 1 keeps the
-    * natural distribution, α → 0 flattens every stratum to the smallest
-    * one's size, in between damps dominant strata. Rates DERIVE from the
-    * corpus itself (one skinny count aggregation) rather than arriving
-    * as config like [[stratifiedSample]]'s.
-    *
-    * Membership is the same portable-hash bucket rule as
-    * [[stratifiedSample]] (growth-stable, shuffle-free per row), and the
-    * rate is quantized to ⌊rate·10⁶⌋ BEFORE the compare, so a 1-ulp
-    * `pow` divergence between engines can't flip a row. Returns the
-    * input plus `rate_fp` (kept µ-fraction) and `keep`; filter on `keep`
-    * to materialize the mix. The rates frame is strata-cardinality rows
-    * — always broadcast. */
   /** Quality-ranked token-budget cut: keep the highest-quality documents
     * whose running token total fits `budget` — "take the best B tokens",
     * the final selection step once quality scores exist. Semantics are
-    * the exact greedy prefix over the total order (quality desc, id
-    * asc): a document is kept iff its INCLUSIVE running token sum ≤
-    * `budget`.
+    * the exact greedy prefix over the total order (⌊quality·10⁶⌋ desc,
+    * id asc): a document is kept iff its INCLUSIVE running token sum ≤
+    * `budget`. Quality resolves at µ-granularity — two docs whose
+    * scores differ only below 1e-6 share a bucket and order by id, not
+    * by the raw float. A null token count reads as 0 tokens (the doc is
+    * free to keep); null quality ranks below every real score.
     *
     * Scale shape — the naive version is a corpus-wide sorted cumsum
     * (one global single-partition window: the classic scale-killer).
@@ -280,7 +268,10 @@ object TextAnalysis {
     val base = df.withColumn("q6",
       when(col(qualityCol).isNull, lit(Long.MinValue))
         .otherwise(floor(col(qualityCol).cast("double") * 1e6).cast("long")))
-      .withColumn("_tok", col(tokensCol).cast("long"))
+      // null tokens → 0: a null _tok would make its bucket's _btok NULL,
+      // turning the boundary predicate NULL and silently DROPPING the
+      // bucket's rows from both branches — the cut labels, never drops
+      .withColumn("_tok", coalesce(col(tokensCol).cast("long"), lit(0L)))
     val buckets = base.groupBy("q6").agg(sum("_tok").as("_btok"))
     // exclusive prefix over the SKINNY bucket frame (distinct q6 values
     // only) — the lone unpartitioned window, never corpus-sized
@@ -309,16 +300,40 @@ object TextAnalysis {
     resolved.unionByName(bnd).drop("_tok", "_btok", "_before")
   }
 
+  /** Temperature-based corpus mixing (the multilingual/multi-source
+    * α-sampling rule, Conneau & Lample 2019 §3.1 style): stratum s with
+    * count c_s is kept at rate (c_min/c_s)^(1−α) — α = 1 keeps the
+    * natural distribution, α → 0 flattens every stratum to the smallest
+    * one's size, in between damps dominant strata. Rates DERIVE from the
+    * corpus itself (one skinny count aggregation) rather than arriving
+    * as config like [[stratifiedSample]]'s.
+    *
+    * The NULL stratum (rows with no label — e.g. null-vector documents
+    * [[Similarity.kmeansAssign]] could not cluster) is NOT a topic: it
+    * neither participates in c_min (a 3-row artifact stratum must not
+    * damp every real stratum to ~nothing) nor gets damped itself — it
+    * is kept whole (rate 10⁶).
+    *
+    * Membership is the same portable-hash bucket rule as
+    * [[stratifiedSample]] (growth-stable, shuffle-free per row), and the
+    * rate is quantized to ⌊rate·10⁶⌋ BEFORE the compare, so a 1-ulp
+    * `pow` divergence between engines can't flip a row. Returns the
+    * input plus `rate_fp` (kept µ-fraction) and `keep`; filter on `keep`
+    * to materialize the mix. The rates frame is strata-cardinality rows
+    * — always broadcast. */
   def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
                      alpha: Double = 0.5, salt: String = "temp"): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"need 0 < alpha <= 1, got $alpha")
     val buckets = 1000000L
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("c"))
-    val cmin = counts.groupBy().agg(min(col("c")).as("c_min"))
+    val cmin = counts.where(col(strataCol).isNotNull)
+      .groupBy().agg(min(col("c")).as("c_min"))
     val rates = counts.crossJoin(broadcast(cmin))
       .select(col(strataCol),
-        floor(pow(col("c_min").cast("double") / col("c"), 1.0 - alpha) * buckets)
-          .cast("long").as("rate_fp"))
+        when(col(strataCol).isNull, lit(buckets))
+          .otherwise(
+            floor(pow(col("c_min").cast("double") / col("c"), 1.0 - alpha) * buckets)
+              .cast("long")).as("rate_fp"))
     val bucket = pmod(
       tokenHash48(concat(col(idCol).cast("string"), lit(":" + salt))),
       lit(buckets))

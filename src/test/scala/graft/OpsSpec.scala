@@ -1614,8 +1614,25 @@ class OpsSpec extends SparkSpec {
       .toDF("doc_id", "src")
     val out = TextAnalysis.temperatureMix(docs, "src", "doc_id", alpha = 0.5)
     assert(out.count() == 3, "the mixing pass must surface every row")
-    // the null stratum is the smallest (c=1) → rate 1.0 → kept
-    assert(out.where(col("src").isNull).head.getAs[Boolean]("keep"))
+    // the null stratum is not a topic: kept whole (rate 10⁶)
+    val nullRow = out.where(col("src").isNull).head
+    assert(nullRow.getAs[Boolean]("keep") && nullRow.getAs[Long]("rate_fp") == 1000000L)
+  }
+
+  test("temperatureMix: a tiny NULL stratum must not set c_min and damp every real stratum") {
+    // 40 "a" + 20 "b" + 2 unlabeled rows: c_min must be 20 (the smallest
+    // REAL stratum), not 2 — else "b" damps to (2/20)^0.5 ≈ 31% and "a"
+    // to ~22% from a 2-row artifact
+    val docs = ((0 until 40).map(i => (i.toLong, "a")) ++
+      (100 until 120).map(i => (i.toLong, "b")) ++
+      Seq((200L, null.asInstanceOf[String]), (201L, null.asInstanceOf[String])))
+      .toDF("doc_id", "src")
+    val rates = TextAnalysis.temperatureMix(docs, "src", "doc_id", alpha = 0.5)
+      .groupBy("src").agg(first("rate_fp").as("r")).collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(rates(Some("b")) == 1000000L, s"smallest real stratum kept whole: $rates")
+    assert(rates(Some("a")) == 707106L, s"dominant stratum damps vs REAL c_min: $rates")
+    assert(rates(None) == 1000000L, s"null stratum kept whole: $rates")
   }
 
   test("semanticDedup: near-dup of a lower-id representative dropped, orthogonal kept") {
@@ -2040,9 +2057,13 @@ class OpsSpec extends SparkSpec {
 
   test("rrfFuse null rank contributes zero; bad args fail loudly") {
     val l = Seq((1L, Some(1L)), (2L, None)).toDF("id", "rank")
-    val out = Retrieval.rrfFuse(Seq(l), "id", "rank").collect()
-      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val rows = Retrieval.rrfFuse(Seq(l), "id", "rank").collect()
+    val out = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(out(1L) == 0.016393 && out(2L) == 0.0)
+    // a null rank is ABSENT from the list: it must not count in n_lists
+    val nl = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nl(1L) == 1L && nl(2L) == 0L,
+      s"null-rank appearances must not inflate n_lists: $nl")
     intercept[IllegalArgumentException](Retrieval.rrfFuse(Nil, "id", "rank"))
     intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(l), "id", "rank", topK = 0))
   }
@@ -2133,6 +2154,23 @@ class OpsSpec extends SparkSpec {
       Retrieval.mmrRerank(mixed, "id", "rel", "vec"))
   }
 
+  test("mmrRerank: zero-vector candidate scores NULL after the first pick and sorts last") {
+    // a zero vector's cosine is undefined — NULL in the SQL oracle, where
+    // MAX skips it and the score goes NULL → NULLS LAST. The operator must
+    // replay that: even a heavily-penalized exact dup outranks it.
+    val sl = Seq(
+      (1L, 0.99, Seq(1.0, 0.0)), // picked first (pure relevance)
+      (2L, 0.98, Seq(1.0, 0.0)), // exact dup of 1: defined, deeply negative
+      (3L, 0.97, Seq(0.0, 0.0))) // zero vector → NULL score
+      .toDF("id", "rel", "vec")
+    val out = Retrieval.mmrRerank(sl, "id", "rel", "vec", lambda = 0.5, topK = 3)
+      .orderBy("mmr_rank").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L),
+      s"got ${out.map(_.getLong(0)).toSeq}")
+    assert(out(2).isNullAt(3), "undefined-similarity pick must surface a null mmr_score")
+    assert(!out(0).isNullAt(3) && !out(1).isNullAt(3))
+  }
+
   test("tokenBudgetCut: greedy prefix semantics — bucket machinery equals the global sorted cumsum") {
     // mixed shape: distinct buckets, one shared bucket, a null quality
     val docs = Seq(
@@ -2162,6 +2200,23 @@ class OpsSpec extends SparkSpec {
       TextAnalysis.tokenBudgetCut(docs, "quality", "n_tok", "doc_id", -1L))
   }
 
+  test("tokenBudgetCut: a null token count reads as 0 tokens — labeled, never dropped") {
+    // doc2's unique quality makes it its own bucket; a null sum there
+    // would turn the boundary predicate NULL and vanish the row from
+    // BOTH branches of the union
+    val docs = Seq(
+      (1L, Some(0.9), Some(10L)),
+      (2L, Some(0.7), Option.empty[Long]),
+      (3L, Some(0.5), Some(10L)))
+      .toDF("doc_id", "quality", "n_tok")
+    val out = TextAnalysis.tokenBudgetCut(docs, "quality", "n_tok", "doc_id", 15L)
+    assert(out.count() == 3, "the cut labels every row, it never drops rows")
+    val keep = out.select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // greedy: doc1 (10 tok) fits, doc2 (0 tok) is free, doc3 would hit 20 > 15
+    assert(keep(1L) && keep(2L) && !keep(3L), s"$keep")
+  }
+
   test("leakageSafeSplit: every near-dup cluster lands in ONE split; singletons hash their own id") {
     val docs = (0L to 19L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // two components: {0,1,2} (chain) and {7,8}; the rest singletons
@@ -2188,6 +2243,18 @@ class OpsSpec extends SparkSpec {
       Dedup.leakageSafeSplit(docs, pairs, "doc_id", trainPct = 90, valPct = 20))
   }
 
+  test("leakageSafeSplit tolerates an input that already carries a 'component' column") {
+    val docs = (0L to 5L).map(i => (i, i % 2)).toDF("doc_id", "component")
+    val pairs = Seq((0L, 1L)).toDF("id_a", "id_b")
+    val out = Dedup.leakageSafeSplit(docs, pairs, "doc_id")
+    assert(out.count() == 6)
+    assert(out.columns.count(_ == "component") == 1,
+      "the input's own column must survive, unduplicated")
+    val keyOf = out.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("split_key")).toMap
+    assert(keyOf(0L) == 0L && keyOf(1L) == 0L && keyOf(2L) == 2L)
+  }
+
   test("clusterBalancedSample: dominant latent topic damped, rare kept whole, no row lost") {
     // two tight clusters: 40 docs near (1,0), 10 near (0,1) — k-means
     // with k=2 separates them; α=0.5 keeps the small cluster whole
@@ -2211,6 +2278,26 @@ class OpsSpec extends SparkSpec {
       k = 2, iters = 2, alpha = 0.5)
     assert(out.orderBy("vec_id").collect().toSeq ==
       again.orderBy("vec_id").collect().toSeq)
+  }
+
+  test("clusterBalancedSample: null-vector rows form a kept-whole stratum, never damp real clusters") {
+    // 40 + 10 real docs plus 3 null embeddings: c_min must come from the
+    // 10-doc cluster, not the 3-row null stratum (which would damp the
+    // big cluster to (3/40)^0.5 ≈ 27% from pure artifact rows)
+    val vecs = ((0 until 40).map(i => (i.toLong, Some(Seq(1.0, 0.001 * i)))) ++
+      (100 until 110).map(i => (i.toLong, Some(Seq(0.001 * (i - 100), 1.0)))) ++
+      (200 until 203).map(i => (i.toLong, Option.empty[Seq[Double]])))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.clusterBalancedSample(vecs, "embedding", "vec_id",
+      k = 2, iters = 2, alpha = 0.5)
+    assert(out.count() == 53, "a mixing pass must never lose documents")
+    val rates = out.groupBy("cluster_id").agg(
+      first("rate_fp").as("rate_fp"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(rates(3L) == 1000000L, s"null stratum kept whole: $rates")
+    assert(rates(10L) == 1000000L, s"smallest real cluster kept whole: $rates")
+    assert(rates(40L) == 500000L,
+      s"dominant cluster damps vs the REAL c_min of 10, not the 3-row artifact: $rates")
   }
 
   test("mmrRerank: topK beyond the shortlist returns everything, ranked") {
