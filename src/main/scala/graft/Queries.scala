@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.functions.{windows => W, TaIndicators => TA}
 import graft.operators.{Dedup, Multimodal, Relational, Resample, Retrieval, SentimentScorer, Similarity, Sketches, TemporalJoins, TextAnalysis}
 import graft.time.TimeNorm
+import org.apache.spark.sql.graft.GraftFunctions
 
 /** The verifiable operator surface: one entry per SURVEY §2 operator,
   * each with a DuckDB-equivalent oracle where ANSI SQL can express it.
@@ -269,6 +270,90 @@ object Queries {
       FROM events
       GROUP BY 1, 2
       ORDER BY event_type, bar_ts_us"""))
+
+  // Cross-series Pearson correlation over each event type's hourly
+  // mean-value series — the cross-asset co-movement grid. Exact integer
+  // moment sums (values quantized at 10⁴ — bounded so n·(10⁴·500)² ≪ 2⁶³
+  // for the ≤500-range values) make every 6-dp r hash-identical
+  // cross-engine; zero-variance legs go null, not NaN.
+  private val qCorrelation = QDef(
+    "q_correlation",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("mean_v"))
+      Relational.correlationMatrix(hourly, "event_type", "bucket", "mean_v",
+        scale = 1e4)
+    },
+    Some("""
+      WITH h AS (
+        SELECT event_type AS k, date_trunc('hour', ts) AS t,
+               CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1e4) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2),
+      p AS (SELECT x.k AS key_a, y.k AS key_b, x.v AS xa, y.v AS xb
+            FROM h x JOIN h y ON x.t = y.t AND x.k < y.k),
+      s AS (SELECT key_a, key_b, COUNT(*) AS n,
+                   CAST(SUM(xa) AS BIGINT) AS sx, CAST(SUM(xb) AS BIGINT) AS sy,
+                   CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+                   CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+                   CAST(SUM(xb * xb) AS BIGINT) AS syy
+            FROM p GROUP BY 1, 2)
+      SELECT key_a, key_b, n,
+             CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+                   AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+                  THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             END AS corr
+      FROM s ORDER BY key_a, key_b"""))
+
+  // Rolling 24-bucket correlation for EVERY series pair — the windowed
+  // sibling of q_correlation (regime shifts, not one global r). Windows
+  // partition by the pair (never a global sort); the five moment sums are
+  // exact integer window aggregates sharing one frame.
+  private val qRollingCorr = QDef(
+    "q_rolling_corr",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+      val j = h.as("x").join(h.as("y"),
+          col("x.bucket") === col("y.bucket") &&
+            col("x.event_type") < col("y.event_type"))
+        .select(col("x.event_type").as("key_a"), col("y.event_type").as("key_b"),
+          col("x.bucket").as("bucket"), col("x.v").as("xv"), col("y.v").as("yv"))
+      val w = Window.partitionBy("key_a", "key_b").orderBy("bucket")
+      j.select(col("key_a"), col("key_b"), micros(col("bucket")).as("bucket_us"),
+          W.rollingCorr(col("xv"), col("yv"), n = 24, w, scale = 1e4).as("corr"))
+        .orderBy("key_a", "key_b", "bucket_us")
+    },
+    Some("""
+      WITH h AS (SELECT event_type AS k, date_trunc('hour', ts) AS t,
+                        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
+                 FROM events GROUP BY 1, 2),
+      p AS (SELECT x.k AS key_a, y.k AS key_b, x.t AS t,
+                   CAST(floor(x.v * 1e4) AS BIGINT) AS x6,
+                   CAST(floor(y.v * 1e4) AS BIGINT) AS y6
+            FROM h x JOIN h y ON x.t = y.t AND x.k < y.k),
+      s AS (SELECT key_a, key_b, t,
+                   CAST(COUNT(x6) OVER win AS BIGINT) AS cnt,
+                   CAST(SUM(x6) OVER win AS BIGINT) AS sx,
+                   CAST(SUM(y6) OVER win AS BIGINT) AS sy,
+                   CAST(SUM(x6 * y6) OVER win AS BIGINT) AS sxy,
+                   CAST(SUM(x6 * x6) OVER win AS BIGINT) AS sxx,
+                   CAST(SUM(y6 * y6) OVER win AS BIGINT) AS syy
+            FROM p
+            WINDOW win AS (PARTITION BY key_a, key_b ORDER BY t
+                           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      SELECT key_a, key_b, epoch_us(t) AS bucket_us,
+             CASE WHEN cnt >= 24
+                   AND (CAST(cnt AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+                   AND (CAST(cnt AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+                  THEN round((CAST(cnt AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                             / (sqrt(CAST(cnt AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                * sqrt(CAST(cnt AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             END AS corr
+      FROM s ORDER BY key_a, key_b, bucket_us"""))
 
   private val qRangeRead = QDef(
     "q_range_read",
@@ -2301,6 +2386,51 @@ object Queries {
       FROM lex l FULL OUTER JOIN semr s ON l.id = s.id
       ORDER BY rrf_score DESC, doc_id LIMIT 10"""))
 
+  // N-list RRF fusion proper (the generalization behind q_hybrid_search's
+  // 2-list join form): three deterministic top-20 retrievers over the
+  // document corpus — longest docs, shortest docs, and a portable-hash
+  // pseudo-random ranking — fused by quantized reciprocal rank. Each list
+  // is a TakeOrdered heap (no corpus-wide sort); n_lists counts true
+  // appearances.
+  private val qRrfFuse = QDef(
+    "q_rrf_fuse",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      def top20(order: Column*): DataFrame =
+        d.orderBy(order: _*).limit(20)
+          .select(col("doc_id"), row_number()
+            .over(Window.orderBy(order: _*)).cast("long").as("rank"))
+      val byLong = top20(col("n_chars").desc, col("doc_id"))
+      val byShort = top20(col("n_chars").asc, col("doc_id"))
+      val byHash = top20(TextAnalysis.tokenHash48(
+        concat(col("doc_id").cast("string"), lit(":rrf"))).asc, col("doc_id"))
+      Retrieval.rrfFuse(Seq(byLong, byShort, byHash), "doc_id", "rank",
+          rrfK = 60, topK = 15)
+        .select(col("id").as("doc_id"), col("n_lists"), col("rrf_score"))
+    },
+    Some("""
+      WITH r1 AS (SELECT doc_id, r FROM (
+             SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS r
+             FROM documents) WHERE r <= 20),
+      r2 AS (SELECT doc_id, r FROM (
+             SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars ASC, doc_id) AS BIGINT) AS r
+             FROM documents) WHERE r <= 20),
+      r3 AS (SELECT doc_id, r FROM (
+             SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':rrf'), 1, 12)) AS BIGINT),
+                        doc_id) AS BIGINT) AS r
+             FROM documents) WHERE r <= 20),
+      u AS (SELECT doc_id, CAST(floor(1000000.0 / (60.0 + CAST(r AS DOUBLE))) AS BIGINT) AS fp FROM r1
+            UNION ALL
+            SELECT doc_id, CAST(floor(1000000.0 / (60.0 + CAST(r AS DOUBLE))) AS BIGINT) AS fp FROM r2
+            UNION ALL
+            SELECT doc_id, CAST(floor(1000000.0 / (60.0 + CAST(r AS DOUBLE))) AS BIGINT) AS fp FROM r3),
+      f AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+                   CAST(SUM(fp) AS BIGINT) AS sfp
+            FROM u GROUP BY doc_id)
+      SELECT doc_id, n_lists, CAST(sfp AS DOUBLE) / 1e6 AS rrf_score
+      FROM f ORDER BY rrf_score DESC, doc_id LIMIT 15"""))
+
   /** One unrolled MMR greedy step for the q_mmr_rerank oracle: from the
     * candidates not yet in `sel{i-1}`, compute each one's max ⌊cos·10⁶⌋
     * against the selected set and pick the integer-MMR argmax
@@ -2419,6 +2549,71 @@ object Queries {
         WHERE rn = 1)
       SELECT e.vec_id, CAST(gf.cid AS BIGINT) AS cluster_id
       FROM e LEFT JOIN gf USING (vec_id) ORDER BY e.vec_id"""))
+
+  /** One power-iteration round for the q_embed_detop oracle: matvec
+    * `w = G·u` as a strict q-ordered left fold per row, L2 norm as a
+    * strict pos-ordered fold, then `⌊·10⁶⌋`-quantize the new direction —
+    * the exact driver arithmetic of
+    * [[graft.operators.Similarity.removeTopComponent]], unrolled the way
+    * [[kmeansRoundSql]] unrolls Lloyd rounds. */
+  private def piRoundSql(i: Int): String = s"""
+      w$i AS (SELECT gd.pp AS pos,
+                     list_reduce(list(gd.g * u.uv ORDER BY gd.qq), (x, y) -> x + y) AS wv
+              FROM gd JOIN u${i - 1} u ON gd.qq = u.pos GROUP BY gd.pp),
+      n$i AS (SELECT sqrt(list_reduce(list(wv * wv ORDER BY pos), (x, y) -> x + y)) AS nrm
+              FROM w$i),
+      u$i AS (SELECT pos, floor(wv / (SELECT nrm FROM n$i) * 1e6) / 1e6 AS uv FROM w$i)"""
+
+  // All-but-the-top embedding post-processing: fixed-point corpus mean,
+  // exact-integer Gram sums, 5 quantized power-iteration rounds, and the
+  // residual projection — the ENTIRE chain (including every power round)
+  // replays in SQL, so the learned direction itself is hash-checked, not
+  // just the final projection.
+  private val qEmbedDetop = QDef(
+    "q_embed_detop",
+    (s, dir) => {
+      val out = Similarity.removeTopComponent(t(s, dir, "embeddings"),
+        "embedding", "vec_id", iters = 5)
+      GraftFunctions.register(s)
+      out.select(col("vec_id"),
+          round(col("top_score"), 6).as("top_score"),
+          round(sqrt(call_function(GraftFunctions.DotName,
+            col("resid"), col("resid"))), 6).as("resid_norm"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      c AS (SELECT vec_id, v FROM e WHERE v IS NOT NULL),
+      x AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM c),
+      mu AS (SELECT pos, CAST(SUM(CAST(floor(x * 1e6) AS BIGINT)) AS BIGINT) AS sfx,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM x GROUP BY pos),
+      muv AS (SELECT pos, CAST(sfx AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS m FROM mu),
+      cr AS (SELECT x.vec_id, x.pos, CAST(floor((x.x - muv.m) * 1e6) AS BIGINT) AS c6
+             FROM x JOIN muv USING (pos)),
+      gm AS (SELECT a.pos AS pp, b.pos AS qq, CAST(SUM(a.c6 * b.c6) AS BIGINT) AS gs
+             FROM cr a JOIN cr b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      gd AS (SELECT pp, qq, CAST(gs AS DOUBLE) / 1e12 AS g FROM gm),
+      j0 AS (SELECT pp FROM gm WHERE pp = qq ORDER BY gs DESC, pp LIMIT 1),
+      u0 AS (SELECT pos, CASE WHEN pos = (SELECT pp FROM j0) THEN CAST(1.0 AS DOUBLE)
+                              ELSE CAST(0.0 AS DOUBLE) END AS uv
+             FROM (SELECT DISTINCT pp AS pos FROM gm)),
+      ${(1 to 5).map(piRoundSql).mkString(",")},
+      cd AS (SELECT vec_id, pos, CAST(c6 AS DOUBLE) / 1e6 AS cv FROM cr),
+      dotr AS (SELECT cd.vec_id,
+                      list_reduce(list(cd.cv * u.uv ORDER BY cd.pos), (x, y) -> x + y) AS dot
+               FROM cd JOIN u5 u ON cd.pos = u.pos GROUP BY cd.vec_id),
+      res AS (SELECT cd.vec_id,
+                     sqrt(list_reduce(
+                       list((cd.cv - d.dot * u.uv) * (cd.cv - d.dot * u.uv) ORDER BY cd.pos),
+                       (x, y) -> x + y)) AS rn
+              FROM cd JOIN u5 u ON cd.pos = u.pos
+                      JOIN dotr d ON cd.vec_id = d.vec_id
+              GROUP BY cd.vec_id)
+      SELECT e.vec_id, round(d.dot, 6) AS top_score, round(r.rn, 6) AS resid_norm
+      FROM e LEFT JOIN dotr d USING (vec_id) LEFT JOIN res r USING (vec_id)
+      ORDER BY e.vec_id"""))
 
   // Cluster-balanced sampling: the q_kmeans latent topics become the
   // strata of a q_temperature_mix α-draw — balance a corpus whose domain
@@ -3343,7 +3538,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
-    qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qMmrRerank, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
+    qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qTokenBudget, qStratifiedSample, qBpeTokens,

@@ -60,6 +60,42 @@ object windows {
   def rollingQuantile(x: Column, q: Double, n: Int, w: WindowSpec): Column =
     guarded(x, n, w, c => percentile(c, lit(q)))
 
+  /** Rolling Pearson correlation between two aligned columns over the
+    * trailing `n` rows — the co-movement window (rolling BTC↔ETH return
+    * correlation, regime detection) on top of the same series windows as
+    * every other rolling op; the windowed sibling of
+    * [[graft.operators.Relational.correlationMatrix]].
+    *
+    * Determinism: both inputs quantize to `⌊v·scale⌋` BIGINTs and the
+    * five moment sums run as EXACT integer window aggregates (all five
+    * share one frame → one physical window op); r derives in a fixed
+    * double tree, rounded to 6 dp. Rows where EITHER side is null are
+    * excluded pairwise (the pandas convention) and the `min_periods = n`
+    * warm-up guard applies to the PAIRED count. Zero-variance frames
+    * yield null, not NaN. Overflow: `n·(scale·max|v|)² < 2⁶³` — trivial
+    * for any real (window, scale) pairing since n is the window length. */
+  def rollingCorr(x: Column, y: Column, n: Int, w: WindowSpec,
+                  scale: Double = 1e6): Column = {
+    require(n >= 2, s"rollingCorr needs a window of at least 2, got $n")
+    require(scale > 0.0, s"scale must be positive, got $scale")
+    val f = trailing(w, n)
+    val both = x.isNotNull && y.isNotNull
+    val x6 = when(both, floor(x.cast("double") * scale).cast("long"))
+    val y6 = when(both, floor(y.cast("double") * scale).cast("long"))
+    val cnt = count(x6).over(f)
+    val sx = sum(x6).over(f).cast("double")
+    val sy = sum(y6).over(f).cast("double")
+    val sxy = sum(x6 * y6).over(f).cast("double")
+    val sxx = sum(x6 * x6).over(f).cast("double")
+    val syy = sum(y6 * y6).over(f).cast("double")
+    val nD = cnt.cast("double")
+    val cov = nD * sxy - sx * sy
+    val va = nD * sxx - sx * sx
+    val vb = nD * syy - sy * sy
+    when(cnt >= n && va > 0.0 && vb > 0.0,
+      round(cov / (sqrt(va) * sqrt(vb)), 6))
+  }
+
   /** pandas `cumsum()` (W10). */
   def cumSum(x: Column, w: WindowSpec): Column = sum(x).over(running(w))
 

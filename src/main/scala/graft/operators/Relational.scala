@@ -444,6 +444,62 @@ object Relational {
     * determinism under task retries). Use when AQE's skew split can't
     * apply (shuffled-hash joins, bucketed tables) — broadcast the small
     * side instead whenever it fits. */
+  /** Pairwise Pearson correlation matrix across aligned series — the
+    * cross-asset co-movement grid (BTC↔ETH return correlation, the
+    * standard portfolio/risk view over the reference's market feeds) and
+    * equally the feature-redundancy screen for a training matrix.
+    *
+    * Input is long-form `(keyCol, tsCol, valueCol)` with ONE row per
+    * key per aligned bucket (resample first — [[Resample.resampleAgg]]
+    * produces exactly this shape). Every pair `key_a < key_b` is
+    * correlated over the buckets BOTH series populate (inner join —
+    * missing buckets drop pairwise, the pandas `corr` convention).
+    *
+    * Determinism contract: values quantize to `⌊v·scale⌋` BIGINTs and
+    * the five moment sums (Σx, Σy, Σxy, Σx², Σy²) accumulate as exact
+    * integers — order-free under any partitioning — then r derives in
+    * one fixed double expression, rounded to 6 dp. Overflow contract:
+    * callers pick `scale` so `n·(scale·max|v|)² < 2⁶³` (the default 10⁶
+    * suits return-scale series; pass 10⁴ for price-scale, 10² for
+    * index-level). Degenerate (zero-variance) legs yield null r, not
+    * NaN.
+    *
+    * Scale shape: one equi-join on the bucket key over skinny
+    * `(t, k, v)` rows — series count per bucket is the SMALL dimension
+    * (symbols/features, not corpus), so the per-bucket pair fan-out is
+    * k², bounded and tiny; the moment agg is map-side combined onto
+    * ≤ k² keys. Nothing corpus-wide sorts or broadcasts. */
+  def correlationMatrix(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, scale: Double = 1e6): DataFrame = {
+    require(scale > 0.0, s"scale must be positive, got $scale")
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("_k"), col(tsCol).as("_t"),
+        floor(col(valueCol).cast("double") * scale).cast("long").as("_v"))
+    val paired = base.as("x").join(base.as("y"),
+        col("x._t") === col("y._t") && col("x._k") < col("y._k"))
+      .select(col("x._k").as("key_a"), col("y._k").as("key_b"),
+        col("x._v").as("_xa"), col("y._v").as("_xb"))
+    val sums = paired.groupBy("key_a", "key_b").agg(
+      count(lit(1)).as("n"),
+      sum("_xa").as("_sx"), sum("_xb").as("_sy"),
+      sum(col("_xa") * col("_xb")).as("_sxy"),
+      sum(col("_xa") * col("_xa")).as("_sxx"),
+      sum(col("_xb") * col("_xb")).as("_syy"))
+    // exact-integer-derived doubles: the identical expression tree on
+    // any engine (n·Σxy − ΣxΣy) / √(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)
+    val nD = col("n").cast("double")
+    val cov = nD * col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double")
+    val va = nD * col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double")
+    val vb = nD * col("_syy").cast("double") -
+      col("_sy").cast("double") * col("_sy").cast("double")
+    sums.select(col("key_a"), col("key_b"), col("n"),
+        when(va > 0.0 && vb > 0.0,
+          round(cov / (sqrt(va) * sqrt(vb)), 6)).as("corr"))
+      .orderBy("key_a", "key_b")
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")

@@ -451,6 +451,107 @@ object Similarity {
     TextAnalysis.temperatureMix(assigned, "cluster_id", "vec_id", alpha, salt)
   }
 
+  /** All-but-the-top embedding post-processing (Mu & Viswanath 2018):
+    * center the corpus and strip its top principal component — encoder
+    * outputs share a large common direction that dominates every cosine
+    * and washes out semantic contrast (the reference's MiniLM serving
+    * path, `nlp_embeddings.py:6-36`, is exactly the kind of corpus this
+    * rehabilitates); removing it measurably sharpens similarity search
+    * and semantic dedup.
+    *
+    * Deterministic by construction, so an external SQL oracle replays
+    * every stage exactly:
+    *  - mean: per-dim FIXED-POINT means (exact `⌊x·10⁶⌋` BIGINT sums —
+    *    the [[kmeansAssign]] centroid rule);
+    *  - Gram matrix: centered coordinates quantize to `⌊(x−µ)·10⁶⌋`
+    *    BIGINTs and the d·(d+1)/2 upper-triangle products accumulate as
+    *    EXACT integer sums via the codegen
+    *    [[org.apache.spark.sql.graft.GramUpper]] — order-free under any
+    *    partitioning;
+    *  - top direction: `iters` power-iteration rounds on the driver's
+    *    d×d matrix (metadata scale), deterministic init (unit vector at
+    *    the largest-variance dim, tie lowest), every round's output
+    *    quantized to `⌊·10⁶⌋` so engines can't drift;
+    *  - projection: `r = c − (c·u)·u` in one codegen loop pair
+    *    ([[org.apache.spark.sql.graft.RemoveComponent]], strict
+    *    dim-order folds).
+    *
+    * Scale shape: two corpus passes, both pure projections — the mean /
+    * Gram aggs shuffle only `(pos, Σ)` rows onto d and d·(d+1)/2 keys
+    * (map-side combined); the corpus itself NEVER shuffles and the
+    * output is a zero-exchange projection. Overflow contract: unit-scale
+    * embeddings (|x| ≲ 1) keep `Σ c6·c6 < 2⁶³` up to ~10⁶ rows per
+    * partition-tree leg at the 10⁶ scale — for larger corpora train µ/G
+    * on [[lowestHashSample]] via `trainFraction` (the projection always
+    * covers every row).
+    *
+    * Returns `(vec_id, top_score, resid)`: the component along u and
+    * the residual (post-processed) embedding; null vectors pass through
+    * with null outputs. */
+  def removeTopComponent(df: DataFrame, vecCol: String, idCol: String,
+                         iters: Int = 5,
+                         trainFraction: Double = 1.0): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
+    val e = df.select(col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("v"))
+    val clean = lowestHashSample(
+      e.where(col("v").isNotNull && forall(col("v"), x => x.isNotNull)),
+      "vec_id", trainFraction)
+    val mrows = clean.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(sum(floor(col("x") * 1e6).cast("long")).as("sfx"),
+        count(lit(1)).as("n"))
+      .collect()
+    if (mrows.isEmpty)
+      return e.select(col("vec_id"),
+        lit(null).cast("double").as("top_score"),
+        lit(null).cast("array<double>").as("resid"))
+    val d = mrows.length
+    val mu: Seq[Double] = mrows.sortBy(_.getAs[Int]("pos")).toSeq
+      .map(r => r.getAs[Long]("sfx").toDouble / 1e6 / r.getAs[Long]("n").toDouble)
+    def centered(vc: Column): Column =
+      zip_with(vc, typedlit(mu), (x, m) => floor((x - m) * lit(1e6)).cast("long"))
+    val gsums = clean
+      .select(posexplode(call_function(GraftFunctions.GramUpperName,
+        centered(col("v")))).as(Seq("gpos", "gp")))
+      .groupBy("gpos").agg(sum("gp").as("g"))
+      .collect().map(r => r.getAs[Int]("gpos") -> r.getAs[Long]("g")).toMap
+    val g = Array.ofDim[Double](d, d)
+    val diag = new Array[Long](d)
+    var t = 0
+    for (p <- 0 until d; q <- p until d) {
+      val gl = gsums.getOrElse(t, 0L)
+      val gv = gl.toDouble / 1e12
+      g(p)(q) = gv; g(q)(p) = gv
+      if (p == q) diag(p) = gl
+      t += 1
+    }
+    // deterministic power iteration, ⌊·10⁶⌋-quantized each round; init is
+    // the unit vector at the largest-variance dim — compared on the EXACT
+    // integer diagonal (a double view could tie where BIGINTs differ).
+    // A zero-norm round (identically-zero G) keeps the previous direction.
+    var u = Array.fill(d)(0.0)
+    u((0 until d).maxBy(p => (diag(p), -p))) = 1.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d) { p =>
+        var s = 0.0; var q = 0
+        while (q < d) { s += g(p)(q) * u(q); q += 1 }
+        s
+      }
+      var n2 = 0.0; var p = 0
+      while (p < d) { n2 += w(p) * w(p); p += 1 }
+      val norm = math.sqrt(n2)
+      if (norm > 0.0)
+        u = Array.tabulate(d)(p => math.floor(w(p) / norm * 1e6) / 1e6)
+    }
+    val uLit = typedlit(u.toSeq)
+    val c6d = transform(centered(col("v")), x => x.cast("double") / lit(1e6))
+    e.select(col("vec_id"),
+      call_function(GraftFunctions.DotName, c6d, uLit).as("top_score"),
+      call_function(GraftFunctions.RemoveComponentName, c6d, uLit).as("resid"))
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (Jégou et al. 2011): the compressed-vector ANN
   // tier above IVF — at 100 TB the corpus is scanned as m small ints per

@@ -79,6 +79,8 @@ object GraftFunctions {
   val PqCodesName = "graft_pq_codes"
   val PqAdcName = "graft_pq_adc"
   val PqDecodeName = "graft_pq_decode"
+  val GramUpperName = "graft_gram_upper"
+  val RemoveComponentName = "graft_remove_component"
 
   private def evalAlpha(e: Expression): Double = e match {
     case Literal(v: Double, _) => v
@@ -116,5 +118,9 @@ object GraftFunctions {
       exprs => PqAdcDistance(exprs.head, exprs(1), exprs(2)), "built-in")
     registry.createOrReplaceTempFunction(PqDecodeName,
       exprs => PqDecode(exprs.head, exprs(1), exprs(2), exprs.lift(3)), "built-in")
+    registry.createOrReplaceTempFunction(GramUpperName,
+      exprs => GramUpper(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(RemoveComponentName,
+      exprs => RemoveComponent(exprs.head, exprs(1)), "built-in")
   }
 }

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
@@ -888,4 +888,157 @@ case class PqDecode(codes: Expression, codebookExpr: Expression,
     copy(codes = newChildren(0), codebookExpr = newChildren(1),
       ksubExpr = newChildren(2),
       offset = if (newChildren.length > 3) Some(newChildren(3)) else None)
+}
+
+/** Upper-triangle Gram products of a fixed-point vector: for an
+  * `array<long>` c of length d (centered `⌊(x−µ)·10⁶⌋` coordinates),
+  * returns the d·(d+1)/2 products `c[p]·c[q]` for p ≤ q in row-major
+  * triangle order. Summed per position across the corpus these are the
+  * EXACT integer Gram/covariance sums that feed the deterministic power
+  * iteration in `graft.operators.Similarity.removeTopComponent` —
+  * order-free under any partitioning, unlike float accumulation.
+  *
+  * Why an expression: the d² per-row products would otherwise need a
+  * position self-join (shuffling corpus·d rows) or an interpreted
+  * nested HOF with an outer capture (the known codegen-killer). This
+  * compiles to one tight double loop; the only thing that shuffles
+  * afterwards is the map-side-combined `(pos, Σ)` aggregation onto
+  * d·(d+1)/2 keys. Null input or any null element yields null. */
+case class GramUpper(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gram_upper"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var i = 0
+    while (i < n) { if (v.isNullAt(i)) return null; i += 1 }
+    val out = new Array[Long](n * (n + 1) / 2)
+    var t = 0
+    var p = 0
+    while (p < n) {
+      val cp = v.getLong(p)
+      var q = p
+      while (q < n) { out(t) = cp * v.getLong(q); t += 1; q += 1 }
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val q = ctx.freshName("q")
+      val cp = ctx.freshName("cp")
+      val bad = ctx.freshName("bad")
+      s"""
+         |final int $n = $v.numElements();
+         |boolean $bad = false;
+         |for (int i = 0; i < $n; i++) if ($v.isNullAt(i)) { $bad = true; break; }
+         |if ($bad) { ${ev.isNull} = true; }
+         |else {
+         |  long[] $out = new long[$n * ($n + 1) / 2];
+         |  int $t = 0;
+         |  for (int $p = 0; $p < $n; $p++) {
+         |    final long $cp = $v.getLong($p);
+         |    for (int $q = $p; $q < $n; $q++) { $out[$t++] = $cp * $v.getLong($q); }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GramUpper =
+    copy(child = newChild)
+}
+
+/** Project a vector onto the orthogonal complement of a (foldable) unit
+  * direction u: returns `r = v − (v·u)·u` — the "all-but-the-top"
+  * residual (Mu & Viswanath 2018) that strips the dominant common
+  * component from an embedding corpus. The dot product and the residual
+  * run in ONE generated loop pair (strict dim-order left folds, the
+  * DotProduct evaluation order, so an external SQL oracle replays the
+  * doubles bit-for-bit). Null input or any null element yields null;
+  * a dimension mismatch fails loudly. */
+case class RemoveComponent(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_remove_component"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def arrOk(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (arrOk(left.dataType) && right.foldable && arrOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double>, foldable array<double>)")
+  }
+
+  @transient lazy val u: Array[Double] =
+    right.eval().asInstanceOf[ArrayData].toDoubleArray()
+
+  private def badDim(actual: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$prettyName: vector of dimension $actual against a ${u.length}-dim direction")
+  def badDimPublic(actual: Int): Unit = badDim(actual)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n != u.length) badDim(n)
+    var i = 0
+    while (i < n) { if (v.isNullAt(i)) return null; i += 1 }
+    var dot = 0.0
+    i = 0
+    while (i < n) { dot += v.getDouble(i) * u(i); i += 1 }
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = v.getDouble(i) - dot * u(i); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val uRef = ctx.addReferenceObj("rcU", u, "double[]")
+    val self = ctx.addReferenceObj("rcExpr", this,
+      "org.apache.spark.sql.graft.RemoveComponent")
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      val n = ctx.freshName("n")
+      val bad = ctx.freshName("bad")
+      val dot = ctx.freshName("dot")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $v.numElements();
+         |if ($n != $uRef.length) { $self.badDimPublic($n); }
+         |boolean $bad = false;
+         |for (int i = 0; i < $n; i++) if ($v.isNullAt(i)) { $bad = true; break; }
+         |if ($bad) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0;
+         |  for (int i = 0; i < $n; i++) { $dot += $v.getDouble(i) * $uRef[i]; }
+         |  double[] $out = new double[$n];
+         |  for (int i = 0; i < $n; i++) { $out[i] = $v.getDouble(i) - $dot * $uRef[i]; }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RemoveComponent =
+    copy(left = newLeft, right = newRight)
 }

@@ -2300,6 +2300,88 @@ class OpsSpec extends SparkSpec {
       s"dominant cluster damps vs the REAL c_min of 10, not the 3-row artifact: $rates")
   }
 
+  test("correlationMatrix: exact ±1 on linear series, null on zero variance, pairwise alignment") {
+    val rows = Seq(
+      ("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0),
+      ("B", 1L, 2.0), ("B", 2L, 4.0), ("B", 3L, 6.0), // B = 2·A → r = 1
+      ("C", 1L, 3.0), ("C", 2L, 2.0), ("C", 3L, 1.0), // C = 4−A → r = −1
+      ("D", 1L, 5.0), ("D", 2L, 5.0), ("D", 3L, 5.0), // constant → null r
+      ("E", 1L, 1.0), ("E", 2L, 2.0))                 // only buckets 1–2
+    val out = Relational.correlationMatrix(rows.toDF("k", "t", "v"), "k", "t", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out(("A", "B")) == ((3L, Some(1.0))), s"${out(("A", "B"))}")
+    assert(out(("A", "C")) == ((3L, Some(-1.0))))
+    assert(out(("A", "D"))._2.isEmpty, "zero-variance leg must be null, not NaN")
+    // pairwise alignment: E correlates over its two shared buckets only
+    assert(out(("A", "E")) == ((2L, Some(1.0))))
+    // every pair a < b over the 5 keys appears exactly once
+    assert(out.size == 10 && out.keys.forall { case (a, b) => a < b })
+  }
+
+  test("rollingCorr: warm-up nulls, ±1 closed forms, pairwise null exclusion, zero-variance null") {
+    import org.apache.spark.sql.expressions.Window
+    val rows =
+      (1 to 5).map(t => ("up", t.toLong, t.toDouble, Option(2.0 * t))) ++
+      (1 to 5).map(t => ("dn", t.toLong, t.toDouble, Option(10.0 - t))) ++
+      (1 to 5).map(t => ("fl", t.toLong, t.toDouble, Option(5.0))) ++
+      (1 to 5).map(t => ("nn", t.toLong, t.toDouble,
+        if (t == 4) Option.empty[Double] else Option(2.0 * t)))
+    val w = Window.partitionBy("k").orderBy("t")
+    val out = rows.toDF("k", "t", "x", "y")
+      .select(col("k"), col("t"),
+        graft.functions.windows.rollingCorr(col("x"), col("y"), 3, w).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // pandas min_periods: first n−1 rows null
+    assert(out(("up", 1L)).isEmpty && out(("up", 2L)).isEmpty)
+    (3 to 5).foreach { t =>
+      assert(out(("up", t.toLong)) == Some(1.0), s"up t=$t: ${out(("up", t.toLong))}")
+      assert(out(("dn", t.toLong)) == Some(-1.0))
+      assert(out(("fl", t.toLong)).isEmpty, "zero-variance window must be null, not NaN")
+    }
+    // t=4's null y removes the PAIR: every window containing t=4 has
+    // only 2 paired rows → below min_periods
+    assert(out(("nn", 3L)) == Some(1.0))
+    assert(out(("nn", 4L)).isEmpty && out(("nn", 5L)).isEmpty)
+    intercept[IllegalArgumentException](
+      graft.functions.windows.rollingCorr(col("x"), col("y"), 1, w))
+  }
+
+  test("removeTopComponent: exact on an axis-aligned pair") {
+    // (±1, 0): zero mean, G = [[2,0],[0,0]] → u = (1,0) exactly after
+    // quantization; scores ±1, residuals identically zero
+    val tiny = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(-1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.removeTopComponent(tiny, "embedding", "vec_id")
+      .orderBy("vec_id").collect()
+    assert(out(0).getDouble(1) == 1.0 && out(1).getDouble(1) == -1.0)
+    assert(out(0).getSeq[Double](2) == Seq(0.0, 0.0))
+    assert(out(1).getSeq[Double](2) == Seq(0.0, 0.0))
+  }
+
+  test("removeTopComponent: top direction absorbs the dominant variance; nulls pass; deterministic") {
+    // variance ~25 along dim 0, ~2e-4 along dim 1: the top component must
+    // carry (almost) all the energy
+    val vecs = ((0 until 50).map(i =>
+      (i.toLong, Some(Seq(i.toDouble / 10.0, (i % 5) / 100.0)))) :+
+      ((99L, Option.empty[Seq[Double]])))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.removeTopComponent(vecs, "embedding", "vec_id", iters = 5)
+      .orderBy("vec_id").collect()
+    val nullRow = out.find(_.getLong(0) == 99L).get
+    assert(nullRow.isNullAt(1) && nullRow.isNullAt(2),
+      "null vectors must pass through with null outputs")
+    val real = out.filter(_.getLong(0) != 99L)
+    val ts2 = real.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    val rn2 = real.map(_.getSeq[Double](2).map(x => x * x).sum).sum
+    assert(ts2 > 50 * rn2,
+      s"top component must dominate: score energy $ts2 vs residual $rn2")
+    val again = Similarity.removeTopComponent(vecs, "embedding", "vec_id", iters = 5)
+      .orderBy("vec_id").collect()
+    assert(out.toSeq == again.toSeq, "the whole chain must be deterministic")
+  }
+
   test("mmrRerank: topK beyond the shortlist returns everything, ranked") {
     val sl = Seq((1L, 0.9, Seq(1.0, 0.0)), (2L, 0.1, Seq(0.0, 1.0)))
       .toDF("id", "rel", "vec")

@@ -454,6 +454,28 @@ class PlanSpec extends SparkSpec {
     assert(out.count() == 5)
   }
 
+  test("correlationMatrix: bucket equi-join, never a cartesian pair blow-up") {
+    val series = (0 until 100).flatMap(t => Seq(
+      ("A", t.toLong, 1.0 * t), ("B", t.toLong, 2.0 * t), ("C", t.toLong, 100.0 - t)))
+      .toDF("k", "t", "v")
+    val plan = planOf(graft.operators.Relational.correlationMatrix(series, "k", "t", "v"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must ride the bucket equi-join:\n${plan.take(2000)}")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      "moment sums must be a partial-aggregable groupBy")
+  }
+
+  test("removeTopComponent: the output projection is zero-exchange") {
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Seq.tabulate(4)(j => (i * (j + 1)).toDouble / 10)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.removeTopComponent(
+      vecs, "embedding", "vec_id", iters = 2)
+    val plan = planOf(out)
+    assert(!plan.contains("Exchange"),
+      s"the corpus-side projection must not shuffle:\n${plan.take(1500)}")
+  }
+
   test("clusterBalancedSample: assignment is a zero-shuffle projection; rates broadcast back") {
     val vecs = (0 until 64).map(i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 2.0 + j))))
