@@ -307,6 +307,30 @@ object Queries {
              END AS corr
       FROM s ORDER BY key_a, key_b"""))
 
+  /** Shared oracle CTE chain for the rolling moment queries: hourly mean
+    * series per event type, pair join, ⌊·10⁴⌋ quantization, and the five
+    * exact-integer 24-row window sums (q_rolling_corr / q_rolling_beta
+    * differ only in the final reduction). Declared BEFORE its users —
+    * object vals initialize in order. */
+  private val rollingMomentsSql: String = """
+      WITH h AS (SELECT event_type AS k, date_trunc('hour', ts) AS t,
+                        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
+                 FROM events GROUP BY 1, 2),
+      p AS (SELECT x.k AS key_a, y.k AS key_b, x.t AS t,
+                   CAST(floor(x.v * 1e4) AS BIGINT) AS x6,
+                   CAST(floor(y.v * 1e4) AS BIGINT) AS y6
+            FROM h x JOIN h y ON x.t = y.t AND x.k < y.k),
+      s AS (SELECT key_a, key_b, t,
+                   CAST(COUNT(x6) OVER win AS BIGINT) AS cnt,
+                   CAST(SUM(x6) OVER win AS BIGINT) AS sx,
+                   CAST(SUM(y6) OVER win AS BIGINT) AS sy,
+                   CAST(SUM(x6 * y6) OVER win AS BIGINT) AS sxy,
+                   CAST(SUM(x6 * x6) OVER win AS BIGINT) AS sxx,
+                   CAST(SUM(y6 * y6) OVER win AS BIGINT) AS syy
+            FROM p
+            WINDOW win AS (PARTITION BY key_a, key_b ORDER BY t
+                           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))"""
+
   // Rolling 24-bucket correlation for EVERY series pair — the windowed
   // sibling of q_correlation (regime shifts, not one global r). Windows
   // partition by the pair (never a global sort); the five moment sums are
@@ -327,24 +351,8 @@ object Queries {
           W.rollingCorr(col("xv"), col("yv"), n = 24, w, scale = 1e4).as("corr"))
         .orderBy("key_a", "key_b", "bucket_us")
     },
-    Some("""
-      WITH h AS (SELECT event_type AS k, date_trunc('hour', ts) AS t,
-                        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
-                 FROM events GROUP BY 1, 2),
-      p AS (SELECT x.k AS key_a, y.k AS key_b, x.t AS t,
-                   CAST(floor(x.v * 1e4) AS BIGINT) AS x6,
-                   CAST(floor(y.v * 1e4) AS BIGINT) AS y6
-            FROM h x JOIN h y ON x.t = y.t AND x.k < y.k),
-      s AS (SELECT key_a, key_b, t,
-                   CAST(COUNT(x6) OVER win AS BIGINT) AS cnt,
-                   CAST(SUM(x6) OVER win AS BIGINT) AS sx,
-                   CAST(SUM(y6) OVER win AS BIGINT) AS sy,
-                   CAST(SUM(x6 * y6) OVER win AS BIGINT) AS sxy,
-                   CAST(SUM(x6 * x6) OVER win AS BIGINT) AS sxx,
-                   CAST(SUM(y6 * y6) OVER win AS BIGINT) AS syy
-            FROM p
-            WINDOW win AS (PARTITION BY key_a, key_b ORDER BY t
-                           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+    Some(s"""
+      $rollingMomentsSql
       SELECT key_a, key_b, epoch_us(t) AS bucket_us,
              CASE WHEN cnt >= 24
                    AND (CAST(cnt AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
@@ -354,6 +362,98 @@ object Queries {
                                 * sqrt(CAST(cnt AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
              END AS corr
       FROM s ORDER BY key_a, key_b, bucket_us"""))
+
+  // Rolling 24-bucket OLS beta (hedge ratio) per series pair — the same
+  // exact-integer moment frame as q_rolling_corr, reduced to cov/var.
+  private val qRollingBeta = QDef(
+    "q_rolling_beta",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+      val j = h.as("x").join(h.as("y"),
+          col("x.bucket") === col("y.bucket") &&
+            col("x.event_type") < col("y.event_type"))
+        .select(col("x.event_type").as("key_a"), col("y.event_type").as("key_b"),
+          col("x.bucket").as("bucket"), col("x.v").as("xv"), col("y.v").as("yv"))
+      val w = Window.partitionBy("key_a", "key_b").orderBy("bucket")
+      j.select(col("key_a"), col("key_b"), micros(col("bucket")).as("bucket_us"),
+          W.rollingBeta(col("xv"), col("yv"), n = 24, w, scale = 1e4).as("beta"))
+        .orderBy("key_a", "key_b", "bucket_us")
+    },
+    Some(s"""
+      $rollingMomentsSql
+      SELECT key_a, key_b, epoch_us(t) AS bucket_us,
+             CASE WHEN cnt >= 24
+                   AND (CAST(cnt AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+                  THEN round((CAST(cnt AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                             / (CAST(cnt AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 6)
+             END AS beta
+      FROM s ORDER BY key_a, key_b, bucket_us"""))
+
+  // Lead-lag cross-correlation: r between a's hourly series at t and b's
+  // at t+lag for lag ∈ [−3, 3] — exact integer hour indexes (integer
+  // division, never a float divide) and the q_correlation moment
+  // determinism, 70 (pair, lag) rows at sf0.01.
+  private val qLeadLagCorr = QDef(
+    "q_leadlag_corr",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.leadLagCorr(h, "event_type", "hb", "v", maxLag = 3,
+        scale = 1e4)
+    },
+    Some("""
+      WITH h AS (SELECT event_type AS k,
+                        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      l AS (SELECT unnest(range(-3, 4)) AS lag),
+      p AS (SELECT x.k AS key_a, y.k AS key_b, l.lag,
+                   x.v AS xa, y.v AS xb
+            FROM h x CROSS JOIN l JOIN h y
+              ON y.hb = x.hb + l.lag AND x.k < y.k),
+      s AS (SELECT key_a, key_b, lag, COUNT(*) AS n,
+                   CAST(SUM(xa) AS BIGINT) AS sx, CAST(SUM(xb) AS BIGINT) AS sy,
+                   CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+                   CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+                   CAST(SUM(xb * xb) AS BIGINT) AS syy
+            FROM p GROUP BY 1, 2, 3)
+      SELECT key_a, key_b, CAST(lag AS BIGINT) AS lag, n,
+             CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+                   AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+                  THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             END AS corr
+      FROM s ORDER BY key_a, key_b, lag"""))
+
+  // Purged walk-forward CV splits with embargo over the event stream:
+  // 5 equal-time test folds, 12 h label horizon (train samples whose
+  // labels peek into the test window are purged), 6 h embargo after each
+  // window — all integer-µs arithmetic, membership engine-reproducible.
+  private val qPurgedSplit = QDef(
+    "q_purged_split",
+    (s, dir) => Relational.purgedTimeSplit(t(s, dir, "events"),
+        "event_id", "ts", k = 5,
+        horizonUs = 12L * 3600 * 1000000, embargoUs = 6L * 3600 * 1000000)
+      .orderBy("event_id", "fold"),
+    Some("""
+      WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+      b AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM e),
+      f AS (SELECT ff.fold, b.lo + ff.fold * ((b.hi - b.lo + 1) // 5) AS f_lo,
+                   CASE WHEN ff.fold = 4 THEN b.hi + 1
+                        ELSE b.lo + (ff.fold + 1) * ((b.hi - b.lo + 1) // 5) END AS f_hi
+            FROM (SELECT unnest(range(0, 5)) AS fold) ff CROSS JOIN b)
+      SELECT e.event_id, e.ts_us, CAST(f.fold AS BIGINT) AS fold,
+             CASE WHEN e.ts_us >= f.f_lo AND e.ts_us < f.f_hi THEN 'test'
+                  WHEN e.ts_us < f.f_lo AND e.ts_us + 43200000000 >= f.f_lo THEN 'purged'
+                  WHEN e.ts_us >= f.f_hi AND e.ts_us < f.f_hi + 21600000000 THEN 'embargo'
+                  ELSE 'train' END AS role
+      FROM e CROSS JOIN f ORDER BY event_id, fold"""))
 
   private val qRangeRead = QDef(
     "q_range_read",
@@ -3538,7 +3638,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
-    qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
+    qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qPurgedSplit, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qTokenBudget, qStratifiedSample, qBpeTokens,

@@ -76,8 +76,32 @@ object windows {
     * for any real (window, scale) pairing since n is the window length. */
   def rollingCorr(x: Column, y: Column, n: Int, w: WindowSpec,
                   scale: Double = 1e6): Column = {
-    require(n >= 2, s"rollingCorr needs a window of at least 2, got $n")
-    require(scale > 0.0, s"scale must be positive, got $scale")
+    val m = rollingMoments(x, y, n, w, scale, "rollingCorr")
+    when(m.cnt >= n && m.va > 0.0 && m.vb > 0.0,
+      round(m.cov / (sqrt(m.va) * sqrt(m.vb)), 6))
+  }
+
+  /** Rolling OLS beta of `x` on `y` over the trailing `n` rows —
+    * `cov(x,y)/var(y)`, the hedge ratio / market sensitivity window
+    * (how many units of y hedge one unit of x). Same integer-moment
+    * determinism, pairwise-null, and warm-up contract as
+    * [[rollingCorr]]; a zero-variance benchmark window yields null. */
+  def rollingBeta(x: Column, y: Column, n: Int, w: WindowSpec,
+                  scale: Double = 1e6): Column = {
+    val m = rollingMoments(x, y, n, w, scale, "rollingBeta")
+    when(m.cnt >= n && m.vb > 0.0, round(m.cov / m.vb, 6))
+  }
+
+  private final case class Moments(cnt: Column, cov: Column, va: Column, vb: Column)
+
+  /** The five exact-integer moment window sums shared by [[rollingCorr]]
+    * and [[rollingBeta]]: both inputs quantize to `⌊v·scale⌋` BIGINTs,
+    * rows with EITHER side null drop pairwise, all aggregates share one
+    * trailing frame (one physical window op). */
+  private def rollingMoments(x: Column, y: Column, n: Int, w: WindowSpec,
+                             scale: Double, caller: String): Moments = {
+    require(n >= 2, s"$caller needs a window of at least 2, got $n")
+    require(scale > 0.0, s"$caller: scale must be positive, got $scale")
     val f = trailing(w, n)
     val both = x.isNotNull && y.isNotNull
     val x6 = when(both, floor(x.cast("double") * scale).cast("long"))
@@ -89,11 +113,10 @@ object windows {
     val sxx = sum(x6 * x6).over(f).cast("double")
     val syy = sum(y6 * y6).over(f).cast("double")
     val nD = cnt.cast("double")
-    val cov = nD * sxy - sx * sy
-    val va = nD * sxx - sx * sx
-    val vb = nD * syy - sy * sy
-    when(cnt >= n && va > 0.0 && vb > 0.0,
-      round(cov / (sqrt(va) * sqrt(vb)), 6))
+    Moments(cnt,
+      nD * sxy - sx * sy,
+      nD * sxx - sx * sx,
+      nD * syy - sy * sy)
   }
 
   /** pandas `cumsum()` (W10). */

@@ -479,7 +479,16 @@ object Relational {
         col("x._t") === col("y._t") && col("x._k") < col("y._k"))
       .select(col("x._k").as("key_a"), col("y._k").as("key_b"),
         col("x._v").as("_xa"), col("y._v").as("_xb"))
-    val sums = paired.groupBy("key_a", "key_b").agg(
+    momentCorr(paired, Seq("key_a", "key_b"))
+      .orderBy("key_a", "key_b")
+  }
+
+  /** Shared moment-sum → Pearson-r reduction: group `(_xa, _xb)` pairs
+    * by `keys`, accumulate the five EXACT integer moment sums, derive r
+    * in one fixed double tree (null on a zero-variance leg). Backs
+    * [[correlationMatrix]] and [[leadLagCorr]]. */
+  private def momentCorr(paired: DataFrame, keys: Seq[String]): DataFrame = {
+    val sums = paired.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n"),
       sum("_xa").as("_sx"), sum("_xb").as("_sy"),
       sum(col("_xa") * col("_xb")).as("_sxy"),
@@ -494,10 +503,100 @@ object Relational {
       col("_sx").cast("double") * col("_sx").cast("double")
     val vb = nD * col("_syy").cast("double") -
       col("_sy").cast("double") * col("_sy").cast("double")
-    sums.select(col("key_a"), col("key_b"), col("n"),
-        when(va > 0.0 && vb > 0.0,
-          round(cov / (sqrt(va) * sqrt(vb)), 6)).as("corr"))
-      .orderBy("key_a", "key_b")
+    sums.select(keys.map(col) ++ Seq(col("n"),
+      when(va > 0.0 && vb > 0.0,
+        round(cov / (sqrt(va) * sqrt(vb)), 6)).as("corr")): _*)
+  }
+
+  /** Lead-lag cross-correlation: Pearson r between series a at bucket t
+    * and series b at bucket `t + lag`, for every pair and every
+    * `lag ∈ [−maxLag, maxLag]` — "does a lead b, and by how much?" (the
+    * cross-market lead discovery the one-lag-zero [[correlationMatrix]]
+    * can't see; a positive-lag peak means a's moves precede b's).
+    *
+    * `bucketCol` must be an INTEGRAL bucket index (epoch-hours, bar
+    * number — callers derive it with exact integer division, never a
+    * float divide). Same determinism contract as [[correlationMatrix]]:
+    * `⌊v·scale⌋` BIGINT moments, fixed double tree, 6 dp.
+    *
+    * Scale shape: the x side replicates per lag (2·maxLag+1 skinny
+    * copies — series rows, not corpus), one bucket equi-join on the
+    * SHIFTED index, moment agg onto pairs·lags keys. */
+  def leadLagCorr(df: DataFrame, keyCol: String, bucketCol: String,
+                  valueCol: String, maxLag: Int,
+                  scale: Double = 1e6): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    require(scale > 0.0, s"scale must be positive, got $scale")
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("_k"),
+        col(bucketCol).cast("long").as("_t"),
+        floor(col(valueCol).cast("double") * scale).cast("long").as("_v"))
+    val lagged = base.withColumn("lag",
+        explode(sequence(lit(-maxLag), lit(maxLag))))
+      .withColumn("lag", col("lag").cast("long"))
+    val paired = lagged.as("x").join(base.as("y"),
+        col("y._t") === col("x._t") + col("lag") && col("x._k") < col("y._k"))
+      .select(col("x._k").as("key_a"), col("y._k").as("key_b"), col("lag"),
+        col("x._v").as("_xa"), col("y._v").as("_xb"))
+    momentCorr(paired, Seq("key_a", "key_b", "lag"))
+      .orderBy("key_a", "key_b", "lag")
+  }
+
+  /** Purged walk-forward cross-validation splits with embargo (the
+    * López de Prado time-series CV protocol): `k` contiguous equal-TIME
+    * test folds; for each fold every sample gets a role —
+    *  - `test`: observation time inside the fold window;
+    *  - `purged`: training candidate whose LABEL interval
+    *    `[ts, ts + horizon]` overlaps the test window (its label peeks
+    *    at test-period outcomes — the leakage plain K-fold misses);
+    *  - `embargo`: starts within `embargo` µs AFTER the test window
+    *    (serial correlation leaks backward from test into immediately
+    *    following samples);
+    *  - `train`: everything else.
+    * Plain hash or random K-fold on financial series overstates skill
+    * precisely because it skips the purge+embargo; [[Dedup.leakageSafeSplit]]
+    * is the content-duplication analog of this temporal control.
+    *
+    * Fold bounds derive from the corpus min/max observation µs in EXACT
+    * integer arithmetic (span divided with `div`, last fold takes the
+    * remainder), so membership is engine-reproducible — no float
+    * quantiles. Output: one row per sample per fold,
+    * `(idCol, ts_us, fold, role)` — n·k rows, k is small.
+    *
+    * Scale shape: one 2-value global agg (min/max), then a broadcast
+    * cross join against the k-row fold frame and a pure projection —
+    * the corpus never shuffles or sorts. */
+  def purgedTimeSplit(df: DataFrame, idCol: String, tsCol: String,
+                      k: Int, horizonUs: Long, embargoUs: Long = 0L): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds, got $k")
+    require(horizonUs >= 0L && embargoUs >= 0L,
+      s"horizon/embargo must be non-negative, got $horizonUs/$embargoUs")
+    val e = df.select(col(idCol), unix_micros(col(tsCol).cast("timestamp")).as("ts_us"))
+    val bounds = e.agg(min("ts_us").as("lo"), max("ts_us").as("hi")).head()
+    if (bounds.isNullAt(0))
+      return e.withColumn("fold", lit(null).cast("long"))
+        .withColumn("role", lit(null).cast("string"))
+    val lo = bounds.getLong(0)
+    val hi = bounds.getLong(1)
+    val span = hi - lo + 1L // inclusive of the last observation
+    val step = span / k
+    val folds = (0 until k).map { f =>
+      val a = lo + f * step
+      val b = if (f == k - 1) hi + 1L else lo + (f + 1) * step
+      (f.toLong, a, b)
+    }
+    val foldDf = broadcast(df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(folds, 1))
+      .toDF("fold", "f_lo", "f_hi"))
+    e.crossJoin(foldDf)
+      .withColumn("role",
+        when(col("ts_us") >= col("f_lo") && col("ts_us") < col("f_hi"), "test")
+          .when(col("ts_us") < col("f_lo") &&
+            col("ts_us") + lit(horizonUs) >= col("f_lo"), "purged")
+          .when(col("ts_us") >= col("f_hi") &&
+            col("ts_us") < col("f_hi") + lit(embargoUs), "embargo")
+          .otherwise("train"))
+      .select(col(idCol), col("ts_us"), col("fold"), col("role"))
   }
 
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],

@@ -2348,6 +2348,61 @@ class OpsSpec extends SparkSpec {
       graft.functions.windows.rollingCorr(col("x"), col("y"), 1, w))
   }
 
+  test("rollingBeta: closed-form hedge ratio, zero-variance benchmark null") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1 to 5).map(t => ("h", t.toLong, 2.0 * t, t.toDouble)) ++
+      (1 to 5).map(t => ("z", t.toLong, t.toDouble, 3.0))
+    val w = Window.partitionBy("k").orderBy("t")
+    val out = rows.toDF("k", "t", "x", "y")
+      .select(col("k"), col("t"),
+        graft.functions.windows.rollingBeta(col("x"), col("y"), 3, w).as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(("h", 1L)).isEmpty && out(("h", 2L)).isEmpty, "warm-up rows null")
+    (3 to 5).foreach(t => assert(out(("h", t.toLong)) == Some(2.0)))
+    (3 to 5).foreach(t => assert(out(("z", t.toLong)).isEmpty,
+      "zero-variance benchmark must be null, not Inf"))
+  }
+
+  test("leadLagCorr: a shifted copy peaks at exactly its lag") {
+    val vals = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0)
+    // series b trails a by one bucket: a's move at t shows up in b at t+1
+    val rows = vals.zipWithIndex.flatMap { case (v, i) =>
+      Seq(("a", i.toLong, v), ("b", (i + 1).toLong, v)) }
+    val out = Relational.leadLagCorr(rows.toDF("k", "t", "v"), "k", "t", "v",
+        maxLag = 2)
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out.keySet == Set(-2L, -1L, 0L, 1L, 2L))
+    assert(out(1L) == Some(1.0), s"the true lag must peak at exactly 1: $out")
+    assert(out.filter(_._1 != 1L).values.forall(_ != Some(1.0)),
+      s"no other lag may claim a perfect fit: $out")
+    intercept[IllegalArgumentException](
+      Relational.leadLagCorr(rows.toDF("k", "t", "v"), "k", "t", "v", maxLag = 0))
+  }
+
+  test("purgedTimeSplit: test/purged/embargo/train roles land exactly per fold") {
+    // 10 samples at µs 0..9, k=2 → fold0 [0,5), fold1 [5,10);
+    // horizon 2 µs, embargo 1 µs
+    val df = (0L to 9L).map(i => (i, i)).toDF("id", "t")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val out = Relational.purgedTimeSplit(df, "id", "ts", k = 2,
+        horizonUs = 2L, embargoUs = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getString(3)).toMap
+    assert(out.size == 20, "one row per sample per fold")
+    // fold 0: 0-4 test; 5 embargoed (starts right after the window); 6-9 train
+    (0L to 4L).foreach(i => assert(out((i, 0L)) == "test"))
+    assert(out((5L, 0L)) == "embargo")
+    (6L to 9L).foreach(i => assert(out((i, 0L)) == "train"))
+    // fold 1: 5-9 test; 3,4 purged (label interval reaches into the
+    // window); 0-2 clean train
+    (5L to 9L).foreach(i => assert(out((i, 1L)) == "test"))
+    assert(out((3L, 1L)) == "purged" && out((4L, 1L)) == "purged")
+    (0L to 2L).foreach(i => assert(out((i, 1L)) == "train"))
+    intercept[IllegalArgumentException](
+      Relational.purgedTimeSplit(df, "id", "ts", k = 1, horizonUs = 0L))
+  }
+
   test("removeTopComponent: exact on an axis-aligned pair") {
     // (±1, 0): zero mean, G = [[2,0],[0,0]] → u = (1,0) exactly after
     // quantization; scores ±1, residuals identically zero
