@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{windows => W, TaIndicators => TA}
-import graft.operators.{Dedup, Multimodal, Relational, Resample, Retrieval, SentimentScorer, Similarity, Sketches, TemporalJoins, TextAnalysis}
+import graft.operators.{Dedup, Labeling, Multimodal, Relational, Resample, Retrieval, SentimentScorer, Similarity, Sketches, TemporalJoins, TextAnalysis}
 import graft.time.TimeNorm
 import org.apache.spark.sql.graft.GraftFunctions
 
@@ -454,6 +454,80 @@ object Queries {
                   WHEN e.ts_us >= f.f_hi AND e.ts_us < f.f_hi + 21600000000 THEN 'embargo'
                   ELSE 'train' END AS role
       FROM e CROSS JOIN f ORDER BY event_id, fold"""))
+
+  // Volume bars: a new bar per 5,000 units of traded value — bar
+  // boundaries derive from the exact integer-cent running sum over the
+  // total (ts, event_id) ordering, so bar membership is
+  // engine-reproducible even with duplicate timestamps.
+  private val qVolumeBars = QDef(
+    "q_volume_bars",
+    (s, dir) => Resample.volumeBars(t(s, dir, "events"), "ts", "value",
+        "value", "event_id", Seq("event_type"), threshold = 5000.0)
+      .select(col("event_type"), col("bar_id"), col("open"), col("high"),
+        col("low"), col("close"), col("volume"), col("n_ticks"),
+        micros(col("open_ts")).as("open_ts_us"),
+        micros(col("close_ts")).as("close_ts_us"))
+      .orderBy("event_type", "bar_id"),
+    Some("""
+      WITH b AS (SELECT event_type, ts, value, event_id,
+                        COALESCE(SUM(CAST(floor(value * 100) AS BIGINT)) OVER
+                          (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+                 FROM events),
+      c AS (SELECT event_type, CAST(cumb // 500000 AS BIGINT) AS bar_id,
+                   ts, value, event_id
+            FROM b),
+      rn AS (SELECT *,
+                    row_number() OVER (PARTITION BY event_type, bar_id
+                                       ORDER BY ts, event_id) AS rf,
+                    row_number() OVER (PARTITION BY event_type, bar_id
+                                       ORDER BY ts DESC, event_id DESC) AS rl
+             FROM c),
+      g AS (SELECT event_type, bar_id, MAX(value) AS high, MIN(value) AS low,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+                   COUNT(*) AS n_ticks,
+                   epoch_us(MIN(ts)) AS open_ts_us, epoch_us(MAX(ts)) AS close_ts_us
+            FROM c GROUP BY 1, 2)
+      SELECT g.event_type, g.bar_id, o.value AS open, g.high, g.low,
+             cl.value AS close, g.volume, g.n_ticks, g.open_ts_us, g.close_ts_us
+      FROM g
+      JOIN rn o  ON o.event_type = g.event_type AND o.bar_id = g.bar_id AND o.rf = 1
+      JOIN rn cl ON cl.event_type = g.event_type AND cl.bar_id = g.bar_id AND cl.rl = 1
+      ORDER BY g.event_type, g.bar_id"""))
+
+  // Triple-barrier labels over each event type's value stream: +1 if the
+  // value first trebles (upPct=2), −1 if it first drops below 20%
+  // (dnPct=0.8), 0 if neither inside the 6 h horizon. Touch times are
+  // exact integer-µs MINs; ties resolve up by the documented rule.
+  private val qTripleBarrier = QDef(
+    "q_triple_barrier",
+    (s, dir) => Labeling.tripleBarrier(t(s, dir, "events"),
+        Seq("event_type"), "ts", "value", "event_id",
+        horizonUs = 6L * 3600 * 1000000, upPct = 2.0, dnPct = 0.8)
+      .orderBy("event_type", "ts_us", "price"),
+    // the barrier factors interpolate from Scala so BOTH engines compare
+    // against the identical binary double — DuckDB folds literal
+    // `1.0 - 0.8` in exact DECIMAL (0.2), one ulp off Scala's double
+    // subtraction, which flips boundary ticks (seen live at sf0.01)
+    Some(s"""
+      WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us,
+                        CAST(value AS DOUBLE) AS price, event_id
+                 FROM events),
+      h AS (SELECT x.event_type, x.ts_us, x.event_id,
+                   MIN(CASE WHEN f.price >= x.price * ${1.0 + 2.0} THEN f.ts_us END) AS t_up_us,
+                   MIN(CASE WHEN f.price <= x.price * ${1.0 - 0.8} THEN f.ts_us END) AS t_dn_us
+            FROM e x JOIN e f
+              ON f.event_type = x.event_type
+             AND f.ts_us > x.ts_us AND f.ts_us <= x.ts_us + 21600000000
+            GROUP BY 1, 2, 3)
+      SELECT e.event_type, e.ts_us, e.price, h.t_up_us, h.t_dn_us,
+             CASE WHEN h.t_up_us IS NOT NULL
+                   AND (h.t_dn_us IS NULL OR h.t_up_us <= h.t_dn_us) THEN 1
+                  WHEN h.t_dn_us IS NOT NULL THEN -1
+                  ELSE 0 END AS label
+      FROM e LEFT JOIN h ON e.event_type = h.event_type
+                        AND e.ts_us = h.ts_us AND e.event_id = h.event_id
+      ORDER BY e.event_type, e.ts_us, e.price"""))
 
   private val qRangeRead = QDef(
     "q_range_read",
@@ -3638,7 +3712,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
-    qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qPurgedSplit, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
+    qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qPurgedSplit, qVolumeBars, qTripleBarrier, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qTokenBudget, qStratifiedSample, qBpeTokens,

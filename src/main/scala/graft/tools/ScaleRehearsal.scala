@@ -437,6 +437,56 @@ object ScaleRehearsal {
       }
     }
 
+    // Round-6 market analytics. correlationMatrix / leadLagCorr: one
+    // bucket equi-join over skinny series rows + a moment agg onto
+    // pairs(·lags) keys — wall must track series LENGTH linearly
+    // (time-axis replication: the same 5 symbols, m× the history — the
+    // 100-TB axis; symbol count is the small dimension by contract).
+    // volumeBars: one keyed exchange (prefix sum + OHLCV agg share it).
+    // tripleBarrier: series-keyed join with bounded horizon fan-out —
+    // linear in rows at constant tick rate.
+    if (sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_MARKET", "1") != "0") {
+      import graft.operators.{Labeling, Relational, Resample}
+      val ev6 = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("ts").cast("timestamp").as("ts"))
+      def repTime(m: Int): DataFrame = (0 until m).map(r => ev6.select(
+          (col("event_id") + lit(r * 100000000L)).as("event_id"),
+          col("event_type"), col("value"),
+          (col("ts") + expr(s"INTERVAL ${r * 40} DAYS")).as("ts")))
+        .reduce(_ unionByName _)
+      for (m <- Seq(1, mults.max)) {
+        val rep = repTime(m)
+        val hourly = rep.groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("bucket"))
+          .agg((sum(col("value").cast(
+            org.apache.spark.sql.types.DecimalType(18, 2))).cast("double")
+            / count(lit(1))).as("v"))
+        val (nPairs, tCorr) = timed {
+          Relational.correlationMatrix(hourly, "event_type", "bucket", "v",
+            scale = 1e4).count()
+        }
+        val hb = hourly.withColumn("hb",
+          expr("unix_micros(bucket) div 3600000000"))
+        val (nLl, tLl) = timed {
+          Relational.leadLagCorr(hb, "event_type", "hb", "v", maxLag = 3,
+            scale = 1e4).count()
+        }
+        val (nBars, tVb) = timed {
+          Resample.volumeBars(rep, "ts", "value", "value", "event_id",
+            Seq("event_type"), threshold = 5000.0).count()
+        }
+        val (nLab, tTb) = timed {
+          Labeling.tripleBarrier(rep, Seq("event_type"), "ts", "value",
+            "event_id", horizonUs = 6L * 3600 * 1000000,
+            upPct = 2.0, dnPct = 0.8).count()
+        }
+        System.err.println(f"[rehearsal] market x$m%-3d corr=$nPairs%-4d ${tCorr}%5.1fs  " +
+          f"leadlag=$nLl%-4d ${tLl}%5.1fs  vbars=$nBars%-6d ${tVb}%5.1fs  " +
+          f"labels=$nLab%-8d ${tTb}%5.1fs")
+      }
+    }
+
     def j(v: Any): String = v match {
       case s: String => "\"" + s + "\""
       case d: Double => f"$d%.2f"

@@ -2403,6 +2403,46 @@ class OpsSpec extends SparkSpec {
       Relational.purgedTimeSplit(df, "id", "ts", k = 1, horizonUs = 0L))
   }
 
+  test("volumeBars: bars close on exact cumulative-volume thresholds") {
+    // volumes 3,3,3,3 at threshold 5: exclusive cums 0,3,6,9 → bars 0,0,1,1
+    val df = Seq((1L, 10.0, 3.0), (2L, 20.0, 3.0), (3L, 30.0, 3.0), (4L, 40.0, 3.0))
+      .map { case (t, p, v) => ("s", t, p, v) }
+      .toDF("k", "t", "p", "v").withColumn("ts", expr("timestamp_micros(t)"))
+    val out = Resample.volumeBars(df, "ts", "p", "v", "t", Seq("k"), threshold = 5.0)
+      .orderBy("bar_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 0L && out(0).getDouble(2) == 10.0 &&
+      out(0).getDouble(5) == 20.0 && out(0).getDouble(6) == 6.0 &&
+      out(0).getLong(7) == 2L)
+    assert(out(1).getLong(1) == 1L && out(1).getDouble(2) == 30.0 &&
+      out(1).getDouble(5) == 40.0)
+    intercept[IllegalArgumentException](
+      Resample.volumeBars(df, "ts", "p", "v", "t", Seq("k"), threshold = 0.0))
+  }
+
+  test("tripleBarrier: first-touch labels — up, down, time barrier, horizon cut, up-wins tie") {
+    val rows = Seq(
+      ("A", 1L, 100.0, 1L), ("A", 2L, 92.0, 2L), ("A", 3L, 330.0, 3L),
+      ("B", 1L, 100.0, 4L), ("B", 2L, 15.0, 5L),
+      ("C", 1L, 100.0, 6L), ("C", 2L, 110.0, 7L),
+      ("D", 1L, 100.0, 8L), ("D", 20L, 500.0, 9L), // next tick beyond horizon
+      ("E", 1L, 100.0, 10L), ("E", 2L, 400.0, 11L), ("E", 2L, 10.0, 12L))
+    val df = rows.toDF("k", "t", "p", "id")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val out = Labeling.tripleBarrier(df, Seq("k"), "ts", "p", "id",
+        horizonUs = 10L, upPct = 2.0, dnPct = 0.8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)) ->
+        r.getLong(5)).toMap
+    assert(out(("A", 1L, 100.0)) == 1L, "330 >= 300 first")
+    assert(out(("A", 2L, 92.0)) == 1L)
+    assert(out(("A", 3L, 330.0)) == 0L, "no future ticks → time barrier")
+    assert(out(("B", 1L, 100.0)) == -1L, "15 <= 20 → down")
+    assert(out(("C", 1L, 100.0)) == 0L && out(("C", 2L, 110.0)) == 0L)
+    assert(out(("D", 1L, 100.0)) == 0L, "tick at +19µs is beyond the 10µs horizon")
+    assert(out(("E", 1L, 100.0)) == 1L,
+      "both barriers touched at the same µs → up wins by the documented rule")
+  }
+
   test("removeTopComponent: exact on an axis-aligned pair") {
     // (±1, 0): zero mean, G = [[2,0],[0,0]] → u = (1,0) exactly after
     // quantization; scores ±1, residuals identically zero
