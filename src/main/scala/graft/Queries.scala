@@ -286,10 +286,13 @@ object Queries {
         scale = 1e4)
     },
     Some("""
-      WITH h AS (
+      WITH h0 AS (
         SELECT event_type AS k, date_trunc('hour', ts) AS t,
                CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1e4) AS BIGINT) AS v
         FROM events GROUP BY 1, 2),
+      -- null-mean buckets drop BEFORE pairing, mirroring the operator's
+      -- where(valueCol.isNotNull) (they must not count toward n)
+      h AS (SELECT * FROM h0 WHERE v IS NOT NULL),
       p AS (SELECT x.k AS key_a, y.k AS key_b, x.v AS xa, y.v AS xb
             FROM h x JOIN h y ON x.t = y.t AND x.k < y.k),
       s AS (SELECT key_a, key_b, COUNT(*) AS n,
@@ -316,9 +319,14 @@ object Queries {
       WITH h AS (SELECT event_type AS k, date_trunc('hour', ts) AS t,
                         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
                  FROM events GROUP BY 1, 2),
+      -- pairwise-null rule, mirroring windows.rollingMoments: a bucket
+      -- where EITHER side's mean is null stays a frame ROW (the trailing
+      -- frame counts physical rows) but contributes to no moment sum
       p AS (SELECT x.k AS key_a, y.k AS key_b, x.t AS t,
-                   CAST(floor(x.v * 1e4) AS BIGINT) AS x6,
-                   CAST(floor(y.v * 1e4) AS BIGINT) AS y6
+                   CASE WHEN x.v IS NOT NULL AND y.v IS NOT NULL
+                        THEN CAST(floor(x.v * 1e4) AS BIGINT) END AS x6,
+                   CASE WHEN x.v IS NOT NULL AND y.v IS NOT NULL
+                        THEN CAST(floor(y.v * 1e4) AS BIGINT) END AS y6
             FROM h x JOIN h y ON x.t = y.t AND x.k < y.k),
       s AS (SELECT key_a, key_b, t,
                    CAST(COUNT(x6) OVER win AS BIGINT) AS cnt,
@@ -335,22 +343,27 @@ object Queries {
   // sibling of q_correlation (regime shifts, not one global r). Windows
   // partition by the pair (never a global sort); the five moment sums are
   // exact integer window aggregates sharing one frame.
+  /** Shared Spark-side frame for the rolling moment queries (the twin of
+    * [[rollingMomentsSql]]): hourly mean series per event type, paired on
+    * the bucket — `(key_a, key_b, bucket, xv, yv)`. */
+  private def hourlyPairFrame(s: SparkSession, dir: String): DataFrame = {
+    val h = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg((dsum(col("value")) / count(lit(1))).as("v"))
+    h.as("x").join(h.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("key_a"), col("y.event_type").as("key_b"),
+        col("x.bucket").as("bucket"), col("x.v").as("xv"), col("y.v").as("yv"))
+  }
+  private val pairWindow = Window.partitionBy("key_a", "key_b").orderBy("bucket")
+
   private val qRollingCorr = QDef(
     "q_rolling_corr",
-    (s, dir) => {
-      val h = t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
-        .agg((dsum(col("value")) / count(lit(1))).as("v"))
-      val j = h.as("x").join(h.as("y"),
-          col("x.bucket") === col("y.bucket") &&
-            col("x.event_type") < col("y.event_type"))
-        .select(col("x.event_type").as("key_a"), col("y.event_type").as("key_b"),
-          col("x.bucket").as("bucket"), col("x.v").as("xv"), col("y.v").as("yv"))
-      val w = Window.partitionBy("key_a", "key_b").orderBy("bucket")
-      j.select(col("key_a"), col("key_b"), micros(col("bucket")).as("bucket_us"),
-          W.rollingCorr(col("xv"), col("yv"), n = 24, w, scale = 1e4).as("corr"))
-        .orderBy("key_a", "key_b", "bucket_us")
-    },
+    (s, dir) => hourlyPairFrame(s, dir)
+      .select(col("key_a"), col("key_b"), micros(col("bucket")).as("bucket_us"),
+        W.rollingCorr(col("xv"), col("yv"), n = 24, pairWindow, scale = 1e4).as("corr"))
+      .orderBy("key_a", "key_b", "bucket_us"),
     Some(s"""
       $rollingMomentsSql
       SELECT key_a, key_b, epoch_us(t) AS bucket_us,
@@ -367,20 +380,10 @@ object Queries {
   // exact-integer moment frame as q_rolling_corr, reduced to cov/var.
   private val qRollingBeta = QDef(
     "q_rolling_beta",
-    (s, dir) => {
-      val h = t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
-        .agg((dsum(col("value")) / count(lit(1))).as("v"))
-      val j = h.as("x").join(h.as("y"),
-          col("x.bucket") === col("y.bucket") &&
-            col("x.event_type") < col("y.event_type"))
-        .select(col("x.event_type").as("key_a"), col("y.event_type").as("key_b"),
-          col("x.bucket").as("bucket"), col("x.v").as("xv"), col("y.v").as("yv"))
-      val w = Window.partitionBy("key_a", "key_b").orderBy("bucket")
-      j.select(col("key_a"), col("key_b"), micros(col("bucket")).as("bucket_us"),
-          W.rollingBeta(col("xv"), col("yv"), n = 24, w, scale = 1e4).as("beta"))
-        .orderBy("key_a", "key_b", "bucket_us")
-    },
+    (s, dir) => hourlyPairFrame(s, dir)
+      .select(col("key_a"), col("key_b"), micros(col("bucket")).as("bucket_us"),
+        W.rollingBeta(col("xv"), col("yv"), n = 24, pairWindow, scale = 1e4).as("beta"))
+      .orderBy("key_a", "key_b", "bucket_us"),
     Some(s"""
       $rollingMomentsSql
       SELECT key_a, key_b, epoch_us(t) AS bucket_us,
@@ -528,6 +531,48 @@ object Queries {
       FROM e LEFT JOIN h ON e.event_type = h.event_type
                         AND e.ts_us = h.ts_us AND e.event_id = h.event_id
       ORDER BY e.event_type, e.ts_us, e.price"""))
+
+  // PSI feature drift per event type: first-half of the stream as the
+  // reference slice, second half as current; 10 reference-anchored
+  // equi-width bins, add-half smoothing, exact integer µ-term sums.
+  private val qPsiDrift = QDef(
+    "q_psi_drift",
+    (s, dir) => Relational.psiDrift(t(s, dir, "events"), Seq("event_type"),
+        "value", isRef = col("ts") < to_timestamp(lit("2024-01-15")), bins = 10)
+      .orderBy("event_type"),
+    Some("""
+      WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v,
+                        (ts < TIMESTAMP '2024-01-15') AS is_ref
+                 FROM events WHERE value IS NOT NULL),
+      b AS (SELECT event_type, min(v) AS mn, max(v) AS mx
+            FROM e WHERE is_ref GROUP BY 1),
+      c0 AS (SELECT e.event_type,
+                    CASE WHEN b.mx = b.mn THEN 0
+                         ELSE GREATEST(0, LEAST(9,
+                           CAST(floor((e.v - b.mn) / ((b.mx - b.mn) / 10.0)) AS BIGINT)))
+                    END AS bin,
+                    CAST(COUNT(CASE WHEN e.is_ref THEN 1 END) AS BIGINT) AS c_ref,
+                    CAST(COUNT(CASE WHEN NOT e.is_ref THEN 1 END) AS BIGINT) AS c_cur
+             FROM e JOIN b USING (event_type) GROUP BY 1, 2),
+      g AS (SELECT b.event_type, gg.bin FROM b
+            CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) gg),
+      cells AS (SELECT g.event_type, g.bin,
+                       COALESCE(c0.c_ref, 0) AS c_ref, COALESCE(c0.c_cur, 0) AS c_cur
+                FROM g LEFT JOIN c0 ON g.event_type = c0.event_type AND g.bin = c0.bin),
+      tot AS (SELECT event_type, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                     CAST(SUM(c_cur) AS BIGINT) AS n_cur
+              FROM cells GROUP BY 1),
+      terms AS (SELECT cells.event_type, tot.n_ref, tot.n_cur,
+                       CAST(round(
+                         ((CAST(c_cur AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 5.0)
+                          - (CAST(c_ref AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 5.0))
+                         * ln(((CAST(c_cur AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 5.0))
+                              / ((CAST(c_ref AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 5.0)))
+                         * 1e9) AS BIGINT) AS term_fp
+                FROM cells JOIN tot USING (event_type))
+      SELECT event_type, n_ref, n_cur,
+             CAST(CAST(SUM(term_fp) AS BIGINT) AS DOUBLE) / 1e9 AS psi
+      FROM terms GROUP BY 1, 2, 3 ORDER BY event_type"""))
 
   private val qRangeRead = QDef(
     "q_range_read",
@@ -2731,12 +2776,18 @@ object Queries {
     * [[graft.operators.Similarity.removeTopComponent]], unrolled the way
     * [[kmeansRoundSql]] unrolls Lloyd rounds. */
   private def piRoundSql(i: Int): String = s"""
-      w$i AS (SELECT gd.pp AS pos,
+      w$i AS MATERIALIZED (
+              SELECT gd.pp AS pos,
                      list_reduce(list(gd.g * u.uv ORDER BY gd.qq), (x, y) -> x + y) AS wv
               FROM gd JOIN u${i - 1} u ON gd.qq = u.pos GROUP BY gd.pp),
-      n$i AS (SELECT sqrt(list_reduce(list(wv * wv ORDER BY pos), (x, y) -> x + y)) AS nrm
+      n$i AS MATERIALIZED (
+              SELECT sqrt(list_reduce(list(wv * wv ORDER BY pos), (x, y) -> x + y)) AS nrm
               FROM w$i),
-      u$i AS (SELECT pos, floor(wv / (SELECT nrm FROM n$i) * 1e6) / 1e6 AS uv FROM w$i)"""
+      u$i AS MATERIALIZED (
+              SELECT w.pos,
+                     CASE WHEN n.nrm > 0 THEN floor(w.wv / n.nrm * 1e6) / 1e6
+                          ELSE u.uv END AS uv
+              FROM w$i w CROSS JOIN n$i n JOIN u${i - 1} u ON u.pos = w.pos)"""
 
   // All-but-the-top embedding post-processing: fixed-point corpus mean,
   // exact-integer Gram sums, 5 quantized power-iteration rounds, and the
@@ -2764,13 +2815,16 @@ object Queries {
                     CAST(COUNT(*) AS BIGINT) AS n
              FROM x GROUP BY pos),
       muv AS (SELECT pos, CAST(sfx AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS m FROM mu),
-      cr AS (SELECT x.vec_id, x.pos, CAST(floor((x.x - muv.m) * 1e6) AS BIGINT) AS c6
+      cr AS MATERIALIZED (
+             SELECT x.vec_id, x.pos, CAST(floor((x.x - muv.m) * 1e6) AS BIGINT) AS c6
              FROM x JOIN muv USING (pos)),
-      gm AS (SELECT a.pos AS pp, b.pos AS qq, CAST(SUM(a.c6 * b.c6) AS BIGINT) AS gs
+      gm AS MATERIALIZED (
+             SELECT a.pos AS pp, b.pos AS qq, CAST(SUM(a.c6 * b.c6) AS BIGINT) AS gs
              FROM cr a JOIN cr b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-      gd AS (SELECT pp, qq, CAST(gs AS DOUBLE) / 1e12 AS g FROM gm),
+      gd AS MATERIALIZED (SELECT pp, qq, CAST(gs AS DOUBLE) / 1e12 AS g FROM gm),
       j0 AS (SELECT pp FROM gm WHERE pp = qq ORDER BY gs DESC, pp LIMIT 1),
-      u0 AS (SELECT pos, CASE WHEN pos = (SELECT pp FROM j0) THEN CAST(1.0 AS DOUBLE)
+      u0 AS MATERIALIZED (
+             SELECT pos, CASE WHEN pos = (SELECT pp FROM j0) THEN CAST(1.0 AS DOUBLE)
                               ELSE CAST(0.0 AS DOUBLE) END AS uv
              FROM (SELECT DISTINCT pp AS pos FROM gm)),
       ${(1 to 5).map(piRoundSql).mkString(",")},
@@ -3712,7 +3766,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
-    qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qPurgedSplit, qVolumeBars, qTripleBarrier, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
+    qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qPurgedSplit, qVolumeBars, qTripleBarrier, qPsiDrift, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qTokenBudget, qStratifiedSample, qBpeTokens,

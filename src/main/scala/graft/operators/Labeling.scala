@@ -59,7 +59,7 @@ object Labeling {
       .agg(min(when(up, col("ts_us"))).as("t_up_us"),
         min(when(dn, col("ts_us"))).as("t_dn_us"))
     val joined = entries.join(hits,
-      (keys.map(k => Seq(s"_e_$k")).flatten :+ "_e_ts" :+ "_e_id").toSeq, "left")
+      keys.map(k => s"_e_$k") :+ "_e_ts" :+ "_e_id", "left")
     joined.select(
       (keys.map(k => col(s"_e_$k").as(k)) :+ col("_e_ts").as("ts_us")
         :+ col("_e_p").as("price") :+ col("t_up_us") :+ col("t_dn_us")

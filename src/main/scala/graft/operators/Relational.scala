@@ -178,6 +178,67 @@ object Relational {
         coalesce(col("bin_count"), lit(0L)).as("bin_count"): _*)
   }
 
+  /** Population-stability-index feature drift (PSI) per key between a
+    * REFERENCE slice and a CURRENT slice of one numeric column — the
+    * standard model-monitoring "has this feature moved" score
+    * (`PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref)`; rule of thumb:
+    * < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted). The numeric
+    * sibling of [[TextAnalysis.sourceDivergence]]'s unigram KL.
+    *
+    * Bin edges derive from the REFERENCE slice only (the scorecard
+    * convention — drift is measured against where the model was fit):
+    * `bins` equi-width cells over the reference min/max; current values
+    * outside the reference range clamp into the edge cells, so novel
+    * mass is seen, not dropped. Empty cells get add-½ smoothing (the
+    * [[TextAnalysis.importanceResample]] rule) so a vanished or novel
+    * cell contributes a finite, engine-stable term.
+    *
+    * Determinism: per-cell terms quantize to `round(term·10⁹)` BIGINTs
+    * and the PSI is their EXACT integer sum — order-free — divided back
+    * once; identical double trees feed the `ln` on every engine (the
+    * proven µnat pattern). Keys with no reference rows are absent from
+    * the output (nothing to measure against — surface them upstream).
+    *
+    * Scale shape: one reference bounds agg (key-cardinality, broadcast
+    * back), ONE grouped count over (keys, bin) with map-side combine,
+    * and key-sized joins; the corpus is scanned twice, never sorted or
+    * widely shuffled. */
+  def psiDrift(df: DataFrame, keys: Seq[String], valueCol: String,
+               isRef: Column, bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val v = col(valueCol).cast("double")
+    val bounds = df.where(isRef && v.isNotNull)
+      .groupBy(keys.map(col): _*).agg(min(v).as("_mn"), max(v).as("_mx"))
+    val width = (col("_mx") - col("_mn")) / lit(bins.toDouble)
+    val bucket = when(col("_mx") === col("_mn"), lit(0L))
+      .otherwise(greatest(lit(0L),
+        least(lit(bins - 1L), floor((v - col("_mn")) / width).cast("long"))))
+    val counts = df.where(v.isNotNull)
+      .join(broadcast(bounds), keys)
+      .groupBy(keys.map(col) :+ bucket.as("bin"): _*)
+      .agg(count(when(isRef, lit(1))).as("c_ref"),
+        count(when(!isRef, lit(1))).as("c_cur"))
+    // full bin grid (empty cells carry smoothing mass) + per-key totals
+    val grid = bounds.select(keys.map(col) :+
+      explode(sequence(lit(0L), lit(bins - 1L))).as("bin"): _*)
+    val cells = grid.join(counts, keys :+ "bin", "left")
+      .select(keys.map(col) :+ col("bin") :+
+        coalesce(col("c_ref"), lit(0L)).as("c_ref") :+
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"): _*)
+    val totals = cells.groupBy(keys.map(col): _*)
+      .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))
+    val pr = (col("c_ref").cast("double") + lit(0.5)) /
+      (col("n_ref").cast("double") + lit(bins.toDouble) * 0.5)
+    val pc = (col("c_cur").cast("double") + lit(0.5)) /
+      (col("n_cur").cast("double") + lit(bins.toDouble) * 0.5)
+    cells.join(broadcast(totals), keys)
+      .withColumn("_term_fp", round((pc - pr) * log(pc / pr) * 1e9).cast("long"))
+      .groupBy(keys.map(col): _*)
+      .agg(first("n_ref").as("n_ref"), first("n_cur").as("n_cur"),
+        (sum("_term_fp").cast("double") / 1e9).as("psi"))
+      .orderBy(keys.map(col): _*)
+  }
+
   /** Robust outlier detection per group — median/MAD flagging (the
     * monitoring pass that survives the heavy tails that break mean/σ
     * z-scores): a row is an outlier when
@@ -572,7 +633,15 @@ object Relational {
     require(horizonUs >= 0L && embargoUs >= 0L,
       s"horizon/embargo must be non-negative, got $horizonUs/$embargoUs")
     val e = df.select(col(idCol), unix_micros(col(tsCol).cast("timestamp")).as("ts_us"))
-    val bounds = e.agg(min("ts_us").as("lo"), max("ts_us").as("hi")).head()
+    val bounds = e.agg(min("ts_us").as("lo"), max("ts_us").as("hi"),
+      count(when(col("ts_us").isNull, lit(1))).as("n_null")).head()
+    // a sample with an unknown observation time could overlap ANY test
+    // window — silently training on it is exactly the leakage this
+    // operator exists to prevent, so fail loudly instead
+    require(bounds.getLong(2) == 0L,
+      s"purgedTimeSplit: ${bounds.getLong(2)} rows have a null $tsCol — " +
+        "a leakage control cannot place unknown-time samples; drop or " +
+        "repair them upstream")
     if (bounds.isNullAt(0))
       return e.withColumn("fold", lit(null).cast("long"))
         .withColumn("role", lit(null).cast("string"))
@@ -580,6 +649,9 @@ object Relational {
     val hi = bounds.getLong(1)
     val span = hi - lo + 1L // inclusive of the last observation
     val step = span / k
+    require(step > 0L,
+      s"purgedTimeSplit: the corpus spans only $span µs — fewer than k=$k " +
+        "folds; earlier folds would be empty and every role bogus")
     val folds = (0 until k).map { f =>
       val a = lo + f * step
       val b = if (f == k - 1) hi + 1L else lo + (f + 1) * step

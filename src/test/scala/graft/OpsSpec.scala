@@ -2401,6 +2401,16 @@ class OpsSpec extends SparkSpec {
     (0L to 2L).foreach(i => assert(out((i, 1L)) == "train"))
     intercept[IllegalArgumentException](
       Relational.purgedTimeSplit(df, "id", "ts", k = 1, horizonUs = 0L))
+    // unknown-time samples could overlap any test window — loud, not train
+    val nullTs = Seq((1L, Option(1L)), (2L, Option.empty[Long])).toDF("id", "t")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    intercept[IllegalArgumentException](
+      Relational.purgedTimeSplit(nullTs, "id", "ts", k = 2, horizonUs = 0L))
+    // span shorter than k folds → step 0 → every role bogus: loud
+    val tiny = Seq((1L, 1L)).toDF("id", "t")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    intercept[IllegalArgumentException](
+      Relational.purgedTimeSplit(tiny, "id", "ts", k = 2, horizonUs = 0L))
   }
 
   test("volumeBars: bars close on exact cumulative-volume thresholds") {
@@ -2441,6 +2451,23 @@ class OpsSpec extends SparkSpec {
     assert(out(("D", 1L, 100.0)) == 0L, "tick at +19µs is beyond the 10µs horizon")
     assert(out(("E", 1L, 100.0)) == 1L,
       "both barriers touched at the same µs → up wins by the documented rule")
+  }
+
+  test("psiDrift: identical slices score exactly 0; a shifted slice trips the 0.25 alarm; no-ref keys absent") {
+    val stable = (0 until 100).flatMap(i =>
+      Seq(("s", true, (i % 10) * 1.0), ("s", false, (i % 10) * 1.0)))
+    val shifted = (0 until 100).map(i => ("d", true, (i % 10) * 1.0)) ++
+      (0 until 100).map(_ => ("d", false, 9.0))
+    val noRef = Seq(("n", false, 1.0))
+    val out = Relational.psiDrift((stable ++ shifted ++ noRef).toDF("k", "ref", "v"),
+        Seq("k"), "v", col("ref"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // same counts AND same totals → p_cur ≡ p_ref per cell → every term 0
+    assert(out("s") == 0.0, s"identical slices must score exactly 0: $out")
+    assert(out("d") > 0.25, s"all mass collapsing into one bin must alarm: $out")
+    assert(!out.contains("n"), "keys with no reference slice have nothing to measure against")
+    intercept[IllegalArgumentException](
+      Relational.psiDrift(stable.toDF("k", "ref", "v"), Seq("k"), "v", col("ref"), bins = 0))
   }
 
   test("removeTopComponent: exact on an axis-aligned pair") {
