@@ -1135,6 +1135,82 @@ object Queries {
                value AS amount
         FROM events)"""
 
+  // Microprice (size-weighted expected mid) over the synthetic book:
+  // each side's best price weighted by the OPPOSITE side's best-level
+  // size — decimal-exact sizes, one fixed double tree, 6-dp rounded.
+  private val qMicroprice = QDef(
+    "q_microprice",
+    (s, dir) => graft.features.OrderbookFeatures
+      .micropriceSeries(syntheticBook(s, dir), Seq("symbol"))
+      .select(col("symbol"), micros(col("ts")).as("ts_us"),
+        round(col("bid_px"), 6).as("bid_px"), round(col("ask_px"), 6).as("ask_px"),
+        round(col("bid_sz"), 6).as("bid_sz"), round(col("ask_sz"), 6).as("ask_sz"),
+        round(col("microprice"), 6).as("microprice"))
+      .orderBy("symbol", "ts_us"),
+    Some(s"""
+      WITH $bookCte,
+      best AS (SELECT symbol, ts,
+                      MAX(CASE WHEN side = 'bid' THEN price END) AS bid_px,
+                      MIN(CASE WHEN side = 'ask' THEN price END) AS ask_px
+               FROM book GROUP BY 1, 2),
+      sz AS (SELECT bk.symbol, bk.ts, best.bid_px, best.ask_px,
+                    CAST(SUM(CASE WHEN bk.side = 'bid' AND bk.price = best.bid_px
+                                  THEN CAST(bk.amount AS DECIMAL(18,2))
+                                  ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS bid_sz,
+                    CAST(SUM(CASE WHEN bk.side = 'ask' AND bk.price = best.ask_px
+                                  THEN CAST(bk.amount AS DECIMAL(18,2))
+                                  ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS ask_sz
+             FROM book bk JOIN best USING (symbol, ts)
+             GROUP BY 1, 2, 3, 4)
+      SELECT symbol, epoch_us(ts) AS ts_us,
+             round(bid_px, 6) AS bid_px, round(ask_px, 6) AS ask_px,
+             round(bid_sz, 6) AS bid_sz, round(ask_sz, 6) AS ask_sz,
+             CASE WHEN bid_px IS NOT NULL AND ask_px IS NOT NULL
+                   AND bid_sz + ask_sz > 0
+                  THEN round((bid_px * ask_sz + ask_px * bid_sz) / (bid_sz + ask_sz), 6)
+             END AS microprice
+      FROM sz ORDER BY symbol, ts_us"""))
+
+  // Order-flow imbalance over consecutive best-level states of the
+  // synthetic book — the Cont-Kukanov-Stoikov price-impact driver; the
+  // oracle replays best levels, sizes, the per-series LAG, and the
+  // four-term conditional exactly.
+  private val qOfi = QDef(
+    "q_ofi",
+    (s, dir) => graft.features.OrderbookFeatures
+      .ofiSeries(syntheticBook(s, dir), Seq("symbol"))
+      .select(col("symbol"), micros(col("ts")).as("ts_us"),
+        round(col("ofi"), 6).as("ofi"))
+      .orderBy("symbol", "ts_us"),
+    Some(s"""
+      WITH $bookCte,
+      best AS (SELECT symbol, ts,
+                      MAX(CASE WHEN side = 'bid' THEN price END) AS bid_px,
+                      MIN(CASE WHEN side = 'ask' THEN price END) AS ask_px
+               FROM book GROUP BY 1, 2),
+      sz AS (SELECT bk.symbol, bk.ts, best.bid_px, best.ask_px,
+                    CAST(SUM(CASE WHEN bk.side = 'bid' AND bk.price = best.bid_px
+                                  THEN CAST(bk.amount AS DECIMAL(18,2))
+                                  ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS bid_sz,
+                    CAST(SUM(CASE WHEN bk.side = 'ask' AND bk.price = best.ask_px
+                                  THEN CAST(bk.amount AS DECIMAL(18,2))
+                                  ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS ask_sz
+             FROM book bk JOIN best USING (symbol, ts)
+             GROUP BY 1, 2, 3, 4),
+      l AS (SELECT symbol, ts, bid_px, ask_px, bid_sz, ask_sz,
+                   LAG(bid_px) OVER w AS pb, LAG(ask_px) OVER w AS pa,
+                   LAG(bid_sz) OVER w AS pqb, LAG(ask_sz) OVER w AS pqa
+            FROM sz WINDOW w AS (PARTITION BY symbol ORDER BY ts))
+      SELECT symbol, epoch_us(ts) AS ts_us,
+             CASE WHEN bid_px IS NOT NULL AND ask_px IS NOT NULL
+                   AND pb IS NOT NULL AND pa IS NOT NULL
+                  THEN round((CASE WHEN bid_px >= pb THEN bid_sz ELSE 0.0 END)
+                             - (CASE WHEN bid_px <= pb THEN pqb ELSE 0.0 END)
+                             - (CASE WHEN ask_px <= pa THEN ask_sz ELSE 0.0 END)
+                             + (CASE WHEN ask_px >= pa THEN pqa ELSE 0.0 END), 6)
+             END AS ofi
+      FROM l ORDER BY symbol, ts_us"""))
+
   private val qOrderbook = QDef(
     "q_orderbook",
     (s, dir) => {
@@ -3759,7 +3835,7 @@ object Queries {
     qGapDaily, qDedupLastWin, qTimeNorm, qJsonExtract, qFfill,
     qAsofJoin, qRangeJoin,
     qTaTrend, qTaOscillators, qOnchainFeatures, qMarketFeatures,
-    qOrderbook, qTrainingMatrix,
+    qOrderbook, qMicroprice, qOfi, qTrainingMatrix,
     qDedupExact, qTextStats, qLangId, qJaccardNearDup, qMinhashNearDup,
     qNearDupIncremental,
     qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qIvfPq, qIvfPqBatch, qEmbedNearDup,

@@ -41,6 +41,69 @@ object OrderbookFeatures {
       when(total =!= 0, (col("bid") - col("ask")) / total).otherwise(0.0).as("imbalance"): _*)
   }
 
+  /** Microprice per ts (Stoikov 2018): the size-weighted expected mid —
+    * each side's BEST price weighted by the OPPOSITE side's resting size
+    * at its best level,
+    * `(bid_px·ask_sz + ask_px·bid_sz)/(bid_sz + ask_sz)` — the standard
+    * short-horizon fair-value estimator (a thick bid pushes fair value
+    * toward the ask, where the next trade prints). Null when either side
+    * is absent or both best-level sizes are zero.
+    *
+    * Determinism: best prices are exact MAX/MIN; best-level sizes sum
+    * through DECIMAL(18,2) (order-free); the microprice itself is one
+    * fixed double tree. Scale shape: two aggs + one join, all keyed on
+    * (keys, ts) — one exchange reused, nothing global. */
+  def micropriceSeries(df: DataFrame, keys: Seq[String] = Nil): DataFrame = {
+    val kts = groupCols(keys)
+    val D = org.apache.spark.sql.types.DecimalType(18, 2)
+    val best = df.groupBy(kts: _*).agg(
+      max(when(col("side") === "bid", col("price"))).as("bid_px"),
+      min(when(col("side") === "ask", col("price"))).as("ask_px"))
+    val sized = df.join(best, keys :+ "ts")
+      .groupBy(kts: _*)
+      .agg(first("bid_px").as("bid_px"), first("ask_px").as("ask_px"),
+        sum(when(col("side") === "bid" && col("price") === col("bid_px"),
+          col("amount")).otherwise(lit(0.0)).cast(D)).cast("double").as("bid_sz"),
+        sum(when(col("side") === "ask" && col("price") === col("ask_px"),
+          col("amount")).otherwise(lit(0.0)).cast(D)).cast("double").as("ask_sz"))
+    sized.withColumn("microprice",
+      when(col("bid_px").isNotNull && col("ask_px").isNotNull &&
+          (col("bid_sz") + col("ask_sz")) > 0.0,
+        (col("bid_px") * col("ask_sz") + col("ask_px") * col("bid_sz"))
+          / (col("bid_sz") + col("ask_sz"))))
+  }
+
+  /** Order-flow imbalance per snapshot (Cont, Kukanov & Stoikov 2014):
+    * the canonical level-1 flow proxy
+    * `e_t = 1{b_t ≥ b_{t−1}}·q^b_t − 1{b_t ≤ b_{t−1}}·q^b_{t−1}
+    *      − 1{a_t ≤ a_{t−1}}·q^a_t + 1{a_t ≥ a_{t−1}}·q^a_{t−1}`
+    * over consecutive best-level states (prices b/a, sizes q) — the
+    * short-horizon price-impact driver (price changes regress on OFI
+    * with the book's depth as slope). Built on [[micropriceSeries]]'s
+    * best-level frame plus one per-series lag window; the first snapshot
+    * and any one-sided state yield null.
+    *
+    * Determinism: the best-level inputs are exact (MAX/MIN prices,
+    * DECIMAL sizes) and OFI is one fixed conditional tree over them.
+    * Scale shape: the lag window rides the same (keys) partitioning as
+    * every series op here — no extra exchange beyond micropriceSeries'. */
+  def ofiSeries(df: DataFrame, keys: Seq[String] = Nil): DataFrame = {
+    val s = micropriceSeries(df, keys)
+    val w = seriesWindow(keys)
+    val pb = lag(col("bid_px"), 1).over(w)
+    val pa = lag(col("ask_px"), 1).over(w)
+    val pqb = lag(col("bid_sz"), 1).over(w)
+    val pqa = lag(col("ask_sz"), 1).over(w)
+    val present = col("bid_px").isNotNull && col("ask_px").isNotNull &&
+      pb.isNotNull && pa.isNotNull
+    s.withColumn("ofi",
+      when(present,
+        when(col("bid_px") >= pb, col("bid_sz")).otherwise(lit(0.0))
+          - when(col("bid_px") <= pb, pqb).otherwise(lit(0.0))
+          - when(col("ask_px") <= pa, col("ask_sz")).otherwise(lit(0.0))
+          + when(col("ask_px") >= pa, pqa).otherwise(lit(0.0))))
+  }
+
   /** Spread per ts: best ask − best bid with as-of forward-fill of missing
     * asks onto the bid axis, 0-filled (`orderbook_features.py:121-137`,
     * A3 + J4). The ffill window partitions on the series keys. */

@@ -2470,6 +2470,41 @@ class OpsSpec extends SparkSpec {
       Relational.psiDrift(stable.toDF("k", "ref", "v"), Seq("k"), "v", col("ref"), bins = 0))
   }
 
+  test("micropriceSeries: opposite-size weighting at the best levels; absent side is null") {
+    // best bid 100 (size 2+3=5 across two prints), best ask 101 (size 1):
+    // micro = (100·1 + 101·5)/6 — the thick bid pulls fair value up
+    val book = Seq(
+      ("s", 1L, "bid", 100.0, 2.0), ("s", 1L, "bid", 100.0, 3.0),
+      ("s", 1L, "bid", 99.0, 9.0), ("s", 1L, "ask", 101.0, 1.0),
+      ("s", 1L, "ask", 102.0, 7.0),
+      ("s", 2L, "bid", 100.0, 1.0)) // no ask at ts 2
+      .toDF("symbol", "t", "side", "price", "amount")
+      .withColumn("ts", expr("timestamp_micros(t)")).drop("t")
+    val out = graft.features.OrderbookFeatures.micropriceSeries(book, Seq("symbol"))
+      .orderBy("ts").collect()
+    assert(out.length == 2)
+    assert(Option(out(0).getAs[Any]("microprice")) ==
+      Some((100.0 * 1.0 + 101.0 * 5.0) / 6.0), s"${out.toSeq}")
+    assert(out(1).isNullAt(out(1).fieldIndex("microprice")),
+      "one-sided book has no microprice")
+  }
+
+  test("ofiSeries: four-term flow over consecutive best states; first snapshot null") {
+    // t2: bid flat at 100 (sz 5→7) → +7−5; ask lifts 101→102 → +prev ask sz 2 → OFI 4
+    // t3: bid drops → −prev bid sz 7; ask drops back → −cur ask sz 6 → OFI −13
+    val book = Seq(
+      ("s", 1L, "bid", 100.0, 5.0), ("s", 1L, "ask", 101.0, 2.0),
+      ("s", 2L, "bid", 100.0, 7.0), ("s", 2L, "ask", 102.0, 3.0),
+      ("s", 3L, "bid", 99.0, 4.0), ("s", 3L, "ask", 101.0, 6.0))
+      .toDF("symbol", "t", "side", "price", "amount")
+      .withColumn("ts", expr("timestamp_micros(t)")).drop("t")
+    val out = graft.features.OrderbookFeatures.ofiSeries(book, Seq("symbol"))
+      .orderBy("ts").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("ofi")), "no prior state at the first snapshot")
+    assert(out(1).getAs[Double]("ofi") == 4.0, s"${out.toSeq}")
+    assert(out(2).getAs[Double]("ofi") == -13.0, s"${out.toSeq}")
+  }
+
   test("removeTopComponent: exact on an axis-aligned pair") {
     // (±1, 0): zero mean, G = [[2,0],[0,0]] → u = (1,0) exactly after
     // quantization; scores ±1, residuals identically zero
