@@ -476,6 +476,20 @@ class PlanSpec extends SparkSpec {
       s"the corpus-side projection must not shuffle:\n${plan.take(1500)}")
   }
 
+  test("volumeBars and tripleBarrier: keyed joins/windows only, never a cartesian blow-up") {
+    val ticks = (0 until 200).map(i =>
+      ("s" + (i % 3), i.toLong, 100.0 + i % 7, 3.0 + i % 2))
+      .toDF("k", "t", "p", "v")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val vb = planOf(graft.operators.Resample.volumeBars(
+      ticks, "ts", "p", "v", "t", Seq("k"), threshold = 10.0))
+    assert(!vb.contains("CartesianProduct") && !vb.contains("BroadcastNestedLoopJoin"))
+    val tb = planOf(graft.operators.Labeling.tripleBarrier(
+      ticks, Seq("k"), "ts", "p", "t", horizonUs = 50L, upPct = 0.1, dnPct = 0.05))
+    assert(!tb.contains("CartesianProduct") && !tb.contains("BroadcastNestedLoopJoin"),
+      s"the horizon scan must ride the series-key equi-join:\n${tb.take(1500)}")
+  }
+
   test("clusterBalancedSample: assignment is a zero-shuffle projection; rates broadcast back") {
     val vecs = (0 until 64).map(i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 2.0 + j))))
