@@ -409,11 +409,14 @@ object Queries {
         scale = 1e4)
     },
     Some("""
-      WITH h AS (SELECT event_type AS k,
+      WITH h0 AS (SELECT event_type AS k,
                         epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
                         CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                                    / COUNT(*) * 1e4) AS BIGINT) AS v
                  FROM events GROUP BY 1, 2),
+      -- null-mean buckets drop BEFORE pairing (the operator filters
+      -- valueCol.isNotNull — they must not count toward n)
+      h AS (SELECT * FROM h0 WHERE v IS NOT NULL),
       l AS (SELECT unnest(range(-3, 4)) AS lag),
       p AS (SELECT x.k AS key_a, y.k AS key_b, l.lag,
                    x.v AS xa, y.v AS xb
@@ -1135,6 +1138,24 @@ object Queries {
                value AS amount
         FROM events)"""
 
+  /** Best-level + best-size CTE chain over the synthetic book, shared by
+    * q_microprice and q_ofi (one definition so the two oracles cannot
+    * silently diverge on level/size semantics). */
+  private val bookBestSzCte = s"""$bookCte,
+      best AS (SELECT symbol, ts,
+                      MAX(CASE WHEN side = 'bid' THEN price END) AS bid_px,
+                      MIN(CASE WHEN side = 'ask' THEN price END) AS ask_px
+               FROM book GROUP BY 1, 2),
+      sz AS (SELECT bk.symbol, bk.ts, best.bid_px, best.ask_px,
+                    CAST(SUM(CASE WHEN bk.side = 'bid' AND bk.price = best.bid_px
+                                  THEN CAST(bk.amount AS DECIMAL(18,2))
+                                  ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS bid_sz,
+                    CAST(SUM(CASE WHEN bk.side = 'ask' AND bk.price = best.ask_px
+                                  THEN CAST(bk.amount AS DECIMAL(18,2))
+                                  ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS ask_sz
+             FROM book bk JOIN best USING (symbol, ts)
+             GROUP BY 1, 2, 3, 4)"""
+
   // Microprice (size-weighted expected mid) over the synthetic book:
   // each side's best price weighted by the OPPOSITE side's best-level
   // size — decimal-exact sizes, one fixed double tree, 6-dp rounded.
@@ -1148,20 +1169,7 @@ object Queries {
         round(col("microprice"), 6).as("microprice"))
       .orderBy("symbol", "ts_us"),
     Some(s"""
-      WITH $bookCte,
-      best AS (SELECT symbol, ts,
-                      MAX(CASE WHEN side = 'bid' THEN price END) AS bid_px,
-                      MIN(CASE WHEN side = 'ask' THEN price END) AS ask_px
-               FROM book GROUP BY 1, 2),
-      sz AS (SELECT bk.symbol, bk.ts, best.bid_px, best.ask_px,
-                    CAST(SUM(CASE WHEN bk.side = 'bid' AND bk.price = best.bid_px
-                                  THEN CAST(bk.amount AS DECIMAL(18,2))
-                                  ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS bid_sz,
-                    CAST(SUM(CASE WHEN bk.side = 'ask' AND bk.price = best.ask_px
-                                  THEN CAST(bk.amount AS DECIMAL(18,2))
-                                  ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS ask_sz
-             FROM book bk JOIN best USING (symbol, ts)
-             GROUP BY 1, 2, 3, 4)
+      WITH $bookBestSzCte
       SELECT symbol, epoch_us(ts) AS ts_us,
              round(bid_px, 6) AS bid_px, round(ask_px, 6) AS ask_px,
              round(bid_sz, 6) AS bid_sz, round(ask_sz, 6) AS ask_sz,
@@ -1183,20 +1191,7 @@ object Queries {
         round(col("ofi"), 6).as("ofi"))
       .orderBy("symbol", "ts_us"),
     Some(s"""
-      WITH $bookCte,
-      best AS (SELECT symbol, ts,
-                      MAX(CASE WHEN side = 'bid' THEN price END) AS bid_px,
-                      MIN(CASE WHEN side = 'ask' THEN price END) AS ask_px
-               FROM book GROUP BY 1, 2),
-      sz AS (SELECT bk.symbol, bk.ts, best.bid_px, best.ask_px,
-                    CAST(SUM(CASE WHEN bk.side = 'bid' AND bk.price = best.bid_px
-                                  THEN CAST(bk.amount AS DECIMAL(18,2))
-                                  ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS bid_sz,
-                    CAST(SUM(CASE WHEN bk.side = 'ask' AND bk.price = best.ask_px
-                                  THEN CAST(bk.amount AS DECIMAL(18,2))
-                                  ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS ask_sz
-             FROM book bk JOIN best USING (symbol, ts)
-             GROUP BY 1, 2, 3, 4),
+      WITH $bookBestSzCte,
       l AS (SELECT symbol, ts, bid_px, ask_px, bid_sz, ask_sz,
                    LAG(bid_px) OVER w AS pb, LAG(ask_px) OVER w AS pa,
                    LAG(bid_sz) OVER w AS pqb, LAG(ask_sz) OVER w AS pqa
@@ -1210,6 +1205,51 @@ object Queries {
                              + (CASE WHEN ask_px >= pa THEN pqa ELSE 0.0 END), 6)
              END AS ofi
       FROM l ORDER BY symbol, ts_us"""))
+
+  // Price-impact lambda per symbol: OLS slope of mid-price changes on
+  // order-flow imbalance — the CKS/Kyle liquidity estimate; five exact
+  // integer moment sums at scale 10² (bounded well under 2⁶³ for the
+  // value-scale sizes), one row per series.
+  private val qImpactLambda = QDef(
+    "q_impact_lambda",
+    (s, dir) => graft.features.OrderbookFeatures
+      .impactLambda(syntheticBook(s, dir), Seq("symbol"), scale = 1e2)
+      .orderBy("symbol"),
+    Some(s"""
+      WITH $bookBestSzCte,
+      l AS (SELECT symbol, ts, bid_px, ask_px, bid_sz, ask_sz,
+                   LAG(bid_px) OVER w AS pb, LAG(ask_px) OVER w AS pa,
+                   LAG(bid_sz) OVER w AS pqb, LAG(ask_sz) OVER w AS pqa
+            FROM sz WINDOW w AS (PARTITION BY symbol ORDER BY ts)),
+      o AS (SELECT symbol, ts, (bid_px + ask_px) / 2.0 AS mid,
+                   CASE WHEN bid_px IS NOT NULL AND ask_px IS NOT NULL
+                         AND pb IS NOT NULL AND pa IS NOT NULL
+                        THEN (CASE WHEN bid_px >= pb THEN bid_sz ELSE 0.0 END)
+                             - (CASE WHEN bid_px <= pb THEN pqb ELSE 0.0 END)
+                             - (CASE WHEN ask_px <= pa THEN ask_sz ELSE 0.0 END)
+                             + (CASE WHEN ask_px >= pa THEN pqa ELSE 0.0 END)
+                   END AS ofi
+            FROM l),
+      d AS (SELECT symbol, ofi,
+                   mid - LAG(mid) OVER (PARTITION BY symbol ORDER BY ts) AS dmid
+            FROM o),
+      q AS (SELECT symbol,
+                   CASE WHEN dmid IS NOT NULL AND ofi IS NOT NULL
+                        THEN CAST(floor(ofi * 1e2) AS BIGINT) END AS x6,
+                   CASE WHEN dmid IS NOT NULL AND ofi IS NOT NULL
+                        THEN CAST(floor(dmid * 1e2) AS BIGINT) END AS y6
+            FROM d),
+      sm AS (SELECT symbol, CAST(COUNT(x6) AS BIGINT) AS n_obs,
+                    CAST(SUM(x6) AS BIGINT) AS sx, CAST(SUM(y6) AS BIGINT) AS sy,
+                    CAST(SUM(x6 * y6) AS BIGINT) AS sxy,
+                    CAST(SUM(x6 * x6) AS BIGINT) AS sxx
+             FROM q GROUP BY 1)
+      SELECT symbol, n_obs,
+             CASE WHEN (CAST(n_obs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+                  THEN round((CAST(n_obs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                             / (CAST(n_obs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+             END AS lambda
+      FROM sm ORDER BY symbol"""))
 
   private val qOrderbook = QDef(
     "q_orderbook",
@@ -3835,7 +3875,7 @@ object Queries {
     qGapDaily, qDedupLastWin, qTimeNorm, qJsonExtract, qFfill,
     qAsofJoin, qRangeJoin,
     qTaTrend, qTaOscillators, qOnchainFeatures, qMarketFeatures,
-    qOrderbook, qMicroprice, qOfi, qTrainingMatrix,
+    qOrderbook, qMicroprice, qOfi, qImpactLambda, qTrainingMatrix,
     qDedupExact, qTextStats, qLangId, qJaccardNearDup, qMinhashNearDup,
     qNearDupIncremental,
     qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qIvfPq, qIvfPqBatch, qEmbedNearDup,

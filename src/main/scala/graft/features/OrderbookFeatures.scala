@@ -85,8 +85,9 @@ object OrderbookFeatures {
     *
     * Determinism: the best-level inputs are exact (MAX/MIN prices,
     * DECIMAL sizes) and OFI is one fixed conditional tree over them.
-    * Scale shape: the lag window rides the same (keys) partitioning as
-    * every series op here — no extra exchange beyond micropriceSeries'. */
+    * Scale shape: one series-keyed exchange ON TOP of micropriceSeries'
+    * (its agg keys on (keys, ts); the lag window re-partitions on keys
+    * alone) — still per-series, nothing global. */
   def ofiSeries(df: DataFrame, keys: Seq[String] = Nil): DataFrame = {
     val s = micropriceSeries(df, keys)
     val w = seriesWindow(keys)
@@ -102,6 +103,45 @@ object OrderbookFeatures {
           - when(col("bid_px") <= pb, pqb).otherwise(lit(0.0))
           - when(col("ask_px") <= pa, col("ask_sz")).otherwise(lit(0.0))
           + when(col("ask_px") >= pa, pqa).otherwise(lit(0.0))))
+  }
+
+  /** Price-impact lambda per series (the Cont-Kukanov-Stoikov 2014
+    * regression; Kyle 1985's λ in flow units): the OLS slope of
+    * mid-price changes on [[ofiSeries]]' order-flow imbalance,
+    * `λ = cov(Δmid, OFI)/var(OFI)` — "how many price units does one unit
+    * of net order flow move this book", the standard liquidity estimate
+    * (λ ≈ c/depth in the CKS model). Mid = (best bid + best ask)/2 from
+    * the same best-level frame.
+    *
+    * Determinism: Δmid and OFI quantize to `⌊v·scale⌋` BIGINTs and the
+    * regression derives from five EXACT integer moment sums (the
+    * [[graft.operators.Relational.correlationMatrix]] rule) — order-free
+    * under any partitioning; null when OFI never varies. Snapshots
+    * without a defined (Δmid, OFI) pair drop pairwise.
+    *
+    * Scale shape: ofiSeries' exchanges plus one keyed agg onto one row
+    * per series. Returns `(keys…, n_obs, lambda)`. */
+  def impactLambda(df: DataFrame, keys: Seq[String] = Nil,
+                   scale: Double = 1e6): DataFrame = {
+    require(scale > 0.0, s"scale must be positive, got $scale")
+    val w = seriesWindow(keys)
+    val s = ofiSeries(df, keys)
+      .withColumn("_mid", (col("bid_px") + col("ask_px")) / lit(2.0))
+      .withColumn("_dmid", col("_mid") - lag(col("_mid"), 1).over(w))
+    val both = col("_dmid").isNotNull && col("ofi").isNotNull
+    val y6 = when(both, floor(col("_dmid") * scale).cast("long"))
+    val x6 = when(both, floor(col("ofi") * scale).cast("long"))
+    val sums = s.groupBy(keys.map(col): _*).agg(
+      count(x6).as("n_obs"),
+      sum(x6).as("_sx"), sum(y6).as("_sy"),
+      sum(x6 * y6).as("_sxy"), sum(x6 * x6).as("_sxx"))
+    val nD = col("n_obs").cast("double")
+    val cov = nD * col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double")
+    val vx = nD * col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double")
+    sums.select(keys.map(col) :+ col("n_obs") :+
+      when(vx > 0.0, round(cov / vx, 6)).as("lambda"): _*)
   }
 
   /** Spread per ts: best ask − best bid with as-of forward-fill of missing

@@ -38,6 +38,10 @@ object Labeling {
   def tripleBarrier(df: DataFrame, keys: Seq[String], tsCol: String,
                     priceCol: String, idCol: String, horizonUs: Long,
                     upPct: Double, dnPct: Double): DataFrame = {
+    require(keys.nonEmpty,
+      "tripleBarrier needs the series key(s) — for a genuinely single-" +
+        "series frame add a literal key column (an empty key set would " +
+        "cross every entry against every tick)")
     require(horizonUs > 0L, s"horizon must be positive, got $horizonUs")
     require(upPct > 0.0 && dnPct > 0.0 && dnPct < 1.0,
       s"need upPct > 0 and 0 < dnPct < 1, got $upPct/$dnPct")

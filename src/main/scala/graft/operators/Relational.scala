@@ -156,15 +156,25 @@ object Relational {
     * arithmetic is the same IEEE double tree on both engines (floor of
     * one division); `bin_lo`/`bin_hi` are rounded to 6dp for output
     * stability. Groups with max == min collapse into bucket 0. */
+  /** Shared equi-width bucket expression: `⌊(v − mn)/width⌋` clamped to
+    * `[0, bins)`, bucket 0 when the range is degenerate — the exact
+    * double tree [[histogramBy]] and [[psiDrift]] both replay in SQL
+    * (keep them on ONE definition so bucketing can't silently diverge). */
+  private def equiWidthBucket(v: Column, mn: Column, mx: Column,
+                              bins: Int): Column = {
+    val width = (mx - mn) / lit(bins.toDouble)
+    when(mx === mn, lit(0L))
+      .otherwise(greatest(lit(0L),
+        least(lit(bins - 1L), floor((v - mn) / width).cast("long"))))
+  }
+
   def histogramBy(df: DataFrame, keys: Seq[String], valueCol: String,
                   bins: Int): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
     val v = col(valueCol).cast("double")
     val bounds = df.where(v.isNotNull)
       .groupBy(keys.map(col): _*).agg(min(v).as("_mn"), max(v).as("_mx"))
-    val width = (col("_mx") - col("_mn")) / lit(bins.toDouble)
-    val bucket = when(col("_mx") === col("_mn"), lit(0L))
-      .otherwise(least(lit(bins - 1L), floor((v - col("_mn")) / width).cast("long")))
+    val bucket = equiWidthBucket(v, col("_mn"), col("_mx"), bins)
     val counts = df.where(v.isNotNull)
       .join(broadcast(bounds), keys)
       .groupBy(keys.map(col) :+ bucket.as("bin"): _*)
@@ -197,7 +207,9 @@ object Relational {
     * and the PSI is their EXACT integer sum — order-free — divided back
     * once; identical double trees feed the `ln` on every engine (the
     * proven µnat pattern). Keys with no reference rows are absent from
-    * the output (nothing to measure against — surface them upstream).
+    * the output (nothing to measure against — surface them upstream); a
+    * DEGENERATE reference (min == max) fails loudly — it cannot anchor
+    * bins and would report ~0 drift on any shift.
     *
     * Scale shape: one reference bounds agg (key-cardinality, broadcast
     * back), ONE grouped count over (keys, bin) with map-side combine,
@@ -209,10 +221,16 @@ object Relational {
     val v = col(valueCol).cast("double")
     val bounds = df.where(isRef && v.isNotNull)
       .groupBy(keys.map(col): _*).agg(min(v).as("_mn"), max(v).as("_mx"))
-    val width = (col("_mx") - col("_mn")) / lit(bins.toDouble)
-    val bucket = when(col("_mx") === col("_mn"), lit(0L))
-      .otherwise(greatest(lit(0L),
-        least(lit(bins - 1L), floor((v - col("_mn")) / width).cast("long"))))
+    // a single-valued reference slice cannot anchor bins: EVERY current
+    // value would clamp into cell 0 and a 100× shift would read as
+    // psi ≈ 0 — a monitoring operator must fail loudly, not reassure
+    val degenerate = bounds.where(col("_mx") === col("_mn"))
+      .select(keys.map(col): _*).limit(5).collect()
+    require(degenerate.isEmpty,
+      s"psiDrift: degenerate reference slice (min == max) for key(s) " +
+        s"${degenerate.mkString(", ")} — bins cannot resolve drift there; " +
+        "widen the reference window or exclude these keys")
+    val bucket = equiWidthBucket(v, col("_mn"), col("_mx"), bins)
     val counts = df.where(v.isNotNull)
       .join(broadcast(bounds), keys)
       .groupBy(keys.map(col) :+ bucket.as("bin"): _*)

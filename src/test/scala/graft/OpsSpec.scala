@@ -2468,6 +2468,12 @@ class OpsSpec extends SparkSpec {
     assert(!out.contains("n"), "keys with no reference slice have nothing to measure against")
     intercept[IllegalArgumentException](
       Relational.psiDrift(stable.toDF("k", "ref", "v"), Seq("k"), "v", col("ref"), bins = 0))
+    // a single-valued reference cannot anchor bins: every current value
+    // would clamp into cell 0 and a 100× shift would read ~0 — loud
+    val degen = ((0 until 50).map(_ => ("g", true, 5.0)) ++
+      (0 until 50).map(_ => ("g", false, 500.0))).toDF("k", "ref", "v")
+    intercept[IllegalArgumentException](
+      Relational.psiDrift(degen, Seq("k"), "v", col("ref")))
   }
 
   test("micropriceSeries: opposite-size weighting at the best levels; absent side is null") {
@@ -2503,6 +2509,26 @@ class OpsSpec extends SparkSpec {
     assert(out(0).isNullAt(out(0).fieldIndex("ofi")), "no prior state at the first snapshot")
     assert(out(1).getAs[Double]("ofi") == 4.0, s"${out.toSeq}")
     assert(out(2).getAs[Double]("ofi") == -13.0, s"${out.toSeq}")
+  }
+
+  test("impactLambda: exact OLS slope of mid changes on OFI; flow without variance is null") {
+    // s: (OFI, Δmid) pairs (3, 1) and (−4, −1) at scale 1e2 →
+    // λ = (2·70000 − (−100)·0)/(2·250000 − (−100)²) = 140000/490000
+    val book = Seq(
+      ("s", 1L, "bid", 100.0, 1.0), ("s", 1L, "ask", 102.0, 1.0),
+      ("s", 2L, "bid", 101.0, 2.0), ("s", 2L, "ask", 103.0, 1.0),
+      ("s", 3L, "bid", 100.0, 1.0), ("s", 3L, "ask", 102.0, 2.0),
+      ("f", 1L, "bid", 100.0, 1.0), ("f", 1L, "ask", 101.0, 1.0),
+      ("f", 2L, "bid", 100.0, 1.0), ("f", 2L, "ask", 101.0, 1.0))
+      .toDF("symbol", "t", "side", "price", "amount")
+      .withColumn("ts", expr("timestamp_micros(t)")).drop("t")
+    val out = graft.features.OrderbookFeatures
+      .impactLambda(book, Seq("symbol"), scale = 1e2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(out("s") == ((2L, Some(0.285714))), s"$out")
+    // identical snapshots: OFI ≡ 0 → no variance to regress on → null λ
+    assert(out("f") == ((1L, None)), s"$out")
   }
 
   test("removeTopComponent: exact on an axis-aligned pair") {

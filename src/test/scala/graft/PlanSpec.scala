@@ -490,6 +490,28 @@ class PlanSpec extends SparkSpec {
       s"the horizon scan must ride the series-key equi-join:\n${tb.take(1500)}")
   }
 
+  test("psiDrift, micropriceSeries, ofiSeries: keyed joins and broadcast bounds, no nested-loop blow-up") {
+    val drift = (0 until 300).map(i =>
+      ("k" + (i % 3), i % 2 == 0, (i % 10).toDouble + (i % 3)))
+      .toDF("k", "ref", "v")
+    val pd = planOf(graft.operators.Relational.psiDrift(drift, Seq("k"), "v", col("ref")))
+    assert(!pd.contains("CartesianProduct"),
+      s"psiDrift joins must stay keyed/broadcast:\n${pd.take(1500)}")
+    assert(pd.contains("BroadcastExchange") || pd.contains("BroadcastHashJoin"),
+      "the key-sized bounds/totals frames must broadcast")
+    val book = (0 until 120).map(i =>
+      ("s" + (i % 2), i.toLong / 4, if (i % 2 == 0) "bid" else "ask",
+        100.0 + i % 5, 1.0 + i % 3))
+      .toDF("symbol", "t", "side", "price", "amount")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    for (plan <- Seq(
+        planOf(graft.features.OrderbookFeatures.micropriceSeries(book, Seq("symbol"))),
+        planOf(graft.features.OrderbookFeatures.ofiSeries(book, Seq("symbol"))))) {
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"best-level join must be a (keys, ts) equi-join:\n${plan.take(1500)}")
+    }
+  }
+
   test("clusterBalancedSample: assignment is a zero-shuffle projection; rates broadcast back") {
     val vecs = (0 until 64).map(i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 2.0 + j))))
