@@ -577,6 +577,81 @@ object Queries {
              CAST(CAST(SUM(term_fp) AS BIGINT) AS DOUBLE) / 1e9 AS psi
       FROM terms GROUP BY 1, 2, 3 ORDER BY event_type"""))
 
+  // Per-series autocorrelation at hourly lags 1..3 — momentum/mean-
+  // reversion structure per event type; same exact-integer moment
+  // machinery as q_correlation, self-paired on the shifted hour index.
+  private val qAcf = QDef(
+    "q_acf",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.acf(h, "event_type", "hb", "v", maxLag = 3, scale = 1e4)
+    },
+    Some("""
+      WITH h AS (SELECT event_type AS k,
+                        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      l AS (SELECT unnest(range(1, 4)) AS lag),
+      p AS (SELECT x.k AS key, l.lag, x.v AS xa, y.v AS xb
+            FROM h x CROSS JOIN l JOIN h y
+              ON y.k = x.k AND y.hb = x.hb + l.lag),
+      s AS (SELECT key, lag, COUNT(*) AS n,
+                   CAST(SUM(xa) AS BIGINT) AS sx, CAST(SUM(xb) AS BIGINT) AS sy,
+                   CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+                   CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+                   CAST(SUM(xb * xb) AS BIGINT) AS syy
+            FROM p GROUP BY 1, 2)
+      SELECT key, CAST(lag AS BIGINT) AS lag, n,
+             CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+                   AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+                  THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             END AS corr
+      FROM s ORDER BY key, lag"""))
+
+  // Range-based realized volatility (Parkinson / Garman-Klass /
+  // Rogers-Satchell) over daily bars per event type — per-bar terms as
+  // exact pico-unit BIGINT sums; the 4ln2 / 2ln2−1 constants interpolate
+  // from the JVM so libm folding can't drift a ulp.
+  private val qRangeVol = QDef(
+    "q_range_vol",
+    (s, dir) => TA.rangeVolatility(
+      Resample.bars(t(s, dir, "events"), "ts", "value", "event_id",
+        "1 day", Seq("event_type")),
+      Seq("event_type")),
+    Some(s"""
+      WITH b AS (SELECT event_type,
+                        date_trunc('day', ts) AS bar_ts,
+                        ARG_MIN(value, ts) AS open, MAX(value) AS high,
+                        MIN(value) AS low, ARG_MAX(value, ts) AS close
+                 FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type,
+                   CAST(round(ln(high / low) * ln(high / low) * 1e12) AS BIGINT) AS p,
+                   CAST(round((ln(high / low) * ln(high / low) * 0.5
+                               - ${TA.GkDriftConst} * (ln(close / open) * ln(close / open))) * 1e12) AS BIGINT) AS g,
+                   CAST(round((ln(high / close) * ln(high / open)
+                               + ln(low / close) * ln(low / open)) * 1e12) AS BIGINT) AS r
+            FROM b
+            WHERE high IS NOT NULL AND low IS NOT NULL AND open IS NOT NULL
+              AND close IS NOT NULL AND high > 0 AND low > 0 AND open > 0 AND close > 0),
+      sm AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_bars,
+                    CAST(SUM(p) AS BIGINT) AS sp, CAST(SUM(g) AS BIGINT) AS sg,
+                    CAST(SUM(r) AS BIGINT) AS sr
+             FROM t GROUP BY 1)
+      SELECT event_type, n_bars,
+             round(sqrt(CAST(sp AS DOUBLE) / 1e12 / CAST(n_bars AS DOUBLE)
+                        / ${TA.ParkinsonConst}), 6) AS vol_parkinson,
+             round(sqrt(GREATEST(CAST(sg AS DOUBLE), 0.0) / 1e12
+                        / CAST(n_bars AS DOUBLE)), 6) AS vol_gk,
+             round(sqrt(GREATEST(CAST(sr AS DOUBLE), 0.0) / 1e12
+                        / CAST(n_bars AS DOUBLE)), 6) AS vol_rs
+      FROM sm ORDER BY event_type"""))
+
   private val qRangeRead = QDef(
     "q_range_read",
     (s, dir) => t(s, dir, "events")
@@ -3882,7 +3957,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
-    qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qPurgedSplit, qVolumeBars, qTripleBarrier, qPsiDrift, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
+    qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qAcf, qRangeVol, qPurgedSplit, qVolumeBars, qTripleBarrier, qPsiDrift, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qTokenBudget, qStratifiedSample, qBpeTokens,

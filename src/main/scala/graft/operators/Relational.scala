@@ -621,6 +621,35 @@ object Relational {
       .orderBy("key_a", "key_b", "lag")
   }
 
+  /** Per-series autocorrelation function: Pearson r between a series and
+    * ITSELF at lag 1..maxLag — mean-reversion vs momentum structure per
+    * key (the self-pair complement of [[leadLagCorr]], which only ever
+    * pairs distinct keys). Same contract throughout: integral bucket
+    * indexes, `⌊v·scale⌋` BIGINT moments via [[momentCorr]], pairs
+    * correlate over the buckets where both ends exist.
+    *
+    * Scale shape: the series replicates per lag (maxLag skinny copies of
+    * series rows), one shifted equi-join on (key, bucket), moment agg
+    * onto keys·lags rows. */
+  def acf(df: DataFrame, keyCol: String, bucketCol: String,
+          valueCol: String, maxLag: Int, scale: Double = 1e6): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    require(scale > 0.0, s"scale must be positive, got $scale")
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("_k"),
+        col(bucketCol).cast("long").as("_t"),
+        floor(col(valueCol).cast("double") * scale).cast("long").as("_v"))
+    val lagged = base.withColumn("lag",
+        explode(sequence(lit(1), lit(maxLag))))
+      .withColumn("lag", col("lag").cast("long"))
+    val paired = lagged.as("x").join(base.as("y"),
+        col("y._k") === col("x._k") &&
+          col("y._t") === col("x._t") + col("lag"))
+      .select(col("x._k").as("key"), col("lag"),
+        col("x._v").as("_xa"), col("y._v").as("_xb"))
+    momentCorr(paired, Seq("key", "lag")).orderBy("key", "lag")
+  }
+
   /** Purged walk-forward cross-validation splits with embargo (the
     * López de Prado time-series CV protocol): `k` contiguous equal-TIME
     * test folds; for each fold every sample gets a role —

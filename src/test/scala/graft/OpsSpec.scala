@@ -2531,6 +2531,35 @@ class OpsSpec extends SparkSpec {
     assert(out("f") == ((1L, None)), s"$out")
   }
 
+  test("acf: alternating series has exact ±1 autocorrelation by lag parity") {
+    val rows = (0 until 12).map(t => ("s", t.toLong, if (t % 2 == 0) 1.0 else -1.0))
+    val out = Relational.acf(rows.toDF("k", "t", "v"), "k", "t", "v", maxLag = 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(out == Map(1L -> -1.0, 2L -> 1.0, 3L -> -1.0), s"$out")
+    intercept[IllegalArgumentException](
+      Relational.acf(rows.toDF("k", "t", "v"), "k", "t", "v", maxLag = 0))
+  }
+
+  test("rangeVolatility: closed-form Parkinson/GK/RS on unit-log bars") {
+    // h=e, l=o=c=1: ln(h/l)=1 → park term 1; lnCO=0 → gk term 0.5;
+    // rs = ln(h/c)·ln(h/o) + 0 = 1
+    val bars = Seq(
+      ("s", 1L, 1.0, math.E, 1.0, 1.0), ("s", 2L, 1.0, math.E, 1.0, 1.0))
+      .toDF("k", "bar", "open", "high", "low", "close")
+    val r = graft.functions.TaIndicators.rangeVolatility(bars, Seq("k")).head()
+    assert(r.getLong(1) == 2L)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) == r6(math.sqrt(1.0 / graft.functions.TaIndicators.ParkinsonConst)))
+    assert(r.getDouble(3) == r6(math.sqrt(0.5)))
+    assert(r.getDouble(4) == 1.0)
+    // a non-positive leg (log undefined) drops the bar, not the key
+    val mixed = bars.unionByName(
+      Seq(("s", 3L, 0.0, 1.0, 0.5, 1.0)).toDF("k", "bar", "open", "high", "low", "close"))
+    assert(graft.functions.TaIndicators.rangeVolatility(mixed, Seq("k"))
+      .head().getLong(1) == 2L)
+  }
+
   test("removeTopComponent: exact on an axis-aligned pair") {
     // (±1, 0): zero mean, G = [[2,0],[0,0]] → u = (1,0) exactly after
     // quantization; scores ±1, residuals identically zero
