@@ -3116,6 +3116,36 @@ object Queries {
                list_filter(segs, (x, i) -> NOT list_contains(rem_s, i - 1)), ' '), '') AS text_dedup
       FROM f ORDER BY doc_id"""))
 
+  // Per-document token-distribution entropy — vocabulary-diversity
+  // quality over the documents table; µnat-quantized c·ln(c) terms sum
+  // exactly per doc, H derives in one fixed tree.
+  private val qTokenEntropy = QDef(
+    "q_token_entropy",
+    (s, dir) => TextAnalysis.tokenEntropy(t(s, dir, "documents"),
+        "text", "doc_id")
+      .orderBy("doc_id"),
+    Some(raw"""
+      WITH tk AS (SELECT doc_id, w
+                  FROM (SELECT doc_id,
+                               unnest(string_split_regex(trim(text), '\s+')) AS w
+                        FROM documents)
+                  WHERE length(w) > 0),
+      c AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tk GROUP BY 1, 2),
+      d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+                   CAST(SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS sclc
+            FROM c GROUP BY 1)
+      SELECT doc.doc_id,
+             COALESCE(d.n_tokens, 0) AS n_tokens,
+             COALESCE(d.distinct_tokens, 0) AS distinct_tokens,
+             CASE WHEN d.n_tokens IS NOT NULL
+                  THEN round(ln(CAST(d.n_tokens AS DOUBLE))
+                             - CAST(d.sclc AS DOUBLE) / 1e6 / CAST(d.n_tokens AS DOUBLE), 6)
+             END AS entropy_nats
+      FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+      ORDER BY doc.doc_id"""))
+
   // Temperature-based corpus mixing over the skewed lang strata (en is
   // ~3.4× fr at sf0.01, so α=0.5 binds: en keeps ~√(64/218)≈54%, fr 100%).
   // The ⌊rate·10⁶⌋ quantization BEFORE the bucket compare makes the
@@ -3955,7 +3985,7 @@ object Queries {
     qNearDupIncremental,
     qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qIvfPq, qIvfPqBatch, qEmbedNearDup,
     qEmbedNearDupLsh, qMultimodal,
-    qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences,
+    qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences, qTokenEntropy,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
     qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qAcf, qRangeVol, qPurgedSplit, qVolumeBars, qTripleBarrier, qPsiDrift, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,

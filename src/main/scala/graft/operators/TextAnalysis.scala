@@ -347,6 +347,40 @@ object TextAnalysis {
       .withColumn("keep", bucket < col("rate_fp"))
   }
 
+  /** Per-document token-distribution Shannon entropy (nats) — the
+    * vocabulary-diversity quality signal the length/stopword heuristics
+    * miss: keyword-stuffed and template pages score LOW entropy at any
+    * length, natural prose scores near `ln(distinct)`. Computed as
+    * `H = ln n − (Σ c·ln c)/n` over per-doc token counts c.
+    *
+    * Determinism: the per-token-type terms quantize to
+    * `round(c·ln(c)·10⁶)` BIGINTs (the µnat rule) and sum EXACTLY per
+    * doc — order-free; H then derives in one fixed double tree, 6 dp.
+    *
+    * Scale shape: one explode to skinny `(doc_id, token)` rows, one
+    * grouped count, one per-doc agg — all map-side combined; document
+    * bodies never shuffle (the q_text_stats cost profile). Empty or
+    * null docs report 0 tokens and null entropy. */
+  def tokenEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+    val counts = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val cD = col("c").cast("double")
+    val perDoc = counts.groupBy("doc_id").agg(
+      sum("c").as("n_tokens"),
+      count(lit(1)).as("distinct_tokens"),
+      sum(round(cD * log(cD) * 1e6).cast("long")).as("_sclc"))
+    df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("distinct_tokens"), lit(0L)).as("distinct_tokens"),
+        when(col("n_tokens").isNotNull,
+          round(log(col("n_tokens").cast("double"))
+            - col("_sclc").cast("double") / 1e6 / col("n_tokens").cast("double"), 6))
+          .as("entropy_nats"))
+  }
+
   /** Per-document TF-IDF top-k characteristic terms — the standard
     * corpus-exploration / keyword-extraction pass. IDF is quantized to
     * fixed-point µnats (`idf_fp = round(ln(N/df)·10⁶)`) so the per-term

@@ -2560,6 +2560,25 @@ class OpsSpec extends SparkSpec {
       .head().getLong(1) == 2L)
   }
 
+  test("tokenEntropy: uniform tokens hit ln(k), repetition scores 0, empty doc null") {
+    val docs = Seq(
+      (1L, "a b c d"),          // 4 distinct → H = ln 4
+      (2L, "spam spam spam"),   // one type → H = 0
+      (3L, "a a b b"),          // H = ln 2
+      (4L, "   "))              // no tokens
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._2 == Some(r6(math.log(4.0))), s"$out")
+    // quantization can land at −0.0; primitive == treats it as zero
+    assert(out(2L)._1 == 3L && out(2L)._2.get == 0.0, s"$out")
+    assert(out(3L)._2 == Some(r6(math.log(2.0))))
+    assert(out(4L) == ((0L, None)), "token-free doc reports 0 tokens, null entropy")
+  }
+
   test("removeTopComponent: exact on an axis-aligned pair") {
     // (±1, 0): zero mean, G = [[2,0],[0,0]] → u = (1,0) exactly after
     // quantization; scores ±1, residuals identically zero
