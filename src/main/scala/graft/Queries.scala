@@ -590,11 +590,14 @@ object Queries {
       Relational.acf(h, "event_type", "hb", "v", maxLag = 3, scale = 1e4)
     },
     Some("""
-      WITH h AS (SELECT event_type AS k,
+      WITH h0 AS (SELECT event_type AS k,
                         epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
                         CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                                    / COUNT(*) * 1e4) AS BIGINT) AS v
                  FROM events GROUP BY 1, 2),
+      -- null-mean buckets drop BEFORE pairing (the operator filters
+      -- valueCol.isNotNull — they must not count toward n)
+      h AS (SELECT * FROM h0 WHERE v IS NOT NULL),
       l AS (SELECT unnest(range(1, 4)) AS lag),
       p AS (SELECT x.k AS key, l.lag, x.v AS xa, y.v AS xb
             FROM h x CROSS JOIN l JOIN h y
@@ -3142,6 +3145,7 @@ object Queries {
              CASE WHEN d.n_tokens IS NOT NULL
                   THEN round(ln(CAST(d.n_tokens AS DOUBLE))
                              - CAST(d.sclc AS DOUBLE) / 1e6 / CAST(d.n_tokens AS DOUBLE), 6)
+                       + 0.0
              END AS entropy_nats
       FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
       ORDER BY doc.doc_id"""))

@@ -548,12 +548,22 @@ object Relational {
     * (symbols/features, not corpus), so the per-bucket pair fan-out is
     * k², bounded and tiny; the moment agg is map-side combined onto
     * ≤ k² keys. Nothing corpus-wide sorts or broadcasts. */
-  def correlationMatrix(df: DataFrame, keyCol: String, tsCol: String,
-                        valueCol: String, scale: Double = 1e6): DataFrame = {
+  /** Shared quantized series frame for the correlation family
+    * ([[correlationMatrix]]/[[leadLagCorr]]/[[acf]]): null values drop
+    * (they must not count toward n) and the rest quantize to
+    * `⌊v·scale⌋` BIGINTs — ONE definition of the contract the three
+    * oracles replay. */
+  private def quantizedBase(df: DataFrame, keyCol: String, tsCol: String,
+                            valueCol: String, scale: Double): DataFrame = {
     require(scale > 0.0, s"scale must be positive, got $scale")
-    val base = df.where(col(valueCol).isNotNull)
+    df.where(col(valueCol).isNotNull)
       .select(col(keyCol).cast("string").as("_k"), col(tsCol).as("_t"),
         floor(col(valueCol).cast("double") * scale).cast("long").as("_v"))
+  }
+
+  def correlationMatrix(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, scale: Double = 1e6): DataFrame = {
+    val base = quantizedBase(df, keyCol, tsCol, valueCol, scale)
     val paired = base.as("x").join(base.as("y"),
         col("x._t") === col("y._t") && col("x._k") < col("y._k"))
       .select(col("x._k").as("key_a"), col("y._k").as("key_b"),
@@ -605,11 +615,8 @@ object Relational {
                   valueCol: String, maxLag: Int,
                   scale: Double = 1e6): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
-    require(scale > 0.0, s"scale must be positive, got $scale")
-    val base = df.where(col(valueCol).isNotNull)
-      .select(col(keyCol).cast("string").as("_k"),
-        col(bucketCol).cast("long").as("_t"),
-        floor(col(valueCol).cast("double") * scale).cast("long").as("_v"))
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+      .withColumn("_t", col("_t").cast("long"))
     val lagged = base.withColumn("lag",
         explode(sequence(lit(-maxLag), lit(maxLag))))
       .withColumn("lag", col("lag").cast("long"))
@@ -634,11 +641,8 @@ object Relational {
   def acf(df: DataFrame, keyCol: String, bucketCol: String,
           valueCol: String, maxLag: Int, scale: Double = 1e6): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
-    require(scale > 0.0, s"scale must be positive, got $scale")
-    val base = df.where(col(valueCol).isNotNull)
-      .select(col(keyCol).cast("string").as("_k"),
-        col(bucketCol).cast("long").as("_t"),
-        floor(col(valueCol).cast("double") * scale).cast("long").as("_v"))
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+      .withColumn("_t", col("_t").cast("long"))
     val lagged = base.withColumn("lag",
         explode(sequence(lit(1), lit(maxLag))))
       .withColumn("lag", col("lag").cast("long"))

@@ -375,9 +375,13 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("distinct_tokens"), lit(0L)).as("distinct_tokens"),
+        // + 0.0 canonicalizes the −0.0 a quantized all-one-type doc can
+        // round to (engines split on the zero's sign bit, and the driver
+        // hashes PHYSICAL values) — the oracle adds the same term
         when(col("n_tokens").isNotNull,
           round(log(col("n_tokens").cast("double"))
-            - col("_sclc").cast("double") / 1e6 / col("n_tokens").cast("double"), 6))
+            - col("_sclc").cast("double") / 1e6 / col("n_tokens").cast("double"), 6)
+            + lit(0.0))
           .as("entropy_nats"))
   }
 
