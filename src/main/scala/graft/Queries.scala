@@ -437,6 +437,37 @@ object Queries {
              END AS corr
       FROM s ORDER BY key_a, key_b, lag"""))
 
+  // Per-series maximum drawdown over each event type's daily-close
+  // series — deepest peak-to-trough with the earliest trough bucket;
+  // running max + dd are identical double trees cross-engine, the
+  // trough elects by exact integer-µs MIN.
+  private val qDrawdownStats = QDef(
+    "q_drawdown_stats",
+    (s, dir) => {
+      val daily = Resample.bars(t(s, dir, "events"), "ts", "value",
+          "event_id", "1 day", Seq("event_type"))
+        .select(col("event_type"), col("bar_ts"), col("close"))
+      TA.drawdownStats(daily, Seq("event_type"), "bar_ts", "close")
+    },
+    Some("""
+      WITH b AS (SELECT event_type, date_trunc('day', ts) AS bar_ts,
+                        ARG_MAX(value, ts) AS close
+                 FROM events GROUP BY 1, 2),
+      d AS (SELECT event_type, bar_ts, close,
+                   MAX(close) OVER (PARTITION BY event_type ORDER BY bar_ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+            FROM b),
+      dd AS (SELECT event_type, bar_ts,
+                    CASE WHEN rm > 0 THEN (close - rm) / rm END AS dd
+             FROM d),
+      m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                   MIN(dd) AS max_drawdown
+            FROM dd GROUP BY 1)
+      SELECT m.event_type, m.n_obs, round(m.max_drawdown, 6) AS max_drawdown,
+             MIN(CASE WHEN dd.dd = m.max_drawdown THEN epoch_us(dd.bar_ts) END) AS trough_ts_us
+      FROM dd JOIN m ON dd.event_type = m.event_type
+      GROUP BY 1, 2, 3 ORDER BY m.event_type"""))
+
   // Purged walk-forward CV splits with embargo over the event stream:
   // 5 equal-time test folds, 12 h label horizon (train samples whose
   // labels peek into the test window are purged), 6 h embargo after each
@@ -3991,7 +4022,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences, qTokenEntropy,
     qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
-    qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qAcf, qRangeVol, qPurgedSplit, qVolumeBars, qTripleBarrier, qPsiDrift, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
+    qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qAcf, qRangeVol, qDrawdownStats, qPurgedSplit, qVolumeBars, qTripleBarrier, qPsiDrift, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qTokenBudget, qStratifiedSample, qBpeTokens,

@@ -260,6 +260,42 @@ object TaIndicators {
           / col("n_bars").cast("double")), 6).as("vol_rs"): _*)
       .orderBy(keys.map(col): _*)
   }
+  /** Per-series maximum-drawdown summary — the risk table behind the
+    * per-row [[drawdown]] column (W11): deepest peak-to-trough loss,
+    * when it bottomed, and how many observations the series has.
+    * `max_drawdown = min((v − runmax)/runmax)` over the (keys, ts)
+    * series; `trough_ts` is the EARLIEST bucket attaining it (exact
+    * integer-µs MIN over an exact-double equality on the identically-
+    * computed dd — deterministic cross-engine). Series whose running
+    * max is never positive report null (the [[drawdown]] guard).
+    *
+    * Scale shape: one keyed window pass for the running max + one keyed
+    * agg + a key-sized self-join for the trough election — nothing
+    * global. */
+  def drawdownStats(df: DataFrame, keys: Seq[String], tsCol: String,
+                    valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "drawdownStats needs the series key(s)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val v = col(valueCol).cast("double")
+    val runMax = max(v).over(w)
+    val dds = df.where(v.isNotNull)
+      .withColumn("_dd", when(runMax > 0.0, (v - runMax) / runMax))
+    val mins = dds.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_obs"), min(col("_dd")).as("max_drawdown"))
+    dds.join(mins, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(first("n_obs").as("n_obs"),
+        first("max_drawdown").as("max_drawdown"),
+        min(when(col("_dd") === col("max_drawdown"),
+          unix_micros(col(tsCol).cast("timestamp")))).as("trough_ts_us"))
+      .select(keys.map(col) :+ col("n_obs") :+
+        round(col("max_drawdown"), 6).as("max_drawdown") :+
+        col("trough_ts_us"): _*)
+      .orderBy(keys.map(col): _*)
+  }
+
   /** `4·ln2` / `2·ln2 − 1` — public so the oracle SQL interpolates the
     * EXACT doubles this JVM computed (the q_triple_barrier lesson:
     * engine-side constant folding diverges at 1 ulp). */

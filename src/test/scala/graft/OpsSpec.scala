@@ -2579,6 +2579,22 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) == ((0L, None)), "token-free doc reports 0 tokens, null entropy")
   }
 
+  test("drawdownStats: deepest peak-to-trough, earliest trough; monotone series zero") {
+    val rows = Seq(
+      ("a", 1L, 100.0), ("a", 2L, 120.0), ("a", 3L, 60.0), ("a", 4L, 90.0),
+      ("b", 1L, 10.0), ("b", 2L, 20.0))
+      .toDF("k", "t", "v").withColumn("ts", expr("timestamp_micros(t)"))
+    val out = graft.functions.TaIndicators.drawdownStats(rows, Seq("k"), "ts", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // a: runmax 100,120,120,120 → dd 0,0,−0.5,−0.25 → trough at t=3
+    assert(out("a") == ((4L, -0.5, 3L)), s"$out")
+    // b never draws down: max_dd 0, trough elects the EARLIEST zero
+    assert(out("b") == ((2L, 0.0, 1L)), s"$out")
+    intercept[IllegalArgumentException](
+      graft.functions.TaIndicators.drawdownStats(rows, Nil, "ts", "v"))
+  }
+
   test("removeTopComponent: exact on an axis-aligned pair") {
     // (±1, 0): zero mean, G = [[2,0],[0,0]] → u = (1,0) exactly after
     // quantization; scores ±1, residuals identically zero
