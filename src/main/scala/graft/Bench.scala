@@ -125,12 +125,23 @@ object Bench {
     val allFailed = names.filterNot(ok.contains)
     val failedJson = allFailed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(best(_)._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""failed_queries":$failedJson,"queries":$qs,""" +
       s""""steal_jiffies":$steal,"psi_cpu_us":$psi,"calib_sec":$calib,""" +
       s""""reps":$repsJson,"errors":$errJson,""" +
       s""""steal_total":${stealJiffies() - stealStart},""" +
-      s""""n_reps":$reps,"sf":"$sfDir"}""")
+      s""""n_reps":$reps,"sf":"$sfDir"}"""
+    // stdout goes through sbt's logger, which prefixes `[info] ` — every
+    // BENCH_r*.json artifact through round 6 ended `"parsed": null` because
+    // of it. The file is the machine-readable record; stdout stays for eyes.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
+      try w.println(json) finally w.close()
+      System.err.println(s"[bench] wrote $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e") }
+    println(json)
     spark.stop()
   }
 }

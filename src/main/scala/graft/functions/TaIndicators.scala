@@ -264,14 +264,19 @@ object TaIndicators {
     * per-row [[drawdown]] column (W11): deepest peak-to-trough loss,
     * when it bottomed, and how many observations the series has.
     * `max_drawdown = min((v − runmax)/runmax)` over the (keys, ts)
-    * series; `trough_ts` is the EARLIEST bucket attaining it (exact
-    * integer-µs MIN over an exact-double equality on the identically-
-    * computed dd — deterministic cross-engine). Series whose running
-    * max is never positive report null (the [[drawdown]] guard).
+    * series; `trough_ts` is the EARLIEST bucket attaining it. The trough
+    * is elected IN the same aggregate as the minimum:
+    * `min_by(ts_us, struct(_dd, ts_us))` — lexicographic struct MIN =
+    * (deepest dd, then earliest exact integer µs among ties), identical
+    * semantics to a min-over-equality election but without re-reading
+    * the windowed frame (rounds 2–6 ran the running-max window TWICE via
+    * a self-join; one corpus pass suffices). Null-dd rows (running max
+    * never positive) are excluded from the election by a null ordering
+    * struct, which min_by ignores — all-null series report null, the
+    * [[drawdown]] guard.
     *
-    * Scale shape: one keyed window pass for the running max + one keyed
-    * agg + a key-sized self-join for the trough election — nothing
-    * global. */
+    * Scale shape: one keyed window pass for the running max + ONE keyed
+    * agg — nothing global, no self-join. */
   def drawdownStats(df: DataFrame, keys: Seq[String], tsCol: String,
                     valueCol: String): DataFrame = {
     require(keys.nonEmpty, "drawdownStats needs the series key(s)")
@@ -280,19 +285,14 @@ object TaIndicators {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val v = col(valueCol).cast("double")
     val runMax = max(v).over(w)
-    val dds = df.where(v.isNotNull)
+    val tsUs = unix_micros(col(tsCol).cast("timestamp"))
+    df.where(v.isNotNull)
       .withColumn("_dd", when(runMax > 0.0, (v - runMax) / runMax))
-    val mins = dds.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_obs"), min(col("_dd")).as("max_drawdown"))
-    dds.join(mins, keys)
       .groupBy(keys.map(col): _*)
-      .agg(first("n_obs").as("n_obs"),
-        first("max_drawdown").as("max_drawdown"),
-        min(when(col("_dd") === col("max_drawdown"),
-          unix_micros(col(tsCol).cast("timestamp")))).as("trough_ts_us"))
-      .select(keys.map(col) :+ col("n_obs") :+
-        round(col("max_drawdown"), 6).as("max_drawdown") :+
-        col("trough_ts_us"): _*)
+      .agg(count(lit(1)).as("n_obs"),
+        round(min(col("_dd")), 6).as("max_drawdown"),
+        min_by(tsUs, when(col("_dd").isNotNull, struct(col("_dd"), tsUs)))
+          .as("trough_ts_us"))
       .orderBy(keys.map(col): _*)
   }
 

@@ -29,8 +29,13 @@ object Labeling {
     * predicate — each entry fans out to at most the ticks inside its own
     * horizon (horizon × tick rate, a per-series constant, not corpus²);
     * the touch-time agg collapses it straight back to one row per entry.
-    * At 100 TB bucket both sides by the series key to co-locate the
-    * join.
+    * Spark 4.1 plans this as a SortMergeJoin on the key with the range
+    * as residual condition; MEASURED linear 100k → 10M events
+    * (0.2 s → 1.3 s, 2M rows in one key group — BASELINE.md market
+    * rehearsal, independently reproduced by the round-6 review). See the
+    * [[TemporalJoins]] header for when a band join is NOT safe (the
+    * one-sided/unbounded as-of shape). At 100 TB bucket both sides by
+    * the series key to co-locate the join.
     *
     * Returns one row per entry: `(keys…, ts_us, price, t_up_us,
     * t_dn_us, label)` — touch times null when that barrier was never

@@ -552,7 +552,15 @@ object Relational {
     * ([[correlationMatrix]]/[[leadLagCorr]]/[[acf]]): null values drop
     * (they must not count toward n) and the rest quantize to
     * `⌊v·scale⌋` BIGINTs — ONE definition of the contract the three
-    * oracles replay. */
+    * oracles replay.
+    *
+    * KEY TYPING CONTRACT: `keyCol` is cast to STRING, so output key
+    * columns are string-typed and pair orientation / ordering is
+    * LEXICOGRAPHIC (`key_a < key_b` as strings: "10" < "2"). Correlation
+    * values are symmetric so numbers are unaffected, but callers with
+    * numeric series keys who need numeric ordering should zero-pad or
+    * re-cast downstream. One canonical type keeps the pair predicate and
+    * the DuckDB oracle's comparison semantics identical. */
   private def quantizedBase(df: DataFrame, keyCol: String, tsCol: String,
                             valueCol: String, scale: Double): DataFrame = {
     require(scale > 0.0, s"scale must be positive, got $scale")

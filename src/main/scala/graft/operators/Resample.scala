@@ -58,11 +58,13 @@ object Resample {
     *
     * Determinism: volume quantizes to `⌊v·100⌋` BIGINT cents; the
     * running EXCLUSIVE prefix sum runs over the total (ts, tiebreak)
-    * ordering and `bar_id = cum_before ÷ threshold_cents` in exact
-    * integer arithmetic — a row starts the bar its preceding cumulative
-    * volume lands in, reproducible on any engine. Contract: per-series
-    * cumulative cents stay under 2⁵² (the float-division floor is exact
-    * there; re-chunk series beyond that).
+    * ordering and `bar_id = cum_before ÷ threshold_cents` as exact BIGINT
+    * FLOOR division (strip `pmod`, then `div` the exact multiple — never
+    * double `/`, whose 2⁵³ mantissa would silently round huge cumsums,
+    * and never bare `div`, which truncates toward zero and disagrees with
+    * floor on negative cumsums, e.g. corrective/rebate ticks) — a row
+    * starts the bar its preceding cumulative volume lands in,
+    * reproducible on any engine (matches DuckDB's `//`).
     *
     * Scale shape: ONE keyed exchange — the prefix sum and the OHLCV agg
     * share the per-series partitioning; nothing global sorts. */
@@ -79,7 +81,9 @@ object Resample {
     val v2 = floor(col(volCol).cast("double") * 100).cast("long")
     val before = coalesce(sum(v2).over(w), lit(0L))
     val ord = struct(col(tsCol), col(tiebreakCol))
-    df.withColumn("bar_id", (before / lit(thrFp)).cast("long"))
+    df.withColumn("_cumb", before)
+      .withColumn("bar_id", expr(s"(_cumb - pmod(_cumb, ${thrFp}L)) div ${thrFp}L"))
+      .drop("_cumb")
       .groupBy((keys :+ "bar_id").map(col): _*)
       .agg(
         min_by(col(valueCol), ord).as("open"),

@@ -120,6 +120,16 @@ object Retrieval {
     require(topK > 0, s"topK must be positive, got $topK")
     val spark = shortlist.sparkSession
     import spark.implicits._
+    // a non-integral id would cast to null and surface later as a bare
+    // NPE at getLong — reject the contract violation up front, the
+    // connectedComponents precedent
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = shortlist.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"mmrRerank: id column '$idCol' is $dt, not an integral type — " +
+          "hash or re-key ids upstream")
+    }
     val rows = shortlist.select(col(idCol).cast("long").as("id"),
         col(relCol).cast("double").as("rel"),
         Similarity.toDoubleVec(col(vecCol)).as("v"))

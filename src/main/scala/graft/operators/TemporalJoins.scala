@@ -12,9 +12,19 @@ import org.apache.spark.sql.functions._
   *
   * Why not a join? Spark plans `l.ts >= r.ts` (as-of) or
   * `l.ts BETWEEN r.s AND r.e` (range) conditions without an equi-key as a
-  * broadcast-nested-loop or cartesian product, and with an equi-key as an
-  * O(|L|·|R|)-per-key pair blowup that a row_number must then discard.
-  * Both operators below stay strictly linear in input size.
+  * broadcast-nested-loop or cartesian product. WITH an equi-key the
+  * worst case is an O(|L|·|R|)-per-key pair blowup, but the realized
+  * cost is candidate-pair-count-bound, not |L|·|R|-bound: Spark 4.1
+  * plans it as a SortMergeJoin on the key with the range as residual
+  * condition, and when the range predicate is NARROW relative to the
+  * key group (e.g. [[Labeling.tripleBarrier]]'s horizon window —
+  * measured LINEAR from 100k to 10M events, 0.2 s → 1.3 s, with 2M rows
+  * in one key group; rehearsal pinned in BASELINE.md) the emitted pairs
+  * stay ~horizon·rate per row. The operators below exist for the
+  * as-of/ffill shape, where the "band" is unbounded on one side
+  * (every earlier right row qualifies) — THERE the pair blowup is real
+  * and a row_number would discard almost everything, so they stay
+  * strictly O(|L|+|R|) via a tagged-union window pass instead.
   */
 object TemporalJoins {
 

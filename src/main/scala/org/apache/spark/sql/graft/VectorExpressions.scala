@@ -942,10 +942,11 @@ case class GramUpper(child: Expression) extends UnaryExpression {
       val q = ctx.freshName("q")
       val cp = ctx.freshName("cp")
       val bad = ctx.freshName("bad")
+      val i = ctx.freshName("i")
       s"""
          |final int $n = $v.numElements();
          |boolean $bad = false;
-         |for (int i = 0; i < $n; i++) if ($v.isNullAt(i)) { $bad = true; break; }
+         |for (int $i = 0; $i < $n; $i++) if ($v.isNullAt($i)) { $bad = true; break; }
          |if ($bad) { ${ev.isNull} = true; }
          |else {
          |  long[] $out = new long[$n * ($n + 1) / 2];
@@ -1021,17 +1022,18 @@ case class RemoveComponent(left: Expression, right: Expression)
       val bad = ctx.freshName("bad")
       val dot = ctx.freshName("dot")
       val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
       s"""
          |final int $n = $v.numElements();
          |if ($n != $uRef.length) { $self.badDimPublic($n); }
          |boolean $bad = false;
-         |for (int i = 0; i < $n; i++) if ($v.isNullAt(i)) { $bad = true; break; }
+         |for (int $i = 0; $i < $n; $i++) if ($v.isNullAt($i)) { $bad = true; break; }
          |if ($bad) { ${ev.isNull} = true; }
          |else {
          |  double $dot = 0.0;
-         |  for (int i = 0; i < $n; i++) { $dot += $v.getDouble(i) * $uRef[i]; }
+         |  for (int $i = 0; $i < $n; $i++) { $dot += $v.getDouble($i) * $uRef[$i]; }
          |  double[] $out = new double[$n];
-         |  for (int i = 0; i < $n; i++) { $out[i] = $v.getDouble(i) - $dot * $uRef[i]; }
+         |  for (int $i = 0; $i < $n; $i++) { $out[$i] = $v.getDouble($i) - $dot * $uRef[$i]; }
          |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
          |}
        """.stripMargin

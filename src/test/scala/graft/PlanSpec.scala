@@ -490,6 +490,26 @@ class PlanSpec extends SparkSpec {
       s"the horizon scan must ride the series-key equi-join:\n${tb.take(1500)}")
   }
 
+  test("drawdownStats: single corpus pass — one Window, one aggregate, no self-join") {
+    val series = (0 until 200).map(i =>
+      ("s" + (i % 3), i.toLong, 100.0 + (i % 13) - (i % 7)))
+      .toDF("k", "t", "v")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val plan = planOf(graft.functions.TaIndicators.drawdownStats(
+      series, Seq("k"), "ts", "v"))
+    // rounds 2–6 elected the trough via a self-join against the windowed
+    // frame, running the running-max Window TWICE; the min_by struct
+    // election keeps it to exactly one Window node and no join at all
+    val windows = raw"\(\d+\) Window".r.findAllIn(plan).length
+    assert(windows == 1, s"expected exactly one Window pass, got $windows:\n${plan.take(1500)}")
+    assert(!plan.contains("Join"),
+      s"trough election must live inside the aggregate, not a self-join:\n${plan.take(1500)}")
+    // the min_by struct election is ONE grouped aggregate: a sort-based
+    // agg pair (partial+final) over the keyed exchange and nothing else
+    val aggs = raw"\(\d+\) (Hash|Sort|ObjectHash)Aggregate".r.findAllIn(plan).length
+    assert(aggs <= 2, s"expected one partial+final aggregate pair, got $aggs:\n${plan.take(1500)}")
+  }
+
   test("psiDrift, micropriceSeries, ofiSeries: keyed joins and broadcast bounds, no nested-loop blow-up") {
     val drift = (0 until 300).map(i =>
       ("k" + (i % 3), i % 2 == 0, (i % 10).toDouble + (i % 3)))
