@@ -532,6 +532,109 @@ object Queries {
       JOIN rn cl ON cl.event_type = g.event_type AND cl.bar_id = g.bar_id AND cl.rl = 1
       ORDER BY g.event_type, g.bar_id"""))
 
+  // Dollar bars: a new bar per 2,000 units of traded VALUE (price·size,
+  // size planted deterministically from event_id) — the price-drift-
+  // robust member of the AFML bar family. Same exact-integer boundary
+  // contract as q_volume_bars; binding at sf0.01 (~100 bars).
+  private val qDollarBars = QDef(
+    "q_dollar_bars",
+    (s, dir) => Resample.dollarBars(
+        t(s, dir, "events")
+          .withColumn("vol", (col("event_id") % 5 + 1).cast("double")),
+        "ts", "value", "vol", "event_id", Seq("event_type"), threshold = 2000.0)
+      .select(col("event_type"), col("bar_id"), col("open"), col("high"),
+        col("low"), col("close"), col("volume"), col("n_ticks"),
+        micros(col("open_ts")).as("open_ts_us"),
+        micros(col("close_ts")).as("close_ts_us"))
+      .orderBy("event_type", "bar_id"),
+    Some(raw"""
+      WITH e AS (SELECT event_type, ts, value, event_id,
+                        CAST((event_id % 5) + 1 AS DOUBLE) AS vol
+                 FROM events),
+      b AS (SELECT event_type, ts, value, vol, event_id,
+                   COALESCE(SUM(CAST(floor(value * vol * 100) AS BIGINT)) OVER
+                     (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+            FROM e),
+      c AS (SELECT event_type, CAST(cumb // 200000 AS BIGINT) AS bar_id,
+                   ts, value, vol, event_id
+            FROM b),
+      rn AS (SELECT *,
+                    row_number() OVER (PARTITION BY event_type, bar_id
+                                       ORDER BY ts, event_id) AS rf,
+                    row_number() OVER (PARTITION BY event_type, bar_id
+                                       ORDER BY ts DESC, event_id DESC) AS rl
+             FROM c),
+      g AS (SELECT event_type, bar_id, MAX(value) AS high, MIN(value) AS low,
+                   CAST(SUM(CAST(vol AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+                   COUNT(*) AS n_ticks,
+                   epoch_us(MIN(ts)) AS open_ts_us, epoch_us(MAX(ts)) AS close_ts_us
+            FROM c GROUP BY 1, 2)
+      SELECT g.event_type, g.bar_id, o.value AS open, g.high, g.low,
+             cl.value AS close, g.volume, g.n_ticks, g.open_ts_us, g.close_ts_us
+      FROM g
+      JOIN rn o  ON o.event_type = g.event_type AND o.bar_id = g.bar_id AND o.rf = 1
+      JOIN rn cl ON cl.event_type = g.event_type AND cl.bar_id = g.bar_id AND cl.rl = 1
+      ORDER BY g.event_type, g.bar_id"""))
+
+  // Tick-imbalance bars over each event type's HOURLY close series: tick-
+  // rule signs (carry through flats), close a bar when |Σb| reaches 5.
+  // The Spark side is the O(1)-state graft_threshold_bar_id window scan;
+  // the oracle replays the same reset recursion row by row in a
+  // RECURSIVE CTE over the materialized sign frame.
+  private val qImbalanceBars = QDef(
+    "q_imbalance_bars",
+    (s, dir) => Resample.imbalanceBars(
+        t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+          .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("close")),
+        "bucket", "close", "bucket", Seq("event_type"), threshold = 5L)
+      .select(col("event_type"), col("bar_id"), col("open"), col("high"),
+        col("low"), col("close"), col("n_ticks"), col("net_ticks"),
+        micros(col("open_ts")).as("open_ts_us"),
+        micros(col("close_ts")).as("close_ts_us"))
+      .orderBy("event_type", "bar_id"),
+    Some(raw"""
+      WITH RECURSIVE
+      h0 AS (SELECT event_type AS k, date_trunc('hour', ts) AS bucket, value,
+                    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                       ORDER BY ts DESC, event_id DESC) AS r
+             FROM events),
+      h AS (SELECT k, bucket, value AS close FROM h0 WHERE r = 1),
+      b0 AS (SELECT k, bucket, close,
+                    row_number() OVER (PARTITION BY k ORDER BY bucket) AS rn,
+                    close - lag(close) OVER (PARTITION BY k ORDER BY bucket) AS delta
+             FROM h),
+      sgf AS MATERIALIZED (
+        SELECT k, bucket, close, rn,
+               coalesce(last_value(CASE WHEN delta > 0 THEN 1
+                                        WHEN delta < 0 THEN -1 END IGNORE NULLS)
+                 OVER (PARTITION BY k ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 0) AS b
+        FROM b0),
+      scan(k, rn, cum, bar, emit) AS (
+        SELECT k, rn,
+               CASE WHEN abs(b) >= 5 THEN 0 ELSE b END,
+               CASE WHEN abs(b) >= 5 THEN 1 ELSE 0 END,
+               0
+        FROM sgf WHERE rn = 1
+        UNION ALL
+        SELECT s.k, s.rn + 1,
+               CASE WHEN abs(s.cum + f.b) >= 5 THEN 0 ELSE s.cum + f.b END,
+               CASE WHEN abs(s.cum + f.b) >= 5 THEN s.bar + 1 ELSE s.bar END,
+               s.bar
+        FROM scan s JOIN sgf f ON f.k = s.k AND f.rn = s.rn + 1),
+      rows_ AS (SELECT f.k, f.bucket, f.close, f.b, CAST(s.emit AS BIGINT) AS bar_id
+                FROM sgf f JOIN scan s ON s.k = f.k AND s.rn = f.rn)
+      SELECT k AS event_type, bar_id,
+             ARG_MIN(close, bucket) AS open, MAX(close) AS high,
+             MIN(close) AS low, ARG_MAX(close, bucket) AS close,
+             COUNT(*) AS n_ticks, CAST(SUM(b) AS BIGINT) AS net_ticks,
+             epoch_us(MIN(bucket)) AS open_ts_us,
+             epoch_us(MAX(bucket)) AS close_ts_us
+      FROM rows_ GROUP BY 1, 2 ORDER BY event_type, bar_id"""))
+
   // Triple-barrier labels over each event type's value stream: +1 if the
   // value first trebles (upPct=2), −1 if it first drops below 20%
   // (dnPct=0.8), 0 if neither inside the 6 h horizon. Touch times are
@@ -647,6 +750,90 @@ object Queries {
                                 * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
              END AS corr
       FROM s ORDER BY key, lag"""))
+
+  // PACF (Durbin–Levinson over the 6-dp ACF vector) + Ljung–Box Q per
+  // event type — the Box–Jenkins identification pair next to q_acf. The
+  // oracle replays the recursion UNROLLED per lag level (the
+  // kmeans-round pattern): every sum is an explicit left-associated
+  // expression, so both engines walk the identical IEEE tree from
+  // identical rounded ACF inputs.
+  private val qPacf = QDef(
+    "q_pacf",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.pacfLjungBox(h, "event_type", "hb", "v", maxLag = 5,
+          scale = 1e4)
+        .orderBy("key", "lag")
+    },
+    Some("""
+      WITH h0 AS (SELECT event_type AS k,
+                        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      h AS (SELECT * FROM h0 WHERE v IS NOT NULL),
+      nn AS (SELECT k AS key, CAST(COUNT(*) AS DOUBLE) AS nd FROM h GROUP BY 1),
+      l AS (SELECT unnest(range(1, 6)) AS lag),
+      p AS (SELECT x.k AS key, l.lag, x.v AS xa, y.v AS xb
+            FROM h x CROSS JOIN l JOIN h y
+              ON y.k = x.k AND y.hb = x.hb + l.lag),
+      s AS (SELECT key, lag, COUNT(*) AS n,
+                   CAST(SUM(xa) AS BIGINT) AS sx, CAST(SUM(xb) AS BIGINT) AS sy,
+                   CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+                   CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+                   CAST(SUM(xb * xb) AS BIGINT) AS syy
+            FROM p GROUP BY 1, 2),
+      a AS (SELECT key, lag,
+             CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+                   AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+                  THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             END AS corr
+            FROM s),
+      rv AS (SELECT key,
+                    MAX(CASE WHEN lag = 1 THEN corr END) AS r1,
+                    MAX(CASE WHEN lag = 2 THEN corr END) AS r2,
+                    MAX(CASE WHEN lag = 3 THEN corr END) AS r3,
+                    MAX(CASE WHEN lag = 4 THEN corr END) AS r4,
+                    MAX(CASE WHEN lag = 5 THEN corr END) AS r5
+             FROM a GROUP BY key),
+      l1 AS (SELECT *, r1 AS p11 FROM rv),
+      l2 AS (SELECT *, (r2 - (p11 * r1)) / NULLIF(1.0 - (p11 * r1), 0.0) AS p22 FROM l1),
+      l2b AS (SELECT *, p11 - p22 * p11 AS p21 FROM l2),
+      l3 AS (SELECT *, (r3 - (p21 * r2 + p22 * r1))
+                       / NULLIF(1.0 - (p21 * r1 + p22 * r2), 0.0) AS p33 FROM l2b),
+      l3b AS (SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32 FROM l3),
+      l4 AS (SELECT *, (r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+                       / NULLIF(1.0 - (p31 * r1 + p32 * r2 + p33 * r3), 0.0) AS p44 FROM l3b),
+      l4b AS (SELECT *, p31 - p44 * p33 AS p41, p32 - p44 * p32 AS p42,
+                        p33 - p44 * p31 AS p43 FROM l4),
+      l5 AS (SELECT *, (r5 - (p41 * r4 + p42 * r3 + p43 * r2 + p44 * r1))
+                       / NULLIF(1.0 - (p41 * r1 + p42 * r2 + p43 * r3 + p44 * r4), 0.0) AS p55 FROM l4b),
+      f AS (SELECT l5.*, nn.nd FROM l5 JOIN nn USING (key))
+      SELECT key, lag, acf, pacf, q_lb FROM (
+        SELECT key, CAST(1 AS BIGINT) AS lag, r1 AS acf, round(p11, 6) AS pacf,
+               round(nd * (nd + 2) * (r1 * r1 / (nd - 1)), 6) AS q_lb FROM f
+        UNION ALL
+        SELECT key, 2, r2, round(p22, 6),
+               round(nd * (nd + 2) * (r1 * r1 / (nd - 1) + r2 * r2 / (nd - 2)), 6) FROM f
+        UNION ALL
+        SELECT key, 3, r3, round(p33, 6),
+               round(nd * (nd + 2) * (r1 * r1 / (nd - 1) + r2 * r2 / (nd - 2)
+                                      + r3 * r3 / (nd - 3)), 6) FROM f
+        UNION ALL
+        SELECT key, 4, r4, round(p44, 6),
+               round(nd * (nd + 2) * (r1 * r1 / (nd - 1) + r2 * r2 / (nd - 2)
+                                      + r3 * r3 / (nd - 3) + r4 * r4 / (nd - 4)), 6) FROM f
+        UNION ALL
+        SELECT key, 5, r5, round(p55, 6),
+               round(nd * (nd + 2) * (r1 * r1 / (nd - 1) + r2 * r2 / (nd - 2)
+                                      + r3 * r3 / (nd - 3) + r4 * r4 / (nd - 4)
+                                      + r5 * r5 / (nd - 5)), 6) FROM f)
+      ORDER BY key, lag"""))
 
   // Range-based realized volatility (Parkinson / Garman-Klass /
   // Rogers-Satchell) over daily bars per event type — per-bar terms as
@@ -2408,6 +2595,52 @@ object Queries {
                s -> toks[CAST(s + 1 AS INT):CAST(s + 8 AS INT)])), ' '), '') AS text_dedup
       FROM f ORDER BY doc_id"""))
 
+  // Exact substring dedup (Lee et al. 2022 ExactSubstr): every duplicated
+  // ≥8-token substring is cut from each non-first occurrence at ANY
+  // offset. Planted fixture: docs ≡ 7 (mod 10) append a shifted self-copy
+  // behind a 3-token junk spacer — non-8-aligned by construction, so the
+  // k-aligned q_segment_dedup provably can't see it (OpsSpec pins the
+  // miss) while this removes the whole second copy exactly. Natural
+  // cross-doc duplication in the corpus participates too.
+  private val qSubstringDedup = QDef(
+    "q_substring_dedup",
+    (s, dir) => {
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 7,
+            concat(col("text"), lit(" zoffa zoffb zoffc "), col("text")))
+            .otherwise(col("text")).as("text"))
+      TextAnalysis.substringDedup(planted, "text", "doc_id", minTokens = 8)
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+      WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 7 THEN text || ' zoffa zoffb zoffc ' || text
+                    ELSE text END AS text
+        FROM documents),
+      d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM planted),
+      w AS (SELECT doc_id,
+                   unnest(range(CAST(len(toks) - 7 AS BIGINT))) AS pos,
+                   unnest(list_transform(range(CAST(len(toks) - 7 AS BIGINT)),
+                     i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' '))) AS s
+            FROM d WHERE len(toks) >= 8),
+      r AS (SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn,
+                   COUNT(*) OVER (PARTITION BY s) AS c
+            FROM w),
+      rem AS (SELECT doc_id, pos FROM r WHERE c > 1 AND rn > 1),
+      mk0 AS (SELECT DISTINCT doc_id, idx FROM
+               (SELECT doc_id, unnest(range(pos, pos + 8)) AS idx FROM rem)),
+      mk AS (SELECT doc_id, list(idx) AS rems, count(*) AS n_rem FROM mk0 GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+             CAST(coalesce(mk.n_rem, 0) AS BIGINT) AS n_removed_tokens,
+             coalesce(array_to_string(list_transform(
+               list_filter(range(CAST(len(d.toks) AS BIGINT)),
+                 i -> NOT coalesce(list_contains(mk.rems, i), false)),
+               i -> d.toks[CAST(i + 1 AS INT)]), ' '), '') AS text_dedup
+      FROM d LEFT JOIN mk USING (doc_id) ORDER BY d.doc_id"""))
+
   // Corpus unigram-LM quality scoring (CCNet-perplexity proxy): the
   // fixed-point µnat quantization makes per-doc sums integer —
   // order-independent, hence hashable cross-engine despite touching ln.
@@ -4021,8 +4254,8 @@ object Queries {
     qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qIvfPq, qIvfPqBatch, qEmbedNearDup,
     qEmbedNearDupLsh, qMultimodal,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences, qTokenEntropy,
-    qSegmentDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
-    qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qAcf, qRangeVol, qDrawdownStats, qPurgedSplit, qVolumeBars, qTripleBarrier, qPsiDrift, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
+    qSegmentDedup, qSubstringDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
+    qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qAcf, qPacf, qRangeVol, qDrawdownStats, qPurgedSplit, qVolumeBars, qDollarBars, qImbalanceBars, qTripleBarrier, qPsiDrift, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qTokenBudget, qStratifiedSample, qBpeTokens,

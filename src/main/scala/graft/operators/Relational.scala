@@ -662,6 +662,112 @@ object Relational {
     momentCorr(paired, Seq("key", "lag")).orderBy("key", "lag")
   }
 
+  /** PACF + Ljung–Box Q per series — the rest of the Box–Jenkins
+    * identification kit next to [[acf]]: the partial autocorrelation
+    * `φ_{k,k}` (correlation at lag k with lags 1..k−1 regressed out —
+    * an AR(p) process cuts off after lag p, which raw ACF can't show)
+    * via the Durbin–Levinson recursion over the ACF vector, and the
+    * portmanteau `Q_h = n(n+2)·Σ_{k≤h} ρ̂_k²/(n−k)` whiteness statistic.
+    *
+    * Determinism contract: inputs are [[acf]]'s ROUNDED 6-dp
+    * correlations (identical doubles cross-engine by the momentCorr
+    * contract), the recursion is plain IEEE double arithmetic in a FIXED
+    * fold order (j ascending, strict left folds — the oracle unrolls
+    * the identical expression tree per lag level), and outputs round to
+    * 6 dp. A null ρ_k (zero-variance leg) or an exactly-zero
+    * Durbin–Levinson denominator nulls pacf/Q from that lag onward;
+    * `n` for Q is the series' non-null observation count.
+    *
+    * Scale shape: the distributed work IS [[acf]] (skinny shifted
+    * equi-join + integer moment agg) plus one count agg; the recursion
+    * itself runs on the collected (series × maxLag) frame — series
+    * count is the small dimension by the correlation-family contract
+    * (the centroid/power-iteration precedent), and `maxKeys` fails
+    * loudly if a caller points it at a corpus-keyed frame. Returns
+    * `(key, lag, acf, pacf, q_lb)`, maxLag rows per series. */
+  def pacfLjungBox(df: DataFrame, keyCol: String, bucketCol: String,
+                   valueCol: String, maxLag: Int, scale: Double = 1e6,
+                   maxKeys: Int = 65536): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag must be in [1,64], got $maxLag")
+    val spark = df.sparkSession
+    val aRows = acf(df, keyCol, bucketCol, valueCol, maxLag, scale)
+      .select(col("key"), col("lag").cast("int").as("lag"), col("corr"))
+      .limit(maxKeys * maxLag + 1).collect()
+    require(aRows.length <= maxKeys * maxLag,
+      s"pacfLjungBox saw more than maxKeys=$maxKeys series — the " +
+        "Durbin–Levinson recursion is a driver pass over series×lags; " +
+        "this input looks corpus-keyed")
+    val nRows = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+      .groupBy(col("_k")).agg(count(lit(1)).as("n")).collect()
+    val nBy = nRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rhoBy = aRows.groupBy(_.getString(0)).view.mapValues { rs =>
+      val arr = Array.fill[Option[Double]](maxLag + 1)(None)
+      rs.foreach(r => if (!r.isNullAt(2)) arr(r.getInt(1)) = Some(r.getDouble(2)))
+      arr
+    }.toMap
+    def r6(v: Double): java.lang.Double =
+      if (v.isNaN || v.isInfinite) null
+      else java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val out = rhoBy.keys.toSeq.sorted.flatMap { key =>
+      val rho = rhoBy(key)
+      val n = nBy.getOrElse(key, 0L).toDouble
+      // Durbin–Levinson: phiPrev(j) = φ_{k−1,j}
+      val phiPrev = Array.fill(maxLag + 1)(0.0)
+      var valid = true
+      var acc = 0.0
+      var accValid = true
+      (1 to maxLag).map { k =>
+        val pacf: java.lang.Double = rho(k) match {
+          case Some(rk) if valid && k == 1 =>
+            phiPrev(1) = rk; r6(rk)
+          case Some(rk) if valid =>
+            var num = 0.0; var den = 0.0
+            var j = 1
+            while (j < k) {
+              num += phiPrev(j) * rho(k - j).getOrElse(Double.NaN)
+              den += phiPrev(j) * rho(j).getOrElse(Double.NaN)
+              j += 1
+            }
+            val numF = rk - num
+            val denF = 1.0 - den
+            if (denF == 0.0 || denF.isNaN || numF.isNaN) { valid = false; null }
+            else {
+              val kk = numF / denF
+              val next = new Array[Double](maxLag + 1)
+              j = 1
+              while (j < k) { next(j) = phiPrev(j) - kk * phiPrev(k - j); j += 1 }
+              next(k) = kk
+              System.arraycopy(next, 0, phiPrev, 0, maxLag + 1)
+              r6(kk)
+            }
+          case _ => valid = false; null
+        }
+        val q: java.lang.Double = rho(k) match {
+          case Some(rk) if accValid && n - k > 0 =>
+            acc += rk * rk / (n - k)
+            r6(n * (n + 2.0) * acc)
+          case _ => accValid = false; null
+        }
+        org.apache.spark.sql.Row(key, k.toLong,
+          rho(k).map(Double.box).orNull, pacf, q)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("lag",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("acf",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("pacf",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("q_lb",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), schema)
+  }
+
   /** Purged walk-forward cross-validation splits with embargo (the
     * López de Prado time-series CV protocol): `k` contiguous equal-TIME
     * test folds; for each fold every sample gets a role —

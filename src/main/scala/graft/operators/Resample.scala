@@ -70,7 +70,36 @@ object Resample {
     * share the per-series partitioning; nothing global sorts. */
   def volumeBars(df: DataFrame, tsCol: String, valueCol: String,
                  volCol: String, tiebreakCol: String, keys: Seq[String],
-                 threshold: Double): DataFrame = {
+                 threshold: Double): DataFrame =
+    prefixBars(df, tsCol, valueCol, volCol, tiebreakCol, keys, threshold,
+      floor(col(volCol).cast("double") * 100).cast("long"))
+
+  /** Dollar bars (AFML ch. 2): close a bar every `threshold` units of
+    * traded VALUE (price·size) instead of raw size — the bar family's
+    * preferred member in practice, because dollar-bar arrival is robust
+    * to price drift and splits (a volume bar at $10 and at $1000 carries
+    * 100× different information). Same machinery, determinism contract
+    * and scale shape as [[volumeBars]]: the per-tick accumulator is
+    * `⌊price·vol·100⌋` cents (ONE IEEE multiply then floor — the
+    * identical double tree on any engine), the exclusive prefix sum and
+    * exact BIGINT floor division assign bars, one keyed exchange end to
+    * end. The `volume` output is the raw size sum (the bar BOUNDARY is
+    * what the dollar accumulator drives). */
+  def dollarBars(df: DataFrame, tsCol: String, priceCol: String,
+                 volCol: String, tiebreakCol: String, keys: Seq[String],
+                 threshold: Double): DataFrame =
+    prefixBars(df, tsCol, priceCol, volCol, tiebreakCol, keys, threshold,
+      floor(col(priceCol).cast("double") * col(volCol).cast("double") * 100)
+        .cast("long"))
+
+  /** Shared exclusive-prefix-sum bar core of [[volumeBars]] /
+    * [[dollarBars]]: quantized per-tick accumulator → running exclusive
+    * BIGINT prefix over the total (ts, tiebreak) order → exact floor
+    * division by the quantized threshold = bar id (see [[volumeBars]]
+    * for the full determinism contract). */
+  private def prefixBars(df: DataFrame, tsCol: String, valueCol: String,
+                         volCol: String, tiebreakCol: String, keys: Seq[String],
+                         threshold: Double, accFp: Column): DataFrame = {
     require(threshold > 0.0, s"threshold must be positive, got $threshold")
     val thrFp = math.round(threshold * 100)
     require(thrFp > 0L, s"threshold quantizes to 0 cents: $threshold")
@@ -78,8 +107,7 @@ object Resample {
       .partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col(tiebreakCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val v2 = floor(col(volCol).cast("double") * 100).cast("long")
-    val before = coalesce(sum(v2).over(w), lit(0L))
+    val before = coalesce(sum(accFp).over(w), lit(0L))
     val ord = struct(col(tsCol), col(tiebreakCol))
     df.withColumn("_cumb", before)
       .withColumn("bar_id", expr(s"(_cumb - pmod(_cumb, ${thrFp}L)) div ${thrFp}L"))
@@ -93,6 +121,58 @@ object Resample {
         sum(col(volCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("volume"),
         count(lit(1)).as("n_ticks"),
+        min(col(tsCol)).as("open_ts"),
+        max(col(tsCol)).as("close_ts"))
+  }
+
+  /** Tick-imbalance bars (AFML ch. 2, fixed-threshold variant): classify
+    * each tick by the TICK RULE — `b_t = sign(Δprice)`, carrying the
+    * previous non-zero sign through flat ticks (`b_t = b_{t−1}` when
+    * Δp = 0; leading undefined signs are 0) — and close a bar whenever
+    * the running signed imbalance `|Σ b|` since the bar opened reaches
+    * `threshold`. Sampling then concentrates where one-sided flow
+    * (informed trading) concentrates, which clock/volume bars can't see.
+    *
+    * The reset-scan is NOT floor-division-expressible (the accumulator
+    * is signed — see [[volumeBars]]); it runs as the O(1)-state native
+    * window function `graft_threshold_bar_id`
+    * ([[org.apache.spark.sql.graft.ThresholdBarId]]), one ordered pass
+    * per series — the EWM machinery. All-integer state: exact and
+    * engine-reproducible; the sign itself is one IEEE compare.
+    *
+    * Scale shape: ONE keyed exchange — sign lag, carry-forward fill,
+    * bar scan and the OHLC agg all share the per-series partitioning.
+    * Returns one row per bar: `(keys…, bar_id, open, high, low, close,
+    * n_ticks, net_ticks, open_ts, close_ts)`; `net_ticks` is the bar's
+    * signed tick sum (±threshold for every closed bar, by construction
+    * — the tail bar reports its partial imbalance). */
+  def imbalanceBars(df: DataFrame, tsCol: String, priceCol: String,
+                    tiebreakCol: String, keys: Seq[String],
+                    threshold: Long): DataFrame = {
+    require(threshold > 0L, s"threshold must be positive, got $threshold")
+    org.apache.spark.sql.graft.GraftFunctions.register(df.sparkSession)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val wFill = wRun.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val p = col(priceCol).cast("double")
+    val delta = p - lag(p, 1).over(wRun)
+    val sgn0 = when(delta > 0.0, lit(1L)).when(delta < 0.0, lit(-1L))
+    val b = coalesce(last(sgn0, ignoreNulls = true).over(wFill), lit(0L))
+    val ord = struct(col(tsCol), col(tiebreakCol))
+    df.withColumn("_b", b)
+      .withColumn("bar_id", call_function(
+        org.apache.spark.sql.graft.GraftFunctions.ThresholdBarIdName,
+        col("_b"), lit(threshold)).over(wRun))
+      .groupBy((keys :+ "bar_id").map(col): _*)
+      .agg(
+        min_by(col(priceCol), ord).as("open"),
+        max(col(priceCol)).as("high"),
+        min(col(priceCol)).as("low"),
+        max_by(col(priceCol), ord).as("close"),
+        count(lit(1)).as("n_ticks"),
+        sum(col("_b")).as("net_ticks"),
         min(col(tsCol)).as("open_ts"),
         max(col(tsCol)).as("close_ts"))
   }

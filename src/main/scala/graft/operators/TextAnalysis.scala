@@ -1014,6 +1014,109 @@ object TextAnalysis {
           (s, i) => !array_contains(rem, i))).as("text_dedup"))
   }
 
+  /** Exact substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", ExactSubstr): find every
+    * duplicated substring of ≥ `minTokens` tokens ANYWHERE in the corpus
+    * and cut the span out of each duplicate occurrence, keeping the rest
+    * of the document — the real duplicate-SPAN remover that
+    * [[segmentDedup]] (k-aligned windows) and [[cdcDedup]] (chunk
+    * granularity) approximate.
+    *
+    * Semantics (position-window formulation — the map-reduce-friendly
+    * equivalent of the paper's suffix-array scan): every overlapping
+    * `minTokens`-token window of every doc is hashed; a window whose
+    * hash occurs at >1 (doc, pos) corpus-wide is duplicated; the
+    * corpus-FIRST occurrence (min (doc_id, pos)) of each distinct window
+    * is kept, every other occurrence marks its `minTokens` token
+    * positions for removal. A maximal duplicated run of M ≥ minTokens
+    * tokens is covered by its M−minTokens+1 consecutive windows, so the
+    * marked set is exactly the run — at ANY offset, k-aligned or not,
+    * partially overlapping other runs or not. Marked positions merge
+    * into disjoint intervals and the kept gaps re-join in order.
+    * Keep-first means the first crawl of a passage survives intact;
+    * every later copy loses the passage but keeps its unique remainder
+    * (use [[lineDedup]] semantics — remove ALL copies — for boilerplate
+    * where even the first copy is unwanted).
+    *
+    * Hash contract: window hash = `xxhash64(concat_ws(" ", window))`
+    * via the codegen `graft_window_hashes` kernel (one tight loop per
+    * row); cross-window collisions are the accepted ~2⁻⁶⁴ class of
+    * [[Dedup.exactDedup]].
+    *
+    * Scale shape: window BODIES never move — the kernel emits 8-byte
+    * hash arrays, the posexplode ships skinny `(doc_id, pos, h)` rows,
+    * the winner election is a map-side-combined min-struct agg on h,
+    * and the removed-occurrence join carries ints. The interval merge
+    * is ONE keyed window pass (partition doc_id) whose two downstream
+    * aggregates reuse the same partitioning (subset-key rule — no extra
+    * exchange). The corpus is read twice — the seed pass and the
+    * rebuild pass — which is inherent to ExactSubstr (the suffix-array
+    * original is also two-phase); each pass moves the token arrays
+    * through one doc_id exchange, and the dedup CORE between them
+    * shuffles only hashes and int positions, duplicate-proportional,
+    * not corpus-proportional. Returns `(doc_id, n_tokens,
+    * n_removed_tokens, text_dedup)` for every input doc (text_dedup
+    * whitespace-normalized, empty when everything was duplicated). */
+  def substringDedup(df: DataFrame, textCol: String, idCol: String,
+                     minTokens: Int = 8): DataFrame = {
+    require(minTokens >= 2,
+      s"minTokens must be >= 2 (1 would dedup the vocabulary), got $minTokens")
+    org.apache.spark.sql.graft.GraftFunctions.register(df.sparkSession)
+    val L = minTokens
+    // spread single-file scans AND pre-partition on doc_id in the same
+    // exchange: the rebuild join below reuses this partitioning, so the
+    // token arrays move through exactly ONE shuffle end to end
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    val occ = base.select(col("doc_id"),
+        posexplode(call_function(
+          org.apache.spark.sql.graft.GraftFunctions.WindowHashesName,
+          col("toks"), lit(L))).as(Seq("pos", "h")))
+    // duplicated windows and their corpus-first keeper
+    val dups = occ.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"), count(lit(1)).as("c"))
+      .where(col("c") > 1)
+      .select(col("h"), col("w"))
+    val removedWins = occ.join(dups, "h")
+      .where(struct(col("doc_id"), col("pos")) =!= col("w"))
+      .select(col("doc_id"), col("pos"))
+    // merge overlapping/adjacent [pos, pos+L) windows into disjoint
+    // intervals: a new interval starts when this window clears the
+    // previous one's coverage (equal lengths, so end order = start order)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val ivs = removedWins
+      .withColumn("_new",
+        when(col("pos") > coalesce(lag(col("pos"), 1).over(byDoc) + L,
+          lit(Long.MinValue)), lit(1)).otherwise(lit(0)))
+      .withColumn("_iv", sum(col("_new")).over(
+        Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "_iv")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + L).as("e"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"),
+        sum(col("e") - col("s")).as("n_removed"))
+    // rebuild from the KEPT gaps between intervals — O(n_tok) slicing,
+    // never a per-token membership scan against a marked set
+    val n = size(col("toks"))
+    val nIv = size(col("ivs"))
+    val pieces = transform(sequence(lit(0), nIv), i => {
+      val from = when(i === 0, lit(0))
+        .otherwise(element_at(col("ivs"), i).getField("e"))
+      val until = when(i === nIv, n.cast("long"))
+        .otherwise(element_at(col("ivs"), i + 1).getField("s"))
+      concat_ws(" ", slice(col("toks"), from.cast("int") + 1,
+        greatest(until - from, lit(0L)).cast("int")))
+    })
+    base.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed_tokens"),
+        when(col("ivs").isNull, concat_ws(" ", col("toks")))
+          .otherwise(concat_ws(" ", filter(pieces, p => p =!= "")))
+          .as("text_dedup"))
+  }
+
   /** Corpus unigram-LM scoring — the relational proxy for the
     * CCNet/KenLM perplexity quality filter: pass 1 builds the unigram
     * model (token → count / total) over the WHOLE corpus, pass 2 scores

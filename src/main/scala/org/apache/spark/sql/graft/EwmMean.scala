@@ -52,6 +52,61 @@ case class EwmMean(child: Expression, alpha: Double)
     copy(child = newChild)
 }
 
+/** Reset-threshold bar assignment as a native Catalyst window function —
+  * the sequential scan behind tick/volume IMBALANCE bars (López de Prado
+  * AFML ch. 2, fixed-threshold variant): a running signed accumulator
+  * adds each row's increment; when `|cum| >= threshold` the current bar
+  * CLOSES WITH that row and the accumulator resets to zero. Each row
+  * evaluates to the id (0-based, per window partition) of the bar it
+  * belongs to.
+  *
+  * Like EWM, the recurrence has unbounded memory (every reset depends on
+  * the whole prefix), so no fixed frame expresses it; unlike volume/
+  * dollar bars the accumulator is SIGNED, so the floor-division-of-a-
+  * prefix-sum trick ([[graft.operators.Resample.volumeBars]]) does not
+  * apply either — bar ids would go non-monotonic. An
+  * [[AggregateWindowFunction]] evaluates it in one ordered pass per
+  * partition with O(1) state: exact, distributed across series, and
+  * linear in ticks.
+  *
+  * Null increments contribute zero but still receive a bar id. Inputs
+  * are BIGINT (callers quantize, the engine's fixed-point doctrine), so
+  * the scan is exact integer arithmetic — engine-reproducible. */
+case class ThresholdBarId(child: Expression, threshold: Long)
+    extends AggregateWindowFunction with UnaryLike[Expression] {
+
+  require(threshold > 0L, s"threshold must be positive, got $threshold")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "threshold_bar_id"
+
+  private val L = org.apache.spark.sql.types.LongType
+  private lazy val cum = AttributeReference("cum", L, nullable = false)()
+  private lazy val bar = AttributeReference("bar", L, nullable = false)()
+  private lazy val emit = AttributeReference("emit", L, nullable = false)()
+  override def aggBufferAttributes: Seq[AttributeReference] = Seq(cum, bar, emit)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(0L))
+
+  private def inc: Expression =
+    If(IsNull(child), Literal(0L), Cast(child, L))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val newCum = Add(cum, inc)
+    val closed = GreaterThanOrEqual(Abs(newCum), Literal(threshold))
+    Seq(
+      If(closed, Literal(0L), newCum),  // cum
+      If(closed, Add(bar, Literal(1L)), bar),  // bar
+      bar)  // emit: the bar open when this row arrived (closes WITH it)
+  }
+
+  override lazy val evaluateExpression: Expression = emit
+
+  override protected def withNewChildInternal(newChild: Expression): ThresholdBarId =
+    copy(child = newChild)
+}
+
 /** Bridge between graft's public API (Column) and Catalyst (Expression).
   * Lives under `org.apache.spark.sql` to reach the `private[sql]` converters
   * of Spark 4's classic Column implementation.
@@ -72,9 +127,11 @@ object CatalystBridge {
   * (`functions.call_function("graft_ewm_mean", x, lit(a))`) and plain SQL. */
 object GraftFunctions {
   val EwmMeanName = "graft_ewm_mean"
+  val ThresholdBarIdName = "graft_threshold_bar_id"
   val DotName = "graft_dot"
   val LshSigsName = "graft_lsh_sigs"
   val ShinglesName = "graft_shingles"
+  val WindowHashesName = "graft_window_hashes"
   val NearestCentroidName = "graft_nearest_centroid"
   val PqCodesName = "graft_pq_codes"
   val PqAdcName = "graft_pq_adc"
@@ -103,12 +160,27 @@ object GraftFunctions {
       .sessionState.functionRegistry
     registry.createOrReplaceTempFunction(EwmMeanName,
       exprs => EwmMean(exprs.head, evalAlpha(exprs(1))), "built-in")
+    registry.createOrReplaceTempFunction(ThresholdBarIdName,
+      exprs => ThresholdBarId(exprs.head, exprs(1) match {
+        case Literal(v: Long, _) => v
+        case Literal(v: Int, _) => v.toLong
+        case other if other.foldable => other.eval() match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case v => throw new IllegalArgumentException(
+            s"threshold must be an integer literal, got $v")
+        }
+        case other => throw new IllegalArgumentException(
+          s"threshold must be a literal, got $other")
+      }), "built-in")
     registry.createOrReplaceTempFunction(DotName,
       exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(LshSigsName,
       exprs => LshSignatures(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
     registry.createOrReplaceTempFunction(ShinglesName,
       exprs => Shingles(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(WindowHashesName,
+      exprs => WindowHashes(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(NearestCentroidName,
       exprs => NearestCentroid(exprs.head, exprs(1), exprs(2)), "built-in")
     registry.createOrReplaceTempFunction(PqCodesName,

@@ -463,6 +463,88 @@ case class Shingles(toks: Expression, nExpr: Expression)
     copy(toks = newLeft, nExpr = newRight)
 }
 
+/** Positional window-hash kernel shared by eval and codegen — the seed
+  * generator of exact-substring dedup (Lee et al. 2022): for every
+  * overlapping n-token window of a token array, the xxhash64 (seed 42,
+  * Spark's `xxhash64` built-in) of the space-joined window string.
+  * `out(i) == xxhash64(concat_ws(" ", slice(toks, i+1, n)))` exactly
+  * (concatWs skips null tokens, matching [[ShingleUtil.shingles]]).
+  * Unlike [[ShingleUtil.shingles]] this keeps EVERY position (no
+  * distinct, no short-doc fallback — a doc below n tokens yields an
+  * EMPTY array: nothing that short is substring-dedup material), and
+  * emits 8-byte hashes instead of window strings, so the downstream
+  * posexplode carries `(pos, long)` rows rather than L-token text. */
+object WindowHashUtil {
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def windowHashes(toks: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val m = toks.numElements()
+    if (m < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](m - n + 1)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i + n <= m) {
+      var j = 0
+      while (j < n) {
+        parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        UTF8String.concatWs(Space, parts: _*),
+        org.apache.spark.sql.types.StringType, 42L)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Per-position n-token window hashes of a token array — see
+  * [[WindowHashUtil]]. One static call in generated code, so the
+  * projection stays inside whole-stage codegen (the HOF spelling —
+  * `transform(sequence, i -> xxhash64(concat_ws(slice)))` — drops to
+  * interpreted per-element evaluation, the measured ~10× penalty that
+  * motivated [[Shingles]]). */
+case class WindowHashes(toks: Expression, nExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = toks
+  override def right: Expression = nExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_window_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val tOk = toks.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    if (tOk && nExpr.foldable && nExpr.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<string>, foldable int)")
+  }
+
+  @transient private lazy val n: Int = {
+    val v = nExpr.eval().asInstanceOf[Int]
+    require(v >= 1, s"window size must be >= 1, got $v")
+    v
+  }
+
+  override def nullSafeEval(t: Any, ignored: Any): Any =
+    WindowHashUtil.windowHashes(t.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, _) => {
+      s"${ev.value} = org.apache.spark.sql.graft.WindowHashUtil.windowHashes($arr, $n);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WindowHashes =
+    copy(toks = newLeft, nExpr = newRight)
+}
+
 /** Product-quantization code assignment (Jégou et al. 2011, "Product
   * Quantization for Nearest Neighbor Search"): splits an `array<double>`
   * vector into `m` contiguous subspaces and returns the `array<int>` of

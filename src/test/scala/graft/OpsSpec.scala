@@ -985,6 +985,78 @@ class OpsSpec extends SparkSpec {
     assert(cdc(1).getAs[String]("text_dedup").startsWith("jn1 jn2 jn3"))
   }
 
+  test("graft_window_hashes: per-position hashes equal the built-in xxhash64 spelling; empty below L") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val docs = Seq((1L, "a b c d e"), (2L, "x y"), (3L, "p q r")).toDF("doc_id", "text")
+    val toks = split(trim(col("text")), "\\s+")
+    val out = docs.select(col("doc_id"),
+        call_function("graft_window_hashes", toks, lit(3)).as("fast"),
+        when(size(toks) >= 3,
+          transform(sequence(lit(0), size(toks) - 3),
+            i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(3))))))
+          .otherwise(expr("array()").cast("array<bigint>")).as("slow"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[Long](1) == out(0).getSeq[Long](2) &&
+      out(0).getSeq[Long](1).length == 3)
+    assert(out(1).getSeq[Long](1).isEmpty, "docs below L yield no windows")
+    assert(out(2).getSeq[Long](1) == out(2).getSeq[Long](2) &&
+      out(2).getSeq[Long](1).length == 1)
+  }
+
+  test("substringDedup: non-aligned spans cut exactly where segmentDedup provably misses them") {
+    val passage = (0 until 12).map(i => s"P$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"pre1 pre2 $passage post1 post2"),   // corpus-first copy: survives whole
+      (2L, s"a1 a2 a3 $passage b1 b2 b3"),       // same passage at offset 3 (not 8-aligned)
+      (3L, "tiny doc"),                          // below minTokens: untouched
+      (4L, (0 until 20).map(i => s"z$i").mkString(" "))) // unique: untouched
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.substringDedup(docs, "text", "doc_id", minTokens = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_removed_tokens") == 0 &&
+      out(0).getAs[String]("text_dedup") == s"pre1 pre2 $passage post1 post2")
+    // the 12-token passage = 5 overlapping windows at pos 3..7 → merged
+    // interval [3, 15): exactly the passage, nothing of the unique frame
+    assert(out(1).getAs[Long]("n_removed_tokens") == 12,
+      s"expected exactly the 12 passage tokens removed: ${out(1)}")
+    assert(out(1).getAs[String]("text_dedup") == "a1 a2 a3 b1 b2 b3")
+    assert(out(2).getAs[Long]("n_removed_tokens") == 0 &&
+      out(2).getAs[String]("text_dedup") == "tiny doc")
+    assert(out(3).getAs[Long]("n_removed_tokens") == 0)
+    // the k-aligned segmenter sees NO duplicate segment in doc 2 (offset 3
+    // misaligns every fixed window) — the case this operator exists for
+    val fixed = TextAnalysis.segmentDedup(docs, "text", "doc_id", segTokens = 8)
+      .orderBy("doc_id").collect()
+    assert(fixed(1).getAs[Long]("n_removed") == 0,
+      "segmentDedup must miss the non-aligned copy (that's the gap substringDedup closes)")
+  }
+
+  test("substringDedup: within-doc repeats keep the first copy; whole-dup docs empty out; adjacent spans merge") {
+    val r = (0 until 8).map(i => s"R$i").mkString(" ")
+    val s1 = (0 until 8).map(i => s"S$i").mkString(" ")
+    val s2 = (0 until 8).map(i => s"T$i").mkString(" ")
+    val whole = (0 until 10).map(i => s"W$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$r mid1 mid2 $r"),      // within-doc repeat: first copy kept
+      (2L, whole), (3L, whole),      // exact whole-doc dup: later doc empties
+      (4L, s1), (5L, s2),            // owners of two unrelated spans
+      (6L, s"lead1 $s1 $s2 tail1"))  // both spans back-to-back: ONE merged cut
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.substringDedup(docs, "text", "doc_id", minTokens = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_removed_tokens") == 8 &&
+      out(0).getAs[String]("text_dedup") == s"$r mid1 mid2")
+    assert(out(1).getAs[Long]("n_removed_tokens") == 0 &&
+      out(1).getAs[String]("text_dedup") == whole)
+    assert(out(2).getAs[Long]("n_removed_tokens") == 10 &&
+      out(2).getAs[String]("text_dedup") == "")
+    // doc 6 loses S then T as one contiguous 16-token interval — the
+    // interval merge must fuse hits that come from DIFFERENT sources
+    assert(out(5).getAs[Long]("n_removed_tokens") == 16 &&
+      out(5).getAs[String]("text_dedup") == "lead1 tail1",
+      s"adjacent spans from different owners must merge: ${out(5)}")
+  }
+
   test("unigramLogProb: uniform model scores exactly, head/tail split changes nothing") {
     val docs = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
     // counts a=2, b=2 of total 4 → every token −ln(0.5) → 693147 µnats
@@ -2428,6 +2500,83 @@ class OpsSpec extends SparkSpec {
       out(1).getDouble(5) == 40.0)
     intercept[IllegalArgumentException](
       Resample.volumeBars(df, "ts", "p", "v", "t", Seq("k"), threshold = 0.0))
+  }
+
+  test("pacfLjungBox: AR(1) PACF cuts off after lag 1; Q grows; lag-1 pacf equals acf exactly") {
+    // deterministic AR(1): x_t = 0.8·x_{t−1} + e_t, seeded-LCG noise
+    // (java.util.Random's algorithm is specified, so this is replayable)
+    val rnd = new java.util.Random(42L)
+    val xs = new Array[Double](400)
+    var x = 0.0
+    for (t <- 0 until 400) {
+      x = 0.8 * x + rnd.nextGaussian()
+      xs(t) = x
+    }
+    val df = xs.zipWithIndex.map { case (v, t) => ("s", t.toLong, v) }
+      .toSeq.toDF("k", "t", "v")
+    val out = Relational.pacfLjungBox(df, "k", "t", "v", maxLag = 4, scale = 1e6)
+      .orderBy("lag").collect()
+    assert(out.length == 4)
+    val pacf = out.map(r => r.getAs[Double]("pacf"))
+    val acf1 = out(0).getAs[Double]("acf")
+    assert(pacf(0) == acf1, "lag-1 PACF is the lag-1 ACF by definition")
+    assert(pacf(0) > 0.55, s"AR(0.8) lag-1 pacf should be large: ${pacf(0)}")
+    assert((1 until 4).forall(i => math.abs(pacf(i)) < 0.15),
+      s"AR(1) PACF must cut off after lag 1: ${pacf.mkString(",")}")
+    val q = out.map(r => r.getAs[Double]("q_lb"))
+    assert(q(0) > 100.0 && q.sliding(2).forall(p => p(1) > p(0)),
+      s"Ljung–Box Q must be large and cumulative: ${q.mkString(",")}")
+    // unknown-corr propagation: a 2-bucket series has no lag-2+ pairs
+    val tiny = Seq(("s", 0L, 1.0), ("s", 1L, 2.0)).toDF("k", "t", "v")
+    val t2 = Relational.pacfLjungBox(tiny, "k", "t", "v", maxLag = 3)
+      .orderBy("lag").collect()
+    assert(t2.length == 3 && t2.drop(1).forall(_.isNullAt(3)),
+      "missing lags must yield null pacf rows, not dropped rows")
+  }
+
+  test("dollarBars: bars close on exact cumulative price·volume thresholds") {
+    // price·vol: 10·2=20, 20·2=40, 5·2=10, 40·1=40 at threshold 50:
+    // exclusive cums 0, 20, 60, 70 → bars 0, 0, 1, 1
+    val df = Seq((1L, 10.0, 2.0), (2L, 20.0, 2.0), (3L, 5.0, 2.0), (4L, 40.0, 1.0))
+      .map { case (t, p, v) => ("s", t, p, v) }
+      .toDF("k", "t", "p", "v").withColumn("ts", expr("timestamp_micros(t)"))
+    val out = Resample.dollarBars(df, "ts", "p", "v", "t", Seq("k"), threshold = 50.0)
+      .orderBy("bar_id").collect()
+    assert(out.length == 2, s"expected 2 dollar bars: ${out.mkString(";")}")
+    assert(out(0).getAs[Long]("bar_id") == 0L &&
+      out(0).getAs[Double]("open") == 10.0 && out(0).getAs[Double]("close") == 20.0 &&
+      out(0).getAs[Double]("volume") == 4.0 && out(0).getAs[Long]("n_ticks") == 2L)
+    assert(out(1).getAs[Long]("bar_id") == 1L &&
+      out(1).getAs[Double]("open") == 5.0 && out(1).getAs[Double]("close") == 40.0)
+    // same ticks under volumeBars(threshold 5) cut differently (vol cums
+    // 0,2,4,6) — the dollar accumulator is genuinely price-weighted
+    val vb = Resample.volumeBars(df, "ts", "p", "v", "t", Seq("k"), threshold = 5.0)
+      .orderBy("bar_id").collect()
+    assert(vb.map(_.getAs[Long]("n_ticks")).toSeq != out.map(_.getAs[Long]("n_ticks")).toSeq ||
+      vb.length != out.length)
+  }
+
+  test("imbalanceBars: tick-rule signs carry through flats; bars close when |Σb| hits the threshold") {
+    // prices: 100,101,102,102,101,100,99,98 → b: 0,+1,+1,+1(flat carries),-1,-1,-1,-1
+    // threshold 3: cum 0,1,2,3→close bar0 at t4; then -1,-2,-3→close bar1 at t7; t8 in bar2
+    val df = Seq((1L, 100.0), (2L, 101.0), (3L, 102.0), (4L, 102.0),
+      (5L, 101.0), (6L, 100.0), (7L, 99.0), (8L, 98.0))
+      .map { case (t, p) => ("s", t, p) }
+      .toDF("k", "t", "p").withColumn("ts", expr("timestamp_micros(t)"))
+    val out = Resample.imbalanceBars(df, "ts", "p", "t", Seq("k"), threshold = 3L)
+      .orderBy("bar_id").collect()
+    assert(out.length == 3, s"expected 3 bars: ${out.mkString(";")}")
+    assert(out(0).getAs[Long]("bar_id") == 0L &&
+      out(0).getAs[Long]("n_ticks") == 4L &&
+      out(0).getAs[Long]("net_ticks") == 3L &&
+      out(0).getAs[Double]("open") == 100.0 && out(0).getAs[Double]("close") == 102.0)
+    assert(out(1).getAs[Long]("n_ticks") == 3L &&
+      out(1).getAs[Long]("net_ticks") == -3L &&
+      out(1).getAs[Double]("close") == 99.0)
+    assert(out(2).getAs[Long]("n_ticks") == 1L &&
+      out(2).getAs[Long]("net_ticks") == -1L, "tail bar reports its partial imbalance")
+    intercept[IllegalArgumentException](
+      Resample.imbalanceBars(df, "ts", "p", "t", Seq("k"), threshold = 0L))
   }
 
   test("tripleBarrier: first-touch labels — up, down, time barrier, horizon cut, up-wins tie") {

@@ -287,6 +287,28 @@ class PlanSpec extends SparkSpec {
       s"segment-hash shuffle carries document bodies: $bodyCarrying")
   }
 
+  test("substringDedup's dedup core is skinny — window bodies never exist, no text in hash/pos exchanges") {
+    val passage = (0 until 16).map(i => s"c$i").mkString(" ")
+    val docs = (0 until 64).map(i =>
+      (i.toLong, if (i % 4 == 0) s"j$i k$i $passage" // shifted copies
+       else (0 until 20).map(j => s"t${(i * 20 + j) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = planOf(graft.operators.TextAnalysis.substringDedup(docs, "text", "doc_id"))
+    // the seed currency is graft_window_hashes' long arrays — the plan
+    // must posexplode hashes, not window strings
+    assert(plan.contains("graft_window_hashes"),
+      s"seed pass must ride the codegen window-hash kernel:\n${plan.take(1500)}")
+    // no exchange keyed on the window hash or position may carry bodies
+    val bodyCarrying = exchanges(plan).filter { case (args, input) =>
+      (args.contains("hashpartitioning(h#") || args.contains("hashpartitioning(pos#")) &&
+        (input.contains("text#") || input.contains("toks#"))
+    }
+    assert(bodyCarrying.isEmpty,
+      s"dedup-core shuffle carries document bodies: $bodyCarrying")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "winner election and rebuild must stay equi-joins")
+  }
+
   test("unigramLogProb joins the Zipf head map-side (broadcast, no shuffle of hot keys)") {
     val docs = (0 until 64).map(i => (i.toLong, s"the the the rare$i")).toDF("doc_id", "text")
     val plan = planOf(graft.operators.TextAnalysis.unigramLogProb(docs, "text", "doc_id"))
