@@ -1502,6 +1502,54 @@ object Queries {
              END AS ofi
       FROM l ORDER BY symbol, ts_us"""))
 
+  // Multi-level OFI + depth-weighted queue imbalance over the synthetic
+  // book's top-3 levels (decay 0.5 — exact IEEE weights): the CKS flow
+  // rule per rank against the previous same-rank snapshot, geometric
+  // level weights, fixed-point BIGINT sums per (symbol, ts).
+  private val qOfiMultilevel = QDef(
+    "q_ofi_multilevel",
+    (s, dir) => graft.features.OrderbookFeatures
+      .ofiMultiLevel(syntheticBook(s, dir), nLevels = 3, Seq("symbol"),
+        decay = 0.5, scale = 1e6)
+      .select(col("symbol"), micros(col("ts")).as("ts_us"),
+        col("n_lvl_terms"), col("ofi_ml"), col("queue_imbalance"))
+      .orderBy("symbol", "ts_us"),
+    Some(s"""
+      WITH $bookCte,
+      rk AS (SELECT symbol, ts, side, price, amount,
+                    row_number() OVER (PARTITION BY symbol, ts, side
+                      ORDER BY CASE WHEN side = 'bid' THEN -price ELSE price END,
+                               amount) AS rn
+             FROM book),
+      lv AS (SELECT * FROM rk WHERE rn <= 3),
+      lg AS (SELECT symbol, ts, side, rn, price, amount,
+                    LAG(price) OVER w AS pp, LAG(amount) OVER w AS pq,
+                    power(0.5, rn - 1) AS wgt
+             FROM lv WINDOW w AS (PARTITION BY symbol, side, rn ORDER BY ts)),
+      tm AS (SELECT symbol, ts,
+                    CASE WHEN pp IS NOT NULL THEN
+                      CAST(floor((CASE WHEN side = 'bid'
+                        THEN (CASE WHEN price >= pp THEN amount ELSE 0.0 END)
+                             - (CASE WHEN price <= pp THEN pq ELSE 0.0 END)
+                        ELSE (CASE WHEN price >= pp THEN pq ELSE 0.0 END)
+                             - (CASE WHEN price <= pp THEN amount ELSE 0.0 END) END)
+                        * wgt * 1e6) AS BIGINT) END AS term_fp,
+                    CASE WHEN side = 'bid'
+                         THEN CAST(floor(amount * wgt * 1e6) AS BIGINT)
+                         ELSE 0 END AS bid_fp,
+                    CASE WHEN side = 'ask'
+                         THEN CAST(floor(amount * wgt * 1e6) AS BIGINT)
+                         ELSE 0 END AS ask_fp
+             FROM lg)
+      SELECT symbol, epoch_us(ts) AS ts_us,
+             CAST(COUNT(term_fp) AS BIGINT) AS n_lvl_terms,
+             round(CAST(SUM(term_fp) AS DOUBLE) / 1e6, 6) AS ofi_ml,
+             CASE WHEN SUM(bid_fp) + SUM(ask_fp) > 0
+                  THEN round(CAST(SUM(bid_fp) - SUM(ask_fp) AS DOUBLE)
+                             / CAST(SUM(bid_fp) + SUM(ask_fp) AS DOUBLE), 6)
+             END AS queue_imbalance
+      FROM tm GROUP BY 1, 2 ORDER BY symbol, ts_us"""))
+
   // Price-impact lambda per symbol: OLS slope of mid-price changes on
   // order-flow imbalance — the CKS/Kyle liquidity estimate; five exact
   // integer moment sums at scale 10² (bounded well under 2⁶³ for the
@@ -4248,7 +4296,7 @@ object Queries {
     qGapDaily, qDedupLastWin, qTimeNorm, qJsonExtract, qFfill,
     qAsofJoin, qRangeJoin,
     qTaTrend, qTaOscillators, qOnchainFeatures, qMarketFeatures,
-    qOrderbook, qMicroprice, qOfi, qImpactLambda, qTrainingMatrix,
+    qOrderbook, qMicroprice, qOfi, qOfiMultilevel, qImpactLambda, qTrainingMatrix,
     qDedupExact, qTextStats, qLangId, qJaccardNearDup, qMinhashNearDup,
     qNearDupIncremental,
     qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qIvfPq, qIvfPqBatch, qEmbedNearDup,

@@ -177,6 +177,78 @@ object OrderbookFeatures {
     labeled.groupBy(groupCols(keys): _*).pivot("slot", slots).agg(first("amount"))
   }
 
+  /** Multi-level order-flow imbalance + depth-weighted queue imbalance —
+    * the production upgrade of the level-1 [[ofiSeries]] (Xu/Cartea
+    * et al.'s multi-level OFI; Cont-Kukanov-Stoikov per level): rank the
+    * top `nLevels` price levels per (keys, ts, side) exactly as
+    * [[depthSeries]] does, apply the CKS flow rule PER RANK against the
+    * previous snapshot of the SAME rank, and combine levels with
+    * geometric weights `decay^(rank−1)` (deeper queues matter less).
+    * Also emits the depth-weighted queue imbalance
+    * `(Σwᵢ·bid_szᵢ − Σwᵢ·ask_szᵢ) / (Σwᵢ·bid_szᵢ + Σwᵢ·ask_szᵢ)` from
+    * the CURRENT snapshot — the standing-pressure complement of the
+    * flow signal.
+    *
+    * Semantics: a rank that is absent at some ts simply skips that
+    * snapshot (its lag compares against the rank's previous existence);
+    * level terms with no previous state are excluded, and `ofi_ml` is
+    * null only when NO level has history. Pass `decay` as a power of
+    * two (default 0.5) so the weights are exact IEEE doubles on any
+    * engine.
+    *
+    * Determinism: per-level terms quantize to `⌊contrib·wᵢ·scale⌋`
+    * BIGINTs and sum order-free (the correlation-family rule); the two
+    * queue sums are the same fixed-point integers.
+    *
+    * Scale shape: ONE series-keyed exchange up front — the per-(ts,
+    * side) rank window, the per-(side, rank) lag window and the final
+    * (keys, ts) agg all require only clusterings that hash(keys)
+    * already satisfies (subset rule), so everything downstream is
+    * sort-only within partitions. Keys are series-grained by the
+    * engine's window contract. Returns `(keys…, ts, n_lvl_terms,
+    * ofi_ml, queue_imbalance)`. */
+  def ofiMultiLevel(df: DataFrame, nLevels: Int = 5, keys: Seq[String] = Nil,
+                    decay: Double = 0.5, scale: Double = 1e6): DataFrame = {
+    require(nLevels >= 1, s"nLevels must be >= 1, got $nLevels")
+    require(decay > 0.0 && decay <= 1.0, s"decay must be in (0,1], got $decay")
+    require(scale > 0.0, s"scale must be positive, got $scale")
+    val keyed = if (keys.nonEmpty) df.repartition(keys.map(col): _*) else df
+    val ranked = keyed.withColumn("rn", row_number().over(
+        Window.partitionBy((keys :+ "ts" :+ "side").map(col): _*)
+          .orderBy(when(col("side") === "bid", -col("price")).otherwise(col("price")),
+            col("amount"))))
+      .filter(col("rn") <= nLevels)
+    val wLvl = Window.partitionBy((keys :+ "side" :+ "rn").map(col): _*)
+      .orderBy(col("ts"))
+    val pp = lag(col("price"), 1).over(wLvl)
+    val pq = lag(col("amount"), 1).over(wLvl)
+    val wgt = pow(lit(decay), col("rn") - 1)
+    val q = col("amount")
+    val contrib = when(col("side") === "bid",
+        when(col("price") >= pp, q).otherwise(lit(0.0))
+          - when(col("price") <= pp, pq).otherwise(lit(0.0)))
+      .otherwise(
+        when(col("price") >= pp, pq).otherwise(lit(0.0))
+          - when(col("price") <= pp, q).otherwise(lit(0.0)))
+    val defined = pp.isNotNull
+    val termFp = when(defined, floor(contrib * wgt * lit(scale)).cast("long"))
+    val szFp = floor(q * wgt * lit(scale)).cast("long")
+    ranked
+      .withColumn("_term_fp", termFp)
+      .withColumn("_bid_fp", when(col("side") === "bid", szFp).otherwise(lit(0L)))
+      .withColumn("_ask_fp", when(col("side") === "ask", szFp).otherwise(lit(0L)))
+      .groupBy((keys :+ "ts").map(col): _*)
+      .agg(count(col("_term_fp")).as("n_lvl_terms"),
+        sum(col("_term_fp")).as("_ofi_fp"),
+        sum(col("_bid_fp")).as("_b"), sum(col("_ask_fp")).as("_a"))
+      .select((keys :+ "ts").map(col) :+
+        col("n_lvl_terms") :+
+        round(col("_ofi_fp").cast("double") / lit(scale), 6).as("ofi_ml") :+
+        when(col("_b") + col("_a") > 0L,
+          round((col("_b") - col("_a")).cast("double")
+            / (col("_b") + col("_a")).cast("double"), 6)).as("queue_imbalance"): _*)
+  }
+
   /** Fused imbalance + spread per ts (`compute_batch_orderbook`,
     * `orderbook_features.py:163-186`): volume pivot-sum + best-level price
     * pick with forward-fill; spread = ask_price − bid_price after ffill.

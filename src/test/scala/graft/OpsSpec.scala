@@ -2502,6 +2502,87 @@ class OpsSpec extends SparkSpec {
       Resample.volumeBars(df, "ts", "p", "v", "t", Seq("k"), threshold = 0.0))
   }
 
+  test("MarketIncremental: 3-batch fold equals whole-history volumeBars + tripleBarrier exactly") {
+    import graft.operators.MarketIncremental
+    // two series with swings big enough to touch both barriers, flats,
+    // and horizon windows that straddle the batch cuts
+    val ticks = (for { k <- Seq("A", "B"); t <- 1 to 90 } yield {
+      val base = if (k == "A") 100.0 + t * 0.5 else 140.0 - t * 0.3
+      val p = math.rint((base + 40.0 * math.sin(t / 5.0)) * 100) / 100
+      (k, t.toLong, p, 1.0 + t % 3)
+    }).toDF("k", "t", "p", "v").withColumn("ts", expr("timestamp_micros(t)"))
+    val cfg = MarketIncremental.Cfg(Seq("k"), "ts", "p", "v", "t",
+      volThreshold = 7.0, horizonUs = 20L, upPct = 0.15, dnPct = 0.10)
+    val batches = Seq(ticks.where(col("t") <= 30),
+      ticks.where(col("t") > 30 && col("t") <= 60), ticks.where(col("t") > 60))
+    var bars = MarketIncremental.emptyBars(spark, cfg)
+    var carry = MarketIncremental.emptyCarry(spark, cfg)
+    var entries = MarketIncremental.emptyEntries(spark, cfg)
+    for (b <- batches) {
+      val (b2, c2) = MarketIncremental.volumeBarsMerge(bars, carry, b, cfg)
+      bars = b2.localCheckpoint(true)
+      carry = c2.localCheckpoint(true)
+      entries = MarketIncremental.tripleBarrierMerge(entries, b, carry, cfg)
+        .localCheckpoint(true)
+    }
+    def barKey(r: org.apache.spark.sql.Row) = r.toSeq.mkString("|")
+    val wantBars = graft.operators.Resample
+      .volumeBars(ticks, "ts", "p", "v", "t", Seq("k"), 7.0)
+      .select(col("k"), col("bar_id"), col("open"), col("high"), col("low"),
+        col("close"), col("volume"), col("n_ticks"),
+        unix_micros(col("open_ts")).as("open_ts_us"),
+        unix_micros(col("close_ts")).as("close_ts_us"))
+      .collect().map(barKey).sorted.toSeq
+    val gotBars = bars.select(col("k"), col("bar_id"), col("open"), col("high"),
+        col("low"), col("close"), col("volume"), col("n_ticks"),
+        col("open_ts_us"), col("close_ts_us"))
+      .collect().map(barKey).sorted.toSeq
+    assert(gotBars == wantBars, s"incremental bars diverged:\n got ${gotBars.take(3)}\nwant ${wantBars.take(3)}")
+    val wantLabels = graft.operators.Labeling
+      .tripleBarrier(ticks, Seq("k"), "ts", "p", "t", 20L, 0.15, 0.10)
+      .collect().map(barKey).sorted.toSeq
+    val gotLabels = MarketIncremental.labels(entries, cfg)
+      .collect().map(barKey).sorted.toSeq
+    assert(gotLabels == wantLabels, s"incremental labels diverged:\n got ${gotLabels.take(3)}\nwant ${wantLabels.take(3)}")
+    // cross-batch work actually happened: some entries finalized only
+    // after their horizon straddled a batch cut
+    assert(entries.where(col("is_final")).count() > 0)
+    assert(entries.where(!col("is_final")).count() > 0,
+      "tail entries (horizon beyond data) must stay open")
+    // the ordering contract trips loudly on out-of-order replays
+    val stale = ticks.where(col("t") === 5)
+    intercept[Exception] {
+      val (b3, _) = MarketIncremental.volumeBarsMerge(bars, carry, stale, cfg)
+      b3.count()
+    }
+  }
+
+  test("ofiMultiLevel: per-rank CKS terms with geometric weights; queue imbalance from current depth") {
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // t=1: bid levels (10.0 sz 5), (9.0 sz 4); ask (11.0 sz 6), (12.0 sz 2)
+    // t=2: bid (10.5 sz 3), (9.0 sz 4); ask (11.0 sz 1), (12.5 sz 7)
+    val book = Seq(
+      ("S", ts(1), "bid", 10.0, 5.0), ("S", ts(1), "bid", 9.0, 4.0),
+      ("S", ts(1), "ask", 11.0, 6.0), ("S", ts(1), "ask", 12.0, 2.0),
+      ("S", ts(2), "bid", 10.5, 3.0), ("S", ts(2), "bid", 9.0, 4.0),
+      ("S", ts(2), "ask", 11.0, 1.0), ("S", ts(2), "ask", 12.5, 7.0))
+      .toDF("symbol", "ts", "side", "price", "amount")
+    val out = graft.features.OrderbookFeatures
+      .ofiMultiLevel(book, nLevels = 2, Seq("symbol"), decay = 0.5)
+      .orderBy("ts").collect()
+    // t=1: no history → ofi null, queue imbalance from current sizes:
+    // bid w-sum 5 + 0.5·4 = 7, ask 6 + 0.5·2 = 7 → qi = 0
+    assert(out(0).isNullAt(3) && out(0).getAs[Long]("n_lvl_terms") == 0L)
+    assert(out(0).getAs[Double]("queue_imbalance") == 0.0)
+    // t=2 rank-1 bid: 10.5 > 10.0 → +q = 3; rank-2 bid: 9.0 == 9.0 → q − pq = 0
+    // rank-1 ask: 11.0 == 11.0 → pq − q = 6 − 1 = 5; rank-2 ask: 12.5 > 12.0 → pq = 2
+    // weighted: 3·1 + 0·0.5 + 5·1 + 2·0.5 = 9
+    assert(out(1).getAs[Long]("n_lvl_terms") == 4L)
+    assert(out(1).getAs[Double]("ofi_ml") == 9.0, s"got ${out(1)}")
+    // qi t=2: bid 3 + 0.5·4 = 5, ask 1 + 0.5·7 = 4.5 → (5−4.5)/9.5
+    assert(math.abs(out(1).getAs[Double]("queue_imbalance") - 0.052632) < 1e-9)
+  }
+
   test("pacfLjungBox: AR(1) PACF cuts off after lag 1; Q grows; lag-1 pacf equals acf exactly") {
     // deterministic AR(1): x_t = 0.8·x_{t−1} + e_t, seeded-LCG noise
     // (java.util.Random's algorithm is specified, so this is replayable)

@@ -554,6 +554,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ofiMultiLevel: one series-keyed exchange; rank/lag windows and the agg are sort-only on top") {
+    val book = (0 until 240).map(i =>
+      ("s" + (i % 2), i.toLong / 8, if (i % 2 == 0) "bid" else "ask",
+        100.0 + i % 7, 1.0 + i % 3))
+      .toDF("symbol", "t", "side", "price", "amount")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val plan = planOf(graft.features.OrderbookFeatures.ofiMultiLevel(
+      book, nLevels = 3, Seq("symbol")))
+    // hash(symbol) satisfies every downstream clustering (subset rule):
+    // the (symbol, ts, side) rank window, the (symbol, side, rn) lag
+    // window and the (symbol, ts) agg must all reuse the ONE exchange
+    val shuffles = raw"\(\d+\) Exchange".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"expected exactly one exchange (the symbol repartition), got $shuffles:\n${plan.take(2000)}")
+  }
+
   test("clusterBalancedSample: assignment is a zero-shuffle projection; rates broadcast back") {
     val vecs = (0 until 64).map(i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 2.0 + j))))

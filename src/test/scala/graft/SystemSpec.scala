@@ -633,6 +633,70 @@ class SystemSpec extends SparkSpec {
     assert(graft.operators.Dedup.committedBatches(spark, idx).sorted == Seq("0", "1"))
   }
 
+  test("streaming market tick end-to-end: foreachBatch wiring, incremental = batch, replay no-op") {
+    // the OpsSpec test drives the pure merges; this one proves the
+    // WIRING: a real writeStream.foreachBatch feeding marketTickBatch
+    // with the streaming batch id, versioned state with commit markers,
+    // checkpoint resume, and a replayed/empty trigger being a no-op
+    import graft.operators.MarketIncremental
+    val in = tmp()
+    val st = tmp() + "/mkt"
+    val ckpt = tmp() + "/ckpt"
+    val cfg = MarketIncremental.Cfg(Seq("k"), "ts", "p", "v", "t",
+      volThreshold = 7.0, horizonUs = 20L, upPct = 0.15, dnPct = 0.10)
+    val sch = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.StringType)
+      .add("t", org.apache.spark.sql.types.LongType)
+      .add("p", org.apache.spark.sql.types.DoubleType)
+      .add("v", org.apache.spark.sql.types.DoubleType)
+    def price(k: String, t: Int): Double = {
+      val base = if (k == "A") 100.0 + t * 0.5 else 140.0 - t * 0.3
+      math.rint((base + 40.0 * math.sin(t / 5.0)) * 100) / 100
+    }
+    def drop(name: String, ts: Range): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(in, name),
+        (for (k <- Seq("A", "B"); t <- ts) yield
+          s"""{"k": "$k", "t": $t, "p": ${price(k, t)}, "v": ${1.0 + t % 3}}""")
+          .mkString("\n"))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(sch).json(in)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          MarketIncremental.marketTickBatch(spark, st, id,
+            b.toDF().withColumn("ts", expr("timestamp_micros(t)")), cfg)
+            .count(): Unit
+        }
+        .start()
+      q.awaitTermination(120000)
+    }
+    drop("b0.json", 1 to 30)
+    runOnce()
+    assert(MarketIncremental.committedVersions(spark, st) == Seq(0L))
+    drop("b1.json", 31 to 60)
+    runOnce()
+    assert(MarketIncremental.committedVersions(spark, st).last == 1L)
+    // nothing new → no batch fires, no state version appears
+    runOnce()
+    assert(MarketIncremental.committedVersions(spark, st).last == 1L)
+    // the standing state now equals a from-scratch batch computation
+    val all = (for (k <- Seq("A", "B"); t <- 1 to 60) yield
+      (k, t.toLong, price(k, t), 1.0 + t % 3))
+      .toDF("k", "t", "p", "v").withColumn("ts", expr("timestamp_micros(t)"))
+    val want = graft.operators.Labeling
+      .tripleBarrier(all, Seq("k"), "ts", "p", "t", 20L, 0.15, 0.10)
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val v = MarketIncremental.committedVersions(spark, st).last
+    val got = MarketIncremental.labels(
+        spark.read.parquet(s"$st/v=$v/entries"), cfg)
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(got == want, s"streamed state diverged from batch:\n got ${got.take(3)}\nwant ${want.take(3)}")
+    val bars = spark.read.parquet(s"$st/v=$v/bars")
+    val wantBars = graft.operators.Resample
+      .volumeBars(all, "ts", "p", "v", "t", Seq("k"), 7.0).count()
+    assert(bars.count() == wantBars)
+  }
+
   test("streaming semantic dedup end-to-end: bootstrap, foreachBatch wiring, checkpoint resume") {
     // the OpsSpec test drives incrementalSemanticDedupBatch directly;
     // this one proves the streaming WIRING: a real writeStream
