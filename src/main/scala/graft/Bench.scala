@@ -91,7 +91,15 @@ object Bench {
         val p0 = psiCpuUs()
         val t0 = System.nanoTime()
         var failed = false
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        // HONEST materialization: the noop sink consumes EVERY output
+        // column, so column pruning can't hollow the plan out. Round 7
+        // caught `.count()` letting Catalyst eliminate whole join
+        // pipelines — q_triple_barrier "ran" in 0.1 s while its band
+        // join (the entire query) was optimized away; the honest cost
+        // was 104 s pre-fix. count() benches the scan, not the query.
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch { case e: Throwable =>
           failed = true
           errors(name) = e.toString.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }

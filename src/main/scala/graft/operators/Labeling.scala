@@ -25,17 +25,21 @@ object Labeling {
     * exact integer-µs MINs, and the label is a fixed conditional over
     * them.
     *
-    * Scale shape: one keyed equi-join (series key) with a bounded range
-    * predicate — each entry fans out to at most the ticks inside its own
-    * horizon (horizon × tick rate, a per-series constant, not corpus²);
-    * the touch-time agg collapses it straight back to one row per entry.
-    * Spark 4.1 plans this as a SortMergeJoin on the key with the range
-    * as residual condition; MEASURED linear 100k → 10M events
-    * (0.2 s → 1.3 s, 2M rows in one key group — BASELINE.md market
-    * rehearsal, independently reproduced by the round-6 review). See the
-    * [[TemporalJoins]] header for when a band join is NOT safe (the
-    * one-sided/unbounded as-of shape). At 100 TB bucket both sides by
-    * the series key to co-locate the join.
+    * Scale shape — a HORIZON-BUCKETED band join, linear by
+    * construction: ticks land in bucket ⌊ts/H⌋ and every entry probes
+    * exactly its own and the next bucket (a tick in `(t, t+H]` can live
+    * nowhere else), so the bucket id joins as an EQUI key next to the
+    * series key and the engine only ever inspects same-key SAME-BUCKET
+    * pairs: ≤ 2·(H·tick-rate) per entry, a per-series constant — never
+    * the all-same-key-pairs blowup. This bound holds on ANY engine
+    * because it is in the join keys, not the physical strategy. (A
+    * round-6 claim that the unbucketed key-join-with-range-residual
+    * shape "measured linear" was traced in round 7 to the benchmark's
+    * `count()` materialization letting Catalyst prune the join away —
+    * the honest cost was quadratic-per-key. See BASELINE.md "honest
+    * materialization".) The touch-time agg collapses the fan-out
+    * straight back to one row per entry. At 100 TB bucket the storage
+    * by the series key so the (key, bucket) shuffle co-locates.
     *
     * Returns one row per entry: `(keys…, ts_us, price, t_up_us,
     * t_dn_us, label)` — touch times null when that barrier was never
@@ -54,16 +58,28 @@ object Labeling {
       (keys.map(col) :+ unix_micros(col(tsCol).cast("timestamp")).as("ts_us")
         :+ col(priceCol).cast("double").as("price")
         :+ col(idCol).as("_id")): _*)
+    // exact BIGINT floor division (ts may be pre-epoch negative)
+    val ticks = base.withColumn("_bkt",
+      expr(s"(ts_us - pmod(ts_us, ${horizonUs}L)) div ${horizonUs}L"))
     val entries = base.select(
       (keys.map(k => col(k).as(s"_e_$k")) :+ col("ts_us").as("_e_ts")
         :+ col("price").as("_e_p") :+ col("_id").as("_e_id")): _*)
-    val joinCond = keys.map(k => col(s"_e_$k") === col(k))
-      .reduce(_ && _) &&
+    // each entry probes its own bucket and the next: a tick in
+    // (e_ts, e_ts+H] has ⌊ts/H⌋ ∈ {⌊e_ts/H⌋, ⌊e_ts/H⌋+1}
+    val probes = entries
+      .withColumn("_d", explode(array(lit(0L), lit(1L))))
+      .withColumn("_e_bkt",
+        expr(s"(_e_ts - pmod(_e_ts, ${horizonUs}L)) div ${horizonUs}L") + col("_d"))
+      .drop("_d")
+    val joinCond = (keys.map(k => col(s"_e_$k") === col(k)) :+
+      (col("_e_bkt") === col("_bkt"))).reduce(_ && _) &&
       col("ts_us") > col("_e_ts") &&
       col("ts_us") <= col("_e_ts") + lit(horizonUs)
     val up = col("price") >= col("_e_p") * lit(1.0 + upPct)
     val dn = col("price") <= col("_e_p") * lit(1.0 - dnPct)
-    val hits = entries.join(base, joinCond)
+    // each (entry, tick) pair matches in exactly one bucket, so the
+    // MINs aggregate each pair once — the probe duplication folds away
+    val hits = probes.join(ticks, joinCond)
       .groupBy((keys.map(k => col(s"_e_$k")) :+ col("_e_ts") :+ col("_e_id")): _*)
       .agg(min(when(up, col("ts_us"))).as("t_up_us"),
         min(when(dn, col("ts_us"))).as("t_dn_us"))

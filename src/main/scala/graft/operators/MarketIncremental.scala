@@ -7,39 +7,44 @@ import org.apache.spark.sql.functions._
 /** Incremental market analytics — fold a new micro-batch of ticks into
   * standing volume-bar and triple-barrier state WITHOUT recomputing
   * history: the [[Relational.mergeSessions]] sufficient-statistics
-  * pattern applied to the AFML bar/label operators.
+  * pattern applied to the AFML bar/label operators, with BOUNDED state.
   *
-  * Sufficient statistics per series:
-  *  - BARS: the cumulative quantized volume (`cum_cents`) — bar
-  *    membership under [[Resample.volumeBars]]' floor-division contract
-  *    depends on nothing else — plus each stored bar's OHLCV aggregate
-  *    (open/close ride their endpoint timestamps, so two partial
-  *    aggregates of the same bar combine exactly);
-  *  - LABELS: each entry's first barrier-touch times found SO FAR. New
-  *    ticks can only add LATER touches (the ordering contract below),
-  *    so a stored touch is final the moment it exists, and an entry
-  *    stops being a candidate once both barriers are resolved or the
-  *    series watermark passes its horizon. Ticks themselves are never
-  *    stored — each batch's ticks are compared against open entries
-  *    exactly once.
+  * State is the open frontier only — everything that can never change
+  * again leaves the fold:
+  *  - BARS: under [[Resample.volumeBars]]' floor-division contract with
+  *    non-negative volumes, a bar is closed forever once the series'
+  *    cumulative quantized volume passes its boundary; each fold EMITS
+  *    the newly-closed bars (append-only log) and keeps at most ONE
+  *    open bar per series plus the `cum_cents` carry.
+  *  - LABELS: an entry finalizes once both barriers are resolved or the
+  *    series watermark passes its horizon (new ticks only ever arrive
+  *    later, so a recorded first touch is final the moment it exists);
+  *    each fold EMITS newly-final labels and keeps only the open
+  *    entries — bounded by horizon × tick rate × series, NOT history.
+  *    Ticks themselves are never stored.
+  *
+  * A fold therefore prices like (batch + open frontier), not like the
+  * accumulated history — the property the scale rehearsal pins against
+  * a full recompute.
   *
   * ORDERING CONTRACT (the standard warehouse-load contract, as
   * [[Relational.scd2Merge]]): batches arrive per-series time-ordered —
   * every new tick strictly after the series' stored `(ts, tiebreak)`
-  * watermark. Violations raise rather than silently corrupt bar
-  * boundaries. Replays of a committed batch id are no-ops in
-  * [[marketTickBatch]].
+  * watermark — and volumes are non-negative (a refund/correction tick
+  * would reopen closed bars). Violations raise rather than silently
+  * corrupt bar boundaries. Replays of a committed batch id are no-ops
+  * in [[marketTickBatch]].
   *
-  * Equivalence gate (spec-pinned): after any batch sequence, `bars` ≡
-  * [[Resample.volumeBars]] over the full history and [[labels]] ≡
+  * Equivalence gate (spec-pinned): after any batch sequence,
+  * closed-log ∪ open state ≡ [[Resample.volumeBars]] over the full
+  * history, and emitted-labels ∪ [[labels]] of the open entries ≡
   * [[Labeling.tripleBarrier]] over the full history, column for column.
   *
   * Scale shape: every stage is keyed on the series — the in-batch
   * prefix window, the bar merge groupBy, the entry-vs-tick horizon
-  * join (the tripleBarrier SMJ shape, batch-sized right side) and the
-  * watermark join. Stored state never rescans history: bars touch only
-  * (series, bar_id) rows present in the batch or the store, entries
-  * only the still-open ones. */
+  * join (the [[Labeling.tripleBarrier]] horizon-BUCKETED band join,
+  * batch-sized right side) and the watermark join. Nothing rescans or
+  * rewrites history. */
 object MarketIncremental {
 
   /** All knobs of the fold, shared by every function here so the batch
@@ -58,7 +63,7 @@ object MarketIncremental {
     require(thrFp > 0L, s"volThreshold quantizes to 0 cents: $volThreshold")
   }
 
-  /** Empty state frames with the exact schemas the merges produce. */
+  /** Empty state frames with the exact schemas the folds produce. */
   def emptyBars(spark: SparkSession, cfg: Cfg): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(
@@ -85,16 +90,16 @@ object MarketIncremental {
           org.apache.spark.sql.types.StringType)) ++ Seq(
           field("ts_us", "long"), field("price", "double"),
           field("_eid", "long"), field("t_up_us", "long"),
-          field("t_dn_us", "long"), field("is_final", "boolean"))))
+          field("t_dn_us", "long"))))
 
   private def field(n: String, t: String) =
     org.apache.spark.sql.types.StructField(n,
       org.apache.spark.sql.types.DataType.fromDDL(t))
 
-  /** Normalized batch ticks: `(keys…, ts_us, _tb, price, _cents)`, with
-    * the per-series ordering guard against the stored watermark baked
+  /** Normalized batch ticks: `(keys…, ts_us, _tb, price, _vol, _cents)`,
+    * with the per-series ordering + non-negative-volume guards baked
     * into `_cents` (a violating tick fails the job loudly — silently
-    * accepting it would corrupt every later bar boundary). */
+    * accepting it would corrupt bar boundaries or reopen closed bars). */
   private def guardedTicks(batch: DataFrame, carry: DataFrame, cfg: Cfg): DataFrame = {
     val tsUs = unix_micros(col(cfg.tsCol).cast("timestamp"))
     val raw = batch.select(
@@ -113,19 +118,25 @@ object MarketIncremental {
           raise_error(concat(lit("marketTick ordering contract violated: tick at "),
             col("ts_us").cast("string"), lit("us is not after the stored watermark "),
             col("w_ts_us").cast("string"), lit("us — batches must be per-series time-ordered"))))
+        .when(col("_rawc") < 0L,
+          raise_error(lit("marketTick volume contract violated: negative " +
+            "volume would reopen closed bars — correct upstream")))
         .otherwise(col("_rawc")))
       .drop("w_ts_us", "w_tb", "_rawc")
   }
 
-  /** Fold a tick batch into the bar state. Returns (bars', carry'). */
-  def volumeBarsMerge(storedBars: DataFrame, storedCarry: DataFrame,
-                      batch: DataFrame, cfg: Cfg): (DataFrame, DataFrame) = {
+  /** Fold a tick batch into the bar frontier. Returns
+    * `(newlyClosedBars, openBars', carry')` — closed bars are final and
+    * never re-emitted; the open frame holds ≤ 1 bar per series. */
+  def volumeBarsFold(openBars: DataFrame, carry: DataFrame,
+                     batch: DataFrame, cfg: Cfg)
+      : (DataFrame, DataFrame, DataFrame) = {
     val K = cfg.keys
-    val ticks = guardedTicks(batch, storedCarry, cfg)
+    val ticks = guardedTicks(batch, carry, cfg)
     val w = Window.partitionBy(K.map(col): _*).orderBy(col("ts_us"), col("_tb"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withCum = ticks
-      .join(storedCarry.select(K.map(col) :+ col("cum_cents").as("_base"): _*),
+      .join(carry.select(K.map(col) :+ col("cum_cents").as("_base"): _*),
         K, "left")
       .withColumn("_cumb",
         coalesce(sum(col("_cents")).over(w), lit(0L)) + coalesce(col("_base"), lit(0L)))
@@ -143,9 +154,9 @@ object MarketIncremental {
         max(col("ts_us")).as("close_ts_us"))
     // combine partial aggregates of the same bar: open/close elect by
     // their endpoint timestamps (exact under the ordering contract —
-    // a stored bar always precedes its batch extension), volume re-sums
-    // through DECIMAL so the double stays the exact 2-dp value
-    val bars2 = storedBars.unionByName(partials)
+    // a stored open bar always precedes its batch extension), volume
+    // re-sums through DECIMAL so the double stays the exact 2-dp value
+    val merged = openBars.unionByName(partials)
       .groupBy((K :+ "bar_id").map(col): _*)
       .agg(min_by(col("open"), col("open_ts_us")).as("open"),
         max(col("high")).as("high"), min(col("low")).as("low"),
@@ -158,22 +169,36 @@ object MarketIncremental {
     val bAgg = withCum.groupBy(K.map(col): _*)
       .agg(sum(col("_cents")).as("_add"),
         max(struct(col("ts_us"), col("_tb"))).as("_w"))
-    val carry2 = storedCarry.join(bAgg, K, "full")
+    val carry2 = carry.join(bAgg, K, "full")
       .select(K.map(col) ++ Seq(
         (coalesce(col("cum_cents"), lit(0L)) + coalesce(col("_add"), lit(0L)))
           .as("cum_cents"),
         coalesce(col("_w").getField("ts_us"), col("w_ts_us")).as("w_ts_us"),
         coalesce(col("_w").getField("_tb"), col("w_tb")).as("w_tb")): _*)
-    (bars2, carry2)
+    // with non-negative volumes the cumulative is monotone: the series'
+    // open bar is exactly floor(cum_total / thr); every merged bar below
+    // it is closed forever and leaves the fold
+    val frontier = carry2.select(K.map(col) :+
+      expr(s"(cum_cents - pmod(cum_cents, ${cfg.thrFp}L)) div ${cfg.thrFp}L")
+        .as("_open_bar"): _*)
+    val tagged = merged.join(frontier, K)
+    (tagged.where(col("bar_id") < col("_open_bar")).drop("_open_bar"),
+      tagged.where(col("bar_id") >= col("_open_bar")).drop("_open_bar"),
+      carry2)
   }
 
-  /** Fold a tick batch into the entry/label state. `carryAfter` is the
-    * POST-merge carry (its watermark decides horizon expiry). Every
+  /** Fold a tick batch into the entry frontier. `carryAfter` is the
+    * POST-fold carry (its watermark decides horizon expiry). Every
     * batch tick becomes a new entry; open entries of the batch's series
     * scan the batch's ticks for barrier touches (first touch wins —
-    * stored touches are by construction earlier than anything new). */
-  def tripleBarrierMerge(storedEntries: DataFrame, batch: DataFrame,
-                         carryAfter: DataFrame, cfg: Cfg): DataFrame = {
+    * stored touches are by construction earlier than anything new).
+    * Returns `(newlyFinalEntries, openEntries')`: an entry is final
+    * once BOTH barriers are resolved or the watermark passes its
+    * horizon (both, so the late second-touch time matches the batch
+    * operator's output column for column). */
+  def tripleBarrierFold(openEntries: DataFrame, batch: DataFrame,
+                        carryAfter: DataFrame, cfg: Cfg)
+      : (DataFrame, DataFrame) = {
     val K = cfg.keys
     val ticks = batch.select(
       K.map(c => col(c).cast("string").as(c)) ++ Seq(
@@ -183,20 +208,31 @@ object MarketIncremental {
     val newEntries = ticks
       .withColumn("t_up_us", lit(null).cast("long"))
       .withColumn("t_dn_us", lit(null).cast("long"))
-      .withColumn("is_final", lit(false))
     val batchKeys = ticks.select(K.map(col): _*).distinct()
-    val openStored = storedEntries.where(!col("is_final"))
-    val cand = openStored.join(batchKeys, K, "left_semi").unionByName(newEntries)
+    val cand = openEntries.join(batchKeys, K, "left_semi").unionByName(newEntries)
     val eSide = cand.select(
       K.map(k => col(k).as(s"_e_$k")) ++ Seq(col("ts_us").as("_e_ts"),
         col("price").as("_e_p"), col("_eid").as("_e_id"),
         col("t_up_us"), col("t_dn_us")): _*)
-    val joinCond = K.map(k => col(s"_e_$k") === col(k)).reduce(_ && _) &&
+    // horizon-bucketed band join (the [[Labeling.tripleBarrier]] shape):
+    // the bucket id is an EQUI key, so the engine inspects only
+    // same-key same-bucket pairs — ≤ 2·(H·tick-rate) per entry by
+    // construction, never all same-key pairs
+    val H = cfg.horizonUs
+    val bTicks = ticks.withColumn("_bkt",
+      expr(s"(ts_us - pmod(ts_us, ${H}L)) div ${H}L"))
+    val probes = eSide
+      .withColumn("_d", explode(array(lit(0L), lit(1L))))
+      .withColumn("_e_bkt",
+        expr(s"(_e_ts - pmod(_e_ts, ${H}L)) div ${H}L") + col("_d"))
+      .drop("_d")
+    val joinCond = (K.map(k => col(s"_e_$k") === col(k)) :+
+      (col("_e_bkt") === col("_bkt"))).reduce(_ && _) &&
       col("ts_us") > col("_e_ts") &&
       col("ts_us") <= col("_e_ts") + lit(cfg.horizonUs)
     val up = col("price") >= col("_e_p") * lit(1.0 + cfg.upPct)
     val dn = col("price") <= col("_e_p") * lit(1.0 - cfg.dnPct)
-    val hits = eSide.join(ticks, joinCond)
+    val hits = probes.join(bTicks, joinCond)
       .groupBy((K.map(k => col(s"_e_$k")) :+ col("_e_ts") :+ col("_e_id")): _*)
       .agg(min(when(up, col("ts_us"))).as("_nu"),
         min(when(dn, col("ts_us"))).as("_nd"))
@@ -209,18 +245,19 @@ object MarketIncremental {
         coalesce(col("t_dn_us"), col("_nd")).as("t_dn_us")): _*)
     val merged = touched
       .join(carryAfter.select(K.map(col) :+ col("w_ts_us"): _*), K, "left")
-      .withColumn("is_final",
+      .withColumn("_final",
         (col("t_up_us").isNotNull && col("t_dn_us").isNotNull) ||
           coalesce(col("w_ts_us"), lit(Long.MinValue)) > col("ts_us") + cfg.horizonUs)
       .drop("w_ts_us")
-    storedEntries.where(col("is_final"))
-      .unionByName(openStored.join(batchKeys, K, "left_anti"))
-      .unionByName(merged)
+    (merged.where(col("_final")).drop("_final"),
+      merged.where(!col("_final")).drop("_final")
+        .unionByName(openEntries.join(batchKeys, K, "left_anti")))
   }
 
-  /** The [[Labeling.tripleBarrier]]-equivalent view of the entry state —
-    * identical columns, identical label rule (open entries read as
-    * time-barrier 0, exactly like the batch operator at end-of-data). */
+  /** The [[Labeling.tripleBarrier]]-equivalent projection of an entry
+    * frame — identical columns, identical label rule (open entries read
+    * as time-barrier 0, exactly like the batch operator at end of
+    * data). */
   def labels(entries: DataFrame, cfg: Cfg): DataFrame =
     entries.select(
       cfg.keys.map(col) ++ Seq(col("ts_us"), col("price"),
@@ -231,9 +268,11 @@ object MarketIncremental {
           .otherwise(lit(0L)).as("label")): _*)
 
   // ------------------------------------------------------------------
-  // Persistent foreachBatch wiring: versioned state + commit markers
-  // (the incremental-dedup `_commits` idempotency pattern — a replayed
-  // batch id is a no-op, a torn write without its marker is invisible).
+  // Persistent foreachBatch wiring: small versioned frontier state +
+  // append-only closed-bar/final-label logs, both governed by the
+  // `_commits` markers (the incremental-dedup idempotency pattern — a
+  // replayed batch id is a no-op, a torn write without its marker is
+  // invisible to readers).
   // ------------------------------------------------------------------
 
   private def fs(spark: SparkSession, path: String) =
@@ -254,39 +293,70 @@ object MarketIncremental {
       case None =>
         (emptyBars(spark, cfg), emptyCarry(spark, cfg), emptyEntries(spark, cfg))
       case Some(v) =>
-        (spark.read.parquet(s"$stateDir/v=$v/bars"),
+        (spark.read.parquet(s"$stateDir/v=$v/open_bars"),
           spark.read.parquet(s"$stateDir/v=$v/carry"),
-          spark.read.parquet(s"$stateDir/v=$v/entries"))
+          spark.read.parquet(s"$stateDir/v=$v/open_entries"))
     }
 
+  /** Committed slices of an append-only log (`bars`/`labels`), empty
+    * frame when nothing committed yet. */
+  private def readLog(spark: SparkSession, stateDir: String, log: String,
+                      empty: DataFrame): DataFrame = {
+    val committed = committedVersions(spark, stateDir)
+    val existing = committed.filter(v =>
+      fs(spark, stateDir).exists(
+        new org.apache.hadoop.fs.Path(s"$stateDir/$log/batch=$v")))
+    if (existing.isEmpty) empty
+    else existing.map(v => spark.read.parquet(s"$stateDir/$log/batch=$v"))
+      .reduce(_ unionByName _)
+  }
+
+  /** All bars so far: the closed log plus the open frontier —
+    * column-identical to [[Resample.volumeBars]] over the history
+    * (timestamps as epoch-µs). */
+  def barsView(spark: SparkSession, stateDir: String, cfg: Cfg): DataFrame = {
+    val (open, _, _) = readState(spark, stateDir, cfg)
+    readLog(spark, stateDir, "bars", emptyBars(spark, cfg)).unionByName(open)
+  }
+
+  /** All labels so far: finalized log plus the open entries projected
+    * through the label rule — column-identical to
+    * [[Labeling.tripleBarrier]] over the history. */
+  def labelsView(spark: SparkSession, stateDir: String, cfg: Cfg): DataFrame = {
+    val (_, _, open) = readState(spark, stateDir, cfg)
+    labels(readLog(spark, stateDir, "labels", emptyEntries(spark, cfg))
+      .unionByName(open), cfg)
+  }
+
   /** The foreachBatch body: fold `batch` into the state at `stateDir`
-    * under batch id `batchId` (replay-idempotent), returning the
-    * post-fold label view. Superseded state versions older than the
-    * previous one are dropped (two survivors: crash-safe rollback). */
+    * under batch id `batchId` (replay-idempotent), appending newly
+    * closed bars / final entries to their logs and persisting the small
+    * open frontier. Superseded frontier versions older than the
+    * previous one are dropped (two survivors: crash-safe rollback);
+    * the logs only ever grow. Returns the post-fold label view. */
   def marketTickBatch(spark: SparkSession, stateDir: String, batchId: Long,
                       batch: DataFrame, cfg: Cfg): DataFrame = {
     val done = committedVersions(spark, stateDir)
-    if (done.contains(batchId)) {
-      val (_, _, entries) = readState(spark, stateDir, cfg)
-      return labels(entries, cfg)
-    }
-    val (bars0, carry0, entries0) = readState(spark, stateDir, cfg)
-    val (bars1, carry1) = volumeBarsMerge(bars0, carry0, batch, cfg)
+    if (done.contains(batchId)) return labelsView(spark, stateDir, cfg)
+    val (open0, carry0, entries0) = readState(spark, stateDir, cfg)
+    val (closed, open1, carry1) = volumeBarsFold(open0, carry0, batch, cfg)
     val carry1s = carry1.localCheckpoint(true)
-    val entries1 = tripleBarrierMerge(entries0, batch, carry1s, cfg)
+    val (finals, entries1) = tripleBarrierFold(entries0, batch, carry1s, cfg)
     val v = s"$stateDir/v=$batchId"
-    bars1.write.mode("overwrite").parquet(s"$v/bars")
+    closed.write.mode("overwrite").parquet(s"$stateDir/bars/batch=$batchId")
+    finals.write.mode("overwrite").parquet(s"$stateDir/labels/batch=$batchId")
+    open1.write.mode("overwrite").parquet(s"$v/open_bars")
     carry1s.write.mode("overwrite").parquet(s"$v/carry")
-    entries1.write.mode("overwrite").parquet(s"$v/entries")
+    entries1.write.mode("overwrite").parquet(s"$v/open_entries")
     val f = fs(spark, stateDir)
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$stateDir/_commits"))
     f.create(new org.apache.hadoop.fs.Path(s"$stateDir/_commits/$batchId"),
       true).close()
-    // GC: keep the committed predecessor for rollback, drop older ones
+    // GC: keep the committed predecessor frontier for rollback, drop
+    // older ones; the bars/labels logs are permanent
     done.dropRight(1).foreach { old =>
       f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v=$old"), true)
-      f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/_commits/$old"), false)
     }
-    labels(spark.read.parquet(s"$v/entries"), cfg)
+    labelsView(spark, stateDir, cfg)
   }
 }

@@ -13,18 +13,22 @@ import org.apache.spark.sql.functions._
   * Why not a join? Spark plans `l.ts >= r.ts` (as-of) or
   * `l.ts BETWEEN r.s AND r.e` (range) conditions without an equi-key as a
   * broadcast-nested-loop or cartesian product. WITH an equi-key the
-  * worst case is an O(|L|·|R|)-per-key pair blowup, but the realized
-  * cost is candidate-pair-count-bound, not |L|·|R|-bound: Spark 4.1
-  * plans it as a SortMergeJoin on the key with the range as residual
-  * condition, and when the range predicate is NARROW relative to the
-  * key group (e.g. [[Labeling.tripleBarrier]]'s horizon window —
-  * measured LINEAR from 100k to 10M events, 0.2 s → 1.3 s, with 2M rows
-  * in one key group; rehearsal pinned in BASELINE.md) the emitted pairs
-  * stay ~horizon·rate per row. The operators below exist for the
-  * as-of/ffill shape, where the "band" is unbounded on one side
-  * (every earlier right row qualifies) — THERE the pair blowup is real
-  * and a row_number would discard almost everything, so they stay
-  * strictly O(|L|+|R|) via a tagged-union window pass instead.
+  * engine still INSPECTS every same-key pair — the range condition is
+  * only a residual filter on the join, so the cost is O(|L|·|R|) per
+  * key group no matter how narrow the band is. (A round-6 measurement
+  * that claimed this shape "ran linear" was traced in round 7 to the
+  * benchmark's `count()` materialization: Catalyst eliminated the
+  * entire join from the counted plan, so the timing never executed it
+  * — honest materialization put the unbucketed [[Labeling.tripleBarrier]]
+  * at 104 s for 100k events × 5 keys. See BASELINE.md "honest
+  * materialization".) A BOUNDED band has the by-construction fix: put
+  * ⌊ts/width⌋ in the join keys and probe the two adjacent buckets, so
+  * only same-key same-bucket pairs are ever inspected —
+  * [[Labeling.tripleBarrier]] does exactly this. The operators below
+  * exist for the as-of/ffill shape, where the band is unbounded on one
+  * side (every earlier right row qualifies) and no bucket width exists
+  * — THERE the only safe plan is strictly O(|L|+|R|): a tagged-union
+  * window pass instead of any join.
   */
 object TemporalJoins {
 

@@ -53,6 +53,14 @@ object ScaleRehearsal {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    /** HONEST single-pass materialization: executes the physical plan for
+      * the FULL output schema (no count-driven column pruning / join
+      * elimination — round 7 caught `.count()` letting Catalyst optimize
+      * entire join pipelines away) and returns the row count. */
+    implicit class MatOps(df: DataFrame) {
+      def mat(): Long = df.queryExecution.toRdd.count()
+    }
+
     // The dedup loop is the expensive core; `SPARK_GRAFT_REHEARSAL_DEDUP=0`
     // skips it (replica parquets from a prior run are reused) so the
     // op-specific sections below can be re-measured in isolation.
@@ -78,15 +86,15 @@ object ScaleRehearsal {
         bandsDf.as("a").join(bandsDf.as("b"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
               col("a.id") < col("b.id"))
-          .select(col("a.id"), col("b.id")).distinct().count()
+          .select(col("a.id"), col("b.id")).distinct().mat()
       }
 
       val (nMinhash, tMinhash) = timed {
-        Dedup.minhashNearDupPairs(docs, "text", "doc_id").count()
+        Dedup.minhashNearDupPairs(docs, "text", "doc_id").mat()
       }
       spark.catalog.clearCache()
       val (nJacc, tJacc) = timed {
-        Dedup.jaccardSimilarityJoin(docs, "text", "doc_id").count()
+        Dedup.jaccardSimilarityJoin(docs, "text", "doc_id").mat()
       }
       spark.catalog.clearCache()
       // canonicalize end to end; at the largest multiplier force the
@@ -100,7 +108,7 @@ object ScaleRehearsal {
           driverCutoffPairs = if (distributed) 0L else 1L << 20)
         docs.join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
           .filter(col("component").isNull || col("component") === col("doc_id"))
-          .count()
+          .mat()
       }
       spark.catalog.clearCache()
       // segment-level exact dedup: removals must scale linearly with the
@@ -140,7 +148,7 @@ object ScaleRehearsal {
         val (removed, t) = timed {
           val out = Similarity.semanticDedup(vecs, "embedding", "vec_id",
             k = k, tau = 0.95)
-          out.where(!col("keep")).count()
+          out.where(!col("keep")).mat()
         }
         System.err.println(
           f"[rehearsal] semantic n=$n%-6d k=$k%-4d removed=$removed%-6d ${t}%5.1fs")
@@ -163,14 +171,14 @@ object ScaleRehearsal {
       for (n <- Seq(1000, 2000)) {
         val (pairs, t) = timed {
           Dedup.minhashNearDupPairs(withMass(n), "text", "doc_id",
-            maxBucketSize = 0, cache = true).count()
+            maxBucketSize = 0, cache = true).mat()
         }
         spark.catalog.clearCache()
         System.err.println(f"[rehearsal] skew UNCAPPED n=$n%-6d pairs=$pairs%-9d ${t}%5.1fs")
       }
       val (pairsCap, tCap) = timed {
         Dedup.minhashNearDupPairs(withMass(10000), "text", "doc_id",
-          cache = true).count()
+          cache = true).mat()
       }
       spark.catalog.clearCache()
       System.err.println(f"[rehearsal] skew CAPPED   n=10000 pairs=$pairsCap%-9d ${tCap}%5.1fs " +
@@ -194,7 +202,7 @@ object ScaleRehearsal {
           .repartition(32)
         val (cells, t) = timed {
           Similarity.kmeansAssign(vecs, "embedding", "vec_id", k = k, iters = 2)
-            .select("cluster_id").distinct().count()
+            .select("cluster_id").distinct().mat()
         }
         System.err.println(
           f"[rehearsal] kmeans n=$n%-6d k=$k%-4d cells=$cells%-4d ${t}%5.1fs")
@@ -203,7 +211,7 @@ object ScaleRehearsal {
         val docs = spark.read.parquet(s"$outBase/docs_x$m")
         val (hits, t) = timed {
           TextAnalysis.bm25Search(docs, "text", "doc_id",
-            Seq("dup", "spark", "window"), topK = 20).count()
+            Seq("dup", "spark", "window"), topK = 20).mat()
         }
         System.err.println(f"[rehearsal] bm25 x$m%-3d hits=$hits%-3d ${t}%5.1fs")
       }
@@ -214,7 +222,7 @@ object ScaleRehearsal {
             (col("user_id") + lit(r * 10000000L)).as("user_id"), col("ts")))
           .reduce(_ unionByName _)
         val (sessions, t) = timed {
-          Relational.sessionize(rep, Seq("user_id"), "ts", gapSec = 30000L).count()
+          Relational.sessionize(rep, Seq("user_id"), "ts", gapSec = 30000L).mat()
         }
         System.err.println(f"[rehearsal] sessionize x$m%-3d sessions=$sessions%-7d ${t}%5.1fs")
       }
@@ -239,17 +247,17 @@ object ScaleRehearsal {
       for (m <- Seq(1, mults.max)) {
         val rep = repEv(m)
         val (versions, tScd) = timed {
-          Relational.scd2Init(rep, Seq("user_id"), Seq("event_type"), "ts").count()
+          Relational.scd2Init(rep, Seq("user_id"), Seq("event_type"), "ts").mat()
         }
         val (flagged, tMadE) = timed {
-          Relational.madOutliers(rep, Seq("event_type"), "value").count()
+          Relational.madOutliers(rep, Seq("event_type"), "value").mat()
         }
         val (flaggedA, tMadA) = timed {
           Relational.madOutliers(rep, Seq("event_type"), "value",
-            approxAccuracy = Some(10000)).count()
+            approxAccuracy = Some(10000)).mat()
         }
         val (_, tCms) = timed {
-          Sketches.cmsHeavyHitters(rep, "user_id", topK = 20).count()
+          Sketches.cmsHeavyHitters(rep, "user_id", topK = 20).mat()
         }
         System.err.println(f"[rehearsal] r4ops x$m%-3d scd2=$versions%-8d (${tScd}%5.1fs)  " +
           f"mad=$flagged%-6d exact ${tMadE}%5.1fs / approx ${tMadA}%5.1fs ($flaggedA)  " +
@@ -259,7 +267,7 @@ object ScaleRehearsal {
         val docs = spark.read.parquet(s"$outBase/docs_x$m")
         val (drawn, t) = timed {
           TextAnalysis.importanceResample(docs, "text", "doc_id",
-            isTarget = col("doc_id") % 5 === 0, sampleN = 100).count()
+            isTarget = col("doc_id") % 5 === 0, sampleN = 100).mat()
         }
         System.err.println(f"[rehearsal] dsir x$m%-3d drawn=$drawn%-4d ${t}%5.1fs")
       }
@@ -272,10 +280,10 @@ object ScaleRehearsal {
         val book = Similarity.pqTrain(vecs, "embedding", "vec_id",
           m = 16, ksub = 16, iters = 1)
         val enc = Similarity.pqEncode(vecs, "embedding", "vec_id", book, 16, 16)
-        val (_, tEnc) = timed { enc.count() }
+        val (_, tEnc) = timed { enc.mat() }
         val q = (0 until 64).map(d => math.sin(d.toDouble))
         val (_, tSearch) = timed {
-          Similarity.pqSearch(enc, book, 16, 16, q, queryId = -1L, k = 10).count()
+          Similarity.pqSearch(enc, book, 16, 16, q, queryId = -1L, k = 10).mat()
         }
         System.err.println(f"[rehearsal] pq n=$n%-6d encode ${tEnc}%5.1fs search ${tSearch}%5.1fs")
       }
@@ -381,13 +389,13 @@ object ScaleRehearsal {
         val q = (0 until 64).map(d => math.sin(d * 12.9898) * 0.7)
         val (_, tCold) = timed {
           Similarity.knnIvfPq(spark, path, q, queryId = -1L, k = 10,
-            nProbe = 2, rerank = 100).count()
+            nProbe = 2, rerank = 100).mat()
         }
         // warm probe: a serving deployment amortizes the meta/centroid
         // reads and JIT across queries — this is the steady-state number
         val (_, tWarm) = timed {
           Similarity.knnIvfPq(spark, path, q, queryId = -1L, k = 10,
-            nProbe = 2, rerank = 100).count()
+            nProbe = 2, rerank = 100).mat()
         }
         // rows the probe's pruned scans touch vs the corpus — the claim
         // that matters at 100 TB, where wall-clock ∝ bytes read and the
@@ -409,7 +417,7 @@ object ScaleRehearsal {
           .write.mode("overwrite").parquet(s"$outBase/pqenc_x$n")
         val encP = spark.read.parquet(s"$outBase/pqenc_x$n")
         val (_, tScan) = timed {
-          Similarity.pqSearch(encP, book, 16, 16, q, queryId = -1L, k = 10).count()
+          Similarity.pqSearch(encP, book, 16, 16, q, queryId = -1L, k = 10).mat()
         }
         System.err.println(f"[rehearsal] ivfpq n=$n%-6d build ${tBuild}%5.1fs " +
           f"probe(2/32 cells) cold ${tCold}%5.1fs warm ${tWarm}%5.1fs " +
@@ -421,14 +429,14 @@ object ScaleRehearsal {
         val nQ = qFrame.count()
         val (_, tBatch) = timed {
           Similarity.knnIvfPqBatch(spark, path, qFrame, "vec_id", "embedding",
-            k = 10, nProbe = 2, rerank = 100).count()
+            k = 10, nProbe = 2, rerank = 100).mat()
         }
         val (_, tLoop) = timed {
           qFrame.select(col("vec_id"),
               Similarity.toDoubleVec(col("embedding")).as("v")).collect()
             .take(8).foreach { r =>
               Similarity.knnIvfPq(spark, path, r.getSeq[Double](1),
-                r.getLong(0), k = 10, nProbe = 2, rerank = 100).count()
+                r.getLong(0), k = 10, nProbe = 2, rerank = 100).mat()
             }
         }
         System.err.println(f"[rehearsal] ivfpq-batch n=$n%-6d $nQ%3d queries " +
@@ -464,26 +472,129 @@ object ScaleRehearsal {
             / count(lit(1))).as("v"))
         val (nPairs, tCorr) = timed {
           Relational.correlationMatrix(hourly, "event_type", "bucket", "v",
-            scale = 1e4).count()
+            scale = 1e4).mat()
         }
         val hb = hourly.withColumn("hb",
           expr("unix_micros(bucket) div 3600000000"))
         val (nLl, tLl) = timed {
           Relational.leadLagCorr(hb, "event_type", "hb", "v", maxLag = 3,
-            scale = 1e4).count()
+            scale = 1e4).mat()
         }
         val (nBars, tVb) = timed {
           Resample.volumeBars(rep, "ts", "value", "value", "event_id",
-            Seq("event_type"), threshold = 5000.0).count()
+            Seq("event_type"), threshold = 5000.0).mat()
         }
         val (nLab, tTb) = timed {
           Labeling.tripleBarrier(rep, Seq("event_type"), "ts", "value",
             "event_id", horizonUs = 6L * 3600 * 1000000,
-            upPct = 2.0, dnPct = 0.8).count()
+            upPct = 2.0, dnPct = 0.8).mat()
         }
         System.err.println(f"[rehearsal] market x$m%-3d corr=$nPairs%-4d ${tCorr}%5.1fs  " +
           f"leadlag=$nLl%-4d ${tLl}%5.1fs  vbars=$nBars%-6d ${tVb}%5.1fs  " +
           f"labels=$nLab%-8d ${tTb}%5.1fs")
+      }
+    }
+
+    // Round-7 additions. substringDedup: seed volume is windows (~tokens)
+    // and removal work duplicate-proportional — wall must track corpus
+    // ~linearly under token-disjoint replication (no cross-replica dups,
+    // each replica keeps the base's internal duplication). dollar/
+    // imbalance bars: one keyed exchange; the ThresholdBarId scan is a
+    // per-series O(1)-state pass — linear in events. ofiMultiLevel: one
+    // exchange, sort-only on top — linear in snapshots. MarketIncremental:
+    // folding the LAST batch of a long history must price like the BATCH
+    // (plus open state), not like the history — the incremental claim.
+    if (sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_R7OPS", "1") != "0") {
+      import graft.operators.{Labeling, MarketIncremental, Resample, TextAnalysis}
+      for (m <- Seq(1, mults.max)) {
+        val docs = spark.read.parquet(s"$outBase/docs_x$m")
+        val (removed, t) = timed {
+          TextAnalysis.substringDedup(docs, "text", "doc_id", minTokens = 8)
+            .agg(sum(col("n_removed_tokens"))).head().getLong(0)
+        }
+        spark.catalog.clearCache()
+        System.err.println(f"[rehearsal] substringdedup x$m%-3d removed_tokens=$removed%-8d ${t}%5.1fs")
+      }
+      val ev7 = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("ts").cast("timestamp").as("ts"))
+      def repTime7(m: Int): DataFrame = (0 until m).map(r => ev7.select(
+          (col("event_id") + lit(r * 100000000L)).as("event_id"),
+          col("event_type"), col("value"),
+          (col("ts") + expr(s"INTERVAL ${r * 40} DAYS")).as("ts")))
+        .reduce(_ unionByName _)
+      for (m <- Seq(1, mults.max)) {
+        val rep = repTime7(m).withColumn("vol",
+          (col("event_id") % 5 + 1).cast("double"))
+        val (nDb, tDb) = timed {
+          Resample.dollarBars(rep, "ts", "value", "vol", "event_id",
+            Seq("event_type"), threshold = 20000.0).mat()
+        }
+        val (nIb, tIb) = timed {
+          Resample.imbalanceBars(rep, "ts", "value", "event_id",
+            Seq("event_type"), threshold = 25L).mat()
+        }
+        val book = rep.select(col("event_type").as("symbol"),
+          date_trunc("hour", col("ts")).as("ts"),
+          when(col("event_id") % 2 === 0, "bid").otherwise("ask").as("side"),
+          (col("value") + col("event_id") * lit(1e-6)).as("price"),
+          col("value").as("amount"))
+        val (nOfi, tOfi) = timed {
+          graft.features.OrderbookFeatures.ofiMultiLevel(
+            book, nLevels = 3, Seq("symbol")).mat()
+        }
+        System.err.println(f"[rehearsal] r7bars x$m%-3d dollar=$nDb%-6d ${tDb}%5.1fs  " +
+          f"imbalance=$nIb%-6d ${tIb}%5.1fs  ofiML=$nOfi%-7d ${tOfi}%5.1fs")
+      }
+      // incremental fold cost vs history recompute: drive 10 equal time
+      // slices; time (a) folding ONLY the last slice into the standing
+      // frontier (bounded state: closed bars + finalized labels LEAVE
+      // the fold — the fold must price like batch + frontier, not like
+      // history), (b) recomputing bars+labels over the whole history
+      locally {
+        val rep = repTime7(mults.max)
+        val cfg = MarketIncremental.Cfg(Seq("event_type"), "ts", "value",
+          "value", "event_id", volThreshold = 5000.0,
+          horizonUs = 6L * 3600 * 1000000, upPct = 2.0, dnPct = 0.8)
+        val bounds = rep.agg(min(unix_micros(col("ts"))),
+          max(unix_micros(col("ts")))).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val step = (hi - lo) / 10 + 1
+        def slice(i: Int) = rep.where(
+          unix_micros(col("ts")) >= lo + i * step &&
+            unix_micros(col("ts")) < lo + (i + 1) * step)
+        var open = MarketIncremental.emptyBars(spark, cfg)
+        var carry = MarketIncremental.emptyCarry(spark, cfg)
+        var entries = MarketIncremental.emptyEntries(spark, cfg)
+        for (i <- 0 until 9) {
+          val b = slice(i)
+          val (closed, o2, c2) = MarketIncremental.volumeBarsFold(open, carry, b, cfg)
+          closed.count() // the log append a real job would pay
+          open = o2.localCheckpoint(true)
+          carry = c2.localCheckpoint(true)
+          val (finals, e2) = MarketIncremental.tripleBarrierFold(entries, b, carry, cfg)
+          finals.count()
+          entries = e2.localCheckpoint(true)
+        }
+        val nOpen = entries.count()
+        val (_, tFold) = timed {
+          val b = slice(9)
+          val (closed, o2, c2) = MarketIncremental.volumeBarsFold(open, carry, b, cfg)
+          val c2s = c2.localCheckpoint(true)
+          closed.mat(); o2.mat()
+          val (finals, e2) = MarketIncremental.tripleBarrierFold(entries, b, c2s, cfg)
+          finals.mat(); e2.mat()
+        }
+        val (_, tFull) = timed {
+          Resample.volumeBars(rep, "ts", "value", "value", "event_id",
+            Seq("event_type"), threshold = 5000.0).mat()
+          Labeling.tripleBarrier(rep, Seq("event_type"), "ts", "value",
+            "event_id", horizonUs = 6L * 3600 * 1000000,
+            upPct = 2.0, dnPct = 0.8).mat()
+        }
+        System.err.println(f"[rehearsal] r7incr x${mults.max}%-3d " +
+          f"open-frontier=$nOpen%-6d fold-last-of-10 ${tFold}%5.1fs " +
+          f"vs full recompute ${tFull}%5.1fs")
       }
     }
 

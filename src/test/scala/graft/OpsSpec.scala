@@ -2515,15 +2515,21 @@ class OpsSpec extends SparkSpec {
       volThreshold = 7.0, horizonUs = 20L, upPct = 0.15, dnPct = 0.10)
     val batches = Seq(ticks.where(col("t") <= 30),
       ticks.where(col("t") > 30 && col("t") <= 60), ticks.where(col("t") > 60))
-    var bars = MarketIncremental.emptyBars(spark, cfg)
+    var open = MarketIncremental.emptyBars(spark, cfg)
     var carry = MarketIncremental.emptyCarry(spark, cfg)
     var entries = MarketIncremental.emptyEntries(spark, cfg)
+    var closedAcc = MarketIncremental.emptyBars(spark, cfg)
+    var finalAcc = MarketIncremental.emptyEntries(spark, cfg)
+    var perBatchFinals = List.empty[Long]
     for (b <- batches) {
-      val (b2, c2) = MarketIncremental.volumeBarsMerge(bars, carry, b, cfg)
-      bars = b2.localCheckpoint(true)
+      val (closed, o2, c2) = MarketIncremental.volumeBarsFold(open, carry, b, cfg)
+      open = o2.localCheckpoint(true)
       carry = c2.localCheckpoint(true)
-      entries = MarketIncremental.tripleBarrierMerge(entries, b, carry, cfg)
-        .localCheckpoint(true)
+      closedAcc = closedAcc.unionByName(closed).localCheckpoint(true)
+      val (finals, e2) = MarketIncremental.tripleBarrierFold(entries, b, carry, cfg)
+      entries = e2.localCheckpoint(true)
+      finalAcc = finalAcc.unionByName(finals).localCheckpoint(true)
+      perBatchFinals :+= finals.count()
     }
     def barKey(r: org.apache.spark.sql.Row) = r.toSeq.mkString("|")
     val wantBars = graft.operators.Resample
@@ -2533,27 +2539,40 @@ class OpsSpec extends SparkSpec {
         unix_micros(col("open_ts")).as("open_ts_us"),
         unix_micros(col("close_ts")).as("close_ts_us"))
       .collect().map(barKey).sorted.toSeq
-    val gotBars = bars.select(col("k"), col("bar_id"), col("open"), col("high"),
+    val gotBars = closedAcc.unionByName(open)
+      .select(col("k"), col("bar_id"), col("open"), col("high"),
         col("low"), col("close"), col("volume"), col("n_ticks"),
         col("open_ts_us"), col("close_ts_us"))
       .collect().map(barKey).sorted.toSeq
     assert(gotBars == wantBars, s"incremental bars diverged:\n got ${gotBars.take(3)}\nwant ${wantBars.take(3)}")
+    // the frontier really is a frontier: at most one open bar per series,
+    // closed bars emitted exactly once
+    assert(open.count() <= 2)
+    assert(closedAcc.groupBy("k", "bar_id").count().where(col("count") > 1).count() == 0,
+      "a closed bar must be emitted exactly once")
     val wantLabels = graft.operators.Labeling
       .tripleBarrier(ticks, Seq("k"), "ts", "p", "t", 20L, 0.15, 0.10)
       .collect().map(barKey).sorted.toSeq
-    val gotLabels = MarketIncremental.labels(entries, cfg)
+    val gotLabels = MarketIncremental
+      .labels(finalAcc.unionByName(entries), cfg)
       .collect().map(barKey).sorted.toSeq
     assert(gotLabels == wantLabels, s"incremental labels diverged:\n got ${gotLabels.take(3)}\nwant ${wantLabels.take(3)}")
-    // cross-batch work actually happened: some entries finalized only
-    // after their horizon straddled a batch cut
-    assert(entries.where(col("is_final")).count() > 0)
-    assert(entries.where(!col("is_final")).count() > 0,
-      "tail entries (horizon beyond data) must stay open")
+    // cross-batch work actually happened: entries finalized in EVERY
+    // batch (horizons straddle the cuts) and tail entries stay open
+    assert(perBatchFinals.forall(_ > 0), s"finals per batch: $perBatchFinals")
+    assert(entries.count() > 0, "tail entries (horizon beyond data) must stay open")
     // the ordering contract trips loudly on out-of-order replays
     val stale = ticks.where(col("t") === 5)
     intercept[Exception] {
-      val (b3, _) = MarketIncremental.volumeBarsMerge(bars, carry, stale, cfg)
-      b3.count()
+      val (c3, _, _) = MarketIncremental.volumeBarsFold(open, carry, stale, cfg)
+      c3.count()
+    }
+    // the volume contract refuses negative (bar-reopening) volumes
+    val neg = Seq(("A", 200L, 100.0, -1.0)).toDF("k", "t", "p", "v")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    intercept[Exception] {
+      val (c4, _, _) = MarketIncremental.volumeBarsFold(open, carry, neg, cfg)
+      c4.count()
     }
   }
 

@@ -679,22 +679,24 @@ class SystemSpec extends SparkSpec {
     // nothing new → no batch fires, no state version appears
     runOnce()
     assert(MarketIncremental.committedVersions(spark, st).last == 1L)
-    // the standing state now equals a from-scratch batch computation
+    // the standing view now equals a from-scratch batch computation
     val all = (for (k <- Seq("A", "B"); t <- 1 to 60) yield
       (k, t.toLong, price(k, t), 1.0 + t % 3))
       .toDF("k", "t", "p", "v").withColumn("ts", expr("timestamp_micros(t)"))
     val want = graft.operators.Labeling
       .tripleBarrier(all, Seq("k"), "ts", "p", "t", 20L, 0.15, 0.10)
       .collect().map(_.toSeq.mkString("|")).sorted.toSeq
-    val v = MarketIncremental.committedVersions(spark, st).last
-    val got = MarketIncremental.labels(
-        spark.read.parquet(s"$st/v=$v/entries"), cfg)
+    val got = MarketIncremental.labelsView(spark, st, cfg)
       .collect().map(_.toSeq.mkString("|")).sorted.toSeq
     assert(got == want, s"streamed state diverged from batch:\n got ${got.take(3)}\nwant ${want.take(3)}")
-    val bars = spark.read.parquet(s"$st/v=$v/bars")
     val wantBars = graft.operators.Resample
       .volumeBars(all, "ts", "p", "v", "t", Seq("k"), 7.0).count()
-    assert(bars.count() == wantBars)
+    assert(MarketIncremental.barsView(spark, st, cfg).count() == wantBars)
+    // the frontier stays small: open bars <= one per series, and the
+    // label log holds the finalized entries permanently
+    val v = MarketIncremental.committedVersions(spark, st).last
+    assert(spark.read.parquet(s"$st/v=$v/open_bars").count() <= 2)
+    assert(spark.read.parquet(s"$st/labels").count() > 0)
   }
 
   test("streaming semantic dedup end-to-end: bootstrap, foreachBatch wiring, checkpoint resume") {
