@@ -546,13 +546,18 @@ object ScaleRehearsal {
         System.err.println(f"[rehearsal] r7bars x$m%-3d dollar=$nDb%-6d ${tDb}%5.1fs  " +
           f"imbalance=$nIb%-6d ${tIb}%5.1fs  ofiML=$nOfi%-7d ${tOfi}%5.1fs")
       }
-      // incremental fold cost vs history recompute: drive 10 equal time
-      // slices; time (a) folding ONLY the last slice into the standing
-      // frontier (bounded state: closed bars + finalized labels LEAVE
-      // the fold — the fold must price like batch + frontier, not like
-      // history), (b) recomputing bars+labels over the whole history
+      // incremental fold cost vs history recompute: drive 10 equal-size
+      // time slices through the bounded-state fold, timing EVERY fold.
+      // The claim under test: a fold prices like (batch + open
+      // frontier) — the wall must stay ~FLAT from the first slice (no
+      // history) to the last (9 slices of history), because closed bars
+      // and finalized labels leave the fold; recomputing bars+labels
+      // over the accumulated history grows linearly and crosses over.
+      // (The folds eagerly checkpoint their shared internals, so a fold
+      // costs one pass — the pre-fix shape recomputed the lineage per
+      // consumer and priced ~3x itself.)
       locally {
-        val rep = repTime7(mults.max)
+        val rep = repTime7(mults.max).localCheckpoint(true)
         val cfg = MarketIncremental.Cfg(Seq("event_type"), "ts", "value",
           "value", "event_id", volThreshold = 5000.0,
           horizonUs = 6L * 3600 * 1000000, upPct = 2.0, dnPct = 0.8)
@@ -566,25 +571,19 @@ object ScaleRehearsal {
         var open = MarketIncremental.emptyBars(spark, cfg)
         var carry = MarketIncremental.emptyCarry(spark, cfg)
         var entries = MarketIncremental.emptyEntries(spark, cfg)
-        for (i <- 0 until 9) {
+        val foldWalls = (0 until 10).map { i =>
           val b = slice(i)
-          val (closed, o2, c2) = MarketIncremental.volumeBarsFold(open, carry, b, cfg)
-          closed.count() // the log append a real job would pay
-          open = o2.localCheckpoint(true)
-          carry = c2.localCheckpoint(true)
-          val (finals, e2) = MarketIncremental.tripleBarrierFold(entries, b, carry, cfg)
-          finals.count()
-          entries = e2.localCheckpoint(true)
+          val (_, t) = timed {
+            // materialize all four outputs, like the real batch body
+            val (closed, o2, c2) = MarketIncremental.volumeBarsFold(open, carry, b, cfg)
+            closed.mat(); o2.mat()
+            val (finals, e2) = MarketIncremental.tripleBarrierFold(entries, b, c2, cfg)
+            finals.mat(); e2.mat()
+            open = o2; carry = c2; entries = e2.localCheckpoint(true)
+          }
+          t
         }
         val nOpen = entries.count()
-        val (_, tFold) = timed {
-          val b = slice(9)
-          val (closed, o2, c2) = MarketIncremental.volumeBarsFold(open, carry, b, cfg)
-          val c2s = c2.localCheckpoint(true)
-          closed.mat(); o2.mat()
-          val (finals, e2) = MarketIncremental.tripleBarrierFold(entries, b, c2s, cfg)
-          finals.mat(); e2.mat()
-        }
         val (_, tFull) = timed {
           Resample.volumeBars(rep, "ts", "value", "value", "event_id",
             Seq("event_type"), threshold = 5000.0).mat()
@@ -593,7 +592,9 @@ object ScaleRehearsal {
             upPct = 2.0, dnPct = 0.8).mat()
         }
         System.err.println(f"[rehearsal] r7incr x${mults.max}%-3d " +
-          f"open-frontier=$nOpen%-6d fold-last-of-10 ${tFold}%5.1fs " +
+          f"open-frontier=$nOpen%-6d fold walls " +
+          foldWalls.map(t => f"$t%4.1f").mkString("[", " ", "]s") +
+          f" first=${foldWalls.head}%4.1f last=${foldWalls.last}%4.1f " +
           f"vs full recompute ${tFull}%5.1fs")
       }
     }
