@@ -635,6 +635,55 @@ object Queries {
              epoch_us(MAX(bucket)) AS close_ts_us
       FROM rows_ GROUP BY 1, 2 ORDER BY event_type, bar_id"""))
 
+  // VPIN flow toxicity over each event type's tick stream: equal-volume
+  // buckets (the volumeBars clock), tick-rule buy/sell classification,
+  // trailing-5-bucket mean of |Vbuy−Vsell|/bucketVolume. The signed
+  // imbalance is an exact integer (Σ b·⌊vol·100⌋ cents) and bucket
+  // membership rides the exclusive-prefix floor-division contract, so
+  // only the final ratios are doubles (one tree, 6 dp).
+  private val qVpin = QDef(
+    "q_vpin",
+    (s, dir) => Resample.vpin(t(s, dir, "events"), "ts", "value", "value",
+        "event_id", Seq("event_type"), bucketVolume = 2000.0, window = 5)
+      .select(col("event_type"), col("bar_id"), col("volume"),
+        col("abs_imbalance"), col("vpin"), col("n_ticks"),
+        micros(col("close_ts")).as("close_ts_us"))
+      .orderBy("event_type", "bar_id"),
+    Some(s"""
+      WITH b0 AS (SELECT event_type AS k, ts, event_id, value,
+                         value - lag(value) OVER (PARTITION BY event_type
+                                                  ORDER BY ts, event_id) AS delta
+                  FROM events),
+      sg AS (SELECT k, ts, event_id,
+                    COALESCE(last_value(CASE WHEN delta > 0 THEN 1
+                                             WHEN delta < 0 THEN -1 END IGNORE NULLS)
+                      OVER (PARTITION BY k ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                      0) AS b,
+                    CAST(floor(value * 100) AS BIGINT) AS c
+             FROM b0),
+      cum AS (SELECT *, COALESCE(SUM(c) OVER (PARTITION BY k ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+              FROM sg),
+      g AS (SELECT k, CAST(cumb // 200000 AS BIGINT) AS bar_id,
+                   CAST(SUM(c) AS BIGINT) AS vc,
+                   CAST(SUM(b * c) AS BIGINT) AS net,
+                   COUNT(*) AS n_ticks, MAX(ts) AS close_ts
+            FROM cum GROUP BY 1, 2),
+      w AS (SELECT k, bar_id, vc, net, n_ticks, close_ts,
+                   COUNT(*) OVER tw AS cnt,
+                   CAST(SUM(abs(net)) OVER tw AS BIGINT) AS snet
+            FROM g
+            WINDOW tw AS (PARTITION BY k ORDER BY bar_id
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+      SELECT k AS event_type, bar_id,
+             round(CAST(vc AS DOUBLE) / 100.0, 2) AS volume,
+             round(CAST(abs(net) AS DOUBLE) / 100.0, 2) AS abs_imbalance,
+             CASE WHEN cnt = 5
+                  THEN round(CAST(snet AS DOUBLE) / ${5.0 * 200000L}, 6) END AS vpin,
+             n_ticks, epoch_us(close_ts) AS close_ts_us
+      FROM w ORDER BY event_type, bar_id"""))
+
   // Triple-barrier labels over each event type's value stream: +1 if the
   // value first trebles (upPct=2), −1 if it first drops below 20%
   // (dnPct=0.8), 0 if neither inside the 6 h horizon. Touch times are
@@ -835,6 +884,57 @@ object Queries {
                                       + r5 * r5 / (nd - 5)), 6) FROM f)
       ORDER BY key, lag"""))
 
+  // Lo–MacKinlay variance ratio over the hourly mean series per event
+  // type — VR(q) for q ∈ {2,4,8} plus the homoscedastic z. Increments
+  // are exact integer differences of the ⌊v·10⁴⌋ series; population
+  // variances derive from exact moment sums in one double tree the
+  // oracle spells out verbatim.
+  private val qVarianceRatio = QDef(
+    "q_variance_ratio",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.varianceRatio(h, "event_type", "hb", "v",
+        qs = Seq(2, 4, 8), scale = 1e4)
+    },
+    Some("""
+      WITH h0 AS (SELECT event_type AS k,
+                        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      h AS (SELECT * FROM h0 WHERE v IS NOT NULL),
+      l AS (SELECT unnest([1, 2, 4, 8]) AS q),
+      d AS (SELECT x.k AS key, l.q, y.v - x.v AS dd
+            FROM h x CROSS JOIN l JOIN h y ON y.k = x.k AND y.hb = x.hb + l.q),
+      m AS (SELECT key, q, COUNT(*) AS n,
+                   CAST(SUM(dd) AS BIGINT) AS s1,
+                   CAST(SUM(dd * dd) AS BIGINT) AS s2
+            FROM d GROUP BY 1, 2),
+      one AS (SELECT key, n AS n1, s1 AS a1, s2 AS a2 FROM m WHERE q = 1),
+      qq AS (SELECT m.key, m.q, m.n, m.s1, m.s2, one.n1, one.a1, one.a2
+             FROM m JOIN one ON one.key = m.key WHERE m.q <> 1),
+      v AS (SELECT key, q, n, n1,
+                   (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS varq,
+                   (CAST(n1 AS DOUBLE) * CAST(a2 AS DOUBLE)
+                    - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE))
+                     / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS var1
+            FROM qq)
+      SELECT key, CAST(q AS BIGINT) AS q, n AS n_incr,
+             CASE WHEN var1 > 0
+                  THEN round(varq / CAST(q AS DOUBLE) / var1, 6) END AS vr,
+             CASE WHEN var1 > 0 AND n1 > 0
+                  THEN round((varq / CAST(q AS DOUBLE) / var1 - 1.0)
+                             / sqrt(2.0 * (2.0 * CAST(q AS DOUBLE) - 1.0)
+                                    * (CAST(q AS DOUBLE) - 1.0)
+                                    / (3.0 * CAST(q AS DOUBLE)
+                                       * CAST(n1 AS DOUBLE))), 6) END AS z
+      FROM v ORDER BY key, q"""))
+
   // Range-based realized volatility (Parkinson / Garman-Klass /
   // Rogers-Satchell) over daily bars per event type — per-bar terms as
   // exact pico-unit BIGINT sums; the 4ln2 / 2ln2−1 constants interpolate
@@ -872,6 +972,45 @@ object Queries {
              round(sqrt(GREATEST(CAST(sr AS DOUBLE), 0.0) / 1e12
                         / CAST(n_bars AS DOUBLE)), 6) AS vol_rs
       FROM sm ORDER BY event_type"""))
+
+  // Realized variance / bipower variation / jump split per (event type,
+  // day) — the BNS jump-robust decomposition beside q_range_vol. Log
+  // returns over the per-series (ts, event_id) total order (continuous
+  // across day boundaries, each return in its later tick's day);
+  // per-term products quantize to pico-unit BIGINTs and sum exactly;
+  // π/2 interpolates from the JVM (the GkDriftConst rule).
+  private val qJumpVol = QDef(
+    "q_jump_vol",
+    (s, dir) => TA.realizedJumpVol(t(s, dir, "events"), Seq("event_type"),
+        "ts", "value", "event_id", "day")
+      .select(col("event_type"), micros(col("bucket")).as("bucket_us"),
+        col("n_returns"), col("rv"), col("bv"), col("jump"))
+      .orderBy("event_type", "bucket_us"),
+    Some(s"""
+      WITH b0 AS (SELECT event_type AS k, ts, event_id,
+                         CAST(value AS DOUBLE) AS p
+                  FROM events WHERE value IS NOT NULL AND value > 0),
+      r0 AS (SELECT k, ts, event_id,
+                    ln(p / lag(p) OVER (PARTITION BY k ORDER BY ts, event_id)) AS r
+             FROM b0),
+      r1 AS (SELECT k, ts, r,
+                    lag(r) OVER (PARTITION BY k ORDER BY ts, event_id) AS rp
+             FROM r0),
+      t AS (SELECT k, date_trunc('day', ts) AS bucket,
+                   CAST(round(r * r * 1e12) AS BIGINT) AS sq,
+                   CAST(round(abs(r) * abs(rp) * 1e12) AS BIGINT) AS bp
+            FROM r1 WHERE r IS NOT NULL),
+      g AS (SELECT k, bucket, COUNT(*) AS n_returns,
+                   CAST(SUM(sq) AS BIGINT) AS srv,
+                   COALESCE(CAST(SUM(bp) AS BIGINT), 0) AS sbv
+            FROM t GROUP BY 1, 2)
+      SELECT k AS event_type, epoch_us(bucket) AS bucket_us, n_returns,
+             round(CAST(srv AS DOUBLE) / 1e12, 6) AS rv,
+             round(${TA.BipowerConst} * (CAST(sbv AS DOUBLE) / 1e12), 6) AS bv,
+             round(GREATEST(CAST(srv AS DOUBLE) / 1e12
+                            - ${TA.BipowerConst} * (CAST(sbv AS DOUBLE) / 1e12),
+                            0.0), 6) AS jump
+      FROM g ORDER BY event_type, bucket_us"""))
 
   private val qRangeRead = QDef(
     "q_range_read",
@@ -1831,6 +1970,44 @@ object Queries {
         WHERE a.doc_id < b.doc_id)
       SELECT id_a, id_b, jaccard FROM p
       WHERE jaccard >= 0.8
+      ORDER BY id_a, id_b"""))
+
+  // Directional containment pairs |A∩B|/|A| ≥ 0.8 — the
+  // excerpt-inside-article shape Jaccard misses (C ≥ J always, so this
+  // result set contains every q_jaccard_neardup pair in both
+  // directions plus the asymmetric ones). The oracle is the full
+  // pairwise scan over distinct shingle lists; the operator's prefix
+  // filter + overlap verification must reproduce it exactly (the df
+  // cap never binds at oracle scale).
+  private val qContainment = QDef(
+    "q_containment_dup",
+    (s, dir) => Dedup.containmentJoin(t(s, dir, "documents"),
+        "text", "doc_id", shingleN = 3, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), col("overlap").cast("long").as("overlap"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("containment"))
+      .orderBy("id_a", "id_b"),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+               END AS s
+        FROM d),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS BIGINT) AS overlap,
+               CAST(len(a.s) AS BIGINT) AS n_a, CAST(len(b.s) AS BIGINT) AS n_b
+        FROM sh a, sh b
+        WHERE a.doc_id <> b.doc_id)
+      SELECT id_a, id_b, overlap, n_a, n_b,
+             CAST(overlap AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+      FROM p
+      WHERE CAST(overlap AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.8
       ORDER BY id_a, id_b"""))
 
   // Portable since round 2: md5-derived 48-bit base hash + universal-hash
@@ -4307,6 +4484,7 @@ object Queries {
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qTokenBudget, qStratifiedSample, qBpeTokens,
-    qSourceQuota, qApproxQuantile, qCanonicalize, qContamination
+    qSourceQuota, qApproxQuantile, qCanonicalize, qContamination,
+    qVpin, qJumpVol, qVarianceRatio, qContainment
   )
 }

@@ -301,4 +301,66 @@ object TaIndicators {
     * engine-side constant folding diverges at 1 ulp). */
   val ParkinsonConst: Double = 4.0 * math.log(2.0)
   val GkDriftConst: Double = 2.0 * math.log(2.0) - 1.0
+
+  /** μ₁⁻² = π/2 — the bipower-variation scaling constant
+    * ([[realizedJumpVol]]); interpolated into the oracle like the
+    * constants above. */
+  val BipowerConst: Double = math.Pi / 2.0
+
+  /** Realized variance + bipower variation + jump component per
+    * (series, bucket) — Barndorff-Nielsen & Shephard (2004, 2006), the
+    * jump-robust volatility decomposition: `RV = Σ rᵢ²` converges to
+    * integrated variance PLUS squared jumps, while
+    * `BV = (π/2)·Σ|rᵢ||rᵢ₋₁|` is immune to a single jump (it enters
+    * two products linearly, not squared), so `J = max(RV − BV, 0)` is
+    * the jump part — the risk split (continuous vol vs event risk)
+    * range estimators can't see.
+    *
+    * Returns are log returns over the per-series (ts, tiebreak) total
+    * order, CONTINUOUS across bucket boundaries (a bucket's first
+    * return reaches back to the previous bucket's last tick — the
+    * overnight-return convention is the caller's via bucketing choice);
+    * each return lands in the bucket of its LATER tick. Non-positive
+    * prices drop before returns form (log undefined), exactly like
+    * [[rangeVolatility]].
+    *
+    * Determinism: the per-term products quantize to pico-unit BIGINTs
+    * (`⌊·10¹²⌉`) and sum exactly (order-free); RV/BV/J derive in one
+    * fixed double tree rounded to 6dp; π/2 is the JVM double
+    * [[BipowerConst]], interpolated into the oracle.
+    *
+    * Scale shape: one keyed window (the return lag) + one (keys,
+    * bucket) agg riding the same series partitioning — map-side
+    * combined, one row per bucket out. */
+  def realizedJumpVol(df: DataFrame, keys: Seq[String], tsCol: String,
+                      valueCol: String, tiebreakCol: String,
+                      interval: String): DataFrame = {
+    require(keys.nonEmpty, "realizedJumpVol needs the series key(s)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreakCol))
+    def fp(x: Column): Column = round(x * 1e12).cast("long")
+    val p = col(valueCol).cast("double")
+    val r = log(p / lag(p, 1).over(w))
+    val rPrev = lag(col("_r"), 1).over(w)
+    df.where(p.isNotNull && p > 0.0)
+      .withColumn("_r", r)
+      .withColumn("_sq", fp(col("_r") * col("_r")))
+      .withColumn("_bp", fp(abs(col("_r")) * abs(rPrev)))
+      .where(col("_r").isNotNull)
+      .groupBy((keys.map(col) :+
+        date_trunc(interval, col(tsCol)).as("bucket")): _*)
+      .agg(count(lit(1)).as("n_returns"),
+        sum(col("_sq")).as("_srv"),
+        // a bucket holding only the series' very first return has no
+        // consecutive pair — its bipower sum is an empty (zero) sum
+        coalesce(sum(col("_bp")), lit(0L)).as("_sbv"))
+      .select(keys.map(col) ++ Seq(col("bucket"), col("n_returns"),
+        round(col("_srv").cast("double") / 1e12, 6).as("rv"),
+        round(lit(BipowerConst) * (col("_sbv").cast("double") / 1e12), 6).as("bv"),
+        round(greatest(
+          col("_srv").cast("double") / 1e12
+            - lit(BipowerConst) * (col("_sbv").cast("double") / 1e12),
+          lit(0.0)), 6).as("jump")): _*)
+  }
 }

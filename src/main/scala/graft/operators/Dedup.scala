@@ -339,6 +339,72 @@ object Dedup {
     verifyByOverlap(cands, arrs, threshold)
   }
 
+  /** EXACT containment join: directional near-dup pairs
+    * `C(A→B) = |A∩B| / |A| ≥ τ` over shingle sets — the
+    * quote-inside-article / excerpt-inside-book shape that
+    * [[jaccardSimilarityJoin]] structurally misses (a 100-token doc
+    * fully contained in a 10k-token doc has Jaccard ≈ 0.01 at any
+    * containment), and the asymmetric signal dedup policies act on
+    * (drop the CONTAINED side, keep the superset).
+    *
+    * Candidate generation is the asymmetric prefix filter: if
+    * `|A∩B| ≥ ⌈τ·|A|⌉ = α` then A∩B (⊆ A, size ≥ α) must contain one
+    * of A's `|A|−α+1` smallest hashes (pigeonhole — avoiding all of
+    * them caps the subset at α−1), so A's PREFIX joins B's FULL
+    * postings; the size bound `|B| ≥ α` prunes inside the join. Exact:
+    * every qualifying directed pair survives to verification (overlap
+    * count on full postings, the [[jaccardSimilarityJoin]] machinery).
+    *
+    * Scale note: full postings of a corpus-wide stop shingle are the
+    * hot spot (the round-1 inverted-index lesson). `maxPostings > 0`
+    * drops shingles with document frequency above it from CANDIDATE
+    * GENERATION only (verification is unaffected) — a pair is then
+    * missed only if every prefix element it shares is that hot, which
+    * at the default 4096 means sharing nothing but corpus-wide
+    * boilerplate; 0 = fully exact.
+    *
+    * Returns `(id_a, id_b, overlap, n_a, n_b, containment)` — one row
+    * per DIRECTED pair with `containment = |A∩B|/|A| ≥ τ`; near-equal
+    * twins appear in both directions. */
+  def containmentJoin(df: DataFrame, textCol: String, idCol: String,
+                      shingleN: Int = 3, threshold: Double = 0.9,
+                      maxPostings: Int = 4096,
+                      cache: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0,1], got $threshold")
+    val arrs = cached(shingleHashArrays(df, textCol, idCol, shingleN), cache)
+    val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
+    val pre = arrs.select(col("id"), col("n"),
+      explode(slice(array_sort(col("hs")), lit(1), prefixLen)).as("h"))
+    val post0 = arrs.select(col("id"), col("n"), explode(col("hs")).as("h"))
+    val post =
+      if (maxPostings <= 0) post0
+      else {
+        val hot = post0.groupBy("h").agg(count(lit(1)).as("_df"))
+          .where(col("_df") > maxPostings).select("h")
+        post0.join(hot, Seq("h"), "left_anti")
+      }
+    val cands = pre.as("a")
+      .join(post.as("b"),
+        col("a.h") === col("b.h") && col("a.id") =!= col("b.id") &&
+          col("b.n") >= ceil(col("a.n") * lit(threshold)))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val hrows = arrs.select(col("id"), explode(col("hs")).as("h"))
+    val sizes = arrs.select(col("id"), col("n"))
+    cands
+      .join(hrows.select(col("id").as("id_a"), col("h")), "id_a")
+      .join(hrows.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("overlap"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("containment",
+        col("overlap").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("overlap"),
+        col("n_a"), col("n_b"), col("containment"))
+  }
+
   /** Exact n-gram-Jaccard near-dup pairs within explicit blocking keys
     * (e.g. source) — the verification-grade path; O(pairs-within-block). */
   def ngramJaccardPairs(df: DataFrame, blockKeys: Seq[String], textCol: String,

@@ -768,6 +768,70 @@ object Relational {
       spark.sparkContext.parallelize(out, 1), schema)
   }
 
+  /** Lo–MacKinlay variance-ratio test per series — the random-walk
+    * diagnostic completing the [[acf]]/[[pacfLjungBox]] kit:
+    * `VR(q) = Var(q-period increment)/(q·Var(1-period increment))` over
+    * OVERLAPPING q-period increments. A random walk gives VR ≈ 1;
+    * momentum pushes it above, mean reversion below — the aggregate
+    * answer the per-lag ACF spreads across lags. Also emits the
+    * homoscedastic z-statistic
+    * `z = (VR−1)/√(2(2q−1)(q−1)/(3qn))` (Lo & MacKinlay 1988 eq. 12).
+    *
+    * Contract (the correlation-family rules): `bucketCol` is an
+    * INTEGRAL bucket index; values quantize to `⌊v·scale⌋` BIGINTs, so
+    * every increment `v_{t} − v_{t−q}` (both ends present — gaps just
+    * drop that increment) is an exact integer; population-variance
+    * moment sums accumulate exactly and VR/z derive in one fixed double
+    * tree, 6 dp. Null VR on a zero-variance 1-period leg.
+    *
+    * Scale shape: the series replicates per q (|qs| skinny copies — the
+    * [[acf]] shape), one shifted (key, bucket) equi-join, exact moment
+    * agg onto keys·qs rows, then a key-sized join against the q=1 leg.
+    * Nothing corpus-wide. Returns `(key, q, n_incr, vr, z)`. */
+  def varianceRatio(df: DataFrame, keyCol: String, bucketCol: String,
+                    valueCol: String, qs: Seq[Int],
+                    scale: Double = 1e6): DataFrame = {
+    require(qs.nonEmpty && qs.forall(_ >= 2),
+      s"qs must all be >= 2 (q=1 is the denominator leg), got $qs")
+    require(qs.distinct.size == qs.size, s"duplicate qs: $qs")
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+      .withColumn("_t", col("_t").cast("long"))
+    val lags = (1 +: qs).map(_.toLong)
+    val lagged = base.withColumn("q",
+        explode(array(lags.map(lit): _*)))
+    val diffs = lagged.as("x").join(base.as("y"),
+        col("y._k") === col("x._k") &&
+          col("y._t") === col("x._t") + col("q"))
+      .select(col("x._k").as("key"), col("q"),
+        (col("y._v") - col("x._v")).as("_d"))
+    val moments = diffs.groupBy(col("key"), col("q"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_d")).as("_s1"), sum(col("_d") * col("_d")).as("_s2"))
+    // population variance of a leg: (n·Σd² − (Σd)²)/n² — exact-integer
+    // numerators, one double tree
+    def popVarNum(n: Column, s1: Column, s2: Column): Column =
+      n.cast("double") * s2.cast("double") -
+        s1.cast("double") * s1.cast("double")
+    val one = moments.where(col("q") === 1L)
+      .select(col("key"), col("n").as("_n1"),
+        col("_s1").as("_a1"), col("_s2").as("_a2"))
+    val qLegs = moments.where(col("q") =!= 1L)
+    val j = qLegs.join(one, "key")
+    val varQ = popVarNum(col("n"), col("_s1"), col("_s2")) /
+      (col("n").cast("double") * col("n").cast("double"))
+    val var1 = popVarNum(col("_n1"), col("_a1"), col("_a2")) /
+      (col("_n1").cast("double") * col("_n1").cast("double"))
+    val qD = col("q").cast("double")
+    val vr = varQ / qD / var1
+    val z = (vr - lit(1.0)) /
+      sqrt(lit(2.0) * (lit(2.0) * qD - lit(1.0)) * (qD - lit(1.0)) /
+        (lit(3.0) * qD * col("_n1").cast("double")))
+    j.select(col("key"), col("q"), col("n").as("n_incr"),
+        when(var1 > 0.0, round(vr, 6)).as("vr"),
+        when(var1 > 0.0 && col("_n1") > 0L, round(z, 6)).as("z"))
+      .orderBy("key", "q")
+  }
+
   /** Purged walk-forward cross-validation splits with embargo (the
     * López de Prado time-series CV protocol): `k` contiguous equal-TIME
     * test folds; for each fold every sample gets a role —

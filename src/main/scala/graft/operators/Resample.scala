@@ -176,4 +176,73 @@ object Resample {
         min(col(tsCol)).as("open_ts"),
         max(col(tsCol)).as("close_ts"))
   }
+
+  /** VPIN — Volume-synchronized Probability of INformed trading
+    * (Easley, López de Prado, O'Hara 2012), the flow-toxicity monitor
+    * that flagged the 2010 flash crash: cut the tape into equal-VOLUME
+    * buckets (the [[volumeBars]] clock), classify each tick's volume
+    * buy/sell by the tick rule, and report the trailing-`window` mean
+    * of `|V_buy − V_sell| / bucketVolume` — toxic one-sided flow pushes
+    * it toward 1, balanced flow toward 0.
+    *
+    * Tick rule as [[imbalanceBars]]: `b = sign(Δprice)`, previous
+    * non-zero sign carried through flats; a series' LEADING unsigned
+    * ticks (no move seen yet) split 50/50, contributing volume but
+    * nothing to the signed imbalance. The signed bucket imbalance is
+    * then EXACTLY `|Σ b·⌊vol·100⌋|` — an integer, so bucket membership
+    * (exclusive-prefix floor division, the [[volumeBars]] contract) and
+    * the imbalance are both engine-reproducible; the only doubles are
+    * the final ratios (one division tree, rounded to 6dp).
+    *
+    * The trailing mean uses the SPEC'S denominator `window ·
+    * bucketVolume` (the volume clock), not realized bucket volume — the
+    * partial tail bucket therefore reads slightly low, and buckets
+    * before `window − 1` report null (warm-up, the rolling-stats
+    * convention).
+    *
+    * Scale shape: ONE keyed exchange — tick-sign lag, carry fill,
+    * prefix sum and the bucket agg all ride the per-series
+    * partitioning; the trailing window then runs on the BUCKET frame
+    * (corpus / bucketVolume rows). Returns one row per bucket:
+    * `(keys…, bar_id, volume, abs_imbalance, vpin, n_ticks,
+    * close_ts)`. */
+  def vpin(df: DataFrame, tsCol: String, priceCol: String, volCol: String,
+           tiebreakCol: String, keys: Seq[String], bucketVolume: Double,
+           window: Int): DataFrame = {
+    require(keys.nonEmpty, "vpin needs the series key(s)")
+    require(bucketVolume > 0.0, s"bucketVolume must be positive, got $bucketVolume")
+    require(window > 0, s"window must be positive, got $window")
+    val thrFp = math.round(bucketVolume * 100)
+    require(thrFp > 0L, s"bucketVolume quantizes to 0 cents: $bucketVolume")
+    val W = org.apache.spark.sql.expressions.Window
+    val wRun = W.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val wFill = wRun.rowsBetween(W.unboundedPreceding, 0)
+    val wPrev = wRun.rowsBetween(W.unboundedPreceding, -1)
+    val p = col(priceCol).cast("double")
+    val delta = p - lag(p, 1).over(wRun)
+    val sgn0 = when(delta > 0.0, lit(1L)).when(delta < 0.0, lit(-1L))
+    val b = coalesce(last(sgn0, ignoreNulls = true).over(wFill), lit(0L))
+    val cents = floor(col(volCol).cast("double") * 100).cast("long")
+    val buckets = df
+      .withColumn("_b", b)
+      .withColumn("_c", cents)
+      .withColumn("_cumb", coalesce(sum(col("_c")).over(wPrev), lit(0L)))
+      .withColumn("bar_id", expr(s"(_cumb - pmod(_cumb, ${thrFp}L)) div ${thrFp}L"))
+      .groupBy((keys :+ "bar_id").map(col): _*)
+      .agg(sum(col("_c")).as("_vc"),
+        sum(col("_b") * col("_c")).as("_net"),
+        count(lit(1)).as("n_ticks"),
+        max(col(tsCol)).as("close_ts"))
+    val wBar = W.partitionBy(keys.map(col): _*).orderBy(col("bar_id"))
+      .rowsBetween(-(window - 1), 0)
+    buckets.select(
+      keys.map(col) ++ Seq(col("bar_id"),
+        round(col("_vc").cast("double") / 100.0, 2).as("volume"),
+        round(abs(col("_net")).cast("double") / 100.0, 2).as("abs_imbalance"),
+        when(count(lit(1)).over(wBar) === window,
+          round(sum(abs(col("_net"))).over(wBar).cast("double")
+            / lit(window.toDouble * thrFp), 6)).as("vpin"),
+        col("n_ticks"), col("close_ts")): _*)
+  }
 }

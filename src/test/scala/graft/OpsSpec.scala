@@ -2702,6 +2702,104 @@ class OpsSpec extends SparkSpec {
       "both barriers touched at the same µs → up wins by the documented rule")
   }
 
+  test("vpin: tick-rule imbalance per volume bucket, trailing mean, warm-up null, leading-unsigned split") {
+    // prices 100,101,102,101,100 @ vol 10 each; bucketVolume 20 → 2 ticks
+    // per bucket; signs 0,+1,+1,-1,-1 (leading tick unsigned)
+    val df = Seq(("A", 1L, 100.0, 10.0), ("A", 2L, 101.0, 10.0),
+        ("A", 3L, 102.0, 10.0), ("A", 4L, 101.0, 10.0), ("A", 5L, 100.0, 10.0))
+      .toDF("k", "t", "p", "v")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val out = graft.operators.Resample.vpin(df, "ts", "p", "v", "t", Seq("k"),
+        bucketVolume = 20.0, window = 2)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(2), r.getDouble(3), Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toMap
+    // bucket 0 = ticks 1,2: net = 0·10 + 1·10 → |imb| 10; warm-up null
+    assert(out(0L) == ((20.0, 10.0, None)), s"bucket 0: ${out(0L)}")
+    // bucket 1 = ticks 3,4: +10 − 10 = 0; vpin = (10+0)/(2·20) = 0.25
+    assert(out(1L) == ((20.0, 0.0, Some(0.25))), s"bucket 1: ${out(1L)}")
+    // bucket 2 = partial tail tick 5: −10; vpin = (0+10)/40 = 0.25
+    assert(out(2L) == ((10.0, 10.0, Some(0.25))), s"bucket 2: ${out(2L)}")
+    intercept[IllegalArgumentException](
+      graft.operators.Resample.vpin(df, "ts", "p", "v", "t", Seq("k"), 0.0, 2))
+    intercept[IllegalArgumentException](
+      graft.operators.Resample.vpin(df, "ts", "p", "v", "t", Seq("k"), 20.0, 0))
+  }
+
+  test("realizedJumpVol: RV sums squared log returns, BV is jump-immune, continuous across buckets") {
+    // day-1 ticks e⁰,e¹,e³ (returns 1, 2); day-2 tick e⁴ (return 1,
+    // previous return reaches back across the day boundary)
+    val us = 86400000000L
+    val df = Seq(("A", 1L, math.exp(0.0)), ("A", 2L, math.exp(1.0)),
+        ("A", 3L, math.exp(3.0)), ("A", us + 1L, math.exp(4.0)))
+      .toDF("k", "t", "p")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val out = graft.functions.TaIndicators.realizedJumpVol(
+        df, Seq("k"), "ts", "p", "t", "day")
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // day 1: rv = 1² + 2² = 5; bv = (π/2)·|2·1| = π; jump = 5 − π
+    assert(out(0)._1 == 2L)
+    assert(math.abs(out(0)._2 - 5.0) < 1e-6, s"rv: ${out(0)}")
+    assert(math.abs(out(0)._3 - math.Pi) < 1e-6, s"bv: ${out(0)}")
+    assert(math.abs(out(0)._4 - (5.0 - math.Pi)) < 1e-6, s"jump: ${out(0)}")
+    // day 2: rv = 1; bv = (π/2)·|1·2| = π > rv → jump clamps to 0
+    assert(out(1)._1 == 1L)
+    assert(math.abs(out(1)._2 - 1.0) < 1e-6)
+    assert(math.abs(out(1)._3 - math.Pi) < 1e-6)
+    assert(out(1)._4 == 0.0, "jump component clamps at 0")
+    // a non-positive price drops before returns form
+    val withZero = df.unionByName(Seq(("B", 1L, 0.0)).toDF("k", "t", "p")
+      .withColumn("ts", expr("timestamp_micros(t)")))
+    assert(graft.functions.TaIndicators.realizedJumpVol(
+      withZero, Seq("k"), "ts", "p", "t", "day")
+      .where(col("k") === "B").count() == 0)
+  }
+
+  test("varianceRatio: alternating series → VR(2)=0 with the closed-form z; zero-variance leg nulls") {
+    // v alternates 0,1 over buckets 0..8: 1-period diffs ±1 (var 1),
+    // every 2-period diff 0 → VR(2) = 0, z = −1/√(2·3·1/(3·2·8)) = −√8
+    val alt = (0 to 8).map(i => ("A", i.toLong, (i % 2).toDouble))
+    val const = (0 to 8).map(i => ("C", i.toLong, 5.0))
+    val out = graft.operators.Relational.varianceRatio(
+        (alt ++ const).toDF("k", "b", "v"), "k", "b", "v",
+        qs = Seq(2), scale = 1.0)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(out("A")._1.contains(0.0), s"perfect mean reversion → VR 0: $out")
+    assert(math.abs(out("A")._2.get - (-math.sqrt(8.0))) < 1e-5,
+      s"z = (0−1)/√(6/48) = −√8: $out")
+    assert(out("C") == ((None, None)), "zero-variance 1-period leg → null VR and z")
+    intercept[IllegalArgumentException](
+      graft.operators.Relational.varianceRatio(
+        alt.toDF("k", "b", "v"), "k", "b", "v", qs = Seq(1)))
+  }
+
+  test("containmentJoin: finds the excerpt-in-article pair Jaccard misses; directional; cap documented") {
+    val a = "w1 w2 w3 w4 w5 w6"
+    val b = a + " " + (1 to 20).map(i => s"x$i").mkString(" ")
+    val c = "y1 y2 y3 y4 y5 y6"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentJoin(df, "text", "doc_id", shingleN = 3,
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    // A's 4 shingles all appear in B → C(A→B) = 1.0; B→A is 4/24 → absent
+    assert(pairs.keySet == Set((1L, 2L)), s"pairs: $pairs")
+    assert(pairs((1L, 2L)) == 1.0)
+    // the same pair is invisible to Jaccard at any near-dup threshold:
+    // J = 4/(4+24−4) = 1/6
+    assert(Dedup.jaccardSimilarityJoin(df, "text", "doc_id", shingleN = 3,
+      threshold = 0.9).count() == 0,
+      "jaccardSimilarityJoin must structurally miss the contained excerpt")
+    // maxPostings caps CANDIDATE generation: with every shared shingle
+    // above the cap the pair is missed — the documented trade
+    assert(Dedup.containmentJoin(df, "text", "doc_id", shingleN = 3,
+      threshold = 0.9, maxPostings = 1).count() == 0)
+    intercept[IllegalArgumentException](
+      Dedup.containmentJoin(df, "text", "doc_id", threshold = 0.0))
+  }
+
   test("psiDrift: identical slices score exactly 0; a shifted slice trips the 0.25 alarm; no-ref keys absent") {
     val stable = (0 until 100).flatMap(i =>
       Seq(("s", true, (i % 10) * 1.0), ("s", false, (i % 10) * 1.0)))
