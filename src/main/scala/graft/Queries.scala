@@ -1012,6 +1012,146 @@ object Queries {
                             0.0), 6) AS jump
       FROM g ORDER BY event_type, bucket_us"""))
 
+  // Roll's implied effective spread per (event type, day): consecutive
+  // trade-price changes in integer cents, covariance from exact moment
+  // sums, s = 2·√(−cov)/100; non-negative-autocov days null (Roll's own
+  // convention).
+  private val qRollSpread = QDef(
+    "q_roll_spread",
+    (s, dir) => TA.rollSpread(t(s, dir, "events"), Seq("event_type"),
+        "ts", "value", "event_id", "day")
+      .select(col("event_type"), micros(col("bucket")).as("bucket_us"),
+        col("n_pairs"), col("roll_spread"))
+      .orderBy("event_type", "bucket_us"),
+    Some("""
+      WITH b0 AS (SELECT event_type AS k, ts, event_id,
+                         CAST(floor(value * 100) AS BIGINT) AS pc
+                  FROM events),
+      d1 AS (SELECT k, ts, event_id,
+                    pc - lag(pc) OVER (PARTITION BY k ORDER BY ts, event_id) AS dp,
+                    lag(date_trunc('day', ts), 2)
+                      OVER (PARTITION BY k ORDER BY ts, event_id) AS b2
+             FROM b0),
+      d2 AS (SELECT k, ts, dp,
+                    lag(dp) OVER (PARTITION BY k ORDER BY ts, event_id) AS dpp,
+                    b2
+             FROM d1),
+      f AS (SELECT k, date_trunc('day', ts) AS bucket, dp, dpp
+            FROM d2
+            WHERE dp IS NOT NULL AND dpp IS NOT NULL
+              AND b2 = date_trunc('day', ts)),
+      m AS (SELECT k, bucket, COUNT(*) AS n_pairs,
+                   CAST(SUM(dp) AS BIGINT) AS sx,
+                   CAST(SUM(dpp) AS BIGINT) AS sy,
+                   CAST(SUM(dp * dpp) AS BIGINT) AS sxy
+            FROM f GROUP BY 1, 2),
+      c AS (SELECT k, bucket, n_pairs,
+                   (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE)) AS cov
+            FROM m)
+      SELECT k AS event_type, epoch_us(bucket) AS bucket_us, n_pairs,
+             CASE WHEN cov < 0
+                  THEN round(2.0 * sqrt(-cov) / 100.0, 6) END AS roll_spread
+      FROM c ORDER BY event_type, bucket_us"""))
+
+  // Amihud illiquidity per event type: daily |close/open − 1| over the
+  // day's ⌊p·v·100⌋-cent dollar volume, each ratio quantized to
+  // pico-units, per-series mean from the exact integer sum, ×10⁶.
+  private val qAmihud = QDef(
+    "q_amihud",
+    (s, dir) => TA.amihudIlliquidity(t(s, dir, "events"), Seq("event_type"),
+        "ts", "value", "value", "event_id")
+      .orderBy("event_type"),
+    Some("""
+      WITH r AS (SELECT event_type AS k, date_trunc('day', ts) AS dd, value,
+                        row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                           ORDER BY ts, event_id) AS rf,
+                        row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                           ORDER BY ts DESC, event_id DESC) AS rl
+                 FROM events),
+      o AS (SELECT k, dd,
+                   MAX(CASE WHEN rf = 1 THEN value END) AS open_,
+                   MAX(CASE WHEN rl = 1 THEN value END) AS close_
+            FROM r GROUP BY 1, 2),
+      dv AS (SELECT event_type AS k, date_trunc('day', ts) AS dd,
+                    CAST(SUM(CAST(floor(CAST(value AS DOUBLE)
+                      * CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS dvc
+             FROM events GROUP BY 1, 2),
+      g AS (SELECT o.k, open_, close_, dvc
+            FROM o JOIN dv ON dv.k = o.k AND dv.dd = o.dd
+            WHERE dvc > 0 AND open_ <> 0),
+      q AS (SELECT k,
+                   CAST(round(abs(CAST(close_ AS DOUBLE) / CAST(open_ AS DOUBLE) - 1.0)
+                              / (CAST(dvc AS DOUBLE) / 100.0) * 1e12) AS BIGINT) AS rq
+            FROM g),
+      a AS (SELECT k, COUNT(*) AS n_days, CAST(SUM(rq) AS BIGINT) AS sq
+            FROM q GROUP BY 1)
+      SELECT k AS event_type, n_days,
+             round(1e6 * (CAST(sq AS DOUBLE) / 1e12 / CAST(n_days AS DOUBLE)), 6) AS illiq
+      FROM a ORDER BY event_type"""))
+
+  // Book reconstruction from a synthetic L2 delta feed (20 price levels
+  // per side with churn and removals): top-3 per side at every 6h
+  // boundary via the level-grid × as-of-join shape; the oracle uses
+  // DuckDB's native ASOF LEFT JOIN against the same last-write-wins
+  // delta frame.
+  private val qBookSnapshots = QDef(
+    "q_book_snapshots",
+    (s, dir) => {
+      val deltas = t(s, dir, "events").select(
+        col("event_type"), col("ts"), col("event_id"),
+        when(col("event_id") % 2 === 0, "bid").otherwise("ask").as("side"),
+        (col("event_id") % 20 + 1).cast("double").as("price"),
+        when(col("event_id") % 7 === 0, lit(0.0))
+          .otherwise(col("value")).as("amount"))
+      graft.features.OrderbookFeatures.bookSnapshots(deltas,
+          Seq("event_type"), "ts", "event_id",
+          stepUs = 6L * 3600 * 1000000, nLevels = 3)
+        .orderBy("event_type", "snap_ts_us", "side", "level")
+    },
+    Some(s"""
+      WITH base AS (SELECT event_type AS k, epoch_us(ts) AS ts_us, event_id,
+                           CASE WHEN event_id % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
+                           CAST(event_id % 20 + 1 AS DOUBLE) AS price,
+                           CASE WHEN event_id % 7 = 0 THEN 0.0 ELSE value END AS amount
+                    FROM events),
+      dd AS (SELECT k, side, price, ts_us, amount,
+                    row_number() OVER (PARTITION BY k, side, price, ts_us
+                                       ORDER BY event_id DESC) AS rn
+             FROM base),
+      dedup AS (SELECT k, side, price, ts_us, amount FROM dd WHERE rn = 1),
+      g0 AS (SELECT k, MIN(ts_us) AS lo, MAX(ts_us) AS hi FROM base GROUP BY 1),
+      grid AS (SELECT k, unnest(generate_series(lo // 21600000000 + 1,
+                                                hi // 21600000000 + 1))
+                          * 21600000000 AS snap_ts_us
+               FROM g0),
+      lv AS (SELECT DISTINCT k, side, price FROM base),
+      probe AS (SELECT lv.k, lv.side, lv.price, grid.snap_ts_us
+                FROM lv JOIN grid ON grid.k = lv.k),
+      -- NOT DuckDB's native ASOF JOIN: v1.0.0 returns a non-latest
+      -- match for some levels once the probe spans many (key, side,
+      -- price) groups (verified: the same single-level probe answers
+      -- correctly in isolation). Explicit last-row-≤-snap election
+      -- instead — O(levels · deltas-per-level · snaps), fine at oracle
+      -- scale.
+      a0 AS (SELECT p.k, p.snap_ts_us, p.side, p.price, d.amount,
+                    row_number() OVER (PARTITION BY p.k, p.snap_ts_us, p.side, p.price
+                                       ORDER BY d.ts_us DESC) AS arn
+             FROM probe p LEFT JOIN dedup d
+               ON d.k = p.k AND d.side = p.side AND d.price = p.price
+              AND d.ts_us <= p.snap_ts_us),
+      a AS (SELECT k, snap_ts_us, side, price, amount FROM a0 WHERE arn = 1),
+      rk AS (SELECT k, snap_ts_us, side, price, amount,
+                    row_number() OVER (PARTITION BY k, snap_ts_us, side
+                      ORDER BY CASE WHEN side = 'bid' THEN -price ELSE price END)
+                      AS level
+             FROM a WHERE amount IS NOT NULL AND amount > 0)
+      SELECT k AS event_type, snap_ts_us, side, CAST(level AS BIGINT) AS level,
+             price, amount
+      FROM rk WHERE level <= 3
+      ORDER BY event_type, snap_ts_us, side, level"""))
+
   private val qRangeRead = QDef(
     "q_range_read",
     (s, dir) => t(s, dir, "events")
@@ -4485,6 +4625,7 @@ object Queries {
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qTokenBudget, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination,
-    qVpin, qJumpVol, qVarianceRatio, qContainment
+    qVpin, qJumpVol, qVarianceRatio, qContainment,
+    qRollSpread, qAmihud, qBookSnapshots
   )
 }

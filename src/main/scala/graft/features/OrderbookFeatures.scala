@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{windows => W}
-import graft.operators.Relational
+import graft.operators.{Relational, TemporalJoins}
 
 /** Order-book feature set — Spark re-expression of
   * `adi/app/features/processors/orderbook_features.py` (A1–A4, W29/W30,
@@ -271,5 +271,69 @@ object OrderbookFeatures {
       when(total =!= 0, (col("bid_vol") - col("ask_vol")) / total).otherwise(0.0)
         .as("imbalance") :+
       (col("ask_price_ff") - col("bid_price_ff")).as("spread"): _*)
+  }
+
+  /** Reconstruct book SNAPSHOTS from an L2 DELTA feed — the production
+    * order-book shape this module's snapshot operators assume upstream:
+    * exchanges stream `(ts, side, price, new_resting_amount)` updates
+    * (amount 0 = level removed), and the book at time T is the last
+    * update ≤ T applied per price level. Emits the top `nLevels` per
+    * side at every `stepUs` boundary covering the series' active range.
+    *
+    * Relational shape, no stateful scan: the (series, side, price)
+    * LEVEL universe × the series' snapshot grid forms a bounded probe
+    * frame (levels·snaps per series — both small dimensions), and ONE
+    * [[TemporalJoins.asofJoin]] (the tagged-union window pass,
+    * O(probe + deltas) per level, never a pair blowup) attaches each
+    * level's standing amount as of each snapshot; levels at amount 0 or
+    * never yet quoted drop, and a rank window keeps the top N per side
+    * (bids by highest price, asks by lowest). Same-µs updates to one
+    * level collapse last-write-wins by `tiebreakCol` first (the asofJoin
+    * uniqueness contract).
+    *
+    * Determinism: snapshot boundaries are exact integer-µs multiples of
+    * `stepUs` (floor-division grid); prices/amounts pass through
+    * untouched; rank ties cannot exist (price IS the level key).
+    *
+    * Returns `(keys…, snap_ts_us, side, level, price, amount)`. */
+  def bookSnapshots(deltas: DataFrame, keys: Seq[String], tsCol: String,
+                    tiebreakCol: String, stepUs: Long,
+                    nLevels: Int = 5): DataFrame = {
+    require(keys.nonEmpty, "bookSnapshots needs the series key(s)")
+    require(stepUs > 0L, s"stepUs must be positive, got $stepUs")
+    require(nLevels >= 1, s"nLevels must be >= 1, got $nLevels")
+    val tsUs = unix_micros(col(tsCol).cast("timestamp"))
+    val base = deltas.select(
+      keys.map(col) ++ Seq(col("side"), col("price"), col("amount"),
+        tsUs.as("_ts_us"), col(tiebreakCol).cast("long").as("_tb")): _*)
+    // last write wins within one µs per level (asofJoin's uniqueness
+    // contract on (keys, rightTs))
+    val dedup = base
+      .groupBy((keys.map(col) ++ Seq(col("side"), col("price"), col("_ts_us"))): _*)
+      .agg(max_by(col("amount"), col("_tb")).as("amount"))
+    // snapshot grid: every step boundary from the first boundary after
+    // the series' first delta through the one covering its last
+    val grid = base.groupBy(keys.map(col): _*)
+      .agg(min(col("_ts_us")).as("_lo"), max(col("_ts_us")).as("_hi"))
+      .select(keys.map(col) :+ explode(sequence(
+        expr(s"(_lo - pmod(_lo, ${stepUs}L)) div ${stepUs}L") + lit(1L),
+        expr(s"(_hi - pmod(_hi, ${stepUs}L)) div ${stepUs}L") + lit(1L)))
+        .as("_k"): _*)
+      .withColumn("snap_ts_us", col("_k") * lit(stepUs)).drop("_k")
+    val levels = base.select((keys.map(col) ++ Seq(col("side"), col("price"))): _*)
+      .distinct()
+    val probe = levels.join(grid, keys)
+    val lvlKeys = keys ++ Seq("side", "price")
+    val joined = TemporalJoins.asofJoin(
+      probe, dedup, lvlKeys, "snap_ts_us", "_ts_us", Seq("amount"))
+    val rankW = Window
+      .partitionBy((keys :+ "snap_ts_us" :+ "side").map(col): _*)
+      .orderBy(when(col("side") === "bid", -col("price")).otherwise(col("price")))
+    joined
+      .where(col("amount").isNotNull && col("amount") > 0.0)
+      .withColumn("level", row_number().over(rankW).cast("long"))
+      .where(col("level") <= nLevels)
+      .select(keys.map(col) ++ Seq(col("snap_ts_us"), col("side"),
+        col("level"), col("price"), col("amount")): _*)
   }
 }

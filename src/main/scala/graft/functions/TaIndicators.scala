@@ -332,6 +332,94 @@ object TaIndicators {
     * Scale shape: one keyed window (the return lag) + one (keys,
     * bucket) agg riding the same series partitioning — map-side
     * combined, one row per bucket out. */
+  /** Roll's implied effective spread (Roll 1984) per (series, bucket):
+    * under the bid-ask-bounce model consecutive TRADE price changes are
+    * negatively autocorrelated with `cov(Δpₜ, Δpₜ₋₁) = −s²/4`, so
+    * `s = 2·√(−cov)` estimates the effective spread from trade prices
+    * alone — the microstructure quantity the book-based
+    * [[graft.features.OrderbookFeatures.spreadSeries]] needs quotes
+    * for. Buckets with non-negative autocovariance report null (the
+    * estimator is undefined there — Roll's own convention; trending
+    * buckets do this routinely).
+    *
+    * Determinism: prices quantize to integer cents, so every Δp and the
+    * (Δpₜ, Δpₜ₋₁) moment sums are EXACT integers; the covariance and
+    * `2√(−cov)/100` derive in one double tree, 6 dp. Both Δp legs must
+    * lie inside the bucket (pairs never straddle — the estimation
+    * window is the bucket by construction).
+    *
+    * Scale shape: one keyed window (two lags) + one (keys, bucket) agg
+    * riding the same series partitioning. */
+  def rollSpread(df: DataFrame, keys: Seq[String], tsCol: String,
+                 valueCol: String, tiebreakCol: String,
+                 interval: String): DataFrame = {
+    require(keys.nonEmpty, "rollSpread needs the series key(s)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val pc = floor(col(valueCol).cast("double") * 100).cast("long")
+    val base = df.withColumn("_pc", pc)
+      .withColumn("_dp", col("_pc") - lag(col("_pc"), 1).over(w))
+      .withColumn("_dpPrev", lag(col("_dp"), 1).over(w))
+      .withColumn("_b", date_trunc(interval, col(tsCol)))
+      // both changes inside the bucket: the earlier change's EARLIER
+      // endpoint (two ticks back) must share the bucket too
+      .withColumn("_bPrev2", lag(date_trunc(interval, col(tsCol)), 2).over(w))
+      .where(col("_dp").isNotNull && col("_dpPrev").isNotNull &&
+        col("_bPrev2") === col("_b"))
+    val sums = base.groupBy((keys.map(col) :+ col("_b").as("bucket")): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_dp")).as("_sx"), sum(col("_dpPrev")).as("_sy"),
+        sum(col("_dp") * col("_dpPrev")).as("_sxy"))
+    val nD = col("n_pairs").cast("double")
+    // population covariance in cents²: (n·Σxy − ΣxΣy)/n²
+    val cov = (nD * col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double")) / (nD * nD)
+    sums.select(keys.map(col) ++ Seq(col("bucket"), col("n_pairs"),
+      when(cov < 0.0,
+        round(lit(2.0) * sqrt(-cov) / lit(100.0), 6)).as("roll_spread")): _*)
+  }
+
+  /** Amihud illiquidity (Amihud 2002) — `|daily return| / dollar
+    * volume`, averaged per series: how many price units one unit of
+    * traded value moves; THE standard cross-sectional liquidity proxy
+    * (scaled by 10⁶ as conventional). Daily legs come from the bar
+    * frame: `ret = close/open − 1` (plain arithmetic, no libm),
+    * `dollar_volume = Σ ⌊price·vol·100⌋` exact integer cents (the
+    * dollarBars accumulator — a DECIMAL cast of a 4-dp product would
+    * expose cross-engine rounding-mode differences). Zero-volume days
+    * drop (ratio undefined).
+    *
+    * Determinism: each daily ratio quantizes to `⌊r·10¹²⌋` and the
+    * per-series mean derives from the exact integer sum — order-free,
+    * unlike a naive double avg.
+    *
+    * Scale shape: one (keys, day) agg + one keys agg, both map-side
+    * combined. Returns `(keys…, n_days, illiq)` with
+    * `illiq = 10⁶ · mean(|ret|/dv)`, 6 dp. */
+  def amihudIlliquidity(df: DataFrame, keys: Seq[String], tsCol: String,
+                        valueCol: String, volCol: String,
+                        tiebreakCol: String): DataFrame = {
+    require(keys.nonEmpty, "amihudIlliquidity needs the series key(s)")
+    val ord = struct(col(tsCol), col(tiebreakCol))
+    val daily = df
+      .groupBy((keys.map(col) :+ date_trunc("day", col(tsCol)).as("_d")): _*)
+      .agg(min_by(col(valueCol), ord).as("_open"),
+        max_by(col(valueCol), ord).as("_close"),
+        sum(floor(col(valueCol).cast("double") * col(volCol).cast("double")
+          * 100).cast("long")).as("_dvc"))
+      .where(col("_dvc") > 0L && col("_open") =!= 0.0)
+      .withColumn("_ratio",
+        abs(col("_close").cast("double") / col("_open").cast("double") - lit(1.0))
+          / (col("_dvc").cast("double") / lit(100.0)))
+      .withColumn("_rq", round(col("_ratio") * 1e12).cast("long"))
+    daily.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_days"), sum(col("_rq")).as("_s"))
+      .select(keys.map(col) ++ Seq(col("n_days"),
+        round(lit(1e6) * (col("_s").cast("double") / 1e12
+          / col("n_days").cast("double")), 6).as("illiq")): _*)
+  }
+
   def realizedJumpVol(df: DataFrame, keys: Seq[String], tsCol: String,
                       valueCol: String, tiebreakCol: String,
                       interval: String): DataFrame = {

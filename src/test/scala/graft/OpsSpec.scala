@@ -2776,6 +2776,73 @@ class OpsSpec extends SparkSpec {
         alt.toDF("k", "b", "v"), "k", "b", "v", qs = Seq(1)))
   }
 
+  test("rollSpread: pure bid-ask bounce recovers the closed-form spread; trends null; pairs never straddle buckets") {
+    val us = 86400000000L
+    // day 1: perfect 100/101 bounce — dp = ±100 cents, cov = −10000,
+    // spread = 2·√10000/100 = 2.0
+    val bounce = (1 to 6).map(i =>
+      ("A", i.toLong, if (i % 2 == 1) 100.0 else 101.0))
+    // day 1: monotone trend — cov = 0 → null
+    val trend = (1 to 6).map(i => ("B", i.toLong, 100.0 + i))
+    // day 2 for A: two ticks only — every pair would straddle the
+    // boundary, so day 2 yields no n_pairs row at all
+    val tail = Seq(("A", us + 1L, 200.0), ("A", us + 2L, 100.0))
+    val df = (bounce ++ trend ++ tail).toDF("k", "t", "p")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val out = graft.functions.TaIndicators.rollSpread(
+        df, Seq("k"), "ts", "p", "t", "day")
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out(("A", 4L)).contains(2.0), s"bounce spread: $out")
+    assert(out(("B", 4L)).isEmpty, "non-negative autocovariance → null")
+    assert(!out.keySet.exists(_ == ("A", 0L)) && out.size == 2,
+      s"straddling pairs must not create a day-2 bucket: $out")
+  }
+
+  test("amihudIlliquidity: closed-form daily ratio, zero-open and zero-volume days drop") {
+    val df = Seq(
+      ("A", 1L, 100.0, 1.0), ("A", 2L, 110.0, 2.0), // dv = 320, |ret| = 0.1
+      ("B", 1L, 0.0, 1.0), ("B", 2L, 10.0, 1.0), // open 0 → day drops
+      ("C", 1L, 10.0, 0.0)) // zero dollar volume → day drops
+      .toDF("k", "t", "p", "v")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val out = graft.functions.TaIndicators.amihudIlliquidity(
+        df, Seq("k"), "ts", "p", "v", "t")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // 1e6 · (0.1 / 320) = 312.5
+    assert(out("A") == ((1L, 312.5)), s"amihud: $out")
+    assert(!out.contains("B") && !out.contains("C"))
+  }
+
+  test("bookSnapshots: delta replay — levels appear, update, and vanish at each grid point; same-µs last-write-wins") {
+    val deltas = Seq(
+      ("X", 10L, 1L, "bid", 100.0, 5.0),
+      ("X", 20L, 2L, "bid", 99.0, 3.0),
+      ("X", 30L, 3L, "ask", 101.0, 9.0), // overwritten same-µs by tb=4
+      ("X", 30L, 4L, "ask", 101.0, 2.0),
+      ("X", 150L, 5L, "bid", 100.0, 0.0), // removal
+      ("X", 160L, 6L, "bid", 98.0, 7.0))
+      .toDF("k", "t", "id", "side", "price", "amount")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val out = graft.features.OrderbookFeatures.bookSnapshots(
+        deltas, Seq("k"), "ts", "id", stepUs = 100L, nLevels = 2)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)) ->
+        (r.getDouble(4), r.getDouble(5))).toMap
+    // snap 100: bids 100→5 (L1), 99→3 (L2); ask 101→2 (the tb=4 write)
+    assert(out((100L, "bid", 1L)) == ((100.0, 5.0)))
+    assert(out((100L, "bid", 2L)) == ((99.0, 3.0)))
+    assert(out((100L, "ask", 1L)) == ((101.0, 2.0)),
+      "same-µs updates must collapse last-write-wins")
+    // snap 200: level 100 removed → 99 promotes to L1, 98 enters at L2
+    assert(out((200L, "bid", 1L)) == ((99.0, 3.0)))
+    assert(out((200L, "bid", 2L)) == ((98.0, 7.0)))
+    assert(out((200L, "ask", 1L)) == ((101.0, 2.0)))
+    assert(out.size == 6, s"exactly two grid points, top-2: $out")
+    intercept[IllegalArgumentException](
+      graft.features.OrderbookFeatures.bookSnapshots(
+        deltas, Seq("k"), "ts", "id", stepUs = 0L))
+  }
+
   test("containmentJoin: finds the excerpt-in-article pair Jaccard misses; directional; cap documented") {
     val a = "w1 w2 w3 w4 w5 w6"
     val b = a + " " + (1 to 20).map(i => s"x$i").mkString(" ")
