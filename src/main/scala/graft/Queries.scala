@@ -1152,6 +1152,64 @@ object Queries {
       FROM rk WHERE level <= 3
       ORDER BY event_type, snap_ts_us, side, level"""))
 
+  // Hayashi–Yoshida covariance between event types' raw (asynchronous)
+  // tick streams over the first three days — overlap-indicator sum of
+  // exact integer-cent increments, bucketed band join on the Spark
+  // side, full pairwise overlap scan in the oracle.
+  private val qHyCov = QDef(
+    "q_hy_cov",
+    (s, dir) => Relational.hayashiYoshida(
+      t(s, dir, "events").where(tsRangePushdown("2024-01-01", "2024-01-03")),
+      "event_type", "ts", "value", "event_id",
+      bucketUs = 3600L * 1000000, scale = 100.0),
+    Some(s"""
+      WITH e AS (SELECT event_type AS k, epoch_us(ts) AS t,
+                        CAST(floor(value * 100) AS BIGINT) AS vq, event_id
+                 FROM events
+                 WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+                   AND ts <= TIMESTAMP '2024-01-03 00:00:00'
+                   AND value IS NOT NULL),
+      iv0 AS (SELECT k, t AS e2,
+                     lag(t) OVER (PARTITION BY k ORDER BY t, event_id) AS s,
+                     vq - lag(vq) OVER (PARTITION BY k ORDER BY t, event_id) AS dr
+              FROM e),
+      iv AS (SELECT * FROM iv0 WHERE s IS NOT NULL),
+      p AS (SELECT a.k AS key_a, b.k AS key_b, a.dr * b.dr AS prod
+            FROM iv a JOIN iv b
+              ON a.k < b.k AND a.s < b.e2 AND b.s < a.e2)
+      SELECT key_a, key_b, COUNT(*) AS n_overlaps,
+             round(CAST(CAST(SUM(prod) AS BIGINT) AS DOUBLE)
+                   / ${100.0 * 100.0}, 6) AS hy_cov
+      FROM p GROUP BY 1, 2 ORDER BY key_a, key_b"""))
+
+  // Duplicated-8-gram rate per document — the scoring companion of
+  // q_substring_dedup: fraction of a doc's 8-token windows occurring
+  // more than once corpus-wide; exact integer ratio, short docs null.
+  private val qDupNgramRate = QDef(
+    "q_dup_ngram_rate",
+    (s, dir) => TextAnalysis.dupNgramRate(t(s, dir, "documents"),
+        "text", "doc_id", n = 8)
+      .orderBy("doc_id"),
+    Some(raw"""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents),
+      w AS (SELECT doc_id,
+                   unnest(list_transform(range(CAST(len(toks) - 7 AS BIGINT)),
+                     i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' '))) AS s
+            FROM d WHERE len(toks) >= 8),
+      c AS (SELECT s, COUNT(*) AS c FROM w GROUP BY 1),
+      p AS (SELECT w.doc_id, COUNT(*) AS n_windows,
+                   CAST(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+            FROM w JOIN c ON c.s = w.s GROUP BY 1)
+      SELECT d.doc_id,
+             COALESCE(p.n_windows, 0) AS n_windows,
+             COALESCE(p.n_dup, 0) AS n_dup,
+             CASE WHEN p.n_windows IS NOT NULL
+                  THEN CAST(p.n_dup AS DOUBLE) / CAST(p.n_windows AS DOUBLE)
+             END AS dup_rate
+      FROM d LEFT JOIN p ON p.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
   private val qRangeRead = QDef(
     "q_range_read",
     (s, dir) => t(s, dir, "events")
@@ -4626,6 +4684,6 @@ object Queries {
     qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qTokenBudget, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination,
     qVpin, qJumpVol, qVarianceRatio, qContainment,
-    qRollSpread, qAmihud, qBookSnapshots
+    qRollSpread, qAmihud, qBookSnapshots, qHyCov, qDupNgramRate
   )
 }

@@ -832,6 +832,84 @@ object Relational {
       .orderBy("key", "q")
   }
 
+  /** Hayashi–Yoshida covariance (2005) for ASYNCHRONOUSLY observed
+    * series pairs: `Σᵢⱼ Δaᵢ·Δbⱼ·1[intervals overlap]` over the raw tick
+    * intervals — unbiased without any resampling/synchronization, where
+    * bucket-aligned covariance ([[correlationMatrix]]'s frame) suffers
+    * the Epps effect at fine scales. Increments are differences of the
+    * `⌊v·scale⌋`-quantized series (exact integers), so the product sum
+    * accumulates exactly and only the final `/scale²` is a double
+    * (6 dp). Interval semantics: `(t_{i−1}, t_i]` half-open — touching
+    * intervals do NOT overlap (`a.s < b.e ∧ b.s < a.e`).
+    *
+    * Scale shape — the round-7 band-join doctrine: interval overlap is
+    * a range condition, so each interval EXPLODES to the `bucketUs`
+    * buckets it touches and the bucket id joins as an EQUI key; a
+    * qualifying pair is counted exactly once via the ownership residual
+    * `bucket = ⌊max(a.s, b.s)/bucketUs⌋` (the overlap's start bucket,
+    * provably inside both intervals' bucket ranges). Explode volume is
+    * `span/bucketUs + 1` per interval — pick `bucketUs` at or above the
+    * typical inter-tick gap; an interval touching more than
+    * `maxBucketsPerInterval` buckets fails loudly (a silent 10⁶-bucket
+    * explode would be the quadratic blowup sneaking back in by another
+    * name). Series count is the small dimension (the correlation-family
+    * contract). Returns `(key_a, key_b, n_overlaps, hy_cov)`. */
+  def hayashiYoshida(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, tiebreakCol: String, bucketUs: Long,
+                     scale: Double = 100.0,
+                     maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketUs > 0L, s"bucketUs must be positive, got $bucketUs")
+    require(scale > 0.0, s"scale must be positive, got $scale")
+    require(maxBucketsPerInterval >= 1,
+      s"maxBucketsPerInterval must be >= 1, got $maxBucketsPerInterval")
+    // exact BIGINT floor bucket: strip the positive remainder, then a
+    // double divide of the exact multiple (exact below 2⁵³ µs ≈ year
+    // 2255 — the documented range of every µs timestamp here)
+    def bkt(c: Column): Column =
+      ((c - pmod(c, lit(bucketUs))) / lit(bucketUs.toDouble)).cast("long")
+    val ivs = df.where(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("_k"),
+        unix_micros(col(tsCol).cast("timestamp")).as("_e"),
+        floor(col(valueCol).cast("double") * scale).cast("long").as("_vq"),
+        col(tiebreakCol).as("_tb0"))
+      .select(col("_k"), col("_e"),
+        lag(col("_e"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_k")).orderBy(col("_e"), col("_tb0"))).as("_s"),
+        (col("_vq") - lag(col("_vq"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_k")).orderBy(col("_e"), col("_tb0")))).as("_dr"))
+      .where(col("_s").isNotNull)
+    val spanned = ivs
+      .withColumn("_b0", bkt(col("_s")))
+      // the guard lives INSIDE the exploded column — a free-standing
+      // check column would be pruned away unevaluated (the round-7
+      // count() lesson applies to raise_error sentinels too)
+      .withColumn("_b1",
+        when(bkt(col("_e")) - col("_b0") >= maxBucketsPerInterval,
+          raise_error(concat(lit("hayashiYoshida: an interval spans "),
+            (bkt(col("_e")) - col("_b0") + 1).cast("string"),
+            lit(s" buckets (cap $maxBucketsPerInterval) — raise bucketUs " +
+              "toward the inter-tick gap or the explode IS the blowup"))))
+          .otherwise(bkt(col("_e"))))
+      .withColumn("_bkt", explode(sequence(col("_b0"), col("_b1"))))
+      .drop("_b0", "_b1")
+    val a = spanned.select(col("_k").as("key_a"), col("_s").as("_sa"),
+      col("_e").as("_ea"), col("_dr").as("_dra"), col("_bkt"))
+    val b = spanned.select(col("_k").as("key_b"), col("_s").as("_sb"),
+      col("_e").as("_eb"), col("_dr").as("_drb"), col("_bkt").as("_bktb"))
+    a.join(b,
+        col("_bkt") === col("_bktb") && col("key_a") < col("key_b") &&
+          col("_sa") < col("_eb") && col("_sb") < col("_ea") &&
+          col("_bkt") === bkt(greatest(col("_sa"), col("_sb"))))
+      .groupBy("key_a", "key_b")
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(col("_dra") * col("_drb")).as("_sp"))
+      .select(col("key_a"), col("key_b"), col("n_overlaps"),
+        round(col("_sp").cast("double") / lit(scale * scale), 6).as("hy_cov"))
+      .orderBy("key_a", "key_b")
+  }
+
   /** Purged walk-forward cross-validation splits with embargo (the
     * López de Prado time-series CV protocol): `k` contiguous equal-TIME
     * test folds; for each fold every sample gets a role —

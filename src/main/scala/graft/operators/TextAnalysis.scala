@@ -1117,6 +1117,45 @@ object TextAnalysis {
           .as("text_dedup"))
   }
 
+  /** Duplicated-n-gram rate per document — the SCORING companion of
+    * [[substringDedup]] (which removes): the fraction of a doc's
+    * n-token windows whose hash occurs more than once in the corpus
+    * (cross-doc boilerplate AND within-doc repetition both count — the
+    * memorization-risk signal; Lee et al. 2022 report it as the
+    * train-on-duplicates diagnostic). Same `graft_window_hashes`
+    * contract as substringDedup: window bodies never materialize or
+    * shuffle; accepted ~2⁻⁶⁴ collision class.
+    *
+    * `dup_rate = n_dup_windows / n_windows` — an exact integer ratio in
+    * one division (engine-reproducible, no rounding needed); docs
+    * shorter than n tokens have no windows and report null.
+    *
+    * Scale shape: skinny (doc_id, h) rows → map-side-combined df agg on
+    * 8-byte hash keys → hash-keyed membership join back → per-doc agg.
+    * Corpus text moves zero times past tokenization. */
+  def dupNgramRate(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 8): DataFrame = {
+    require(n >= 2, s"n must be >= 2 (1 would score the vocabulary), got $n")
+    org.apache.spark.sql.graft.GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val occ = base.select(col("doc_id"),
+      explode(call_function(
+        org.apache.spark.sql.graft.GraftFunctions.WindowHashesName,
+        col("toks"), lit(n))).as("h"))
+    val dfreq = occ.groupBy("h").agg(count(lit(1)).as("_c"))
+    val perDoc = occ.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("_c") > 1L, 1L).otherwise(0L)).as("n_dup"))
+    base.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_windows").isNotNull,
+          col("n_dup").cast("double") / col("n_windows").cast("double"))
+          .as("dup_rate"))
+  }
+
   /** Corpus unigram-LM scoring — the relational proxy for the
     * CCNet/KenLM perplexity quality filter: pass 1 builds the unigram
     * model (token → count / total) over the WHOLE corpus, pass 2 scores

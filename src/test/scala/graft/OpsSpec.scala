@@ -2843,6 +2843,46 @@ class OpsSpec extends SparkSpec {
         deltas, Seq("k"), "ts", "id", stepUs = 0L))
   }
 
+  test("hayashiYoshida: overlap-indicator covariance on asynchronous ticks; touching intervals excluded; explode cap loud") {
+    val df = Seq(
+      ("A", 0L, 10.0), ("A", 10L, 11.0), ("A", 20L, 13.0),
+      ("B", 5L, 20.0), ("B", 15L, 21.0),
+      ("C", 20L, 1.0), ("C", 30L, 2.0))
+      .toDF("k", "t", "v")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val out = graft.operators.Relational.hayashiYoshida(
+        df, "k", "ts", "v", "t", bucketUs = 8L, scale = 100.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // B's (5,15] overlaps BOTH A intervals: (100·100 + 200·100)/100² = 3
+    assert(out(("A", "B")) == ((2L, 3.0)), s"hy: $out")
+    // C's (20,30] only touches A's (10,20] at the endpoint — half-open
+    // intervals do not overlap there, and no other A interval reaches it
+    assert(!out.contains(("A", "C")), s"touching-only pair must be absent: $out")
+    // an interval spanning more buckets than the cap fails loudly
+    intercept[Exception] {
+      graft.operators.Relational.hayashiYoshida(
+        df, "k", "ts", "v", "t", bucketUs = 1L, scale = 100.0,
+        maxBucketsPerInterval = 4).count()
+    }
+  }
+
+  test("dupNgramRate: cross-doc and within-doc duplicated windows count; short docs null") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c x"), (3L, "z z"),
+        (4L, "q q q q"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.dupNgramRate(df, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    // "a b c" is shared by docs 1 and 2; their other window is unique
+    assert(out(1L) == ((2L, 1L, Some(0.5))), s"doc1: $out")
+    assert(out(2L) == ((2L, 1L, Some(0.5))), s"doc2: $out")
+    assert(out(3L) == ((0L, 0L, None)), "sub-n docs have no windows → null rate")
+    assert(out(4L) == ((2L, 2L, Some(1.0))),
+      "within-doc repetition counts — the memorization signal")
+  }
+
   test("containmentJoin: finds the excerpt-in-article pair Jaccard misses; directional; cap documented") {
     val a = "w1 w2 w3 w4 w5 w6"
     val b = a + " " + (1 to 20).map(i => s"x$i").mkString(" ")

@@ -510,6 +510,31 @@ class PlanSpec extends SparkSpec {
       ticks, Seq("k"), "ts", "p", "t", horizonUs = 50L, upPct = 0.1, dnPct = 0.05))
     assert(!tb.contains("CartesianProduct") && !tb.contains("BroadcastNestedLoopJoin"),
       s"the horizon scan must ride the series-key equi-join:\n${tb.take(1500)}")
+    // round-7 pin: the horizon BUCKET must be an equi-join key, not just
+    // a residual range condition — the key-only shape inspects all
+    // same-key pairs (104 s honest at sf0.1; the round-6 "measured
+    // linear" claim was a count()-pruned artifact)
+    assert(tb.contains("_e_bkt"),
+      s"tripleBarrier's band join must carry the bucket equi-key:\n${tb.take(1500)}")
+  }
+
+  test("containmentJoin and bookSnapshots: keyed equi-joins only, no cartesian") {
+    val docs = (0 until 60).map(i =>
+      (i.toLong, (0 until 30).map(j => s"w${(i * 7 + j) % 41}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cj = planOf(graft.operators.Dedup.containmentJoin(
+      docs, "text", "doc_id", shingleN = 3, threshold = 0.8, cache = false))
+    assert(!cj.contains("CartesianProduct") && !cj.contains("BroadcastNestedLoopJoin"),
+      s"prefix-filter candidates must equi-join on the shingle hash:\n${cj.take(1500)}")
+    val deltas = (0 until 200).map(i =>
+      ("s" + (i % 2), i.toLong, i.toLong,
+        if (i % 2 == 0) "bid" else "ask", (i % 9 + 1).toDouble, (i % 5).toDouble))
+      .toDF("k", "t", "id", "side", "price", "amount")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val bs = planOf(graft.features.OrderbookFeatures.bookSnapshots(
+      deltas, Seq("k"), "ts", "id", stepUs = 40L, nLevels = 2))
+    assert(!bs.contains("CartesianProduct") && !bs.contains("BroadcastNestedLoopJoin"),
+      s"the level-grid probe and as-of pass must stay keyed:\n${bs.take(1500)}")
   }
 
   test("drawdownStats: single corpus pass — one Window, one aggregate, no self-join") {
