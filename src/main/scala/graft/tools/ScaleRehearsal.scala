@@ -515,6 +515,19 @@ object ScaleRehearsal {
         spark.catalog.clearCache()
         System.err.println(f"[rehearsal] substringdedup x$m%-3d removed_tokens=$removed%-8d ${t}%5.1fs")
       }
+      // containment join — the suite's heaviest query: the asymmetric
+      // prefix probes FULL postings, so candidate volume is
+      // Σ_h prefix_df(h)·df(h). Token-disjoint replicas keep per-shingle
+      // df constant → wall must track corpus ~linearly; the df cap
+      // bounds the hot-shingle worst case independently.
+      for (m <- Seq(1, mults.max)) {
+        val docs = spark.read.parquet(s"$outBase/docs_x$m")
+        val (pairs, t) = timed {
+          Dedup.containmentJoin(docs, "text", "doc_id", threshold = 0.8).mat()
+        }
+        spark.catalog.clearCache()
+        System.err.println(f"[rehearsal] containment x$m%-3d pairs=$pairs%-7d ${t}%5.1fs")
+      }
       val ev7 = spark.read.parquet(s"$sfDir/events.parquet")
         .select(col("event_id"), col("event_type"), col("value"),
           col("ts").cast("timestamp").as("ts"))
