@@ -374,9 +374,15 @@ object Dedup {
       s"containment threshold must be in (0,1], got $threshold")
     val arrs = cached(shingleHashArrays(df, textCol, idCol, shingleN), cache)
     val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
+    // positions ride along (1-based in the hash-sorted order) for the
+    // positional filter below
     val pre = arrs.select(col("id"), col("n"),
-      explode(slice(array_sort(col("hs")), lit(1), prefixLen)).as("h"))
-    val post0 = arrs.select(col("id"), col("n"), explode(col("hs")).as("h"))
+        posexplode(slice(array_sort(col("hs")), lit(1), prefixLen))
+          .as(Seq("i0", "h")))
+      .select(col("id"), col("n"), (col("i0") + 1).as("i"), col("h"))
+    val post0 = arrs.select(col("id"), col("n"),
+        posexplode(array_sort(col("hs"))).as(Seq("j0", "h")))
+      .select(col("id"), col("n"), (col("j0") + 1).as("j"), col("h"))
     val post =
       if (maxPostings <= 0) post0
       else {
@@ -384,10 +390,23 @@ object Dedup {
           .where(col("_df") > maxPostings).select("h")
         post0.join(hot, Seq("h"), "left_anti")
       }
+    // positional filter (the PPJoin position bound, containment form):
+    // a matched element at sorted positions (i in A, j in B) caps the
+    // overlap at min(i−1, j−1) + 1 + min(|A|−i, |B|−j) — smaller
+    // shared elements need positions before BOTH i and j, larger ones
+    // after both. Every match's cap is a valid upper bound, so a
+    // qualifying pair (overlap ≥ ⌈τ·|A|⌉) keeps ALL its matches;
+    // dropping sub-cap matches prunes only pairs that cannot qualify
+    // (measured: 356k → a fraction, and verification cost is
+    // candidate-proportional)
+    val alpha = ceil(col("a.n") * lit(threshold))
+    val posBound =
+      least(col("a.i") - 1, col("b.j") - 1) + 1 +
+        least(col("a.n") - col("a.i"), col("b.n") - col("b.j"))
     val cands = pre.as("a")
       .join(post.as("b"),
         col("a.h") === col("b.h") && col("a.id") =!= col("b.id") &&
-          col("b.n") >= ceil(col("a.n") * lit(threshold)))
+          col("b.n") >= alpha && posBound >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val hrows = arrs.select(col("id"), explode(col("hs")).as("h"))
