@@ -1210,6 +1210,73 @@ object Queries {
       FROM d LEFT JOIN p ON p.doc_id = d.doc_id
       ORDER BY d.doc_id"""))
 
+  // Event study: each event type's hourly mean value around hours where
+  // 5+ error events landed (offsets −3..+3) — per-offset exact integer
+  // sums, CAR accumulated over µ-quantized means (doubles never chain).
+  private val qEventStudy = QDef(
+    "q_event_study",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      val markers = t(s, dir, "events")
+        .where(col("event_type") === "error")
+        .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("m"))
+        .agg(count(lit(1)).as("c")).where(col("c") >= 5).select("m")
+      Relational.eventStudy(h, "event_type", "hb", "v", markers,
+        maxOffset = 3, scale = 1e4)
+    },
+    Some(s"""
+      WITH h0 AS (SELECT event_type AS k,
+                        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      h AS (SELECT * FROM h0 WHERE v IS NOT NULL),
+      mk AS (SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS m
+             FROM events WHERE event_type = 'error'
+             GROUP BY 1 HAVING COUNT(*) >= 5),
+      o AS (SELECT unnest(range(-3, 4)) AS o_off),
+      j AS (SELECT h.k AS key, o.o_off, h.v
+            FROM mk CROSS JOIN o JOIN h ON h.hb = mk.m + o.o_off),
+      a AS (SELECT key, o_off, COUNT(*) AS n_obs, CAST(SUM(v) AS BIGINT) AS s
+            FROM j GROUP BY 1, 2),
+      r AS (SELECT key, o_off, n_obs,
+                   CAST(s AS DOUBLE) / CAST(n_obs AS DOUBLE) / ${1e4} AS mraw
+            FROM a),
+      m2 AS (SELECT key, o_off, n_obs, mraw,
+                    CAST(round(mraw * 1e6) AS BIGINT) AS mq FROM r)
+      SELECT key, CAST(o_off AS BIGINT) AS "offset", n_obs,
+             round(mraw, 6) AS mean_v,
+             round(CAST(CAST(SUM(mq) OVER (PARTITION BY key ORDER BY o_off
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS DOUBLE) / 1e6, 6) AS car
+      FROM m2 ORDER BY key, o_off"""))
+
+  // Hour-of-day seasonality per event type: exact DECIMAL mean + exact
+  // integer-moment population std of the ⌊v·10⁴⌋ series.
+  private val qSeasonality = QDef(
+    "q_seasonality",
+    (s, dir) => TA.seasonalityProfile(t(s, dir, "events"),
+      Seq("event_type"), "ts", "value", unit = "hour", scale = 1e4),
+    Some("""
+      WITH a AS (SELECT event_type AS k, CAST(hour(ts) AS BIGINT) AS slot,
+                        COUNT(*) AS n_obs,
+                        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+                        CAST(SUM(CAST(floor(value * 1e4) AS BIGINT)) AS BIGINT) AS s1,
+                        CAST(SUM(CAST(floor(value * 1e4) AS BIGINT)
+                                 * CAST(floor(value * 1e4) AS BIGINT)) AS BIGINT) AS s2
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+      SELECT k AS event_type, slot, n_obs,
+             round(sm / CAST(n_obs AS DOUBLE), 6) AS mean_v,
+             round(sqrt(GREATEST(
+                     (CAST(n_obs AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                       / (CAST(n_obs AS DOUBLE) * CAST(n_obs AS DOUBLE)),
+                     0.0)) / 10000.0, 6) AS std_v
+      FROM a ORDER BY event_type, slot"""))
+
   private val qRangeRead = QDef(
     "q_range_read",
     (s, dir) => t(s, dir, "events")
@@ -4684,6 +4751,7 @@ object Queries {
     qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qTokenBudget, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination,
     qVpin, qJumpVol, qVarianceRatio, qContainment,
-    qRollSpread, qAmihud, qBookSnapshots, qHyCov, qDupNgramRate
+    qRollSpread, qAmihud, qBookSnapshots, qHyCov, qDupNgramRate,
+    qEventStudy, qSeasonality
   )
 }

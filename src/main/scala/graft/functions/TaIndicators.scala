@@ -332,6 +332,45 @@ object TaIndicators {
     * Scale shape: one keyed window (the return lag) + one (keys,
     * bucket) agg riding the same series partitioning — map-side
     * combined, one row per bucket out. */
+  /** Intraday/weekly seasonality profile per series: mean and standard
+    * deviation of the value by hour-of-day (`unit = "hour"`) or
+    * day-of-week (`unit = "dow"`, 1 = Sunday per Spark/DuckDB dayofweek)
+    * — the U-shaped-volume / weekend-effect diagnostic every market
+    * monitor starts with.
+    *
+    * Determinism: the mean derives from an exact DECIMAL(18,2) sum
+    * (2-dp inputs, order-free) and n; the std from the exact integer
+    * moment pair of the `⌊v·scale⌋` series (population σ, one double
+    * tree, 6 dp, null when a slot has a single observation or zero
+    * variance is fine — σ 0 reports 0).
+    *
+    * Scale shape: one grouped agg onto keys×24 (or ×7) slots, map-side
+    * combined. Returns `(keys…, slot, n_obs, mean_v, std_v)`. */
+  def seasonalityProfile(df: DataFrame, keys: Seq[String], tsCol: String,
+                         valueCol: String, unit: String = "hour",
+                         scale: Double = 1e6): DataFrame = {
+    require(keys.nonEmpty, "seasonalityProfile needs the series key(s)")
+    require(unit == "hour" || unit == "dow", s"unit must be hour|dow, got $unit")
+    require(scale > 0.0, s"scale must be positive, got $scale")
+    val slot = (if (unit == "hour") hour(col(tsCol)) else dayofweek(col(tsCol)))
+      .cast("long").as("slot")
+    val vq = floor(col(valueCol).cast("double") * scale).cast("long")
+    val agg = df.where(col(valueCol).isNotNull)
+      .groupBy((keys.map(col) :+ slot): _*)
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("_sm"),
+        sum(vq).as("_s1"), sum(vq * vq).as("_s2"))
+    val nD = col("n_obs").cast("double")
+    // population variance of the quantized series: (n·Σv² − (Σv)²)/n²
+    val varQ = (nD * col("_s2").cast("double") -
+      col("_s1").cast("double") * col("_s1").cast("double")) / (nD * nD)
+    agg.select(keys.map(col) ++ Seq(col("slot"), col("n_obs"),
+        round(col("_sm") / nD, 6).as("mean_v"),
+        round(sqrt(greatest(varQ, lit(0.0))) / lit(scale), 6).as("std_v")): _*)
+      .orderBy((keys.map(col) :+ col("slot")): _*)
+  }
+
   /** Roll's implied effective spread (Roll 1984) per (series, bucket):
     * under the bid-ask-bounce model consecutive TRADE price changes are
     * negatively autocorrelated with `cov(Δpₜ, Δpₜ₋₁) = −s²/4`, so

@@ -910,6 +910,58 @@ object Relational {
       .orderBy("key_a", "key_b")
   }
 
+  /** Event study — average response of each series around MARKER times
+    * (MacKinlay 1997's CAR methodology, the standard "what happens to X
+    * in the k buckets after events of type Y" diagnostic): for every
+    * marker bucket and offset `o ∈ [−maxOffset, maxOffset]`, collect
+    * the series value at `bucket + o`, average per (series, offset),
+    * and emit the cumulative sum over offsets (the CAR curve; feed
+    * returns to get the classical abnormal-return reading).
+    *
+    * `markers` is a one-column frame of INTEGRAL bucket indexes (same
+    * units as `bucketCol` — exact integer division upstream, the
+    * correlation-family contract); duplicates are collapsed. Missing
+    * (marker, offset) observations simply don't count toward that
+    * offset's n.
+    *
+    * Determinism: values quantize to `⌊v·scale⌋` BIGINTs; per-offset
+    * sums are exact integers; `mean = Σ/n/scale` is one double tree
+    * (6 dp) and the CAR accumulates the exact integer sums FIRST
+    * (Σ over offsets of per-offset Σ/n is not associative in doubles —
+    * so the cumulative is over `⌊Σ/n·10⁶⌉`-quantized means, documented
+    * and replayed by the oracle).
+    *
+    * Scale shape: markers explode ×(2·maxOffset+1) (marker-count ×
+    * window rows — the small dimension), one (bucket) equi-join against
+    * the skinny series frame, agg onto series×offsets keys, one tiny
+    * window for the cumulative. Nothing corpus-wide. Returns
+    * `(key, offset, n_obs, mean_v, car)`. */
+  def eventStudy(df: DataFrame, keyCol: String, bucketCol: String,
+                 valueCol: String, markers: DataFrame, maxOffset: Int,
+                 scale: Double = 1e6): DataFrame = {
+    require(maxOffset >= 0, s"maxOffset must be >= 0, got $maxOffset")
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+      .withColumn("_t", col("_t").cast("long"))
+    val mk = markers.select(col(markers.columns.head).cast("long").as("_m"))
+      .distinct()
+      .withColumn("offset",
+        explode(sequence(lit(-maxOffset.toLong), lit(maxOffset.toLong))))
+    val joined = mk.join(base, col("_t") === col("_m") + col("offset"))
+    val agg = joined.groupBy(col("_k").as("key"), col("offset"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("_v")).as("_s"))
+    val meanRaw = col("_s").cast("double") / col("n_obs").cast("double") /
+      lit(scale)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("offset"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    agg
+      .withColumn("_mq", round(meanRaw * 1e6).cast("long"))
+      .select(col("key"), col("offset"), col("n_obs"),
+        round(meanRaw, 6).as("mean_v"),
+        round(sum(col("_mq")).over(wCum).cast("double") / 1e6, 6).as("car"))
+      .orderBy("key", "offset")
+  }
+
   /** Purged walk-forward cross-validation splits with embargo (the
     * López de Prado time-series CV protocol): `k` contiguous equal-TIME
     * test folds; for each fold every sample gets a role —

@@ -2843,6 +2843,42 @@ class OpsSpec extends SparkSpec {
         deltas, Seq("k"), "ts", "id", stepUs = 0L))
   }
 
+  test("eventStudy: per-offset means across markers, CAR accumulates, missing buckets don't count") {
+    val series = (0 to 10).map(i => ("A", i.toLong, i.toDouble))
+      .toDF("k", "b", "v")
+    val markers = Seq(3L, 5L).toDF("m")
+    val out = graft.operators.Relational.eventStudy(
+        series, "k", "b", "v", markers, maxOffset = 1, scale = 1.0)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // offsets −1/0/+1 see {2,4}/{3,5}/{4,6} → means 3/4/5, CAR 3/7/12
+    assert(out(-1L) == ((2L, 3.0, 3.0)), s"event study: $out")
+    assert(out(0L) == ((2L, 4.0, 7.0)))
+    assert(out(1L) == ((2L, 5.0, 12.0)))
+    // a marker at the series edge contributes only where data exists
+    val edge = graft.operators.Relational.eventStudy(
+        series, "k", "b", "v", Seq(10L).toDF("m"), maxOffset = 1, scale = 1.0)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(edge == Map(-1L -> 1L, 0L -> 1L), s"bucket 11 has no data: $edge")
+  }
+
+  test("seasonalityProfile: exact per-slot mean and population std; single-obs slot reads 0 std; unit guard") {
+    val df = Seq(
+      ("A", "2024-01-01 01:10:00", 10.0), ("A", "2024-01-02 01:50:00", 12.0),
+      ("A", "2024-01-01 02:00:00", 7.0))
+      .toDF("k", "tss", "v").withColumn("ts", to_timestamp(col("tss")))
+    val out = graft.functions.TaIndicators.seasonalityProfile(
+        df, Seq("k"), "ts", "v", unit = "hour", scale = 100.0)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // hour 1: mean 11, population std of {10, 12} = 1
+    assert(out(1L) == ((2L, 11.0, 1.0)), s"seasonality: $out")
+    assert(out(2L) == ((1L, 7.0, 0.0)), "single observation → zero std")
+    intercept[IllegalArgumentException](
+      graft.functions.TaIndicators.seasonalityProfile(
+        df, Seq("k"), "ts", "v", unit = "week"))
+  }
+
   test("hayashiYoshida: overlap-indicator covariance on asynchronous ticks; touching intervals excluded; explode cap loud") {
     val df = Seq(
       ("A", 0L, 10.0), ("A", 10L, 11.0), ("A", 20L, 13.0),
