@@ -518,6 +518,24 @@ class PlanSpec extends SparkSpec {
       s"tripleBarrier's band join must carry the bucket equi-key:\n${tb.take(1500)}")
   }
 
+  test("hayashiYoshida and eventStudy: bucket/marker equi-joins, no cartesian") {
+    val ticks = (0 until 300).map(i =>
+      ("s" + (i % 3), i.toLong * 7, 100.0 + i % 11))
+      .toDF("k", "t", "v")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val hy = planOf(graft.operators.Relational.hayashiYoshida(
+      ticks, "k", "ts", "v", "t", bucketUs = 64L))
+    assert(!hy.contains("CartesianProduct") && !hy.contains("BroadcastNestedLoopJoin"),
+      s"the interval-overlap scan must ride the bucket equi-key:\n${hy.take(1500)}")
+    assert(hy.contains("_bkt"),
+      s"hayashiYoshida's join must carry the bucket equi-key:\n${hy.take(1500)}")
+    val series = (0 until 100).map(i => ("A", i.toLong, i.toDouble)).toDF("k", "b", "v")
+    val es = planOf(graft.operators.Relational.eventStudy(
+      series, "k", "b", "v", Seq(10L, 50L).toDF("m"), maxOffset = 2))
+    assert(!es.contains("CartesianProduct") && !es.contains("BroadcastNestedLoopJoin"),
+      s"markers must equi-join the series frame on the shifted bucket:\n${es.take(1500)}")
+  }
+
   test("containmentJoin and bookSnapshots: keyed equi-joins only, no cartesian") {
     val docs = (0 until 60).map(i =>
       (i.toLong, (0 until 30).map(j => s"w${(i * 7 + j) % 41}").mkString(" ")))
