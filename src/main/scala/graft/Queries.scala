@@ -1277,6 +1277,29 @@ object Queries {
                      0.0)) / 10000.0, 6) AS std_v
       FROM a ORDER BY event_type, slot"""))
 
+  // Winsorize each event type's values into the exact [5%, 95%]
+  // percentile band — the madOutliers percentile idiom (Spark
+  // `percentile` ≡ DuckDB `quantile_cont`), clamp as a pure IEEE
+  // least/greatest tree.
+  private val qWinsorize = QDef(
+    "q_winsorize",
+    (s, dir) => Relational.winsorize(t(s, dir, "events"),
+        Seq("event_type"), "value", loPct = 0.05, hiPct = 0.95)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("v_winsor"), col("was_clipped"))
+      .orderBy("event_id"),
+    Some("""
+      WITH b AS (SELECT event_type,
+                        quantile_cont(value, 0.05) AS lo,
+                        quantile_cont(value, 0.95) AS hi
+                 FROM events WHERE value IS NOT NULL GROUP BY 1)
+      SELECT e.event_id, e.event_type, e.value,
+             round(LEAST(GREATEST(e.value, b.lo), b.hi), 6) AS v_winsor,
+             (e.value < b.lo OR e.value > b.hi) AS was_clipped
+      FROM events e JOIN b USING (event_type)
+      WHERE e.value IS NOT NULL
+      ORDER BY event_id"""))
+
   private val qRangeRead = QDef(
     "q_range_read",
     (s, dir) => t(s, dir, "events")
@@ -4752,6 +4775,6 @@ object Queries {
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination,
     qVpin, qJumpVol, qVarianceRatio, qContainment,
     qRollSpread, qAmihud, qBookSnapshots, qHyCov, qDupNgramRate,
-    qEventStudy, qSeasonality
+    qEventStudy, qSeasonality, qWinsorize
   )
 }

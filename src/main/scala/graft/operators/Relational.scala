@@ -292,6 +292,39 @@ object Relational {
       .drop("_med", "_dev", "_mad")
   }
 
+  /** Per-group winsorization — clamp values into the group's
+    * `[loPct, hiPct]` exact (interpolated) percentile band, the
+    * standard fat-tail feature-prep step next to [[madOutliers]]'
+    * flagging: outliers aren't dropped (information loss) or kept raw
+    * (gradient/estimator poisoning), they saturate. Exact percentiles
+    * by default (the [[madOutliers]] determinism story — Spark
+    * `percentile` ≡ DuckDB `quantile_cont`); pass `approxAccuracy` for
+    * the 100-TB sketch path (memory ∝ accuracy, not distinct values).
+    * Null values drop (no band membership to decide).
+    *
+    * Scale shape: one grouped percentile agg to a key-sized bounds
+    * frame, broadcast back, pure projection — the corpus never
+    * shuffles. Returns the input columns plus `v_winsor` (clamped,
+    * 6 dp) and `was_clipped`. */
+  def winsorize(df: DataFrame, keys: Seq[String], valueCol: String,
+                loPct: Double = 0.01, hiPct: Double = 0.99,
+                approxAccuracy: Option[Int] = None): DataFrame = {
+    require(loPct >= 0.0 && hiPct <= 1.0 && loPct < hiPct,
+      s"need 0 <= loPct < hiPct <= 1, got $loPct/$hiPct")
+    val v = col(valueCol).cast("double")
+    def pct(p: Double): Column = approxAccuracy match {
+      case Some(acc) => percentile_approx(v, lit(p), lit(acc))
+      case None => percentile(v, lit(p))
+    }
+    val bounds = df.where(v.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(pct(loPct).as("_lo"), pct(hiPct).as("_hi"))
+    df.where(v.isNotNull).join(broadcast(bounds), keys)
+      .withColumn("v_winsor", round(least(greatest(v, col("_lo")), col("_hi")), 6))
+      .withColumn("was_clipped", v < col("_lo") || v > col("_hi"))
+      .drop("_lo", "_hi")
+  }
+
   /** Gap-based sessionization — the canonical event-pipeline operator:
     * within each entity, a new session starts when the gap to the
     * previous event exceeds `gapSec`. Two stacked windows on the SAME

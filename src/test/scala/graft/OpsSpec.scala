@@ -2843,6 +2843,22 @@ class OpsSpec extends SparkSpec {
         deltas, Seq("k"), "ts", "id", stepUs = 0L))
   }
 
+  test("winsorize: exact percentile band clamp, tails saturate, interior untouched, null drops") {
+    // values 1..10: p25 = 3.25, p75 = 7.75 (linear interpolation)
+    val df = ((1 to 10).map(i => ("A", Some(i.toDouble))) :+ (("A", None)))
+      .toDF("k", "v")
+    val out = graft.operators.Relational.winsorize(df, Seq("k"), "v",
+        loPct = 0.25, hiPct = 0.75)
+      .collect().map(r => r.getDouble(1) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(out(1.0) == ((3.25, true)) && out(3.0) == ((3.25, true)))
+    assert(out(5.0) == ((5.0, false)), "interior values pass through")
+    assert(out(9.0) == ((7.75, true)) && out(10.0) == ((7.75, true)))
+    assert(out.size == 10, "null values drop")
+    intercept[IllegalArgumentException](
+      graft.operators.Relational.winsorize(df, Seq("k"), "v", 0.9, 0.1))
+  }
+
   test("eventStudy: per-offset means across markers, CAR accumulates, missing buckets don't count") {
     val series = (0 to 10).map(i => ("A", i.toLong, i.toDouble))
       .toDF("k", "b", "v")
