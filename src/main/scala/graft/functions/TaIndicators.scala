@@ -307,31 +307,6 @@ object TaIndicators {
     * constants above. */
   val BipowerConst: Double = math.Pi / 2.0
 
-  /** Realized variance + bipower variation + jump component per
-    * (series, bucket) — Barndorff-Nielsen & Shephard (2004, 2006), the
-    * jump-robust volatility decomposition: `RV = Σ rᵢ²` converges to
-    * integrated variance PLUS squared jumps, while
-    * `BV = (π/2)·Σ|rᵢ||rᵢ₋₁|` is immune to a single jump (it enters
-    * two products linearly, not squared), so `J = max(RV − BV, 0)` is
-    * the jump part — the risk split (continuous vol vs event risk)
-    * range estimators can't see.
-    *
-    * Returns are log returns over the per-series (ts, tiebreak) total
-    * order, CONTINUOUS across bucket boundaries (a bucket's first
-    * return reaches back to the previous bucket's last tick — the
-    * overnight-return convention is the caller's via bucketing choice);
-    * each return lands in the bucket of its LATER tick. Non-positive
-    * prices drop before returns form (log undefined), exactly like
-    * [[rangeVolatility]].
-    *
-    * Determinism: the per-term products quantize to pico-unit BIGINTs
-    * (`⌊·10¹²⌉`) and sum exactly (order-free); RV/BV/J derive in one
-    * fixed double tree rounded to 6dp; π/2 is the JVM double
-    * [[BipowerConst]], interpolated into the oracle.
-    *
-    * Scale shape: one keyed window (the return lag) + one (keys,
-    * bucket) agg riding the same series partitioning — map-side
-    * combined, one row per bucket out. */
   /** Intraday/weekly seasonality profile per series: mean and standard
     * deviation of the value by hour-of-day (`unit = "hour"`) or
     * day-of-week (`unit = "dow"`, 1 = Sunday per Spark/DuckDB dayofweek)
@@ -459,6 +434,31 @@ object TaIndicators {
           / col("n_days").cast("double")), 6).as("illiq")): _*)
   }
 
+  /** Realized variance + bipower variation + jump component per
+    * (series, bucket) — Barndorff-Nielsen & Shephard (2004, 2006), the
+    * jump-robust volatility decomposition: `RV = Σ rᵢ²` converges to
+    * integrated variance PLUS squared jumps, while
+    * `BV = (π/2)·Σ|rᵢ||rᵢ₋₁|` is immune to a single jump (it enters
+    * two products linearly, not squared), so `J = max(RV − BV, 0)` is
+    * the jump part — the risk split (continuous vol vs event risk)
+    * range estimators can't see.
+    *
+    * Returns are log returns over the per-series (ts, tiebreak) total
+    * order, CONTINUOUS across bucket boundaries (a bucket's first
+    * return reaches back to the previous bucket's last tick — the
+    * overnight-return convention is the caller's via bucketing choice);
+    * each return lands in the bucket of its LATER tick. Non-positive
+    * prices drop before returns form (log undefined), exactly like
+    * [[rangeVolatility]].
+    *
+    * Determinism: the per-term products quantize to pico-unit BIGINTs
+    * (`⌊·10¹²⌉`) and sum exactly (order-free); RV/BV/J derive in one
+    * fixed double tree rounded to 6dp; π/2 is the JVM double
+    * [[BipowerConst]], interpolated into the oracle.
+    *
+    * Scale shape: one keyed window (the return lag) + one (keys,
+    * bucket) agg riding the same series partitioning — map-side
+    * combined, one row per bucket out. */
   def realizedJumpVol(df: DataFrame, keys: Seq[String], tsCol: String,
                       valueCol: String, tiebreakCol: String,
                       interval: String): DataFrame = {

@@ -339,7 +339,9 @@ object Dedup {
     verifyByOverlap(cands, arrs, threshold)
   }
 
-  /** EXACT containment join: directional near-dup pairs
+  /** Containment join — exact VERIFICATION, df-capped candidate
+    * generation (fully exact only at `maxPostings = 0`; see the scale
+    * note): directional near-dup pairs
     * `C(A→B) = |A∩B| / |A| ≥ τ` over shingle sets — the
     * quote-inside-article / excerpt-inside-book shape that
     * [[jaccardSimilarityJoin]] structurally misses (a 100-token doc
@@ -351,9 +353,10 @@ object Dedup {
     * `|A∩B| ≥ ⌈τ·|A|⌉ = α` then A∩B (⊆ A, size ≥ α) must contain one
     * of A's `|A|−α+1` smallest hashes (pigeonhole — avoiding all of
     * them caps the subset at α−1), so A's PREFIX joins B's FULL
-    * postings; the size bound `|B| ≥ α` prunes inside the join. Exact:
-    * every qualifying directed pair survives to verification (overlap
-    * count on full postings, the [[jaccardSimilarityJoin]] machinery).
+    * postings; the size bound `|B| ≥ α` prunes inside the join. The
+    * prefix math itself loses nothing: with the df cap off, every
+    * qualifying directed pair survives to verification (overlap count
+    * on full postings, the [[jaccardSimilarityJoin]] machinery).
     *
     * Scale note: full postings of a corpus-wide stop shingle are the
     * hot spot (the round-1 inverted-index lesson). `maxPostings > 0`

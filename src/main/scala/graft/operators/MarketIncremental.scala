@@ -63,7 +63,12 @@ object MarketIncremental {
     require(thrFp > 0L, s"volThreshold quantizes to 0 cents: $volThreshold")
   }
 
-  /** Empty state frames with the exact schemas the folds produce. */
+  /** Empty state frames with the exact schemas the folds produce.
+    * Bars carry their endpoint TIEBREAKS (`open_tb`/`close_tb`) so the
+    * cross-batch open/close election stays deterministic when a batch
+    * extends a bar at the exact same `ts_us` as the stored endpoint —
+    * the ordering contract allows that (same ts, higher tiebreak), and
+    * electing on the timestamp alone would be a coin flip there. */
   def emptyBars(spark: SparkSession, cfg: Cfg): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(
@@ -73,7 +78,8 @@ object MarketIncremental {
           field("high", "double"), field("low", "double"),
           field("close", "double"), field("volume", "double"),
           field("n_ticks", "long"), field("open_ts_us", "long"),
-          field("close_ts_us", "long"))))
+          field("close_ts_us", "long"), field("open_tb", "long"),
+          field("close_tb", "long"))))
 
   def emptyCarry(spark: SparkSession, cfg: Cfg): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -99,7 +105,12 @@ object MarketIncremental {
   /** Normalized batch ticks: `(keys…, ts_us, _tb, price, _vol, _cents)`,
     * with the per-series ordering + non-negative-volume guards baked
     * into `_cents` (a violating tick fails the job loudly — silently
-    * accepting it would corrupt bar boundaries or reopen closed bars). */
+    * accepting it would corrupt bar boundaries or reopen closed bars).
+    * Guards two distinct order violations: a tick at-or-before the
+    * stored cross-batch watermark, and a duplicate `(ts_us, tiebreak)`
+    * pair WITHIN the batch (the prefix-sum window and the OHLC
+    * elections both assume a per-series total order, so two rows on
+    * the same key would be silently order-nondeterministic). */
   private def guardedTicks(batch: DataFrame, carry: DataFrame, cfg: Cfg): DataFrame = {
     val tsUs = unix_micros(col(cfg.tsCol).cast("timestamp"))
     val raw = batch.select(
@@ -109,8 +120,16 @@ object MarketIncremental {
         col(cfg.priceCol).cast("double").as("price"),
         col(cfg.volCol).cast("double").as("_vol"),
         floor(col(cfg.volCol).cast("double") * 100).cast("long").as("_rawc")): _*)
+    // duplicates sort adjacent under the same window ordering the
+    // prefix-sum uses, so one lag comparison catches every equal pair
+    // (and Catalyst reuses the exchange+sort with the cum-sum window)
+    val wOrd = Window.partitionBy(cfg.keys.map(col): _*)
+      .orderBy(col("ts_us"), col("_tb"))
     raw.join(carry.select(cfg.keys.map(col) :+ col("w_ts_us") :+ col("w_tb"): _*),
         cfg.keys, "left")
+      .withColumn("_dup",
+        lag(struct(col("ts_us"), col("_tb")), 1).over(wOrd) ===
+          struct(col("ts_us"), col("_tb")))
       .withColumn("_cents",
         when(col("w_ts_us").isNotNull &&
             (col("ts_us") < col("w_ts_us") ||
@@ -118,11 +137,16 @@ object MarketIncremental {
           raise_error(concat(lit("marketTick ordering contract violated: tick at "),
             col("ts_us").cast("string"), lit("us is not after the stored watermark "),
             col("w_ts_us").cast("string"), lit("us — batches must be per-series time-ordered"))))
+        .when(coalesce(col("_dup"), lit(false)),
+          raise_error(concat(lit("marketTick ordering contract violated: duplicate "),
+            lit("(ts_us, tiebreak) pair ("), col("ts_us").cast("string"), lit(", "),
+            col("_tb").cast("string"),
+            lit(") within one batch — the tiebreak must total-order each series"))))
         .when(col("_rawc") < 0L,
           raise_error(lit("marketTick volume contract violated: negative " +
             "volume would reopen closed bars — correct upstream")))
         .otherwise(col("_rawc")))
-      .drop("w_ts_us", "w_tb", "_rawc")
+      .drop("w_ts_us", "w_tb", "_rawc", "_dup")
   }
 
   /** Fold a tick batch into the bar frontier. Returns
@@ -161,22 +185,38 @@ object MarketIncremental {
         sum(col("_vol").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("volume"),
         count(lit(1)).as("n_ticks"),
-        min(col("ts_us")).as("open_ts_us"),
-        max(col("ts_us")).as("close_ts_us"))
+        min(ord).as("_o"), max(ord).as("_c"))
+      .select((K :+ "bar_id").map(col) ++ Seq(
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n_ticks"),
+        col("_o").getField("ts_us").as("open_ts_us"),
+        col("_c").getField("ts_us").as("close_ts_us"),
+        col("_o").getField("_tb").as("open_tb"),
+        col("_c").getField("_tb").as("close_tb")): _*)
     // combine partial aggregates of the same bar: open/close elect by
-    // their endpoint timestamps (exact under the ordering contract —
-    // a stored open bar always precedes its batch extension), volume
-    // re-sums through DECIMAL so the double stays the exact 2-dp value
+    // their FULL endpoint order (ts_us, tiebreak) — the contract allows
+    // a batch tick at the stored watermark's exact ts_us with a higher
+    // tiebreak, and a timestamp-only election would be nondeterministic
+    // on that tie; volume re-sums through DECIMAL so the double stays
+    // the exact 2-dp value
+    val oOrd = struct(col("open_ts_us"), col("open_tb"))
+    val cOrd = struct(col("close_ts_us"), col("close_tb"))
     val merged = openBars.unionByName(partials)
       .groupBy((K :+ "bar_id").map(col): _*)
-      .agg(min_by(col("open"), col("open_ts_us")).as("open"),
+      .agg(min_by(col("open"), oOrd).as("open"),
         max(col("high")).as("high"), min(col("low")).as("low"),
-        max_by(col("close"), col("close_ts_us")).as("close"),
+        max_by(col("close"), cOrd).as("close"),
         sum(col("volume").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("volume"),
         sum(col("n_ticks")).as("n_ticks"),
-        min(col("open_ts_us")).as("open_ts_us"),
-        max(col("close_ts_us")).as("close_ts_us"))
+        min(oOrd).as("_o"), max(cOrd).as("_c"))
+      .select((K :+ "bar_id").map(col) ++ Seq(
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n_ticks"),
+        col("_o").getField("open_ts_us").as("open_ts_us"),
+        col("_c").getField("close_ts_us").as("close_ts_us"),
+        col("_o").getField("open_tb").as("open_tb"),
+        col("_c").getField("close_tb").as("close_tb")): _*)
     val bAgg = withCum.groupBy(K.map(col): _*)
       .agg(sum(col("_cents")).as("_add"),
         max(struct(col("ts_us"), col("_tb"))).as("_w"))
@@ -335,6 +375,7 @@ object MarketIncremental {
   def barsView(spark: SparkSession, stateDir: String, cfg: Cfg): DataFrame = {
     val (open, _, _) = readState(spark, stateDir, cfg)
     readLog(spark, stateDir, "bars", emptyBars(spark, cfg)).unionByName(open)
+      .drop("open_tb", "close_tb") // internal election state, not a bar column
   }
 
   /** All labels so far: finalized log plus the open entries projected

@@ -2576,6 +2576,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("MarketIncremental: same-ts cross-batch tie elects endpoints by tiebreak; intra-batch duplicates raise") {
+    import graft.operators.MarketIncremental
+    val cfg = MarketIncremental.Cfg(Seq("k"), "ts", "p", "v", "tb",
+      volThreshold = 1000.0, horizonUs = 10L, upPct = 0.5, dnPct = 0.4)
+    def mk(rows: (String, Long, Long, Double, Double)*) =
+      rows.toDF("k", "t", "tb", "p", "v")
+        .withColumn("ts", expr("timestamp_micros(t)"))
+    // batch 1 ends at (ts=5, tb=1, price 10); batch 2 extends the SAME
+    // microsecond with a higher tiebreak (the ordering contract allows
+    // exactly this) — the bar's close must elect the tb=2 price, which
+    // a timestamp-only election would decide by coin flip
+    val b1 = mk(("A", 1L, 1L, 20.0, 1.0), ("A", 5L, 1L, 10.0, 1.0))
+    val b2 = mk(("A", 5L, 2L, 30.0, 1.0))
+    val (_, o1, c1) = MarketIncremental.volumeBarsFold(
+      MarketIncremental.emptyBars(spark, cfg),
+      MarketIncremental.emptyCarry(spark, cfg), b1, cfg)
+    val (_, o2, _) = MarketIncremental.volumeBarsFold(o1, c1, b2, cfg)
+    val bar = o2.collect()
+    assert(bar.length == 1)
+    val r = bar(0)
+    assert(r.getAs[Double]("open") == 20.0, "open stays the (ts=1) tick")
+    assert(r.getAs[Double]("close") == 30.0,
+      "close must elect the same-ts HIGHER-tiebreak extension")
+    assert(r.getAs[Long]("close_ts_us") == 5L && r.getAs[Long]("close_tb") == 2L)
+    assert(r.getAs[Double]("high") == 30.0 && r.getAs[Double]("low") == 10.0)
+    // duplicate (ts_us, tiebreak) WITHIN one batch: loud, not silent
+    val dup = mk(("B", 9L, 7L, 10.0, 1.0), ("B", 9L, 7L, 11.0, 1.0))
+    intercept[Exception] {
+      val (cl, op, _) = MarketIncremental.volumeBarsFold(
+        MarketIncremental.emptyBars(spark, cfg),
+        MarketIncremental.emptyCarry(spark, cfg), dup, cfg)
+      cl.unionByName(op).count()
+    }
+  }
+
   test("ofiMultiLevel: per-rank CKS terms with geometric weights; queue imbalance from current depth") {
     def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
     // t=1: bid levels (10.0 sz 5), (9.0 sz 4); ask (11.0 sz 6), (12.0 sz 2)
