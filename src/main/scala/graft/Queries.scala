@@ -1096,20 +1096,21 @@ object Queries {
   // boundary via the level-grid × as-of-join shape; the oracle uses
   // DuckDB's native ASOF LEFT JOIN against the same last-write-wins
   // delta frame.
+  private def bookDeltaFeed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_type"), col("ts"), col("event_id"),
+      when(col("event_id") % 2 === 0, "bid").otherwise("ask").as("side"),
+      (col("event_id") % 20 + 1).cast("double").as("price"),
+      when(col("event_id") % 7 === 0, lit(0.0))
+        .otherwise(col("value")).as("amount"))
+
   private val qBookSnapshots = QDef(
     "q_book_snapshots",
-    (s, dir) => {
-      val deltas = t(s, dir, "events").select(
-        col("event_type"), col("ts"), col("event_id"),
-        when(col("event_id") % 2 === 0, "bid").otherwise("ask").as("side"),
-        (col("event_id") % 20 + 1).cast("double").as("price"),
-        when(col("event_id") % 7 === 0, lit(0.0))
-          .otherwise(col("value")).as("amount"))
-      graft.features.OrderbookFeatures.bookSnapshots(deltas,
+    (s, dir) =>
+      graft.features.OrderbookFeatures.bookSnapshots(bookDeltaFeed(s, dir),
           Seq("event_type"), "ts", "event_id",
           stepUs = 6L * 3600 * 1000000, nLevels = 3)
-        .orderBy("event_type", "snap_ts_us", "side", "level")
-    },
+        .orderBy("event_type", "snap_ts_us", "side", "level"),
     Some(s"""
       WITH base AS (SELECT event_type AS k, epoch_us(ts) AS ts_us, event_id,
                            CASE WHEN event_id % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
@@ -1151,6 +1152,21 @@ object Queries {
              price, amount
       FROM rk WHERE level <= 3
       ORDER BY event_type, snap_ts_us, side, level"""))
+
+  // The CHUNKED book reconstruction against the SAME oracle: the frontier
+  // fold (5-day chunks, so the 30-day feed folds 6 times with carried
+  // standing books) must reproduce the one-shot result bit for bit — the
+  // probe shrinks from levels-ever × whole-span grid to active-levels ×
+  // chunk grid, the 100 TB shape.
+  private val qBookSnapshotsChunked = QDef(
+    "q_book_snapshots_chunked",
+    (s, dir) =>
+      graft.features.OrderbookFeatures.bookSnapshotsChunked(bookDeltaFeed(s, dir),
+          Seq("event_type"), "ts", "event_id",
+          stepUs = 6L * 3600 * 1000000, nLevels = 3,
+          chunkUs = 5L * 86400 * 1000000)
+        .orderBy("event_type", "snap_ts_us", "side", "level"),
+    qBookSnapshots.oracle)
 
   // Hayashi–Yoshida covariance between event types' raw (asynchronous)
   // tick streams over the first three days — overlap-indicator sum of
@@ -4774,7 +4790,7 @@ object Queries {
     qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qTokenBudget, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination,
     qVpin, qJumpVol, qVarianceRatio, qContainment,
-    qRollSpread, qAmihud, qBookSnapshots, qHyCov, qDupNgramRate,
+    qRollSpread, qAmihud, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize
   )
 }

@@ -336,4 +336,54 @@ object OrderbookFeatures {
       .select(keys.map(col) ++ Seq(col("snap_ts_us"), col("side"),
         col("level"), col("price"), col("amount")): _*)
   }
+
+  /** [[bookSnapshots]] with a BOUNDED probe: the one-shot probe frame is
+    * (levels EVER quoted) × (the whole span's grid) — correct and fast
+    * on a bench-sized window, O(T²) per series at unbounded ranges (a
+    * year of churn: 10⁴–10⁵ levels ever touched × 10⁷ boundaries).
+    * This variant cuts the time axis into `chunkUs` slices and folds
+    * them through [[graft.operators.MarketIncremental.bookSnapshotFold]]:
+    * each chunk probes only (levels ACTIVE at chunk start or touched in
+    * the chunk) × (the chunk's boundaries), with the standing book
+    * carried across chunks as a frontier — total probe volume tracks
+    * CHURN × grid-per-chunk, linear in the span.
+    *
+    * Output ≡ [[bookSnapshots]] column for column (spec-pinned): the
+    * folds emit every boundary strictly below the final watermark, and
+    * the provisional tail (the boundary covering the last delta) comes
+    * from the frontier ranked top-N.
+    *
+    * Driver loop over chunks (sequential by construction — each fold
+    * consumes the previous frontier), per-chunk frames eagerly
+    * localCheckpointed: the pagerank/kmeans loop precedent. `maxChunks`
+    * guards the loop LOUDLY — size `chunkUs` to the span, not below it. */
+  def bookSnapshotsChunked(deltas: DataFrame, keys: Seq[String], tsCol: String,
+                           tiebreakCol: String, stepUs: Long, nLevels: Int,
+                           chunkUs: Long, maxChunks: Int = 4096): DataFrame = {
+    import graft.operators.MarketIncremental
+    require(chunkUs > 0L, s"chunkUs must be positive, got $chunkUs")
+    val cfg = MarketIncremental.BookCfg(keys, tsCol, "side", "price",
+      "amount", tiebreakCol, stepUs, nLevels)
+    val spark = deltas.sparkSession
+    val base = deltas.withColumn("_chunk",
+      expr(s"(unix_micros(cast(`$tsCol` as timestamp)) - " +
+        s"pmod(unix_micros(cast(`$tsCol` as timestamp)), ${chunkUs}L)) div ${chunkUs}L"))
+      .localCheckpoint(true)
+    val chunkIds = base.select(col("_chunk")).distinct()
+      .orderBy(col("_chunk")).collect().map(_.getLong(0)).toSeq
+    require(chunkIds.size <= maxChunks,
+      s"bookSnapshotsChunked: ${chunkIds.size} chunks exceeds maxChunks=$maxChunks " +
+        "— raise chunkUs (each chunk is a driver-loop fold)")
+    var book = MarketIncremental.emptyBook(spark, cfg)
+    var cursor = MarketIncremental.emptyBookCursor(spark, cfg)
+    var out = MarketIncremental.emptySnapshots(spark, cfg)
+    chunkIds.foreach { c =>
+      val (snaps, b2, c2) = MarketIncremental.bookSnapshotFold(
+        book, cursor, base.where(col("_chunk") === c).drop("_chunk"), cfg)
+      out = out.unionByName(snaps).localCheckpoint(true)
+      book = b2
+      cursor = c2
+    }
+    out.unionByName(MarketIncremental.provisionalSnapshots(book, cursor, cfg))
+  }
 }

@@ -392,7 +392,15 @@ object MarketIncremental {
     * closed bars / final entries to their logs and persisting the small
     * open frontier. Superseded frontier versions older than the
     * previous one are dropped (two survivors: crash-safe rollback);
-    * the logs only ever grow. Returns the post-fold label view. */
+    * the logs only ever grow. Returns the post-fold label view.
+    *
+    * Book SNAPSHOTS are deliberately a SIBLING state machine
+    * ([[bookSnapshotBatch]]), not a third log here: the L2 delta feed
+    * `(side, price, amount)` and the trade feed `(price, volume)` are
+    * distinct upstreams with independent watermarks — coupling them in
+    * one commit cycle would stall snapshot finality on trade-batch
+    * cadence (and vice versa). Same `_commits` idempotency, same
+    * frontier discipline, separate stateDir. */
   def marketTickBatch(spark: SparkSession, stateDir: String, batchId: Long,
                       batch: DataFrame, cfg: Cfg): DataFrame = {
     val done = committedVersions(spark, stateDir)
@@ -416,5 +424,271 @@ object MarketIncremental {
       f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v=$old"), true)
     }
     labelsView(spark, stateDir, cfg)
+  }
+
+  // ------------------------------------------------------------------
+  // Order-book snapshot fold: the chunked/streaming replacement for the
+  // one-shot [[graft.features.OrderbookFeatures.bookSnapshots]] probe.
+  // The one-shot probe frame is (levels EVER quoted) × (every boundary
+  // over the WHOLE span) — both dimensions grow linearly with the
+  // covered range, so the probe itself is O(T²) per series at unbounded
+  // ranges (a year of deltas on a churning crypto book: 10⁴–10⁵ levels
+  // ever touched × 10⁷ one-second boundaries). Here each fold probes
+  // only (levels ACTIVE in the chunk) × (boundaries the chunk
+  // finalizes): a level enters the probe only while it is standing
+  // nonzero at chunk start (the BOOK frontier) or touched by the chunk
+  // — per-chunk work is bounded by churn, not history.
+  // ------------------------------------------------------------------
+
+  /** Knobs of the book-snapshot fold. `tiebreakCol` must make
+    * (tsCol, tiebreakCol) a total order per LEVEL (same-µs updates to
+    * one level collapse last-write-wins by it, the one-shot contract). */
+  final case class BookCfg(keys: Seq[String], tsCol: String, sideCol: String,
+                           priceCol: String, amountCol: String,
+                           tiebreakCol: String, stepUs: Long, nLevels: Int) {
+    require(keys.nonEmpty, "book snapshots need the series key(s)")
+    require(stepUs > 0L, s"stepUs must be positive, got $stepUs")
+    require(nLevels >= 1, s"nLevels must be >= 1, got $nLevels")
+  }
+
+  /** Standing-book frontier: one row per (series, side, price) level
+    * with nonzero resting amount, carrying its last update's full
+    * (ts_us, tiebreak) so a later batch extending the book at the
+    * watermark's exact µs still resolves last-write-wins
+    * deterministically. */
+  def emptyBook(spark: SparkSession, cfg: BookCfg): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        cfg.keys.map(k => org.apache.spark.sql.types.StructField(k,
+          org.apache.spark.sql.types.StringType)) ++ Seq(
+          field("side", "string"), field("price", "double"),
+          field("amount", "double"), field("ts_us", "long"),
+          field("_tb", "long"))))
+
+  /** Per-series cursor: `k_emitted` (last FINAL grid boundary index)
+    * plus the (ts, tiebreak) watermark. */
+  def emptyBookCursor(spark: SparkSession, cfg: BookCfg): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        cfg.keys.map(k => org.apache.spark.sql.types.StructField(k,
+          org.apache.spark.sql.types.StringType)) ++ Seq(
+          field("k_emitted", "long"), field("w_ts_us", "long"),
+          field("w_tb", "long"))))
+
+  def emptySnapshots(spark: SparkSession, cfg: BookCfg): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        cfg.keys.map(k => org.apache.spark.sql.types.StructField(k,
+          org.apache.spark.sql.types.StringType)) ++ Seq(
+          field("snap_ts_us", "long"), field("side", "string"),
+          field("level", "long"), field("price", "double"),
+          field("amount", "double"))))
+
+  /** Fold one delta batch into the standing book. Returns
+    * `(finalSnapshots, book', cursor')`.
+    *
+    * FINALITY: a grid boundary `k` is emitted (and never re-emitted)
+    * once `k·stepUs < watermark` STRICTLY — the ordering contract
+    * admits a later delta at the watermark's exact µs (higher
+    * tiebreak), which would retroactively change a snapshot AT the
+    * watermark; boundaries at-or-after the watermark stay provisional
+    * and are served from the frontier by [[provisionalSnapshots]].
+    * [[graft.features.OrderbookFeatures.bookSnapshotsChunked]] pins
+    * finals ∪ provisionals ≡ the one-shot operator column for column.
+    *
+    * Shape per fold: the as-of right side is (frontier ∪ batch deltas)
+    * deduped last-write-wins per (level, µs) — frontier rows keep their
+    * TRUE last-update ts, so one [[TemporalJoins.asofJoin]] prices
+    * O(probe + deltas) per level exactly like the one-shot; the probe
+    * is (frontier ∪ batch levels) × newly-final boundaries only. All
+    * stages key on the series (the level dedup and frontier agg on
+    * (series, side, price) — a superset, satisfied by the same
+    * clustering). Guards mirror [[guardedTicks]]: a delta at-or-before
+    * the stored watermark raises (same-µs HIGHER-tiebreak is legal), a
+    * duplicate (level, ts, tiebreak) triple within the batch raises
+    * (last-write-wins would be a coin flip), a negative resting amount
+    * raises. Internal frames eagerly localCheckpoint (the
+    * [[volumeBarsFold]] lesson: three consumers must not pay the
+    * lineage three times). */
+  def bookSnapshotFold(book: DataFrame, cursor: DataFrame, batch: DataFrame,
+                       cfg: BookCfg): (DataFrame, DataFrame, DataFrame) = {
+    val K = cfg.keys
+    val S = cfg.stepUs
+    val lvl = K ++ Seq("side", "price")
+    val raw = batch.select(
+      K.map(c => col(c).cast("string").as(c)) ++ Seq(
+        col(cfg.sideCol).cast("string").as("side"),
+        col(cfg.priceCol).cast("double").as("price"),
+        col(cfg.amountCol).cast("double").as("amount"),
+        unix_micros(col(cfg.tsCol).cast("timestamp")).as("ts_us"),
+        col(cfg.tiebreakCol).cast("long").as("_tb")): _*)
+    // the ordering guards live inside ts_us (a grouping key of every
+    // downstream agg — pruning cannot skip them); the amount guard
+    // inside amount (every output evaluates it)
+    val wOrd = Window.partitionBy(lvl.map(col): _*)
+      .orderBy(col("ts_us"), col("_tb"))
+    val guarded = raw
+      .join(cursor.select(K.map(col) :+ col("w_ts_us") :+ col("w_tb"): _*),
+        K, "left")
+      .withColumn("_dup",
+        lag(struct(col("ts_us"), col("_tb")), 1).over(wOrd) ===
+          struct(col("ts_us"), col("_tb")))
+      .withColumn("ts_us",
+        when(col("w_ts_us").isNotNull &&
+            (col("ts_us") < col("w_ts_us") ||
+              (col("ts_us") === col("w_ts_us") && col("_tb") <= col("w_tb"))),
+          raise_error(concat(lit("bookSnapshot ordering contract violated: delta at "),
+            col("ts_us").cast("string"), lit("us is not after the stored watermark "),
+            col("w_ts_us").cast("string"),
+            lit("us — batches must be per-series time-ordered"))))
+        .when(coalesce(col("_dup"), lit(false)),
+          raise_error(concat(lit("bookSnapshot ordering contract violated: duplicate "),
+            lit("(side, price, ts_us, tiebreak) within one batch at "),
+            col("ts_us").cast("string"),
+            lit("us — the tiebreak must total-order each level"))))
+        .otherwise(col("ts_us")))
+      .withColumn("amount",
+        when(col("amount") < 0.0,
+          raise_error(lit("bookSnapshot amount contract violated: negative " +
+            "resting amount — correct upstream")))
+          .otherwise(col("amount")))
+      .drop("w_ts_us", "w_tb", "_dup")
+    // last write wins within one µs per level (the asofJoin uniqueness
+    // contract on (level, rightTs))
+    val dedup = guarded
+      .groupBy((lvl :+ "ts_us").map(col): _*)
+      .agg(max_by(col("amount"), col("_tb")).as("amount"),
+        max(col("_tb")).as("_tb"))
+      .localCheckpoint(true)
+    // cursor advance: watermark from the batch max, boundary cursor to
+    // the last STRICTLY-covered boundary ⌊(w−1)/S⌋; a first-seen series
+    // initializes at ⌊lo/S⌋ (the one-shot grid starts at ⌊lo/S⌋+1)
+    // (from the checkpointed dedup, not `guarded` — the rows dedup
+    // collapses are (ts, tb)-dominated, so min/max survive, and the
+    // guard-window lineage is not re-run for the cursor branch)
+    val bAgg = dedup.groupBy(K.map(col): _*)
+      .agg(max(struct(col("ts_us"), col("_tb"))).as("_w"),
+        min(col("ts_us")).as("_lo"))
+    val cur = cursor.join(bAgg, K, "full")
+      .withColumn("_w2", coalesce(col("_w").getField("ts_us"), col("w_ts_us")))
+      .withColumn("_tb2", coalesce(col("_w").getField("_tb"), col("w_tb")))
+      .withColumn("_kbase", coalesce(col("k_emitted"),
+        expr(s"(_lo - pmod(_lo, ${S}L)) div ${S}L")))
+      .withColumn("_knew", greatest(col("_kbase"),
+        expr(s"((_w2 - 1) - pmod(_w2 - 1, ${S}L)) div ${S}L")))
+      .localCheckpoint(true)
+    val cursor2 = cur.select(K.map(col) ++ Seq(
+      col("_knew").as("k_emitted"), col("_w2").as("w_ts_us"),
+      col("_tb2").as("w_tb")): _*)
+    // newly-final boundaries: (kbase, knew] — explode(null) when none
+    // (NEVER sequence(a, b) with a > b: it DESCENDS)
+    val grid = cur.select(K.map(col) :+
+      explode(when(col("_knew") >= col("_kbase") + 1,
+        sequence(col("_kbase") + 1, col("_knew")))).as("_k"): _*)
+      .withColumn("snap_ts_us", col("_k") * lit(S)).drop("_k")
+    // active levels only: standing nonzero at chunk start ∪ touched now
+    val lvls = book.select(lvl.map(col): _*)
+      .unionByName(dedup.select(lvl.map(col): _*)).distinct()
+    val probe = lvls.join(grid, K)
+    // the as-of right side: frontier rows at their TRUE last-update ts
+    // ∪ the batch — re-deduped per (level, µs) because a batch may
+    // legally extend a level at the frontier row's exact µs (higher tb)
+    val rightAll = book
+      .select((lvl ++ Seq("ts_us", "amount", "_tb")).map(col): _*)
+      .unionByName(dedup.select((lvl ++ Seq("ts_us", "amount", "_tb")).map(col): _*))
+      .groupBy((lvl :+ "ts_us").map(col): _*)
+      .agg(max_by(col("amount"), col("_tb")).as("amount"),
+        max(col("_tb")).as("_tb"))
+      .localCheckpoint(true)
+    val joined = TemporalJoins.asofJoin(
+      probe, rightAll.drop("_tb"), lvl, "snap_ts_us", "ts_us", Seq("amount"))
+    val rankW = Window
+      .partitionBy((K :+ "snap_ts_us" :+ "side").map(col): _*)
+      .orderBy(when(col("side") === "bid", -col("price")).otherwise(col("price")))
+    val snaps = joined
+      .where(col("amount").isNotNull && col("amount") > 0.0)
+      .withColumn("level", row_number().over(rankW).cast("long"))
+      .where(col("level") <= cfg.nLevels)
+      .select(K.map(col) ++ Seq(col("snap_ts_us"), col("side"),
+        col("level"), col("price"), col("amount")): _*)
+    // new frontier: last update per level across frontier ∪ batch,
+    // dead (zero-amount) levels leave the fold
+    val book2 = rightAll.groupBy(lvl.map(col): _*)
+      .agg(max_by(struct(col("amount"), col("ts_us"), col("_tb")),
+        struct(col("ts_us"), col("_tb"))).as("_last"))
+      .select(K.map(col) ++ Seq(col("side"), col("price"),
+        col("_last").getField("amount").as("amount"),
+        col("_last").getField("ts_us").as("ts_us"),
+        col("_last").getField("_tb").as("_tb")): _*)
+      .where(col("amount") > 0.0)
+      .localCheckpoint(true)
+    (snaps, book2, cursor2)
+  }
+
+  /** The provisional tail: snapshots at the 1–2 grid boundaries not yet
+    * final (from `k_emitted+1` through the boundary COVERING the
+    * watermark, `⌊w/S⌋+1` — the one-shot grid's last point). No deltas
+    * exist past the watermark, so each is exactly the standing frontier
+    * ranked top-N — no join, no window over history. */
+  def provisionalSnapshots(book: DataFrame, cursor: DataFrame,
+                           cfg: BookCfg): DataFrame = {
+    val K = cfg.keys
+    val S = cfg.stepUs
+    val ks = cursor.select(K.map(col) :+
+      explode(sequence(col("k_emitted") + 1,
+        expr(s"(w_ts_us - pmod(w_ts_us, ${S}L)) div ${S}L") + 1)).as("_k"): _*)
+      .withColumn("snap_ts_us", col("_k") * lit(S)).drop("_k")
+    val rankW = Window.partitionBy((K :+ "side").map(col): _*)
+      .orderBy(when(col("side") === "bid", -col("price")).otherwise(col("price")))
+    book.withColumn("level", row_number().over(rankW).cast("long"))
+      .where(col("level") <= cfg.nLevels)
+      .join(ks, K)
+      .select(K.map(col) ++ Seq(col("snap_ts_us"), col("side"),
+        col("level"), col("price"), col("amount")): _*)
+  }
+
+  private def readBookState(spark: SparkSession, stateDir: String, cfg: BookCfg)
+      : (DataFrame, DataFrame) =
+    committedVersions(spark, stateDir).lastOption match {
+      case None => (emptyBook(spark, cfg), emptyBookCursor(spark, cfg))
+      case Some(v) =>
+        (spark.read.parquet(s"$stateDir/v=$v/book"),
+          spark.read.parquet(s"$stateDir/v=$v/cursor"))
+    }
+
+  /** All snapshots so far: the final log plus the provisional tail —
+    * column-identical to the one-shot
+    * [[graft.features.OrderbookFeatures.bookSnapshots]] over the full
+    * delta history. */
+  def snapshotsView(spark: SparkSession, stateDir: String, cfg: BookCfg): DataFrame = {
+    val (book, cursor) = readBookState(spark, stateDir, cfg)
+    readLog(spark, stateDir, "snapshots", emptySnapshots(spark, cfg))
+      .unionByName(provisionalSnapshots(book, cursor, cfg))
+  }
+
+  /** The foreachBatch body for a streamed L2 delta feed: fold `batch`
+    * into the book state at `stateDir` under `batchId`
+    * (replay-idempotent via `_commits`), append newly-final snapshots
+    * to the log, persist the small frontier. Same lifecycle as
+    * [[marketTickBatch]]: two frontier versions survive for rollback,
+    * the log only grows. Returns the post-fold snapshot view. */
+  def bookSnapshotBatch(spark: SparkSession, stateDir: String, batchId: Long,
+                        batch: DataFrame, cfg: BookCfg): DataFrame = {
+    val done = committedVersions(spark, stateDir)
+    if (done.contains(batchId)) return snapshotsView(spark, stateDir, cfg)
+    val (book0, cursor0) = readBookState(spark, stateDir, cfg)
+    val (snaps, book1, cursor1) = bookSnapshotFold(book0, cursor0, batch, cfg)
+    val v = s"$stateDir/v=$batchId"
+    snaps.write.mode("overwrite").parquet(s"$stateDir/snapshots/batch=$batchId")
+    book1.write.mode("overwrite").parquet(s"$v/book")
+    cursor1.write.mode("overwrite").parquet(s"$v/cursor")
+    val f = fs(spark, stateDir)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$stateDir/_commits"))
+    f.create(new org.apache.hadoop.fs.Path(s"$stateDir/_commits/$batchId"),
+      true).close()
+    done.dropRight(1).foreach { old =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v=$old"), true)
+    }
+    snapshotsView(spark, stateDir, cfg)
   }
 }

@@ -3177,6 +3177,105 @@ class OpsSpec extends SparkSpec {
     assert(out.length == 2)
     assert(out.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
   }
+
+  /** Churning L2 delta fixture: levels appear, die (amount 0), reappear;
+    * same-µs double updates to one level resolve by tiebreak; deltas land
+    * exactly on step AND chunk boundaries; series C has a long gap (no
+    * deltas for several chunks) forcing a catch-up grid in one fold. */
+  private def churnDeltas() = {
+    val rows = for { k <- Seq("A", "B"); t <- 1 to 120 } yield
+      (k, t.toLong, t.toLong,
+        if (t % 2 == 0) "bid" else "ask",
+        ((t * 7) % 8 + 1).toDouble,
+        if (t % 7 == 0) 0.0 else (t % 5 + 0.5))
+    val extra = Seq(
+      // same µs, same level as the t=40 row (bid @ 1.0), higher tiebreak:
+      // last-write-wins must elect 9.9
+      ("A", 40L, 500L, "bid", 1.0, 9.9),
+      // exactly on a chunk boundary (25·3) and a step boundary (10 ∤ 75 —
+      // chunk-only), plus one on both (t=50)
+      ("B", 75L, 501L, "ask", 3.0, 2.5),
+      ("B", 50L, 502L, "bid", 5.0, 1.25),
+      // series with a many-chunk gap
+      ("C", 3L, 503L, "bid", 2.0, 4.0),
+      ("C", 110L, 504L, "ask", 6.0, 1.5))
+    (rows ++ extra).toDF("k", "t", "tb", "side", "price", "amount")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+  }
+
+  test("bookSnapshotsChunked: misaligned-chunk fold equals the one-shot operator column for column") {
+    val deltas = churnDeltas()
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.mkString("|")
+    val whole = graft.features.OrderbookFeatures
+      .bookSnapshots(deltas, Seq("k"), "ts", "tb", stepUs = 10L, nLevels = 3)
+      .collect().map(key).sorted.toSeq
+    val chunked = graft.features.OrderbookFeatures
+      .bookSnapshotsChunked(deltas, Seq("k"), "ts", "tb", stepUs = 10L,
+        nLevels = 3, chunkUs = 25L)
+      .collect().map(key).sorted.toSeq
+    assert(whole.nonEmpty, "fixture must produce snapshots")
+    assert(chunked == whole,
+      s"chunked diverged (${chunked.size} vs ${whole.size} rows):\n" +
+        s" got  ${chunked.take(4).mkString("; ")}\n want ${whole.take(4).mkString("; ")}")
+    // a chunk size larger than the whole span degenerates to one fold —
+    // still identical (the provisional tail does real work here)
+    val oneChunk = graft.features.OrderbookFeatures
+      .bookSnapshotsChunked(deltas, Seq("k"), "ts", "tb", stepUs = 10L,
+        nLevels = 3, chunkUs = 1000000L)
+      .collect().map(key).sorted.toSeq
+    assert(oneChunk == whole, "single-chunk fold must also match")
+    // the loop guard is loud, not silent
+    intercept[IllegalArgumentException] {
+      graft.features.OrderbookFeatures.bookSnapshotsChunked(deltas, Seq("k"),
+        "ts", "tb", stepUs = 10L, nLevels = 3, chunkUs = 25L, maxChunks = 2)
+    }
+  }
+
+  test("bookSnapshotFold: frontier stays churn-bounded; ordering/amount guards raise") {
+    import graft.operators.MarketIncremental
+    val cfg = MarketIncremental.BookCfg(Seq("k"), "ts", "side", "price",
+      "amount", "tb", stepUs = 10L, nLevels = 3)
+    val deltas = churnDeltas().where(col("k") =!= "C")
+    val b1 = deltas.where(col("t") <= 60)
+    val b2 = deltas.where(col("t") > 60)
+    val (s1, book1, cur1) = MarketIncremental.bookSnapshotFold(
+      MarketIncremental.emptyBook(spark, cfg),
+      MarketIncremental.emptyBookCursor(spark, cfg), b1, cfg)
+    val (s2, book2, cur2) = MarketIncremental.bookSnapshotFold(book1, cur1, b2, cfg)
+    // the frontier holds exactly the standing nonzero levels — bounded by
+    // the price universe (8 per side here), NOT by update count
+    val standing = book2.count()
+    assert(standing > 0 && standing <= 2 * 2 * 8,
+      s"frontier must be bounded by live levels, got $standing")
+    // finals are emitted exactly once across folds
+    val finals = s1.unionByName(s2)
+    assert(finals.groupBy("k", "snap_ts_us", "side", "level").count()
+      .where(col("count") > 1).count() == 0, "a final snapshot row must be unique")
+    // cursor watermark reached the last delta
+    assert(cur2.where(col("k") === "A").head().getAs[Long]("w_ts_us") == 120L)
+    // a stale batch (at-or-before the watermark) raises
+    intercept[Exception] {
+      val (s3, _, _) = MarketIncremental.bookSnapshotFold(
+        book2, cur2, deltas.where(col("t") === 5), cfg)
+      s3.queryExecution.toRdd.count()
+    }
+    // duplicate (level, ts, tiebreak) within one batch raises
+    val dup = Seq(("A", 300L, 7L, "bid", 1.0, 2.0), ("A", 300L, 7L, "bid", 1.0, 3.0))
+      .toDF("k", "t", "tb", "side", "price", "amount")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    intercept[Exception] {
+      val (s4, _, _) = MarketIncremental.bookSnapshotFold(book2, cur2, dup, cfg)
+      s4.queryExecution.toRdd.count()
+    }
+    // negative resting amount raises
+    val neg = Seq(("A", 400L, 8L, "bid", 1.0, -1.0))
+      .toDF("k", "t", "tb", "side", "price", "amount")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    intercept[Exception] {
+      val (s5, _, _) = MarketIncremental.bookSnapshotFold(book2, cur2, neg, cfg)
+      s5.queryExecution.toRdd.count()
+    }
+  }
 }
 
 /** Test backends for the inference-backend contract spec — top level so
