@@ -612,6 +612,78 @@ object ScaleRehearsal {
       }
     }
 
+    // Round-8: chunked book snapshots. A drifting-band L2 feed (the
+    // churning-crypto-book shape: each tick quotes a level in the moving
+    // band and zeroes one 10 bands behind, so STANDING levels stay ~80
+    // while levels-EVER grows linearly with the span). Claims under
+    // test: (a) the one-shot probe frame is levels-ever × whole-span
+    // grid — QUADRATIC in the span (4× span → 16× probe rows); (b) the
+    // fold's probe is (standing ∪ touched) × chunk boundaries — LINEAR
+    // at fixed chunkUs; (c) per-fold walls stay ~flat from the first
+    // chunk to the last (the frontier, not the history, is the state).
+    if (sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_BOOK", "1") != "0") {
+      import graft.operators.MarketIncremental
+      def bookFeed(n: Long): DataFrame = spark.range(n)
+        .select(col("id"),
+          when(col("id") % 2 === 0, "bid").otherwise("ask").as("side"),
+          expr("timestamp_micros(id + 1)").as("ts"),
+          explode(array(
+            struct((expr("id div 50") + col("id") % 8).cast("double").as("price"),
+              (col("id") % 5 + 1).cast("double").as("amount"),
+              (col("id") * 2).as("tb")),
+            struct((expr("id div 50") - 10 + col("id") % 8).cast("double").as("price"),
+              lit(0.0).as("amount"),
+              (col("id") * 2 + 1).as("tb")))).as("d"))
+        .select(lit("X").as("k"), col("side"), col("ts"),
+          col("d.price").as("price"), col("d.amount").as("amount"),
+          col("d.tb").as("tb"))
+        .where(col("price") >= 0)
+      val S = 2500L       // grid step (µs)
+      val C = 125000L     // chunk size (µs) — FIXED as the span grows
+      for (n <- Seq(500000L, 2000000L)) {
+        val feed = bookFeed(n).repartition(32).localCheckpoint(true)
+        val levelsEver = feed.select(col("side"), col("price")).distinct().count()
+        val nBounds = n / S // grid boundaries over the span (lo ≈ 0)
+        val (_, tOne) = timed {
+          graft.features.OrderbookFeatures.bookSnapshots(
+            feed, Seq("k"), "ts", "tb", stepUs = S, nLevels = 5).mat()
+        }
+        spark.catalog.clearCache()
+        // drive the fold chunk by chunk (what bookSnapshotsChunked does)
+        // to instrument probe volume: (standing ∪ touched) × new bounds
+        val cfg = MarketIncremental.BookCfg(Seq("k"), "ts", "side", "price",
+          "amount", "tb", stepUs = S, nLevels = 5)
+        var book = MarketIncremental.emptyBook(spark, cfg)
+        var cur = MarketIncremental.emptyBookCursor(spark, cfg)
+        var probeRows = 0L
+        var kPrev = -1L // fixture lo=1µs → first kbase is 0
+        val nChunks = (n / C).toInt
+        val foldWalls = (0 until nChunks).map { i =>
+          val b = feed.where(unix_micros(col("ts")) >= i * C &&
+            unix_micros(col("ts")) < (i + 1) * C)
+          val lvls = book.select(col("side"), col("price"))
+            .unionByName(b.select(col("side"), col("price"))).distinct().count()
+          val (_, t) = timed {
+            val (snaps, b2, c2) = MarketIncremental.bookSnapshotFold(book, cur, b, cfg)
+            snaps.mat()
+            book = b2
+            cur = c2
+          }
+          val kNow = cur.head().getAs[Long]("k_emitted")
+          probeRows += lvls * (kNow - kPrev)
+          kPrev = kNow
+          t
+        }
+        val standing = book.count()
+        System.err.println(f"[rehearsal] book n=$n%-8d levels-ever=$levelsEver%-6d " +
+          f"standing=$standing%-4d one-shot probe=${levelsEver * nBounds}%-9d (${tOne}%5.1fs)  " +
+          f"chunked probe=$probeRows%-8d folds=$nChunks fold walls " +
+          f"first=${foldWalls.head}%4.1f last=${foldWalls.last}%4.1f " +
+          f"mean=${foldWalls.sum / nChunks}%4.1fs")
+        spark.catalog.clearCache()
+      }
+    }
+
     def j(v: Any): String = v match {
       case s: String => "\"" + s + "\""
       case d: Double => f"$d%.2f"

@@ -699,6 +699,71 @@ class SystemSpec extends SparkSpec {
     assert(spark.read.parquet(s"$st/labels").count() > 0)
   }
 
+  test("streaming book snapshots end-to-end: foreachBatch wiring, streamed = one-shot, replay no-op") {
+    // OpsSpec drives bookSnapshotFold directly; this proves the WIRING:
+    // a real writeStream.foreachBatch feeding bookSnapshotBatch with
+    // the streaming batch id, _commits idempotency, checkpoint resume,
+    // and the standing snapshotsView equal to a from-scratch one-shot
+    // bookSnapshots over the full delta history (VERDICT r7 #7)
+    import graft.operators.MarketIncremental
+    val in = tmp()
+    val st = tmp() + "/book"
+    val ckpt = tmp() + "/ckpt"
+    val cfg = MarketIncremental.BookCfg(Seq("k"), "ts", "side", "price",
+      "amount", "t", stepUs = 10L, nLevels = 3)
+    val sch = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.StringType)
+      .add("t", org.apache.spark.sql.types.LongType)
+      .add("side", org.apache.spark.sql.types.StringType)
+      .add("price", org.apache.spark.sql.types.DoubleType)
+      .add("amount", org.apache.spark.sql.types.DoubleType)
+    def delta(k: String, t: Int): (String, Long, String, Double, Double) =
+      (k, t.toLong, if (t % 2 == 0) "bid" else "ask",
+        ((t * 7) % 8 + 1).toDouble,
+        if (t % 7 == 0) 0.0 else (t % 5 + 0.5))
+    def drop(name: String, ts: Range): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(in, name),
+        (for (k <- Seq("A", "B"); t <- ts) yield {
+          val (_, tt, s, p, a) = delta(k, t)
+          s"""{"k": "$k", "t": $tt, "side": "$s", "price": $p, "amount": $a}"""
+        }).mkString("\n"))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(sch).json(in)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          MarketIncremental.bookSnapshotBatch(spark, st, id,
+            b.toDF().withColumn("ts", expr("timestamp_micros(t)")), cfg)
+            .count(): Unit
+        }
+        .start()
+      q.awaitTermination(120000)
+    }
+    drop("b0.json", 1 to 35)
+    runOnce()
+    assert(MarketIncremental.committedVersions(spark, st) == Seq(0L))
+    drop("b1.json", 36 to 70)
+    runOnce()
+    assert(MarketIncremental.committedVersions(spark, st).last == 1L)
+    // nothing new → no batch fires, no state version appears
+    runOnce()
+    assert(MarketIncremental.committedVersions(spark, st).last == 1L)
+    val all = (for (k <- Seq("A", "B"); t <- 1 to 70) yield delta(k, t))
+      .toDF("k", "t", "side", "price", "amount")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val want = graft.features.OrderbookFeatures
+      .bookSnapshots(all, Seq("k"), "ts", "t", stepUs = 10L, nLevels = 3)
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val got = MarketIncremental.snapshotsView(spark, st, cfg)
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(got == want,
+      s"streamed snapshots diverged from one-shot (${got.size} vs ${want.size}):\n" +
+        s" got ${got.take(3)}\nwant ${want.take(3)}")
+    // frontier bounded by standing levels (<= 8 prices x 2 sides x 2 series)
+    val v = MarketIncremental.committedVersions(spark, st).last
+    assert(spark.read.parquet(s"$st/v=$v/book").count() <= 32)
+  }
+
   test("streaming semantic dedup end-to-end: bootstrap, foreachBatch wiring, checkpoint resume") {
     // the OpsSpec test drives incrementalSemanticDedupBatch directly;
     // this one proves the streaming WIRING: a real writeStream
