@@ -310,6 +310,73 @@ object Queries {
              END AS corr
       FROM s ORDER BY key_a, key_b"""))
 
+  // Ledoit–Wolf shrunk covariance over the same hourly panel — the
+  // well-conditioned Σ* = (1−δ)S + δμI with the analytically optimal δ,
+  // via the TWO-LEVEL quantizer: exact ⌊v·10⁴⌋ integer centering
+  // numerators (c = T·q − Σq), per-bucket pair products re-quantized at
+  // 10², exact BIGINT pair moments, HUGEINT/DECIMAL(38) Frobenius
+  // reductions, one fixed double tree for (μ, δ) at the end. The
+  // shrinkage intensity itself is replayed in SQL, not just the
+  // covariances.
+  private val qLedoitWolf = QDef(
+    "q_ledoit_wolf",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("mean_v"))
+      Relational.ledoitWolfCovariance(hourly, "event_type", "bucket",
+        "mean_v", scale = 1e4, pairScale = 1e2)
+    },
+    Some("""
+      WITH h0 AS (
+        SELECT event_type AS k, date_trunc('hour', ts) AS t,
+               CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1e4) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2),
+      h AS (SELECT * FROM h0 WHERE v IS NOT NULL),
+      nk AS (SELECT COUNT(DISTINCT k) AS nn FROM h),
+      b AS (SELECT t FROM h GROUP BY t HAVING COUNT(*) = (SELECT nn FROM nk)),
+      g AS (SELECT (SELECT nn FROM nk) AS nn, COUNT(*) AS tt FROM b),
+      s AS (SELECT k, CAST(SUM(v) AS BIGINT) AS sk
+            FROM h JOIN b USING (t) GROUP BY k),
+      c AS (SELECT h.k, h.t, (SELECT tt FROM g) * h.v - s.sk AS c
+            FROM h JOIN b USING (t) JOIN s ON h.k = s.k),
+      z AS (SELECT x.k AS key_a, y.k AS key_b,
+                   CAST(floor((CAST(x.c AS DOUBLE) / (CAST((SELECT tt FROM g) AS DOUBLE) * 1e4))
+                            * (CAST(y.c AS DOUBLE) / (CAST((SELECT tt FROM g) AS DOUBLE) * 1e4))
+                            * 1e2) AS BIGINT) AS z
+            FROM c x JOIN c y ON x.t = y.t AND x.k <= y.k),
+      pa AS (SELECT key_a, key_b,
+                    CAST(SUM(z) AS BIGINT) AS w, CAST(SUM(z * z) AS BIGINT) AS w2
+             FROM z GROUP BY 1, 2),
+      dg AS (SELECT CAST(SUM(w) AS BIGINT) AS wd FROM pa WHERE key_a = key_b),
+      gl AS (SELECT SUM(CAST(u AS HUGEINT) * u * wt) AS dnum,
+                    SUM((CAST(w2 AS HUGEINT) * tt - CAST(w AS HUGEINT) * w) * wt) AS bnum
+             FROM (SELECT (SELECT nn FROM g) * w
+                            - CASE WHEN key_a = key_b THEN (SELECT wd FROM dg) ELSE 0 END AS u,
+                          CASE WHEN key_a = key_b THEN 1 ELSE 2 END AS wt,
+                          w, w2, (SELECT tt FROM g) AS tt
+                   FROM pa)),
+      fin AS (SELECT key_a, key_b, w,
+                     (SELECT tt FROM g) AS tt, (SELECT nn FROM g) AS nn,
+                     (SELECT wd FROM dg) AS wd,
+                     (SELECT dnum FROM gl) AS dnum, (SELECT bnum FROM gl) AS bnum
+              FROM pa),
+      ds AS (SELECT *,
+                    CAST(wd AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(tt AS DOUBLE) * 1e2) AS mu,
+                    CAST(w AS DOUBLE) / (CAST(tt AS DOUBLE) * 1e2) AS cov,
+                    CASE WHEN dnum > 0
+                         THEN least(1.0, CAST(bnum AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                                         / (CAST(dnum AS DOUBLE) * CAST(tt AS DOUBLE)))
+                         ELSE 0.0 END AS sh
+             FROM fin)
+      SELECT key_a, key_b, tt AS n,
+             round(cov, 6) AS cov,
+             round((1.0 - sh) * cov + sh * mu *
+                   (CASE WHEN key_a = key_b THEN 1.0 ELSE 0.0 END), 6) AS shrunk_cov,
+             round(sh, 6) AS shrinkage,
+             round(mu, 6) AS mu
+      FROM ds ORDER BY key_a, key_b"""))
+
   /** Shared oracle CTE chain for the rolling moment queries: hourly mean
     * series per event type, pair join, ⌊·10⁴⌋ quantization, and the five
     * exact-integer 24-row window sums (q_rolling_corr / q_rolling_beta
@@ -4791,6 +4858,6 @@ object Queries {
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination,
     qVpin, qJumpVol, qVarianceRatio, qContainment,
     qRollSpread, qAmihud, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
-    qEventStudy, qSeasonality, qWinsorize
+    qEventStudy, qSeasonality, qWinsorize, qLedoitWolf
   )
 }

@@ -695,6 +695,137 @@ object Relational {
     momentCorr(paired, Seq("key", "lag")).orderBy("key", "lag")
   }
 
+  /** Ledoit–Wolf shrunk covariance matrix — the well-conditioned
+    * estimator `Σ* = (1−δ)·S + δ·μI` of Ledoit & Wolf 2004 ("A
+    * well-conditioned estimator for large-dimensional covariance
+    * matrices", J. Multivariate Analysis 88) in the scaled-identity-
+    * target form: the sample covariance S is pulled toward μI
+    * (μ = tr(S)/N) with the analytically optimal intensity
+    * `δ = min(1, β/d²)`, where `d² = ‖S − μI‖²_F/N` (dispersion of S
+    * around the target) and `β = (1/TN)·Σ_t ‖x_t x_tᵀ − S‖²_F`
+    * (sampling noise of S). Completes the portfolio-risk kit next to
+    * [[correlationMatrix]]: raw S from T≲N-ish samples is
+    * ill-conditioned and inverts explosively; the shrunk Σ* is what a
+    * minimum-variance optimizer should consume.
+    *
+    * Input is long-form `(keyCol, tsCol, valueCol)`, one row per key
+    * per aligned bucket ([[Resample.resampleAgg]] shape). The matrix
+    * statistics need one common T, so the panel is COMPLETE-CASE:
+    * only buckets where every series is present (and non-null) enter
+    * — unlike [[correlationMatrix]]'s pairwise-complete convention.
+    *
+    * Determinism contract — the TWO-LEVEL quantizer (a single-level
+    * ⌊v·scale⌋ contract cannot survive the 4th-order moment
+    * `Σ_t (x_i x_j)²`: its integer sums need (scale·|v|)⁴·T < 2⁶³,
+    * which collapses `scale` to useless coarseness — the round-7
+    * shelving reason):
+    *  1. values quantize to `q = ⌊v·scale⌋` BIGINTs; per-key sums
+    *     `S_k = Σq` are exact integers, so the centered numerator
+    *     `c = T·q − S_k` is exact (no rational mean ever materializes);
+    *  2. each per-bucket pair product re-quantizes:
+    *     `z = ⌊(c_a/(T·scale))·(c_b/(T·scale))·pairScale⌋` — one fixed
+    *     double tree from exact integers, then BIGINT again;
+    *  3. every cross-bucket and cross-pair reduction is exact-integer:
+    *     Σz and Σz² per pair as BIGINT, the Frobenius accumulations
+    *     `Σ wt·u²` / `Σ wt·(T·Σz² − (Σz)²)` as DECIMAL(38,0)
+    *     (HUGEINT on the DuckDB side) — order-free under any
+    *     partitioning; scalars (μ, d², β, δ) derive in one fixed
+    *     double expression at the very end, outputs round to 6 dp.
+    * Overflow contract: pick `scale` so `T·scale·max|v| < 2⁶²` and
+    * `pairScale` so `T·(pairScale·max|x_c x_c|)² < 2⁶³` with centered
+    * magnitudes `|x_c| ≤ 2·max|v|` (default 10⁶/10⁶ suits return-scale
+    * series; price-scale data wants 10⁴/10²).
+    *
+    * Scale shape: one bucket equi-join over skinny `(t, k, c)` rows
+    * onto `key_a ≤ key_b` pairs (series count is the SMALL dimension
+    * by the correlation-family contract) and map-side-combined integer
+    * moment aggs onto ≤ N(N+1)/2 keys, plus two skinny countDistinct
+    * pre-scans for the N/T scalars; the matrix-level Frobenius
+    * reductions fold the ≤ N(N+1)/2 collected pair rows in driver
+    * BigInt arithmetic (the centroid-collect precedent). Nothing
+    * corpus-wide sorts; T can be 100 TB of history without changing
+    * the plan.
+    *
+    * Returns `(key_a, key_b, n, cov, shrunk_cov, shrinkage, mu)` for
+    * every `key_a ≤ key_b` (diagonal included); `shrinkage`/`mu` are
+    * matrix-level constants repeated per row. Covariances are the
+    * BIASED (/T) sample moments, the LW-paper normalization. */
+  def ledoitWolfCovariance(df: DataFrame, keyCol: String, tsCol: String,
+                           valueCol: String, scale: Double = 1e6,
+                           pairScale: Double = 1e6): DataFrame = {
+    require(pairScale > 0.0, s"pairScale must be positive, got $pairScale")
+    val base = quantizedBase(df, keyCol, tsCol, valueCol, scale)
+    // N (series count) and T (complete buckets) are collected as driver
+    // scalars up front — two skinny countDistinct pre-scans. NOT a
+    // crossJoin of the one-row aggregates back onto `base`: joining an
+    // aggregate against its own lineage leaks the subtree's attribute
+    // NAMES into the resolution scope (Spark 4 hidden-column
+    // resolution), making every later unqualified `_t`/`_k` reference
+    // AMBIGUOUS_REFERENCE. Bucket completeness and per-key sums are
+    // WINDOW aggregates for the same reason (and one fewer shuffle than
+    // groupBy-and-join-back).
+    val nL = base.select(countDistinct(col("_k"))).head().getLong(0)
+    val aligned = base
+      .withColumn("_bc", count(lit(1)).over(Window.partitionBy(col("_t"))))
+      .where(col("_bc") === lit(nL)).drop("_bc")
+    val tL = aligned.select(countDistinct(col("_t"))).head().getLong(0)
+    val centered = aligned
+      .withColumn("_S", sum(col("_v")).over(Window.partitionBy(col("_k"))))
+      .select(col("_k"), col("_t"),
+        (lit(tL) * col("_v") - col("_S")).as("_c"))
+    // level-2 quantization of the per-bucket pair product (distinct
+    // column names per side, the correlationMatrix self-join shape)
+    val cx = centered.select(col("_k").as("key_a"), col("_t").as("_ta"),
+      col("_c").as("_ca"))
+    val cy = centered.select(col("_k").as("key_b"), col("_t").as("_tb"),
+      col("_c").as("_cb"))
+    val ts = lit(tL.toDouble * scale)
+    val pz = cx.join(cy,
+        col("_ta") === col("_tb") && col("key_a") <= col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        floor((col("_ca").cast("double") / ts) *
+          (col("_cb").cast("double") / ts) * lit(pairScale))
+          .cast("long").as("_z"))
+    val pa = pz.groupBy(col("key_a"), col("key_b")).agg(
+        sum(col("_z")).as("_w"), sum(col("_z") * col("_z")).as("_w2"))
+      .localCheckpoint(true) // materialized once; two consumers below
+    // The matrix-level Frobenius reductions run on the DRIVER in exact
+    // BigInt arithmetic over the checkpointed pair frame — ≤ N(N+1)/2
+    // rows by the series-count contract (the centroid-collect
+    // precedent), already materialized, and BigInt sums are order-free
+    // like the DECIMAL(38)/HUGEINT aggregates they replace. μ, d², β, δ
+    // then derive in the same fixed double tree the oracle replays.
+    val rows = pa.collect()
+    def isDiag(r: org.apache.spark.sql.Row) =
+      r.getAs[String]("key_a") == r.getAs[String]("key_b")
+    val wd = rows.filter(isDiag).map(r => BigInt(r.getAs[Long]("_w"))).sum
+    var dnum = BigInt(0); var bnum = BigInt(0)
+    rows.foreach { r =>
+      val d = isDiag(r)
+      val w = BigInt(r.getAs[Long]("_w")); val w2 = BigInt(r.getAs[Long]("_w2"))
+      val wt = if (d) 1 else 2
+      val u = BigInt(nL) * w - (if (d) wd else BigInt(0))
+      dnum += u * u * wt
+      bnum += (w2 * BigInt(tL) - w * w) * wt
+    }
+    val nD = nL.toDouble; val tD = tL.toDouble
+    val mu = wd.doubleValue / (nD * tD * pairScale)
+    // β/d² = bnum·N²/(dnum·T) — the s2/T/N normalizers cancel
+    val sh = if (dnum > 0)
+      math.min(1.0, bnum.doubleValue * nD * nD / (dnum.doubleValue * tD))
+    else 0.0
+    pa.withColumn("cov", col("_w").cast("double") /
+        (lit(tD) * lit(pairScale)))
+      .select(col("key_a"), col("key_b"), lit(tL).as("n"),
+        round(col("cov"), 6).as("cov"),
+        round(lit(1.0 - sh) * col("cov") + lit(sh * mu) *
+            when(col("key_a") === col("key_b"), 1.0).otherwise(0.0), 6)
+          .as("shrunk_cov"),
+        round(lit(sh), 6).as("shrinkage"),
+        round(lit(mu), 6).as("mu"))
+      .orderBy("key_a", "key_b")
+  }
+
   /** PACF + Ljung–Box Q per series — the rest of the Box–Jenkins
     * identification kit next to [[acf]]: the partial autocorrelation
     * `φ_{k,k}` (correlation at lag k with lags 1..k−1 regressed out —

@@ -2391,6 +2391,55 @@ class OpsSpec extends SparkSpec {
     assert(out.size == 10 && out.keys.forall { case (a, b) => a < b })
   }
 
+  test("ledoitWolfCovariance: matches the plain LW formula, complete-case panel, shrink geometry") {
+    // 3 series over 4 complete buckets; bucket 5 misses series C → the
+    // whole bucket drops (complete-case, NOT pairwise — A and B's t=5
+    // values must not contaminate any moment)
+    val xs = Map("A" -> Seq(1.0, 2.0, 4.0, 8.0),
+      "B" -> Seq(1.0, 3.0, 9.0, 27.0), "C" -> Seq(5.0, 1.0, 6.0, 2.0))
+    val rows = xs.toSeq.flatMap { case (k, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (k, (i + 1).toLong, v) }
+    } ++ Seq(("A", 5L, 1000.0), ("B", 5L, -1000.0))
+    val out = Relational.ledoitWolfCovariance(rows.toDF("k", "t", "v"),
+        "k", "t", "v", scale = 1e6, pairScale = 1e6)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    // diag + upper triangle of 3 keys, n = the 4 complete buckets
+    assert(out.size == 6 && out.keys.forall { case (a, b) => a <= b })
+    // independent plain-double LW reference (unquantized; quantization
+    // error at scale 10⁶ is far below the 1e-4 tolerance)
+    val t4 = 4.0
+    val cent = xs.map { case (k, vs) =>
+      k -> vs.map(_ - vs.sum / t4)
+    }
+    def covP(a: String, b: String) =
+      cent(a).zip(cent(b)).map { case (x, y) => x * y }.sum / t4
+    val keys = Seq("A", "B", "C")
+    val mu = keys.map(k => covP(k, k)).sum / 3.0
+    val pairs = for (a <- keys; b <- keys) yield (a, b)
+    val d2 = pairs.map { case (a, b) =>
+      val f = covP(a, b) - (if (a == b) mu else 0.0); f * f
+    }.sum / 3.0
+    val beta0 = pairs.map { case (a, b) =>
+      cent(a).zip(cent(b)).map { case (x, y) =>
+        val e = x * y - covP(a, b); e * e
+      }.sum / t4
+    }.sum / (t4 * 3.0)
+    val delta = math.min(1.0, beta0 / d2)
+    assert(delta > 0.0 && delta < 1.0, s"fixture must shrink strictly, got $delta")
+    out.foreach { case ((a, b), (n, cov, shrunk, sh, muOut)) =>
+      assert(n == 4L)
+      assert(math.abs(cov - covP(a, b)) < 1e-4, s"cov($a,$b): $cov vs ${covP(a, b)}")
+      assert(math.abs(sh - delta) < 1e-4, s"shrinkage: $sh vs $delta")
+      assert(math.abs(muOut - mu) < 1e-4)
+      val want = (1.0 - delta) * covP(a, b) + (if (a == b) delta * mu else 0.0)
+      assert(math.abs(shrunk - want) < 1e-4, s"shrunk($a,$b): $shrunk vs $want")
+    }
+    // off-diagonal entries shrink strictly toward zero
+    assert(math.abs(out(("A", "B"))._3) < math.abs(out(("A", "B"))._2))
+  }
+
   test("rollingCorr: warm-up nulls, ±1 closed forms, pairwise null exclusion, zero-variance null") {
     import org.apache.spark.sql.expressions.Window
     val rows =
