@@ -2381,6 +2381,50 @@ object Queries {
       WHERE CAST(overlap AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.8
       ORDER BY id_a, id_b"""))
 
+  // The INCREMENTAL containment path (positional-postings index +
+  // two-direction probe) under the q_containment_dup oracle restricted
+  // to cross-parity pairs: index the even-id half (writeContainmentIndex
+  // — batch-committed (id, j, h, n) postings), probe the odd-id half
+  // (containmentAgainstIndex — batch prefixes vs index postings AND
+  // index prefixes vs batch postings). Exercises the real
+  // write→commit→read cycle per run, like q_neardup_incremental.
+  private val qContainmentIncremental = QDef(
+    "q_containment_incremental",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = java.nio.file.Files.createTempDirectory("graft_qctidx").toString
+      Dedup.writeContainmentIndex(docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", idx)
+      Dedup.containmentAgainstIndex(s, idx, docs.filter(col("doc_id") % 2 === 1),
+          "text", "doc_id", threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("overlap").cast("long").as("overlap"),
+          col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+          col("containment"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+               END AS s
+        FROM d),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS BIGINT) AS overlap,
+               CAST(len(a.s) AS BIGINT) AS n_a, CAST(len(b.s) AS BIGINT) AS n_b
+        FROM sh a, sh b
+        WHERE a.doc_id <> b.doc_id AND (a.doc_id % 2) <> (b.doc_id % 2))
+      SELECT id_a, id_b, overlap, n_a, n_b,
+             CAST(overlap AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+      FROM p
+      WHERE CAST(overlap AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.8
+      ORDER BY id_a, id_b"""))
+
   // Portable since round 2: md5-derived 48-bit base hash + universal-hash
   // permutations (aᵢ·h+bᵢ mod 2³¹−1) + arithmetic band folds — the full
   // MinHash-LSH pipeline (candidate generation INCLUDED) reproduces
@@ -4856,7 +4900,7 @@ object Queries {
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qTokenBudget, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination,
-    qVpin, qJumpVol, qVarianceRatio, qContainment,
+    qVpin, qJumpVol, qVarianceRatio, qContainment, qContainmentIncremental,
     qRollSpread, qAmihud, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf
   )

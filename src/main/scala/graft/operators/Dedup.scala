@@ -740,6 +740,143 @@ object Dedup {
       .select(col("new_id"), col("old_id"), col("jaccard"))
   }
 
+  /** Persist the positional-postings containment index at `path` —
+    * the index half of the incremental [[containmentJoin]] (excerpts
+    * arrive in batches; one-shot re-joins of the whole corpus per batch
+    * don't scale). One data table, `postings/` — `(id, j, h, n)`: the
+    * doc's hash-sorted shingle set with 1-based positions. Storing
+    * POSITIONS makes the index threshold-agnostic: the τ-prefix of any
+    * doc is the filter `j ≤ n − ⌈τ·n⌉ + 1`, so the same table serves
+    * both sides of the probe's asymmetric prefix join at any τ, and the
+    * positional filter gets its `j` for free. `sizes/` — `(id, n)`.
+    *
+    * Batch/commit lifecycle is [[writeMinhashIndex]]'s, verbatim:
+    * `batch=<id>` directories under each table, `_commits/<id>` marker
+    * as the atomic commit point, replayed batch ids skip (returns
+    * false), crashed partial writes are cleared on retry, and the `c*`
+    * id namespace stays reserved for a future compactor (marker bodies
+    * list superseded ids; [[readIndexTable]] already honors them). */
+  def writeContainmentIndex(df: DataFrame, textCol: String, idCol: String,
+                            path: String, shingleN: Int = 3,
+                            mode: String = "overwrite",
+                            batchId: String = ""): Boolean = {
+    val spark = df.sparkSession
+    val fs = indexFs(spark, path)
+    if (mode == "overwrite")
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val markers = indexMarkers(spark, path)
+    val bid =
+      if (batchId.nonEmpty) batchId
+      else ((markers.keys ++ markers.values.flatten)
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .maxOption.getOrElse(-1L) + 1L).toString
+    require(bid.matches("[A-Za-z0-9_-]+"), s"unsafe index batch id: $bid")
+    require(!bid.startsWith("c"),
+      s"batch ids starting with 'c' are reserved for the compactor: $bid")
+    if (markers.contains(bid) || markers.values.exists(_.contains(bid))) {
+      System.err.println(s"[dedup] containment index batch $bid already committed at $path — skipping (replay)")
+      return false
+    }
+    Seq("postings", "sizes").foreach(t =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$t/batch=$bid"), true))
+    val arrs = shingleHashArrays(df, textCol, idCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // h-clustered, h-sorted files: the probe's candidate join is an
+      // equi-join on h, so row groups prune to the probe's shingles
+      arrs.select(col("id"), col("n"),
+          posexplode(array_sort(col("hs"))).as(Seq("j0", "h")))
+        .select(col("id"), (col("j0") + 1).as("j"), col("h"), col("n"))
+        .repartition(col("h"))
+        .sortWithinPartitions("h")
+        .write.mode("overwrite").parquet(s"$path/postings/batch=$bid")
+      arrs.select(col("id"), col("n"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/sizes/batch=$bid")
+      val cd = new org.apache.hadoop.fs.Path(s"$path/_commits")
+      fs.mkdirs(cd)
+      fs.create(new org.apache.hadoop.fs.Path(cd, bid), false).close()
+      true
+    } finally arrs.unpersist()
+  }
+
+  /** Directed containment pairs BETWEEN a new batch and the persisted
+    * index — the probe half of the incremental [[containmentJoin]].
+    * Both directions come back (a new excerpt contained in an indexed
+    * article AND an indexed excerpt contained in a new article): the
+    * batch's prefixes probe the index's full postings, the index's
+    * prefixes (a filter on stored positions — no recompute) probe the
+    * batch's postings, both under the same asymmetric prefix +
+    * positional + size filters as the one-shot, then exact overlap
+    * verification on full postings. Batch-INTERNAL pairs are the
+    * caller's [[containmentJoin]] on the batch (the
+    * [[nearDupAgainstIndex]] loop convention), so per-batch work is
+    * O(batch·index-postings-matched + batch²-candidates) — the corpus
+    * is never re-joined against itself.
+    *
+    * `maxPostings` caps candidate-generation document frequency like
+    * the one-shot, measured over the UNION of index and batch postings
+    * (the incremental analog of corpus df; 0 = fully exact, and with 0
+    * on both this and the one-shot, index+probe ∪ intra-batch ≡
+    * one-shot on the union corpus — spec-pinned). Batch ids must be
+    * disjoint from indexed ids. Returns the [[containmentJoin]] schema
+    * `(id_a, id_b, overlap, n_a, n_b, containment)`, `id_a` the
+    * contained side. */
+  def containmentAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String, newDf: DataFrame,
+                              textCol: String, idCol: String,
+                              shingleN: Int = 3, threshold: Double = 0.9,
+                              maxPostings: Int = 4096,
+                              cache: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0,1], got $threshold")
+    val newArrs = cached(shingleHashArrays(newDf, textCol, idCol, shingleN), cache)
+    val newPos = newArrs.select(col("id"), col("n"),
+        posexplode(array_sort(col("hs"))).as(Seq("j0", "h")))
+      .select(col("id"), (col("j0") + 1).as("j"), col("h"), col("n"))
+    val idxPos = readIndexTable(spark, path, "postings")
+      .select(col("id"), col("j"), col("h"), col("n"))
+    def capped(pos: DataFrame): DataFrame =
+      if (maxPostings <= 0) pos
+      else {
+        val hot = idxPos.select(col("h")).unionByName(newPos.select(col("h")))
+          .groupBy("h").agg(count(lit(1)).as("_df"))
+          .where(col("_df") > maxPostings).select("h")
+        pos.join(hot, Seq("h"), "left_anti")
+      }
+    def prefixOf(pos: DataFrame): DataFrame = pos
+      .where(col("j") <=
+        (col("n") - ceil(col("n") * lit(threshold)) + 1).cast("int"))
+      .select(col("id"), col("n"), col("j").as("i"), col("h"))
+    val alpha = ceil(col("a.n") * lit(threshold))
+    val posBound =
+      least(col("a.i") - 1, col("b.j") - 1) + 1 +
+        least(col("a.n") - col("a.i"), col("b.n") - col("b.j"))
+    def cands(pre: DataFrame, post: DataFrame): DataFrame = pre.as("a")
+      .join(post.as("b"),
+        col("a.h") === col("b.h") && col("a.id") =!= col("b.id") &&
+          col("b.n") >= alpha && posBound >= alpha)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val allCands = cands(prefixOf(newPos), capped(idxPos))
+      .unionByName(cands(prefixOf(idxPos), capped(newPos)))
+      .distinct()
+    val allRows = newArrs.select(col("id"), explode(col("hs")).as("h"))
+      .unionByName(idxPos.select(col("id"), col("h")))
+    val allSizes = newArrs.select(col("id"), col("n"))
+      .unionByName(readIndexTable(spark, path, "sizes"))
+    allCands
+      .join(allRows.select(col("id").as("id_a"), col("h")), "id_a")
+      .join(allRows.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("overlap"))
+      .join(allSizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(allSizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("containment",
+        col("overlap").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("overlap"),
+        col("n_a"), col("n_b"), col("containment"))
+  }
+
   /** Connected components over a near-dup pair graph — the clustering
     * step every corpus-scale dedup pipeline needs after pair generation
     * (pairs say "A≈B"; deletion needs "the component of A", or transitive

@@ -530,6 +530,56 @@ class OpsSpec extends SparkSpec {
     assert(inc.contains((1000L, 3L)), "planted exact dup not found via index")
   }
 
+  test("incremental containment: index + probe ∪ intra ≡ one-shot directed pairs, replay no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctidx").toString
+    // token spaces are per-article-unique, so ONLY planted relationships
+    // share shingles; excerpts are consecutive slices → containment 1.0
+    def article(seed: Int) = (0 until 40).map(i => s"a${seed}w$i").mkString(" ")
+    def excerpt(seed: Int) = (5 until 16).map(i => s"a${seed}w$i").mkString(" ")
+    val old = ((0 until 50).map(i => (i.toLong, article(i))) :+
+      ((100L, excerpt(3)))).toDF("doc_id", "text")
+    val batch = Seq(
+      (1000L, excerpt(7)),   // new excerpt ⊂ OLD article (new→old)
+      (1001L, article(60)),  // plain new article
+      (1002L, "totally unrelated fresh text with nothing shared here"),
+      (1003L, article(70)),  // intra-batch pair:
+      (1004L, excerpt(70)))  //   new excerpt ⊂ new article
+      .toDF("doc_id", "text")
+    // an OLD excerpt contained in a NEW article (old→new): article(3)
+    // re-published in the batch under a new id
+    val batch2 = batch.union(Seq((1005L, article(3))).toDF("doc_id", "text"))
+    assert(Dedup.writeContainmentIndex(old, "text", "doc_id", dir, batchId = "0"))
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = pairsOf(Dedup.containmentAgainstIndex(spark, dir, batch2,
+      "text", "doc_id", maxPostings = 0))
+    val intra = pairsOf(Dedup.containmentJoin(batch2, "text", "doc_id",
+      maxPostings = 0))
+    val intraOld = pairsOf(Dedup.containmentJoin(old, "text", "doc_id",
+      maxPostings = 0))
+    val oneShot = pairsOf(Dedup.containmentJoin(old.union(batch2),
+      "text", "doc_id", maxPostings = 0))
+    assert((cross ++ intra ++ intraOld) == oneShot,
+      s"split=${cross ++ intra ++ intraOld} oneShot=$oneShot")
+    // both probe directions actually fired
+    assert(cross.contains((1000L, 7L)), "new excerpt ⊂ old article missed")
+    assert(cross.contains((100L, 1005L)), "old excerpt ⊂ new article missed")
+    assert(intra.contains((1004L, 1003L)), "intra-batch containment missed")
+    // replayed batch id is a committed no-op
+    assert(!Dedup.writeContainmentIndex(old, "text", "doc_id", dir,
+      mode = "append", batchId = "0"))
+    assert(Dedup.committedBatches(spark, dir) == Seq("0"))
+    // appending the batch then probing fresh content still works (the
+    // nearDupAgainstIndex loop shape)
+    assert(Dedup.writeContainmentIndex(batch2, "text", "doc_id", dir,
+      mode = "append", batchId = "1"))
+    val probe2 = pairsOf(Dedup.containmentAgainstIndex(spark, dir,
+      Seq((2000L, excerpt(60))).toDF("doc_id", "text"),
+      "text", "doc_id", maxPostings = 0))
+    assert(probe2 == Set((2000L, 1001L)), s"$probe2")
+  }
+
   test("hot-bucket skew cap: mass-identical docs can't square the LSH band joins") {
     // 300 copies of one boilerplate page: every band bucket they share
     // holds 300 rows → C(300,2) ≈ 45k candidate pairs per band in ONE
