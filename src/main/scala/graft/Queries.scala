@@ -4773,6 +4773,28 @@ object Queries {
       WHERE cosine >= 0.4
       ORDER BY id_a, id_b"""))
 
+  // Byte-exact media dedup through the opaque-binary column: payloads
+  // group on (length, sha-256) Spark-side; the oracle regenerates the
+  // synthetic payloads (planted period-100 duplicates) and groups on
+  // the byte sequence itself — the same equivalence classes, so
+  // canonical election and dup flags hash-match without DuckDB needing
+  // the hash function.
+  private val qMediaDedup = QDef(
+    "q_media_dedup",
+    (s, dir) => graft.operators.Multimodal.exactMediaDedup(
+        graft.operators.Multimodal.syntheticMedia(s, 256, contentModulus = 100),
+        "content", "media_id")
+      .orderBy("media_id"),
+    Some("""
+      WITH m AS (SELECT i AS media_id,
+                   array_to_string(list_transform(range(64),
+                     j -> ((i % 100) * 31 + j) % 127), ',') AS ck
+                 FROM range(256) r(i)),
+      c AS (SELECT ck, MIN(media_id) AS canonical_id FROM m GROUP BY ck)
+      SELECT m.media_id, c.canonical_id,
+             m.media_id <> c.canonical_id AS is_dup
+      FROM m JOIN c USING (ck) ORDER BY media_id"""))
+
   private val qMultimodal = QDef(
     "q_multimodal",
     (s, dir) => {
@@ -4892,7 +4914,7 @@ object Queries {
     qDedupExact, qTextStats, qLangId, qJaccardNearDup, qMinhashNearDup,
     qNearDupIncremental,
     qSimhash, qFingerprint, qSentiment, qKnnBrute, qKnnLsh, qIvfPq, qIvfPqBatch, qEmbedNearDup,
-    qEmbedNearDupLsh, qMultimodal,
+    qEmbedNearDupLsh, qMultimodal, qMediaDedup,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences, qTokenEntropy,
     qSegmentDedup, qSubstringDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
     qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qAcf, qPacf, qRangeVol, qDrawdownStats, qPurgedSplit, qVolumeBars, qDollarBars, qImbalanceBars, qTripleBarrier, qPsiDrift, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,

@@ -87,14 +87,96 @@ object Multimodal {
         coalesce(col("meta.duration_ms"), lit(0L)), lit(everyMs))))
 
   /** Deterministic synthetic media table for tests/benchmarks (payload
-    * bytes derived from the id). */
-  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
+    * bytes derived from the id; `contentModulus > 0` derives them from
+    * `id % contentModulus` instead — planted byte-exact duplicates for
+    * the dedup specs/oracles). */
+  def syntheticMedia(spark: SparkSession, n: Int,
+                     contentModulus: Int = 0): DataFrame = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
-      val bytes = Array.tabulate[Byte](64)(j => ((i * 31 + j) % 127).toByte)
+      val seed: Long = if (contentModulus > 0) i % contentModulus else i
+      val bytes = Array.tabulate[Byte](64)(j => ((seed * 31 + j) % 127).toByte)
       (i, bytes, ("img", 64, 64, 1000L * (i % 10 + 1)))
     }.toDF("media_id", "content", "meta")
       .select(col("media_id"), col("content"),
         col("meta").cast(MEDIA_SCHEMA("meta").dataType).as("meta"))
   }
+
+  // ------------------------------------------------------------------
+  // Media dedup through the decode seam (VERDICT r7 #4): byte-exact on
+  // the payload, feature-cosine via the decoded features — the same
+  // exact / semantic / index-probe ladder the text side has, with the
+  // codec as the only swap point.
+  // ------------------------------------------------------------------
+
+  /** Byte-exact media dedup — the A8 hash-groupBy on an opaque binary
+    * column: payloads group on `(length, sha-256)` (the hash shuffles,
+    * never the media bytes — at 100 TB the payloads stay where they
+    * are), the minimum id per group is elected canonical. Null payloads
+    * are their own singletons. Returns
+    * `(media_id, canonical_id, is_dup)`, one row per input row. */
+  def exactMediaDedup(df: DataFrame, contentCol: String,
+                      idCol: String): DataFrame = {
+    val keyed = df.select(col(idCol).as("media_id"),
+      sha2(col(contentCol), 256).as("_h"),
+      length(col(contentCol)).as("_len"))
+    // the canonical election aggregates a RENAMED projection: an
+    // aggregate's referenced attributes stay name-resolvable through
+    // the join back (Spark hidden-column resolution), and a second
+    // `media_id` in scope would poison the final select
+    val canon = keyed.select(col("_h").as("_ch"), col("_len").as("_cl"),
+        col("media_id").as("_cid"))
+      .where(col("_ch").isNotNull)
+      .groupBy(col("_ch"), col("_cl"))
+      .agg(min(col("_cid")).as("canonical_id"))
+    keyed.join(canon,
+        col("_h") === col("_ch") && col("_len") === col("_cl"), "left")
+      .select(col("media_id"),
+        coalesce(col("canonical_id"), col("media_id")).as("canonical_id"),
+        (col("media_id") =!=
+          coalesce(col("canonical_id"), col("media_id"))).as("is_dup"))
+  }
+
+  /** Feature-cosine media near-dup: decode through the seam, then the
+    * text side's bucketed [[Similarity.semanticDedup]] over the feature
+    * vectors (k-means cells, per-cell representative cap — n·repCap dot
+    * products, never all-pairs). Returns `(vec_id, cluster_id, keep)`.
+    * The stub codec's features are hash-like (byte-exact twins only);
+    * a perceptual codec behind the same seam makes this true visual
+    * near-dup without touching the plumbing. */
+  def mediaSemanticDedup(df: DataFrame, contentCol: String, idCol: String,
+                         codec: Codec = StubCodec, k: Int = 8,
+                         tau: Double = 0.4, repCap: Int = 64): DataFrame =
+    Similarity.semanticDedup(withDecodedFeatures(df, contentCol, codec),
+      "features", idCol, k, tau, repCap)
+
+  /** Persist the decoded-feature IVF-PQ index of a media corpus — the
+    * serving/incremental half: decode once, index the features with
+    * [[Similarity.writeIvfPqIndex]] (partition-pruned probes, codegen
+    * encode). `m` must divide the codec's `featureDim`. */
+  def writeMediaFeatureIndex(df: DataFrame, contentCol: String, idCol: String,
+                             path: String, codec: Codec = StubCodec,
+                             nCells: Int = 8, m: Int = 8, ksub: Int = 16,
+                             iters: Int = 2,
+                             trainFraction: Double = 1.0): Unit =
+    Similarity.writeIvfPqIndex(withDecodedFeatures(df, contentCol, codec),
+      "features", idCol, path, nCells, m, ksub, iters, trainFraction)
+
+  /** Probe a NEW media batch against the persisted feature index:
+    * decode the batch through the same seam, then
+    * [[Similarity.knnIvfPqBatch]] (one relational job for the whole
+    * batch; the index scan prunes to nProbe cells per query). Rows with
+    * `dist ≤ maxDist` are the near-dup hits — byte-exact twins land at
+    * exactly 0 under any deterministic codec. Returns
+    * `(query_id, vec_id, dist)` filtered to hits. */
+  def mediaNearDupAgainstIndex(spark: SparkSession, path: String,
+                               newDf: DataFrame, contentCol: String,
+                               idCol: String, codec: Codec = StubCodec,
+                               k: Int = 10, nProbe: Int = 4,
+                               rerank: Int = 50,
+                               maxDist: Double = 1e-6): DataFrame =
+    Similarity.knnIvfPqBatch(spark, path,
+        withDecodedFeatures(newDf, contentCol, codec), idCol, "features",
+        k = k, nProbe = nProbe, rerank = rerank)
+      .filter(col("dist") <= maxDist)
 }

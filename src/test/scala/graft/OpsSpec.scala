@@ -422,6 +422,73 @@ class OpsSpec extends SparkSpec {
     assert(frames.head.getLong(1) == 3) // 0,500,1000 for duration 1000ms
   }
 
+  test("media dedup ladder: byte-exact groupBy, semantic near-dup, index probe") {
+    import graft.operators.Multimodal
+    // exact: 300 media, payloads repeat with period 100 (the generator
+    // is injective below its mod-127 byte cycle) → ids ≥ 100 duplicate
+    // id % 100; a null payload stays its own singleton
+    val media = Multimodal.syntheticMedia(spark, 300, contentModulus = 100)
+      .union(Seq((9999L, null.asInstanceOf[Array[Byte]],
+        null.asInstanceOf[(String, Int, Int, Long)]))
+        .toDF("media_id", "content", "meta")
+        .select(col("media_id"), col("content"),
+          col("meta").cast(Multimodal.MEDIA_SCHEMA("meta").dataType).as("meta")))
+    val ex = Multimodal.exactMediaDedup(media, "content", "media_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(ex.size == 301)
+    (0 until 100).foreach(i => assert(ex(i.toLong) == ((i.toLong, false))))
+    (100 until 300).foreach(i =>
+      assert(ex(i.toLong) == (((i % 100).toLong, true)), s"id $i: ${ex(i.toLong)}"))
+    assert(ex(9999L) == ((9999L, false)), "null payload must be its own singleton")
+
+    // semantic: a histogram codec makes near-identical payloads near in
+    // feature space — two perturbed copies of one base image dedup, the
+    // distinct image survives
+    object HistCodec extends Multimodal.Codec {
+      val featureDim = 8
+      def decodeFeatures(content: Array[Byte]): Array[Float] = {
+        val out = new Array[Float](featureDim)
+        content.foreach(b => out(math.floorMod(b.toInt, featureDim)) += 1f)
+        out.map(_ / content.length)
+      }
+    }
+    def img(seed: Int, flip: Int): Array[Byte] =
+      Array.tabulate[Byte](256)(j =>
+        if (j == flip) 99.toByte else ((seed * 37 + j * j) % 101).toByte)
+    val sem = Seq(
+      (1L, img(1, -1)), (2L, img(1, 3)), (3L, img(1, 7)), // one visual group
+      // distinct: a constant payload → one-hot histogram, cosine ≈ 0.35
+      // against the group's near-uniform histograms
+      (4L, Array.fill[Byte](256)(16.toByte)))
+      .toDF("media_id", "content")
+    val kept = Multimodal.mediaSemanticDedup(sem, "content", "media_id",
+        HistCodec, k = 1, tau = 0.9, repCap = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(kept(4L), "distinct media must survive")
+    assert(Seq(1L, 2L, 3L).count(kept) == 1,
+      s"perturbed copies must collapse to one representative: $kept")
+
+    // index probe: a new batch holding a byte-identical copy of indexed
+    // media (dist exactly 0) and a fresh payload (no hit). The fresh
+    // payload is quadratic in j — outside the generator's linear family,
+    // so no accidental mod-127 twin exists in the index.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfidx").toString
+    Multimodal.writeMediaFeatureIndex(
+      Multimodal.syntheticMedia(spark, 100), "content", "media_id", dir,
+      nCells = 4, m = 8, ksub = 8)
+    val twin = Multimodal.syntheticMedia(spark, 100)
+      .where(col("media_id") === 40) // payload ≡ indexed media 40's
+      .select((col("media_id") + 10000).as("media_id"), col("content"))
+    val fresh = Seq((20000L, Array.tabulate[Byte](64)(j => ((j * j) % 127).toByte)))
+      .toDF("media_id", "content")
+    val hits = Multimodal.mediaNearDupAgainstIndex(spark, dir,
+        twin.union(fresh), "content", "media_id", k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.exists { case (q, v, d) => q == 10040L && v == 40L && d == 0.0 },
+      s"byte-identical twin must probe at dist 0: ${hits.toSeq}")
+    assert(!hits.exists(_._1 == 20000L), s"fresh payload must not hit: ${hits.toSeq}")
+  }
+
   // ------------------------------------------------------------------
   // Temporal joins
   // ------------------------------------------------------------------
