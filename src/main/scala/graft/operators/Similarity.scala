@@ -1139,6 +1139,83 @@ object Similarity {
       .orderBy("query_id", "dist", "vec_id")
   }
 
+  /** Sampled recall probe of a persisted IVF-PQ index — the measured
+    * half of the drift monitor. [[appendToIvfPqIndex]] encodes against
+    * FROZEN centroids and codebook; as appended content drifts from the
+    * training distribution, cells unbalance and PQ quantization error
+    * grows, and recall degrades SILENTLY. This probe measures it:
+    * `nQueries` committed vectors are drawn by portable 48-bit hash
+    * order (deterministic, engine-replayable — never RNG), each runs
+    * both the pruned [[knnIvfPqBatch]] probe and an exact brute-force
+    * top-`k` over the committed vectors, and the return is mean
+    * recall@k (probe hits / exact rows, self-matches excluded on both
+    * sides). Cost: one pruned probe job + one `nQueries`-wide brute
+    * scan — the sampled-monitor price, not a full-corpus rebuild. */
+  def ivfPqRecallProbe(spark: SparkSession, path: String, nQueries: Int = 16,
+                       k: Int = 10, nProbe: Int = 2,
+                       rerank: Int = 100): Double = {
+    require(nQueries > 0, s"need nQueries > 0, got $nQueries")
+    val committed = ivfCommittedBatches(spark, path)
+    require(committed.nonEmpty, s"no committed batches at $path")
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .where(col("batch").cast("string").isin(committed.toIndexedSeq: _*))
+      .select(col("vec_id"), col("v"))
+    val q = vecs.withColumn("_h", TextAnalysis.tokenHash48(
+        concat(col("vec_id").cast("string"), lit(":recallprobe"))))
+      .orderBy(col("_h"), col("vec_id")).limit(nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .localCheckpoint(true) // one sample, shared by probe and oracle
+    val approx = knnIvfPqBatch(spark, path, q, "qid", "qv",
+      k = k, nProbe = nProbe, rerank = rerank)
+      .select(col("query_id"), col("vec_id"))
+    val exact = vecs.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("vec_id"),
+        (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("qv"))
+          + dot(col("qv"), col("qv"))).as("dist"))
+      .withColumn("_rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))))
+      .where(col("_rk") <= k)
+      .select(col("query_id"), col("vec_id"))
+      .localCheckpoint(true) // consumed twice: hit join + denominator
+    val denom = exact.count()
+    if (denom == 0L) 1.0
+    else approx.join(exact, Seq("query_id", "vec_id")).count().toDouble / denom
+  }
+
+  /** Rebuild-on-drift: the trigger closing the frozen-quantizer loop
+    * ("rebuild on recall regression" was documented-but-manual). Runs
+    * [[ivfPqRecallProbe]]; below `minRecall`, the committed vectors are
+    * materialized (eagerly — the rebuild deletes the very files they
+    * came from) and [[writeIvfPqIndex]] re-trains centroids + codebook
+    * on the CURRENT corpus at the index's own m/ksub/residual
+    * (`nCells` defaults to the current cell count). Returns
+    * `(recallBefore, rebuilt)`; a healthy index is untouched. Cadence
+    * this with [[compactIvfPqIndex]] in the ingest loop. */
+  def rebuildIvfPqIndexIfDrifted(spark: SparkSession, path: String,
+                                 minRecall: Double = 0.9, nQueries: Int = 16,
+                                 k: Int = 10, nProbe: Int = 2,
+                                 rerank: Int = 100, nCells: Int = 0,
+                                 iters: Int = 2,
+                                 trainFraction: Double = 1.0): (Double, Boolean) = {
+    require(minRecall >= 0.0 && minRecall <= 1.0,
+      s"minRecall must be in [0,1], got $minRecall")
+    val r = ivfPqRecallProbe(spark, path, nQueries, k, nProbe, rerank)
+    if (r >= minRecall) return (r, false)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val cellsNow = spark.read.parquet(s"$path/centroids").count().toInt
+    val committed = ivfCommittedBatches(spark, path)
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .where(col("batch").cast("string").isin(committed.toIndexedSeq: _*))
+      .select(col("vec_id"), col("v"))
+      .localCheckpoint(true) // MUST be eager: writeIvfPqIndex deletes these files
+    writeIvfPqIndex(vecs, "v", "vec_id", path,
+      nCells = if (nCells > 0) nCells else cellsNow,
+      m = meta.getAs[Int]("m"), ksub = meta.getAs[Int]("ksub"),
+      iters = iters, trainFraction = trainFraction,
+      residual = meta.getAs[Boolean]("residual"))
+    (r, true)
+  }
+
   /** Exact-cosine near-dups of a NEW batch against a persisted IVF-PQ
     * index — the embedding-space analog of
     * [[Dedup.nearDupAgainstIndex]]: the whole batch probes the index in

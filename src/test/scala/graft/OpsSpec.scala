@@ -1999,6 +1999,58 @@ class OpsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, "offsetted codes must equal codes of the subtracted vector")
   }
 
+  test("IVF-PQ drift monitor: drifted appends trip the rebuild, rebuild restores recall") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfdrift").toString + "/idx"
+    // base: four degenerate clusters on +axes (residuals exactly zero →
+    // the trained codewords are exactly zero). The drifted generation is
+    // sixteen FAR clusters (±10 block-sign patterns, amp-0.5 noise):
+    // frozen assignment crams them into the four old cells, and against
+    // the all-zero codebook every candidate reconstructs to its cell
+    // centroid — ADC goes fully blind (ties broken by vec_id), so the
+    // pruned shortlist misses the true neighbors. Ids INTERLEAVE
+    // (member-major) so the rebuild's first-20-by-id k-means seeds span
+    // all twenty natural clusters.
+    def noise(i: Int, j: Int): Double = 0.5 * math.sin(i * 7.0 + j * 3.0)
+    val base = (for (c <- 0 until 4; i <- 0 until 40) yield
+      ((i * 1000 + c).toLong, Array.tabulate(16) { j =>
+        (if (j / 4 == c) 10.0 else 0.0).toFloat
+      })).toDF("vec_id", "embedding")
+    Similarity.writeIvfPqIndex(base, "embedding", "vec_id", dir,
+      nCells = 4, m = 4, ksub = 8, iters = 2)
+    def recall() = Similarity.ivfPqRecallProbe(spark, dir,
+      nQueries = 32, k = 5, nProbe = 2, rerank = 20)
+    val healthy = recall()
+    assert(healthy >= 0.9, s"healthy index must probe well, got $healthy")
+    val (r0, rebuilt0) = Similarity.rebuildIvfPqIndexIfDrifted(spark, dir,
+      minRecall = 0.9, nQueries = 32, k = 5, nProbe = 2, rerank = 20)
+    assert(!rebuilt0 && r0 == healthy, "healthy index must not rebuild")
+    val drifted = (for (g <- 0 until 16; i <- 0 until 40) yield
+      ((i * 1000 + 10 + g).toLong, Array.tabulate(16) { j =>
+        ((if (((g >> (j / 4)) & 1) == 1) 10.0 else -10.0) + noise(i, j + g)).toFloat
+      })).toDF("vec_id", "embedding")
+    assert(Similarity.appendToIvfPqIndex(drifted, "embedding", "vec_id", dir))
+    val driftedRecall = recall()
+    assert(driftedRecall < 0.9,
+      s"frozen-quantizer drift must show in the probe, got $driftedRecall")
+    // rebuild at a cell count sized to the grown corpus — re-trained
+    // centroids separate the twenty clusters, re-trained codewords span
+    // the drifted residual scale, recall comes back
+    val (r1, rebuilt1) = Similarity.rebuildIvfPqIndexIfDrifted(spark, dir,
+      minRecall = 0.9, nQueries = 32, k = 5, nProbe = 2, rerank = 20,
+      nCells = 20)
+    assert(rebuilt1 && r1 == driftedRecall, "drifted index must rebuild")
+    val restored = recall()
+    assert(restored >= 0.9 && restored > driftedRecall,
+      s"rebuild must restore recall, got $restored (was $driftedRecall)")
+    // post-rebuild: single consolidated generation, no rows lost, and a
+    // healthy monitor pass leaves it alone
+    assert(Similarity.ivfCommittedBatches(spark, dir) == Seq("0"))
+    assert(spark.read.parquet(s"$dir/vectors").count() == 800)
+    val (_, rebuilt2) = Similarity.rebuildIvfPqIndexIfDrifted(spark, dir,
+      minRecall = 0.9, nQueries = 32, k = 5, nProbe = 2, rerank = 20)
+    assert(!rebuilt2)
+  }
+
   test("appendToIvfPqIndex: committed batches join the probe, torn appends stay " +
     "invisible, replays skip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
