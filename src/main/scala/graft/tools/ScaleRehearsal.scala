@@ -612,6 +612,64 @@ object ScaleRehearsal {
       }
     }
 
+    // Round-8: the exact-percentile broadcast family (winsorize /
+    // madOutliers) at ×10/×100 with the sketch path switched on. Exact
+    // `percentile` holds per-group state ∝ DISTINCT VALUES — fine for
+    // 2-dp feeds, a memory wall for high-cardinality columns at 100 TB;
+    // `approxAccuracy` swaps in percentile_approx (KLL-style sketch,
+    // memory ∝ accuracy). Claims under test: (a) both paths' wall-clock
+    // stays ~linear in rows; (b) at accuracy 10⁴ the sketch's winsor
+    // band edges and clip/flag decisions diverge from exact by a
+    // bounded, recorded margin (the divergence contract for BASELINE).
+    if (sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_WINSOR", "1") != "0") {
+      import graft.operators.Relational
+      val ev8 = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("value"))
+      // per-replica jitter BLOWS UP distinct-value cardinality — the
+      // axis that hurts the exact path (a plain copy would dedup to the
+      // base's 2-dp value set inside the percentile state)
+      def rep(m: Int): DataFrame = (0 until m).map(r => ev8.select(
+          (col("event_id") + lit(r * 100000000L)).as("event_id"),
+          col("event_type"),
+          (col("value") + lit(r * 1e-4) * (col("event_id") % 97)).as("value")))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      for (m <- Seq(10, 100)) {
+        val df = rep(m)
+        val nDistinct = df.select(col("event_type"), col("value")).distinct().count()
+        val (clipEx, tWinEx) = timed {
+          Relational.winsorize(df, Seq("event_type"), "value")
+            .where(col("was_clipped")).mat()
+        }
+        val (clipAp, tWinAp) = timed {
+          Relational.winsorize(df, Seq("event_type"), "value",
+            approxAccuracy = Some(10000)).where(col("was_clipped")).mat()
+        }
+        val bandsEx = Relational.winsorize(df, Seq("event_type"), "value")
+          .groupBy("event_type").agg(min("v_winsor").as("lo"), max("v_winsor").as("hi"))
+          .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+        val bandsAp = Relational.winsorize(df, Seq("event_type"), "value",
+            approxAccuracy = Some(10000))
+          .groupBy("event_type").agg(min("v_winsor").as("lo"), max("v_winsor").as("hi"))
+          .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+        val bandDiv = bandsEx.map { case (k, (lo, hi)) =>
+          val (alo, ahi) = bandsAp(k)
+          math.max(math.abs(lo - alo), math.abs(hi - ahi)) / math.max(1e-9, hi - lo)
+        }.max
+        val (flagEx, tMadEx) = timed {
+          Relational.madOutliers(df, Seq("event_type"), "value").mat()
+        }
+        val (flagAp, tMadAp) = timed {
+          Relational.madOutliers(df, Seq("event_type"), "value",
+            approxAccuracy = Some(10000)).mat()
+        }
+        System.err.println(f"[rehearsal] winsor x$m%-4d distinct=$nDistinct%-9d " +
+          f"exact clip=$clipEx%-7d ${tWinEx}%5.1fs / approx clip=$clipAp%-7d ${tWinAp}%5.1fs " +
+          f"band-div=${bandDiv * 100}%.4f%% of band width  " +
+          f"mad exact=$flagEx%-6d ${tMadEx}%5.1fs / approx=$flagAp%-6d ${tMadAp}%5.1fs")
+        spark.catalog.clearCache()
+      }
+    }
+
     // Round-8: chunked book snapshots. A drifting-band L2 feed (the
     // churning-crypto-book shape: each tick quotes a level in the moving
     // band and zeroes one 10 bands behind, so STANDING levels stay ~80
