@@ -754,8 +754,7 @@ object Dedup {
     * `batch=<id>` directories under each table, `_commits/<id>` marker
     * as the atomic commit point, replayed batch ids skip (returns
     * false), crashed partial writes are cleared on retry, and the `c*`
-    * id namespace stays reserved for a future compactor (marker bodies
-    * list superseded ids; [[readIndexTable]] already honors them). */
+    * id namespace belongs to [[compactContainmentIndex]]. */
   def writeContainmentIndex(df: DataFrame, textCol: String, idCol: String,
                             path: String, shingleN: Int = 3,
                             mode: String = "overwrite",
@@ -798,6 +797,59 @@ object Dedup {
       fs.create(new org.apache.hadoop.fs.Path(cd, bid), false).close()
       true
     } finally arrs.unpersist()
+  }
+
+  /** Compact the batch-keyed containment index: consolidate every
+    * committed batch into ONE new batch per table. Protocol is
+    * [[compactMinhashIndex]]'s, verbatim (consolidated data lands under
+    * an invisible `batch=c<n>`, the marker's BODY lists the replaced
+    * ids transitively, visibility flips at the single marker create,
+    * then GC; crash-safe at every step; safe beside a live appender) —
+    * only the tables and their layout differ: `postings` keeps the
+    * h-clustered/h-sorted probe layout, `sizes` stays one file. Probe
+    * results are row-identical before and after. Returns the number of
+    * batches consolidated (0 = nothing to do). */
+  def compactContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Int = {
+    val fs = indexFs(spark, path)
+    val markers = indexMarkers(spark, path)
+    val superseded = markers.values.flatten.toSet
+    val committed = markers.keys.filterNot(superseded).toSeq.sorted
+    val tables = Seq("postings", "sizes")
+    superseded.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commits/$id"), false)
+      tables.foreach(t =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$t/batch=$id"), true))
+    }
+    if (committed.size <= 1) return 0
+    for (t <- tables; p = new org.apache.hadoop.fs.Path(s"$path/$t") if fs.exists(p);
+         st <- fs.listStatus(p) if st.isDirectory) {
+      val id = st.getPath.getName.stripPrefix("batch=")
+      if (id.startsWith("c") && !markers.contains(id)) fs.delete(st.getPath, true)
+    }
+    val cid = "c" + ((markers.keys ++ markers.values.flatten)
+      .filter(_.startsWith("c"))
+      .flatMap(s => scala.util.Try(s.stripPrefix("c").toLong).toOption)
+      .maxOption.getOrElse(-1L) + 1L)
+    val inScope = col("batch").cast("string").isin(committed: _*)
+    spark.read.parquet(s"$path/postings").filter(inScope).drop("batch")
+      .repartition(col("h"))
+      .sortWithinPartitions("h")
+      .write.mode("overwrite").parquet(s"$path/postings/batch=$cid")
+    spark.read.parquet(s"$path/sizes").filter(inScope).drop("batch")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/sizes/batch=$cid")
+    val supersedes =
+      (committed ++ committed.flatMap(markers.getOrElse(_, Seq.empty))).distinct
+    val cd = new org.apache.hadoop.fs.Path(s"$path/_commits")
+    val out = fs.create(new org.apache.hadoop.fs.Path(cd, cid), false)
+    try out.write(supersedes.mkString("\n").getBytes("UTF-8")) finally out.close()
+    committed.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commits/$id"), false)
+      tables.foreach(t =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$t/batch=$id"), true))
+    }
+    committed.size
   }
 
   /** Directed containment pairs BETWEEN a new batch and the persisted

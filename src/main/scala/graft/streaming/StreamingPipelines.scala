@@ -286,6 +286,60 @@ object StreamingPipelines {
     settled
   }
 
+  /** foreachBatch body for the CONTAINMENT ingest loop — the excerpt/
+    * quote-dedup sibling of [[incrementalDedupBatch]] (Jaccard
+    * structurally misses a 100-token excerpt inside a 10k-token
+    * article; this loop drops it). Each micro-batch:
+    *
+    *   1. drops batch docs contained (C ≥ τ) in ANOTHER batch doc —
+    *      near-equal twins (mutual containment) keep the LOWER id, a
+    *      containment chain keeps only its maximal elements;
+    *   2. drops batch docs contained in anything COMMITTED in the index
+    *      ([[Dedup.containmentAgainstIndex]]; the reverse direction —
+    *      an indexed excerpt inside a NEW article — is reported by the
+    *      probe but never deletes from the append-only index);
+    *   3. appends the survivors' positional postings atomically
+    *      ([[Dedup.writeContainmentIndex]] — replayed batch ids are
+    *      idempotent no-ops, so PASS THE STREAMING BATCH ID).
+    *
+    * Same correctness notes as [[incrementalDedupBatch]]: the returned
+    * frame is eagerly localCheckpointed (a lazy plan would re-probe the
+    * index AFTER this call grew it), operators run cache-free, and a
+    * torn first write reads as an empty index. */
+  def incrementalContainmentBatch(spark: SparkSession, indexPath: String,
+                                  batch: DataFrame, textCol: String,
+                                  idCol: String, threshold: Double = 0.9,
+                                  batchId: String = ""): DataFrame = {
+    import graft.operators.Dedup
+    val exists = Dedup.committedBatches(spark, indexPath).nonEmpty
+    val intra = Dedup.containmentJoin(batch, textCol, idCol,
+        threshold = threshold, cache = false)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true) // consumed twice (pairs + reversed pairs)
+    val mutual = intra.select(col("id_a").as("_ra"), col("id_b").as("_rb"))
+    val dropIntra = intra
+      .join(mutual, col("id_a") === col("_rb") && col("id_b") === col("_ra"),
+        "left")
+      .where(col("_ra").isNull || col("id_b") < col("id_a"))
+      .select(col("id_a").as(idCol)).distinct()
+    val withinKept = batch.join(dropIntra, Seq(idCol), "left_anti")
+    val kept =
+      if (!exists) withinKept
+      else {
+        val hits = Dedup.containmentAgainstIndex(spark, indexPath,
+            withinKept, textCol, idCol, threshold = threshold,
+            cache = false)
+          .join(withinKept.select(col(idCol).as("id_a")), Seq("id_a"),
+            "left_semi") // contained side must be a BATCH doc
+          .select(col("id_a").as(idCol)).distinct()
+        withinKept.join(hits, Seq(idCol), "left_anti")
+      }
+    val settled = kept.localCheckpoint(true)
+    Dedup.writeContainmentIndex(settled, textCol, idCol, indexPath,
+      mode = if (exists) "append" else "overwrite", batchId = batchId)
+    settled
+  }
+
   /** The continuous corpus-ingestion batch body — the LLM training-data
     * front door, composing the pipeline's cleaning operators in the
     * canonical order on every micro-batch:

@@ -645,6 +645,20 @@ class OpsSpec extends SparkSpec {
       Seq((2000L, excerpt(60))).toDF("doc_id", "text"),
       "text", "doc_id", maxPostings = 0))
     assert(probe2 == Set((2000L, 1001L)), s"$probe2")
+    // compaction consolidates both batches atomically; probes are
+    // row-identical and the replay ledger is carried transitively
+    assert(Dedup.compactContainmentIndex(spark, dir) == 2)
+    assert(Dedup.committedBatches(spark, dir) == Seq("c0"))
+    val probe3 = pairsOf(Dedup.containmentAgainstIndex(spark, dir,
+      batch2.union(Seq((2000L, excerpt(60))).toDF("doc_id", "text"))
+        .where(col("doc_id") === 2000L),
+      "text", "doc_id", maxPostings = 0))
+    assert(probe3 == probe2, s"compaction changed the probe: $probe3")
+    // a replayed pre-compaction id still skips (transitive marker body)
+    assert(!Dedup.writeContainmentIndex(old, "text", "doc_id", dir,
+      mode = "append", batchId = "1"))
+    // a second compaction with one live batch is a no-op
+    assert(Dedup.compactContainmentIndex(spark, dir) == 0)
   }
 
   test("hot-bucket skew cap: mass-identical docs can't square the LSH band joins") {

@@ -631,4 +631,46 @@ class PlanSpec extends SparkSpec {
     assert(bulky.isEmpty, s"vectors must never shuffle: $bulky")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("round-8 ops: ledoitWolf pair equi-join, bookSnapshotFold keyed, containment probe equi-joins") {
+    // ledoitWolfCovariance: the pair frame must ride the bucket
+    // equi-join (the correlationMatrix discipline); N/T are driver
+    // scalars so NO one-row crossJoin reaches the plan either
+    val series = (0 until 100).flatMap(t => Seq(
+      ("A", t.toLong, 1.0 * t), ("B", t.toLong, 2.0 * t), ("C", t.toLong, 100.0 - t)))
+      .toDF("k", "t", "v")
+    val lw = planOf(graft.operators.Relational.ledoitWolfCovariance(
+      series, "k", "t", "v", scale = 1e4, pairScale = 1e4))
+    assert(!lw.contains("CartesianProduct") && !lw.contains("BroadcastNestedLoopJoin"),
+      s"pair products must equi-join on the bucket:\n${lw.take(1500)}")
+    // bookSnapshotFold: probe and as-of stages stay keyed
+    import graft.operators.MarketIncremental
+    val cfg = MarketIncremental.BookCfg(Seq("k"), "ts", "side", "price",
+      "amount", "t", stepUs = 40L, nLevels = 2)
+    val deltas = (0 until 200).map(i =>
+      ("s" + (i % 2), i.toLong, if (i % 2 == 0) "bid" else "ask",
+        (i % 9 + 1).toDouble, (i % 5).toDouble))
+      .toDF("k", "t", "side", "price", "amount")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val (snaps, _, _) = MarketIncremental.bookSnapshotFold(
+      MarketIncremental.emptyBook(spark, cfg),
+      MarketIncremental.emptyBookCursor(spark, cfg), deltas, cfg)
+    val bf = planOf(snaps)
+    assert(!bf.contains("CartesianProduct") && !bf.contains("BroadcastNestedLoopJoin"),
+      s"the fold's probe/as-of must stay keyed:\n${bf.take(1500)}")
+    // containmentAgainstIndex: both probe directions are shingle-hash
+    // equi-joins against the persisted postings
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_ct").toString
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (0 until 30).map(j => s"w${(i * 7 + j) % 41}").mkString(" ")))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeContainmentIndex(docs, "text", "doc_id", dir)
+    val probe = (100 until 110).map(i =>
+      (i.toLong, (0 until 20).map(j => s"w${(i * 5 + j) % 41}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cp = planOf(graft.operators.Dedup.containmentAgainstIndex(
+      spark, dir, probe, "text", "doc_id", cache = false))
+    assert(!cp.contains("CartesianProduct") && !cp.contains("BroadcastNestedLoopJoin"),
+      s"the incremental probe must equi-join on h:\n${cp.take(1500)}")
+  }
 }

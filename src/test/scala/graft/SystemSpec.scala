@@ -633,6 +633,56 @@ class SystemSpec extends SparkSpec {
     assert(graft.operators.Dedup.committedBatches(spark, idx).sorted == Seq("0", "1"))
   }
 
+  test("streaming containment dedup end-to-end: excerpts drop, twins keep lower id, checkpoint resume, compaction-stable") {
+    // OpsSpec pins the index/probe algebra; this proves the WIRING — a
+    // real writeStream.foreachBatch driving incrementalContainmentBatch
+    // with the streaming batch id, cross-batch excerpt dropping after
+    // checkpoint resume, and probes surviving a compaction
+    val in = tmp()
+    val idx = tmp() + "/ctidx"
+    val ckpt = tmp() + "/ckpt"
+    val sch = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    def article(seed: Int) = (0 until 40).map(i => s"a${seed}w$i").mkString(" ")
+    def excerpt(seed: Int) = (5 until 16).map(i => s"a${seed}w$i").mkString(" ")
+    def runOnce(): Seq[Long] = {
+      val kept = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.schema(sch).json(in)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          StreamingPipelines.incrementalContainmentBatch(spark, idx, b.toDF(),
+              "text", "doc_id", batchId = id.toString)
+            .select("doc_id").collect().foreach(r => kept.add(r.getLong(0)))
+        }
+        .start()
+      q.awaitTermination(120000)
+      kept.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted.toSeq
+    }
+    def drop(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(in, name),
+        rows.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }
+          .mkString("\n"))
+    // batch 0: article 1, its excerpt (in-batch contained → drops),
+    // independent article 3
+    drop("b0.json", Seq((1L, article(1)), (2L, excerpt(1)), (3L, article(3))))
+    assert(runOnce() == Seq(1L, 3L), "in-batch excerpt must drop")
+    assert(graft.operators.Dedup.committedBatches(spark, idx) == Seq("0"))
+    // batch 1 on the SAME checkpoint: an excerpt of the INDEXED article
+    // drops via the probe; near-equal twins keep the lower id
+    drop("b1.json", Seq((10L, excerpt(3)), (11L, article(7)), (12L, article(7))))
+    assert(runOnce() == Seq(11L), "indexed-article excerpt + twin must drop on resume")
+    assert(graft.operators.Dedup.committedBatches(spark, idx).sorted == Seq("0", "1"))
+    // nothing new → no batch, no index growth
+    assert(runOnce() == Seq.empty)
+    assert(graft.operators.Dedup.committedBatches(spark, idx).sorted == Seq("0", "1"))
+    // compaction keeps the loop behavior identical
+    assert(graft.operators.Dedup.compactContainmentIndex(spark, idx) == 2)
+    drop("b2.json", Seq((20L, excerpt(7)), (21L, article(9))))
+    assert(runOnce() == Seq(21L), "post-compaction probe must still drop excerpts")
+  }
+
   test("streaming market tick end-to-end: foreachBatch wiring, incremental = batch, replay no-op") {
     // the OpsSpec test drives the pure merges; this one proves the
     // WIRING: a real writeStream.foreachBatch feeding marketTickBatch
