@@ -377,6 +377,101 @@ object Queries {
              round(mu, 6) AS mu
       FROM ds ORDER BY key_a, key_b"""))
 
+  // Constant-correlation Ledoit–Wolf ("Honey, I Shrunk the Sample
+  // Covariance Matrix", 2003) over the same panel — variances stay,
+  // correlations shrink toward r̄. The θ third-moment numerators ride a
+  // 3-way bucket equi-join on the SAME µ-quantized z layer; the
+  // cross-pair scalar reductions (r̄, π̂, ρ̂, γ̂) are level-3 quantized
+  // (⌊term·10⁶⌋ HUGEINT sums — order-free) and κ = (π̂q − ρ̂q)/γ̂q lets
+  // the termScale cancel. The whole intensity derivation is replayed.
+  private val qLedoitWolfCc = QDef(
+    "q_ledoit_wolf_cc",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("mean_v"))
+      Relational.ledoitWolfConstCorr(hourly, "event_type", "bucket",
+        "mean_v", scale = 1e4, pairScale = 1e2, termScale = 1e6)
+    },
+    Some("""
+      WITH h0 AS MATERIALIZED (
+        SELECT event_type AS k, date_trunc('hour', ts) AS t,
+               CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1e4) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2),
+      h AS MATERIALIZED (SELECT * FROM h0 WHERE v IS NOT NULL),
+      nk AS MATERIALIZED (SELECT COUNT(DISTINCT k) AS nn FROM h),
+      b AS MATERIALIZED (SELECT t FROM h GROUP BY t HAVING COUNT(*) = (SELECT nn FROM nk)),
+      g AS MATERIALIZED (SELECT (SELECT nn FROM nk) AS nn, COUNT(*) AS tt FROM b),
+      s AS MATERIALIZED (SELECT k, CAST(SUM(v) AS BIGINT) AS sk
+            FROM h JOIN b USING (t) GROUP BY k),
+      c AS MATERIALIZED (SELECT h.k, h.t, (SELECT tt FROM g) * h.v - s.sk AS c
+            FROM h JOIN b USING (t) JOIN s ON h.k = s.k),
+      z AS MATERIALIZED (SELECT x.k AS key_a, y.k AS key_b, x.t AS t,
+                   CAST(floor((CAST(x.c AS DOUBLE) / (CAST((SELECT tt FROM g) AS DOUBLE) * 1e4))
+                            * (CAST(y.c AS DOUBLE) / (CAST((SELECT tt FROM g) AS DOUBLE) * 1e4))
+                            * 1e2) AS BIGINT) AS z
+            FROM c x JOIN c y ON x.t = y.t AND x.k <= y.k),
+      z3 AS MATERIALIZED (SELECT p.key_a, p.key_b, p.z, da.z AS zaa, db.z AS zbb
+             FROM z p
+             JOIN z da ON da.key_a = p.key_a AND da.key_b = p.key_a AND da.t = p.t
+             JOIN z db ON db.key_a = p.key_b AND db.key_b = p.key_b AND db.t = p.t),
+      pa AS MATERIALIZED (SELECT key_a, key_b,
+                    CAST(SUM(z) AS BIGINT) AS w,
+                    SUM(CAST(z AS HUGEINT) * z) AS w2,
+                    SUM(CAST(zaa AS HUGEINT) * z) AS ca,
+                    SUM(CAST(zbb AS HUGEINT) * z) AS cb
+             FROM z3 GROUP BY 1, 2),
+      dg AS MATERIALIZED (SELECT key_a AS dk, w AS wd,
+                    CAST(w AS DOUBLE) / (CAST((SELECT tt FROM g) AS DOUBLE) * 1e2) AS sd
+             FROM pa WHERE key_a = key_b),
+      q AS MATERIALIZED (SELECT pa.key_a, pa.key_b, pa.w, pa.w2, pa.ca, pa.cb,
+                   da.wd AS wda, da.sd AS sa, db.wd AS wdb, db.sd AS sb,
+                   CAST(pa.w AS DOUBLE) / (CAST((SELECT tt FROM g) AS DOUBLE) * 1e2) AS sab,
+                   CAST((SELECT tt FROM g) * pa.w2 - CAST(pa.w AS HUGEINT) * pa.w AS DOUBLE)
+                     / ((CAST((SELECT tt FROM g) AS DOUBLE) * 1e2) * (CAST((SELECT tt FROM g) AS DOUBLE) * 1e2)) AS pi,
+                   CAST((SELECT tt FROM g) * pa.ca - CAST(da.wd AS HUGEINT) * pa.w AS DOUBLE)
+                     / ((CAST((SELECT tt FROM g) AS DOUBLE) * 1e2) * (CAST((SELECT tt FROM g) AS DOUBLE) * 1e2)) AS tha,
+                   CAST((SELECT tt FROM g) * pa.cb - CAST(db.wd AS HUGEINT) * pa.w AS DOUBLE)
+                     / ((CAST((SELECT tt FROM g) AS DOUBLE) * 1e2) * (CAST((SELECT tt FROM g) AS DOUBLE) * 1e2)) AS thb
+            FROM pa JOIN dg da ON da.dk = pa.key_a JOIN dg db ON db.dk = pa.key_b),
+      rbarq AS MATERIALIZED (SELECT COALESCE(SUM(CASE WHEN key_a <> key_b AND sa > 0 AND sb > 0
+                  THEN CAST(floor(sab / sqrt(sa * sb) * 1e6) AS HUGEINT)
+                  ELSE 0 END), 0) AS rq FROM q),
+      rb AS MATERIALIZED (SELECT CASE WHEN (SELECT nn FROM g) >= 2
+               THEN (CAST((SELECT rq FROM rbarq) AS DOUBLE) / 1e6) * 2.0
+                    / (CAST((SELECT nn FROM g) AS DOUBLE) * CAST((SELECT nn FROM g) - 1 AS DOUBLE))
+               ELSE 0.0 END AS rbar),
+      q2 AS MATERIALIZED (SELECT q.*, (SELECT rbar FROM rb) AS rbar,
+                    CASE WHEN sa > 0 AND sb > 0
+                         THEN (SELECT rbar FROM rb) * sqrt(sa * sb) ELSE 0.0 END AS f
+             FROM q),
+      gl AS MATERIALIZED (SELECT
+               SUM(CAST(floor(pi * 1e6) AS HUGEINT)
+                   * (CASE WHEN key_a = key_b THEN 1 ELSE 2 END)) AS piq,
+               SUM(CASE WHEN key_a = key_b THEN CAST(floor(pi * 1e6) AS HUGEINT)
+                        WHEN sa > 0 AND sb > 0
+                        THEN CAST(floor(rbar * (sqrt(sb / sa) * tha + sqrt(sa / sb) * thb) * 1e6) AS HUGEINT)
+                        ELSE 0 END) AS rhoq,
+               COALESCE(SUM(CASE WHEN key_a <> key_b
+                 THEN CAST(floor((f - sab) * (f - sab) * 1e6) AS HUGEINT) * 2
+                 ELSE 0 END), 0) AS gamq
+             FROM q2),
+      dl AS MATERIALIZED (SELECT CASE WHEN (SELECT gamq FROM gl) > 0
+               THEN greatest(0.0, least(1.0,
+                 CAST((SELECT piq FROM gl) - (SELECT rhoq FROM gl) AS DOUBLE)
+                   / CAST((SELECT gamq FROM gl) AS DOUBLE)
+                   / CAST((SELECT tt FROM g) AS DOUBLE)))
+               ELSE 0.0 END AS delta)
+      SELECT key_a, key_b, (SELECT tt FROM g) AS n,
+             round(sab, 6) AS cov,
+             round((1.0 - (SELECT delta FROM dl)) * sab + (SELECT delta FROM dl) *
+                   (CASE WHEN key_a = key_b THEN sa
+                         WHEN sa > 0 AND sb > 0 THEN rbar * sqrt(sa * sb)
+                         ELSE 0.0 END), 6) AS shrunk_cov,
+             round((SELECT delta FROM dl), 6) AS shrinkage,
+             round(rbar, 6) AS r_bar
+      FROM q2 ORDER BY key_a, key_b"""))
+
   /** Shared oracle CTE chain for the rolling moment queries: hourly mean
     * series per event type, pair join, ⌊·10⁴⌋ quantization, and the five
     * exact-integer 24-row window sums (q_rolling_corr / q_rolling_beta
@@ -4924,6 +5019,6 @@ object Queries {
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination,
     qVpin, qJumpVol, qVarianceRatio, qContainment, qContainmentIncremental,
     qRollSpread, qAmihud, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
-    qEventStudy, qSeasonality, qWinsorize, qLedoitWolf
+    qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc
   )
 }

@@ -750,9 +750,14 @@ object Relational {
     * every `key_a ≤ key_b` (diagonal included); `shrinkage`/`mu` are
     * matrix-level constants repeated per row. Covariances are the
     * BIASED (/T) sample moments, the LW-paper normalization. */
-  def ledoitWolfCovariance(df: DataFrame, keyCol: String, tsCol: String,
-                           valueCol: String, scale: Double = 1e6,
-                           pairScale: Double = 1e6): DataFrame = {
+  /** Shared complete-case panel → level-2-quantized pair-product frame
+    * for the Ledoit–Wolf family: returns `(N, T, pzt)` with `pzt` =
+    * `(key_a ≤ key_b, _t, _z)`, one µ-quantized centered pair product
+    * per complete bucket (diagonal pairs included). See
+    * [[ledoitWolfCovariance]] for the full contract. */
+  private def lwPanelZ(df: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, scale: Double,
+                       pairScale: Double): (Long, Long, DataFrame) = {
     require(pairScale > 0.0, s"pairScale must be positive, got $pairScale")
     val base = quantizedBase(df, keyCol, tsCol, valueCol, scale)
     // N (series count) and T (complete buckets) are collected as driver
@@ -780,13 +785,20 @@ object Relational {
     val cy = centered.select(col("_k").as("key_b"), col("_t").as("_tb"),
       col("_c").as("_cb"))
     val ts = lit(tL.toDouble * scale)
-    val pz = cx.join(cy,
+    val pzt = cx.join(cy,
         col("_ta") === col("_tb") && col("key_a") <= col("key_b"))
-      .select(col("key_a"), col("key_b"),
+      .select(col("key_a"), col("key_b"), col("_ta").as("_t"),
         floor((col("_ca").cast("double") / ts) *
           (col("_cb").cast("double") / ts) * lit(pairScale))
           .cast("long").as("_z"))
-    val pa = pz.groupBy(col("key_a"), col("key_b")).agg(
+    (nL, tL, pzt)
+  }
+
+  def ledoitWolfCovariance(df: DataFrame, keyCol: String, tsCol: String,
+                           valueCol: String, scale: Double = 1e6,
+                           pairScale: Double = 1e6): DataFrame = {
+    val (nL, tL, pzt) = lwPanelZ(df, keyCol, tsCol, valueCol, scale, pairScale)
+    val pa = pzt.groupBy(col("key_a"), col("key_b")).agg(
         sum(col("_z")).as("_w"), sum(col("_z") * col("_z")).as("_w2"))
       .localCheckpoint(true) // materialized once; two consumers below
     // The matrix-level Frobenius reductions run on the DRIVER in exact
@@ -823,6 +835,126 @@ object Relational {
           .as("shrunk_cov"),
         round(lit(sh), 6).as("shrinkage"),
         round(lit(mu), 6).as("mu"))
+      .orderBy("key_a", "key_b")
+  }
+
+  /** Ledoit–Wolf shrinkage toward the CONSTANT-CORRELATION target —
+    * "Honey, I Shrunk the Sample Covariance Matrix" (Ledoit & Wolf
+    * 2003, J. Portfolio Management 30(4)): the target keeps every
+    * sample variance and replaces every correlation with the average
+    * correlation r̄ (`f_ii = s_ii`, `f_ij = r̄·√(s_ii s_jj)`), and the
+    * optimal intensity is `δ = max(0, min(1, κ/T))` with
+    * `κ = (π̂ − ρ̂)/γ̂`: π̂ the summed asymptotic variances of the s_ij
+    * (the [[ledoitWolfCovariance]] β numerators), γ̂ the squared
+    * target distance, and ρ̂ the covariance between the estimation
+    * errors of S and of the target — which needs the THIRD-order
+    * moments `θ_ii,ij = (1/T)Σ_t (y_i² − s_ii)(y_i y_j − s_ij)`. The
+    * finance-standard variant: variances stay honest, only the noisy
+    * correlation structure shrinks.
+    *
+    * Determinism: the [[ledoitWolfCovariance]] two-level quantizer plus
+    * a THIRD level for the scalar reductions. Level 2's µ-quantized
+    * pair products keep their bucket key, so `Σ z_aa·z_ab` /
+    * `Σ z_bb·z_ab` (the θ numerators) are exact BIGINT sums off one
+    * 3-way bucket equi-join; the per-pair scalar terms (r_ab, π_ab,
+    * ρ-term, γ-term) then derive in fixed double trees and quantize to
+    * `⌊term·termScale⌋` BigInts, so the cross-pair Σ for r̄/π̂/ρ̂/γ̂ is
+    * order-free (the CAR-cumulation doctrine; κ = (π̂q − ρ̂q)/γ̂q — the
+    * termScale cancels). A zero-variance leg contributes r_ab = 0 and
+    * no ρ/γ mass (pinned in the spec). Overflow contract: level 1/2 as
+    * [[ledoitWolfCovariance]] plus `T·(pairScale·max|y_c y_c|)² < 2⁶³`
+    * for the z products, and per-pair |term|·termScale within double's
+    * exact-integer range for faithful level-3 precision.
+    *
+    * Scale shape: [[lwPanelZ]]'s bucket equi-join, one 3-way bucket
+    * equi-join onto the DIAGONAL z rows (skinny: N·T rows broadcast
+    * side), moment aggs onto pair keys, driver BigInt folds over
+    * ≤ N(N+1)/2 collected rows. Returns
+    * `(key_a, key_b, n, cov, shrunk_cov, shrinkage, r_bar)`. */
+  def ledoitWolfConstCorr(df: DataFrame, keyCol: String, tsCol: String,
+                          valueCol: String, scale: Double = 1e6,
+                          pairScale: Double = 1e6,
+                          termScale: Double = 1e6): DataFrame = {
+    require(termScale > 0.0, s"termScale must be positive, got $termScale")
+    val spark = df.sparkSession
+    val (nL, tL, pzt0) = lwPanelZ(df, keyCol, tsCol, valueCol, scale, pairScale)
+    val pzt = pzt0.localCheckpoint(true) // pair rows + two diagonal probes
+    val dzA = pzt.where(col("key_a") === col("key_b"))
+      .select(col("key_a").as("_ka"), col("_t").as("_taa"), col("_z").as("_zaa"))
+    val dzB = pzt.where(col("key_a") === col("key_b"))
+      .select(col("key_b").as("_kb"), col("_t").as("_tbb"), col("_z").as("_zbb"))
+    val pa = pzt
+      .join(broadcast(dzA),
+        col("_ka") === col("key_a") && col("_taa") === col("_t"))
+      .join(broadcast(dzB),
+        col("_kb") === col("key_b") && col("_tbb") === col("_t"))
+      .groupBy(col("key_a"), col("key_b")).agg(
+        sum(col("_z")).as("_w"),
+        sum(col("_z") * col("_z")).as("_w2"),
+        sum(col("_zaa") * col("_z")).as("_ca"),
+        sum(col("_zbb") * col("_z")).as("_cb"))
+      .collect()
+    val tD = tL.toDouble
+    val den = tD * pairScale
+    val den2 = den * den
+    def q(x: Double): BigInt =
+      BigDecimal.valueOf(math.floor(x * termScale)).toBigInt
+    val diagW: Map[String, BigInt] = pa.toSeq
+      .filter(r => r.getAs[String]("key_a") == r.getAs[String]("key_b"))
+      .map(r => r.getAs[String]("key_a") -> BigInt(r.getAs[Long]("_w")))
+      .toMap
+    val sDiag: Map[String, Double] =
+      diagW.map { case (k, w) => k -> w.doubleValue / den }
+    final case class P(a: String, b: String, w: BigInt, w2: BigInt,
+                       ca: BigInt, cb: BigInt) {
+      val s: Double = w.doubleValue / den
+      val pi: Double = (BigInt(tL) * w2 - w * w).doubleValue / den2
+      def thA: Double = (BigInt(tL) * ca - diagW(a) * w).doubleValue / den2
+      def thB: Double = (BigInt(tL) * cb - diagW(b) * w).doubleValue / den2
+    }
+    val ps: Seq[P] = pa.toSeq.map(r => P(r.getAs[String]("key_a"),
+      r.getAs[String]("key_b"), BigInt(r.getAs[Long]("_w")),
+      BigInt(r.getAs[Long]("_w2")), BigInt(r.getAs[Long]("_ca")),
+      BigInt(r.getAs[Long]("_cb"))))
+    def ok(p: P): Boolean = sDiag(p.a) > 0.0 && sDiag(p.b) > 0.0
+    val off = ps.filter(p => p.a != p.b)
+    // r̄ — level-3 quantized cross-pair sum (order-free)
+    val rbarQ = off.map(p =>
+      if (ok(p)) q(p.s / math.sqrt(sDiag(p.a) * sDiag(p.b))) else BigInt(0)).sum
+    val rbar =
+      if (nL >= 2) (rbarQ.doubleValue / termScale) * 2.0 / (nL.toDouble * (nL - 1).toDouble)
+      else 0.0
+    val piQ = ps.map(p => q(p.pi) * (if (p.a == p.b) 1 else 2)).sum
+    val rhoQ = ps.filter(p => p.a == p.b).map(p => q(p.pi)).sum +
+      off.map { p =>
+        if (!ok(p)) BigInt(0)
+        else q(rbar * (math.sqrt(sDiag(p.b) / sDiag(p.a)) * p.thA +
+          math.sqrt(sDiag(p.a) / sDiag(p.b)) * p.thB))
+      }.sum
+    val gamQ = off.map { p =>
+      val f = if (ok(p)) rbar * math.sqrt(sDiag(p.a) * sDiag(p.b)) else 0.0
+      val d = f - p.s
+      q(d * d) * 2
+    }.sum
+    val delta =
+      if (gamQ > 0)
+        math.max(0.0, math.min(1.0,
+          (piQ - rhoQ).doubleValue / gamQ.doubleValue / tD))
+      else 0.0
+    val out = ps.sortBy(p => (p.a, p.b)).map { p =>
+      val f =
+        if (p.a == p.b) sDiag(p.a)
+        else if (ok(p)) rbar * math.sqrt(sDiag(p.a) * sDiag(p.b))
+        else 0.0
+      (p.a, p.b, tL, p.s, (1.0 - delta) * p.s + delta * f, delta, rbar)
+    }
+    import spark.implicits._
+    out.toDF("key_a", "key_b", "n", "cov", "shrunk_cov", "shrinkage", "r_bar")
+      .select(col("key_a"), col("key_b"), col("n"),
+        round(col("cov"), 6).as("cov"),
+        round(col("shrunk_cov"), 6).as("shrunk_cov"),
+        round(col("shrinkage"), 6).as("shrinkage"),
+        round(col("r_bar"), 6).as("r_bar"))
       .orderBy("key_a", "key_b")
   }
 

@@ -2623,6 +2623,52 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(out(("A", "B"))._3) < math.abs(out(("A", "B"))._2))
   }
 
+  test("ledoitWolfConstCorr: matches the plain LW-2003 formula, variances preserved, complete-case") {
+    val xs = Map("A" -> Seq(1.0, 2.0, 4.0, 8.0, 3.0),
+      "B" -> Seq(1.0, 3.0, 9.0, 27.0, 6.0), "C" -> Seq(5.0, 1.0, 6.0, 2.0, 4.0))
+    val rows = xs.toSeq.flatMap { case (k, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (k, (i + 1).toLong, v) }
+    } ++ Seq(("A", 9L, 500.0), ("B", 9L, -500.0)) // incomplete bucket drops
+    val out = Relational.ledoitWolfConstCorr(rows.toDF("k", "t", "v"),
+        "k", "t", "v", scale = 1e6, pairScale = 1e6, termScale = 1e9)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    assert(out.size == 6 && out.values.forall(_._1 == 5L))
+    // plain-double LW-2003 reference
+    val t5 = 5.0
+    val cent = xs.map { case (k, vs) => k -> vs.map(_ - vs.sum / t5) }
+    def s(a: String, b: String) =
+      cent(a).zip(cent(b)).map { case (x, y) => x * y }.sum / t5
+    val keys = Seq("A", "B", "C")
+    val offs = for (a <- keys; b <- keys if a < b) yield (a, b)
+    val rbar = offs.map { case (a, b) =>
+      s(a, b) / math.sqrt(s(a, a) * s(b, b)) }.sum * 2.0 / (3.0 * 2.0)
+    def pi(a: String, b: String) = cent(a).zip(cent(b)).map { case (x, y) =>
+      val e = x * y - s(a, b); e * e }.sum / t5
+    def th(a: String, b: String) = cent(a).zip(cent(b)).map { case (x, y) =>
+      (x * x - s(a, a)) * (x * y - s(a, b)) }.sum / t5
+    val piHat = (keys.map(k => pi(k, k)) ++ offs.map { case (a, b) => 2 * pi(a, b) }).sum
+    val rhoHat = keys.map(k => pi(k, k)).sum + offs.map { case (a, b) =>
+      rbar * (math.sqrt(s(b, b) / s(a, a)) * th(a, b) +
+        math.sqrt(s(a, a) / s(b, b)) * th(b, a)) }.sum
+    val gamHat = offs.map { case (a, b) =>
+      val d = rbar * math.sqrt(s(a, a) * s(b, b)) - s(a, b); 2 * d * d }.sum
+    val delta = math.max(0.0, math.min(1.0, (piHat - rhoHat) / gamHat / t5))
+    assert(delta > 0.0 && delta < 1.0, s"fixture must shrink strictly, got $delta")
+    out.foreach { case ((a, b), (_, cov, shrunk, sh, rb)) =>
+      assert(math.abs(cov - s(a, b)) < 1e-4, s"cov($a,$b): $cov vs ${s(a, b)}")
+      assert(math.abs(sh - delta) < 1e-4, s"shrinkage: $sh vs $delta")
+      assert(math.abs(rb - rbar) < 1e-4, s"r_bar: $rb vs $rbar")
+      val f = if (a == b) s(a, a) else rbar * math.sqrt(s(a, a) * s(b, b))
+      val want = (1.0 - delta) * s(a, b) + delta * f
+      assert(math.abs(shrunk - want) < 1e-4, s"shrunk($a,$b): $shrunk vs $want")
+    }
+    // the CC target preserves variances exactly: diagonal shrunk == cov
+    keys.foreach(k => assert(out((k, k))._2 == out((k, k))._3,
+      s"diagonal must not shrink: ${out((k, k))}"))
+  }
+
   test("rollingCorr: warm-up nulls, ±1 closed forms, pairwise null exclusion, zero-variance null") {
     import org.apache.spark.sql.expressions.Window
     val rows =
