@@ -922,6 +922,64 @@ object Queries {
              CAST(CAST(SUM(term_fp) AS BIGINT) AS DOUBLE) / 1e9 AS psi
       FROM terms GROUP BY 1, 2, 3 ORDER BY event_type"""))
 
+  // The STREAMING drift monitor under the same oracle: anchor the
+  // reference histogram (write→commit), land the current slice as two
+  // committed micro-batches split by event-id parity, and read the
+  // incremental PSI — which must equal one-shot psiDrift over the union
+  // (shared bucket + smoothing trees), i.e. exactly what the q_psi_drift
+  // oracle computes relationally. The per-run temp index exercises the
+  // real atomic-commit cycle, like q_neardup_incremental.
+  private val qDriftMonitor = QDef(
+    "q_drift_monitor",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val cut = to_timestamp(lit("2024-01-15"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_qdrift").toString + "/idx"
+      operators.DriftMonitor.writeDriftReference(
+        e.filter(col("ts") < cut), Seq("event_type"), "value", idx, bins = 10)
+      val cur = e.filter(col("ts") >= cut)
+      operators.DriftMonitor.driftBatch(cur.filter(col("event_id") % 2 === 0),
+        Seq("event_type"), "value", idx, batchId = "0", bins = 10)
+      operators.DriftMonitor.driftBatch(cur.filter(col("event_id") % 2 === 1),
+        Seq("event_type"), "value", idx, batchId = "1", bins = 10)
+      operators.DriftMonitor.driftPsi(s, idx, Seq("event_type"), bins = 10)
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v,
+                        (ts < TIMESTAMP '2024-01-15') AS is_ref
+                 FROM events WHERE value IS NOT NULL),
+      b AS (SELECT event_type, min(v) AS mn, max(v) AS mx
+            FROM e WHERE is_ref GROUP BY 1),
+      c0 AS (SELECT e.event_type,
+                    CASE WHEN b.mx = b.mn THEN 0
+                         ELSE GREATEST(0, LEAST(9,
+                           CAST(floor((e.v - b.mn) / ((b.mx - b.mn) / 10.0)) AS BIGINT)))
+                    END AS bin,
+                    CAST(COUNT(CASE WHEN e.is_ref THEN 1 END) AS BIGINT) AS c_ref,
+                    CAST(COUNT(CASE WHEN NOT e.is_ref THEN 1 END) AS BIGINT) AS c_cur
+             FROM e JOIN b USING (event_type) GROUP BY 1, 2),
+      g AS (SELECT b.event_type, gg.bin FROM b
+            CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) gg),
+      cells AS (SELECT g.event_type, g.bin,
+                       COALESCE(c0.c_ref, 0) AS c_ref, COALESCE(c0.c_cur, 0) AS c_cur
+                FROM g LEFT JOIN c0 ON g.event_type = c0.event_type AND g.bin = c0.bin),
+      tot AS (SELECT event_type, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                     CAST(SUM(c_cur) AS BIGINT) AS n_cur
+              FROM cells GROUP BY 1),
+      terms AS (SELECT cells.event_type, tot.n_ref, tot.n_cur,
+                       CAST(round(
+                         ((CAST(c_cur AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 5.0)
+                          - (CAST(c_ref AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 5.0))
+                         * ln(((CAST(c_cur AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 5.0))
+                              / ((CAST(c_ref AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 5.0)))
+                         * 1e9) AS BIGINT) AS term_fp
+                FROM cells JOIN tot USING (event_type))
+      SELECT event_type, n_ref, n_cur,
+             CAST(CAST(SUM(term_fp) AS BIGINT) AS DOUBLE) / 1e9 AS psi
+      FROM terms GROUP BY 1, 2, 3 ORDER BY event_type"""))
+
   // Per-series autocorrelation at hourly lags 1..3 — momentum/mean-
   // reversion structure per event type; same exact-integer moment
   // machinery as q_correlation, self-paired on the shifted hour index.
@@ -1096,6 +1154,203 @@ object Queries {
                                     / (3.0 * CAST(q AS DOUBLE)
                                        * CAST(n1 AS DOUBLE))), 6) END AS z
       FROM v ORDER BY key, q"""))
+
+  // Hurst exponent via aggregated variance (Taqqu et al. 1995) on the
+  // hourly panel — block sums of exact quantized increments, per-leg
+  // variance quantized to ⌊·10⁶⌋ before ln (both engines ln the SAME
+  // double), level-3 quantized log–log OLS terms so the per-key fit is
+  // order-free. The whole slope derivation replays below.
+  private val qHurst = QDef(
+    "q_hurst",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.hurstExponent(h, "event_type", "hb", "v",
+        ms = Seq(1, 2, 4, 8), scale = 1e4)
+    },
+    Some("""
+      WITH h0 AS MATERIALIZED (SELECT event_type AS k,
+                        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      h AS MATERIALIZED (SELECT * FROM h0 WHERE v IS NOT NULL),
+      d AS MATERIALIZED (SELECT x.k AS key, y.hb AS t, y.v - x.v AS dd
+            FROM h x JOIN h y ON y.k = x.k AND y.hb = x.hb + 1),
+      l AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS m),
+      blk AS MATERIALIZED (SELECT key, m, t // m AS b, COUNT(*) AS cnt,
+                    CAST(SUM(dd) AS BIGINT) AS bs
+            FROM d CROSS JOIN l GROUP BY 1, 2, 3 HAVING COUNT(*) = m),
+      legs AS MATERIALIZED (SELECT key, m, COUNT(*) AS n,
+                    CAST(SUM(bs) AS BIGINT) AS s1,
+                    CAST(SUM(bs * bs) AS BIGINT) AS s2
+            FROM blk GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      vv AS MATERIALIZED (SELECT key, m, n,
+                   CAST(floor((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                              / 1e8 * 1e6) AS BIGINT) AS vq
+            FROM legs),
+      vz AS MATERIALIZED (SELECT key, m, n, CAST(vq AS DOUBLE) / 1e6 AS var_m
+            FROM vv WHERE vq > 0),
+      terms AS MATERIALIZED (SELECT key, m, n, var_m,
+                   CAST(floor(ln(CAST(m AS DOUBLE)) * 1e9) AS BIGINT) AS xq,
+                   CAST(floor(ln(var_m) * 1e9) AS BIGINT) AS yq,
+                   CAST(floor(ln(CAST(m AS DOUBLE)) * ln(var_m) * 1e9) AS BIGINT) AS xyq,
+                   CAST(floor(ln(CAST(m AS DOUBLE)) * ln(CAST(m AS DOUBLE)) * 1e9) AS BIGINT) AS xxq
+            FROM vz),
+      fit AS MATERIALIZED (SELECT key, CAST(COUNT(*) AS DOUBLE) AS ns,
+                   CAST(SUM(xq) AS DOUBLE) / 1e9 AS sx,
+                   CAST(SUM(yq) AS DOUBLE) / 1e9 AS sy,
+                   CAST(SUM(xyq) AS DOUBLE) / 1e9 AS sxy,
+                   CAST(SUM(xxq) AS DOUBLE) / 1e9 AS sxx
+            FROM terms GROUP BY 1)
+      SELECT t.key, t.m, t.n AS n_blocks, round(t.var_m, 6) AS var_m,
+             CAST(f.ns AS BIGINT) AS n_scales,
+             CASE WHEN f.ns >= 2 AND f.ns * f.sxx - f.sx * f.sx > 0
+                  THEN round((f.ns * f.sxy - f.sx * f.sy)
+                             / (f.ns * f.sxx - f.sx * f.sx) / 2.0, 6)
+             END AS hurst
+      FROM terms t JOIN fit f ON f.key = t.key
+      ORDER BY t.key, t.m"""))
+
+  // AR(1) mean-reversion half-life (the discretized OU exit horizon) on
+  // the hourly panel — the Dickey–Fuller regression Δv on v_{t−1} from
+  // exact integer moment sums, ln 2 interpolated from the JVM.
+  private val qHalfLife = QDef(
+    "q_half_life",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.arHalfLife(h, "event_type", "hb", "v", scale = 1e4)
+    },
+    Some(s"""
+      WITH h0 AS MATERIALIZED (SELECT event_type AS k,
+                        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      h AS MATERIALIZED (SELECT * FROM h0 WHERE v IS NOT NULL),
+      p AS MATERIALIZED (SELECT x.k AS key, x.v AS xi, y.v - x.v AS yi
+            FROM h x JOIN h y ON y.k = x.k AND y.hb = x.hb + 1),
+      m AS MATERIALIZED (SELECT key, COUNT(*) AS n,
+                   CAST(SUM(xi) AS BIGINT) AS sx, CAST(SUM(yi) AS BIGINT) AS sy,
+                   CAST(SUM(xi * yi) AS BIGINT) AS sxy,
+                   CAST(SUM(xi * xi) AS BIGINT) AS sxx,
+                   CAST(SUM(yi * yi) AS BIGINT) AS syy
+            FROM p GROUP BY 1),
+      c1 AS MATERIALIZED (SELECT key, n, CAST(n AS DOUBLE) AS nd,
+                   CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                   CAST(syy AS DOUBLE) AS syyd,
+                   CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS sxxc,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
+                   CAST(sx AS DOUBLE) AS sxd
+            FROM m),
+      c2 AS MATERIALIZED (SELECT *, (syd - beta * sxd) / nd AS alpha,
+                   1.0 + beta AS phi FROM c1),
+      c3 AS MATERIALIZED (SELECT *,
+                   syyd - alpha * syd - beta * sxyd AS sse FROM c2)
+      SELECT key, n AS n_obs,
+             CASE WHEN sxxc > 0 THEN round(beta, 6) END AS beta,
+             CASE WHEN sxxc > 0 THEN round(phi, 6) END AS phi,
+             CASE WHEN sxxc > 0 AND n >= 3 AND sse > 0
+                  THEN round(beta / sqrt((sse / (nd - 2.0)) / (sxxc / nd)), 6)
+             END AS t_stat,
+             CASE WHEN sxxc > 0 AND phi > 0 AND phi < 1
+                  THEN round(${-Relational.Ln2Const} / ln(phi), 6)
+             END AS half_life
+      FROM c3 ORDER BY key"""))
+
+  // Engle–Granger two-step cointegration over hourly panel pairs —
+  // step-1 OLS hedge from exact moments, residuals re-quantized so the
+  // step-2 DF sums are exact again; the MacKinnon 5% critical value
+  // interpolates from the JVM constant.
+  private val qEgCoint = QDef(
+    "q_eg_coint",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.engleGranger(h, "event_type", "hb", "v",
+        scale = 1e4, residScale = 1e6)
+    },
+    Some(s"""
+      WITH h0 AS MATERIALIZED (SELECT event_type AS k,
+                        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      h AS MATERIALIZED (SELECT * FROM h0 WHERE v IS NOT NULL),
+      pr AS MATERIALIZED (SELECT a.k AS key_a, b.k AS key_b, a.hb AS t,
+                   a.v AS vx, b.v AS vy
+            FROM h a JOIN h b ON b.hb = a.hb AND a.k < b.k),
+      m1 AS MATERIALIZED (SELECT key_a, key_b, COUNT(*) AS n,
+                   CAST(SUM(vx) AS BIGINT) AS sx, CAST(SUM(vy) AS BIGINT) AS sy,
+                   CAST(SUM(vx * vy) AS BIGINT) AS sxy,
+                   CAST(SUM(vx * vx) AS BIGINT) AS sxx
+            FROM pr GROUP BY 1, 2),
+      cf AS MATERIALIZED (SELECT key_a, key_b, n,
+                   CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                        THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   END AS beta,
+                   CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd,
+                   CAST(n AS DOUBLE) AS nd
+            FROM m1),
+      cf2 AS MATERIALIZED (SELECT key_a, key_b, n, beta,
+                   (syd - beta * sxd) / nd AS alphaq FROM cf),
+      rs AS MATERIALIZED (SELECT p.key_a, p.key_b, p.t,
+                   CAST(floor((CAST(p.vy AS DOUBLE) - c.alphaq
+                               - c.beta * CAST(p.vx AS DOUBLE))
+                              / 1e4 * 1e6) AS BIGINT) AS e
+            FROM pr p JOIN cf2 c
+              ON c.key_a = p.key_a AND c.key_b = p.key_b
+            WHERE c.beta IS NOT NULL),
+      dfp AS MATERIALIZED (SELECT r0.key_a, r0.key_b, r0.e AS el,
+                   r1.e - r0.e AS de
+            FROM rs r0 JOIN rs r1
+              ON r1.key_a = r0.key_a AND r1.key_b = r0.key_b
+                 AND r1.t = r0.t + 1),
+      m2 AS MATERIALIZED (SELECT key_a, key_b, COUNT(*) AS ndf,
+                   CAST(SUM(el * de) AS BIGINT) AS sld,
+                   CAST(SUM(el * el) AS BIGINT) AS sll,
+                   CAST(SUM(de * de) AS BIGINT) AS sdd
+            FROM dfp GROUP BY 1, 2),
+      st AS MATERIALIZED (SELECT key_a, key_b, ndf, sld, sll, sdd,
+                   CAST(sld AS DOUBLE) / CAST(sll AS DOUBLE) AS g
+            FROM m2),
+      st2 AS MATERIALIZED (SELECT *,
+                   CAST(sdd AS DOUBLE) - g * CAST(sld AS DOUBLE) AS sse
+            FROM st),
+      fin AS MATERIALIZED (SELECT key_a, key_b, ndf,
+                   CASE WHEN sll > 0 AND ndf >= 2 AND sse > 0
+                        THEN g / sqrt((sse / (CAST(ndf AS DOUBLE) - 1.0))
+                                      / CAST(sll AS DOUBLE))
+                   END AS stat
+            FROM st2)
+      SELECT c.key_a, c.key_b, c.n AS n_obs,
+             COALESCE(f.ndf, 0) AS n_df,
+             CASE WHEN c.beta IS NOT NULL
+                  THEN round(c.alphaq / 1e4, 6) END AS alpha,
+             round(c.beta, 6) AS beta,
+             round(f.stat, 6) AS df_stat,
+             CASE WHEN f.stat IS NOT NULL
+                  THEN f.stat < ${Relational.EgCrit5Pct} END AS coint_5pct
+      FROM cf2 c LEFT JOIN fin f
+        ON f.key_a = c.key_a AND f.key_b = c.key_b
+      ORDER BY c.key_a, c.key_b"""))
 
   // Range-based realized volatility (Parkinson / Garman-Klass /
   // Rogers-Satchell) over daily bars per event type — per-bar terms as
@@ -5019,6 +5274,7 @@ object Queries {
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination,
     qVpin, qJumpVol, qVarianceRatio, qContainment, qContainmentIncremental,
     qRollSpread, qAmihud, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
-    qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc
+    qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
+    qHurst, qHalfLife, qEgCoint, qDriftMonitor
   )
 }

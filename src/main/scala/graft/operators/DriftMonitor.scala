@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming feature-drift monitor — the [[Relational.psiDrift]] PSI
+  * scorecard turned into an ingest-time loop (the reference's scheduled
+  * monitoring jobs poll batch tables; a 100 TB pipeline wants the drift
+  * score maintained INCREMENTALLY as micro-batches land, without
+  * rescanning history).
+  *
+  * Index layout at `path` (the [[Dedup.writeMinhashIndex]] atomic-commit
+  * protocol, single writer assumed):
+  *   - `bounds/`  — per-key reference `(keys…, _mn, _mx)` bin anchors
+  *   - `ref/`     — per-key reference bin counts `(keys…, bin, c_ref)`
+  *   - `cur/batch=<id>/` — one micro-batch's bin counts `(keys…, bin, c_cur)`
+  *   - `_commits/<id>`   — atomic visibility markers (`ref` = the
+  *     reference itself; anything else = a committed micro-batch)
+  *
+  * EQUIVALENCE CONTRACT (SystemSpec-pinned): after streaming batches
+  * B₁..Bₙ, [[driftPsi]] ≡ `Relational.psiDrift(ref ∪ B₁ ∪ … ∪ Bₙ)`
+  * column for column — both paths share [[Relational.equiWidthBucket]]
+  * and [[Relational.psiFromCells]], so bucketing and smoothing cannot
+  * silently diverge.
+  *
+  * Scale shape: the persisted state is keys×bins count rows per batch —
+  * BOUNDED regardless of batch size; each micro-batch pays one grouped
+  * count (map-side combined) + a broadcast of the key-sized bounds;
+  * [[driftPsi]] reads only the skinny count tables, never raw history. */
+object DriftMonitor {
+
+  private val IdPattern = "[A-Za-z0-9_-]+"
+
+  private def indexFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Batch ids whose writes are committed (marker present). */
+  def committedBatches(spark: SparkSession, path: String): Seq[String] = {
+    val fs = indexFs(spark, path)
+    val d = new org.apache.hadoop.fs.Path(s"$path/_commits")
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).filter(_.isFile).map(_.getPath.getName).toSeq
+  }
+
+  private def commit(spark: SparkSession, path: String, id: String): Unit = {
+    val fs = indexFs(spark, path)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_commits"))
+    // one atomic create = the commit point
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_commits/$id"),
+      false).close()
+  }
+
+  /** Anchor the monitor: per-key bin bounds + reference bin counts from
+    * the fit-time slice (the scorecard convention — drift is measured
+    * against where the model was fit). OVERWRITES `path`. Fails loudly
+    * on a degenerate reference (min == max — [[Relational.psiDrift]]'s
+    * guard: such a key would report ~0 drift on any shift). The
+    * reference becomes visible only with the `_commits/ref` marker, so
+    * a crash between the two table writes exposes nothing. */
+  def writeDriftReference(df: DataFrame, keys: Seq[String],
+                          valueCol: String, path: String,
+                          bins: Int = 10): Unit = {
+    require(keys.nonEmpty, "writeDriftReference needs the feature key(s)")
+    require(bins > 0, s"bins must be positive, got $bins")
+    val spark = df.sparkSession
+    val v = col(valueCol).cast("double")
+    val bounds = df.where(v.isNotNull)
+      .groupBy(keys.map(col): _*).agg(min(v).as("_mn"), max(v).as("_mx"))
+    val degenerate = bounds.where(col("_mx") === col("_mn"))
+      .select(keys.map(col): _*).limit(5).collect()
+    require(degenerate.isEmpty,
+      s"writeDriftReference: degenerate reference slice (min == max) for " +
+        s"key(s) ${degenerate.mkString(", ")} — bins cannot resolve drift " +
+        "there; widen the reference window or exclude these keys")
+    indexFs(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
+    bounds.write.parquet(s"$path/bounds")
+    val anchored = spark.read.parquet(s"$path/bounds")
+    val bucket = Relational.equiWidthBucket(v, col("_mn"), col("_mx"), bins)
+    df.where(v.isNotNull)
+      .join(broadcast(anchored), keys)
+      .groupBy(keys.map(col) :+ bucket.as("bin"): _*)
+      .agg(count(lit(1)).as("c_ref"))
+      .write.parquet(s"$path/ref")
+    commit(spark, path, "ref")
+  }
+
+  /** Count one micro-batch into the reference bins and commit the batch
+    * atomically — the `writeStream.foreachBatch` body. Idempotent per
+    * `batchId` (at-least-once delivery replays skip instead of
+    * double-counting); keys absent from the reference drop (nothing to
+    * measure against — surface them upstream, the [[Relational.psiDrift]]
+    * contract). Returns true if written, false on a replay skip. */
+  def driftBatch(batch: DataFrame, keys: Seq[String], valueCol: String,
+                 path: String, batchId: String, bins: Int = 10): Boolean = {
+    require(batchId.matches(IdPattern) && batchId != "ref",
+      s"batchId must match $IdPattern and not be 'ref', got '$batchId'")
+    val spark = batch.sparkSession
+    val committed = committedBatches(spark, path)
+    require(committed.contains("ref"),
+      s"driftBatch: no committed reference at $path — " +
+        "run writeDriftReference first")
+    if (committed.contains(batchId)) return false // replay no-op
+    val bounds = spark.read.parquet(s"$path/bounds")
+    val v = col(valueCol).cast("double")
+    val bucket = Relational.equiWidthBucket(v, col("_mn"), col("_mx"), bins)
+    batch.where(v.isNotNull)
+      .join(broadcast(bounds), keys)
+      .groupBy(keys.map(col) :+ bucket.as("bin"): _*)
+      .agg(count(lit(1)).as("c_cur"))
+      // overwrite: a torn earlier attempt of THIS batch (no marker yet)
+      // is invisible to readers and safe to rewrite
+      .write.mode("overwrite").parquet(s"$path/cur/batch=$batchId")
+    commit(spark, path, batchId)
+    true
+  }
+
+  /** PSI per key of everything streamed so far against the reference —
+    * `(keys…, n_ref, n_cur, psi)`, the [[Relational.psiDrift]] output
+    * shape. Reads ONLY the committed skinny count tables (uncommitted
+    * batch directories prune at the listing via the `batch` partition
+    * column); an empty monitor (no batches yet) reports the pure
+    * smoothing floor with `n_cur = 0`. */
+  def driftPsi(spark: SparkSession, path: String, keys: Seq[String],
+               bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val committed = committedBatches(spark, path)
+    require(committed.contains("ref"),
+      s"driftPsi: no committed reference at $path")
+    val bounds = spark.read.parquet(s"$path/bounds")
+    val ref = spark.read.parquet(s"$path/ref")
+    val batchIds = committed.filterNot(_ == "ref")
+    val grid = bounds.select(keys.map(col) :+
+      explode(sequence(lit(0L), lit(bins - 1L))).as("bin"): _*)
+    val withRef = grid.join(ref, keys :+ "bin", "left")
+    val cells =
+      if (batchIds.isEmpty)
+        withRef.select(keys.map(col) :+ col("bin") :+
+          coalesce(col("c_ref"), lit(0L)).as("c_ref") :+
+          lit(0L).as("c_cur"): _*)
+      else {
+        val cur = spark.read.parquet(s"$path/cur")
+          .filter(col("batch").cast("string").isin(batchIds: _*))
+          .groupBy(keys.map(col) :+ col("bin"): _*)
+          .agg(sum(col("c_cur")).as("c_cur"))
+        withRef.join(cur, keys :+ "bin", "left")
+          .select(keys.map(col) :+ col("bin") :+
+            coalesce(col("c_ref"), lit(0L)).as("c_ref") :+
+            coalesce(col("c_cur"), lit(0L)).as("c_cur"): _*)
+      }
+    Relational.psiFromCells(cells, keys, bins)
+  }
+}

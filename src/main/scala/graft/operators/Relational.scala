@@ -160,8 +160,8 @@ object Relational {
     * `[0, bins)`, bucket 0 when the range is degenerate — the exact
     * double tree [[histogramBy]] and [[psiDrift]] both replay in SQL
     * (keep them on ONE definition so bucketing can't silently diverge). */
-  private def equiWidthBucket(v: Column, mn: Column, mx: Column,
-                              bins: Int): Column = {
+  private[operators] def equiWidthBucket(v: Column, mn: Column, mx: Column,
+                                         bins: Int): Column = {
     val width = (mx - mn) / lit(bins.toDouble)
     when(mx === mn, lit(0L))
       .otherwise(greatest(lit(0L),
@@ -243,6 +243,16 @@ object Relational {
       .select(keys.map(col) :+ col("bin") :+
         coalesce(col("c_ref"), lit(0L)).as("c_ref") :+
         coalesce(col("c_cur"), lit(0L)).as("c_cur"): _*)
+    psiFromCells(cells, keys, bins)
+  }
+
+  /** Smoothing + fixed-point PSI fold over a dense `(keys…, bin, c_ref,
+    * c_cur)` cell grid — ONE definition shared by the batch [[psiDrift]]
+    * and the streaming [[DriftMonitor]] so the two paths are equivalent
+    * by construction (same add-½ smoothing, same `round(term·10⁹)`
+    * quantization, same exact integer sum). */
+  private[operators] def psiFromCells(cells: DataFrame, keys: Seq[String],
+                                      bins: Int): DataFrame = {
     val totals = cells.groupBy(keys.map(col): _*)
       .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))
     val pr = (col("c_ref").cast("double") + lit(0.5)) /
@@ -255,6 +265,66 @@ object Relational {
       .agg(first("n_ref").as("n_ref"), first("n_cur").as("n_cur"),
         (sum("_term_fp").cast("double") / 1e9).as("psi"))
       .orderBy(keys.map(col): _*)
+  }
+
+  /** Two-sided CUSUM changepoint detector (Page 1954, Biometrika 41) per
+    * series — the sequential mean-shift monitor that fires long before a
+    * full-window [[psiDrift]] rescore:
+    * `S⁺_t = max(0, S⁺_{t−1} + (x_t − target − slack))` and
+    * `S⁻_t = max(0, S⁻_{t−1} + (target − x_t − slack))`, alarm when
+    * either exceeds `threshold`. The max(0,·) recursion looks
+    * sequential, but reflects into pure prefix algebra:
+    * `S_t = P_t − min(0, min_{j≤t} P_j)` with `P` the running increment
+    * sum — so the whole detector is ONE cumulative-sum window + ONE
+    * running-min window per side, no driver loop, no state store.
+    *
+    * NON-RESETTING variant (the relational-friendly reading): after an
+    * alarm the statistic keeps accumulating rather than restarting at 0,
+    * so `alarm_pos/alarm_neg` mark every row in excursion; callers who
+    * want classical reset-after-alarm semantics filter to the first
+    * alarmed row per excursion downstream.
+    *
+    * Determinism: values/target/slack/threshold all quantize to
+    * `⌊·scale⌋` BIGINTs, so P, the running min, and both statistics are
+    * EXACT integers — the only doubles are the final `/scale` displays
+    * (6 dp); the alarm compares exact integers, so it can never flip
+    * cross-engine. Nulls drop before the order forms.
+    *
+    * Scale shape: both sides ride ONE series-keyed sort (two logical
+    * windows, same partitioning/ordering → one physical exchange+sort).
+    * Returns `(keys…, tsCol, tiebreakCol, value, s_pos, s_neg,
+    * alarm_pos, alarm_neg)` ordered by (keys, ts, tiebreak). */
+  def cusumDetect(df: DataFrame, keys: Seq[String], tsCol: String,
+                  valueCol: String, tiebreakCol: String, target: Double,
+                  slack: Double, threshold: Double,
+                  scale: Double = 1e6): DataFrame = {
+    require(keys.nonEmpty, "cusumDetect needs the series key(s)")
+    require(slack >= 0.0, s"slack must be >= 0, got $slack")
+    require(threshold > 0.0, s"threshold must be positive, got $threshold")
+    require(scale > 0.0, s"scale must be positive, got $scale")
+    val tq = math.floor(target * scale).toLong
+    val kq = math.floor(slack * scale).toLong
+    val hq = math.floor(threshold * scale).toLong
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreakCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val xq = floor(col(valueCol).cast("double") * scale).cast("long")
+    val base = df.where(col(valueCol).isNotNull)
+      .withColumn("_xq", xq)
+      .withColumn("_ip", col("_xq") - lit(tq) - lit(kq))
+      .withColumn("_in", lit(tq) - col("_xq") - lit(kq))
+    val scored = base
+      .withColumn("_pp", sum(col("_ip")).over(w))
+      .withColumn("_pn", sum(col("_in")).over(w))
+      .withColumn("_sp", col("_pp") - least(lit(0L), min(col("_pp")).over(w)))
+      .withColumn("_sn", col("_pn") - least(lit(0L), min(col("_pn")).over(w)))
+    scored.select(keys.map(col) ++ Seq(col(tsCol), col(tiebreakCol),
+        round(col("_xq").cast("double") / lit(scale), 6).as("value"),
+        round(col("_sp").cast("double") / lit(scale), 6).as("s_pos"),
+        round(col("_sn").cast("double") / lit(scale), 6).as("s_neg"),
+        (col("_sp") > lit(hq)).as("alarm_pos"),
+        (col("_sn") > lit(hq)).as("alarm_neg")): _*)
+      .orderBy(keys.map(col) ++ Seq(col(tsCol), col(tiebreakCol)): _*)
   }
 
   /** Robust outlier detection per group — median/MAD flagging (the
@@ -1126,6 +1196,256 @@ object Relational {
         when(var1 > 0.0, round(vr, 6)).as("vr"),
         when(var1 > 0.0 && col("_n1") > 0L, round(z, 6)).as("z"))
       .orderBy("key", "q")
+  }
+
+  /** Hurst exponent per series — the aggregated-variance estimator
+    * (Taqqu, Teverovsky & Willinger 1995, Fractals 3(4)): for each
+    * block size `m`, the increments of the level series aggregate over
+    * NON-OVERLAPPING complete blocks of m consecutive buckets, and for
+    * a self-similar process the block-sum variance grows as `m^{2H}` —
+    * so the OLS slope of `ln Var(m)` on `ln m` is `2H`. H ≈ 0.5 is a
+    * random walk, H > 0.5 long-memory persistence (trends persist),
+    * H < 0.5 anti-persistence (mean reversion) — the long-range
+    * complement to the per-horizon [[varianceRatio]] diagnostic.
+    *
+    * Contract (the correlation-family rules): `bucketCol` is an
+    * INTEGRAL bucket index; values quantize to `⌊v·scale⌋` BIGINTs, so
+    * increments (both endpoint buckets present — gaps drop the
+    * increment and with it the block) and block sums are exact
+    * integers, and each block-sum variance derives from exact moment
+    * sums in one fixed double tree. A (key, m) leg survives only with
+    * ≥ 2 complete blocks and a variance that is still positive after
+    * `⌊var·10⁶⌋` quantization (the ln input both engines see is the
+    * SAME double). The log–log fit is the level-3 quantized OLS (the
+    * [[ledoitWolfConstCorr]] doctrine): per-leg terms `ln m`, `ln var`
+    * and their products quantize to `⌊t·10⁹⌋` BIGINTs so the per-key
+    * sums are order-free, and the slope derives in one fixed tree.
+    * Overflow contract: `n_blocks·(m·scale·max|Δv|)² < 2⁶³` for the
+    * block-sum second moment — size `scale` to the value range.
+    *
+    * Scale shape: one shifted (key, bucket) equi-join for the
+    * increments, a ×|ms| skinny explode (the [[varianceRatio]] shape),
+    * exact moment aggs onto (key, m, block) then (key, m), and a
+    * key-sized window for the fit — nothing corpus-wide. Returns one
+    * row per surviving (key, m): `(key, m, n_blocks, var_m, n_scales,
+    * hurst)` with `hurst` the key-level constant (null when fewer than
+    * 2 legs survive). */
+  def hurstExponent(df: DataFrame, keyCol: String, bucketCol: String,
+                    valueCol: String, ms: Seq[Int] = Seq(1, 2, 4, 8),
+                    scale: Double = 1e6): DataFrame = {
+    require(ms.nonEmpty && ms.forall(_ >= 1), s"ms must all be >= 1, got $ms")
+    require(ms.distinct.size == ms.size, s"duplicate ms: $ms")
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+      .withColumn("_t", col("_t").cast("long"))
+    val incr = base.as("x").join(base.as("y"),
+        col("y._k") === col("x._k") && col("y._t") === col("x._t") + 1L)
+      .select(col("x._k").as("key"), col("y._t").as("_t"),
+        (col("y._v") - col("x._v")).as("_d"))
+    // exact BIGINT floor block id (buckets may be negative pre-epoch):
+    // strip the positive remainder, then divide the exact multiple
+    val withM = incr.withColumn("m", explode(array(ms.map(m => lit(m.toLong)): _*)))
+      .withColumn("_blk",
+        ((col("_t") - pmod(col("_t"), col("m"))) / col("m").cast("double"))
+          .cast("long"))
+    val blocks = withM.groupBy(col("key"), col("m"), col("_blk"))
+      .agg(count(lit(1)).as("_cnt"), sum(col("_d")).as("_bs"))
+      .where(col("_cnt") === col("m")) // complete blocks only
+    val legs = blocks.groupBy(col("key"), col("m"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("_bs")).as("_s1"), sum(col("_bs") * col("_bs")).as("_s2"))
+      .where(col("n_blocks") >= 2L)
+      // population variance of the block sums, back in value units —
+      // quantized to ⌊·10⁶⌋ so both engines take ln of the SAME double
+      .withColumn("_vq", floor(
+        (col("n_blocks").cast("double") * col("_s2").cast("double") -
+          col("_s1").cast("double") * col("_s1").cast("double")) /
+          (col("n_blocks").cast("double") * col("n_blocks").cast("double")) /
+          lit(scale * scale) * lit(1e6)).cast("long"))
+      .where(col("_vq") > 0L)
+      .withColumn("var_m", col("_vq").cast("double") / lit(1e6))
+    // level-3 quantized log–log OLS terms (order-free BIGINT sums)
+    val lx = log(col("m").cast("double"))
+    val ly = log(col("var_m"))
+    val terms = legs
+      .withColumn("_xq", floor(lx * lit(1e9)).cast("long"))
+      .withColumn("_yq", floor(ly * lit(1e9)).cast("long"))
+      .withColumn("_xyq", floor(lx * ly * lit(1e9)).cast("long"))
+      .withColumn("_xxq", floor(lx * lx * lit(1e9)).cast("long"))
+    val wk = Window.partitionBy(col("key"))
+    val fit = terms
+      .withColumn("_ns", count(lit(1)).over(wk).cast("double"))
+      .withColumn("_sx", sum(col("_xq")).over(wk).cast("double") / lit(1e9))
+      .withColumn("_sy", sum(col("_yq")).over(wk).cast("double") / lit(1e9))
+      .withColumn("_sxy", sum(col("_xyq")).over(wk).cast("double") / lit(1e9))
+      .withColumn("_sxx", sum(col("_xxq")).over(wk).cast("double") / lit(1e9))
+    val den = col("_ns") * col("_sxx") - col("_sx") * col("_sx")
+    val slope = (col("_ns") * col("_sxy") - col("_sx") * col("_sy")) / den
+    fit.select(col("key"), col("m"), col("n_blocks"),
+        round(col("var_m"), 6).as("var_m"),
+        col("_ns").cast("long").as("n_scales"),
+        when(col("_ns") >= 2.0 && den > 0.0,
+          round(slope / lit(2.0), 6)).as("hurst"))
+      .orderBy("key", "m")
+  }
+
+  /** `ln 2` as THIS JVM computed it — interpolated into the half-life
+    * oracle like [[graft.functions.TaIndicators.ParkinsonConst]], so
+    * engine-side constant folding can't drift a ulp. */
+  val Ln2Const: Double = math.log(2.0)
+
+  /** AR(1) mean-reversion half-life per series — the discretized
+    * Ornstein–Uhlenbeck speed every stat-arb screen ranks by: regress
+    * `Δv_t = α + β·v_{t−1} + ε` (the Dickey–Fuller shape), take
+    * `φ = 1 + β` as the AR(1) coefficient, and report
+    * `half_life = −ln2 / ln φ` buckets when `0 < φ < 1` (null
+    * otherwise — a non-stationary or oscillating fit has no half-life).
+    * Also emits the β t-statistic (the raw Dickey–Fuller t, against
+    * DF — not normal — critical values; reported as a ranking signal).
+    *
+    * Determinism: values quantize to `⌊v·scale⌋` BIGINTs; the five
+    * regression moment sums over (v_{t−1}, Δv) pairs accumulate
+    * exactly (order-free); β/φ/t and the half-life derive in one fixed
+    * double tree (6 dp) with `ln 2` = [[Ln2Const]]. β, φ, t are
+    * scale-invariant; the half-life is in BUCKET units. Pairs need
+    * both endpoint buckets present (gaps drop the pair). Null β on a
+    * zero-variance lag leg; null t when n < 3 or SSE ≤ 0.
+    *
+    * Scale shape: one shifted (key, bucket) equi-join + one exact
+    * moment agg per key, map-side combined. Returns
+    * `(key, n_obs, beta, phi, t_stat, half_life)`. */
+  def arHalfLife(df: DataFrame, keyCol: String, bucketCol: String,
+                 valueCol: String, scale: Double = 1e6): DataFrame = {
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+      .withColumn("_t", col("_t").cast("long"))
+    val pairs = base.as("x").join(base.as("y"),
+        col("y._k") === col("x._k") && col("y._t") === col("x._t") + 1L)
+      .select(col("x._k").as("key"), col("x._v").as("_xi"),
+        (col("y._v") - col("x._v")).as("_yi"))
+    val m = pairs.groupBy(col("key")).agg(
+      count(lit(1)).as("n_obs"),
+      sum(col("_xi")).as("_sx"), sum(col("_yi")).as("_sy"),
+      sum(col("_xi") * col("_yi")).as("_sxy"),
+      sum(col("_xi") * col("_xi")).as("_sxx"),
+      sum(col("_yi") * col("_yi")).as("_syy"))
+    val nD = col("n_obs").cast("double")
+    def d(c: Column): Column = c.cast("double")
+    val sxx = nD * d(col("_sxx")) - d(col("_sx")) * d(col("_sx"))
+    val beta = (nD * d(col("_sxy")) - d(col("_sx")) * d(col("_sy"))) / sxx
+    val alpha = (d(col("_sy")) - beta * d(col("_sx"))) / nD
+    val phi = lit(1.0) + beta
+    // SSE = Σy² − αΣy − βΣxy (exact-int sums, fixed tree)
+    val sse = d(col("_syy")) - alpha * d(col("_sy")) - beta * d(col("_sxy"))
+    val seB = sqrt((sse / (nD - lit(2.0))) / (sxx / nD))
+    m.select(col("key"), col("n_obs"),
+        when(sxx > 0.0, round(beta, 6)).as("beta"),
+        when(sxx > 0.0, round(phi, 6)).as("phi"),
+        when(sxx > 0.0 && col("n_obs") >= 3L && sse > 0.0,
+          round(beta / seB, 6)).as("t_stat"),
+        when(sxx > 0.0 && phi > 0.0 && phi < 1.0,
+          round(lit(-Ln2Const) / log(phi), 6)).as("half_life"))
+      .orderBy("key")
+  }
+
+  /** MacKinnon (2010, QED wp 1227) 5% asymptotic critical value for
+    * the 2-variable Engle–Granger residual DF test with constant —
+    * interpolated into the oracle so both engines compare against the
+    * identical double. */
+  val EgCrit5Pct: Double = -3.3377
+
+  /** Engle–Granger two-step cointegration test per series pair
+    * (Engle & Granger 1987, Econometrica 55): step 1 regresses
+    * `v_b = α + β·v_a + e` by OLS over buckets where BOTH series are
+    * present (dependent = the lexicographically LARGER key — flip by
+    * renaming series; the [[correlationMatrix]] key-typing contract),
+    * step 2 runs the no-deterministic-terms Dickey–Fuller regression
+    * `Δe_t = γ·e_{t−1} + ε` on the residuals and reports
+    * `df_stat = γ̂/se(γ̂)` plus the 5% call against [[EgCrit5Pct]]. A
+    * strongly negative statistic = the spread mean-reverts = the pair
+    * is tradeable — feed [[arHalfLife]] the residual for the exit
+    * horizon.
+    *
+    * Determinism: levels quantize to `⌊v·scale⌋` BIGINTs → exact
+    * step-1 moment sums → α/β in one fixed double tree; residuals
+    * re-quantize to `⌊e·residScale⌋` BIGINTs (both engines floor the
+    * same double), so the step-2 moment sums over (e_{t−1}, Δe) are
+    * again exact integers and γ/se/t derive in one fixed tree (6 dp).
+    * γ and the t are residScale-invariant. Consecutive-bucket pairs
+    * only (gaps drop the increment). Null β on a zero-variance x leg;
+    * null df_stat when the DF leg has n < 2, zero lag variance, or
+    * SSE ≤ 0.
+    *
+    * Scale shape: one (bucket) equi-join to pair the series (series
+    * count is the small dimension), one exact moment agg per pair, a
+    * pair-key join back for the residuals, one shifted (pair, bucket)
+    * equi-join for Δe, one final agg — nothing corpus-wide. Returns
+    * `(key_a, key_b, n_obs, n_df, alpha, beta, df_stat, coint_5pct)`. */
+  def engleGranger(df: DataFrame, keyCol: String, bucketCol: String,
+                   valueCol: String, scale: Double = 1e6,
+                   residScale: Double = 1e6): DataFrame = {
+    require(residScale > 0.0, s"residScale must be positive, got $residScale")
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+      .withColumn("_t", col("_t").cast("long"))
+    val paired = base.as("a").join(base.as("b"),
+        col("a._t") === col("b._t") && col("a._k") < col("b._k"))
+      .select(col("a._k").as("key_a"), col("b._k").as("key_b"),
+        col("a._t").as("_t"), col("a._v").as("_vx"), col("b._v").as("_vy"))
+    val m1 = paired.groupBy(col("key_a"), col("key_b")).agg(
+      count(lit(1)).as("n_obs"),
+      sum(col("_vx")).as("_sx"), sum(col("_vy")).as("_sy"),
+      sum(col("_vx") * col("_vy")).as("_sxy"),
+      sum(col("_vx") * col("_vx")).as("_sxx"))
+    def d(c: Column): Column = c.cast("double")
+    val nD = col("n_obs").cast("double")
+    val sxxC = nD * d(col("_sxx")) - d(col("_sx")) * d(col("_sx"))
+    val coefs = m1
+      .withColumn("_beta",
+        when(sxxC > 0.0,
+          (nD * d(col("_sxy")) - d(col("_sx")) * d(col("_sy"))) / sxxC))
+      .withColumn("_alphaq", // intercept in QUANTIZED value units
+        (d(col("_sy")) - col("_beta") * d(col("_sx"))) / nD)
+    // residuals: e = (vy − α − β·vx)/scale, re-quantized; the tiny
+    // pair-level coef frame broadcasts back onto the paired rows
+    val resid = paired.join(broadcast(coefs
+        .select(col("key_a").as("_ka"), col("key_b").as("_kb"),
+          col("_beta").as("_b"), col("_alphaq").as("_aq"))
+        // toDF strips the agg subtree's hidden output — without it the
+        // paired⋈coefs self-lineage join makes key_a/key_b ambiguous
+        // (the Spark 4 hidden-column trap)
+        .toDF("_ka", "_kb", "_b", "_aq")),
+        col("_ka") === col("key_a") && col("_kb") === col("key_b"))
+      .where(col("_b").isNotNull)
+      .select(col("key_a"), col("key_b"), col("_t"),
+        floor((d(col("_vy")) - col("_aq") - col("_b") * d(col("_vx"))) /
+          lit(scale) * lit(residScale)).cast("long").as("_e"))
+    val dfPairs = resid.as("r0").join(resid.as("r1"),
+        col("r1.key_a") === col("r0.key_a") &&
+          col("r1.key_b") === col("r0.key_b") &&
+          col("r1._t") === col("r0._t") + 1L)
+      .select(col("r0.key_a").as("key_a"), col("r0.key_b").as("key_b"),
+        col("r0._e").as("_el"), (col("r1._e") - col("r0._e")).as("_de"))
+    val m2 = dfPairs.groupBy(col("key_a"), col("key_b")).agg(
+        count(lit(1)).as("n_df"),
+        sum(col("_el") * col("_de")).as("_sld"),
+        sum(col("_el") * col("_el")).as("_sll"),
+        sum(col("_de") * col("_de")).as("_sdd"))
+      // same hidden-column strip: m2 descends from coefs, and the final
+      // coefs⋈m2 join would otherwise see duplicate lineage names
+      .toDF("key_a", "key_b", "n_df", "_sld", "_sll", "_sdd")
+    val gamma = d(col("_sld")) / d(col("_sll"))
+    val sse2 = d(col("_sdd")) - gamma * d(col("_sld"))
+    val seG = sqrt((sse2 / (col("n_df").cast("double") - lit(1.0))) /
+      d(col("_sll")))
+    val stat = when(col("_sll") > 0L && col("n_df") >= 2L && sse2 > 0.0,
+      gamma / seG)
+    coefs.join(m2, Seq("key_a", "key_b"), "left")
+      .select(col("key_a"), col("key_b"), col("n_obs"),
+        coalesce(col("n_df"), lit(0L)).as("n_df"),
+        when(col("_beta").isNotNull,
+          round(col("_alphaq") / lit(scale), 6)).as("alpha"),
+        round(col("_beta"), 6).as("beta"),
+        round(stat, 6).as("df_stat"),
+        when(stat.isNotNull, stat < lit(EgCrit5Pct)).as("coint_5pct"))
+      .orderBy("key_a", "key_b")
   }
 
   /** Hayashi–Yoshida covariance (2005) for ASYNCHRONOUSLY observed

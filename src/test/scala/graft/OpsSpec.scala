@@ -2669,6 +2669,206 @@ class OpsSpec extends SparkSpec {
       s"diagonal must not shrink: ${out((k, k))}"))
   }
 
+  test("hurstExponent: matches the plain aggregated-variance reference, trend drops, gaps kill blocks") {
+    // deterministic LCG noise — a walk with iid-ish increments
+    var seed = 12345L
+    def nxt(): Double = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      ((seed >>> 33).toDouble / (1L << 31).toDouble) - 0.5
+    }
+    val walk = Iterator.iterate(100.0)(v => v + nxt()).take(65).toSeq
+    val rows = walk.zipWithIndex.map { case (v, t) => ("W", t.toLong, v) } ++
+      // pure linear trend: constant increments, zero block variance at
+      // every m — every leg drops, the key vanishes from the output
+      (0 until 65).map(t => ("T", t.toLong, 2.0 + 0.5 * t)) ++
+      // gapped series: bucket 10 missing kills increments 10 and 11
+      (0 until 40).filter(_ != 10).map(t => ("G", t.toLong, walk(t)))
+    val ms = Seq(1, 2, 4, 8)
+    val scale = 1e6
+    val out = Relational.hurstExponent(rows.toDF("k", "t", "v"),
+        "k", "t", "v", ms, scale)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(!out.keys.exists(_._1 == "T"), "trend legs must all drop")
+    // plain reference replicating the quantization pipeline exactly
+    def ref(vs: Map[Long, Double]): Map[Int, (Long, Double)] = {
+      val q = vs.map { case (t, v) => t -> math.floor(v * scale).toLong }
+      val d = q.keys.toSeq.sorted.flatMap(t =>
+        q.get(t - 1).map(p => t -> (q(t) - p))).toMap
+      ms.flatMap { m =>
+        val blocks = d.groupBy { case (t, _) => t / m }
+          .collect { case (_, g) if g.size == m => g.values.sum }.toSeq
+        val n = blocks.size.toLong
+        if (n < 2) None
+        else {
+          val s1 = blocks.sum.toDouble
+          val s2 = blocks.map(b => b.toDouble * b).sum
+          val vq = math.floor((n * s2 - s1 * s1) / (n.toDouble * n) /
+            (scale * scale) * 1e6).toLong
+          if (vq <= 0) None else Some(m -> ((n, vq / 1e6)))
+        }
+      }.toMap
+    }
+    def refH(legs: Map[Int, (Long, Double)]): Double = {
+      val ts = legs.toSeq.map { case (m, (_, vm)) =>
+        val x = math.log(m.toDouble); val y = math.log(vm)
+        (math.floor(x * 1e9).toLong, math.floor(y * 1e9).toLong,
+          math.floor(x * y * 1e9).toLong, math.floor(x * x * 1e9).toLong)
+      }
+      val ns = ts.size.toDouble
+      val sx = ts.map(_._1).sum.toDouble / 1e9
+      val sy = ts.map(_._2).sum.toDouble / 1e9
+      val sxy = ts.map(_._3).sum.toDouble / 1e9
+      val sxx = ts.map(_._4).sum.toDouble / 1e9
+      (ns * sxy - sx * sy) / (ns * sxx - sx * sx) / 2.0
+    }
+    for ((key, vs) <- Seq(
+      "W" -> walk.zipWithIndex.map { case (v, t) => t.toLong -> v }.toMap,
+      "G" -> walk.zipWithIndex.take(40).collect {
+        case (v, t) if t != 10 => t.toLong -> v }.toMap)) {
+      val legs = ref(vs)
+      assert(legs.size >= 2, s"$key fixture must keep >= 2 scales")
+      val h = refH(legs)
+      legs.foreach { case (m, (n, vm)) =>
+        val got = out((key, m.toLong))
+        assert(got._1 == n, s"$key m=$m n_blocks: ${got._1} vs $n")
+        assert(math.abs(got._2 - vm) < 1e-9, s"$key m=$m var: ${got._2} vs $vm")
+        assert(got._3 == legs.size.toLong)
+        assert(math.abs(got._4.get - h) < 1e-6, s"$key hurst: ${got._4} vs $h")
+      }
+      // iid-increment walk: H must sit in the random-walk neighborhood
+      if (key == "W") assert(h > 0.2 && h < 0.8, s"walk H out of range: $h")
+    }
+    // the gap kills exactly the blocks containing increments 10 and 11
+    assert(out(("G", 1L))._1 == 37L) // 39 slots − increments at t=10,11
+  }
+
+  test("arHalfLife: exact AR(1) recovery, reference t-stat agreement, constant-series nulls") {
+    // exact AR(1): v_{t+1} = 4 + 0.5·v_t from v_0 = 16 — every value has
+    // <= 4 decimal digits so ⌊v·10⁴⌋ is EXACT and the quantized pairs
+    // stay perfectly collinear: beta = −0.5 and phi = 0.5 exactly
+    val ar = Iterator.iterate(16.0)(v => 4.0 + 0.5 * v).take(8).toSeq
+    // AR(0.5) toward 10 with small alternating shocks: phi stays in
+    // (0, 1) so the half-life is defined, and SSE > 0 feeds the t path
+    val noisy = (0 until 11).scanLeft(14.0)((v, t) =>
+      5.0 + 0.5 * v + (if (t % 2 == 0) 0.3 else -0.3))
+    val rows = ar.zipWithIndex.map { case (v, t) => ("AR", t.toLong, v) } ++
+      (0 until 12).map(t => ("C", t.toLong, 7.0)) ++ // constant: sxx = 0
+      noisy.zipWithIndex.map { case (v, t) => ("N", t.toLong, v) }
+    val out = Relational.arHalfLife(rows.toDF("k", "t", "v"), "k", "t", "v",
+        scale = 1e4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    // plain-double reference replicating the operator's fixed tree
+    def ref(vs: Seq[Double]): (Option[Double], Option[Double],
+                               Option[Double], Option[Double]) = {
+      val q = vs.map(v => math.floor(v * 1e4).toLong)
+      val pairs = (1 until q.size).map(t => (q(t - 1), q(t) - q(t - 1)))
+      val n = pairs.size.toDouble
+      val sx = pairs.map(_._1).sum.toDouble
+      val sy = pairs.map(_._2).sum.toDouble
+      val sxy = pairs.map(p => p._1.toDouble * p._2).sum
+      val sxx = pairs.map(p => p._1.toDouble * p._1).sum
+      val syy = pairs.map(p => p._2.toDouble * p._2).sum
+      val sxxC = n * sxx - sx * sx
+      if (sxxC <= 0.0) return (None, None, None, None)
+      val beta = (n * sxy - sx * sy) / sxxC
+      val alpha = (sy - beta * sx) / n
+      val sse = syy - alpha * sy - beta * sxy
+      val phi = 1.0 + beta
+      val t = if (n >= 3 && sse > 0.0)
+        Some(beta / math.sqrt((sse / (n - 2.0)) / (sxxC / n))) else None
+      val h = if (phi > 0.0 && phi < 1.0)
+        Some(-Relational.Ln2Const / math.log(phi)) else None
+      (Some(beta), Some(phi), t, h)
+    }
+    val (nAr, bAr, pAr, tAr, hAr) = out("AR")
+    assert(nAr == 7L && bAr.get == -0.5 && pAr.get == 0.5)
+    assert(math.abs(hAr.get - 1.0) < 1e-6, s"phi=0.5 half-life: $hAr")
+    val refAr = ref(ar)
+    assert(tAr.isEmpty == refAr._3.isEmpty,
+      s"AR t-stat presence must match the reference tree: $tAr vs ${refAr._3}")
+    val (_, bC, pC, tC, hC) = out("C")
+    assert(bC.isEmpty && pC.isEmpty && tC.isEmpty && hC.isEmpty)
+    val (bN, pN, tN, hN) = ref(noisy)
+    assert(math.abs(out("N")._2.get - bN.get) < 1e-6)
+    assert(math.abs(out("N")._3.get - pN.get) < 1e-6)
+    assert(math.abs(out("N")._4.get - tN.get) < 1e-6)
+    (out("N")._5, hN) match {
+      case (Some(g), Some(w)) => assert(math.abs(g - w) < 1e-6)
+      case (g, w) => assert(g.isEmpty == w.isEmpty, s"$g vs $w")
+    }
+    // the noisy series is anti-persistent by construction — the t must
+    // reject hard (the ranking-signal reading) and the half-life be short
+    assert(tN.get < -3.0 && hN.get < 2.0)
+  }
+
+  test("engleGranger: cointegrated pair flags, independent trends don't, reference agreement") {
+    // x: a deterministic walk; y = 1 + 2x + stationary alternating noise
+    var seed = 777L
+    def nxt(): Double = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      ((seed >>> 33).toDouble / (1L << 31).toDouble) - 0.5
+    }
+    val x = Iterator.iterate(50.0)(v => v + nxt()).take(48).toSeq
+    val e = (0 until 48).map(t => if (t % 2 == 0) 0.5 else -0.5)
+    val y = x.zip(e).map { case (xv, ev) => 1.0 + 2.0 * xv + ev }
+    // z: an unrelated deterministic trend (not cointegrated with x)
+    val z = (0 until 48).map(t => 200.0 + 3.0 * t + (if (t % 5 == 0) 4.0 else 0.0))
+    val rows =
+      x.zipWithIndex.map { case (v, t) => ("a_x", t.toLong, v) } ++
+      y.zipWithIndex.map { case (v, t) => ("b_y", t.toLong, v) } ++
+      z.zipWithIndex.map { case (v, t) => ("c_z", t.toLong, v) }
+    val out = Relational.engleGranger(rows.toDF("k", "t", "v"),
+        "k", "t", "v", scale = 1e6, residScale = 1e6)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]),
+          Option(r.get(6)).map(_.asInstanceOf[Double]),
+          Option(r.get(7)).map(_.asInstanceOf[Boolean])))).toMap
+    assert(out.size == 3)
+    // plain reference replicating the quantization pipeline for (a_x, b_y)
+    def refEg(xs: Seq[Double], ys: Seq[Double]): (Double, Double, Double) = {
+      val qx = xs.map(v => math.floor(v * 1e6).toLong)
+      val qy = ys.map(v => math.floor(v * 1e6).toLong)
+      val n = qx.size.toDouble
+      val sx = qx.sum.toDouble; val sy = qy.sum.toDouble
+      val sxy = qx.zip(qy).map(p => p._1.toDouble * p._2).sum
+      val sxx = qx.map(v => v.toDouble * v).sum
+      val sxxC = n * sxx - sx * sx
+      val beta = (n * sxy - sx * sy) / sxxC
+      val alphaq = (sy - beta * sx) / n
+      val res = qx.zip(qy).map { case (vx, vy) =>
+        math.floor((vy.toDouble - alphaq - beta * vx.toDouble) / 1e6 * 1e6).toLong }
+      val dfp = (1 until res.size).map(t => (res(t - 1), res(t) - res(t - 1)))
+      val sld = dfp.map(p => p._1.toDouble * p._2).sum
+      val sll = dfp.map(p => p._1.toDouble * p._1).sum
+      val sdd = dfp.map(p => p._2.toDouble * p._2).sum
+      val g = sld / sll
+      val sse = sdd - g * sld
+      (alphaq / 1e6, beta, g / math.sqrt((sse / (dfp.size - 1.0)) / sll))
+    }
+    val (refA, refB, refT) = refEg(x, y)
+    val (nObs, nDf, a, b, t, flag) = out(("a_x", "b_y"))
+    assert(nObs == 48L && nDf == 47L)
+    assert(math.abs(a.get - refA) < 1e-6, s"alpha: $a vs $refA")
+    assert(math.abs(b.get - refB) < 1e-6, s"beta: $b vs $refB")
+    assert(math.abs(t.get - refT) < 1e-6, s"df_stat: $t vs $refT")
+    assert(refB > 1.9 && refB < 2.1, s"hedge ratio must sit near 2: $refB")
+    assert(refT < Relational.EgCrit5Pct && flag.get,
+      s"alternating noise must reject the unit root hard: $refT")
+    // independent trend pair: no cointegration call
+    val (_, _, _, _, tZ, flagZ) = out(("a_x", "c_z"))
+    assert(tZ.isEmpty || tZ.get > Relational.EgCrit5Pct,
+      s"independent trends must not flag: $tZ")
+    assert(flagZ.forall(!_))
+  }
+
   test("rollingCorr: warm-up nulls, ±1 closed forms, pairwise null exclusion, zero-variance null") {
     import org.apache.spark.sql.expressions.Window
     val rows =

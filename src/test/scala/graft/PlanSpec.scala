@@ -673,4 +673,30 @@ class PlanSpec extends SparkSpec {
     assert(!cp.contains("CartesianProduct") && !cp.contains("BroadcastNestedLoopJoin"),
       s"the incremental probe must equi-join on h:\n${cp.take(1500)}")
   }
+
+  test("round-8 stats kit: hurst/halfLife shifted equi-joins, engleGranger broadcast coef join-back") {
+    val series = (0 until 100).flatMap(t => Seq(
+      ("A", t.toLong, 100.0 + (t % 7) - (t % 3)),
+      ("B", t.toLong, 50.0 + 2.0 * (t % 7)),
+      ("C", t.toLong, 10.0 + (t % 11)))).toDF("k", "t", "v")
+    // hurstExponent: the increment join and the ×|ms| explode must stay
+    // keyed — a cartesian here would be quadratic in the series length
+    val hp = planOf(graft.operators.Relational.hurstExponent(
+      series, "k", "t", "v", ms = Seq(1, 2, 4), scale = 1e4))
+    assert(!hp.contains("CartesianProduct") && !hp.contains("BroadcastNestedLoopJoin"),
+      s"hurst increment/block frames must equi-join:\n${hp.take(1500)}")
+    val hl = planOf(graft.operators.Relational.arHalfLife(
+      series, "k", "t", "v", scale = 1e4))
+    assert(!hl.contains("CartesianProduct") && !hl.contains("BroadcastNestedLoopJoin"),
+      s"halfLife pair frame must equi-join:\n${hl.take(1500)}")
+    // engleGranger: the tiny pair-coef frame must BROADCAST back onto
+    // the paired rows (never shuffle the corpus against it), and every
+    // join — pairing, join-back, Δe shift, final assembly — stays keyed
+    val eg = planOf(graft.operators.Relational.engleGranger(
+      series, "k", "t", "v", scale = 1e4, residScale = 1e6))
+    assert(eg.contains("BroadcastExchange"),
+      s"coef join-back must broadcast:\n${eg.take(1500)}")
+    assert(!eg.contains("CartesianProduct") && !eg.contains("BroadcastNestedLoopJoin"),
+      s"engleGranger joins must all be equi:\n${eg.take(1500)}")
+  }
 }

@@ -683,6 +683,82 @@ class SystemSpec extends SparkSpec {
     assert(runOnce() == Seq(21L), "post-compaction probe must still drop excerpts")
   }
 
+  test("streaming drift monitor end-to-end: incremental PSI = batch psiDrift, checkpoint resume, replay no-op") {
+    import graft.operators.{DriftMonitor, Relational}
+    val in = tmp()
+    val idx = tmp() + "/drift"
+    val ckpt = tmp() + "/ckpt"
+    val sch = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.StringType)
+      .add("v", org.apache.spark.sql.types.DoubleType)
+    // reference: A and B both spread over [0, 99]
+    val ref = (0 until 100).flatMap(i =>
+      Seq(("A", i.toDouble), ("B", i.toDouble))).toDF("k", "v")
+    DriftMonitor.writeDriftReference(ref, Seq("k"), "v", idx, bins = 10)
+    // an empty monitor reports the smoothing floor, not an error
+    val empty = DriftMonitor.driftPsi(spark, idx, Seq("k")).collect()
+    assert(empty.length == 2 && empty.forall(_.getAs[Long]("n_cur") == 0L))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(sch).json(in)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          DriftMonitor.driftBatch(b.toDF(), Seq("k"), "v", idx,
+            batchId = id.toString, bins = 10)
+          ()
+        }
+        .start()
+      q.awaitTermination(120000)
+    }
+    def drop(name: String, rows: Seq[(String, Double)]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(in, name),
+        rows.map { case (k, v) => s"""{"k": "$k", "v": $v}""" }
+          .mkString("\n"))
+    // batch 0: A shifts hard right (clamping mass into the top bin), B
+    // stays on-distribution; key C is unknown to the reference → drops
+    val b0 = (0 until 80).map(i => ("A", 90.0 + i)) ++
+      (0 until 80).map(i => ("B", (i * 7 % 100).toDouble)) ++
+      Seq(("C", 5.0))
+    drop("b0.json", b0)
+    runOnce()
+    // batch 1 on the SAME checkpoint gets id 1
+    val b1 = (0 until 40).map(i => ("A", 95.0 + i)) ++
+      (0 until 40).map(i => ("B", (i * 13 % 100).toDouble))
+    drop("b1.json", b1)
+    runOnce()
+    assert(DriftMonitor.committedBatches(spark, idx).sorted ==
+      Seq("0", "1", "ref"))
+    // EQUIVALENCE: incremental PSI == one-shot batch psiDrift over the
+    // union, column for column (shared bucket + smoothing trees)
+    val streamed = DriftMonitor.driftPsi(spark, idx, Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val union = ref.withColumn("is_ref", lit(true))
+      .unionByName((b0 ++ b1).toDF("k", "v").withColumn("is_ref", lit(false)))
+    val oneShot = Relational.psiDrift(union, Seq("k"), "v",
+        isRef = org.apache.spark.sql.functions.col("is_ref"), bins = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(streamed == oneShot,
+      s"incremental must equal one-shot:\n$streamed\nvs\n$oneShot")
+    // the shifted feature screams, the stable one stays under 0.1
+    assert(streamed("A")._3 > 0.25 && streamed("B")._3 < 0.1)
+    assert(!streamed.contains("C"), "keys without a reference must drop")
+    // at-least-once replay: same batch id → no-op, psi unchanged
+    assert(!DriftMonitor.driftBatch((0 until 500).map(i => ("A", 0.0)).toDF("k", "v"),
+      Seq("k"), "v", idx, batchId = "1"))
+    val replayed = DriftMonitor.driftPsi(spark, idx, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(replayed("A") == streamed("A")._3 && replayed("B") == streamed("B")._3)
+    // degenerate reference fails loudly
+    val thrown = intercept[IllegalArgumentException] {
+      DriftMonitor.writeDriftReference(
+        Seq(("X", 1.0), ("X", 1.0)).toDF("k", "v"), Seq("k"), "v",
+        tmp() + "/bad", bins = 10)
+    }
+    assert(thrown.getMessage.contains("degenerate"))
+  }
+
   test("streaming market tick end-to-end: foreachBatch wiring, incremental = batch, replay no-op") {
     // the OpsSpec test drives the pure merges; this one proves the
     // WIRING: a real writeStream.foreachBatch feeding marketTickBatch
