@@ -980,6 +980,49 @@ object Queries {
              CAST(CAST(SUM(term_fp) AS BIGINT) AS DOUBLE) / 1e9 AS psi
       FROM terms GROUP BY 1, 2, 3 ORDER BY event_type"""))
 
+  // Two-sided CUSUM changepoint scan per event type — the sequential
+  // mean-shift monitor beside q_psi_drift/q_drift_monitor. The max(0,·)
+  // recursion reflects into prefix-sum − running-min windows; the whole
+  // statistic is EXACT µ-unit integers (values floor-quantize, the
+  // target/slack/threshold are integral at 10⁶), so the alarm flags can
+  // never flip cross-engine.
+  private val qCusum = QDef(
+    "q_cusum",
+    (s, dir) => Relational.cusumDetect(t(s, dir, "events"),
+        Seq("event_type"), "ts", "value", "event_id",
+        target = 35.0, slack = 5.0, threshold = 500.0)
+      .select(col("event_type"), micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"), col("s_pos"), col("s_neg"),
+        col("alarm_pos"), col("alarm_neg"))
+      .orderBy("event_type", "ts_us", "event_id"),
+    Some("""
+      WITH b AS (SELECT event_type AS k, ts, event_id,
+                        CAST(floor(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS xq
+                 FROM events WHERE value IS NOT NULL),
+      p AS (SELECT k, ts, event_id, xq,
+                   SUM(xq - 35000000 - 5000000) OVER (
+                     PARTITION BY k ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+                   SUM(35000000 - xq - 5000000) OVER (
+                     PARTITION BY k ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pn
+            FROM b),
+      sm AS (SELECT k, ts, event_id, xq,
+                    pp - LEAST(0, MIN(pp) OVER (
+                      PARTITION BY k ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sp,
+                    pn - LEAST(0, MIN(pn) OVER (
+                      PARTITION BY k ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sn
+             FROM p)
+      SELECT k AS event_type, epoch_us(ts) AS ts_us, event_id,
+             round(CAST(xq AS DOUBLE) / 1e6, 6) AS value,
+             round(CAST(sp AS DOUBLE) / 1e6, 6) AS s_pos,
+             round(CAST(sn AS DOUBLE) / 1e6, 6) AS s_neg,
+             sp > 500000000 AS alarm_pos,
+             sn > 500000000 AS alarm_neg
+      FROM sm ORDER BY event_type, ts_us, event_id"""))
+
   // Per-series autocorrelation at hourly lags 1..3 — momentum/mean-
   // reversion structure per event type; same exact-integer moment
   // machinery as q_correlation, self-paired on the shifted hour index.
@@ -1428,6 +1471,50 @@ object Queries {
                             - ${TA.BipowerConst} * (CAST(sbv AS DOUBLE) / 1e12),
                             0.0), 6) AS jump
       FROM g ORDER BY event_type, bucket_us"""))
+
+  // Realized skewness + kurtosis per (event type, day) — the ACJV 2015
+  // higher-moment pair beside q_jump_vol's continuous/jump split. Same
+  // return machinery; r², r³, r⁴ quantize independently (10¹²/10¹²/10⁹
+  // BIGINTs — events' raw-metric "returns" swing whole e-folds, so the
+  // price-series 10¹⁵/10¹⁸ defaults would overflow i64: |r| ≤ ln 49000
+  // ≈ 10.8 ⇒ r⁴·10⁹ ≤ 1.4·10¹³ per term, exact at 10⁵ rows/bucket) and
+  // sum exactly; rv^{3/2} is spelled rv·√rv in BOTH engines (sqrt is
+  // IEEE correctly-rounded; pow is not).
+  private val qRealizedMoments = QDef(
+    "q_realized_moments",
+    (s, dir) => TA.realizedMoments(t(s, dir, "events"), Seq("event_type"),
+        "ts", "value", "event_id", "day", q3Scale = 1e12, q4Scale = 1e9)
+      .select(col("event_type"), micros(col("bucket")).as("bucket_us"),
+        col("n_returns"), col("rv"), col("rskew"), col("rkurt"))
+      .orderBy("event_type", "bucket_us"),
+    Some("""
+      WITH b0 AS (SELECT event_type AS k, ts, event_id,
+                         CAST(value AS DOUBLE) AS p
+                  FROM events WHERE value IS NOT NULL AND value > 0),
+      r0 AS (SELECT k, ts,
+                    ln(p / lag(p) OVER (PARTITION BY k ORDER BY ts, event_id)) AS r
+             FROM b0),
+      t AS (SELECT k, date_trunc('day', ts) AS bucket,
+                   CAST(round(r * r * 1e12) AS BIGINT) AS q2,
+                   CAST(round(r * r * r * 1e12) AS BIGINT) AS q3,
+                   CAST(round(r * r * r * r * 1e9) AS BIGINT) AS q4
+            FROM r0 WHERE r IS NOT NULL),
+      g AS (SELECT k, bucket, COUNT(*) AS n_returns,
+                   CAST(SUM(q2) AS BIGINT) AS s2,
+                   CAST(SUM(q3) AS BIGINT) AS s3,
+                   CAST(SUM(q4) AS BIGINT) AS s4
+            FROM t GROUP BY 1, 2)
+      SELECT k AS event_type, epoch_us(bucket) AS bucket_us, n_returns,
+             round(CAST(s2 AS DOUBLE) / 1e12, 6) AS rv,
+             CASE WHEN s2 > 0 THEN round(
+               sqrt(CAST(n_returns AS DOUBLE)) * (CAST(s3 AS DOUBLE) / 1e12)
+               / ((CAST(s2 AS DOUBLE) / 1e12) * sqrt(CAST(s2 AS DOUBLE) / 1e12)),
+               6) END AS rskew,
+             CASE WHEN s2 > 0 THEN round(
+               CAST(n_returns AS DOUBLE) * (CAST(s4 AS DOUBLE) / 1e9)
+               / ((CAST(s2 AS DOUBLE) / 1e12) * (CAST(s2 AS DOUBLE) / 1e12)),
+               6) END AS rkurt
+      FROM g ORDER BY k, bucket_us"""))
 
   // Roll's implied effective spread per (event type, day): consecutive
   // trade-price changes in integer cents, covariance from exact moment
@@ -5275,6 +5362,6 @@ object Queries {
     qVpin, qJumpVol, qVarianceRatio, qContainment, qContainmentIncremental,
     qRollSpread, qAmihud, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
-    qHurst, qHalfLife, qEgCoint, qDriftMonitor
+    qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments
   )
 }

@@ -434,6 +434,72 @@ object TaIndicators {
           / col("n_days").cast("double")), 6).as("illiq")): _*)
   }
 
+  /** Realized skewness + kurtosis per (series, bucket) — Amaya,
+    * Christoffersen, Jacobs & Vasquez (2015, JFE 118): from
+    * intra-bucket log returns, `RSkew = √n·Σr³/(Σr²)^{3/2}` and
+    * `RKurt = n·Σr⁴/(Σr²)²` — the higher-moment risk pair (crash
+    * asymmetry and tail weight) next to [[realizedJumpVol]]'s
+    * continuous/jump split; the cross-section of RSkew predicts returns
+    * (the paper's headline), and both are the standard inputs to
+    * moment-based risk parity.
+    *
+    * Same return machinery as [[realizedJumpVol]]: log returns over the
+    * per-series (ts, tiebreak) order, continuous across bucket
+    * boundaries, each return in the bucket of its LATER tick,
+    * non-positive prices drop.
+    *
+    * Determinism: per-term powers quantize independently —
+    * `round(r²·10¹²)`, `round(r³·q3Scale)`, `round(r⁴·q4Scale)`
+    * BIGINTs — and sum exactly (order-free); the stats derive in one
+    * fixed double tree with `rv^{3/2}` spelled `rv·√rv` (sqrt is IEEE
+    * correctly-rounded — identical on every engine, unlike pow), 6 dp.
+    * Overflow contract (the caller picks the scales for their return
+    * magnitude): `n·|r|³·q3Scale < 2⁶³` and `n·r⁴·q4Scale < 2⁶³` per
+    * bucket — the 10¹⁵/10¹⁸ defaults are comfortable for price series
+    * (|r| ≤ 0.5) at 10⁶ ticks/bucket; series whose "returns" swing by
+    * whole e-folds (raw metric ratios) need lower scales. Null
+    * skew/kurt on a zero-RV bucket.
+    *
+    * Scale shape: one keyed window (the return lag) + one (keys,
+    * bucket) agg riding the same series partitioning, map-side
+    * combined. Returns `(keys…, bucket, n_returns, rv, rskew, rkurt)`. */
+  def realizedMoments(df: DataFrame, keys: Seq[String], tsCol: String,
+                      valueCol: String, tiebreakCol: String,
+                      interval: String, q3Scale: Double = 1e15,
+                      q4Scale: Double = 1e18): DataFrame = {
+    require(keys.nonEmpty, "realizedMoments needs the series key(s)")
+    require(q3Scale > 0.0 && q4Scale > 0.0, "quantizer scales must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val p = col(valueCol).cast("double")
+    df.where(p.isNotNull && p > 0.0)
+      .withColumn("_r", log(p / lag(p, 1).over(w)))
+      .where(col("_r").isNotNull)
+      .withColumn("_q2", round(col("_r") * col("_r") * 1e12).cast("long"))
+      .withColumn("_q3",
+        round(col("_r") * col("_r") * col("_r") * lit(q3Scale)).cast("long"))
+      .withColumn("_q4",
+        round(col("_r") * col("_r") * col("_r") * col("_r") * lit(q4Scale))
+          .cast("long"))
+      .groupBy((keys.map(col) :+
+        date_trunc(interval, col(tsCol)).as("bucket")): _*)
+      .agg(count(lit(1)).as("n_returns"),
+        sum(col("_q2")).as("_s2"), sum(col("_q3")).as("_s3"),
+        sum(col("_q4")).as("_s4"))
+      .withColumn("_rv", col("_s2").cast("double") / 1e12)
+      .select(keys.map(col) ++ Seq(col("bucket"), col("n_returns"),
+        round(col("_rv"), 6).as("rv"),
+        when(col("_s2") > 0L, round(
+          sqrt(col("n_returns").cast("double"))
+            * (col("_s3").cast("double") / lit(q3Scale))
+            / (col("_rv") * sqrt(col("_rv"))), 6)).as("rskew"),
+        when(col("_s2") > 0L, round(
+          col("n_returns").cast("double")
+            * (col("_s4").cast("double") / lit(q4Scale))
+            / (col("_rv") * col("_rv")), 6)).as("rkurt")): _*)
+  }
+
   /** Realized variance + bipower variation + jump component per
     * (series, bucket) — Barndorff-Nielsen & Shephard (2004, 2006), the
     * jump-robust volatility decomposition: `RV = Σ rᵢ²` converges to
@@ -459,66 +525,6 @@ object TaIndicators {
     * Scale shape: one keyed window (the return lag) + one (keys,
     * bucket) agg riding the same series partitioning — map-side
     * combined, one row per bucket out. */
-  /** Realized skewness + kurtosis per (series, bucket) — Amaya,
-    * Christoffersen, Jacobs & Vasquez (2015, JFE 118): from
-    * intra-bucket log returns, `RSkew = √n·Σr³/(Σr²)^{3/2}` and
-    * `RKurt = n·Σr⁴/(Σr²)²` — the higher-moment risk pair (crash
-    * asymmetry and tail weight) next to [[realizedJumpVol]]'s
-    * continuous/jump split; the cross-section of RSkew predicts returns
-    * (the paper's headline), and both are the standard inputs to
-    * moment-based risk parity.
-    *
-    * Same return machinery as [[realizedJumpVol]]: log returns over the
-    * per-series (ts, tiebreak) order, continuous across bucket
-    * boundaries, each return in the bucket of its LATER tick,
-    * non-positive prices drop.
-    *
-    * Determinism: per-term powers quantize independently —
-    * `round(r²·10¹²)`, `round(r³·10¹⁵)`, `round(r⁴·10¹⁸)` BIGINTs — and
-    * sum exactly (order-free); the stats derive in one fixed double
-    * tree with `rv^{3/2}` spelled `rv·√rv` (sqrt is IEEE
-    * correctly-rounded — identical on every engine, unlike pow), 6 dp.
-    * Overflow contract: `n·|r|³·10¹⁵ < 2⁶³` and `n·r⁴·10¹⁸ < 2⁶³` per
-    * bucket — comfortable for |r| ≤ 0.5 at 10⁶ ticks/bucket. Null
-    * skew/kurt on a zero-RV bucket.
-    *
-    * Scale shape: one keyed window (the return lag) + one (keys,
-    * bucket) agg riding the same series partitioning, map-side
-    * combined. Returns `(keys…, bucket, n_returns, rv, rskew, rkurt)`. */
-  def realizedMoments(df: DataFrame, keys: Seq[String], tsCol: String,
-                      valueCol: String, tiebreakCol: String,
-                      interval: String): DataFrame = {
-    require(keys.nonEmpty, "realizedMoments needs the series key(s)")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol), col(tiebreakCol))
-    val p = col(valueCol).cast("double")
-    df.where(p.isNotNull && p > 0.0)
-      .withColumn("_r", log(p / lag(p, 1).over(w)))
-      .where(col("_r").isNotNull)
-      .withColumn("_q2", round(col("_r") * col("_r") * 1e12).cast("long"))
-      .withColumn("_q3",
-        round(col("_r") * col("_r") * col("_r") * 1e15).cast("long"))
-      .withColumn("_q4",
-        round(col("_r") * col("_r") * col("_r") * col("_r") * 1e18).cast("long"))
-      .groupBy((keys.map(col) :+
-        date_trunc(interval, col(tsCol)).as("bucket")): _*)
-      .agg(count(lit(1)).as("n_returns"),
-        sum(col("_q2")).as("_s2"), sum(col("_q3")).as("_s3"),
-        sum(col("_q4")).as("_s4"))
-      .withColumn("_rv", col("_s2").cast("double") / 1e12)
-      .select(keys.map(col) ++ Seq(col("bucket"), col("n_returns"),
-        round(col("_rv"), 6).as("rv"),
-        when(col("_s2") > 0L, round(
-          sqrt(col("n_returns").cast("double"))
-            * (col("_s3").cast("double") / 1e15)
-            / (col("_rv") * sqrt(col("_rv"))), 6)).as("rskew"),
-        when(col("_s2") > 0L, round(
-          col("n_returns").cast("double")
-            * (col("_s4").cast("double") / 1e18)
-            / (col("_rv") * col("_rv")), 6)).as("rkurt")): _*)
-  }
-
   def realizedJumpVol(df: DataFrame, keys: Seq[String], tsCol: String,
                       valueCol: String, tiebreakCol: String,
                       interval: String): DataFrame = {

@@ -3754,6 +3754,101 @@ class OpsSpec extends SparkSpec {
       s5.queryExecution.toRdd.count()
     }
   }
+
+  test("cusumDetect: prefix-min reflection equals the sequential recursion, alarms fire on the shift") {
+    // level 10 for 30 ticks, then a +4 shift — the textbook CUSUM case
+    var seed = 99L
+    def nxt(): Double = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      ((seed >>> 33).toDouble / (1L << 31).toDouble) - 0.5
+    }
+    val xs = (0 until 30).map(_ => 10.0 + nxt()) ++
+      (0 until 30).map(_ => 14.0 + nxt())
+    val rows = xs.zipWithIndex.map { case (v, i) => ("A", i.toLong, v) } ++
+      // a flat series never alarms
+      (0 until 20).map(i => ("B", i.toLong, 10.0)) :+
+      (("A", 999L, null.asInstanceOf[java.lang.Double]): (String, Long, Any))
+    val df = rows.map { case (k, t, v) =>
+      (k, t, Option(v).map(_.asInstanceOf[Double])) }.toDF("k", "t", "v")
+    val (target, slack, threshold, scale) = (10.0, 1.0, 8.0, 1e6)
+    val out = Relational.cusumDetect(df, Seq("k"), "t", "v", "t",
+        target, slack, threshold, scale)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getBoolean(6), r.getBoolean(7)))).toMap
+    assert(!out.contains(("A", 999L)), "null value must drop")
+    // sequential reference: the classical max(0, .) recursion on the
+    // SAME quantized integers
+    val (tq, kq, hq) = (math.floor(target * scale).toLong,
+      math.floor(slack * scale).toLong, math.floor(threshold * scale).toLong)
+    var (sp, sn) = (0L, 0L)
+    xs.zipWithIndex.foreach { case (v, i) =>
+      val xq = math.floor(v * scale).toLong
+      sp = math.max(0L, sp + xq - tq - kq)
+      sn = math.max(0L, sn + tq - xq - kq)
+      val got = out(("A", i.toLong))
+      assert(got._2 == sp / scale, s"t=$i s_pos: ${got._2} vs ${sp / scale}")
+      assert(got._3 == sn / scale, s"t=$i s_neg: ${got._3} vs ${sn / scale}")
+      assert(got._4 == (sp > hq) && got._5 == (sn > hq), s"t=$i alarms")
+    }
+    // the shift must be caught, and only on the positive side
+    assert((30 until 60).exists(i => out(("A", i.toLong))._4),
+      "the +4 shift must trip alarm_pos")
+    assert(!(0 until 60).exists(i => out(("A", i.toLong))._5),
+      "nothing drifts down in this fixture")
+    assert((0 until 20).forall { i =>
+      val g = out(("B", i.toLong)); !g._4 && !g._5
+    }, "flat series at target never alarms")
+  }
+
+  test("realizedMoments: ACJV skew/kurt match the direct computation, continuous across buckets") {
+    var seed = 7L
+    def nxt(): Double = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      ((seed >>> 33).toDouble / (1L << 31).toDouble) - 0.5
+    }
+    // 2 days x 24 hourly ticks of a positive price walk with one
+    // PERSISTENT 10% crash (a level shift, not a reverting tick — a
+    // reverting tick's +r and -r cubes cancel and the skew vanishes)
+    val prices = Iterator.iterate(100.0)(p => p * math.exp(0.01 * nxt()))
+      .take(48).toArray
+    (36 until 48).foreach(i => prices(i) *= 0.90)
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    val rows = prices.zipWithIndex.map { case (p, i) =>
+      ("X", java.sql.Timestamp.from(base.plusSeconds(i * 3600L)), i.toLong, p) }
+    val out = graft.functions.TaIndicators.realizedMoments(
+        rows.toSeq.toDF("k", "ts", "tb", "p"),
+        Seq("k"), "ts", "p", "tb", "day")
+      .collect().map(r => r.getTimestamp(1).toInstant ->
+        ((r.getLong(2), r.getDouble(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(out.size == 2)
+    // direct reference on the same quantization pipeline: returns are
+    // continuous (day 2's first return reaches back to day 1's close)
+    val rs = (1 until 48).map(i => i -> math.log(prices(i) / prices(i - 1)))
+    for ((day, idxs) <- Seq(0 -> (1 until 24), 1 -> (24 until 48))) {
+      val day1 = base.plusSeconds(day * 86400L)
+      val terms = idxs.map(rs.toMap)
+      val s2 = terms.map(r => math.round(r * r * 1e12)).sum
+      val s3 = terms.map(r => math.round(r * r * r * 1e15)).sum
+      val s4 = terms.map(r => math.round(r * r * r * r * 1e18)).sum
+      val n = terms.size.toDouble
+      val rv = s2 / 1e12
+      val skew = math.sqrt(n) * (s3 / 1e15) / (rv * math.sqrt(rv))
+      val kurt = n * (s4 / 1e18) / (rv * rv)
+      val got = out(day1)
+      assert(got._1 == terms.size, s"day $day n: ${got._1} vs ${terms.size}")
+      assert(math.abs(got._2 - rv) < 1e-6, s"day $day rv")
+      assert(math.abs(got._3.get - skew) < 1e-5, s"day $day rskew: ${got._3} vs $skew")
+      assert(math.abs(got._4.get - kurt) < 1e-5, s"day $day rkurt: ${got._4} vs $kurt")
+    }
+    // the crash day carries the negative skew and the fatter tail
+    val (d1, d2) = (out(base), out(base.plusSeconds(86400L)))
+    assert(d2._3.get < d1._3.get && d2._3.get < -1.0,
+      s"crash day must skew negative: $d2 vs $d1")
+    assert(d2._4.get > d1._4.get, "crash day must have the fatter tail")
+  }
 }
 
 /** Test backends for the inference-backend contract spec — top level so
