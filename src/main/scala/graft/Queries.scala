@@ -1516,6 +1516,163 @@ object Queries {
                6) END AS rkurt
       FROM g ORDER BY k, bucket_us"""))
 
+  // Vectorized signal backtest per event type: a momentum rule
+  // (sig = sign of the last change) traded next-tick with 10 bps linear
+  // costs — positions, net PnL, equity curve, Sharpe (hourly
+  // annualization), max drawdown, turnover. Every window rides one
+  // (type, ts, event_id) sort; pnl and pnl² quantize independently to
+  // nano-unit BIGINTs so the curve/drawdown/moments are exact; the cost
+  // coefficient and √annualization interpolate from the JVM.
+  private val qBacktest = QDef(
+    "q_backtest",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val base = t(s, dir, "events")
+        .where(col("value").isNotNull && col("value") > 0)
+        .withColumn("sig", signum(col("value") - lag(col("value"), 1).over(w)))
+      operators.Backtest.signalBacktest(base, Seq("event_type"), "ts",
+        "value", "sig", "event_id", costBps = 10.0, annualization = 8760.0)
+    },
+    Some(s"""
+      WITH b AS (SELECT event_type AS k, ts, event_id,
+                        CAST(value AS DOUBLE) AS p
+                 FROM events WHERE value IS NOT NULL AND value > 0),
+      s AS (SELECT k, ts, event_id, p,
+                   COALESCE(CAST(sign(p - lag(p) OVER w) AS DOUBLE), 0.0) AS sig
+            FROM b WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
+      a AS (SELECT k, ts, event_id,
+                   COALESCE(lag(sig, 1) OVER w, 0.0) AS pos,
+                   COALESCE(lag(sig, 2) OVER w, 0.0) AS prevpos,
+                   ln(p / lag(p) OVER w) AS r
+            FROM s WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
+      t1 AS (SELECT k, ts, event_id, pos, r,
+                    CAST(round(abs(pos - prevpos) * 1e6) AS BIGINT) AS dpos_fp
+             FROM a WHERE r IS NOT NULL),
+      t2 AS (SELECT k, ts, event_id, dpos_fp,
+                    pos * r - ${10.0 / 1e4} * (CAST(dpos_fp AS DOUBLE) / 1e6) AS pnl
+             FROM t1),
+      t3 AS (SELECT k, ts, event_id, dpos_fp,
+                    CAST(round(pnl * 1e9) AS BIGINT) AS pnl_fp,
+                    CAST(round(pnl * pnl * 1e9) AS BIGINT) AS sq_fp
+             FROM t2),
+      e AS (SELECT k, ts, event_id, dpos_fp, pnl_fp, sq_fp,
+                   SUM(pnl_fp) OVER (PARTITION BY k ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eq_fp
+            FROM t3),
+      d AS (SELECT k, dpos_fp, pnl_fp, sq_fp,
+                   GREATEST(MAX(eq_fp) OVER (PARTITION BY k ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                     - eq_fp AS dd_fp
+            FROM e),
+      g AS (SELECT k, COUNT(*) AS n_rets,
+                   CAST(SUM(CASE WHEN dpos_fp <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_trades,
+                   CAST(SUM(pnl_fp) AS BIGINT) AS s1,
+                   CAST(SUM(sq_fp) AS BIGINT) AS s2,
+                   CAST(MAX(dd_fp) AS BIGINT) AS mdd,
+                   CAST(SUM(dpos_fp) AS BIGINT) AS tov
+            FROM d GROUP BY 1)
+      SELECT k AS event_type, n_rets, n_trades,
+             round(CAST(s1 AS DOUBLE) / 1e9, 6) AS total_ret,
+             CASE WHEN (CAST(s2 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE))) > 0
+                  THEN round((CAST(s1 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE))
+                             / sqrt(CAST(s2 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE)
+                                    - (CAST(s1 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE))
+                                      * (CAST(s1 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE)))
+                             * ${math.sqrt(8760.0)}, 6) END AS sharpe,
+             round(CAST(mdd AS DOUBLE) / 1e9, 6) AS max_drawdown,
+             round(CAST(tov AS DOUBLE) / 1e6, 6) AS turnover
+      FROM g ORDER BY event_type"""))
+
+  // Historical VaR + CVaR of the per-type tick log returns at α = 0.05:
+  // exact interpolated quantile (Spark percentile ≡ DuckDB
+  // quantile_cont), tail mean from an exact nano-unit integer sum.
+  private val qVarCvar = QDef(
+    "q_var_cvar",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val rets = t(s, dir, "events")
+        .where(col("value").isNotNull && col("value") > 0)
+        .withColumn("r", log(col("value") / lag(col("value"), 1).over(w)))
+        .where(col("r").isNotNull)
+      operators.Backtest.varCvar(rets, Seq("event_type"), "r", alpha = 0.05)
+    },
+    Some("""
+      WITH b AS (SELECT event_type AS k, ts, event_id,
+                        CAST(value AS DOUBLE) AS p
+                 FROM events WHERE value IS NOT NULL AND value > 0),
+      r0 AS (SELECT k,
+                    ln(p / lag(p) OVER (PARTITION BY k ORDER BY ts, event_id)) AS r
+             FROM b),
+      r AS (SELECT k, r FROM r0 WHERE r IS NOT NULL),
+      q AS (SELECT k, quantile_cont(r, 0.05) AS v, COUNT(*) AS n
+            FROM r GROUP BY 1),
+      t AS (SELECT r.k, q.n, q.v, CAST(round(r.r * 1e9) AS BIGINT) AS v_fp
+            FROM r JOIN q ON r.k = q.k WHERE r.r <= q.v)
+      SELECT k AS event_type, n, COUNT(*) AS n_tail,
+             round(v, 6) AS var_alpha,
+             round(CAST(CAST(SUM(v_fp) AS BIGINT) AS DOUBLE) / 1e9
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS cvar_alpha
+      FROM t GROUP BY k, n, v
+      ORDER BY k"""))
+
+  // Spearman rank IC of the tick value against its forward log return
+  // per (event type, day) — average ranks on ties kept as the exact
+  // integer 2·rank + ties − 1 (2-dp tick values tie often, so the tie
+  // convention is genuinely exercised), Pearson over the doubled ranks
+  // from exact BIGINT moment sums.
+  private val qSpearmanIc = QDef(
+    "q_spearman_ic",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val base = t(s, dir, "events")
+        .where(col("value").isNotNull && col("value") > 0)
+        .withColumn("bucket_us", micros(date_trunc("day", col("ts"))))
+        .withColumn("fwd_ret",
+          log(lead(col("value"), 1).over(w) / col("value")))
+      Relational.spearmanIc(base, Seq("event_type", "bucket_us"),
+        "value", "fwd_ret")
+    },
+    Some("""
+      WITH b AS (SELECT event_type AS k, ts, event_id,
+                        CAST(value AS DOUBLE) AS p
+                 FROM events WHERE value IS NOT NULL AND value > 0),
+      f AS (SELECT k, epoch_us(date_trunc('day', ts)) AS bucket_us, p AS x,
+                   ln(lead(p) OVER (PARTITION BY k ORDER BY ts, event_id) / p) AS y
+            FROM b),
+      v AS (SELECT k, bucket_us, x, y
+            FROM f WHERE x IS NOT NULL AND y IS NOT NULL),
+      r AS (SELECT k, bucket_us,
+                   2 * rank() OVER (PARTITION BY k, bucket_us ORDER BY x)
+                     + COUNT(*) OVER (PARTITION BY k, bucket_us, x) - 1 AS ra,
+                   2 * rank() OVER (PARTITION BY k, bucket_us ORDER BY y)
+                     + COUNT(*) OVER (PARTITION BY k, bucket_us, y) - 1 AS rb
+            FROM v),
+      m AS (SELECT k, bucket_us, COUNT(*) AS n,
+                   CAST(SUM(ra) AS BIGINT) AS sa,
+                   CAST(SUM(rb) AS BIGINT) AS sb,
+                   CAST(SUM(ra * ra) AS BIGINT) AS saa,
+                   CAST(SUM(rb * rb) AS BIGINT) AS sbb,
+                   CAST(SUM(ra * rb) AS BIGINT) AS sab
+            FROM r GROUP BY 1, 2)
+      SELECT k AS event_type, bucket_us, n,
+             CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) > 0
+                   AND (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0
+                  THEN round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                             / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                                    * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))),
+                             6) END AS ic
+      FROM m ORDER BY event_type, bucket_us"""))
+
   // Roll's implied effective spread per (event type, day): consecutive
   // trade-price changes in integer cents, covariance from exact moment
   // sums, s = 2·√(−cov)/100; non-negative-autocov days null (Roll's own
@@ -5362,6 +5519,7 @@ object Queries {
     qVpin, qJumpVol, qVarianceRatio, qContainment, qContainmentIncremental,
     qRollSpread, qAmihud, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
-    qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments
+    qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments,
+    qBacktest, qVarCvar, qSpearmanIc
   )
 }

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vectorized signal backtest — the evaluation loop every strategy in
+  * the reference's domain ends at (signals are produced by the feature
+  * pipeline `adi/app/features/factory/market_factory.py`; this is the
+  * standard next step those features feed): turn a per-tick signal
+  * column into positions, PnL, an equity curve, and the risk scorecard
+  * (Sharpe, max drawdown, turnover) — with NO look-ahead and no
+  * driver-side loop.
+  *
+  * Semantics (the vectorized-backtest convention):
+  *  - `position_t = signal_{t−1}` — a signal computed on tick t trades
+  *    on tick t+1; the first tick of a series is flat. Null signals are
+  *    flat (0), not carried.
+  *  - `r_t = ln(p_t / p_{t−1})` (log returns compound additively, so the
+  *    equity curve is a plain cumulative sum); non-positive/null prices
+  *    drop before the order forms, like [[graft.functions.TaIndicators
+  *    .realizedJumpVol]].
+  *  - `pnl_t = position_t · r_t − (costBps/10⁴) · |Δposition_t|` — linear
+  *    transaction costs charged on turnover, the Almgren-style linear
+  *    term.
+  *
+  * Determinism (the Queries.scala doctrine): each pnl term quantizes to
+  * `round(pnl·10⁹)` nano-units and each squared term INDEPENDENTLY to
+  * `round(pnl²·10⁹)` (one level-2 quantizer per moment; a square of the
+  * level-1 int would overflow i64 at |r| beyond ~3), so the equity
+  * curve, its running max, the drawdown election, and both moment sums
+  * are EXACT integer arithmetic — order-free across engines. Turnover
+  * quantizes at `round(|Δpos|·10⁶)`. The Sharpe/ratio displays derive in
+  * one fixed double tree, 6 dp. Overflow contract: `n·|pnl|²·10⁹ < 2⁶³`
+  * per series (|pnl| ≤ 30 at 10⁷ ticks is safe).
+  *
+  * Scale shape: ONE series-keyed exchange+sort carries every window
+  * (signal lag, price lag, equity cumsum, running max — same
+  * partitioning and ordering, Catalyst plans one physical sort), then
+  * one map-side-combined agg to a key-sized scorecard. Nothing global,
+  * no self-join, no collect. */
+object Backtest {
+
+  /** Per-tick backtest frame: `(keys…, ts, tiebreak, position, ret,
+    * pnl, equity, drawdown)` — `equity`/`drawdown` in log-return units
+    * (6 dp from exact nano-unit integers). Feed this to [[stats]] (or
+    * use [[signalBacktest]] for both in one pass). */
+  def ledger(df: DataFrame, keys: Seq[String], tsCol: String,
+             priceCol: String, signalCol: String, tiebreakCol: String,
+             costBps: Double): DataFrame =
+    annotated(df, keys, tsCol, priceCol, signalCol, tiebreakCol, costBps)
+      .select(keys.map(col) ++ Seq(col(tsCol), col(tiebreakCol),
+        col("_pos").as("position"), round(col("_r"), 6).as("ret"),
+        round(col("_pnl_fp").cast("double") / 1e9, 6).as("pnl"),
+        round(col("_eq_fp").cast("double") / 1e9, 6).as("equity"),
+        round(col("_dd_fp").cast("double") / 1e9, 6).as("drawdown")): _*)
+
+  /** Per-series scorecard: `(keys…, n_rets, n_trades, total_ret,
+    * sharpe, max_drawdown, turnover)`.
+    *  - `total_ret` — cumulative log return net of costs.
+    *  - `sharpe` — per-tick mean/σ (population) scaled by
+    *    `√annualization`; null when the pnl series is constant.
+    *  - `max_drawdown` — deepest running-max-to-trough loss of the NET
+    *    equity curve, in log units (≥ 0).
+    *  - `turnover` — Σ|Δposition|; `n_trades` counts the nonzero
+    *    position changes (on µ-unit integers — no double ==). */
+  def signalBacktest(df: DataFrame, keys: Seq[String], tsCol: String,
+                     priceCol: String, signalCol: String,
+                     tiebreakCol: String, costBps: Double = 0.0,
+                     annualization: Double = 1.0): DataFrame = {
+    require(annualization > 0.0, s"annualization must be positive")
+    val a = annotated(df, keys, tsCol, priceCol, signalCol, tiebreakCol,
+      costBps)
+    val n = col("n_rets").cast("double")
+    val mean = col("_s1").cast("double") / 1e9 / n
+    // population variance from the independently quantized square sum:
+    // E[x²] − E[x]² on the same doubles both engines derive
+    val variance = col("_s2").cast("double") / 1e9 / n - mean * mean
+    a.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rets"),
+        sum(when(col("_to_fp") =!= 0L, 1L).otherwise(0L)).as("n_trades"),
+        sum(col("_pnl_fp")).as("_s1"), sum(col("_sq_fp")).as("_s2"),
+        max(col("_dd_fp")).as("_mdd"), sum(col("_to_fp")).as("_to"))
+      .select(keys.map(col) ++ Seq(col("n_rets"), col("n_trades"),
+        round(col("_s1").cast("double") / 1e9, 6).as("total_ret"),
+        when(variance > 0.0,
+          round(mean / sqrt(variance) * math.sqrt(annualization), 6))
+          .as("sharpe"),
+        round(col("_mdd").cast("double") / 1e9, 6).as("max_drawdown"),
+        round(col("_to").cast("double") / 1e6, 6).as("turnover")): _*)
+      .orderBy(keys.map(col): _*)
+  }
+
+  /** Historical VaR + CVaR (expected shortfall) per series — the
+    * loss-tail pair beside [[signalBacktest]]'s Sharpe/drawdown:
+    * `VaR_α` is the exact interpolated α-quantile of the value column
+    * (a RETURN column by convention — the left tail is the loss tail)
+    * and `CVaR_α` the mean of the observations at or below it.
+    *
+    * Determinism: the quantile is Spark `percentile` ≡ DuckDB
+    * `quantile_cont` (both engines interpolate between the same two
+    * order statistics of the same doubles); the tail membership test
+    * `v ≤ VaR` compares those same doubles; the tail mean derives from
+    * an exact `round(v·10⁹)` integer sum. 6 dp displays.
+    *
+    * Scale shape: one grouped percentile to a key-sized bounds frame,
+    * broadcast back, one grouped agg — the [[Relational.winsorize]]
+    * shape; the corpus never shuffles. Exact percentile memory is
+    * bounded by per-group distinct values — pass `approxAccuracy` for
+    * the 100-TB sketch path (same plan shape, documented divergence
+    * contract in BASELINE.md round 7). Returns
+    * `(keys…, n, n_tail, var_alpha, cvar_alpha)`. */
+  def varCvar(df: DataFrame, keys: Seq[String], valueCol: String,
+              alpha: Double = 0.05,
+              approxAccuracy: Option[Int] = None): DataFrame = {
+    require(keys.nonEmpty, "varCvar needs the series key(s)")
+    require(alpha > 0.0 && alpha < 1.0, s"need 0 < alpha < 1, got $alpha")
+    val v = col(valueCol).cast("double")
+    val q = approxAccuracy match {
+      case Some(acc) => percentile_approx(v, lit(alpha), lit(acc))
+      case None => percentile(v, lit(alpha))
+    }
+    val bounds = df.where(v.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(q.as("_var"), count(lit(1)).as("n"))
+    df.where(v.isNotNull).join(broadcast(bounds), keys)
+      .where(v <= col("_var"))
+      .withColumn("_v_fp", round(v * 1e9).cast("long"))
+      .groupBy(keys.map(col): _*)
+      .agg(first(col("n")).as("n"), count(lit(1)).as("n_tail"),
+        first(col("_var")).as("_q"), sum(col("_v_fp")).as("_s"))
+      .select(keys.map(col) ++ Seq(col("n"), col("n_tail"),
+        round(col("_q"), 6).as("var_alpha"),
+        round(col("_s").cast("double") / 1e9
+          / col("n_tail").cast("double"), 6).as("cvar_alpha")): _*)
+      .orderBy(keys.map(col): _*)
+  }
+
+  /** Shared annotation pass — every window rides one (keys, ts,
+    * tiebreak) sort. */
+  private def annotated(df: DataFrame, keys: Seq[String], tsCol: String,
+                        priceCol: String, signalCol: String,
+                        tiebreakCol: String, costBps: Double): DataFrame = {
+    require(keys.nonEmpty, "signalBacktest needs the series key(s)")
+    require(costBps >= 0.0, s"costBps must be >= 0, got $costBps")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val p = col(priceCol).cast("double")
+    val sig = coalesce(col(signalCol).cast("double"), lit(0.0))
+    df.where(p.isNotNull && p > 0.0)
+      .withColumn("_pos", coalesce(lag(sig, 1).over(w), lit(0.0)))
+      .withColumn("_prevpos", coalesce(lag(sig, 2).over(w), lit(0.0)))
+      .withColumn("_r", log(p / lag(p, 1).over(w)))
+      .where(col("_r").isNotNull)
+      .withColumn("_dpos_fp",
+        round(abs(col("_pos") - col("_prevpos")) * 1e6).cast("long"))
+      .withColumn("_pnl",
+        col("_pos") * col("_r")
+          - lit(costBps / 1e4) * (col("_dpos_fp").cast("double") / 1e6))
+      .withColumn("_pnl_fp", round(col("_pnl") * 1e9).cast("long"))
+      .withColumn("_sq_fp", round(col("_pnl") * col("_pnl") * 1e9).cast("long"))
+      .withColumn("_to_fp", col("_dpos_fp"))
+      .withColumn("_eq_fp", sum(col("_pnl_fp")).over(wCum))
+      .withColumn("_dd_fp",
+        greatest(max(col("_eq_fp")).over(wCum), lit(0L)) - col("_eq_fp"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Streaming feature-drift monitor — the [[Relational.psiDrift]] PSI
@@ -149,5 +150,118 @@ object DriftMonitor {
             coalesce(col("c_cur"), lit(0L)).as("c_cur"): _*)
       }
     Relational.psiFromCells(cells, keys, bins)
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental CUSUM — [[Relational.cusumDetect]] folded over
+  // micro-batches with a per-key carry frame (the [[MarketIncremental]]
+  // fold pattern): the reflected statistic `S_t = P_t − min(0, min_{j≤t}
+  // P_j)` needs only the LAST prefix value and the running minimum per
+  // side, so the carry is two longs per side per key — bounded state
+  // regardless of history length.
+  // ------------------------------------------------------------------
+
+  /** Empty CUSUM carry: `(keys…, p_pos, min_pos, p_neg, min_neg,
+    * w_ts_us, w_tb)`. `min_*` hold `min(0, min over history of P)` —
+    * always ≤ 0, so the bootstrap value is 0. */
+  def emptyCusumCarry(spark: SparkSession, keys: Seq[String]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        keys.map(k => org.apache.spark.sql.types.StructField(k,
+          org.apache.spark.sql.types.StringType)) ++
+          Seq("p_pos", "min_pos", "p_neg", "min_neg", "w_ts_us", "w_tb")
+            .map(n => org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.LongType))))
+
+  /** Fold one micro-batch into the CUSUM state. Returns
+    * `(scored, carry2)`: `scored` is exactly the
+    * [[Relational.cusumDetect]] row shape for the batch's ticks
+    * (OpsSpec-pinned equivalence: folding batches B₁..Bₙ and unioning
+    * the scores ≡ one-shot `cusumDetect(B₁ ∪ … ∪ Bₙ)` column for
+    * column), `carry2` the advanced state.
+    *
+    * Ordering contract (the [[MarketIncremental]] guards): every tick
+    * must be strictly after the carried `(w_ts_us, w_tb)` watermark and
+    * `(ts, tiebreak)` must be unique within the batch — a violation
+    * raises at materialization rather than silently mis-folding the
+    * sequential statistic. Keys are cast to STRING in the carry (one
+    * canonical type across folds). Null values drop, like the one-shot.
+    *
+    * Scale shape: one keyed window pass over the batch + one keyed agg
+    * + a key-sized full-outer carry merge — per-fold cost is O(batch)
+    * plus O(keys), never O(history). Both returned frames are eagerly
+    * localCheckpointed ([[MarketIncremental.volumeBarsFold]]'s
+    * materialize-once contract). */
+  def cusumFold(carry: DataFrame, batch: DataFrame, keys: Seq[String],
+                tsCol: String, valueCol: String, tiebreakCol: String,
+                target: Double, slack: Double, threshold: Double,
+                scale: Double = 1e6): (DataFrame, DataFrame) = {
+    require(keys.nonEmpty, "cusumFold needs the series key(s)")
+    require(slack >= 0.0 && threshold > 0.0 && scale > 0.0,
+      s"bad cusum params: slack=$slack threshold=$threshold scale=$scale")
+    val tq = math.floor(target * scale).toLong
+    val kq = math.floor(slack * scale).toLong
+    val hq = math.floor(threshold * scale).toLong
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("ts_us"), col("_tb"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val raw = batch.where(col(valueCol).isNotNull).select(
+      keys.map(k => col(k).cast("string").as(k)) ++ Seq(
+        unix_micros(col(tsCol).cast("timestamp")).as("ts_us"),
+        col(tiebreakCol).cast("long").as("_tb"),
+        floor(col(valueCol).cast("double") * scale).cast("long").as("_xq")): _*)
+    val guarded = raw
+      .join(carry, keys, "left")
+      .withColumn("_dup",
+        lag(struct(col("ts_us"), col("_tb")), 1).over(w) ===
+          struct(col("ts_us"), col("_tb")))
+      .withColumn("_xg",
+        when(col("w_ts_us").isNotNull &&
+            (col("ts_us") < col("w_ts_us") ||
+              (col("ts_us") === col("w_ts_us") && col("_tb") <= col("w_tb"))),
+          raise_error(concat(lit("cusumFold ordering contract violated: "),
+            lit("tick at "), col("ts_us").cast("string"),
+            lit("us is not after the carried watermark"))))
+        .when(coalesce(col("_dup"), lit(false)),
+          raise_error(lit("cusumFold ordering contract violated: duplicate " +
+            "(ts, tiebreak) pair within one batch")))
+        .otherwise(col("_xq")))
+      .withColumn("_ip", col("_xg") - lit(tq) - lit(kq))
+      .withColumn("_in", lit(tq) - col("_xg") - lit(kq))
+      .withColumn("_pp",
+        coalesce(col("p_pos"), lit(0L)) + sum(col("_ip")).over(wCum))
+      .withColumn("_pn",
+        coalesce(col("p_neg"), lit(0L)) + sum(col("_in")).over(wCum))
+      .withColumn("_mp",
+        least(coalesce(col("min_pos"), lit(0L)), min(col("_pp")).over(wCum)))
+      .withColumn("_mn2",
+        least(coalesce(col("min_neg"), lit(0L)), min(col("_pn")).over(wCum)))
+      .withColumn("_sp", col("_pp") - col("_mp"))
+      .withColumn("_sn", col("_pn") - col("_mn2"))
+      .localCheckpoint(true)
+    val scored = guarded.select(keys.map(col) ++ Seq(
+        timestamp_micros(col("ts_us")).as(tsCol), col("_tb").as(tiebreakCol),
+        round(col("_xq").cast("double") / lit(scale), 6).as("value"),
+        round(col("_sp").cast("double") / lit(scale), 6).as("s_pos"),
+        round(col("_sn").cast("double") / lit(scale), 6).as("s_neg"),
+        (col("_sp") > lit(hq)).as("alarm_pos"),
+        (col("_sn") > lit(hq)).as("alarm_neg")): _*)
+      .orderBy(keys.map(col) ++ Seq(col(tsCol), col(tiebreakCol)): _*)
+    val adv = guarded.groupBy(keys.map(col): _*)
+      .agg(max_by(col("_pp"), struct(col("ts_us"), col("_tb"))).as("_lp"),
+        max_by(col("_pn"), struct(col("ts_us"), col("_tb"))).as("_ln"),
+        min(col("_mp")).as("_minp"), min(col("_mn2")).as("_minn"),
+        max(struct(col("ts_us"), col("_tb"))).as("_w"))
+    val carry2 = carry.join(adv, keys, "full")
+      .select(keys.map(col) ++ Seq(
+        coalesce(col("_lp"), col("p_pos"), lit(0L)).as("p_pos"),
+        coalesce(col("_minp"), col("min_pos"), lit(0L)).as("min_pos"),
+        coalesce(col("_ln"), col("p_neg"), lit(0L)).as("p_neg"),
+        coalesce(col("_minn"), col("min_neg"), lit(0L)).as("min_neg"),
+        coalesce(col("_w").getField("ts_us"), col("w_ts_us")).as("w_ts_us"),
+        coalesce(col("_w").getField("_tb"), col("w_tb")).as("w_tb")): _*)
+      .localCheckpoint(true)
+    (scored, carry2)
   }
 }

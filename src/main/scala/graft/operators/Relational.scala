@@ -664,6 +664,57 @@ object Relational {
     * numeric series keys who need numeric ordering should zero-pad or
     * re-cast downstream. One canonical type keeps the pair predicate and
     * the DuckDB oracle's comparison semantics identical. */
+  /** Spearman rank information coefficient per group — THE signal-
+    * evaluation number (rank correlation of a signal against its
+    * forward return, per rebalance bucket; Grinold & Kahn's IC): rank
+    * both columns with AVERAGE ranks on ties (the Spearman convention —
+    * `rank + (ties−1)/2`, kept as the EXACT integer `2·rank + ties − 1`
+    * so no double enters the rank), then Pearson over the doubled ranks
+    * from exact integer moment sums (doubling cancels in the ratio).
+    *
+    * Determinism: ranks and all five moment sums are exact BIGINTs; the
+    * correlation derives in one fixed double tree (the
+    * [[correlationMatrix]] shape), 6 dp. Rows where either column is
+    * null drop (no rank). Constant columns → null IC.
+    * Overflow contract: Σ(2r)² ≤ 4n³ per group ⇒ n ≤ 10⁶ rows/group
+    * (an IC bucket is a rebalance period — thousands of names, not
+    * millions; shard the bucket key if yours is bigger).
+    *
+    * Scale shape: two rank windows (one sort per variable — inherent to
+    * Spearman) + tie counts riding the same partitionings, then one
+    * map-side-combined agg to one row per group. No joins, nothing
+    * global. */
+  def spearmanIc(df: DataFrame, keys: Seq[String], xCol: String,
+                 yCol: String): DataFrame = {
+    require(keys.nonEmpty, "spearmanIc needs the bucket key(s)")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val wx = Window.partitionBy(keys.map(col): _*).orderBy(col(xCol))
+    val wy = Window.partitionBy(keys.map(col): _*).orderBy(col(yCol))
+    val cx = Window.partitionBy((keys.map(col) :+ col(xCol)): _*)
+    val cy = Window.partitionBy((keys.map(col) :+ col(yCol)): _*)
+    val ranked = df.where(x.isNotNull && y.isNotNull)
+      .withColumn("_ra", lit(2L) * rank().over(wx).cast("long")
+        + count(lit(1)).over(cx) - lit(1L))
+      .withColumn("_rb", lit(2L) * rank().over(wy).cast("long")
+        + count(lit(1)).over(cy) - lit(1L))
+    val n = col("_n").cast("double")
+    def d(c: Column): Column = c.cast("double")
+    val cov = n * d(col("_sab")) - d(col("_sa")) * d(col("_sb"))
+    val va = n * d(col("_saa")) - d(col("_sa")) * d(col("_sa"))
+    val vb = n * d(col("_sbb")) - d(col("_sb")) * d(col("_sb"))
+    ranked.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_ra")).as("_sa"), sum(col("_rb")).as("_sb"),
+        sum(col("_ra") * col("_ra")).as("_saa"),
+        sum(col("_rb") * col("_rb")).as("_sbb"),
+        sum(col("_ra") * col("_rb")).as("_sab"))
+      .select(keys.map(col) ++ Seq(col("_n").as("n"),
+        when(va > 0.0 && vb > 0.0,
+          round(cov / sqrt(va * vb), 6)).as("ic")): _*)
+      .orderBy(keys.map(col): _*)
+  }
+
   private def quantizedBase(df: DataFrame, keyCol: String, tsCol: String,
                             valueCol: String, scale: Double): DataFrame = {
     require(scale > 0.0, s"scale must be positive, got $scale")

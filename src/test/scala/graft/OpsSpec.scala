@@ -3801,6 +3801,174 @@ class OpsSpec extends SparkSpec {
     }, "flat series at target never alarms")
   }
 
+  test("cusumFold: chunked folds equal one-shot cusumDetect, carry is key-sized, guards raise") {
+    var seed = 77L
+    def nxt(): Double = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      ((seed >>> 33).toDouble / (1L << 31).toDouble) - 0.5
+    }
+    val rows = (for {
+      k <- Seq("A", "B"); i <- 0 until 50
+    } yield {
+      val base = if (k == "A" && i >= 25) 13.0 else 10.0
+      (k, i.toLong, i.toLong, base + nxt())
+    }).toSeq
+    def mk(rs: Seq[(String, Long, Long, Double)]) =
+      rs.toDF("k", "t", "tb", "v").withColumn("ts", expr("timestamp_micros(t)"))
+    val (tgt, slk, thr) = (10.0, 0.8, 6.0)
+    val whole = Relational.cusumDetect(mk(rows), Seq("k"), "ts", "v", "tb",
+        tgt, slk, thr).collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getBoolean(6), r.getBoolean(7)))).toMap
+    assert(whole.exists(_._2._4), "fixture must alarm on the +3 shift")
+    // 3 uneven batches, folded with the bounded carry
+    val batches = Seq(rows.filter(_._2 < 7), rows.filter(r => r._2 >= 7 && r._2 < 31),
+      rows.filter(_._2 >= 31))
+    var carry = DriftMonitor.emptyCusumCarry(spark, Seq("k"))
+    val folded = scala.collection.mutable.Map
+      .empty[(String, Long), (Double, Double, Double, Boolean, Boolean)]
+    batches.foreach { b =>
+      val (scored, c2) = DriftMonitor.cusumFold(carry, mk(b), Seq("k"),
+        "ts", "v", "tb", tgt, slk, thr)
+      scored.collect().foreach(r => folded((r.getString(0), r.getLong(2))) =
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getBoolean(6), r.getBoolean(7))))
+      carry = c2
+      assert(carry.count() <= 2, "carry must stay key-sized")
+    }
+    assert(folded.size == whole.size)
+    whole.foreach { case (key, want) =>
+      assert(folded(key) == want, s"fold diverged at $key: ${folded(key)} vs $want")
+    }
+    // replaying an old batch violates the watermark guard
+    intercept[Exception] {
+      DriftMonitor.cusumFold(carry, mk(batches(1)), Seq("k"), "ts", "v",
+        "tb", tgt, slk, thr)
+    }
+    // intra-batch duplicate (ts, tiebreak) raises
+    intercept[Exception] {
+      DriftMonitor.cusumFold(DriftMonitor.emptyCusumCarry(spark, Seq("k")),
+        mk(Seq(("A", 1L, 5L, 1.0), ("A", 1L, 5L, 2.0))), Seq("k"),
+        "ts", "v", "tb", tgt, slk, thr)
+    }
+  }
+
+  test("signalBacktest: next-tick execution, linear costs, exact curve — sequential reference agrees") {
+    var seed = 4242L
+    def nxt(): Double = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      ((seed >>> 33).toDouble / (1L << 31).toDouble) - 0.5
+    }
+    val prices = Iterator.iterate(100.0)(p => p * math.exp(0.02 * nxt()))
+      .take(60).toSeq
+    // alternating momentum-ish signal with flats and repeats (holds incur
+    // no cost), plus a null (flat by contract)
+    val sigs: Seq[Option[Double]] = (0 until 60).map {
+      case i if i % 7 == 0 => None
+      case i if (i / 5) % 2 == 0 => Some(1.0)
+      case _ => Some(-1.0)
+    }
+    val df = prices.zip(sigs).zipWithIndex.map { case ((p, sg), i) =>
+      ("S", i.toLong, i.toLong, p, sg) }.toDF("k", "t", "tb", "p", "sig")
+    val (costBps, ann) = (25.0, 252.0)
+    val stats = operators.Backtest.signalBacktest(df, Seq("k"), "t", "p",
+        "sig", "tb", costBps, ann).collect()
+    assert(stats.length == 1)
+    val row = stats.head
+    // sequential reference on the same quantization pipeline
+    val sigv = sigs.map(_.getOrElse(0.0))
+    var (eq, runmax, s1, s2, tov, trades, mdd, n) = (0L, 0L, 0L, 0L, 0L, 0L, 0L, 0)
+    (1 until 60).foreach { i =>
+      val pos = sigv(i - 1)
+      val prevpos = if (i >= 2) sigv(i - 2) else 0.0
+      val r = math.log(prices(i) / prices(i - 1))
+      val dposFp = math.round(math.abs(pos - prevpos) * 1e6)
+      val pnl = pos * r - (costBps / 1e4) * (dposFp / 1e6)
+      val pnlFp = math.round(pnl * 1e9)
+      s1 += pnlFp; s2 += math.round(pnl * pnl * 1e9); tov += dposFp
+      if (dposFp != 0L) trades += 1
+      eq += pnlFp; runmax = math.max(math.max(runmax, eq), 0L)
+      mdd = math.max(mdd, runmax - eq); n += 1
+    }
+    val mean = s1.toDouble / 1e9 / n
+    val variance = s2.toDouble / 1e9 / n - mean * mean
+    assert(row.getAs[Long]("n_rets") == n)
+    assert(row.getAs[Long]("n_trades") == trades)
+    // displays are 6-dp rounded — compare at the display resolution
+    assert(math.abs(row.getAs[Double]("total_ret") - s1 / 1e9) < 5.1e-7)
+    assert(math.abs(row.getAs[Double]("sharpe")
+      - mean / math.sqrt(variance) * math.sqrt(ann)) < 1e-6)
+    assert(math.abs(row.getAs[Double]("max_drawdown") - mdd / 1e9) < 5.1e-7)
+    assert(math.abs(row.getAs[Double]("turnover") - tov / 1e6) < 1e-9)
+    // no look-ahead: perturbing the LAST signal changes nothing (that
+    // signal would only trade on a tick that doesn't exist)
+    val df2 = prices.zip(sigs.init :+ Some(-99.0)).zipWithIndex
+      .map { case ((p, sg), i) => ("S", i.toLong, i.toLong, p, sg) }
+      .toDF("k", "t", "tb", "p", "sig")
+    val row2 = operators.Backtest.signalBacktest(df2, Seq("k"), "t", "p",
+      "sig", "tb", costBps, ann).collect().head
+    assert(row2.getAs[Double]("total_ret") == row.getAs[Double]("total_ret")
+      && row2.getAs[Long]("n_trades") == row.getAs[Long]("n_trades"),
+      "a signal on the final tick must not affect any PnL")
+    // ledger consistency: last equity == total_ret, drawdown max == mdd
+    val led = operators.Backtest.ledger(df, Seq("k"), "t", "p", "sig", "tb",
+        costBps).orderBy("t").collect()
+    assert(led.length == n)
+    assert(math.abs(led.last.getAs[Double]("equity")
+      - row.getAs[Double]("total_ret")) < 1e-9)
+    assert(math.abs(led.map(_.getAs[Double]("drawdown")).max
+      - row.getAs[Double]("max_drawdown")) < 1e-9)
+  }
+
+  test("varCvar: interpolated quantile + exact tail mean, per-key isolation") {
+    val rows = (1 to 100).map(i => ("A", i.toDouble)) ++
+      (1 to 10).map(i => ("B", -i.toDouble)) :+ (("A", null.asInstanceOf[Any]))
+    val df = rows.map { case (k, v) =>
+      (k, Option(v).map(_.asInstanceOf[Double])) }.toDF("k", "r")
+    val out = operators.Backtest.varCvar(df, Seq("k"), "r", alpha = 0.05)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // A: quantile_cont(0.05) over 1..100 = 1 + 0.05*99 = 5.95;
+    // tail {1..5}, mean 3
+    assert(out("A") == ((100L, 5L, 5.95, 3.0)), s"got ${out("A")}")
+    // B: over -10..-1 = -10 + 0.05*9 = -9.55; tail {-10}, mean -10
+    assert(out("B") == ((10L, 1L, -9.55, -10.0)), s"got ${out("B")}")
+  }
+
+  test("spearmanIc: monotone = ±1, ties use average ranks, constant columns null out") {
+    val up = (1 to 20).map(i => ("up", i.toDouble, (i * i).toDouble))
+    val down = (1 to 20).map(i => ("down", i.toDouble, -i.toDouble))
+    // x has tie groups; reference below computes classical average-rank
+    // Spearman by hand
+    val tx = Seq(1.0, 1.0, 2.0, 3.0, 3.0, 3.0, 4.0)
+    val ty = Seq(2.0, 1.0, 3.0, 5.0, 4.0, 6.0, 7.0)
+    val tied = tx.zip(ty).map { case (x, y) => ("tied", x, y) }
+    val const = (1 to 5).map(i => ("const", 7.0, i.toDouble))
+    val df = (up ++ down ++ tied ++ const).toDF("k", "x", "y")
+    val out = Relational.spearmanIc(df, Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("up") == ((20L, Some(1.0))), s"monotone: ${out("up")}")
+    assert(out("down") == ((20L, Some(-1.0))), s"reversed: ${out("down")}")
+    assert(out("const")._2.isEmpty, "constant x has zero rank variance")
+    def avgRanks(vs: Seq[Double]): Seq[Double] = {
+      val sorted = vs.sorted.zipWithIndex
+      val byV = sorted.groupBy(_._1)
+        .map { case (v, g) => v -> g.map(_._2 + 1).sum.toDouble / g.size }
+      vs.map(byV)
+    }
+    val (ra, rb) = (avgRanks(tx), avgRanks(ty))
+    val nn = ra.size.toDouble
+    val (sa, sb) = (ra.sum, rb.sum)
+    val (saa, sbb) = (ra.map(v => v * v).sum, rb.map(v => v * v).sum)
+    val sab = ra.zip(rb).map { case (a, b) => a * b }.sum
+    val want = (nn * sab - sa * sb) /
+      math.sqrt((nn * saa - sa * sa) * (nn * sbb - sb * sb))
+    assert(math.abs(out("tied")._2.get - want) < 1e-6,
+      s"tied: ${out("tied")._2} vs $want")
+  }
+
   test("realizedMoments: ACJV skew/kurt match the direct computation, continuous across buckets") {
     var seed = 7L
     def nxt(): Double = {

@@ -699,4 +699,35 @@ class PlanSpec extends SparkSpec {
     assert(!eg.contains("CartesianProduct") && !eg.contains("BroadcastNestedLoopJoin"),
       s"engleGranger joins must all be equi:\n${eg.take(1500)}")
   }
+
+  test("backtest rides ONE keyed sort: windows share the exchange, agg adds none") {
+    val df = (0 until 200).map(i =>
+      (s"s${i % 4}", i.toLong, i.toLong, 100.0 + i % 17,
+        if (i % 3 == 0) 1.0 else -1.0))
+      .toDF("k", "t", "tb", "p", "sig")
+    val plan = planOf(graft.operators.Backtest.signalBacktest(
+      df, Seq("k"), "t", "p", "sig", "tb", costBps = 10.0))
+    // every window spec keyed by the series key — no global sort
+    val specs = "windowspecdefinition\\(([^,]+),".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("k#")),
+      s"unkeyed backtest window: $specs")
+    // one hash exchange for the whole window+agg chain (same keys), one
+    // range exchange for the final orderBy — nothing else
+    val nEx = raw"\(\d+\) Exchange".r.findAllIn(plan).length
+    assert(nEx <= 2,
+      s"backtest should shuffle once (plus the display sort), got $nEx:\n${plan.take(1800)}")
+    // varCvar: corpus joins the key-sized bounds via broadcast only
+    val vc = planOf(graft.operators.Backtest.varCvar(
+      df.withColumnRenamed("p", "r"), Seq("k"), "r"))
+    assert(vc.contains("BroadcastExchange"),
+      s"varCvar bounds must broadcast:\n${vc.take(1500)}")
+    // spearman: rank windows keyed by the bucket key
+    val sp = planOf(graft.operators.Relational.spearmanIc(
+      df.withColumn("y", col("p") * col("p")), Seq("k"), "p", "y"))
+    val spSpecs = "windowspecdefinition\\(([^,]+),".r
+      .findAllMatchIn(sp).map(_.group(1)).toList
+    assert(spSpecs.nonEmpty && spSpecs.forall(_.contains("k#")),
+      s"unkeyed spearman window: $spSpecs")
+  }
 }
