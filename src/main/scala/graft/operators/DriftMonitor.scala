@@ -264,4 +264,62 @@ object DriftMonitor {
       .localCheckpoint(true)
     (scored, carry2)
   }
+
+  /** Committed CUSUM state versions (ascending batch ids) at
+    * `stateDir` — the [[MarketIncremental.committedVersions]] protocol
+    * on this module's own state layout. */
+  def committedCusumVersions(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val fs = indexFs(spark, stateDir)
+    val d = new org.apache.hadoop.fs.Path(s"$stateDir/_commits")
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).filter(_.isFile)
+      .map(_.getPath.getName.toLong).sorted.toSeq
+  }
+
+  /** The `writeStream.foreachBatch` body for streaming CUSUM: fold the
+    * micro-batch with [[cusumFold]] against the last committed carry,
+    * append the batch's scores to the permanent `scores/batch=<id>` log,
+    * version the carry under `v=<id>/carry`, commit atomically.
+    * Idempotent per `batchId` (at-least-once replays return the standing
+    * view without refolding — the statistic would double-count
+    * otherwise); crash between writes exposes nothing (no marker). Old
+    * carry versions GC down to the committed predecessor.
+    *
+    * Returns [[cusumScores]] — everything scored so far. */
+  def cusumBatch(spark: SparkSession, stateDir: String, batchId: Long,
+                 batch: DataFrame, keys: Seq[String], tsCol: String,
+                 valueCol: String, tiebreakCol: String, target: Double,
+                 slack: Double, threshold: Double,
+                 scale: Double = 1e6): DataFrame = {
+    val done = committedCusumVersions(spark, stateDir)
+    if (done.contains(batchId)) return cusumScores(spark, stateDir)
+    val carry = done.lastOption match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v=$v/carry")
+      case None => emptyCusumCarry(spark, keys)
+    }
+    val (scored, carry2) = cusumFold(carry, batch, keys, tsCol, valueCol,
+      tiebreakCol, target, slack, threshold, scale)
+    scored.write.mode("overwrite").parquet(s"$stateDir/scores/batch=$batchId")
+    carry2.write.mode("overwrite").parquet(s"$stateDir/v=$batchId/carry")
+    val f = indexFs(spark, stateDir)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$stateDir/_commits"))
+    f.create(new org.apache.hadoop.fs.Path(s"$stateDir/_commits/$batchId"),
+      true).close()
+    done.dropRight(1).foreach { old =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v=$old"), true)
+    }
+    cusumScores(spark, stateDir)
+  }
+
+  /** Every committed batch's CUSUM scores — the union of the
+    * `scores/batch=<id>` logs (uncommitted/torn batch dirs prune at the
+    * listing via the partition column). Row shape =
+    * [[Relational.cusumDetect]]'s. */
+  def cusumScores(spark: SparkSession, stateDir: String): DataFrame = {
+    val done = committedCusumVersions(spark, stateDir)
+    require(done.nonEmpty, s"cusumScores: nothing committed at $stateDir")
+    spark.read.parquet(s"$stateDir/scores")
+      .filter(col("batch").isin(done: _*))
+      .drop("batch")
+  }
 }

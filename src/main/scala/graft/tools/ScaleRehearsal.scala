@@ -742,6 +742,73 @@ object ScaleRehearsal {
       }
     }
 
+    // ---- round-8 ops: backtest / CUSUM / Spearman IC under the two
+    // growth axes that matter for window-chain operators. WIDE (more
+    // series, same length) is the scale-out direction — per-series sorts
+    // parallelize, walls should stay ~flat until cores saturate then
+    // grow linearly. LONG (same series, 10× the history) is the
+    // scale-up hazard — one series' window chain lives in ONE partition,
+    // so the wall is a single-threaded O(n log n) sort; the recorded
+    // numbers price the "shard long histories by time-chunking with the
+    // cusumFold carry" advice rather than leaving it as prose.
+    if (sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_R8OPS", "1") != "0") {
+      import graft.operators.{Backtest, Relational}
+      val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_type"), col("ts").cast("timestamp").as("ts"),
+          col("event_id"), col("value"))
+        .where(col("value").isNotNull && col("value") > 0)
+      val (tsLo, tsHi) = {
+        val r = ev0.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val spanUs = tsHi - tsLo + 3600000000L
+      def wide(r: Int): DataFrame =
+        if (r == 0) ev0
+        else ev0.select(concat(col("event_type"), lit(s"_w$r")).as("event_type"),
+          col("ts"), (col("event_id") + lit(r * 10000000L)).as("event_id"),
+          col("value"))
+      def long(r: Int): DataFrame =
+        if (r == 0) ev0
+        else ev0.select(col("event_type"),
+          timestamp_micros(unix_micros(col("ts")) + lit(r * spanUs)).as("ts"),
+          (col("event_id") + lit(r * 10000000L)).as("event_id"), col("value"))
+      for ((shape, rep) <- Seq("wide" -> wide _, "long" -> long _); m <- Seq(1, 10)) {
+        val path = s"$outBase/events_${shape}_x$m"
+        (0 until m).map(rep).reduce(_ unionByName _)
+          .repartition(32).write.mode("ignore").parquet(path)
+        val ev = spark.read.parquet(path)
+        val n = ev.count()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+        val (_, tBt) = timed {
+          Backtest.signalBacktest(
+            ev.withColumn("sig",
+              signum(col("value") - lag(col("value"), 1).over(w))),
+            Seq("event_type"), "ts", "value", "sig", "event_id",
+            costBps = 10.0, annualization = 8760.0).mat()
+        }
+        val (_, tCu) = timed {
+          Relational.cusumDetect(ev, Seq("event_type"), "ts", "value",
+            "event_id", target = 35.0, slack = 5.0, threshold = 500.0).mat()
+        }
+        val (_, tIc) = timed {
+          Relational.spearmanIc(
+            ev.withColumn("bucket_us",
+              unix_micros(date_trunc("day", col("ts"))))
+              .withColumn("fwd_ret",
+                log(lead(col("value"), 1).over(w) / col("value"))),
+            Seq("event_type", "bucket_us"), "value", "fwd_ret").mat()
+        }
+        val (_, tVc) = timed {
+          Backtest.varCvar(ev, Seq("event_type"), "value", alpha = 0.05).mat()
+        }
+        System.err.println(f"[rehearsal] r8ops $shape%-4s x$m%-3d n=$n%-9d " +
+          f"backtest=${tBt}%6.1fs cusum=${tCu}%6.1fs spearman=${tIc}%6.1fs " +
+          f"varcvar=${tVc}%6.1fs")
+        spark.catalog.clearCache()
+      }
+    }
+
     def j(v: Any): String = v match {
       case s: String => "\"" + s + "\""
       case d: Double => f"$d%.2f"

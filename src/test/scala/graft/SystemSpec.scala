@@ -759,6 +759,75 @@ class SystemSpec extends SparkSpec {
     assert(thrown.getMessage.contains("degenerate"))
   }
 
+  test("streaming CUSUM end-to-end: foreachBatch wiring, streamed = one-shot, checkpoint resume, replay no-op") {
+    import graft.operators.{DriftMonitor, Relational}
+    val in = tmp()
+    val st = tmp() + "/cusum"
+    val ckpt = tmp() + "/ckpt"
+    val sch = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.StringType)
+      .add("t", org.apache.spark.sql.types.LongType)
+      .add("v", org.apache.spark.sql.types.DoubleType)
+    // A drifts +3 from t=40 (must alarm mid-stream), B stays at target
+    def value(k: String, t: Int): Double = {
+      val base = if (k == "A" && t >= 40) 13.0 else 10.0
+      math.rint((base + math.sin(t * 0.7)) * 100) / 100
+    }
+    def drop(name: String, ts: Range): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(in, name),
+        (for (k <- Seq("A", "B"); t <- ts) yield
+          s"""{"k": "$k", "t": $t, "v": ${value(k, t)}}""").mkString("\n"))
+    val (tgt, slk, thr) = (10.0, 0.9, 9.0)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(sch).json(in)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          DriftMonitor.cusumBatch(spark, st, id,
+            b.toDF().withColumn("ts", expr("timestamp_micros(t)")),
+            Seq("k"), "ts", "v", "t", tgt, slk, thr)
+            .count(): Unit
+        }
+        .start()
+      q.awaitTermination(120000)
+    }
+    drop("b0.json", 0 until 25)
+    runOnce()
+    assert(DriftMonitor.committedCusumVersions(spark, st) == Seq(0L))
+    // resume from checkpoint in a "new run": only the new file folds
+    drop("b1.json", 25 until 70)
+    runOnce()
+    assert(DriftMonitor.committedCusumVersions(spark, st).last == 1L)
+    // empty trigger → no batch, no version
+    runOnce()
+    assert(DriftMonitor.committedCusumVersions(spark, st).last == 1L)
+    // streamed scores ≡ one-shot detector over everything
+    val all = (for (k <- Seq("A", "B"); t <- 0 until 70) yield
+      (k, t.toLong, value(k, t))).toDF("k", "t", "v")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val want = Relational.cusumDetect(all, Seq("k"), "ts", "v", "t",
+        tgt, slk, thr)
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        ((r.getDouble(4), r.getDouble(5), r.getBoolean(6), r.getBoolean(7))))
+      .toMap
+    val got = DriftMonitor.cusumScores(spark, st)
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        ((r.getDouble(4), r.getDouble(5), r.getBoolean(6), r.getBoolean(7))))
+      .toMap
+    assert(got.size == want.size && want.forall { case (k, w) => got(k) == w },
+      s"streamed CUSUM diverged from one-shot (sizes ${got.size}/${want.size})")
+    // the drift actually alarmed, on the positive side of A only
+    assert(got.exists { case ((k, _), g) => k == "A" && g._3 },
+      "A's +3 shift must trip alarm_pos")
+    assert(!got.exists { case ((k, _), g) => k == "B" && (g._3 || g._4) },
+      "B sits at target and must stay silent")
+    // explicit replay of an old batch id returns the view, no refold
+    val before = DriftMonitor.cusumScores(spark, st).count()
+    DriftMonitor.cusumBatch(spark, st, 0L,
+      all.limit(3), Seq("k"), "ts", "v", "t", tgt, slk, thr)
+    assert(DriftMonitor.cusumScores(spark, st).count() == before)
+  }
+
   test("streaming market tick end-to-end: foreachBatch wiring, incremental = batch, replay no-op") {
     // the OpsSpec test drives the pure merges; this one proves the
     // WIRING: a real writeStream.foreachBatch feeding marketTickBatch
