@@ -1023,6 +1023,30 @@ object Queries {
              sn > 500000000 AS alarm_neg
       FROM sm ORDER BY event_type, ts_us, event_id"""))
 
+  // The INCREMENTAL CUSUM under the same oracle: fold the stream as two
+  // time-split committed batches through the versioned-state loop
+  // (write → commit → score, the q_drift_monitor pattern) and read the
+  // standing scores — which must equal one-shot cusumDetect over the
+  // union, i.e. exactly what the q_cusum oracle computes relationally.
+  private val qCusumFold = QDef(
+    "q_cusum_fold",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val cut = to_timestamp(lit("2024-01-15"))
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_qcusum").toString + "/state"
+      operators.DriftMonitor.cusumBatch(s, st, 0L, e.filter(col("ts") < cut),
+        Seq("event_type"), "ts", "value", "event_id", 35.0, 5.0, 500.0)
+      operators.DriftMonitor.cusumBatch(s, st, 1L, e.filter(col("ts") >= cut),
+        Seq("event_type"), "ts", "value", "event_id", 35.0, 5.0, 500.0)
+      operators.DriftMonitor.cusumScores(s, st)
+        .select(col("event_type"), micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"), col("s_pos"), col("s_neg"),
+          col("alarm_pos"), col("alarm_neg"))
+        .orderBy("event_type", "ts_us", "event_id")
+    },
+    qCusum.oracle)
+
   // Per-series autocorrelation at hourly lags 1..3 — momentum/mean-
   // reversion structure per event type; same exact-integer moment
   // machinery as q_correlation, self-paired on the shifted hour index.
@@ -1672,6 +1696,68 @@ object Queries {
                                        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))),
                              6) END AS ic
       FROM m ORDER BY event_type, bucket_us"""))
+
+  // Fama–MacBeth factor premium of the tick value against its forward
+  // log return: per-day cross-sectional OLS slopes from exact integer
+  // moments (value at ⌊·10²⌋ — 2-dp ticks quantize EXACTLY; returns at
+  // ⌊·10⁶⌋), then the time-series mean + FM t-stat over nano-quantized
+  // slopes. The xScale/yScale de-scaling factor interpolates from the
+  // JVM.
+  private val qFamaMacbeth = QDef(
+    "q_fama_macbeth",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val base = t(s, dir, "events")
+        .where(col("value").isNotNull && col("value") > 0)
+        .withColumn("bucket_us", micros(date_trunc("day", col("ts"))))
+        .withColumn("fwd_ret",
+          log(lead(col("value"), 1).over(w) / col("value")))
+      Relational.famaMacbeth(base, "bucket_us", "value", "fwd_ret",
+        xScale = 1e2, yScale = 1e6)
+    },
+    Some(s"""
+      WITH b AS (SELECT event_type AS k, ts, event_id,
+                        CAST(value AS DOUBLE) AS p
+                 FROM events WHERE value IS NOT NULL AND value > 0),
+      f AS (SELECT epoch_us(date_trunc('day', ts)) AS bucket, p,
+                   ln(lead(p) OVER (PARTITION BY k ORDER BY ts, event_id) / p) AS y
+            FROM b),
+      v AS (SELECT bucket, CAST(floor(p * 1e2) AS BIGINT) AS xq,
+                   CAST(floor(y * 1e6) AS BIGINT) AS yq
+            FROM f WHERE y IS NOT NULL),
+      m AS (SELECT bucket, COUNT(*) AS n,
+                   CAST(SUM(xq) AS BIGINT) AS sx,
+                   CAST(SUM(yq) AS BIGINT) AS sy,
+                   CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+                   CAST(SUM(xq * yq) AS BIGINT) AS sxy
+            FROM v GROUP BY 1),
+      s AS (SELECT bucket,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * ${1e2 / 1e6}, 6) AS lambda
+            FROM m
+            WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0),
+      q AS (SELECT CAST(round(lambda * 1e9) AS BIGINT) AS l9 FROM s),
+      g AS (SELECT COUNT(*) AS nb, CAST(SUM(l9) AS BIGINT) AS s1,
+                   CAST(SUM(CAST(round((CAST(l9 AS DOUBLE) / 1e9)
+                     * (CAST(l9 AS DOUBLE) / 1e9) * 1e9) AS BIGINT)) AS BIGINT) AS s2
+            FROM q)
+      SELECT nb AS n_buckets,
+             round(CAST(s1 AS DOUBLE) / 1e9 / CAST(nb AS DOUBLE), 6) AS lambda_mean,
+             CASE WHEN (CAST(s2 AS DOUBLE) / 1e9 / CAST(nb AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / 1e9 / CAST(nb AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / 1e9 / CAST(nb AS DOUBLE))) > 0
+                  THEN round((CAST(s1 AS DOUBLE) / 1e9 / CAST(nb AS DOUBLE))
+                             * sqrt(CAST(nb AS DOUBLE))
+                             / sqrt(CAST(s2 AS DOUBLE) / 1e9 / CAST(nb AS DOUBLE)
+                                    - (CAST(s1 AS DOUBLE) / 1e9 / CAST(nb AS DOUBLE))
+                                      * (CAST(s1 AS DOUBLE) / 1e9 / CAST(nb AS DOUBLE))),
+                             6) END AS lambda_t
+      FROM g"""))
 
   // Roll's implied effective spread per (event type, day): consecutive
   // trade-price changes in integer cents, covariance from exact moment
@@ -5520,6 +5606,6 @@ object Queries {
     qRollSpread, qAmihud, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments,
-    qBacktest, qVarCvar, qSpearmanIc
+    qBacktest, qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth
   )
 }

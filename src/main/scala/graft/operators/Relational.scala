@@ -715,6 +715,78 @@ object Relational {
       .orderBy(keys.map(col): _*)
   }
 
+  /** Fama–MacBeth two-step factor regression (1973, JPE 81) — the OLS
+    * companion of [[spearmanIc]]: per bucket (period), regress the
+    * forward return on the signal ACROSS the cross-section
+    * (`λ_b = cov(x,y)/var(x)`); then the factor premium is the
+    * time-series mean of the per-period slopes with its t-statistic
+    * `t = λ̄·√B/σ_λ` (the FM standard errors — cross-sectional
+    * correlation washes out because each period contributes ONE draw).
+    *
+    * Determinism: x and y quantize to `⌊·xScale⌋`/`⌊·yScale⌋` BIGINTs →
+    * five exact first-stage moment sums per bucket; the slope derives in
+    * one fixed double tree (de-scaled by `xScale/yScale`); second-stage
+    * slopes re-quantize to `round(λ·10⁹)` nano-units and their mean/σ
+    * come from exact integer sums again — order-free at both levels.
+    * Zero-variance buckets (constant x) drop before the second stage.
+    * Returns ONE row: `(n_buckets, lambda_mean, lambda_t)`; per-bucket
+    * slopes are [[famaMacbethSlopes]] (the same first stage — shared so
+    * the two can't diverge).
+    *
+    * Scale shape: one map-side-combined (bucket) agg over the corpus →
+    * a bucket-sized frame → one global agg of three longs. Nothing
+    * sorts, nothing joins. */
+  def famaMacbeth(df: DataFrame, bucketCol: String, xCol: String,
+                  yCol: String, xScale: Double = 1e6,
+                  yScale: Double = 1e6): DataFrame = {
+    val slopes = famaMacbethSlopes(df, bucketCol, xCol, yCol, xScale, yScale)
+      .withColumn("_l_fp", round(col("lambda") * 1e9).cast("long"))
+    val b = col("n_buckets").cast("double")
+    val mean = col("_s1").cast("double") / 1e9 / b
+    val variance = col("_s2").cast("double") / 1e9 / b - mean * mean
+    slopes.agg(count(lit(1)).as("n_buckets"),
+        sum(col("_l_fp")).as("_s1"),
+        sum(round((col("_l_fp").cast("double") / 1e9)
+          * (col("_l_fp").cast("double") / 1e9) * 1e9).cast("long")).as("_s2"))
+      .select(col("n_buckets"),
+        round(mean, 6).as("lambda_mean"),
+        when(variance > 0.0,
+          round(mean * sqrt(b) / sqrt(variance), 6)).as("lambda_t"))
+  }
+
+  /** First stage of [[famaMacbeth]]: per-bucket cross-sectional OLS
+    * slope + intercept from exact integer moments. Returns
+    * `(bucketCol, n, lambda, intercept)`, constant-x buckets dropped. */
+  def famaMacbethSlopes(df: DataFrame, bucketCol: String, xCol: String,
+                        yCol: String, xScale: Double = 1e6,
+                        yScale: Double = 1e6): DataFrame = {
+    require(xScale > 0.0 && yScale > 0.0, "scales must be positive")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    def d(c: Column): Column = c.cast("double")
+    val n = d(col("_n"))
+    val varX = n * d(col("_sxx")) - d(col("_sx")) * d(col("_sx"))
+    val cov = n * d(col("_sxy")) - d(col("_sx")) * d(col("_sy"))
+    // slope in quantized units scales by yScale/xScale; de-scale back
+    val slope = cov / varX * lit(xScale / yScale)
+    val intercept = (d(col("_sy")) / lit(yScale)
+      - (cov / varX * lit(xScale / yScale)) * (d(col("_sx")) / lit(xScale))) / n
+    df.where(x.isNotNull && y.isNotNull)
+      .select(col(bucketCol),
+        floor(x * lit(xScale)).cast("long").as("_xq"),
+        floor(y * lit(yScale)).cast("long").as("_yq"))
+      .groupBy(col(bucketCol))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_xq")).as("_sx"), sum(col("_yq")).as("_sy"),
+        sum(col("_xq") * col("_xq")).as("_sxx"),
+        sum(col("_xq") * col("_yq")).as("_sxy"))
+      .where(varX > 0.0)
+      .select(col(bucketCol), col("_n").as("n"),
+        round(slope, 6).as("lambda"),
+        round(intercept, 6).as("intercept"))
+      .orderBy(col(bucketCol))
+  }
+
   private def quantizedBase(df: DataFrame, keyCol: String, tsCol: String,
                             valueCol: String, scale: Double): DataFrame = {
     require(scale > 0.0, s"scale must be positive, got $scale")

@@ -3969,6 +3969,41 @@ class OpsSpec extends SparkSpec {
       s"tied: ${out("tied")._2} vs $want")
   }
 
+  test("famaMacbeth: per-bucket OLS exact on linear data, FM t over the slope series, constant-x drops") {
+    // buckets with EXACT linear cross-sections y = m_b·x + 1 → first
+    // stage recovers m_b exactly; second stage is the plain mean/t of
+    // (2, 3, 4); a constant-x bucket must vanish before the second stage
+    val rows = (for {
+      (b, m) <- Seq(10L -> 2.0, 20L -> 3.0, 30L -> 4.0)
+      i <- 1 to 9
+    } yield (b, i.toDouble, m * i + 1.0)) ++
+      (1 to 5).map(i => (99L, 7.0, i.toDouble))
+    val df = rows.toDF("b", "x", "y")
+    val slopes = Relational.famaMacbethSlopes(df, "b", "x", "y",
+        xScale = 1e4, yScale = 1e4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(!slopes.contains(99L), "constant-x bucket must drop")
+    assert(slopes(10L) == ((9L, 2.0, 1.0)), s"got ${slopes(10L)}")
+    assert(slopes(20L) == ((9L, 3.0, 1.0)), s"got ${slopes(20L)}")
+    assert(slopes(30L) == ((9L, 4.0, 1.0)), s"got ${slopes(30L)}")
+    val fm = Relational.famaMacbeth(df, "b", "x", "y",
+      xScale = 1e4, yScale = 1e4).collect().head
+    assert(fm.getAs[Long]("n_buckets") == 3L)
+    assert(fm.getAs[Double]("lambda_mean") == 3.0)
+    // population σ of (2,3,4) = √(2/3); t = 3·√3/σ
+    val want = 3.0 * math.sqrt(3.0) / math.sqrt(2.0 / 3.0)
+    assert(math.abs(fm.getAs[Double]("lambda_t") - want) < 1e-5,
+      s"t: ${fm.getAs[Double]("lambda_t")} vs $want")
+    // identical slopes every bucket → zero variance → null t
+    val flat = (for (b <- Seq(1L, 2L); i <- 1 to 5)
+      yield (b, i.toDouble, 2.0 * i)).toDF("b", "x", "y")
+    val fm2 = Relational.famaMacbeth(flat, "b", "x", "y",
+      xScale = 1e4, yScale = 1e4).collect().head
+    assert(fm2.getAs[Double]("lambda_mean") == 2.0 && fm2.isNullAt(2),
+      "constant slope series has no t-stat")
+  }
+
   test("realizedMoments: ACJV skew/kurt match the direct computation, continuous across buckets") {
     var seed = 7L
     def nxt(): Double = {
