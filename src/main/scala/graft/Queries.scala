@@ -1643,6 +1643,63 @@ object Queries {
       FROM t GROUP BY k, n, v
       ORDER BY k"""))
 
+  // Kupiec proportion-of-failures VaR backtest: VaR fit on the
+  // pre-2024-01-15 return slice, violations counted on the later slice,
+  // LR_pof vs the chi-square(1) 5% bound — ln(alpha)/ln(1-alpha)/the
+  // critical value all interpolate from the JVM.
+  private val qKupiec = QDef(
+    "q_kupiec",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      def rets(df: DataFrame) = df
+        .where(col("value").isNotNull && col("value") > 0)
+        .withColumn("r", log(col("value") / lag(col("value"), 1).over(w)))
+        .where(col("r").isNotNull)
+      val e = t(s, dir, "events")
+      val cut = to_timestamp(lit("2024-01-15"))
+      operators.Backtest.kupiecTest(rets(e.filter(col("ts") < cut)),
+        rets(e.filter(col("ts") >= cut)), Seq("event_type"), "r",
+        alpha = 0.05)
+    },
+    Some(s"""
+      WITH b AS (SELECT event_type AS k, ts, event_id,
+                        CAST(value AS DOUBLE) AS p,
+                        (ts < TIMESTAMP '2024-01-15') AS is_ref
+                 FROM events WHERE value IS NOT NULL AND value > 0),
+      r0 AS (SELECT k, is_ref,
+                    ln(p / lag(p) OVER (PARTITION BY k, is_ref
+                                        ORDER BY ts, event_id)) AS r
+             FROM b),
+      r AS (SELECT k, is_ref, r FROM r0 WHERE r IS NOT NULL),
+      q AS (SELECT k, quantile_cont(r, 0.05) AS v
+            FROM r WHERE is_ref GROUP BY 1),
+      c AS (SELECT r.k, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN r.r < q.v THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                   q.v
+            FROM r JOIN q ON r.k = q.k WHERE NOT r.is_ref
+            GROUP BY r.k, q.v),
+      l AS (SELECT k, n, x, v,
+                   -2.0 * ((CAST(n AS DOUBLE) - CAST(x AS DOUBLE))
+                             * ${math.log(1.0 - 0.05)}
+                           + CAST(x AS DOUBLE) * ${math.log(0.05)})
+                   + 2.0 * (CASE
+                       WHEN x = n THEN CAST(x AS DOUBLE)
+                         * ln(CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                       WHEN x = 0 THEN (CAST(n AS DOUBLE) - CAST(x AS DOUBLE))
+                         * ln(1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                       ELSE (CAST(n AS DOUBLE) - CAST(x AS DOUBLE))
+                         * ln(1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                         + CAST(x AS DOUBLE)
+                         * ln(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) END) AS lr
+            FROM c)
+      SELECT k AS event_type, n, x AS n_viol,
+             round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS viol_rate,
+             round(v, 6) AS var_alpha,
+             round(lr, 6) AS lr_pof,
+             lr > ${operators.Backtest.KupiecChi2Crit} AS reject
+      FROM l ORDER BY k"""))
+
   // Spearman rank IC of the tick value against its forward log return
   // per (event type, day) — average ranks on ties kept as the exact
   // integer 2·rank + ties − 1 (2-dp tick values tie often, so the tie
@@ -5606,6 +5663,6 @@ object Queries {
     qRollSpread, qAmihud, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments,
-    qBacktest, qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth
+    qBacktest, qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec
   )
 }

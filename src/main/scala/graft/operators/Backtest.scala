@@ -136,6 +136,65 @@ object Backtest {
       .orderBy(keys.map(col): _*)
   }
 
+  /** χ²(1df) 95% critical value — Kupiec's 5% rejection bound,
+    * public so the oracle interpolates the same double. */
+  val KupiecChi2Crit: Double = 3.841458820694124
+
+  /** Kupiec (1995) proportion-of-failures VaR backtest — the validation
+    * loop [[varCvar]] feeds: estimate `VaR_α` on a REFERENCE window,
+    * count violations (`v < VaR`) on a LATER window, and test whether
+    * the violation rate is consistent with α via the likelihood ratio
+    * `LR_pof = −2[(n−x)·ln(1−α) + x·ln α] + 2[(n−x)·ln(1−x/n) +
+    * x·ln(x/n)] ~ χ²(1)`; reject at 5% when LR > 3.8415 — the
+    * regulator-standard (Basel-style) coverage test. Degenerate tails
+    * (x = 0 or x = n) take the analytic limit (the 0·ln 0 terms vanish).
+    *
+    * Determinism: x and n are exact counts over the SAME doubles both
+    * engines compare (`v < VaR`, the shared interpolated percentile);
+    * `ln(1−α)`/`ln α` are JVM doubles interpolated into the oracle (the
+    * GkDriftConst rule — engine-side libm folding diverges at 1 ulp);
+    * the LR derives in one fixed double tree, 6 dp; the reject flag
+    * compares against [[KupiecChi2Crit]].
+    *
+    * Scale shape: one grouped percentile on the reference → broadcast
+    * key-sized bounds → one grouped count on the current window —
+    * neither corpus shuffles. Returns
+    * `(keys…, n, n_viol, viol_rate, var_alpha, lr_pof, reject)`. */
+  def kupiecTest(ref: DataFrame, cur: DataFrame, keys: Seq[String],
+                 valueCol: String, alpha: Double = 0.05,
+                 approxAccuracy: Option[Int] = None): DataFrame = {
+    require(keys.nonEmpty, "kupiecTest needs the series key(s)")
+    require(alpha > 0.0 && alpha < 1.0, s"need 0 < alpha < 1, got $alpha")
+    val v = col(valueCol).cast("double")
+    val q = approxAccuracy match {
+      case Some(acc) => percentile_approx(v, lit(alpha), lit(acc))
+      case None => percentile(v, lit(alpha))
+    }
+    val bounds = ref.where(v.isNotNull)
+      .groupBy(keys.map(col): _*).agg(q.as("_var"))
+    val counted = cur.where(v.isNotNull).join(broadcast(bounds), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(v < col("_var"), 1L).otherwise(0L)).as("n_viol"),
+        first(col("_var")).as("_q"))
+    val n = col("n").cast("double")
+    val x = col("n_viol").cast("double")
+    val lnA = math.log(alpha)
+    val ln1A = math.log(1.0 - alpha)
+    // 0·ln 0 limits: the observed-rate bracket term-by-term, each term
+    // zero when its count is zero
+    val obs = when(col("n_viol") === col("n"), x * log(x / n))
+      .when(col("n_viol") === 0L, (n - x) * log(lit(1.0) - x / n))
+      .otherwise((n - x) * log(lit(1.0) - x / n) + x * log(x / n))
+    val lr = lit(-2.0) * ((n - x) * lit(ln1A) + x * lit(lnA)) + lit(2.0) * obs
+    counted.select(keys.map(col) ++ Seq(col("n"), col("n_viol"),
+        round(x / n, 6).as("viol_rate"),
+        round(col("_q"), 6).as("var_alpha"),
+        round(lr, 6).as("lr_pof"),
+        (lr > lit(KupiecChi2Crit)).as("reject")): _*)
+      .orderBy(keys.map(col): _*)
+  }
+
   /** Shared annotation pass — every window rides one (keys, ts,
     * tiebreak) sort. */
   private def annotated(df: DataFrame, keys: Seq[String], tsCol: String,

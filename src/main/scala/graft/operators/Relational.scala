@@ -739,7 +739,10 @@ object Relational {
   def famaMacbeth(df: DataFrame, bucketCol: String, xCol: String,
                   yCol: String, xScale: Double = 1e6,
                   yScale: Double = 1e6): DataFrame = {
-    val slopes = famaMacbethSlopes(df, bucketCol, xCol, yCol, xScale, yScale)
+    // the unsorted first stage — a global aggregate follows, so the
+    // user-facing orderBy of famaMacbethSlopes would be a wasted range
+    // exchange here
+    val slopes = fmSlopes(df, bucketCol, xCol, yCol, xScale, yScale)
       .withColumn("_l_fp", round(col("lambda") * 1e9).cast("long"))
     val b = col("n_buckets").cast("double")
     val mean = col("_s1").cast("double") / 1e9 / b
@@ -759,7 +762,13 @@ object Relational {
     * `(bucketCol, n, lambda, intercept)`, constant-x buckets dropped. */
   def famaMacbethSlopes(df: DataFrame, bucketCol: String, xCol: String,
                         yCol: String, xScale: Double = 1e6,
-                        yScale: Double = 1e6): DataFrame = {
+                        yScale: Double = 1e6): DataFrame =
+    fmSlopes(df, bucketCol, xCol, yCol, xScale, yScale)
+      .orderBy(col(bucketCol))
+
+  private def fmSlopes(df: DataFrame, bucketCol: String, xCol: String,
+                       yCol: String, xScale: Double,
+                       yScale: Double): DataFrame = {
     require(xScale > 0.0 && yScale > 0.0, "scales must be positive")
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")
@@ -784,7 +793,6 @@ object Relational {
       .select(col(bucketCol), col("_n").as("n"),
         round(slope, 6).as("lambda"),
         round(intercept, 6).as("intercept"))
-      .orderBy(col(bucketCol))
   }
 
   private def quantizedBase(df: DataFrame, keyCol: String, tsCol: String,

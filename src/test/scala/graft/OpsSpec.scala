@@ -3969,6 +3969,42 @@ class OpsSpec extends SparkSpec {
       s"tied: ${out("tied")._2} vs $want")
   }
 
+  test("kupiecTest: closed-form LR, degenerate tails take the limit, calibrated model passes") {
+    // reference 1..100 → VaR(0.05) = 5.95 (the varCvar fixture)
+    val ref = (1 to 100).map(i => ("A", i.toDouble)) ++
+      (1 to 100).map(i => ("B", i.toDouble)) ++
+      (1 to 100).map(i => ("C", i.toDouble))
+    // A: 10 violations out of 40 (wildly over α = 0.05 → reject);
+    // B: 2 of 40 (rate 0.05 exactly → pass); C: 0 of 40 (limit branch)
+    val cur = (1 to 40).map { i =>
+      ("A", if (i <= 10) 1.0 else 50.0) } ++
+      (1 to 40).map(i => ("B", if (i <= 2) 1.0 else 50.0)) ++
+      (1 to 40).map(_ => ("C", 50.0))
+    val out = operators.Backtest.kupiecTest(ref.toDF("k", "r"),
+        cur.toDF("k", "r"), Seq("k"), "r", alpha = 0.05)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5), r.getBoolean(6)))).toMap
+    def lrRef(n: Int, x: Int): Double = {
+      val (nd, xd) = (n.toDouble, x.toDouble)
+      val obs =
+        if (x == 0) (nd - xd) * math.log(1.0 - xd / nd)
+        else if (x == n) xd * math.log(xd / nd)
+        else (nd - xd) * math.log(1.0 - xd / nd) + xd * math.log(xd / nd)
+      -2.0 * ((nd - xd) * math.log(0.95) + xd * math.log(0.05)) + 2.0 * obs
+    }
+    assert(out("A")._1 == 40L && out("A")._2 == 10L)
+    assert(math.abs(out("A")._3 - lrRef(40, 10)) < 5.1e-7)
+    assert(out("A")._4, s"25% violations at alpha 5% must reject: ${out("A")}")
+    assert(out("B")._2 == 2L && !out("B")._4,
+      s"exactly calibrated model must pass: ${out("B")}")
+    assert(math.abs(out("B")._3 - lrRef(40, 2)) < 5.1e-7)
+    assert(out("C")._2 == 0L)
+    assert(math.abs(out("C")._3 - lrRef(40, 0)) < 5.1e-7)
+    // POF is two-sided: zero violations where α predicts 2 is ALSO
+    // miscalibration — LR = −80·ln(0.95) ≈ 4.10 > 3.84 rejects
+    assert(out("C")._4, s"too-conservative model must also reject: ${out("C")}")
+  }
+
   test("famaMacbeth: per-bucket OLS exact on linear data, FM t over the slope series, constant-x drops") {
     // buckets with EXACT linear cross-sections y = m_b·x + 1 → first
     // stage recovers m_b exactly; second stage is the plain mean/t of
