@@ -1643,6 +1643,50 @@ object Queries {
       FROM t GROUP BY k, n, v
       ORDER BY k"""))
 
+  // Adaptive EWM-RLS regression: the per-row forgetting-factor AR(1)
+  // coefficient of each event type (y = value on x = previous value,
+  // α = 0.1). Four sibling EWM chains on one sort; DuckDB replays each
+  // as the q_ema list_reduce fold — the same recursion in the same
+  // order, so the moment ratios agree bit-for-bit.
+  private val qEwmBeta = QDef(
+    "q_ewm_beta",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val base = t(s, dir, "events")
+        .withColumn("x", lag(col("value"), 1).over(w))
+      TA.ewmBeta(base, Seq("event_type"), "ts", "x", "value", "event_id",
+          alpha = 0.1)
+        .select(col("event_type"), micros(col("ts")).as("ts_us"),
+          col("event_id"), col("beta"), col("alpha_icept"))
+        .orderBy("event_type", "ts_us", "event_id")
+    },
+    Some {
+      val wk = "PARTITION BY k ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+      s"""
+      WITH m AS (SELECT event_type AS k, ts, event_id,
+                        CAST(lag(value) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS DOUBLE) AS x,
+                        CAST(value AS DOUBLE) AS y
+                 FROM events),
+      v AS (SELECT k, ts, event_id, x, y
+            FROM m WHERE x IS NOT NULL AND y IS NOT NULL),
+      f AS (SELECT k, ts, event_id,
+                   ${emaFoldSql(s"list(x) OVER ($wk)", 0.1)} AS mx,
+                   ${emaFoldSql(s"list(y) OVER ($wk)", 0.1)} AS my,
+                   ${emaFoldSql(s"list(x * y) OVER ($wk)", 0.1)} AS mxy,
+                   ${emaFoldSql(s"list(x * x) OVER ($wk)", 0.1)} AS mxx
+            FROM v)
+      SELECT k AS event_type, epoch_us(ts) AS ts_us, event_id,
+             CASE WHEN (mxx - mx * mx) > 0 THEN
+               round((mxy - mx * my) / (mxx - mx * mx), 6) END AS beta,
+             CASE WHEN (mxx - mx * mx) > 0 THEN
+               round(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 6)
+             END AS alpha_icept
+      FROM f ORDER BY event_type, ts_us, event_id"""
+    })
+
   // Kupiec proportion-of-failures VaR backtest: VaR fit on the
   // pre-2024-01-15 return slice, violations counted on the later slice,
   // LR_pof vs the chi-square(1) 5% bound — ln(alpha)/ln(1-alpha)/the
@@ -5663,6 +5707,7 @@ object Queries {
     qRollSpread, qAmihud, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments,
-    qBacktest, qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec
+    qBacktest, qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
+    qEwmBeta
   )
 }

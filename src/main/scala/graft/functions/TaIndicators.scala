@@ -525,6 +525,50 @@ object TaIndicators {
     * Scale shape: one keyed window (the return lag) + one (keys,
     * bucket) agg riding the same series partitioning — map-side
     * combined, one row per bucket out. */
+  /** Adaptive (EWM-RLS) regression per series — the exponentially
+    * forgetting hedge ratio / adaptive AR coefficient every pairs or
+    * beta-hedging desk maintains online: with EWM moments
+    * `m_z = ewm(z, α, adjust=False)`, the per-row slope is
+    * `β_t = (m_xy − m_x·m_y) / (m_xx − m_x²)` and the intercept
+    * `a_t = m_y − β_t·m_x` — recursive least squares with forgetting
+    * factor `λ = 1−α`, normalizers cancelling in the ratio. Four
+    * SIBLING [[windows.ewmMean]] expressions in one select: one keyed
+    * exchange+sort, O(1) state per series, codegen window chain.
+    *
+    * Determinism: each EWM is the exact sequential recurrence on the
+    * same input doubles (the q_ema cross-engine contract — DuckDB
+    * replays it as a `list_reduce` fold in the same order); the β/a
+    * trees are fixed, 6 dp. Warm-up: rows before the EWM variance turns
+    * positive (at least the series' first row) yield null β/a. Null x/y
+    * rows drop before the order forms (a null would poison the EWM
+    * chain for the rest of the series).
+    *
+    * Returns the input keys + `(tsCol, tiebreakCol, beta, alpha_icept)`
+    * ordered by (keys, ts, tiebreak). */
+  def ewmBeta(df: DataFrame, keys: Seq[String], tsCol: String,
+              xCol: String, yCol: String, tiebreakCol: String,
+              alpha: Double): DataFrame = {
+    require(keys.nonEmpty, "ewmBeta needs the series key(s)")
+    require(alpha > 0.0 && alpha <= 1.0, s"need 0 < alpha <= 1, got $alpha")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val base = df.where(x.isNotNull && y.isNotNull)
+      .withColumn("_mx", windows.ewmMean(x, alpha, w))
+      .withColumn("_my", windows.ewmMean(y, alpha, w))
+      .withColumn("_mxy", windows.ewmMean(x * y, alpha, w))
+      .withColumn("_mxx", windows.ewmMean(x * x, alpha, w))
+    val varX = col("_mxx") - col("_mx") * col("_mx")
+    val beta = (col("_mxy") - col("_mx") * col("_my")) / varX
+    base.select(keys.map(col) ++ Seq(col(tsCol), col(tiebreakCol),
+        when(varX > 0.0, round(beta, 6)).as("beta"),
+        when(varX > 0.0,
+          round(col("_my") - beta * col("_mx"), 6)).as("alpha_icept")): _*)
+      .orderBy(keys.map(col) ++ Seq(col(tsCol), col(tiebreakCol)): _*)
+  }
+
   def realizedJumpVol(df: DataFrame, keys: Seq[String], tsCol: String,
                       valueCol: String, tiebreakCol: String,
                       interval: String): DataFrame = {

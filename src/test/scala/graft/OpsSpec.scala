@@ -3969,6 +3969,52 @@ class OpsSpec extends SparkSpec {
       s"tied: ${out("tied")._2} vs $want")
   }
 
+  test("ewmBeta: exact linear recovery, sequential EWM reference agrees, warm-up nulls") {
+    var seed = 31L
+    def nxt(): Double = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      ((seed >>> 33).toDouble / (1L << 31).toDouble) - 0.5
+    }
+    val xs = (0 until 40).map(_ => 10.0 + nxt())
+    // L: exact line y = 2x + 3 → beta/intercept pin to 2/3 everywhere
+    // after warm-up; N: noisy relation, checked against the sequential
+    // EWM recursion
+    val ys = xs.map(x => 2.0 * x + 3.0)
+    val yn = xs.map(x => 1.5 * x + nxt())
+    val rows = xs.zip(ys).zipWithIndex.map { case ((x, y), i) =>
+      ("L", i.toLong, x, y) } ++
+      xs.zip(yn).zipWithIndex.map { case ((x, y), i) => ("N", i.toLong, x, y) }
+    val a = 0.2
+    val out = graft.functions.TaIndicators.ewmBeta(
+        rows.toDF("k", "t", "x", "y"), Seq("k"), "t", "x", "y", "t", a)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // first row: varX = 0 → null warm-up
+    assert(out(("L", 0L)) == ((None, None)), "first row must be warm-up null")
+    (2 until 40).foreach { i =>
+      val got = out(("L", i.toLong))
+      assert(got._1.contains(2.0) && got._2.contains(3.0),
+        s"exact line at t=$i: $got")
+    }
+    // sequential EWM recursion reference on the noisy series
+    var (mx, my, mxy, mxx) = (0.0, 0.0, 0.0, 0.0)
+    xs.zip(yn).zipWithIndex.foreach { case ((x, y), i) =>
+      if (i == 0) { mx = x; my = y; mxy = x * y; mxx = x * x }
+      else {
+        mx = (1 - a) * mx + a * x; my = (1 - a) * my + a * y
+        mxy = (1 - a) * mxy + a * (x * y); mxx = (1 - a) * mxx + a * (x * x)
+      }
+      val varX = mxx - mx * mx
+      val got = out(("N", i.toLong))
+      if (varX > 0.0) {
+        val beta = (mxy - mx * my) / varX
+        assert(math.abs(got._1.get - beta) < 5.1e-7, s"t=$i beta: $got vs $beta")
+        assert(math.abs(got._2.get - (my - beta * mx)) < 5.1e-7, s"t=$i icept")
+      } else assert(got._1.isEmpty)
+    }
+  }
+
   test("kupiecTest: closed-form LR, degenerate tails take the limit, calibrated model passes") {
     // reference 1..100 → VaR(0.05) = 5.95 (the varCvar fixture)
     val ref = (1 to 100).map(i => ("A", i.toDouble)) ++
