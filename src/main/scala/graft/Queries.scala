@@ -1643,6 +1643,25 @@ object Queries {
       FROM t GROUP BY k, n, v
       ORDER BY k"""))
 
+  // Global minimum-variance portfolio on the LW-CC shrunk covariance of
+  // the hourly panel — the allocator the shrinkage estimators exist to
+  // feed. The k×k solve is driver-side Gaussian elimination (sequential
+  // pivoting — NOT SQL-expressible), so this entry has no DuckDB oracle:
+  // the driver records the weaker rows-only check and correctness is
+  // OpsSpec-pinned (closed forms + the KKT identity Σw ∝ 1 against the
+  // input frame).
+  private val qMinVariance = QDef(
+    "q_min_variance",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("mean_v"))
+      val cov = Relational.ledoitWolfConstCorr(hourly, "event_type",
+        "bucket", "mean_v", scale = 1e4, pairScale = 1e2, termScale = 1e6)
+      operators.Backtest.minVariancePortfolio(cov)
+    },
+    None)
+
   // Adaptive EWM-RLS regression: the per-row forgetting-factor AR(1)
   // coefficient of each event type (y = value on x = previous value,
   // α = 0.1). Four sibling EWM chains on one sort; DuckDB replays each
@@ -5708,6 +5727,6 @@ object Queries {
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments,
     qBacktest, qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
-    qEwmBeta
+    qEwmBeta, qMinVariance
   )
 }

@@ -195,6 +195,73 @@ object Backtest {
       .orderBy(keys.map(col): _*)
   }
 
+  /** Global minimum-variance portfolio from a pairwise covariance frame
+    * (`key_a ≤ key_b` upper triangle incl. diagonal — the
+    * [[Relational.ledoitWolfConstCorr]] / [[Relational
+    * .ledoitWolfCovariance]] output shape, which is WHY those shrunk
+    * estimators exist: the raw sample covariance of a wide panel is
+    * singular or ill-conditioned and this solve amplifies its noise):
+    * `w = Σ⁻¹𝟙 / (𝟙ᵀΣ⁻¹𝟙)`, portfolio variance `1/(𝟙ᵀΣ⁻¹𝟙)`.
+    *
+    * DRIVER-SIDE solve (the audited centroid-collect precedent): the
+    * matrix is keys², key-sized by the correlationMatrix contract —
+    * collect, Gauss-eliminate with partial pivoting in fixed double
+    * arithmetic, loud `maxKeys` guard. Deterministic (fixed pivot rule
+    * over the same doubles) but NOT SQL-expressible (sequential
+    * pivoting) — no DuckDB oracle; correctness is spec-pinned instead:
+    * closed forms, and the KKT identity `Σw ∝ 𝟙` checked against the
+    * input frame itself. Weights can be negative (shorts) — long-only
+    * is a different optimizer, not a clamp.
+    *
+    * Fails loudly on: a missing pair (the estimator frame must cover
+    * the full triangle), a non-finite covariance, a pivot below 1e−12
+    * (singular — shrink harder), or more than `maxKeys` keys. */
+  def minVariancePortfolio(cov: DataFrame, covCol: String = "shrunk_cov",
+                           maxKeys: Int = 256): DataFrame = {
+    val spark = cov.sparkSession
+    val rows = cov.select(col("key_a").cast("string"),
+        col("key_b").cast("string"), col(covCol).cast("double")).collect()
+    val keys = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted
+    val k = keys.length
+    require(k >= 1 && k <= maxKeys,
+      s"minVariancePortfolio: $k keys exceeds maxKeys=$maxKeys — this is " +
+        "a driver-side key-sized solve, shard the universe upstream")
+    val idx = keys.zipWithIndex.toMap
+    val a = Array.fill(k, k)(Double.NaN)
+    rows.foreach { r =>
+      val (i, j, v) = (idx(r.getString(0)), idx(r.getString(1)),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+      a(i)(j) = v; a(j)(i) = v
+    }
+    for (i <- 0 until k; j <- 0 until k)
+      require(java.lang.Double.isFinite(a(i)(j)),
+        s"minVariancePortfolio: missing/non-finite cov(${keys(i)}, ${keys(j)})" +
+          " — the estimator frame must cover the full triangle")
+    // solve Σx = 𝟙, Gauss-Jordan with partial pivoting
+    val m = Array.tabulate(k, k + 1)((i, j) => if (j == k) 1.0 else a(i)(j))
+    for (c <- 0 until k) {
+      val p = (c until k).maxBy(r => math.abs(m(r)(c)))
+      require(math.abs(m(p)(c)) > 1e-12,
+        "minVariancePortfolio: singular covariance — shrink harder " +
+          "(ledoitWolf*) or drop collinear series")
+      if (p != c) { val t = m(p); m(p) = m(c); m(c) = t }
+      for (r <- 0 until k if r != c) {
+        val f = m(r)(c) / m(c)(c)
+        for (j <- c to k) m(r)(j) -= f * m(c)(j)
+      }
+    }
+    val x = Array.tabulate(k)(i => m(i)(k) / m(i)(i))
+    val s = x.sum
+    require(s > 0.0,
+      "minVariancePortfolio: 1'inv(Sigma)'1 <= 0 — covariance is not " +
+        "positive definite; shrink harder")
+    import spark.implicits._
+    keys.zip(x).map { case (key, xi) =>
+      (key, math.rint(xi / s * 1e6) / 1e6, math.rint(1.0 / s * 1e6) / 1e6)
+    }.toSeq.toDF("key", "weight", "port_variance").orderBy("key")
+  }
+
   /** Shared annotation pass — every window rides one (keys, ts,
     * tiebreak) sort. */
   private def annotated(df: DataFrame, keys: Seq[String], tsCol: String,

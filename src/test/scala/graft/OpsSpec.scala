@@ -3969,6 +3969,49 @@ class OpsSpec extends SparkSpec {
       s"tied: ${out("tied")._2} vs $want")
   }
 
+  test("minVariancePortfolio: closed forms, KKT identity on the LW estimator, loud guards") {
+    def solve(pairs: Seq[(String, String, Double)]) =
+      operators.Backtest.minVariancePortfolio(
+        pairs.toDF("key_a", "key_b", "shrunk_cov"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getDouble(2)))).toMap
+    // diagonal: weights ∝ 1/σ², pv = 1/Σ(1/σ²)
+    val d = solve(Seq(("A", "A", 1.0), ("A", "B", 0.0), ("B", "B", 4.0)))
+    assert(d("A") == ((0.8, 0.8)) && d("B") == ((0.2, 0.8)), s"got $d")
+    // correlated 2×2 closed form: equal vols, ρ = 0.5 → equal weights,
+    // pv = (1+ρ)/2
+    val c = solve(Seq(("A", "A", 1.0), ("A", "B", 0.5), ("B", "B", 1.0)))
+    assert(c("A") == ((0.5, 0.75)) && c("B") == ((0.5, 0.75)), s"got $c")
+    // KKT on the real estimator chain: Σw must be (near-)constant
+    var seed = 5L
+    def nxt(): Double = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      ((seed >>> 33).toDouble / (1L << 31).toDouble) - 0.5
+    }
+    val panel = (for (t <- 0 until 80; (k, mul) <- Seq("A" -> 1.0, "B" -> 2.0, "C" -> 0.5))
+      yield (k, t.toLong, 10.0 + mul * nxt() + (if (k == "B") 0.3 * nxt() else 0.0)))
+      .toDF("k", "t", "v")
+    val cov = Relational.ledoitWolfConstCorr(panel, "k", "t", "v",
+      scale = 1e6, pairScale = 1e4, termScale = 1e6)
+    val w = operators.Backtest.minVariancePortfolio(cov)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(w.values.sum - 1.0) < 1e-5, s"weights must sum to 1: $w")
+    val cm = cov.collect().map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Double]("shrunk_cov")).toMap
+    def cv(a: String, b: String) = cm.getOrElse((a, b), cm((b, a)))
+    val sw = Seq("A", "B", "C").map(i =>
+      Seq("A", "B", "C").map(j => cv(i, j) * w(j)).sum)
+    assert(sw.max - sw.min < 1e-4 * math.abs(sw.head),
+      s"KKT: Sigma*w must be constant across assets, got $sw")
+    // guards: missing pair, singular matrix
+    intercept[IllegalArgumentException] {
+      solve(Seq(("A", "A", 1.0), ("B", "B", 1.0)))
+    }
+    intercept[IllegalArgumentException] {
+      solve(Seq(("A", "A", 1.0), ("A", "B", 1.0), ("B", "B", 1.0)))
+    }
+  }
+
   test("ewmBeta: exact linear recovery, sequential EWM reference agrees, warm-up nulls") {
     var seed = 31L
     def nxt(): Double = {
