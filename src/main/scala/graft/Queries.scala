@@ -1662,6 +1662,21 @@ object Queries {
     },
     None)
 
+  // Hierarchical Risk Parity on the same LW-CC shrunk covariance — the
+  // inversion-free allocator beside q_min_variance (rows-only for the
+  // same reason: sequential clustering + bisection; spec-pinned).
+  private val qHrp = QDef(
+    "q_hrp",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("mean_v"))
+      val cov = Relational.ledoitWolfConstCorr(hourly, "event_type",
+        "bucket", "mean_v", scale = 1e4, pairScale = 1e2, termScale = 1e6)
+      operators.Backtest.hrpPortfolio(cov)
+    },
+    None)
+
   // Adaptive EWM-RLS regression: the per-row forgetting-factor AR(1)
   // coefficient of each event type (y = value on x = previous value,
   // α = 0.1). Four sibling EWM chains on one sort; DuckDB replays each
@@ -5727,6 +5742,6 @@ object Queries {
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments,
     qBacktest, qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
-    qEwmBeta, qMinVariance
+    qEwmBeta, qMinVariance, qHrp
   )
 }

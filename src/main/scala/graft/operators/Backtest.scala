@@ -262,6 +262,98 @@ object Backtest {
     }.toSeq.toDF("key", "weight", "port_variance").orderBy("key")
   }
 
+  /** Hierarchical Risk Parity (López de Prado 2016, JPM 42(4)) — the
+    * inversion-free allocator next to [[minVariancePortfolio]]: where
+    * min-var inverts Σ (noise-amplifying, needs shrinkage to be sane),
+    * HRP only ever USES Σ — correlation distance
+    * `d = √((1−ρ)/2)` → single-linkage agglomerative clustering →
+    * quasi-diagonal seriation → recursive bisection, splitting risk
+    * between halves by inverse cluster variance
+    * (`α = 1 − V₁/(V₁+V₂)`, cluster variance from within-cluster
+    * inverse-variance weights). Weights are positive and sum to 1 by
+    * construction (long-only, unlike min-var's shorts).
+    *
+    * DRIVER-SIDE like [[minVariancePortfolio]] (key-sized, `maxKeys`
+    * guard); deterministic: keys sort lexicographically, tie-broken
+    * merges pick the smallest (minIdx_a, minIdx_b) pair, and the merged
+    * cluster concatenates lower-min-index first — a fixed seriation for
+    * fixed input doubles. Sequential clustering is not SQL-expressible
+    * → rows-only oracle; correctness is spec-pinned (diagonal Σ
+    * reproduces inverse-variance allocation EXACTLY, correlated blocks
+    * share their allocation, weights sum to 1).
+    *
+    * Known property (kept, not a bug): on a DIAGONAL Σ, HRP ≡ plain
+    * inverse-variance weighting — the dendrogram adds information only
+    * when correlations do. */
+  def hrpPortfolio(cov: DataFrame, covCol: String = "shrunk_cov",
+                   maxKeys: Int = 256): DataFrame = {
+    val spark = cov.sparkSession
+    val rows = cov.select(col("key_a").cast("string"),
+        col("key_b").cast("string"), col(covCol).cast("double")).collect()
+    val keys = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted
+    val k = keys.length
+    require(k >= 1 && k <= maxKeys,
+      s"hrpPortfolio: $k keys exceeds maxKeys=$maxKeys — driver-side solve")
+    val idx = keys.zipWithIndex.toMap
+    val a = Array.fill(k, k)(Double.NaN)
+    rows.foreach { r =>
+      val (i, j, v) = (idx(r.getString(0)), idx(r.getString(1)),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+      a(i)(j) = v; a(j)(i) = v
+    }
+    for (i <- 0 until k; j <- 0 until k)
+      require(java.lang.Double.isFinite(a(i)(j)),
+        s"hrpPortfolio: missing/non-finite cov(${keys(i)}, ${keys(j)})")
+    for (i <- 0 until k)
+      require(a(i)(i) > 0.0, s"hrpPortfolio: non-positive variance for ${keys(i)}")
+    // correlation distance
+    val dist = Array.tabulate(k, k) { (i, j) =>
+      val rho = a(i)(j) / math.sqrt(a(i)(i) * a(j)(j))
+      math.sqrt(math.max(0.0, (1.0 - rho) / 2.0))
+    }
+    // single-linkage agglomeration with deterministic tie-breaks;
+    // merged order: lower-min-index cluster first (the seriation)
+    var clusters = (0 until k).map(i => Vector(i)).toVector
+    while (clusters.length > 1) {
+      var best = (Double.MaxValue, -1, -1)
+      for (x <- clusters.indices; y <- x + 1 until clusters.length) {
+        var d = Double.MaxValue
+        for (i <- clusters(x); j <- clusters(y)) d = math.min(d, dist(i)(j))
+        if (d < best._1 - 1e-15) best = (d, x, y)
+      }
+      val (_, x, y) = best
+      val (cx, cy) = (clusters(x), clusters(y))
+      val merged = if (cx.min <= cy.min) cx ++ cy else cy ++ cx
+      clusters = clusters.zipWithIndex
+        .collect { case (c, i) if i != x && i != y => c } :+ merged
+    }
+    val order = clusters.head
+    // recursive bisection over the seriated order
+    val w = Array.fill(k)(1.0)
+    def clusterVar(items: Vector[Int]): Double = {
+      val inv = items.map(i => 1.0 / a(i)(i))
+      val s = inv.sum
+      val ww = inv.map(_ / s)
+      (for ((wi, i) <- ww.zip(items); (wj, j) <- ww.zip(items))
+        yield wi * wj * a(i)(j)).sum
+    }
+    def bisect(items: Vector[Int]): Unit = if (items.length > 1) {
+      val (h1, h2) = items.splitAt((items.length + 1) / 2)
+      val (v1, v2) = (clusterVar(h1), clusterVar(h2))
+      val alpha = 1.0 - v1 / (v1 + v2)
+      h1.foreach(i => w(i) *= alpha)
+      h2.foreach(i => w(i) *= (1.0 - alpha))
+      bisect(h1); bisect(h2)
+    }
+    bisect(order)
+    val s = w.sum
+    import spark.implicits._
+    keys.zipWithIndex.map { case (key, i) =>
+      (key, math.rint(w(i) / s * 1e6) / 1e6)
+    }.toSeq.toDF("key", "weight").orderBy("key")
+  }
+
   /** Shared annotation pass — every window rides one (keys, ts,
     * tiebreak) sort. */
   private def annotated(df: DataFrame, keys: Seq[String], tsCol: String,

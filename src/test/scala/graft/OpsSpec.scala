@@ -4012,6 +4012,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hrpPortfolio: diagonal = inverse-variance exactly, correlated block shares, long-only") {
+    def solve(pairs: Seq[(String, String, Double)]) =
+      operators.Backtest.hrpPortfolio(
+        pairs.toDF("key_a", "key_b", "shrunk_cov"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // diagonal 4-asset: HRP == inverse variance EXACTLY
+    val d = solve(Seq(("A", "A", 1.0), ("B", "B", 1.0), ("C", "C", 4.0),
+      ("D", "D", 4.0), ("A", "B", 0.0), ("A", "C", 0.0), ("A", "D", 0.0),
+      ("B", "C", 0.0), ("B", "D", 0.0), ("C", "D", 0.0)))
+    assert(d == Map("A" -> 0.4, "B" -> 0.4, "C" -> 0.1, "D" -> 0.1), s"got $d")
+    // a tightly correlated pair (A, B) must SHARE its bucket's risk:
+    // the independent asset C gets more than either twin, the twins
+    // stay (near-)equal, everything positive and summing to 1
+    val c = solve(Seq(("A", "A", 1.0), ("B", "B", 1.0), ("C", "C", 1.0),
+      ("A", "B", 0.95), ("A", "C", 0.0), ("B", "C", 0.0)))
+    assert(math.abs(c.values.sum - 1.0) < 1e-5, s"weights must sum to 1: $c")
+    assert(c.values.forall(_ > 0.0), s"HRP is long-only: $c")
+    assert(c("C") > c("A") && c("C") > c("B"),
+      s"independent asset must out-weigh the correlated twins: $c")
+    assert(math.abs(c("A") - c("B")) < 1e-5, s"twins split evenly: $c")
+    // guards: missing pair, non-positive variance
+    intercept[IllegalArgumentException] {
+      solve(Seq(("A", "A", 1.0), ("B", "B", 1.0)))
+    }
+    intercept[IllegalArgumentException] {
+      solve(Seq(("A", "A", 0.0), ("A", "B", 0.0), ("B", "B", 1.0)))
+    }
+  }
+
   test("ewmBeta: exact linear recovery, sequential EWM reference agrees, warm-up nulls") {
     var seed = 31L
     def nxt(): Double = {
