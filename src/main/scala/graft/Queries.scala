@@ -1610,6 +1610,79 @@ object Queries {
              round(CAST(tov AS DOUBLE) / 1e6, 6) AS turnover
       FROM g ORDER BY event_type"""))
 
+  // Probabilistic Sharpe z of the q_backtest momentum rule — the BLdP
+  // 2014 skew/kurtosis/sample-size correction; pnl¹·²·³·⁴ quantize
+  // independently at 10⁹ (the realizedMoments pattern), the whole
+  // moment → γ → z tree replayed in SQL.
+  private val qPsr = QDef(
+    "q_psr",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val base = t(s, dir, "events")
+        .where(col("value").isNotNull && col("value") > 0)
+        .withColumn("sig", signum(col("value") - lag(col("value"), 1).over(w)))
+      operators.Backtest.probabilisticSharpe(base, Seq("event_type"), "ts",
+        "value", "sig", "event_id", costBps = 10.0)
+    },
+    Some(s"""
+      WITH b AS (SELECT event_type AS k, ts, event_id,
+                        CAST(value AS DOUBLE) AS p
+                 FROM events WHERE value IS NOT NULL AND value > 0),
+      s AS (SELECT k, ts, event_id, p,
+                   COALESCE(CAST(sign(p - lag(p) OVER w) AS DOUBLE), 0.0) AS sig
+            FROM b WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
+      a AS (SELECT k, ts, event_id,
+                   COALESCE(lag(sig, 1) OVER w, 0.0) AS pos,
+                   COALESCE(lag(sig, 2) OVER w, 0.0) AS prevpos,
+                   ln(p / lag(p) OVER w) AS r
+            FROM s WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
+      t1 AS (SELECT k, pos, r,
+                    CAST(round(abs(pos - prevpos) * 1e6) AS BIGINT) AS dpos_fp
+             FROM a WHERE r IS NOT NULL),
+      t2 AS (SELECT k,
+                    pos * r - ${10.0 / 1e4} * (CAST(dpos_fp AS DOUBLE) / 1e6) AS pnl
+             FROM t1),
+      t3 AS (SELECT k,
+                    CAST(round(pnl * 1e9) AS BIGINT) AS f1,
+                    CAST(round(pnl * pnl * 1e9) AS BIGINT) AS f2,
+                    CAST(round(pnl * pnl * pnl * 1e9) AS BIGINT) AS f3,
+                    CAST(round(pnl * pnl * pnl * pnl * 1e9) AS BIGINT) AS f4
+             FROM t2),
+      g AS (SELECT k, COUNT(*) AS n_rets,
+                   CAST(SUM(f1) AS BIGINT) AS s1, CAST(SUM(f2) AS BIGINT) AS s2,
+                   CAST(SUM(f3) AS BIGINT) AS s3, CAST(SUM(f4) AS BIGINT) AS s4
+            FROM t3 GROUP BY 1),
+      m AS (SELECT k, n_rets,
+                   CAST(n_rets AS DOUBLE) AS n,
+                   CAST(s1 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE) AS m1,
+                   CAST(s2 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE) AS m2,
+                   CAST(s3 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE) AS m3,
+                   CAST(s4 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE) AS m4
+            FROM g),
+      d AS (SELECT k, n_rets, n, m1,
+                   m2 - m1 * m1 AS v,
+                   m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1 AS mu3,
+                   m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2
+                     - 3.0 * m1 * m1 * m1 * m1 AS mu4
+            FROM m),
+      e AS (SELECT k, n_rets, n, v, mu3, mu4,
+                   m1 / sqrt(v) AS sr,
+                   mu3 / (v * sqrt(v)) AS g3,
+                   mu4 / (v * v) AS g4
+            FROM d),
+      f AS (SELECT k, n_rets, n, v, sr, g3, g4,
+                   1.0 - g3 * sr + (g4 - 1.0) / 4.0 * sr * sr AS denom
+            FROM e)
+      SELECT k AS event_type, n_rets,
+             CASE WHEN v > 0 THEN round(sr, 6) END AS sr,
+             CASE WHEN v > 0 THEN round(g3, 6) END AS skew,
+             CASE WHEN v > 0 THEN round(g4, 6) END AS kurt,
+             CASE WHEN v > 0 AND denom > 0 AND n_rets > 1 THEN
+               round((sr - 0.0) * sqrt(n - 1.0) / sqrt(denom), 6)
+             END AS psr_z
+      FROM f ORDER BY event_type"""))
+
   // Historical VaR + CVaR of the per-type tick log returns at α = 0.05:
   // exact interpolated quantile (Spark percentile ≡ DuckDB
   // quantile_cont), tail mean from an exact nano-unit integer sum.
@@ -5742,6 +5815,6 @@ object Queries {
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments,
     qBacktest, qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
-    qEwmBeta, qMinVariance, qHrp
+    qEwmBeta, qMinVariance, qHrp, qPsr
   )
 }

@@ -354,6 +354,67 @@ object Backtest {
     }.toSeq.toDF("key", "weight").orderBy("key")
   }
 
+  /** Probabilistic Sharpe ratio z-score (Bailey & López de Prado 2014,
+    * J. Risk 15(2)) per series — the evaluation capstone over
+    * [[signalBacktest]]: the plain Sharpe overstates skill when returns
+    * are skewed/fat-tailed or the sample is short;
+    * `z = (SR − SR*)·√(n−1) / √(1 − γ₃·SR + ((γ₄−1)/4)·SR²)`
+    * corrects for all three (SR here is PER-PERIOD, the PSR
+    * convention — not annualized). `Φ(z)` is the caller's last step
+    * (erf is not in the determinism kit); z orders identically.
+    *
+    * Determinism: pnl, pnl², pnl³, pnl⁴ quantize INDEPENDENTLY to
+    * `round(·10⁹)` BIGINTs (the realizedMoments pattern) and sum
+    * exactly; central moments, γ₃/γ₄, and z derive in one fixed double
+    * tree, 6 dp. Overflow contract: `n·pnl⁴·10⁹ < 2⁶³` per series
+    * (|pnl| ≤ 30 at 10⁶ ticks is safe). Null z when the pnl series is
+    * constant or the denominator polynomial goes non-positive (γ₃/γ₄
+    * outside the expansion's validity — report honestly, don't clamp).
+    *
+    * Scale shape: [[signalBacktest]]'s one keyed sort + one map-side
+    * agg. Returns `(keys…, n_rets, sr, skew, kurt, psr_z)`. */
+  def probabilisticSharpe(df: DataFrame, keys: Seq[String], tsCol: String,
+                          priceCol: String, signalCol: String,
+                          tiebreakCol: String, costBps: Double = 0.0,
+                          benchmarkSr: Double = 0.0): DataFrame = {
+    val a = annotated(df, keys, tsCol, priceCol, signalCol, tiebreakCol,
+      costBps)
+      .withColumn("_q3",
+        round(col("_pnl") * col("_pnl") * col("_pnl") * 1e9).cast("long"))
+      .withColumn("_q4",
+        round(col("_pnl") * col("_pnl") * col("_pnl") * col("_pnl") * 1e9)
+          .cast("long"))
+    val n = col("n_rets").cast("double")
+    val m1 = col("_s1").cast("double") / 1e9 / n
+    val m2 = col("_s2").cast("double") / 1e9 / n
+    val m3 = col("_s3").cast("double") / 1e9 / n
+    val m4 = col("_s4").cast("double") / 1e9 / n
+    val v = m2 - m1 * m1
+    val mu3 = m3 - lit(3.0) * m1 * m2 + lit(2.0) * m1 * m1 * m1
+    // NB: the continuation lines MUST stay inside the parens — a bare
+    // leading `-` on a new line is a separate (discarded) statement to
+    // Scala, which silently dropped the −3m1⁴ term in round 8
+    val mu4 = (m4 - lit(4.0) * m1 * m3 + lit(6.0) * m1 * m1 * m2
+      - lit(3.0) * m1 * m1 * m1 * m1)
+    val sd = sqrt(v)
+    val sr = m1 / sd
+    val g3 = mu3 / (v * sd)
+    val g4 = mu4 / (v * v)
+    val denom = lit(1.0) - g3 * sr + (g4 - lit(1.0)) / lit(4.0) * sr * sr
+    val z = (sr - lit(benchmarkSr)) * sqrt(n - lit(1.0)) / sqrt(denom)
+    a.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rets"),
+        sum(col("_pnl_fp")).as("_s1"), sum(col("_sq_fp")).as("_s2"),
+        sum(col("_q3")).as("_s3"), sum(col("_q4")).as("_s4"))
+      .select(keys.map(col) ++ Seq(col("n_rets"),
+        when(v > 0.0, round(sr, 6)).as("sr"),
+        when(v > 0.0, round(g3, 6)).as("skew"),
+        when(v > 0.0, round(g4, 6)).as("kurt"),
+        when(v > 0.0 && denom > 0.0 && col("n_rets") > 1L,
+          round(z, 6)).as("psr_z")): _*)
+      .orderBy(keys.map(col): _*)
+  }
+
   /** Shared annotation pass — every window rides one (keys, ts,
     * tiebreak) sort. */
   private def annotated(df: DataFrame, keys: Seq[String], tsCol: String,

@@ -4087,6 +4087,55 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("probabilisticSharpe: moment pipeline matches the sequential reference, constant series nulls") {
+    var seed = 2024L
+    def nxt(): Double = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      ((seed >>> 33).toDouble / (1L << 31).toDouble) - 0.5
+    }
+    val prices = Iterator.iterate(100.0)(p => p * math.exp(0.03 * nxt()))
+      .take(120).toSeq
+    val sigs = (0 until 120).map(i => if ((i / 4) % 2 == 0) 1.0 else -1.0)
+    val df = prices.zip(sigs).zipWithIndex.map { case ((p, sg), i) =>
+      ("S", i.toLong, i.toLong, p, sg) }.toDF("k", "t", "tb", "p", "sig")
+    val row = operators.Backtest.probabilisticSharpe(df, Seq("k"), "t",
+      "p", "sig", "tb", costBps = 25.0).collect().head
+    // sequential reference on the same quantization pipeline
+    val sigv = sigs
+    var (s1, s2, s3, s4, n) = (0L, 0L, 0L, 0L, 0)
+    (1 until 120).foreach { i =>
+      val pos = sigv(i - 1)
+      val prevpos = if (i >= 2) sigv(i - 2) else 0.0
+      val r = math.log(prices(i) / prices(i - 1))
+      val dposFp = math.round(math.abs(pos - prevpos) * 1e6)
+      val pnl = pos * r - (25.0 / 1e4) * (dposFp / 1e6)
+      s1 += math.round(pnl * 1e9); s2 += math.round(pnl * pnl * 1e9)
+      s3 += math.round(pnl * pnl * pnl * 1e9)
+      s4 += math.round(pnl * pnl * pnl * pnl * 1e9); n += 1
+    }
+    val nd = n.toDouble
+    val (m1, m2, m3, m4) = (s1 / 1e9 / nd, s2 / 1e9 / nd, s3 / 1e9 / nd, s4 / 1e9 / nd)
+    val v = m2 - m1 * m1
+    val mu3 = m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1
+    val mu4 = m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * m1 * m1 * m1 * m1
+    val sr = m1 / math.sqrt(v)
+    val (g3, g4) = (mu3 / (v * math.sqrt(v)), mu4 / (v * v))
+    val z = sr * math.sqrt(nd - 1.0) /
+      math.sqrt(1.0 - g3 * sr + (g4 - 1.0) / 4.0 * sr * sr)
+    assert(row.getAs[Long]("n_rets") == n)
+    assert(math.abs(row.getAs[Double]("sr") - sr) < 5.1e-7, s"sr: $row vs $sr")
+    assert(math.abs(row.getAs[Double]("skew") - g3) < 5.1e-7, s"skew: $row vs $g3")
+    assert(math.abs(row.getAs[Double]("kurt") - g4) < 5.1e-7,
+      s"kurt (the dropped-term regression): $row vs $g4")
+    assert(math.abs(row.getAs[Double]("psr_z") - z) < 5.1e-7, s"z: $row vs $z")
+    // constant pnl (flat signal on a flat price) → null everything
+    val flat = (0 until 30).map(i => ("F", i.toLong, i.toLong, 10.0, 1.0))
+      .toDF("k", "t", "tb", "p", "sig")
+    val fr = operators.Backtest.probabilisticSharpe(flat, Seq("k"), "t",
+      "p", "sig", "tb").collect().head
+    assert(fr.isNullAt(2) && fr.isNullAt(5), s"constant series must null: $fr")
+  }
+
   test("kupiecTest: closed-form LR, degenerate tails take the limit, calibrated model passes") {
     // reference 1..100 → VaR(0.05) = 5.95 (the varCvar fixture)
     val ref = (1 to 100).map(i => ("A", i.toDouble)) ++
