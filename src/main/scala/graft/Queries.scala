@@ -1578,13 +1578,15 @@ object Queries {
              FROM t1),
       t3 AS (SELECT k, ts, event_id, dpos_fp,
                     CAST(round(pnl * 1e9) AS BIGINT) AS pnl_fp,
-                    CAST(round(pnl * pnl * 1e9) AS BIGINT) AS sq_fp
+                    CAST(round(pnl * pnl * 1e9) AS BIGINT) AS sq_fp,
+                    CAST(round(LEAST(pnl, 0.0) * LEAST(pnl, 0.0) * 1e9)
+                      AS BIGINT) AS dn_fp
              FROM t2),
-      e AS (SELECT k, ts, event_id, dpos_fp, pnl_fp, sq_fp,
+      e AS (SELECT k, ts, event_id, dpos_fp, pnl_fp, sq_fp, dn_fp,
                    SUM(pnl_fp) OVER (PARTITION BY k ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eq_fp
             FROM t3),
-      d AS (SELECT k, dpos_fp, pnl_fp, sq_fp,
+      d AS (SELECT k, dpos_fp, pnl_fp, sq_fp, dn_fp,
                    GREATEST(MAX(eq_fp) OVER (PARTITION BY k ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
                      - eq_fp AS dd_fp
@@ -1593,6 +1595,7 @@ object Queries {
                    CAST(SUM(CASE WHEN dpos_fp <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_trades,
                    CAST(SUM(pnl_fp) AS BIGINT) AS s1,
                    CAST(SUM(sq_fp) AS BIGINT) AS s2,
+                   CAST(SUM(dn_fp) AS BIGINT) AS sdn,
                    CAST(MAX(dd_fp) AS BIGINT) AS mdd,
                    CAST(SUM(dpos_fp) AS BIGINT) AS tov
             FROM d GROUP BY 1)
@@ -1606,7 +1609,15 @@ object Queries {
                                     - (CAST(s1 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE))
                                       * (CAST(s1 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE)))
                              * ${math.sqrt(8760.0)}, 6) END AS sharpe,
+             CASE WHEN (CAST(sdn AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE)) > 0
+                  THEN round((CAST(s1 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE))
+                             / sqrt(CAST(sdn AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE))
+                             * ${math.sqrt(8760.0)}, 6) END AS sortino,
              round(CAST(mdd AS DOUBLE) / 1e9, 6) AS max_drawdown,
+             CASE WHEN mdd > 0
+                  THEN round(CAST(s1 AS DOUBLE) / 1e9
+                             * (8760.0 / CAST(n_rets AS DOUBLE))
+                             / (CAST(mdd AS DOUBLE) / 1e9), 6) END AS calmar,
              round(CAST(tov AS DOUBLE) / 1e6, 6) AS turnover
       FROM g ORDER BY event_type"""))
 

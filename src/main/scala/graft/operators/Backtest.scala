@@ -56,12 +56,18 @@ object Backtest {
         round(col("_dd_fp").cast("double") / 1e9, 6).as("drawdown")): _*)
 
   /** Per-series scorecard: `(keys…, n_rets, n_trades, total_ret,
-    * sharpe, max_drawdown, turnover)`.
+    * sharpe, sortino, max_drawdown, calmar, turnover)`.
     *  - `total_ret` — cumulative log return net of costs.
     *  - `sharpe` — per-tick mean/σ (population) scaled by
     *    `√annualization`; null when the pnl series is constant.
+    *  - `sortino` — mean over the downside deviation
+    *    `√(Σ min(pnl,0)²/n)` (full-n denominator, the standard
+    *    convention), same `√annualization`; null when no tick lost.
     *  - `max_drawdown` — deepest running-max-to-trough loss of the NET
     *    equity curve, in log units (≥ 0).
+    *  - `calmar` — `total_ret·(annualization/n) / max_drawdown`
+    *    (annualized return over the deepest loss); null on a
+    *    drawdown-free series.
     *  - `turnover` — Σ|Δposition|; `n_trades` counts the nonzero
     *    position changes (on µ-unit integers — no double ==). */
   def signalBacktest(df: DataFrame, keys: Seq[String], tsCol: String,
@@ -76,17 +82,26 @@ object Backtest {
     // population variance from the independently quantized square sum:
     // E[x²] − E[x]² on the same doubles both engines derive
     val variance = col("_s2").cast("double") / 1e9 / n - mean * mean
+    val dnVar = col("_sdn").cast("double") / 1e9 / n
+    val mdd = col("_mdd").cast("double") / 1e9
     a.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_rets"),
         sum(when(col("_to_fp") =!= 0L, 1L).otherwise(0L)).as("n_trades"),
         sum(col("_pnl_fp")).as("_s1"), sum(col("_sq_fp")).as("_s2"),
+        sum(col("_dn_fp")).as("_sdn"),
         max(col("_dd_fp")).as("_mdd"), sum(col("_to_fp")).as("_to"))
       .select(keys.map(col) ++ Seq(col("n_rets"), col("n_trades"),
         round(col("_s1").cast("double") / 1e9, 6).as("total_ret"),
         when(variance > 0.0,
           round(mean / sqrt(variance) * math.sqrt(annualization), 6))
           .as("sharpe"),
-        round(col("_mdd").cast("double") / 1e9, 6).as("max_drawdown"),
+        when(dnVar > 0.0,
+          round(mean / sqrt(dnVar) * math.sqrt(annualization), 6))
+          .as("sortino"),
+        round(mdd, 6).as("max_drawdown"),
+        when(col("_mdd") > 0L,
+          round(col("_s1").cast("double") / 1e9
+            * (lit(annualization) / n) / mdd, 6)).as("calmar"),
         round(col("_to").cast("double") / 1e6, 6).as("turnover")): _*)
       .orderBy(keys.map(col): _*)
   }
@@ -439,6 +454,9 @@ object Backtest {
           - lit(costBps / 1e4) * (col("_dpos_fp").cast("double") / 1e6))
       .withColumn("_pnl_fp", round(col("_pnl") * 1e9).cast("long"))
       .withColumn("_sq_fp", round(col("_pnl") * col("_pnl") * 1e9).cast("long"))
+      .withColumn("_dn_fp",
+        round(least(col("_pnl"), lit(0.0)) * least(col("_pnl"), lit(0.0))
+          * 1e9).cast("long"))
       .withColumn("_to_fp", col("_dpos_fp"))
       .withColumn("_eq_fp", sum(col("_pnl_fp")).over(wCum))
       .withColumn("_dd_fp",

@@ -3879,6 +3879,7 @@ class OpsSpec extends SparkSpec {
     // sequential reference on the same quantization pipeline
     val sigv = sigs.map(_.getOrElse(0.0))
     var (eq, runmax, s1, s2, tov, trades, mdd, n) = (0L, 0L, 0L, 0L, 0L, 0L, 0L, 0)
+    var sdn = 0L
     (1 until 60).foreach { i =>
       val pos = sigv(i - 1)
       val prevpos = if (i >= 2) sigv(i - 2) else 0.0
@@ -3887,12 +3888,18 @@ class OpsSpec extends SparkSpec {
       val pnl = pos * r - (costBps / 1e4) * (dposFp / 1e6)
       val pnlFp = math.round(pnl * 1e9)
       s1 += pnlFp; s2 += math.round(pnl * pnl * 1e9); tov += dposFp
+      sdn += math.round(math.min(pnl, 0.0) * math.min(pnl, 0.0) * 1e9)
       if (dposFp != 0L) trades += 1
       eq += pnlFp; runmax = math.max(math.max(runmax, eq), 0L)
       mdd = math.max(mdd, runmax - eq); n += 1
     }
     val mean = s1.toDouble / 1e9 / n
     val variance = s2.toDouble / 1e9 / n - mean * mean
+    val dnVar = sdn.toDouble / 1e9 / n
+    assert(math.abs(row.getAs[Double]("sortino")
+      - mean / math.sqrt(dnVar) * math.sqrt(ann)) < 1e-6)
+    assert(math.abs(row.getAs[Double]("calmar")
+      - s1 / 1e9 * (ann / n) / (mdd / 1e9)) < 5.1e-5)
     assert(row.getAs[Long]("n_rets") == n)
     assert(row.getAs[Long]("n_trades") == trades)
     // displays are 6-dp rounded — compare at the display resolution
