@@ -2818,6 +2818,42 @@ object Queries {
       FROM s3
       ORDER BY symbol, ts_us"""))
 
+  // The flagship chain CHUNKED, against the SAME oracle: the 30-day
+  // hourly-bar history folds in 7-day slices through
+  // MarketIncremental.marketFeaturesFold with an O(1)-per-series carry
+  // (three EWM states, last close, OBV sum, last ≤19 logrets / ≤13
+  // deltas) — bit-identical to the one-shot window chain, but no fold
+  // ever sorts more than one chunk of a series in one partition. This
+  // closes the last documented long-history hazard: the 11-feature
+  // chain itself now has a bounded-memory path.
+  private val qMarketFeaturesFold = QDef(
+    "q_market_features_fold",
+    (s, dir) => {
+      val ohlcv = hourlyBars(s, dir).select(
+        col("bar_ts").as("timestamp"),
+        col("event_type").as("symbol"),
+        lit("events").as("exchange"),
+        lit("1h").as("timeframe"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+      graft.features.MarketFeatures
+        .buildChunked(ohlcv, chunkUs = 7L * 86400 * 1000000)
+        .select(col("symbol"), micros(col("timestamp")).as("ts_us"), col("dt"),
+          col("feature_version"),
+          col("ret_1"),
+          round(col("logret_1"), 6).as("logret_1"),
+          round(col("rvol_5"), 6).as("rvol_5"),
+          round(col("rvol_20"), 6).as("rvol_20"),
+          round(col("ema_12"), 6).as("ema_12"),
+          round(col("ema_26"), 6).as("ema_26"),
+          round(col("macd"), 6).as("macd"),
+          round(col("macd_signal_9"), 6).as("macd_signal_9"),
+          round(col("rsi_14"), 6).as("rsi_14"),
+          col("hl_spread"),
+          round(col("oi_obv"), 6).as("oi_obv"))
+        .orderBy("symbol", "ts_us")
+    },
+    qMarketFeatures.oracle)
+
   // ------------------------------------------------------------------
   // Orderbook features (A1-A4, W29/W30, J4) over a book synthesized
   // deterministically from events (the testdata ships no book table)
@@ -5809,6 +5845,7 @@ object Queries {
     qGapDaily, qDedupLastWin, qTimeNorm, qJsonExtract, qFfill,
     qAsofJoin, qRangeJoin,
     qTaTrend, qTaOscillators, qOnchainFeatures, qMarketFeatures,
+    qMarketFeaturesFold,
     qOrderbook, qMicroprice, qOfi, qOfiMultilevel, qImpactLambda, qTrainingMatrix,
     qDedupExact, qTextStats, qLangId, qJaccardNearDup, qMinhashNearDup,
     qNearDupIncremental,

@@ -61,4 +61,43 @@ object MarketFeatures {
       conformed.filter(featureCols.map(col(_).isNotNull).reduce(_ || _))
     else conformed
   }
+
+  /** [[build]] by CHUNKS: fold the history through
+    * [[graft.operators.MarketIncremental.marketFeaturesFold]] in
+    * `chunkUs`-sized time slices with an O(1)-per-series carry (EWM
+    * states, last close, OBV sum, last ≤19 logrets / ≤13 deltas)
+    * between folds — bit-identical output, but no fold ever sorts more
+    * than one chunk of a series in one partition. This is the
+    * long-history path: [[build]]'s window chain needs each series'
+    * WHOLE history inside one partition; here per-series memory is
+    * bounded by the chunk, so an arbitrarily long series streams
+    * through (the [[OrderbookFeatures.bookSnapshotsChunked]] shape).
+    * Same contract as [[build]] plus: timestamps strictly increasing
+    * per series (a duplicate raises — the one-shot chain would already
+    * be order-nondeterministic on one). */
+  def buildChunked(ohlcv: DataFrame, chunkUs: Long,
+                   dropnaFinal: Boolean = true, maxChunks: Int = 4096): DataFrame = {
+    import graft.operators.MarketIncremental
+    require(chunkUs > 0L, s"chunkUs must be positive, got $chunkUs")
+    val cfg = MarketIncremental.FeatCfg(seriesKeys, "timestamp", FeatureVersion)
+    val spark = ohlcv.sparkSession
+    val base = ohlcv.withColumn("_chunk",
+      expr("(unix_micros(cast(timestamp as timestamp)) - " +
+        s"pmod(unix_micros(cast(timestamp as timestamp)), ${chunkUs}L)) div ${chunkUs}L"))
+      .localCheckpoint(true)
+    val chunkIds = base.select(col("_chunk")).distinct()
+      .orderBy(col("_chunk")).collect().map(_.getLong(0)).toSeq
+    require(chunkIds.size <= maxChunks,
+      s"buildChunked: ${chunkIds.size} chunks exceeds maxChunks=$maxChunks " +
+        "— raise chunkUs (each chunk is a driver-loop fold)")
+    var carry = MarketIncremental.emptyFeatCarry(spark, cfg)
+    var out = MarketIncremental.emptyFeatures(spark, cfg)
+    chunkIds.foreach { c =>
+      val (feat, carry2) = MarketIncremental.marketFeaturesFold(
+        carry, base.where(col("_chunk") === c).drop("_chunk"), cfg, dropnaFinal)
+      out = out.unionByName(feat).localCheckpoint(true)
+      carry = carry2
+    }
+    Schemas.conformTo(out, Schemas.FEATURE, keepExtra = false)
+  }
 }

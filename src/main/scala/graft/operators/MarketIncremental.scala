@@ -691,4 +691,272 @@ object MarketIncremental {
     }
     snapshotsView(spark, stateDir, cfg)
   }
+
+  // ------------------------------------------------------------------
+  // Market-feature fold: the chunked/streaming replacement for the
+  // one-shot [[graft.features.MarketFeatures.build]] window chain. The
+  // one-shot chain sorts each series' WHOLE history inside one
+  // partition (the documented long-history hazard), so per-series
+  // history is bounded by partition memory. Here each fold processes
+  // only the batch plus an O(1)-per-series carry:
+  //  - the EWM recurrences (ema_12/ema_26/macd_signal_9) are linear
+  //    with one double of state each — the reference's own protocol
+  //    (`adi/app/features/streaming/stateful_processor.py:24-41`);
+  //  - the trailing-frame stats (rvol_5/rvol_20 need the last 19
+  //    logrets, rsi_14 the last 13 deltas) carry exactly those rows;
+  //  - OBV carries its running sum, diff/pct/logret the last close.
+  //
+  // MECHANISM — ghost rows: the carry materializes as up to 19
+  // synthetic rows per series, prepended IN ROW POSITION before the
+  // batch under the same series window. Ghost row i supplies the i-th
+  // carried logret/delta to the trailing frames (so the `count >= n`
+  // warm-up guards see the true history row count); the LAST ghost row
+  // additionally carries the previous close (so lag/diff/pct/logret at
+  // the first batch row read it naturally) and seeds each EWM chain
+  // (a null-input EWM row leaves state untouched, and the first
+  // non-null input BECOMES the state — feeding the carried state as
+  // that input resumes the recurrence exactly). The batch rows then
+  // evaluate the UNMODIFIED window functions (`windows.ewmMean`,
+  // `rollingStd`, `rsiSmaFromDelta`, `cumSum`) — fold output is
+  // bit-identical to the one-shot chain, not approximately equal.
+  //
+  // Every stage keys on the series: one window pass computes all 11
+  // features, one row_number + groupBy (same clustering) rebuilds the
+  // ≤19-row carry. Per-fold work is O(batch + 19·series), never
+  // O(history).
+  // ------------------------------------------------------------------
+
+  /** Knobs of the market-feature fold. Batches must carry
+    * `keys ++ (tsCol, open, high, low, close, volume)`; `tsCol` must be
+    * STRICTLY increasing per series (the one-shot chain orders by the
+    * timestamp alone, so a duplicate would already be order-
+    * nondeterministic there — here it raises). */
+  final case class FeatCfg(keys: Seq[String], tsCol: String,
+                           featureVersion: String = "market.v1") {
+    require(keys.nonEmpty, "market feature state needs series keys")
+  }
+
+  /** The 11 v1 feature columns, in [[graft.features.MarketFeatures]]
+    * order (kept locally so operators ← features stays one-directional). */
+  val FeatureCols: Seq[String] = Seq(
+    "ret_1", "logret_1", "rvol_5", "rvol_20", "ema_12", "ema_26",
+    "macd", "macd_signal_9", "rsi_14", "hl_spread", "oi_obv")
+
+  /** Per-series carry: watermark, last close, the three EWM states, the
+    * OBV running sum, and the last ≤19 logrets / ≤13 deltas (oldest
+    * first, NULL ELEMENTS PRESERVED — the trailing frames are
+    * rows-based and the warm-up guards count non-nulls, so a null
+    * history row must still occupy its frame position). */
+  def emptyFeatCarry(spark: SparkSession, cfg: FeatCfg): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        cfg.keys.map(k => org.apache.spark.sql.types.StructField(k,
+          org.apache.spark.sql.types.StringType)) ++ Seq(
+          field("w_ts_us", "long"), field("prev_close", "double"),
+          field("ema_12", "double"), field("ema_26", "double"),
+          field("sig_9", "double"), field("obv", "double"),
+          field("logrets", "array<double>"), field("deltas", "array<double>"))))
+
+  def emptyFeatures(spark: SparkSession, cfg: FeatCfg): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        cfg.keys.map(k => org.apache.spark.sql.types.StructField(k,
+          org.apache.spark.sql.types.StringType)) ++ Seq(
+          field("timestamp", "timestamp"), field("dt", "string"),
+          field("feature_version", "string")) ++
+          FeatureCols.map(field(_, "double"))))
+
+  /** Fold one OHLCV batch into the feature state. Returns
+    * `(features, carry')` — features for the batch rows are FINAL at
+    * emit (nothing later can change a trailing/recurrent value at an
+    * earlier row), so there is no provisional tail.
+    *
+    * `dropnaFinal` mirrors [[graft.features.MarketFeatures.build]]'s
+    * final mask (row-local, so applying it per fold ≡ applying it at
+    * the end). Guards mirror [[guardedTicks]]: a bar at-or-before the
+    * stored watermark raises, a duplicate timestamp within one batch
+    * raises. The combined frame localCheckpoints once (both returned
+    * frames share the window lineage). */
+  def marketFeaturesFold(carry: DataFrame, batch: DataFrame, cfg: FeatCfg,
+                         dropnaFinal: Boolean = true)
+      : (DataFrame, DataFrame) = {
+    import graft.functions.{windows => W, TaIndicators => TA}
+    val K = cfg.keys
+    val raw = batch.select(
+      K.map(c => col(c).cast("string").as(c)) ++ Seq(
+        col(cfg.tsCol).cast("timestamp").as("timestamp"),
+        unix_micros(col(cfg.tsCol).cast("timestamp")).as("ts_us"),
+        col("open").cast("double").as("open"),
+        col("high").cast("double").as("high"),
+        col("low").cast("double").as("low"),
+        col("close").cast("double").as("close"),
+        col("volume").cast("double").as("volume")): _*)
+    // ordering guards inside ts_us (a window order key — never pruned)
+    val wOrd = Window.partitionBy(K.map(col): _*).orderBy(col("ts_us"))
+    val guarded = raw
+      .join(carry.select(K.map(col) :+ col("w_ts_us"): _*), K, "left")
+      .withColumn("_dup", lag(col("ts_us"), 1).over(wOrd) === col("ts_us"))
+      .withColumn("ts_us",
+        when(col("w_ts_us").isNotNull && col("ts_us") <= col("w_ts_us"),
+          raise_error(concat(lit("marketFeatures ordering contract violated: bar at "),
+            col("ts_us").cast("string"), lit("us is not after the stored watermark "),
+            col("w_ts_us").cast("string"),
+            lit("us — batches must be per-series time-ordered"))))
+        .when(coalesce(col("_dup"), lit(false)),
+          raise_error(concat(lit("marketFeatures ordering contract violated: duplicate "),
+            lit("timestamp "), col("ts_us").cast("string"),
+            lit("us within one batch — the series window orders by the timestamp alone"))))
+        .otherwise(col("ts_us")))
+      .drop("w_ts_us", "_dup")
+    val batchKeys = guarded.select(K.map(col): _*).distinct()
+    // ghost rows: one per carried logret, positions −a..−1 before the
+    // batch; deltas align to the LAST d of those positions; the final
+    // ghost row carries prev_close + the EWM/OBV seeds
+    val g0 = carry.join(batchKeys, K, "left_semi")
+      .select(K.map(col) ++ Seq(col("prev_close"),
+        col("ema_12").as("_s12a"), col("ema_26").as("_s26a"),
+        col("sig_9").as("_ssiga"), col("obv").as("_sobva"),
+        col("deltas").as("_dls"), size(col("logrets")).as("_a"),
+        size(col("deltas")).as("_d"),
+        posexplode(col("logrets")).as(Seq("_gi", "_x_logret"))): _*)
+    val isLast = col("_gi") === col("_a") - 1
+    val ghosts = g0.select(K.map(col) ++ Seq(
+      lit(0).as("_g"), col("_gi"),
+      lit(null).cast("timestamp").as("timestamp"),
+      lit(null).cast("long").as("ts_us"),
+      lit(null).cast("double").as("open"),
+      lit(null).cast("double").as("high"),
+      lit(null).cast("double").as("low"),
+      when(isLast, col("prev_close")).as("close"),
+      lit(null).cast("double").as("volume"),
+      col("_x_logret"),
+      when(col("_gi") >= col("_a") - col("_d"),
+        element_at(col("_dls"),
+          (col("_gi") - (col("_a") - col("_d")) + 1).cast("int"))).as("_x_delta"),
+      when(isLast, col("_s12a")).as("_s12"),
+      when(isLast, col("_s26a")).as("_s26"),
+      when(isLast, col("_ssiga")).as("_ssig"),
+      when(isLast, col("_sobva")).as("_sobv")): _*)
+    val reals = guarded.select(K.map(col) ++ Seq(
+      lit(1).as("_g"), lit(0).as("_gi"),
+      col("timestamp"), col("ts_us"),
+      col("open"), col("high"), col("low"), col("close"), col("volume"),
+      lit(null).cast("double").as("_x_logret"),
+      lit(null).cast("double").as("_x_delta"),
+      lit(null).cast("double").as("_s12"),
+      lit(null).cast("double").as("_s26"),
+      lit(null).cast("double").as("_ssig"),
+      lit(null).cast("double").as("_sobv")): _*)
+    val base = ghosts.unionByName(reals)
+    val w = Window.partitionBy(K.map(col): _*)
+      .orderBy(col("_g"), col("_gi"), col("ts_us"))
+    val isGhost = col("_g") === 0
+    // pass 1: windows over input columns (the build() pass-1 siblings,
+    // with the EWM inputs substituted so ghost rows seed the state)
+    val p1 = base
+      .withColumn("_ret1", W.pctChange(col("close"), 1, w))
+      .withColumn("_lr_raw", W.logReturn(col("close"), w))
+      .withColumn("_dl_raw", W.diff(col("close"), 1, w))
+      .withColumn("_ema12c",
+        W.ewmMean(when(isGhost, col("_s12")).otherwise(col("close")), 2.0 / 13.0, w))
+      .withColumn("_ema26c",
+        W.ewmMean(when(isGhost, col("_s26")).otherwise(col("close")), 2.0 / 27.0, w))
+      .withColumn("_hl", TA.hlSpread(col("high"), col("low"), col("close")))
+      .withColumn("_logret", when(isGhost, col("_x_logret")).otherwise(col("_lr_raw")))
+      .withColumn("_delta", when(isGhost, col("_x_delta")).otherwise(col("_dl_raw")))
+      .withColumn("_macd", col("_ema12c") - col("_ema26c"))
+    // pass 2: windows over pass-1 outputs (consecutive Window operators
+    // share one shuffle+sort, exactly as in build())
+    val p2 = p1
+      .withColumn("_rv5", W.rollingStd(col("_logret"), 5, w))
+      .withColumn("_rv20", W.rollingStd(col("_logret"), 20, w))
+      .withColumn("_sigc",
+        W.ewmMean(when(isGhost, col("_ssig")).otherwise(col("_macd")), 2.0 / 10.0, w))
+      .withColumn("_rsi", TA.rsiSmaFromDelta(col("_delta"), 14, w))
+      .withColumn("_obvc", W.cumSum(
+        when(isGhost, coalesce(col("_sobv"), lit(0.0)))
+          .otherwise(signum(coalesce(col("_delta"), lit(0.0))) *
+            coalesce(col("volume"), lit(0.0))), w))
+      .localCheckpoint(true)
+    val feat0 = p2.where(col("_g") === 1).select(
+      K.map(col) ++ Seq(col("timestamp"),
+        graft.time.TimeNorm.dt(col("timestamp")).as("dt"),
+        lit(cfg.featureVersion).as("feature_version"),
+        col("_ret1").as("ret_1"), col("_logret").as("logret_1"),
+        col("_rv5").as("rvol_5"), col("_rv20").as("rvol_20"),
+        col("_ema12c").as("ema_12"), col("_ema26c").as("ema_26"),
+        col("_macd").as("macd"), col("_sigc").as("macd_signal_9"),
+        col("_rsi").as("rsi_14"), col("_hl").as("hl_spread"),
+        col("_obvc").as("oi_obv")): _*)
+    val feat =
+      if (dropnaFinal) feat0.filter(FeatureCols.map(col(_).isNotNull).reduce(_ || _))
+      else feat0
+    // carry rebuild: the last ≤19 rows per series (ghosts count — a
+    // short batch keeps older carried rows in its window), bounded
+    // BEFORE any collect_list so the agg never sees whole batches
+    val ordCol = when(isGhost, col("_gi").cast("long") - lit(1L << 62))
+      .otherwise(col("ts_us"))
+    val rnW = Window.partitionBy(K.map(col): _*).orderBy(ordCol.desc)
+    val tail = p2.withColumn("_ord", ordCol)
+      .withColumn("_rn", row_number().over(rnW))
+      .where(col("_rn") <= 19)
+    val carryNew = tail.groupBy(K.map(col): _*).agg(
+      max_by(struct(col("ts_us"), col("close"), col("_ema12c"),
+        col("_ema26c"), col("_sigc"), col("_obvc")), col("_ord")).as("_l"),
+      sort_array(collect_list(struct(col("_ord"),
+        struct(col("_logret").as("v")).as("s")))).as("_lr"),
+      sort_array(collect_list(when(col("_rn") <= 13, struct(col("_ord"),
+        struct(col("_delta").as("v")).as("s"))))).as("_dl"))
+      .select(K.map(col) ++ Seq(
+        col("_l").getField("ts_us").as("w_ts_us"),
+        col("_l").getField("close").as("prev_close"),
+        col("_l").getField("_ema12c").as("ema_12"),
+        col("_l").getField("_ema26c").as("ema_26"),
+        col("_l").getField("_sigc").as("sig_9"),
+        col("_l").getField("_obvc").as("obv"),
+        transform(col("_lr"), x => x.getField("s").getField("v")).as("logrets"),
+        transform(col("_dl"), x => x.getField("s").getField("v")).as("deltas")): _*)
+    val carry2 = carry.join(batchKeys, K, "left_anti")
+      .unionByName(carryNew).localCheckpoint(true)
+    (feat, carry2)
+  }
+
+  private def readFeatCarry(spark: SparkSession, stateDir: String, cfg: FeatCfg)
+      : DataFrame =
+    committedVersions(spark, stateDir).lastOption match {
+      case None => emptyFeatCarry(spark, cfg)
+      case Some(v) => spark.read.parquet(s"$stateDir/v=$v/carry")
+    }
+
+  /** All features so far — column-identical to
+    * [[graft.features.MarketFeatures.build]] over the full history
+    * (modulo the key/column order; every emitted row is final). */
+  def featuresView(spark: SparkSession, stateDir: String, cfg: FeatCfg): DataFrame =
+    readLog(spark, stateDir, "features", emptyFeatures(spark, cfg))
+
+  /** The foreachBatch body for a streamed OHLCV feed: fold `batch` into
+    * the feature state at `stateDir` under `batchId` (replay-idempotent
+    * via `_commits`), append the batch's final features to the log,
+    * persist the ≤19-row-per-series carry. Same lifecycle as
+    * [[marketTickBatch]]: two carry versions survive for rollback, the
+    * log only grows. Returns the post-fold feature view. */
+  def marketFeaturesBatch(spark: SparkSession, stateDir: String, batchId: Long,
+                          batch: DataFrame, cfg: FeatCfg,
+                          dropnaFinal: Boolean = true): DataFrame = {
+    val done = committedVersions(spark, stateDir)
+    if (done.contains(batchId)) return featuresView(spark, stateDir, cfg)
+    val carry0 = readFeatCarry(spark, stateDir, cfg)
+    val (feat, carry1) = marketFeaturesFold(carry0, batch, cfg, dropnaFinal)
+    val v = s"$stateDir/v=$batchId"
+    feat.write.mode("overwrite").parquet(s"$stateDir/features/batch=$batchId")
+    carry1.write.mode("overwrite").parquet(s"$v/carry")
+    val f = fs(spark, stateDir)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$stateDir/_commits"))
+    f.create(new org.apache.hadoop.fs.Path(s"$stateDir/_commits/$batchId"),
+      true).close()
+    done.dropRight(1).foreach { old =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v=$old"), true)
+    }
+    featuresView(spark, stateDir, cfg)
+  }
 }

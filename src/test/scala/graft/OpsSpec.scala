@@ -3089,6 +3089,104 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("marketFeaturesFold: chunked fold is bit-identical to MarketFeatures.build") {
+    import graft.features.MarketFeatures
+    import graft.operators.MarketIncremental
+    // three series long enough to warm every window (>> 20 + 26), with
+    // the edge shapes the chain must survive: a zero close (logret/
+    // pct/hl null), a null close (delta chain break), a null volume,
+    // and monotone stretches (all-gain RSI windows → null by contract)
+    val rows = for { sym <- Seq("AAA", "BBB", "CCC"); t <- 1 to 120 } yield {
+      val drift = sym match {
+        case "AAA" => 100.0 + t * 0.7
+        case "BBB" => 500.0 - t * 0.9
+        case _     => 250.0
+      }
+      val c0 = math.rint((drift + 25.0 * math.sin(t / 3.0)) * 100) / 100
+      val close: java.lang.Double =
+        if (sym == "AAA" && t == 40) 0.0
+        else if (sym == "BBB" && t == 55) null
+        else c0
+      val vol: java.lang.Double = if (sym == "CCC" && t == 20) null else 10.0 + t % 7
+      (sym, "x", "1h", t.toLong, c0 + 1.0, c0 - 1.0, close, vol)
+    }
+    val ohlcv = rows.toDF("symbol", "exchange", "timeframe", "t",
+        "high", "low", "close", "volume")
+      .withColumn("timestamp", expr("timestamp_micros(t * 3600000000)"))
+      .withColumn("open", col("close"))
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map {
+      case d: Double => java.lang.Double.doubleToLongBits(d).toString // BIT-identical
+      case x => String.valueOf(x)
+    }.mkString("|")
+    val want = MarketFeatures.build(ohlcv).collect().map(key).sorted.toSeq
+    // 5 uneven chunks (25h each over 120h) — every window frame, EWM
+    // chain, and the OBV running sum straddle multiple chunk cuts
+    val got = MarketFeatures.buildChunked(ohlcv, chunkUs = 25L * 3600000000L)
+      .collect().map(key).sorted.toSeq
+    assert(got.size == want.size, s"row count: got ${got.size}, want ${want.size}")
+    assert(got == want, {
+      val diff = got.zip(want).find { case (g, w) => g != w }
+      s"fold diverged from build:\n got ${diff.map(_._1)}\nwant ${diff.map(_._2)}"
+    })
+    // dropnaFinal=false path agrees too (the first all-null row survives)
+    val wantAll = MarketFeatures.build(ohlcv, dropnaFinal = false)
+      .collect().map(key).sorted.toSeq
+    val gotAll = MarketFeatures
+      .buildChunked(ohlcv, chunkUs = 25L * 3600000000L, dropnaFinal = false)
+      .collect().map(key).sorted.toSeq
+    assert(gotAll == wantAll && gotAll.size == 360)
+    // the carry really is O(1)/series: ≤19 logrets, ≤13 deltas
+    val cfg = MarketIncremental.FeatCfg(MarketFeatures.seriesKeys, "timestamp")
+    val (_, carry1) = MarketIncremental.marketFeaturesFold(
+      MarketIncremental.emptyFeatCarry(spark, cfg), ohlcv, cfg)
+    val sizes = carry1.select(size(col("logrets")), size(col("deltas"))).collect()
+    assert(sizes.length == 3 &&
+      sizes.forall(r => r.getInt(0) == 19 && r.getInt(1) == 13))
+    // ordering contract: a bar at-or-before the watermark raises; an
+    // in-batch duplicate timestamp raises
+    intercept[Exception] {
+      MarketIncremental.marketFeaturesFold(carry1,
+        ohlcv.where(col("t") === 120), cfg)._1.count()
+    }
+    intercept[Exception] {
+      MarketIncremental.marketFeaturesFold(
+        MarketIncremental.emptyFeatCarry(spark, cfg),
+        ohlcv.where(col("t") === 3).unionAll(ohlcv.where(col("t") === 3)),
+        cfg)._1.count()
+    }
+  }
+
+  test("marketFeaturesBatch: _commits lifecycle — replayed batch is a no-op, view matches build") {
+    import graft.features.MarketFeatures
+    import graft.operators.MarketIncremental
+    val ohlcv = (for { sym <- Seq("S1", "S2"); t <- 1 to 60 } yield
+      (sym, "x", "1h", t.toLong, 10.0 + t, 8.0 + t,
+        math.rint((9.0 + t + 3.0 * math.sin(t / 2.0)) * 100) / 100, 5.0))
+      .toDF("symbol", "exchange", "timeframe", "t", "high", "low", "close", "volume")
+      .withColumn("timestamp", expr("timestamp_micros(t * 60000000)"))
+      .withColumn("open", col("close"))
+    val cfg = MarketIncremental.FeatCfg(MarketFeatures.seriesKeys, "timestamp")
+    val dir = java.nio.file.Files.createTempDirectory("graft_featfold").toString
+    MarketIncremental.marketFeaturesBatch(spark, dir, 0L,
+      ohlcv.where(col("t") <= 30), cfg)
+    MarketIncremental.marketFeaturesBatch(spark, dir, 1L,
+      ohlcv.where(col("t") > 30), cfg)
+    // replay of batch 1: committed id → no-op, view unchanged
+    val n1 = MarketIncremental.featuresView(spark, dir, cfg).count()
+    MarketIncremental.marketFeaturesBatch(spark, dir, 1L,
+      ohlcv.where(col("t") > 30), cfg)
+    assert(MarketIncremental.committedVersions(spark, dir) == Seq(0L, 1L))
+    assert(MarketIncremental.featuresView(spark, dir, cfg).count() == n1)
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf(_)).mkString("|")
+    val want = MarketFeatures.build(ohlcv)
+      .select("symbol", "timestamp", "ema_12", "rsi_14", "oi_obv", "rvol_20")
+      .collect().map(key).sorted.toSeq
+    val got = MarketIncremental.featuresView(spark, dir, cfg)
+      .select("symbol", "timestamp", "ema_12", "rsi_14", "oi_obv", "rvol_20")
+      .collect().map(key).sorted.toSeq
+    assert(got == want)
+  }
+
   test("ofiMultiLevel: per-rank CKS terms with geometric weights; queue imbalance from current depth") {
     def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
     // t=1: bid levels (10.0 sz 5), (9.0 sz 4); ask (11.0 sz 6), (12.0 sz 2)
