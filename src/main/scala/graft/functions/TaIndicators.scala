@@ -455,10 +455,11 @@ object TaIndicators {
     * correctly-rounded — identical on every engine, unlike pow), 6 dp.
     * Overflow contract (the caller picks the scales for their return
     * magnitude): `n·|r|³·q3Scale < 2⁶³` and `n·r⁴·q4Scale < 2⁶³` per
-    * bucket — the 10¹⁵/10¹⁸ defaults are comfortable for price series
-    * (|r| ≤ 0.5) at 10⁶ ticks/bucket; series whose "returns" swing by
-    * whole e-folds (raw metric ratios) need lower scales. Null
-    * skew/kurt on a zero-RV bucket.
+    * bucket — at the 10¹⁵/10¹⁸ defaults the q4 sum binds first and is
+    * safe for |r| ≲ 0.05 at 10⁶ ticks/bucket (tick-scale price
+    * returns); larger per-tick swings, coarser buckets, or series whose
+    * "returns" are raw metric ratios swinging whole e-folds need
+    * caller-lowered scales. Null skew/kurt on a zero-RV bucket.
     *
     * Scale shape: one keyed window (the return lag) + one (keys,
     * bucket) agg riding the same series partitioning, map-side
@@ -500,31 +501,6 @@ object TaIndicators {
             / (col("_rv") * col("_rv")), 6)).as("rkurt")): _*)
   }
 
-  /** Realized variance + bipower variation + jump component per
-    * (series, bucket) — Barndorff-Nielsen & Shephard (2004, 2006), the
-    * jump-robust volatility decomposition: `RV = Σ rᵢ²` converges to
-    * integrated variance PLUS squared jumps, while
-    * `BV = (π/2)·Σ|rᵢ||rᵢ₋₁|` is immune to a single jump (it enters
-    * two products linearly, not squared), so `J = max(RV − BV, 0)` is
-    * the jump part — the risk split (continuous vol vs event risk)
-    * range estimators can't see.
-    *
-    * Returns are log returns over the per-series (ts, tiebreak) total
-    * order, CONTINUOUS across bucket boundaries (a bucket's first
-    * return reaches back to the previous bucket's last tick — the
-    * overnight-return convention is the caller's via bucketing choice);
-    * each return lands in the bucket of its LATER tick. Non-positive
-    * prices drop before returns form (log undefined), exactly like
-    * [[rangeVolatility]].
-    *
-    * Determinism: the per-term products quantize to pico-unit BIGINTs
-    * (`⌊·10¹²⌉`) and sum exactly (order-free); RV/BV/J derive in one
-    * fixed double tree rounded to 6dp; π/2 is the JVM double
-    * [[BipowerConst]], interpolated into the oracle.
-    *
-    * Scale shape: one keyed window (the return lag) + one (keys,
-    * bucket) agg riding the same series partitioning — map-side
-    * combined, one row per bucket out. */
   /** Adaptive (EWM-RLS) regression per series — the exponentially
     * forgetting hedge ratio / adaptive AR coefficient every pairs or
     * beta-hedging desk maintains online: with EWM moments
@@ -569,6 +545,31 @@ object TaIndicators {
       .orderBy(keys.map(col) ++ Seq(col(tsCol), col(tiebreakCol)): _*)
   }
 
+  /** Realized variance + bipower variation + jump component per
+    * (series, bucket) — Barndorff-Nielsen & Shephard (2004, 2006), the
+    * jump-robust volatility decomposition: `RV = Σ rᵢ²` converges to
+    * integrated variance PLUS squared jumps, while
+    * `BV = (π/2)·Σ|rᵢ||rᵢ₋₁|` is immune to a single jump (it enters
+    * two products linearly, not squared), so `J = max(RV − BV, 0)` is
+    * the jump part — the risk split (continuous vol vs event risk)
+    * range estimators can't see.
+    *
+    * Returns are log returns over the per-series (ts, tiebreak) total
+    * order, CONTINUOUS across bucket boundaries (a bucket's first
+    * return reaches back to the previous bucket's last tick — the
+    * overnight-return convention is the caller's via bucketing choice);
+    * each return lands in the bucket of its LATER tick. Non-positive
+    * prices drop before returns form (log undefined), exactly like
+    * [[rangeVolatility]].
+    *
+    * Determinism: the per-term products quantize to pico-unit BIGINTs
+    * (`⌊·10¹²⌉`) and sum exactly (order-free); RV/BV/J derive in one
+    * fixed double tree rounded to 6dp; π/2 is the JVM double
+    * [[BipowerConst]], interpolated into the oracle.
+    *
+    * Scale shape: one keyed window (the return lag) + one (keys,
+    * bucket) agg riding the same series partitioning — map-side
+    * combined, one row per bucket out. */
   def realizedJumpVol(df: DataFrame, keys: Seq[String], tsCol: String,
                       valueCol: String, tiebreakCol: String,
                       interval: String): DataFrame = {

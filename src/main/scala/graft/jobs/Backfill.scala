@@ -49,9 +49,14 @@ object Backfill {
     * align each bar's ts with `floor_epoch` (`backfill.py:134-145`), keep
     * only bars whose aligned ts is in the missing set (P5 membership as a
     * broadcast semi join), build features, upsert
-    * (`backfill_market_once`, `backfill.py:112-155`). */
+    * (`backfill_market_once`, `backfill.py:112-155`).
+    *
+    * `writeSeq` stamps the upsert (see [[FeatureStore.upsert]]'s
+    * idempotency contract): pass the plan's anchor epoch so a replay of
+    * the same planned fill is a no-op. */
   def fillOnce(spark: SparkSession, store: FeatureStore, plan: Plan,
-               fetch: (Long, Long) => DataFrame): Map[String, Long] = {
+               fetch: (Long, Long) => DataFrame,
+               writeSeq: Long): Map[String, Long] = {
     import org.apache.spark.sql.Row
     val bounds = plan.missing.agg(
       min(unix_timestamp(col("timestamp"))), max(unix_timestamp(col("timestamp"))))
@@ -68,7 +73,7 @@ object Backfill {
     val onlyMissing = aligned.join(broadcast(plan.missing), Seq("timestamp"), "left_semi")
     val feats = MarketFeatures.build(onlyMissing).cache()
     val written = feats.count() // also pins feats before the store files change
-    if (written > 0) store.upsert(feats, "market")
+    if (written > 0) store.upsert(feats, "market", writeSeq)
     feats.unpersist()
     Map("expected" -> plan.expected, "missing" -> missingCount, "written" -> written)
   }

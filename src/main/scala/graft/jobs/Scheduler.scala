@@ -58,7 +58,9 @@ object Scheduler {
                    nowEpochSec: Long = System.currentTimeMillis() / 1000): Map[String, Long] = {
     val plan = Backfill.planMissing(spark, store, symbol, timeframe,
       lookbackMinutes, nowEpochSec)
-    Backfill.fillOnce(spark, store, plan, fetch)
+    // the plan anchor is the write sequence: replaying the same
+    // planned fill reuses it, so the upsert is a no-op
+    Backfill.fillOnce(spark, store, plan, fetch, writeSeq = nowEpochSec)
   }
 
   /** One ingest run — `run_market_ingest_job` (`scheduler/main.py:231-244`,

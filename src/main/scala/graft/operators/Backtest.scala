@@ -234,8 +234,16 @@ object Backtest {
   def minVariancePortfolio(cov: DataFrame, covCol: String = "shrunk_cov",
                            maxKeys: Int = 256): DataFrame = {
     val spark = cov.sparkSession
+    // bound BEFORE collecting: a mis-sized pair frame must hit the loud
+    // guard, not OOM the driver inside the collect it was guarding
+    val cap = maxKeys * (maxKeys + 1) / 2
     val rows = cov.select(col("key_a").cast("string"),
-        col("key_b").cast("string"), col(covCol).cast("double")).collect()
+        col("key_b").cast("string"), col(covCol).cast("double"))
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"minVariancePortfolio: pair frame exceeds the $maxKeys-key " +
+        s"triangle ($cap rows) — this is a driver-side key-sized solve, " +
+        "shard the universe upstream")
     val keys = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
       .distinct.sorted
     val k = keys.length
@@ -289,9 +297,11 @@ object Backtest {
     * construction (long-only, unlike min-var's shorts).
     *
     * DRIVER-SIDE like [[minVariancePortfolio]] (key-sized, `maxKeys`
-    * guard); deterministic: keys sort lexicographically, tie-broken
-    * merges pick the smallest (minIdx_a, minIdx_b) pair, and the merged
-    * cluster concatenates lower-min-index first — a fixed seriation for
+    * guard); deterministic: keys sort lexicographically, a merge only
+    * replaces the incumbent when strictly better by 1e−15 (so distance
+    * ties keep the FIRST (x, y) pair in the clusters-vector scan order,
+    * merged clusters appending at the end), and the merged cluster
+    * concatenates lower-min-index first — a fixed seriation for
     * fixed input doubles. Sequential clustering is not SQL-expressible
     * → rows-only oracle; correctness is spec-pinned (diagonal Σ
     * reproduces inverse-variance allocation EXACTLY, correlated blocks
@@ -303,8 +313,14 @@ object Backtest {
   def hrpPortfolio(cov: DataFrame, covCol: String = "shrunk_cov",
                    maxKeys: Int = 256): DataFrame = {
     val spark = cov.sparkSession
+    // bound BEFORE collecting (see minVariancePortfolio)
+    val cap = maxKeys * (maxKeys + 1) / 2
     val rows = cov.select(col("key_a").cast("string"),
-        col("key_b").cast("string"), col(covCol).cast("double")).collect()
+        col("key_b").cast("string"), col(covCol).cast("double"))
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"hrpPortfolio: pair frame exceeds the $maxKeys-key triangle " +
+        s"($cap rows) — driver-side solve, shard the universe upstream")
     val keys = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
       .distinct.sorted
     val k = keys.length
@@ -369,6 +385,48 @@ object Backtest {
     }.toSeq.toDF("key", "weight").orderBy("key")
   }
 
+  /** Weighted-portfolio roll-up of a per-series [[ledger]] frame: join
+    * allocator weights (a key-sized frame — [[minVariancePortfolio]] /
+    * [[hrpPortfolio]] output, or any `(keys…, weight)`), quantize each
+    * series' contribution `round(weight·pnl·10⁹)` to an exact nano-unit
+    * BIGINT, and aggregate per time bucket into the portfolio PnL,
+    * equity curve, and drawdown — the composition stage between the
+    * allocators and the scorecard.
+    *
+    * Missing-series buckets contribute nothing that hour (the standard
+    * convention for unaligned panels); `n_assets` records how many
+    * series actually traded each bucket. Determinism: contributions
+    * quantize BEFORE the sum (order-free integers), equity/runmax/
+    * drawdown stay integer, 6 dp displays.
+    *
+    * Scale shape: one broadcast join (weights are key-sized by the
+    * allocator contract), one bucket-keyed agg, then ONE single-series
+    * ordered window over the bucket grid — the portfolio curve is one
+    * series by definition, so its length is bounded by the time span /
+    * bucket size, not by ticks; for unbounded spans fold it through
+    * [[graft.operators.DriftMonitor.cusumFold]]-style chunking like any
+    * other single-series chain. Returns
+    * `(tsCol, n_assets, pnl, equity, drawdown)`. */
+  def portfolioLedger(led: DataFrame, weights: DataFrame, keys: Seq[String],
+                      tsCol: String, weightCol: String = "weight"): DataFrame = {
+    require(keys.nonEmpty, "portfolioLedger needs the series key(s)")
+    val wG = Window.orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    led.join(broadcast(weights), keys)
+      .withColumn("_c_fp",
+        round(col(weightCol).cast("double") * col("pnl") * 1e9).cast("long"))
+      .groupBy(col(tsCol))
+      .agg(count(lit(1)).as("n_assets"), sum(col("_c_fp")).as("_p_fp"))
+      .withColumn("_eq_fp", sum(col("_p_fp")).over(wG))
+      .withColumn("_dd_fp",
+        greatest(max(col("_eq_fp")).over(wG), lit(0L)) - col("_eq_fp"))
+      .select(col(tsCol), col("n_assets"),
+        round(col("_p_fp").cast("double") / 1e9, 6).as("pnl"),
+        round(col("_eq_fp").cast("double") / 1e9, 6).as("equity"),
+        round(col("_dd_fp").cast("double") / 1e9, 6).as("drawdown"))
+      .orderBy(col(tsCol))
+  }
+
   /** Probabilistic Sharpe ratio z-score (Bailey & López de Prado 2014,
     * J. Risk 15(2)) per series — the evaluation capstone over
     * [[signalBacktest]]: the plain Sharpe overstates skill when returns
@@ -382,7 +440,9 @@ object Backtest {
     * `round(·10⁹)` BIGINTs (the realizedMoments pattern) and sum
     * exactly; central moments, γ₃/γ₄, and z derive in one fixed double
     * tree, 6 dp. Overflow contract: `n·pnl⁴·10⁹ < 2⁶³` per series
-    * (|pnl| ≤ 30 at 10⁶ ticks is safe). Null z when the pnl series is
+    * (|pnl| ≤ 9.8 at 10⁶ ticks is safe; a |pnl| ≤ 30 series needs
+    * n ≲ 10⁴ — log-return pnl in that range means something upstream
+    * is already broken). Null z when the pnl series is
     * constant or the denominator polynomial goes non-positive (γ₃/γ₄
     * outside the expansion's validity — report honestly, don't clamp).
     *

@@ -67,8 +67,18 @@ class FeatureStore(spark: SparkSession, basePath: String) {
 
   /** Batch upsert with last-write-wins per (key cols, timestamp) —
     * `batch_write` + SET-overwrite semantics (`redis_store.py:170-196`).
-    * Rewrites only affected dt partitions. */
-  def upsert(df: DataFrame, domain: String, writeSeq: Long = System.currentTimeMillis()): Unit = {
+    * Rewrites only affected dt partitions.
+    *
+    * `writeSeq` is REQUIRED and must be supplied deterministically by the
+    * caller (a batch id, a plan anchor epoch — never wall clock): it is
+    * the last-write-wins tiebreak, so a replayed batch MUST reuse its
+    * original writeSeq — the merge is then a content-level no-op —
+    * while a logically newer write of the same keys must carry a
+    * strictly larger one. A wall-clock default here made replays
+    * non-idempotent by default (round-8 verdict), violating the
+    * `_commits` idempotency doctrine every other stateful operator
+    * follows. */
+  def upsert(df: DataFrame, domain: String, writeSeq: Long): Unit = {
     val incoming = prepare(df, domain, writeSeq)
     val merged =
       if (!exists()) incoming

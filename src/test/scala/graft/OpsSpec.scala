@@ -4146,6 +4146,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("portfolioLedger: diagonal HRP == inverse-variance downstream; oversized pair frame trips the guard pre-collect") {
+    // diagonal 2-asset cov: HRP == inverse variance (A var 1, B var 3
+    // → 0.75/0.25) — so the rows-only HRP portfolio pipeline and the
+    // hash-checked inverse-variance twin provably coincide here
+    val cov = Seq(("A", "A", 1.0), ("A", "B", 0.0), ("B", "B", 3.0))
+      .toDF("key_a", "key_b", "shrunk_cov")
+    val wts = operators.Backtest.hrpPortfolio(cov)
+      .withColumnRenamed("key", "k")
+    assert(wts.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap ==
+      Map("A" -> 0.75, "B" -> 0.25))
+    val led = Seq(("A", 1L, 0.01), ("A", 2L, -0.02),
+      ("B", 1L, 0.005), ("B", 3L, 0.01)).toDF("k", "t", "pnl")
+    val port = operators.Backtest.portfolioLedger(led, wts, Seq("k"), "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    // t=1: both assets, 0.75·0.01 + 0.25·0.005; t=2: A only; t=3: B only
+    assert(port == Seq(
+      (1L, 2L, 0.00875, 0.00875, 0.0),
+      (2L, 1L, -0.015, -0.00625, 0.015),
+      (3L, 1L, 0.0025, -0.00375, 0.0125)), s"got $port")
+    // guard-before-collect: a pair frame beyond the maxKeys triangle
+    // raises the loud message from a BOUNDED probe (limit cap+1), never
+    // a full collect — maxKeys=2 caps the triangle at 3 rows
+    val big = Seq(("A", "A", 1.0), ("B", "B", 1.0), ("C", "C", 1.0),
+      ("A", "B", 0.0)).toDF("key_a", "key_b", "shrunk_cov")
+    val e1 = intercept[IllegalArgumentException] {
+      operators.Backtest.minVariancePortfolio(big, maxKeys = 2)
+    }
+    assert(e1.getMessage.contains("exceeds the 2-key triangle"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      operators.Backtest.hrpPortfolio(big, maxKeys = 2)
+    }
+    assert(e2.getMessage.contains("exceeds the 2-key triangle"), e2.getMessage)
+  }
+
   test("ewmBeta: exact linear recovery, sequential EWM reference agrees, warm-up nulls") {
     var seed = 31L
     def nxt(): Double = {

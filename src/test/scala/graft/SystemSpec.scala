@@ -64,6 +64,22 @@ class SystemSpec extends SparkSpec {
       limit = Int.MaxValue).count() == 30) // no duplicates after overwrite
   }
 
+  test("feature store upsert: replaying a batch with its original writeSeq is a no-op") {
+    val dir = tmp()
+    val store = new FeatureStore(spark, dir)
+    val feats = MarketFeatures.build(ohlcvRamp(20))
+    store.upsert(feats, "market", writeSeq = 7L)
+    def snapshot() = store
+      .rangeRead("market", "BTC-USDT", "1m", 0, 4102444800L, limit = Int.MaxValue)
+      .collect().map(_.toSeq.map(String.valueOf(_)).mkString("|")).sorted.toSeq
+    val before = snapshot()
+    // the replay: same rows, same deterministic sequence — the
+    // idempotency contract upsert's required writeSeq exists for
+    store.upsert(feats, "market", writeSeq = 7L)
+    assert(snapshot() == before, "replayed upsert must leave the store byte-identical")
+    assert(before.nonEmpty)
+  }
+
   test("feature store TTL sweep drops expired dt partitions (jobs/backfill.py:191-215)") {
     val dir = tmp()
     val store = new FeatureStore(spark, dir)
@@ -153,7 +169,8 @@ class SystemSpec extends SparkSpec {
     // minute 0's features were dropped by the factory's all-null mask too
     assert(missing.toSeq.contains(base + 10 * 60) && missing.length >= 5)
     val stats = Backfill.fillOnce(spark, store, plan, (lo, hi) =>
-      full.filter(unix_timestamp(col("timestamp")).between(lo, hi)))
+      full.filter(unix_timestamp(col("timestamp")).between(lo, hi)),
+      writeSeq = base + 29 * 60)
     assert(stats("written") >= 5)
     val refilled = Backfill.planMissing(spark, store, "BTC-USDT", "1m", 19, base + 29 * 60)
     assert(refilled.missing.count() == 0)
