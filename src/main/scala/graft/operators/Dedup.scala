@@ -272,6 +272,20 @@ object Dedup {
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           maxHamming: Int = 3, blocks: Int = 6,
                           maxBucketSize: Int = 1000,
+                          cache: Boolean = true): DataFrame =
+    hammingNearDupPairs(
+      simhash64(df, textCol, idCol).withColumnRenamed("simhash", "sh"),
+      maxHamming, blocks, maxBucketSize, cache)
+
+  /** The Manku combination-blocking core of [[simhashNearDupPairs]] over
+    * an ALREADY-FINGERPRINTED frame `(id, sh)` — shared by the text
+    * SimHash path and the media perceptual-hash path
+    * ([[Multimodal.perceptualMediaDedup]]), which differ only in how
+    * the 64-bit fingerprint is derived. Exact Hamming-ball join: bucket
+    * on every combination of `blocks − maxHamming` blocks, verify on
+    * the full fingerprint. */
+  def hammingNearDupPairs(fps: DataFrame, maxHamming: Int = 3,
+                          blocks: Int = 6, maxBucketSize: Int = 1000,
                           cache: Boolean = true): DataFrame = {
     require(blocks > maxHamming, "need more blocks than flippable bits")
     val widths = (0 until blocks).map(j => 64 / blocks + (if (j < 64 % blocks) 1 else 0))
@@ -283,11 +297,10 @@ object Dedup {
     val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
     val keys = combos.map(c =>
       c.foldLeft(lit(0L)) { (acc, j) => shiftleft(acc, widths(j)).bitwiseOR(block(j)) })
-    val base = simhash64(df, textCol, idCol).withColumnRenamed("simhash", "sh")
-    val bucketsAll = cached(base.select(col("id"), col("sh"),
+    val bucketsAll = cached(fps.select(col("id"), col("sh"),
       posexplode(array(keys: _*)).as(Seq("table", "bk"))), cache)
     val buckets = capHotBuckets(bucketsAll, Seq("table", "bk"), maxBucketSize,
-      "simhashNearDupPairs")
+      "hammingNearDupPairs")
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.table") === col("b.table") && col("a.bk") === col("b.bk") &&

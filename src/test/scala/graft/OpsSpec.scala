@@ -489,6 +489,68 @@ class OpsSpec extends SparkSpec {
     assert(!hits.exists(_._1 == 20000L), s"fresh payload must not hit: ${hits.toSeq}")
   }
 
+  test("perceptual media dedup: recompressed/rescaled duplicate caught by dHash, byte-exact ladder unchanged") {
+    import graft.operators.Multimodal
+    // raw-gray payload [w:u16BE][h:u16BE][pixels]; the pattern evaluates
+    // in a canonical 64×64 space so a different RESOLUTION of the same
+    // image is the genuine rescaled-duplicate case
+    def img(w: Int, h: Int, f: (Int, Int) => Int, bright: Int = 0,
+            noise: Boolean = false): Array[Byte] = {
+      val b = new Array[Byte](4 + w * h)
+      b(0) = (w >> 8).toByte; b(1) = w.toByte
+      b(2) = (h >> 8).toByte; b(3) = h.toByte
+      for (y <- 0 until h; x <- 0 until w) {
+        val v0 = f(x * 64 / w, y * 64 / h) + bright +
+          (if (noise) (x * 31 + y * 17) % 5 - 2 else 0)
+        b(4 + y * w + x) = math.max(0, math.min(255, v0)).toByte
+      }
+      b
+    }
+    // left-bright diagonal gradient + a disk (structured image)
+    def scene(cx: Int, cy: Int): Int = {
+      val d2 = (cx - 40) * (cx - 40) + (cy - 24) * (cy - 24)
+      (63 - cx) * 2 + cy / 2 + (if (d2 < 144) 80 else 0)
+    }
+    // vertical 8px stripes — a genuinely different image
+    def stripes(cx: Int, cy: Int): Int = (cx / 8 % 2) * 150 + 40
+    val orig = img(64, 64, scene)
+    // the "recompressed" duplicate: 48×48 re-render + uniform brightness
+    // shift + deterministic ±2 pixel noise — bytes completely different
+    val recomp = img(48, 48, scene, bright = 6, noise = true)
+    val other = img(64, 64, stripes)
+    val hOrig = Multimodal.dHash64(orig).longValue()
+    val hRe = Multimodal.dHash64(recomp).longValue()
+    val hOther = Multimodal.dHash64(other).longValue()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hOrig, hRe) <= 3,
+      s"recompressed duplicate must land in the Hamming ball: ${ham(hOrig, hRe)}")
+    assert(ham(hOrig, hOther) > 10,
+      s"distinct image must stay far: ${ham(hOrig, hOther)}")
+    // brightness invariance is exact (monotone shift preserves every
+    // neighbor comparison)
+    assert(Multimodal.dHash64(img(64, 64, scene, bright = 30)).longValue() == hOrig)
+    val media = Seq((1L, orig), (2L, recomp), (3L, other),
+      (4L, Array[Byte](0, 1)) /* unparseable → drops from pairing */)
+      .toDF("media_id", "content")
+    val pairs = Multimodal.perceptualMediaDedup(media, "content", "media_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"exactly the planted visual duplicate must pair: ${pairs.toSeq}")
+    // the codec-seam view agrees: squared L2 between PerceptualCodec
+    // feature vectors IS the Hamming distance
+    val f = Multimodal.withDecodedFeatures(media.where(col("media_id") < 3),
+        "content", Multimodal.PerceptualCodec)
+      .orderBy("media_id").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("features"))
+    val l2 = f(0).zip(f(1)).map { case (a, b) => (a - b) * (a - b) }.sum
+    assert(l2.toInt == ham(hOrig, hRe))
+    // the byte-exact ladder is UNCHANGED: none of these are byte twins
+    val ex = Multimodal.exactMediaDedup(media, "content", "media_id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(ex.values.forall(_ == false),
+      s"no byte-exact dups in the perceptual fixture: $ex")
+  }
+
   // ------------------------------------------------------------------
   // Temporal joins
   // ------------------------------------------------------------------
