@@ -911,6 +911,82 @@ class SystemSpec extends SparkSpec {
     assert(spark.read.parquet(s"$st/labels").count() > 0)
   }
 
+  test("streaming market features end-to-end: foreachBatch wiring, streamed = build bit-for-bit, replay no-op") {
+    // OpsSpec pins the pure fold; this proves the WIRING: a real
+    // writeStream.foreachBatch feeding marketFeaturesBatch with the
+    // streaming batch id, versioned carry with commit markers,
+    // checkpoint resume, and the standing featuresView bit-identical to
+    // a from-scratch MarketFeatures.build over the full OHLCV history
+    import graft.operators.MarketIncremental
+    import graft.features.MarketFeatures
+    val in = tmp()
+    val st = tmp() + "/mfeat"
+    val ckpt = tmp() + "/ckpt"
+    val cfg = MarketIncremental.FeatCfg(MarketFeatures.seriesKeys, "timestamp")
+    val sch = new org.apache.spark.sql.types.StructType()
+      .add("s", org.apache.spark.sql.types.StringType)
+      .add("t", org.apache.spark.sql.types.LongType)
+      .add("c", org.apache.spark.sql.types.DoubleType)
+    def close(s: String, t: Int): Double = {
+      val base = if (s == "S1") 100.0 + t * 0.3 else 300.0 - t * 0.2
+      math.rint((base + 15.0 * math.sin(t / 4.0)) * 100) / 100
+    }
+    def drop(name: String, ts: Range): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(in, name),
+        (for (s <- Seq("S1", "S2"); t <- ts) yield
+          s"""{"s": "$s", "t": $t, "c": ${close(s, t)}}""").mkString("\n"))
+    def ohlcv(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("s").as("symbol"), lit("x").as("exchange"),
+        lit("1m").as("timeframe"),
+        expr("timestamp_micros(t * 60000000)").as("timestamp"),
+        col("c").as("open"), (col("c") + 1.0).as("high"),
+        (col("c") - 1.0).as("low"), col("c").as("close"),
+        (lit(2.0) + col("t") % 5).as("volume"))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(sch).json(in)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          MarketIncremental.marketFeaturesBatch(spark, st, id,
+            ohlcv(b.toDF()), cfg).count(): Unit
+        }
+        .start()
+      q.awaitTermination(120000)
+    }
+    drop("b0.json", 1 to 40)
+    runOnce()
+    assert(MarketIncremental.committedVersions(spark, st) == Seq(0L))
+    // the SAME checkpoint resumes; only the new file folds as batch 1
+    drop("b1.json", 41 to 100)
+    runOnce()
+    assert(MarketIncremental.committedVersions(spark, st).last == 1L)
+    // empty trigger → no batch, no version
+    runOnce()
+    assert(MarketIncremental.committedVersions(spark, st).last == 1L)
+    // streamed view ≡ one-shot build, BIT-identical doubles
+    val all = ohlcv((for (s <- Seq("S1", "S2"); t <- 1 to 100) yield
+      (s, t.toLong, close(s, t))).toDF("s", "t", "c"))
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map {
+      case d: Double => java.lang.Double.doubleToLongBits(d).toString
+      case x => String.valueOf(x)
+    }.mkString("|")
+    val cols = Seq("symbol", "timestamp", "dt", "feature_version") ++
+      MarketFeatures.featureCols
+    val want = MarketFeatures.build(all)
+      .select(cols.map(col): _*).collect().map(key).sorted.toSeq
+    val got = MarketIncremental.featuresView(spark, st, cfg)
+      .select(cols.map(col): _*).collect().map(key).sorted.toSeq
+    assert(got == want, s"streamed features diverged from build " +
+      s"(sizes ${got.size}/${want.size})")
+    // explicit replay of a committed id: view returned, nothing refolds
+    MarketIncremental.marketFeaturesBatch(spark, st, 0L,
+      ohlcv(Seq(("S1", 1L, 50.0)).toDF("s", "t", "c")), cfg)
+    assert(MarketIncremental.featuresView(spark, st, cfg).count() == got.size)
+    // the carry is O(1)/series
+    val v = MarketIncremental.committedVersions(spark, st).last
+    assert(spark.read.parquet(s"$st/v=$v/carry").count() == 2)
+  }
+
   test("streaming book snapshots end-to-end: foreachBatch wiring, streamed = one-shot, replay no-op") {
     // OpsSpec drives bookSnapshotFold directly; this proves the WIRING:
     // a real writeStream.foreachBatch feeding bookSnapshotBatch with
