@@ -885,6 +885,53 @@ object Queries {
                         AND e.ts_us = h.ts_us AND e.event_id = h.event_id
       ORDER BY e.event_type, e.ts_us, e.price"""))
 
+  // Meta-labels over the same barrier machinery: the momentum side
+  // (sign of the last change) is the PRIMARY model; meta_label = 1 iff
+  // the triple-barrier first touch realized in the side's favor
+  // (side·label > 0) — the AFML ch. 3 precision filter. Tighter
+  // barriers (+50%/−30%) than q_triple_barrier so both meta classes
+  // actually occur; the side rides the entry row as a passthrough
+  // column, no extra join.
+  private val qMetaLabel = QDef(
+    "q_meta_label",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val base = t(s, dir, "events")
+        .withColumn("side",
+          coalesce(signum(col("value") - lag(col("value"), 1).over(w)), lit(0.0)))
+      Labeling.metaLabel(base, Seq("event_type"), "ts", "value", "event_id",
+          "side", horizonUs = 6L * 3600 * 1000000, upPct = 0.5, dnPct = 0.3)
+        .orderBy("event_type", "ts_us", "price")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us,
+                        CAST(value AS DOUBLE) AS price, event_id,
+                        COALESCE(CAST(sign(value - lag(value) OVER (
+                          PARTITION BY event_type ORDER BY ts, event_id))
+                          AS DOUBLE), 0.0) AS side
+                 FROM events),
+      h AS (SELECT x.event_type, x.ts_us, x.event_id,
+                   MIN(CASE WHEN f.price >= x.price * ${1.0 + 0.5} THEN f.ts_us END) AS t_up_us,
+                   MIN(CASE WHEN f.price <= x.price * ${1.0 - 0.3} THEN f.ts_us END) AS t_dn_us
+            FROM e x JOIN e f
+              ON f.event_type = x.event_type
+             AND f.ts_us > x.ts_us AND f.ts_us <= x.ts_us + 21600000000
+            GROUP BY 1, 2, 3),
+      l AS (SELECT e.event_type, e.ts_us, e.price, e.side,
+                   h.t_up_us, h.t_dn_us,
+                   CASE WHEN h.t_up_us IS NOT NULL
+                         AND (h.t_dn_us IS NULL OR h.t_up_us <= h.t_dn_us) THEN 1
+                        WHEN h.t_dn_us IS NOT NULL THEN -1
+                        ELSE 0 END AS label
+            FROM e LEFT JOIN h ON e.event_type = h.event_type
+                              AND e.ts_us = h.ts_us AND e.event_id = h.event_id)
+      SELECT event_type, ts_us, price, side, t_up_us, t_dn_us,
+             CAST(label AS BIGINT) AS label,
+             CAST(CASE WHEN side * label > 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS meta_label
+      FROM l ORDER BY event_type, ts_us, price"""))
+
   // PSI feature drift per event type: first-half of the stream as the
   // reference slice, second half as current; 10 reference-anchored
   // equi-width bins, add-half smoothing, exact integer µ-term sums.
@@ -1830,6 +1877,146 @@ object Queries {
                              / (CAST(mdd AS DOUBLE) / 1e9), 6) END AS calmar,
              round(CAST(tov AS DOUBLE) / 1e6, 6) AS turnover
       FROM g ORDER BY fold, event_type"""))
+
+  // Deflated Sharpe ratio (BLdP 2014) — the multiple-testing capstone
+  // over q_psr: four quarter-of-span trial slices per type estimate the
+  // luck benchmark SR₀ = √V[SR_trials]·((1−γ)Φ⁻¹(1−1/N)+γΦ⁻¹(1−1/Ne)),
+  // and the full-sample PSR z runs against SR₀ instead of zero. The
+  // Φ⁻¹/γ coefficient interpolates from the JVM (Backtest.invNorm,
+  // Acklam's approximation — erf⁻¹ is in neither engine's determinism
+  // kit); trial SRs are 6-dp values whose ·10⁶ integers carry the
+  // cross-trial variance exactly.
+  private val qDeflatedSharpe = QDef(
+    "q_deflated_sharpe",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val base = t(s, dir, "events")
+        .where(col("value").isNotNull && col("value") > 0)
+        .withColumn("sig", signum(col("value") - lag(col("value"), 1).over(w)))
+        .withColumn("tu", micros(col("ts")))
+      val bounds = base.agg(min("tu").as("lo"), max("tu").as("hi"))
+      val trialed = base.crossJoin(broadcast(bounds))
+        .withColumn("trial",
+          least(lit(3L), expr("(tu - lo) div ((hi - lo + 1) div 4)")))
+        .drop("lo", "hi")
+      operators.Backtest.deflatedSharpe(trialed, Seq("event_type"), "ts",
+        "value", "sig", "event_id", "trial", expectedTrials = 4,
+        costBps = 10.0)
+    },
+    Some(s"""
+      WITH b AS MATERIALIZED (
+        SELECT event_type AS k, ts, event_id, CAST(value AS DOUBLE) AS p,
+               epoch_us(ts) AS tu
+        FROM events WHERE value IS NOT NULL AND value > 0),
+      s AS MATERIALIZED (
+        SELECT k, ts, event_id, tu, p,
+               COALESCE(CAST(sign(p - lag(p) OVER w) AS DOUBLE), 0.0) AS sig
+        FROM b WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
+      bounds AS (SELECT MIN(tu) AS lo, MAX(tu) AS hi FROM b),
+      tr AS MATERIALIZED (
+        SELECT s.*, LEAST(3, (tu - lo) // ((hi - lo + 1) // 4)) AS trial
+        FROM s CROSS JOIN bounds),
+      a1 AS (SELECT k, trial, ts, event_id,
+                    COALESCE(lag(sig, 1) OVER w, 0.0) AS pos,
+                    COALESCE(lag(sig, 2) OVER w, 0.0) AS prevpos,
+                    ln(p / lag(p) OVER w) AS r
+             FROM tr WINDOW w AS (PARTITION BY k, trial ORDER BY ts, event_id)),
+      t1 AS (SELECT k, trial, pos, r,
+                    CAST(round(abs(pos - prevpos) * 1e6) AS BIGINT) AS dpos_fp
+             FROM a1 WHERE r IS NOT NULL),
+      t2 AS (SELECT k, trial,
+                    pos * r - ${10.0 / 1e4} * (CAST(dpos_fp AS DOUBLE) / 1e6) AS pnl
+             FROM t1),
+      t3 AS (SELECT k, trial, CAST(round(pnl * 1e9) AS BIGINT) AS f1,
+                    CAST(round(pnl * pnl * 1e9) AS BIGINT) AS f2
+             FROM t2),
+      tg AS (SELECT k, trial, COUNT(*) AS tn,
+                    CAST(SUM(f1) AS BIGINT) AS t1s,
+                    CAST(SUM(f2) AS BIGINT) AS t2s
+             FROM t3 GROUP BY 1, 2),
+      srt AS (SELECT k, trial,
+                     CASE WHEN (CAST(t2s AS DOUBLE) / 1e9 / CAST(tn AS DOUBLE)
+                                - (CAST(t1s AS DOUBLE) / 1e9 / CAST(tn AS DOUBLE))
+                                  * (CAST(t1s AS DOUBLE) / 1e9 / CAST(tn AS DOUBLE))) > 0
+                          THEN round((CAST(t1s AS DOUBLE) / 1e9 / CAST(tn AS DOUBLE))
+                                     / sqrt(CAST(t2s AS DOUBLE) / 1e9 / CAST(tn AS DOUBLE)
+                                            - (CAST(t1s AS DOUBLE) / 1e9 / CAST(tn AS DOUBLE))
+                                              * (CAST(t1s AS DOUBLE) / 1e9 / CAST(tn AS DOUBLE))), 6)
+                     END AS sr_t
+              FROM tg),
+      dq AS (SELECT k, CAST(round(sr_t * 1e6) AS BIGINT) AS srq FROM srt),
+      sg AS (SELECT k, COUNT(*) AS n_trials, COUNT(srq) AS nv,
+                    CAST(SUM(srq) AS BIGINT) AS sq1,
+                    CAST(SUM(srq * srq) AS BIGINT) AS sq
+             FROM dq GROUP BY 1),
+      s0 AS (SELECT k, n_trials,
+                    CASE WHEN nv = n_trials THEN round(
+                      (CAST(sq AS DOUBLE) / CAST(n_trials AS DOUBLE)
+                       - (CAST(sq1 AS DOUBLE) / CAST(n_trials AS DOUBLE))
+                         * (CAST(sq1 AS DOUBLE) / CAST(n_trials AS DOUBLE))) / 1e12, 6)
+                    END AS var_sr_trials,
+                    CASE WHEN nv = n_trials AND
+                      (CAST(sq AS DOUBLE) / CAST(n_trials AS DOUBLE)
+                       - (CAST(sq1 AS DOUBLE) / CAST(n_trials AS DOUBLE))
+                         * (CAST(sq1 AS DOUBLE) / CAST(n_trials AS DOUBLE))) / 1e12 >= 0
+                    THEN round(sqrt(
+                      (CAST(sq AS DOUBLE) / CAST(n_trials AS DOUBLE)
+                       - (CAST(sq1 AS DOUBLE) / CAST(n_trials AS DOUBLE))
+                         * (CAST(sq1 AS DOUBLE) / CAST(n_trials AS DOUBLE))) / 1e12)
+                      * ${operators.Backtest.dsrExpectedMaxCoeff(4)}, 6)
+                    END AS sr0
+             FROM sg),
+      a2 AS (SELECT k, ts, event_id,
+                    COALESCE(lag(sig, 1) OVER w, 0.0) AS pos,
+                    COALESCE(lag(sig, 2) OVER w, 0.0) AS prevpos,
+                    ln(p / lag(p) OVER w) AS r
+             FROM s WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
+      u1 AS (SELECT k, pos, r,
+                    CAST(round(abs(pos - prevpos) * 1e6) AS BIGINT) AS dpos_fp
+             FROM a2 WHERE r IS NOT NULL),
+      u2 AS (SELECT k,
+                    pos * r - ${10.0 / 1e4} * (CAST(dpos_fp AS DOUBLE) / 1e6) AS pnl
+             FROM u1),
+      u3 AS (SELECT k,
+                    CAST(round(pnl * 1e9) AS BIGINT) AS f1,
+                    CAST(round(pnl * pnl * 1e9) AS BIGINT) AS f2,
+                    CAST(round(pnl * pnl * pnl * 1e9) AS BIGINT) AS f3,
+                    CAST(round(pnl * pnl * pnl * pnl * 1e9) AS BIGINT) AS f4
+             FROM u2),
+      g AS (SELECT k, COUNT(*) AS n_rets,
+                   CAST(SUM(f1) AS BIGINT) AS s1, CAST(SUM(f2) AS BIGINT) AS s2,
+                   CAST(SUM(f3) AS BIGINT) AS s3, CAST(SUM(f4) AS BIGINT) AS s4
+            FROM u3 GROUP BY 1),
+      m AS (SELECT k, n_rets, CAST(n_rets AS DOUBLE) AS n,
+                   CAST(s1 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE) AS m1,
+                   CAST(s2 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE) AS m2,
+                   CAST(s3 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE) AS m3,
+                   CAST(s4 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE) AS m4
+            FROM g),
+      d AS (SELECT k, n_rets, n, m1,
+                   m2 - m1 * m1 AS v,
+                   m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1 AS mu3,
+                   m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2
+                     - 3.0 * m1 * m1 * m1 * m1 AS mu4
+            FROM m),
+      e AS (SELECT k, n_rets, n, v, mu3, mu4,
+                   m1 / sqrt(v) AS sr,
+                   mu3 / (v * sqrt(v)) AS g3,
+                   mu4 / (v * v) AS g4
+            FROM d),
+      f AS (SELECT k, n_rets, n, v, sr, g3, g4,
+                   1.0 - g3 * sr + (g4 - 1.0) / 4.0 * sr * sr AS denom
+            FROM e)
+      SELECT f.k AS event_type, f.n_rets, s0.n_trials,
+             CASE WHEN v > 0 THEN round(sr, 6) END AS sr,
+             s0.var_sr_trials, s0.sr0,
+             CASE WHEN v > 0 AND denom > 0 AND n_rets > 1
+                   AND s0.sr0 IS NOT NULL THEN
+               round((sr - s0.sr0) * sqrt(n - 1.0) / sqrt(denom), 6)
+             END AS dsr_z
+      FROM f JOIN s0 ON f.k = s0.k
+      ORDER BY event_type"""))
 
   // Historical VaR + CVaR of the per-type tick log returns at α = 0.05:
   // exact interpolated quantile (Spark percentile ≡ DuckDB
@@ -6107,7 +6294,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal, qMediaDedup,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences, qTokenEntropy,
     qSegmentDedup, qSubstringDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
-    qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qAcf, qPacf, qRangeVol, qDrawdownStats, qPurgedSplit, qVolumeBars, qDollarBars, qImbalanceBars, qTripleBarrier, qPsiDrift, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
+    qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qAcf, qPacf, qRangeVol, qDrawdownStats, qPurgedSplit, qVolumeBars, qDollarBars, qImbalanceBars, qTripleBarrier, qMetaLabel, qPsiDrift, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qTokenBudget, qStratifiedSample, qBpeTokens,
@@ -6116,7 +6303,7 @@ object Queries {
     qRollSpread, qAmihud, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments,
-    qBacktest, qWalkForward, qPortfolioE2e, qPortfolioIvp,
+    qBacktest, qWalkForward, qPortfolioE2e, qPortfolioIvp, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qPsr
   )

@@ -490,6 +490,163 @@ object Backtest {
       .orderBy(keys.map(col): _*)
   }
 
+  /** Euler–Mascheroni γ — the expected-maximum weight in [[deflatedSharpe]]'s
+    * SR₀, public so the oracle interpolates the same double. */
+  val EulerGamma: Double = 0.5772156649015329
+
+  /** Inverse standard-normal CDF, Acklam's rational approximation
+    * (peter.acklam 2003, |rel err| < 1.15e−9) — deterministic pure
+    * double arithmetic, public so [[deflatedSharpe]]'s z-quantiles
+    * interpolate into the oracle as plain literals (the
+    * KupiecChi2Crit / GkDriftConst pattern; erf⁻¹ is not in either
+    * engine's determinism kit). */
+  def invNorm(p: Double): Double = {
+    require(p > 0.0 && p < 1.0, s"invNorm needs 0 < p < 1, got $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2.0 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+    } else if (p <= 1.0 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1.0)
+    } else {
+      val q = math.sqrt(-2.0 * math.log(1.0 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+    }
+  }
+
+  /** Deflated Sharpe ratio (Bailey & López de Prado 2014, "The Deflated
+    * Sharpe Ratio: Correcting for Selection Bias, Backtest Overfitting,
+    * and Non-Normality") — the multiple-testing capstone over
+    * [[probabilisticSharpe]]: having effectively run `expectedTrials`
+    * backtest variants per series (here: the trial slices in
+    * `trialCol`), the best of them is expected to show
+    * `SR₀ = √V[SR_trials] · ((1−γ)·Φ⁻¹(1−1/N) + γ·Φ⁻¹(1−1/(N·e)))`
+    * Sharpe by pure luck; the DSR is the PSR z of the FULL-sample
+    * strategy against that luck benchmark instead of zero. A strategy
+    * whose full-sample SR cannot beat the expected maximum of its own
+    * trial noise has no demonstrated skill.
+    *
+    * `expectedTrials` is the DESIGN trial count (a config, not data —
+    * the Φ⁻¹ quantiles are compile-time constants for the query, the
+    * oracle-interpolation contract): every key must show exactly that
+    * many trials or the job fails loudly rather than silently deflating
+    * by the wrong N.
+    *
+    * Determinism: per-trial SRs derive from exact nano-quantized moment
+    * sums and round to 6 dp; their cross-trial variance runs on the
+    * EXACT ·10⁶ integers those 6-dp values are; SR₀ and the final z are
+    * fixed double trees with γ / Φ⁻¹ interpolated from the JVM
+    * ([[EulerGamma]], [[invNorm]]). Full-sample moments are the
+    * [[probabilisticSharpe]] machinery unchanged.
+    *
+    * Scale shape: one (keys, trial) keyed sort + agg → a trial-sized
+    * frame → one key-sized agg, then one (keys) keyed sort + agg for
+    * the full sample and a broadcast join of the key-sized SR₀ frame.
+    * Returns `(keys…, n_rets, n_trials, sr, var_sr_trials, sr0,
+    * dsr_z)`. */
+  /** `(1−γ)·Φ⁻¹(1−1/N) + γ·Φ⁻¹(1−1/(N·e))` — the expected-maximum
+    * coefficient of [[deflatedSharpe]]'s SR₀, public so the oracle
+    * interpolates the IDENTICAL compound double. */
+  def dsrExpectedMaxCoeff(n: Int): Double =
+    (1.0 - EulerGamma) * invNorm(1.0 - 1.0 / n) +
+      EulerGamma * invNorm(1.0 - 1.0 / (n * math.E))
+
+  def deflatedSharpe(df: DataFrame, keys: Seq[String], tsCol: String,
+                     priceCol: String, signalCol: String,
+                     tiebreakCol: String, trialCol: String,
+                     expectedTrials: Int, costBps: Double = 0.0): DataFrame = {
+    require(expectedTrials >= 2, s"need >= 2 trials, got $expectedTrials")
+    // per-trial per-period Sharpe from exact moment sums
+    val at = annotated(df, keys :+ trialCol, tsCol, priceCol, signalCol,
+      tiebreakCol, costBps)
+    val tn = col("_tn").cast("double")
+    val tm = col("_t1").cast("double") / 1e9 / tn
+    val tv = col("_t2").cast("double") / 1e9 / tn - tm * tm
+    val trials = at.groupBy((keys :+ trialCol).map(col): _*)
+      .agg(count(lit(1)).as("_tn"), sum(col("_pnl_fp")).as("_t1"),
+        sum(col("_sq_fp")).as("_t2"))
+      .select(keys.map(col) :+
+        when(tv > 0.0, round(tm / sqrt(tv), 6)).as("_sr_t"): _*)
+    // cross-trial variance on the exact ·10⁶ integers of the 6-dp SRs;
+    // a constant-pnl trial (null SR) still counts toward the trial
+    // count — it must equal expectedTrials — but a null SR means the
+    // variance (and so SR₀) is undefined → null dsr_z, not a guess
+    val q = col("_srq").cast("double")
+    val nT = col("n_trials").cast("double")
+    val varSr = (col("_sq").cast("double") / nT - (col("_sq1").cast("double") / nT)
+      * (col("_sq1").cast("double") / nT)) / 1e12
+    val sr0Frame = trials
+      .withColumn("_srq", round(col("_sr_t") * 1e6).cast("long"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_trials"), count(col("_srq")).as("_nv"),
+        sum(col("_srq")).as("_sq1"), sum(col("_srq") * col("_srq")).as("_sq"))
+      .select(keys.zipWithIndex.map { case (k, i) =>
+        // the guard rides the FIRST join key — evaluated under any
+        // downstream consumption incl. count() (a plain guarded output
+        // column would be pruned there and never fire)
+        if (i > 0) col(k)
+        else when(col("n_trials") =!= expectedTrials,
+          raise_error(concat(lit("deflatedSharpe: a key shows "),
+            col("n_trials").cast("string"),
+            lit(s" trials, expectedTrials=$expectedTrials — the deflation " +
+              "quantiles are sized for N, fix the trial assignment"))))
+          .otherwise(col(k)).as(k)
+      } ++ Seq(col("n_trials"),
+        when(col("_nv") === col("n_trials") && varSr >= 0.0,
+          round(sqrt(varSr) * lit(dsrExpectedMaxCoeff(expectedTrials)), 6))
+          .as("sr0"),
+        when(col("_nv") === col("n_trials"),
+          round(varSr, 6)).as("var_sr_trials")): _*)
+    // full-sample PSR machinery against the per-key SR₀ benchmark
+    val af = annotated(df, keys, tsCol, priceCol, signalCol, tiebreakCol,
+      costBps)
+      .withColumn("_q3",
+        round(col("_pnl") * col("_pnl") * col("_pnl") * 1e9).cast("long"))
+      .withColumn("_q4",
+        round(col("_pnl") * col("_pnl") * col("_pnl") * col("_pnl") * 1e9)
+          .cast("long"))
+    val n = col("n_rets").cast("double")
+    val m1 = col("_s1").cast("double") / 1e9 / n
+    val m2 = col("_s2").cast("double") / 1e9 / n
+    val m3 = col("_s3").cast("double") / 1e9 / n
+    val m4 = col("_s4").cast("double") / 1e9 / n
+    val v = m2 - m1 * m1
+    val mu3 = m3 - lit(3.0) * m1 * m2 + lit(2.0) * m1 * m1 * m1
+    val mu4 = (m4 - lit(4.0) * m1 * m3 + lit(6.0) * m1 * m1 * m2
+      - lit(3.0) * m1 * m1 * m1 * m1)
+    val sd = sqrt(v)
+    val sr = m1 / sd
+    val g3 = mu3 / (v * sd)
+    val g4 = mu4 / (v * v)
+    val denom = lit(1.0) - g3 * sr + (g4 - lit(1.0)) / lit(4.0) * sr * sr
+    val z = (sr - col("sr0")) * sqrt(n - lit(1.0)) / sqrt(denom)
+    af.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rets"),
+        sum(col("_pnl_fp")).as("_s1"), sum(col("_sq_fp")).as("_s2"),
+        sum(col("_q3")).as("_s3"), sum(col("_q4")).as("_s4"))
+      .join(broadcast(sr0Frame), keys)
+      .select(keys.map(col) ++ Seq(col("n_rets"), col("n_trials"),
+        when(v > 0.0, round(sr, 6)).as("sr"),
+        col("var_sr_trials"), col("sr0"),
+        when(v > 0.0 && denom > 0.0 && col("n_rets") > 1L &&
+          col("sr0").isNotNull, round(z, 6)).as("dsr_z")): _*)
+      .orderBy(keys.map(col): _*)
+  }
+
   /** Shared annotation pass — every window rides one (keys, ts,
     * tiebreak) sort. */
   private def annotated(df: DataFrame, keys: Seq[String], tsCol: String,

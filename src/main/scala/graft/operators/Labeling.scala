@@ -46,7 +46,8 @@ object Labeling {
     * hit inside the horizon. */
   def tripleBarrier(df: DataFrame, keys: Seq[String], tsCol: String,
                     priceCol: String, idCol: String, horizonUs: Long,
-                    upPct: Double, dnPct: Double): DataFrame = {
+                    upPct: Double, dnPct: Double,
+                    passthrough: Seq[String] = Nil): DataFrame = {
     require(keys.nonEmpty,
       "tripleBarrier needs the series key(s) — for a genuinely single-" +
         "series frame add a literal key column (an empty key set would " +
@@ -57,13 +58,15 @@ object Labeling {
     val base = df.select(
       (keys.map(col) :+ unix_micros(col(tsCol).cast("timestamp")).as("ts_us")
         :+ col(priceCol).cast("double").as("price")
-        :+ col(idCol).as("_id")): _*)
+        :+ col(idCol).as("_id")) ++
+        passthrough.map(c => col(c).as(s"_pt_$c")): _*)
     // exact BIGINT floor division (ts may be pre-epoch negative)
     val ticks = base.withColumn("_bkt",
       expr(s"(ts_us - pmod(ts_us, ${horizonUs}L)) div ${horizonUs}L"))
     val entries = base.select(
       (keys.map(k => col(k).as(s"_e_$k")) :+ col("ts_us").as("_e_ts")
-        :+ col("price").as("_e_p") :+ col("_id").as("_e_id")): _*)
+        :+ col("price").as("_e_p") :+ col("_id").as("_e_id")) ++
+        passthrough.map(c => col(s"_pt_$c").as(s"_e_$c")): _*)
     // each entry probes its own bucket and the next: a tick in
     // (e_ts, e_ts+H] has ⌊ts/H⌋ ∈ {⌊e_ts/H⌋, ⌊e_ts/H⌋+1}
     val probes = entries
@@ -87,10 +90,36 @@ object Labeling {
       keys.map(k => s"_e_$k") :+ "_e_ts" :+ "_e_id", "left")
     joined.select(
       (keys.map(k => col(s"_e_$k").as(k)) :+ col("_e_ts").as("ts_us")
-        :+ col("_e_p").as("price") :+ col("t_up_us") :+ col("t_dn_us")
-        :+ when(col("t_up_us").isNotNull &&
-            (col("t_dn_us").isNull || col("t_up_us") <= col("t_dn_us")), lit(1L))
-          .when(col("t_dn_us").isNotNull, lit(-1L))
-          .otherwise(lit(0L)).as("label")): _*)
+        :+ col("_e_p").as("price")) ++
+        passthrough.map(c => col(s"_e_$c").as(c)) ++
+        Seq(col("t_up_us"), col("t_dn_us"),
+          when(col("t_up_us").isNotNull &&
+              (col("t_dn_us").isNull || col("t_up_us") <= col("t_dn_us")), lit(1L))
+            .when(col("t_dn_us").isNotNull, lit(-1L))
+            .otherwise(lit(0L)).as("label")): _*)
   }
+
+  /** Meta-labels (AFML ch. 3 §3.6): given a PRIMARY model's side
+    * (−1/0/+1 in `sideCol`), the meta-label answers "was that side
+    * right?" — 1 when the triple-barrier first touch realized in the
+    * side's favor (`side·label > 0`), else 0 (including side 0 — no
+    * bet can't be right — and the time-barrier 0 label — the
+    * documented conservative convention: an unrealized trade earns no
+    * credit). The meta-model then learns WHEN to trade, sizing the
+    * primary signal — the standard precision filter over a
+    * high-recall primary.
+    *
+    * Same determinism and horizon-bucketed band-join shape as
+    * [[tripleBarrier]] (the side rides the entry row as a passthrough
+    * column — no extra join). Returns one row per entry:
+    * `(keys…, ts_us, price, side, t_up_us, t_dn_us, label,
+    * meta_label)`. */
+  def metaLabel(df: DataFrame, keys: Seq[String], tsCol: String,
+                priceCol: String, idCol: String, sideCol: String,
+                horizonUs: Long, upPct: Double, dnPct: Double): DataFrame =
+    tripleBarrier(df, keys, tsCol, priceCol, idCol, horizonUs, upPct, dnPct,
+        passthrough = Seq(sideCol))
+      .withColumn("meta_label",
+        (coalesce(col(sideCol).cast("double"), lit(0.0)) *
+          col("label").cast("double") > 0.0).cast("long"))
 }

@@ -4243,6 +4243,88 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("exceeds the 2-key triangle"), e2.getMessage)
   }
 
+  test("metaLabel: side-favorable touch = 1, adverse/timeout/no-bet = 0; passthrough leaves tripleBarrier intact") {
+    import graft.operators.Labeling
+    val rows = Seq( // (t µs, price, primary side)
+      (0L, 100.0, 1.0),   // up touch (160 ≥ 150) with side +1  → meta 1
+      (10L, 160.0, -1.0), // dn touch (100 ≤ 112) with side −1  → meta 1
+      (20L, 100.0, -1.0), // up touch with side −1 (wrong way)  → meta 0
+      (30L, 160.0, 0.0),  // dn touch but no bet                → meta 0
+      (40L, 100.0, 1.0))  // no forward ticks → time barrier 0  → meta 0
+      .toDF("t", "p", "side")
+      .withColumn("k", lit("K"))
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val out = Labeling.metaLabel(rows, Seq("k"), "ts", "p", "t", "side",
+        horizonUs = 100L, upPct = 0.5, dnPct = 0.3)
+      .collect().map(r => r.getAs[Long]("ts_us") ->
+        ((r.getAs[Long]("label"), r.getAs[Long]("meta_label")))).toMap
+    assert(out == Map(0L -> ((1L, 1L)), 10L -> ((-1L, 1L)),
+      20L -> ((1L, 0L)), 30L -> ((-1L, 0L)), 40L -> ((0L, 0L))), s"got $out")
+    // passthrough default leaves the original operator column-identical
+    val plain = Labeling.tripleBarrier(rows, Seq("k"), "ts", "p", "t",
+      100L, 0.5, 0.3)
+    assert(plain.columns.toSeq ==
+      Seq("k", "ts_us", "price", "t_up_us", "t_dn_us", "label"))
+  }
+
+  test("deflatedSharpe: zero trial variance == undeflated PSR, dispersion deflates, invNorm closed forms, trial-count guard") {
+    import graft.operators.Backtest
+    // invNorm: exact median, standard two-sided 5% quantile, symmetry
+    assert(Backtest.invNorm(0.5) == 0.0)
+    assert(math.abs(Backtest.invNorm(0.975) - 1.959963984540054) < 1e-8)
+    assert(math.abs(Backtest.invNorm(0.25) + Backtest.invNorm(0.75)) < 1e-9)
+    val coeff = Backtest.dsrExpectedMaxCoeff(4)
+    assert(coeff > 1.0 && coeff < 1.2, s"N=4 expected-max coeff: $coeff")
+    def prices(trial: Int, wobble: Double): Seq[Double] =
+      (0 until 50).map(i =>
+        math.rint((100.0 + i * 0.2 + wobble * math.sin(i / 2.0)) * 100) / 100)
+    def frame(wobbles: Seq[Double]) =
+      (for ((w, tr) <- wobbles.zipWithIndex; (p, i) <- prices(tr, w).zipWithIndex)
+        yield ("K", tr.toLong, (tr * 100 + i).toLong, p))
+        .toDF("k", "trial", "t", "p")
+        .withColumn("ts", expr("timestamp_micros(t)"))
+        .withColumn("sig", expr( // per-trial lag: identical trials must
+          // produce byte-identical signal sequences (a cross-boundary
+          // lag would make trial 0's first row differ from the others')
+          "sign(p - lag(p) over (partition by k, trial order by ts, t))"))
+    // A: four IDENTICAL trials → V[SR_trials] = 0 → SR0 = 0 → the DSR z
+    // must equal the undeflated PSR z EXACTLY (same machinery, zero
+    // benchmark)
+    val same = frame(Seq(5.0, 5.0, 5.0, 5.0))
+    val a = Backtest.deflatedSharpe(same, Seq("k"), "ts", "p", "sig", "t",
+      "trial", expectedTrials = 4).head()
+    assert(a.getAs[Double]("var_sr_trials") == 0.0 && a.getAs[Double]("sr0") == 0.0)
+    val psr = Backtest.probabilisticSharpe(same, Seq("k"), "ts", "p", "sig", "t")
+      .head().getAs[Double]("psr_z")
+    assert(a.getAs[Double]("dsr_z") == psr,
+      s"zero-dispersion DSR must equal PSR: ${a.getAs[Double]("dsr_z")} vs $psr")
+    // B: trials with different wobble → SR dispersion → a positive luck
+    // benchmark that strictly deflates the z
+    val mixed = frame(Seq(2.0, 5.0, 9.0, 14.0))
+    val b = Backtest.deflatedSharpe(mixed, Seq("k"), "ts", "p", "sig", "t",
+      "trial", expectedTrials = 4).head()
+    assert(b.getAs[Double]("var_sr_trials") > 0.0 && b.getAs[Double]("sr0") > 0.0)
+    val psrB = Backtest.probabilisticSharpe(mixed, Seq("k"), "ts", "p", "sig", "t")
+      .head().getAs[Double]("psr_z")
+    assert(b.getAs[Double]("dsr_z") < psrB,
+      s"dispersion must deflate: ${b.getAs[Double]("dsr_z")} vs $psrB")
+    // sr0 replays the closed form from the four 6-dp trial SRs
+    val srts = Backtest.signalBacktest(mixed, Seq("k", "trial"), "ts", "p",
+        "sig", "t")
+      .collect().map(_.getAs[Double]("sharpe"))
+    val qs = srts.map(s => math.round(s * 1e6))
+    val varQ = (qs.map(q => q.toDouble * q).sum / 4.0 -
+      (qs.sum.toDouble / 4.0) * (qs.sum.toDouble / 4.0)) / 1e12
+    assert(b.getAs[Double]("sr0") ==
+      math.rint(math.sqrt(varQ) * coeff * 1e6) / 1e6)
+    // a key with the wrong trial count fails loudly
+    val e = intercept[Exception] {
+      Backtest.deflatedSharpe(mixed, Seq("k"), "ts", "p", "sig", "t",
+        "trial", expectedTrials = 3).count()
+    }
+    assert(e.getMessage.contains("expectedTrials=3"), e.getMessage)
+  }
+
   test("ewmBeta: exact linear recovery, sequential EWM reference agrees, warm-up nulls") {
     var seed = 31L
     def nxt(): Double = {
