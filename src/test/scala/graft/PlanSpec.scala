@@ -235,6 +235,28 @@ class PlanSpec extends SparkSpec {
       s"interpreted HOF found in the signature plan:\n${plan.take(1500)}")
   }
 
+  test("portfolio/evaluation compositions broadcast their key-sized frames") {
+    // portfolioLedger: allocator weights are key-sized by contract —
+    // the ledger join must broadcast them, never shuffle the ledger
+    val led = (0 until 1000).map(i =>
+      ("K" + i % 5, i.toLong, 0.001 * (i % 7 - 3))).toDF("k", "t", "pnl")
+    val wts = (0 until 5).map(i => ("K" + i, 0.2)).toDF("k", "weight")
+    val pl = planOf(graft.operators.Backtest.portfolioLedger(led, wts, Seq("k"), "t"))
+    assert(pl.contains("BroadcastExchange") || pl.contains("BroadcastHashJoin"),
+      s"weights not broadcast:\n${pl.take(1500)}")
+    // deflatedSharpe: the per-key SR0 benchmark frame joins broadcast
+    // against the full-sample scorecard
+    val df = (0 until 400).map { i =>
+      val p = 100.0 + (i % 97) * 0.1
+      ("K" + i % 2, (i % 4).toLong, i.toLong, p, if (i % 3 == 0) 1.0 else -1.0)
+    }.toDF("k", "trial", "t", "p", "sig")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val pd = planOf(graft.operators.Backtest.deflatedSharpe(df, Seq("k"),
+      "ts", "p", "sig", "t", "trial", expectedTrials = 4))
+    assert(pd.contains("BroadcastExchange") || pd.contains("BroadcastHashJoin"),
+      s"SR0 frame not broadcast:\n${pd.take(1500)}")
+  }
+
   test("stratifiedSample is a pure scan+filter — zero shuffles, no window") {
     val df = (0 until 100).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
