@@ -659,6 +659,52 @@ object Queries {
                   ELSE 'train' END AS role
       FROM e CROSS JOIN f ORDER BY event_id, fold"""))
 
+  // Combinatorial purged CV (AFML ch. 12): every pair of the 4 time
+  // groups serves as a test set — 6 splits, purge/embargo applied
+  // around EACH test group, each group's 3 test occurrences indexed
+  // into backtest paths. The split/path enumeration interpolates from
+  // Relational.cpcvCombos so the oracle replays the identical
+  // combination order.
+  private val qCpcvSplit = QDef(
+    "q_cpcv_split",
+    (s, dir) => Relational.cpcvSplit(t(s, dir, "events"),
+        "event_id", "ts", k = 4, pTest = 2,
+        horizonUs = 12L * 3600 * 1000000, embargoUs = 6L * 3600 * 1000000)
+      .orderBy("event_id", "split_id"),
+    Some {
+      val combos = Relational.cpcvCombos(4, 2)
+        .map { case (s0, g, p) => s"($s0, $g, $p)" }.mkString(", ")
+      s"""
+      WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+      b AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi,
+                   (max(ts_us) - min(ts_us) + 1) // 4 AS step
+            FROM e),
+      sg AS (SELECT c.split_id, c.g, c.path,
+                    b.lo + c.g * b.step AS g_lo,
+                    CASE WHEN c.g = 3 THEN b.hi + 1
+                         ELSE b.lo + (c.g + 1) * b.step END AS g_hi
+             FROM (VALUES $combos) c(split_id, g, path) CROSS JOIN b),
+      r AS (SELECT e.event_id, e.ts_us,
+                   LEAST(3, (e.ts_us - b.lo) // b.step) AS fold
+            FROM e CROSS JOIN b),
+      j AS (SELECT r.event_id, r.ts_us, r.fold, sg.split_id,
+                   MAX(CASE WHEN r.fold = sg.g THEN sg.path END) AS pth,
+                   MAX(CASE WHEN r.fold = sg.g THEN 1 ELSE 0 END) AS t,
+                   MAX(CASE WHEN r.ts_us < sg.g_lo
+                             AND r.ts_us + 43200000000 >= sg.g_lo
+                            THEN 1 ELSE 0 END) AS p,
+                   MAX(CASE WHEN r.ts_us >= sg.g_hi
+                             AND r.ts_us < sg.g_hi + 21600000000
+                            THEN 1 ELSE 0 END) AS em
+            FROM r CROSS JOIN sg GROUP BY 1, 2, 3, 4)
+      SELECT event_id, ts_us, CAST(split_id AS BIGINT) AS split_id,
+             CAST(fold AS BIGINT) AS fold,
+             CASE WHEN t = 1 THEN 'test' WHEN p = 1 THEN 'purged'
+                  WHEN em = 1 THEN 'embargo' ELSE 'train' END AS role,
+             CAST(CASE WHEN t = 1 THEN pth END AS BIGINT) AS path
+      FROM j ORDER BY event_id, split_id"""
+    })
+
   // Volume bars: a new bar per 5,000 units of traded value — bar
   // boundaries derive from the exact integer-cent running sum over the
   // total (ts, event_id) ordering, so bar membership is
@@ -1877,6 +1923,146 @@ object Queries {
                              / (CAST(mdd AS DOUBLE) / 1e9), 6) END AS calmar,
              round(CAST(tov AS DOUBLE) / 1e6, 6) AS turnover
       FROM g ORDER BY fold, event_type"""))
+
+  // CPCV backtest paths (AFML ch. 12): the q_walk_forward fit applied
+  // per SPLIT (sign of the exact train log-return sum under each
+  // split's purge/embargo), test predictions stitched into the φ = 3
+  // paths (each group's j-th test occurrence → path j), and one
+  // momentum scorecard per (path, series) — the distribution of
+  // performance across paths that a single walk-forward cannot give.
+  private val qCpcvPaths = QDef(
+    "q_cpcv_paths",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val base = t(s, dir, "events")
+        .where(col("value").isNotNull && col("value") > 0)
+        .withColumn("chg", signum(col("value") - lag(col("value"), 1).over(w)))
+        .withColumn("r_full", log(col("value") / lag(col("value"), 1).over(w)))
+      val split = Relational.cpcvSplit(base, "event_id", "ts", k = 4,
+          pTest = 2, horizonUs = 12L * 3600 * 1000000,
+          embargoUs = 6L * 3600 * 1000000)
+        .select(col("event_id").as("_sid"), col("split_id"), col("role"),
+          col("path"))
+      val tagged = base.join(split, col("event_id") === col("_sid")).drop("_sid")
+      val fit = tagged.where(col("role") === "train")
+        .groupBy(col("split_id").as("_f_s"), col("event_type").as("_f_et"))
+        .agg(signum(coalesce(sum(round(col("r_full") * 1e9).cast("long")),
+          lit(0L))).cast("long").as("side"))
+      val test = tagged.where(col("role") === "test")
+        .join(fit, col("split_id") === col("_f_s") &&
+          col("event_type") === col("_f_et"))
+        .withColumn("sig", col("side").cast("double") * col("chg"))
+      operators.Backtest.signalBacktest(test, Seq("path", "event_type"),
+          "ts", "value", "sig", "event_id", costBps = 10.0,
+          annualization = 8760.0)
+        .orderBy("path", "event_type")
+    },
+    Some {
+      val combos = Relational.cpcvCombos(4, 2)
+        .map { case (s0, g, p) => s"($s0, $g, $p)" }.mkString(", ")
+      s"""
+      WITH b AS MATERIALIZED (
+        SELECT event_type AS k, ts, event_id, CAST(value AS DOUBLE) AS p,
+               epoch_us(ts) AS tu
+        FROM events WHERE value IS NOT NULL AND value > 0),
+      s0 AS MATERIALIZED (
+        SELECT k, ts, event_id, tu, p,
+               CAST(sign(p - lag(p) OVER w) AS DOUBLE) AS chg,
+               ln(p / lag(p) OVER w) AS r_full
+        FROM b WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
+      bb AS (SELECT min(tu) AS lo, max(tu) AS hi,
+                    (max(tu) - min(tu) + 1) // 4 AS step
+             FROM b),
+      sg AS MATERIALIZED (
+        SELECT c.split_id, c.g, c.path,
+               bb.lo + c.g * bb.step AS g_lo,
+               CASE WHEN c.g = 3 THEN bb.hi + 1
+                    ELSE bb.lo + (c.g + 1) * bb.step END AS g_hi
+        FROM (VALUES $combos) c(split_id, g, path) CROSS JOIN bb),
+      r AS MATERIALIZED (
+        SELECT s0.*, LEAST(3, (s0.tu - bb.lo) // bb.step) AS fold
+        FROM s0 CROSS JOIN bb),
+      j AS MATERIALIZED (
+        SELECT r.k, r.ts, r.event_id, r.tu, r.p, r.chg, r.r_full, r.fold,
+               sg.split_id,
+               MAX(CASE WHEN r.fold = sg.g THEN sg.path END) AS path,
+               MAX(CASE WHEN r.fold = sg.g THEN 1 ELSE 0 END) AS t,
+               MAX(CASE WHEN r.tu < sg.g_lo
+                         AND r.tu + 43200000000 >= sg.g_lo
+                        THEN 1 ELSE 0 END) AS pu,
+               MAX(CASE WHEN r.tu >= sg.g_hi
+                         AND r.tu < sg.g_hi + 21600000000
+                        THEN 1 ELSE 0 END) AS em
+        FROM r CROSS JOIN sg
+        GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9),
+      fit AS MATERIALIZED (
+        SELECT split_id, k,
+               CAST(sign(COALESCE(CAST(SUM(CAST(round(r_full * 1e9) AS BIGINT))
+                 AS BIGINT), 0)) AS BIGINT) AS side
+        FROM j WHERE t = 0 AND pu = 0 AND em = 0 GROUP BY 1, 2),
+      test AS (
+        SELECT j.path, j.k, f.side, j.ts, j.event_id, j.p,
+               CAST(f.side AS DOUBLE) * j.chg AS sig0
+        FROM j JOIN fit f ON j.split_id = f.split_id AND j.k = f.k
+        WHERE j.t = 1),
+      a AS (SELECT path, k, ts, event_id,
+                   COALESCE(lag(COALESCE(sig0, 0.0), 1) OVER w, 0.0) AS pos,
+                   COALESCE(lag(COALESCE(sig0, 0.0), 2) OVER w, 0.0) AS prevpos,
+                   ln(p / lag(p) OVER w) AS r
+            FROM test
+            WINDOW w AS (PARTITION BY path, k ORDER BY ts, event_id)),
+      t1 AS (SELECT path, k, ts, event_id, pos, r,
+                    CAST(round(abs(pos - prevpos) * 1e6) AS BIGINT) AS dpos_fp
+             FROM a WHERE r IS NOT NULL),
+      t2 AS (SELECT path, k, ts, event_id, dpos_fp,
+                    pos * r - ${10.0 / 1e4} * (CAST(dpos_fp AS DOUBLE) / 1e6) AS pnl
+             FROM t1),
+      t3 AS (SELECT path, k, ts, event_id, dpos_fp,
+                    CAST(round(pnl * 1e9) AS BIGINT) AS pnl_fp,
+                    CAST(round(pnl * pnl * 1e9) AS BIGINT) AS sq_fp,
+                    CAST(round(LEAST(pnl, 0.0) * LEAST(pnl, 0.0) * 1e9)
+                      AS BIGINT) AS dn_fp
+             FROM t2),
+      e AS (SELECT path, k, ts, event_id, dpos_fp, pnl_fp, sq_fp, dn_fp,
+                   SUM(pnl_fp) OVER (PARTITION BY path, k ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eq_fp
+            FROM t3),
+      d AS (SELECT path, k, dpos_fp, pnl_fp, sq_fp, dn_fp,
+                   GREATEST(MAX(eq_fp) OVER (PARTITION BY path, k ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                     - eq_fp AS dd_fp
+            FROM e),
+      g AS (SELECT path, k, COUNT(*) AS n_rets,
+                   CAST(SUM(CASE WHEN dpos_fp <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_trades,
+                   CAST(SUM(pnl_fp) AS BIGINT) AS s1,
+                   CAST(SUM(sq_fp) AS BIGINT) AS s2,
+                   CAST(SUM(dn_fp) AS BIGINT) AS sdn,
+                   CAST(MAX(dd_fp) AS BIGINT) AS mdd,
+                   CAST(SUM(dpos_fp) AS BIGINT) AS tov
+            FROM d GROUP BY 1, 2)
+      SELECT CAST(path AS BIGINT) AS path, k AS event_type, n_rets, n_trades,
+             round(CAST(s1 AS DOUBLE) / 1e9, 6) AS total_ret,
+             CASE WHEN (CAST(s2 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE))) > 0
+                  THEN round((CAST(s1 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE))
+                             / sqrt(CAST(s2 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE)
+                                    - (CAST(s1 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE))
+                                      * (CAST(s1 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE)))
+                             * ${math.sqrt(8760.0)}, 6) END AS sharpe,
+             CASE WHEN (CAST(sdn AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE)) > 0
+                  THEN round((CAST(s1 AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE))
+                             / sqrt(CAST(sdn AS DOUBLE) / 1e9 / CAST(n_rets AS DOUBLE))
+                             * ${math.sqrt(8760.0)}, 6) END AS sortino,
+             round(CAST(mdd AS DOUBLE) / 1e9, 6) AS max_drawdown,
+             CASE WHEN mdd > 0
+                  THEN round(CAST(s1 AS DOUBLE) / 1e9
+                             * (8760.0 / CAST(n_rets AS DOUBLE))
+                             / (CAST(mdd AS DOUBLE) / 1e9), 6) END AS calmar,
+             round(CAST(tov AS DOUBLE) / 1e6, 6) AS turnover
+      FROM g ORDER BY path, event_type"""
+    })
 
   // Deflated Sharpe ratio (BLdP 2014) — the multiple-testing capstone
   // over q_psr: four quarter-of-span trial slices per type estimate the
@@ -6294,7 +6480,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal, qMediaDedup,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences, qTokenEntropy,
     qSegmentDedup, qSubstringDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
-    qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qAcf, qPacf, qRangeVol, qDrawdownStats, qPurgedSplit, qVolumeBars, qDollarBars, qImbalanceBars, qTripleBarrier, qMetaLabel, qPsiDrift, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
+    qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qAcf, qPacf, qRangeVol, qDrawdownStats, qPurgedSplit, qCpcvSplit, qVolumeBars, qDollarBars, qImbalanceBars, qTripleBarrier, qMetaLabel, qPsiDrift, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qTokenBudget, qStratifiedSample, qBpeTokens,
@@ -6303,7 +6489,7 @@ object Queries {
     qRollSpread, qAmihud, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments,
-    qBacktest, qWalkForward, qPortfolioE2e, qPortfolioIvp, qDeflatedSharpe,
+    qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qPsr
   )

@@ -1777,6 +1777,100 @@ object Relational {
       .select(col(idCol), col("ts_us"), col("fold"), col("role"))
   }
 
+  /** The lexicographic test-group combinations of [[cpcvSplit]] with
+    * their per-group PATH indices: `(split_id, group, path)` — public
+    * so a query's oracle interpolates the IDENTICAL enumeration. Path =
+    * the occurrence number of the group across splits (ordered by
+    * split id); each group occurs C(k−1, p−1) times, which is exactly
+    * López de Prado's φ backtest-path count. */
+  def cpcvCombos(k: Int, pTest: Int): Seq[(Long, Long, Long)] = {
+    val occ = scala.collection.mutable.Map.empty[Int, Long]
+    for {
+      (c, sid) <- (0 until k).combinations(pTest).toSeq.zipWithIndex
+      g <- c
+    } yield {
+      val p = occ.getOrElse(g, 0L)
+      occ(g) = p + 1
+      (sid.toLong, g.toLong, p)
+    }
+  }
+
+  /** Combinatorial purged cross-validation (López de Prado AFML
+    * ch. 12 §12.4): instead of [[purgedTimeSplit]]'s k single-fold test
+    * windows, EVERY combination of `pTest` of the k contiguous time
+    * groups serves as a test set — C(k, pTest) splits, each with the
+    * same purge (label horizon overlapping a test window) and embargo
+    * (serially-correlated aftermath) controls applied around EVERY test
+    * group of that split. Each group lands in C(k−1, pTest−1) test
+    * sets; stitching each group's j-th occurrence into curve j yields
+    * that many independent BACKTEST PATHS (`path` column, test rows
+    * only) — the variance-of-performance estimate a single walk-forward
+    * can't give.
+    *
+    * Group bounds are [[purgedTimeSplit]]'s exact integer-µs windows
+    * (and with `pTest = 1` the roles reduce to purgedTimeSplit's
+    * EXACTLY, split ≡ fold — spec-pinned). Output: one row per sample
+    * per split, `(idCol, ts_us, split_id, fold, role, path)` —
+    * n·C(k, pTest) rows; `fold` is the sample's own time group, `path`
+    * null off the test rows.
+    *
+    * Scale shape: one 2-value global agg, then a broadcast join against
+    * the C(k,pTest)·pTest-row split-group frame and one (row, split)
+    * aggregation clustered by the row — the corpus never sorts; output
+    * fan-out is the C(k,pTest) factor the protocol itself demands
+    * (guarded: combinations are driver-enumerated, ≤ 4096). */
+  def cpcvSplit(df: DataFrame, idCol: String, tsCol: String,
+                k: Int, pTest: Int, horizonUs: Long,
+                embargoUs: Long = 0L): DataFrame = {
+    require(k >= 2, s"need k >= 2 groups, got $k")
+    require(pTest >= 1 && pTest < k, s"need 1 <= pTest < k, got $pTest/$k")
+    require(horizonUs >= 0L && embargoUs >= 0L,
+      s"horizon/embargo must be non-negative, got $horizonUs/$embargoUs")
+    val nSplits = (0 until k).combinations(pTest).size
+    require(nSplits <= 4096,
+      s"cpcvSplit: C($k, $pTest) = $nSplits splits — the split-group frame " +
+        "is driver-enumerated and the output fans out per split; use fewer groups")
+    val spark = df.sparkSession
+    val e = df.select(col(idCol),
+      unix_micros(col(tsCol).cast("timestamp")).as("ts_us"))
+    val bounds = e.agg(min("ts_us").as("lo"), max("ts_us").as("hi"),
+      count(when(col("ts_us").isNull, lit(1))).as("n_null")).head()
+    require(bounds.getLong(2) == 0L,
+      s"cpcvSplit: ${bounds.getLong(2)} rows have a null $tsCol — " +
+        "a leakage control cannot place unknown-time samples")
+    if (bounds.isNullAt(0))
+      return e.withColumn("split_id", lit(null).cast("long"))
+        .withColumn("fold", lit(null).cast("long"))
+        .withColumn("role", lit(null).cast("string"))
+        .withColumn("path", lit(null).cast("long"))
+    val lo = bounds.getLong(0)
+    val hi = bounds.getLong(1)
+    val span = hi - lo + 1L
+    val step = span / k
+    require(step > 0L,
+      s"cpcvSplit: the corpus spans only $span µs — fewer than k=$k groups")
+    def gLo(g: Long) = lo + g * step
+    def gHi(g: Long) = if (g == k - 1) hi + 1L else lo + (g + 1) * step
+    val sg = broadcast(spark.createDataFrame(spark.sparkContext.parallelize(
+        cpcvCombos(k, pTest).map { case (s, g, p) => (s, g, p, gLo(g), gHi(g)) }, 1))
+      .toDF("split_id", "_sg", "path", "_g_lo", "_g_hi"))
+    e.withColumn("fold",
+        least(lit(k - 1L), expr(s"(ts_us - ${lo}L) div ${step}L")))
+      .crossJoin(sg)
+      .groupBy(col(idCol), col("ts_us"), col("fold"), col("split_id"))
+      .agg(
+        max(when(col("fold") === col("_sg"), col("path"))).as("_path"),
+        max((col("fold") === col("_sg")).cast("int")).as("_t"),
+        max((col("ts_us") < col("_g_lo") &&
+          col("ts_us") + lit(horizonUs) >= col("_g_lo")).cast("int")).as("_p"),
+        max((col("ts_us") >= col("_g_hi") &&
+          col("ts_us") < col("_g_hi") + lit(embargoUs)).cast("int")).as("_e"))
+      .select(col(idCol), col("ts_us"), col("split_id"), col("fold"),
+        when(col("_t") === 1, "test").when(col("_p") === 1, "purged")
+          .when(col("_e") === 1, "embargo").otherwise("train").as("role"),
+        when(col("_t") === 1, col("_path")).as("path"))
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")

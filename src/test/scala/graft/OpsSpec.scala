@@ -4243,6 +4243,48 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("exceeds the 2-key triangle"), e2.getMessage)
   }
 
+  test("cpcvSplit: pTest=1 reduces to purgedTimeSplit exactly; paths partition each group's test occurrences; multi-group purge") {
+    val rows = (0 until 80).map(i => (i.toLong, i.toLong * 10))
+      .toDF("id", "t").withColumn("ts", expr("timestamp_micros(t)"))
+    // pTest = 1: splits ARE the k folds — roles must equal
+    // purgedTimeSplit's column for column (split_id == fold)
+    val single = Relational.cpcvSplit(rows, "id", "ts", k = 4, pTest = 1,
+        horizonUs = 35L, embargoUs = 15L)
+      .select(col("id"), col("ts_us"), col("split_id").as("fold"), col("role"))
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val want = Relational.purgedTimeSplit(rows, "id", "ts", k = 4,
+        horizonUs = 35L, embargoUs = 15L)
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(single == want, "pTest=1 must reduce to purgedTimeSplit")
+    // pTest = 2: 6 splits × 80 rows; every (split, sample) present
+    val out = Relational.cpcvSplit(rows, "id", "ts", k = 4, pTest = 2,
+      horizonUs = 35L, embargoUs = 15L).collect()
+    assert(out.length == 6 * 80)
+    // the test sets are exactly the 6 group pairs, in combination order
+    val testGroups = out.filter(_.getAs[String]("role") == "test")
+      .groupBy(_.getAs[Long]("split_id"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Long]("fold")).distinct.sorted.toSeq }
+    assert(testGroups == Map(0L -> Seq(0L, 1L), 1L -> Seq(0L, 2L),
+      2L -> Seq(0L, 3L), 3L -> Seq(1L, 2L), 4L -> Seq(1L, 3L), 5L -> Seq(2L, 3L)))
+    // each group's three test occurrences carry paths 0, 1, 2 (φ = C(3,1))
+    (0L to 3L).foreach { g =>
+      val paths = out.filter(r => r.getAs[String]("role") == "test" &&
+          r.getAs[Long]("fold") == g)
+        .map(r => r.getAs[Long]("split_id") -> r.getAs[Long]("path"))
+        .distinct.sortBy(_._1).map(_._2).toSeq
+      assert(paths == Seq(0L, 1L, 2L), s"group $g paths: $paths")
+    }
+    // multi-group purge: span 800µs, step 200 → group bounds at 200/400/600.
+    // id 19 (t=190, horizon 35 → 225 crosses 200): purged in every split
+    // where group 1 is a test group but id 19 itself is not test
+    val r19 = out.filter(_.getAs[Long]("id") == 19L)
+      .map(r => r.getAs[Long]("split_id") -> r.getAs[String]("role")).toMap
+    assert(r19 == Map(0L -> "test", 1L -> "test", 2L -> "test",
+      3L -> "purged", 4L -> "purged", 5L -> "train"), s"id 19 roles: $r19")
+    // non-test rows never carry a path
+    assert(out.forall(r => (r.getAs[String]("role") == "test") == !r.isNullAt(5)))
+  }
+
   test("metaLabel: side-favorable touch = 1, adverse/timeout/no-bet = 0; passthrough leaves tripleBarrier intact") {
     import graft.operators.Labeling
     val rows = Seq( // (t µs, price, primary side)
