@@ -2064,6 +2064,66 @@ object Queries {
       FROM g ORDER BY path, event_type"""
     })
 
+  // Diversification ratio + effective number of bets of the
+  // inverse-variance portfolio on the LW-CC shrunk covariance — the
+  // diagnostic the allocators are judged by (DR = Σwσ/√(w'Σw),
+  // ENB = DR²); every stage incl. the shrinkage replayed via the shared
+  // LW-CC CTE chain.
+  private val qPortfolioEnb = QDef(
+    "q_portfolio_enb",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("mean_v"))
+      val cov = Relational.ledoitWolfConstCorr(hourly, "event_type",
+        "bucket", "mean_v", scale = 1e4, pairScale = 1e2, termScale = 1e6)
+      val vd = cov.where(col("key_a") === col("key_b"))
+        .select(col("key_a").as("key"), col("shrunk_cov").cast("double").as("v"))
+        .where(col("v") > 0)
+        .withColumn("qinv", round(lit(1e9) / col("v")).cast("long"))
+      val qs = vd.agg(sum(col("qinv")).as("wsum"))
+      val wts = vd.crossJoin(broadcast(qs))
+        .select(col("key"),
+          round(col("qinv").cast("double") / col("wsum").cast("double"), 6)
+            .as("weight"))
+      operators.Backtest.diversificationRatio(cov, wts)
+    },
+    Some(s"""
+      WITH $lwCcCteSql,
+      pairs AS MATERIALIZED (
+        SELECT key_a, key_b,
+               round((1.0 - (SELECT delta FROM dl)) * sab + (SELECT delta FROM dl) *
+                     (CASE WHEN key_a = key_b THEN sa
+                           WHEN sa > 0 AND sb > 0 THEN rbar * sqrt(sa * sb)
+                           ELSE 0.0 END), 6) AS c
+        FROM q2),
+      vd AS (SELECT key_a AS k, c AS v FROM pairs WHERE key_a = key_b),
+      qv AS (SELECT k, CAST(round(1e9 / v) AS BIGINT) AS qinv
+             FROM vd WHERE v > 0),
+      qs AS (SELECT CAST(SUM(qinv) AS BIGINT) AS wsum FROM qv),
+      wts AS (SELECT k, round(CAST(qinv AS DOUBLE)
+                              / CAST((SELECT wsum FROM qs) AS DOUBLE), 6) AS w
+              FROM qv),
+      terms AS (SELECT p.key_a, p.key_b, p.c, a.w AS wa, b.w AS wb
+                FROM pairs p JOIN wts a ON p.key_a = a.k
+                             JOIN wts b ON p.key_b = b.k),
+      agg AS (SELECT COUNT(CASE WHEN key_a = key_b THEN 1 END) AS n_assets,
+                     CAST(SUM(CASE WHEN key_a = key_b
+                       THEN CAST(round(wa * sqrt(c) * 1e9) AS BIGINT) END)
+                       AS BIGINT) AS numq,
+                     CAST(SUM(CAST(round((CASE WHEN key_a = key_b THEN 1.0
+                                          ELSE 2.0 END) * wa * wb * c * 1e9)
+                       AS BIGINT)) AS BIGINT) AS pvq
+              FROM terms)
+      SELECT n_assets,
+             CASE WHEN pvq > 0 THEN round((CAST(numq AS DOUBLE) / 1e9)
+               / sqrt(CAST(pvq AS DOUBLE) / 1e9), 6) END AS div_ratio,
+             CASE WHEN pvq > 0 THEN round(((CAST(numq AS DOUBLE) / 1e9)
+               / sqrt(CAST(pvq AS DOUBLE) / 1e9))
+               * ((CAST(numq AS DOUBLE) / 1e9)
+               / sqrt(CAST(pvq AS DOUBLE) / 1e9)), 6) END AS enb
+      FROM agg"""))
+
   // Deflated Sharpe ratio (BLdP 2014) — the multiple-testing capstone
   // over q_psr: four quarter-of-span trial slices per type estimate the
   // luck benchmark SR₀ = √V[SR_trials]·((1−γ)Φ⁻¹(1−1/N)+γΦ⁻¹(1−1/Ne)),
@@ -6489,7 +6549,7 @@ object Queries {
     qRollSpread, qAmihud, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments,
-    qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qDeflatedSharpe,
+    qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qPsr
   )

@@ -490,6 +490,51 @@ object Backtest {
       .orderBy(keys.map(col): _*)
   }
 
+  /** Diversification ratio + effective number of bets of a weighted
+    * portfolio (Choueifaty & Coignard 2008, "Toward Maximum
+    * Diversification"): `DR = Σ wᵢσᵢ / √(wᵀΣw)` — the weighted average
+    * volatility over the actual portfolio volatility (1 when everything
+    * is one bet, √N for N equal independent bets) — and `ENB = DR²`,
+    * the equivalent count of independent bets. The diagnostic the
+    * allocators ([[minVariancePortfolio]], [[hrpPortfolio]], inverse
+    * variance) are judged by.
+    *
+    * Inputs: the pairwise covariance frame (`key_a ≤ key_b` triangle,
+    * the Ledoit–Wolf output shape) and a `(key, weight)` frame.
+    * Determinism: weights and covariances are the 6-dp values the
+    * producing operators emit; each numerator term `wᵢ·√Σᵢᵢ` and each
+    * quadratic term `mult·wₐ·w_b·Σₐ_b` (mult 2 off-diagonal) quantizes
+    * to `round(·10⁹)` BIGINTs and sums exactly; DR derives in one fixed
+    * double tree, 6 dp. Null when the quadratic form is non-positive
+    * (a non-PSD estimate — report honestly).
+    *
+    * Scale shape: two broadcast joins of the key-sized weight frame
+    * onto the key²-sized pair frame, one global agg. Returns one row
+    * `(n_assets, div_ratio, enb)`. */
+  def diversificationRatio(cov: DataFrame, weights: DataFrame,
+                           covCol: String = "shrunk_cov"): DataFrame = {
+    val wa = broadcast(weights.select(col("key").cast("string").as("key_a"),
+      col("weight").cast("double").as("_wa")))
+    val wb = broadcast(weights.select(col("key").cast("string").as("key_b"),
+      col("weight").cast("double").as("_wb")))
+    val diag = col("key_a") === col("key_b")
+    val num = col("_num").cast("double") / 1e9
+    val pv = col("_pv").cast("double") / 1e9
+    val dr = num / sqrt(pv)
+    cov.select(col("key_a").cast("string").as("key_a"),
+        col("key_b").cast("string").as("key_b"),
+        col(covCol).cast("double").as("_c"))
+      .join(wa, "key_a").join(wb, "key_b")
+      .agg(count(when(diag, lit(1))).as("n_assets"),
+        sum(when(diag, round(col("_wa") * sqrt(col("_c")) * 1e9).cast("long")))
+          .as("_num"),
+        sum(round(when(diag, lit(1.0)).otherwise(lit(2.0))
+          * col("_wa") * col("_wb") * col("_c") * 1e9).cast("long")).as("_pv"))
+      .select(col("n_assets"),
+        when(pv > 0.0, round(dr, 6)).as("div_ratio"),
+        when(pv > 0.0, round(dr * dr, 6)).as("enb"))
+  }
+
   /** Euler–Mascheroni γ — the expected-maximum weight in [[deflatedSharpe]]'s
     * SR₀, public so the oracle interpolates the same double. */
   val EulerGamma: Double = 0.5772156649015329

@@ -4243,6 +4243,28 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("exceeds the 2-key triangle"), e2.getMessage)
   }
 
+  test("diversificationRatio: sqrt(N) for equal independent bets, 1 for one bet, non-PSD null") {
+    import graft.operators.Backtest
+    def pairs(rows: (String, String, Double)*) =
+      rows.toDF("key_a", "key_b", "shrunk_cov")
+    def w(ws: (String, Double)*) = ws.toDF("key", "weight")
+    // 4 equal independent bets at equal weight: DR = 2, ENB = 4 EXACTLY
+    val diag = pairs(("A", "A", 0.01), ("B", "B", 0.01), ("C", "C", 0.01),
+      ("D", "D", 0.01), ("A", "B", 0.0), ("A", "C", 0.0), ("A", "D", 0.0),
+      ("B", "C", 0.0), ("B", "D", 0.0), ("C", "D", 0.0))
+    val eq = w("A" -> 0.25, "B" -> 0.25, "C" -> 0.25, "D" -> 0.25)
+    val r1 = Backtest.diversificationRatio(diag, eq).head()
+    assert(r1.getLong(0) == 4L && r1.getDouble(1) == 2.0 && r1.getDouble(2) == 4.0)
+    // two perfectly correlated assets: one bet — DR = 1, ENB = 1
+    val one = pairs(("A", "A", 0.04), ("B", "B", 0.04), ("A", "B", 0.04))
+    val r2 = Backtest.diversificationRatio(one, w("A" -> 0.5, "B" -> 0.5)).head()
+    assert(r2.getDouble(1) == 1.0 && r2.getDouble(2) == 1.0)
+    // a non-PSD frame (quadratic form negative) reports null, no clamp
+    val bad = pairs(("A", "A", 0.01), ("B", "B", 0.01), ("A", "B", -0.02))
+    val r3 = Backtest.diversificationRatio(bad, w("A" -> 0.5, "B" -> 0.5)).head()
+    assert(r3.isNullAt(1) && r3.isNullAt(2))
+  }
+
   test("cpcvSplit: pTest=1 reduces to purgedTimeSplit exactly; paths partition each group's test occurrences; multi-group purge") {
     val rows = (0 until 80).map(i => (i.toLong, i.toLong * 10))
       .toDF("id", "t").withColumn("ts", expr("timestamp_micros(t)"))
