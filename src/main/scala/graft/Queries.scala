@@ -3542,6 +3542,47 @@ object Queries {
     qMarketFeatures.oracle)
 
   // ------------------------------------------------------------------
+  // Corwin–Schultz high-low spread per consecutive hourly-bar pair —
+  // the bid-ask spread from ranges alone (β/γ separate variance from
+  // spread); 3−2√2 interpolates from the JVM, negative estimates floor
+  // at 0 per the paper, one-period tails null.
+  private val qCsSpread = QDef(
+    "q_cs_spread",
+    (s, dir) => TA.withCorwinSchultz(hourlyBars(s, dir), "high", "low", barsW)
+      .select(col("event_type"), micros(col("bar_ts")).as("bar_ts_us"),
+        col("cs_beta"), col("cs_gamma"), col("cs_alpha"), col("cs_spread"))
+      .orderBy("event_type", "bar_ts_us"),
+    Some(s"""
+      WITH $barsCte,
+      c AS (SELECT event_type, bar_ts,
+                   CASE WHEN high IS NOT NULL AND low IS NOT NULL
+                         AND low > 0 AND high >= low THEN high END AS hv,
+                   CASE WHEN high IS NOT NULL AND low IS NOT NULL
+                         AND low > 0 AND high >= low THEN low END AS lv
+            FROM bars),
+      d AS (SELECT event_type, bar_ts, hv, lv,
+                   lead(hv) OVER w AS h2, lead(lv) OVER w AS l2,
+                   CASE WHEN hv IS NOT NULL THEN ln(hv / lv) END AS lnr1
+            FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bar_ts)),
+      e AS (SELECT event_type, bar_ts,
+                   lnr1 * lnr1 + ln(h2 / l2) * ln(h2 / l2) AS beta,
+                   CASE WHEN hv IS NOT NULL AND h2 IS NOT NULL THEN
+                     ln(GREATEST(hv, h2) / LEAST(lv, l2))
+                       * ln(GREATEST(hv, h2) / LEAST(lv, l2)) END AS gamma
+            FROM d),
+      f AS (SELECT event_type, bar_ts, beta, gamma,
+                   (sqrt(2.0 * beta) - sqrt(beta)) / ${TA.CsDenom}
+                     - sqrt(gamma / ${TA.CsDenom}) AS alpha
+            FROM e)
+      SELECT event_type, epoch_us(bar_ts) AS bar_ts_us,
+             round(beta, 6) AS cs_beta, round(gamma, 6) AS cs_gamma,
+             round(alpha, 6) AS cs_alpha,
+             CASE WHEN alpha IS NOT NULL THEN
+               round(GREATEST(2.0 * (exp(alpha) - 1.0) / (1.0 + exp(alpha)),
+                              0.0), 6) END AS cs_spread
+      FROM f ORDER BY event_type, bar_ts_us"""))
+
+  // ------------------------------------------------------------------
   // Orderbook features (A1-A4, W29/W30, J4) over a book synthesized
   // deterministically from events (the testdata ships no book table)
   // ------------------------------------------------------------------
@@ -6546,7 +6587,7 @@ object Queries {
     qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qTokenBudget, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination,
     qVpin, qJumpVol, qVarianceRatio, qContainment, qContainmentIncremental,
-    qRollSpread, qAmihud, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
+    qRollSpread, qAmihud, qCsSpread, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,

@@ -260,6 +260,62 @@ object TaIndicators {
           / col("n_bars").cast("double")), 6).as("vol_rs"): _*)
       .orderBy(keys.map(col): _*)
   }
+  /** `3 − 2√2` — the Corwin–Schultz denominator, computed ONCE here so
+    * an oracle interpolates the identical double. */
+  val CsDenom: Double = 3.0 - 2.0 * math.sqrt(2.0)
+
+  /** Corwin–Schultz high-low spread estimator (2012, J. Finance 67(2))
+    * per consecutive bar pair — the bid-ask spread from ranges alone
+    * (no quote data needed): daily ranges carry both variance AND
+    * spread, but the two-period range carries the variance TWICE and
+    * the spread once, so the pair
+    * `β = ln²(H_t/L_t) + ln²(H_{t+1}/L_{t+1})`,
+    * `γ = ln²(max(H)/min(L))` separates them:
+    * `α = (√(2β) − √β)/(3−2√2) − √(γ/(3−2√2))`,
+    * `S = 2(e^α − 1)/(1 + e^α)`, negative estimates floored at 0 (the
+    * paper's convention — they arise from variance noise). The
+    * range-based microstructure sibling of [[rangeVolatility]] and the
+    * trade-based Roll estimator.
+    *
+    * Determinism: one fixed double tree per row over (H, L,
+    * lead(H), lead(L)) — ln/sqrt/exp on identical operands (the
+    * engine-libm class every data-dependent `ln` oracle already
+    * relies on), [[CsDenom]] interpolated, 6 dp displays. Bars with a
+    * missing/non-positive/inverted range in EITHER period yield null
+    * (log undefined), as does each series' last bar (no next period).
+    *
+    * Scale shape: one keyed window (the lead) riding the series sort —
+    * no joins, no aggregation; output one row per bar. Adds
+    * `cs_beta`, `cs_gamma`, `cs_alpha`, `cs_spread`. */
+  def withCorwinSchultz(df: DataFrame, highCol: String, lowCol: String,
+                        w: WindowSpec): DataFrame = {
+    val h = col(highCol).cast("double")
+    val l = col(lowCol).cast("double")
+    val ok = h.isNotNull && l.isNotNull && l > 0.0 && h >= l
+    val h2 = lead(when(ok, h), 1).over(w)
+    val l2 = lead(when(ok, l), 1).over(w)
+    val lnr1 = when(ok, log(h / l))
+    val lnr2 = log(h2 / l2)
+    val beta = lnr1 * lnr1 + lnr2 * lnr2
+    val gamma = {
+      val g = log(greatest(h, h2) / least(l, l2))
+      // explicit pair guard: Spark's greatest/least SKIP nulls, so a
+      // last-row one-period range would silently produce a γ the
+      // estimator must not have
+      when(ok && h2.isNotNull, g * g)
+    }
+    val alpha = (sqrt(lit(2.0) * beta) - sqrt(beta)) / lit(CsDenom) -
+      sqrt(gamma / lit(CsDenom))
+    val spread = lit(2.0) * (exp(alpha) - lit(1.0)) / (lit(1.0) + exp(alpha))
+    df.withColumn("cs_beta", round(beta, 6))
+      .withColumn("cs_gamma", round(gamma, 6))
+      .withColumn("cs_alpha", round(alpha, 6))
+      // greatest() SKIPS nulls — an estimate-less pair must stay null,
+      // not read as "zero spread"
+      .withColumn("cs_spread",
+        when(alpha.isNotNull, round(greatest(spread, lit(0.0)), 6)))
+  }
+
   /** Per-series maximum-drawdown summary — the risk table behind the
     * per-row [[drawdown]] column (W11): deepest peak-to-trough loss,
     * when it bottomed, and how many observations the series has.

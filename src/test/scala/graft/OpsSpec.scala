@@ -4243,6 +4243,45 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("exceeds the 2-key triangle"), e2.getMessage)
   }
 
+  test("withCorwinSchultz: closed-form pairs, negative floor, invalid-range and tail nulls") {
+    import graft.functions.TaIndicators
+    def ref(h1: Double, l1: Double, h2: Double, l2: Double) = {
+      val b = math.log(h1 / l1) * math.log(h1 / l1) +
+        math.log(h2 / l2) * math.log(h2 / l2)
+      val g = math.log(math.max(h1, h2) / math.min(l1, l2)) *
+        math.log(math.max(h1, h2) / math.min(l1, l2))
+      val a = (math.sqrt(2.0 * b) - math.sqrt(b)) / TaIndicators.CsDenom -
+        math.sqrt(g / TaIndicators.CsDenom)
+      val s = math.max(2.0 * (math.exp(a) - 1.0) / (1.0 + math.exp(a)), 0.0)
+      (b, g, a, s)
+    }
+    val bars = Seq(
+      ("K", 1L, 102.0, 100.0), // pure-spread pair with t2 → S > 0
+      ("K", 2L, 102.0, 100.0), // pairs with t3
+      ("K", 3L, 130.0, 110.0), // big disjoint range with t2 → α < 0 → floor
+      ("K", 4L, 100.0, 0.0),   // invalid (zero low) → null, poisons t3? no — t3 pairs with t4: h2 null → null
+      ("K", 5L, 99.0, 100.0),  // inverted → null
+      ("K", 6L, 105.0, 101.0)) // last row → null (no next period)
+      .toDF("k", "t", "high", "low")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val w = graft.functions.windows.series(Seq("k"), Seq("ts"))
+    val out = TaIndicators.withCorwinSchultz(bars, "high", "low", w)
+      .collect().map(r => r.getAs[Long]("t") ->
+        ((Option(r.get(5)), Option(r.get(6)), Option(r.get(7)), Option(r.get(8)))))
+      .toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val (b1, g1, a1, s1) = ref(102, 100, 102, 100)
+    assert(out(1L) == ((Some(r6(b1)), Some(r6(g1)), Some(r6(a1)), Some(r6(s1)))))
+    assert(s1 > 0.0, "the pure-spread pair must estimate a positive spread")
+    val (b2, g2, a2, s2) = ref(102, 100, 130, 110)
+    assert(a2 < 0.0 && s2 == 0.0, "volatility-dominated pair floors at 0")
+    assert(out(2L) == ((Some(r6(b2)), Some(r6(g2)), Some(r6(a2)), Some(0.0))))
+    // t3's next period is invalid, t4/t5 are themselves invalid, t6 is
+    // the tail — all four emit only nulls
+    Seq(3L, 4L, 5L, 6L).foreach(t =>
+      assert(out(t) == ((None, None, None, None)), s"t=$t: ${out(t)}"))
+  }
+
   test("diversificationRatio: sqrt(N) for equal independent bets, 1 for one bet, non-PSD null") {
     import graft.operators.Backtest
     def pairs(rows: (String, String, Double)*) =
