@@ -1641,6 +1641,38 @@ object Queries {
                6) END AS rkurt
       FROM g ORDER BY k, bucket_us"""))
 
+  // Fixed-width fractional differentiation (AFML ch. 5) of each event
+  // type's value stream at d=0.4 — the stationarity-with-memory
+  // transform between raw levels (d=0) and plain differencing (d=1).
+  // The truncated binomial weights (threshold 1e-2 → L=11) compute ONCE
+  // in Scala and INTERPOLATE into both plans — neither engine re-derives
+  // the recurrence — and the dot product is the identical left-
+  // associated IEEE sum in both, 6 dp at the edge.
+  private val fdWeights: Array[Double] = TA.fracDiffWeights(0.4, 1e-2, 64)
+  private val qFracDiff = QDef(
+    "q_fracdiff",
+    (s, dir) => TA.fracDiff(t(s, dir, "events"), Seq("event_type"),
+        "ts", "value", "event_id", d = 0.4, threshold = 1e-2)
+      .select(col("event_type"), micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"), col("fracdiff"))
+      .orderBy("event_type", "ts_us", "event_id"),
+    Some({
+      val terms = fdWeights.zipWithIndex.map {
+        case (wk, 0) => s"(${java.lang.Double.toString(wk)}) * v"
+        case (wk, k) => s"(${java.lang.Double.toString(wk)}) * lag(v, $k) OVER w"
+      }.mkString(" + ")
+      s"""
+      WITH e AS (SELECT event_type, ts, event_id, CAST(value AS DOUBLE) AS v,
+                        row_number() OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id) AS rn
+                 FROM events WHERE value IS NOT NULL)
+      SELECT event_type, epoch_us(ts) AS ts_us, event_id, v AS value,
+             CASE WHEN rn >= ${fdWeights.length}
+                  THEN round($terms, 6) END AS fracdiff
+      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+      ORDER BY event_type, ts_us, event_id"""
+    }))
+
   // Vectorized signal backtest per event type: a momentum rule
   // (sig = sign of the last change) traded next-tick with 10 bps linear
   // costs — positions, net PnL, equity curve, Sharpe (hourly
@@ -6589,7 +6621,7 @@ object Queries {
     qVpin, qJumpVol, qVarianceRatio, qContainment, qContainmentIncremental,
     qRollSpread, qAmihud, qCsSpread, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
-    qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments,
+    qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qPsr

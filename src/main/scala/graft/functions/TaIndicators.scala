@@ -626,6 +626,79 @@ object TaIndicators {
     * Scale shape: one keyed window (the return lag) + one (keys,
     * bucket) agg riding the same series partitioning — map-side
     * combined, one row per bucket out. */
+  /** Binomial-expansion weights of the fractional difference operator
+    * `(1−B)^d` (López de Prado, AFML ch. 5): `w₀ = 1`,
+    * `w_k = −w_{k−1}·(d−k+1)/k`, truncated at the first `|w_k|` below
+    * `threshold` (the FIXED-WIDTH window variant, §5.4.2 — the
+    * expanding-window variant re-weights history on every step and is
+    * unusable online). The recurrence is one multiply/divide per term
+    * in IEEE order — any engine reproduces the identical doubles, and
+    * the oracle receives them INTERPOLATED, never re-derived. For
+    * d = 1 the weights collapse to `[1, −1]` (plain differencing);
+    * for d = 0 to `[1]` (identity) — the closed forms the spec pins. */
+  def fracDiffWeights(d: Double, threshold: Double, maxWidth: Int): Array[Double] = {
+    require(d >= 0.0, s"need d >= 0, got $d")
+    require(threshold > 0.0, s"need a positive truncation threshold, got $threshold")
+    require(maxWidth >= 1, s"need maxWidth >= 1, got $maxWidth")
+    val buf = scala.collection.mutable.ArrayBuffer(1.0)
+    var k = 1
+    var cont = true
+    while (cont && k < maxWidth) {
+      val w = -buf(k - 1) * (d - k + 1.0) / k
+      if (math.abs(w) < threshold) cont = false
+      else { buf += w; k += 1 }
+    }
+    buf.toArray
+  }
+
+  /** Fixed-width fractional differentiation (AFML ch. 5): the series
+    * transform that makes prices STATIONARY while keeping maximal
+    * memory — integer differencing (d = 1) wipes the long-range
+    * dependence ML features feed on, while raw prices are non-
+    * stationary; a fractional `0 < d < 1` sits between. The output is
+    * the dot product of the truncated weight vector with the value and
+    * its first L−1 lags; rows without a full window (the first L−1
+    * non-null observations per series) emit null — the pandas
+    * fixed-width warm-up convention used throughout this library.
+    *
+    * Determinism: the weights are computed once on the driver
+    * ([[fracDiffWeights]]) and enter the plan as double literals; the
+    * dot product is a FIXED left-associated sum
+    * `w₀·x_t + w₁·x_{t−1} + …` — the identical IEEE tree on any engine
+    * that association order is spelled in — rounded to 6 dp at the
+    * edge.
+    *
+    * Scale shape: one keyed window carrying L sibling lags — Catalyst
+    * plans ONE shuffle+sort for all of them (same spec), whole-stage
+    * codegen'd; no joins, no driver data. L is a small constant fixed
+    * by (d, threshold), never data-sized.
+    *
+    * Returns `(keys…, tsCol, tiebreakCol, value, fracdiff)`, null-value
+    * rows dropped (a null inside a lag window would poison L outputs —
+    * the caller decides upstream imputation). */
+  def fracDiff(df: DataFrame, keys: Seq[String], tsCol: String,
+               valueCol: String, tiebreakCol: String, d: Double,
+               threshold: Double = 1e-2, maxWidth: Int = 64): DataFrame = {
+    require(keys.nonEmpty, "fracDiff needs the series key(s)")
+    val wts = fracDiffWeights(d, threshold, maxWidth)
+    val L = wts.length
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val v = col(valueCol).cast("double")
+    val terms = wts.zipWithIndex.map {
+      case (wk, 0) => lit(wk) * col("_v")
+      case (wk, k) => lit(wk) * lag(col("_v"), k).over(w)
+    }
+    df.where(v.isNotNull)
+      .withColumn("_v", v)
+      .withColumn("_rn", row_number().over(w))
+      .select(keys.map(col) ++ Seq(col(tsCol), col(tiebreakCol),
+        col("_v").as("value"),
+        when(col("_rn") >= L,
+          round(terms.reduceLeft(_ + _), 6)).as("fracdiff")): _*)
+  }
+
   def realizedJumpVol(df: DataFrame, keys: Seq[String], tsCol: String,
                       valueCol: String, tiebreakCol: String,
                       interval: String): DataFrame = {

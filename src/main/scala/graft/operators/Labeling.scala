@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-label generation for market series — the step between the
@@ -97,6 +98,105 @@ object Labeling {
               (col("t_dn_us").isNull || col("t_up_us") <= col("t_dn_us")), lit(1L))
             .when(col("t_dn_us").isNotNull, lit(-1L))
             .otherwise(lit(0L)).as("label")): _*)
+  }
+
+  /** Trend-scanning labels (López de Prado, "Machine Learning for
+    * Asset Managers" §5.3): for every observation, fit an OLS line to
+    * each FORWARD window of `spans` rows, keep the span whose slope
+    * carries the largest |t-statistic|, and label by that slope's sign
+    * — a horizon-free trend label that replaces the fixed-horizon
+    * guesswork of naive forward returns.
+    *
+    * Determinism: values quantize to `round(v·quantScale)` BIGINTs and
+    * every regression sum (Σy, Σry, Σy²) is an EXACT integer window
+    * sum; the t-statistic is scale-invariant, so computing it in quant
+    * units changes nothing; slope/t derive in one fixed double tree,
+    * 6 dp. Ties across spans break to the SHORTEST span (compared on
+    * the rounded |t|); a residual-free fit (an exactly linear window —
+    * infinite t) reports the signed sentinel ±1e9 so it outranks every
+    * finite t deterministically instead of tripping engine-specific
+    * inf/NaN semantics. The x-regressor is the in-window row offset
+    * 0..L−1, recovered from the global per-series row number r as
+    * Σx·y = Σr·y − r_t·Σy — exact BIGINT algebra.
+    *
+    * Overflow contract: `n_rows_per_series · |v|·quantScale · L < 2⁶³`
+    * (the Σry term binds) — at quantScale 100, L ≤ 32 that allows ~10¹³
+    * value-units·rows per series, far past any real series.
+    *
+    * Scale shape: one keyed window sort shared by ALL spans' frames
+    * (same partition+order ⇒ one exchange+sort, the sums are sibling
+    * frames over it); no joins, no driver data. Tail rows without a
+    * full window for ANY span emit null label — the caller's purge
+    * region.
+    *
+    * Returns `(keys…, tsCol, tiebreakCol, value, best_span, t_value,
+    * slope, label)` — slope de-scaled back to value units/row. */
+  def trendScanLabel(df: DataFrame, keys: Seq[String], tsCol: String,
+                     valueCol: String, tiebreakCol: String,
+                     spans: Seq[Int], quantScale: Double = 100.0): DataFrame = {
+    require(keys.nonEmpty, "trendScanLabel needs the series key(s)")
+    require(spans.nonEmpty && spans.forall(_ >= 3),
+      s"every span needs >= 3 rows (t needs L-2 > 0 df), got $spans")
+    require(spans.distinct.size == spans.size, s"duplicate spans in $spans")
+    require(quantScale > 0.0, s"need a positive quantScale, got $quantScale")
+    val ls = spans.sorted
+    val v = col(valueCol).cast("double")
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreakCol))
+    def fwd(l: Int) = ord.rowsBetween(Window.currentRow, l - 1)
+    val base = df.where(v.isNotNull)
+      .withColumn("_c", round(v * lit(quantScale)).cast("long"))
+      .withColumn("_rn", row_number().over(ord).cast("long"))
+    // per-span regression sums as sibling window aggregates — exact ints
+    val withSums = ls.foldLeft(base) { (acc, l) =>
+      acc.withColumn(s"_n$l", count(lit(1)).over(fwd(l)))
+        .withColumn(s"_sy$l", sum(col("_c")).over(fwd(l)))
+        .withColumn(s"_sry$l", sum(col("_rn") * col("_c")).over(fwd(l)))
+        .withColumn(s"_syy$l", sum(col("_c") * col("_c")).over(fwd(l)))
+    }
+    // t-statistic per span: slope = num/(L·Sxx_c), num = L·Σxy − Sx·Σy
+    // (all BIGINT), SSE·L = (L·Σy² − Σy²ᵀ…) − slope·num — one double tree
+    val withT = ls.foldLeft(withSums) { (acc, l) =>
+      val L = lit(l.toLong)
+      val sx = lit(l.toLong * (l - 1) / 2)                // Σx, exact
+      val sxxc = l.toLong * (l.toLong * l - 1) / 12       // Σ(x−x̄)², exact
+      val sxy = col(s"_sry$l") - col("_rn") * col(s"_sy$l")
+      val num = L * sxy - sx * col(s"_sy$l")              // BIGINT
+      val den = lit(l.toDouble * sxxc)
+      val slope = num.cast("double") / den
+      val sseL = (L * col(s"_syy$l") - col(s"_sy$l") * col(s"_sy$l"))
+        .cast("double") - slope * num.cast("double")
+      val t = slope / sqrt(sseL / lit(l.toDouble * (l - 2) * sxxc))
+      acc.withColumn(s"_num$l", num)
+        .withColumn(s"_t$l",
+          when(col(s"_n$l") =!= l, lit(null).cast("double"))
+            .when(sseL > 0.0, round(t, 6))
+            .when(num === 0L, lit(0.0))
+            .otherwise(signum(num.cast("double")) * lit(1e9)))
+    }
+    def a(l: Int) = abs(col(s"_t$l"))
+    // shortest span wins ties on the ROUNDED |t| — a fixed CASE chain
+    val bestSpan = ls.zipWithIndex.foldRight(lit(null).cast("int")) {
+      case ((l, i), rest) =>
+        val beatsLater = ls.drop(i + 1)
+          .map(m => col(s"_t$m").isNull || a(l) >= a(m))
+          .foldLeft(lit(true))(_ && _)
+        when(col(s"_t$l").isNotNull && beatsLater, lit(l)).otherwise(rest)
+    }
+    def pick(f: Int => Column) = ls.foldRight(lit(null).cast("double")) {
+      (l, rest) => when(col("_best") === l, f(l)).otherwise(rest)
+    }
+    withT.withColumn("_best", bestSpan)
+      .select(keys.map(col) ++ Seq(col(tsCol), col(tiebreakCol),
+        v.as("value"),
+        col("_best").as("best_span"),
+        pick(l => col(s"_t$l")).as("t_value"),
+        pick(l => round(col(s"_num$l").cast("double") /
+          lit(l.toDouble * (l.toLong * (l.toLong * l - 1) / 12) * quantScale),
+          6)).as("slope"),
+        pick(l => when(col(s"_num$l") > 0L, lit(1.0))
+          .when(col(s"_num$l") < 0L, lit(-1.0)).otherwise(lit(0.0)))
+          .cast("long").as("label")): _*)
   }
 
   /** Meta-labels (AFML ch. 3 §3.6): given a PRIMARY model's side

@@ -4243,6 +4243,56 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("exceeds the 2-key triangle"), e2.getMessage)
   }
 
+  test("fracDiffWeights: closed forms at d=0/1, binomial identity, truncation") {
+    import graft.functions.TaIndicators
+    assert(TaIndicators.fracDiffWeights(0.0, 1e-2, 64).toSeq == Seq(1.0))
+    assert(TaIndicators.fracDiffWeights(1.0, 1e-2, 64).toSeq == Seq(1.0, -1.0))
+    // w_k = (−1)^k · C(d, k) — check the recurrence against the direct
+    // product form ∏_{j=1..k} (j−1−d)/j for d = 0.4
+    val w = TaIndicators.fracDiffWeights(0.4, 1e-2, 64)
+    (1 until w.length).foreach { k =>
+      val direct = (1 to k).map(j => (j - 1 - 0.4) / j).product
+      assert(math.abs(w(k) - direct) < 1e-12, s"k=$k: ${w(k)} vs $direct")
+    }
+    assert(w.length == 11, s"d=0.4 @ 1e-2 truncates at L=11, got ${w.length}")
+    assert(w.drop(1).forall(_ < 0.0), "0<d<1 tail weights are all negative")
+    assert(math.abs(w.last) >= 1e-2 &&
+      math.abs(-w.last * (0.4 - w.length + 1.0) / w.length) < 1e-2,
+      "truncation stops at the FIRST sub-threshold weight")
+    // maxWidth caps the window even when the threshold never bites
+    assert(TaIndicators.fracDiffWeights(0.4, 1e-12, 8).length == 8)
+  }
+
+  test("fracDiff: d=1 ≡ first difference, warm-up nulls, null rows dropped") {
+    import graft.functions.TaIndicators
+    val df = Seq(("K", 1L, Some(10.0)), ("K", 2L, Some(12.5)),
+      ("K", 3L, None), ("K", 4L, Some(11.0)), ("K", 5L, Some(14.0)),
+      ("J", 1L, Some(5.0)), ("J", 2L, Some(5.0)))
+      .toDF("k", "t", "v").withColumn("ts", expr("timestamp_micros(t)"))
+    val out = TaIndicators.fracDiff(df, Seq("k"), "ts", "v", "t", d = 1.0)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("t"),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    // the null row drops entirely; diffs skip over it (t=4 diffs vs t=2)
+    assert(out.toSeq == Seq(
+      ("J", 1L, None), ("J", 2L, Some(0.0)),
+      ("K", 1L, None), ("K", 2L, Some(2.5)),
+      ("K", 4L, Some(-1.5)), ("K", 5L, Some(3.0))))
+    // fractional d: spot-check one full-window row against the direct
+    // dot product over the last L values
+    val wts = TaIndicators.fracDiffWeights(0.6, 1e-1, 64)
+    val vals = (1 to 12).map(i => 100.0 + 3.0 * i + (i % 3))
+    val df2 = vals.zipWithIndex.map { case (v, i) => ("S", i.toLong, v) }
+      .toDF("k", "t", "v").withColumn("ts", expr("timestamp_micros(t)"))
+    val got = TaIndicators.fracDiff(df2, Seq("k"), "ts", "v", "t",
+        d = 0.6, threshold = 1e-1)
+      .orderBy("t").collect().map(r => Option(r.get(4)))
+    val l = wts.length
+    val expect = wts.indices.map(j => wts(j) * vals(l - 1 - j)).sum
+    assert(got(l - 1).contains(math.rint(expect * 1e6) / 1e6))
+    assert(got.take(l - 1).forall(_.isEmpty), "warm-up rows are null")
+  }
+
   test("withCorwinSchultz: closed-form pairs, negative floor, invalid-range and tail nulls") {
     import graft.functions.TaIndicators
     def ref(h1: Double, l1: Double, h2: Double, l2: Double) = {
