@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -125,9 +125,11 @@ object Labeling {
     *
     * Scale shape: one keyed window sort shared by ALL spans' frames
     * (same partition+order ⇒ one exchange+sort, the sums are sibling
-    * frames over it); no joins, no driver data. Tail rows without a
-    * full window for ANY span emit null label — the caller's purge
-    * region.
+    * frames over it); no joins, no driver data. Tail rows compete only
+    * among the spans that still fit a full forward window (short spans
+    * keep labeling as the tail narrows); a row emits null label only
+    * when NO span fits — callers wanting the strict all-spans purge
+    * should drop the last `max(spans)−1` rows per series.
     *
     * Returns `(keys…, tsCol, tiebreakCol, value, best_span, t_value,
     * slope, label)` — slope de-scaled back to value units/row. */
@@ -139,6 +141,8 @@ object Labeling {
       s"every span needs >= 3 rows (t needs L-2 > 0 df), got $spans")
     require(spans.distinct.size == spans.size, s"duplicate spans in $spans")
     require(quantScale > 0.0, s"need a positive quantScale, got $quantScale")
+    // L·Σ(x−x̄)² over x = 0..L−1, an exact Long for every L (see below)
+    def nSxx(l: Int): Long = { val ll = l.toLong; ll * ll * (ll * ll - 1) / 12 }
     val ls = spans.sorted
     val v = col(valueCol).cast("double")
     val ord = Window.partitionBy(keys.map(col): _*)
@@ -159,14 +163,16 @@ object Labeling {
     val withT = ls.foldLeft(withSums) { (acc, l) =>
       val L = lit(l.toLong)
       val sx = lit(l.toLong * (l - 1) / 2)                // Σx, exact
-      val sxxc = l.toLong * (l.toLong * l - 1) / 12       // Σ(x−x̄)², exact
       val sxy = col(s"_sry$l") - col("_rn") * col(s"_sy$l")
       val num = L * sxy - sx * col(s"_sy$l")              // BIGINT
-      val den = lit(l.toDouble * sxxc)
+      // L·Σ(x−x̄)² = L²(L²−1)/12: ALWAYS an exact integer (L even ⇒ L²
+      // supplies the 4; L odd ⇒ (L−1)(L+1) does; one of L−1,L,L+1 the 3)
+      // — unlike Σ(x−x̄)² = L(L²−1)/12 alone, non-integer for L ≡ 2 mod 4.
+      val den = lit(nSxx(l).toDouble)
       val slope = num.cast("double") / den
       val sseL = (L * col(s"_syy$l") - col(s"_sy$l") * col(s"_sy$l"))
-        .cast("double") - slope * num.cast("double")
-      val t = slope / sqrt(sseL / lit(l.toDouble * (l - 2) * sxxc))
+        .cast("double") - slope * num.cast("double")      // = L·SSE
+      val t = slope / sqrt(sseL / lit((l - 2).toDouble * nSxx(l)))
       acc.withColumn(s"_num$l", num)
         .withColumn(s"_t$l",
           when(col(s"_n$l") =!= l, lit(null).cast("double"))
@@ -192,8 +198,7 @@ object Labeling {
         col("_best").as("best_span"),
         pick(l => col(s"_t$l")).as("t_value"),
         pick(l => round(col(s"_num$l").cast("double") /
-          lit(l.toDouble * (l.toLong * (l.toLong * l - 1) / 12) * quantScale),
-          6)).as("slope"),
+          lit(nSxx(l).toDouble * quantScale), 6)).as("slope"),
         pick(l => when(col(s"_num$l") > 0L, lit(1.0))
           .when(col(s"_num$l") < 0L, lit(-1.0)).otherwise(lit(0.0)))
           .cast("long").as("label")): _*)
