@@ -1673,6 +1673,77 @@ object Queries {
       ORDER BY event_type, ts_us, event_id"""
     }))
 
+  // Trend-scanning labels (López de Prado MLAM §5.3) per event type:
+  // forward OLS over spans {5, 6, 12} (6 ≡ 2 mod 4 exercises the exact
+  // n·Sxx = L²(L²−1)/12 denominator), best span by |t|, shortest wins
+  // ties, ±1e9 sentinel for residual-free fits. Values quantize to
+  // round(v·100) BIGINTs so every regression sum is an exact integer in
+  // BOTH engines; the slope/t double trees are written identically in
+  // the SQL and every Scala-computed denominator interpolates verbatim.
+  private val tsSpans = Seq(5, 6, 12)
+  private val qTrendScan = QDef(
+    "q_trend_scan",
+    (s, dir) => operators.Labeling.trendScanLabel(t(s, dir, "events"),
+        Seq("event_type"), "ts", "value", "event_id",
+        spans = tsSpans, quantScale = 100.0)
+      .select(col("event_type"), micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"), col("best_span"), col("t_value"),
+        col("slope"), col("label"))
+      .orderBy("event_type", "ts_us", "event_id"),
+    Some({
+      def nSxx(l: Int): Long = { val ll = l.toLong; ll * ll * (ll * ll - 1) / 12 }
+      def d(x: Double) = java.lang.Double.toString(x)
+      val ls = tsSpans.sorted
+      val sums = ls.flatMap { l =>
+        val fr = s"ROWS BETWEEN CURRENT ROW AND ${l - 1} FOLLOWING"
+        Seq(s"count(*) OVER (w $fr) AS n$l",
+            s"sum(c) OVER (w $fr) AS sy$l",
+            s"sum(rn * c) OVER (w $fr) AS sry$l",
+            s"sum(c * c) OVER (w $fr) AS syy$l")
+      }.mkString(",\n             ")
+      val nums = ls.map { l =>
+        s"($l * (sry$l - rn * sy$l) - ${l.toLong * (l - 1) / 2} * sy$l) AS num$l"
+      }.mkString(",\n             ")
+      val ts = ls.map { l =>
+        val slope = s"(CAST(num$l AS DOUBLE) / ${d(nSxx(l).toDouble)})"
+        val sseL = s"(CAST($l * syy$l - sy$l * sy$l AS DOUBLE) - $slope * CAST(num$l AS DOUBLE))"
+        s"""CASE WHEN n$l <> $l THEN NULL
+             WHEN $sseL > 0.0
+               THEN round($slope / sqrt($sseL / ${d((l - 2).toDouble * nSxx(l))}), 6)
+             WHEN num$l = 0 THEN 0.0
+             WHEN num$l > 0 THEN 1e9 ELSE -1e9 END AS t$l"""
+      }.mkString(",\n             ")
+      val best = ls.zipWithIndex.map { case (l, i) =>
+        val beats = ls.drop(i + 1)
+          .map(m => s"(t$m IS NULL OR abs(t$l) >= abs(t$m))")
+        (s"t$l IS NOT NULL" +: beats).mkString(
+          s"WHEN ", " AND ", s" THEN $l")
+      }.mkString("CASE ", "\n                  ", " END")
+      def pick(f: Int => String) = ls.map(l => s"WHEN $l THEN ${f(l)}")
+        .mkString("CASE best_span ", " ", " END")
+      s"""
+      WITH e AS (SELECT event_type, ts, event_id, CAST(value AS DOUBLE) AS v,
+                        CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS c,
+                        CAST(row_number() OVER (PARTITION BY event_type
+                                                ORDER BY ts, event_id) AS BIGINT) AS rn
+                 FROM events WHERE value IS NOT NULL),
+      s AS (SELECT event_type, ts, event_id, v, rn,
+             $sums
+            FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      g AS (SELECT *,
+             $nums
+            FROM s),
+      tt AS (SELECT *,
+             $ts
+             FROM g),
+      b AS (SELECT *, $best AS best_span FROM tt)
+      SELECT event_type, epoch_us(ts) AS ts_us, event_id, v AS value, best_span,
+             ${pick(l => s"t$l")} AS t_value,
+             ${pick(l => s"round(CAST(num$l AS DOUBLE) / ${d(nSxx(l).toDouble * 100.0)}, 6)")} AS slope,
+             CAST(${pick(l => s"(CASE WHEN num$l > 0 THEN 1 WHEN num$l < 0 THEN -1 ELSE 0 END)")} AS BIGINT) AS label
+      FROM b ORDER BY event_type, ts_us, event_id"""
+    }))
+
   // Vectorized signal backtest per event type: a momentum rule
   // (sig = sign of the last change) traded next-tick with 10 bps linear
   // costs — positions, net PnL, equity curve, Sharpe (hourly
@@ -6622,6 +6693,7 @@ object Queries {
     qRollSpread, qAmihud, qCsSpread, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
+    qTrendScan,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qPsr

@@ -4243,6 +4243,72 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("exceeds the 2-key triangle"), e2.getMessage)
   }
 
+  test("trendScanLabel: direct-OLS parity incl. L≡2 mod 4, linear sentinel, shortest-span tie, tail nulls") {
+    import graft.operators.Labeling
+    // noisy up-trend, spans (3, 6): 6 ≡ 2 mod 4 exercises the exact
+    // n·Sxx = L²(L²−1)/12 denominator (L(L²−1)/12 alone truncates to 17
+    // for L=6; the true value is 17.5)
+    val vals = Seq(10.0, 10.3, 9.9, 10.8, 11.2, 11.1,
+                   11.9, 12.4, 12.2, 13.0, 12.7, 13.5)
+    val df = vals.zipWithIndex.map { case (v, i) => ("S", i.toLong, v) }
+      .toDF("k", "t", "v").withColumn("ts", expr("timestamp_micros(t)"))
+    val out = Labeling.trendScanLabel(df, Seq("k"), "ts", "v", "t",
+        spans = Seq(3, 6)).orderBy("t").collect()
+    // direct double OLS on the quantized series c = round(v·100)
+    def ols(l: Int, i: Int): Option[(Double, Double)] =
+      if (i + l > vals.length) None else {
+        val c = vals.slice(i, i + l).map(v => math.rint(v * 100.0))
+        val xs = (0 until l).map(_.toDouble)
+        val xb = xs.sum / l; val yb = c.sum / l
+        val sxy = xs.zip(c).map { case (x, y) => (x - xb) * (y - yb) }.sum
+        val sxx = xs.map(x => (x - xb) * (x - xb)).sum
+        val slope = sxy / sxx
+        val sse = xs.zip(c).map { case (x, y) =>
+          val e = y - yb - slope * (x - xb); e * e }.sum
+        Some((slope / math.sqrt(sse / ((l - 2) * sxx)), slope / 100.0))
+      }
+    vals.indices.foreach { i =>
+      val cand = Seq(3, 6).flatMap(l => ols(l, i).map(l -> _))
+      val r = out(i)
+      if (cand.isEmpty) {
+        assert(r.isNullAt(r.fieldIndex("best_span")), s"row $i should purge")
+        assert(r.isNullAt(r.fieldIndex("label")), s"row $i should purge")
+      } else {
+        // shortest span wins ties on rounded |t| — mirror the election
+        val best = cand.map { case (l, (t, s)) =>
+          (l, math.rint(t * 1e6) / 1e6, s) }
+          .reduceLeft { (a, b) => if (math.abs(a._2) >= math.abs(b._2)) a else b }
+        assert(r.getAs[Int]("best_span") == best._1, s"row $i span")
+        assert(math.abs(r.getAs[Double]("t_value") - best._2) < 2e-6,
+          s"row $i t: engine ${r.getAs[Double]("t_value")} vs direct ${best._2}")
+        assert(math.abs(r.getAs[Double]("slope") - best._3) < 2e-6,
+          s"row $i slope")
+        assert(r.getAs[Long]("label") == math.signum(best._3).toLong,
+          s"row $i label")
+      }
+    }
+    // an exactly linear series: residual-free fit for EVERY span → the
+    // ±1e9 sentinel, tie on |t| → SHORTEST span elected; sign follows
+    // the slope; the final rows where no span fits stay null
+    val lin = (0 until 8).map(i => ("L", i.toLong, 50.0 - 2.0 * i))
+      .toDF("k", "t", "v").withColumn("ts", expr("timestamp_micros(t)"))
+    val lout = Labeling.trendScanLabel(lin, Seq("k"), "ts", "v", "t",
+        spans = Seq(3, 6)).orderBy("t").collect()
+    assert(lout(0).getAs[Int]("best_span") == 3)
+    assert(lout(0).getAs[Double]("t_value") == -1e9)
+    assert(lout(0).getAs[Long]("label") == -1L)
+    assert(math.abs(lout(0).getAs[Double]("slope") - (-2.0)) < 1e-9)
+    assert(lout.takeRight(2).forall(_.isNullAt(lout(0).fieldIndex("label"))),
+      "no span fits the last 2 rows")
+    // flat series: num = 0, sse = 0 → t = 0, label 0
+    val flat = (0 until 6).map(i => ("F", i.toLong, 7.0))
+      .toDF("k", "t", "v").withColumn("ts", expr("timestamp_micros(t)"))
+    val fout = Labeling.trendScanLabel(flat, Seq("k"), "ts", "v", "t",
+        spans = Seq(3)).orderBy("t").collect()
+    assert(fout(0).getAs[Double]("t_value") == 0.0)
+    assert(fout(0).getAs[Long]("label") == 0L)
+  }
+
   test("fracDiffWeights: closed forms at d=0/1, binomial identity, truncation") {
     import graft.functions.TaIndicators
     assert(TaIndicators.fracDiffWeights(0.0, 1e-2, 64).toSeq == Seq(1.0))
