@@ -1744,6 +1744,202 @@ object Queries {
       FROM b ORDER BY event_type, ts_us, event_id"""
     }))
 
+  // Tick-run bars over the hourly close series of each event type
+  // (threshold 5): the run clock closes a bar when either side's tick
+  // count since the bar opened reaches 5 — persistence of flow, where
+  // q_imbalance_bars samples its net direction. The oracle replays the
+  // two-counter reset scan as a recursive CTE over the same tick signs.
+  private val qRunBars = QDef(
+    "q_run_bars",
+    (s, dir) => Resample.runBars(
+        t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+          .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("close")),
+        "bucket", "close", "bucket", Seq("event_type"), threshold = 5L)
+      .select(col("event_type"), col("bar_id"), col("open"), col("high"),
+        col("low"), col("close"), col("n_ticks"), col("n_up"), col("n_dn"),
+        micros(col("open_ts")).as("open_ts_us"),
+        micros(col("close_ts")).as("close_ts_us"))
+      .orderBy("event_type", "bar_id"),
+    Some(raw"""
+      WITH RECURSIVE
+      h0 AS (SELECT event_type AS k, date_trunc('hour', ts) AS bucket, value,
+                    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                       ORDER BY ts DESC, event_id DESC) AS r
+             FROM events),
+      h AS (SELECT k, bucket, value AS close FROM h0 WHERE r = 1),
+      b0 AS (SELECT k, bucket, close,
+                    row_number() OVER (PARTITION BY k ORDER BY bucket) AS rn,
+                    close - lag(close) OVER (PARTITION BY k ORDER BY bucket) AS delta
+             FROM h),
+      sgf AS MATERIALIZED (
+        SELECT k, bucket, close, rn,
+               coalesce(last_value(CASE WHEN delta > 0 THEN 1
+                                        WHEN delta < 0 THEN -1 END IGNORE NULLS)
+                 OVER (PARTITION BY k ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 0) AS b
+        FROM b0),
+      scan(k, rn, ups, dns, bar, emit) AS (
+        SELECT k, rn,
+               CASE WHEN greatest(CASE WHEN b > 0 THEN 1 ELSE 0 END,
+                                  CASE WHEN b < 0 THEN 1 ELSE 0 END) >= 5
+                    THEN 0 ELSE CASE WHEN b > 0 THEN 1 ELSE 0 END END,
+               CASE WHEN greatest(CASE WHEN b > 0 THEN 1 ELSE 0 END,
+                                  CASE WHEN b < 0 THEN 1 ELSE 0 END) >= 5
+                    THEN 0 ELSE CASE WHEN b < 0 THEN 1 ELSE 0 END END,
+               CASE WHEN greatest(CASE WHEN b > 0 THEN 1 ELSE 0 END,
+                                  CASE WHEN b < 0 THEN 1 ELSE 0 END) >= 5
+                    THEN 1 ELSE 0 END,
+               0
+        FROM sgf WHERE rn = 1
+        UNION ALL
+        SELECT s.k, s.rn + 1,
+               CASE WHEN greatest(s.ups + CASE WHEN f.b > 0 THEN 1 ELSE 0 END,
+                                  s.dns + CASE WHEN f.b < 0 THEN 1 ELSE 0 END) >= 5
+                    THEN 0 ELSE s.ups + CASE WHEN f.b > 0 THEN 1 ELSE 0 END END,
+               CASE WHEN greatest(s.ups + CASE WHEN f.b > 0 THEN 1 ELSE 0 END,
+                                  s.dns + CASE WHEN f.b < 0 THEN 1 ELSE 0 END) >= 5
+                    THEN 0 ELSE s.dns + CASE WHEN f.b < 0 THEN 1 ELSE 0 END END,
+               CASE WHEN greatest(s.ups + CASE WHEN f.b > 0 THEN 1 ELSE 0 END,
+                                  s.dns + CASE WHEN f.b < 0 THEN 1 ELSE 0 END) >= 5
+                    THEN s.bar + 1 ELSE s.bar END,
+               s.bar
+        FROM scan s JOIN sgf f ON f.k = s.k AND f.rn = s.rn + 1),
+      rows_ AS (SELECT f.k, f.bucket, f.close, f.b, CAST(s.emit AS BIGINT) AS bar_id
+                FROM sgf f JOIN scan s ON s.k = f.k AND s.rn = f.rn)
+      SELECT k AS event_type, bar_id,
+             ARG_MIN(close, bucket) AS open, MAX(close) AS high,
+             MIN(close) AS low, ARG_MAX(close, bucket) AS close,
+             COUNT(*) AS n_ticks,
+             CAST(SUM(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+             CAST(SUM(CASE WHEN b < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dn,
+             epoch_us(MIN(bucket)) AS open_ts_us,
+             epoch_us(MAX(bucket)) AS close_ts_us
+      FROM rows_ GROUP BY 1, 2 ORDER BY event_type, bar_id"""))
+
+  // Rolling permutation entropy (Bandt-Pompe m=3) of each event type's
+  // value stream over the trailing 16 ordinal patterns. Patterns and
+  // their trailing counts are exact integers (quantized strict
+  // compares); only the final entropy is a double — one fixed
+  // left-associated term sum over ascending pattern ids, normalized by
+  // the interpolated JVM ln 6, 6 dp.
+  private val qPermEntropy = QDef(
+    "q_perm_entropy",
+    (s, dir) => TA.permutationEntropy(t(s, dir, "events"),
+        Seq("event_type"), "ts", "value", "event_id",
+        window = 16, quantScale = 100.0)
+      .select(col("event_type"), micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"), col("pattern"), col("perm_entropy"))
+      .orderBy("event_type", "ts_us", "event_id"),
+    Some({
+      val ids = TA.PermutationPatternIds
+      val counts = ids.map(k =>
+        s"sum(CASE WHEN pattern = $k THEN 1 ELSE 0 END) OVER tw AS p$k")
+        .mkString(",\n             ")
+      val terms = ids.map { k =>
+        val r = s"(CAST(p$k AS DOUBLE) / CAST(n AS DOUBLE))"
+        s"CASE WHEN p$k > 0 THEN $r * ln($r) ELSE 0.0 END"
+      }.mkString(" + ")
+      s"""
+      WITH e AS (SELECT event_type AS k, ts, event_id, CAST(value AS DOUBLE) AS v,
+                        CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS c
+                 FROM events WHERE value IS NOT NULL),
+      p AS (SELECT k, ts, event_id, v, c,
+                   lag(c, 2) OVER w AS a, lag(c, 1) OVER w AS b
+            FROM e WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
+      q AS (SELECT k, ts, event_id, v,
+                   CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN
+                     CAST(a > b AS BIGINT) * 4 + CAST(b > c AS BIGINT) * 2
+                       + CAST(a > c AS BIGINT) END AS pattern
+            FROM p),
+      s AS (SELECT k, ts, event_id, v, pattern,
+             $counts,
+             count(pattern) OVER tw AS n
+            FROM q WINDOW tw AS (PARTITION BY k ORDER BY ts, event_id
+                                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW))
+      SELECT k AS event_type, epoch_us(ts) AS ts_us, event_id, v AS value, pattern,
+             CASE WHEN n = 16
+                  THEN round((0.0 - ($terms)) / ${java.lang.Double.toString(math.log(6.0))}, 6)
+             END AS perm_entropy
+      FROM s ORDER BY event_type, ts_us, event_id"""
+    }))
+
+  // CSCV probability of backtest overfitting over the event-type
+  // "strategies" (log-return streams, 8 time blocks → C(8,4) = 70
+  // IS/OOS combinations): elect the best in-sample mean, rank it
+  // out-of-sample, logit the relative rank. Everything up to the logit
+  // is exact integer arithmetic (nano-unit return sums, 6-dp-quantized
+  // means, count-based ranks); the combination enumeration interpolates
+  // from the same public cscvCombos both engines share.
+  private val qPbo = QDef(
+    "q_pbo",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val base = t(s, dir, "events")
+        .where(col("value").isNotNull && col("value") > 0)
+        .withColumn("r", log(col("value") / lag(col("value"), 1).over(w)))
+      operators.Backtest.cscvPbo(base, "event_type", "ts", "r", blocks = 8)
+    },
+    Some({
+      val combos = operators.Backtest.cscvCombos(8)
+        .map { case (c, b, f) => s"($c, $b, $f)" }.mkString(", ")
+      s"""
+      WITH raw AS (SELECT event_type AS strategy, ts, event_id, value
+                   FROM events WHERE value IS NOT NULL AND value > 0),
+      r0 AS (SELECT strategy, ts,
+                    ln(value / lag(value) OVER (PARTITION BY strategy
+                                                ORDER BY ts, event_id)) AS r
+             FROM raw),
+      r AS (SELECT strategy, epoch_us(ts) AS ts_us,
+                   CAST(round(r * 1e9) AS BIGINT) AS rfp
+            FROM r0 WHERE r IS NOT NULL),
+      bd AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM r),
+      blk AS (SELECT strategy,
+                     least(7, (ts_us - bd.lo) // ((bd.hi - bd.lo + 1) // 8)) AS block,
+                     rfp
+              FROM r, bd),
+      pb AS (SELECT strategy, block, CAST(sum(rfp) AS BIGINT) AS s, count(*) AS n
+             FROM blk GROUP BY 1, 2),
+      cmb(combo_id, block, in_sample) AS (VALUES $combos),
+      pc AS (SELECT combo_id, strategy,
+                    CAST(sum(CASE WHEN in_sample = 1 THEN s END) AS BIGINT) AS is_s,
+                    CAST(sum(CASE WHEN in_sample = 1 THEN n END) AS BIGINT) AS is_n,
+                    CAST(sum(CASE WHEN in_sample = 0 THEN s END) AS BIGINT) AS oos_s,
+                    CAST(sum(CASE WHEN in_sample = 0 THEN n END) AS BIGINT) AS oos_n
+             FROM pb JOIN cmb USING (block) GROUP BY 1, 2),
+      v AS (SELECT *,
+                   CAST(round(CAST(is_s AS DOUBLE) / 1e9 / CAST(is_n AS DOUBLE) * 1e6) AS BIGINT) AS isq,
+                   CAST(round(CAST(oos_s AS DOUBLE) / 1e9 / CAST(oos_n AS DOUBLE) * 1e6) AS BIGINT) AS oosq
+            FROM pc WHERE is_n IS NOT NULL AND oos_n IS NOT NULL),
+      el AS (SELECT *,
+                    row_number() OVER (PARTITION BY combo_id
+                                       ORDER BY isq DESC, strategy ASC) AS rn,
+                    count(*) OVER (PARTITION BY combo_id) AS nv
+             FROM v),
+      bq AS (SELECT *, max(CASE WHEN rn = 1 THEN oosq END)
+                         OVER (PARTITION BY combo_id) AS best_oosq
+             FROM el),
+      rk AS (SELECT *, CAST(sum(CASE WHEN oosq <= best_oosq THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY combo_id) AS BIGINT) AS rank_
+             FROM bq),
+      f AS (SELECT CAST(combo_id AS BIGINT) AS combo_id,
+                   CAST(nv AS BIGINT) AS n_strategies,
+                   strategy AS best_strategy,
+                   round(CAST(is_s AS DOUBLE) / 1e9 / CAST(is_n AS DOUBLE), 6) AS is_mean,
+                   round(CAST(oos_s AS DOUBLE) / 1e9 / CAST(oos_n AS DOUBLE), 6) AS oos_mean,
+                   rank_ AS oos_rank,
+                   round(CAST(rank_ AS DOUBLE) / (CAST(nv AS DOUBLE) + 1.0), 6) AS omega,
+                   round(ln((CAST(rank_ AS DOUBLE) / (CAST(nv AS DOUBLE) + 1.0))
+                            / (1.0 - CAST(rank_ AS DOUBLE) / (CAST(nv AS DOUBLE) + 1.0))), 6) AS lambda,
+                   CAST(CASE WHEN 2 * rank_ <= nv + 1 THEN 1 ELSE 0 END AS BIGINT) AS overfit
+            FROM rk WHERE rn = 1)
+      SELECT *, round(CAST(sum(overfit) OVER () AS DOUBLE)
+                        / CAST(count(*) OVER () AS DOUBLE), 6) AS pbo
+      FROM f ORDER BY combo_id"""
+    }))
+
   // Vectorized signal backtest per event type: a momentum rule
   // (sig = sign of the last change) traded next-tick with 10 bps linear
   // costs — positions, net PnL, equity curve, Sharpe (hourly
@@ -6693,7 +6889,7 @@ object Queries {
     qRollSpread, qAmihud, qCsSpread, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
-    qTrendScan,
+    qTrendScan, qRunBars, qPermEntropy, qPbo,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qPsr

@@ -730,4 +730,74 @@ object TaIndicators {
             - lit(BipowerConst) * (col("_sbv").cast("double") / 1e12),
           lit(0.0)), 6).as("jump")): _*)
   }
+
+  /** The six order-3 ordinal pattern ids emitted by
+    * [[permutationEntropy]]: `4·(a>b) + 2·(b>c) + (a>c)` over the value
+    * triple `(a, b, c) = (v_{t−2}, v_{t−1}, v_t)`. Two of the eight
+    * bit combos are order-inconsistent and unreachable, leaving these
+    * six — entropy only needs the ids DISTINCT, not dense. */
+  val PermutationPatternIds: Seq[Int] = Seq(0, 2, 3, 4, 5, 7)
+
+  /** Rolling permutation entropy (Bandt & Pompe 2002, embedding m = 3,
+    * lag 1) per series: each row's value triple `(v_{t−2}, v_{t−1},
+    * v_t)` maps to one of 6 ordinal patterns, and the entropy of the
+    * pattern distribution over the trailing `window` patterns measures
+    * how PREDICTABLE the series' local ordinal structure is — ~1
+    * (normalized) for noise, → 0 for monotone/periodic stretches. A
+    * standard complexity feature for regime detection that plain
+    * volatility can't see (it is amplitude-blind).
+    *
+    * Determinism: values quantize to `round(v·quantScale)` BIGINTs, so
+    * the three pairwise comparisons per row — strict `>`; ties rank by
+    * time order, the Bandt-Pompe stable convention — are exact, the
+    * pattern id `4·(a>b) + 2·(b>c) + (a>c)` is an exact integer, and
+    * the 6 trailing pattern counts are exact integer window sums. Only
+    * the final entropy is floating point: the 6 `(c/N)·ln(c/N)` terms
+    * sum in one FIXED left-associated tree (ids ascending), normalize
+    * by the INTERPOLATED JVM double `ln 6`, and round to 6 dp.
+    *
+    * Scale shape: one keyed window sort shared by the two lags, the
+    * pattern projection and all 6 sibling count frames — Catalyst plans
+    * a single exchange+sort; no joins, no driver data.
+    *
+    * Returns `(keys…, tsCol, tiebreakCol, value, pattern, perm_entropy)`
+    * — `pattern` null for the first 2 rows per series, `perm_entropy`
+    * null until `window` patterns accumulate (warm-up convention). */
+  def permutationEntropy(df: DataFrame, keys: Seq[String], tsCol: String,
+                         valueCol: String, tiebreakCol: String, window: Int,
+                         quantScale: Double = 100.0): DataFrame = {
+    require(keys.nonEmpty, "permutationEntropy needs the series key(s)")
+    require(window >= 2, s"need window >= 2 patterns, got $window")
+    require(quantScale > 0.0, s"need a positive quantScale, got $quantScale")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val wTrail = w.rowsBetween(-(window - 1), 0)
+    val v = col(valueCol).cast("double")
+    val base = df.where(v.isNotNull)
+      .withColumn("_c", round(v * lit(quantScale)).cast("long"))
+      .withColumn("_a", lag(col("_c"), 2).over(w))
+      .withColumn("_b", lag(col("_c"), 1).over(w))
+      .withColumn("pattern",
+        when(col("_a").isNotNull && col("_b").isNotNull,
+          (col("_a") > col("_b")).cast("long") * 4L +
+            (col("_b") > col("_c")).cast("long") * 2L +
+            (col("_a") > col("_c")).cast("long")))
+    val withCounts = PermutationPatternIds.foldLeft(base) { (acc, k) =>
+      acc.withColumn(s"_p$k",
+        sum(when(col("pattern") === k, 1L).otherwise(0L)).over(wTrail))
+    }.withColumn("_n", count(col("pattern")).over(wTrail))
+    val n = col("_n").cast("double")
+    val terms = PermutationPatternIds.map { k =>
+      val r = col(s"_p$k").cast("double") / n
+      when(col(s"_p$k") > 0L, r * log(r)).otherwise(lit(0.0))
+    }
+    withCounts.select(keys.map(col) ++ Seq(col(tsCol), col(tiebreakCol),
+      v.as("value"), col("pattern"),
+      when(col("_n") === window,
+        // 0.0 − Σ, not −Σ: a one-pattern window sums to exactly 0.0 and
+        // unary negation would emit −0.0 (an engine-visible bit pattern)
+        round((lit(0.0) - terms.reduceLeft(_ + _)) / lit(math.log(6.0)), 6))
+        .as("perm_entropy")): _*)
+  }
 }

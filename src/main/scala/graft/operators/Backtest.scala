@@ -247,7 +247,10 @@ object Backtest {
     val keys = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
       .distinct.sorted
     val k = keys.length
-    require(k >= 1 && k <= maxKeys,
+    require(k >= 1,
+      "minVariancePortfolio: empty covariance frame — nothing to solve " +
+        "(is the upstream returns window empty at this data scale?)")
+    require(k <= maxKeys,
       s"minVariancePortfolio: $k keys exceeds maxKeys=$maxKeys — this is " +
         "a driver-side key-sized solve, shard the universe upstream")
     val idx = keys.zipWithIndex.toMap
@@ -324,7 +327,10 @@ object Backtest {
     val keys = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
       .distinct.sorted
     val k = keys.length
-    require(k >= 1 && k <= maxKeys,
+    require(k >= 1,
+      "hrpPortfolio: empty covariance frame — nothing to solve " +
+        "(is the upstream returns window empty at this data scale?)")
+    require(k <= maxKeys,
       s"hrpPortfolio: $k keys exceeds maxKeys=$maxKeys — driver-side solve")
     val idx = keys.zipWithIndex.toMap
     val a = Array.fill(k, k)(Double.NaN)
@@ -690,6 +696,132 @@ object Backtest {
         when(v > 0.0 && denom > 0.0 && col("n_rets") > 1L &&
           col("sr0").isNotNull, round(z, 6)).as("dsr_z")): _*)
       .orderBy(keys.map(col): _*)
+  }
+
+  /** The IS/OOS block combinations of [[cscvPbo]]: `(combo_id, block,
+    * in_sample)` for every block of every C(blocks, blocks/2)
+    * combination, combo ids in lexicographic order — public so a
+    * query's oracle interpolates the IDENTICAL enumeration (the
+    * [[graft.operators.Relational.cpcvCombos]] convention). */
+  def cscvCombos(blocks: Int): Seq[(Long, Long, Int)] =
+    for {
+      (c, cid) <- (0 until blocks).combinations(blocks / 2).toSeq.zipWithIndex
+      b <- 0 until blocks
+    } yield (cid.toLong, b.toLong, if (c.contains(b)) 1 else 0)
+
+  /** CSCV probability of backtest overfitting (Bailey, Borwein, López
+    * de Prado, Zhu 2015): split each strategy's return stream into
+    * `blocks` equal time blocks; for EVERY combination of half the
+    * blocks as in-sample, elect the strategy with the best in-sample
+    * mean return, then ask where that winner RANKS out-of-sample. The
+    * logit `λ = ln(ω/(1−ω))` of its relative OOS rank ω is ≤ 0 exactly
+    * when the in-sample winner lands in the bottom half OOS — and the
+    * fraction of combinations where that happens is the PBO, the
+    * probability that the strategy-selection process itself overfits.
+    * Completes the overfitting suite next to [[probabilisticSharpe]],
+    * [[deflatedSharpe]] and the CPCV splits.
+    *
+    * Determinism: returns quantize to nano-unit BIGINTs, so per-block
+    * sums/counts and their per-combination halves are exact integers;
+    * the IS/OOS means quantize to 6-dp ·10⁶ BIGINTs before any
+    * comparison, the election orders by (quantized IS mean DESC,
+    * strategy ASC), and the OOS rank is the exact COUNT of strategies
+    * with quantized OOS mean ≤ the winner's — integer arithmetic end
+    * to end; only the final logit is floating point (one fixed tree,
+    * 6 dp). The overfit indicator avoids the logit entirely:
+    * `2·rank ≤ n_valid + 1` is exact.
+    *
+    * A strategy missing from either half of a combination (no
+    * observations in those blocks) drops from that combination's
+    * election and rank — documented; with contiguous series this never
+    * triggers.
+    *
+    * Scale shape: one 2-value global agg for the time bounds, one
+    * (strategy, block) aggregation over the corpus (map-side combined),
+    * then everything downstream lives on the strategies × blocks /
+    * combos × strategies frames — KEY-SIZED, never corpus-sized; the
+    * combination frame is driver-enumerated and broadcast (guarded
+    * ≤ 4096 like cpcvSplit).
+    *
+    * Returns one row per combination: `(combo_id, n_strategies,
+    * best_strategy, is_mean, oos_mean, oos_rank, omega, lambda,
+    * overfit, pbo)` — `pbo` repeated on every row (the global
+    * fraction, a window agg over the combo frame). */
+  def cscvPbo(df: DataFrame, strategyCol: String, tsCol: String,
+              returnCol: String, blocks: Int): DataFrame = {
+    require(blocks >= 2 && blocks % 2 == 0,
+      s"cscvPbo needs an even number of blocks >= 2, got $blocks")
+    val nCombos = (0 until blocks).combinations(blocks / 2).size
+    require(nCombos <= 4096,
+      s"cscvPbo: C($blocks, ${blocks / 2}) = $nCombos combinations — " +
+        "driver-enumerated and broadcast; use fewer blocks")
+    val spark = df.sparkSession
+    val e = df.where(col(returnCol).isNotNull)
+      .select(col(strategyCol).cast("string").as("strategy"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts_us"),
+        round(col(returnCol).cast("double") * 1e9).cast("long").as("_r_fp"))
+    val bounds = e.agg(min("ts_us").as("lo"), max("ts_us").as("hi"),
+      count(when(col("ts_us").isNull, lit(1))).as("n_null")).head()
+    require(bounds.getLong(2) == 0L,
+      s"cscvPbo: ${bounds.getLong(2)} rows have a null $tsCol — " +
+        "time blocks cannot place unknown-time samples")
+    val empty = spark.emptyDataFrame
+      .select(lit(0L).as("combo_id"), lit(0L).as("n_strategies"),
+        lit("").as("best_strategy"), lit(0.0).as("is_mean"),
+        lit(0.0).as("oos_mean"), lit(0L).as("oos_rank"),
+        lit(0.0).as("omega"), lit(0.0).as("lambda"),
+        lit(0L).as("overfit"), lit(0.0).as("pbo"))
+      .limit(0)
+    if (bounds.isNullAt(0)) return empty
+    val lo = bounds.getLong(0)
+    val hi = bounds.getLong(1)
+    val step = (hi - lo + 1L) / blocks
+    require(step > 0L,
+      s"cscvPbo: the corpus spans only ${hi - lo + 1} µs — fewer than " +
+        s"$blocks blocks")
+    val perBlock = e
+      .withColumn("block",
+        least(lit(blocks - 1L), expr(s"(ts_us - ${lo}L) div ${step}L")))
+      .groupBy("strategy", "block")
+      .agg(sum("_r_fp").as("_s"), count(lit(1)).as("_n"))
+    val combos = broadcast(spark.createDataFrame(spark.sparkContext.parallelize(
+        cscvCombos(blocks), 1))
+      .toDF("combo_id", "block", "in_sample"))
+    def meanQ(s: Column, n: Column): Column =
+      round(s.cast("double") / 1e9 / n.cast("double") * 1e6).cast("long")
+    val perCombo = perBlock.join(combos, "block")
+      .groupBy("combo_id", "strategy")
+      .agg(sum(when(col("in_sample") === 1, col("_s"))).as("_is_s"),
+        sum(when(col("in_sample") === 1, col("_n"))).as("_is_n"),
+        sum(when(col("in_sample") === 0, col("_s"))).as("_oos_s"),
+        sum(when(col("in_sample") === 0, col("_n"))).as("_oos_n"))
+      .where(col("_is_n").isNotNull && col("_oos_n").isNotNull)
+      .withColumn("_is_q", meanQ(col("_is_s"), col("_is_n")))
+      .withColumn("_oos_q", meanQ(col("_oos_s"), col("_oos_n")))
+    val wc = Window.partitionBy(col("combo_id"))
+    val elected = perCombo
+      .withColumn("_rn", row_number().over(
+        wc.orderBy(col("_is_q").desc, col("strategy").asc)))
+      .withColumn("_nv", count(lit(1)).over(wc))
+      .withColumn("_best_oos_q", max(when(col("_rn") === 1, col("_oos_q"))).over(wc))
+      .withColumn("_rank",
+        sum((col("_oos_q") <= col("_best_oos_q")).cast("long")).over(wc))
+    val w = col("_rank").cast("double") / (col("_nv").cast("double") + lit(1.0))
+    elected.where(col("_rn") === 1)
+      .select(col("combo_id"), col("_nv").as("n_strategies"),
+        col("strategy").as("best_strategy"),
+        round(col("_is_s").cast("double") / 1e9 / col("_is_n").cast("double"), 6)
+          .as("is_mean"),
+        round(col("_oos_s").cast("double") / 1e9 / col("_oos_n").cast("double"), 6)
+          .as("oos_mean"),
+        col("_rank").as("oos_rank"),
+        round(w, 6).as("omega"),
+        round(log(w / (lit(1.0) - w)), 6).as("lambda"),
+        (lit(2L) * col("_rank") <= col("_nv") + lit(1L)).cast("long").as("overfit"))
+      .withColumn("pbo", round(
+        sum(col("overfit")).over(Window.partitionBy(lit(1))).cast("double")
+          / count(lit(1)).over(Window.partitionBy(lit(1))).cast("double"), 6))
+      .orderBy("combo_id")
   }
 
   /** Shared annotation pass — every window rides one (keys, ts,

@@ -177,6 +177,56 @@ object Resample {
         max(col(tsCol)).as("close_ts"))
   }
 
+  /** Tick-run bars (AFML ch. 2 §2.3.2.3, fixed-threshold variant): the
+    * tick rule classifies each tick buy/sell exactly as
+    * [[imbalanceBars]], but the bar clock counts EACH SIDE separately
+    * and closes when `max(#buys, #sells)` since the bar opened reaches
+    * `threshold` — a long one-sided RUN closes a bar even when opposing
+    * ticks keep the net imbalance small, so run bars sample persistence
+    * of flow where imbalance bars sample its net direction.
+    *
+    * Same machinery as [[imbalanceBars]]: the reset-scan has unbounded
+    * prefix memory, so it runs as the O(1)-state native window function
+    * `graft_run_bar_id` ([[org.apache.spark.sql.graft.RunBarId]]) — one
+    * ordered pass per series, exact integer state, engine-reproducible.
+    *
+    * Scale shape: ONE keyed exchange shared by the sign lag, carry fill,
+    * bar scan and OHLC agg. Returns one row per bar: `(keys…, bar_id,
+    * open, high, low, close, n_ticks, n_up, n_dn, open_ts, close_ts)` —
+    * `max(n_up, n_dn) = threshold` for every closed bar by construction;
+    * the tail bar reports its partial counts. */
+  def runBars(df: DataFrame, tsCol: String, priceCol: String,
+              tiebreakCol: String, keys: Seq[String],
+              threshold: Long): DataFrame = {
+    require(threshold > 0L, s"threshold must be positive, got $threshold")
+    org.apache.spark.sql.graft.GraftFunctions.register(df.sparkSession)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val wFill = wRun.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val p = col(priceCol).cast("double")
+    val delta = p - lag(p, 1).over(wRun)
+    val sgn0 = when(delta > 0.0, lit(1L)).when(delta < 0.0, lit(-1L))
+    val b = coalesce(last(sgn0, ignoreNulls = true).over(wFill), lit(0L))
+    val ord = struct(col(tsCol), col(tiebreakCol))
+    df.withColumn("_b", b)
+      .withColumn("bar_id", call_function(
+        org.apache.spark.sql.graft.GraftFunctions.RunBarIdName,
+        col("_b"), lit(threshold)).over(wRun))
+      .groupBy((keys :+ "bar_id").map(col): _*)
+      .agg(
+        min_by(col(priceCol), ord).as("open"),
+        max(col(priceCol)).as("high"),
+        min(col(priceCol)).as("low"),
+        max_by(col(priceCol), ord).as("close"),
+        count(lit(1)).as("n_ticks"),
+        sum(when(col("_b") > 0L, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("_b") < 0L, 1L).otherwise(0L)).as("n_dn"),
+        min(col(tsCol)).as("open_ts"),
+        max(col(tsCol)).as("close_ts"))
+  }
+
   /** VPIN — Volume-synchronized Probability of INformed trading
     * (Easley, López de Prado, O'Hara 2012), the flow-toxicity monitor
     * that flagged the 2010 flash crash: cut the tape into equal-VOLUME

@@ -107,6 +107,62 @@ case class ThresholdBarId(child: Expression, threshold: Long)
     copy(child = newChild)
 }
 
+/** Run-bar assignment as a native Catalyst window function — the
+  * sequential scan behind tick RUN bars (López de Prado AFML ch. 2
+  * §2.3.2.3, fixed-threshold variant): the bar tracks HOW ONE-SIDED the
+  * tape is by counting buy-classified and sell-classified ticks
+  * separately; when `max(#buys, #sells) >= threshold` the bar closes
+  * WITH that row and both counters reset. Unlike [[ThresholdBarId]]
+  * (where opposing ticks cancel in one signed accumulator), a long
+  * same-sign RUN closes a bar even when the net imbalance stays small —
+  * runs and imbalance are different microstructure clocks.
+  *
+  * Input is the tick sign (+1/−1; null/0 counts neither side but still
+  * receives a bar id). Same unbounded-memory argument as
+  * [[ThresholdBarId]]: every reset depends on the whole prefix, so no
+  * fixed frame or prefix-sum trick expresses it; an
+  * [[AggregateWindowFunction]] scans once per partition with O(1)
+  * exact-integer state. */
+case class RunBarId(child: Expression, threshold: Long)
+    extends AggregateWindowFunction with UnaryLike[Expression] {
+
+  require(threshold > 0L, s"threshold must be positive, got $threshold")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "run_bar_id"
+
+  private val L = org.apache.spark.sql.types.LongType
+  private lazy val ups = AttributeReference("ups", L, nullable = false)()
+  private lazy val dns = AttributeReference("dns", L, nullable = false)()
+  private lazy val bar = AttributeReference("bar", L, nullable = false)()
+  private lazy val emit = AttributeReference("emit", L, nullable = false)()
+  override def aggBufferAttributes: Seq[AttributeReference] =
+    Seq(ups, dns, bar, emit)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(0L), Literal(0L))
+
+  private def inc: Expression =
+    If(IsNull(child), Literal(0L), Cast(child, L))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val newUps = Add(ups, If(GreaterThan(inc, Literal(0L)), Literal(1L), Literal(0L)))
+    val newDns = Add(dns, If(LessThan(inc, Literal(0L)), Literal(1L), Literal(0L)))
+    val closed = GreaterThanOrEqual(
+      If(GreaterThanOrEqual(newUps, newDns), newUps, newDns), Literal(threshold))
+    Seq(
+      If(closed, Literal(0L), newUps),         // ups
+      If(closed, Literal(0L), newDns),         // dns
+      If(closed, Add(bar, Literal(1L)), bar),  // bar
+      bar)  // emit: the bar open when this row arrived (closes WITH it)
+  }
+
+  override lazy val evaluateExpression: Expression = emit
+
+  override protected def withNewChildInternal(newChild: Expression): RunBarId =
+    copy(child = newChild)
+}
+
 /** Bridge between graft's public API (Column) and Catalyst (Expression).
   * Lives under `org.apache.spark.sql` to reach the `private[sql]` converters
   * of Spark 4's classic Column implementation.
@@ -128,6 +184,7 @@ object CatalystBridge {
 object GraftFunctions {
   val EwmMeanName = "graft_ewm_mean"
   val ThresholdBarIdName = "graft_threshold_bar_id"
+  val RunBarIdName = "graft_run_bar_id"
   val DotName = "graft_dot"
   val LshSigsName = "graft_lsh_sigs"
   val ShinglesName = "graft_shingles"
@@ -162,6 +219,19 @@ object GraftFunctions {
       exprs => EwmMean(exprs.head, evalAlpha(exprs(1))), "built-in")
     registry.createOrReplaceTempFunction(ThresholdBarIdName,
       exprs => ThresholdBarId(exprs.head, exprs(1) match {
+        case Literal(v: Long, _) => v
+        case Literal(v: Int, _) => v.toLong
+        case other if other.foldable => other.eval() match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case v => throw new IllegalArgumentException(
+            s"threshold must be an integer literal, got $v")
+        }
+        case other => throw new IllegalArgumentException(
+          s"threshold must be a literal, got $other")
+      }), "built-in")
+    registry.createOrReplaceTempFunction(RunBarIdName,
+      exprs => RunBarId(exprs.head, exprs(1) match {
         case Literal(v: Long, _) => v
         case Literal(v: Int, _) => v.toLong
         case other if other.foldable => other.eval() match {

@@ -4243,6 +4243,114 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("exceeds the 2-key triangle"), e2.getMessage)
   }
 
+  test("runBars: two-counter fold, closes where imbalance would not, flat carry, tail partial") {
+    import graft.operators.Resample
+    // prices → deltas +,+,−,+,+,+ → signs 0,+,+,−,+,+,+ (leading 0)
+    val px = Seq(10.0, 11.0, 12.0, 11.0, 12.0, 13.0, 14.0)
+    val df = px.zipWithIndex.map { case (p, i) => ("S", i.toLong, p) }
+      .toDF("k", "t", "p").withColumn("ts", expr("timestamp_micros(t)"))
+    val bars = Resample.runBars(df, "ts", "p", "t", Seq("k"), threshold = 3L)
+      .orderBy("bar_id").collect()
+    // fold: (ups,dns) 0,0 → 1,0 → 2,0 → 2,1 → 3,1 CLOSES at row 4
+    // (the signed imbalance there is only 2 — an imbalance bar at the
+    // same threshold would NOT close: runs ≠ imbalance)
+    assert(bars.length == 2)
+    val b0 = bars(0)
+    assert(b0.getAs[Long]("n_ticks") == 5 && b0.getAs[Long]("n_up") == 3
+      && b0.getAs[Long]("n_dn") == 1, s"bar0: $b0")
+    assert(b0.getAs[Double]("open") == 10.0 && b0.getAs[Double]("close") == 12.0
+      && b0.getAs[Double]("high") == 12.0 && b0.getAs[Double]("low") == 10.0)
+    val b1 = bars(1)
+    assert(b1.getAs[Long]("n_ticks") == 2 && b1.getAs[Long]("n_up") == 2
+      && b1.getAs[Long]("n_dn") == 0, s"tail bar: $b1")
+    // cross-check: at the same threshold the IMBALANCE clock needs one
+    // more tick (the −1 cancels a +1: net hits 3 only at row 5, runs
+    // already hit 3 ups at row 4) — runs ≠ imbalance
+    val imb = Resample.imbalanceBars(df, "ts", "p", "t", Seq("k"), threshold = 3L)
+      .orderBy("bar_id").collect()
+    assert(imb(0).getAs[Long]("n_ticks") == 6,
+      s"imbalance bar closes one tick later: ${imb.toSeq}")
+    // flat ticks carry the previous sign into the run counters
+    val flat = Seq(10.0, 11.0, 11.0, 11.0).zipWithIndex
+      .map { case (p, i) => ("F", i.toLong, p) }
+      .toDF("k", "t", "p").withColumn("ts", expr("timestamp_micros(t)"))
+    val fb = Resample.runBars(flat, "ts", "p", "t", Seq("k"), threshold = 3L)
+      .orderBy("bar_id").collect()
+    // one real up-move + two carried flats = 3 ups → the bar closes WITH
+    // the final row (nothing left to open bar 1)
+    assert(fb.length == 1 && fb(0).getAs[Long]("n_up") == 3
+      && fb(0).getAs[Long]("n_ticks") == 4,
+      s"carried + signs close the bar at row 3: ${fb.toSeq}")
+  }
+
+  test("permutationEntropy: monotone → 0, alternating → ln2/ln6, flat ties, warm-up nulls") {
+    import graft.functions.TaIndicators
+    def run(vals: Seq[Double], window: Int) = {
+      val df = vals.zipWithIndex.map { case (v, i) => ("S", i.toLong, v) }
+        .toDF("k", "t", "v").withColumn("ts", expr("timestamp_micros(t)"))
+      TaIndicators.permutationEntropy(df, Seq("k"), "ts", "v", "t", window)
+        .orderBy("t").collect()
+    }
+    // strictly increasing: every pattern is 0 → entropy exactly 0
+    val inc = run((1 to 6).map(_.toDouble), window = 3)
+    assert(inc.take(2).forall(_.isNullAt(inc(0).fieldIndex("pattern"))),
+      "first 2 rows have no triple")
+    assert(inc.take(3).forall(_.isNullAt(inc(0).fieldIndex("perm_entropy"))),
+      "entropy needs 3 patterns (row index 4 on)")
+    assert(inc.drop(4).forall(r => r.getAs[Double]("perm_entropy") == 0.0))
+    assert(inc.drop(2).forall(_.getAs[Long]("pattern") == 0L))
+    // alternating zig-zag: patterns alternate 2,4,2,4 → a 2/2 split over
+    // window 4 → H = ln2/ln6
+    val zig = run(Seq(1.0, 3.0, 2.0, 4.0, 3.0, 5.0), window = 4)
+    assert(zig.drop(2).map(_.getAs[Long]("pattern")).toSeq == Seq(2L, 4L, 2L, 4L))
+    assert(zig(5).getAs[Double]("perm_entropy") ==
+      math.rint(math.log(2.0) / math.log(6.0) * 1e6) / 1e6)
+    // flat triples: strict compares all false → pattern 0 (stable-tie,
+    // time-order convention)
+    val fl = run(Seq(5.0, 5.0, 5.0, 5.0), window = 2)
+    assert(fl.drop(2).forall(_.getAs[Long]("pattern") == 0L))
+    assert(fl(3).getAs[Double]("perm_entropy") == 0.0)
+  }
+
+  test("cscvPbo: anti-correlated strategies → PBO 1, dominant strategy → PBO 0, exact ω/λ") {
+    import graft.operators.Backtest
+    def mk(rows: Seq[(String, Long, Double)]) =
+      rows.toDF("s", "t", "r").withColumn("ts", expr("timestamp_micros(t)"))
+    // 2 blocks over ts 0..3 (step 2). A wins block 0, loses block 1 and
+    // vice versa → every combination's IS winner is the OOS loser
+    val anti = mk(Seq(("A", 0L, 0.1), ("A", 1L, 0.1), ("B", 0L, -0.1), ("B", 1L, -0.1),
+      ("A", 2L, -0.2), ("A", 3L, -0.2), ("B", 2L, 0.2), ("B", 3L, 0.2)))
+    val outA = Backtest.cscvPbo(anti, "s", "ts", "r", blocks = 2)
+      .orderBy("combo_id").collect()
+    assert(outA.length == 2)
+    outA.foreach { r =>
+      assert(r.getAs[Long]("oos_rank") == 1L && r.getAs[Long]("overfit") == 1L)
+      // ω = 1/3 → λ = ln(1/2)
+      assert(r.getAs[Double]("omega") == math.rint(1.0 / 3.0 * 1e6) / 1e6)
+      assert(r.getAs[Double]("lambda") ==
+        math.rint(math.log(0.5) * 1e6) / 1e6)
+      assert(r.getAs[Double]("pbo") == 1.0)
+    }
+    assert(outA(0).getAs[String]("best_strategy") == "A"
+      && outA(1).getAs[String]("best_strategy") == "B")
+    // A dominates everywhere → elected and top-ranked OOS in both
+    // combos: ω = 2/3, λ = ln 2, PBO 0
+    val dom = mk(Seq(("A", 0L, 0.1), ("A", 1L, 0.1), ("B", 0L, -0.1), ("B", 1L, -0.1),
+      ("A", 2L, 0.1), ("A", 3L, 0.1), ("B", 2L, -0.1), ("B", 3L, -0.1)))
+    val outD = Backtest.cscvPbo(dom, "s", "ts", "r", blocks = 2)
+      .orderBy("combo_id").collect()
+    outD.foreach { r =>
+      assert(r.getAs[String]("best_strategy") == "A")
+      assert(r.getAs[Long]("oos_rank") == 2L && r.getAs[Long]("overfit") == 0L)
+      assert(r.getAs[Double]("lambda") ==
+        math.rint(math.log(2.0) * 1e6) / 1e6)
+      assert(r.getAs[Double]("pbo") == 0.0)
+    }
+    // the combo enumeration is lexicographic and halves the blocks
+    assert(Backtest.cscvCombos(4).filter(_._1 == 0L).map(c => (c._2, c._3)) ==
+      Seq((0L, 1), (1L, 1), (2L, 0), (3L, 0)))
+  }
+
   test("trendScanLabel: direct-OLS parity incl. L≡2 mod 4, linear sentinel, shortest-span tie, tail nulls") {
     import graft.operators.Labeling
     // noisy up-trend, spans (3, 6): 6 ≡ 2 mod 4 exercises the exact
