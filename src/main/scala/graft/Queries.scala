@@ -1865,6 +1865,110 @@ object Queries {
       FROM s ORDER BY event_type, ts_us, event_id"""
     }))
 
+  // Average label uniqueness + sample weights (AFML ch. 4) over
+  // variable-length fixed-horizon labels on the event clock: each event
+  // opens a label spanning (1 + event_id mod 6) hours. Concurrency is
+  // an exact pair-frame count, per-tick 1/c contributions quantize to
+  // round(1e9/c) BIGINTs, and the oracle replays the whole chain with a
+  // plain interval join.
+  private val qAvgUniqueness = QDef(
+    "q_avg_uniqueness",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), micros(col("ts")).as("ts_us"), col("event_id"))
+      val spans = ev
+        .withColumn("t0_us", col("ts_us"))
+        .withColumn("t1_us",
+          col("ts_us") + (lit(1L) + pmod(col("event_id"), lit(6L))) * lit(3600000000L))
+      operators.Labeling.averageUniqueness(ev, spans, Seq("event_type"),
+          "ts_us", "event_id", "t0_us", "t1_us", bucketUs = 6L * 3600000000L)
+        .orderBy("event_type", "event_id")
+    },
+    Some("""
+      WITH tk AS (SELECT event_type AS k, epoch_us(ts) AS ts_us, event_id
+                  FROM events),
+      sp AS (SELECT event_type AS k, event_id AS id, epoch_us(ts) AS t0,
+                    epoch_us(ts) + (1 + event_id % 6) * 3600000000 AS t1
+             FROM events),
+      pairs AS (SELECT tk.k, tk.ts_us, sp.id, sp.t0, sp.t1
+                FROM tk JOIN sp ON sp.k = tk.k
+                                AND tk.ts_us >= sp.t0 AND tk.ts_us <= sp.t1),
+      wc AS (SELECT *, count(*) OVER (PARTITION BY k, ts_us) AS c FROM pairs),
+      per AS (SELECT k, id, min(t0) AS t0_us, min(t1) AS t1_us,
+                     count(*) AS n_ticks,
+                     CAST(sum(CAST(round(1e9 / CAST(c AS DOUBLE)) AS BIGINT)) AS BIGINT) AS su
+              FROM wc GROUP BY 1, 2),
+      u AS (SELECT *,
+                   round(CAST(su AS DOUBLE) / 1e9 / CAST(n_ticks AS DOUBLE), 6) AS uniqueness
+            FROM per),
+      q AS (SELECT *, CAST(round(uniqueness * 1e6) AS BIGINT) AS uq FROM u)
+      SELECT k AS event_type, id AS event_id, t0_us, t1_us, n_ticks, uniqueness,
+             round(CAST(uq AS DOUBLE) * CAST(count(*) OVER (PARTITION BY k) AS DOUBLE)
+                   / CAST(sum(uq) OVER (PARTITION BY k) AS DOUBLE), 6) AS weight
+      FROM q ORDER BY event_type, event_id"""))
+
+  // Backward sup-ADF explosiveness per event type (PSY 2015 bounded-
+  // window variant, window ladder {8, 16, 32}): Δv on lagged v, exact
+  // integer regression sums per rung, sup of the β t-statistics. The
+  // oracle replays every rung's sums, the one-tree t, the degenerate
+  // null/sentinel cases and the shortest-window sup election in SQL.
+  private val sadfWindows = Seq(8, 16, 32)
+  private val qSadf = QDef(
+    "q_sadf",
+    (s, dir) => TA.sadf(t(s, dir, "events"), Seq("event_type"),
+        "ts", "value", "event_id", windows = sadfWindows, quantScale = 100.0)
+      .select(col("event_type"), micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"), col("best_window"), col("sadf"))
+      .orderBy("event_type", "ts_us", "event_id"),
+    Some({
+      val ws = sadfWindows.sorted
+      val sums = ws.flatMap { n =>
+        val fr = s"ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW"
+        Seq(s"count(d) OVER (w $fr) AS n$n",
+            s"sum(x) OVER (w $fr) AS sx$n",
+            s"sum(d) OVER (w $fr) AS sd$n",
+            s"sum(x * d) OVER (w $fr) AS sxd$n",
+            s"sum(x * x) OVER (w $fr) AS sxx$n",
+            s"sum(d * d) OVER (w $fr) AS sdd$n")
+      }.mkString(",\n             ")
+      val ts = ws.map { n =>
+        val num = s"($n * sxd$n - sx$n * sd$n)"
+        val den = s"($n * sxx$n - sx$n * sx$n)"
+        val dd = s"($n * sdd$n - sd$n * sd$n)"
+        val sseN = s"(CAST($dd AS DOUBLE) - CAST($num AS DOUBLE) * CAST($num AS DOUBLE) / CAST($den AS DOUBLE))"
+        s"""CASE WHEN n$n <> $n OR $den = 0 THEN NULL
+             WHEN $sseN > 0.0
+               THEN round(CAST($num AS DOUBLE)
+                          / sqrt($sseN * CAST($den AS DOUBLE) / ${(n - 2).toDouble}), 6)
+             WHEN $num = 0 THEN 0.0
+             WHEN $num > 0 THEN 1e9 ELSE -1e9 END AS t$n"""
+      }.mkString(",\n             ")
+      val best = ws.zipWithIndex.map { case (n, i) =>
+        val beats = ws.drop(i + 1)
+          .map(m => s"(t$m IS NULL OR t$n >= t$m)")
+        (s"t$n IS NOT NULL" +: beats).mkString("WHEN ", " AND ", s" THEN $n")
+      }.mkString("CASE ", "\n                  ", " END")
+      val pick = ws.map(n => s"WHEN $n THEN t$n").mkString("CASE best_window ", " ", " END")
+      s"""
+      WITH e AS (SELECT event_type AS k, ts, event_id, CAST(value AS DOUBLE) AS v,
+                        CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS c
+                 FROM events WHERE value IS NOT NULL),
+      p AS (SELECT k, ts, event_id, v,
+                   lag(c, 1) OVER w AS x,
+                   c - lag(c, 1) OVER w AS d
+            FROM e WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
+      s AS (SELECT k, ts, event_id, v,
+             $sums
+            FROM p WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
+      tt AS (SELECT *,
+             $ts
+             FROM s),
+      b AS (SELECT *, $best AS best_window FROM tt)
+      SELECT k AS event_type, epoch_us(ts) AS ts_us, event_id, v AS value,
+             best_window, $pick AS sadf
+      FROM b ORDER BY event_type, ts_us, event_id"""
+    }))
+
   // CSCV probability of backtest overfitting over the event-type
   // "strategies" (log-return streams, 8 time blocks → C(8,4) = 70
   // IS/OOS combinations): elect the best in-sample mean, rank it
@@ -6889,7 +6993,7 @@ object Queries {
     qRollSpread, qAmihud, qCsSpread, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
-    qTrendScan, qRunBars, qPermEntropy, qPbo,
+    qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qPsr

@@ -731,6 +731,91 @@ object TaIndicators {
           lit(0.0)), 6).as("jump")): _*)
   }
 
+  /** Backward sup-ADF explosiveness statistic (Phillips, Shi & Yu 2015
+    * "Testing for multiple bubbles"; López de Prado AFML ch. 17
+    * structural-break features) — the BOUNDED-WINDOW variant: at every
+    * row, regress `Δy_t = α + β·y_{t−1} + ε` over each trailing window
+    * in `windows`, take the β t-statistic, and report the SUP across
+    * windows — a right-tailed explosiveness detector (t ≫ 0 ⇒ the
+    * level FEEDS its own growth, the bubble signature; t ≪ 0 ⇒ mean
+    * reversion). PSY's expanding window set is unbounded-memory; a
+    * fixed geometric window ladder is the standard streaming-safe
+    * surrogate and keeps the scan one window pass per ladder rung.
+    *
+    * Determinism: values quantize to `round(v·quantScale)` BIGINTs;
+    * lag/diff pairs `(x, d) = (c_{t−1}, c_t − c_{t−1})` are exact, and
+    * all five regression sums (Σx, Σd, Σxd, Σx², Σd²) are exact integer
+    * window sums, so `num = nΣxd − ΣxΣd`, `den = nΣx² − (Σx)²`,
+    * `D = nΣd² − (Σd)²` are exact BIGINTs. The t-statistic
+    * `t = num/√((D − num²/den)·den/(n−2))` derives in one fixed double
+    * tree, 6 dp. Degenerate windows are explicit: den = 0 (constant
+    * regressor) → null; a residual-free fit → the ±1e9·sign(num)
+    * sentinel ([[graft.operators.Labeling.trendScanLabel]]'s rule);
+    * windows without n full pairs → null. The sup elects the LARGEST
+    * rounded t, ties to the SHORTEST window.
+    *
+    * Scale shape: one keyed window sort shared by the lag/diff pair and
+    * every rung's five sibling sum frames; no joins, no driver data.
+    *
+    * Returns `(keys…, tsCol, tiebreakCol, value, best_window, sadf)`. */
+  def sadf(df: DataFrame, keys: Seq[String], tsCol: String,
+           valueCol: String, tiebreakCol: String, windows: Seq[Int],
+           quantScale: Double = 100.0): DataFrame = {
+    require(keys.nonEmpty, "sadf needs the series key(s)")
+    require(windows.nonEmpty && windows.forall(_ >= 4),
+      s"every window needs >= 4 obs (t needs n-2 > 0 df), got $windows")
+    require(windows.distinct.size == windows.size, s"duplicate windows in $windows")
+    require(quantScale > 0.0, s"need a positive quantScale, got $quantScale")
+    val ws = windows.sorted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreakCol))
+    def trail(n: Int) = w.rowsBetween(-(n - 1), 0)
+    val v = col(valueCol).cast("double")
+    val base = df.where(v.isNotNull)
+      .withColumn("_c", round(v * lit(quantScale)).cast("long"))
+      .withColumn("_x", lag(col("_c"), 1).over(w))
+      .withColumn("_d", col("_c") - lag(col("_c"), 1).over(w))
+    val withSums = ws.foldLeft(base) { (acc, n) =>
+      acc.withColumn(s"_n$n", count(col("_d")).over(trail(n)))
+        .withColumn(s"_sx$n", sum(col("_x")).over(trail(n)))
+        .withColumn(s"_sd$n", sum(col("_d")).over(trail(n)))
+        .withColumn(s"_sxd$n", sum(col("_x") * col("_d")).over(trail(n)))
+        .withColumn(s"_sxx$n", sum(col("_x") * col("_x")).over(trail(n)))
+        .withColumn(s"_sdd$n", sum(col("_d") * col("_d")).over(trail(n)))
+    }
+    val withT = ws.foldLeft(withSums) { (acc, n) =>
+      val N = lit(n.toLong)
+      val num = N * col(s"_sxd$n") - col(s"_sx$n") * col(s"_sd$n")
+      val den = N * col(s"_sxx$n") - col(s"_sx$n") * col(s"_sx$n")
+      val dd = N * col(s"_sdd$n") - col(s"_sd$n") * col(s"_sd$n")
+      val sseN = dd.cast("double") -
+        num.cast("double") * num.cast("double") / den.cast("double")
+      val t = num.cast("double") /
+        sqrt(sseN * den.cast("double") / lit((n - 2).toDouble))
+      acc.withColumn(s"_t$n",
+        when(col(s"_n$n") =!= n || den === 0L, lit(null).cast("double"))
+          .when(sseN > 0.0, round(t, 6))
+          .when(num === 0L, lit(0.0))
+          .otherwise(signum(num.cast("double")) * lit(1e9)))
+    }
+    // sup over rungs: largest rounded t, shortest window on ties
+    val best = ws.zipWithIndex.foldRight(lit(null).cast("int")) {
+      case ((n, i), rest) =>
+        val beats = ws.drop(i + 1)
+          .map(m => col(s"_t$m").isNull || col(s"_t$n") >= col(s"_t$m"))
+          .foldLeft(lit(true))(_ && _)
+        when(col(s"_t$n").isNotNull && beats, lit(n)).otherwise(rest)
+    }
+    val pick = ws.foldRight(lit(null).cast("double")) {
+      (n, rest) => when(col("_best") === n, col(s"_t$n")).otherwise(rest)
+    }
+    withT.withColumn("_best", best)
+      .select(keys.map(col) ++ Seq(col(tsCol), col(tiebreakCol),
+        v.as("value"), col("_best").as("best_window"),
+        pick.as("sadf")): _*)
+  }
+
   /** The six order-3 ordinal pattern ids emitted by
     * [[permutationEntropy]]: `4·(a>b) + 2·(b>c) + (a>c)` over the value
     * triple `(a, b, c) = (v_{t−2}, v_{t−1}, v_t)`. Two of the eight

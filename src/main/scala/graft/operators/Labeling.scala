@@ -204,6 +204,76 @@ object Labeling {
           .cast("long").as("label")): _*)
   }
 
+  /** Average label uniqueness and sample weights (AFML ch. 4
+    * §4.3–4.5): triple-barrier-style labels OVERLAP in time, so
+    * observations are not IID — a tick covered by c concurrent labels
+    * contributes only 1/c of a unique observation to each. A label's
+    * average uniqueness `ū = mean over its span's ticks of 1/c_t`
+    * discounts redundant samples, and the per-series weights
+    * `w = ū·N/Σū` (mean 1) are the standard bagging/boosting sample
+    * weights over overlapping financial labels.
+    *
+    * Inputs: `ticks` is the observation clock (`keys`, `tsCol` in
+    * integer µs); `spans` carries one row per label (`keys`, `idCol`,
+    * `t0Col`/`t1Col` µs, inclusive). Spans are matched to ticks by a
+    * BUCKETED band join on ⌊t/bucketUs⌋ — a span explodes to
+    * `(t1−t0)/bucketUs + 1` buckets, so size `bucketUs` near the
+    * label horizon and the fan-out is ≤ 2 rows per span (semantics
+    * hold for ANY positive bucketUs; only the fan-out changes). Pair
+    * volume is Σ span tick-lengths — the same bound as the
+    * [[tripleBarrier]] probe itself.
+    *
+    * Determinism: concurrency `c_t` is an exact integer COUNT over the
+    * pair frame; per-tick contributions quantize to `round(10⁹/c)`
+    * BIGINTs and sum exactly; ū and w are each one fixed double tree
+    * over exact integers, 6 dp (w from ū's exact ·10⁶ integer image).
+    * Labels whose span covers no tick drop from the output
+    * (an empty mean is undefined — the caller's data bug to surface).
+    *
+    * Scale shape: one equi-join on (keys, bucket), one window COUNT
+    * keyed by (keys, tick), one groupBy label, one keyed window for
+    * the weight normalization — no driver data, no unbounded fan-out.
+    *
+    * Returns `(keys…, idCol, t0_us, t1_us, n_ticks, uniqueness,
+    * weight)`. */
+  def averageUniqueness(ticks: DataFrame, spans: DataFrame,
+                        keys: Seq[String], tsCol: String, idCol: String,
+                        t0Col: String, t1Col: String,
+                        bucketUs: Long): DataFrame = {
+    require(keys.nonEmpty, "averageUniqueness needs the series key(s)")
+    require(bucketUs > 0L, s"bucketUs must be positive, got $bucketUs")
+    val tk = ticks
+      .select(keys.map(col) :+ col(tsCol).cast("long").as("_ts"): _*)
+      .where(col("_ts").isNotNull)
+      .withColumn("_b", expr(s"_ts div ${bucketUs}L"))
+    val sp = spans.select(keys.map(col) ++ Seq(col(idCol).as("_id"),
+        col(t0Col).cast("long").as("_t0"),
+        col(t1Col).cast("long").as("_t1")): _*)
+      .where(col("_t0").isNotNull && col("_t1").isNotNull &&
+        col("_t1") >= col("_t0"))
+      .withColumn("_b",
+        explode(expr(s"sequence(_t0 div ${bucketUs}L, _t1 div ${bucketUs}L)")))
+    val pairs = tk.join(sp, keys :+ "_b")
+      .where(col("_ts") >= col("_t0") && col("_ts") <= col("_t1"))
+    val wTick = Window.partitionBy((keys :+ "_ts").map(col): _*)
+    val perSpan = pairs
+      .withColumn("_c", count(lit(1)).over(wTick))
+      .groupBy((keys :+ "_id").map(col): _*)
+      .agg(min("_t0").as("t0_us"), min("_t1").as("t1_us"),
+        count(lit(1)).as("n_ticks"),
+        sum(round(lit(1e9) / col("_c").cast("double")).cast("long")).as("_su"))
+      .withColumn("uniqueness",
+        round(col("_su").cast("double") / 1e9 / col("n_ticks").cast("double"), 6))
+      .withColumn("_uq", round(col("uniqueness") * 1e6).cast("long"))
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    perSpan
+      .withColumn("weight",
+        round(col("_uq").cast("double") * count(lit(1)).over(wKey).cast("double")
+          / sum(col("_uq")).over(wKey).cast("double"), 6))
+      .select(keys.map(col) ++ Seq(col("_id").as(idCol), col("t0_us"),
+        col("t1_us"), col("n_ticks"), col("uniqueness"), col("weight")): _*)
+  }
+
   /** Meta-labels (AFML ch. 3 §3.6): given a PRIMARY model's side
     * (−1/0/+1 in `sideCol`), the meta-label answers "was that side
     * right?" — 1 when the triple-barrier first touch realized in the

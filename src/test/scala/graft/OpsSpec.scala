@@ -4243,6 +4243,88 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("exceeds the 2-key triangle"), e2.getMessage)
   }
 
+  test("averageUniqueness: hand concurrency, mean-1 weights, no-tick drop, bucket invariance") {
+    import graft.operators.Labeling
+    val ticks = (0L to 5L).map(t => ("S", t)).toDF("k", "ts")
+    // A[0,2] B[1,3] overlap on ticks 1,2; C[4,5] alone; D covers no tick
+    val spans = Seq(("S", "A", 0L, 2L), ("S", "B", 1L, 3L),
+      ("S", "C", 4L, 5L), ("S", "D", 100L, 105L))
+      .toDF("k", "id", "t0", "t1")
+    def run(bucket: Long) =
+      Labeling.averageUniqueness(ticks, spans, Seq("k"), "ts", "id",
+          "t0", "t1", bucketUs = bucket)
+        .orderBy("id").collect()
+        .map(r => (r.getAs[String]("id"), r.getAs[Long]("n_ticks"),
+          r.getAs[Double]("uniqueness"), r.getAs[Double]("weight")))
+    val out = run(4L)
+    // ū_A = mean(1, 1/2, 1/2) = 2/3; ū_B same; ū_C = 1; D drops.
+    // weights w = ū·N/Σū over the exact ·10⁶ images: Σuq = 2,333,334
+    assert(out.map(_._1).toSeq == Seq("A", "B", "C"), s"D must drop: ${out.toSeq}")
+    assert(out.map(_._2).toSeq == Seq(3L, 3L, 2L))
+    assert(out(0)._3 == 0.666667 && out(1)._3 == 0.666667 && out(2)._3 == 1.0)
+    assert(out(0)._4 == math.rint(666667.0 * 3 / 2333334.0 * 1e6) / 1e6)
+    assert(out(2)._4 == math.rint(1000000.0 * 3 / 2333334.0 * 1e6) / 1e6)
+    // weights sum to N (mean 1) up to 6-dp rounding
+    assert(math.abs(out.map(_._4).sum - 3.0) < 3e-6)
+    // bucket width changes the fan-out, never the answer
+    assert(run(1L).toSeq == out.toSeq && run(1000L).toSeq == out.toSeq)
+  }
+
+  test("sadf: direct-OLS t parity, explosive sentinel, mean-reversion sign, degenerate nulls") {
+    import graft.functions.TaIndicators
+    def run(vals: Seq[Double], windows: Seq[Int]) = {
+      val df = vals.zipWithIndex.map { case (v, i) => ("S", i.toLong, v) }
+        .toDF("k", "t", "v").withColumn("ts", expr("timestamp_micros(t)"))
+      TaIndicators.sadf(df, Seq("k"), "ts", "v", "t", windows)
+        .orderBy("t").collect()
+    }
+    // noisy mean-reverting fixture: direct double OLS of d on (1, x)
+    // must match the exact-integer engine path at 6 dp
+    val vals = Seq(10.0, 10.4, 9.8, 10.5, 9.7, 10.2, 10.0, 10.6, 9.9,
+      10.3, 9.8, 10.4)
+    val out = run(vals, windows = Seq(5, 8))
+    val c = vals.map(v => math.rint(v * 100.0))
+    def adfT(n: Int, i: Int): Option[Double] = {
+      if (i - n < 0) None else {
+        val xs = (i - n + 1 to i).map(j => c(j - 1))
+        val ds = (i - n + 1 to i).map(j => c(j) - c(j - 1))
+        val xb = xs.sum / n.toDouble; val db = ds.sum / n.toDouble
+        val sxy = xs.zip(ds).map { case (x, d) => (x - xb) * (d - db) }.sum
+        val sxx = xs.map(x => (x - xb) * (x - xb)).sum
+        if (sxx == 0.0) None else {
+          val b = sxy / sxx
+          val sse = xs.zip(ds).map { case (x, d) =>
+            val e = d - db - b * (x - xb); e * e }.sum
+          Some(b / math.sqrt(sse / (n - 2) / sxx))
+        }
+      }
+    }
+    vals.indices.foreach { i =>
+      val cand = Seq(5, 8).flatMap(n =>
+        adfT(n, i).map(t => n -> math.rint(t * 1e6) / 1e6))
+      val r = out(i)
+      if (cand.isEmpty)
+        assert(r.isNullAt(r.fieldIndex("sadf")), s"row $i should be null")
+      else {
+        val best = cand.reduceLeft((a, b) => if (a._2 >= b._2) a else b)
+        assert(r.getAs[Int]("best_window") == best._1, s"row $i window")
+        assert(math.abs(r.getAs[Double]("sadf") - best._2) < 2e-6,
+          s"row $i t: engine ${r.getAs[Double]("sadf")} vs direct ${best._2}")
+      }
+    }
+    // exactly explosive series c_t = 2^t: d_t = x_t EXACTLY → residual-
+    // free positive fit → the +1e9 sentinel
+    val expo = run((0 until 8).map(i => math.pow(2.0, i.toDouble)), Seq(5))
+    assert(expo.last.getAs[Double]("sadf") == 1e9)
+    assert(expo.last.getAs[Int]("best_window") == 5)
+    // strongly mean-reverting tape → negative sup
+    assert(out.last.getAs[Double]("sadf") < 0.0,
+      s"zig-zag must read mean-reverting: ${out.last}")
+    // constant series: den = 0 on every rung → all null
+    val flat = run(Seq.fill(10)(7.0), Seq(5))
+    assert(flat.forall(_.isNullAt(flat(0).fieldIndex("sadf"))))
+  }
+
   test("runBars: two-counter fold, closes where imbalance would not, flat carry, tail partial") {
     import graft.operators.Resample
     // prices → deltas +,+,−,+,+,+ → signs 0,+,+,−,+,+,+ (leading 0)
