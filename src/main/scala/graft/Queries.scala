@@ -2734,6 +2734,22 @@ object Queries {
     },
     None)
 
+  // Equal-risk-contribution (risk parity) on the same LW-CC shrunk
+  // covariance — rows-only like its allocator siblings (sequential
+  // coordinate sweeps); the diagonal-Σ case is hash-pinned through
+  // q_portfolio_ivp and the equal-RC optimum is spec-pinned.
+  private val qErc = QDef(
+    "q_erc",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("mean_v"))
+      val cov = Relational.ledoitWolfConstCorr(hourly, "event_type",
+        "bucket", "mean_v", scale = 1e4, pairScale = 1e2, termScale = 1e6)
+      operators.Backtest.ercPortfolio(cov)
+    },
+    None)
+
   /** Shared pipeline body of the two portfolio-e2e queries: hourly mean
     * panel → LW-CC shrunk covariance → (caller's allocator) → momentum
     * ledger per type → weighted portfolio curve. One definition so the
@@ -6996,6 +7012,6 @@ object Queries {
     qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
-    qEwmBeta, qMinVariance, qHrp, qPsr
+    qEwmBeta, qMinVariance, qHrp, qErc, qPsr
   )
 }

@@ -391,6 +391,93 @@ object Backtest {
     }.toSeq.toDF("key", "weight").orderBy("key")
   }
 
+  /** Equal-risk-contribution (risk-parity) portfolio (Maillard, Roncalli
+    * & Teïletche 2010; solver: Spinu 2013's convex formulation): the
+    * weights where every asset contributes the SAME share of portfolio
+    * risk, `w_i·(Σw)_i = w_j·(Σw)_j` — the allocator between
+    * inverse-variance (ignores correlation) and minimum-variance
+    * (concentrates). Minimizes `F(x) = ½xᵀΣx − (1/k)Σln x_i` by
+    * cyclical coordinate descent — each coordinate update is the
+    * positive root of `σ_ii x_i² + c_i x_i − 1/k = 0` with
+    * `c_i = (Σx)_i − σ_ii x_i` — then normalizes. F is strictly convex
+    * on the positive orthant for PSD Σ, so the minimizer is unique and
+    * CCD converges monotonically; at the optimum `x_i(Σx)_i = 1/k`
+    * exactly — the ERC condition.
+    *
+    * DRIVER-SIDE like [[minVariancePortfolio]] (key-sized, the same
+    * probe-before-collect guard); deterministic: sorted-key coordinate
+    * order, inverse-vol start, fixed IEEE update tree, convergence on
+    * `max|Δx| ≤ tol·max|x|`; non-convergence raises loudly (a
+    * non-PSD pair frame — shrink harder upstream). Sequential
+    * coordinate sweeps are not SQL-expressible — rows-only oracle
+    * entry, the [[hrpPortfolio]] precedent; on a DIAGONAL Σ the
+    * optimum is inverse-vol EXACTLY, which is the hash-checked
+    * q_portfolio_ivp path (spec-pinned).
+    *
+    * Returns `(key, weight)`, weights ≥ 0 summing to 1, 6 dp. */
+  def ercPortfolio(cov: DataFrame, covCol: String = "shrunk_cov",
+                   maxKeys: Int = 256, maxSweeps: Int = 10000,
+                   tol: Double = 1e-12): DataFrame = {
+    val spark = cov.sparkSession
+    // bound BEFORE collecting (see minVariancePortfolio)
+    val cap = maxKeys * (maxKeys + 1) / 2
+    val rows = cov.select(col("key_a").cast("string"),
+        col("key_b").cast("string"), col(covCol).cast("double"))
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"ercPortfolio: pair frame exceeds the $maxKeys-key triangle " +
+        s"($cap rows) — driver-side solve, shard the universe upstream")
+    val keys = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted
+    val k = keys.length
+    require(k >= 1,
+      "ercPortfolio: empty covariance frame — nothing to solve " +
+        "(is the upstream returns window empty at this data scale?)")
+    require(k <= maxKeys,
+      s"ercPortfolio: $k keys exceeds maxKeys=$maxKeys — driver-side solve")
+    val idx = keys.zipWithIndex.toMap
+    val a = Array.fill(k, k)(Double.NaN)
+    rows.foreach { r =>
+      val (i, j, v) = (idx(r.getString(0)), idx(r.getString(1)),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+      a(i)(j) = v; a(j)(i) = v
+    }
+    for (i <- 0 until k; j <- 0 until k)
+      require(java.lang.Double.isFinite(a(i)(j)),
+        s"ercPortfolio: missing/non-finite cov(${keys(i)}, ${keys(j)})")
+    for (i <- 0 until k)
+      require(a(i)(i) > 0.0, s"ercPortfolio: non-positive variance for ${keys(i)}")
+    // inverse-vol start (the diagonal-Σ optimum), unnormalized
+    val x = Array.tabulate(k)(i => 1.0 / math.sqrt(a(i)(i)))
+    var sweep = 0
+    var converged = k == 1
+    while (!converged && sweep < maxSweeps) {
+      var maxDx = 0.0
+      var maxX = 0.0
+      var i = 0
+      while (i < k) {
+        var c = 0.0
+        var j = 0
+        while (j < k) { if (j != i) c += a(i)(j) * x(j); j += 1 }
+        val xi = (-c + math.sqrt(c * c + 4.0 * a(i)(i) / k)) / (2.0 * a(i)(i))
+        maxDx = math.max(maxDx, math.abs(xi - x(i)))
+        x(i) = xi
+        maxX = math.max(maxX, math.abs(xi))
+        i += 1
+      }
+      converged = maxDx <= tol * maxX
+      sweep += 1
+    }
+    require(converged,
+      s"ercPortfolio: no convergence in $maxSweeps sweeps — the pair " +
+        "frame is not PSD enough for risk parity; shrink harder upstream")
+    val s = x.sum
+    import spark.implicits._
+    keys.zipWithIndex.map { case (key, i) =>
+      (key, math.rint(x(i) / s * 1e6) / 1e6)
+    }.toSeq.toDF("key", "weight").orderBy("key")
+  }
+
   /** Weighted-portfolio roll-up of a per-series [[ledger]] frame: join
     * allocator weights (a key-sized frame — [[minVariancePortfolio]] /
     * [[hrpPortfolio]] output, or any `(keys…, weight)`), quantize each

@@ -4243,6 +4243,55 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("exceeds the 2-key triangle"), e2.getMessage)
   }
 
+  test("ercPortfolio: diagonal ≡ inverse-vol, equal-corr ≡ equal weights, RC equality, guards") {
+    import graft.operators.Backtest
+    def mk(rows: Seq[(String, String, Double)]) =
+      rows.toDF("key_a", "key_b", "shrunk_cov")
+    // diagonal Σ: ERC optimum is EXACTLY inverse-vol — σ = (0.1, 0.2,
+    // 0.4) → w ∝ (10, 5, 2.5) = (4/7, 2/7, 1/7)
+    val diag = mk(Seq(("A", "A", 0.01), ("B", "B", 0.04), ("C", "C", 0.16),
+      ("A", "B", 0.0), ("A", "C", 0.0), ("B", "C", 0.0)))
+    val wd = Backtest.ercPortfolio(diag).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(wd("A") == math.rint(4.0 / 7.0 * 1e6) / 1e6, s"got $wd")
+    assert(wd("B") == math.rint(2.0 / 7.0 * 1e6) / 1e6)
+    assert(wd("C") == math.rint(1.0 / 7.0 * 1e6) / 1e6)
+    // equal vol + equal correlation: symmetry forces equal weights
+    val eq = mk(Seq(("A", "A", 0.04), ("B", "B", 0.04), ("C", "C", 0.04),
+      ("A", "B", 0.02), ("A", "C", 0.02), ("B", "C", 0.02)))
+    val we = Backtest.ercPortfolio(eq).collect().map(_.getDouble(1))
+    assert(we.forall(_ == math.rint(1.0 / 3.0 * 1e6) / 1e6), s"got ${we.toSeq}")
+    // a genuinely asymmetric correlated Σ: risk contributions
+    // w_i·(Σw)_i must come out EQUAL (the definition), and ERC must
+    // differ from plain inverse-vol (correlation matters)
+    val cm = Array(
+      Array(0.04, 0.018, 0.002),
+      Array(0.018, 0.09, 0.006),
+      Array(0.002, 0.006, 0.01))
+    val gen = mk(Seq(("A", "A", cm(0)(0)), ("B", "B", cm(1)(1)), ("C", "C", cm(2)(2)),
+      ("A", "B", cm(0)(1)), ("A", "C", cm(0)(2)), ("B", "C", cm(1)(2))))
+    val wg = Backtest.ercPortfolio(gen).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val w = Array(wg("A"), wg("B"), wg("C"))
+    val rc = (0 until 3).map(i => w(i) * (0 until 3).map(j => cm(i)(j) * w(j)).sum)
+    rc.foreach(r => assert(math.abs(r - rc.head) < 1e-6,
+      s"risk contributions must be equal: $rc"))
+    val iv = Array(1.0 / 0.2, 1.0 / 0.3, 1.0 / 0.1)
+    val ivw = iv.map(_ / iv.sum)
+    assert(math.abs(w(0) - ivw(0)) > 1e-3,
+      "correlated ERC must differ from inverse-vol")
+    // guards: empty frame and oversized triangle raise loudly
+    val e1 = intercept[IllegalArgumentException] {
+      Backtest.ercPortfolio(mk(Seq.empty))
+    }
+    assert(e1.getMessage.contains("empty covariance frame"))
+    val e2 = intercept[IllegalArgumentException] {
+      Backtest.ercPortfolio(mk(Seq(("A", "A", 1.0), ("B", "B", 1.0),
+        ("C", "C", 1.0), ("A", "B", 0.0))), maxKeys = 2)
+    }
+    assert(e2.getMessage.contains("exceeds the 2-key triangle"))
+  }
+
   test("averageUniqueness: hand concurrency, mean-1 weights, no-tick drop, bucket invariance") {
     import graft.operators.Labeling
     val ticks = (0L to 5L).map(t => ("S", t)).toDF("k", "ts")
