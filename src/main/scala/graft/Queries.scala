@@ -1865,6 +1865,61 @@ object Queries {
       FROM s ORDER BY event_type, ts_us, event_id"""
     }))
 
+  // Time-varying pairs hedge ratio between the hourly click/purchase
+  // close series via the scalar Kalman recursion (diffuse start,
+  // Q=1e-4, R=1, P0=1e6). The oracle replays the exact per-step IEEE
+  // tree as a recursive CTE over the same hourly grid — the recursion
+  // runs on BUCKETS (grid-sized), never raw ticks.
+  private val qKalmanHedge = QDef(
+    "q_kalman_hedge",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+      val x = hourly.where(col("event_type") === "click")
+        .select(col("bucket"), col("close").as("x"))
+      val y = hourly.where(col("event_type") === "purchase")
+        .select(col("bucket"), col("close").as("y"))
+      val w = Window.orderBy(col("bucket"))
+      x.join(y, Seq("bucket"))
+        .select(micros(col("bucket")).as("bucket_us"), col("x"), col("y"),
+          round(W.kalmanBeta(col("x"), col("y"), q = 1e-4, r = 1.0,
+            p0 = 1e6, w), 6).as("beta"))
+        .orderBy("bucket_us")
+    },
+    Some({
+      val pp1 = "(1000000.0 + 0.0001)"
+      val k1 = s"($pp1 * x / (x * x * $pp1 + 1.0))"
+      val pp = "(s.p + 0.0001)"
+      val k = s"($pp * f.x / (f.x * f.x * $pp + 1.0))"
+      raw"""
+      WITH RECURSIVE
+      h AS (SELECT event_type AS k, date_trunc('hour', ts) AS bucket, value,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS r
+            FROM events WHERE event_type IN ('click', 'purchase')),
+      hx AS (SELECT bucket, value AS x FROM h WHERE k = 'click' AND r = 1),
+      hy AS (SELECT bucket, value AS y FROM h WHERE k = 'purchase' AND r = 1),
+      o AS MATERIALIZED (
+        SELECT hx.bucket, x, y, row_number() OVER (ORDER BY hx.bucket) AS rn
+        FROM hx JOIN hy ON hy.bucket = hx.bucket),
+      scan(rn, beta, p) AS (
+        SELECT rn,
+               (0.0 + $k1 * (y - 0.0 * x)),
+               ((1.0 - $k1 * x) * $pp1)
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT s.rn + 1,
+               (s.beta + $k * (f.y - s.beta * f.x)),
+               ((1.0 - $k * f.x) * $pp)
+        FROM scan s JOIN o f ON f.rn = s.rn + 1)
+      SELECT epoch_us(o.bucket) AS bucket_us, o.x, o.y,
+             round(scan.beta, 6) AS beta
+      FROM o JOIN scan ON scan.rn = o.rn
+      ORDER BY bucket_us"""
+    }))
+
   // Average label uniqueness + sample weights (AFML ch. 4) over
   // variable-length fixed-horizon labels on the event clock: each event
   // opens a label spanning (1 + event_id mod 6) hours. Concurrency is
@@ -7010,6 +7065,7 @@ object Queries {
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
     qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,
+    qKalmanHedge,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr

@@ -165,6 +165,18 @@ object windows {
   def ema(x: Column, span: Int, w: WindowSpec): Column =
     ewmMean(x, 2.0 / (span + 1.0), w)
 
+  /** Time-varying pairs-trading hedge ratio `y ≈ β_t·x` via a scalar
+    * Kalman filter (state-space recursion, diffuse start) — custom
+    * Catalyst window expression
+    * [[org.apache.spark.sql.graft.KalmanBeta]], O(1) state per series,
+    * same registry path as [[ewmMean]]. */
+  def kalmanBeta(x: Column, y: Column, q: Double, r: Double, p0: Double,
+                 w: WindowSpec): Column = {
+    GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    call_function(GraftFunctions.KalmanBetaName, x, y,
+      lit(q), lit(r), lit(p0)).over(w)
+  }
+
   /** Rolling mean absolute deviation around the current row's rolling mean
     * (the CCI denominator, W19): `mean(|x_i - MA_t|)` for the n rows of the
     * trailing frame. A nested-window shape Spark can't express directly —

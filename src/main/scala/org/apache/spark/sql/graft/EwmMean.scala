@@ -107,6 +107,64 @@ case class ThresholdBarId(child: Expression, threshold: Long)
     copy(child = newChild)
 }
 
+/** Time-varying hedge ratio via a scalar Kalman filter as a native
+  * Catalyst window function — the pairs-trading state-space recursion
+  * `y_t = β_t·x_t + ε (R)`, `β_t = β_{t−1} + η (Q)`:
+  *
+  * {{{ P⁻ = P + Q;  K = P⁻x / (x²P⁻ + R);
+  *     β ← β + K(y − βx);  P ← (1 − Kx)P⁻ }}}
+  *
+  * Start is the DIFFUSE prior (β = 0, P = p0 with p0 ≫ R/x²): the first
+  * valid pair's update then lands β ≈ y/x on its own, no special case.
+  * Like EWM the recurrence has unbounded memory — no frame expresses
+  * it; an [[AggregateWindowFunction]] runs one ordered pass per
+  * partition with two doubles of state. The update is a FIXED IEEE
+  * tree, so any engine spelling the same tree reproduces it bit-for-bit
+  * (the oracle replays it as a recursive CTE).
+  *
+  * Null x or y leaves the state untouched and emits the carried β;
+  * rows before the first valid pair emit null. x = 0 degrades
+  * gracefully (K = 0: β carried, P grows by Q). */
+case class KalmanBeta(left: Expression, right: Expression,
+                      q: Double, r: Double, p0: Double)
+    extends AggregateWindowFunction
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(q >= 0.0, s"process noise q must be >= 0, got $q")
+  require(r > 0.0, s"observation noise r must be > 0, got $r")
+  require(p0 > 0.0, s"prior variance p0 must be > 0, got $p0")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "kalman_beta"
+
+  private lazy val beta = AttributeReference("beta", DoubleType, nullable = true)()
+  private lazy val p = AttributeReference("p", DoubleType, nullable = false)()
+  override def aggBufferAttributes: Seq[AttributeReference] = Seq(beta, p)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(null, DoubleType), Literal(p0))
+
+  private def xe: Expression = Cast(left, DoubleType)
+  private def ye: Expression = Cast(right, DoubleType)
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val valid = And(IsNotNull(xe), IsNotNull(ye))
+    val prevB = If(IsNull(beta), Literal(0.0), beta)
+    val pPred = Add(p, Literal(q))
+    val k = Divide(Multiply(pPred, xe),
+      Add(Multiply(Multiply(xe, xe), pPred), Literal(r)))
+    val bNew = Add(prevB, Multiply(k, Subtract(ye, Multiply(prevB, xe))))
+    val pNew = Multiply(Subtract(Literal(1.0), Multiply(k, xe)), pPred)
+    Seq(If(valid, bNew, beta), If(valid, pNew, p))
+  }
+
+  override lazy val evaluateExpression: Expression = beta
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KalmanBeta =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Run-bar assignment as a native Catalyst window function — the
   * sequential scan behind tick RUN bars (López de Prado AFML ch. 2
   * §2.3.2.3, fixed-threshold variant): the bar tracks HOW ONE-SIDED the
@@ -185,6 +243,7 @@ object GraftFunctions {
   val EwmMeanName = "graft_ewm_mean"
   val ThresholdBarIdName = "graft_threshold_bar_id"
   val RunBarIdName = "graft_run_bar_id"
+  val KalmanBetaName = "graft_kalman_beta"
   val DotName = "graft_dot"
   val LshSigsName = "graft_lsh_sigs"
   val ShinglesName = "graft_shingles"
@@ -243,6 +302,9 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"threshold must be a literal, got $other")
       }), "built-in")
+    registry.createOrReplaceTempFunction(KalmanBetaName,
+      exprs => KalmanBeta(exprs.head, exprs(1), evalAlpha(exprs(2)),
+        evalAlpha(exprs(3)), evalAlpha(exprs(4))), "built-in")
     registry.createOrReplaceTempFunction(DotName,
       exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(LshSigsName,

@@ -4243,6 +4243,55 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("exceeds the 2-key triangle"), e2.getMessage)
   }
 
+  test("kalmanBeta: bit-exact JVM fold replay, convergence to true beta, null carry, x=0") {
+    import graft.functions.{windows => W}
+    import org.apache.spark.sql.expressions.Window
+    val (q, r, p0) = (1e-4, 1.0, 1e6)
+    // JVM replay of the exact update tree
+    def fold(pairs: Seq[(Option[Double], Option[Double])]): Seq[Option[Double]] = {
+      var beta: Option[Double] = None
+      var p = p0
+      pairs.map {
+        case (Some(x), Some(y)) =>
+          val prevB = beta.getOrElse(0.0)
+          val pPred = p + q
+          val k = pPred * x / (x * x * pPred + r)
+          beta = Some(prevB + k * (y - prevB * x))
+          p = (1.0 - k * x) * pPred
+          beta
+        case _ => beta
+      }
+    }
+    // y = 2x + tiny noise: beta must land at ~2 after the diffuse start
+    val xs = (1 to 40).map(i => 10.0 + (i % 7))
+    val ys = xs.zipWithIndex.map { case (x, i) => 2.0 * x + 0.01 * (i % 3 - 1) }
+    val rows = xs.zip(ys).zipWithIndex.map { case ((x, y), i) =>
+      (i.toLong, Some(x), Some(y)) }
+    val mixed = rows.take(5) ++ Seq((100L, None: Option[Double], Some(1.0)),
+      (101L, Some(0.0), Some(5.0))) ++
+      rows.drop(5).map { case (t, x, y) => (t + 200L, x, y) }
+    val df = mixed.toDF("t", "x", "y")
+    val w = Window.orderBy(col("t"))
+    val out = df.select(col("t"), W.kalmanBeta(col("x"), col("y"), q, r, p0, w)
+        .as("beta")).orderBy("t").collect()
+      .map(rw => Option(rw.get(1)).map(_.asInstanceOf[Double]))
+    val expect = fold(mixed.sortBy(_._1).map { case (_, x, y) => (x, y) })
+    out.zip(expect).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"row $i: engine $g vs JVM fold $e") }
+    // diffuse start: the very first estimate is already ~y/x
+    assert(math.abs(out.head.get - ys.head / xs.head) < 1e-3)
+    // convergence: the last estimate sits on the true hedge ratio
+    assert(math.abs(out.last.get - 2.0) < 1e-3, s"got ${out.last}")
+    // the null row (t=100) carried the previous state unchanged
+    assert(out(5) == out(4))
+    // leading nulls before any valid pair
+    val lead = Seq((0L, None: Option[Double], Some(1.0)), (1L, Some(2.0), Some(4.0)))
+      .toDF("t", "x", "y")
+    val lo = lead.select(W.kalmanBeta(col("x"), col("y"), q, r, p0, w).as("b"))
+      .orderBy("b").collect()
+    assert(lo.exists(_.isNullAt(0)), "pre-first-pair rows emit null")
+  }
+
   test("ercPortfolio: diagonal ≡ inverse-vol, equal-corr ≡ equal weights, RC equality, guards") {
     import graft.operators.Backtest
     def mk(rows: Seq[(String, String, Double)]) =
