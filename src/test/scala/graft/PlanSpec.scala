@@ -752,4 +752,38 @@ class PlanSpec extends SparkSpec {
     assert(spSpecs.nonEmpty && spSpecs.forall(_.contains("k#")),
       s"unkeyed spearman window: $spSpecs")
   }
+
+  test("round-10 window chains: one keyed exchange, no joins (trendScan/sadf/permEntropy)") {
+    val df = (0 until 200).map(i =>
+      ("S" + (i % 3), i.toLong, 10.0 + (i % 11) * 0.3)).toDF("k", "t", "v")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    def audit(p: String, name: String): Unit = {
+      val nEx = raw"\(\d+\) Exchange".r.findAllIn(p).length
+      assert(nEx == 1, s"$name should shuffle exactly once, got $nEx:\n${p.take(1500)}")
+      assert(!p.contains("Join"), s"$name must not join:\n${p.take(1200)}")
+      // every window rides the series key — never a global sort
+      val specs = "windowspecdefinition\\(([^,]+),".r
+        .findAllMatchIn(p).map(_.group(1)).toList
+      assert(specs.nonEmpty && specs.forall(_.contains("k#")),
+        s"unkeyed $name window: $specs")
+    }
+    audit(planOf(graft.operators.Labeling.trendScanLabel(
+      df, Seq("k"), "ts", "v", "t", spans = Seq(3, 6))), "trendScanLabel")
+    audit(planOf(graft.functions.TaIndicators.sadf(
+      df, Seq("k"), "ts", "v", "t", windows = Seq(5, 8))), "sadf")
+    audit(planOf(graft.functions.TaIndicators.permutationEntropy(
+      df, Seq("k"), "ts", "v", "t", window = 8)), "permutationEntropy")
+    // runBars: the RunBarId scan + OHLC agg share the series partitioning
+    // (one window exchange + the groupBy's — the imbalanceBars shape)
+    val rb = planOf(graft.operators.Resample.runBars(
+      df, "ts", "v", "t", Seq("k"), threshold = 3L))
+    val rbEx = raw"\(\d+\) Exchange".r.findAllIn(rb).length
+    assert(rbEx <= 2, s"runBars should cost the imbalanceBars shape, got $rbEx")
+    // cscvPbo: the corpus is touched by ONE (strategy, block) agg; no
+    // corpus-sized window (windows live on the combo frame only)
+    val pbo = planOf(graft.operators.Backtest.cscvPbo(
+      df.withColumn("r", col("v")), "k", "ts", "r", blocks = 2))
+    assert(pbo.contains("BroadcastExchange"),
+      s"combo frame must broadcast:\n${pbo.take(1200)}")
+  }
 }
