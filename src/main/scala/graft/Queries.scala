@@ -4056,6 +4056,47 @@ object Queries {
                               0.0), 6) END AS cs_spread
       FROM f ORDER BY event_type, bar_ts_us"""))
 
+  // Abdi-Ranaldo close-high-low spread on the same hourly bars —
+  // the one-parameter complement to q_cs_spread: s² from the close's
+  // covariance with the two bracketing mid-ranges, per-pair and
+  // trailing-24h (pico-quantized moment sums), floored at 0 per the
+  // paper; invalid bars and estimate-less pairs stay null explicitly.
+  private val qArSpread = QDef(
+    "q_ar_spread",
+    (s, dir) => TA.withAbdiRanaldo(hourlyBars(s, dir), "high", "low",
+        "close", barsW, window = 24)
+      .select(col("event_type"), micros(col("bar_ts")).as("bar_ts_us"),
+        col("ar_s2"), col("ar_spread"), col("ar_spread_roll"))
+      .orderBy("event_type", "bar_ts_us"),
+    Some(s"""
+      WITH $barsCte,
+      c AS (SELECT event_type, bar_ts, close,
+                   CASE WHEN high IS NOT NULL AND low IS NOT NULL
+                         AND close IS NOT NULL AND low > 0
+                         AND high >= low AND close > 0
+                        THEN (ln(high) + ln(low)) / 2.0 END AS eta
+            FROM bars),
+      d AS (SELECT event_type, bar_ts,
+                   4.0 * (ln(close) - eta) * (ln(close) - lead(eta) OVER w) AS s2
+            FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bar_ts)),
+      e AS (SELECT event_type, bar_ts, s2,
+                   CAST(round(s2 * 1e12) AS BIGINT) AS s2q
+            FROM d),
+      f AS (SELECT event_type, bar_ts, s2,
+                   count(s2q) OVER tw AS nok,
+                   sum(s2q) OVER tw AS ssum
+            FROM e WINDOW tw AS (PARTITION BY event_type ORDER BY bar_ts
+                                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      SELECT event_type, epoch_us(bar_ts) AS bar_ts_us,
+             round(s2, 6) AS ar_s2,
+             CASE WHEN s2 IS NOT NULL
+                  THEN round(sqrt(GREATEST(s2, 0.0)), 6) END AS ar_spread,
+             CASE WHEN nok = 24
+                  THEN round(sqrt(GREATEST(
+                         CAST(ssum AS DOUBLE) / 1e12 / CAST(nok AS DOUBLE),
+                         0.0)), 6) END AS ar_spread_roll
+      FROM f ORDER BY event_type, bar_ts_us"""))
+
   // ------------------------------------------------------------------
   // Orderbook features (A1-A4, W29/W30, J4) over a book synthesized
   // deterministically from events (the testdata ships no book table)
@@ -7061,7 +7102,7 @@ object Queries {
     qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qTokenBudget, qStratifiedSample, qBpeTokens,
     qSourceQuota, qApproxQuantile, qCanonicalize, qContamination,
     qVpin, qJumpVol, qVarianceRatio, qContainment, qContainmentIncremental,
-    qRollSpread, qAmihud, qCsSpread, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
+    qRollSpread, qAmihud, qCsSpread, qArSpread, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
     qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,

@@ -316,6 +316,53 @@ object TaIndicators {
         when(alpha.isNotNull, round(greatest(spread, lit(0.0)), 6)))
   }
 
+  /** Abdi–Ranaldo close-high-low spread estimator (2017, RFS 30(12)) —
+    * the one-parameter complement to [[withCorwinSchultz]]: with
+    * `c = ln close` and `η = (ln high + ln low)/2` the mid-range, the
+    * squared effective spread satisfies
+    * `s² = 4·E[(c_t − η_t)(c_t − η_{t+1})]` — efficient-price noise
+    * cancels between the two mid-ranges bracketing the close, leaving
+    * only the bid-ask bounce. Emits the per-pair moment `ar_s2`, the
+    * per-pair spread `√max(s², 0)`, and the trailing-`window` estimate
+    * (the paper's monthly averaging) from exact pico-quantized moment
+    * sums, floored at 0 before the root per the paper.
+    *
+    * Determinism: per-pair s² derives in one fixed double tree (ln/
+    * sqrt shared by both engines — the [[withCorwinSchultz]] precedent);
+    * the rolling mean quantizes each s² to `round(s²·10¹²)` BIGINTs and
+    * sums exactly; 6 dp at every edge. Invalid bars (null/non-positive
+    * ranges, high < low) and pairs whose NEXT bar is invalid/missing
+    * stay null EXPLICITLY — an estimate-less pair must not read as zero
+    * spread; null pairs do not enter the rolling window (count gates on
+    * the quantized moment).
+    *
+    * Scale shape: one keyed window (lead + trailing sums share the
+    * sort); no joins. */
+  def withAbdiRanaldo(df: DataFrame, highCol: String, lowCol: String,
+                      closeCol: String, w: WindowSpec,
+                      window: Int = 24): DataFrame = {
+    require(window >= 1, s"need a positive averaging window, got $window")
+    val h = col(highCol).cast("double")
+    val l = col(lowCol).cast("double")
+    val c = col(closeCol).cast("double")
+    val ok = h.isNotNull && l.isNotNull && c.isNotNull && l > 0.0 &&
+      h >= l && c > 0.0
+    val eta = when(ok, (log(h) + log(l)) / lit(2.0))
+    val etaNext = lead(eta, 1).over(w)
+    val s2 = lit(4.0) * (log(c) - eta) * (log(c) - etaNext)
+    val s2q = round(s2 * lit(1e12)).cast("long")
+    val wTrail = w.rowsBetween(-(window - 1), 0)
+    val nOk = count(s2q).over(wTrail)
+    val mean = sum(s2q).over(wTrail).cast("double") / lit(1e12) /
+      nOk.cast("double")
+    df.withColumn("ar_s2", round(s2, 6))
+      .withColumn("ar_spread",
+        when(s2.isNotNull, round(sqrt(greatest(s2, lit(0.0))), 6)))
+      .withColumn("ar_spread_roll",
+        when(nOk === window,
+          round(sqrt(greatest(mean, lit(0.0))), 6)))
+  }
+
   /** Per-series maximum-drawdown summary — the risk table behind the
     * per-row [[drawdown]] column (W11): deepest peak-to-trough loss,
     * when it bottomed, and how many observations the series has.

@@ -4243,6 +4243,46 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("exceeds the 2-key triangle"), e2.getMessage)
   }
 
+  test("withAbdiRanaldo: pure-spread closed form, negative-cov floor, invalid and tail nulls") {
+    import graft.functions.{windows => W, TaIndicators}
+    // constant mid m = 100, spread s = 2: both quotes touched every
+    // bar, close at the ask → s² = (ln((m+1)/(m−1)))² exactly
+    val m = 100.0
+    val bars = (0 until 6).map(i => ("S", i.toLong, m + 1.0, m - 1.0, m + 1.0)) ++
+      // an engineered negative-covariance pair: close below its own
+      // mid, next bar's mid far lower → product < 0 → floored spread 0
+      Seq(("N", 0L, 101.0, 99.0, 99.0), ("N", 1L, 91.0, 89.0, 90.0)) ++
+      // invalid bar (high < low) poisons itself and the previous pair
+      Seq(("B", 0L, 101.0, 99.0, 100.0), ("B", 1L, 98.0, 99.0, 98.5))
+    val df = bars.toDF("k", "t", "high", "low", "close")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val out = TaIndicators.withAbdiRanaldo(df, "high", "low", "close",
+        W.series(Seq("k"), Seq("ts")), window = 3)
+      .orderBy("k", "t").collect()
+    def g(r: org.apache.spark.sql.Row, c: String): Option[Double] =
+      Option(r.getAs[Any](c)).map(_.asInstanceOf[Double])
+    val byK = out.groupBy(_.getAs[String]("k"))
+    // closed form: c − η = (ln(m+1) − ln(m−1))/2 each period
+    val half = (math.log(m + 1.0) - math.log(m - 1.0)) / 2.0
+    val s2 = 4.0 * half * half
+    val sS = byK("S").sortBy(_.getAs[Long]("t"))
+    sS.take(5).foreach { r =>
+      assert(g(r, "ar_s2").contains(math.rint(s2 * 1e6) / 1e6), s"s2: $r")
+      assert(g(r, "ar_spread").contains(math.rint(2.0 * half * 1e6) / 1e6))
+    }
+    assert(g(sS.last, "ar_s2").isEmpty, "last pair has no next bar")
+    // rolling: null until 3 pairs accumulate, then the same constant
+    assert(g(sS(1), "ar_spread_roll").isEmpty)
+    assert(g(sS(2), "ar_spread_roll").contains(math.rint(2.0 * half * 1e6) / 1e6))
+    // negative covariance floors to 0 spread but keeps the raw moment
+    val n0 = byK("N").minBy(_.getAs[Long]("t"))
+    assert(g(n0, "ar_s2").exists(_ < 0.0))
+    assert(g(n0, "ar_spread").contains(0.0))
+    // an invalid next bar leaves the pair estimate-less, not zero
+    val b = byK("B").sortBy(_.getAs[Long]("t"))
+    assert(g(b(0), "ar_s2").isEmpty && g(b(1), "ar_s2").isEmpty)
+  }
+
   test("kalmanBeta: bit-exact JVM fold replay, convergence to true beta, null carry, x=0") {
     import graft.functions.{windows => W}
     import org.apache.spark.sql.expressions.Window
