@@ -233,6 +233,11 @@ object Labeling {
     * Scale shape: one equi-join on (keys, bucket), one window COUNT
     * keyed by (keys, tick), one groupBy label, one keyed window for
     * the weight normalization — no driver data, no unbounded fan-out.
+    * Pair volume is Σ span tick-lengths (the [[tripleBarrier]] probe's
+    * own bound). Next scale step if that dominates: prefix-sum
+    * `S(t) = Σ round(10⁹/c)` over the tick axis + two as-of joins of
+    * the span endpoints (ū_i = (S(t1) − S(t0⁻))/n) — O(ticks + spans)
+    * with no fan-out, at the cost of two as-of alignments.
     *
     * Returns `(keys…, idCol, t0_us, t1_us, n_ticks, uniqueness,
     * weight)`. */
