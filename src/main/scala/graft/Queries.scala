@@ -1874,7 +1874,8 @@ object Queries {
     "q_kalman_hedge",
     (s, dir) => {
       val hourly = t(s, dir, "events")
-        .where(col("event_type").isin("click", "purchase"))
+        .where(col("event_type").isin("click", "purchase") &&
+          col("value").isNotNull)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
         .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
       val x = hourly.where(col("event_type") === "click")
@@ -1898,7 +1899,8 @@ object Queries {
       h AS (SELECT event_type AS k, date_trunc('hour', ts) AS bucket, value,
                    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
                                       ORDER BY ts DESC, event_id DESC) AS r
-            FROM events WHERE event_type IN ('click', 'purchase')),
+            FROM events WHERE event_type IN ('click', 'purchase')
+                          AND value IS NOT NULL),
       hx AS (SELECT bucket, value AS x FROM h WHERE k = 'click' AND r = 1),
       hy AS (SELECT bucket, value AS y FROM h WHERE k = 'purchase' AND r = 1),
       o AS MATERIALIZED (
@@ -4088,13 +4090,13 @@ object Queries {
             FROM e WINDOW tw AS (PARTITION BY event_type ORDER BY bar_ts
                                  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
       SELECT event_type, epoch_us(bar_ts) AS bar_ts_us,
-             round(s2, 6) AS ar_s2,
+             round(s2, 6) + 0.0 AS ar_s2,
              CASE WHEN s2 IS NOT NULL
-                  THEN round(sqrt(GREATEST(s2, 0.0)), 6) END AS ar_spread,
+                  THEN round(sqrt(GREATEST(s2, 0.0)), 6) + 0.0 END AS ar_spread,
              CASE WHEN nok = 24
                   THEN round(sqrt(GREATEST(
                          CAST(ssum AS DOUBLE) / 1e12 / CAST(nok AS DOUBLE),
-                         0.0)), 6) END AS ar_spread_roll
+                         0.0)), 6) + 0.0 END AS ar_spread_roll
       FROM f ORDER BY event_type, bar_ts_us"""))
 
   // ------------------------------------------------------------------

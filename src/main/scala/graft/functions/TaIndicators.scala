@@ -355,12 +355,13 @@ object TaIndicators {
     val nOk = count(s2q).over(wTrail)
     val mean = sum(s2q).over(wTrail).cast("double") / lit(1e12) /
       nOk.cast("double")
-    df.withColumn("ar_s2", round(s2, 6))
+    df.withColumn("ar_s2", round(s2, 6) + lit(0.0))
       .withColumn("ar_spread",
-        when(s2.isNotNull, round(sqrt(greatest(s2, lit(0.0))), 6)))
+        when(s2.isNotNull,
+          round(sqrt(greatest(s2, lit(0.0))), 6) + lit(0.0)))
       .withColumn("ar_spread_roll",
         when(nOk === window,
-          round(sqrt(greatest(mean, lit(0.0))), 6)))
+          round(sqrt(greatest(mean, lit(0.0))), 6) + lit(0.0)))
   }
 
   /** Per-series maximum-drawdown summary — the risk table behind the
@@ -803,6 +804,18 @@ object TaIndicators {
     *
     * Scale shape: one keyed window sort shared by the lag/diff pair and
     * every rung's five sibling sum frames; no joins, no driver data.
+    *
+    * Overflow contract ([[graft.operators.Labeling.trendScanLabel]]'s
+    * convention): the binding sums are the quadratic window moments —
+    * `L · (|v|·quantScale)² < 2⁶³` (Σx² binds; the cross moments nΣxd,
+    * ΣxΣd and the derived `den`/`D` add one factor of n·L each, so
+    * keep `n_max · L · (|v|·quantScale)² < 2⁶³` for the full tree). At
+    * quantScale 100 and L ≤ 32 that allows |v| ≲ 10⁷ value units —
+    * comfortable for prices, but callers quantizing large raw series
+    * must shrink quantScale to stay in the exact-integer envelope:
+    * Spark wraps 64-bit overflow silently while DuckDB raises on
+    * BIGINT overflow, so an overflowing scale is an engine-divergence
+    * class, not just a precision loss.
     *
     * Returns `(keys…, tsCol, tiebreakCol, value, best_window, sadf)`. */
   def sadf(df: DataFrame, keys: Seq[String], tsCol: String,

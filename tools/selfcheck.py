@@ -8,7 +8,7 @@ matching oracle SQL from oracle_sql.json in DuckDB against the same tables,
 and compares row count, schema (sorted column names), and cell values
 (column-name-sorted, exact for ints/strings, tiny epsilon report for floats).
 """
-import json, math, sys
+import json, math, struct, sys
 import duckdb
 import pandas as pd
 
@@ -76,7 +76,11 @@ def compare(name, got, want):
             if xn != yn:
                 problems.append(f"col {c} row {i}: null mismatch spark={x} oracle={y}")
             elif isinstance(x, float) or isinstance(y, float):
-                if x != y:
+                # Compare BIT PATTERNS, not ==: the driver hashes physical
+                # bytes, so -0.0 vs +0.0 (== under IEEE) still hash-diverges.
+                # Round 10 shipped q_ar_spread red exactly because this line
+                # used x != y and -0.0 == 0.0 is True in Python.
+                if struct.pack("<d", float(x)) != struct.pack("<d", float(y)):
                     problems.append(f"col {c} row {i}: float diff spark={x!r} oracle={y!r} (d={abs(float(x)-float(y)):.3e})")
             elif x != y:
                 problems.append(f"col {c} row {i}: value diff spark={x!r} oracle={y!r}")
