@@ -1923,6 +1923,11 @@ object Queries {
     }))
 
   // Average label uniqueness + sample weights (AFML ch. 4) over
+  // variable-length labels; since round 11 the engine computes this
+  // with the O(ticks+spans) delta/probe sweep (no tick×span frame) —
+  // the oracle below KEEPS the plain interval-join pair semantics, so
+  // the hash match doubles as the sweep≡pairs equivalence proof.
+  // Historical comment follows:
   // variable-length fixed-horizon labels on the event clock: each event
   // opens a label spanning (1 + event_id mod 6) hours. Concurrency is
   // an exact pair-frame count, per-tick 1/c contributions quantize to
@@ -3596,13 +3601,17 @@ object Queries {
         FROM events),
       g AS (
         SELECT user_id, ts, event_id,
+               -- SMA flavor (market_factory._rsi np.where): null delta 0-fills
+               CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS up0,
+               CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS down0,
+               -- EWM flavor (ta_indicators.compute_rsi clip): null preserved
                CASE WHEN delta > 0 THEN delta WHEN delta IS NOT NULL THEN 0.0 END AS up,
                CASE WHEN delta < 0 THEN -delta WHEN delta IS NOT NULL THEN 0.0 END AS down
         FROM d),
       r AS (
         SELECT user_id, ts, event_id,
-               CASE WHEN COUNT(up) OVER w14 >= 14 THEN AVG(up) OVER w14 END AS roll_up,
-               CASE WHEN COUNT(down) OVER w14 >= 14 THEN AVG(down) OVER w14 END AS roll_down,
+               CASE WHEN COUNT(up0) OVER w14 >= 14 THEN AVG(up0) OVER w14 END AS roll_up,
+               CASE WHEN COUNT(down0) OVER w14 >= 14 THEN AVG(down0) OVER w14 END AS roll_down,
                CASE WHEN len(list_filter(list(up) OVER wc, x -> x IS NOT NULL)) = 0 THEN NULL
                     ELSE ${emaFoldSql("list_filter(list(up) OVER wc, x -> x IS NOT NULL)", 1.0 / 14.0)} END AS avg_gain,
                CASE WHEN len(list_filter(list(down) OVER wc, x -> x IS NOT NULL)) = 0 THEN NULL
@@ -3948,8 +3957,9 @@ object Queries {
       s2 AS (
         SELECT *,
                ema_12 - ema_26 AS macd_raw,
-               CASE WHEN delta > 0 THEN delta WHEN delta IS NOT NULL THEN 0.0 END AS up,
-               CASE WHEN delta < 0 THEN -delta WHEN delta IS NOT NULL THEN 0.0 END AS down
+               -- market_factory._rsi np.where flavor: null delta 0-fills
+               CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS up,
+               CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS down
         FROM s1),
       s3 AS (
         SELECT *,

@@ -111,10 +111,21 @@ object TaIndicators {
 
   /** RSI, SMA flavor (`market_factory.py:54-62`): rolling(n).mean of
     * up/down with `roll_down.replace(0, nan)` — all-gain windows are null
-    * by construction (kept verbatim; SURVEY §7 risk 4). */
+    * by construction (kept verbatim; SURVEY §7 risk 4).
+    *
+    * Null-delta handling is the factory's `np.where(delta > 0, delta,
+    * 0.0)`: a NaN condition is FALSE, so the series' first (null) delta
+    * 0-FILLS — the warm-up is n ROWS, one shorter than the EWM flavor's
+    * clip-preserving nulls ([[rsiEwmFromDelta]], `ta_indicators.py:70-72`,
+    * where `clip` keeps NaN). Rounds 1–10 mis-transcribed this flavor as
+    * null-preserving; the reference's shipped
+    * `datasets/market_btcusdt_1m.parquet` (rsi_14 non-null at the 14th
+    * row) is the proof, golden-compared in GoldenParitySpec. */
   def rsiSmaFromDelta(delta: Column, n: Int, w: WindowSpec): Column = {
-    val rollUp = rollingMean(upMove(delta), n, w)
-    val rollDown = rollingMean(downMove(delta), n, w)
+    val up = when(delta > 0, delta).otherwise(lit(0.0))
+    val down = when(delta < 0, -delta).otherwise(lit(0.0))
+    val rollUp = rollingMean(up, n, w)
+    val rollDown = rollingMean(down, n, w)
     lit(100.0) - lit(100.0) / (lit(1.0) + rollUp / nullif(rollDown, lit(0)))
   }
 

@@ -632,6 +632,103 @@ object Backtest {
     * SR₀, public so the oracle interpolates the same double. */
   val EulerGamma: Double = 0.5772156649015329
 
+  /** √2, interpolated from the JVM (the
+    * [[graft.functions.TaIndicators]] CsDenom pattern) so [[normCdf]]'s
+    * z/√2 is the identical IEEE division on both engines. */
+  val Sqrt2: Double = math.sqrt(2.0)
+
+  /** Standard-normal CDF as a COLUMN expression — Abramowitz & Stegun
+    * 7.1.26 (|err| < 1.5e−7): `erf(x) = 1 − (a₁t + … + a₅t⁵)·e^(−x²)`,
+    * `t = 1/(1 + 0.3275911·x)`, `Φ(z) = ½(1 + sign(z)·erf(|z|/√2))`.
+    * Pure fixed-shape double arithmetic plus ONE data-dependent `exp`
+    * (the q_cs_spread precedent: both engines' libm agree at the 6-dp
+    * images every caller rounds to); the A&S coefficients are compile-
+    * time literals, so the oracle replays the identical tree. Unlike
+    * [[invNorm]] (a DRIVER-side Double→Double for quantiles known at
+    * plan time), this evaluates per ROW — bet sizing needs Φ of a
+    * data-dependent z. */
+  def normCdf(z: Column): Column = {
+    val x = abs(z) / lit(Sqrt2)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t
+      + lit(1.421413741)) * t - lit(0.284496736)) * t
+      + lit(0.254829592)) * t
+    val erf = lit(1.0) - poly * exp(-(x * x))
+    lit(0.5) * (lit(1.0) + signum(z) * erf)
+  }
+
+  /** Bet size from a predicted probability (AFML ch. 10 §10.3):
+    * `z = (p − ½)/√(p(1−p))` (the test statistic of p against the ½
+    * coin), `size = 2·Φ(z) − 1` ∈ (−1, 1) — monotone in conviction,
+    * 0 at p = ½. The SIDE multiplies in at the caller ([[betSizing]])
+    * so a p < ½ short-signal sizes symmetrically. Callers must feed
+    * 0 < p < 1 ([[betSizing]] null-drops and range-guards). */
+  def probToSize(p: Column): Column = {
+    val z = (p - lit(0.5)) / sqrt(p * (lit(1.0) - p))
+    lit(2.0) * normCdf(z) - lit(1.0)
+  }
+
+  /** Average active bet size + discretization (AFML ch. 10 §10.4): each
+    * bet row `(keys…, t0, t1, prob, side)` carries the size
+    * `side·(2Φ(z)−1)` over its ACTIVE window `[t0, t1]` (µs, inclusive);
+    * at every evaluation instant (the distinct bet-entry times — sizes
+    * only change when a bet opens or closes, and closes are visible at
+    * the next entry) the signal is the MEAN size of the active bets,
+    * then discretized to the `stepSize` grid
+    * (`round(avg/step)·step` — the broker-lot / turnover throttle).
+    *
+    * Determinism: per-bet sizes quantize to `round(size·10⁶)` BIGINTs
+    * at the source (one Φ tree per bet, 6-dp image), the active sums
+    * ride EXACT integer (Σsizeq, count) prefix sums, the mean is one
+    * double division of two exact integers, and the discretized size
+    * normalizes its zero image (`+ 0.0` — a tiny-negative mean must not
+    * hash-diverge on the −0.0 bit, the q_ar_spread lesson).
+    *
+    * Scale shape: the [[graft.operators.Labeling.averageUniqueness]]
+    * sweep — deltas (+sizeq/+1 at t0, −sizeq/−1 at t1+1) union the
+    * evaluation instants through ONE series-keyed window pass; no
+    * bet×instant pair frame at any density.
+    *
+    * Returns `(keys…, ts_us, n_active, avg_size, bet_size)`. */
+  def betSizing(bets: DataFrame, keys: Seq[String], t0Col: String,
+                t1Col: String, probCol: String, sideCol: String,
+                stepSize: Double): DataFrame = {
+    require(keys.nonEmpty, "betSizing needs the series key(s)")
+    require(stepSize > 0.0 && stepSize <= 1.0,
+      s"stepSize must be in (0, 1], got $stepSize")
+    val kCols = keys.map(col)
+    val p = col(probCol).cast("double")
+    val side = col(sideCol).cast("double")
+    val b0 = bets.select(kCols ++ Seq(col(t0Col).cast("long").as("_t0"),
+        col(t1Col).cast("long").as("_t1"), p.as("_p"), side.as("_side")): _*)
+      .where(col("_t0").isNotNull && col("_t1").isNotNull &&
+        col("_t1") >= col("_t0") && col("_p").isNotNull && col("_side").isNotNull)
+      .withColumn("_p", when(col("_p") <= 0.0 || col("_p") >= 1.0,
+        raise_error(concat(lit(s"betSizing: probability out of (0,1) in '$probCol': "),
+          col("_p").cast("string")))).otherwise(col("_p")))
+      .withColumn("_szq",
+        round(col("_side") * probToSize(col("_p")) * 1e6).cast("long"))
+    def shaped(f: Int, ts: Column, dsz: Column, dn: Column, src: DataFrame) =
+      src.select(kCols ++ Seq(ts.as("_ts"), lit(f).as("_f"),
+        dsz.as("_dsz"), dn.as("_dn")): _*)
+    val deltas = shaped(0, col("_t0"), col("_szq"), lit(1L), b0)
+      .unionByName(shaped(0, col("_t1") + 1L, -col("_szq"), lit(-1L), b0))
+    val grid = b0.select(kCols :+ col("_t0").as("_ts"): _*).distinct()
+      .select(kCols ++ Seq(col("_ts"), lit(1).as("_f"),
+        lit(0L).as("_dsz"), lit(0L).as("_dn")): _*)
+    val w = Window.partitionBy(kCols: _*).orderBy(col("_ts"), col("_f"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val avg6 = round(col("_ssz").cast("double") / 1e6 /
+      col("_cnt").cast("double"), 6) + lit(0.0)
+    deltas.unionByName(grid)
+      .withColumn("_ssz", sum(col("_dsz")).over(w))
+      .withColumn("_cnt", sum(col("_dn")).over(w))
+      .where(col("_f") === 1 && col("_cnt") > 0L)
+      .select(kCols ++ Seq(col("_ts").as("ts_us"), col("_cnt").as("n_active"),
+        avg6.as("avg_size"),
+        (round(avg6 / lit(stepSize)) * lit(stepSize) + lit(0.0)).as("bet_size")): _*)
+  }
+
   /** Inverse standard-normal CDF, Acklam's rational approximation
     * (peter.acklam 2003, |rel err| < 1.15e−9) — deterministic pure
     * double arithmetic, public so [[deflatedSharpe]]'s z-quantiles

@@ -230,14 +230,27 @@ object Labeling {
     * Labels whose span covers no tick drop from the output
     * (an empty mean is undefined — the caller's data bug to surface).
     *
-    * Scale shape: one equi-join on (keys, bucket), one window COUNT
-    * keyed by (keys, tick), one groupBy label, one keyed window for
-    * the weight normalization — no driver data, no unbounded fan-out.
-    * Pair volume is Σ span tick-lengths (the [[tripleBarrier]] probe's
-    * own bound). Next scale step if that dominates: prefix-sum
-    * `S(t) = Σ round(10⁹/c)` over the tick axis + two as-of joins of
-    * the span endpoints (ū_i = (S(t1) − S(t0⁻))/n) — O(ticks + spans)
-    * with no fan-out, at the cost of two as-of alignments.
+    * Scale shape (round 11, the O(ticks + spans) sweep the round-10
+    * doc promised): NO tick×span pair frame. One pre-aggregation to
+    * distinct tick instants `(keys, ts, m)`, then ONE keyed window
+    * sweep over the union of three skinny row kinds —
+    * concurrency DELTAS (+1 at t0, −1 at t1+1), TICK rows, and span
+    * endpoint PROBES (+ at t1, − at t0−1), ordered (ts, kind) so at a
+    * tick row the running Σdelta IS the covering-span count s, the
+    * running sums `S = Σ m·round(10⁹/(m·s))` and `M = Σ m` are the
+    * per-span-share prefix sums, and at a probe row those running sums
+    * read as the as-of lookup S(last tick ≤ probe ts) for free. A
+    * span's exact quantized sum is then `su = S(t1) − S(t0⁻)` and its
+    * tick count `n = M(t1) − M(t0⁻)` — one groupBy over 2 probe rows
+    * per span. Work is O(ticks + spans) regardless of span length or
+    * concurrency: a 100× denser tick grid under horizon-length labels
+    * grows the old pair frame ~quadratically but this sweep linearly
+    * (see BASELINE.md round-11 density rehearsal).
+    *
+    * `bucketUs` is vestigial of the retired band-join shape: validated
+    * positive (same contract) but no longer affects plan or result —
+    * the bucket-invariance property the old doc promised is now
+    * structural.
     *
     * Returns `(keys…, idCol, t0_us, t1_us, n_ticks, uniqueness,
     * weight)`. */
@@ -247,35 +260,64 @@ object Labeling {
                         bucketUs: Long): DataFrame = {
     require(keys.nonEmpty, "averageUniqueness needs the series key(s)")
     require(bucketUs > 0L, s"bucketUs must be positive, got $bucketUs")
+    val kCols = keys.map(col)
+    // distinct tick instants with multiplicity m (duplicate (keys, ts)
+    // rows multiply concurrency exactly like the pair frame did: each
+    // of the m instances × s covering spans was one pair row)
     val tk = ticks
-      .select(keys.map(col) :+ col(tsCol).cast("long").as("_ts"): _*)
+      .select(kCols :+ col(tsCol).cast("long").as("_ts"): _*)
       .where(col("_ts").isNotNull)
-      .withColumn("_b", expr(s"_ts div ${bucketUs}L"))
-    val sp = spans.select(keys.map(col) ++ Seq(col(idCol).as("_id"),
+      .groupBy((keys :+ "_ts").map(col): _*)
+      .agg(count(lit(1)).as("_m"))
+    val sp = spans.select(kCols ++ Seq(col(idCol).as("_id"),
         col(t0Col).cast("long").as("_t0"),
         col(t1Col).cast("long").as("_t1")): _*)
       .where(col("_t0").isNotNull && col("_t1").isNotNull &&
         col("_t1") >= col("_t0"))
-      .withColumn("_b",
-        explode(expr(s"sequence(_t0 div ${bucketUs}L, _t1 div ${bucketUs}L)")))
-    val pairs = tk.join(sp, keys :+ "_b")
-      .where(col("_ts") >= col("_t0") && col("_ts") <= col("_t1"))
-    val wTick = Window.partitionBy((keys :+ "_ts").map(col): _*)
-    val perSpan = pairs
-      .withColumn("_c", count(lit(1)).over(wTick))
+    def shaped(f: Int, ts: Column, d: Column, m: Column, sign: Column,
+               id: Column, t0: Column, t1: Column, src: DataFrame) =
+      src.select(kCols ++ Seq(ts.as("_ts"), lit(f).as("_f"), d.as("_d"),
+        m.as("_m"), sign.as("_sign"), id.as("_id"),
+        t0.as("_t0"), t1.as("_t1")): _*)
+    val nl = lit(null).cast("long")
+    val nid = lit(null).cast(sp.schema("_id").dataType)
+    // kind 0: concurrency deltas — active on [t0, t1] inclusive
+    val deltas = shaped(0, col("_t0"), lit(1L), nl, nl, nid, nl, nl, sp)
+      .unionByName(shaped(0, col("_t1") + 1L, lit(-1L), nl, nl, nid, nl, nl, sp))
+    // kind 1: tick instants (deltas at the same ts sort first, so a
+    // span starting exactly at a tick covers it; its −1 sits at t1+1)
+    val tickRows = shaped(1, col("_ts"), lit(0L), col("_m"), nl, nid, nl, nl, tk)
+    // kind 2: span-endpoint probes (ticks at the same ts sort first,
+    // so the probe reads an INCLUSIVE prefix at t1 / exclusive at t0)
+    val probes = shaped(2, col("_t1"), lit(0L), nl, lit(1L),
+        col("_id"), col("_t0"), col("_t1"), sp)
+      .unionByName(shaped(2, col("_t0") - 1L, lit(0L), nl, lit(-1L),
+        col("_id"), col("_t0"), col("_t1"), sp))
+    val w = Window.partitionBy(kCols: _*).orderBy(col("_ts"), col("_f"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = deltas.unionByName(tickRows).unionByName(probes)
+      .withColumn("_s", sum(col("_d")).over(w))
+      .withColumn("_g", when(col("_f") === 1 && col("_s") > 0L,
+        col("_m") * round(lit(1e9) /
+          (col("_m") * col("_s")).cast("double")).cast("long")))
+      .withColumn("_mm", when(col("_f") === 1, col("_m")))
+      .withColumn("_S", sum(col("_g")).over(w))
+      .withColumn("_M", sum(col("_mm")).over(w))
+    val perSpan = swept.where(col("_f") === 2)
       .groupBy((keys :+ "_id").map(col): _*)
       .agg(min("_t0").as("t0_us"), min("_t1").as("t1_us"),
-        count(lit(1)).as("n_ticks"),
-        sum(round(lit(1e9) / col("_c").cast("double")).cast("long")).as("_su"))
+        sum(col("_sign") * coalesce(col("_M"), lit(0L))).as("n_ticks"),
+        sum(col("_sign") * coalesce(col("_S"), lit(0L))).as("_su"))
+      .where(col("n_ticks") > 0L)
       .withColumn("uniqueness",
         round(col("_su").cast("double") / 1e9 / col("n_ticks").cast("double"), 6))
       .withColumn("_uq", round(col("uniqueness") * 1e6).cast("long"))
-    val wKey = Window.partitionBy(keys.map(col): _*)
+    val wKey = Window.partitionBy(kCols: _*)
     perSpan
       .withColumn("weight",
         round(col("_uq").cast("double") * count(lit(1)).over(wKey).cast("double")
           / sum(col("_uq")).over(wKey).cast("double"), 6))
-      .select(keys.map(col) ++ Seq(col("_id").as(idCol), col("t0_us"),
+      .select(kCols ++ Seq(col("_id").as(idCol), col("t0_us"),
         col("t1_us"), col("n_ticks"), col("uniqueness"), col("weight")): _*)
   }
 
@@ -302,4 +344,154 @@ object Labeling {
       .withColumn("meta_label",
         (coalesce(col(sideCol).cast("double"), lit(0.0)) *
           col("label").cast("double") > 0.0).cast("long"))
+
+  /** Candidate average uniqueness GIVEN an already-drawn span set
+    * (AFML ch. 4 §4.5.2's inner loop): for every candidate span i,
+    * `ū_i = mean over its ticks t of 1/(1 + c_drawn(t))` where
+    * `c_drawn(t)` counts DRAWN spans covering t — the "+1" is
+    * candidate i itself joining the concurrency it would create.
+    * Same determinism contract as [[averageUniqueness]]: per tick
+    * instance the contribution quantizes to `round(10⁹/(1+c))`
+    * BIGINTs scaled by the instant's multiplicity m, ū is one fixed
+    * double tree, 6 dp, and `uq = round(ū·10⁶)` is the exact integer
+    * image downstream draws rank on.
+    *
+    * Same O(ticks + drawn + spans) sweep shape as
+    * [[averageUniqueness]]: concurrency deltas come from the DRAWN
+    * set only (2 rows per drawn span), candidates contribute only
+    * their 2 endpoint probes — no tick×span frame at any density.
+    * `drawn` may be empty (first draw: c = 0 everywhere, every ū = 1).
+    *
+    * Returns `(keys…, idCol, t0_us, t1_us, n_ticks, uniqueness, uq)`;
+    * spans covering no tick drop (nothing to average). */
+  def conditionalUniqueness(ticks: DataFrame, spans: DataFrame,
+                            drawn: DataFrame, keys: Seq[String],
+                            tsCol: String, idCol: String,
+                            t0Col: String, t1Col: String): DataFrame = {
+    require(keys.nonEmpty, "conditionalUniqueness needs the series key(s)")
+    val kCols = keys.map(col)
+    val tk = ticks
+      .select(kCols :+ col(tsCol).cast("long").as("_ts"): _*)
+      .where(col("_ts").isNotNull)
+      .groupBy((keys :+ "_ts").map(col): _*)
+      .agg(count(lit(1)).as("_m"))
+    def spanShape(df: DataFrame) = df.select(kCols ++ Seq(
+        col(idCol).as("_id"), col(t0Col).cast("long").as("_t0"),
+        col(t1Col).cast("long").as("_t1")): _*)
+      .where(col("_t0").isNotNull && col("_t1").isNotNull &&
+        col("_t1") >= col("_t0"))
+    val sp = spanShape(spans)
+    val dr = spanShape(drawn)
+    def shaped(f: Int, ts: Column, d: Column, m: Column, sign: Column,
+               id: Column, t0: Column, t1: Column, src: DataFrame) =
+      src.select(kCols ++ Seq(ts.as("_ts"), lit(f).as("_f"), d.as("_d"),
+        m.as("_m"), sign.as("_sign"), id.as("_id2"),
+        t0.as("_pt0"), t1.as("_pt1")): _*)
+    val nl = lit(null).cast("long")
+    val nid = lit(null).cast(sp.schema("_id").dataType)
+    val deltas = shaped(0, col("_t0"), lit(1L), nl, nl, nid, nl, nl, dr)
+      .unionByName(shaped(0, col("_t1") + 1L, lit(-1L), nl, nl, nid, nl, nl, dr))
+    val tickRows = shaped(1, col("_ts"), lit(0L), col("_m"), nl, nid, nl, nl, tk)
+    val probes = shaped(2, col("_t1"), lit(0L), nl, lit(1L),
+        col("_id"), col("_t0"), col("_t1"), sp)
+      .unionByName(shaped(2, col("_t0") - 1L, lit(0L), nl, lit(-1L),
+        col("_id"), col("_t0"), col("_t1"), sp))
+    val w = Window.partitionBy(kCols: _*).orderBy(col("_ts"), col("_f"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = deltas.unionByName(tickRows).unionByName(probes)
+      .withColumn("_c", sum(col("_d")).over(w))
+      .withColumn("_g", when(col("_f") === 1,
+        col("_m") * round(lit(1e9) /
+          (lit(1L) + coalesce(col("_c"), lit(0L))).cast("double")).cast("long")))
+      .withColumn("_mm", when(col("_f") === 1, col("_m")))
+      .withColumn("_S", sum(col("_g")).over(w))
+      .withColumn("_M", sum(col("_mm")).over(w))
+    swept.where(col("_f") === 2)
+      .groupBy((keys :+ "_id2").map(col): _*)
+      .agg(min("_pt0").as("t0_us"), min("_pt1").as("t1_us"),
+        sum(col("_sign") * coalesce(col("_M"), lit(0L))).as("n_ticks"),
+        sum(col("_sign") * coalesce(col("_S"), lit(0L))).as("_su"))
+      .where(col("n_ticks") > 0L)
+      .withColumn("uniqueness",
+        round(col("_su").cast("double") / 1e9 / col("n_ticks").cast("double"), 6))
+      .withColumn("uq", greatest(round(col("uniqueness") * 1e6).cast("long"), lit(1L)))
+      .select(kCols ++ Seq(col("_id2").as(idCol), col("t0_us"), col("t1_us"),
+        col("n_ticks"), col("uniqueness"), col("uq")): _*)
+  }
+
+  /** Sequential bootstrap (AFML ch. 4 §4.5.2): draw `nDraws` spans per
+    * series WITH replacement, where each step's draw probability is
+    * proportional to the candidate's average uniqueness GIVEN the spans
+    * already drawn ([[conditionalUniqueness]]) — overlapping spans are
+    * progressively down-weighted, so the bootstrap sample is closer to
+    * IID than the naive uniform draw (the spec proves the down-weight
+    * directly on a hand fixture).
+    *
+    * The draw itself is the deterministic portable-hash Gumbel rule
+    * (the [[graft.operators.TextAnalysis.weightedSample]] /
+    * `importanceResample` precedent): at step b, candidate i draws
+    * `u = (h48(id:salt:b) + 1)/2⁴⁸` from the engine-portable md5 hash,
+    * ranks by `key = round(ln(u)·10⁶)/uq_i` (one exact-int double
+    * division; uq is [[conditionalUniqueness]]'s ·10⁶ integer image),
+    * and the (key DESC, id) maximum per series wins — A-ES with k=1,
+    * so P(i wins) ∝ uq_i exactly, and the whole draw SEQUENCE replays
+    * in SQL with the b-th stage unrolled as CTEs (the kmeans-round
+    * pattern). No RNG state, no seed-per-partition hazard; same corpus
+    * + salt ⇒ same sample.
+    *
+    * Scale shape: `nDraws` sequential passes (the protocol is
+    * inherently sequential), each one [[conditionalUniqueness]] sweep
+    * O(ticks + spans) + one key-grouped top-1 — the drawn set (≤
+    * nDraws·series rows) localCheckpoints between steps. Returns one
+    * row per (series, draw): `(keys…, draw, idCol, t0_us, t1_us,
+    * n_ticks, uniqueness, sample_key)`, draw = 1-based step index. */
+  def sequentialBootstrap(ticks: DataFrame, spans: DataFrame,
+                          keys: Seq[String], tsCol: String, idCol: String,
+                          t0Col: String, t1Col: String,
+                          nDraws: Int, salt: String = "seqboot"): DataFrame = {
+    require(nDraws >= 1 && nDraws <= 64,
+      s"nDraws must be in [1, 64] (each draw is one sequential pass), got $nDraws")
+    val kCols = keys.map(col)
+    val spark = ticks.sparkSession
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        spans.select(kCols :+ col(idCol).as(idCol): _*).schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("t0_us",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("t1_us",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("draw",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_ticks",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("uniqueness",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("sample_key",
+            org.apache.spark.sql.types.DoubleType))))
+    var drawnAcc = empty
+    (1 to nDraws).foreach { b =>
+      val cand = conditionalUniqueness(ticks, spans,
+        drawnAcc.select(kCols ++ Seq(col(idCol), col("t0_us").as(t0Col),
+          col("t1_us").as(t1Col)): _*),
+        keys, tsCol, idCol, t0Col, t1Col)
+      val h = graft.operators.TextAnalysis.tokenHash48(
+        concat(col(idCol).cast("string"), lit(s":$salt:$b")))
+      val lnuFp = round(log((h.cast("double") + 1.0) / lit(281474976710656.0))
+        * 1e6).cast("long")
+      val keyed = cand.withColumn("sample_key",
+        lnuFp.cast("double") / col("uq").cast("double"))
+      val wk = Window.partitionBy(kCols: _*)
+        .orderBy(col("sample_key").desc, col(idCol))
+      val winner = keyed
+        .withColumn("_rn", row_number().over(wk))
+        .where(col("_rn") === 1)
+        .select(kCols ++ Seq(col(idCol), col("t0_us"), col("t1_us"),
+          lit(b.toLong).as("draw"), col("n_ticks"), col("uniqueness"),
+          col("sample_key")): _*)
+      drawnAcc = drawnAcc.unionByName(winner).localCheckpoint(true)
+    }
+    drawnAcc.select(kCols ++ Seq(col("draw"), col(idCol), col("t0_us"),
+      col("t1_us"), col("n_ticks"), col("uniqueness"), col("sample_key")): _*)
+  }
 }

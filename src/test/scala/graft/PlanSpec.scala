@@ -786,4 +786,21 @@ class PlanSpec extends SparkSpec {
     assert(pbo.contains("BroadcastExchange"),
       s"combo frame must broadcast:\n${pbo.take(1200)}")
   }
+
+  test("averageUniqueness: O(ticks+spans) sweep — NO tick×span join, series-keyed windows") {
+    import spark.implicits._
+    val ticks = (0L to 50L).map(t => ("S", t)).toDF("k", "ts")
+    val spans = (0L to 20L).map(i => ("S", i, i, i + 10L)).toDF("k", "id", "t0", "t1")
+    val p = planOf(graft.operators.Labeling.averageUniqueness(
+      ticks, spans, Seq("k"), "ts", "id", "t0", "t1", bucketUs = 4L))
+    // the round-10 shape joined every tick to every covering span
+    // (pair volume ~ density², the scale-killer VERDICT r10 flagged);
+    // the sweep must not join at all — only union + window + aggregate
+    assert(!p.contains("Join"), s"averageUniqueness must not join:\n${p.take(2000)}")
+    // every window rides the series key — never a global sort
+    val specs = "windowspecdefinition\\(([^,]+),".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("k#")),
+      s"unkeyed averageUniqueness window: $specs")
+  }
 }
