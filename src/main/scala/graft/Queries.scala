@@ -1969,6 +1969,141 @@ object Queries {
                    / CAST(sum(uq) OVER (PARTITION BY k) AS DOUBLE), 6) AS weight
       FROM q ORDER BY event_type, event_id"""))
 
+  // Sequential bootstrap (AFML ch. 4 §4.5.2) over the q_avg_uniqueness
+  // span convention: 4 draws per event type WITH replacement, each step
+  // weighting candidates by their average uniqueness GIVEN the spans
+  // already drawn, the winner elected by the deterministic portable-
+  // hash Gumbel rule (A-ES k=1). The oracle unrolls the 4-stage
+  // recursion as CTEs (the kmeans-round pattern): per stage, per-tick
+  // drawn-concurrency via an interval join, the exact quantized ū
+  // image, the md5-hash ln(u) key, and the per-series argmax.
+  private val seqBootDraws = 4
+  private val qSeqBootstrap = QDef(
+    "q_seq_bootstrap",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), micros(col("ts")).as("ts_us"), col("event_id"))
+      val spans = ev
+        .withColumn("t0_us", col("ts_us"))
+        .withColumn("t1_us",
+          col("ts_us") + (lit(1L) + pmod(col("event_id"), lit(6L))) * lit(3600000000L))
+      operators.Labeling.sequentialBootstrap(ev, spans, Seq("event_type"),
+          "ts_us", "event_id", "t0_us", "t1_us", nDraws = seqBootDraws)
+        .orderBy("event_type", "draw")
+    },
+    Some({
+      val stages = (1 to seqBootDraws).map { b =>
+        val prev = s"d${b - 1}"
+        s"""
+      c$b AS (SELECT t.k, t.ts_us, t.m,
+                     (SELECT count(*) FROM $prev d
+                      WHERE d.k = t.k AND t.ts_us >= d.t0 AND t.ts_us <= d.t1) AS c
+              FROM tkm t),
+      u$b AS (SELECT s.k, s.id, s.t0, s.t1,
+                     CAST(sum(t.m) AS BIGINT) AS n,
+                     CAST(sum(t.m * CAST(round(1e9 / (1.0 + t.c)) AS BIGINT)) AS BIGINT) AS su
+              FROM sp s JOIN c$b t ON t.k = s.k AND t.ts_us >= s.t0 AND t.ts_us <= s.t1
+              GROUP BY 1, 2, 3, 4),
+      k$b AS (SELECT k, id, t0, t1, n,
+                     round(CAST(su AS DOUBLE) / 1e9 / CAST(n AS DOUBLE), 6) AS uniq,
+                     GREATEST(CAST(round(round(CAST(su AS DOUBLE) / 1e9 / CAST(n AS DOUBLE), 6) * 1e6) AS BIGINT), 1) AS uq,
+                     CAST(round(ln((CAST(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':seqboot:$b'), 1, 12)) AS BIGINT) AS DOUBLE) + 1.0) / 281474976710656.0) * 1e6) AS BIGINT) AS lnu
+              FROM u$b),
+      w$b AS (SELECT k, id, t0, t1, n, uniq,
+                     CAST(lnu AS DOUBLE) / CAST(uq AS DOUBLE) AS skey,
+                     row_number() OVER (PARTITION BY k
+                       ORDER BY CAST(lnu AS DOUBLE) / CAST(uq AS DOUBLE) DESC, id) AS rn
+              FROM k$b),
+      d$b AS (SELECT k, id, t0, t1 FROM $prev
+              UNION ALL SELECT k, id, t0, t1 FROM w$b WHERE rn = 1)"""
+      }.mkString(",")
+      val outs = (1 to seqBootDraws).map { b =>
+        s"""SELECT k AS event_type, CAST($b AS BIGINT) AS draw, id AS event_id,
+               t0 AS t0_us, t1 AS t1_us, n AS n_ticks, uniq AS uniqueness,
+               skey AS sample_key FROM w$b WHERE rn = 1"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH tkm AS (SELECT event_type AS k, epoch_us(ts) AS ts_us,
+                          CAST(count(*) AS BIGINT) AS m
+                   FROM events GROUP BY 1, 2),
+      sp AS (SELECT event_type AS k, event_id AS id, epoch_us(ts) AS t0,
+                    epoch_us(ts) + (1 + event_id % 6) * 3600000000 AS t1
+             FROM events),
+      d0 AS (SELECT k, id, t0, t1 FROM sp WHERE 1 = 0),$stages
+      $outs
+      ORDER BY event_type, draw"""
+    }))
+
+  // Bet sizing from predicted probabilities (AFML ch. 10): p from a
+  // logistic of the 6-dp z-scored value, size = side·(2Φ(z)−1) with Φ
+  // the A&S 7.1.26 erf tree (one data-dependent exp — the q_cs_spread
+  // precedent), averaged across concurrently active bets on the
+  // uniqueness-sweep shape and discretized at 0.05. The oracle replays
+  // the whole chain: z-score, logistic, Φ, the ·10⁶ size image, the
+  // interval-join active average, and the step grid.
+  private val qBetSize = QDef(
+    "q_bet_size",
+    (s, dir) => {
+      val wp = Window.partitionBy(col("event_type"))
+      val z6 = round((col("value") - avg(col("value")).over(wp)) /
+        nullif(stddev_samp(col("value")).over(wp), lit(0)), 6)
+      val bets = t(s, dir, "events")
+        .where(col("value").isNotNull)
+        .withColumn("_z", z6)
+        .where(col("_z").isNotNull)
+        .select(col("event_type"),
+          micros(col("ts")).as("t0_us"),
+          (micros(col("ts")) +
+            (lit(1L) + pmod(col("event_id"), lit(6L))) * lit(3600000000L)).as("t1_us"),
+          least(greatest(round(lit(1.0) / (lit(1.0) + exp(-col("_z"))), 6),
+            lit(1e-6)), lit(1.0 - 1e-6)).as("p"),
+          when(col("event_id") % 2 === 0, lit(1L)).otherwise(lit(-1L)).as("side"))
+      operators.Backtest.betSizing(bets, Seq("event_type"),
+          "t0_us", "t1_us", "p", "side", stepSize = 0.05)
+        .orderBy("event_type", "ts_us")
+    },
+    Some({
+      val sqrt2 = java.lang.Double.toString(operators.Backtest.Sqrt2)
+      s"""
+      WITH e AS (SELECT event_type AS k, epoch_us(ts) AS ts_us, event_id, value
+                 FROM events WHERE value IS NOT NULL),
+      z AS (SELECT *, round((value - AVG(value) OVER wp)
+                            / NULLIF(STDDEV_SAMP(value) OVER wp, 0), 6) AS zz
+            FROM e WINDOW wp AS (PARTITION BY k)),
+      pr AS (SELECT k, ts_us, event_id,
+                    LEAST(GREATEST(round(1.0 / (1.0 + exp(-zz)), 6), 0.000001),
+                          1.0 - 0.000001) AS p,
+                    CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE -1.0 END AS side
+             FROM z WHERE zz IS NOT NULL),
+      zs AS (SELECT *, (p - 0.5) / sqrt(p * (1.0 - p)) AS zb FROM pr),
+      ph AS (SELECT *, abs(zb) / $sqrt2 AS x,
+                    1.0 / (1.0 + 0.3275911 * (abs(zb) / $sqrt2)) AS tt
+             FROM zs),
+      erf AS (SELECT *,
+                     1.0 - (((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+                       - 0.284496736) * tt + 0.254829592) * tt)
+                       * (CAST(CAST(round(exp(-(x * x)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9) AS ef
+              FROM ph),
+      sz AS (SELECT k, ts_us AS t0,
+                    ts_us + (1 + event_id % 6) * 3600000000 AS t1,
+                    CAST(round(side * (2.0 * (0.5 * (1.0 +
+                      (CASE WHEN zb > 0 THEN 1.0 WHEN zb < 0 THEN -1.0 ELSE 0.0 END) * ef)) - 1.0) * 1e6) AS BIGINT) AS szq
+             FROM erf),
+      grid AS (SELECT DISTINCT k, t0 AS ts_us FROM sz),
+      act AS (SELECT g.k, g.ts_us,
+                     CAST(count(*) AS BIGINT) AS n_active,
+                     CAST(sum(b.szq) AS BIGINT) AS ssz
+              FROM grid g JOIN sz b ON b.k = g.k
+                                    AND g.ts_us >= b.t0 AND g.ts_us <= b.t1
+              GROUP BY 1, 2),
+      q AS (SELECT *, CAST(round(CAST(ssz AS DOUBLE) / CAST(n_active AS DOUBLE)) AS BIGINT) AS avgq
+            FROM act)
+      SELECT k AS event_type, ts_us, n_active,
+             CAST(avgq AS DOUBLE) / 1e6 AS avg_size,
+             round(CAST(avgq AS DOUBLE) / 50000.0) * 0.05 + 0.0 AS bet_size
+      FROM q ORDER BY event_type, ts_us"""
+    }))
+
   // Backward sup-ADF explosiveness per event type (PSY 2015 bounded-
   // window variant, window ladder {8, 16, 32}): Δv on lagged v, exact
   // integer regression sums per rung, sup of the β t-statistics. The
@@ -4201,6 +4336,70 @@ object Queries {
                              + (CASE WHEN ask_px >= pa THEN pqa ELSE 0.0 END), 6)
              END AS ofi
       FROM l ORDER BY symbol, ts_us"""))
+
+  // Lee–Ready trade classification + effective spread over the
+  // synthetic book's hourly best quotes: quote test against the as-of
+  // prevailing mid, tick-rule fallback at the mid / before any quote —
+  // the MEASURED microstructure series the Roll/CS/AR estimators
+  // approximate. The oracle replays the best-level quotes, DuckDB's
+  // native ASOF LEFT JOIN, the zero-tick carry, and the 6-dp spread.
+  private val qLeeReady = QDef(
+    "q_lee_ready",
+    (s, dir) => {
+      val quotes = graft.features.OrderbookFeatures
+        .micropriceSeries(syntheticBook(s, dir), Seq("symbol"))
+        .select(col("symbol"), col("ts"), col("bid_px"), col("ask_px"))
+      val trades = t(s, dir, "events").select(
+        col("event_type").as("symbol"), col("ts"), col("value"), col("event_id"))
+      graft.features.OrderbookFeatures.leeReady(trades, quotes, Seq("symbol"),
+          tradeTs = "ts", priceCol = "value", tiebreakCol = "event_id",
+          quoteTs = "ts", bidCol = "bid_px", askCol = "ask_px")
+        .select(col("symbol"), col("ts_us"), col("tiebreak").as("event_id"),
+          col("price"), col("bid_px"), col("ask_px"), col("mid"),
+          col("lr_side"), col("espread"), col("espread_rel"))
+        .orderBy("symbol", "ts_us", "event_id")
+    },
+    Some(s"""
+      WITH best AS (
+        -- the shared bookCte's 0.000001 literal is DECIMAL-typed in
+        -- DuckDB (fine under the 6-dp rounds of q_microprice/q_ofi);
+        -- this query emits RAW quote doubles, so the price must be the
+        -- engine's exact double tree: value + event_id * 1e-6
+        SELECT event_type AS symbol, epoch_us(date_trunc('hour', ts)) AS q_ts,
+               MAX(CASE WHEN event_id % 2 = 0 THEN value + event_id * 1e-6 END) AS bid_px,
+               MIN(CASE WHEN event_id % 2 = 1 THEN value + event_id * 1e-6 END) AS ask_px
+        FROM events GROUP BY 1, 2),
+      tr AS (SELECT event_type AS symbol, epoch_us(ts) AS ts_us, event_id,
+                    value AS price
+             FROM events),
+      a AS (SELECT tr.symbol, tr.ts_us, tr.event_id, tr.price,
+                   best.bid_px, best.ask_px
+            FROM tr ASOF LEFT JOIN best
+              ON tr.symbol = best.symbol AND tr.ts_us >= best.q_ts),
+      m AS (SELECT *,
+                   CASE WHEN bid_px IS NOT NULL AND ask_px IS NOT NULL
+                        THEN (bid_px + ask_px) / 2.0 END AS mid,
+                   sign(price - lag(price) OVER w) AS tsgn
+            FROM a WINDOW w AS (PARTITION BY symbol ORDER BY ts_us, event_id)),
+      s2 AS (SELECT *,
+                    last_value(CASE WHEN tsgn <> 0 THEN tsgn END IGNORE NULLS)
+                      OVER (PARTITION BY symbol ORDER BY ts_us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tickdir
+             FROM m),
+      c AS (SELECT *,
+                   CASE WHEN mid IS NOT NULL AND price > mid THEN 1
+                        WHEN mid IS NOT NULL AND price < mid THEN -1
+                        ELSE CAST(tickdir AS BIGINT) END AS lr_side
+            FROM s2)
+      SELECT symbol, ts_us, event_id, price, bid_px, ask_px, mid,
+             lr_side,
+             CASE WHEN mid IS NOT NULL AND lr_side IS NOT NULL
+                  THEN round(2.0 * CAST(lr_side AS DOUBLE) * (price - mid), 6) + 0.0
+             END AS espread,
+             CASE WHEN mid IS NOT NULL AND lr_side IS NOT NULL AND mid <> 0
+                  THEN round(2.0 * CAST(lr_side AS DOUBLE) * (price - mid) / mid, 6) + 0.0
+             END AS espread_rel
+      FROM c ORDER BY symbol, ts_us, event_id"""))
 
   // Multi-level OFI + depth-weighted queue imbalance over the synthetic
   // book's top-3 levels (decay 0.5 — exact IEEE weights): the CKS flow
@@ -7118,7 +7317,7 @@ object Queries {
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
     qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,
-    qKalmanHedge,
+    qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr

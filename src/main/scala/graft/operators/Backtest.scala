@@ -646,14 +646,20 @@ object Backtest {
     * time literals, so the oracle replays the identical tree. Unlike
     * [[invNorm]] (a DRIVER-side Double→Double for quantiles known at
     * plan time), this evaluates per ROW — bet sizing needs Φ of a
-    * data-dependent z. */
+    * data-dependent z. The exp OUTPUT quantizes to the 10⁻⁹ grid (the
+    * µnat-BIGINT doctrine for libm calls: engines agree to ~1 ulp, but
+    * a raw last-bit difference can flip a downstream round at a .5
+    * boundary — round-11 caught exactly that, 3 of 719 q_bet_size rows
+    * off by one 10⁻⁶ size unit); after the quantization the rest of
+    * the tree is fixed double arithmetic over exact images. */
   def normCdf(z: Column): Column = {
     val x = abs(z) / lit(Sqrt2)
     val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
     val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t
       + lit(1.421413741)) * t - lit(0.284496736)) * t
       + lit(0.254829592)) * t
-    val erf = lit(1.0) - poly * exp(-(x * x))
+    val eq = round(exp(-(x * x)) * 1e9).cast("long").cast("double") / lit(1e9)
+    val erf = lit(1.0) - poly * eq
     lit(0.5) * (lit(1.0) + signum(z) * erf)
   }
 
@@ -679,10 +685,16 @@ object Backtest {
     *
     * Determinism: per-bet sizes quantize to `round(size·10⁶)` BIGINTs
     * at the source (one Φ tree per bet, 6-dp image), the active sums
-    * ride EXACT integer (Σsizeq, count) prefix sums, the mean is one
-    * double division of two exact integers, and the discretized size
-    * normalizes its zero image (`+ 0.0` — a tiny-negative mean must not
-    * hash-diverge on the −0.0 bit, the q_ar_spread lesson).
+    * ride EXACT integer (Σsizeq, count) prefix sums, and the mean's
+    * own 10⁻⁶ image is ONE single-arg `round(Σsizeq/n)` of the exact
+    * integer ratio — NOT `round(x, 6)`: with n even the true mean
+    * lands EXACTLY on decimal-grid midpoints (Σ odd, n = 2 ⇒ …k.5
+    * µunits), where Spark's exact-BigDecimal HALF_UP and DuckDB's
+    * ×10⁶-then-round disagree by construction (round-11 caught 3 such
+    * rows); on the integer ratio every tie is an exact binary .5,
+    * which BOTH engines round away from zero. The discretized size
+    * normalizes its zero image (`+ 0.0` — a tiny-negative mean must
+    * not hash-diverge on the −0.0 bit, the q_ar_spread lesson).
     *
     * Scale shape: the [[graft.operators.Labeling.averageUniqueness]]
     * sweep — deltas (+sizeq/+1 at t0, −sizeq/−1 at t1+1) union the
@@ -718,15 +730,17 @@ object Backtest {
         lit(0L).as("_dsz"), lit(0L).as("_dn")): _*)
     val w = Window.partitionBy(kCols: _*).orderBy(col("_ts"), col("_f"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val avg6 = round(col("_ssz").cast("double") / 1e6 /
-      col("_cnt").cast("double"), 6) + lit(0.0)
+    val avgQ = round(col("_ssz").cast("double") /
+      col("_cnt").cast("double")).cast("long")
+    val stepQ = stepSize * 1e6
     deltas.unionByName(grid)
       .withColumn("_ssz", sum(col("_dsz")).over(w))
       .withColumn("_cnt", sum(col("_dn")).over(w))
       .where(col("_f") === 1 && col("_cnt") > 0L)
       .select(kCols ++ Seq(col("_ts").as("ts_us"), col("_cnt").as("n_active"),
-        avg6.as("avg_size"),
-        (round(avg6 / lit(stepSize)) * lit(stepSize) + lit(0.0)).as("bet_size")): _*)
+        (avgQ.cast("double") / lit(1e6)).as("avg_size"),
+        (round(avgQ.cast("double") / lit(stepQ)) * lit(stepSize) + lit(0.0))
+          .as("bet_size")): _*)
   }
 
   /** Inverse standard-normal CDF, Acklam's rational approximation

@@ -5086,6 +5086,127 @@ class OpsSpec extends SparkSpec {
       s"crash day must skew negative: $d2 vs $d1")
     assert(d2._4.get > d1._4.get, "crash day must have the fatter tail")
   }
+  // ---- round 11: sequential bootstrap / bet sizing / Lee–Ready ----
+
+  test("conditionalUniqueness: overlap down-weights vs the drawn set, empty drawn = 1") {
+    val ticks = (0L to 9L).map(t => ("S", t)).toDF("k", "ts")
+    // A and B share [0,4] exactly; C[5,9] is disjoint
+    val spans = Seq(("S", "A", 0L, 4L), ("S", "B", 0L, 4L), ("S", "C", 5L, 9L))
+      .toDF("k", "id", "t0", "t1")
+    val none = spans.limit(0)
+    def u(drawn: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      Labeling.conditionalUniqueness(ticks, spans, drawn, Seq("k"),
+          "ts", "id", "t0", "t1")
+        .collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("uniqueness")).toMap
+    // nothing drawn: every candidate is fully unique
+    assert(u(none) == Map("A" -> 1.0, "B" -> 1.0, "C" -> 1.0))
+    // A drawn: B (total overlap) halves, A itself halves (re-draw is
+    // discouraged symmetrically — with-replacement semantics), C unaffected
+    val afterA = u(spans.where(col("id") === "A"))
+    assert(afterA == Map("A" -> 0.5, "B" -> 0.5, "C" -> 1.0), s"$afterA")
+    // A drawn twice: the covered ticks weigh 1/3
+    val afterAA = u(spans.where(col("id") === "A")
+      .unionAll(spans.where(col("id") === "A")))
+    assert(afterAA("B") == 0.333333 && afterAA("C") == 1.0, s"$afterAA")
+  }
+
+  test("sequentialBootstrap: deterministic, with-replacement, overlap-aware draws per key") {
+    val ticks = (0L to 9L).flatMap(t => Seq(("S", t), ("T", t))).toDF("k", "ts")
+    val spans = Seq(("S", 1L, 0L, 4L), ("S", 2L, 0L, 4L), ("S", 3L, 5L, 9L),
+      ("T", 4L, 0L, 9L)).toDF("k", "id", "t0", "t1")
+    val out = Labeling.sequentialBootstrap(ticks, spans, Seq("k"),
+      "ts", "id", "t0", "t1", nDraws = 3, salt = "s1")
+    val rows = out.orderBy("k", "draw").collect()
+    // 3 draws per key, 1-based, sample_key strictly negative (ln u < 0)
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[Long]("draw")).toSeq == Seq(1L, 2L, 3L, 1L, 2L, 3L))
+    assert(rows.forall(_.getAs[Double]("sample_key") < 0.0))
+    // single-candidate key T must draw id 4 every time (with replacement)
+    assert(rows.filter(_.getAs[String]("k") == "T")
+      .forall(_.getAs[Long]("id") == 4L))
+    // first draw sees uniqueness 1 everywhere; later draws of an
+    // overlapped candidate carry the down-weighted value
+    assert(rows.filter(r => r.getAs[Long]("draw") == 1L).forall(
+      _.getAs[Double]("uniqueness") == 1.0))
+    // deterministic: same salt replays the identical sequence
+    val again = Labeling.sequentialBootstrap(ticks, spans, Seq("k"),
+      "ts", "id", "t0", "t1", nDraws = 3, salt = "s1")
+      .orderBy("k", "draw").collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+    // a different salt is allowed to (and here does) change the draw keys
+    val other = Labeling.sequentialBootstrap(ticks, spans, Seq("k"),
+      "ts", "id", "t0", "t1", nDraws = 3, salt = "s2")
+      .orderBy("k", "draw").collect()
+    assert(other.map(_.getAs[Double]("sample_key")).toSeq !=
+      rows.map(_.getAs[Double]("sample_key")).toSeq)
+  }
+
+  test("normCdf/probToSize closed forms; betSizing averages active bets and discretizes") {
+    val probe = Seq(0.0, 1.96, -1.96, 4.0).toDF("z")
+      .select(round(Backtest.normCdf(col("z")), 6).as("phi")).collect()
+      .map(_.getDouble(0))
+    assert(probe(0) == 0.5)
+    assert(approx(probe(1), 0.975002, 2e-6), s"Phi(1.96)=${probe(1)}")
+    assert(approx(probe(1) + probe(2), 1.0, 2e-6), "symmetry")
+    assert(probe(3) > 0.99996)
+    // p=1/2 -> size 0 regardless of side
+    val flat = Seq(("S", 0L, 10L, 0.5, 1L)).toDF("k", "t0", "t1", "p", "side")
+    val f = Backtest.betSizing(flat, Seq("k"), "t0", "t1", "p", "side", 0.05).collect()
+    assert(f.length == 1 && f(0).getAs[Double]("avg_size") == 0.0 &&
+      f(0).getAs[Double]("bet_size") == 0.0)
+    // concurrent opposing bets with the same conviction cancel exactly
+    val opp = Seq(("S", 0L, 10L, 0.9, 1L), ("S", 0L, 10L, 0.9, -1L))
+      .toDF("k", "t0", "t1", "p", "side")
+    val o = Backtest.betSizing(opp, Seq("k"), "t0", "t1", "p", "side", 0.05).collect()
+    assert(o.length == 1 && o(0).getAs[Long]("n_active") == 2L &&
+      o(0).getAs[Double]("avg_size") == 0.0 && o(0).getAs[Double]("bet_size") == 0.0)
+    // staggered bets: the second instant averages both; near-certain
+    // conviction discretizes to the full unit at step 0.05
+    val stag = Seq(("S", 0L, 10L, 0.999999, 1L), ("S", 5L, 20L, 0.5, 1L))
+      .toDF("k", "t0", "t1", "p", "side")
+    val sRows = Backtest.betSizing(stag, Seq("k"), "t0", "t1", "p", "side", 0.05)
+      .orderBy("ts_us").collect()
+    assert(sRows.map(_.getAs[Long]("n_active")).toSeq == Seq(1L, 2L))
+    assert(sRows(0).getAs[Double]("avg_size") == 1.0 &&
+      sRows(0).getAs[Double]("bet_size") == 1.0)
+    assert(sRows(1).getAs[Double]("avg_size") == 0.5 &&
+      sRows(1).getAs[Double]("bet_size") == 0.5)
+    // out-of-range probability fails fast
+    val bad = Seq(("S", 0L, 1L, 1.0, 1L)).toDF("k", "t0", "t1", "p", "side")
+    val err = intercept[Exception] {
+      Backtest.betSizing(bad, Seq("k"), "t0", "t1", "p", "side", 0.05).collect()
+    }
+    assert(err.getMessage.contains("probability out of (0,1)"), err.getMessage)
+  }
+
+  test("leeReady: quote test, tick fallback at the mid, pre-quote nulls, zero-tick carry") {
+    import graft.features.OrderbookFeatures
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000) // µs grid, ms precision fine
+    val quotes = Seq(("S", ts(10000000L), 99.0, 101.0),
+      ("S", ts(100000000L), 100.0, 104.0))
+      .toDF("k", "qts", "bid", "ask")
+    val trades = Seq(
+      ("S", ts(1000000L), 98.0, 1L),    // before any quote, first trade -> null side
+      ("S", ts(11000000L), 101.0, 2L),  // above mid 100 -> buy
+      ("S", ts(12000000L), 99.5, 3L),   // below mid -> sell
+      ("S", ts(13000000L), 100.0, 4L),  // at mid -> tick rule: 99.5->100 uptick -> buy
+      ("S", ts(14000000L), 100.0, 5L),  // at mid, zero tick -> carries buy
+      ("S", ts(110000000L), 101.0, 6L)) // mid now 102 -> sell
+      .toDF("k", "tts", "price", "id")
+    val out = OrderbookFeatures.leeReady(trades, quotes, Seq("k"),
+        "tts", "price", "id", "qts", "bid", "ask")
+      .orderBy("ts_us").collect()
+    def side(i: Int) = if (out(i).isNullAt(out(i).fieldIndex("lr_side"))) None
+      else Some(out(i).getAs[Long]("lr_side"))
+    assert(side(0).isEmpty && out(0).isNullAt(out(0).fieldIndex("espread")))
+    assert(side(1) == Some(1L) &&
+      out(1).getAs[Double]("espread") == 2.0 && // 2*1*(101-100)
+      out(1).getAs[Double]("espread_rel") == 0.02)
+    assert(side(2) == Some(-1L) && out(2).getAs[Double]("espread") == 1.0)
+    assert(side(3) == Some(1L) && out(3).getAs[Double]("espread") == 0.0)
+    assert(side(4) == Some(1L), "zero tick carries the last direction")
+    assert(side(5) == Some(-1L) && out(5).getAs[Double]("espread") == 2.0)
+  }
 }
 
 /** Test backends for the inference-backend contract spec — top level so
@@ -5225,5 +5346,62 @@ class BackendContractSpec extends SparkSpec {
     assert(model.predict(Seq("up")).head._1 == 0.9)
     assert(roundtrip(model).predict(Seq("down")).head._2 == 0.8)
     assert(BackendFixtures.builds.get() == 1, "every copy shares the per-JVM runtime")
+  }
+
+  test("WordVectorsEncoder: GloVe/fastText weights file through the seam — " +
+    "meanpool+L2, OOV zero, header validation, loud missing file") {
+    val dir = java.nio.file.Files.createTempDirectory("wv")
+    val vec = dir.resolve("mini.vec")
+    // fastText-style header + 3 tokens in a 4-dim space
+    java.nio.file.Files.writeString(vec,
+      "3 4\nup 1 0 0 0\ndown 0 1 0 0\nflat 0 0 2 0\n")
+    val enc = WordVectorsEncoder(vec.toString, dim = 4)
+    val out = roundtrip(enc).encode(Seq("up down", "FLAT", "zzz qqq", ""))
+    // mean of e1,e2 = (.5,.5,0,0) -> L2 = (√½,√½,0,0)
+    val r2 = 1.0f / math.sqrt(2.0).toFloat
+    assert(out(0).toSeq == Seq(r2, r2, 0f, 0f))
+    // single token normalizes regardless of magnitude (lowercased)
+    assert(out(1).toSeq == Seq(0f, 0f, 1f, 0f))
+    // all-OOV and empty -> zero vector, right dim
+    assert(out(2).toSeq == Seq(0f, 0f, 0f, 0f) && out(3).length == 4)
+    // the batched DataFrame stage consumes it unchanged
+    import spark.implicits._
+    val df = TextEmbeddings.withEmbeddings(
+      Seq((1L, "up down"), (2L, "none")).toDF("id", "text"), "text", enc)
+    val got = df.orderBy("id").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toSeq)
+    assert(got(0) == Seq(r2, r2, 0f, 0f) && got(1) == Seq(0f, 0f, 0f, 0f))
+    // wrong declared dim fails loudly at load, not silently
+    val bad = intercept[Exception] {
+      WordVectorsEncoder(vec.toString, dim = 5).encode(Seq("up"))
+    }
+    assert(bad.getMessage.contains("dim"), bad.getMessage)
+    // missing file: construction free, first encode loud
+    val missing = WordVectorsEncoder(dir.resolve("absent.vec").toString, dim = 4)
+    val err = intercept[Exception] { missing.encode(Seq("x")) }
+    assert(err.getMessage.contains("weights file not found"), err.getMessage)
+  }
+
+  test("LexiconSentimentModel: VADER-format lexicon file — logistic of mean valence, neutral on no hits") {
+    val dir = java.nio.file.Files.createTempDirectory("lex")
+    val path = dir.resolve("vader.txt")
+    java.nio.file.Files.writeString(path,
+      "# comment line\ngood\t2.0\nbad\t-2.0\ngreat\t3.0\textra\tcolumns ignored\n")
+    val model = LexiconSentimentModel(path.toString)
+    val ps = roundtrip(model).predict(Seq("good", "bad", "good bad", "nothing here", "GREAT"))
+    def logistic(m: Double) = 1.0 / (1.0 + math.exp(-m))
+    assert(ps(0)._1 == logistic(2.0) && approx(ps(0)._1 + ps(0)._2, 1.0))
+    assert(ps(1)._1 == logistic(-2.0))
+    assert(ps(2)._1 == 0.5, "opposite valences cancel to neutral")
+    assert(ps(3)._1 == 0.5, "no lexicon hits is neutral")
+    assert(ps(4)._1 == logistic(3.0), "lowercase fold reaches the lexicon")
+    // the batched DataFrame stage consumes it unchanged
+    import spark.implicits._
+    val df = SentimentScorer.withSentiment(
+      Seq((1L, "good great")).toDF("id", "text"), "text", model)
+    assert(df.collect()(0).getAs[Double]("p_pos") == logistic(2.5))
+    val missing = LexiconSentimentModel(dir.resolve("absent.txt").toString)
+    val err = intercept[Exception] { missing.predict(Seq("x")) }
+    assert(err.getMessage.contains("lexicon file not found"), err.getMessage)
   }
 }

@@ -803,4 +803,29 @@ class PlanSpec extends SparkSpec {
     assert(specs.nonEmpty && specs.forall(_.contains("k#")),
       s"unkeyed averageUniqueness window: $specs")
   }
+
+  test("betSizing and leeReady: join-free union sweeps on series-keyed windows") {
+    import spark.implicits._
+    def keyed(p: String, name: String): Unit = {
+      assert(!p.contains("Join"), s"$name must not join:\n${p.take(1500)}")
+      val specs = "windowspecdefinition\\(([^,]+),".r
+        .findAllMatchIn(p).map(_.group(1)).toList
+      assert(specs.nonEmpty && specs.forall(_.contains("k#")),
+        s"unkeyed $name window: $specs")
+    }
+    val bets = (1L to 40L).map(i => ("k" + (i % 4), i, i + 10L, 0.6, 1L))
+      .toDF("k", "t0", "t1", "p", "side")
+    keyed(planOf(graft.operators.Backtest.betSizing(
+      bets, Seq("k"), "t0", "t1", "p", "side", 0.05)), "betSizing")
+    // leeReady: the as-of is the tagged-union window (NO join node),
+    // and the tick-rule window shares the same series partitioning
+    val ts0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    val trades = (1L to 40L).map(i => ("k" + (i % 4), ts0, 100.0 + i, i))
+      .toDF("k", "tts", "price", "id")
+    val quotes = (1L to 8L).map(i => ("k" + (i % 4), ts0, 99.0, 101.0))
+      .toDF("k", "qts", "bid", "ask").distinct()
+    keyed(planOf(graft.features.OrderbookFeatures.leeReady(
+      trades, quotes, Seq("k"), "tts", "price", "id", "qts", "bid", "ask")),
+      "leeReady")
+  }
 }
