@@ -4167,6 +4167,70 @@ object Queries {
   // the bid-ask spread from ranges alone (β/γ separate variance from
   // spread); 3−2√2 interpolates from the JVM, negative estimates floor
   // at 0 per the paper, one-period tails null.
+  /** Corwin–Schultz per-bar chain → CTE `cs` with the rounded images,
+    * shared by q_cs_spread and q_spread_compare (one definition so the
+    * two oracles cannot silently diverge — the bookBestSzCte rule).
+    * Requires `bars` ($barsCte) in scope. */
+  private val csChainCte = s"""cs_c AS (
+        SELECT event_type, bar_ts,
+               CASE WHEN high IS NOT NULL AND low IS NOT NULL
+                     AND low > 0 AND high >= low THEN high END AS hv,
+               CASE WHEN high IS NOT NULL AND low IS NOT NULL
+                     AND low > 0 AND high >= low THEN low END AS lv
+        FROM bars),
+      cs_d AS (SELECT event_type, bar_ts, hv, lv,
+                   lead(hv) OVER w AS h2, lead(lv) OVER w AS l2,
+                   CASE WHEN hv IS NOT NULL THEN ln(hv / lv) END AS lnr1
+            FROM cs_c WINDOW w AS (PARTITION BY event_type ORDER BY bar_ts)),
+      cs_e AS (SELECT event_type, bar_ts,
+                   lnr1 * lnr1 + ln(h2 / l2) * ln(h2 / l2) AS beta,
+                   CASE WHEN hv IS NOT NULL AND h2 IS NOT NULL THEN
+                     ln(GREATEST(hv, h2) / LEAST(lv, l2))
+                       * ln(GREATEST(hv, h2) / LEAST(lv, l2)) END AS gamma
+            FROM cs_d),
+      cs_f AS (SELECT event_type, bar_ts, beta, gamma,
+                   (sqrt(2.0 * beta) - sqrt(beta)) / ${TA.CsDenom}
+                     - sqrt(gamma / ${TA.CsDenom}) AS alpha
+            FROM cs_e),
+      cs AS (SELECT event_type, bar_ts,
+                    round(beta, 6) AS cs_beta, round(gamma, 6) AS cs_gamma,
+                    round(alpha, 6) AS cs_alpha,
+                    CASE WHEN alpha IS NOT NULL THEN
+                      round(GREATEST(2.0 * (exp(alpha) - 1.0) / (1.0 + exp(alpha)),
+                                     0.0), 6) END AS cs_spread
+             FROM cs_f)"""
+
+  /** Abdi–Ranaldo per-bar chain → CTE `ar` (rounded, zero-normalized
+    * images), shared by q_ar_spread and q_spread_compare. Requires
+    * `bars` in scope. */
+  private val arChainCte = s"""ar_c AS (
+        SELECT event_type, bar_ts, close,
+               CASE WHEN high IS NOT NULL AND low IS NOT NULL
+                     AND close IS NOT NULL AND low > 0
+                     AND high >= low AND close > 0
+                    THEN (ln(high) + ln(low)) / 2.0 END AS eta
+        FROM bars),
+      ar_d AS (SELECT event_type, bar_ts,
+                   4.0 * (ln(close) - eta) * (ln(close) - lead(eta) OVER w) AS s2
+            FROM ar_c WINDOW w AS (PARTITION BY event_type ORDER BY bar_ts)),
+      ar_e AS (SELECT event_type, bar_ts, s2,
+                   CAST(round(s2 * 1e12) AS BIGINT) AS s2q
+            FROM ar_d),
+      ar_f AS (SELECT event_type, bar_ts, s2,
+                   count(s2q) OVER tw AS nok,
+                   sum(s2q) OVER tw AS ssum
+            FROM ar_e WINDOW tw AS (PARTITION BY event_type ORDER BY bar_ts
+                                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+      ar AS (SELECT event_type, bar_ts,
+                    round(s2, 6) + 0.0 AS ar_s2,
+                    CASE WHEN s2 IS NOT NULL
+                         THEN round(sqrt(GREATEST(s2, 0.0)), 6) + 0.0 END AS ar_spread,
+                    CASE WHEN nok = 24
+                         THEN round(sqrt(GREATEST(
+                                CAST(ssum AS DOUBLE) / 1e12 / CAST(nok AS DOUBLE),
+                                0.0)), 6) + 0.0 END AS ar_spread_roll
+             FROM ar_f)"""
+
   private val qCsSpread = QDef(
     "q_cs_spread",
     (s, dir) => TA.withCorwinSchultz(hourlyBars(s, dir), "high", "low", barsW)
@@ -4175,33 +4239,10 @@ object Queries {
       .orderBy("event_type", "bar_ts_us"),
     Some(s"""
       WITH $barsCte,
-      c AS (SELECT event_type, bar_ts,
-                   CASE WHEN high IS NOT NULL AND low IS NOT NULL
-                         AND low > 0 AND high >= low THEN high END AS hv,
-                   CASE WHEN high IS NOT NULL AND low IS NOT NULL
-                         AND low > 0 AND high >= low THEN low END AS lv
-            FROM bars),
-      d AS (SELECT event_type, bar_ts, hv, lv,
-                   lead(hv) OVER w AS h2, lead(lv) OVER w AS l2,
-                   CASE WHEN hv IS NOT NULL THEN ln(hv / lv) END AS lnr1
-            FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bar_ts)),
-      e AS (SELECT event_type, bar_ts,
-                   lnr1 * lnr1 + ln(h2 / l2) * ln(h2 / l2) AS beta,
-                   CASE WHEN hv IS NOT NULL AND h2 IS NOT NULL THEN
-                     ln(GREATEST(hv, h2) / LEAST(lv, l2))
-                       * ln(GREATEST(hv, h2) / LEAST(lv, l2)) END AS gamma
-            FROM d),
-      f AS (SELECT event_type, bar_ts, beta, gamma,
-                   (sqrt(2.0 * beta) - sqrt(beta)) / ${TA.CsDenom}
-                     - sqrt(gamma / ${TA.CsDenom}) AS alpha
-            FROM e)
+      $csChainCte
       SELECT event_type, epoch_us(bar_ts) AS bar_ts_us,
-             round(beta, 6) AS cs_beta, round(gamma, 6) AS cs_gamma,
-             round(alpha, 6) AS cs_alpha,
-             CASE WHEN alpha IS NOT NULL THEN
-               round(GREATEST(2.0 * (exp(alpha) - 1.0) / (1.0 + exp(alpha)),
-                              0.0), 6) END AS cs_spread
-      FROM f ORDER BY event_type, bar_ts_us"""))
+             cs_beta, cs_gamma, cs_alpha, cs_spread
+      FROM cs ORDER BY event_type, bar_ts_us"""))
 
   // Abdi-Ranaldo close-high-low spread on the same hourly bars —
   // the one-parameter complement to q_cs_spread: s² from the close's
@@ -4217,32 +4258,10 @@ object Queries {
       .orderBy("event_type", "bar_ts_us"),
     Some(s"""
       WITH $barsCte,
-      c AS (SELECT event_type, bar_ts, close,
-                   CASE WHEN high IS NOT NULL AND low IS NOT NULL
-                         AND close IS NOT NULL AND low > 0
-                         AND high >= low AND close > 0
-                        THEN (ln(high) + ln(low)) / 2.0 END AS eta
-            FROM bars),
-      d AS (SELECT event_type, bar_ts,
-                   4.0 * (ln(close) - eta) * (ln(close) - lead(eta) OVER w) AS s2
-            FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bar_ts)),
-      e AS (SELECT event_type, bar_ts, s2,
-                   CAST(round(s2 * 1e12) AS BIGINT) AS s2q
-            FROM d),
-      f AS (SELECT event_type, bar_ts, s2,
-                   count(s2q) OVER tw AS nok,
-                   sum(s2q) OVER tw AS ssum
-            FROM e WINDOW tw AS (PARTITION BY event_type ORDER BY bar_ts
-                                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      $arChainCte
       SELECT event_type, epoch_us(bar_ts) AS bar_ts_us,
-             round(s2, 6) + 0.0 AS ar_s2,
-             CASE WHEN s2 IS NOT NULL
-                  THEN round(sqrt(GREATEST(s2, 0.0)), 6) + 0.0 END AS ar_spread,
-             CASE WHEN nok = 24
-                  THEN round(sqrt(GREATEST(
-                         CAST(ssum AS DOUBLE) / 1e12 / CAST(nok AS DOUBLE),
-                         0.0)), 6) + 0.0 END AS ar_spread_roll
-      FROM f ORDER BY event_type, bar_ts_us"""))
+             ar_s2, ar_spread, ar_spread_roll
+      FROM ar ORDER BY event_type, bar_ts_us"""))
 
   // ------------------------------------------------------------------
   // Orderbook features (A1-A4, W29/W30, J4) over a book synthesized
@@ -4343,63 +4362,139 @@ object Queries {
   // the MEASURED microstructure series the Roll/CS/AR estimators
   // approximate. The oracle replays the best-level quotes, DuckDB's
   // native ASOF LEFT JOIN, the zero-tick carry, and the 6-dp spread.
-  private val qLeeReady = QDef(
-    "q_lee_ready",
-    (s, dir) => {
-      val quotes = graft.features.OrderbookFeatures
-        .micropriceSeries(syntheticBook(s, dir), Seq("symbol"))
-        .select(col("symbol"), col("ts"), col("bid_px"), col("ask_px"))
-      val trades = t(s, dir, "events").select(
-        col("event_type").as("symbol"), col("ts"), col("value"), col("event_id"))
-      graft.features.OrderbookFeatures.leeReady(trades, quotes, Seq("symbol"),
-          tradeTs = "ts", priceCol = "value", tiebreakCol = "event_id",
-          quoteTs = "ts", bidCol = "bid_px", askCol = "ask_px")
-        .select(col("symbol"), col("ts_us"), col("tiebreak").as("event_id"),
-          col("price"), col("bid_px"), col("ask_px"), col("mid"),
-          col("lr_side"), col("espread"), col("espread_rel"))
-        .orderBy("symbol", "ts_us", "event_id")
-    },
-    Some(s"""
-      WITH best AS (
-        -- the shared bookCte's 0.000001 literal is DECIMAL-typed in
-        -- DuckDB (fine under the 6-dp rounds of q_microprice/q_ofi);
-        -- this query emits RAW quote doubles, so the price must be the
-        -- engine's exact double tree: value + event_id * 1e-6
+  /** Lee–Ready oracle chain → CTE `lr` (per-trade classification +
+    * 6-dp spreads), shared by q_lee_ready and q_spread_compare. The
+    * quotes CTE is DOUBLE-typed on purpose: the shared bookCte's
+    * `0.000001` literal is DECIMAL in DuckDB — fine under
+    * q_microprice/q_ofi's 6-dp rounds, visible in RAW quote outputs. */
+  private val leeChainCte = """lr_best AS (
         SELECT event_type AS symbol, epoch_us(date_trunc('hour', ts)) AS q_ts,
                MAX(CASE WHEN event_id % 2 = 0 THEN value + event_id * 1e-6 END) AS bid_px,
                MIN(CASE WHEN event_id % 2 = 1 THEN value + event_id * 1e-6 END) AS ask_px
         FROM events GROUP BY 1, 2),
-      tr AS (SELECT event_type AS symbol, epoch_us(ts) AS ts_us, event_id,
+      lr_tr AS (SELECT event_type AS symbol, epoch_us(ts) AS ts_us, event_id,
                     value AS price
              FROM events),
-      a AS (SELECT tr.symbol, tr.ts_us, tr.event_id, tr.price,
-                   best.bid_px, best.ask_px
-            FROM tr ASOF LEFT JOIN best
-              ON tr.symbol = best.symbol AND tr.ts_us >= best.q_ts),
-      m AS (SELECT *,
+      lr_a AS (SELECT lr_tr.symbol, lr_tr.ts_us, lr_tr.event_id, lr_tr.price,
+                   lr_best.bid_px, lr_best.ask_px
+            FROM lr_tr ASOF LEFT JOIN lr_best
+              ON lr_tr.symbol = lr_best.symbol AND lr_tr.ts_us >= lr_best.q_ts),
+      lr_m AS (SELECT *,
                    CASE WHEN bid_px IS NOT NULL AND ask_px IS NOT NULL
                         THEN (bid_px + ask_px) / 2.0 END AS mid,
                    sign(price - lag(price) OVER w) AS tsgn
-            FROM a WINDOW w AS (PARTITION BY symbol ORDER BY ts_us, event_id)),
-      s2 AS (SELECT *,
+            FROM lr_a WINDOW w AS (PARTITION BY symbol ORDER BY ts_us, event_id)),
+      lr_s AS (SELECT *,
                     last_value(CASE WHEN tsgn <> 0 THEN tsgn END IGNORE NULLS)
                       OVER (PARTITION BY symbol ORDER BY ts_us, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tickdir
-             FROM m),
-      c AS (SELECT *,
+             FROM lr_m),
+      lr_c AS (SELECT *,
                    CASE WHEN mid IS NOT NULL AND price > mid THEN 1
                         WHEN mid IS NOT NULL AND price < mid THEN -1
                         ELSE CAST(tickdir AS BIGINT) END AS lr_side
-            FROM s2)
+            FROM lr_s),
+      lr AS (SELECT symbol, ts_us, event_id, price, bid_px, ask_px, mid,
+                    lr_side,
+                    CASE WHEN mid IS NOT NULL AND lr_side IS NOT NULL
+                         THEN round(2.0 * CAST(lr_side AS DOUBLE) * (price - mid), 6) + 0.0
+                    END AS espread,
+                    CASE WHEN mid IS NOT NULL AND lr_side IS NOT NULL AND mid <> 0
+                         THEN round(2.0 * CAST(lr_side AS DOUBLE) * (price - mid) / mid, 6) + 0.0
+                    END AS espread_rel
+             FROM lr_c)"""
+
+  // Estimator-vs-measured closure: per symbol, the MEASURED mean
+  // relative effective spread (Lee–Ready classified trades) beside the
+  // Corwin–Schultz and Abdi–Ranaldo per-bar estimator means — the
+  // validation query a microstructure user runs to calibrate the
+  // estimator family against classified truth. All three means are
+  // exact ·10⁶ integer sums with the single-arg round image (the
+  // q_bet_size doctrine — round(x, 6) diverges at true midpoints).
+  private val qSpreadCompare = QDef(
+    "q_spread_compare",
+    (s, dir) => {
+      def meanImage(sumCol: Column, nCol: Column): Column =
+        round(sumCol.cast("double") / nCol.cast("double"))
+          .cast("long").cast("double") / lit(1e6)
+      val meas = leeReadyFrame(s, dir)
+        .where(col("espread_rel").isNotNull)
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_trades"),
+          sum(round(col("espread_rel") * 1e6).cast("long")).as("_ss"))
+        .select(col("symbol"), col("n_trades"),
+          meanImage(col("_ss"), col("n_trades")).as("eff_spread_rel"))
+      val cs = TA.withCorwinSchultz(hourlyBars(s, dir), "high", "low", barsW)
+        .where(col("cs_spread").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_cs"),
+          sum(round(col("cs_spread") * 1e6).cast("long")).as("_cs"))
+        .select(col("event_type").as("_k_cs"), col("n_cs"),
+          meanImage(col("_cs"), col("n_cs")).as("cs_spread_mean"))
+      val ar = TA.withAbdiRanaldo(hourlyBars(s, dir), "high", "low",
+          "close", barsW, window = 24)
+        .where(col("ar_spread").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_ar"),
+          sum(round(col("ar_spread") * 1e6).cast("long")).as("_ar"))
+        .select(col("event_type").as("_k_ar"), col("n_ar"),
+          meanImage(col("_ar"), col("n_ar")).as("ar_spread_mean"))
+      meas
+        .join(broadcast(cs), col("symbol") === col("_k_cs"))
+        .join(broadcast(ar), col("symbol") === col("_k_ar"))
+        .select(col("symbol"), col("n_trades"), col("eff_spread_rel"),
+          col("n_cs"), col("cs_spread_mean"), col("n_ar"), col("ar_spread_mean"))
+        .orderBy("symbol")
+    },
+    Some(s"""
+      WITH $barsCte,
+      $csChainCte,
+      $arChainCte,
+      $leeChainCte,
+      meas AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_trades,
+                      CAST(sum(CAST(round(espread_rel * 1e6) AS BIGINT)) AS BIGINT) AS ss
+               FROM lr WHERE espread_rel IS NOT NULL GROUP BY 1),
+      csm AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cs,
+                     CAST(sum(CAST(round(cs_spread * 1e6) AS BIGINT)) AS BIGINT) AS cc
+              FROM cs WHERE cs_spread IS NOT NULL GROUP BY 1),
+      arm AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_ar,
+                     CAST(sum(CAST(round(ar_spread * 1e6) AS BIGINT)) AS BIGINT) AS aa
+              FROM ar WHERE ar_spread IS NOT NULL GROUP BY 1)
+      SELECT m.symbol, m.n_trades,
+             CAST(CAST(round(CAST(ss AS DOUBLE) / CAST(n_trades AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e6 AS eff_spread_rel,
+             c.n_cs,
+             CAST(CAST(round(CAST(cc AS DOUBLE) / CAST(n_cs AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e6 AS cs_spread_mean,
+             a.n_ar,
+             CAST(CAST(round(CAST(aa AS DOUBLE) / CAST(n_ar AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e6 AS ar_spread_mean
+      FROM meas m JOIN csm c ON c.event_type = m.symbol
+                  JOIN arm a ON a.event_type = m.symbol
+      ORDER BY symbol"""))
+
+  /** The Lee–Ready per-trade frame over the synthetic book's hourly best
+    * quotes — shared by q_lee_ready and q_spread_compare. */
+  private def leeReadyFrame(s: SparkSession, dir: String): DataFrame = {
+    val quotes = graft.features.OrderbookFeatures
+      .micropriceSeries(syntheticBook(s, dir), Seq("symbol"))
+      .select(col("symbol"), col("ts"), col("bid_px"), col("ask_px"))
+    val trades = t(s, dir, "events").select(
+      col("event_type").as("symbol"), col("ts"), col("value"), col("event_id"))
+    graft.features.OrderbookFeatures.leeReady(trades, quotes, Seq("symbol"),
+      tradeTs = "ts", priceCol = "value", tiebreakCol = "event_id",
+      quoteTs = "ts", bidCol = "bid_px", askCol = "ask_px")
+  }
+
+  private val qLeeReady = QDef(
+    "q_lee_ready",
+    (s, dir) => leeReadyFrame(s, dir)
+        .select(col("symbol"), col("ts_us"), col("tiebreak").as("event_id"),
+          col("price"), col("bid_px"), col("ask_px"), col("mid"),
+          col("lr_side"), col("espread"), col("espread_rel"))
+        .orderBy("symbol", "ts_us", "event_id"),
+    Some(s"""
+      WITH $leeChainCte
       SELECT symbol, ts_us, event_id, price, bid_px, ask_px, mid,
-             lr_side,
-             CASE WHEN mid IS NOT NULL AND lr_side IS NOT NULL
-                  THEN round(2.0 * CAST(lr_side AS DOUBLE) * (price - mid), 6) + 0.0
-             END AS espread,
-             CASE WHEN mid IS NOT NULL AND lr_side IS NOT NULL AND mid <> 0
-                  THEN round(2.0 * CAST(lr_side AS DOUBLE) * (price - mid) / mid, 6) + 0.0
-             END AS espread_rel
-      FROM c ORDER BY symbol, ts_us, event_id"""))
+             lr_side, espread, espread_rel
+      FROM lr ORDER BY symbol, ts_us, event_id"""))
 
   // Multi-level OFI + depth-weighted queue imbalance over the synthetic
   // book's top-3 levels (decay 0.5 — exact IEEE weights): the CKS flow
@@ -7317,7 +7412,7 @@ object Queries {
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
     qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,
-    qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady,
+    qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr
