@@ -4496,6 +4496,63 @@ object Queries {
              lr_side, espread, espread_rel
       FROM lr ORDER BY symbol, ts_us, event_id"""))
 
+  // Hasbrouck trade-impact lambda (AFML ch. 19 §19.5.3) on the
+  // Lee–Ready signs: per symbol, regress the hourly mid change on the
+  // hour's signed square-root dollar flow Σ q·√|p| (the synthetic tape
+  // has no size column, so |price| proxies the flow) — the TRADE-side
+  // impact coefficient beside q_impact_lambda's book-side (OFI) Kyle
+  // lambda. Exact ·10⁶ moment sums, no-intercept OLS in one tree.
+  private val qHasbrouckLambda = QDef(
+    "q_hasbrouck_lambda",
+    (s, dir) => {
+      val lr = leeReadyFrame(s, dir)
+        .where(col("lr_side").isNotNull && col("price").isNotNull &&
+          col("mid").isNotNull)
+        .withColumn("bucket", expr("(ts_us - pmod(ts_us, 3600000000L)) div 3600000000L"))
+      val perBucket = lr.groupBy(col("symbol"), col("bucket"))
+        .agg(sum(round(col("lr_side").cast("double") * sqrt(abs(col("price")))
+            * 1e6).cast("long")).as("xq"),
+          // ties at one ts_us share the same as-of quote, hence the same
+          // mid — a plain ts key is deterministic (and DuckDB's max_by
+          // takes no struct keys)
+          max_by(col("mid"), col("ts_us")).as("end_mid"))
+      val w = Window.partitionBy(col("symbol")).orderBy(col("bucket"))
+      val pairs = perBucket
+        .withColumn("yq",
+          round((col("end_mid") - lag(col("end_mid"), 1).over(w)) * 1e6).cast("long"))
+        .where(col("yq").isNotNull)
+      pairs.groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("xq") * col("yq")).as("_sxy"),
+          sum(col("xq") * col("xq")).as("_sxx"))
+        .select(col("symbol"), col("n_buckets"),
+          when(col("_sxx") > 0L,
+            round(col("_sxy").cast("double") / col("_sxx").cast("double"), 6)
+              + lit(0.0)).as("lambda_hasbrouck"))
+        .orderBy("symbol")
+    },
+    Some(s"""
+      WITH $leeChainCte,
+      b AS (SELECT symbol,
+                   (ts_us - ts_us % 3600000000) // 3600000000 AS bucket,
+                   CAST(sum(CAST(round(CAST(lr_side AS DOUBLE) * sqrt(abs(price)) * 1e6) AS BIGINT)) AS BIGINT) AS xq,
+                   max_by(mid, ts_us) AS end_mid
+            FROM lr
+            WHERE lr_side IS NOT NULL AND price IS NOT NULL AND mid IS NOT NULL
+            GROUP BY 1, 2),
+      p AS (SELECT symbol, bucket, xq,
+                   CAST(round((end_mid - lag(end_mid) OVER w) * 1e6) AS BIGINT) AS yq
+            FROM b WINDOW w AS (PARTITION BY symbol ORDER BY bucket)),
+      m AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(sum(xq * yq) AS BIGINT) AS sxy,
+                   CAST(sum(xq * xq) AS BIGINT) AS sxx
+            FROM p WHERE yq IS NOT NULL GROUP BY 1)
+      SELECT symbol, n_buckets,
+             CASE WHEN sxx > 0
+                  THEN round(CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE), 6) + 0.0
+             END AS lambda_hasbrouck
+      FROM m ORDER BY symbol"""))
+
   // Multi-level OFI + depth-weighted queue imbalance over the synthetic
   // book's top-3 levels (decay 0.5 — exact IEEE weights): the CKS flow
   // rule per rank against the previous same-rank snapshot, geometric
@@ -7413,6 +7470,7 @@ object Queries {
     qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
     qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,
     qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
+    qHasbrouckLambda,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr

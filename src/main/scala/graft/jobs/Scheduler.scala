@@ -40,12 +40,18 @@ object Scheduler {
         val t0 = System.nanoTime()
         try {
           body(tick)
+          graft.metrics.Metrics.counter("job_runs_total",
+            Map("job" -> jobId, "status" -> "ok")).increment()
           System.err.println(f"[job] $jobId tick=$tick ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
         } catch { case e: Throwable =>
           // e.toString, not getMessage: interruption during query stop
           // surfaces as a null-message SparkException
+          graft.metrics.Metrics.counter("job_runs_total",
+            Map("job" -> jobId, "status" -> "error")).increment()
           System.err.println(s"[job] $jobId tick=$tick FAILED: $e")
-        }
+        } finally graft.metrics.Metrics
+          .histogram("job_duration_seconds", Map("job" -> jobId))
+          .observe((System.nanoTime() - t0) / 1e9)
       }
       .start()
 
@@ -68,17 +74,21 @@ object Scheduler {
     * append it to the market lake. The normalized frame is pinned so the
     * row count doesn't re-execute the parse pipeline after the write. */
   def ingestOnce(raw: DataFrame, exchange: String, symbol: String,
-                 timeframe: String, lakePath: String): Long = {
-    val normalized = Connectors.CcxtOhlcv(symbol, exchange, timeframe)
-      .normalize(raw).cache()
-    try {
-      val n = normalized.count()
-      if (n > 0) // an all-malformed payload must not create an empty lake dir
-        LakeWriter.write(normalized, lakePath, Schemas.MARKET, "timestamp",
-          partitions = Seq("exchange", "symbol", "dt"))
-      n
-    } finally normalized.unpersist()
-  }
+                 timeframe: String, lakePath: String): Long =
+    graft.metrics.Metrics.ingestSpan("market") { setStatus =>
+      val normalized = Connectors.CcxtOhlcv(symbol, exchange, timeframe)
+        .normalize(raw).cache()
+      try {
+        val n = normalized.count()
+        if (n > 0) { // an all-malformed payload must not create an empty lake dir
+          LakeWriter.write(normalized, lakePath, Schemas.MARKET, "timestamp",
+            partitions = Seq("exchange", "symbol", "dt"))
+          graft.metrics.Metrics.rowsWritten("market", n)
+          setStatus("ok")
+        } else setStatus("no_data")
+        n
+      } finally normalized.unpersist()
+    }
 
   /** One TTL sweep — `run_ttl_sweep_job` (`scheduler/main.py:220-229`):
     * drop feature partitions older than the retention window. */

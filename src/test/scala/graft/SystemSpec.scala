@@ -19,6 +19,130 @@ class SystemSpec extends SparkSpec {
 
   private def tmp(): String = Files.createTempDirectory("graft").toString
 
+  /** Local HTTP fixture: a JDK HttpServer whose handler script is a
+    * per-path queue of (status, body) responses; repeats the last entry
+    * once drained. Returns (baseUrl, hitCounter, stop). */
+  private def httpFixture(routes: Map[String, Seq[(Int, String)]])
+      : (String, java.util.concurrent.atomic.AtomicInteger, () => Unit) = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val state = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    routes.foreach { case (path, script) =>
+      server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) => {
+        hits.incrementAndGet()
+        val i = state.merge(path, 1, (a, b) => a + b) - 1
+        val (code, body) = script(math.min(i, script.length - 1))
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    }
+    server.start()
+    (s"http://127.0.0.1:${server.getAddress.getPort}",
+      hits, () => server.stop(0))
+  }
+
+  test("HttpFetcher: transient 5xx retries with the deterministic jittered " +
+    "backoff, non-retryable 4xx fails fast, exhaustion reraises (async_infra.py:27-66)") {
+    import graft.sources.HttpFetcher
+    val (base, hits, stop) = httpFixture(Map(
+      "/flaky" -> Seq((500, "boom"), (503, "boom"), (200, "ok")),
+      "/teapot" -> Seq((418, "no")),
+      "/dead" -> Seq((500, "always"))))
+    try {
+      val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+      val p = HttpFetcher.Policy(maxAttempts = 5, baseWaitMs = 100, maxWaitMs = 400)
+      // two transient failures then success: body lands, 3 requests made
+      assert(HttpFetcher.get(s"$base/flaky", policy = p, sleeper = sleeps += _) == "ok")
+      assert(hits.get() == 3)
+      // the waits are the deterministic tenacity curve:
+      // uniform(0, min(max, base*2^(k-1))) from the portable hash
+      assert(sleeps.toSeq == Seq(
+        HttpFetcher.backoffMs(s"$base/flaky", 1, p),
+        HttpFetcher.backoffMs(s"$base/flaky", 2, p)))
+      assert(sleeps.forall(w => w >= 0 && w < 400))
+      // 418 is not transient: one request, loud immediate failure
+      hits.set(0)
+      val e4 = intercept[HttpFetcher.HttpFailure] {
+        HttpFetcher.get(s"$base/teapot", policy = p, sleeper = _ => ())
+      }
+      assert(e4.status == 418 && e4.attempts == 1 && hits.get() == 1)
+      // persistent 5xx: exactly maxAttempts requests, then reraise
+      hits.set(0)
+      val e5 = intercept[HttpFetcher.HttpFailure] {
+        HttpFetcher.get(s"$base/dead", policy = p.copy(maxAttempts = 3),
+          sleeper = _ => ())
+      }
+      assert(e5.status == 500 && e5.attempts == 3 && hits.get() == 3)
+      // connect failure (closed port) is the transient IO class
+      val eIo = intercept[HttpFetcher.HttpFailure] {
+        HttpFetcher.get("http://127.0.0.1:1/nope",
+          policy = p.copy(maxAttempts = 2, connectTimeoutMs = 300),
+          sleeper = _ => ())
+      }
+      assert(eIo.status == -1 && eIo.attempts == 2)
+    } finally stop()
+  }
+
+  test("Metrics: ingest-span status protocol, Prometheus exposition, lake snapshot (metrics.py parity)") {
+    val m = new graft.metrics.Metrics
+    // deterministic clock: 30ms then 600ms spans
+    val ticks = Iterator(0L, 30000000L, 0L, 600000000L, 0L, 1000000L)
+    val clock = () => ticks.next()
+    assert(m.ingestSpan("market", clock) { set => set("ok"); 42 } == 42)
+    m.ingestSpan("market", clock) { set => set("no_data"); () }
+    intercept[RuntimeException] {
+      m.ingestSpan("market", clock) { _ => throw new RuntimeException("boom") }
+    }
+    m.rowsWritten("market", 120L)
+    val exp = m.exposition()
+    // _IngestSpan default: the crash counted as error, never ok
+    assert(exp.contains("""ingest_requests_total{domain="market",status="ok"} 1"""))
+    assert(exp.contains("""ingest_requests_total{domain="market",status="no_data"} 1"""))
+    assert(exp.contains("""ingest_requests_total{domain="market",status="error"} 1"""))
+    assert(exp.contains("""feature_rows_written_total{domain="market"} 120"""))
+    // histogram: cumulative le-buckets — 30ms lands in le=0.05 onward,
+    // 600ms first in le=1.0; count 3, exact micro-summed durations
+    assert(exp.contains("""ingest_duration_seconds_bucket{domain="market",le="0.02"} 1"""))
+    assert(exp.contains("""ingest_duration_seconds_bucket{domain="market",le="0.05"} 2"""))
+    assert(exp.contains("""ingest_duration_seconds_bucket{domain="market",le="0.5"} 2"""))
+    assert(exp.contains("""ingest_duration_seconds_bucket{domain="market",le="1.0"} 3"""))
+    assert(exp.contains("""ingest_duration_seconds_bucket{domain="market",le="+Inf"} 3"""))
+    assert(exp.contains("""ingest_duration_seconds_count{domain="market"} 3"""))
+    assert(exp.contains("""ingest_duration_seconds_sum{domain="market"} 0.631"""))
+    // the lake snapshot carries the same samples
+    val snap = m.snapshot(spark).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(snap(("feature_rows_written_total", """{domain="market"}""")) == 120.0)
+    assert(snap(("ingest_duration_seconds_count", """{domain="market"}""")) == 3.0)
+  }
+
+  test("HttpFetcher.fetchJson: rate-limited fetch loop feeds the CCXT normalizer end-to-end") {
+    import graft.sources.{Connectors, HttpFetcher}
+    val payload =
+      """{"ohlcv": [[1700000000000, 1.0, 2.0, 0.5, 1.5, 10.0],
+                    [1700000060000, 1.5, 2.5, 1.0, 2.0, 11.0]]}"""
+    val (base, hits, stop) = httpFixture(Map("/ohlcv" -> Seq((200, payload))))
+    try {
+      // injectable clock: two calls 0ms apart must sleep minIntervalMs
+      val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+      val t = new java.util.concurrent.atomic.AtomicLong(1000L)
+      val raw = HttpFetcher.fetchJson(spark,
+        Seq(s"$base/ohlcv", s"$base/ohlcv"),
+        HttpFetcher.Policy(minIntervalMs = 250),
+        clock = () => t.get(), sleeper = sleeps += _)
+      assert(hits.get() == 2 && sleeps.contains(250L),
+        s"second call must wait the ccxt-style min interval: $sleeps")
+      val market = Connectors.CcxtOhlcv("BTC/USDT", "binance", "1m").normalize(raw)
+      val rows = market.orderBy("timestamp").collect()
+      assert(rows.length == 4, "two urls x two bars through the normalizer")
+      assert(rows.map(_.getAs[Double]("close")).toSeq == Seq(1.5, 1.5, 2.0, 2.0))
+      assert(rows.forall(_.getAs[String]("symbol") == "BTC/USDT"))
+    } finally stop()
+  }
+
   test("lake writer: hive layout, sanitized partition values, sorted files") {
     val dir = tmp()
     LakeWriter.write(ohlcvRamp(10).withColumn("symbol", lit("BTC/USDT")),
