@@ -3892,6 +3892,13 @@ object Queries {
 
   private def barsW = W.series(Seq("event_type"), Seq("bar_ts"))
 
+  // Markov-switching regime filter constants shared between the Spark
+  // plan and the oracle SQL text (q_regime_prob).
+  private val RegimeA01 = 0.04
+  private val RegimeA10 = 0.04
+  private val RegimeU0 = 0.35
+  private val RegimeU1 = 0.65
+
   private val qTaTrend = QDef(
     "q_ta_trend",
     (s, dir) => {
@@ -4552,6 +4559,178 @@ object Queries {
                   THEN round(CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE), 6) + 0.0
              END AS lambda_hasbrouck
       FROM m ORDER BY symbol"""))
+
+  // Two-state Markov-switching regime filter (Hamilton 1989, Bernoulli
+  // emissions on the hourly close-change SIGN): forward-filtered
+  // P(bull) per event_type. Bernoulli emissions keep the per-step
+  // update a fixed IEEE +,−,×,÷ tree with literal likelihoods — no
+  // libm inside the feedback loop — so the oracle replays the exact
+  // recursion as a recursive CTE over the hourly grid, per series
+  // (the q_kalman_hedge doctrine, partitioned). Null/zero signs carry
+  // the state; rows before the first signed move emit null.
+  private val qRegimeProb = QDef(
+    "q_regime_prob",
+    (s, dir) => {
+      val w = barsW
+      val bars = hourlyBars(s, dir)
+        .withColumn("sgn", signum(col("close") - lag(col("close"), 1).over(
+          Window.partitionBy(col("event_type")).orderBy(col("bar_ts")))))
+      bars.select(col("event_type"), micros(col("bar_ts")).as("bar_ts_us"),
+          col("close"),
+          round(W.regimeProb(col("sgn"), a01 = RegimeA01, a10 = RegimeA10,
+            u0 = RegimeU0, u1 = RegimeU1, w), 6).as("regime_p"))
+        .withColumn("bull",
+          when(col("regime_p").isNotNull,
+            (round(col("regime_p") * 1e6).cast("long") > 500000L).cast("long")))
+        .orderBy("event_type", "bar_ts_us")
+    },
+    Some({
+      def d(x: Double) = java.lang.Double.toString(x)
+      val b = d(1.0 - RegimeA10)
+      val a01s = d(RegimeA01)
+      def step(prior: String, sgn: String): String = {
+        val l1 = s"(CASE WHEN $sgn > 0 THEN ${d(RegimeU1)} ELSE ${d(1.0 - RegimeU1)} END)"
+        val l0 = s"(CASE WHEN $sgn > 0 THEN ${d(RegimeU0)} ELSE ${d(1.0 - RegimeU0)} END)"
+        s"(($prior * $l1) / (($prior * $l1) + ((1.0 - $prior) * $l0)))"
+      }
+      val prior = s"(CASE WHEN s.p IS NULL THEN 0.5 ELSE (s.p * $b + (1.0 - s.p) * $a01s) END)"
+      s"""
+      WITH RECURSIVE $barsCte,
+      o AS MATERIALIZED (
+        SELECT event_type, bar_ts, close,
+               close - lag(close) OVER w AS chg,
+               row_number() OVER w AS rn
+        FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY bar_ts)),
+      scan(event_type, rn, p) AS (
+        SELECT event_type, rn,
+               CASE WHEN chg IS NOT NULL AND chg <> 0
+                    THEN ${step("0.5", "chg")} END
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT f.event_type, f.rn,
+               CASE WHEN f.chg IS NOT NULL AND f.chg <> 0
+                    THEN ${step(prior, "f.chg")}
+                    ELSE s.p END
+        FROM scan s JOIN o f
+          ON f.event_type = s.event_type AND f.rn = s.rn + 1)
+      SELECT o.event_type, epoch_us(o.bar_ts) AS bar_ts_us, o.close,
+             round(scan.p, 6) AS regime_p,
+             CASE WHEN scan.p IS NOT NULL
+                  THEN CAST(CAST(round(round(scan.p, 6) * 1e6) AS BIGINT) > 500000 AS BIGINT)
+             END AS bull
+      FROM o JOIN scan ON scan.event_type = o.event_type AND scan.rn = o.rn
+      ORDER BY o.event_type, bar_ts_us"""
+    }))
+
+  // Cross-sectional momentum (Jegadeesh–Titman long-short, hourly):
+  // per hour, rank the series by trailing-24h return, hold the
+  // rank-demeaned long-short portfolio for the next hour. Ranks are
+  // exact integers on the µ-quantized signal (event_type tiebreak),
+  // integer weights 2·rank−(n+1) double the demeaned rank so they
+  // stay BIGINTs, and the portfolio return is one exact integer dot
+  // product normalized by Σ|w| — only the final division is floating
+  // point (single-arg round image, the q_bet_size doctrine).
+  private val qXsMomentum = QDef(
+    "q_xs_momentum",
+    (s, dir) => {
+      val sw = Window.partitionBy(col("event_type")).orderBy(col("bar_ts"))
+      val sig = hourlyBars(s, dir)
+        .withColumn("r24q",
+          round((col("close") / lag(col("close"), 24).over(sw) - lit(1.0)) * 1e6)
+            .cast("long"))
+        .withColumn("nrq",
+          round((lead(col("close"), 1).over(sw) / col("close") - lit(1.0)) * 1e6)
+            .cast("long"))
+        .where(col("r24q").isNotNull && col("nrq").isNotNull)
+      val bw = Window.partitionBy(col("bar_ts"))
+        .orderBy(col("r24q"), col("event_type"))
+      val ranked = sig
+        .withColumn("rk", row_number().over(bw))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("bar_ts"))))
+        .where(col("n") >= 2)
+        .withColumn("wq", lit(2L) * col("rk") - (col("n") + lit(1L)))
+      ranked.groupBy(col("bar_ts"))
+        .agg(max(col("n")).as("n_series"),
+          sum(col("wq") * col("nrq")).as("_num"),
+          sum(abs(col("wq"))).as("_den"))
+        .select(micros(col("bar_ts")).as("bar_ts_us"), col("n_series"),
+          (round(col("_num").cast("double") / col("_den").cast("double"))
+            .cast("long").cast("double") / lit(1e6)).as("port_ret"))
+        .orderBy("bar_ts_us")
+    },
+    Some(s"""
+      WITH $barsCte,
+      sig AS (SELECT event_type, bar_ts,
+                     CAST(round((close / lag(close, 24) OVER w - 1.0) * 1e6) AS BIGINT) AS r24q,
+                     CAST(round((lead(close, 1) OVER w / close - 1.0) * 1e6) AS BIGINT) AS nrq
+              FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY bar_ts)),
+      f AS (SELECT * FROM sig WHERE r24q IS NOT NULL AND nrq IS NOT NULL),
+      rk AS (SELECT *,
+                    row_number() OVER (PARTITION BY bar_ts ORDER BY r24q, event_type) AS rk,
+                    count(*) OVER (PARTITION BY bar_ts) AS n
+             FROM f),
+      wts AS (SELECT *, 2 * rk - (n + 1) AS wq FROM rk WHERE n >= 2)
+      SELECT epoch_us(bar_ts) AS bar_ts_us,
+             CAST(max(n) AS BIGINT) AS n_series,
+             CAST(CAST(round(CAST(sum(wq * nrq) AS DOUBLE)
+                             / CAST(sum(abs(wq)) AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e6 AS port_ret
+      FROM wts GROUP BY bar_ts ORDER BY bar_ts_us"""))
+
+  // Implementation shortfall (Perold 1988) per parent order: group the
+  // Lee–Ready classified tape into per-(symbol, hour, side) parent
+  // orders, arrival = the prevailing mid at the parent's FIRST trade,
+  // shortfall = side·(mean exec px − arrival)/arrival — the execution-
+  // quality measure beside q_lee_ready's per-trade effective spread.
+  // Exec mean and arrival are exact µ-integer images; one grouped agg
+  // on the classified frame, no extra joins.
+  private val qImplShortfall = QDef(
+    "q_impl_shortfall",
+    (s, dir) => {
+      val lr = leeReadyFrame(s, dir)
+        .where(col("lr_side").isNotNull && col("mid").isNotNull)
+        .withColumn("bucket", expr("(ts_us - pmod(ts_us, 3600000000L)) div 3600000000L"))
+        .withColumn("pxq", round(col("price") * 1e6).cast("long"))
+        .withColumn("midq", round(col("mid") * 1e6).cast("long"))
+      val parents = lr.groupBy(col("symbol"), col("bucket"), col("lr_side"))
+        .agg(count(lit(1)).as("n_trades"),
+          min_by(col("midq"), struct(col("ts_us"), col("tiebreak"))).as("arrq"),
+          sum(col("pxq")).as("_spx"))
+      parents
+        .select(col("symbol"), col("bucket"), col("lr_side"), col("n_trades"),
+          (col("arrq").cast("double") / lit(1e6)).as("arrival_mid"),
+          when(col("arrq") =!= 0L,
+            round(col("lr_side").cast("double")
+              * (round(col("_spx").cast("double") / col("n_trades").cast("double"))
+                  .cast("long").cast("double") - col("arrq").cast("double"))
+              / col("arrq").cast("double"), 6) + lit(0.0)).as("shortfall_rel"))
+        .orderBy("symbol", "bucket", "lr_side")
+    },
+    Some(s"""
+      WITH $leeChainCte,
+      tq AS (SELECT symbol,
+                    (ts_us - ts_us % 3600000000) // 3600000000 AS bucket,
+                    lr_side, ts_us, event_id,
+                    CAST(round(price * 1e6) AS BIGINT) AS pxq,
+                    CAST(round(mid * 1e6) AS BIGINT) AS midq
+             FROM lr WHERE lr_side IS NOT NULL AND mid IS NOT NULL),
+      ranked AS (SELECT *,
+                        row_number() OVER (PARTITION BY symbol, bucket, lr_side
+                                           ORDER BY ts_us, event_id) AS rn
+                 FROM tq),
+      par AS (SELECT symbol, bucket, lr_side,
+                     CAST(count(*) AS BIGINT) AS n_trades,
+                     CAST(max(CASE WHEN rn = 1 THEN midq END) AS BIGINT) AS arrq,
+                     CAST(sum(pxq) AS BIGINT) AS spx
+              FROM ranked GROUP BY 1, 2, 3)
+      SELECT symbol, bucket, lr_side, n_trades,
+             CAST(arrq AS DOUBLE) / 1e6 AS arrival_mid,
+             CASE WHEN arrq <> 0 THEN
+               round(CAST(lr_side AS DOUBLE)
+                     * (CAST(CAST(round(CAST(spx AS DOUBLE) / CAST(n_trades AS DOUBLE)) AS BIGINT) AS DOUBLE)
+                        - CAST(arrq AS DOUBLE))
+                     / CAST(arrq AS DOUBLE), 6) + 0.0
+             END AS shortfall_rel
+      FROM par ORDER BY symbol, bucket, lr_side"""))
 
   // Multi-level OFI + depth-weighted queue imbalance over the synthetic
   // book's top-3 levels (decay 0.5 — exact IEEE weights): the CKS flow
@@ -7470,7 +7649,7 @@ object Queries {
     qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
     qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,
     qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
-    qHasbrouckLambda,
+    qHasbrouckLambda, qRegimeProb, qXsMomentum, qImplShortfall,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr

@@ -177,6 +177,18 @@ object windows {
       lit(q), lit(r), lit(p0)).over(w)
   }
 
+  /** Forward-filtered P(bull regime) of a 2-state Markov-switching
+    * Bernoulli model over the sign column — custom Catalyst window
+    * expression [[org.apache.spark.sql.graft.RegimeProb]], O(1) state
+    * per series, exact IEEE recursion (no libm in the loop), same
+    * registry path as [[ewmMean]]. Null/zero signs carry the state. */
+  def regimeProb(sign: Column, a01: Double, a10: Double,
+                 u0: Double, u1: Double, w: WindowSpec): Column = {
+    GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    call_function(GraftFunctions.RegimeProbName, sign,
+      lit(a01), lit(a10), lit(u0), lit(u1)).over(w)
+  }
+
   /** Rolling mean absolute deviation around the current row's rolling mean
     * (the CCI denominator, W19): `mean(|x_i - MA_t|)` for the n rows of the
     * trailing frame. A nested-window shape Spark can't express directly —

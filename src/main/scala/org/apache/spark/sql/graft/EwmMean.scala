@@ -221,6 +221,71 @@ case class RunBarId(child: Expression, threshold: Long)
     copy(child = newChild)
 }
 
+/** Two-state Markov-switching regime filter (Hamilton 1989, the
+  * Bernoulli-emission special case) as a native Catalyst window
+  * function: the forward-filtered probability `p_t = P(state 1 | signs
+  * up to t)` of a hidden 2-state Markov chain observed through the
+  * SIGN of each increment. State 1 emits up-moves with probability
+  * `u1`, state 0 with `u0`; the chain switches 0→1 with `a01` and
+  * 1→0 with `a10` per step:
+  *
+  * {{{ prior = p·(1−a10) + (1−p)·a01
+  *     l1 = sign>0 ? u1 : 1−u1;   l0 = sign>0 ? u0 : 1−u0
+  *     p ← prior·l1 / (prior·l1 + (1−prior)·l0) }}}
+  *
+  * Bernoulli emissions (not Gaussian) are deliberate: the per-step
+  * update is then a fixed tree of IEEE +,−,×,÷ with LITERAL emission
+  * likelihoods — no libm exp inside the recursion — so any engine
+  * spelling the same tree reproduces the filter bit-for-bit (the
+  * [[KalmanBeta]] doctrine; a Gaussian filter would compound exp's
+  * last-bit libm differences through the feedback loop).
+  *
+  * Start is the uninformative prior 0.5 applied at the first valid
+  * sign. Null or ZERO signs carry the state and emit the carried p
+  * (null before the first valid sign) — a flat tick is no evidence
+  * for either regime. Same unbounded-memory argument as [[EwmMean]]:
+  * no fixed frame expresses the recursion; one ordered pass per
+  * partition, one double of state. */
+case class RegimeProb(child: Expression,
+                      a01: Double, a10: Double, u0: Double, u1: Double)
+    extends AggregateWindowFunction with UnaryLike[Expression] {
+
+  require(a01 >= 0.0 && a01 <= 1.0, s"a01 must be in [0, 1], got $a01")
+  require(a10 >= 0.0 && a10 <= 1.0, s"a10 must be in [0, 1], got $a10")
+  require(u0 > 0.0 && u0 < 1.0, s"u0 must be in (0, 1), got $u0")
+  require(u1 > 0.0 && u1 < 1.0, s"u1 must be in (0, 1), got $u1")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "regime_prob"
+
+  private lazy val p = AttributeReference("p", DoubleType, nullable = true)()
+  override def aggBufferAttributes: Seq[AttributeReference] = p :: Nil
+  override lazy val initialValues: Seq[Expression] =
+    Literal(null, DoubleType) :: Nil
+
+  private def sgn: Expression = Cast(child, DoubleType)
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val valid = And(IsNotNull(sgn), Not(EqualTo(sgn, Literal(0.0))))
+    val prior = If(IsNull(p), Literal(0.5),
+      Add(Multiply(p, Literal(1.0 - a10)),
+        Multiply(Subtract(Literal(1.0), p), Literal(a01))))
+    val up = GreaterThan(sgn, Literal(0.0))
+    val l1 = If(up, Literal(u1), Literal(1.0 - u1))
+    val l0 = If(up, Literal(u0), Literal(1.0 - u0))
+    val num = Multiply(prior, l1)
+    val pNew = Divide(num,
+      Add(num, Multiply(Subtract(Literal(1.0), prior), l0)))
+    Seq(If(valid, pNew, p))
+  }
+
+  override lazy val evaluateExpression: Expression = p
+
+  override protected def withNewChildInternal(newChild: Expression): RegimeProb =
+    copy(child = newChild)
+}
+
 /** Bridge between graft's public API (Column) and Catalyst (Expression).
   * Lives under `org.apache.spark.sql` to reach the `private[sql]` converters
   * of Spark 4's classic Column implementation.
@@ -244,6 +309,7 @@ object GraftFunctions {
   val ThresholdBarIdName = "graft_threshold_bar_id"
   val RunBarIdName = "graft_run_bar_id"
   val KalmanBetaName = "graft_kalman_beta"
+  val RegimeProbName = "graft_regime_prob"
   val DotName = "graft_dot"
   val LshSigsName = "graft_lsh_sigs"
   val ShinglesName = "graft_shingles"
@@ -305,6 +371,9 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(KalmanBetaName,
       exprs => KalmanBeta(exprs.head, exprs(1), evalAlpha(exprs(2)),
         evalAlpha(exprs(3)), evalAlpha(exprs(4))), "built-in")
+    registry.createOrReplaceTempFunction(RegimeProbName,
+      exprs => RegimeProb(exprs.head, evalAlpha(exprs(1)),
+        evalAlpha(exprs(2)), evalAlpha(exprs(3)), evalAlpha(exprs(4))), "built-in")
     registry.createOrReplaceTempFunction(DotName,
       exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(LshSigsName,

@@ -4332,6 +4332,59 @@ class OpsSpec extends SparkSpec {
     assert(lo.exists(_.isNullAt(0)), "pre-first-pair rows emit null")
   }
 
+  test("regimeProb: bit-exact JVM fold replay, closed forms, symmetry, carry") {
+    import graft.functions.{windows => W}
+    import org.apache.spark.sql.expressions.Window
+    val (a01, a10, u0, u1) = (0.04, 0.04, 0.35, 0.65)
+    // JVM replay of the exact update tree
+    def fold(signs: Seq[Option[Double]], A01: Double = a01, A10: Double = a10,
+             U0: Double = u0, U1: Double = u1): Seq[Option[Double]] = {
+      var p: Option[Double] = None
+      signs.map {
+        case Some(s) if s != 0.0 =>
+          val prior = p.map(v => v * (1.0 - A10) + (1.0 - v) * A01).getOrElse(0.5)
+          val l1 = if (s > 0) U1 else 1.0 - U1
+          val l0 = if (s > 0) U0 else 1.0 - U0
+          val num = prior * l1
+          p = Some(num / (num + (1.0 - prior) * l0))
+          p
+        case _ => p
+      }
+    }
+    val signs: Seq[Option[Double]] =
+      Seq(None, Some(1.0), Some(1.0), Some(-1.0), Some(0.0), Some(1.0),
+        None, Some(-1.0), Some(-1.0), Some(1.0)) ++
+        (1 to 20).map(i => Some(if (i % 3 == 0) -1.0 else 1.0))
+    val df = signs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("t", "sgn")
+    val w = Window.orderBy(col("t"))
+    val out = df.select(col("t"),
+        W.regimeProb(col("sgn"), a01, a10, u0, u1, w).as("p"))
+      .orderBy("t").collect()
+      .map(rw => Option(rw.get(1)).map(_.asInstanceOf[Double]))
+    val expect = fold(signs)
+    out.zip(expect).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"row $i: engine $g vs JVM fold $e") }
+    // closed form: first up-tick from the uninformative prior lands
+    // p = 0.5·u1 / (0.5·u1 + 0.5·u0) = u1/(u1+u0)
+    assert(out(1).contains(0.5 * u1 / (0.5 * u1 + 0.5 * u0)))
+    // null (t=0, t=6) and zero (t=4) signs carry the state
+    assert(out(0).isEmpty && out(4) == out(3) && out(6) == out(5))
+    // no-switching chain: a long up-run drives p → 1
+    val run = (1 to 60).map(_ => Some(1.0): Option[Double])
+    val runDf = run.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("t", "sgn")
+    val pEnd = runDf.select(W.regimeProb(col("sgn"), 0.0, 0.0, u0, u1, w).as("p"))
+      .agg(max(col("p"))).collect().head.getDouble(0)
+    assert(pEnd > 1.0 - 1e-9, s"got $pEnd")
+    // symmetry: with u0 = 1−u1 and a01 = a10, flipping every sign maps
+    // the filter to its mirror — p'(flipped) = 1 − p' within 1e-12
+    val flipped = signs.map(_.map(-_))
+    val mirror = fold(flipped)
+    out.zip(mirror).foreach {
+      case (Some(g), Some(m)) => assert(math.abs(g - (1.0 - m)) < 1e-12)
+      case (g, m) => assert(g.isEmpty == m.isEmpty)
+    }
+  }
+
   test("ercPortfolio: diagonal ≡ inverse-vol, equal-corr ≡ equal weights, RC equality, guards") {
     import graft.operators.Backtest
     def mk(rows: Seq[(String, String, Double)]) =

@@ -828,4 +828,20 @@ class PlanSpec extends SparkSpec {
       trades, quotes, Seq("k"), "tts", "price", "id", "qts", "bid", "ask")),
       "leeReady")
   }
+
+  test("regimeProb: join-free series-keyed window recursion") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 60L).map(i => ("k" + (i % 3), i, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("k", "t", "sgn")
+    val w = Window.partitionBy($"k").orderBy($"t")
+    val p = planOf(df.select($"k", $"t",
+      graft.functions.windows.regimeProb($"sgn", 0.04, 0.04, 0.35, 0.65, w)
+        .as("p")))
+    assert(!p.contains("Join"), s"regimeProb must not join:\n${p.take(1200)}")
+    val specs = "windowspecdefinition\\(([^,]+),".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("k#")),
+      s"unkeyed regimeProb window: $specs")
+  }
 }
