@@ -1870,33 +1870,33 @@ object Queries {
   // Q=1e-4, R=1, P0=1e6). The oracle replays the exact per-step IEEE
   // tree as a recursive CTE over the same hourly grid — the recursion
   // runs on BUCKETS (grid-sized), never raw ticks.
-  private val qKalmanHedge = QDef(
-    "q_kalman_hedge",
-    (s, dir) => {
-      val hourly = t(s, dir, "events")
-        .where(col("event_type").isin("click", "purchase") &&
-          col("value").isNotNull)
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
-        .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
-      val x = hourly.where(col("event_type") === "click")
-        .select(col("bucket"), col("close").as("x"))
-      val y = hourly.where(col("event_type") === "purchase")
-        .select(col("bucket"), col("close").as("y"))
-      val w = Window.orderBy(col("bucket"))
-      x.join(y, Seq("bucket"))
-        .select(micros(col("bucket")).as("bucket_us"), col("x"), col("y"),
-          round(W.kalmanBeta(col("x"), col("y"), q = 1e-4, r = 1.0,
-            p0 = 1e6, w), 6).as("beta"))
-        .orderBy("bucket_us")
-    },
-    Some({
-      val pp1 = "(1000000.0 + 0.0001)"
-      val k1 = s"($pp1 * x / (x * x * $pp1 + 1.0))"
-      val pp = "(s.p + 0.0001)"
-      val k = s"($pp * f.x / (f.x * f.x * $pp + 1.0))"
-      raw"""
-      WITH RECURSIVE
-      h AS (SELECT event_type AS k, date_trunc('hour', ts) AS bucket, value,
+
+  /** The hourly click-x / purchase-y pair grid — shared engine base for
+    * q_kalman_hedge and q_pairs_backtest. */
+  private def kalmanPairGrid(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .where(col("event_type").isin("click", "purchase") &&
+        col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+    val x = hourly.where(col("event_type") === "click")
+      .select(col("bucket"), col("close").as("x"))
+    val y = hourly.where(col("event_type") === "purchase")
+      .select(col("bucket"), col("close").as("y"))
+    x.join(y, Seq("bucket"))
+  }
+
+  /** Kalman hedge-ratio oracle chain → CTEs `o` (bucket, x, y, rn) and
+    * `scan` (rn, beta, p) — the exact per-step IEEE tree as a recursive
+    * CTE, shared by q_kalman_hedge and q_pairs_backtest (one definition
+    * so the recursions cannot silently diverge — the bookBestSzCte
+    * rule). Callers prepend `WITH RECURSIVE`. */
+  private val kalmanScanCte = {
+    val pp1 = "(1000000.0 + 0.0001)"
+    val k1 = s"($pp1 * x / (x * x * $pp1 + 1.0))"
+    val pp = "(s.p + 0.0001)"
+    val k = s"($pp * f.x / (f.x * f.x * $pp + 1.0))"
+    raw"""h AS (SELECT event_type AS k, date_trunc('hour', ts) AS bucket, value,
                    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
                                       ORDER BY ts DESC, event_id DESC) AS r
             FROM events WHERE event_type IN ('click', 'purchase')
@@ -1915,12 +1915,112 @@ object Queries {
         SELECT s.rn + 1,
                (s.beta + $k * (f.y - s.beta * f.x)),
                ((1.0 - $k * f.x) * $pp)
-        FROM scan s JOIN o f ON f.rn = s.rn + 1)
+        FROM scan s JOIN o f ON f.rn = s.rn + 1)"""
+  }
+
+  private val qKalmanHedge = QDef(
+    "q_kalman_hedge",
+    (s, dir) => {
+      val w = Window.orderBy(col("bucket"))
+      kalmanPairGrid(s, dir)
+        .select(micros(col("bucket")).as("bucket_us"), col("x"), col("y"),
+          round(W.kalmanBeta(col("x"), col("y"), q = 1e-4, r = 1.0,
+            p0 = 1e6, w), 6).as("beta"))
+        .orderBy("bucket_us")
+    },
+    Some(raw"""
+      WITH RECURSIVE
+      $kalmanScanCte
       SELECT epoch_us(o.bucket) AS bucket_us, o.x, o.y,
              round(scan.beta, 6) AS beta
       FROM o JOIN scan ON scan.rn = o.rn
-      ORDER BY bucket_us"""
-    }))
+      ORDER BY bucket_us"""))
+
+  // Pairs-trading end-to-end backtest on the Kalman hedge: spread
+  // s = y − β₆dp·x (the ROUNDED hedge image, so both engines feed the
+  // same 6-dp β downstream), milli-quantized; rolling 48-bucket
+  // z-score from exact integer sums (count-guarded, ddof=1); band
+  // signal long/short at |z| ≥ 2 on the 6-dp integer image; next-
+  // bucket spread-change PnL and equity as exact BIGINT cumsums —
+  // only β, the z division and the final /1e3 are floating point.
+  // Spread quantScale 1e3 keeps Σsq² inside the exact-integer
+  // envelope (|s| ≤ 3e5 at 48-bucket windows binds n·Σsq² < 2⁶³).
+  private val qPairsBacktest = QDef(
+    "q_pairs_backtest",
+    (s, dir) => {
+      val w = Window.orderBy(col("bucket"))
+      val tw = w.rowsBetween(-47, Window.currentRow)
+      val kb = kalmanPairGrid(s, dir)
+        .withColumn("beta",
+          round(W.kalmanBeta(col("x"), col("y"), q = 1e-4, r = 1.0,
+            p0 = 1e6, w), 6))
+        .withColumn("sq",
+          round((col("y") - col("beta") * col("x")) * 1e3).cast("long"))
+      val zf = kb
+        .withColumn("n", count(col("sq")).over(tw))
+        .withColumn("s1", sum(col("sq")).over(tw))
+        .withColumn("s2", sum(col("sq") * col("sq")).over(tw))
+      val nD = col("n").cast("double")
+      val s1D = col("s1").cast("double")
+      val s2D = col("s2").cast("double")
+      val z = zf.withColumn("zs",
+        when(col("n") === 48 &&
+             (col("n") * col("s2") - col("s1") * col("s1")) > 0L,
+          round((col("sq").cast("double") - s1D / nD) /
+            sqrt((nD * s2D - s1D * s1D) / (nD * (nD - lit(1.0)))), 6)
+            + lit(0.0)))
+        .withColumn("zq", round(col("zs") * 1e6).cast("long"))
+        .withColumn("pos",
+          when(col("zq") <= -2000000L, 1L)
+            .when(col("zq") >= 2000000L, -1L)
+            .when(col("zq").isNotNull, 0L))
+      val out = z
+        .withColumn("pnlq", col("pos") * (lead(col("sq"), 1).over(w) - col("sq")))
+        .withColumn("eqq",
+          sum(coalesce(col("pnlq"), lit(0L))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      out.select(micros(col("bucket")).as("bucket_us"), col("beta"),
+          col("zs").as("z"), col("pos"),
+          (col("pnlq").cast("double") / lit(1e3)).as("pnl"),
+          (col("eqq").cast("double") / lit(1e3)).as("equity"))
+        .orderBy("bucket_us")
+    },
+    Some(raw"""
+      WITH RECURSIVE
+      $kalmanScanCte,
+      kb AS (SELECT o.bucket, o.x, o.y, o.rn, round(scan.beta, 6) AS beta
+             FROM o JOIN scan ON scan.rn = o.rn),
+      sp AS (SELECT *, CAST(round((y - beta * x) * 1e3) AS BIGINT) AS sq
+             FROM kb),
+      zf AS (SELECT *, count(sq) OVER tw AS n,
+                    CAST(sum(sq) OVER tw AS BIGINT) AS s1,
+                    CAST(sum(sq * sq) OVER tw AS BIGINT) AS s2
+             FROM sp WINDOW tw AS (ORDER BY rn
+                                   ROWS BETWEEN 47 PRECEDING AND CURRENT ROW)),
+      z AS (SELECT *,
+                   CASE WHEN n = 48 AND (n * s2 - s1 * s1) > 0
+                        THEN round((CAST(sq AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                               / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) + 0.0
+                   END AS zs
+            FROM zf),
+      pz AS (SELECT *, CAST(round(zs * 1e6) AS BIGINT) AS zq FROM z),
+      ps AS (SELECT *,
+                    CASE WHEN zq <= -2000000 THEN 1
+                         WHEN zq >= 2000000 THEN -1
+                         WHEN zq IS NOT NULL THEN 0 END AS pos
+             FROM pz),
+      pn AS (SELECT *, pos * (lead(sq) OVER (ORDER BY rn) - sq) AS pnlq
+             FROM ps),
+      eq AS (SELECT *,
+                    CAST(sum(COALESCE(pnlq, 0)) OVER (ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS eqq
+             FROM pn)
+      SELECT epoch_us(bucket) AS bucket_us, beta, zs AS z,
+             CAST(pos AS BIGINT) AS pos,
+             CAST(pnlq AS DOUBLE) / 1e3 AS pnl,
+             CAST(eqq AS DOUBLE) / 1e3 AS equity
+      FROM eq ORDER BY bucket_us"""))
 
   // Average label uniqueness + sample weights (AFML ch. 4) over
   // variable-length labels; since round 11 the engine computes this
@@ -4731,6 +4831,60 @@ object Queries {
                      / CAST(arrq AS DOUBLE), 6) + 0.0
              END AS shortfall_rel
       FROM par ORDER BY symbol, bucket, lr_side"""))
+
+  // Kelly sizing fraction per series (continuous approximation
+  // f* = μ/σ², Thorp 2006): hourly simple returns quantized to exact
+  // 1e4-integers (|ret| ≤ 3e5 at ~1e4-bucket series keeps n·Σr² inside
+  // 2⁶³ — the sadf overflow-contract convention), moments summed
+  // exactly, μ as the single-arg-round µ-image of the integer ratio,
+  // f* and half-Kelly in one double tree at the edge. One grouped agg
+  // after one series-keyed window — no joins.
+  private val qKelly = QDef(
+    "q_kelly",
+    (s, dir) => {
+      val sw = Window.partitionBy(col("event_type")).orderBy(col("bar_ts"))
+      val r = hourlyBars(s, dir)
+        .withColumn("retq",
+          round((col("close") / lag(col("close"), 1).over(sw) - lit(1.0)) * 1e4)
+            .cast("long"))
+        .where(col("retq").isNotNull)
+      val agg = r.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("retq")).as("s1"),
+          sum(col("retq") * col("retq")).as("s2"))
+      val nD = col("n").cast("double")
+      val s1D = col("s1").cast("double")
+      val s2D = col("s2").cast("double")
+      val varU = (nD * s2D - s1D * s1D) / (nD * (nD - lit(1.0)))
+      val kelly = when(col("n") >= 2L &&
+          (col("n") * col("s2") - col("s1") * col("s1")) > 0L,
+        round((s1D / nD / lit(1e4)) / (varU / lit(1e8)), 6) + lit(0.0))
+      agg.select(col("event_type"), col("n"),
+          (round(s1D * lit(100.0) / nD).cast("long").cast("double") / lit(1e6))
+            .as("mu"),
+          kelly.as("kelly"),
+          (kelly / lit(2.0)).as("kelly_half"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH $barsCte,
+      r AS (SELECT event_type,
+                   CAST(round((close / lag(close, 1) OVER (PARTITION BY event_type ORDER BY bar_ts) - 1.0) * 1e4) AS BIGINT) AS retq
+            FROM bars),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(retq) AS BIGINT) AS s1,
+                   CAST(sum(retq * retq) AS BIGINT) AS s2
+            FROM r WHERE retq IS NOT NULL GROUP BY 1),
+      k AS (SELECT event_type, n, s1, s2,
+                   CASE WHEN n >= 2 AND (n * s2 - s1 * s1) > 0
+                        THEN round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e4)
+                               / ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e8), 6) + 0.0
+                   END AS kelly
+            FROM m)
+      SELECT event_type, n,
+             CAST(CAST(round(CAST(s1 AS DOUBLE) * 100.0 / CAST(n AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e6 AS mu,
+             kelly, kelly / 2.0 AS kelly_half
+      FROM k ORDER BY event_type"""))
 
   // Multi-level OFI + depth-weighted queue imbalance over the synthetic
   // book's top-3 levels (decay 0.5 — exact IEEE weights): the CKS flow
@@ -7650,6 +7804,7 @@ object Queries {
     qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,
     qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
     qHasbrouckLambda, qRegimeProb, qXsMomentum, qImplShortfall,
+    qPairsBacktest, qKelly,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr

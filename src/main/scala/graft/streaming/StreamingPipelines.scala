@@ -234,6 +234,55 @@ object StreamingPipelines {
   }
 
   // ------------------------------------------------------------------
+  // Streaming Markov-switching regime filter: unlike the TA carry (a
+  // window of rows), [[org.apache.spark.sql.graft.RegimeProb]]'s state
+  // is ONE double, so the chunk protocol carries just the filtered
+  // probability — O(1) state per key regardless of history length.
+  // ------------------------------------------------------------------
+
+  case class SignTick(symbol: String, epochSec: Long, sign: Option[Double])
+  case class RegimeOut(symbol: String, epochSec: Long, p: Option[Double])
+  case class RegimeCarry(p: Option[Double])
+
+  /** The scalar step of [[org.apache.spark.sql.graft.RegimeProb]] — the
+    * SAME IEEE +,−,×,÷ tree, so the streaming fold is bit-identical to
+    * the batch window function (proven by the ST3-style equivalence
+    * spec). Null/zero signs carry the state unchanged. */
+  def regimeStep(p: Option[Double], sign: Option[Double], a01: Double,
+                 a10: Double, u0: Double, u1: Double): Option[Double] =
+    sign match {
+      case Some(s) if s != 0.0 =>
+        val prior = p.map(v => v * (1.0 - a10) + (1.0 - v) * a01).getOrElse(0.5)
+        val l1 = if (s > 0) u1 else 1.0 - u1
+        val l0 = if (s > 0) u0 else 1.0 - u0
+        val num = prior * l1
+        Some(num / (num + (1.0 - prior) * l0))
+      case _ => p
+    }
+
+  /** Stateful streaming regime filter: per symbol, fold the micro-batch
+    * through [[regimeStep]] from the carried probability, emit one
+    * filtered P(bull) per tick, keep the final probability as carry. */
+  def statefulRegime(ds: Dataset[SignTick], a01: Double, a10: Double,
+                     u0: Double, u1: Double)
+                    (implicit spark: SparkSession): Dataset[RegimeOut] = {
+    import spark.implicits._
+    ds.groupByKey(_.symbol)
+      .flatMapGroupsWithState[RegimeCarry, RegimeOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[SignTick], state: GroupState[RegimeCarry]) =>
+          val batch = rows.toIndexedSeq.sortBy(_.epochSec)
+          var p = state.getOption.flatMap(_.p)
+          val out = batch.map { t =>
+            p = regimeStep(p, t.sign, a01, a10, u0, u1)
+            RegimeOut(t.symbol, t.epochSec, p)
+          }
+          state.update(RegimeCarry(p))
+          out.iterator
+      }
+  }
+
+  // ------------------------------------------------------------------
   // Streaming incremental dedup: the 100 TB ingest loop. Each micro-batch
   // probes the standing MinHash index, keeps only docs that near-dup
   // NOTHING already indexed (nor an earlier doc of the same batch), and

@@ -543,6 +543,39 @@ class SystemSpec extends SparkSpec {
     assert(got == whole)
   }
 
+  test("streaming: regime-filter chunk-carry ≡ batch window function (ST3, O(1) state)") {
+    import StreamingPipelines._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val (a01, a10, u0, u1) = (0.04, 0.04, 0.35, 0.65)
+    val signs: Seq[Option[Double]] =
+      Seq(None, Some(1.0), Some(0.0)) ++
+        (1 to 27).map(i => Some(if (i % 4 == 0) -1.0 else 1.0))
+    val ticks = signs.zipWithIndex.flatMap { case (sg, i) =>
+      Seq(SignTick("A", 1000L + i, sg), SignTick("B", 1000L + i, sg.map(-_))) }
+    // whole-series reference = the BATCH engine itself (the custom
+    // Catalyst window function), not a hand fold — streaming ≡ batch
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("epochSec"))
+    val whole = ticks.toDF("symbol", "epochSec", "sign")
+      .select(col("symbol"), col("epochSec"),
+        graft.functions.windows.regimeProb(col("sign"), a01, a10, u0, u1, w).as("p"))
+      .as[RegimeOut].collect().sortBy(t => (t.symbol, t.epochSec)).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SignTick]
+    val q = statefulRegime(mem.toDS(), a01, a10, u0, u1)
+      .writeStream.format("memory").queryName("regime_out")
+      .outputMode("append").start()
+    val byTime = ticks.sortBy(_.epochSec)
+    mem.addData(byTime.take(24): _*)
+    q.processAllAvailable()
+    mem.addData(byTime.drop(24): _*)
+    q.processAllAvailable()
+    val got = spark.table("regime_out").as[RegimeOut].collect()
+      .sortBy(t => (t.symbol, t.epochSec)).toSeq
+    q.stop()
+    assert(got == whole, "streaming fold must be bit-identical to the batch window")
+  }
+
   test("streaming: transformWithState chunk-carry ≡ whole-series (ST3, Spark-4 API)") {
     import StreamingPipelines._
     implicit val s: org.apache.spark.sql.SparkSession = spark
