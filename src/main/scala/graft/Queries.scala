@@ -477,6 +477,62 @@ object Queries {
              round(rbar, 6) AS r_bar
       FROM q2 ORDER BY key_a, key_b"""))
 
+  // Leading principal component ("market mode") of the LW-CC shrunk
+  // covariance via QUANTIZED power iteration: 8 matrix-vector rounds on
+  // the 6-dp covariance image, each round's vector re-quantized to a
+  // 6-dp integer image after the exact-integer matvec and the
+  // IEEE-exact sqrt norm — so both engines fold identically regardless
+  // of convergence (the kmeans fixed-round doctrine). Eigenvalue is
+  // the Rayleigh quotient of the final image, variance share divides
+  // by the exact diagonal trace. All frames are key²-sized; the corpus
+  // is touched once by the LW-CC panel agg — no collect, no driver
+  // solve (the hash-checked complement to the rows-only allocators).
+  private val PcaRounds = 8
+  private val qPcaFactor = QDef(
+    "q_pca_factor",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("mean_v"))
+      val lw = Relational.ledoitWolfConstCorr(hourly, "event_type", "bucket",
+        "mean_v", scale = 1e4, pairScale = 1e2, termScale = 1e6)
+      operators.Backtest.leadingEigen(lw, "shrunk_cov", rounds = PcaRounds)
+        .orderBy("k")
+    },
+    Some({
+      val rounds = (1 to PcaRounds).map { i =>
+        val prev = if (i == 1) "v0" else s"v${i - 1}"
+        s"""mv$i AS MATERIALIZED (SELECT s.a AS k, CAST(SUM(s.covq * v.vq) AS BIGINT) AS mv
+             FROM sym s JOIN $prev v ON v.k = s.b GROUP BY 1),
+      n$i AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(mv AS HUGEINT) * mv) AS DOUBLE)) AS nrm FROM mv$i),
+      v$i AS MATERIALIZED (SELECT k, CASE WHEN (SELECT nrm FROM n$i) > 0
+                   THEN CAST(round(CAST(mv AS DOUBLE) / (SELECT nrm FROM n$i) * 1e6) AS BIGINT)
+                   ELSE 0 END AS vq FROM mv$i)"""
+      }.mkString(",\n      ")
+      val vLast = s"v$PcaRounds"
+      s"""
+      WITH $lwCcCteSql,
+      covp AS MATERIALIZED (SELECT key_a AS a, key_b AS b,
+                 CAST(round(round((1.0 - (SELECT delta FROM dl)) * sab + (SELECT delta FROM dl) *
+                   (CASE WHEN key_a = key_b THEN sa
+                         WHEN sa > 0 AND sb > 0 THEN rbar * sqrt(sa * sb)
+                         ELSE 0.0 END), 6) * 1e6) AS BIGINT) AS covq
+               FROM q2),
+      sym AS MATERIALIZED (SELECT a, b, covq FROM covp
+              UNION ALL
+              SELECT b AS a, a AS b, covq FROM covp WHERE a <> b),
+      v0 AS MATERIALIZED (SELECT DISTINCT a AS k, CAST(1000000 AS BIGINT) AS vq FROM sym),
+      $rounds,
+      nm AS (SELECT CAST(SUM(CAST(s.covq AS HUGEINT) * va.vq * vb.vq) AS DOUBLE) AS num
+             FROM sym s JOIN $vLast va ON va.k = s.a JOIN $vLast vb ON vb.k = s.b),
+      dn AS (SELECT CAST(SUM(vq * vq) AS DOUBLE) AS den FROM $vLast),
+      tr AS (SELECT CAST(SUM(covq) AS DOUBLE) AS tr FROM covp WHERE a = b)
+      SELECT k, CAST(vq AS DOUBLE) / 1e6 AS loading,
+             round((SELECT num FROM nm) / (SELECT den FROM dn) / 1e6, 6) + 0.0 AS eigenvalue,
+             round((SELECT num FROM nm) / (SELECT den FROM dn) / (SELECT tr FROM tr), 6) + 0.0 AS var_share
+      FROM $vLast ORDER BY k"""
+    }))
+
   /** Shared oracle CTE chain for the rolling moment queries: hourly mean
     * series per event type, pair join, ⌊·10⁴⌋ quantization, and the five
     * exact-integer 24-row window sums (q_rolling_corr / q_rolling_beta
@@ -4886,6 +4942,60 @@ object Queries {
              kelly, kelly / 2.0 AS kelly_half
       FROM k ORDER BY event_type"""))
 
+  // Almgren–Chriss optimal execution schedule (2000, J. Risk 3(2)):
+  // the risk-averse liquidation trajectory x_k = X·sinh(κ(T−k))/sinh(κT)
+  // per parent order. κ and T are DESIGN constants, so the seven sinh
+  // ratios interpolate from the JVM as literal doubles (the CsDenom /
+  // invNorm precedent — data-independent libm is shared as literal
+  // text, never evaluated per-engine); per parent the schedule is one
+  // exact double product + single-arg-round µ-image per slice. Parent
+  // orders = per-(symbol, hour) trade counts; fan-out is the
+  // protocol's own ×T, via one generator — no joins.
+  private val AcKappa = 0.6
+  private val AcSlices = 6
+  private val qAcSchedule = QDef(
+    "q_ac_schedule",
+    (s, dir) => {
+      def rem(k: Int): Double =
+        math.sinh(AcKappa * (AcSlices - k)) / math.sinh(AcKappa * AcSlices)
+      val parents = t(s, dir, "events")
+        .groupBy(col("event_type").as("symbol"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n_trades"))
+      val slices = explode(array((1 to AcSlices).map { k =>
+        struct(lit(k).as("k"), lit(rem(k - 1) - rem(k)).as("share"),
+          lit(rem(k)).as("remfrac"))
+      }: _*)).as("sl")
+      parents.select(col("symbol"), micros(col("bucket")).as("bucket_us"),
+          col("n_trades"), slices)
+        .select(col("symbol"), col("bucket_us"), col("n_trades"),
+          col("sl.k").as("k"),
+          (round(col("n_trades").cast("double") * col("sl.share") * 1e6)
+            .cast("long").cast("double") / lit(1e6)).as("slice_qty"),
+          (round(col("n_trades").cast("double") * col("sl.remfrac") * 1e6)
+            .cast("long").cast("double") / lit(1e6)).as("remaining_qty"))
+        .orderBy("symbol", "bucket_us", "k")
+    },
+    Some({
+      def d(x: Double) = java.lang.Double.toString(x)
+      def rem(k: Int): Double =
+        math.sinh(AcKappa * (AcSlices - k)) / math.sinh(AcKappa * AcSlices)
+      val vals = (1 to AcSlices).map(k =>
+        s"(${k}, ${d(rem(k - 1) - rem(k))}, ${d(rem(k))})").mkString(", ")
+      s"""
+      WITH parents AS (
+        SELECT event_type AS symbol, date_trunc('hour', ts) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_trades
+        FROM events GROUP BY 1, 2),
+      sl(k, share, remfrac) AS (VALUES $vals)
+      SELECT symbol, epoch_us(bucket) AS bucket_us, n_trades,
+             CAST(k AS INT) AS k,
+             CAST(CAST(round(CAST(n_trades AS DOUBLE) * share * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS slice_qty,
+             CAST(CAST(round(CAST(n_trades AS DOUBLE) * remfrac * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS remaining_qty
+      FROM parents CROSS JOIN sl
+      ORDER BY symbol, bucket_us, k"""
+    }))
+
   // Multi-level OFI + depth-weighted queue imbalance over the synthetic
   // book's top-3 levels (decay 0.5 — exact IEEE weights): the CKS flow
   // rule per rank against the previous same-rank snapshot, geometric
@@ -7804,7 +7914,7 @@ object Queries {
     qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,
     qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
     qHasbrouckLambda, qRegimeProb, qXsMomentum, qImplShortfall,
-    qPairsBacktest, qKelly,
+    qPairsBacktest, qKelly, qAcSchedule, qPcaFactor,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr

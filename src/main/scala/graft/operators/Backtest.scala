@@ -415,6 +415,71 @@ object Backtest {
     * q_portfolio_ivp path (spec-pinned).
     *
     * Returns `(key, weight)`, weights ≥ 0 summing to 1, 6 dp. */
+  /** Leading principal component ("market mode") of a covariance pair
+    * frame via QUANTIZED power iteration — the hash-checkable
+    * complement to the driver-side allocators: no collect, no solver.
+    * `cov` holds the UPPER triangle `(key_a ≤ key_b, covCol)` (the
+    * [[graft.operators.Relational.ledoitWolfConstCorr]] shape, 6-dp
+    * images).
+    *
+    * Protocol (the kmeans fixed-round doctrine — both engines fold
+    * identically regardless of convergence): covariances quantize to
+    * ·10⁶ BIGINTs; the vector starts all-ones and for each of `rounds`
+    * rounds takes one EXACT-INTEGER matvec (products < 2⁶³ at
+    * |cov| ≤ 10³ and the ·10⁶ vector image), an IEEE-exact sqrt norm
+    * (the squared sum rides DECIMAL(38,0) — mv² exceeds 2⁶³), and
+    * re-quantizes to the 6-dp image. Eigenvalue is the Rayleigh
+    * quotient of the final image; `var_share` divides by the exact
+    * diagonal trace. Every frame is key²-sized; rounds are
+    * driver-sequenced plans over checkpointed key-sized vectors.
+    *
+    * Returns `(k, loading, eigenvalue, var_share)` — loading the 6-dp
+    * unit-vector image (sign: all-ones start, so the dominant
+    * component's sign is the sign of its row sums under a
+    * positive-semidefinite Σ). */
+  def leadingEigen(cov: DataFrame, covCol: String = "shrunk_cov",
+                   rounds: Int = 8): DataFrame = {
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pairs = cov.select(col("key_a").cast("string").as("a"),
+        col("key_b").cast("string").as("b"),
+        round(col(covCol) * 1e6).cast("long").as("covq"))
+      .localCheckpoint()
+    val sym = pairs.unionByName(pairs.where(col("a") =!= col("b"))
+      .select(col("b").as("a"), col("a").as("b"), col("covq")))
+    var v = sym.select(col("a").as("k")).distinct()
+      .withColumn("vq", lit(1000000L))
+    (1 to rounds).foreach { _ =>
+      val mv = sym.join(broadcast(v.select(col("k").as("b"), col("vq"))), Seq("b"))
+        .groupBy(col("a")).agg(sum(col("covq") * col("vq")).as("mv"))
+      val norm = mv.agg(
+        sqrt(sum(col("mv").cast(D38) * col("mv").cast(D38)).cast("double"))
+          .as("nrm"))
+      // truncate the lineage each round: the vector is key-sized, and
+      // chained join+agg rounds otherwise stack into one deep plan
+      // whose analysis dominates the wall
+      v = mv.crossJoin(broadcast(norm))
+        .select(col("a").as("k"),
+          when(col("nrm") > 0.0,
+            round(col("mv").cast("double") / col("nrm") * 1e6).cast("long"))
+            .otherwise(lit(0L)).as("vq"))
+        .localCheckpoint()
+    }
+    val num = sym
+      .join(broadcast(v.select(col("k").as("a"), col("vq").as("va"))), Seq("a"))
+      .join(broadcast(v.select(col("k").as("b"), col("vq").as("vb"))), Seq("b"))
+      .agg(sum(col("covq").cast(D38) * col("va") * col("vb")).cast("double")
+        .as("num"))
+    val den = v.agg(sum(col("vq") * col("vq")).cast("double").as("den"))
+    val tr = pairs.where(col("a") === col("b"))
+      .agg(sum(col("covq")).cast("double").as("tr"))
+    v.crossJoin(broadcast(num)).crossJoin(broadcast(den)).crossJoin(broadcast(tr))
+      .select(col("k"), (col("vq").cast("double") / lit(1e6)).as("loading"),
+        (round(col("num") / col("den") / lit(1e6), 6) + lit(0.0))
+          .as("eigenvalue"),
+        (round(col("num") / col("den") / col("tr"), 6) + lit(0.0))
+          .as("var_share"))
+  }
+
   def ercPortfolio(cov: DataFrame, covCol: String = "shrunk_cov",
                    maxKeys: Int = 256, maxSweeps: Int = 10000,
                    tol: Double = 1e-12): DataFrame = {

@@ -4385,6 +4385,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("leadingEigen: 2x2 closed form, diagonal selector, degenerate zero") {
+    import graft.operators.Backtest
+    def mk(rows: Seq[(String, String, Double)]) =
+      rows.toDF("key_a", "key_b", "shrunk_cov")
+    def byK(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getDouble(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // [[2,1],[1,2]]: eigvec (1,1)/√2 (hit EXACTLY from the all-ones
+    // start in one round), λ = 3, share = 3/(2+2)
+    val m = byK(Backtest.leadingEigen(
+      mk(Seq(("A", "A", 2.0), ("A", "B", 1.0), ("B", "B", 2.0)))))
+    val u = math.rint(1.0 / math.sqrt(2.0) * 1e6) / 1e6
+    assert(m("A")._1 == u && m("B")._1 == u, s"got $m")
+    assert(m("A")._2.contains(3.0) && m("A")._3.contains(0.75))
+    // well-separated diagonal: the dominant key takes loading → 1,
+    // eigenvalue → its variance, share → its trace fraction
+    val d = byK(Backtest.leadingEigen(mk(Seq(
+      ("A", "A", 9.0), ("B", "B", 0.01), ("C", "C", 0.01),
+      ("A", "B", 0.0), ("A", "C", 0.0), ("B", "C", 0.0)))))
+    assert(d("A")._1 == 1.0 && math.abs(d("B")._1) < 1e-5 &&
+      math.abs(d("C")._1) < 1e-5, s"got $d")
+    assert(math.abs(d("A")._2.get - 9.0) < 1e-5 &&
+      math.abs(d("A")._3.get - 9.0 / 9.02) < 1e-4)
+    // all-zero Σ degrades to zero loadings, not NaN
+    val z = byK(Backtest.leadingEigen(mk(Seq(
+      ("A", "A", 0.0), ("A", "B", 0.0), ("B", "B", 0.0)))))
+    assert(z("A")._1 == 0.0 && z("B")._1 == 0.0)
+  }
+
   test("ercPortfolio: diagonal ≡ inverse-vol, equal-corr ≡ equal weights, RC equality, guards") {
     import graft.operators.Backtest
     def mk(rows: Seq[(String, String, Double)]) =
