@@ -488,6 +488,33 @@ object Queries {
   // is touched once by the LW-CC panel agg — no collect, no driver
   // solve (the hash-checked complement to the rows-only allocators).
   private val PcaRounds = 8
+
+  /** Power-iteration oracle rounds → CTEs `sym`, `v0`, `mv1..n1..v1` …
+    * `v$rounds`, plus the Rayleigh `nm`/`dn` scalars — the SQL image of
+    * [[operators.Backtest.leadingEigen]]'s fold, shared by q_pca_factor
+    * and q_detoned_corr (one definition rule). `src` names a CTE with
+    * columns (a, b, covq) holding the upper triangle. */
+  private def pcaRoundsSql(src: String, rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      s"""mv$i AS MATERIALIZED (SELECT s.a AS k, CAST(SUM(s.covq * v.vq) AS BIGINT) AS mv
+             FROM sym s JOIN $prev v ON v.k = s.b GROUP BY 1),
+      n$i AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(mv AS HUGEINT) * mv) AS DOUBLE)) AS nrm FROM mv$i),
+      v$i AS MATERIALIZED (SELECT k, CASE WHEN (SELECT nrm FROM n$i) > 0
+                   THEN CAST(round(CAST(mv AS DOUBLE) / (SELECT nrm FROM n$i) * 1e6) AS BIGINT)
+                   ELSE 0 END AS vq FROM mv$i)"""
+    }.mkString(",\n      ")
+    val vLast = s"v$rounds"
+    s"""sym AS MATERIALIZED (SELECT a, b, covq FROM $src
+              UNION ALL
+              SELECT b AS a, a AS b, covq FROM $src WHERE a <> b),
+      v0 AS MATERIALIZED (SELECT DISTINCT a AS k, CAST(1000000 AS BIGINT) AS vq FROM sym),
+      $rs,
+      nm AS (SELECT CAST(SUM(CAST(s.covq AS HUGEINT) * va.vq * vb.vq) AS DOUBLE) AS num
+             FROM sym s JOIN $vLast va ON va.k = s.a JOIN $vLast vb ON vb.k = s.b),
+      dn AS (SELECT CAST(SUM(vq * vq) AS DOUBLE) AS den FROM $vLast)"""
+  }
+
   private val qPcaFactor = QDef(
     "q_pca_factor",
     (s, dir) => {
@@ -499,18 +526,7 @@ object Queries {
       operators.Backtest.leadingEigen(lw, "shrunk_cov", rounds = PcaRounds)
         .orderBy("k")
     },
-    Some({
-      val rounds = (1 to PcaRounds).map { i =>
-        val prev = if (i == 1) "v0" else s"v${i - 1}"
-        s"""mv$i AS MATERIALIZED (SELECT s.a AS k, CAST(SUM(s.covq * v.vq) AS BIGINT) AS mv
-             FROM sym s JOIN $prev v ON v.k = s.b GROUP BY 1),
-      n$i AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(mv AS HUGEINT) * mv) AS DOUBLE)) AS nrm FROM mv$i),
-      v$i AS MATERIALIZED (SELECT k, CASE WHEN (SELECT nrm FROM n$i) > 0
-                   THEN CAST(round(CAST(mv AS DOUBLE) / (SELECT nrm FROM n$i) * 1e6) AS BIGINT)
-                   ELSE 0 END AS vq FROM mv$i)"""
-      }.mkString(",\n      ")
-      val vLast = s"v$PcaRounds"
-      s"""
+    Some(s"""
       WITH $lwCcCteSql,
       covp AS MATERIALIZED (SELECT key_a AS a, key_b AS b,
                  CAST(round(round((1.0 - (SELECT delta FROM dl)) * sab + (SELECT delta FROM dl) *
@@ -518,20 +534,86 @@ object Queries {
                          WHEN sa > 0 AND sb > 0 THEN rbar * sqrt(sa * sb)
                          ELSE 0.0 END), 6) * 1e6) AS BIGINT) AS covq
                FROM q2),
-      sym AS MATERIALIZED (SELECT a, b, covq FROM covp
-              UNION ALL
-              SELECT b AS a, a AS b, covq FROM covp WHERE a <> b),
-      v0 AS MATERIALIZED (SELECT DISTINCT a AS k, CAST(1000000 AS BIGINT) AS vq FROM sym),
-      $rounds,
-      nm AS (SELECT CAST(SUM(CAST(s.covq AS HUGEINT) * va.vq * vb.vq) AS DOUBLE) AS num
-             FROM sym s JOIN $vLast va ON va.k = s.a JOIN $vLast vb ON vb.k = s.b),
-      dn AS (SELECT CAST(SUM(vq * vq) AS DOUBLE) AS den FROM $vLast),
+      ${pcaRoundsSql("covp", PcaRounds)},
       tr AS (SELECT CAST(SUM(covq) AS DOUBLE) AS tr FROM covp WHERE a = b)
       SELECT k, CAST(vq AS DOUBLE) / 1e6 AS loading,
              round((SELECT num FROM nm) / (SELECT den FROM dn) / 1e6, 6) + 0.0 AS eigenvalue,
              round((SELECT num FROM nm) / (SELECT den FROM dn) / (SELECT tr FROM tr), 6) + 0.0 AS var_share
-      FROM $vLast ORDER BY k"""
-    }))
+      FROM v$PcaRounds ORDER BY k"""))
+
+  // Detoned correlation matrix (López de Prado, MLAM §2.6): remove the
+  // market mode — C̃ = C − λ₁v₁v₁ᵀ from the leading eigenpair of the
+  // LW-CC shrunk CORRELATION matrix, then rescale the diagonal back to
+  // 1. Everything downstream of the power iteration is one fixed
+  // double tree over 6-dp images (λ, loadings, corr), so the oracle
+  // replays it exactly; degenerate diagonals null explicitly. The
+  // residual correlation structure is what cluster/HRP-style
+  // allocators should see once the common factor is stripped.
+  private val qDetonedCorr = QDef(
+    "q_detoned_corr",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("mean_v"))
+      val lw = Relational.ledoitWolfConstCorr(hourly, "event_type", "bucket",
+          "mean_v", scale = 1e4, pairScale = 1e2, termScale = 1e6)
+        .localCheckpoint()
+      val dg = lw.where(col("key_a") === col("key_b"))
+        .select(col("key_a").as("dk"), col("shrunk_cov").as("dv"))
+      val corr = lw
+        .join(broadcast(dg.select(col("dk").as("key_a"), col("dv").as("dva"))), Seq("key_a"))
+        .join(broadcast(dg.select(col("dk").as("key_b"), col("dv").as("dvb"))), Seq("key_b"))
+        .select(col("key_a"), col("key_b"),
+          when(col("dva") > 0.0 && col("dvb") > 0.0,
+            round(col("shrunk_cov") / sqrt(col("dva") * col("dvb")), 6))
+            .as("corr"))
+      val eig = operators.Backtest.leadingEigen(corr, "corr", rounds = PcaRounds)
+      val lam = eig.agg(max(col("eigenvalue")).as("lam"))
+      val vfr = eig.select(col("k"), col("loading"))
+      val det = corr
+        .join(broadcast(vfr.select(col("k").as("key_a"), col("loading").as("va"))), Seq("key_a"))
+        .join(broadcast(vfr.select(col("k").as("key_b"), col("loading").as("vb"))), Seq("key_b"))
+        .crossJoin(broadcast(lam))
+        .withColumn("det", col("corr") - col("lam") * col("va") * col("vb"))
+      val dd = det.where(col("key_a") === col("key_b"))
+        .select(col("key_a").as("ddk"), col("det").as("ddv"))
+      det
+        .join(broadcast(dd.select(col("ddk").as("key_a"), col("ddv").as("daa"))), Seq("key_a"))
+        .join(broadcast(dd.select(col("ddk").as("key_b"), col("ddv").as("dbb"))), Seq("key_b"))
+        .select(col("key_a"), col("key_b"), col("corr"),
+          when(col("daa") > 0.0 && col("dbb") > 0.0,
+            round(col("det") / sqrt(col("daa") * col("dbb")), 6) + lit(0.0))
+            .as("detoned"))
+        .orderBy("key_a", "key_b")
+    },
+    Some(s"""
+      WITH $lwCcCteSql,
+      shr AS MATERIALIZED (SELECT key_a AS a, key_b AS b,
+                 round((1.0 - (SELECT delta FROM dl)) * sab + (SELECT delta FROM dl) *
+                   (CASE WHEN key_a = key_b THEN sa
+                         WHEN sa > 0 AND sb > 0 THEN rbar * sqrt(sa * sb)
+                         ELSE 0.0 END), 6) AS shr
+               FROM q2),
+      dg2 AS MATERIALIZED (SELECT a AS k, shr AS dv FROM shr WHERE a = b),
+      corr AS MATERIALIZED (SELECT s.a, s.b,
+                 CASE WHEN da.dv > 0 AND db.dv > 0
+                      THEN round(s.shr / sqrt(da.dv * db.dv), 6) END AS corr
+               FROM shr s JOIN dg2 da ON da.k = s.a JOIN dg2 db ON db.k = s.b),
+      covp AS MATERIALIZED (SELECT a, b,
+                 CAST(round(corr * 1e6) AS BIGINT) AS covq FROM corr),
+      ${pcaRoundsSql("covp", PcaRounds)},
+      lam AS (SELECT round((SELECT num FROM nm) / (SELECT den FROM dn) / 1e6, 6) + 0.0 AS lam),
+      det AS MATERIALIZED (SELECT c.a, c.b, c.corr,
+                 c.corr - (SELECT lam FROM lam)
+                   * (CAST(va.vq AS DOUBLE) / 1e6) * (CAST(vb.vq AS DOUBLE) / 1e6) AS det
+               FROM corr c JOIN v$PcaRounds va ON va.k = c.a
+                           JOIN v$PcaRounds vb ON vb.k = c.b),
+      dd AS MATERIALIZED (SELECT a AS k, det AS ddv FROM det WHERE a = b)
+      SELECT det.a AS key_a, det.b AS key_b, det.corr,
+             CASE WHEN da.ddv > 0 AND db.ddv > 0
+                  THEN round(det.det / sqrt(da.ddv * db.ddv), 6) + 0.0 END AS detoned
+      FROM det JOIN dd da ON da.k = det.a JOIN dd db ON db.k = det.b
+      ORDER BY key_a, key_b"""))
 
   /** Shared oracle CTE chain for the rolling moment queries: hourly mean
     * series per event type, pair join, ⌊·10⁴⌋ quantization, and the five
@@ -4724,35 +4806,37 @@ object Queries {
   // recursion as a recursive CTE over the hourly grid, per series
   // (the q_kalman_hedge doctrine, partitioned). Null/zero signs carry
   // the state; rows before the first signed move emit null.
-  private val qRegimeProb = QDef(
-    "q_regime_prob",
-    (s, dir) => {
-      val w = barsW
-      val bars = hourlyBars(s, dir)
-        .withColumn("sgn", signum(col("close") - lag(col("close"), 1).over(
-          Window.partitionBy(col("event_type")).orderBy(col("bar_ts")))))
-      bars.select(col("event_type"), micros(col("bar_ts")).as("bar_ts_us"),
-          col("close"),
-          round(W.regimeProb(col("sgn"), a01 = RegimeA01, a10 = RegimeA10,
-            u0 = RegimeU0, u1 = RegimeU1, w), 6).as("regime_p"))
-        .withColumn("bull",
-          when(col("regime_p").isNotNull,
-            (round(col("regime_p") * 1e6).cast("long") > 500000L).cast("long")))
-        .orderBy("event_type", "bar_ts_us")
-    },
-    Some({
-      def d(x: Double) = java.lang.Double.toString(x)
-      val b = d(1.0 - RegimeA10)
-      val a01s = d(RegimeA01)
-      def step(prior: String, sgn: String): String = {
-        val l1 = s"(CASE WHEN $sgn > 0 THEN ${d(RegimeU1)} ELSE ${d(1.0 - RegimeU1)} END)"
-        val l0 = s"(CASE WHEN $sgn > 0 THEN ${d(RegimeU0)} ELSE ${d(1.0 - RegimeU0)} END)"
-        s"(($prior * $l1) / (($prior * $l1) + ((1.0 - $prior) * $l0)))"
-      }
-      val prior = s"(CASE WHEN s.p IS NULL THEN 0.5 ELSE (s.p * $b + (1.0 - s.p) * $a01s) END)"
-      s"""
-      WITH RECURSIVE $barsCte,
-      o AS MATERIALIZED (
+  /** Engine regime frame over the hourly bars — shared by
+    * q_regime_prob and q_regime_attribution: per series the 6-dp
+    * filtered P(bull) and its integer-image flag. */
+  private def regimeFrame(s: SparkSession, dir: String): DataFrame = {
+    val sw = Window.partitionBy(col("event_type")).orderBy(col("bar_ts"))
+    hourlyBars(s, dir)
+      .withColumn("sgn", signum(col("close") - lag(col("close"), 1).over(sw)))
+      .withColumn("regime_p",
+        round(W.regimeProb(col("sgn"), a01 = RegimeA01, a10 = RegimeA10,
+          u0 = RegimeU0, u1 = RegimeU1, barsW), 6))
+      .withColumn("bull",
+        when(col("regime_p").isNotNull,
+          (round(col("regime_p") * 1e6).cast("long") > 500000L).cast("long")))
+  }
+
+  /** Regime-filter oracle recursion → CTEs `o` (event_type, bar_ts,
+    * close, chg, rn) and `scan` (event_type, rn, p) — the exact
+    * per-series IEEE recursion, shared by q_regime_prob and
+    * q_regime_attribution (one definition rule). Callers prepend
+    * `WITH RECURSIVE $barsCte,`. */
+  private val regimeScanSql: String = {
+    def d(x: Double) = java.lang.Double.toString(x)
+    val b = d(1.0 - RegimeA10)
+    val a01s = d(RegimeA01)
+    def step(prior: String, sgn: String): String = {
+      val l1 = s"(CASE WHEN $sgn > 0 THEN ${d(RegimeU1)} ELSE ${d(1.0 - RegimeU1)} END)"
+      val l0 = s"(CASE WHEN $sgn > 0 THEN ${d(RegimeU0)} ELSE ${d(1.0 - RegimeU0)} END)"
+      s"(($prior * $l1) / (($prior * $l1) + ((1.0 - $prior) * $l0)))"
+    }
+    val prior = s"(CASE WHEN s.p IS NULL THEN 0.5 ELSE (s.p * $b + (1.0 - s.p) * $a01s) END)"
+    s"""o AS MATERIALIZED (
         SELECT event_type, bar_ts, close,
                close - lag(close) OVER w AS chg,
                row_number() OVER w AS rn
@@ -4768,15 +4852,71 @@ object Queries {
                     THEN ${step(prior, "f.chg")}
                     ELSE s.p END
         FROM scan s JOIN o f
-          ON f.event_type = s.event_type AND f.rn = s.rn + 1)
+          ON f.event_type = s.event_type AND f.rn = s.rn + 1)"""
+  }
+
+  private val qRegimeProb = QDef(
+    "q_regime_prob",
+    (s, dir) => regimeFrame(s, dir)
+      .select(col("event_type"), micros(col("bar_ts")).as("bar_ts_us"),
+        col("close"), col("regime_p"), col("bull"))
+      .orderBy("event_type", "bar_ts_us"),
+    Some(s"""
+      WITH RECURSIVE $barsCte,
+      $regimeScanSql
       SELECT o.event_type, epoch_us(o.bar_ts) AS bar_ts_us, o.close,
              round(scan.p, 6) AS regime_p,
              CASE WHEN scan.p IS NOT NULL
                   THEN CAST(CAST(round(round(scan.p, 6) * 1e6) AS BIGINT) > 500000 AS BIGINT)
              END AS bull
       FROM o JOIN scan ON scan.event_type = o.event_type AND scan.rn = o.rn
-      ORDER BY o.event_type, bar_ts_us"""
-    }))
+      ORDER BY o.event_type, bar_ts_us"""))
+
+  // Regime-conditioned attribution: does the filtered regime carry
+  // information? Per (series, bull-flag): bar count, mean NEXT-hour
+  // return (exact µ-integer sums, single-arg-round image) and the
+  // up-bar hit rate — the validation query for q_regime_prob (the
+  // q_spread_compare pattern: measured downstream truth beside the
+  // model's state). One grouped agg over the shared regime frame.
+  private val qRegimeAttribution = QDef(
+    "q_regime_attribution",
+    (s, dir) => {
+      val sw = Window.partitionBy(col("event_type")).orderBy(col("bar_ts"))
+      val f = regimeFrame(s, dir)
+        .withColumn("nrq",
+          round((lead(col("close"), 1).over(sw) / col("close") - lit(1.0)) * 1e6)
+            .cast("long"))
+        .where(col("bull").isNotNull && col("nrq").isNotNull)
+      f.groupBy(col("event_type"), col("bull"))
+        .agg(count(lit(1)).as("n_bars"),
+          sum(col("nrq")).as("_s"),
+          sum(when(col("nrq") > 0L, 1L).otherwise(0L)).as("_h"))
+        .select(col("event_type"), col("bull"), col("n_bars"),
+          (round(col("_s").cast("double") / col("n_bars").cast("double"))
+            .cast("long").cast("double") / lit(1e6)).as("mean_next_ret"),
+          (round(col("_h").cast("double") * lit(1e6) / col("n_bars").cast("double"))
+            .cast("long").cast("double") / lit(1e6)).as("hit_rate"))
+        .orderBy("event_type", "bull")
+    },
+    Some(s"""
+      WITH RECURSIVE $barsCte,
+      $regimeScanSql,
+      rf AS (SELECT o.event_type, o.rn,
+                    CASE WHEN scan.p IS NOT NULL
+                         THEN CAST(CAST(round(round(scan.p, 6) * 1e6) AS BIGINT) > 500000 AS BIGINT)
+                    END AS bull,
+                    CAST(round((lead(o.close) OVER wr / o.close - 1.0) * 1e6) AS BIGINT) AS nrq
+             FROM o JOIN scan ON scan.event_type = o.event_type AND scan.rn = o.rn
+             WINDOW wr AS (PARTITION BY o.event_type ORDER BY o.rn)),
+      ag AS (SELECT event_type, bull, CAST(count(*) AS BIGINT) AS n_bars,
+                    CAST(sum(nrq) AS BIGINT) AS s,
+                    CAST(sum(CASE WHEN nrq > 0 THEN 1 ELSE 0 END) AS BIGINT) AS h
+             FROM rf WHERE bull IS NOT NULL AND nrq IS NOT NULL
+             GROUP BY 1, 2)
+      SELECT event_type, bull, n_bars,
+             CAST(CAST(round(CAST(s AS DOUBLE) / CAST(n_bars AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e6 AS mean_next_ret,
+             CAST(CAST(round(CAST(h AS DOUBLE) * 1e6 / CAST(n_bars AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e6 AS hit_rate
+      FROM ag ORDER BY event_type, bull"""))
 
   // Cross-sectional momentum (Jegadeesh–Titman long-short, hourly):
   // per hour, rank the series by trailing-24h return, hold the
@@ -7913,8 +8053,8 @@ object Queries {
     qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
     qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,
     qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
-    qHasbrouckLambda, qRegimeProb, qXsMomentum, qImplShortfall,
-    qPairsBacktest, qKelly, qAcSchedule, qPcaFactor,
+    qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,
+    qPairsBacktest, qKelly, qAcSchedule, qPcaFactor, qDetonedCorr,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr
