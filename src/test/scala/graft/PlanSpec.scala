@@ -829,6 +829,18 @@ class PlanSpec extends SparkSpec {
       "leeReady")
   }
 
+  test("leadingEigen: vector path is broadcast-only — no sort-merge join, no cartesian blow-up") {
+    import spark.implicits._
+    val cov = Seq(("A", "A", 2.0), ("A", "B", 1.0), ("B", "B", 2.0),
+      ("A", "C", 0.5), ("B", "C", 0.2), ("C", "C", 3.0))
+      .toDF("key_a", "key_b", "shrunk_cov")
+    val p = planOf(graft.operators.Backtest.leadingEigen(cov, rounds = 3))
+    assert(!p.contains("SortMergeJoin"),
+      s"eigen rounds must broadcast the key-sized vector, not sort-merge:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"scalar joins must be broadcast nested-loop, not cartesian:\n${p.take(1500)}")
+  }
+
   test("regimeProb: join-free series-keyed window recursion") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
