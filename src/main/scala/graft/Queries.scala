@@ -5028,6 +5028,132 @@ object Queries {
              END AS shortfall_rel
       FROM par ORDER BY symbol, bucket, lr_side"""))
 
+  // Empirical tail-dependence coefficients per series pair (the
+  // copula-level diagnostic linear correlation misses): λ_U =
+  // P(Y above its 95 % order stat | X above its own), λ_L the mirror
+  // at 5 % — joint crash/boom propensity. Thresholds are EXACT order
+  // statistics of the ⌊·10⁴⌋-quantized hourly means (rank k = ⌈0.95 n⌉
+  // in pure integer arithmetic, (bucket) tie-break so the rank is
+  // total); every count is an exact integer over the bucket equi-join;
+  // one double division at the edge per pair. Pair frame is key²-sized.
+  private val qTailDep = QDef(
+    "q_tail_dep",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type").as("k"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(floor(dsum(col("value")) / count(lit(1)) * 1e4).cast("long").as("vq"))
+        .where(col("vq").isNotNull)
+      val sw = Window.partitionBy(col("k")).orderBy(col("vq"), col("bucket"))
+      val ranked = hourly
+        .withColumn("rnk", row_number().over(sw))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("k"))))
+        .withColumn("k_hi", expr("(n * 95 + 99) div 100"))
+        .withColumn("k_lo", expr("(n * 5) div 100 + 1"))
+      val thr = ranked.groupBy(col("k"))
+        .agg(max(when(col("rnk") === col("k_hi"), col("vq"))).as("thr_hi"),
+          max(when(col("rnk") === col("k_lo"), col("vq"))).as("thr_lo"))
+      val side = hourly.join(broadcast(thr), Seq("k"))
+        .select(col("k"), col("bucket"),
+          (col("vq") > col("thr_hi")).cast("long").as("hi"),
+          (col("vq") < col("thr_lo")).cast("long").as("lo"))
+      val a = side.select(col("k").as("ka"), col("bucket"),
+        col("hi").as("hia"), col("lo").as("loa"))
+      val b = side.select(col("k").as("kb"), col("bucket"),
+        col("hi").as("hib"), col("lo").as("lob"))
+      a.join(b, Seq("bucket")).where(col("ka") < col("kb"))
+        .groupBy(col("ka"), col("kb"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("hia")).as("_na"), sum(col("hia") * col("hib")).as("_nb"),
+          sum(col("loa")).as("_la"), sum(col("loa") * col("lob")).as("_lb"))
+        .select(col("ka").as("key_a"), col("kb").as("key_b"), col("n_buckets"),
+          when(col("_na") > 0L,
+            (round(col("_nb").cast("double") * lit(1e6) / col("_na").cast("double"))
+              .cast("long").cast("double") / lit(1e6))).as("lambda_u"),
+          when(col("_la") > 0L,
+            (round(col("_lb").cast("double") * lit(1e6) / col("_la").cast("double"))
+              .cast("long").cast("double") / lit(1e6))).as("lambda_l"))
+        .orderBy("key_a", "key_b")
+    },
+    Some("""
+      WITH h0 AS (SELECT event_type AS k, date_trunc('hour', ts) AS bucket,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1e4) AS BIGINT) AS vq
+                 FROM events GROUP BY 1, 2),
+      h AS (SELECT * FROM h0 WHERE vq IS NOT NULL),
+      r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY vq, bucket) AS rnk,
+                   count(*) OVER (PARTITION BY k) AS n
+            FROM h),
+      r2 AS (SELECT *, (n * 95 + 99) // 100 AS k_hi, (n * 5) // 100 + 1 AS k_lo FROM r),
+      thr AS (SELECT k, CAST(max(CASE WHEN rnk = k_hi THEN vq END) AS BIGINT) AS thr_hi,
+                     CAST(max(CASE WHEN rnk = k_lo THEN vq END) AS BIGINT) AS thr_lo
+              FROM r2 GROUP BY 1),
+      side AS (SELECT h.k, h.bucket,
+                      CAST(h.vq > thr.thr_hi AS BIGINT) AS hi,
+                      CAST(h.vq < thr.thr_lo AS BIGINT) AS lo
+               FROM h JOIN thr ON thr.k = h.k),
+      p AS (SELECT a.k AS key_a, b.k AS key_b,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(sum(a.hi) AS BIGINT) AS na,
+                   CAST(sum(a.hi * b.hi) AS BIGINT) AS nb,
+                   CAST(sum(a.lo) AS BIGINT) AS la,
+                   CAST(sum(a.lo * b.lo) AS BIGINT) AS lb
+            FROM side a JOIN side b ON a.bucket = b.bucket AND a.k < b.k
+            GROUP BY 1, 2)
+      SELECT key_a, key_b, n_buckets,
+             CASE WHEN na > 0 THEN
+               CAST(CAST(round(CAST(nb AS DOUBLE) * 1e6 / CAST(na AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e6
+             END AS lambda_u,
+             CASE WHEN la > 0 THEN
+               CAST(CAST(round(CAST(lb AS DOUBLE) * 1e6 / CAST(la AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e6
+             END AS lambda_l
+      FROM p ORDER BY key_a, key_b"""))
+
+  // Order-flow sign autocorrelation on the Lee–Ready classified tape
+  // (the "long memory of order flow" diagnostic, Bouchaud et al. 2004):
+  // per symbol, ACF of the trade-sign series at lags 1..5 — products
+  // of ±1 signs are exact integers, so each ACF value is one integer
+  // ratio with the single-arg-round image. Rides the shared classified
+  // frame; five series-keyed lag windows on one sort, stacked long.
+  private val FlowAcfLags = 5
+  private val qFlowAcf = QDef(
+    "q_flow_acf",
+    (s, dir) => {
+      val sw = Window.partitionBy(col("symbol")).orderBy(col("ts_us"), col("tiebreak"))
+      val lr = leeReadyFrame(s, dir)
+        .where(col("lr_side").isNotNull)
+        .select(col("symbol"), col("ts_us"), col("tiebreak"),
+          col("lr_side").cast("long").as("sgn"))
+      val lagged = (1 to FlowAcfLags).foldLeft(lr) { (df, l) =>
+        df.withColumn(s"p$l", col("sgn") * lag(col("sgn"), l).over(sw))
+      }
+      val stacked = lagged.select(col("symbol"),
+        expr((1 to FlowAcfLags).map(l => s"$l, p$l")
+          .mkString(s"stack($FlowAcfLags, ", ", ", ")")).as(Seq("lag", "prod")))
+      stacked.where(col("prod").isNotNull)
+        .groupBy(col("symbol"), col("lag"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("prod")).as("_s"))
+        .select(col("symbol"), col("lag"), col("n_pairs"),
+          (round(col("_s").cast("double") * lit(1e6) / col("n_pairs").cast("double"))
+            .cast("long").cast("double") / lit(1e6)).as("sign_acf"))
+        .orderBy("symbol", "lag")
+    },
+    Some({
+      val unions = (1 to FlowAcfLags).map(l =>
+        s"""SELECT symbol, $l AS lag, sgn * lag(sgn, $l) OVER w$l AS prod
+            FROM sg WINDOW w$l AS (PARTITION BY symbol ORDER BY ts_us, event_id)""")
+        .mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH $leeChainCte,
+      sg AS (SELECT symbol, ts_us, event_id, CAST(lr_side AS BIGINT) AS sgn
+             FROM lr WHERE lr_side IS NOT NULL),
+      st AS ($unions),
+      ag AS (SELECT symbol, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                    CAST(sum(prod) AS BIGINT) AS s
+             FROM st WHERE prod IS NOT NULL GROUP BY 1, 2)
+      SELECT symbol, CAST(lag AS INT) AS lag, n_pairs,
+             CAST(CAST(round(CAST(s AS DOUBLE) * 1e6 / CAST(n_pairs AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e6 AS sign_acf
+      FROM ag ORDER BY symbol, lag"""
+    }))
+
   // Kelly sizing fraction per series (continuous approximation
   // f* = μ/σ², Thorp 2006): hourly simple returns quantized to exact
   // 1e4-integers (|ret| ≤ 3e5 at ~1e4-bucket series keeps n·Σr² inside
@@ -8055,6 +8181,7 @@ object Queries {
     qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,
     qPairsBacktest, qKelly, qAcSchedule, qPcaFactor, qDetonedCorr,
+    qTailDep, qFlowAcf,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr
