@@ -282,6 +282,37 @@ object StreamingPipelines {
       }
   }
 
+  /** [[statefulRegime]] on Spark 4's `transformWithState` (the
+    * [[TaCarryProcessor]] convention: RocksDB-backed ValueState, same
+    * fold, same equivalence gate). */
+  class RegimeCarryProcessor(a01: Double, a10: Double, u0: Double, u1: Double)
+      extends StatefulProcessor[String, SignTick, RegimeOut] {
+    @transient private var carry: ValueState[RegimeCarry] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      carry = getHandle.getValueState[RegimeCarry]("regimeCarry",
+        org.apache.spark.sql.Encoders.product[RegimeCarry], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[SignTick],
+                                 timerValues: TimerValues): Iterator[RegimeOut] = {
+      val batch = rows.toIndexedSeq.sortBy(_.epochSec)
+      var p = Option(carry.get()).flatMap(_.p)
+      val out = batch.map { t =>
+        p = regimeStep(p, t.sign, a01, a10, u0, u1)
+        RegimeOut(t.symbol, t.epochSec, p)
+      }
+      carry.update(RegimeCarry(p))
+      out.iterator
+    }
+  }
+
+  def statefulRegimeTws(ds: Dataset[SignTick], a01: Double, a10: Double,
+                        u0: Double, u1: Double)
+                       (implicit spark: SparkSession): Dataset[RegimeOut] = {
+    import spark.implicits._
+    ds.groupByKey(_.symbol)
+      .transformWithState(new RegimeCarryProcessor(a01, a10, u0, u1),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   // ------------------------------------------------------------------
   // Streaming incremental dedup: the 100 TB ingest loop. Each micro-batch
   // probes the standing MinHash index, keeps only docs that near-dup

@@ -257,6 +257,29 @@ class PropertySpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("regimeProb: filtered probability stays strictly in (0,1); null iff no signed move yet") {
+    import org.apache.spark.sql.expressions.Window
+    // random sign tapes across several series, with nulls and zeros mixed
+    // in; the filter must never saturate to 0/1 (u's in (0,1) bound the
+    // likelihood ratio) and must be null exactly until the first ±1 sign
+    val sgn = Gen.oneOf(Gen.const(Some(1.0)), Gen.const(Some(-1.0)),
+      Gen.const(Some(0.0)), Gen.const(None: Option[Double]))
+    val rows = samples(sgn, 2000).zipWithIndex
+      .map { case (s, i) => ("k" + (i % 8), i.toLong, s) }
+    val df = rows.toDF("k", "t", "sgn")
+    val w = Window.partitionBy(col("k")).orderBy(col("t"))
+    val out = df.select(col("k"), col("t"), col("sgn"),
+        graft.functions.windows.regimeProb(col("sgn"), 0.04, 0.04, 0.35, 0.65, w)
+          .as("p"))
+      .withColumn("seen", max(when(col("sgn") =!= 0.0, col("t"))).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bad = out.filter(
+      (col("p").isNotNull && (col("p") <= 0.0 || col("p") >= 1.0)) ||
+        (col("p").isNull && col("seen").isNotNull) ||
+        (col("p").isNotNull && col("seen").isNull))
+    assert(bad.count() == 0, s"regime invariant violated: ${bad.head(3).toSeq}")
+  }
+
   test("sanitize: no NaN or Infinity survives, finite values pass through") {
     val vals = Gen.oneOf(
       Gen.choose(-1e12, 1e12),

@@ -576,6 +576,45 @@ class SystemSpec extends SparkSpec {
     assert(got == whole, "streaming fold must be bit-identical to the batch window")
   }
 
+  test("streaming: regime-filter transformWithState ≡ batch window function (ST3, Spark-4 API)") {
+    import StreamingPipelines._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (a01, a10, u0, u1) = (0.04, 0.04, 0.35, 0.65)
+      val signs: Seq[Option[Double]] =
+        Seq(None, Some(1.0), Some(0.0)) ++
+          (1 to 27).map(i => Some(if (i % 4 == 0) -1.0 else 1.0))
+      val ticks = signs.zipWithIndex.map { case (sg, i) => SignTick("A", 1000L + i, sg) }
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("symbol")).orderBy(col("epochSec"))
+      val whole = ticks.toDF("symbol", "epochSec", "sign")
+        .select(col("symbol"), col("epochSec"),
+          graft.functions.windows.regimeProb(col("sign"), a01, a10, u0, u1, w).as("p"))
+        .as[RegimeOut].collect().sortBy(_.epochSec).toSeq
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SignTick]
+      val q = statefulRegimeTws(mem.toDS(), a01, a10, u0, u1)
+        .writeStream.format("memory").queryName("regime_tws_out")
+        .outputMode("append").start()
+      mem.addData(ticks.take(12): _*)
+      q.processAllAvailable()
+      mem.addData(ticks.drop(12): _*)
+      q.processAllAvailable()
+      val got = spark.table("regime_tws_out").as[RegimeOut].collect()
+        .sortBy(_.epochSec).toSeq
+      q.stop()
+      assert(got == whole)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming: transformWithState chunk-carry ≡ whole-series (ST3, Spark-4 API)") {
     import StreamingPipelines._
     implicit val s: org.apache.spark.sql.SparkSession = spark
