@@ -549,24 +549,46 @@ object Queries {
   // replays it exactly; degenerate diagonals null explicitly. The
   // residual correlation structure is what cluster/HRP-style
   // allocators should see once the common factor is stripped.
+  /** Engine LW-CC shrunk CORRELATION pair frame (6-dp images, diagonal
+    * 1, degenerate variances null) — shared by q_detoned_corr and
+    * q_corr_mst. */
+  private def corrPairs(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg((dsum(col("value")) / count(lit(1))).as("mean_v"))
+    val lw = Relational.ledoitWolfConstCorr(hourly, "event_type", "bucket",
+        "mean_v", scale = 1e4, pairScale = 1e2, termScale = 1e6)
+      .localCheckpoint()
+    val dg = lw.where(col("key_a") === col("key_b"))
+      .select(col("key_a").as("dk"), col("shrunk_cov").as("dv"))
+    lw
+      .join(broadcast(dg.select(col("dk").as("key_a"), col("dv").as("dva"))), Seq("key_a"))
+      .join(broadcast(dg.select(col("dk").as("key_b"), col("dv").as("dvb"))), Seq("key_b"))
+      .select(col("key_a"), col("key_b"),
+        when(col("dva") > 0.0 && col("dvb") > 0.0,
+          round(col("shrunk_cov") / sqrt(col("dva") * col("dvb")), 6))
+          .as("corr"))
+  }
+
+  /** The shrunk-correlation oracle stanza → CTE `corr` (a, b, corr) —
+    * requires `q2`/`dl` from [[lwCcCteSql]] in scope; shared by
+    * q_detoned_corr and q_corr_mst (one definition rule). */
+  private val corrCteSql: String = """shr AS MATERIALIZED (SELECT key_a AS a, key_b AS b,
+                 round((1.0 - (SELECT delta FROM dl)) * sab + (SELECT delta FROM dl) *
+                   (CASE WHEN key_a = key_b THEN sa
+                         WHEN sa > 0 AND sb > 0 THEN rbar * sqrt(sa * sb)
+                         ELSE 0.0 END), 6) AS shr
+               FROM q2),
+      dg2 AS MATERIALIZED (SELECT a AS k, shr AS dv FROM shr WHERE a = b),
+      corr AS MATERIALIZED (SELECT s.a, s.b,
+                 CASE WHEN da.dv > 0 AND db.dv > 0
+                      THEN round(s.shr / sqrt(da.dv * db.dv), 6) END AS corr
+               FROM shr s JOIN dg2 da ON da.k = s.a JOIN dg2 db ON db.k = s.b)"""
+
   private val qDetonedCorr = QDef(
     "q_detoned_corr",
     (s, dir) => {
-      val hourly = t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
-        .agg((dsum(col("value")) / count(lit(1))).as("mean_v"))
-      val lw = Relational.ledoitWolfConstCorr(hourly, "event_type", "bucket",
-          "mean_v", scale = 1e4, pairScale = 1e2, termScale = 1e6)
-        .localCheckpoint()
-      val dg = lw.where(col("key_a") === col("key_b"))
-        .select(col("key_a").as("dk"), col("shrunk_cov").as("dv"))
-      val corr = lw
-        .join(broadcast(dg.select(col("dk").as("key_a"), col("dv").as("dva"))), Seq("key_a"))
-        .join(broadcast(dg.select(col("dk").as("key_b"), col("dv").as("dvb"))), Seq("key_b"))
-        .select(col("key_a"), col("key_b"),
-          when(col("dva") > 0.0 && col("dvb") > 0.0,
-            round(col("shrunk_cov") / sqrt(col("dva") * col("dvb")), 6))
-            .as("corr"))
+      val corr = corrPairs(s, dir)
       val eig = operators.Backtest.leadingEigen(corr, "corr", rounds = PcaRounds)
       val lam = eig.agg(max(col("eigenvalue")).as("lam"))
       val vfr = eig.select(col("k"), col("loading"))
@@ -588,17 +610,7 @@ object Queries {
     },
     Some(s"""
       WITH $lwCcCteSql,
-      shr AS MATERIALIZED (SELECT key_a AS a, key_b AS b,
-                 round((1.0 - (SELECT delta FROM dl)) * sab + (SELECT delta FROM dl) *
-                   (CASE WHEN key_a = key_b THEN sa
-                         WHEN sa > 0 AND sb > 0 THEN rbar * sqrt(sa * sb)
-                         ELSE 0.0 END), 6) AS shr
-               FROM q2),
-      dg2 AS MATERIALIZED (SELECT a AS k, shr AS dv FROM shr WHERE a = b),
-      corr AS MATERIALIZED (SELECT s.a, s.b,
-                 CASE WHEN da.dv > 0 AND db.dv > 0
-                      THEN round(s.shr / sqrt(da.dv * db.dv), 6) END AS corr
-               FROM shr s JOIN dg2 da ON da.k = s.a JOIN dg2 db ON db.k = s.b),
+      $corrCteSql,
       covp AS MATERIALIZED (SELECT a, b,
                  CAST(round(corr * 1e6) AS BIGINT) AS covq FROM corr),
       ${pcaRoundsSql("covp", PcaRounds)},
@@ -5154,6 +5166,70 @@ object Queries {
       FROM ag ORDER BY symbol, lag"""
     }))
 
+  // Minimum spanning tree of the correlation network (Mantegna 1999):
+  // d = √(2(1−ρ)) on the LW-CC shrunk correlation, MST via Borůvka
+  // rounds — per round every component picks its minimum outgoing
+  // edge under the TOTAL (dq, a, b) order, merged labels flood by
+  // min-label jumps; both engines replay the identical fixed rounds
+  // (the kmeans doctrine), so the tree hash-matches edge for edge.
+  // The backbone HRP-style clustering walks, as a first-class query.
+  private val MstRounds = 3
+  private val MstJumps = 4
+  private val qCorrMst = QDef(
+    "q_corr_mst",
+    (s, dir) => {
+      val dist = corrPairs(s, dir).where(col("key_a") < col("key_b"))
+        .select(col("key_a"), col("key_b"),
+          sqrt(lit(2.0) * (lit(1.0) - col("corr"))).as("dist"))
+      Relational.minSpanningTree(dist, "dist",
+          rounds = MstRounds, jumps = MstJumps)
+        .orderBy("key_a", "key_b")
+    },
+    Some({
+      val blocks = (1 to MstRounds).map { r =>
+        val prevC = if (r == 1) "c0" else s"c${r - 1}"
+        val labChain = (1 to MstJumps).map { j =>
+          val prevL = s"lb${r}_${j - 1}"
+          s"""lb${r}_$j AS MATERIALIZED (SELECT t.l, least(t.lab, COALESCE(mn.mn, t.lab)) AS lab
+             FROM $prevL t LEFT JOIN (
+               SELECT ce.x, min(nl.lab) AS mn
+               FROM ce$r ce JOIN $prevL nl ON nl.l = ce.y GROUP BY ce.x) mn
+             ON mn.x = t.l)"""
+        }.mkString(",\n      ")
+        s"""oe$r AS MATERIALIZED (SELECT e.a, e.b, e.dq, ca.comp AS ca, cb.comp AS cb
+             FROM edges0 e JOIN $prevC ca ON ca.node = e.a
+                           JOIN $prevC cb ON cb.node = e.b
+             WHERE ca.comp <> cb.comp),
+      bi$r AS (SELECT ca AS c, a, b, dq, ca, cb FROM oe$r
+               UNION ALL SELECT cb AS c, a, b, dq, ca, cb FROM oe$r),
+      pk$r AS MATERIALIZED (SELECT * FROM (
+               SELECT *, row_number() OVER (PARTITION BY c ORDER BY dq, a, b) AS rn
+               FROM bi$r) WHERE rn = 1),
+      ce$r AS MATERIALIZED (SELECT ca AS x, cb AS y FROM pk$r
+               UNION SELECT cb AS x, ca AS y FROM pk$r),
+      lb${r}_0 AS (SELECT DISTINCT comp AS l, comp AS lab FROM $prevC),
+      $labChain,
+      c$r AS MATERIALIZED (SELECT c.node, lb.lab AS comp
+             FROM $prevC c JOIN lb${r}_$MstJumps lb ON lb.l = c.comp)"""
+      }.mkString(",\n      ")
+      val msts = (1 to MstRounds)
+        .map(r => s"SELECT DISTINCT a, b, dq FROM pk$r")
+        .mkString("\n      UNION\n      ")
+      s"""
+      WITH $lwCcCteSql,
+      $corrCteSql,
+      edges0 AS MATERIALIZED (
+        SELECT a, b, CAST(round(sqrt(2.0 * (1.0 - corr)) * 1e6) AS BIGINT) AS dq
+        FROM corr WHERE a < b AND corr IS NOT NULL),
+      nodes AS (SELECT DISTINCT nn AS node FROM
+                (SELECT a AS nn FROM edges0 UNION ALL SELECT b FROM edges0)),
+      c0 AS MATERIALIZED (SELECT node, node AS comp FROM nodes),
+      $blocks,
+      mste AS ($msts)
+      SELECT a AS key_a, b AS key_b, CAST(dq AS DOUBLE) / 1e6 AS dist
+      FROM mste ORDER BY key_a, key_b"""
+    }))
+
   // Kelly sizing fraction per series (continuous approximation
   // f* = μ/σ², Thorp 2006): hourly simple returns quantized to exact
   // 1e4-integers (|ret| ≤ 3e5 at ~1e4-bucket series keeps n·Σr² inside
@@ -8181,7 +8257,7 @@ object Queries {
     qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,
     qPairsBacktest, qKelly, qAcSchedule, qPcaFactor, qDetonedCorr,
-    qTailDep, qFlowAcf,
+    qTailDep, qFlowAcf, qCorrMst,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr

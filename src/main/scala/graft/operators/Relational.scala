@@ -1884,4 +1884,73 @@ object Relational {
       explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     saltedBig.join(replicated, keys :+ "_salt", joinType).drop("_salt")
   }
+
+  /** Minimum spanning tree of a weighted pair frame via Borůvka rounds
+    * (Mantegna 1999's correlation-network backbone when fed
+    * `d = √(2(1−ρ))`). `dist` holds the UPPER triangle
+    * `(key_a < key_b, distCol)`; weights quantize to ·10⁶ BIGINTs and
+    * ties break on `(dq, key_a, key_b)` — a TOTAL order, so the tree
+    * is deterministic and any engine replaying the same rounds gets
+    * the identical edge set (the fixed-round doctrine: converged
+    * components simply stop picking).
+    *
+    * Per round every component picks its minimum outgoing edge
+    * (classic Borůvka — halves the component count, so `rounds` ≥
+    * ⌈log₂ n⌉ spans any n-node graph; merged labels propagate by
+    * `jumps` min-label steps over the picked component edges, `jumps`
+    * ≥ the round's component-chain diameter, n−1 worst case for tiny
+    * n). All frames are key- or key²-sized; joins broadcast; lineage
+    * truncated per round.
+    *
+    * Returns `(key_a, key_b, dist)` — the n−1 tree edges (fewer if
+    * the graph is disconnected; null-weight edges are ignored). */
+  def minSpanningTree(dist: DataFrame, distCol: String = "dist",
+                      rounds: Int = 4, jumps: Int = 4): DataFrame = {
+    val edges = dist
+      .select(col("key_a").cast("string").as("a"),
+        col("key_b").cast("string").as("b"),
+        round(col(distCol) * 1e6).cast("long").as("dq"))
+      .where(col("dq").isNotNull && col("a") < col("b"))
+      .localCheckpoint()
+    var comp = edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node"))).distinct()
+      .withColumn("comp", col("node"))
+    var mst = edges.where(lit(false))
+    (1 to rounds).foreach { _ =>
+      val oe = edges
+        .join(broadcast(comp.select(col("node").as("a"), col("comp").as("ca"))), Seq("a"))
+        .join(broadcast(comp.select(col("node").as("b"), col("comp").as("cb"))), Seq("b"))
+        .where(col("ca") =!= col("cb"))
+      val bi = oe.select(col("ca").as("c"), col("a"), col("b"), col("dq"),
+          col("ca"), col("cb"))
+        .unionByName(oe.select(col("cb").as("c"), col("a"), col("b"), col("dq"),
+          col("ca"), col("cb")))
+      val pick = bi
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("c")).orderBy(col("dq"), col("a"), col("b"))))
+        .where(col("_rn") === 1)
+        .localCheckpoint()
+      mst = mst.unionByName(pick.select(col("a"), col("b"), col("dq")).distinct())
+        .localCheckpoint()
+      // min-label propagation over the picked component edges
+      val ce = pick.select(col("ca").as("x"), col("cb").as("y"))
+        .unionByName(pick.select(col("cb").as("x"), col("ca").as("y")))
+        .distinct().localCheckpoint()
+      var lab = comp.select(col("comp").as("l")).distinct()
+        .withColumn("lab", col("l"))
+      (1 to jumps).foreach { _ =>
+        val nb = ce.join(broadcast(lab.select(col("l").as("y"), col("lab").as("nlab"))),
+            Seq("y"))
+          .groupBy(col("x")).agg(min(col("nlab")).as("mn"))
+        lab = lab.join(broadcast(nb.select(col("x").as("l"), col("mn"))), Seq("l"), "left")
+          .select(col("l"), least(col("lab"), coalesce(col("mn"), col("lab"))).as("lab"))
+          .localCheckpoint()
+      }
+      comp = comp.join(broadcast(lab.select(col("l").as("comp"), col("lab"))), Seq("comp"))
+        .select(col("node"), col("lab").as("comp"))
+        .localCheckpoint()
+    }
+    mst.select(col("a").as("key_a"), col("b").as("key_b"),
+      (col("dq").cast("double") / lit(1e6)).as("dist"))
+  }
 }

@@ -4385,6 +4385,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("minSpanningTree: hand MST, chain merge within jump budget, tie-break, disconnected") {
+    import graft.operators.Relational
+    def mst(rows: Seq[(String, String, Double)], rounds: Int = 4, jumps: Int = 4) =
+      Relational.minSpanningTree(rows.toDF("key_a", "key_b", "dist"),
+          rounds = rounds, jumps = jumps)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // K4 with a unique MST: A-B(1), B-C(2), C-D(1) in; A-C(5), A-D(6), B-D(7) out
+    val k4 = mst(Seq(("A", "B", 1.0), ("B", "C", 2.0), ("C", "D", 1.0),
+      ("A", "C", 5.0), ("A", "D", 6.0), ("B", "D", 7.0)))
+    assert(k4 == Set(("A", "B"), ("B", "C"), ("C", "D")), s"got $k4")
+    // path graph A-B-C-D-E with increasing weights: MST = the path
+    // itself; the round-1 merge chains all five components — label
+    // flood must close it within the jump budget
+    val path = mst(Seq(("A", "B", 1.0), ("B", "C", 2.0), ("C", "D", 3.0),
+      ("D", "E", 4.0)))
+    assert(path == Set(("A", "B"), ("B", "C"), ("C", "D"), ("D", "E")))
+    // equal weights everywhere: the (dq, a, b) tie-break elects the
+    // lexicographically-first spanning star from A
+    val tie = mst(Seq(("A", "B", 1.0), ("A", "C", 1.0), ("B", "C", 1.0)))
+    assert(tie == Set(("A", "B"), ("A", "C")), s"got $tie")
+    // disconnected graph: one tree per component, no bridge invented
+    val dis = mst(Seq(("A", "B", 1.0), ("C", "D", 2.0)))
+    assert(dis == Set(("A", "B"), ("C", "D")))
+  }
+
   test("leadingEigen: 2x2 closed form, diagonal selector, degenerate zero") {
     import graft.operators.Backtest
     def mk(rows: Seq[(String, String, Double)]) =
