@@ -4778,10 +4778,15 @@ object Queries {
         .withColumn("yq",
           round((col("end_mid") - lag(col("end_mid"), 1).over(w)) * 1e6).cast("long"))
         .where(col("yq").isNotNull)
+      // the per-bucket flow sum xq can reach ~1e10 on a dense one-sided
+      // tape, so xq² and its cross-bucket sum must ride DECIMAL(38,0)/
+      // HUGEINT (the pcaRoundsSql envelope convention) — BIGINT would
+      // silently wrap in Spark and raise in DuckDB
+      val D38h = DecimalType(38, 0)
       pairs.groupBy(col("symbol"))
         .agg(count(lit(1)).as("n_buckets"),
-          sum(col("xq") * col("yq")).as("_sxy"),
-          sum(col("xq") * col("xq")).as("_sxx"))
+          sum(col("xq").cast(D38h) * col("yq")).as("_sxy"),
+          sum(col("xq").cast(D38h) * col("xq")).as("_sxx"))
         .select(col("symbol"), col("n_buckets"),
           when(col("_sxx") > 0L,
             round(col("_sxy").cast("double") / col("_sxx").cast("double"), 6)
@@ -4801,8 +4806,8 @@ object Queries {
                    CAST(round((end_mid - lag(end_mid) OVER w) * 1e6) AS BIGINT) AS yq
             FROM b WINDOW w AS (PARTITION BY symbol ORDER BY bucket)),
       m AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_buckets,
-                   CAST(sum(xq * yq) AS BIGINT) AS sxy,
-                   CAST(sum(xq * xq) AS BIGINT) AS sxx
+                   sum(CAST(xq AS HUGEINT) * yq) AS sxy,
+                   sum(CAST(xq AS HUGEINT) * xq) AS sxx
             FROM p WHERE yq IS NOT NULL GROUP BY 1)
       SELECT symbol, n_buckets,
              CASE WHEN sxx > 0

@@ -59,9 +59,18 @@ class Metrics {
     counters.computeIfAbsent((name, norm(labels)), _ => new LongAdder)
 
   def histogram(name: String, labels: Map[String, String] = Map.empty,
-                buckets: Seq[Double] = DefaultBuckets): Histogram =
-    histograms.computeIfAbsent((name, norm(labels)),
+                buckets: Seq[Double] = DefaultBuckets): Histogram = {
+    val h = histograms.computeIfAbsent((name, norm(labels)),
       _ => new Histogram(buckets.sorted))
+    // Prometheus semantics: one time series = one bucket ladder. A
+    // second registration with a DIFFERENT ladder must fail loudly —
+    // silently bucketing its observations on the first caller's ladder
+    // would misrepresent the distribution in the exposition.
+    require(h.buckets == buckets.sorted,
+      s"histogram '$name'${norm(labels)} already registered with buckets " +
+        s"${h.buckets.mkString(",")} — got ${buckets.sorted.mkString(",")}")
+    h
+  }
 
   /** `metrics.py` _IngestSpan: time the body, count
     * `ingest_requests_total{domain, status}` and

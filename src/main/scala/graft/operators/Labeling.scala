@@ -254,6 +254,81 @@ object Labeling {
     *
     * Returns `(keys…, idCol, t0_us, t1_us, n_ticks, uniqueness,
     * weight)`. */
+  /** Distinct tick instants with multiplicity m (duplicate (keys, ts)
+    * rows multiply concurrency exactly like the retired pair frame
+    * did: each of the m instances × s covering spans was one pair
+    * row). */
+  private def tickInstants(ticks: DataFrame, keys: Seq[String],
+                           tsCol: String): DataFrame =
+    ticks.select(keys.map(col) :+ col(tsCol).cast("long").as("_ts"): _*)
+      .where(col("_ts").isNotNull)
+      .groupBy((keys :+ "_ts").map(col): _*)
+      .agg(count(lit(1)).as("_m"))
+
+  private def spanShape(df: DataFrame, keys: Seq[String], idCol: String,
+                        t0Col: String, t1Col: String): DataFrame =
+    df.select(keys.map(col) ++ Seq(col(idCol).as("_id"),
+        col(t0Col).cast("long").as("_t0"),
+        col(t1Col).cast("long").as("_t1")): _*)
+      .where(col("_t0").isNotNull && col("_t1").isNotNull &&
+        col("_t1") >= col("_t0"))
+
+  /** The O(ticks + spans) delta/tick/probe sweep shared by
+    * [[averageUniqueness]] and [[conditionalUniqueness]] — ONE
+    * definition of the ordering, prefix-sum, and probe mechanics so
+    * the two can never drift. Three skinny row kinds union into one
+    * keyed window ordered (ts, kind):
+    *  - kind 0, concurrency DELTAS from `deltaSrc` spans (+1 at t0,
+    *    −1 at t1+1 — active on [t0, t1] inclusive; deltas at a ts
+    *    sort before ticks, so a span starting exactly at a tick
+    *    covers it);
+    *  - kind 1, TICK rows from `tk` `(keys, _ts, _m)` — the running
+    *    Σdelta IS the covering count c there, and `kernel(m, c)`
+    *    yields the quantized contribution entering the prefix sum S
+    *    (M accumulates m);
+    *  - kind 2, span-endpoint PROBES from `probeSrc` (sign + at t1,
+    *    − at t0−1; ticks at a ts sort before probes, so the probe
+    *    reads an INCLUSIVE prefix at t1 / exclusive at t0).
+    * A span's exact sum is S(t1) − S(t0⁻), its tick count
+    * M(t1) − M(t0⁻) — one groupBy over 2 probe rows per span.
+    *
+    * Returns per-span `(keys…, _id, t0_us, t1_us, n_ticks, _su)` for
+    * spans covering ≥ 1 tick. */
+  private def uniquenessSweep(tk: DataFrame, deltaSrc: DataFrame,
+                              probeSrc: DataFrame, keys: Seq[String],
+                              kernel: (Column, Column) => Column): DataFrame = {
+    val kCols = keys.map(col)
+    def shaped(f: Int, ts: Column, d: Column, m: Column, sign: Column,
+               id: Column, t0: Column, t1: Column, src: DataFrame) =
+      src.select(kCols ++ Seq(ts.as("_ts"), lit(f).as("_f"), d.as("_d"),
+        m.as("_m"), sign.as("_sign"), id.as("_id"),
+        t0.as("_pt0"), t1.as("_pt1")): _*)
+    val nl = lit(null).cast("long")
+    val nid = lit(null).cast(probeSrc.schema("_id").dataType)
+    val deltas = shaped(0, col("_t0"), lit(1L), nl, nl, nid, nl, nl, deltaSrc)
+      .unionByName(shaped(0, col("_t1") + 1L, lit(-1L), nl, nl, nid, nl, nl,
+        deltaSrc))
+    val tickRows = shaped(1, col("_ts"), lit(0L), col("_m"), nl, nid, nl, nl, tk)
+    val probes = shaped(2, col("_t1"), lit(0L), nl, lit(1L),
+        col("_id"), col("_t0"), col("_t1"), probeSrc)
+      .unionByName(shaped(2, col("_t0") - 1L, lit(0L), nl, lit(-1L),
+        col("_id"), col("_t0"), col("_t1"), probeSrc))
+    val w = Window.partitionBy(kCols: _*).orderBy(col("_ts"), col("_f"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = deltas.unionByName(tickRows).unionByName(probes)
+      .withColumn("_c", sum(col("_d")).over(w))
+      .withColumn("_g", when(col("_f") === 1, kernel(col("_m"), col("_c"))))
+      .withColumn("_mm", when(col("_f") === 1, col("_m")))
+      .withColumn("_S", sum(col("_g")).over(w))
+      .withColumn("_M", sum(col("_mm")).over(w))
+    swept.where(col("_f") === 2)
+      .groupBy((keys :+ "_id").map(col): _*)
+      .agg(min("_pt0").as("t0_us"), min("_pt1").as("t1_us"),
+        sum(col("_sign") * coalesce(col("_M"), lit(0L))).as("n_ticks"),
+        sum(col("_sign") * coalesce(col("_S"), lit(0L))).as("_su"))
+      .where(col("n_ticks") > 0L)
+  }
+
   def averageUniqueness(ticks: DataFrame, spans: DataFrame,
                         keys: Seq[String], tsCol: String, idCol: String,
                         t0Col: String, t1Col: String,
@@ -261,54 +336,14 @@ object Labeling {
     require(keys.nonEmpty, "averageUniqueness needs the series key(s)")
     require(bucketUs > 0L, s"bucketUs must be positive, got $bucketUs")
     val kCols = keys.map(col)
-    // distinct tick instants with multiplicity m (duplicate (keys, ts)
-    // rows multiply concurrency exactly like the pair frame did: each
-    // of the m instances × s covering spans was one pair row)
-    val tk = ticks
-      .select(kCols :+ col(tsCol).cast("long").as("_ts"): _*)
-      .where(col("_ts").isNotNull)
-      .groupBy((keys :+ "_ts").map(col): _*)
-      .agg(count(lit(1)).as("_m"))
-    val sp = spans.select(kCols ++ Seq(col(idCol).as("_id"),
-        col(t0Col).cast("long").as("_t0"),
-        col(t1Col).cast("long").as("_t1")): _*)
-      .where(col("_t0").isNotNull && col("_t1").isNotNull &&
-        col("_t1") >= col("_t0"))
-    def shaped(f: Int, ts: Column, d: Column, m: Column, sign: Column,
-               id: Column, t0: Column, t1: Column, src: DataFrame) =
-      src.select(kCols ++ Seq(ts.as("_ts"), lit(f).as("_f"), d.as("_d"),
-        m.as("_m"), sign.as("_sign"), id.as("_id"),
-        t0.as("_t0"), t1.as("_t1")): _*)
-    val nl = lit(null).cast("long")
-    val nid = lit(null).cast(sp.schema("_id").dataType)
-    // kind 0: concurrency deltas — active on [t0, t1] inclusive
-    val deltas = shaped(0, col("_t0"), lit(1L), nl, nl, nid, nl, nl, sp)
-      .unionByName(shaped(0, col("_t1") + 1L, lit(-1L), nl, nl, nid, nl, nl, sp))
-    // kind 1: tick instants (deltas at the same ts sort first, so a
-    // span starting exactly at a tick covers it; its −1 sits at t1+1)
-    val tickRows = shaped(1, col("_ts"), lit(0L), col("_m"), nl, nid, nl, nl, tk)
-    // kind 2: span-endpoint probes (ticks at the same ts sort first,
-    // so the probe reads an INCLUSIVE prefix at t1 / exclusive at t0)
-    val probes = shaped(2, col("_t1"), lit(0L), nl, lit(1L),
-        col("_id"), col("_t0"), col("_t1"), sp)
-      .unionByName(shaped(2, col("_t0") - 1L, lit(0L), nl, lit(-1L),
-        col("_id"), col("_t0"), col("_t1"), sp))
-    val w = Window.partitionBy(kCols: _*).orderBy(col("_ts"), col("_f"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val swept = deltas.unionByName(tickRows).unionByName(probes)
-      .withColumn("_s", sum(col("_d")).over(w))
-      .withColumn("_g", when(col("_f") === 1 && col("_s") > 0L,
-        col("_m") * round(lit(1e9) /
-          (col("_m") * col("_s")).cast("double")).cast("long")))
-      .withColumn("_mm", when(col("_f") === 1, col("_m")))
-      .withColumn("_S", sum(col("_g")).over(w))
-      .withColumn("_M", sum(col("_mm")).over(w))
-    val perSpan = swept.where(col("_f") === 2)
-      .groupBy((keys :+ "_id").map(col): _*)
-      .agg(min("_t0").as("t0_us"), min("_t1").as("t1_us"),
-        sum(col("_sign") * coalesce(col("_M"), lit(0L))).as("n_ticks"),
-        sum(col("_sign") * coalesce(col("_S"), lit(0L))).as("_su"))
-      .where(col("n_ticks") > 0L)
+    val tk = tickInstants(ticks, keys, tsCol)
+    val sp = spanShape(spans, keys, idCol, t0Col, t1Col)
+    // kernel: per tick instance 1/c where the pair-frame concurrency
+    // c = m·s (multiplicity × covering spans); uncovered ticks (s = 0)
+    // contribute nothing but still advance M
+    val perSpan = uniquenessSweep(tk, deltaSrc = sp, probeSrc = sp, keys,
+        kernel = (m, s) => when(s > 0L,
+          m * round(lit(1e9) / (m * s).cast("double")).cast("long")))
       .withColumn("uniqueness",
         round(col("_su").cast("double") / 1e9 / col("n_ticks").cast("double"), 6))
       .withColumn("_uq", round(col("uniqueness") * 1e6).cast("long"))
@@ -370,52 +405,19 @@ object Labeling {
                             t0Col: String, t1Col: String): DataFrame = {
     require(keys.nonEmpty, "conditionalUniqueness needs the series key(s)")
     val kCols = keys.map(col)
-    val tk = ticks
-      .select(kCols :+ col(tsCol).cast("long").as("_ts"): _*)
-      .where(col("_ts").isNotNull)
-      .groupBy((keys :+ "_ts").map(col): _*)
-      .agg(count(lit(1)).as("_m"))
-    def spanShape(df: DataFrame) = df.select(kCols ++ Seq(
-        col(idCol).as("_id"), col(t0Col).cast("long").as("_t0"),
-        col(t1Col).cast("long").as("_t1")): _*)
-      .where(col("_t0").isNotNull && col("_t1").isNotNull &&
-        col("_t1") >= col("_t0"))
-    val sp = spanShape(spans)
-    val dr = spanShape(drawn)
-    def shaped(f: Int, ts: Column, d: Column, m: Column, sign: Column,
-               id: Column, t0: Column, t1: Column, src: DataFrame) =
-      src.select(kCols ++ Seq(ts.as("_ts"), lit(f).as("_f"), d.as("_d"),
-        m.as("_m"), sign.as("_sign"), id.as("_id2"),
-        t0.as("_pt0"), t1.as("_pt1")): _*)
-    val nl = lit(null).cast("long")
-    val nid = lit(null).cast(sp.schema("_id").dataType)
-    val deltas = shaped(0, col("_t0"), lit(1L), nl, nl, nid, nl, nl, dr)
-      .unionByName(shaped(0, col("_t1") + 1L, lit(-1L), nl, nl, nid, nl, nl, dr))
-    val tickRows = shaped(1, col("_ts"), lit(0L), col("_m"), nl, nid, nl, nl, tk)
-    val probes = shaped(2, col("_t1"), lit(0L), nl, lit(1L),
-        col("_id"), col("_t0"), col("_t1"), sp)
-      .unionByName(shaped(2, col("_t0") - 1L, lit(0L), nl, lit(-1L),
-        col("_id"), col("_t0"), col("_t1"), sp))
-    val w = Window.partitionBy(kCols: _*).orderBy(col("_ts"), col("_f"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val swept = deltas.unionByName(tickRows).unionByName(probes)
-      .withColumn("_c", sum(col("_d")).over(w))
-      .withColumn("_g", when(col("_f") === 1,
-        col("_m") * round(lit(1e9) /
-          (lit(1L) + coalesce(col("_c"), lit(0L))).cast("double")).cast("long")))
-      .withColumn("_mm", when(col("_f") === 1, col("_m")))
-      .withColumn("_S", sum(col("_g")).over(w))
-      .withColumn("_M", sum(col("_mm")).over(w))
-    swept.where(col("_f") === 2)
-      .groupBy((keys :+ "_id2").map(col): _*)
-      .agg(min("_pt0").as("t0_us"), min("_pt1").as("t1_us"),
-        sum(col("_sign") * coalesce(col("_M"), lit(0L))).as("n_ticks"),
-        sum(col("_sign") * coalesce(col("_S"), lit(0L))).as("_su"))
-      .where(col("n_ticks") > 0L)
+    val tk = tickInstants(ticks, keys, tsCol)
+    val sp = spanShape(spans, keys, idCol, t0Col, t1Col)
+    val dr = spanShape(drawn, keys, idCol, t0Col, t1Col)
+    // kernel: per tick instance 1/(1 + c_drawn) — the "+1" is the
+    // candidate itself joining the concurrency it would create; deltas
+    // come from the DRAWN set only, candidates probe only
+    uniquenessSweep(tk, deltaSrc = dr, probeSrc = sp, keys,
+        kernel = (m, c) => m * round(lit(1e9) /
+          (lit(1L) + coalesce(c, lit(0L))).cast("double")).cast("long"))
       .withColumn("uniqueness",
         round(col("_su").cast("double") / 1e9 / col("n_ticks").cast("double"), 6))
       .withColumn("uq", greatest(round(col("uniqueness") * 1e6).cast("long"), lit(1L)))
-      .select(kCols ++ Seq(col("_id2").as(idCol), col("t0_us"), col("t1_us"),
+      .select(kCols ++ Seq(col("_id").as(idCol), col("t0_us"), col("t1_us"),
         col("n_ticks"), col("uniqueness"), col("uq")): _*)
   }
 

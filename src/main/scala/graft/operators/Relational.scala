@@ -1950,7 +1950,12 @@ object Relational {
         .select(col("node"), col("lab").as("comp"))
         .localCheckpoint()
     }
+    // dedup ACROSS rounds too: with `jumps` below a merged component's
+    // chain diameter, two still-distinct sub-labels of one component can
+    // re-pick the edge already joining them in a later round — the edge
+    // set must stay a set (and must match an oracle that dedups globally)
     mst.select(col("a").as("key_a"), col("b").as("key_b"),
       (col("dq").cast("double") / lit(1e6)).as("dist"))
+      .distinct()
   }
 }

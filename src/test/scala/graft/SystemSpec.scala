@@ -117,6 +117,14 @@ class SystemSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
     assert(snap(("feature_rows_written_total", """{domain="market"}""")) == 120.0)
     assert(snap(("ingest_duration_seconds_count", """{domain="market"}""")) == 3.0)
+    // one series = one bucket ladder: re-registering with a different
+    // ladder must fail loudly, same ladder (any order) is idempotent
+    m.histogram("api_seconds", buckets = Seq(0.1, 1.0)).observe(0.05)
+    assert(m.histogram("api_seconds", buckets = Seq(1.0, 0.1)).count.sum() == 1)
+    val clash = intercept[IllegalArgumentException] {
+      m.histogram("api_seconds", buckets = Seq(5.0, 30.0))
+    }
+    assert(clash.getMessage.contains("already registered"))
   }
 
   test("HttpFetcher.fetchJson: rate-limited fetch loop feeds the CCXT normalizer end-to-end") {
