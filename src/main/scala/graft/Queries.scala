@@ -5171,6 +5171,64 @@ object Queries {
       FROM ag ORDER BY symbol, lag"""
     }))
 
+  // Realized semivariance (Barndorff-Nielsen–Kinnebrock–Shephard 2010):
+  // per (series, day) the upside/downside decomposition of realized
+  // variance from hourly LOG returns (the RV convention — and the
+  // bounded image: the synthetic tape has 1e3×-ratio hours, so simple
+  // returns overflow the squared-integer envelope where |ln r|·10⁶
+  // stays ≤ ~3e7) — RS⁻ prices crash risk where RV is sign-blind —
+  // plus the signed jump variation ΔJ = RS⁺ − RS⁻. Every statistic is
+  // an EXACT µ²-integer sum emitted as the exact /1e12 double image
+  // (the 6-dp log image is the only libm touch, the W3 logret
+  // precedent). One grouped agg after one series-keyed window.
+  private val qSemivariance = QDef(
+    "q_semivariance",
+    (s, dir) => {
+      val sw = Window.partitionBy(col("event_type")).orderBy(col("bar_ts"))
+      val r = hourlyBars(s, dir)
+        .withColumn("retq",
+          when(col("close") > 0.0 && lag(col("close"), 1).over(sw) > 0.0,
+            round(log(col("close") / lag(col("close"), 1).over(sw)) * 1e6)
+              .cast("long")))
+        .where(col("retq").isNotNull)
+        .withColumn("day", date_trunc("day", col("bar_ts")))
+      r.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_rets"),
+          sum(col("retq") * col("retq")).as("_rv"),
+          sum(when(col("retq") > 0L, col("retq") * col("retq"))
+            .otherwise(0L)).as("_up"),
+          sum(when(col("retq") < 0L, col("retq") * col("retq"))
+            .otherwise(0L)).as("_dn"))
+        .select(col("event_type"), micros(col("day")).as("day_us"),
+          col("n_rets"),
+          (col("_rv").cast("double") / lit(1e12)).as("rv"),
+          (col("_up").cast("double") / lit(1e12)).as("rsv_up"),
+          (col("_dn").cast("double") / lit(1e12)).as("rsv_down"),
+          ((col("_up") - col("_dn")).cast("double") / lit(1e12))
+            .as("signed_jump"))
+        .orderBy("event_type", "day_us")
+    },
+    Some(s"""
+      WITH $barsCte,
+      r AS (SELECT event_type, bar_ts,
+                   CASE WHEN close > 0 AND lag(close, 1) OVER w > 0
+                        THEN CAST(round(ln(close / lag(close, 1) OVER w) * 1e6) AS BIGINT)
+                   END AS retq
+            FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY bar_ts)),
+      d AS (SELECT event_type, date_trunc('day', bar_ts) AS day, retq
+            FROM r WHERE retq IS NOT NULL),
+      ag AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_rets,
+                    CAST(sum(retq * retq) AS BIGINT) AS rv,
+                    CAST(sum(CASE WHEN retq > 0 THEN retq * retq ELSE 0 END) AS BIGINT) AS up,
+                    CAST(sum(CASE WHEN retq < 0 THEN retq * retq ELSE 0 END) AS BIGINT) AS dn
+             FROM d GROUP BY 1, 2)
+      SELECT event_type, epoch_us(day) AS day_us, n_rets,
+             CAST(rv AS DOUBLE) / 1e12 AS rv,
+             CAST(up AS DOUBLE) / 1e12 AS rsv_up,
+             CAST(dn AS DOUBLE) / 1e12 AS rsv_down,
+             CAST(up - dn AS DOUBLE) / 1e12 AS signed_jump
+      FROM ag ORDER BY event_type, day_us"""))
+
   // Minimum spanning tree of the correlation network (Mantegna 1999):
   // d = √(2(1−ρ)) on the LW-CC shrunk correlation, MST via Borůvka
   // rounds — per round every component picks its minimum outgoing
@@ -8262,7 +8320,7 @@ object Queries {
     qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,
     qPairsBacktest, qKelly, qAcSchedule, qPcaFactor, qDetonedCorr,
-    qTailDep, qFlowAcf, qCorrMst,
+    qTailDep, qFlowAcf, qCorrMst, qSemivariance,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr
