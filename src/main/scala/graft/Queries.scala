@@ -4815,6 +4815,55 @@ object Queries {
              END AS lambda_hasbrouck
       FROM m ORDER BY symbol"""))
 
+  // Effective-to-quoted spread ratio per symbol — the price-improvement
+  // diagnostic closing the spread family (ratio < 1: trades execute
+  // inside the prevailing quote; > 1: outside): per classified trade
+  // the quoted spread ask−bid of its as-of quote and the Lee–Ready
+  // effective spread, both as exact µ-integer sums; the ratio is the
+  // single division Σeff/Σquoted (ratio of sums ≡ ratio of means over
+  // the same trades). Rides the shared classified frame, one grouped
+  // agg, no extra joins.
+  private val qSpreadRatio = QDef(
+    "q_spread_ratio",
+    (s, dir) => {
+      val lr = leeReadyFrame(s, dir)
+        .where(col("espread").isNotNull && col("bid_px").isNotNull &&
+          col("ask_px").isNotNull)
+        .withColumn("qq", round((col("ask_px") - col("bid_px")) * 1e6).cast("long"))
+        .withColumn("eq", round(col("espread") * 1e6).cast("long"))
+      lr.groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_trades"),
+          sum(col("qq")).as("_sq"), sum(col("eq")).as("_se"))
+        .select(col("symbol"), col("n_trades"),
+          (round(col("_sq").cast("double") / col("n_trades").cast("double"))
+            .cast("long").cast("double") / lit(1e6)).as("quoted_mean"),
+          (round(col("_se").cast("double") / col("n_trades").cast("double"))
+            .cast("long").cast("double") / lit(1e6)).as("eff_mean"),
+          when(col("_sq") > 0L,
+            round(col("_se").cast("double") / col("_sq").cast("double"), 6)
+              + lit(0.0)).as("eff_to_quoted"))
+        .orderBy("symbol")
+    },
+    Some(s"""
+      WITH $leeChainCte,
+      tq AS (SELECT symbol,
+                    CAST(round((ask_px - bid_px) * 1e6) AS BIGINT) AS qq,
+                    CAST(round(espread * 1e6) AS BIGINT) AS eq
+             FROM lr
+             WHERE espread IS NOT NULL AND bid_px IS NOT NULL
+               AND ask_px IS NOT NULL),
+      ag AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_trades,
+                    CAST(sum(qq) AS BIGINT) AS sq,
+                    CAST(sum(eq) AS BIGINT) AS se
+             FROM tq GROUP BY 1)
+      SELECT symbol, n_trades,
+             CAST(CAST(round(CAST(sq AS DOUBLE) / CAST(n_trades AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e6 AS quoted_mean,
+             CAST(CAST(round(CAST(se AS DOUBLE) / CAST(n_trades AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e6 AS eff_mean,
+             CASE WHEN sq > 0
+                  THEN round(CAST(se AS DOUBLE) / CAST(sq AS DOUBLE), 6) + 0.0
+             END AS eff_to_quoted
+      FROM ag ORDER BY symbol"""))
+
   // Two-state Markov-switching regime filter (Hamilton 1989, Bernoulli
   // emissions on the hourly close-change SIGN): forward-filtered
   // P(bull) per event_type. Bernoulli emissions keep the per-step
@@ -8320,7 +8369,7 @@ object Queries {
     qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,
     qPairsBacktest, qKelly, qAcSchedule, qPcaFactor, qDetonedCorr,
-    qTailDep, qFlowAcf, qCorrMst, qSemivariance,
+    qTailDep, qFlowAcf, qCorrMst, qSemivariance, qSpreadRatio,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr
