@@ -7577,6 +7577,69 @@ object Queries {
              CAST(score_fp AS DOUBLE) / 1e6 AS tfidf
       FROM r WHERE rank <= 5 ORDER BY doc_id, rank"""))
 
+  // Zipf slope of the corpus token-frequency distribution — the
+  // dataset-card statistic (natural text sits near −1; far-off slopes
+  // flag boilerplate or synthetic corpora): whitespace terms counted
+  // globally, the top 1000 ranked by (freq DESC, term), and OLS of
+  // ln(freq) on ln(rank) from exact integer sums of the 6-dp log
+  // images (the only libm touch). The cross-moment products exceed
+  // 2⁶³ at 1000 × (2.1e7)² — they ride DECIMAL(38,0)/HUGEINT (the
+  // q_hasbrouck_lambda envelope convention). At corpus scale the
+  // rank cap bounds the regression frame; the term count is one
+  // hash agg.
+  private val qZipfSlope = QDef(
+    "q_zipf_slope",
+    (s, dir) => {
+      val D38z = DecimalType(38, 0)
+      val tf = t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      val ranked = tf
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("freq").desc, col("term"))))
+        .where(col("rank") <= 1000)
+        .withColumn("x", round(log(col("rank").cast("double")) * 1e6).cast("long"))
+        .withColumn("y", round(log(col("freq").cast("double")) * 1e6).cast("long"))
+      val m = ranked.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
+        sum(col("x").cast(D38z) * col("y")).as("_sxy"),
+        sum(col("x").cast(D38z) * col("x")).as("_sxx"))
+      val nD = col("n").cast("double")
+      val sxD = col("_sx").cast("double")
+      val syD = col("_sy").cast("double")
+      val num = nD * col("_sxy").cast("double") - sxD * syD
+      val den = nD * col("_sxx").cast("double") - sxD * sxD
+      val slope = when(col("_sxx") > 0L, round(num / den, 6) + lit(0.0))
+      m.select(col("n").as("n_terms"), slope.as("slope"),
+        when(slope.isNotNull,
+          round((syD / nD - slope * (sxD / nD)) / lit(1e6), 6) + lit(0.0))
+          .as("intercept"))
+    },
+    Some(raw"""
+      WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+                   FROM documents),
+      tf AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term),
+      rk AS (SELECT *, row_number() OVER (ORDER BY freq DESC, term) AS rank FROM tf),
+      lg AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+                    CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y
+             FROM rk WHERE rank <= 1000),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx
+            FROM lg),
+      sl AS (SELECT n, sx, sy,
+                    CASE WHEN sxx > 0 THEN
+                      round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
+                    END AS slope
+             FROM m)
+      SELECT n AS n_terms, slope,
+             CASE WHEN slope IS NOT NULL THEN
+               round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) - slope * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 1e6, 6) + 0.0
+             END AS intercept
+      FROM sl"""))
+
   /** PII scrub over planted PII (the corpus has none — like q_gap_daily's
     * planted gaps, a deterministic in-query plant makes the oracle
     * non-vacuous): every 5th doc gains an email + IPv4 + phone, then both
@@ -8369,7 +8432,7 @@ object Queries {
     qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,
     qPairsBacktest, qKelly, qAcSchedule, qPcaFactor, qDetonedCorr,
-    qTailDep, qFlowAcf, qCorrMst, qSemivariance, qSpreadRatio,
+    qTailDep, qFlowAcf, qCorrMst, qSemivariance, qSpreadRatio, qZipfSlope,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr
