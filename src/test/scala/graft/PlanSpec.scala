@@ -841,6 +841,21 @@ class PlanSpec extends SparkSpec {
       s"scalar joins must be broadcast nested-loop, not cartesian:\n${p.take(1500)}")
   }
 
+  test("round-11 tail compositions: momentum join-free, tail-dep one equi-join, semivariance keyed") {
+    // q_xs_momentum: windows + aggs only — the ranked long-short needs
+    // NO join at any density
+    val pm = planOf(SparkEntry.queries("q_xs_momentum")(spark, sfDir))
+    assert(!pm.contains("Join"), s"xs_momentum must not join:\n${pm.take(1500)}")
+    // q_tail_dep: the pair frame rides bucket equi-joins (hash or
+    // sort-merge, both keyed) — never a cartesian product
+    val pt = planOf(SparkEntry.queries("q_tail_dep")(spark, sfDir))
+    assert(!pt.contains("CartesianProduct") && !pt.contains("BroadcastNestedLoopJoin"),
+      s"tail_dep pair frame must stay a keyed equi-join:\n${pt.take(1500)}")
+    // q_semivariance: one series-keyed window + one grouped agg, no joins
+    val ps = planOf(SparkEntry.queries("q_semivariance")(spark, sfDir))
+    assert(!ps.contains("Join"), s"semivariance must not join:\n${ps.take(1500)}")
+  }
+
   test("regimeProb: join-free series-keyed window recursion") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
