@@ -5278,6 +5278,73 @@ object Queries {
              CAST(up - dn AS DOUBLE) / 1e12 AS signed_jump
       FROM ag ORDER BY event_type, day_us"""))
 
+  // Haar wavelet variance by scale (Gençay–Selçuk–Whitcher 2001): the
+  // multiscale decomposition of return variance — per (series, dyadic
+  // scale j ∈ 1..3) the mean squared Haar detail over non-overlapping
+  // 2ʲ-hour blocks of log returns (first half − second half of each
+  // block). Details are EXACT signed integer block sums of the 6-dp
+  // log images; only full blocks count; the energy sum rides
+  // DECIMAL(38,0)/HUGEINT (d² ~3e16 × hundreds of blocks brushes
+  // 2⁶³). A vol concentrated at short scales decays fast in j; long-
+  // memory vol stays flat — the scale fingerprint beside q_hurst.
+  private val qWaveletVar = QDef(
+    "q_wavelet_var",
+    (s, dir) => {
+      val D38w = DecimalType(38, 0)
+      val sw = Window.partitionBy(col("event_type")).orderBy(col("bar_ts"))
+      val r = hourlyBars(s, dir)
+        .withColumn("retq",
+          when(col("close") > 0.0 && lag(col("close"), 1).over(sw) > 0.0,
+            round(log(col("close") / lag(col("close"), 1).over(sw)) * 1e6)
+              .cast("long")))
+        .where(col("retq").isNotNull)
+        .withColumn("rn", row_number().over(sw))
+      val scales = (1 to 3).map { j =>
+        val half = 1 << (j - 1); val len = 1 << j
+        r.withColumn("blk", expr(s"(rn - 1) div $len"))
+          .withColumn("sd",
+            (when(expr(s"(rn - 1) % $len") < half, lit(1L)).otherwise(lit(-1L))
+              * col("retq")))
+          .groupBy(col("event_type"), col("blk"))
+          .agg(count(lit(1)).as("cnt"), sum(col("sd")).as("d"))
+          .where(col("cnt") === len)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(col("d").cast(D38w) * col("d")).as("_e"))
+          .select(col("event_type"), lit(j).as("scale"), col("n_blocks"),
+            (round(col("_e").cast("double") / col("n_blocks").cast("double")
+              / lit(len.toDouble) / lit(1e12), 6) + lit(0.0)).as("wvar"))
+      }
+      scales.reduce(_ unionByName _).orderBy("event_type", "scale")
+    },
+    Some({
+      val branches = (1 to 3).map { j =>
+        val half = 1 << (j - 1); val len = 1 << j
+        s"""SELECT event_type, $j AS scale,
+               CAST(count(*) AS BIGINT) AS n_blocks,
+               round(CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) / $len.0 / 1e12, 6) + 0.0 AS wvar
+            FROM (SELECT event_type, (rn - 1) // $len AS blk,
+                         CAST(count(*) AS BIGINT) AS cnt,
+                         CAST(sum((CASE WHEN (rn - 1) % $len < $half THEN 1 ELSE -1 END) * retq) AS BIGINT) AS d
+                  FROM rr GROUP BY 1, 2)
+            WHERE cnt = $len GROUP BY 1, 2"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH $barsCte,
+      r0 AS (SELECT event_type, bar_ts,
+                   CASE WHEN close > 0 AND lag(close, 1) OVER w > 0
+                        THEN CAST(round(ln(close / lag(close, 1) OVER w) * 1e6) AS BIGINT)
+                   END AS retq
+            FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY bar_ts)),
+      rr AS (SELECT event_type, retq,
+                    row_number() OVER (PARTITION BY event_type ORDER BY bar_ts) AS rn
+             FROM r0 WHERE retq IS NOT NULL),
+      sc AS ($branches)
+      SELECT event_type, CAST(scale AS INT) AS scale, n_blocks, wvar
+      FROM sc ORDER BY event_type, scale"""
+    }))
+
   // Minimum spanning tree of the correlation network (Mantegna 1999):
   // d = √(2(1−ρ)) on the LW-CC shrunk correlation, MST via Borůvka
   // rounds — per round every component picks its minimum outgoing
@@ -8433,6 +8500,7 @@ object Queries {
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,
     qPairsBacktest, qKelly, qAcSchedule, qPcaFactor, qDetonedCorr,
     qTailDep, qFlowAcf, qCorrMst, qSemivariance, qSpreadRatio, qZipfSlope,
+    qWaveletVar,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr
