@@ -5345,6 +5345,71 @@ object Queries {
       FROM sc ORDER BY event_type, scale"""
     }))
 
+  // Hill tail-index estimator (Hill 1975) per series: the power-law
+  // exponent α of the |log return| tail from the top k = 50 order
+  // statistics, α = k / Σᵢ(ln x₍ᵢ₎ − ln x₍ₖ₊₁₎) — the fat-tail
+  // severity diagnostic beside q_semivariance's crash pricing (α ≲ 3:
+  // infinite-ish fourth moment). Order-stat membership is value-
+  // deterministic (boundary ties share the boundary VALUE, so the sum
+  // is tie-invariant; row_number still totals the order); the log
+  // images are the 6-dp µ-nat integers, Σ differences are exact, and
+  // α's µ-image is the single-arg round of one exact-integer ratio.
+  // One series-keyed rank window + one grouped agg, no joins.
+  private val HillK = 50
+  private val qHillTail = QDef(
+    "q_hill_tail",
+    (s, dir) => {
+      val sw = Window.partitionBy(col("event_type")).orderBy(col("bar_ts"))
+      val r = hourlyBars(s, dir)
+        .withColumn("retq",
+          when(col("close") > 0.0 && lag(col("close"), 1).over(sw) > 0.0,
+            round(log(col("close") / lag(col("close"), 1).over(sw)) * 1e6)
+              .cast("long")))
+        .where(col("retq").isNotNull && col("retq") =!= 0L)
+        .withColumn("aq", abs(col("retq")))
+        .withColumn("lnq",
+          round(log(col("aq").cast("double") / lit(1e6)) * 1e6).cast("long"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("aq").desc, col("bar_ts"))))
+      val agg = r.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_obs"),
+          sum(when(col("rnk") <= HillK, col("lnq"))).as("_st"),
+          max(when(col("rnk") === HillK + 1, col("lnq"))).as("_lb"),
+          max(when(col("rnk") === HillK + 1, col("aq"))).as("_xb"))
+      val sd = col("_st") - lit(HillK.toLong) * col("_lb")
+      agg.select(col("event_type"), col("n_obs"),
+          (col("_xb").cast("double") / lit(1e6)).as("x_boundary"),
+          when(col("n_obs") >= HillK + 1 && sd > 0L,
+            round(lit(HillK.toDouble) * lit(1e12) / sd.cast("double"))
+              .cast("long").cast("double") / lit(1e6)).as("hill_alpha"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH $barsCte,
+      r0 AS (SELECT event_type, bar_ts,
+                   CASE WHEN close > 0 AND lag(close, 1) OVER w > 0
+                        THEN CAST(round(ln(close / lag(close, 1) OVER w) * 1e6) AS BIGINT)
+                   END AS retq
+            FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY bar_ts)),
+      rr AS (SELECT event_type, bar_ts, abs(retq) AS aq,
+                    CAST(round(ln(CAST(abs(retq) AS DOUBLE) / 1e6) * 1e6) AS BIGINT) AS lnq
+             FROM r0 WHERE retq IS NOT NULL AND retq <> 0),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                          ORDER BY aq DESC, bar_ts) AS rnk
+             FROM rr),
+      ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs,
+                    CAST(sum(CASE WHEN rnk <= $HillK THEN lnq END) AS BIGINT) AS st,
+                    CAST(max(CASE WHEN rnk = ${HillK + 1} THEN lnq END) AS BIGINT) AS lb,
+                    CAST(max(CASE WHEN rnk = ${HillK + 1} THEN aq END) AS BIGINT) AS xb
+             FROM rk GROUP BY 1)
+      SELECT event_type, n_obs,
+             CAST(xb AS DOUBLE) / 1e6 AS x_boundary,
+             CASE WHEN n_obs >= ${HillK + 1} AND (st - $HillK * lb) > 0
+                  THEN CAST(CAST(round(${HillK}.0 * 1e12 / CAST(st - $HillK * lb AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e6
+             END AS hill_alpha
+      FROM ag ORDER BY event_type"""))
+
   // Minimum spanning tree of the correlation network (Mantegna 1999):
   // d = √(2(1−ρ)) on the LW-CC shrunk correlation, MST via Borůvka
   // rounds — per round every component picks its minimum outgoing
@@ -8500,7 +8565,7 @@ object Queries {
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,
     qPairsBacktest, qKelly, qAcSchedule, qPcaFactor, qDetonedCorr,
     qTailDep, qFlowAcf, qCorrMst, qSemivariance, qSpreadRatio, qZipfSlope,
-    qWaveletVar,
+    qWaveletVar, qHillTail,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr
