@@ -280,6 +280,49 @@ class PropertySpec extends SparkSpec {
     assert(bad.count() == 0, s"regime invariant violated: ${bad.head(3).toSeq}")
   }
 
+  test("minSpanningTree ≡ reference Kruskal on random graphs (unique under the total tie order)") {
+    import org.apache.spark.sql.functions.col
+    // with the total (dq, a, b) edge order the MST is UNIQUE, so the
+    // distributed Borůvka result must equal a sequential Kruskal
+    // edge-for-edge — on arbitrary graphs including disconnected ones
+    def kruskal(edges: Seq[(String, String, Long)]): Set[(String, String)] = {
+      val parent = scala.collection.mutable.Map[String, String]()
+      def find(x: String): String = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      val out = scala.collection.mutable.Set[(String, String)]()
+      for ((a, b, _) <- edges.sortBy { case (a, b, d) => (d, a, b) }) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { parent(ra) = rb; out += ((a, b)) }
+      }
+      out.toSet
+    }
+    val edgeGen = for {
+      n <- Gen.choose(5, 9)
+      density <- Gen.choose(30, 90)
+      seed <- Gen.choose(0, 1000000)
+    } yield {
+      val rnd = new scala.util.Random(seed)
+      (for {
+        i <- 0 until n; j <- (i + 1) until n
+        if rnd.nextInt(100) < density
+      } yield ("n" + i, "n" + j,
+        // coarse weights force ties — the tie-break must still agree
+        (rnd.nextInt(5) + 1).toLong)).toVector
+    }
+    samples(edgeGen, 5).filter(_.nonEmpty).foreach { edges =>
+      val df = edges.map { case (a, b, d) => (a, b, d.toDouble) }
+        .toDF("key_a", "key_b", "dist")
+      val got = graft.operators.Relational
+        .minSpanningTree(df, rounds = 5, jumps = 8)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val want = kruskal(edges.map { case (a, b, d) => (a, b, d * 1000000L) })
+      assert(got == want,
+        s"Borůvka ≠ Kruskal on ${edges.size} edges:\n got $got\nwant $want")
+    }
+  }
+
   test("sanitize: no NaN or Infinity survives, finite values pass through") {
     val vals = Gen.oneOf(
       Gen.choose(-1e12, 1e12),
