@@ -5345,6 +5345,116 @@ object Queries {
       FROM sc ORDER BY event_type, scale"""
     }))
 
+  // Cornish–Fisher moment-adjusted VaR (1937 expansion) per series —
+  // the PARAMETRIC complement to q_var_cvar's historical quantile:
+  // the Gaussian 95 % z bends by the sample skew/excess-kurtosis
+  // z_cf = z + (z²−1)S/6 + (z³−3z)K/24 − (2z³−5z)S²/36, so fat left
+  // tails raise VaR where the Gaussian understates it. Raw moment
+  // sums of the 6-dp log-return images are exact (Σr² BIGINT; Σr³/Σr⁴
+  // ride DECIMAL(38,0)/HUGEINT — (2.3e7)⁴ ≈ 3e29/row), central
+  // moments/S/K/z_cf are ONE fixed double tree on both engines, and z
+  // interpolates from the JVM via [[operators.Backtest.invNorm]] (the
+  // deflated-Sharpe precedent). S/K enter z_cf through their 6-dp
+  // images so the adjustment is replayed from the published moments.
+  private val qCfVar = QDef(
+    "q_cf_var",
+    (s, dir) => {
+      val D38c = DecimalType(38, 0)
+      val sw = Window.partitionBy(col("event_type")).orderBy(col("bar_ts"))
+      val r = hourlyBars(s, dir)
+        .withColumn("retq",
+          when(col("close") > 0.0 && lag(col("close"), 1).over(sw) > 0.0,
+            round(log(col("close") / lag(col("close"), 1).over(sw)) * 1e6)
+              .cast("long")))
+        .where(col("retq").isNotNull)
+      val m = r.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("retq")).as("_s1"),
+          sum(col("retq") * col("retq")).as("_s2"),
+          sum(col("retq").cast(D38c) * col("retq") * col("retq")).as("_s3"),
+          sum(col("retq").cast(D38c) * col("retq") * col("retq") * col("retq"))
+            .as("_s4"))
+      val nD = col("n").cast("double")
+      val r1 = col("_s1").cast("double") / nD / lit(1e6)
+      val r2 = col("_s2").cast("double") / nD / lit(1e12)
+      val r3 = col("_s3").cast("double") / nD / lit(1e18)
+      val r4 = col("_s4").cast("double") / nD / lit(1e24)
+      val m2 = r2 - r1 * r1
+      val m3 = r3 - lit(3.0) * r1 * r2 + lit(2.0) * r1 * r1 * r1
+      val m4 = r4 - lit(4.0) * r1 * r3 + lit(6.0) * r1 * r1 * r2 -
+        lit(3.0) * r1 * r1 * r1 * r1
+      val m2ok = (nD * col("_s2").cast("double") -
+        col("_s1").cast("double") * col("_s1").cast("double")) > 0.0
+      val skew = when(m2ok, round(m3 / (m2 * sqrt(m2)), 6) + lit(0.0))
+      val kurt = when(m2ok, round(m4 / (m2 * m2) - lit(3.0), 6) + lit(0.0))
+      // the expansion coefficients fold in Scala so BOTH engines see
+      // the same literal doubles (a DuckDB decimal-literal product of
+      // the raw z polynomial needs DECIMAL scale 48 — out of range;
+      // literal × DOUBLE column promotes cleanly)
+      val z = operators.Backtest.invNorm(0.05)
+      val zc = lit(z)
+      val cfS = (z * z - 1.0) / 6.0
+      val cfK = (z * z * z - 3.0 * z) / 24.0
+      val cfS2 = -(2.0 * z * z * z - 5.0 * z) / 36.0
+      def zCf(sC: Column, kC: Column): Column =
+        zc + lit(cfS) * sC + lit(cfK) * kC + lit(cfS2) * sC * sC
+      val withSk = m.withColumn("skew", skew).withColumn("kurt_excess", kurt)
+        .withColumn("_m2ok", m2ok)
+      withSk.select(col("event_type"), col("n").as("n_rets"),
+          col("skew"), col("kurt_excess"),
+          when(col("_m2ok") && col("n") >= 4L,
+            round(lit(0.0) - (r1 + zc * sqrt(m2)), 6) + lit(0.0))
+            .as("var_gauss_95"),
+          when(col("_m2ok") && col("n") >= 4L,
+            round(lit(0.0) - (r1 + zCf(col("skew"), col("kurt_excess")) * sqrt(m2)), 6)
+              + lit(0.0)).as("var_cf_95"))
+        .orderBy("event_type")
+    },
+    Some({
+      def d(x: Double) = java.lang.Double.toString(x)
+      val zd = operators.Backtest.invNorm(0.05)
+      val z = d(zd)
+      val zcf = s"($z + ${d((zd * zd - 1.0) / 6.0)} * skew + " +
+        s"${d((zd * zd * zd - 3.0 * zd) / 24.0)} * kurt_excess + " +
+        s"${d(-(2.0 * zd * zd * zd - 5.0 * zd) / 36.0)} * skew * skew)"
+      s"""
+      WITH $barsCte,
+      r0 AS (SELECT event_type,
+                   CASE WHEN close > 0 AND lag(close, 1) OVER w > 0
+                        THEN CAST(round(ln(close / lag(close, 1) OVER w) * 1e6) AS BIGINT)
+                   END AS retq
+            FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY bar_ts)),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(retq) AS BIGINT) AS s1,
+                   CAST(sum(retq * retq) AS BIGINT) AS s2,
+                   sum(CAST(retq AS HUGEINT) * retq * retq) AS s3,
+                   sum(CAST(retq AS HUGEINT) * retq * retq * retq) AS s4
+            FROM r0 WHERE retq IS NOT NULL GROUP BY 1),
+      c AS (SELECT event_type, n,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS r1,
+                   CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) / 1e12 AS r2,
+                   CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) / 1e18 AS r3,
+                   CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) / 1e24 AS r4,
+                   (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) > 0.0 AS m2ok
+            FROM m),
+      k AS (SELECT *, r2 - r1 * r1 AS m2,
+                   CASE WHEN m2ok THEN
+                     round((r3 - 3.0 * r1 * r2 + 2.0 * r1 * r1 * r1)
+                           / ((r2 - r1 * r1) * sqrt(r2 - r1 * r1)), 6) + 0.0
+                   END AS skew,
+                   CASE WHEN m2ok THEN
+                     round((r4 - 4.0 * r1 * r3 + 6.0 * r1 * r1 * r2 - 3.0 * r1 * r1 * r1 * r1)
+                           / ((r2 - r1 * r1) * (r2 - r1 * r1)) - 3.0, 6) + 0.0
+                   END AS kurt_excess
+            FROM c)
+      SELECT event_type, n AS n_rets, skew, kurt_excess,
+             CASE WHEN m2ok AND n >= 4
+                  THEN round(0.0 - (r1 + $z * sqrt(m2)), 6) + 0.0 END AS var_gauss_95,
+             CASE WHEN m2ok AND n >= 4
+                  THEN round(0.0 - (r1 + $zcf * sqrt(m2)), 6) + 0.0 END AS var_cf_95
+      FROM k ORDER BY event_type"""
+    }))
+
   // Hill tail-index estimator (Hill 1975) per series: the power-law
   // exponent α of the |log return| tail from the top k = 50 order
   // statistics, α = k / Σᵢ(ln x₍ᵢ₎ − ln x₍ₖ₊₁₎) — the fat-tail
@@ -8565,7 +8675,7 @@ object Queries {
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,
     qPairsBacktest, qKelly, qAcSchedule, qPcaFactor, qDetonedCorr,
     qTailDep, qFlowAcf, qCorrMst, qSemivariance, qSpreadRatio, qZipfSlope,
-    qWaveletVar, qHillTail,
+    qWaveletVar, qHillTail, qCfVar,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr
