@@ -8798,6 +8798,78 @@ object Queries {
         ON c.user_id = w.user_id AND c.ts >= w.w_start AND c.ts < w.w_end
       ORDER BY window_id, click_id"""))
 
+  // Lempel–Ziv 76 complexity of each type's hourly sign tape (AFML
+  // ch. 18 — the phrase-count entropy proxy beside permutation
+  // entropy): one custom Catalyst window pass builds the exhaustive-
+  // history factorization per series; state and updates are INTEGER +
+  // text only (no floats in the recursion), so DuckDB replays the
+  // identical per-symbol fold as a list_reduce over a '|'-packed state
+  // string (the q_ema fold doctrine). Closed forms spec-pinned:
+  // constant tape → 2, alternating → 3, Kaspar–Schuster's canonical
+  // 0001101001000101 → 6 (cross-checked against the K-S scanner on 2k
+  // random tapes). lz_ratio = c·log₂(n)/n, one fixed double tree.
+  private val qLzComplexity = QDef(
+    "q_lz_complexity",
+    (s, dir) => {
+      val w = W.series(Seq("event_type"), Seq("bucket"))
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("mean_v"))
+      val sg = hourly.withColumn("sig",
+        signum(col("mean_v") - lag(col("mean_v"), 1).over(w)))
+      sg.withColumn("lz", W.lzComplexity(col("sig"), w))
+        .where(col("sig").isNotNull && col("sig") =!= 0.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_signs"),
+          max(col("lz")).as("lz_complexity"))
+        .select(col("event_type"), col("n_signs"), col("lz_complexity"),
+          when(col("n_signs") >= 2,
+            round(col("lz_complexity").cast("double") *
+              (log(col("n_signs").cast("double")) / log(lit(2.0))) /
+              col("n_signs").cast("double"), 6) + lit(0.0)).as("lz_ratio"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH hm AS (SELECT event_type AS k, date_trunc('hour', ts) AS t,
+                         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                           / COUNT(*) AS p
+                  FROM events GROUP BY 1, 2),
+      sg AS (SELECT k, t, sign(p - lag(p) OVER (PARTITION BY k ORDER BY t)) AS sig
+             FROM hm),
+      tape AS (SELECT k,
+                      list(CASE WHEN sig > 0 THEN 'u' ELSE 'd' END ORDER BY t) AS chars,
+                      COUNT(*) AS n
+               FROM sg WHERE sig IS NOT NULL AND sig <> 0 GROUP BY k),
+      fold AS (SELECT k, n,
+                 list_reduce(list_prepend('|0|0', chars), (acc, x) ->
+                   CASE WHEN NOT contains(
+                       substr(split_part(acc, '|', 1) || x, 1,
+                              length(split_part(acc, '|', 1) || x) - 1),
+                       substr(split_part(acc, '|', 1) || x,
+                              CAST(split_part(acc, '|', 2) AS INT) + 1,
+                              length(split_part(acc, '|', 1) || x)
+                                - CAST(split_part(acc, '|', 2) AS INT)))
+                   THEN (split_part(acc, '|', 1) || x) || '|'
+                        || CAST(length(split_part(acc, '|', 1) || x) AS VARCHAR)
+                        || '|'
+                        || CAST(CAST(split_part(acc, '|', 3) AS INT) + 1 AS VARCHAR)
+                   ELSE (split_part(acc, '|', 1) || x) || '|'
+                        || split_part(acc, '|', 2) || '|' || split_part(acc, '|', 3)
+                   END) AS st
+               FROM tape),
+      fc AS (SELECT k, n,
+                    CAST(split_part(st, '|', 3) AS INT)
+                      + CASE WHEN CAST(split_part(st, '|', 2) AS INT)
+                                  < length(split_part(st, '|', 1))
+                             THEN 1 ELSE 0 END AS c
+             FROM fold)
+      SELECT k AS event_type, n AS n_signs, c AS lz_complexity,
+             CASE WHEN n >= 2 THEN
+               round(CAST(c AS DOUBLE) * (ln(CAST(n AS DOUBLE)) / ln(2.0))
+                     / CAST(n AS DOUBLE), 6) + 0.0
+             END AS lz_ratio
+      FROM fc ORDER BY event_type"""))
+
   // ------------------------------------------------------------------
   // Registry
   // ------------------------------------------------------------------
@@ -8831,7 +8903,7 @@ object Queries {
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,
     qPairsBacktest, qKelly, qAcSchedule, qPcaFactor, qDetonedCorr,
     qTailDep, qFlowAcf, qCorrMst, qSemivariance, qSpreadRatio, qZipfSlope,
-    qWaveletVar, qHillTail, qCfVar,
+    qWaveletVar, qHillTail, qCfVar, qLzComplexity,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr

@@ -189,6 +189,19 @@ object windows {
       lit(a01), lit(a10), lit(u0), lit(u1)).over(w)
   }
 
+  /** Running Lempel–Ziv 76 phrase count of the sign tape (AFML ch. 18's
+    * complexity/entropy proxy beside permutation entropy) — custom
+    * Catalyst window expression
+    * [[org.apache.spark.sql.graft.LzComplexity]], integer+text state
+    * (no floats — cross-engine exact by construction), same registry
+    * path as [[ewmMean]]. Null/zero signs carry the state. State grows
+    * with the valid tape and each step searches the prefix, so feed
+    * BUCKETED sign tapes (10³–10⁴ symbols), not raw ticks. */
+  def lzComplexity(sign: Column, w: WindowSpec): Column = {
+    GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    call_function(GraftFunctions.LzComplexityName, sign).over(w)
+  }
+
   /** Rolling mean absolute deviation around the current row's rolling mean
     * (the CCI denominator, W19): `mean(|x_i - MA_t|)` for the n rows of the
     * trailing frame. A nested-window shape Spark can't express directly —

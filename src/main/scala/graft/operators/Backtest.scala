@@ -949,16 +949,18 @@ object Backtest {
     * bet×instant pair frame at any density.
     *
     * Returns `(keys…, ts_us, n_active, avg_size, bet_size)`. */
-  def betSizing(bets: DataFrame, keys: Seq[String], t0Col: String,
-                t1Col: String, probCol: String, sideCol: String,
-                stepSize: Double): DataFrame = {
+  /** Validated, size-quantized bet frame `(keys…, _t0, _t1, _szq)` —
+    * the shared prep of [[betSizing]] and the streaming fold
+    * [[MarketIncremental.betSizingFold]] (one definition of the Φ-tree
+    * 6-dp size image, so batch and incremental cannot diverge on it). */
+  def betDeltasPrepped(bets: DataFrame, keys: Seq[String], t0Col: String,
+                       t1Col: String, probCol: String,
+                       sideCol: String): DataFrame = {
     require(keys.nonEmpty, "betSizing needs the series key(s)")
-    require(stepSize > 0.0 && stepSize <= 1.0,
-      s"stepSize must be in (0, 1], got $stepSize")
     val kCols = keys.map(col)
     val p = col(probCol).cast("double")
     val side = col(sideCol).cast("double")
-    val b0 = bets.select(kCols ++ Seq(col(t0Col).cast("long").as("_t0"),
+    bets.select(kCols ++ Seq(col(t0Col).cast("long").as("_t0"),
         col(t1Col).cast("long").as("_t1"), p.as("_p"), side.as("_side")): _*)
       .where(col("_t0").isNotNull && col("_t1").isNotNull &&
         col("_t1") >= col("_t0") && col("_p").isNotNull && col("_side").isNotNull)
@@ -967,6 +969,16 @@ object Backtest {
           col("_p").cast("string")))).otherwise(col("_p")))
       .withColumn("_szq",
         round(col("_side") * probToSize(col("_p")) * 1e6).cast("long"))
+      .drop("_p", "_side")
+  }
+
+  def betSizing(bets: DataFrame, keys: Seq[String], t0Col: String,
+                t1Col: String, probCol: String, sideCol: String,
+                stepSize: Double): DataFrame = {
+    require(stepSize > 0.0 && stepSize <= 1.0,
+      s"stepSize must be in (0, 1], got $stepSize")
+    val kCols = keys.map(col)
+    val b0 = betDeltasPrepped(bets, keys, t0Col, t1Col, probCol, sideCol)
     def shaped(f: Int, ts: Column, dsz: Column, dn: Column, src: DataFrame) =
       src.select(kCols ++ Seq(ts.as("_ts"), lit(f).as("_f"),
         dsz.as("_dsz"), dn.as("_dn")): _*)

@@ -968,4 +968,178 @@ object MarketIncremental {
     }
     featuresView(spark, stateDir, cfg)
   }
+
+  // ------------------------------------------------------------------
+  // Streaming bet sizing (AFML ch. 10 §10.4): the average-active-bet
+  // fold. State per series is the open-bet frontier only — the exact
+  // (Σsizeq, count) prefix at the last emitted instant plus the close
+  // deltas of bets still active past it; consumed history leaves the
+  // fold. Each batch's instants are FINAL at emit (every later bet
+  // opens strictly after the series frontier, and closes only touch
+  // instants at-or-after their own bet's entry), so the log is
+  // append-only — the volumeBarsFold argument, applied to the
+  // averageUniqueness delta sweep that [[graft.operators.Backtest
+  // .betSizing]] runs in batch.
+  // ------------------------------------------------------------------
+
+  /** Bet-sizing fold knobs; `keys`/`stepSize` as in
+    * [[graft.operators.Backtest.betSizing]]. */
+  final case class BetCfg(keys: Seq[String], t0Col: String = "t0_us",
+                          t1Col: String = "t1_us", probCol: String = "prob",
+                          sideCol: String = "side", stepSize: Double = 0.1) {
+    require(keys.nonEmpty, "bet sizing needs the series key(s)")
+    require(stepSize > 0.0 && stepSize <= 1.0,
+      s"stepSize must be in (0, 1], got $stepSize")
+  }
+
+  /** Per-series carry: `w_ts_us` = the last emitted instant (new bets
+    * must enter strictly after it), the exact integer prefix
+    * (`acc_ssz`, `acc_cnt`) at that frontier, and the still-pending
+    * close deltas (`ts > w_ts_us`) as parallel arrays (ts-sorted). */
+  def emptyBetCarry(spark: SparkSession, cfg: BetCfg): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        cfg.keys.map(k => org.apache.spark.sql.types.StructField(k,
+          org.apache.spark.sql.types.StringType)) ++ Seq(
+          field("w_ts_us", "long"), field("acc_ssz", "long"),
+          field("acc_cnt", "long"), field("pend_ts", "array<long>"),
+          field("pend_dsz", "array<long>"), field("pend_dn", "array<long>"))))
+
+  def emptySizes(spark: SparkSession, cfg: BetCfg): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        cfg.keys.map(k => org.apache.spark.sql.types.StructField(k,
+          org.apache.spark.sql.types.StringType)) ++ Seq(
+          field("ts_us", "long"), field("n_active", "long"),
+          field("avg_size", "double"), field("bet_size", "double"))))
+
+  /** Fold one batch of bets into the sizing state. Returns
+    * `(sizes, carry')` — `sizes` rows are final at emit and
+    * column-identical to [[graft.operators.Backtest.betSizing]] over
+    * the concatenated history (the OpsSpec equivalence gate); the same
+    * integer prefix sums, the same single-arg `round(Σsizeq/n)` mean
+    * image, the same discretization tree.
+    *
+    * Ordering contract ([[guardedTicks]] convention): every bet's
+    * `t0` must land strictly after its series' stored frontier —
+    * violations raise rather than silently mis-average. Bets may close
+    * arbitrarily far in the future; their close deltas wait in the
+    * carry. */
+  def betSizingFold(carry: DataFrame, batch: DataFrame, cfg: BetCfg)
+      : (DataFrame, DataFrame) = {
+    import graft.operators.{Backtest => B}
+    val K = cfg.keys
+    val kCols = K.map(col)
+    val b0 = B.betDeltasPrepped(
+        batch.select(K.map(c => col(c).cast("string").as(c)) ++ Seq(
+          col(cfg.t0Col), col(cfg.t1Col), col(cfg.probCol), col(cfg.sideCol)): _*),
+        K, cfg.t0Col, cfg.t1Col, cfg.probCol, cfg.sideCol)
+      .join(carry.select(kCols :+ col("w_ts_us"): _*), K, "left")
+      .withColumn("_t0",
+        when(col("w_ts_us").isNotNull && col("_t0") <= col("w_ts_us"),
+          raise_error(concat(lit("betSizing ordering contract violated: bet enters at "),
+            col("_t0").cast("string"), lit("us, not after the stored frontier "),
+            col("w_ts_us").cast("string"), lit("us"))))
+        .otherwise(col("_t0")))
+      .drop("w_ts_us")
+      .localCheckpoint(true)
+    val batchKeys = b0.select(kCols: _*).distinct()
+    // per-series new frontier = the batch's last entry instant
+    val frontier = b0.groupBy(kCols: _*).agg(max(col("_t0")).as("_fr"))
+    val carried = carry.join(batchKeys, K, "left_semi")
+    // event stream per series: the frontier prefix row (_f = −1, sorts
+    // before everything new), pending + new deltas (_f = 0), and the
+    // new evaluation instants (_f = 1) — exactly the batch sweep's
+    // (ts, f) total order restricted to this fold's window
+    val accRow = carried.select(kCols ++ Seq(
+      coalesce(col("w_ts_us"), lit(Long.MinValue)).as("_ts"),
+      lit(-1).as("_f"), col("acc_ssz").as("_dsz"), col("acc_cnt").as("_dn")): _*)
+    val pendRows = carried.select(kCols ++ Seq(
+        arrays_zip(col("pend_ts"), col("pend_dsz"), col("pend_dn")).as("_z")): _*)
+      .select(kCols :+ explode(col("_z")).as("_e"): _*)
+      .select(kCols ++ Seq(col("_e.pend_ts").as("_ts"), lit(0).as("_f"),
+        col("_e.pend_dsz").as("_dsz"), col("_e.pend_dn").as("_dn")): _*)
+    val newDeltas = b0.select(kCols ++ Seq(col("_t0").as("_ts"), lit(0).as("_f"),
+        col("_szq").as("_dsz"), lit(1L).as("_dn")): _*)
+      .unionByName(b0.select(kCols ++ Seq((col("_t1") + 1L).as("_ts"),
+        lit(0).as("_f"), (-col("_szq")).as("_dsz"), lit(-1L).as("_dn")): _*))
+    val grid = b0.select(kCols :+ col("_t0").as("_ts"): _*).distinct()
+      .select(kCols ++ Seq(col("_ts"), lit(1).as("_f"),
+        lit(0L).as("_dsz"), lit(0L).as("_dn")): _*)
+    val events = accRow.unionByName(pendRows).unionByName(newDeltas)
+      .unionByName(grid)
+      .join(frontier, K)
+      .localCheckpoint(true)
+    val consumable = events.where(col("_ts") <= col("_fr"))
+    val w = Window.partitionBy(kCols: _*).orderBy(col("_ts"), col("_f"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val avgQ = round(col("_ssz").cast("double") /
+      col("_cnt").cast("double")).cast("long")
+    val stepQ = cfg.stepSize * 1e6
+    val sizes = consumable
+      .withColumn("_ssz", sum(col("_dsz")).over(w))
+      .withColumn("_cnt", sum(col("_dn")).over(w))
+      .where(col("_f") === 1 && col("_cnt") > 0L)
+      .select(kCols ++ Seq(col("_ts").as("ts_us"), col("_cnt").as("n_active"),
+        (avgQ.cast("double") / lit(1e6)).as("avg_size"),
+        (round(avgQ.cast("double") / lit(stepQ)) * lit(cfg.stepSize) + lit(0.0))
+          .as("bet_size")): _*)
+    val accNew = consumable.where(col("_f") <= 0)
+      .groupBy(kCols: _*).agg(sum(col("_dsz")).as("acc_ssz"),
+        sum(col("_dn")).as("acc_cnt"))
+    val pendNew = events.where(col("_f") === 0 && col("_ts") > col("_fr"))
+      .groupBy(kCols: _*).agg(
+        sort_array(collect_list(struct(col("_ts"), col("_dsz"), col("_dn"))))
+          .as("_p"))
+    val carryNew = accNew
+      .join(frontier, K)
+      .join(pendNew, K, "left")
+      .select(kCols ++ Seq(col("_fr").as("w_ts_us"), col("acc_ssz"),
+        col("acc_cnt"),
+        coalesce(transform(col("_p"), x => x.getField("_ts")),
+          array().cast("array<long>")).as("pend_ts"),
+        coalesce(transform(col("_p"), x => x.getField("_dsz")),
+          array().cast("array<long>")).as("pend_dsz"),
+        coalesce(transform(col("_p"), x => x.getField("_dn")),
+          array().cast("array<long>")).as("pend_dn")): _*)
+    val carry2 = carry.join(batchKeys, K, "left_anti")
+      .unionByName(carryNew).localCheckpoint(true)
+    (sizes, carry2)
+  }
+
+  private def readBetCarry(spark: SparkSession, stateDir: String, cfg: BetCfg)
+      : DataFrame =
+    committedVersions(spark, stateDir).lastOption match {
+      case None => emptyBetCarry(spark, cfg)
+      case Some(v) => spark.read.parquet(s"$stateDir/v=$v/carry")
+    }
+
+  /** All bet-size rows so far — column-identical to
+    * [[graft.operators.Backtest.betSizing]] over the full bet history. */
+  def sizesView(spark: SparkSession, stateDir: String, cfg: BetCfg): DataFrame =
+    readLog(spark, stateDir, "sizes", emptySizes(spark, cfg))
+
+  /** The foreachBatch body for a streamed bet feed: fold `batch` into
+    * the sizing state at `stateDir` under `batchId` (replay-idempotent
+    * via `_commits`), append the final instants to the log, persist the
+    * open-frontier carry. Same lifecycle as [[marketFeaturesBatch]]:
+    * two carry versions survive for rollback, the log only grows. */
+  def betSizingBatch(spark: SparkSession, stateDir: String, batchId: Long,
+                     batch: DataFrame, cfg: BetCfg): DataFrame = {
+    val done = committedVersions(spark, stateDir)
+    if (done.contains(batchId)) return sizesView(spark, stateDir, cfg)
+    val carry0 = readBetCarry(spark, stateDir, cfg)
+    val (sizes, carry1) = betSizingFold(carry0, batch, cfg)
+    val v = s"$stateDir/v=$batchId"
+    sizes.write.mode("overwrite").parquet(s"$stateDir/sizes/batch=$batchId")
+    carry1.write.mode("overwrite").parquet(s"$v/carry")
+    val f = fs(spark, stateDir)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$stateDir/_commits"))
+    f.create(new org.apache.hadoop.fs.Path(s"$stateDir/_commits/$batchId"),
+      true).close()
+    done.dropRight(1).foreach { old =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v=$old"), true)
+    }
+    sizesView(spark, stateDir, cfg)
+  }
 }

@@ -1902,10 +1902,21 @@ object Relational {
     * n). All frames are key- or key²-sized; joins broadcast; lineage
     * truncated per round.
     *
+    * `rounds`/`jumps` ≤ 0 (the default) SELF-BUDGET: rounds derive
+    * from the node count (⌈log₂ n⌉ — one key-sized count) and label
+    * propagation iterates to a FIXPOINT (stop when no label changed,
+    * hard-capped at n−1 steps), so no caller-supplied constant can
+    * under-merge a component and let a later round re-pick an internal
+    * edge as "outgoing" (a cycle edge the cross-round dedup cannot
+    * remove). Oracle-replayed call sites that unroll a pinned budget
+    * (q_corr_mst: rounds=3, jumps=4 at 5 keys) keep passing explicit
+    * values — for them the budget is part of the cross-engine
+    * protocol and provably covers their key count.
+    *
     * Returns `(key_a, key_b, dist)` — the n−1 tree edges (fewer if
     * the graph is disconnected; null-weight edges are ignored). */
   def minSpanningTree(dist: DataFrame, distCol: String = "dist",
-                      rounds: Int = 4, jumps: Int = 4): DataFrame = {
+                      rounds: Int = 0, jumps: Int = 0): DataFrame = {
     val edges = dist
       .select(col("key_a").cast("string").as("a"),
         col("key_b").cast("string").as("b"),
@@ -1915,8 +1926,13 @@ object Relational {
     var comp = edges.select(col("a").as("node"))
       .unionByName(edges.select(col("b").as("node"))).distinct()
       .withColumn("comp", col("node"))
+    val n: Long = if (rounds > 0 && jumps > 0) -1L else comp.count()
+    val r: Int =
+      if (rounds > 0) rounds
+      else math.max(1, math.ceil(math.log(math.max(2L, n).toDouble) /
+        math.log(2.0)).toInt)
     var mst = edges.where(lit(false))
-    (1 to rounds).foreach { _ =>
+    (1 to r).foreach { _ =>
       val oe = edges
         .join(broadcast(comp.select(col("node").as("a"), col("comp").as("ca"))), Seq("a"))
         .join(broadcast(comp.select(col("node").as("b"), col("comp").as("cb"))), Seq("b"))
@@ -1938,13 +1954,29 @@ object Relational {
         .distinct().localCheckpoint()
       var lab = comp.select(col("comp").as("l")).distinct()
         .withColumn("lab", col("l"))
-      (1 to jumps).foreach { _ =>
+      def jump(): Unit = {
         val nb = ce.join(broadcast(lab.select(col("l").as("y"), col("lab").as("nlab"))),
             Seq("y"))
           .groupBy(col("x")).agg(min(col("nlab")).as("mn"))
         lab = lab.join(broadcast(nb.select(col("x").as("l"), col("mn"))), Seq("l"), "left")
           .select(col("l"), least(col("lab"), coalesce(col("mn"), col("lab"))).as("lab"))
           .localCheckpoint()
+      }
+      if (jumps > 0) (1 to jumps).foreach(_ => jump())
+      else {
+        // fixpoint: iterate until no label moves (each step is one
+        // broadcast join over a key-sized frame; cap n−1 = the
+        // worst-case chain diameter, unreachable in practice since
+        // min-label distance halves per step)
+        var it = 0L
+        var changed = true
+        while (changed && it < math.max(1L, n - 1L)) {
+          val prev = lab
+          jump()
+          changed = lab.as("nw").join(prev.as("od"), col("nw.l") === col("od.l"))
+            .where(col("nw.lab") =!= col("od.lab")).limit(1).count() > 0
+          it += 1
+        }
       }
       comp = comp.join(broadcast(lab.select(col("l").as("comp"), col("lab"))), Seq("comp"))
         .select(col("node"), col("lab").as("comp"))

@@ -37,6 +37,12 @@ object LeeRehearsal {
 
     def tradesAt(d: Int): DataFrame = {
       val n = series * hours * d
+      // the synthetic tape must stay on the hourly quote grid — a
+      // non-divisor density would truncate stepUs and drift the ticks,
+      // silently skewing the density-scaling comparison
+      require(3600000000L % d == 0,
+        s"SPARK_GRAFT_LEE_MULTS density $d does not divide an hour of " +
+          "microseconds evenly; pick a divisor of 3600000000 (e.g. 1,10,100)")
       val stepUs = 3600000000L / d
       spark.range(n).select(
         concat(lit("s"), (col("id") % series).cast("string")).as("k"),

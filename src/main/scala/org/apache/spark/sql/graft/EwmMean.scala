@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Exponentially-weighted moving mean as a native Catalyst window function.
   *
@@ -286,6 +287,75 @@ case class RegimeProb(child: Expression,
     copy(child = newChild)
 }
 
+/** Lempel–Ziv 76 complexity of a sign tape as a native Catalyst window
+  * function — the phrase count of the exhaustive-history LZ76
+  * factorization (Lempel & Ziv 1976; Kaspar & Schuster 1987), the
+  * entropy-proxy feature that completes the AFML ch. 18 set next to
+  * permutation entropy: a new phrase closes at position j when the
+  * running phrase `s[p..j]` does NOT occur as a substring of
+  * `s[1..j−1]`; the emitted complexity is closed phrases + 1 if a
+  * phrase is open (constant tape → 2, alternating → 3, richer dynamics
+  * → grows like n/log₂n).
+  *
+  * Signs map to a two-letter tape (`>0 → 'u'`, `<0 → 'd'`); null/zero
+  * signs carry the state and emit the carried count (a flat tick is no
+  * evidence, the [[RegimeProb]] convention) — null before the first
+  * valid sign. State is `(tape, phrase-start, count)` — INTEGER + text
+  * only, no floating point anywhere, so any engine replaying the same
+  * per-symbol fold (the q_ema list_reduce doctrine) agrees exactly.
+  *
+  * Inherently sequential (each step consults the full prefix), hence a
+  * window function, not a frame: one ordered pass per partition. Cost
+  * contract: state grows with the VALID tape length and each step is a
+  * substring search — O(n²) per series worst case — so feed it
+  * BUCKETED sign tapes (hourly/daily resamples, 10³–10⁴ symbols), not
+  * raw tick streams; chunk longer spans upstream like any other
+  * unbounded single-series chain. */
+case class LzComplexity(child: Expression)
+    extends AggregateWindowFunction with UnaryLike[Expression] {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lz_complexity"
+
+  private lazy val tape =
+    AttributeReference("tape", StringType, nullable = false)()
+  private lazy val pstart =
+    AttributeReference("pstart", IntegerType, nullable = false)()
+  private lazy val cnt =
+    AttributeReference("cnt", IntegerType, nullable = false)()
+  override def aggBufferAttributes: Seq[AttributeReference] =
+    tape :: pstart :: cnt :: Nil
+  override lazy val initialValues: Seq[Expression] =
+    Literal(UTF8String.fromString(""), StringType) ::
+      Literal(0) :: Literal(0) :: Nil
+
+  private def sgn: Expression = Cast(child, DoubleType)
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val valid = And(IsNotNull(sgn), Not(EqualTo(sgn, Literal(0.0))))
+    val ch = If(GreaterThan(sgn, Literal(0.0)),
+      Literal(UTF8String.fromString("u"), StringType),
+      Literal(UTF8String.fromString("d"), StringType))
+    val tape2 = Concat(Seq(tape, ch))
+    val j = Length(tape2)
+    val phrase = Substring(tape2, Add(pstart, Literal(1)), Subtract(j, pstart))
+    val prefix = Substring(tape2, Literal(1), Subtract(j, Literal(1)))
+    val isNew = Not(Contains(prefix, phrase))
+    Seq(
+      If(valid, tape2, tape),
+      If(valid, If(isNew, j, pstart), pstart),
+      If(valid, If(isNew, Add(cnt, Literal(1)), cnt), cnt))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(EqualTo(Length(tape), Literal(0)), Literal(null, IntegerType),
+      Add(cnt, If(LessThan(pstart, Length(tape)), Literal(1), Literal(0))))
+
+  override protected def withNewChildInternal(newChild: Expression): LzComplexity =
+    copy(child = newChild)
+}
+
 /** Bridge between graft's public API (Column) and Catalyst (Expression).
   * Lives under `org.apache.spark.sql` to reach the `private[sql]` converters
   * of Spark 4's classic Column implementation.
@@ -310,6 +380,7 @@ object GraftFunctions {
   val RunBarIdName = "graft_run_bar_id"
   val KalmanBetaName = "graft_kalman_beta"
   val RegimeProbName = "graft_regime_prob"
+  val LzComplexityName = "graft_lz_complexity"
   val DotName = "graft_dot"
   val LshSigsName = "graft_lsh_sigs"
   val ShinglesName = "graft_shingles"
@@ -374,6 +445,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(RegimeProbName,
       exprs => RegimeProb(exprs.head, evalAlpha(exprs(1)),
         evalAlpha(exprs(2)), evalAlpha(exprs(3)), evalAlpha(exprs(4))), "built-in")
+    registry.createOrReplaceTempFunction(LzComplexityName,
+      exprs => LzComplexity(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(DotName,
       exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(LshSigsName,

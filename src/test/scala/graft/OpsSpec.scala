@@ -4385,6 +4385,60 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("lzComplexity: closed forms, Kaspar–Schuster scanner equivalence, null/zero carry, per-series isolation") {
+    import graft.functions.{windows => W}
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("k")).orderBy(col("t"))
+    def run(signs: Seq[Option[Double]], key: String = "S"): Seq[Option[Int]] = {
+      val df = signs.zipWithIndex.map { case (s, i) => (key, i.toLong, s) }
+        .toDF("k", "t", "sgn")
+      df.select(col("t"), W.lzComplexity(col("sgn"), w).as("c"))
+        .orderBy("t").collect()
+        .map(r => Option(r.get(1)).map(_.asInstanceOf[Int])).toSeq
+    }
+    // constant tape → complexity 2 (one phrase + the open run)
+    assert(run(Seq.fill(16)(Some(1.0))).last.contains(2))
+    // alternating tape → 3 (0 | 1 | 0101…)
+    assert(run((1 to 16).map(i => Some(if (i % 2 == 0) 1.0 else -1.0))).last
+      .contains(3))
+    // Kaspar–Schuster's canonical 0001101001000101 → 6 phrases
+    val ks = "0001101001000101".map(c => Some(if (c == '1') 1.0 else -1.0))
+    assert(run(ks).last.contains(6), s"got ${run(ks).last}")
+    // reference scanner (Kaspar & Schuster 1987) on pseudo-random tapes
+    def scanner(s: String): Int = {
+      var (tape, p, c) = ("", 0, 0)
+      s.foreach { ch =>
+        tape += ch
+        if (!tape.substring(0, tape.length - 1).contains(tape.substring(p)))
+          { c += 1; p = tape.length }
+      }
+      c + (if (p < tape.length) 1 else 0)
+    }
+    var seed = 11L
+    def bit(): Boolean = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 62) % 2 == 0
+    }
+    (1 to 4).foreach { trial =>
+      val tape = (1 to 40).map(_ => bit())
+      val s = tape.map(b => if (b) 'u' else 'd').mkString
+      val got = run(tape.map(b => Some(if (b) 1.0 else -1.0))).last
+      assert(got.contains(scanner(s)), s"trial $trial: $got vs ${scanner(s)} on $s")
+    }
+    // null and zero signs carry the running count; leading nulls emit null
+    val carried = run(Seq(None, Some(1.0), Some(0.0), Some(-1.0), None, Some(1.0)))
+    assert(carried(0).isEmpty && carried(2) == carried(1) && carried(4) == carried(3))
+    // per-series isolation: interleaved keys fold independently
+    val two = (Seq.fill(8)(("A", Some(1.0))) ++
+        (1 to 8).map(i => ("B", Some(if (i % 2 == 0) 1.0 else -1.0))))
+      .zipWithIndex.map { case ((k, s), i) => (k, i.toLong, s) }
+      .toDF("k", "t", "sgn")
+    val byK = two.select(col("k"), W.lzComplexity(col("sgn"), w).as("c"))
+      .groupBy(col("k")).agg(max(col("c")).as("c")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(byK == Map("A" -> 2, "B" -> 3), s"got $byK")
+  }
+
   test("minSpanningTree: hand MST, chain merge within jump budget, tie-break, disconnected") {
     import graft.operators.Relational
     def mst(rows: Seq[(String, String, Double)], rounds: Int = 4, jumps: Int = 4) =
@@ -5330,6 +5384,73 @@ class OpsSpec extends SparkSpec {
       .orderBy("k", "draw").collect()
     assert(other.map(_.getAs[Double]("sample_key")).toSeq !=
       rows.map(_.getAs[Double]("sample_key")).toSeq)
+  }
+
+  test("betSizingFold: chunked fold is bit-identical to batch betSizing; frontier guard; _commits replay no-op") {
+    import graft.operators.MarketIncremental
+    import graft.operators.MarketIncremental.BetCfg
+    // 3 series × 40 bets, horizons overlapping across chunk cuts (up to
+    // 17 instants ahead), mixed sides/convictions, opposing concurrent
+    // bets, and closes landing far past the last entry
+    val bets = (for { s <- Seq("A", "B", "C"); i <- 1 to 40 } yield {
+      val t0 = i.toLong * 10L + (if (s == "B") 3L else 0L)
+      val span = 10L + (i * 7 % 17).toLong * 10L
+      val p = 0.5 + 0.45 * math.sin(i * 0.9 + s.hashCode % 5)
+      (s, t0, t0 + span, math.min(0.99, math.max(0.01, p)),
+        if (i % 3 == 0) -1L else 1L)
+    }).toDF("k", "t0_us", "t1_us", "prob", "side")
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map {
+      case d: Double => java.lang.Double.doubleToLongBits(d).toString
+      case x => String.valueOf(x)
+    }.mkString("|")
+    val cfg = BetCfg(Seq("k"), stepSize = 0.05)
+    val want = graft.operators.Backtest.betSizing(bets, Seq("k"), "t0_us",
+        "t1_us", "prob", "side", 0.05)
+      .collect().map(key).sorted.toSeq
+    // 4 uneven chunks by entry time — open bets straddle every cut
+    val cuts = Seq(0L, 105L, 220L, 330L, Long.MaxValue)
+    var carry = MarketIncremental.emptyBetCarry(spark, cfg)
+    var got = Seq.empty[String]
+    cuts.sliding(2).foreach { case Seq(lo, hi) =>
+      val chunk = bets.where(col("t0_us") >= lo && col("t0_us") < hi)
+      val (sizes, c2) = MarketIncremental.betSizingFold(carry, chunk, cfg)
+      got = got ++ sizes.collect().map(key)
+      carry = c2
+    }
+    assert(got.sorted == want, {
+      val diff = got.sorted.zip(want).find { case (g, w) => g != w }
+      s"fold diverged from batch (${got.size} vs ${want.size} rows):\n" +
+        s" got ${diff.map(_._1)}\nwant ${diff.map(_._2)}"
+    })
+    // the carry is the open frontier only: pending closes all land
+    // strictly after the stored frontier
+    val pend = carry.select(col("w_ts_us"), col("pend_ts")).collect()
+    pend.foreach { r =>
+      val fr = r.getLong(0)
+      r.getSeq[Long](1).foreach(ts => assert(ts > fr, s"pending $ts ≤ frontier $fr"))
+    }
+    // ordering contract: a bet at-or-before the frontier raises
+    val late = Seq(("A", 5L, 50L, 0.7, 1L))
+      .toDF("k", "t0_us", "t1_us", "prob", "side")
+    val err = intercept[Exception] {
+      MarketIncremental.betSizingFold(carry, late, cfg)._1.count()
+    }
+    assert(err.getMessage.contains("ordering contract violated"), err.getMessage)
+    // _commits lifecycle: replayed batch id is a no-op, view = batch op
+    val dir = java.nio.file.Files.createTempDirectory("betfold").toString
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      val chunk = bets.where(col("t0_us") >= lo && col("t0_us") < hi)
+      MarketIncremental.betSizingBatch(spark, dir, i.toLong, chunk, cfg)
+    }
+    val view1 = MarketIncremental.sizesView(spark, dir, cfg)
+      .collect().map(key).sorted.toSeq
+    assert(view1 == want, "view after batches must equal the batch operator")
+    // replay chunk 1 with stale data: committed id → state untouched
+    MarketIncremental.betSizingBatch(spark, dir, 1L,
+      bets.where(col("t0_us") < 50L), cfg)
+    val view2 = MarketIncremental.sizesView(spark, dir, cfg)
+      .collect().map(key).sorted.toSeq
+    assert(view2 == view1, "replayed batch id must be a no-op")
   }
 
   test("normCdf/probToSize closed forms; betSizing averages active bets and discretizes") {

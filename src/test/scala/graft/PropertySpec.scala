@@ -320,6 +320,13 @@ class PropertySpec extends SparkSpec {
       val want = kruskal(edges.map { case (a, b, d) => (a, b, d * 1000000L) })
       assert(got == want,
         s"Borůvka ≠ Kruskal on ${edges.size} edges:\n got $got\nwant $want")
+      // the self-budgeted default (rounds from ⌈log₂ n⌉, label
+      // propagation to fixpoint) must reach the same tree with NO
+      // caller-supplied constants to under-budget
+      val auto = graft.operators.Relational.minSpanningTree(df)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(auto == want,
+        s"auto-budgeted Borůvka ≠ Kruskal on ${edges.size} edges:\n got $auto\nwant $want")
     }
   }
 
