@@ -212,6 +212,90 @@ class SystemSpec extends SparkSpec {
     assert(before.nonEmpty)
   }
 
+  test("feature server: HTTP range/point reads match the store, NaN→null, admin token guard, request metrics") {
+    import graft.serving.FeatureServer
+    val dir = tmp()
+    val store = new FeatureStore(spark, dir)
+    store.upsert(MarketFeatures.build(ohlcvRamp(30)), "market", writeSeq = 1L)
+    // a payload row with NaN — the serve edge must render it null
+    // (same payload schema: the store holds one schema per path)
+    store.upsert(MarketFeatures.build(ohlcvRamp(2))
+      .withColumn("symbol", lit("NAN-X"))
+      .withColumn("ret_1", lit(Double.NaN))
+      .withColumn("rvol_5", lit(7.0)),
+      "onchain", writeSeq = 1L)
+    val m = new graft.metrics.Metrics
+    val srv = new FeatureServer(store, Some("sekrit"), metrics = m)
+    val port = srv.start()
+    val client = java.net.http.HttpClient.newHttpClient()
+    def get(path: String, headers: Map[String, String] = Map.empty,
+            post: Boolean = false): (Int, String) = {
+      var b = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+      headers.foreach { case (k, v) => b = b.header(k, v) }
+      if (post) b = b.POST(java.net.http.HttpRequest.BodyPublishers.noBody())
+      val r = client.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    try {
+      val base = java.time.Instant.parse("2025-08-01T00:00:00Z").getEpochSecond
+      // range read: row-for-row against the library call (routes.py:768-785)
+      val (rc, rb) = get(s"/features/market/range?symbol=BTC-USDT&timeframe=1m" +
+        s"&start=$base&end=${base + 3600}&limit=5&reverse=true")
+      assert(rc == 200 && rb.startsWith("""{"rows":5,"""), rb)
+      val wantTs = store.rangeRead("market", "BTC-USDT", "1m", base, base + 3600,
+          limit = 5, reverse = true).collect()
+        .map(_.getAs[java.sql.Timestamp]("timestamp").toInstant.getEpochSecond)
+      val gotTs = """"timestamp":(\d+)""".r.findAllMatchIn(rb)
+        .map(_.group(1).toLong).toSeq
+      assert(gotTs == wantTs.toSeq, s"got $gotTs want ${wantTs.toSeq}")
+      assert(rb.contains(""""ret_1":"""), "payload columns must serialize")
+      assert(!rb.contains(""""domain"""") && !rb.contains("_write_seq"),
+        "key/bookkeeping columns stay out of the payload")
+      // point read: request order, missing epoch skipped (routes.py:698-706)
+      val (pc, pb) = get(s"/features/market?symbol=BTC-USDT&timeframe=1m" +
+        s"&ts=${base + 120}&ts=99&ts=${base + 60}")
+      assert(pc == 200 && pb.startsWith("""{"rows":2,"""), pb)
+      val pTs = """"timestamp":(\d+)""".r.findAllMatchIn(pb)
+        .map(_.group(1).toLong).toSeq
+      assert(pTs == Seq(base + 120, base + 60), s"request order: $pTs")
+      // NaN payload renders null, finite sibling survives (_clean_numbers)
+      val (_, nb) = get(s"/features/onchain?symbol=NAN-X&timeframe=1m&ts=$base")
+      assert(nb.contains(""""ret_1":null""") && nb.contains(""""rvol_5":7.0"""), nb)
+      // parameter validation
+      assert(get("/features/market?timeframe=1m&ts=1")._1 == 400)
+      assert(get(s"/features/market/range?symbol=X&timeframe=1m&start=$base" +
+        s"&end=$base&limit=notanint")._1 == 400)
+      assert(get("/nope")._1 == 404)
+      // admin guard (routes.py:1050-1069): no token 401, wrong 401,
+      // bearer accepted, sweep actually drops
+      assert(get("/admin/ttl_sweep?cutoff=2026-01-01", post = true)._1 == 401)
+      assert(get("/admin/ttl_sweep?cutoff=2026-01-01",
+        Map("X-Admin-Token" -> "wrong"), post = true)._1 == 401)
+      val (ac, ab) = get("/admin/ttl_sweep?cutoff=2026-01-01",
+        Map("Authorization" -> "Bearer sekrit"), post = true)
+      assert(ac == 200 && !ab.contains(""""dropped":0"""), ab)
+      assert(store.rangeRead("market", "BTC-USDT", "1m", 0, 4102444800L)
+        .count() == 0, "the sweep must have dropped the partitions")
+      // per-request metrics recorded
+      val exp = get("/metrics")._2
+      assert(exp.contains("http_requests_total"), exp.take(200))
+      assert(exp.contains("""path="/features/market/range""""), exp.take(400))
+    } finally srv.stop()
+    // unconfigured admin token → 503 (the reference's dev-env refusal)
+    val srv2 = new FeatureServer(store, None, metrics = new graft.metrics.Metrics)
+    val port2 = srv2.start()
+    try {
+      val r = client.send(java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(
+          s"http://127.0.0.1:$port2/admin/ttl_sweep?cutoff=2026-01-01"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 503, r.body())
+    } finally srv2.stop()
+  }
+
   test("feature store TTL sweep drops expired dt partitions (jobs/backfill.py:191-215)") {
     val dir = tmp()
     val store = new FeatureStore(spark, dir)
