@@ -8870,6 +8870,164 @@ object Queries {
              END AS lz_ratio
       FROM fc ORDER BY event_type"""))
 
+  // Two-scale realized variance (Zhang-Mykland-Aït-Sahalia 2005) per
+  // type-day — the microstructure-noise-robust RV beside
+  // q_realized_moments: tick RV, the K=5 subsample-averaged RV, and the
+  // bias-corrected TSRV. Both squared-return streams quantize to ·10¹²
+  // BIGINTs; the correction is one fixed double tree.
+  private val qTsrv = QDef(
+    "q_tsrv",
+    (s, dir) => TA.twoScaleRV(t(s, dir, "events"), Seq("event_type"),
+        "ts", "value", "event_id", "day", kSub = 5)
+      .select(col("event_type"), micros(col("bucket")).as("bucket_us"),
+        col("n_returns"), col("rv_all"), col("rv_avg"), col("tsrv"))
+      .orderBy("event_type", "bucket_us"),
+    Some("""
+      WITH b0 AS (SELECT event_type AS k, ts, event_id,
+                         CAST(value AS DOUBLE) AS p
+                  FROM events WHERE value IS NOT NULL AND value > 0),
+      r0 AS (SELECT k, ts,
+                    ln(p / lag(p) OVER w) AS r1,
+                    ln(p / lag(p, 5) OVER w) AS rk
+             FROM b0 WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
+      t AS (SELECT k, date_trunc('day', ts) AS bucket,
+                   CAST(round(r1 * r1 * 1e12) AS BIGINT) AS q1,
+                   CAST(round(rk * rk * 1e12) AS BIGINT) AS qk
+            FROM r0 WHERE r1 IS NOT NULL),
+      g AS (SELECT k, bucket, COUNT(*) AS n_returns,
+                   CAST(SUM(q1) AS BIGINT) AS s1,
+                   CAST(SUM(qk) AS BIGINT) AS sk
+            FROM t GROUP BY 1, 2)
+      SELECT k AS event_type, epoch_us(bucket) AS bucket_us, n_returns,
+             round(CAST(s1 AS DOUBLE) / 1e12, 6) + 0.0 AS rv_all,
+             round(COALESCE(CAST(sk AS DOUBLE), 0.0) / 1e12 / 5.0, 6) + 0.0 AS rv_avg,
+             CASE WHEN n_returns > 5 THEN
+               round(COALESCE(CAST(sk AS DOUBLE), 0.0) / 1e12 / 5.0
+                     - (CAST(n_returns AS DOUBLE) - 4.0) / 5.0
+                       / CAST(n_returns AS DOUBLE)
+                       * (CAST(s1 AS DOUBLE) / 1e12), 6) + 0.0
+             END AS tsrv
+      FROM g ORDER BY k, bucket_us"""))
+
+  /** SQL image of [[TA]]'s `det3c` — the same first-row cofactor tree. */
+  private def det3s(a: String, b: String, c: String, d: String, e: String,
+                    f: String, g: String, h: String, i: String): String =
+    s"$a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) + $c * ($d * $h - $e * $g)"
+
+  /** SQL image of `det4c`: first-row expansion over [[det3s]] minors. */
+  private def det4s(m: IndexedSeq[IndexedSeq[String]]): String = {
+    def minor(skip: Int): String = {
+      val cs = (0 to 3).filterNot(_ == skip)
+      det3s(m(1)(cs(0)), m(1)(cs(1)), m(1)(cs(2)),
+            m(2)(cs(0)), m(2)(cs(1)), m(2)(cs(2)),
+            m(3)(cs(0)), m(3)(cs(1)), m(3)(cs(2)))
+    }
+    s"${m(0)(0)} * (${minor(0)}) - ${m(0)(1)} * (${minor(1)}) " +
+      s"+ ${m(0)(2)} * (${minor(2)}) - ${m(0)(3)} * (${minor(3)})"
+  }
+
+  // HAR-RV (Corsi 2009) per event type on the hourly-RV cascade
+  // (1h / 24h / 168h components): closed-form 4-regressor OLS with no
+  // driver solve — exact DECIMAL(38) moment sums over ·10⁶ regressor
+  // images, then Cramer's rule as ONE fixed first-row-cofactor double
+  // tree spelled identically in both engines (det3s/det4s mirror the
+  // engine's det3c/det4c). The n-regressor generalization of the
+  // two-regressor closed forms (q_ewm_beta, q_fama_macbeth).
+  private val qHarRv = QDef(
+    "q_har_rv",
+    (s, dir) => TA.harRegression(t(s, dir, "events"), Seq("event_type"),
+        "ts", "value", "event_id")
+      .orderBy("event_type"),
+    Some {
+      val mAll = IndexedSeq(
+        IndexedSeq("1.0", "m1", "m2", "m3"),
+        IndexedSeq("m1", "m11", "m12", "m13"),
+        IndexedSeq("m2", "m12", "m22", "m23"),
+        IndexedSeq("m3", "m13", "m23", "m33"))
+      val bv = IndexedSeq("my", "m1y", "m2y", "m3y")
+      def swapped(i: Int) =
+        mAll.indices.map(r => mAll(r).indices.map(c =>
+          if (c == i) bv(r) else mAll(r)(c)))
+      s"""
+      WITH b0 AS (SELECT event_type AS k, ts, event_id,
+                         CAST(value AS DOUBLE) AS p
+                  FROM events WHERE value IS NOT NULL AND value > 0),
+      r0 AS (SELECT k, ts,
+                    ln(p / lag(p) OVER (PARTITION BY k ORDER BY ts, event_id)) AS r
+             FROM b0),
+      h AS (SELECT k, date_trunc('hour', ts) AS bucket,
+                   CAST(SUM(CAST(round(r * r * 1e12) AS BIGINT)) AS BIGINT) AS s2
+            FROM r0 WHERE r IS NOT NULL GROUP BY 1, 2),
+      o AS (SELECT k,
+                   CAST(round(CAST(s2 AS DOUBLE) / 1e12 * 1e6) AS BIGINT) AS yq,
+                   CAST(round(CAST(lag(s2) OVER wb AS DOUBLE) / 1e12 * 1e6) AS BIGINT) AS x1q,
+                   CAST(round(CAST(SUM(s2) OVER w24 AS DOUBLE) / 1e12 / 24.0 * 1e6) AS BIGINT) AS x2q,
+                   CAST(round(CAST(SUM(s2) OVER w168 AS DOUBLE) / 1e12 / 168.0 * 1e6) AS BIGINT) AS x3q,
+                   COUNT(s2) OVER w168 AS fullw
+            FROM h WINDOW
+              wb AS (PARTITION BY k ORDER BY bucket),
+              w24 AS (PARTITION BY k ORDER BY bucket
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+              w168 AS (PARTITION BY k ORDER BY bucket
+                       ROWS BETWEEN 168 PRECEDING AND 1 PRECEDING)),
+      v AS (SELECT * FROM o WHERE fullw = 168),
+      mo AS (SELECT k, COUNT(*) AS n,
+               SUM(CAST(x1q AS HUGEINT)) AS sx1,
+               SUM(CAST(x2q AS HUGEINT)) AS sx2,
+               SUM(CAST(x3q AS HUGEINT)) AS sx3,
+               SUM(CAST(yq AS HUGEINT)) AS sy,
+               SUM(CAST(x1q AS HUGEINT) * x1q) AS s11,
+               SUM(CAST(x1q AS HUGEINT) * x2q) AS s12,
+               SUM(CAST(x1q AS HUGEINT) * x3q) AS s13,
+               SUM(CAST(x2q AS HUGEINT) * x2q) AS s22,
+               SUM(CAST(x2q AS HUGEINT) * x3q) AS s23,
+               SUM(CAST(x3q AS HUGEINT) * x3q) AS s33,
+               SUM(CAST(x1q AS HUGEINT) * yq) AS s1y,
+               SUM(CAST(x2q AS HUGEINT) * yq) AS s2y,
+               SUM(CAST(x3q AS HUGEINT) * yq) AS s3y,
+               SUM(CAST(yq AS HUGEINT) * yq) AS syy
+             FROM v GROUP BY k),
+      nm AS (SELECT k, n,
+               CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+               CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+               CAST(sx3 AS DOUBLE) / CAST(n AS DOUBLE) AS m3,
+               CAST(s11 AS DOUBLE) / CAST(n AS DOUBLE) AS m11,
+               CAST(s12 AS DOUBLE) / CAST(n AS DOUBLE) AS m12,
+               CAST(s13 AS DOUBLE) / CAST(n AS DOUBLE) AS m13,
+               CAST(s22 AS DOUBLE) / CAST(n AS DOUBLE) AS m22,
+               CAST(s23 AS DOUBLE) / CAST(n AS DOUBLE) AS m23,
+               CAST(s33 AS DOUBLE) / CAST(n AS DOUBLE) AS m33,
+               CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+               CAST(s1y AS DOUBLE) / CAST(n AS DOUBLE) AS m1y,
+               CAST(s2y AS DOUBLE) / CAST(n AS DOUBLE) AS m2y,
+               CAST(s3y AS DOUBLE) / CAST(n AS DOUBLE) AS m3y,
+               CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) AS myy
+             FROM mo),
+      dts AS (SELECT k, n, my, m1y, m2y, m3y, myy,
+               ${det4s(mAll)} AS detA,
+               ${det4s(swapped(0))} AS d0,
+               ${det4s(swapped(1))} AS d1,
+               ${det4s(swapped(2))} AS d2,
+               ${det4s(swapped(3))} AS d3
+             FROM nm)
+      SELECT k AS event_type, n AS n_obs,
+             CASE WHEN detA <> 0.0
+               THEN round(d0 / detA / 1e6, 6) + 0.0 END AS beta0,
+             CASE WHEN detA <> 0.0
+               THEN round(d1 / detA, 6) + 0.0 END AS beta_short,
+             CASE WHEN detA <> 0.0
+               THEN round(d2 / detA, 6) + 0.0 END AS beta_mid,
+             CASE WHEN detA <> 0.0
+               THEN round(d3 / detA, 6) + 0.0 END AS beta_long,
+             CASE WHEN detA <> 0.0
+                    AND myy - my * my > 0.0
+               THEN round((d0 / detA * my + d1 / detA * m1y
+                           + d2 / detA * m2y + d3 / detA * m3y
+                           - my * my)
+                          / (myy - my * my), 6) + 0.0 END AS r2
+      FROM dts ORDER BY event_type"""
+    })
+
   // ------------------------------------------------------------------
   // Registry
   // ------------------------------------------------------------------
@@ -8903,7 +9061,7 @@ object Queries {
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,
     qPairsBacktest, qKelly, qAcSchedule, qPcaFactor, qDetonedCorr,
     qTailDep, qFlowAcf, qCorrMst, qSemivariance, qSpreadRatio, qZipfSlope,
-    qWaveletVar, qHillTail, qCfVar, qLzComplexity,
+    qWaveletVar, qHillTail, qCfVar, qLzComplexity, qTsrv, qHarRv,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr

@@ -616,6 +616,184 @@ object TaIndicators {
             / (col("_rv") * col("_rv")), 6)).as("rkurt")): _*)
   }
 
+  /** Two-scale realized variance per (series, bucket) — Zhang, Mykland
+    * & Aït-Sahalia (2005, JASA 100): the microstructure-noise-robust
+    * estimator `TSRV = RV_avg − (n̄/n)·RV_all`, where `RV_all` sums
+    * tick-by-tick squared log returns (noise-inflated by 2nE[ε²]),
+    * `RV_avg = Σ(p_i − p_{i−K})²/K` averages the K subsampled grids,
+    * and `n̄ = (n−K+1)/K` scales the bias correction that strips the
+    * noise term. The raw difference is reported (it can go slightly
+    * negative on noise-free data — callers floor at 0 if they need a
+    * variance); `rv_all`/`rv_avg` ship alongside so the noise share is
+    * visible.
+    *
+    * Return machinery and bucket convention as [[realizedMoments]]:
+    * per-series (ts, tiebreak) order, returns continuous across bucket
+    * boundaries and assigned to the LATER tick's bucket, non-positive
+    * prices drop. Determinism: both squared-return streams quantize
+    * independently to `round(r²·10¹²)` BIGINTs (order-free exact sums);
+    * the estimator derives in one fixed double tree, 6 dp. Overflow
+    * contract: `n·r²·10¹² < 2⁶³` per bucket (|r| ≤ 30 at 10⁶
+    * ticks/bucket). Buckets with n ≤ K emit null `tsrv` (the
+    * correction is undefined without a full subsample grid).
+    *
+    * Scale shape: ONE keyed window carries both lags (same partition +
+    * order → one physical sort), then one map-side-combined (keys,
+    * bucket) agg. Returns
+    * `(keys…, bucket, n_returns, rv_all, rv_avg, tsrv)`. */
+  def twoScaleRV(df: DataFrame, keys: Seq[String], tsCol: String,
+                 valueCol: String, tiebreakCol: String,
+                 interval: String = "day", kSub: Int = 5): DataFrame = {
+    require(keys.nonEmpty, "twoScaleRV needs the series key(s)")
+    require(kSub >= 2, s"the subsample scale must be >= 2 ticks, got $kSub")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val p = col(valueCol).cast("double")
+    val kd = kSub.toDouble
+    df.where(p.isNotNull && p > 0.0)
+      .withColumn("_r1", log(p / lag(p, 1).over(w)))
+      .withColumn("_rk", log(p / lag(p, kSub).over(w)))
+      .withColumn("_q1", round(col("_r1") * col("_r1") * 1e12).cast("long"))
+      .withColumn("_qk", round(col("_rk") * col("_rk") * 1e12).cast("long"))
+      .where(col("_q1").isNotNull)
+      .groupBy((keys.map(col) :+
+        date_trunc(interval, col(tsCol)).as("bucket")): _*)
+      .agg(count(lit(1)).as("n_returns"),
+        sum(col("_q1")).as("_s1"), sum(col("_qk")).as("_sk"))
+      .withColumn("_rvAll", col("_s1").cast("double") / 1e12)
+      .withColumn("_rvAvg",
+        coalesce(col("_sk").cast("double"), lit(0.0)) / 1e12 / lit(kd))
+      .select(keys.map(col) ++ Seq(col("bucket"), col("n_returns"),
+        (round(col("_rvAll"), 6) + lit(0.0)).as("rv_all"),
+        (round(col("_rvAvg"), 6) + lit(0.0)).as("rv_avg"),
+        when(col("n_returns") > kSub,
+          round(col("_rvAvg") -
+            (col("n_returns").cast("double") - lit(kd - 1.0)) / lit(kd)
+              / col("n_returns").cast("double") * col("_rvAll"), 6) + lit(0.0))
+          .as("tsrv")): _*)
+  }
+
+  /** 3×3 determinant as one fixed expression tree (first-row cofactor
+    * expansion) — shared by [[harRegression]]'s Cramer solve; the SQL
+    * oracle spells the SAME tree. */
+  private def det3c(a: Column, b: Column, c: Column, d: Column, e: Column,
+                    f: Column, g: Column, h: Column, i: Column): Column =
+    a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+  /** 4×4 determinant by first-row cofactor expansion over [[det3c]] —
+    * a fixed tree, valid for the well-conditioned normalized moment
+    * matrices [[harRegression]] feeds it (no pivoting: the matrix is
+    * PD by construction on non-degenerate data). */
+  private def det4c(m: IndexedSeq[IndexedSeq[Column]]): Column = {
+    def minor(skip: Int): Column = {
+      val cols = (0 to 3).filterNot(_ == skip)
+      det3c(m(1)(cols(0)), m(1)(cols(1)), m(1)(cols(2)),
+            m(2)(cols(0)), m(2)(cols(1)), m(2)(cols(2)),
+            m(3)(cols(0)), m(3)(cols(1)), m(3)(cols(2)))
+    }
+    m(0)(0) * minor(0) - m(0)(1) * minor(1) + m(0)(2) * minor(2) -
+      m(0)(3) * minor(3)
+  }
+
+  /** HAR-RV regression per series — Corsi (2009, J. Financial
+    * Econometrics 7): the heterogeneous-horizon volatility cascade
+    * `RV_t = β₀ + β_s·RV_{t−1} + β_m·RV̄_{short} + β_l·RV̄_{long} + ε`,
+    * the standard realized-volatility forecaster. Horizons default to
+    * the intraday cascade (hourly RV; 24-bucket daily and 168-bucket
+    * weekly components) — pass `interval="day"`, 5/22 for the classic
+    * daily flavor when the span allows it.
+    *
+    * Distributed closed-form OLS with NO driver solve and no iteration:
+    * per-bucket RV rides the [[realizedMoments]] integer image, the
+    * three regressors + target re-quantize to `round(rv·regScale)`
+    * BIGINTs (rolling sums of exact integers — order-free), the ten
+    * X'X + five X'y moment sums accumulate on DECIMAL(38,0), and the
+    * 4×4 normal equations solve by CRAMER'S RULE as one fixed
+    * first-row-cofactor double tree ([[det4c]]) — the n-regressor
+    * generalization of the two-regressor closed forms ([[ewmBeta]],
+    * Fama-MacBeth), hash-replayable because every input to the tree is
+    * an exact integer ratio. Rows need `longWin` prior buckets (full
+    * windows only). Degenerate series (singular normal matrix, zero
+    * variance) emit null βs explicitly.
+    *
+    * Scale shape: one keyed window pass for the rolling sums riding the
+    * bucket agg's partitioning, then one key-sized moment agg —
+    * map-side combined, nothing global. Overflow: `regScale·RV` images
+    * must keep Σx² < 10³⁸ (at 10⁶ images that is 10²⁶ rows — never
+    * binding). Returns `(keys…, n_obs, beta0, beta_short, beta_mid,
+    * beta_long, r2)`. */
+  def harRegression(df: DataFrame, keys: Seq[String], tsCol: String,
+                    valueCol: String, tiebreakCol: String,
+                    interval: String = "hour", shortWin: Int = 24,
+                    longWin: Int = 168, regScale: Double = 1e6): DataFrame = {
+    require(keys.nonEmpty, "harRegression needs the series key(s)")
+    require(shortWin >= 2 && longWin > shortWin,
+      s"need 2 <= shortWin < longWin, got $shortWin/$longWin")
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val p = col(valueCol).cast("double")
+    val rv = df.where(p.isNotNull && p > 0.0)
+      .withColumn("_r", log(p / lag(p, 1).over(w)))
+      .where(col("_r").isNotNull)
+      .withColumn("_q2", round(col("_r") * col("_r") * 1e12).cast("long"))
+      .groupBy((keys.map(col) :+
+        date_trunc(interval, col(tsCol)).as("bucket")): _*)
+      .agg(sum(col("_q2")).as("_s2"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("bucket"))
+    def trail(n: Int) = wb.rowsBetween(-n, -1)
+    def img(c: Column): Column = round(c * lit(regScale)).cast("long")
+    val rows = rv
+      .withColumn("_yq", img(col("_s2").cast("double") / 1e12))
+      .withColumn("_x1q", img(lag(col("_s2"), 1).over(wb).cast("double") / 1e12))
+      .withColumn("_x2q", img(sum(col("_s2")).over(trail(shortWin)).cast("double")
+        / 1e12 / lit(shortWin.toDouble)))
+      .withColumn("_x3q", img(sum(col("_s2")).over(trail(longWin)).cast("double")
+        / 1e12 / lit(longWin.toDouble)))
+      .withColumn("_full", count(col("_s2")).over(trail(longWin)))
+      .where(col("_full") === longWin)
+    def d38(c: Column) = c.cast(D38)
+    val mo = rows.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("_n"),
+      sum(d38(col("_x1q"))).as("_sx1"), sum(d38(col("_x2q"))).as("_sx2"),
+      sum(d38(col("_x3q"))).as("_sx3"), sum(d38(col("_yq"))).as("_sy"),
+      sum(d38(col("_x1q")) * col("_x1q")).as("_s11"),
+      sum(d38(col("_x1q")) * col("_x2q")).as("_s12"),
+      sum(d38(col("_x1q")) * col("_x3q")).as("_s13"),
+      sum(d38(col("_x2q")) * col("_x2q")).as("_s22"),
+      sum(d38(col("_x2q")) * col("_x3q")).as("_s23"),
+      sum(d38(col("_x3q")) * col("_x3q")).as("_s33"),
+      sum(d38(col("_x1q")) * col("_yq")).as("_s1y"),
+      sum(d38(col("_x2q")) * col("_yq")).as("_s2y"),
+      sum(d38(col("_x3q")) * col("_yq")).as("_s3y"),
+      sum(d38(col("_yq")) * col("_yq")).as("_syy"))
+    val nd = col("_n").cast("double")
+    def m(c: String): Column = col(c).cast("double") / nd
+    val A: IndexedSeq[IndexedSeq[Column]] = IndexedSeq(
+      IndexedSeq(lit(1.0), m("_sx1"), m("_sx2"), m("_sx3")),
+      IndexedSeq(m("_sx1"), m("_s11"), m("_s12"), m("_s13")),
+      IndexedSeq(m("_sx2"), m("_s12"), m("_s22"), m("_s23")),
+      IndexedSeq(m("_sx3"), m("_s13"), m("_s23"), m("_s33")))
+    val b = IndexedSeq(m("_sy"), m("_s1y"), m("_s2y"), m("_s3y"))
+    def swapped(i: Int): IndexedSeq[IndexedSeq[Column]] =
+      A.indices.map(r => A(r).indices.map(c => if (c == i) b(r) else A(r)(c)))
+    val detA = det4c(A)
+    val betas = (0 to 3).map(i => det4c(swapped(i)) / detA)
+    val ess = (betas(0) * b(0) + betas(1) * b(1) + betas(2) * b(2) +
+      betas(3) * b(3)) - b(0) * b(0)
+    val tss = m("_syy") - b(0) * b(0)
+    val ok = detA =!= lit(0.0)
+    mo.select(keys.map(col) ++ Seq(col("_n").as("n_obs"),
+      when(ok, round(betas(0) / lit(regScale), 6) + lit(0.0)).as("beta0"),
+      when(ok, round(betas(1), 6) + lit(0.0)).as("beta_short"),
+      when(ok, round(betas(2), 6) + lit(0.0)).as("beta_mid"),
+      when(ok, round(betas(3), 6) + lit(0.0)).as("beta_long"),
+      when(ok && tss > 0.0, round(ess / tss, 6) + lit(0.0)).as("r2")): _*)
+  }
+
   /** Adaptive (EWM-RLS) regression per series — the exponentially
     * forgetting hedge ratio / adaptive AR coefficient every pairs or
     * beta-hedging desk maintains online: with EWM moments

@@ -5386,6 +5386,125 @@ class OpsSpec extends SparkSpec {
       rows.map(_.getAs[Double]("sample_key")).toSeq)
   }
 
+  test("twoScaleRV: deterministic closed forms — drift tape, noise-only tape loses its inflation") {
+    import graft.functions.{TaIndicators => TA}
+    // log-linear drift p = e^{ct}: r1 = c, rK = Kc → closed forms
+    // rv_all = (T−1)c², rv_avg = (T−K)Kc², tsrv = (T−K)c²(K − 1/K)
+    val T = 20; val c = 0.01; val K = 5
+    val drift = (0 until T).map(t => ("D", t.toLong, math.exp(c * t)))
+      .toDF("k", "t", "p").withColumn("ts", expr("timestamp_micros(t)"))
+    val d = TA.twoScaleRV(drift, Seq("k"), "ts", "p", "t", "day", K)
+      .collect().head
+    def near(a: Double, b: Double) = math.abs(a - b) < 2e-6
+    assert(near(d.getAs[Double]("rv_all"), (T - 1) * c * c), d.toString)
+    assert(near(d.getAs[Double]("rv_avg"), (T - K) * K * c * c), d.toString)
+    assert(near(d.getAs[Double]("tsrv"), (T - K) * c * c * (K - 1.0 / K)),
+      d.toString)
+    // pure-noise tape (price alternates ±e around 1): tick RV is all
+    // microstructure noise, (T−1)·4e²; the two-scale correction strips
+    // it to ~0 — the estimator's reason to exist
+    val e = 0.02
+    val noise = (0 until T).map(t =>
+        ("N", t.toLong, math.exp(if (t % 2 == 0) e else -e)))
+      .toDF("k", "t", "p").withColumn("ts", expr("timestamp_micros(t)"))
+    val n = TA.twoScaleRV(noise, Seq("k"), "ts", "p", "t", "day", K)
+      .collect().head
+    val rvAll = n.getAs[Double]("rv_all")
+    assert(near(rvAll, (T - 1) * 4 * e * e), n.toString)
+    assert(math.abs(n.getAs[Double]("tsrv")) < 0.05 * rvAll,
+      s"TSRV must strip the noise inflation: ${n.toString}")
+    // n ≤ K buckets emit null tsrv
+    val short = (0 until K).map(t => ("S", t.toLong, math.exp(0.01 * t)))
+      .toDF("k", "t", "p").withColumn("ts", expr("timestamp_micros(t)"))
+    val sRow = TA.twoScaleRV(short, Seq("k"), "ts", "p", "t", "day", K)
+      .collect().head
+    assert(sRow.isNullAt(sRow.fieldIndex("tsrv")), sRow.toString)
+  }
+
+  test("harRegression: Cramer tree ≡ independent pivoted solve; exact-fit recovery; short series absent") {
+    import graft.functions.{TaIndicators => TA}
+    // synthetic 2-series tape: ~400 hourly buckets of varying RV (3
+    // ticks per hour, sinusoid + hash jitter amplitudes), enough past
+    // the 168-bucket warm-up for a well-posed regression
+    val rows = for (k <- Seq("A", "B"); h <- 0 until 400; j <- 0 until 3) yield {
+      val amp = 0.01 * (1.5 + math.sin(h / 7.0) +
+        (if (k == "A") 0.5 * math.sin(h / 31.0) else 0.3 * math.cos(h / 13.0)))
+      val r = if (j % 2 == 0) amp else -amp
+      (k, h.toLong * 3600000000L + j * 1000000L, h.toLong * 10 + j, r)
+    }
+    // build price as the cumulative product of the intended returns
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("tus"))
+    val priced = rows.toDF("k", "tus", "tb", "r")
+      .withColumn("p", exp(sum(col("r")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))))
+      .withColumn("ts", expr("timestamp_micros(tus)"))
+    val got = TA.harRegression(priced, Seq("k"), "ts", "p", "tb")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("A", "B"))
+    // independent reference: rebuild the image rows and solve the
+    // normal equations with PIVOTED Gaussian elimination (a different
+    // algorithm than the fixed Cramer tree)
+    val rv = priced.where(col("p").isNotNull && col("p") > 0)
+      .withColumn("_r", log(col("p") / lag(col("p"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+          .orderBy(col("ts"), col("tb")))))
+      .where(col("_r").isNotNull)
+      .withColumn("_q2", round(col("_r") * col("_r") * 1e12).cast("long"))
+      .groupBy(col("k"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(col("_q2")).as("s2"))
+      .collect().map(r => (r.getString(0),
+        r.getAs[java.sql.Timestamp](1).getTime, r.getLong(2)))
+    got.keys.foreach { key =>
+      val s2 = rv.filter(_._1 == key).sortBy(_._2).map(_._3)
+      def img(x: Double): Long = math.rint(x).toLong  // round half-even ≈ fine off-ties
+      val pts = (168 until s2.length).map { i =>
+        val y = img(s2(i).toDouble / 1e12 * 1e6)
+        val x1 = img(s2(i - 1).toDouble / 1e12 * 1e6)
+        val x2 = img(s2.slice(i - 24, i).sum.toDouble / 1e12 / 24.0 * 1e6)
+        val x3 = img(s2.slice(i - 168, i).sum.toDouble / 1e12 / 168.0 * 1e6)
+        (y, x1, x2, x3)
+      }
+      val n = pts.length.toDouble
+      def mean(f: ((Long, Long, Long, Long)) => Double) = pts.map(f).sum / n
+      // normal equations on BigInt-exact sums
+      val a = Array.ofDim[Double](4, 5)
+      val xs: IndexedSeq[((Long, Long, Long, Long)) => BigInt] = IndexedSeq(
+        _ => BigInt(1), p => BigInt(p._2), p => BigInt(p._3), p => BigInt(p._4))
+      val yv: ((Long, Long, Long, Long)) => BigInt = p => BigInt(p._1)
+      for (i <- 0 until 4; j <- 0 until 4)
+        a(i)(j) = pts.map(p => xs(i)(p) * xs(j)(p)).sum.toDouble / n
+      for (i <- 0 until 4)
+        a(i)(4) = pts.map(p => xs(i)(p) * yv(p)).sum.toDouble / n
+      for (cc <- 0 until 4) {
+        val piv = (cc until 4).maxBy(r2 => math.abs(a(r2)(cc)))
+        val tmp = a(piv); a(piv) = a(cc); a(cc) = tmp
+        for (r2 <- 0 until 4 if r2 != cc) {
+          val f = a(r2)(cc) / a(cc)(cc)
+          for (j <- cc to 4) a(r2)(j) -= f * a(cc)(j)
+        }
+      }
+      val beta = Array.tabulate(4)(i => a(i)(4) / a(i)(i))
+      val g = got(key)
+      assert(math.abs(g.getAs[Double]("beta0") - beta(0) / 1e6) < 1e-4,
+        s"$key beta0: ${g.getAs[Double]("beta0")} vs ${beta(0) / 1e6}")
+      Seq("beta_short" -> 1, "beta_mid" -> 2, "beta_long" -> 3).foreach {
+        case (nme, i) =>
+          assert(math.abs(g.getAs[Double](nme) - beta(i)) <
+            1e-4 * math.max(1.0, math.abs(beta(i))),
+            s"$key $nme: ${g.getAs[Double](nme)} vs ${beta(i)}")
+      }
+      val r2v = g.getAs[Double]("r2")
+      assert(r2v > 0.0 && r2v <= 1.0, s"$key r2=$r2v")
+    }
+    // fewer than longWin+1 buckets → no regression row at all
+    val tiny = (0 until 50).map(t => ("T", t.toLong * 3600000000L, t.toLong,
+        math.exp(0.01 * math.sin(t.toDouble))))
+      .toDF("k", "tus", "tb", "p")
+      .withColumn("ts", expr("timestamp_micros(tus)"))
+    assert(TA.harRegression(tiny, Seq("k"), "ts", "p", "tb").count() == 0)
+  }
+
   test("betSizingFold: chunked fold is bit-identical to batch betSizing; frontier guard; _commits replay no-op") {
     import graft.operators.MarketIncremental
     import graft.operators.MarketIncremental.BetCfg
