@@ -578,7 +578,13 @@ object Queries {
     * [[cgRoundsSql]]. Emits `esym`/`trg`/`cvn`/`er0`, then per round
     * the matvec `emN` and the damped re-quantized state `erN`; the
     * final state CTE is `er$rounds` with columns (k, dq, xq). */
-  private def ercRoundsSql(src: String, rounds: Int): String = {
+  private def ercRoundsSql(src: String, rounds: Int,
+                           damping: Double): String = {
+    // the engine computes `lit(1.0 - damping)` in Scala doubles — the
+    // oracle must spell that EXACT double (1.0 - 0.8 is NOT 0.2 in
+    // binary), so both factors interpolate via Double.toString
+    val thS = java.lang.Double.toString(damping)
+    val omS = java.lang.Double.toString(1.0 - damping)
     val cD = "(CAST(m.mv AS DOUBLE) - CAST(p.dq AS DOUBLE) * CAST(p.xq AS DOUBLE)) / 1e12"
     val aD = "(CAST(p.dq AS DOUBLE) / 1e6)"
     val rs = (1 to rounds).map { i =>
@@ -586,8 +592,8 @@ object Queries {
       s"""em$i AS MATERIALIZED (SELECT s.a AS k, CAST(SUM(s.cq * x.xq) AS BIGINT) AS mv
              FROM cvn s JOIN $prev x ON x.k = s.b GROUP BY 1),
       er$i AS MATERIALIZED (SELECT p.k, p.dq,
-               CAST(round(0.5 * CAST(p.xq AS DOUBLE)
-                    + 0.5 * ((-($cD)
+               CAST(round($omS * CAST(p.xq AS DOUBLE)
+                    + $thS * ((-($cD)
                               + sqrt(($cD) * ($cD)
                                      + 4.0 * $aD / (SELECT kd FROM trg)))
                              / (2.0 * $aD)) * 1e6) AS BIGINT) AS xq
@@ -3251,8 +3257,9 @@ object Queries {
   // regardless of convergence; the exact driver-side Gauss-Jordan stays
   // as the OpsSpec cross-check (agreement ≤ 1e−4 pinned; measured 1e−6
   // to 256 keys in MatrixRehearsal).
-  private val CgRounds = 8
-  private val ErcRounds = 24
+  private val CgRounds = 6
+  private val ErcRounds = 12
+  private val ErcDamping = 0.8
 
   /** Shared `covp` CTE: the LW-CC shrunk covariance upper triangle as
     * ·10⁶ BIGINT images (requires `q2`/`dl`/`rb` from [[lwCcCteSql]]
@@ -3321,12 +3328,13 @@ object Queries {
         .agg((dsum(col("value")) / count(lit(1))).as("mean_v"))
       val cov = Relational.ledoitWolfConstCorr(hourly, "event_type",
         "bucket", "mean_v", scale = 1e4, pairScale = 1e2, termScale = 1e6)
-      operators.Backtest.ercIterative(cov, rounds = ErcRounds)
+      operators.Backtest.ercIterative(cov, rounds = ErcRounds,
+        damping = ErcDamping)
     },
     Some(s"""
       WITH $lwCcCteSql,
       $covpCteSql,
-      ${ercRoundsSql("covp", ErcRounds)},
+      ${ercRoundsSql("covp", ErcRounds, ErcDamping)},
       sx AS (SELECT CAST(SUM(xq) AS BIGINT) AS sx FROM er$ErcRounds)
       SELECT k AS key,
              round(CAST(xq AS DOUBLE)

@@ -579,7 +579,12 @@ object Backtest {
     * x/r/p updates re-quantized to 6-dp images. In exact arithmetic CG
     * finishes in ≤ k rounds; on the quantized images the residual hits
     * integer zero well before that (rehearsed: 16 rounds suffice to
-    * 256 keys at cond(C) ≈ 3).
+    * 256 keys at cond(C) ≈ 3). The residual norm MUST be the aggregate
+    * of the QUANTIZED r image (Σrq², exact integers): the algebraic
+    * identity `rz' = rz − 2α·rᵀCp/10⁶ + α²·pᵀC²p/10¹²` never reaches
+    * exact zero on quantized state, so α never freezes and the
+    * converged iterate random-walks at the quantization floor
+    * (measured 0.55 weight drift by round 12 — rejected variant).
     *
     * Un-normalized weights re-quantize as `round(yq·10³/σ_i)` (an
     * order-free integer sum then normalizes them);

@@ -841,6 +841,23 @@ class PlanSpec extends SparkSpec {
       s"scalar joins must be broadcast nested-loop, not cartesian:\n${p.take(1500)}")
   }
 
+  test("minVarianceCG / ercIterative: vector paths broadcast-only like leadingEigen") {
+    import spark.implicits._
+    val cov = Seq(("A", "A", 2.0), ("A", "B", 1.0), ("B", "B", 2.0),
+      ("A", "C", 0.5), ("B", "C", 0.2), ("C", "C", 3.0))
+      .toDF("key_a", "key_b", "shrunk_cov")
+    val pCg = planOf(graft.operators.Backtest.minVarianceCG(cov, rounds = 2))
+    assert(!pCg.contains("SortMergeJoin"),
+      s"CG rounds must broadcast the key-sized state, not sort-merge:\n${pCg.take(1500)}")
+    assert(!pCg.contains("CartesianProduct"),
+      s"CG scalar joins must be broadcast nested-loop, not cartesian:\n${pCg.take(1500)}")
+    val pErc = planOf(graft.operators.Backtest.ercIterative(cov, rounds = 2))
+    assert(!pErc.contains("SortMergeJoin"),
+      s"ERC rounds must broadcast the key-sized state:\n${pErc.take(1500)}")
+    assert(!pErc.contains("CartesianProduct"),
+      s"ERC joins must stay broadcast:\n${pErc.take(1500)}")
+  }
+
   test("round-11 tail compositions: momentum join-free, tail-dep one equi-join, semivariance keyed") {
     // q_xs_momentum: windows + aggs only — the ranked long-short needs
     // NO join at any density
