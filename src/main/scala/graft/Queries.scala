@@ -4436,19 +4436,39 @@ object Queries {
       val w = seriesW
       val staged = t(s, dir, "events")
         .withColumn("_ret", W.pctChange(col("value"), 1, w))
+        // ann_vol rides EXACT integer moment sums of the 6-dp return
+        // image: a raw STDDEV_SAMP window is a cross-engine double
+        // chain whose 6-dp round flips on boundary rows (caught by the
+        // sf0.1 gate at row 22k: Spark 144945.081320 vs DuckDB
+        // ...321) — σ² = (nΣx²−(Σx)²)/(n(n−1)) on BIGINTs instead
+        .withColumn("_retq", round(col("_ret") * 1e6).cast("long"))
+      val f5 = w.rowsBetween(-4, 0)
+      val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val nq = count(col("_retq")).over(f5)
+      // retq reaches ~5e10 on this tape (value ratios span 5e4) —
+      // squares and the squared sum live on DECIMAL(38,0)/HUGEINT
+      // (the q_hasbrouck_lambda envelope lesson; DuckDB raised on the
+      // INT64 draft, Spark wrapped silently)
+      val s1 = sum(col("_retq")).over(f5).cast(D38)
+      val s2 = sum(col("_retq").cast(D38) * col("_retq")).over(f5)
+      val annVol = when(nq >= 5, round(
+        sqrt((nq.cast(D38) * s2 - s1 * s1).cast("double") /
+          (nq.cast("double") * (nq.cast("double") - lit(1.0)))) / lit(1e6)
+          * sqrt(lit(365.0 * 86400.0 / 5)), 6))
       staged.select(col("user_id"), micros(col("ts")).as("ts_us"), col("value"),
           W.diff(col("value"), 1, w).as("diff_1"),
           round(W.rollingMedian(col("value"), 5, w), 6).as("roll_med_5"),
           round(W.rollingQuantile(col("value"), 0.25, 5, w), 6).as("roll_q25_5"),
           round(TA.zscore(col("value"), w), 6).as("zscore"),
           TA.whaleFlow(col("value"), 100.0).as("whale_100"),
-          round(TA.annualizedVolFromReturns(col("_ret"), 5, w), 6).as("ann_vol_5"),
+          annVol.as("ann_vol_5"),
           TA.drawdown(col("value"), w).as("drawdown"))
         .orderBy("user_id", "ts_us")
     },
     Some("""
       WITH staged AS (
-        SELECT *, value / LAG(value) OVER wo - 1 AS ret
+        SELECT *, value / LAG(value) OVER wo - 1 AS ret,
+               CAST(round((value / LAG(value) OVER wo - 1) * 1e6) AS BIGINT) AS retq
         FROM events
         WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id))
       SELECT user_id, epoch_us(ts) AS ts_us, value,
@@ -4457,8 +4477,12 @@ object Queries {
              CASE WHEN COUNT(value) OVER w5 >= 5 THEN ROUND(quantile_cont(value, 0.25) OVER w5, 6) END AS roll_q25_5,
              ROUND((value - AVG(value) OVER wp) / NULLIF(STDDEV_SAMP(value) OVER wp, 0), 6) AS zscore,
              CAST(ABS(value) > 100.0 AS INT) AS whale_100,
-             CASE WHEN COUNT(ret) OVER w5 >= 5
-                  THEN ROUND(STDDEV_SAMP(ret) OVER w5 * SQRT(365.0 * 86400.0 / 5), 6) END AS ann_vol_5,
+             CASE WHEN COUNT(retq) OVER w5 >= 5
+                  THEN ROUND(sqrt(CAST(COUNT(retq) OVER w5 * SUM(CAST(retq AS HUGEINT) * retq) OVER w5
+                                       - SUM(retq) OVER w5 * SUM(retq) OVER w5 AS DOUBLE)
+                                  / (CAST(COUNT(retq) OVER w5 AS DOUBLE)
+                                     * (CAST(COUNT(retq) OVER w5 AS DOUBLE) - 1.0)))
+                             / 1e6 * SQRT(365.0 * 86400.0 / 5), 6) END AS ann_vol_5,
              (value - MAX(value) OVER wc) / NULLIF(MAX(value) OVER wc, 0) AS drawdown
       FROM staged
       WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
@@ -4705,7 +4729,7 @@ object Queries {
         SELECT event_type AS symbol,
                date_trunc('hour', ts) AS ts,
                CASE WHEN event_id % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
-               value + event_id * 0.000001 AS price,
+               value + CAST(event_id AS DOUBLE) * 1e-6 AS price,
                value AS amount
         FROM events)"""
 
@@ -4785,9 +4809,12 @@ object Queries {
   // native ASOF LEFT JOIN, the zero-tick carry, and the 6-dp spread.
   /** Lee–Ready oracle chain → CTE `lr` (per-trade classification +
     * 6-dp spreads), shared by q_lee_ready and q_spread_compare. The
-    * quotes CTE is DOUBLE-typed on purpose: the shared bookCte's
-    * `0.000001` literal is DECIMAL in DuckDB — fine under
-    * q_microprice/q_ofi's 6-dp rounds, visible in RAW quote outputs. */
+    * quotes CTE is DOUBLE-typed on purpose, and since round 12 so is
+    * the shared bookCte (`1e-6` E-notation): a `0.000001` literal is
+    * DECIMAL in DuckDB, whose exact product converts to double in ONE
+    * rounding where Spark rounds the double×double product — a 1-ULP
+    * price skew that q_orderbook's RAW spread surfaced at sf0.1
+    * (6-dp-rounded outputs masked it at smaller SFs). */
   private val leeChainCte = """lr_best AS (
         SELECT event_type AS symbol, epoch_us(date_trunc('hour', ts)) AS q_ts,
                MAX(CASE WHEN event_id % 2 = 0 THEN value + event_id * 1e-6 END) AS bid_px,
@@ -8917,6 +8944,55 @@ object Queries {
              END AS tsrv
       FROM g ORDER BY k, bucket_us"""))
 
+  // Realized kernel (BNHLS 2008) per type-day — the kernel-weighted
+  // autocovariance member of the noise-robust family beside q_tsrv:
+  // each lag-h cross product quantizes to its own ·10¹² BIGINT stream,
+  // the Parzen weights fold in Scala and interpolate as literals (the
+  // fracDiff precedent), RK is one fixed tree over H+1 exact images.
+  private val RkBandwidth = 4
+  private val qRealizedKernel = QDef(
+    "q_realized_kernel",
+    (s, dir) => TA.realizedKernel(t(s, dir, "events"), Seq("event_type"),
+        "ts", "value", "event_id", "day", bandwidth = RkBandwidth)
+      .select(col("event_type"), micros(col("bucket")).as("bucket_us"),
+        col("n_returns"), col("rv"), col("rk"))
+      .orderBy("event_type", "bucket_us"),
+    Some {
+      val lagCols = (1 to RkBandwidth).map(h =>
+        s"CAST(round(r * lag(r, $h) OVER w * 1e12) AS BIGINT) AS q$h")
+        .mkString(",\n                   ")
+      val sumCols = (1 to RkBandwidth).map(h =>
+        s"CAST(SUM(q$h) AS BIGINT) AS s$h").mkString(",\n                   ")
+      val rkExpr = (1 to RkBandwidth).foldLeft("CAST(s0 AS DOUBLE) / 1e12") {
+        (acc, h) =>
+          val wS = java.lang.Double.toString(
+            TA.parzen(h.toDouble / (RkBandwidth + 1.0)))
+          s"$acc + ($wS) * 2.0 * (COALESCE(CAST(s$h AS DOUBLE), 0.0) / 1e12)"
+      }
+      s"""
+      WITH b0 AS (SELECT event_type AS k, ts, event_id,
+                         CAST(value AS DOUBLE) AS p
+                  FROM events WHERE value IS NOT NULL AND value > 0),
+      r0 AS (SELECT k, ts,
+                    ln(p / lag(p) OVER (PARTITION BY k ORDER BY ts, event_id)) AS r,
+                    event_id
+             FROM b0),
+      r1 AS (SELECT k, ts, r, event_id FROM r0 WHERE r IS NOT NULL),
+      t AS (SELECT k, ts,
+                   CAST(round(r * r * 1e12) AS BIGINT) AS q0,
+                   $lagCols
+            FROM r1 WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
+      g AS (SELECT k, date_trunc('day', ts) AS bucket, COUNT(*) AS n_returns,
+                   CAST(SUM(q0) AS BIGINT) AS s0,
+                   $sumCols
+            FROM t GROUP BY 1, 2)
+      SELECT k AS event_type, epoch_us(bucket) AS bucket_us, n_returns,
+             round(CAST(s0 AS DOUBLE) / 1e12, 6) + 0.0 AS rv,
+             CASE WHEN n_returns > $RkBandwidth
+               THEN round($rkExpr, 6) + 0.0 END AS rk
+      FROM g ORDER BY k, bucket_us"""
+    })
+
   /** SQL image of [[TA]]'s `det3c` — the same first-row cofactor tree. */
   private def det3s(a: String, b: String, c: String, d: String, e: String,
                     f: String, g: String, h: String, i: String): String =
@@ -9069,7 +9145,7 @@ object Queries {
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,
     qPairsBacktest, qKelly, qAcSchedule, qPcaFactor, qDetonedCorr,
     qTailDep, qFlowAcf, qCorrMst, qSemivariance, qSpreadRatio, qZipfSlope,
-    qWaveletVar, qHillTail, qCfVar, qLzComplexity, qTsrv, qHarRv,
+    qWaveletVar, qHillTail, qCfVar, qLzComplexity, qTsrv, qHarRv, qRealizedKernel,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr

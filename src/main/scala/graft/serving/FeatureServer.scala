@@ -83,9 +83,12 @@ class FeatureServer(store: FeatureStore, adminToken: Option[String],
       ex.getResponseBody.write(bytes)
     } finally {
       ex.close()
+      // unknown routes collapse to one label — a 404 probe must not
+      // mint a fresh time series per client-supplied path
+      val lbl = if (status == 404) "unknown" else route
       metrics.counter("http_requests_total",
-        Map("path" -> route, "status" -> status.toString)).increment()
-      metrics.histogram("http_request_duration_seconds", Map("path" -> route))
+        Map("path" -> lbl, "status" -> status.toString)).increment()
+      metrics.histogram("http_request_duration_seconds", Map("path" -> lbl))
         .observe((System.nanoTime() - t0) / 1e9)
     }
   }

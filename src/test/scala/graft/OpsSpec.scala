@@ -5421,6 +5421,50 @@ class OpsSpec extends SparkSpec {
     assert(sRow.isNullAt(sRow.fieldIndex("tsrv")), sRow.toString)
   }
 
+  test("realizedKernel: drift-tape closed form, anticorrelated noise damped, short-bucket null") {
+    import graft.functions.{TaIndicators => TA}
+    val H = 4
+    def wgt(h: Int) = TA.parzen(h.toDouble / (H + 1.0))
+    // Parzen sanity: w(0)=1 shape, monotone to 0 at the edge
+    assert(TA.parzen(0.0) == 1.0 && TA.parzen(1.0) == 0.0)
+    assert(wgt(1) > wgt(2) && wgt(2) > wgt(3) && wgt(3) > wgt(4))
+    // drift tape p = e^{ct}: r = c → γ_h = (T−1−h)c², closed-form RK
+    val T = 30; val c = 0.01
+    val drift = (0 until T).map(t => ("D", t.toLong, math.exp(c * t)))
+      .toDF("k", "t", "p").withColumn("ts", expr("timestamp_micros(t)"))
+    val d = TA.realizedKernel(drift, Seq("k"), "ts", "p", "t", "day", H)
+      .collect().head
+    val expect = (T - 1) * c * c +
+      (1 to H).map(h => wgt(h) * 2.0 * (T - 1 - h) * c * c).sum
+    assert(math.abs(d.getAs[Double]("rk") - expect) < 2e-6,
+      s"rk=${d.getAs[Double]("rk")} want $expect")
+    assert(math.abs(d.getAs[Double]("rv") - (T - 1) * c * c) < 2e-6)
+    // anticorrelated noise tape (price alternates ±e): γ_h alternates
+    // sign, the kernel nets most of γ₀'s inflation out
+    val e = 0.02
+    val noise = (0 until T).map(t =>
+        ("N", t.toLong, math.exp(if (t % 2 == 0) e else -e)))
+      .toDF("k", "t", "p").withColumn("ts", expr("timestamp_micros(t)"))
+    val n = TA.realizedKernel(noise, Seq("k"), "ts", "p", "t", "day", H)
+      .collect().head
+    val rv = n.getAs[Double]("rv")
+    assert(math.abs(rv - (T - 1) * 4 * e * e) < 2e-6)
+    val nExpect = (0 to H).map { h =>
+      val g = (T - 1 - h) * 4 * e * e * (if (h % 2 == 0) 1.0 else -1.0)
+      if (h == 0) g else wgt(h) * 2.0 * g
+    }.sum
+    assert(math.abs(n.getAs[Double]("rk") - nExpect) < 2e-6,
+      s"rk=${n.getAs[Double]("rk")} want $nExpect")
+    assert(math.abs(n.getAs[Double]("rk")) < 0.35 * rv,
+      s"kernel must damp the noise inflation: ${n.getAs[Double]("rk")} vs rv=$rv")
+    // n ≤ H → null rk
+    val short = (0 until H + 1).map(t => ("S", t.toLong, math.exp(0.01 * t)))
+      .toDF("k", "t", "p").withColumn("ts", expr("timestamp_micros(t)"))
+    val sRow = TA.realizedKernel(short, Seq("k"), "ts", "p", "t", "day", H)
+      .collect().head
+    assert(sRow.isNullAt(sRow.fieldIndex("rk")), sRow.toString)
+  }
+
   test("harRegression: Cramer tree ≡ independent pivoted solve; exact-fit recovery; short series absent") {
     import graft.functions.{TaIndicators => TA}
     // synthetic 2-series tape: ~400 hourly buckets of varying RV (3
