@@ -633,8 +633,10 @@ object TaIndicators {
     * prices drop. Determinism: both squared-return streams quantize
     * independently to `round(r²·10¹²)` BIGINTs (order-free exact sums);
     * the estimator derives in one fixed double tree, 6 dp. Overflow
-    * contract: `n·r²·10¹² < 2⁶³` per bucket (|r| ≤ 30 at 10⁶
-    * ticks/bucket). Buckets with n ≤ K emit null `tsrv` (the
+    * contract: `n·r²·10¹² < 2⁶³` per bucket — |r| ≲ 3 at 10⁶
+    * ticks/bucket, |r| ≲ 30 at 10⁴ (and the K-lag stream's r² is K²×
+    * larger per drifting tick — size buckets to the tape's actual
+    * swings). Buckets with n ≤ K emit null `tsrv` (the
     * correction is undefined without a full subsample grid).
     *
     * Scale shape: ONE keyed window carries both lags (same partition +

@@ -100,8 +100,16 @@ class Metrics {
 
   private def labelStr(labels: Seq[(String, String)], extra: Seq[(String, String)] = Nil): String = {
     val all = labels ++ extra
+    // Prometheus label-value escaping: backslash, quote, newline — an
+    // unescaped quote in a value corrupts the whole exposition
+    def esc(v: String): String = v.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case c => c.toString
+    }
     if (all.isEmpty) ""
-    else all.map { case (k, v) => s"""$k="$v"""" }.mkString("{", ",", "}")
+    else all.map { case (k, v) => s"""$k="${esc(v)}"""" }.mkString("{", ",", "}")
   }
 
   /** Prometheus text exposition format, deterministically ordered. */

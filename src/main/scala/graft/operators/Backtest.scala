@@ -593,14 +593,20 @@ object Backtest {
     * vectors — the corpus is touched only by the upstream estimator.
     * Returns `(key, weight, port_variance)`, 6 dp, matching
     * [[minVariancePortfolio]] to the quantization floor (OpsSpec pins
-    * ≤ 1e−4 on the LW-CC frame; measured ≤ 2.6e−7). Degenerate zero
-    * variances overflow the corr-image cast loudly (ANSI) rather than
-    * silently skewing weights. */
+    * ≤ 1e−4 on the LW-CC frame; measured ≤ 2.6e−7). Degenerate
+    * (≤ 0) variances raise loudly at the diagonal probe — the query
+    * session runs NON-ANSI, so an unguarded zero diagonal would cast
+    * `inf` corr images to silent Long.MaxValue garbage. */
   def minVarianceCG(cov: DataFrame, covCol: String = "shrunk_cov",
                     rounds: Int = 16): DataFrame = {
+    require(rounds > 0, s"minVarianceCG needs rounds > 0, got $rounds")
     val sym = symPairs(cov, covCol)
     val diag = sym.where(col("a") === col("b"))
-      .select(col("a").as("k"), col("covq").as("dq"))
+      .select(col("a").as("k"),
+        when(col("covq") <= 0L,
+          raise_error(concat(lit("minVarianceCG: non-positive variance for key "),
+            col("a"), lit(" — the estimator frame must carry a positive diagonal"))))
+        .otherwise(col("covq")).as("dq"))
       .localCheckpoint()
     val dmin = diag.agg(min(col("dq")).as("dmin"))
     // correlation images: cq = round(covq / (σ_a·σ_b)), σ = √(dq/10⁶)
@@ -692,6 +698,9 @@ object Backtest {
     * key-sized state. Returns `(key, weight)`, long-only, 6 dp. */
   def ercIterative(cov: DataFrame, covCol: String = "shrunk_cov",
                    rounds: Int = 40, damping: Double = 0.5): DataFrame = {
+    require(rounds > 0, s"ercIterative needs rounds > 0, got $rounds")
+    require(damping > 0.0 && damping <= 1.0,
+      s"damping must be in (0, 1], got $damping")
     val sym = symPairs(cov, covCol)
     val trk = sym.where(col("a") === col("b"))
       .agg(sum(col("covq")).cast("double").as("trd"),
@@ -701,8 +710,14 @@ object Backtest {
         round(col("covq").cast("double") * col("kd") * lit(1e6) / col("trd"))
           .cast("long").as("cq"))
       .localCheckpoint()
+    // non-ANSI sessions would fold sqrt(≤0) into silent NaN→0 images —
+    // raise at the diagonal probe instead (the minVarianceCG guard)
     val diag = covn.where(col("a") === col("b"))
-      .select(col("a").as("k"), col("cq").as("dq"), col("kd"))
+      .select(col("a").as("k"),
+        when(col("cq") <= 0L,
+          raise_error(concat(lit("ercIterative: non-positive variance for key "),
+            col("a"), lit(" — the estimator frame must carry a positive diagonal"))))
+        .otherwise(col("cq")).as("dq"), col("kd"))
     var st = diag
       .select(col("k"), col("dq"), col("kd"),
         round(lit(1e9) / sqrt(col("dq").cast("double"))).cast("long").as("xq"))
@@ -977,11 +992,37 @@ object Backtest {
       .drop("_p", "_side")
   }
 
+  /** The bet-sizing sweep's emission: prefix-sum the `(keys…, _ts, _f,
+    * _dsz, _dn)` event stream in (_ts, _f) order and emit the grid rows
+    * (`_f = 1`) as `(keys…, ts_us, n_active, avg_size, bet_size)` —
+    * ONE definition of the exact integer prefix sums, the single-arg
+    * `round(Σsizeq/n)` mean image, and the discretization tree, shared
+    * by [[betSizing]] and [[MarketIncremental.betSizingFold]] so the
+    * batch and incremental paths cannot drift (the OpsSpec bit-identity
+    * contract depends on this tree being literally the same). */
+  def betSweep(events: DataFrame, keys: Seq[String],
+               stepSize: Double): DataFrame = {
+    require(stepSize > 0.0 && stepSize <= 1.0,
+      s"stepSize must be in (0, 1], got $stepSize")
+    val kCols = keys.map(col)
+    val w = Window.partitionBy(kCols: _*).orderBy(col("_ts"), col("_f"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val avgQ = round(col("_ssz").cast("double") /
+      col("_cnt").cast("double")).cast("long")
+    val stepQ = stepSize * 1e6
+    events
+      .withColumn("_ssz", sum(col("_dsz")).over(w))
+      .withColumn("_cnt", sum(col("_dn")).over(w))
+      .where(col("_f") === 1 && col("_cnt") > 0L)
+      .select(kCols ++ Seq(col("_ts").as("ts_us"), col("_cnt").as("n_active"),
+        (avgQ.cast("double") / lit(1e6)).as("avg_size"),
+        (round(avgQ.cast("double") / lit(stepQ)) * lit(stepSize) + lit(0.0))
+          .as("bet_size")): _*)
+  }
+
   def betSizing(bets: DataFrame, keys: Seq[String], t0Col: String,
                 t1Col: String, probCol: String, sideCol: String,
                 stepSize: Double): DataFrame = {
-    require(stepSize > 0.0 && stepSize <= 1.0,
-      s"stepSize must be in (0, 1], got $stepSize")
     val kCols = keys.map(col)
     val b0 = betDeltasPrepped(bets, keys, t0Col, t1Col, probCol, sideCol)
     def shaped(f: Int, ts: Column, dsz: Column, dn: Column, src: DataFrame) =
@@ -992,19 +1033,7 @@ object Backtest {
     val grid = b0.select(kCols :+ col("_t0").as("_ts"): _*).distinct()
       .select(kCols ++ Seq(col("_ts"), lit(1).as("_f"),
         lit(0L).as("_dsz"), lit(0L).as("_dn")): _*)
-    val w = Window.partitionBy(kCols: _*).orderBy(col("_ts"), col("_f"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val avgQ = round(col("_ssz").cast("double") /
-      col("_cnt").cast("double")).cast("long")
-    val stepQ = stepSize * 1e6
-    deltas.unionByName(grid)
-      .withColumn("_ssz", sum(col("_dsz")).over(w))
-      .withColumn("_cnt", sum(col("_dn")).over(w))
-      .where(col("_f") === 1 && col("_cnt") > 0L)
-      .select(kCols ++ Seq(col("_ts").as("ts_us"), col("_cnt").as("n_active"),
-        (avgQ.cast("double") / lit(1e6)).as("avg_size"),
-        (round(avgQ.cast("double") / lit(stepQ)) * lit(stepSize) + lit(0.0))
-          .as("bet_size")): _*)
+    betSweep(deltas.unionByName(grid), keys, stepSize)
   }
 
   /** Inverse standard-normal CDF, Acklam's rational approximation

@@ -1071,19 +1071,8 @@ object MarketIncremental {
       .join(frontier, K)
       .localCheckpoint(true)
     val consumable = events.where(col("_ts") <= col("_fr"))
-    val w = Window.partitionBy(kCols: _*).orderBy(col("_ts"), col("_f"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val avgQ = round(col("_ssz").cast("double") /
-      col("_cnt").cast("double")).cast("long")
-    val stepQ = cfg.stepSize * 1e6
-    val sizes = consumable
-      .withColumn("_ssz", sum(col("_dsz")).over(w))
-      .withColumn("_cnt", sum(col("_dn")).over(w))
-      .where(col("_f") === 1 && col("_cnt") > 0L)
-      .select(kCols ++ Seq(col("_ts").as("ts_us"), col("_cnt").as("n_active"),
-        (avgQ.cast("double") / lit(1e6)).as("avg_size"),
-        (round(avgQ.cast("double") / lit(stepQ)) * lit(cfg.stepSize) + lit(0.0))
-          .as("bet_size")): _*)
+    // the SAME emission tree as the batch operator — one definition
+    val sizes = B.betSweep(consumable, K, cfg.stepSize)
     val accNew = consumable.where(col("_f") <= 0)
       .groupBy(kCols: _*).agg(sum(col("_dsz")).as("acc_ssz"),
         sum(col("_dn")).as("acc_cnt"))

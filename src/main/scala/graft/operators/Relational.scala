@@ -1917,6 +1917,13 @@ object Relational {
     * the graph is disconnected; null-weight edges are ignored). */
   def minSpanningTree(dist: DataFrame, distCol: String = "dist",
                       rounds: Int = 0, jumps: Int = 0): DataFrame = {
+    // derived rounds assume each round FULLY merges its picked
+    // components — only the fixpoint propagation guarantees that; a
+    // pinned jump budget under auto rounds reintroduces the
+    // under-merge hazard the self-budget exists to close
+    require(rounds > 0 || jumps <= 0,
+      s"minSpanningTree: auto rounds (rounds=$rounds) require fixpoint " +
+        s"label propagation — drop the jumps pin (got jumps=$jumps) or pin both")
     val edges = dist
       .select(col("key_a").cast("string").as("a"),
         col("key_b").cast("string").as("b"),

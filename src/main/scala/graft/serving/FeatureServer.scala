@@ -83,23 +83,24 @@ class FeatureServer(store: FeatureStore, adminToken: Option[String],
       ex.getResponseBody.write(bytes)
     } finally {
       ex.close()
-      // unknown routes collapse to one label — a 404 probe must not
-      // mint a fresh time series per client-supplied path
-      val lbl = if (status == 404) "unknown" else route
       metrics.counter("http_requests_total",
-        Map("path" -> lbl, "status" -> status.toString)).increment()
-      metrics.histogram("http_request_duration_seconds", Map("path" -> lbl))
+        Map("path" -> route, "status" -> status.toString)).increment()
+      metrics.histogram("http_request_duration_seconds", Map("path" -> route))
         .observe((System.nanoTime() - t0) / 1e9)
     }
   }
 
-  /** Metric label: the route shape, not the raw path (bounded label
-    * cardinality — domains are a small fixed set, so they stay). */
+  /** Metric label: the route SHAPE only — no client-supplied segment
+    * ever reaches a label (a probe loop on /features/<random> would
+    * otherwise mint one counter+histogram series per path, and decoded
+    * quotes would corrupt the exposition format). */
   private def routeOf(path: String): String =
     if (path == "/metrics") "/metrics"
-    else if (path.startsWith("/admin")) path
-    else if (path.endsWith("/range")) path
-    else path
+    else if (path == "/admin/ttl_sweep") path
+    else if (path.startsWith("/features/") && path.endsWith("/range"))
+      "/features/{domain}/range"
+    else if (path.startsWith("/features/")) "/features/{domain}"
+    else "unknown"
 
   private def dispatch(ex: HttpExchange, path: String): (Int, String) = {
     val q = params(ex)
@@ -126,6 +127,9 @@ class FeatureServer(store: FeatureStore, adminToken: Option[String],
     val timeframe = one(q, "timeframe")
     val ts = q.getOrElse("ts", Seq.empty).map(longOf("ts", _))
     if (ts.isEmpty) throw HttpError(400, "ts is required (repeat per epoch-second)")
+    if (ts.size > maxLimit)
+      throw HttpError(400,
+        s"at most $maxLimit ts values per request, got ${ts.size}")
     val rows = Sanitize.cleanNumbers(
         store.batchRead(domain, symbol, timeframe, ts)).collect()
     // request order, missing epochs skipped (routes.py:698-706)
@@ -141,10 +145,13 @@ class FeatureServer(store: FeatureStore, adminToken: Option[String],
     val timeframe = one(q, "timeframe")
     val start = longOf("start", one(q, "start"))
     val end = longOf("end", one(q, "end"))
-    val limit = q.get("limit").flatMap(_.headOption)
-      .map(v => longOf("limit", v).toInt).getOrElse(500)
-    if (limit < 0 || limit > maxLimit)
-      throw HttpError(400, s"limit must be in [0, $maxLimit], got $limit")
+    val limitL = q.get("limit").flatMap(_.headOption)
+      .map(v => longOf("limit", v)).getOrElse(500L)
+    // validate on the Long BEFORE narrowing — 2^32 must 400, not
+    // silently truncate to limit=0
+    if (limitL < 0L || limitL > maxLimit)
+      throw HttpError(400, s"limit must be in [0, $maxLimit], got $limitL")
+    val limit = limitL.toInt
     val reverse = q.get("reverse").flatMap(_.headOption)
       .exists(v => v == "true" || v == "1")
     val rows = Sanitize.cleanNumbers(
@@ -168,7 +175,12 @@ class FeatureServer(store: FeatureStore, adminToken: Option[String],
           Some(parts(1).trim)
         else None
       })
-    if (!provided.contains(expected)) throw HttpError(401, "Admin token required")
+    // constant-time compare — string equality short-circuits and leaks
+    // the token prefix to a timing probe
+    val ok = provided.exists(p => java.security.MessageDigest.isEqual(
+      p.getBytes(StandardCharsets.UTF_8),
+      expected.getBytes(StandardCharsets.UTF_8)))
+    if (!ok) throw HttpError(401, "Admin token required")
   }
 
   // ---- helpers ----

@@ -281,7 +281,7 @@ class SystemSpec extends SparkSpec {
       // per-request metrics recorded
       val exp = get("/metrics")._2
       assert(exp.contains("http_requests_total"), exp.take(200))
-      assert(exp.contains("""path="/features/market/range""""), exp.take(400))
+      assert(exp.contains("""path="/features/{domain}/range""""), exp.take(400))
     } finally srv.stop()
     // unconfigured admin token → 503 (the reference's dev-env refusal)
     val srv2 = new FeatureServer(store, None, metrics = new graft.metrics.Metrics)
