@@ -615,6 +615,118 @@ object Queries {
       $rs"""
   }
 
+  /** Quantized single-linkage + unrolled-bisection HRP oracle — the SQL
+    * image of [[operators.Backtest.hrpIterative]]'s fold. `src` as in
+    * [[cgRoundsSql]] (upper-triangle ·10⁶ images). Emits the normalized
+    * images (`hsym`/`htr`/`hcn`/`hdg`), the distance frame `hds`, then
+    * per merge round the crossing-edge argmin `hpN` (`ORDER BY dq, a, b
+    * LIMIT 1` — Kruskal ≡ single linkage, Gower & Ross 1969) and the
+    * relabeled/path-extended state `hlN` (side bit prepended, lower
+    * min-key cluster first — empty picks no-op via NULL comparisons);
+    * then the seriation `hor` (`ORDER BY path, k`), inverse-variance
+    * images `hiq`, and per bisection level the half split `hsN`, exact
+    * HUGEINT cluster-variance sums `hssN`/`hnnN`, variance images +
+    * split factors `halN`/`hmN`, and the re-quantized weight state
+    * `hbN`. Final state CTE is `hb$levels` (k, ord, lo, seglen, wq)
+    * plus the weight-sum scalar `hsw`. */
+  private def hrpRoundsSql(src: String, merges: Int, levels: Int): String = {
+    val ms = (1 to merges).map { i =>
+      val prev = if (i == 1) "hl0" else s"hl${i - 1}"
+      s"""hp$i AS (SELECT la.lab AS lx, lb2.lab AS ly
+             FROM hds d JOIN $prev la ON la.k = d.a
+                        JOIN $prev lb2 ON lb2.k = d.b
+             WHERE la.lab <> lb2.lab
+             ORDER BY d.dq, d.a, d.b LIMIT 1),
+      hl$i AS MATERIALIZED (SELECT k,
+               CASE WHEN lab = (SELECT lx FROM hp$i)
+                      OR lab = (SELECT ly FROM hp$i)
+                    THEN least((SELECT lx FROM hp$i), (SELECT ly FROM hp$i))
+                    ELSE lab END AS lab,
+               CASE WHEN lab = least((SELECT lx FROM hp$i), (SELECT ly FROM hp$i))
+                    THEN '0' || path
+                    WHEN lab = greatest((SELECT lx FROM hp$i), (SELECT ly FROM hp$i))
+                    THEN '1' || path
+                    ELSE path END AS path
+             FROM $prev)"""
+    }.mkString(",\n      ")
+    val ls = (1 to levels).map { i =>
+      val prev = if (i == 1) "hb0" else s"hb${i - 1}"
+      s"""hs$i AS MATERIALIZED (SELECT k, ord, lo, seglen, wq,
+               (seglen + 1) // 2 AS h1,
+               CASE WHEN ord - lo < (seglen + 1) // 2 THEN 0 ELSE 1 END AS hf
+             FROM $prev),
+      hss$i AS MATERIALIZED (SELECT s.lo, s.hf, CAST(SUM(i.invq) AS HUGEINT) AS ss
+             FROM hs$i s JOIN hiq i ON i.k = s.k
+             WHERE s.seglen > 1 GROUP BY 1, 2),
+      hnn$i AS MATERIALIZED (SELECT sx.lo, sx.hf,
+               SUM(CAST(ix.invq AS HUGEINT) * iy.invq * c.cq) AS nn
+             FROM hcn c
+             JOIN hs$i sx ON sx.k = c.a
+             JOIN hs$i sy ON sy.k = c.b AND sy.lo = sx.lo AND sy.hf = sx.hf
+             JOIN hiq ix ON ix.k = c.a
+             JOIN hiq iy ON iy.k = c.b
+             WHERE sx.seglen > 1
+             GROUP BY 1, 2),
+      hal$i AS MATERIALIZED (SELECT v1.lo,
+               CAST(round(CAST(n1.nn AS DOUBLE) / CAST(v1.ss AS DOUBLE)
+                    / CAST(v1.ss AS DOUBLE) * 1e12) AS BIGINT) AS vq1,
+               CAST(round(CAST(n2.nn AS DOUBLE) / CAST(v2.ss AS DOUBLE)
+                    / CAST(v2.ss AS DOUBLE) * 1e12) AS BIGINT) AS vq2
+             FROM hss$i v1 JOIN hss$i v2 ON v2.lo = v1.lo AND v1.hf = 0 AND v2.hf = 1
+             JOIN hnn$i n1 ON n1.lo = v1.lo AND n1.hf = 0
+             JOIN hnn$i n2 ON n2.lo = v1.lo AND n2.hf = 1),
+      hm$i AS MATERIALIZED (SELECT lo,
+               CASE WHEN vq1 + vq2 > 0
+                    THEN CAST(vq2 AS DOUBLE) / CAST(vq1 + vq2 AS DOUBLE)
+                    ELSE 0.5 END AS m1,
+               CASE WHEN vq1 + vq2 > 0
+                    THEN CAST(vq1 AS DOUBLE) / CAST(vq1 + vq2 AS DOUBLE)
+                    ELSE 0.5 END AS m2
+             FROM hal$i),
+      hb$i AS MATERIALIZED (SELECT s.k, s.ord,
+               CASE WHEN s.seglen <= 1 THEN s.lo
+                    WHEN s.hf = 0 THEN s.lo ELSE s.lo + s.h1 END AS lo,
+               CASE WHEN s.seglen <= 1 THEN s.seglen
+                    WHEN s.hf = 0 THEN s.h1 ELSE s.seglen - s.h1 END AS seglen,
+               CASE WHEN s.seglen <= 1 THEN s.wq
+                    WHEN s.hf = 0 THEN CAST(round(CAST(s.wq AS DOUBLE) * m.m1) AS BIGINT)
+                    ELSE CAST(round(CAST(s.wq AS DOUBLE) * m.m2) AS BIGINT) END AS wq
+             FROM hs$i s LEFT JOIN hm$i m ON m.lo = s.lo)"""
+    }.mkString(",\n      ")
+    s"""hsym AS MATERIALIZED (SELECT a, b, covq FROM $src
+              UNION ALL
+              SELECT b AS a, a AS b, covq FROM $src WHERE a <> b),
+      htr AS (SELECT CAST(SUM(covq) AS DOUBLE) AS trd,
+                     CAST(COUNT(*) AS DOUBLE) AS kd
+              FROM hsym WHERE a = b),
+      hcn AS MATERIALIZED (SELECT a, b,
+               CAST(round(CAST(covq AS DOUBLE) * (SELECT kd FROM htr) * 1e6
+                    / (SELECT trd FROM htr)) AS BIGINT) AS cq
+             FROM hsym),
+      hdg AS MATERIALIZED (SELECT a AS k, cq AS dq FROM hcn WHERE a = b),
+      hds AS MATERIALIZED (SELECT c.a, c.b,
+               CAST(round(1e6 * sqrt(greatest(0.0,
+                 (1.0 - CAST(c.cq AS DOUBLE)
+                        / sqrt(CAST(da.dq AS DOUBLE) * CAST(db.dq AS DOUBLE)))
+                 / 2.0))) AS BIGINT) AS dq
+             FROM hcn c JOIN hdg da ON da.k = c.a JOIN hdg db ON db.k = c.b
+             WHERE c.a < c.b),
+      hl0 AS MATERIALIZED (SELECT k, k AS lab, '' AS path FROM hdg),
+      $ms,
+      hor AS MATERIALIZED (SELECT k,
+               ROW_NUMBER() OVER (ORDER BY path, k) AS ord
+             FROM hl$merges),
+      hiq AS MATERIALIZED (SELECT k,
+               CAST(round(1e14 / CAST(dq AS DOUBLE)) AS BIGINT) AS invq
+             FROM hdg),
+      hb0 AS MATERIALIZED (SELECT k, ord, CAST(1 AS BIGINT) AS lo,
+               (SELECT COUNT(*) FROM hor) AS seglen,
+               CAST(1000000000000 AS BIGINT) AS wq
+             FROM hor),
+      $ls,
+      hsw AS (SELECT CAST(SUM(wq) AS HUGEINT) AS sw FROM hb$levels)"""
+  }
+
   private val qPcaFactor = QDef(
     "q_pca_factor",
     (s, dir) => {
@@ -3260,6 +3372,8 @@ object Queries {
   private val CgRounds = 6
   private val ErcRounds = 12
   private val ErcDamping = 0.8
+  private val HrpMerges = 8
+  private val HrpLevels = 4
 
   /** Shared `covp` CTE: the LW-CC shrunk covariance upper triangle as
     * ·10⁶ BIGINT images (requires `q2`/`dl`/`rb` from [[lwCcCteSql]]
@@ -3299,8 +3413,15 @@ object Queries {
       FROM xw ORDER BY key"""))
 
   // Hierarchical Risk Parity on the same LW-CC shrunk covariance — the
-  // inversion-free allocator beside q_min_variance (rows-only for the
-  // same reason: sequential clustering + bisection; spec-pinned).
+  // inversion-free allocator beside q_min_variance. HASH-CHECKED
+  // (VERDICT r12 #1 retired the last rows-only entry): the engine runs
+  // hrpIterative's quantized protocol — single linkage as Kruskal over
+  // ·10⁶ integer distance images with the (dq, a, b) lexicographic
+  // tie-break, path-string seriation, and the bisection unrolled over
+  // exact-HUGEINT cluster-variance images — and the oracle replays the
+  // identical fold as MATERIALIZED CTE rounds (8 merges + 4 levels,
+  // no-op tails). The raw-double driver solver (hrpPortfolio) stays as
+  // the OpsSpec cross-check, the ercIterative/ercPortfolio pairing.
   private val qHrp = QDef(
     "q_hrp",
     (s, dir) => {
@@ -3309,9 +3430,17 @@ object Queries {
         .agg((dsum(col("value")) / count(lit(1))).as("mean_v"))
       val cov = Relational.ledoitWolfConstCorr(hourly, "event_type",
         "bucket", "mean_v", scale = 1e4, pairScale = 1e2, termScale = 1e6)
-      operators.Backtest.hrpPortfolio(cov)
+      operators.Backtest.hrpIterative(cov, merges = HrpMerges,
+        levels = HrpLevels)
     },
-    None)
+    Some(s"""
+      WITH $lwCcCteSql,
+      $covpCteSql,
+      ${hrpRoundsSql("covp", HrpMerges, HrpLevels)}
+      SELECT k AS key,
+             round(CAST(wq AS DOUBLE)
+                   / CAST((SELECT sw FROM hsw) AS DOUBLE), 6) + 0.0 AS weight
+      FROM hb$HrpLevels ORDER BY key"""))
 
   // Equal-risk-contribution (risk parity) on the same LW-CC shrunk
   // covariance — HASH-CHECKED (VERDICT r11 #1): the engine runs the

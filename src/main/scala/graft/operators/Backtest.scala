@@ -391,6 +391,172 @@ object Backtest {
     }.toSeq.toDF("key", "weight").orderBy("key")
   }
 
+  /** HRP via the QUANTIZED single-linkage + unrolled-bisection protocol
+    * — the hash-checkable complement to [[hrpPortfolio]] (which stays
+    * as the raw-double spec cross-check, the [[ercIterative]] /
+    * `ercPortfolio` pairing). Every input to every sequential decision
+    * is an integer image, and every fold is either an exact integer sum
+    * (order-free) or a fixed IEEE double tree over such sums — so a SQL
+    * oracle unrolling `merges` merge rounds and `levels` bisection
+    * levels as MATERIALIZED CTEs replays the allocation bit-identically
+    * (the [[minVarianceCG]] doctrine; no-op tail rounds in both
+    * engines):
+    *
+    *  1. trace-normalize, `Σ̂ = Σ·k/tr(Σ)` as ·10⁶ BIGINT images (the
+    *     [[ercIterative]] stage — HRP is scale-invariant, and the
+    *     normalized diagonal pins the integer envelope below);
+    *  2. distance images `dq = round(10⁶·√(max(0,(1−ρ)/2)))`,
+    *     `ρ = cq_ab/√(cq_aa·cq_bb)`;
+    *  3. single linkage = Kruskal over edges in `(dq, a, b)` order —
+    *     Gower & Ross (1969): the greedy crossing-edge argmin IS the
+    *     single-linkage dendrogram; the lexicographic tie-break
+    *     replaces [[hrpPortfolio]]'s scan-order rule. Each merge
+    *     prepends a side bit to its members' PATH string (lower-min-key
+    *     cluster first, [[hrpPortfolio]]'s seriation convention), so
+    *     the quasi-diagonal order is simply `ORDER BY (path, key)`;
+    *  4. recursive bisection unrolled over ⌈len/2⌉ splits: cluster
+    *     variance is the exact pair sum `N = Σᵢⱼ invqᵢ·invqⱼ·cqᵢⱼ`
+    *     (`invq = round(10¹⁴/dq)`) with image `vq = round(N/S²·10¹²)`
+    *     (`S = Σ invq`), split factors `m₁ = vq₂/(vq₁+vq₂)`,
+    *     `m₂ = vq₁/(vq₁+vq₂)` as separate double ratios of small
+    *     integers, and the weight image re-quantized `wq' = round(wq·m)`
+    *     per level from `wq₀ = 10¹²`.
+    *
+    * The estimator frame is key²-sized for ANY corpus size, so the fold
+    * runs over ONE guarded collect of ≤ cap² quantized integers
+    * (cap = min(merges+1, 2^levels)) — unlike CG/ERC there is no
+    * per-round global scalar to stream back, and driver-sequencing the
+    * k−1 argmin picks at k ≤ 16 would be scheduling theater, not
+    * distribution; the corpus itself is touched only by the upstream
+    * covariance estimator. Driver rounding is `BigDecimal.valueOf(x)
+    * .setScale(0, HALF_UP)` — the exact algorithm of Spark's `round`,
+    * matching DuckDB's half-away rounding on these positive images.
+    *
+    * Envelope contract (raised loudly, not silent): every normalized
+    * diagonal image must sit in [10², 10⁹] — then `invq ≤ 10¹²`,
+    * `(Σ invq)²·max|cq| ≤ 4·10³³`, inside HUGEINT/exact-BigInt range,
+    * and the variance images keep ≥ 6 significant digits. Returns
+    * `(key, weight)`, long-only, 6 dp, keys sorted.
+    * Ref behavior: López de Prado 2016 (JPM 42(4)), the same
+    * allocation [[hrpPortfolio]] computes from raw doubles. */
+  def hrpIterative(cov: DataFrame, covCol: String = "shrunk_cov",
+                   merges: Int = 8, levels: Int = 4): DataFrame = {
+    require(merges > 0 && levels > 0,
+      s"hrpIterative needs merges > 0 and levels > 0, got ($merges, $levels)")
+    val spark = cov.sparkSession
+    import spark.implicits._
+    def r0(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val cap = math.min(merges + 1, 1 << levels)
+    // ONE guarded collect of the symmetric ·10⁶ image frame (key²-sized)
+    val rows = symPairs(cov, covCol).limit(cap * cap + 1).collect()
+    require(rows.length <= cap * cap,
+      s"hrpIterative: pair frame exceeds the $cap-key budget " +
+        s"(merges=$merges, levels=$levels) — raise the unroll budget " +
+        "IN BOTH the engine and its oracle, or shard the universe")
+    val covq = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val keys = rows.map(_.getString(0)).distinct.sorted
+    val k = keys.length
+    require(k >= 1, "hrpIterative: empty covariance frame — nothing to " +
+      "allocate (is the upstream returns window empty at this scale?)")
+    require(k <= cap, s"hrpIterative: $k keys exceeds the unroll budget " +
+      s"cap=$cap (merges=$merges, levels=$levels)")
+    keys.foreach { a => keys.foreach { b =>
+      require(covq.contains((a, b)),
+        s"hrpIterative: missing cov($a, $b) — the pair frame must be a " +
+          "complete upper triangle")
+    }}
+    // trace normalization — fixed tree: round(covq · k · 10⁶ / tr)
+    val trd = keys.map(a => BigInt(covq((a, a)))).sum.toDouble
+    val kd = k.toDouble
+    require(trd > 0.0, "hrpIterative: non-positive trace — the estimator " +
+      "frame must carry positive variances")
+    val cq = covq.map { case (ab, v) => ab -> r0(v.toDouble * kd * 1e6 / trd) }
+    val dq = keys.map(a => a -> cq((a, a))).toMap
+    keys.foreach { a =>
+      require(dq(a) >= 100L && dq(a) <= 1000000000L,
+        s"hrpIterative: trace-normalized variance image for '$a' is " +
+          s"${dq(a)}, outside [1e2, 1e9] — the exact-integer cluster-" +
+          "variance envelope needs every diagonal within ~10⁴× of the " +
+          "cross-sectional mean variance; rescale or shard upstream")
+    }
+    // distance images, upper triangle
+    val edges = (for {
+      i <- keys.indices; j <- (i + 1) until k
+      a = keys(i); b = keys(j)
+    } yield {
+      val rho = cq((a, b)).toDouble /
+        math.sqrt(dq(a).toDouble * dq(b).toDouble)
+      (r0(1e6 * math.sqrt(math.max(0.0, (1.0 - rho) / 2.0))), a, b)
+    }).sorted // (dq, a, b) — the oracle's ORDER BY d.dq, d.a, d.b
+    // Kruskal ≡ sequential crossing-edge argmin ≡ single linkage
+    val lab = scala.collection.mutable.Map(keys.map(s => s -> s): _*)
+    val path = scala.collection.mutable.Map(keys.map(s => s -> ""): _*)
+    var done = 0
+    edges.foreach { case (_, a, b) =>
+      val (la, lb) = (lab(a), lab(b))
+      if (la != lb && done < merges) {
+        val (lo, hi) = if (la < lb) (la, lb) else (lb, la)
+        keys.foreach { s =>
+          if (lab(s) == lo) path(s) = "0" + path(s)
+          else if (lab(s) == hi) { path(s) = "1" + path(s); lab(s) = lo }
+        }
+        done += 1
+      }
+    }
+    require(done == k - 1,
+      s"hrpIterative: $done merges completed but $k keys need ${k - 1} — " +
+        s"unroll budget merges=$merges too small (raise it in BOTH engines)")
+    val ordered = keys.sortBy(s => (path(s), s)) // ORDER BY path, k
+    val ord = ordered.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
+    // bisection over quantized cluster-variance images
+    val invq = keys.map(a => a -> r0(1e14 / dq(a).toDouble)).toMap
+    val lo = scala.collection.mutable.Map(keys.map(s => s -> 1L): _*)
+    val len = scala.collection.mutable.Map(keys.map(s => s -> k.toLong): _*)
+    val wq = scala.collection.mutable.Map(keys.map(s => s -> 1000000000000L): _*)
+    (1 to levels).foreach { _ =>
+      val h1 = keys.map(s => s -> (len(s) + 1) / 2).toMap
+      val hf = keys.map(s => s -> (if (ord(s) - lo(s) < h1(s)) 0 else 1)).toMap
+      // per (segment, half): S = Σ invq (exact), N = Σᵢⱼ invqᵢ·invqⱼ·cqᵢⱼ
+      // (exact, full double sum incl. i=j — the hrpPortfolio convention)
+      val segs = keys.filter(s => len(s) > 1L).groupBy(s => (lo(s), hf(s)))
+      val vq = segs.map { case (key, members) =>
+        val ss = members.map(s => BigInt(invq(s))).sum
+        val nn = (for (i <- members; j <- members)
+          yield BigInt(invq(i)) * BigInt(invq(j)) * BigInt(cq((i, j)))).sum
+        key -> r0(nn.toDouble / ss.toDouble / ss.toDouble * 1e12)
+      }
+      val mults = segs.keys.map(_._1).toSeq.distinct.map { l =>
+        val (v1, v2) = (vq((l, 0)), vq((l, 1)))
+        val m1 = if (v1 + v2 > 0) v2.toDouble / (v1 + v2).toDouble else 0.5
+        val m2 = if (v1 + v2 > 0) v1.toDouble / (v1 + v2).toDouble else 0.5
+        l -> (m1, m2)
+      }.toMap
+      keys.foreach { s =>
+        if (len(s) > 1L) {
+          val (m1, m2) = mults(lo(s))
+          if (hf(s) == 0) {
+            wq(s) = r0(wq(s).toDouble * m1)
+            len(s) = h1(s)
+          } else {
+            wq(s) = r0(wq(s).toDouble * m2)
+            lo(s) = lo(s) + h1(s)
+            len(s) = len(s) - h1(s)
+          }
+        }
+      }
+    }
+    require(keys.forall(s => len(s) <= 1L),
+      s"hrpIterative: bisection not fully resolved after $levels levels " +
+        s"for $k keys — raise `levels` in BOTH engines")
+    val swq = keys.map(s => BigInt(wq(s))).sum
+    keys.toSeq.map(s => (s, wq(s))).toDF("key", "wq")
+      .select(col("key"),
+        (round(col("wq").cast("double") / lit(swq.toDouble), 6) + lit(0.0))
+          .as("weight"))
+      .orderBy("key")
+  }
+
   /** Equal-risk-contribution (risk-parity) portfolio (Maillard, Roncalli
     * & Teïletche 2010; solver: Spinu 2013's convex formulation): the
     * weights where every asset contributes the SAME share of portfolio
@@ -636,9 +802,14 @@ object Backtest {
     }
     var rz = scalarOf(st.agg(sum(col("rq").cast(D38q) * col("rq"))))
     (1 to rounds).foreach { _ =>
+      // DECIMAL(38,0) product: a LongType multiply would WRAP silently in
+      // a non-ANSI session where the oracle's BIGINT multiply raises —
+      // |cq·pq| ≤ ~10¹² per term leaves 26 digits of headroom, so the
+      // decimal path is exact and symmetric with the pap/rz reductions
       val mv = corr
         .join(broadcast(st.select(col("k").as("b"), col("pq"))), Seq("b"))
-        .groupBy(col("a").as("k")).agg(sum(col("cq") * col("pq")).as("mv"))
+        .groupBy(col("a").as("k"))
+        .agg(sum(col("cq").cast(D38q) * col("pq")).cast("long").as("mv"))
         .coalesce(1).localCheckpoint()
       val pap = scalarOf(st.join(broadcast(mv), Seq("k"))
         .agg(sum(col("pq").cast(D38q) * col("mv"))))
@@ -723,9 +894,12 @@ object Backtest {
         round(lit(1e9) / sqrt(col("dq").cast("double"))).cast("long").as("xq"))
       .coalesce(1).localCheckpoint()
     (1 to rounds).foreach { _ =>
+      // DECIMAL(38,0) product — same wrap-vs-raise symmetry note as
+      // minVarianceCG's matvec; |cq·xq| ≤ ~10¹² per term
       val mv = covn
         .join(broadcast(st.select(col("k").as("b"), col("xq"))), Seq("b"))
-        .groupBy(col("a").as("k")).agg(sum(col("cq") * col("xq")).as("mv"))
+        .groupBy(col("a").as("k"))
+        .agg(sum(col("cq").cast(D38q) * col("xq")).cast("long").as("mv"))
       val c = (col("mv").cast("double") -
         col("dq").cast("double") * col("xq").cast("double")) / lit(1e12)
       val aii = col("dq").cast("double") / lit(1e6)

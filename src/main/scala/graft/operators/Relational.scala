@@ -1971,10 +1971,15 @@ object Relational {
       }
       if (jumps > 0) (1 to jumps).foreach(_ => jump())
       else {
-        // fixpoint: iterate until no label moves (each step is one
-        // broadcast join over a key-sized frame; cap n−1 = the
-        // worst-case chain diameter, unreachable in practice since
-        // min-label distance halves per step)
+        // fixpoint: iterate until no label moves. jump() is ONE-HOP
+        // min-neighbor propagation (no pointer doubling), so a
+        // path-shaped component needs O(diameter) iterations — the
+        // n−1 cap is that worst case, not a log bound. Each step is
+        // one broadcast join over a key-sized frame, and per-round
+        // component graphs are Borůvka-contracted (≤ half the labels
+        // survive a round), so diameters stay small in practice; the
+        // pinned (rounds, jumps) path shares jump()'s one-hop
+        // semantics, which is why the hop rule stays un-doubled here.
         var it = 0L
         var changed = true
         while (changed && it < math.max(1L, n - 1L)) {

@@ -132,8 +132,21 @@ class FeatureServer(store: FeatureStore, adminToken: Option[String],
         s"at most $maxLimit ts values per request, got ${ts.size}")
     val rows = Sanitize.cleanNumbers(
         store.batchRead(domain, symbol, timeframe, ts)).collect()
-    // request order, missing epochs skipped (routes.py:698-706)
-    val byEpoch = rows.map(r => epochOf(r) -> r).toMap
+    // request order, missing epochs skipped (routes.py:698-706).
+    // The store dedups at write time, but a torn write can still leave
+    // two versions of one epoch on disk — pick the winner by the store's
+    // own last-write-wins rule (max _write_seq, then a stable JSON
+    // tiebreak), never by collect order.
+    val byEpoch = rows.groupBy(epochOf).map { case (e, rs) =>
+      e -> rs.maxBy { r =>
+        val seq =
+          if (r.schema.fieldNames.contains("_write_seq") &&
+              !r.isNullAt(r.fieldIndex("_write_seq")))
+            r.getAs[Long]("_write_seq")
+          else Long.MinValue
+        (seq, rowJson(r, e))
+      }
+    }
     val data = ts.flatMap(t => byEpoch.get(t).map(r => rowJson(r, t)))
     (200, s"""{"rows":${data.size},"data":[${data.mkString(",")}]}""")
   }

@@ -4208,6 +4208,60 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hrpIterative: diagonal = inverse-variance exactly, matches the raw-double solver on an LW-CC frame, guards raise") {
+    def solve(pairs: Seq[(String, String, Double)]) =
+      operators.Backtest.hrpIterative(
+        pairs.toDF("key_a", "key_b", "shrunk_cov"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // diagonal 4-asset: quantized HRP == inverse variance EXACTLY (the
+    // images round-trip without loss: block split 0.8/0.2, then 0.5)
+    val d = solve(Seq(("A", "A", 1.0), ("B", "B", 1.0), ("C", "C", 4.0),
+      ("D", "D", 4.0), ("A", "B", 0.0), ("A", "C", 0.0), ("A", "D", 0.0),
+      ("B", "C", 0.0), ("B", "D", 0.0), ("C", "D", 0.0)))
+    assert(d == Map("A" -> 0.4, "B" -> 0.4, "C" -> 0.1, "D" -> 0.1), s"got $d")
+    // spec cross-check (the ercIterative/ercPortfolio pairing): the
+    // quantized protocol must track the raw-double driver solver on a
+    // realistic LW-CC shrunk frame — differences are quantization-floor
+    // only (1e-6 images; distance ties resolved the same way on
+    // tie-free data)
+    val ks = Seq("A", "B", "C", "D", "E")
+    val panel = (for {
+      (kk, i) <- ks.zipWithIndex
+      t <- 0 until 120
+    } yield (kk, t.toLong,
+      100.0 + 3.0 * math.sin(0.7 * t + i) +
+        0.5 * math.cos(1.3 * t * (i + 1.0)) + 0.1 * i * math.sin(0.31 * t)))
+      .toDF("k", "t", "v")
+    val cov = Relational.ledoitWolfConstCorr(panel, "k", "t", "v",
+      scale = 1e6, pairScale = 1e4, termScale = 1e6).localCheckpoint()
+    val wi = operators.Backtest.hrpIterative(cov)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val wd = operators.Backtest.hrpPortfolio(cov)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(wi.values.sum - 1.0) < 1e-5, s"sum to 1: $wi")
+    assert(wi.values.forall(_ > 0.0), s"long-only: $wi")
+    val dmax = ks.map(s => math.abs(wi(s) - wd(s))).max
+    assert(dmax <= 1e-3,
+      s"quantized vs raw-double HRP drifted $dmax > 1e-3:\n  iter=$wi\n  drv =$wd")
+    // guards: unroll budget (3 keys into a 2-key budget), missing pair,
+    // and the integer-envelope contract on the normalized diagonal
+    val big = Seq(("A", "A", 1.0), ("B", "B", 1.0), ("C", "C", 1.0),
+      ("A", "B", 0.0), ("A", "C", 0.0), ("B", "C", 0.0))
+      .toDF("key_a", "key_b", "shrunk_cov")
+    val e1 = intercept[IllegalArgumentException] {
+      operators.Backtest.hrpIterative(big, merges = 1, levels = 1)
+    }
+    assert(e1.getMessage.contains("budget"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      solve(Seq(("A", "A", 1.0), ("B", "B", 1.0)))
+    }
+    assert(e2.getMessage.contains("missing cov"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      solve(Seq(("A", "A", 1.0), ("A", "B", 0.0), ("B", "B", 1e-9)))
+    }
+    assert(e3.getMessage.contains("outside [1e2, 1e9]"), e3.getMessage)
+  }
+
   test("portfolioLedger: diagonal HRP == inverse-variance downstream; oversized pair frame trips the guard pre-collect") {
     // diagonal 2-asset cov: HRP == inverse variance (A var 1, B var 3
     // → 0.75/0.25) — so the rows-only HRP portfolio pipeline and the

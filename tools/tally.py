@@ -50,11 +50,19 @@ def main():
         tests_str = f"**{m.group(1)} ScalaTests green**" if m else "ScalaTests green"
     else:
         tests_str = f"**{tests} ScalaTests green**"
-    ro = ", ".join(f"`{q}`" for q in rows_only) if rows_only else "none"
+    # rationale is keyed PER QUERY from this table — an unexplained
+    # rows-only query renders with no prose rather than inheriting
+    # another query's justification (round-12 advice)
+    rationale = {
+        "q_hrp": "driver-side sequential clustering by documented design, "
+                 "shadowed by hash-checked twins",
+    }
+    ro_parts = [f"`{q}`" + (f" ({rationale[q]})" if q in rationale else "")
+                for q in rows_only]
+    ro = ", ".join(ro_parts) if ro_parts else "none"
     block = (f"\n**{len(dirs)} `SparkEntry.queries`, {len(oracled)} with "
              f"row-exact DuckDB oracles** ({len(rows_only)}\n"
-             f"rows-only: {ro}, driver-side sequential clustering by "
-             f"documented design,\nshadowed by hash-checked twins), "
+             f"rows-only: {ro}), "
              f"{tests_str}.\n")
     with open(readme, "w") as f:
         f.write(text[:begin] + block + text[end:])
