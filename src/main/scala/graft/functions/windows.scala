@@ -197,9 +197,11 @@ object windows {
     * path as [[ewmMean]]. Null/zero signs carry the state. State grows
     * with the valid tape and each step searches the prefix, so feed
     * BUCKETED sign tapes (10³–10⁴ symbols), not raw ticks. */
-  def lzComplexity(sign: Column, w: WindowSpec): Column = {
+  def lzComplexity(sign: Column, w: WindowSpec,
+      maxTape: Int = org.apache.spark.sql.graft.LzComplexity.DefaultMaxTape)
+      : Column = {
     GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
-    call_function(GraftFunctions.LzComplexityName, sign).over(w)
+    call_function(GraftFunctions.LzComplexityName, sign, lit(maxTape)).over(w)
   }
 
   /** Rolling mean absolute deviation around the current row's rolling mean

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
+import org.apache.spark.sql.graft.LzComplexity
+
 import graft.features.MarketFeatures
 import graft.types.Schemas
 
@@ -310,6 +312,97 @@ object StreamingPipelines {
     import spark.implicits._
     ds.groupByKey(_.symbol)
       .transformWithState(new RegimeCarryProcessor(a01, a10, u0, u1),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  // ------------------------------------------------------------------
+  // Streaming LZ76 complexity: the chunk-carry twin of
+  // [[org.apache.spark.sql.graft.LzComplexity]]. State is the exact
+  // window-function buffer — (tape, phrase-start, count), integer +
+  // text only — and it is BOUNDED by the shared `maxTape` budget, which
+  // raises the same guard message as the batch expression (the cost
+  // contract travels with the fold, not just the window function).
+  // ------------------------------------------------------------------
+
+  case class LzCarry(tape: String, pstart: Int, cnt: Int)
+  case class LzOut(symbol: String, epochSec: Long, c: Option[Int])
+
+  /** One step of the Kaspar–Schuster production-complexity scan — the
+    * SAME integer/text fold as the batch window function's
+    * updateExpressions, so the streaming twin is bit-identical across
+    * any micro-batch cut (the ST3 gate). Null/zero signs carry the
+    * state unchanged. */
+  def lzStep(st: LzCarry, sign: Option[Double],
+             maxTape: Int = LzComplexity.DefaultMaxTape): LzCarry =
+    sign match {
+      case Some(s) if s != 0.0 =>
+        val tape2 = st.tape + (if (s > 0.0) "u" else "d")
+        if (tape2.length > maxTape)
+          throw new IllegalArgumentException(LzComplexity.tapeGuardMsg(maxTape))
+        val j = tape2.length
+        val phrase = tape2.substring(st.pstart, j)
+        val prefix = tape2.substring(0, j - 1)
+        if (!prefix.contains(phrase)) LzCarry(tape2, j, st.cnt + 1)
+        else LzCarry(tape2, st.pstart, st.cnt)
+      case _ => st
+    }
+
+  /** The window function's evaluateExpression: null before the first
+    * valid sign, else phrase count + 1 for the open phrase. */
+  def lzEval(st: LzCarry): Option[Int] =
+    if (st.tape.isEmpty) None
+    else Some(st.cnt + (if (st.pstart < st.tape.length) 1 else 0))
+
+  /** Stateful streaming LZ76: per symbol, fold the micro-batch through
+    * [[lzStep]] from the carried (tape, pstart, cnt), emit one running
+    * complexity per tick, keep the final state as carry. */
+  def statefulLz(ds: Dataset[SignTick],
+                 maxTape: Int = LzComplexity.DefaultMaxTape)
+                (implicit spark: SparkSession): Dataset[LzOut] = {
+    import spark.implicits._
+    ds.groupByKey(_.symbol)
+      .flatMapGroupsWithState[LzCarry, LzOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[SignTick], state: GroupState[LzCarry]) =>
+          val batch = rows.toIndexedSeq.sortBy(_.epochSec)
+          var st = state.getOption.getOrElse(LzCarry("", 0, 0))
+          val out = batch.map { t =>
+            st = lzStep(st, t.sign, maxTape)
+            LzOut(t.symbol, t.epochSec, lzEval(st))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** [[statefulLz]] on Spark 4's `transformWithState` (the
+    * [[RegimeCarryProcessor]] convention: RocksDB-backed ValueState,
+    * same fold, same equivalence gate, same tape budget). */
+  class LzCarryProcessor(maxTape: Int)
+      extends StatefulProcessor[String, SignTick, LzOut] {
+    @transient private var carry: ValueState[LzCarry] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      carry = getHandle.getValueState[LzCarry]("lzCarry",
+        org.apache.spark.sql.Encoders.product[LzCarry], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[SignTick],
+                                 timerValues: TimerValues): Iterator[LzOut] = {
+      val batch = rows.toIndexedSeq.sortBy(_.epochSec)
+      var st = Option(carry.get()).getOrElse(LzCarry("", 0, 0))
+      val out = batch.map { t =>
+        st = lzStep(st, t.sign, maxTape)
+        LzOut(t.symbol, t.epochSec, lzEval(st))
+      }
+      carry.update(st)
+      out.iterator
+    }
+  }
+
+  def statefulLzTws(ds: Dataset[SignTick],
+                    maxTape: Int = LzComplexity.DefaultMaxTape)
+                   (implicit spark: SparkSession): Dataset[LzOut] = {
+    import spark.implicits._
+    ds.groupByKey(_.symbol)
+      .transformWithState(new LzCarryProcessor(maxTape),
         TimeMode.None(), OutputMode.Append())
   }
 

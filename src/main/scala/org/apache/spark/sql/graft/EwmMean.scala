@@ -310,8 +310,14 @@ case class RegimeProb(child: Expression,
   * substring search — O(n²) per series worst case — so feed it
   * BUCKETED sign tapes (hourly/daily resamples, 10³–10⁴ symbols), not
   * raw tick streams; chunk longer spans upstream like any other
-  * unbounded single-series chain. */
-case class LzComplexity(child: Expression)
+  * unbounded single-series chain. The contract is ENFORCED, not
+  * advisory: a series whose valid tape exceeds `maxTape` raises
+  * [[LzComplexity.tapeGuardMsg]] mid-fold (the mmrRerank/hayashiYoshida
+  * loud-guard precedent) instead of silently going quadratic on a
+  * 10⁶-tick series; callers that have priced the cost pass a larger
+  * budget explicitly. */
+case class LzComplexity(child: Expression,
+                        maxTape: Int = LzComplexity.DefaultMaxTape)
     extends AggregateWindowFunction with UnaryLike[Expression] {
 
   override def dataType: DataType = IntegerType
@@ -342,8 +348,15 @@ case class LzComplexity(child: Expression)
     val phrase = Substring(tape2, Add(pstart, Literal(1)), Subtract(j, pstart))
     val prefix = Substring(tape2, Literal(1), Subtract(j, Literal(1)))
     val isNew = Not(Contains(prefix, phrase))
+    // loud cost guard: raise the moment the valid tape would exceed the
+    // budget — never store a tape the next step would scan quadratically
+    val guarded = If(GreaterThan(j, Literal(maxTape)),
+      Cast(new RaiseError(Literal(
+        UTF8String.fromString(LzComplexity.tapeGuardMsg(maxTape)),
+        StringType)), StringType),
+      tape2)
     Seq(
-      If(valid, tape2, tape),
+      If(valid, guarded, tape),
       If(valid, If(isNew, j, pstart), pstart),
       If(valid, If(isNew, Add(cnt, Literal(1)), cnt), cnt))
   }
@@ -354,6 +367,21 @@ case class LzComplexity(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): LzComplexity =
     copy(child = newChild)
+}
+
+object LzComplexity {
+  /** Default tape budget — sized to the documented 10³–10⁴
+    * bucketed-tape contract with slack, far below where the O(n²)
+    * prefix scan starts to dominate an executor core. */
+  val DefaultMaxTape: Int = 16384
+
+  /** One guard message, shared by the batch window function and the
+    * streaming fold twin so both fail identically. */
+  def tapeGuardMsg(maxTape: Int): String =
+    s"lz_complexity: valid sign tape exceeded maxTape=$maxTape — this " +
+      "operator is O(n²) in tape length by design; feed BUCKETED sign " +
+      "tapes (hourly/daily resamples) or chunk the series upstream, or " +
+      "pass a larger maxTape only if the quadratic cost is priced"
 }
 
 /** Bridge between graft's public API (Column) and Catalyst (Expression).
@@ -446,7 +474,19 @@ object GraftFunctions {
       exprs => RegimeProb(exprs.head, evalAlpha(exprs(1)),
         evalAlpha(exprs(2)), evalAlpha(exprs(3)), evalAlpha(exprs(4))), "built-in")
     registry.createOrReplaceTempFunction(LzComplexityName,
-      exprs => LzComplexity(exprs.head), "built-in")
+      exprs => LzComplexity(exprs.head,
+        if (exprs.length > 1) exprs(1) match {
+          case Literal(v: Int, _) => v
+          case Literal(v: Long, _) => v.toInt
+          case other if other.foldable => other.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case v => throw new IllegalArgumentException(
+              s"lz_complexity maxTape must be an integer literal, got $v")
+          }
+          case other => throw new IllegalArgumentException(
+            s"lz_complexity maxTape must be a literal, got $other")
+        } else LzComplexity.DefaultMaxTape), "built-in")
     registry.createOrReplaceTempFunction(DotName,
       exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(LshSigsName,

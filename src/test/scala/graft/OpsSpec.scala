@@ -4491,6 +4491,27 @@ class OpsSpec extends SparkSpec {
       .groupBy(col("k")).agg(max(col("c")).as("c")).collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(byK == Map("A" -> 2, "B" -> 3), s"got $byK")
+    // loud cost guard: a valid tape beyond maxTape raises mid-fold with
+    // the actionable message instead of silently going O(n²); a tape AT
+    // the budget is fine (null/zero rows don't count against it)
+    val atBudget = (Seq(None, Some(0.0)) ++ Seq.fill(6)(Some(1.0)))
+      .zipWithIndex.map { case (s, i) => ("S", i.toLong, s) }
+      .toDF("k", "t", "sgn")
+    assert(atBudget.select(W.lzComplexity(col("sgn"), w, maxTape = 6).as("c"))
+      .agg(max(col("c"))).collect()(0).getInt(0) == 2)
+    val over = intercept[Exception] {
+      (1 to 8).map(i => ("S", i.toLong, Some(1.0))).toDF("k", "t", "sgn")
+        .select(W.lzComplexity(col("sgn"), w, maxTape = 6).as("c"))
+        .agg(max(col("c"))).collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var cur = t
+      val sb = new StringBuilder(cur.getMessage)
+      while (cur.getCause != null) { cur = cur.getCause; sb.append(cur.getMessage) }
+      sb.toString
+    }
+    assert(rootMsg(over).contains("exceeded maxTape=6"), rootMsg(over))
+    assert(rootMsg(over).contains("BUCKETED sign tapes"), rootMsg(over))
   }
 
   test("minSpanningTree: hand MST, chain merge within jump budget, tie-break, disconnected") {

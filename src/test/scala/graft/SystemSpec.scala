@@ -707,6 +707,92 @@ class SystemSpec extends SparkSpec {
     }
   }
 
+  test("streaming: LZ76 chunk-carry ≡ batch window function (ST3, bounded tape state)") {
+    import StreamingPipelines._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // pseudo-random + structured signs with nulls/zeros interleaved,
+    // two symbols folding independently
+    var seed = 7L
+    def nextSign(i: Int): Option[Double] = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      if (i % 9 == 0) None
+      else if (i % 7 == 0) Some(0.0)
+      else Some(if ((seed >>> 62) % 2 == 0) 1.0 else -1.0)
+    }
+    val ticks = (0 until 40).flatMap { i =>
+      val sg = nextSign(i)
+      Seq(SignTick("A", 1000L + i, sg), SignTick("B", 1000L + i, sg.map(-_)))
+    }
+    // whole-series reference = the BATCH engine itself (the custom
+    // Catalyst window function), not a hand fold — streaming ≡ batch
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("epochSec"))
+    val whole = ticks.toDF("symbol", "epochSec", "sign")
+      .select(col("symbol"), col("epochSec"),
+        graft.functions.windows.lzComplexity(col("sign"), w).as("c"))
+      .as[LzOut].collect().sortBy(t => (t.symbol, t.epochSec)).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SignTick]
+    val q = statefulLz(mem.toDS())
+      .writeStream.format("memory").queryName("lz_out")
+      .outputMode("append").start()
+    val byTime = ticks.sortBy(_.epochSec)
+    mem.addData(byTime.take(30): _*)
+    q.processAllAvailable()
+    mem.addData(byTime.slice(30, 50): _*)
+    q.processAllAvailable()
+    mem.addData(byTime.drop(50): _*)
+    q.processAllAvailable()
+    val got = spark.table("lz_out").as[LzOut].collect()
+      .sortBy(t => (t.symbol, t.epochSec)).toSeq
+    q.stop()
+    assert(got == whole, "streaming LZ76 fold must be bit-identical to the batch window")
+    // the shared tape budget raises the same guard mid-stream
+    val e = intercept[Exception] {
+      var st = LzCarry("", 0, 0)
+      (1 to 8).foreach(_ => st = lzStep(st, Some(1.0), maxTape = 6))
+    }
+    assert(e.getMessage.contains("exceeded maxTape=6"), e.getMessage)
+  }
+
+  test("streaming: LZ76 transformWithState ≡ batch window function (ST3, Spark-4 API)") {
+    import StreamingPipelines._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val signs: Seq[Option[Double]] =
+        Seq(None, Some(1.0), Some(0.0)) ++
+          (1 to 27).map(i => Some(if (i % 3 == 0) -1.0 else 1.0))
+      val ticks = signs.zipWithIndex.map { case (sg, i) => SignTick("A", 1000L + i, sg) }
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("symbol")).orderBy(col("epochSec"))
+      val whole = ticks.toDF("symbol", "epochSec", "sign")
+        .select(col("symbol"), col("epochSec"),
+          graft.functions.windows.lzComplexity(col("sign"), w).as("c"))
+        .as[LzOut].collect().sortBy(_.epochSec).toSeq
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SignTick]
+      val q = statefulLzTws(mem.toDS())
+        .writeStream.format("memory").queryName("lz_tws_out")
+        .outputMode("append").start()
+      mem.addData(ticks.take(13): _*)
+      q.processAllAvailable()
+      mem.addData(ticks.drop(13): _*)
+      q.processAllAvailable()
+      val got = spark.table("lz_tws_out").as[LzOut].collect()
+        .sortBy(_.epochSec).toSeq
+      q.stop()
+      assert(got == whole)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming: transformWithState chunk-carry ≡ whole-series (ST3, Spark-4 API)") {
     import StreamingPipelines._
     implicit val s: org.apache.spark.sql.SparkSession = spark
