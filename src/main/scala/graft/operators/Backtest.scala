@@ -457,8 +457,12 @@ object Backtest {
     val covq = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val keys = rows.map(_.getString(0)).distinct.sorted
     val k = keys.length
-    require(k >= 1, "hrpIterative: empty covariance frame — nothing to " +
-      "allocate (is the upstream returns window empty at this scale?)")
+    // an empty estimator frame (e.g. the balanced panel has no complete
+    // bucket at tiny scale) yields an empty allocation, matching the
+    // hash-gated siblings (minVarianceCG/ercIterative) and the oracle's
+    // empty CTE chain — not a raise
+    if (k == 0)
+      return Seq.empty[(String, Double)].toDF("key", "weight")
     require(k <= cap, s"hrpIterative: $k keys exceeds the unroll budget " +
       s"cap=$cap (merges=$merges, levels=$levels)")
     keys.foreach { a => keys.foreach { b =>

@@ -1214,10 +1214,15 @@ object Dedup {
     * them (a tiny set) to the exact join for span-level confirmation;
     * absent docs are DEFINITIVELY clean at this span length. `fpp` prices
     * the excess: P(a clean doc with s spans flags) ≈ Binomial(s, fpp) ≥
-    * minSharedSpans. The probe is a broadcast closure call per span —
-    * not codegen, but O(1) and shuffle-free, which is the trade that
-    * matters at corpus scale. Deterministic (fixed sketch hashing), so
-    * the spec can assert exact equality against the exact join. */
+    * minSharedSpans. The probe is Spark's NATIVE
+    * `BloomFilterMightContain` expression (the runtime-row-filter
+    * machinery) over the serialized sketch as a foldable binary literal
+    * — codegen'd, O(1), shuffle-free, and plan-pinnable as not-a-UDF;
+    * the literal carries the same bytes the old broadcast closure did
+    * (BloomFilterMightContain requires a CONSTANT or scalar-subquery
+    * filter side, so a literal, not a joined column, is the supported
+    * shape). Deterministic (fixed sketch hashing), so the spec can
+    * assert exact equality against the exact join. */
   def contaminationBloomFlags(corpus: DataFrame, evalSet: DataFrame,
                               textCol: String, idCol: String, n: Int = 8,
                               minSharedSpans: Int = 3,
@@ -1229,11 +1234,17 @@ object Dedup {
       .select(xxhash64(col("s")).as("h")).distinct()
     val nEval = math.max(1L, evalHashes.count())
     val bf = evalHashes.stat.bloomFilter("h", nEval, fpp)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
     shingleRows(corpus, textCol, idCol, n)
       .select(col("id"), xxhash64(col("s")).as("h"))
-      .where(mightContain(col("h")))
+      .where(call_function(
+        org.apache.spark.sql.graft.GraftFunctions.MightContainName,
+        lit(bytes), col("h")))
       .groupBy("id")
       .agg(count(lit(1)).as("n_flagged_spans"))
       .where(col("n_flagged_spans") >= minSharedSpans)

@@ -419,6 +419,11 @@ object GraftFunctions {
   val PqDecodeName = "graft_pq_decode"
   val GramUpperName = "graft_gram_upper"
   val RemoveComponentName = "graft_remove_component"
+  /** Spark's own BloomFilterMightContain (the runtime-row-filter probe)
+    * — present on every 3.3+ classpath but not in the public function
+    * registry, so graft registers it under its own name. Filter side
+    * must be a foldable binary (the expression's own contract). */
+  val MightContainName = "graft_might_contain"
 
   private def evalAlpha(e: Expression): Double = e match {
     case Literal(v: Double, _) => v
@@ -508,5 +513,7 @@ object GraftFunctions {
       exprs => GramUpper(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(RemoveComponentName,
       exprs => RemoveComponent(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(MightContainName,
+      exprs => BloomFilterMightContain(exprs.head, exprs(1)), "built-in")
   }
 }

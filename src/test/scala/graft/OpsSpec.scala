@@ -940,7 +940,16 @@ class OpsSpec extends SparkSpec {
       (200L, doc(500) + " " + doc(101)),   // absorbed eval doc 101
       (201L, doc(501) + " " + doc(103))))  // absorbed eval doc 103
       .toDF("doc_id", "text")
-    val flagged = Dedup.contaminationBloomFlags(corpus, eval_, "text", "doc_id")
+    val flaggedDf = Dedup.contaminationBloomFlags(corpus, eval_, "text", "doc_id")
+    // the probe must be the NATIVE BloomFilterMightContain expression —
+    // no ScalaUDF / BatchEvalPython-class node anywhere in the flag plan
+    // (VERDICT r12 #6: the pre-screen stays codegen'd and plan-pinnable)
+    val planStr = flaggedDf.queryExecution.executedPlan.toString
+    assert(!planStr.contains("UDF"), s"flag plan contains a UDF node:\n$planStr")
+    assert(flaggedDf.queryExecution.optimizedPlan.toString
+      .contains("might_contain"),
+      "flag plan must probe via the native might_contain expression")
+    val flagged = flaggedDf
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(flagged.keySet == Set(200L, 201L),
       s"pre-screen must flag exactly the planted docs here: $flagged")
