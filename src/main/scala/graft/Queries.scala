@@ -9241,6 +9241,135 @@ object Queries {
       FROM dts ORDER BY event_type"""
     })
 
+  // GARCH(1,1) variance-targeted filter per event type on the hourly
+  // log-return series — the mean-reverting vol model beside the
+  // RiskMetrics EWMA and the realized family. Engine: custom Catalyst
+  // window function (GarchVariance, O(1) state); oracle: the same
+  // affine recursion as a list_reduce fold (the q_ema doctrine) over
+  // the IDENTICAL ·10¹²-quantized squared returns, ω from their exact
+  // integer sum.
+  private val GarchAlpha = 0.08
+  private val GarchBeta = 0.90
+  private val qGarch = QDef(
+    "q_garch",
+    (s, dir) => TA.garchFilter(t(s, dir, "events"), Seq("event_type"),
+        "ts", "value", "hour", GarchAlpha, GarchBeta)
+      .select(col("event_type"), micros(col("bucket")).as("bucket_us"),
+        col("ret"), col("garch_var_u"), col("garch_vol_ann"))
+      .orderBy("event_type", "bucket_us"),
+    Some {
+      val a = java.lang.Double.toString(GarchAlpha)
+      val b = java.lang.Double.toString(GarchBeta)
+      val fac = java.lang.Double.toString(1.0 - GarchAlpha - GarchBeta)
+      s"""
+      WITH hm AS (SELECT event_type AS k, date_trunc('hour', ts) AS bucket,
+                         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                           / COUNT(*) AS p
+                  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      r0 AS (SELECT k, bucket, p,
+                    lag(p) OVER (PARTITION BY k ORDER BY bucket) AS pl
+             FROM hm),
+      r1 AS (SELECT k, bucket,
+                    CASE WHEN p > 0 AND pl > 0 THEN ln(p / pl) END AS r
+             FROM r0),
+      x AS (SELECT k, bucket, r,
+                   CAST(round(r * r * 1e12) AS BIGINT) AS x2q
+            FROM r1),
+      o AS (SELECT k, bucket, r,
+                   CAST(SUM(x2q) OVER pk AS DOUBLE)
+                     / CAST(COUNT(x2q) OVER pk AS DOUBLE) / 1e12 * $fac AS omega,
+                   list(CAST(x2q AS DOUBLE) / 1e12) OVER wr AS xs
+            FROM x WINDOW
+              pk AS (PARTITION BY k),
+              wr AS (PARTITION BY k ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      f AS (SELECT k, bucket, r,
+                   list_reduce(xs, (acc, e) -> CASE
+                     WHEN e IS NULL THEN acc
+                     WHEN acc IS NULL THEN e
+                     ELSE (omega + $a * e) + $b * acc END) AS h
+            FROM o)
+      SELECT k AS event_type, epoch_us(bucket) AS bucket_us,
+             round(r, 6) + 0.0 AS ret,
+             round(h * 1e6, 6) + 0.0 AS garch_var_u,
+             CASE WHEN h > 0 THEN round(sqrt(h * 8760.0), 6) + 0.0 END
+               AS garch_vol_ann
+      FROM f ORDER BY event_type, bucket_us"""
+    })
+
+  // Newey–West HAC drift test per event type — is the mean hourly
+  // CHANGE nonzero under autocorrelation-robust (Bartlett, L=4)
+  // errors? The differencing runs in exact-integer space on the same
+  // ·10⁴ quantized hourly means as q_acf; every per-lag reduction is
+  // an exact HUGEINT/DECIMAL(38) sum, the lag fold is a pivoted fixed
+  // tree (never an order-dependent float SUM).
+  private val NwLags = 4
+  private val qNeweyWest = QDef(
+    "q_newey_west",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.neweyWest(h, "event_type", "hb", "v", maxLag = NwLags,
+        scale = 1e4, diff = true)
+    },
+    Some {
+      val weights = (1 to NwLags).map(l =>
+        java.lang.Double.toString(2.0 * (1.0 - l.toDouble / (NwLags + 1.0))))
+      def gsql(l: Int): String =
+        s"""(CAST(sxy$l AS DOUBLE)
+             - mu * (CAST(sa$l AS DOUBLE) + CAST(sb$l AS DOUBLE))
+             + CAST(nl$l AS DOUBLE) * (mu * mu)) / CAST(n AS DOUBLE)"""
+      val lrv = (1 to NwLags).foldLeft("g0") { (acc, l) =>
+        s"($acc + ${weights(l - 1)} * g$l)" }
+      val pivCells = (0 to NwLags).flatMap(l => Seq(
+        s"MAX(CASE WHEN lag = $l THEN nl END) AS nl$l",
+        s"MAX(CASE WHEN lag = $l THEN sa END) AS sa$l",
+        s"MAX(CASE WHEN lag = $l THEN sb END) AS sb$l",
+        s"MAX(CASE WHEN lag = $l THEN sxy END) AS sxy$l")).mkString(",\n               ")
+      s"""
+      WITH h0 AS (SELECT event_type AS k,
+                        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      h AS (SELECT * FROM h0 WHERE v IS NOT NULL),
+      d AS (SELECT a.k, a.hb + 1 AS t, b.v - a.v AS dv
+            FROM h a JOIN h b ON b.k = a.k AND b.hb = a.hb + 1),
+      tot AS (SELECT k, COUNT(*) AS n, SUM(CAST(dv AS HUGEINT)) AS sv
+              FROM d GROUP BY k),
+      l AS (SELECT unnest(range(0, ${NwLags + 1})) AS lag),
+      p AS (SELECT x.k, l.lag, x.dv AS xa, y.dv AS xb
+            FROM d x CROSS JOIN l JOIN d y ON y.k = x.k AND y.t = x.t + l.lag),
+      s AS (SELECT k, lag, COUNT(*) AS nl,
+                   SUM(CAST(xa AS HUGEINT)) AS sa,
+                   SUM(CAST(xb AS HUGEINT)) AS sb,
+                   SUM(CAST(xa AS HUGEINT) * xb) AS sxy
+            FROM p GROUP BY 1, 2),
+      piv AS (SELECT k,
+               $pivCells
+              FROM s GROUP BY k),
+      jm AS (SELECT t.k, t.n, piv.* EXCLUDE (k),
+                    CAST(t.sv AS DOUBLE) / CAST(t.n AS DOUBLE) AS mu
+             FROM tot t JOIN piv ON piv.k = t.k),
+      g AS (SELECT k, n, mu,
+                   ${(0 to NwLags).map(l => s"${gsql(l)} AS g$l")
+                     .mkString(",\n                   ")}
+            FROM jm),
+      fin AS (SELECT k, n, mu, $lrv AS lrvq FROM g)
+      SELECT k AS key, n,
+             round(mu / 10000.0, 6) + 0.0 AS mean_v,
+             round(lrvq / 10000.0 / 10000.0, 6) + 0.0 AS lrv,
+             CASE WHEN lrvq > 0.0 THEN
+               round(sqrt(lrvq / CAST(n AS DOUBLE)) / 10000.0, 6) + 0.0 END
+               AS se_mean,
+             CASE WHEN lrvq > 0.0 THEN
+               round(mu / sqrt(lrvq / CAST(n AS DOUBLE)), 6) + 0.0 END
+               AS t_mean
+      FROM fin ORDER BY key"""
+    })
+
   // ------------------------------------------------------------------
   // Registry
   // ------------------------------------------------------------------
@@ -9275,6 +9404,7 @@ object Queries {
     qPairsBacktest, qKelly, qAcSchedule, qPcaFactor, qDetonedCorr,
     qTailDep, qFlowAcf, qCorrMst, qSemivariance, qSpreadRatio, qZipfSlope,
     qWaveletVar, qHillTail, qCfVar, qLzComplexity, qTsrv, qHarRv, qRealizedKernel,
+    qGarch, qNeweyWest,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr

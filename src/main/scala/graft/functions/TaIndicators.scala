@@ -676,6 +676,76 @@ object TaIndicators {
           .as("tsrv")): _*)
   }
 
+  /** GARCH(1,1) conditional-variance filter per series (Bollerslev
+    * 1986) — the mean-reverting vol model that completes the
+    * volatility kit beside the RiskMetrics EWMA ([[zscore]]/EWM on
+    * squares) and the realized family ([[twoScaleRV]],
+    * [[realizedKernel]]): from the `interval`-bucketed log-return
+    * series of each key, emit the filtered conditional variance
+    *
+    * {{{ h_0 = r²_0;   h_t = (ω + α·r²_t) + β·h_{t−1} }}}
+    *
+    * with VARIANCE-TARGETED ω = σ̄²·(1−α−β), σ̄² the full-series mean
+    * of squared returns — the standard fixed-(α,β) filter (RiskMetrics
+    * generalization; full QMLE is a non-replayable optimizer and out
+    * of the determinism doctrine). The recursion is the custom
+    * Catalyst window function
+    * [[org.apache.spark.sql.graft.GarchVariance]]: O(1) state, one
+    * ordered pass per series, fixed IEEE update tree.
+    *
+    * Determinism contract: bucket means are exact DECIMAL sums /
+    * counts; squared returns quantize to ·10¹² BIGINTs (ULP-class
+    * `ln` skew dies at the round, the [[twoScaleRV]] doctrine) and
+    * σ̄² derives from their EXACT integer sum, so ω is one fixed
+    * double tree; the fold then matches any engine replaying the same
+    * left-associated lambda over the same quantized squares
+    * (`list_reduce`, the q_ema doctrine). Output variance is in
+    * µ-units (·10⁶) so 6-dp rounding keeps 6 significant figures on
+    * return-scale series.
+    *
+    * Scale shape: one map-side-combined bucket agg (corpus → series
+    * rows), then two window passes over the SAME (keys, bucket)
+    * partitioning — Catalyst plans them after a single shuffle+sort;
+    * nothing corpus-wide sorts and the fold state is one double per
+    * series. Annualization factor defaults to hourly buckets
+    * (√8760·h). */
+  def garchFilter(df: DataFrame, keys: Seq[String], tsCol: String,
+                  valueCol: String, interval: String = "hour",
+                  alpha: Double = 0.08, beta: Double = 0.90,
+                  annFactor: Double = 8760.0): DataFrame = {
+    require(keys.nonEmpty, "garchFilter needs the series key(s)")
+    require(alpha >= 0.0 && beta >= 0.0 && alpha + beta < 1.0,
+      s"need alpha, beta >= 0 and alpha + beta < 1, got $alpha/$beta")
+    val D = org.apache.spark.sql.types.DecimalType(18, 2)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("bucket"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val hourly = df.where(col(valueCol).isNotNull)
+      .groupBy((keys.map(col) :+
+        date_trunc(interval, col(tsCol)).as("bucket")): _*)
+      .agg((sum(col(valueCol).cast(D)).cast("double") / count(lit(1))).as("_p"))
+    val pl = lag(col("_p"), 1).over(wb)
+    val rows = hourly
+      .withColumn("_r", when(col("_p") > 0.0 && pl > 0.0, log(col("_p") / pl)))
+      .withColumn("_x2q", round(col("_r") * col("_r") * lit(1e12)).cast("long"))
+      .withColumn("_x2", col("_x2q").cast("double") / lit(1e12))
+      .withColumn("_svq", sum(col("_x2q")).over(wk))
+      .withColumn("_nr", count(col("_x2q")).over(wk))
+    val omegaFac = 1.0 - alpha - beta
+    val withOmega = rows.withColumn("_omega",
+      col("_svq").cast("double") / col("_nr").cast("double") / lit(1e12) *
+        lit(omegaFac))
+    val h = withOmega.withColumn("_h",
+      windows.garchVariance(col("_x2"), col("_omega"), alpha, beta, wb))
+    h.select(keys.map(col) ++ Seq(col("bucket"),
+      (round(col("_r"), 6) + lit(0.0)).as("ret"),
+      (round(col("_h") * lit(1e6), 6) + lit(0.0)).as("garch_var_u"),
+      when(col("_h") > 0.0,
+        round(sqrt(col("_h") * lit(annFactor)), 6) + lit(0.0))
+        .as("garch_vol_ann")): _*)
+  }
+
   /** Parzen kernel weight `k(x)` — 1−6x²+6x³ on [0,½], 2(1−x)³ on
     * (½,1], 0 beyond: the standard choice for [[realizedKernel]]
     * (guarantees a PSD estimator in the full-kernel limit). Computed

@@ -189,6 +189,21 @@ object windows {
       lit(a01), lit(a10), lit(u0), lit(u1)).over(w)
   }
 
+  /** GARCH(1,1) conditional-variance filter over a squared-return
+    * column (Bollerslev 1986) — custom Catalyst window expression
+    * [[org.apache.spark.sql.graft.GarchVariance]], O(1) state per
+    * series, fixed IEEE update tree `(ω + α·x²) + β·h`, same registry
+    * path as [[ewmMean]]. `omega` is a COLUMN (constant per series by
+    * contract) so variance-targeted ω = σ̄²·(1−α−β) stays data-derived;
+    * pass the QUANTIZED squared-return image (·10¹² rounded) so ULP-
+    * class `ln` skew dies before the recursion. Null squares carry. */
+  def garchVariance(x2: Column, omega: Column, alpha: Double, beta: Double,
+                    w: WindowSpec): Column = {
+    GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    call_function(GraftFunctions.GarchVarianceName, x2, omega,
+      lit(alpha), lit(beta)).over(w)
+  }
+
   /** Running Lempel–Ziv 76 phrase count of the sign tape (AFML ch. 18's
     * complexity/entropy proxy beside permutation entropy) — custom
     * Catalyst window expression

@@ -896,6 +896,94 @@ object Relational {
     momentCorr(paired, Seq("key", "lag")).orderBy("key", "lag")
   }
 
+  /** Newey–West (1987) HAC long-run variance of a per-key series, with
+    * the Bartlett kernel — the autocorrelation-robust scale every
+    * serially-dependent mean test needs (drift tests, Diebold–Mariano
+    * forecast comparisons, overlapping-return alphas):
+    *
+    * {{{ lrv = γ̂₀ + 2·Σ_{l=1..L} (1 − l/(L+1))·γ̂_l
+    *     γ̂_l = (1/n)·Σ_{t>l} (v_t − μ)(v_{t−l} − μ),  μ = Σv/n }}}
+    *
+    * Bartlett weights make the estimate PSD by construction, so
+    * `se = √(lrv/n)` is always real. With `diff = true` the test runs
+    * on the FIRST DIFFERENCE of the (quantized) series — the drift
+    * test "is the per-step change nonzero under HAC errors" — and the
+    * differencing happens in exact-integer space (`Δq = q_t − q_{t−1}`
+    * on contiguous buckets), so no second float quantization.
+    *
+    * Determinism contract (the [[acf]]/[[correlationMatrix]] family):
+    * `⌊v·scale⌋` BIGINT images; every per-lag reduction (`n_l`,
+    * `Σ v_t`, `Σ v_{t−l}`, `Σ v_t·v_{t−l}`) is an exact DECIMAL(38,0)
+    * integer sum — order-free under any partitioning; each γ̂_l then
+    * expands around the rational mean as ONE fixed double tree
+    * `(Σxy − μ·(Σa + Σb) + n_l·μ²)/n` from exact integers, the lags
+    * fold left-associated with literal Bartlett weights, outputs round
+    * to 6 dp. Overflow: `scale²·max|v|²·n < 10³⁸` — at the default
+    * 10⁴ scale that is |v| ≲ 10¹¹/√n, far beyond any 2-dp input.
+    *
+    * Scale shape: the series replicates per lag (maxLag+1 skinny
+    * copies of SERIES rows — buckets, not corpus), one shifted
+    * equi-join on (key, bucket), map-side-combined integer moment aggs
+    * onto keys·lags rows, then a keys-sized pivot (`max(when(lag=l))`
+    * — at most one row per cell) so the lag fold is a fixed
+    * expression, never an order-dependent float SUM.
+    *
+    * Returns `(key, n, mean_v, lrv, se_mean, t_mean)` — all in
+    * ORIGINAL value units (t is unit-free); `t_mean` null when the
+    * series is degenerate (lrv ≤ 0). */
+  def neweyWest(df: DataFrame, keyCol: String, bucketCol: String,
+                valueCol: String, maxLag: Int, scale: Double = 1e4,
+                diff: Boolean = true): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base0 = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+      .withColumn("_t", col("_t").cast("long"))
+    val base =
+      if (!diff) base0
+      else base0.as("a").join(base0.as("b"),
+          col("b._k") === col("a._k") && col("b._t") === col("a._t") + 1L)
+        .select(col("a._k").as("_k"), (col("a._t") + 1L).as("_t"),
+          (col("b._v") - col("a._v")).as("_v"))
+    val tot = base.groupBy(col("_k").as("key"))
+      .agg(count(lit(1)).as("n"), sum(col("_v").cast(D38)).as("sv"))
+    val lagged = base.withColumn("lag",
+        explode(sequence(lit(0), lit(maxLag))))
+      .withColumn("lag", col("lag").cast("long"))
+    val paired = lagged.as("x").join(base.as("y"),
+        col("y._k") === col("x._k") &&
+          col("y._t") === col("x._t") + col("lag"))
+      .select(col("x._k").as("key"), col("lag"),
+        col("x._v").as("_xa"), col("y._v").as("_xb"))
+    val perLag = paired.groupBy(col("key"), col("lag")).agg(
+      count(lit(1)).as("nl"),
+      sum(col("_xa").cast(D38)).as("sa"),
+      sum(col("_xb").cast(D38)).as("sb"),
+      sum(col("_xa").cast(D38) * col("_xb")).as("sxy"))
+    def cell(c: String, l: Int): Column =
+      max(when(col("lag") === l.toLong, col(c))).as(s"${c}$l")
+    val cells = (0 to maxLag).flatMap(l =>
+      Seq(cell("nl", l), cell("sa", l), cell("sb", l), cell("sxy", l)))
+    val piv = perLag.groupBy(col("key")).agg(cells.head, cells.tail: _*)
+    val j = tot.join(piv, "key")
+    val nd = col("n").cast("double")
+    val mu = col("sv").cast("double") / nd
+    def gamma(l: Int): Column =
+      (col(s"sxy$l").cast("double") -
+        mu * (col(s"sa$l").cast("double") + col(s"sb$l").cast("double")) +
+        col(s"nl$l").cast("double") * (mu * mu)) / nd
+    val lrvQ = (1 to maxLag).foldLeft(gamma(0)) { (acc, l) =>
+      acc + lit(2.0 * (1.0 - l.toDouble / (maxLag + 1.0))) * gamma(l)
+    }
+    j.select(col("key"), col("n"),
+        (round(mu / lit(scale), 6) + lit(0.0)).as("mean_v"),
+        (round(lrvQ / lit(scale) / lit(scale), 6) + lit(0.0)).as("lrv"),
+        when(lrvQ > 0.0,
+          round(sqrt(lrvQ / nd) / lit(scale), 6) + lit(0.0)).as("se_mean"),
+        when(lrvQ > 0.0,
+          round(mu / sqrt(lrvQ / nd), 6) + lit(0.0)).as("t_mean"))
+      .orderBy("key")
+  }
+
   /** Ledoit–Wolf shrunk covariance matrix — the well-conditioned
     * estimator `Σ* = (1−δ)·S + δ·μI` of Ledoit & Wolf 2004 ("A
     * well-conditioned estimator for large-dimensional covariance

@@ -287,6 +287,66 @@ case class RegimeProb(child: Expression,
     copy(child = newChild)
 }
 
+/** GARCH(1,1) conditional-variance filter as a native Catalyst window
+  * function (Bollerslev 1986) — the mean-reverting generalization of
+  * the RiskMetrics EWMA variance the engine already exposes through
+  * [[EwmMean]] on squared returns:
+  *
+  * {{{ h_0 = x²_0;   h_t = (ω + α·x²_t) + β·h_{t−1} }}}
+  *
+  * The child is the SQUARED return (callers pass an already-quantized
+  * image, the ·10¹²-rounded double, so a 1-ULP `ln` skew between
+  * engines dies before the recursion — the q_tsrv doctrine); `omega`
+  * is an ordinary column (constant per partition by contract) so
+  * variance-targeted ω = σ̄²·(1−α−β) — with σ̄² an exact-integer mean
+  * of the quantized squares — stays data-derived without a second
+  * fold. α and β are literals.
+  *
+  * The update is one FIXED IEEE tree `(ω + α·x²) + β·h` (left-assoc,
+  * spelled identically by the oracle's `list_reduce` lambda), so both
+  * engines walk bit-identical recursions from identical inputs — the
+  * [[KalmanBeta]]/[[RegimeProb]] doctrine. Seeding at the first valid
+  * square (h₀ = x²₀) matches `list_reduce`'s first-element init the
+  * way [[EwmMean]] does. Null squares carry the state and emit the
+  * carried h (null before the first valid square). Same
+  * unbounded-memory argument as EWM: no fixed frame expresses the
+  * recursion; one ordered pass per partition, one double of state. */
+case class GarchVariance(left: Expression, right: Expression,
+                         alpha: Double, beta: Double)
+    extends AggregateWindowFunction
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")
+  require(beta >= 0.0, s"beta must be >= 0, got $beta")
+  require(alpha + beta < 1.0,
+    s"alpha + beta must be < 1 (covariance-stationary), got ${alpha + beta}")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "garch_variance"
+
+  private lazy val h = AttributeReference("h", DoubleType, nullable = true)()
+  override def aggBufferAttributes: Seq[AttributeReference] = h :: Nil
+  override lazy val initialValues: Seq[Expression] =
+    Literal(null, DoubleType) :: Nil
+
+  private def x2: Expression = Cast(left, DoubleType)
+  private def omega: Expression = Cast(right, DoubleType)
+
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(x2), h,
+      If(IsNull(h), x2,
+        Add(Add(omega, Multiply(Literal(alpha), x2)),
+          Multiply(Literal(beta), h))))
+  )
+
+  override lazy val evaluateExpression: Expression = h
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GarchVariance =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Lempel–Ziv 76 complexity of a sign tape as a native Catalyst window
   * function — the phrase count of the exhaustive-history LZ76
   * factorization (Lempel & Ziv 1976; Kaspar & Schuster 1987), the
@@ -408,6 +468,7 @@ object GraftFunctions {
   val RunBarIdName = "graft_run_bar_id"
   val KalmanBetaName = "graft_kalman_beta"
   val RegimeProbName = "graft_regime_prob"
+  val GarchVarianceName = "graft_garch_variance"
   val LzComplexityName = "graft_lz_complexity"
   val DotName = "graft_dot"
   val LshSigsName = "graft_lsh_sigs"
@@ -478,6 +539,9 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(RegimeProbName,
       exprs => RegimeProb(exprs.head, evalAlpha(exprs(1)),
         evalAlpha(exprs(2)), evalAlpha(exprs(3)), evalAlpha(exprs(4))), "built-in")
+    registry.createOrReplaceTempFunction(GarchVarianceName,
+      exprs => GarchVariance(exprs.head, exprs(1), evalAlpha(exprs(2)),
+        evalAlpha(exprs(3))), "built-in")
     registry.createOrReplaceTempFunction(LzComplexityName,
       exprs => LzComplexity(exprs.head,
         if (exprs.length > 1) exprs(1) match {

@@ -5766,6 +5766,132 @@ class OpsSpec extends SparkSpec {
     assert(side(4) == Some(1L), "zero tick carries the last direction")
     assert(side(5) == Some(-1L) && out(5).getAs[Double]("espread") == 2.0)
   }
+
+  test("garchFilter: alternating-tape fixed point, hand-fold replay, null/leading carry, per-series isolation") {
+    import graft.functions.{TaIndicators => TA}
+    // price alternates 100 ↔ 110 (both exact 2-dp): x² = ln(1.1)² is
+    // CONSTANT, so variance targeting gives ω = x²(1−α−β) and the
+    // recursion sits at its fixed point h_t = x² for every t
+    val alt = (0 until 12).map(t =>
+        ("A", t.toLong, if (t % 2 == 0) 100.0 else 110.0)) ++
+      // second series, different scale (100 ↔ 120): isolation check
+      (0 until 12).map(t =>
+        ("B", t.toLong, if (t % 2 == 0) 100.0 else 120.0))
+    val df = alt.toDF("k", "t", "v")
+      .withColumn("ts", expr("timestamp_micros(t * 3600000000)"))
+    val out = TA.garchFilter(df, Seq("k"), "ts", "v", "hour", 0.08, 0.90)
+      .orderBy("k", "bucket").collect()
+    def x2of(ratio: Double): Double = {
+      val r = math.log(ratio)
+      math.round(r * r * 1e12).toDouble / 1e12
+    }
+    val (xa, xb) = (x2of(110.0 / 100.0), x2of(120.0 / 100.0))
+    val (aRows, bRows) = out.partition(_.getAs[String]("k") == "A")
+    // first bucket has no return → null filter output
+    assert(aRows.head.isNullAt(aRows.head.fieldIndex("garch_var_u")))
+    aRows.tail.foreach { r =>
+      assert(math.abs(r.getAs[Double]("garch_var_u") - xa * 1e6) < 1e-6,
+        r.toString)
+      assert(math.abs(r.getAs[Double]("garch_vol_ann") -
+        math.sqrt(xa * 8760.0)) < 1e-6, r.toString)
+    }
+    bRows.tail.foreach { r =>
+      assert(math.abs(r.getAs[Double]("garch_var_u") - xb * 1e6) < 1e-6,
+        r.toString)
+    }
+    // hand-fold replay on a non-constant tape: same quantization, same
+    // left-associated IEEE tree → equality to double precision
+    val prices = Seq(100.0, 105.0, 98.0, 101.0, 99.5, 104.25, 102.0)
+    val hand = prices.zipWithIndex.map { case (p, t) => ("H", t.toLong, p) }
+    val hdf = hand.toDF("k", "t", "v")
+      .withColumn("ts", expr("timestamp_micros(t * 3600000000)"))
+    val hout = TA.garchFilter(hdf, Seq("k"), "ts", "v", "hour", 0.08, 0.90)
+      .orderBy("bucket").collect()
+    val x2s = prices.zip(prices.tail).map { case (a, b) =>
+      val r = math.log(b / a); math.round(r * r * 1e12).toDouble / 1e12 }
+    val vbar = x2s.map(x => math.round(x * 1e12)).sum.toDouble /
+      x2s.length.toDouble / 1e12
+    val omega = vbar * (1.0 - 0.08 - 0.90)
+    val expected = x2s.tail.scanLeft(x2s.head) { (h, x) =>
+      (omega + 0.08 * x) + 0.90 * h }
+    hout.tail.zip(expected).foreach { case (row, e) =>
+      assert(math.abs(row.getAs[Double]("garch_var_u") - e * 1e6) < 1e-5,
+        s"row=$row expected=${e * 1e6}")
+    }
+    // a gap hour (missing bucket) simply shortens the series — nulls
+    // only ever lead; interior non-positive means yield a null return
+    // that CARRIES the state
+    val gap = Seq(("G", 0L, 100.0), ("G", 1L, -5.0), ("G", 2L, 100.0),
+      ("G", 3L, 110.0)).toDF("k", "t", "v")
+      .withColumn("ts", expr("timestamp_micros(t * 3600000000)"))
+    val gout = TA.garchFilter(gap, Seq("k"), "ts", "v", "hour", 0.08, 0.90)
+      .orderBy("bucket").collect()
+    assert(gout(0).isNullAt(gout(0).fieldIndex("garch_var_u")))
+    assert(gout(1).isNullAt(gout(1).fieldIndex("garch_var_u"))) // ln(neg) guard
+    assert(gout(2).isNullAt(gout(2).fieldIndex("garch_var_u"))) // ln(pos/neg) guard
+    assert(!gout(3).isNullAt(gout(3).fieldIndex("garch_var_u"))) // first valid r
+    // parameter guard is loud
+    val err = intercept[IllegalArgumentException] {
+      TA.garchFilter(gap, Seq("k"), "ts", "v", "hour", 0.5, 0.6) }
+    assert(err.getMessage.contains("alpha + beta"), err.getMessage)
+  }
+
+  test("neweyWest: linear-trend degenerate, alternating closed form 0.2d², hand replay, lag-deficient keys") {
+    // linear trend: every diff is the same → deviations are zero →
+    // lrv = 0, se/t null, mean_v = the step
+    val lin = (0 until 10).map(t => ("L", t.toLong, 10.0 + 2.0 * t))
+    // alternating diffs ±d around a flat mean: γ₀ = d², γ_l alternates
+    // sign; Bartlett(L=4) nets to lrv = 0.2·d² exactly as n → ∞ and
+    // to d²/n·(0.2n) = 0.2d² EXACTLY at any even n (telescoping)
+    val alt = (0 until 21).map(t => ("A", t.toLong, if (t % 2 == 0) 10.0 else 12.0))
+    val df = (lin ++ alt).toDF("k", "hb", "v")
+    val out = Relational.neweyWest(df, "k", "hb", "v", maxLag = 4,
+        scale = 1e4, diff = true).collect()
+    val byK = out.map(r => r.getAs[String]("key") -> r).toMap
+    val l = byK("L")
+    assert(math.abs(l.getAs[Double]("mean_v") - 2.0) < 1e-9, l.toString)
+    assert(l.getAs[Double]("lrv") == 0.0, l.toString)
+    assert(l.isNullAt(l.fieldIndex("se_mean")) &&
+      l.isNullAt(l.fieldIndex("t_mean")), l.toString)
+    val a = byK("A")
+    // 21 values → 20 diffs of ±2 (even count, mean exactly 0)
+    assert(a.getAs[Long]("n") == 20L, a.toString)
+    assert(a.getAs[Double]("mean_v") == 0.0, a.toString)
+    assert(math.abs(a.getAs[Double]("lrv") - 0.2 * 4.0) < 1e-6, a.toString)
+    // hand replay of the full estimator on an irregular tape —
+    // independent scalar reimplementation over the same ⌊v·10⁴⌋ images
+    val vals = Seq(10.0, 11.5, 10.75, 12.0, 11.0, 13.25, 12.5, 14.0, 13.0)
+    val hdf = vals.zipWithIndex.map { case (v, t) => ("H", t.toLong, v) }
+      .toDF("k", "hb", "v")
+    val h = Relational.neweyWest(hdf, "k", "hb", "v", maxLag = 4,
+      scale = 1e4, diff = true).collect().head
+    val q = vals.map(v => math.floor(v * 1e4).toLong)
+    val dq = q.zip(q.tail).map { case (x, y) => y - x }
+    val n = dq.length
+    val mu = dq.sum.toDouble / n.toDouble
+    def gamma(lg: Int): Double = {
+      val pairs = (lg until n).map(t => (dq(t - lg), dq(t)))
+      val sxy = pairs.map { case (x, y) => x * y }.sum.toDouble
+      val sa = pairs.map(_._1).sum.toDouble
+      val sb = pairs.map(_._2).sum.toDouble
+      (sxy - mu * (sa + sb) + pairs.length.toDouble * (mu * mu)) / n.toDouble
+    }
+    val lrvq = (1 to 4).foldLeft(gamma(0)) { (acc, lg) =>
+      acc + 2.0 * (1.0 - lg / 5.0) * gamma(lg) }
+    assert(math.abs(h.getAs[Double]("mean_v") - mu / 1e4) < 1e-6, h.toString)
+    assert(math.abs(h.getAs[Double]("lrv") - lrvq / 1e8) < 1e-6, h.toString)
+    assert(math.abs(h.getAs[Double]("t_mean") -
+      mu / math.sqrt(lrvq / n)) < 1e-5, h.toString)
+    // a key with fewer buckets than maxLag+1 still rows out (null lrv
+    // where no lag-4 pair exists), never crashes
+    val short = Seq(("S", 0L, 1.0), ("S", 1L, 2.0), ("S", 2L, 4.0))
+      .toDF("k", "hb", "v")
+    val sRow = Relational.neweyWest(short, "k", "hb", "v", maxLag = 4,
+      scale = 1e4, diff = true).collect().head
+    assert(sRow.getAs[Long]("n") == 2L, sRow.toString)
+    assert(sRow.isNullAt(sRow.fieldIndex("lrv")), sRow.toString)
+  }
+
 }
 
 /** Test backends for the inference-backend contract spec — top level so
@@ -5963,4 +6089,5 @@ class BackendContractSpec extends SparkSpec {
     val err = intercept[Exception] { missing.predict(Seq("x")) }
     assert(err.getMessage.contains("lexicon file not found"), err.getMessage)
   }
+
 }
