@@ -7335,6 +7335,48 @@ object Queries {
              CAST(fp AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e6) AS mean_nll
       FROM g ORDER BY doc_id"""))
 
+  // Interpolated Kneser–Ney bigram scoring — the continuation-count
+  // smoother beside q_bigram_lm's Jelinek–Mercer blend (the standard
+  // perplexity-filter backbone). Same µnat fixed-point protocol; the
+  // three KN count tables (successor/predecessor fanouts, bigram-type
+  // total) are exact integers.
+  private val qKnLm = QDef(
+    "q_kn_lm",
+    (s, dir) => TextAnalysis.knLogProb(t(s, dir, "documents"),
+        "text", "doc_id", discount = 0.75)
+      .orderBy("doc_id"),
+    Some(raw"""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+      uni AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t),
+      fst AS (SELECT d.doc_id,
+                CAST(round(-ln(CAST(u.c AS DOUBLE) / tot.total) * 1e6) AS BIGINT) AS fp
+              FROM d JOIN uni u ON u.tok = d.toks[1] CROSS JOIN tot),
+      p AS (SELECT doc_id, toks[CAST(i AS INT)] AS prev, toks[CAST(i + 1 AS INT)] AS cur
+            FROM (SELECT doc_id, toks, unnest(range(1, CAST(len(toks) AS BIGINT))) AS i
+                  FROM d WHERE len(toks) >= 2)),
+      bi AS (SELECT prev, cur, count(*) AS cb FROM p GROUP BY prev, cur),
+      n1 AS (SELECT prev, count(*) AS n1p FROM bi GROUP BY prev),
+      nc AS (SELECT cur, count(*) AS ncont FROM bi GROUP BY cur),
+      bt AS (SELECT CAST(count(*) AS BIGINT) AS btypes FROM bi),
+      pf AS (SELECT p.doc_id,
+               CAST(round(-ln(
+                 (CAST(bi.cb AS DOUBLE) - 0.75) / CAST(up.c AS DOUBLE)
+                 + 0.75 / CAST(up.c AS DOUBLE) * CAST(n1.n1p AS DOUBLE)
+                   * (CAST(nc.ncont AS DOUBLE) / CAST(bt.btypes AS DOUBLE))) * 1e6) AS BIGINT) AS fp
+             FROM p
+             JOIN bi USING (prev, cur)
+             JOIN uni up ON up.tok = p.prev
+             JOIN n1 ON n1.prev = p.prev
+             JOIN nc ON nc.cur = p.cur
+             CROSS JOIN bt),
+      g AS (SELECT doc_id, CAST(SUM(fp) AS BIGINT) AS fp, CAST(count(*) AS BIGINT) AS n_tokens
+            FROM (SELECT * FROM fst UNION ALL SELECT * FROM pf) GROUP BY doc_id)
+      SELECT doc_id, n_tokens,
+             CAST(fp AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e6) AS mean_nll
+      FROM g ORDER BY doc_id"""))
+
   // SemDeDup-style semantic dedup: deterministic centroids (k lowest-id
   // vectors), argmax-cosine assignment, within-cluster removal against
   // the repCap lowest-id representatives. All cosine arithmetic is the
@@ -9370,6 +9412,121 @@ object Queries {
       FROM fin ORDER BY key"""
     })
 
+  // Diebold–Mariano forecast comparison per event type: RiskMetrics
+  // EWMA vs the variance-targeted GARCH(1,1) filter, one-step-ahead
+  // squared-error loss on the hourly squared-return series, HAC
+  // (Bartlett L=4) mean test on the loss differential. Both forecast
+  // folds replay in the oracle over the identical quantized squares;
+  // the loss differential floors to an exact ·10¹⁸ BIGINT before any
+  // cross-row reduction.
+  private val qDmTest = QDef(
+    "q_dm_test",
+    (s, dir) => TA.dmVolForecast(t(s, dir, "events"), "event_type",
+      "ts", "value", "hour", 0.06, GarchAlpha, GarchBeta, NwLags),
+    Some {
+      val ga = java.lang.Double.toString(GarchAlpha)
+      val gb = java.lang.Double.toString(GarchBeta)
+      val fac = java.lang.Double.toString(1.0 - GarchAlpha - GarchBeta)
+      val ea = java.lang.Double.toString(0.06)
+      val eb = java.lang.Double.toString(1.0 - 0.06)
+      val weights = (1 to NwLags).map(l =>
+        java.lang.Double.toString(2.0 * (1.0 - l.toDouble / (NwLags + 1.0))))
+      def gsql(l: Int): String =
+        s"""(CAST(sxy$l AS DOUBLE)
+             - mu * (CAST(sa$l AS DOUBLE) + CAST(sb$l AS DOUBLE))
+             + CAST(nl$l AS DOUBLE) * (mu * mu)) / CAST(n AS DOUBLE)"""
+      val lrv = (1 to NwLags).foldLeft("g0") { (acc, l) =>
+        s"($acc + ${weights(l - 1)} * g$l)" }
+      val pivCells = (0 to NwLags).flatMap(l => Seq(
+        s"MAX(CASE WHEN lag = $l THEN nl END) AS nl$l",
+        s"MAX(CASE WHEN lag = $l THEN sa END) AS sa$l",
+        s"MAX(CASE WHEN lag = $l THEN sb END) AS sb$l",
+        s"MAX(CASE WHEN lag = $l THEN sxy END) AS sxy$l")).mkString(",\n               ")
+      s"""
+      WITH hm AS (SELECT event_type AS k, date_trunc('hour', ts) AS bucket,
+                         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                           / COUNT(*) AS p
+                  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      r0 AS (SELECT k, bucket, p,
+                    lag(p) OVER (PARTITION BY k ORDER BY bucket) AS pl
+             FROM hm),
+      r1 AS (SELECT k, bucket,
+                    CASE WHEN p > 0 AND pl > 0 THEN ln(p / pl) END AS r
+             FROM r0),
+      x AS (SELECT k, bucket,
+                   CAST(round(r * r * 1e12) AS BIGINT) AS x2q
+            FROM r1),
+      o AS (SELECT k, bucket,
+                   CAST(x2q AS DOUBLE) / 1e12 AS x2,
+                   CAST(SUM(x2q) OVER pk AS DOUBLE)
+                     / CAST(COUNT(x2q) OVER pk AS DOUBLE) / 1e12 AS vbar,
+                   CAST(SUM(x2q) OVER pk AS DOUBLE)
+                     / CAST(COUNT(x2q) OVER pk AS DOUBLE) / 1e12 * $fac AS omega,
+                   list(CAST(x2q AS DOUBLE) / 1e12) OVER wr AS xs
+            FROM x WINDOW
+              pk AS (PARTITION BY k),
+              wr AS (PARTITION BY k ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      f AS (SELECT k, bucket, x2, vbar,
+                   list_reduce(xs, (acc, e) -> CASE
+                     WHEN e IS NULL THEN acc
+                     WHEN acc IS NULL THEN e
+                     ELSE (omega + $ga * e) + $gb * acc END) AS h,
+                   list_reduce(xs, (acc, e) -> CASE
+                     WHEN e IS NULL THEN acc
+                     WHEN acc IS NULL THEN e
+                     ELSE acc * $eb + e * $ea END) AS m
+            FROM o),
+      fc AS (SELECT k, bucket,
+                    CASE WHEN vbar > 0 THEN x2 / vbar END AS z,
+                    CASE WHEN vbar > 0 THEN
+                      CAST(CAST(round(lag(m) OVER wkb / vbar * 1e9) AS BIGINT)
+                           AS DOUBLE) / 1e9 END AS f1,
+                    CASE WHEN vbar > 0 THEN
+                      CAST(CAST(round(lag(h) OVER wkb / vbar * 1e9) AS BIGINT)
+                           AS DOUBLE) / 1e9 END AS f2
+             FROM f WINDOW wkb AS (PARTITION BY k ORDER BY bucket)),
+      dd AS (SELECT k, epoch_us(bucket) // 3600000000 AS t,
+                    CAST(floor(((z - f1) * (z - f1)) * 1e9) AS BIGINT) AS e1q,
+                    CAST(floor(((z - f2) * (z - f2)) * 1e9) AS BIGINT) AS e2q,
+                    CAST(floor((((z - f1) * (z - f1))
+                                - ((z - f2) * (z - f2))) * 1e9) AS BIGINT) AS dv
+             FROM fc),
+      d AS (SELECT * FROM dd WHERE dv IS NOT NULL),
+      tot AS (SELECT k, COUNT(*) AS n, SUM(CAST(dv AS HUGEINT)) AS sv,
+                     SUM(CAST(e1q AS HUGEINT)) AS se1,
+                     SUM(CAST(e2q AS HUGEINT)) AS se2
+              FROM d GROUP BY k),
+      l AS (SELECT unnest(range(0, ${NwLags + 1})) AS lag),
+      p AS (SELECT x.k, l.lag, x.dv AS xa, y.dv AS xb
+            FROM d x CROSS JOIN l JOIN d y ON y.k = x.k AND y.t = x.t + l.lag),
+      s AS (SELECT k, lag, COUNT(*) AS nl,
+                   SUM(CAST(xa AS HUGEINT)) AS sa,
+                   SUM(CAST(xb AS HUGEINT)) AS sb,
+                   SUM(CAST(xa AS HUGEINT) * xb) AS sxy
+            FROM p GROUP BY 1, 2),
+      piv AS (SELECT k,
+               $pivCells
+              FROM s GROUP BY k),
+      jm AS (SELECT t.k, t.n, t.se1, t.se2, piv.* EXCLUDE (k),
+                    CAST(t.sv AS DOUBLE) / CAST(t.n AS DOUBLE) AS mu
+             FROM tot t JOIN piv ON piv.k = t.k),
+      g AS (SELECT k, n, se1, se2, mu,
+                   ${(0 to NwLags).map(l => s"${gsql(l)} AS g$l")
+                     .mkString(",\n                   ")}
+            FROM jm),
+      fin AS (SELECT k, n, se1, se2, mu, $lrv AS lrvq FROM g)
+      SELECT k AS key, n,
+             round(CAST(se1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e9, 6) + 0.0
+               AS mse_ewma_r,
+             round(CAST(se2 AS DOUBLE) / CAST(n AS DOUBLE) / 1e9, 6) + 0.0
+               AS mse_garch_r,
+             round(mu / 1e9, 6) + 0.0 AS mean_d_r,
+             CASE WHEN lrvq > 0.0 THEN
+               round(mu / sqrt(lrvq / CAST(n AS DOUBLE)), 6) + 0.0 END AS dm
+      FROM fin ORDER BY key"""
+    })
+
   // ------------------------------------------------------------------
   // Registry
   // ------------------------------------------------------------------
@@ -9389,7 +9546,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal, qMediaDedup,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences, qTokenEntropy,
     qSegmentDedup, qSubstringDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
-    qCdcDedup, qBigramLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qAcf, qPacf, qRangeVol, qDrawdownStats, qPurgedSplit, qCpcvSplit, qVolumeBars, qDollarBars, qImbalanceBars, qTripleBarrier, qMetaLabel, qPsiDrift, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
+    qCdcDedup, qBigramLm, qKnLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qAcf, qPacf, qRangeVol, qDrawdownStats, qPurgedSplit, qCpcvSplit, qVolumeBars, qDollarBars, qImbalanceBars, qTripleBarrier, qMetaLabel, qPsiDrift, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qTokenBudget, qStratifiedSample, qBpeTokens,
@@ -9404,7 +9561,7 @@ object Queries {
     qPairsBacktest, qKelly, qAcSchedule, qPcaFactor, qDetonedCorr,
     qTailDep, qFlowAcf, qCorrMst, qSemivariance, qSpreadRatio, qZipfSlope,
     qWaveletVar, qHillTail, qCfVar, qLzComplexity, qTsrv, qHarRv, qRealizedKernel,
-    qGarch, qNeweyWest,
+    qGarch, qNeweyWest, qDmTest,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
     qEwmBeta, qMinVariance, qHrp, qErc, qPsr

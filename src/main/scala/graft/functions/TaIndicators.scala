@@ -709,6 +709,27 @@ object TaIndicators {
     * nothing corpus-wide sorts and the fold state is one double per
     * series. Annualization factor defaults to hourly buckets
     * (√8760·h). */
+  /** Shared bucketed squared-return frame for the conditional-variance
+    * family ([[garchFilter]], [[dmVolForecast]]): exact DECIMAL bucket
+    * means → guarded log returns → ·10¹²-quantized squares. Returns
+    * `(keys…, bucket, _p, _r, _x2q, _x2)` with `_x2` the re-floated
+    * quantized square (the fold input both engines share). */
+  private def bucketX2Frame(df: DataFrame, keys: Seq[String], tsCol: String,
+                            valueCol: String, interval: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 2)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("bucket"))
+    val bucketed = df.where(col(valueCol).isNotNull)
+      .groupBy((keys.map(col) :+
+        date_trunc(interval, col(tsCol)).as("bucket")): _*)
+      .agg((sum(col(valueCol).cast(D)).cast("double") / count(lit(1))).as("_p"))
+    val pl = lag(col("_p"), 1).over(wb)
+    bucketed
+      .withColumn("_r", when(col("_p") > 0.0 && pl > 0.0, log(col("_p") / pl)))
+      .withColumn("_x2q", round(col("_r") * col("_r") * lit(1e12)).cast("long"))
+      .withColumn("_x2", col("_x2q").cast("double") / lit(1e12))
+  }
+
   def garchFilter(df: DataFrame, keys: Seq[String], tsCol: String,
                   valueCol: String, interval: String = "hour",
                   alpha: Double = 0.08, beta: Double = 0.90,
@@ -716,20 +737,11 @@ object TaIndicators {
     require(keys.nonEmpty, "garchFilter needs the series key(s)")
     require(alpha >= 0.0 && beta >= 0.0 && alpha + beta < 1.0,
       s"need alpha, beta >= 0 and alpha + beta < 1, got $alpha/$beta")
-    val D = org.apache.spark.sql.types.DecimalType(18, 2)
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(col("bucket"))
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
-    val hourly = df.where(col(valueCol).isNotNull)
-      .groupBy((keys.map(col) :+
-        date_trunc(interval, col(tsCol)).as("bucket")): _*)
-      .agg((sum(col(valueCol).cast(D)).cast("double") / count(lit(1))).as("_p"))
-    val pl = lag(col("_p"), 1).over(wb)
-    val rows = hourly
-      .withColumn("_r", when(col("_p") > 0.0 && pl > 0.0, log(col("_p") / pl)))
-      .withColumn("_x2q", round(col("_r") * col("_r") * lit(1e12)).cast("long"))
-      .withColumn("_x2", col("_x2q").cast("double") / lit(1e12))
+    val rows = bucketX2Frame(df, keys, tsCol, valueCol, interval)
       .withColumn("_svq", sum(col("_x2q")).over(wk))
       .withColumn("_nr", count(col("_x2q")).over(wk))
     val omegaFac = 1.0 - alpha - beta
@@ -744,6 +756,112 @@ object TaIndicators {
       when(col("_h") > 0.0,
         round(sqrt(col("_h") * lit(annFactor)), 6) + lit(0.0))
         .as("garch_vol_ann")): _*)
+  }
+
+  /** Diebold–Mariano (1995) forecast-comparison test between the two
+    * conditional-variance forecasters the engine ships — RiskMetrics
+    * EWMA (α = 0.06, i.e. λ = 0.94) and the variance-targeted
+    * GARCH(1,1) filter ([[garchFilter]]) — over each key's bucketed
+    * squared-return series: both models' ONE-STEP-AHEAD forecasts
+    * (their filtered value lagged one bucket) score against the
+    * realized square under squared-error loss, and the loss
+    * differential `d_t = (x²_t − f_ewma)² − (x²_t − f_garch)²` gets
+    * the HAC mean test `DM = d̄ / √(lrv_Bartlett(d)/n)`
+    * ([[graft.operators.Relational.neweyWestMoments]]). DM > 0 ⇒ the
+    * EWMA's loss is larger ⇒ GARCH forecasts better (±1.96 the usual
+    * bands).
+    *
+    * Determinism contract: the realized squares are the SAME
+    * ·10¹²-quantized images both engines share bit-for-bit
+    * ([[bucketX2Frame]]); everything entering the loss then
+    * NORMALIZES by the series' exact-integer-derived mean square σ̄²
+    * (scale-free — errors are O(1) whether the series is a 10⁻³-return
+    * financial tape or a wild synthetic one) and the forecasts
+    * re-quantize at ·10⁹ so the folds' cross-engine ULP tail dies at
+    * a round with a ~2·10⁻⁷-wide boundary window. The `⌊e²·10⁹⌋`
+    * BIGINT loss images are then exact, the NW layer exact-integer,
+    * and every double the display casts stays far below 2⁵³ (per-key
+    * sums ≤ n·avg(e²)·10⁹ — holds to ~10⁶ buckets/key; shard by era
+    * beyond). Losses report in units of σ̄⁴ (relative MSE), 6 dp.
+    *
+    * Scale shape: one bucket agg (corpus → series rows), three window
+    * passes on one (key, bucket) sort, then the NW skinny self-join
+    * on series rows — nothing corpus-wide shuffles twice. */
+  def dmVolForecast(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, interval: String = "hour",
+                    ewmAlpha: Double = 0.06, garchAlpha: Double = 0.08,
+                    garchBeta: Double = 0.90, maxLag: Int = 4): DataFrame = {
+    val intervalUs: Long = interval match {
+      case "hour" => 3600000000L
+      case "day" => 86400000000L
+      case other => throw new IllegalArgumentException(
+        s"dmVolForecast supports hour/day buckets, got '$other'")
+    }
+    val keys = Seq(keyCol)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("bucket"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val omegaFac = 1.0 - garchAlpha - garchBeta
+    val rows = bucketX2Frame(df, keys, tsCol, valueCol, interval)
+      .withColumn("_svq", sum(col("_x2q")).over(wk))
+      .withColumn("_nr", count(col("_x2q")).over(wk))
+      .withColumn("_vbar",
+        col("_svq").cast("double") / col("_nr").cast("double") / lit(1e12))
+      .withColumn("_omega", col("_vbar") * lit(omegaFac))
+    val filt = rows
+      .withColumn("_h",
+        windows.garchVariance(col("_x2"), col("_omega"), garchAlpha,
+          garchBeta, wb))
+      .withColumn("_m", windows.ewmMean(col("_x2"), ewmAlpha, wb))
+    // SCALE-FREE seam: everything entering the loss normalizes by the
+    // series' mean square σ̄² (vbar) so errors are O(1) for ANY series
+    // scale, then the forecasts re-quantize at ·10⁹ — the folds agree
+    // across engines to ULP but not to the bit, and a raw-double loss
+    // would amplify that tail (round-13 gate catch); at O(1)·10⁹ the
+    // round-boundary flip window is ~ULP(10⁹) ≈ 2·10⁻⁷ wide, the
+    // suite's accepted boundary class. The realized square z = x²/σ̄²
+    // needs no seam (both engines derive it bit-identically from
+    // exact integers).
+    val fc = filt
+      .withColumn("_z", when(col("_vbar") > 0.0, col("_x2") / col("_vbar")))
+      .withColumn("_f1", when(col("_vbar") > 0.0,
+        round(lag(col("_m"), 1).over(wb) / col("_vbar") * lit(1e9))
+          .cast("long").cast("double") / lit(1e9)))
+      .withColumn("_f2", when(col("_vbar") > 0.0,
+        round(lag(col("_h"), 1).over(wb) / col("_vbar") * lit(1e9))
+          .cast("long").cast("double") / lit(1e9)))
+    val e1 = col("_z") - col("_f1")
+    val e2 = col("_z") - col("_f2")
+    // ·10⁹ loss images of O(1) relative errors: per-row ≤ ~10¹³ even on
+    // wild tapes (|e| ≤ 100·σ̄²), per-key sums ≤ n·avg(e²)·10⁹ — the
+    // 2⁵³ double-cast envelope holds to n ~ 10⁶ buckets/key (a century
+    // of hours); beyond that, shard the test by era upstream
+    val d = fc
+      .withColumn("_e1q", floor(e1 * e1 * lit(1e9)).cast("long"))
+      .withColumn("_e2q", floor(e2 * e2 * lit(1e9)).cast("long"))
+      .withColumn("_dq", floor((e1 * e1 - e2 * e2) * lit(1e9)).cast("long"))
+      .where(col("_dq").isNotNull)
+      .withColumn("_hb", expr(s"unix_micros(bucket) div ${intervalUs}L"))
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val mse = d.groupBy(col(keyCol).cast("string").as("key")).agg(
+      sum(col("_e1q").cast(D38)).as("_se1"),
+      sum(col("_e2q").cast(D38)).as("_se2"))
+    val base = d.select(col(keyCol).cast("string").as("_k"),
+      col("_hb").as("_t"), col("_dq").as("_v"))
+    val m = graft.operators.Relational.neweyWestMoments(base, maxLag)
+    val nd = col("n").cast("double")
+    m.join(mse, "key")
+      .select(col("key"), col("n"),
+        (round(col("_se1").cast("double") / nd / lit(1e9), 6) + lit(0.0))
+          .as("mse_ewma_r"),
+        (round(col("_se2").cast("double") / nd / lit(1e9), 6) + lit(0.0))
+          .as("mse_garch_r"),
+        (round(col("_mu") / lit(1e9), 6) + lit(0.0)).as("mean_d_r"),
+        when(col("_lrvq") > 0.0,
+          round(col("_mu") / sqrt(col("_lrvq") / nd), 6) + lit(0.0))
+          .as("dm"))
+      .orderBy("key")
   }
 
   /** Parzen kernel weight `k(x)` — 1−6x²+6x³ on [0,½], 2(1−x)³ on

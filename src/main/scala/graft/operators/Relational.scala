@@ -896,6 +896,49 @@ object Relational {
     momentCorr(paired, Seq("key", "lag")).orderBy("key", "lag")
   }
 
+  /** Moment layer of [[neweyWest]], shared with the Diebold–Mariano
+    * wrapper: from an already-quantized `(_k, _t: long, _v: long)`
+    * series frame, the per-key `(key, n, _mu, _lrvq)` — mean and
+    * Bartlett long-run variance IN QUANTIZED UNITS, unrounded, both
+    * fixed double trees from exact DECIMAL(38) integer sums (callers
+    * pick their own display scaling/rounding). */
+  private[graft] def neweyWestMoments(base: DataFrame, maxLag: Int)
+      : DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tot = base.groupBy(col("_k").as("key"))
+      .agg(count(lit(1)).as("n"), sum(col("_v").cast(D38)).as("sv"))
+    val lagged = base.withColumn("lag",
+        explode(sequence(lit(0), lit(maxLag))))
+      .withColumn("lag", col("lag").cast("long"))
+    val paired = lagged.as("x").join(base.as("y"),
+        col("y._k") === col("x._k") &&
+          col("y._t") === col("x._t") + col("lag"))
+      .select(col("x._k").as("key"), col("lag"),
+        col("x._v").as("_xa"), col("y._v").as("_xb"))
+    val perLag = paired.groupBy(col("key"), col("lag")).agg(
+      count(lit(1)).as("nl"),
+      sum(col("_xa").cast(D38)).as("sa"),
+      sum(col("_xb").cast(D38)).as("sb"),
+      sum(col("_xa").cast(D38) * col("_xb")).as("sxy"))
+    def cell(c: String, l: Int): Column =
+      max(when(col("lag") === l.toLong, col(c))).as(s"${c}$l")
+    val cells = (0 to maxLag).flatMap(l =>
+      Seq(cell("nl", l), cell("sa", l), cell("sb", l), cell("sxy", l)))
+    val piv = perLag.groupBy(col("key")).agg(cells.head, cells.tail: _*)
+    val j = tot.join(piv, "key")
+    val nd = col("n").cast("double")
+    val mu = col("sv").cast("double") / nd
+    def gamma(l: Int): Column =
+      (col(s"sxy$l").cast("double") -
+        mu * (col(s"sa$l").cast("double") + col(s"sb$l").cast("double")) +
+        col(s"nl$l").cast("double") * (mu * mu)) / nd
+    val lrvQ = (1 to maxLag).foldLeft(gamma(0)) { (acc, l) =>
+      acc + lit(2.0 * (1.0 - l.toDouble / (maxLag + 1.0))) * gamma(l)
+    }
+    j.select(col("key"), col("n"), mu.as("_mu"), lrvQ.as("_lrvq"))
+  }
+
   /** Newey–West (1987) HAC long-run variance of a per-key series, with
     * the Bartlett kernel — the autocorrelation-robust scale every
     * serially-dependent mean test needs (drift tests, Diebold–Mariano
@@ -934,8 +977,6 @@ object Relational {
   def neweyWest(df: DataFrame, keyCol: String, bucketCol: String,
                 valueCol: String, maxLag: Int, scale: Double = 1e4,
                 diff: Boolean = true): DataFrame = {
-    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
-    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val base0 = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
       .withColumn("_t", col("_t").cast("long"))
     val base =
@@ -944,37 +985,11 @@ object Relational {
           col("b._k") === col("a._k") && col("b._t") === col("a._t") + 1L)
         .select(col("a._k").as("_k"), (col("a._t") + 1L).as("_t"),
           (col("b._v") - col("a._v")).as("_v"))
-    val tot = base.groupBy(col("_k").as("key"))
-      .agg(count(lit(1)).as("n"), sum(col("_v").cast(D38)).as("sv"))
-    val lagged = base.withColumn("lag",
-        explode(sequence(lit(0), lit(maxLag))))
-      .withColumn("lag", col("lag").cast("long"))
-    val paired = lagged.as("x").join(base.as("y"),
-        col("y._k") === col("x._k") &&
-          col("y._t") === col("x._t") + col("lag"))
-      .select(col("x._k").as("key"), col("lag"),
-        col("x._v").as("_xa"), col("y._v").as("_xb"))
-    val perLag = paired.groupBy(col("key"), col("lag")).agg(
-      count(lit(1)).as("nl"),
-      sum(col("_xa").cast(D38)).as("sa"),
-      sum(col("_xb").cast(D38)).as("sb"),
-      sum(col("_xa").cast(D38) * col("_xb")).as("sxy"))
-    def cell(c: String, l: Int): Column =
-      max(when(col("lag") === l.toLong, col(c))).as(s"${c}$l")
-    val cells = (0 to maxLag).flatMap(l =>
-      Seq(cell("nl", l), cell("sa", l), cell("sb", l), cell("sxy", l)))
-    val piv = perLag.groupBy(col("key")).agg(cells.head, cells.tail: _*)
-    val j = tot.join(piv, "key")
+    val m = neweyWestMoments(base, maxLag)
     val nd = col("n").cast("double")
-    val mu = col("sv").cast("double") / nd
-    def gamma(l: Int): Column =
-      (col(s"sxy$l").cast("double") -
-        mu * (col(s"sa$l").cast("double") + col(s"sb$l").cast("double")) +
-        col(s"nl$l").cast("double") * (mu * mu)) / nd
-    val lrvQ = (1 to maxLag).foldLeft(gamma(0)) { (acc, l) =>
-      acc + lit(2.0 * (1.0 - l.toDouble / (maxLag + 1.0))) * gamma(l)
-    }
-    j.select(col("key"), col("n"),
+    val mu = col("_mu")
+    val lrvQ = col("_lrvq")
+    m.select(col("key"), col("n"),
         (round(mu / lit(scale), 6) + lit(0.0)).as("mean_v"),
         (round(lrvQ / lit(scale) / lit(scale), 6) + lit(0.0)).as("lrv"),
         when(lrvQ > 0.0,

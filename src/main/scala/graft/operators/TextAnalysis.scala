@@ -835,6 +835,81 @@ object TextAnalysis {
           .as("mean_nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form) — the stronger LM beside
+    * [[bigramLogProb]]'s Jelinek–Mercer blend, and the standard
+    * perplexity-filter backbone: the lower-order weight of a word is
+    * its CONTINUATION fanout (how many distinct contexts it follows),
+    * not its raw frequency, so "Francisco" stops looking probable
+    * outside "San …":
+    *
+    * {{{ P(cur|prev) = (c(prev,cur) − D)/c(prev)
+    *                   + D·N₁₊(prev·)/c(prev) · N₁₊(·cur)/B }}}
+    *
+    * with absolute discount `D`, `N₁₊(prev·)` the distinct-successor
+    * count of prev, `N₁₊(·cur)` the distinct-predecessor count of cur,
+    * and `B` the corpus bigram-type count. Scoring runs against the
+    * corpus's own counts, so every scored bigram has c ≥ 1 and the
+    * discounted term never clips. Position 0 scores under the unigram
+    * model (the [[bigramLogProb]] convention).
+    *
+    * Determinism: per-token NLLs quantize to µnat BIGINTs
+    * (`round(−ln p · 10⁶)`) before the per-doc sum — order-free under
+    * any partitioning; the probability itself is one fixed double tree
+    * from exact integer counts.
+    *
+    * Scale shape: identical to [[bigramLogProb]] — token-keyed
+    * equi-joins against vocabulary-sized count tables (the three KN
+    * tables are ≤ bigram-type-sized), one broadcast scalar; corpus
+    * rows never self-join. */
+  def knLogProb(df: DataFrame, textCol: String, idCol: String,
+                discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1), got $discount")
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val tok = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val uni = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = tok.groupBy().agg(count(lit(1)).as("total"))
+    val uniP = uni.crossJoin(broadcast(total))
+    val firstFp = base
+      .select(col("doc_id"), element_at(col("toks"), 1).as("tok"))
+      .join(uniP, Seq("tok"))
+      .select(col("doc_id"),
+        round(-log(col("c").cast("double") / col("total")) * 1e6)
+          .cast("long").as("fp"))
+    val pairs = base
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("prev"),
+          element_at(col("toks"), i + 1).as("cur")))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val bi = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    // bi is one row per TYPE, so plain counts give the N₁₊ fanouts
+    val n1 = bi.groupBy("prev").agg(count(lit(1)).as("n1p"))
+    val nc = bi.groupBy("cur").agg(count(lit(1)).as("ncont"))
+    val bt = bi.groupBy().agg(count(lit(1)).as("btypes"))
+    val pairFp = pairs
+      .join(bi, Seq("prev", "cur"))
+      .join(uniP.select(col("tok").as("prev"), col("c").as("cprev")), Seq("prev"))
+      .join(n1, Seq("prev"))
+      .join(nc, Seq("cur"))
+      .crossJoin(broadcast(bt))
+      .select(col("doc_id"),
+        round(-log(
+          (col("cb").cast("double") - lit(discount)) / col("cprev").cast("double")
+            + lit(discount) / col("cprev").cast("double") *
+              col("n1p").cast("double") *
+              (col("ncont").cast("double") / col("btypes").cast("double"))) * 1e6)
+          .cast("long").as("fp"))
+    firstFp.unionByName(pairFp)
+      .groupBy("doc_id")
+      .agg(sum(col("fp")).as("fp"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("fp").cast("double") / (col("n_tokens").cast("double") * 1e6))
+          .as("mean_nll"))
+  }
+
   // ---- Sequence packing ---------------------------------------------------
 
   /** Deterministic token-budget packing: within each shard (e.g. a

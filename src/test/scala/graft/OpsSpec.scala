@@ -1322,6 +1322,43 @@ class OpsSpec extends SparkSpec {
     assert(solo.getAs[Long]("n_tokens") == 1 && solo.getAs[Double]("mean_nll") == 0.0)
   }
 
+  test("knLogProb: closed-form Kneser–Ney scores, continuation-count sensitivity, solo doc") {
+    // corpus: "a b", "a c", "b a" → tokens a,b,a,c,b,a (total 6);
+    // uni a=3,b=2,c=1; bigram types (a,b),(a,c),(b,a) all cb=1, B=3;
+    // N₁₊(a·)=2, N₁₊(b·)=1; N₁₊(·b)=1, N₁₊(·c)=1, N₁₊(·a)=1
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "b a")).toDF("doc_id", "text")
+    val out = TextAnalysis.knLogProb(docs, "text", "doc_id", discount = 0.75)
+      .orderBy("doc_id").collect()
+    def kn(cb: Long, cp: Long, n1p: Long, ncont: Long, b: Long): Double =
+      (cb - 0.75) / cp.toDouble + 0.75 / cp.toDouble * n1p.toDouble *
+        (ncont.toDouble / b.toDouble)
+    def mu(p: Double): Long = math.round(-math.log(p) * 1e6)
+    // doc 1 "a b": pos0 −ln(3/6); pair p = 0.25/3 + (0.75/3)·2·(1/3) = 0.25
+    val e1 = (mu(3.0 / 6.0) + mu(kn(1, 3, 2, 1, 3))).toDouble / (2 * 1e6)
+    assert(math.abs(out(0).getAs[Double]("mean_nll") - e1) < 1e-9, out(0).toString)
+    // doc 3 "b a": pair (b,a): p = 0.25/2 + (0.75/2)·1·(1/3)
+    val e3 = (mu(2.0 / 6.0) + mu(kn(1, 2, 1, 1, 3))).toDouble / (2 * 1e6)
+    assert(math.abs(out(2).getAs[Double]("mean_nll") - e3) < 1e-9, out(2).toString)
+    // continuation counts BITE: "francisco" (always after "san") scores
+    // worse following a fresh context than a promiscuous word of the
+    // same unigram frequency would — here (a,c) vs (a,b): c and b have
+    // equal ncont, but raising b's predecessor diversity lowers its NLL
+    val div = Seq((1L, "a b"), (2L, "c b"), (3L, "d b"), (4L, "a e"))
+      .toDF("doc_id", "text")
+    val dOut = TextAnalysis.knLogProb(div, "text", "doc_id").orderBy("doc_id")
+      .collect()
+    // pair (a,b): ncont(b)=3 of B=4 vs pair (a,e): ncont(e)=1 → b likelier
+    assert(dOut(0).getAs[Double]("mean_nll") < dOut(3).getAs[Double]("mean_nll"),
+      s"continuation fanout must lower NLL: ${dOut.mkString(",")}")
+    // single-token doc scores unigram-only
+    val solo = TextAnalysis.knLogProb(Seq((9L, "solo")).toDF("doc_id", "text"),
+      "text", "doc_id").head()
+    assert(solo.getAs[Long]("n_tokens") == 1 && solo.getAs[Double]("mean_nll") == 0.0)
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.knLogProb(docs, "text", "doc_id", discount = 1.5) }
+    assert(err.getMessage.contains("discount"), err.getMessage)
+  }
+
   test("semanticDedup: null vectors survive unclustered; empty input returns the empty frame") {
     val vecs = Seq((1L, Array(1f, 0f)), (2L, null.asInstanceOf[Array[Float]]),
       (3L, Array(0f, 1f))).toDF("vec_id", "embedding")
@@ -5890,6 +5927,75 @@ class OpsSpec extends SparkSpec {
       scale = 1e4, diff = true).collect().head
     assert(sRow.getAs[Long]("n") == 2L, sRow.toString)
     assert(sRow.isNullAt(sRow.fieldIndex("lrv")), sRow.toString)
+  }
+
+  test("dmVolForecast: degenerate constant-variance tape, full hand replay of folds + HAC layer") {
+    import graft.functions.{TaIndicators => TA}
+    // alternating 100 ↔ 110: x² constant → both forecasters sit at the
+    // fixed point → zero loss both sides → mean d = 0, dm null
+    val alt = (0 until 16).map(t =>
+      ("A", t.toLong, if (t % 2 == 0) 100.0 else 110.0))
+    val adf = alt.toDF("k", "t", "v")
+      .withColumn("ts", expr("timestamp_micros(t * 3600000000)"))
+    val aRow = TA.dmVolForecast(adf, "k", "ts", "v").collect().head
+    // ULP drift around the fixed point can leave |loss| a quantum or
+    // two above zero; the assertions bound it at display resolution
+    assert(math.abs(aRow.getAs[Double]("mse_ewma_r")) <= 1e-5 &&
+      math.abs(aRow.getAs[Double]("mse_garch_r")) <= 1e-5 &&
+      math.abs(aRow.getAs[Double]("mean_d_r")) <= 1e-5, aRow.toString)
+    // varied tape: replay both folds + the loss quantizer + the NW
+    // layer scalar-side and match the distributed answer
+    val prices = Seq(100.0, 104.0, 99.0, 103.5, 98.25, 105.0, 101.0,
+      97.5, 102.25, 100.5, 106.0, 99.75)
+    val hdf = prices.zipWithIndex.map { case (p, t) => ("H", t.toLong, p) }
+      .toDF("k", "t", "v")
+      .withColumn("ts", expr("timestamp_micros(t * 3600000000)"))
+    val h = TA.dmVolForecast(hdf, "k", "ts", "v").collect().head
+    val x2 = prices.zip(prices.tail).map { case (a, b) =>
+      val r = math.log(b / a); math.round(r * r * 1e12).toDouble / 1e12 }
+    val vbar = x2.map(x => math.round(x * 1e12)).sum.toDouble /
+      x2.length.toDouble / 1e12
+    val omega = vbar * (1.0 - 0.08 - 0.90)
+    val hs = x2.tail.scanLeft(x2.head) { (s, x) => (omega + 0.08 * x) + 0.90 * s }
+    val ms = x2.tail.scanLeft(x2.head) { (s, x) => s * 0.94 + x * 0.06 }
+    // forecasts lag one bucket; the first return row has no forecast.
+    // The loss seam is scale-free: everything divides by vbar first,
+    // forecasts re-quantize at 1e9
+    val dq = x2.indices.drop(1).map { i =>
+      val z = x2(i) / vbar
+      val f1 = math.round(ms(i - 1) / vbar * 1e9).toDouble / 1e9
+      val f2 = math.round(hs(i - 1) / vbar * 1e9).toDouble / 1e9
+      val e1 = z - f1; val e2 = z - f2
+      (math.floor((e1 * e1) * 1e9).toLong,
+        math.floor((e2 * e2) * 1e9).toLong,
+        math.floor(((e1 * e1) - (e2 * e2)) * 1e9).toLong)
+    }
+    val n = dq.length
+    assert(h.getAs[Long]("n") == n.toLong, h.toString)
+    val mse1 = dq.map(_._1).sum.toDouble / n.toDouble / 1e9
+    val mse2 = dq.map(_._2).sum.toDouble / n.toDouble / 1e9
+    assert(math.abs(h.getAs[Double]("mse_ewma_r") - mse1) < 1e-5, h.toString)
+    assert(math.abs(h.getAs[Double]("mse_garch_r") - mse2) < 1e-5, h.toString)
+    val d = dq.map(_._3)
+    val muQ = d.sum.toDouble / n.toDouble
+    def gammaD(lg: Int): Double = {
+      val pairs = (lg until n).map(t => (d(t - lg), d(t)))
+      val sxy = pairs.map { case (x, y) =>
+        BigInt(x) * BigInt(y) }.sum.toDouble
+      val sa = pairs.map(_._1).sum.toDouble
+      val sb = pairs.map(_._2).sum.toDouble
+      (sxy - muQ * (sa + sb) + pairs.length.toDouble * (muQ * muQ)) / n.toDouble
+    }
+    val lrvq = (1 to 4).foldLeft(gammaD(0)) { (acc, lg) =>
+      acc + 2.0 * (1.0 - lg / 5.0) * gammaD(lg) }
+    assert(math.abs(h.getAs[Double]("mean_d_r") - muQ / 1e9) < 1e-5, h.toString)
+    if (lrvq > 0.0)
+      assert(math.abs(h.getAs[Double]("dm") -
+        muQ / math.sqrt(lrvq / n)) < 1e-4, h.toString)
+    // unsupported bucket interval raises loudly
+    val err = intercept[IllegalArgumentException] {
+      TA.dmVolForecast(hdf, "k", "ts", "v", interval = "minute") }
+    assert(err.getMessage.contains("hour/day"), err.getMessage)
   }
 
 }
