@@ -523,7 +523,8 @@ object Queries {
     * `mvN`, exact-HUGEINT scalars `papN`/`rzN`, guarded double ratios
     * `alN`/`btN`, and the re-quantized state `cgN`/`cgpN`; the final
     * state CTE is `cgp$rounds` with columns (k, dq, xq). */
-  private def cgRoundsSql(src: String, rounds: Int): String = {
+  private def cgRoundsSql(src: String, rounds: Int,
+                          rhsSrc: Option[String] = None): String = {
     val rs = (1 to rounds).map { i =>
       val prev = if (i == 1) "cg0" else s"cgp${i - 1}"
       val rzPrev = s"rz${i - 1}"
@@ -563,12 +564,19 @@ object Queries {
                     / (sqrt(CAST(da.dq AS DOUBLE) / 1e6)
                        * sqrt(CAST(db.dq AS DOUBLE) / 1e6))) AS BIGINT) AS cq
              FROM sym s JOIN cdg da ON da.k = s.a JOIN cdg db ON db.k = s.b),
-      cg0 AS MATERIALIZED (SELECT k, dq, CAST(0 AS BIGINT) AS xq,
+      cg0 AS MATERIALIZED (${rhsSrc match {
+        case Some(r) =>
+          s"""SELECT d.k, d.dq, CAST(0 AS BIGINT) AS xq,
+               r.bq AS rq, r.bq AS pq
+             FROM cdg d JOIN $r r ON r.k = d.k"""
+        case None =>
+          """SELECT k, dq, CAST(0 AS BIGINT) AS xq,
                CAST(round(1e6 * sqrt(CAST((SELECT dmin FROM dmn) AS DOUBLE) / 1e6)
                     / sqrt(CAST(dq AS DOUBLE) / 1e6)) AS BIGINT) AS rq,
                CAST(round(1e6 * sqrt(CAST((SELECT dmin FROM dmn) AS DOUBLE) / 1e6)
                     / sqrt(CAST(dq AS DOUBLE) / 1e6)) AS BIGINT) AS pq
-             FROM cdg),
+             FROM cdg"""
+      }}),
       rz0 AS (SELECT SUM(CAST(rq AS HUGEINT) * rq) AS rz FROM cg0),
       $rs"""
   }
@@ -3411,6 +3419,173 @@ object Queries {
              round(sqrt(CAST((SELECT dmin FROM dmn) AS DOUBLE) / 1e6) * 1e9
                    / CAST((SELECT sxw FROM sxw) AS DOUBLE), 6) + 0.0 AS port_variance
       FROM xw ORDER BY key"""))
+
+  // Brinson (BHB 1986) single-level allocation attribution — WHY the
+  // inverse-variance portfolio beat or trailed the equal-weight
+  // benchmark, per event type: alloc_k = (wp_k − wb_k)·(r_k − r_B)
+  // over the period's first→last hourly-mean return. Exact-integer
+  // weight/return images; every effect one fixed tree.
+  private val qBrinson = QDef(
+    "q_brinson",
+    (s, dir) => operators.Backtest.brinsonAttribution(
+      t(s, dir, "events"), "event_type", "ts", "value", "hour"),
+    Some("""
+      WITH hm AS (SELECT event_type AS k, date_trunc('hour', ts) AS bucket,
+                         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                           / COUNT(*) AS p
+                  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      hv AS (SELECT k, bucket, p, CAST(floor(p * 1e4) AS BIGINT) AS vq FROM hm),
+      st AS (SELECT k, COUNT(*) AS n,
+                    SUM(CAST(vq AS HUGEINT)) AS sv,
+                    SUM(CAST(vq AS HUGEINT) * vq) AS svv,
+                    arg_min(p, bucket) AS p0, arg_max(p, bucket) AS p1
+             FROM hv GROUP BY k),
+      uni AS (SELECT k, n,
+                     CAST(round((p1 / p0 - 1.0) * 1e6) AS BIGINT) AS rq,
+                     CAST(round((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                                 - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                          AS BIGINT) AS varq
+              FROM st WHERE p0 > 0 AND p1 > 0),
+      sc AS (SELECT MIN(varq) AS vminq, COUNT(*) AS kn FROM uni),
+      w AS (SELECT k, n, rq,
+                   CAST(round(1e6 * CAST((SELECT vminq FROM sc) AS DOUBLE)
+                        / CAST(varq AS DOUBLE)) AS BIGINT) AS wpq,
+                   CAST(round(1e6 / CAST((SELECT kn FROM sc) AS DOUBLE))
+                        AS BIGINT) AS wbq
+            FROM uni),
+      sums AS (SELECT SUM(CAST(wpq AS HUGEINT)) AS swp,
+                      SUM(CAST(wbq AS HUGEINT)) AS swb,
+                      SUM(CAST(wbq AS HUGEINT) * rq) AS rbn FROM w)
+      SELECT k AS key, n AS n_buckets,
+             round(CAST(rq AS DOUBLE) / 1e6, 6) + 0.0 AS ret,
+             round(CAST(wpq AS DOUBLE)
+                   / CAST((SELECT swp FROM sums) AS DOUBLE), 6) + 0.0 AS w_port,
+             round(CAST(wbq AS DOUBLE)
+                   / CAST((SELECT swb FROM sums) AS DOUBLE), 6) + 0.0 AS w_bench,
+             round((CAST(wpq AS DOUBLE) / CAST((SELECT swp FROM sums) AS DOUBLE)
+                    - CAST(wbq AS DOUBLE) / CAST((SELECT swb FROM sums) AS DOUBLE))
+                   * (CAST(rq AS DOUBLE) / 1e6
+                      - CAST((SELECT rbn FROM sums) AS DOUBLE)
+                        / (CAST((SELECT swb FROM sums) AS DOUBLE) * 1e6)), 6)
+               + 0.0 AS alloc
+      FROM w ORDER BY key"""))
+
+  // Black–Litterman posterior allocation on the same LW-CC shrunk
+  // covariance — the views-blending allocator completing the kit
+  // beside q_min_variance / q_erc / q_hrp / q_portfolio_ivp. Views are
+  // rank-deterministic (lexicographic key order): view 1 longs key 1
+  // against key 2, view 2 is absolute on key 3, each targeting a 10%
+  // uplift over its implied return. Engine: exact-integer prior
+  // matvec, closed-form 2×2 posterior (driver scalars = fixed trees
+  // over exact sums, the CG α/β doctrine), then the shared quantized
+  // preconditioned-CG fold with the posterior-return rhs; oracle
+  // replays every stage, reusing cgRoundsSql with the brq rhs.
+  private val BlDelta = 2.5
+  private val BlTau = 0.05
+  private val BlUplift = 0.1
+  private val qBlackLitterman = QDef(
+    "q_black_litterman",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("mean_v"))
+      val cov = Relational.ledoitWolfConstCorr(hourly, "event_type",
+        "bucket", "mean_v", scale = 1e4, pairScale = 1e2, termScale = 1e6)
+      val ks = cov.where(col("key_a") === col("key_b"))
+        .select(col("key_a").cast("string").as("k"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("k"))))
+      val views = ks.where(col("rn") === 1)
+        .select(lit(1).as("view_id"), col("k").as("key"), lit(1000000L).as("pq"))
+        .unionByName(ks.where(col("rn") === 2)
+          .select(lit(1).as("view_id"), col("k").as("key"), lit(-1000000L).as("pq")))
+        .unionByName(ks.where(col("rn") === 3)
+          .select(lit(2).as("view_id"), col("k").as("key"), lit(1000000L).as("pq")))
+      operators.Backtest.blackLitterman(cov, views, delta = BlDelta,
+        tau = BlTau, uplift = BlUplift, rounds = CgRounds)
+    },
+    Some {
+      val dS = java.lang.Double.toString(BlDelta)
+      val tS = java.lang.Double.toString(BlTau)
+      val uS = java.lang.Double.toString(BlUplift)
+      s"""
+      WITH $lwCcCteSql,
+      $covpCteSql,
+      blsym AS MATERIALIZED (SELECT a, b, covq FROM covp
+              UNION ALL SELECT b AS a, a AS b, covq FROM covp WHERE a <> b),
+      bdg AS MATERIALIZED (SELECT a AS k, covq AS dq FROM blsym WHERE a = b),
+      bdm AS (SELECT MIN(dq) AS dmin FROM bdg),
+      biv AS MATERIALIZED (SELECT k,
+               CAST(round(1e6 * CAST((SELECT dmin FROM bdm) AS DOUBLE)
+                    / CAST(dq AS DOUBLE)) AS BIGINT) AS ivq FROM bdg),
+      bsw AS (SELECT CAST(SUM(CAST(ivq AS HUGEINT)) AS DOUBLE) AS swv FROM biv),
+      bmv AS MATERIALIZED (SELECT s.a AS k,
+               SUM(CAST(s.covq AS HUGEINT) * i.ivq) AS mvwq
+             FROM blsym s JOIN biv i ON i.k = s.b GROUP BY 1),
+      bpi AS MATERIALIZED (SELECT k,
+               $dS * CAST(mvwq AS DOUBLE) / (1e6 * (SELECT swv FROM bsw)) AS pi,
+               CAST(round(($dS * CAST(mvwq AS DOUBLE)
+                           / (1e6 * (SELECT swv FROM bsw))) * 1e6) AS BIGINT) AS piq
+             FROM bmv),
+      bks AS (SELECT k, row_number() OVER (ORDER BY k) AS rn FROM bdg),
+      bv AS MATERIALIZED (
+         SELECT 1 AS vid, k, CAST(1000000 AS BIGINT) AS pq FROM bks WHERE rn = 1
+         UNION ALL
+         SELECT 1 AS vid, k, CAST(-1000000 AS BIGINT) AS pq FROM bks WHERE rn = 2
+         UNION ALL
+         SELECT 2 AS vid, k, CAST(1000000 AS BIGINT) AS pq FROM bks WHERE rn = 3),
+      btv AS MATERIALIZED (SELECT v.vid, s.a AS k,
+               CAST(SUM(CAST(s.covq AS HUGEINT) * v.pq) AS BIGINT) AS tq
+             FROM blsym s JOIN bv v ON v.k = s.b GROUP BY 1, 2),
+      bs11 AS (SELECT CAST(SUM(CAST(t.tq AS HUGEINT) * v.pq) AS DOUBLE) / 1e18 AS s
+               FROM btv t JOIN bv v ON v.k = t.k AND v.vid = 1 WHERE t.vid = 1),
+      bs12 AS (SELECT CAST(SUM(CAST(t.tq AS HUGEINT) * v.pq) AS DOUBLE) / 1e18 AS s
+               FROM btv t JOIN bv v ON v.k = t.k AND v.vid = 2 WHERE t.vid = 1),
+      bs22 AS (SELECT CAST(SUM(CAST(t.tq AS HUGEINT) * v.pq) AS DOUBLE) / 1e18 AS s
+               FROM btv t JOIN bv v ON v.k = t.k AND v.vid = 2 WHERE t.vid = 2),
+      bpp1 AS (SELECT CAST(SUM(CAST(v.pq AS HUGEINT) * p.piq) AS DOUBLE) / 1e12 AS pp
+               FROM bv v JOIN bpi p ON p.k = v.k WHERE v.vid = 1),
+      bpp2 AS (SELECT CAST(SUM(CAST(v.pq AS HUGEINT) * p.piq) AS DOUBLE) / 1e12 AS pp
+               FROM bv v JOIN bpi p ON p.k = v.k WHERE v.vid = 2),
+      bz AS (SELECT
+               CASE WHEN det <> 0.0 THEN (r1 * a22 - a12 * r2) / det
+                    ELSE 0.0 END AS z1,
+               CASE WHEN det <> 0.0 THEN (a11 * r2 - a12 * r1) / det
+                    ELSE 0.0 END AS z2
+             FROM (SELECT a11, a12, a22, r1, r2,
+                          a11 * a22 - a12 * a12 AS det
+                   FROM (SELECT 2.0 * $tS * (SELECT s FROM bs11) AS a11,
+                                $tS * (SELECT s FROM bs12) AS a12,
+                                2.0 * $tS * (SELECT s FROM bs22) AS a22,
+                                $uS * (SELECT pp FROM bpp1) AS r1,
+                                $uS * (SELECT pp FROM bpp2) AS r2))),
+      btp AS MATERIALIZED (SELECT k,
+               MAX(CASE WHEN vid = 1 THEN tq END) AS t1q,
+               MAX(CASE WHEN vid = 2 THEN tq END) AS t2q
+             FROM btv GROUP BY k),
+      bmq AS MATERIALIZED (SELECT p.k, p.pi,
+               p.pi + $tS * (CAST(COALESCE(t.t1q, 0) AS DOUBLE) / 1e12
+                               * (SELECT z1 FROM bz)
+                             + CAST(COALESCE(t.t2q, 0) AS DOUBLE) / 1e12
+                               * (SELECT z2 FROM bz)) AS mu,
+               CAST(round((p.pi + $tS * (CAST(COALESCE(t.t1q, 0) AS DOUBLE) / 1e12
+                               * (SELECT z1 FROM bz)
+                             + CAST(COALESCE(t.t2q, 0) AS DOUBLE) / 1e12
+                               * (SELECT z2 FROM bz))) * 1e6) AS BIGINT) AS muq
+             FROM bpi p JOIN btp t ON t.k = p.k),
+      brq AS MATERIALIZED (SELECT m.k,
+               CAST(round(CAST(m.muq AS DOUBLE)
+                    / sqrt(CAST(d.dq AS DOUBLE) / 1e6)) AS BIGINT) AS bq
+             FROM bmq m JOIN bdg d ON d.k = m.k),
+      ${cgRoundsSql("covp", CgRounds, Some("brq"))}
+      SELECT g.k AS key,
+             round(m.pi, 6) + 0.0 AS pi,
+             round(m.mu, 6) + 0.0 AS mu_bl,
+             round(CAST(g.xq AS DOUBLE) / 1e6
+                   / sqrt(CAST(g.dq AS DOUBLE) / 1e6) / $dS, 6) + 0.0 AS weight
+      FROM cgp$CgRounds g JOIN bmq m ON m.k = g.k ORDER BY key"""
+    })
 
   // Hierarchical Risk Parity on the same LW-CC shrunk covariance — the
   // inversion-free allocator beside q_min_variance. HASH-CHECKED
@@ -9564,6 +9739,6 @@ object Queries {
     qGarch, qNeweyWest, qDmTest,
     qBacktest, qWalkForward, qCpcvPaths, qPortfolioE2e, qPortfolioIvp, qPortfolioEnb, qDeflatedSharpe,
     qVarCvar, qSpearmanIc, qCusumFold, qFamaMacbeth, qKupiec,
-    qEwmBeta, qMinVariance, qHrp, qErc, qPsr
+    qEwmBeta, qMinVariance, qHrp, qErc, qPsr, qBlackLitterman, qBrinson
   )
 }

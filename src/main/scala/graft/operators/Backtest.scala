@@ -767,19 +767,29 @@ object Backtest {
     * (≤ 0) variances raise loudly at the diagonal probe — the query
     * session runs NON-ANSI, so an unguarded zero diagonal would cast
     * `inf` corr images to silent Long.MaxValue garbage. */
-  def minVarianceCG(cov: DataFrame, covCol: String = "shrunk_cov",
-                    rounds: Int = 16): DataFrame = {
-    require(rounds > 0, s"minVarianceCG needs rounds > 0, got $rounds")
-    val sym = symPairs(cov, covCol)
+  /** Collect ONE exact-DECIMAL reduction as a BigDecimal (zero when the
+    * sum is null) — the scalar re-injection path the quantized solvers
+    * share: the derived doubles are the same fixed IEEE trees over the
+    * same exact integers the SQL oracle folds. */
+  private def scalarOf(df: DataFrame): java.math.BigDecimal = {
+    val r = df.collect()(0)
+    if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+  }
+
+  /** Guarded positive-diagonal frame + CORRELATION images — the shared
+    * preconditioning prologue of [[minVarianceCG]] and
+    * [[blackLitterman]]: `cq = round(covq/(σ_a σ_b))`, σ = √(dq/10⁶).
+    * Degenerate (≤ 0) variances raise loudly at the diagonal probe —
+    * the query session runs NON-ANSI, so an unguarded zero diagonal
+    * would cast `inf` corr images to silent Long.MaxValue garbage. */
+  private def corrImages(sym: DataFrame, who: String): (DataFrame, DataFrame) = {
     val diag = sym.where(col("a") === col("b"))
       .select(col("a").as("k"),
         when(col("covq") <= 0L,
-          raise_error(concat(lit("minVarianceCG: non-positive variance for key "),
+          raise_error(concat(lit(s"$who: non-positive variance for key "),
             col("a"), lit(" — the estimator frame must carry a positive diagonal"))))
         .otherwise(col("covq")).as("dq"))
       .localCheckpoint()
-    val dmin = diag.agg(min(col("dq")).as("dmin"))
-    // correlation images: cq = round(covq / (σ_a·σ_b)), σ = √(dq/10⁶)
     val corr = sym
       .join(broadcast(diag.select(col("k").as("a"), col("dq").as("da"))), Seq("a"))
       .join(broadcast(diag.select(col("k").as("b"), col("dq").as("db"))), Seq("b"))
@@ -788,22 +798,21 @@ object Backtest {
           (sqrt(col("da").cast("double") / 1e6) *
            sqrt(col("db").cast("double") / 1e6))).cast("long").as("cq"))
       .localCheckpoint()
-    var st = diag.crossJoin(broadcast(dmin))
-      .select(col("k"), col("dq"), lit(0L).as("xq"),
-        round(lit(1e6) * sqrt(col("dmin").cast("double") / 1e6) /
-          sqrt(col("dq").cast("double") / 1e6)).cast("long").as("rq"))
-      .withColumn("pq", col("rq"))
-      .coalesce(1).localCheckpoint()
-    // CG's α/β are GLOBAL scalars with a strict serial dependency —
-    // collect each round's two exact-decimal reductions (one number
-    // each, not a driver solve; the rounds are driver-sequenced plans
-    // either way) and re-inject them as literals: the α/β doubles are
-    // the same fixed IEEE tree over the same exact integers the SQL
-    // oracle folds, and the per-round job count stays at leadingEigen's.
-    def scalarOf(df: DataFrame): java.math.BigDecimal = {
-      val r = df.collect()(0)
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-    }
+    (diag, corr)
+  }
+
+  /** The quantized preconditioned-CG round loop shared by
+    * [[minVarianceCG]] (rhs = σ_min/σ images) and [[blackLitterman]]
+    * (rhs = posterior-return/σ images): `st0` carries
+    * `(k, dq, xq = 0, rq = pq = b image)`; returns the state after
+    * `rounds` folds. CG's α/β are GLOBAL scalars with a strict serial
+    * dependency — each round collects two exact-decimal reductions
+    * (one number each, not a driver solve; the rounds are
+    * driver-sequenced plans either way) and re-injects them as
+    * literals. */
+  private def cgRoundLoop(corr: DataFrame, st0: DataFrame,
+                          rounds: Int): DataFrame = {
+    var st = st0
     var rz = scalarOf(st.agg(sum(col("rq").cast(D38q) * col("rq"))))
     (1 to rounds).foreach { _ =>
       // DECIMAL(38,0) product: a LongType multiply would WRAP silently in
@@ -837,6 +846,22 @@ object Backtest {
         .coalesce(1).localCheckpoint()
       rz = rz2
     }
+    st
+  }
+
+  def minVarianceCG(cov: DataFrame, covCol: String = "shrunk_cov",
+                    rounds: Int = 16): DataFrame = {
+    require(rounds > 0, s"minVarianceCG needs rounds > 0, got $rounds")
+    val sym = symPairs(cov, covCol)
+    val (diag, corr) = corrImages(sym, "minVarianceCG")
+    val dmin = diag.agg(min(col("dq")).as("dmin"))
+    val st0 = diag.crossJoin(broadcast(dmin))
+      .select(col("k"), col("dq"), lit(0L).as("xq"),
+        round(lit(1e6) * sqrt(col("dmin").cast("double") / 1e6) /
+          sqrt(col("dq").cast("double") / 1e6)).cast("long").as("rq"))
+      .withColumn("pq", col("rq"))
+      .coalesce(1).localCheckpoint()
+    val st = cgRoundLoop(corr, st0, rounds)
     // y → x: xw = round(yq·10³/σ); weight = xw/Σxw (order-free integer
     // sum); port_variance = σ_min·10⁹/Σxw
     val xw = st.select(col("k"),
@@ -849,6 +874,229 @@ object Backtest {
           + lit(0.0)).as("weight"),
         (round(sqrt(col("dmin").cast("double") / 1e6) * lit(1e9) /
           col("sxw").cast("double"), 6) + lit(0.0)).as("port_variance"))
+      .orderBy("key")
+  }
+
+  /** Brinson single-level allocation attribution (Brinson, Hood &
+    * Beebower 1986) — WHY a portfolio beat or trailed its benchmark,
+    * per bucket: with portfolio weights `wp` (here the scale-free
+    * inverse-variance prior, the [[blackLitterman]] market-weight
+    * convention), an equal-weight benchmark `wb`, and each key's
+    * period return `r_k` (first→last bucket mean), the allocation
+    * effect decomposes the active return
+    *
+    * {{{ alloc_k = (wp_k − wb_k)·(r_k − r_B),   r_B = Σ wb·r }}}
+    *
+    * (single asset level — the selection/interaction terms of the
+    * two-level scheme are identically zero, and Σ alloc_k = active
+    * return). The attribution UNIVERSE is the keys with a positive
+    * first price (a log-return universe); keys outside it are
+    * excluded from weights and benchmark alike.
+    *
+    * Determinism contract: bucket means are exact DECIMAL sums;
+    * per-key variance comes from `⌊p·10⁴⌋` BIGINT moment sums as one
+    * fixed tree, re-quantized to an integer image before the min
+    * (never a float argmin); weights are `round(10⁶·vmin/var)` /
+    * `round(10⁶/K)` integer images normalized by their EXACT sums;
+    * returns quantize to ·10⁶; the benchmark return and every effect
+    * is a fixed double tree over those integers. Zero-variance keys
+    * raise loudly (the [[corrImages]] precedent). Outputs round 6 dp.
+    *
+    * Scale shape: one map-side-combined bucket agg (corpus → series
+    * rows), one key-sized moment agg, two broadcast scalar joins —
+    * nothing corpus-wide shuffles twice. Returns
+    * `(key, n_buckets, ret, w_port, w_bench, alloc)`. */
+  def brinsonAttribution(df: DataFrame, keyCol: String, tsCol: String,
+                         valueCol: String, interval: String = "hour")
+      : DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 2)
+    val h = df.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("k"),
+        date_trunc(interval, col(tsCol)).as("bucket"))
+      .agg((sum(col(valueCol).cast(D)).cast("double") / count(lit(1))).as("p"))
+      .withColumn("vq", floor(col("p") * lit(1e4)).cast("long"))
+    val stats = h.groupBy("k").agg(
+      count(lit(1)).as("n"),
+      sum(col("vq").cast(D38q)).as("sv"),
+      sum(col("vq").cast(D38q) * col("vq")).as("svv"),
+      expr("min_by(p, bucket)").as("p0"),
+      expr("max_by(p, bucket)").as("p1"))
+    val nd = col("n").cast("double")
+    val varI = (nd * col("svv").cast("double") -
+      col("sv").cast("double") * col("sv").cast("double")) / (nd * nd)
+    val uni = stats
+      .where(col("p0") > 0.0 && col("p1") > 0.0)
+      .select(col("k"), col("n"),
+        round((col("p1") / col("p0") - lit(1.0)) * lit(1e6)).cast("long")
+          .as("rq"),
+        when(round(varI).cast("long") <= 0L,
+          raise_error(concat(lit("brinsonAttribution: zero-variance key "),
+            col("k"), lit(" — a constant series has no inverse-variance weight"))))
+          .otherwise(round(varI).cast("long")).as("varq"))
+      .localCheckpoint()
+    val sc = uni.agg(min(col("varq")).as("vminq"),
+      count(lit(1)).as("kn"))
+    val w = uni.crossJoin(broadcast(sc))
+      .select(col("k"), col("n"), col("rq"),
+        round(lit(1e6) * col("vminq").cast("double") /
+          col("varq").cast("double")).cast("long").as("wpq"),
+        round(lit(1e6) / col("kn").cast("double")).cast("long").as("wbq"))
+    val sums = w.agg(sum(col("wpq").cast(D38q)).as("swp"),
+      sum(col("wbq").cast(D38q)).as("swb"),
+      sum(col("wbq").cast(D38q) * col("rq")).as("rbn"))
+    val j = w.crossJoin(broadcast(sums))
+    val wp = col("wpq").cast("double") / col("swp").cast("double")
+    val wb = col("wbq").cast("double") / col("swb").cast("double")
+    val rb = col("rbn").cast("double") / (col("swb").cast("double") * lit(1e6))
+    j.select(col("k").as("key"), col("n").as("n_buckets"),
+        (round(col("rq").cast("double") / lit(1e6), 6) + lit(0.0)).as("ret"),
+        (round(wp, 6) + lit(0.0)).as("w_port"),
+        (round(wb, 6) + lit(0.0)).as("w_bench"),
+        (round((wp - wb) * (col("rq").cast("double") / lit(1e6) - rb), 6)
+          + lit(0.0)).as("alloc"))
+      .orderBy("key")
+  }
+
+  /** Black–Litterman posterior allocation (Black & Litterman 1992; He
+    * & Litterman 1999) — the views-blending allocator that completes
+    * the portfolio kit beside [[minVarianceCG]] / [[ercIterative]] /
+    * [[hrpIterative]]: implied returns from the inverse-variance
+    * market prior, a K-view posterior tilt, and the unconstrained
+    * optimal weights `w = Σ⁻¹μ_BL/δ` via the same quantized
+    * preconditioned-CG fold ([[cgRoundLoop]]).
+    *
+    * Pipeline (all reductions exact DECIMAL(38) integer sums; every
+    * scalar a fixed IEEE tree over them, re-injected as literals —
+    * the CG α/β doctrine, so a SQL oracle replays bit-identically):
+    *  1. market prior: `ivq = round(10⁶·dmin/dq)` scale-free
+    *     inverse-variance images, implied returns `Π = δ·Σw_mkt` via
+    *     one exact matvec;
+    *  2. views: `(view_id, key, pq)` rows with ·10⁶ portfolio images
+    *     (K ≤ 2 — the K×K posterior system inverts in closed form;
+    *     larger panels belong to a research notebook, not this
+    *     operator). View targets are RELATIVE: `q_v = (1+uplift)·PΠ_v`,
+    *     i.e. each view portfolio is believed to return `uplift` above
+    *     its implied level — scale-free across data sets;
+    *  3. posterior: `z = (τPΣPᵀ + Ω)⁻¹·(q − PΠ)` with Idzorek's
+    *     `Ω = τ·diag(PΣPᵀ)` (so the system is `A = τS + τ·diag(S)`),
+    *     `μ_BL = Π + τΣPᵀz`, re-quantized to ·10⁶ images;
+    *  4. solve: CG on the correlation-preconditioned system with rhs
+    *     `bq = round(muq/σ)`; weights convert back as
+    *     `w_i = (y_i/σ_i)/δ` — UNNORMALIZED by design (BL weights can
+    *     be net-short; an x/Σx normalization would blow up near zero
+    *     net exposure). `uplift = 0` collapses to the market prior:
+    *     `z = 0`, `μ_BL = Π`, `w = w_mkt` (spec-pinned).
+    *
+    * Scale shape: the corr/diag frames are key²-sized, the view
+    * frames K·key-sized, every stage a broadcast join + map-side
+    * integer agg; rounds are driver-sequenced checkpointed plans —
+    * the corpus is touched only by the upstream estimator. Returns
+    * `(key, pi, mu_bl, weight)`, 6 dp. */
+  def blackLitterman(cov: DataFrame, views: DataFrame,
+                     covCol: String = "shrunk_cov", delta: Double = 2.5,
+                     tau: Double = 0.05, uplift: Double = 0.1,
+                     rounds: Int = 16): DataFrame = {
+    require(rounds > 0, s"blackLitterman needs rounds > 0, got $rounds")
+    require(delta > 0.0, s"risk aversion delta must be > 0, got $delta")
+    require(tau > 0.0, s"prior uncertainty tau must be > 0, got $tau")
+    val sym = symPairs(cov, covCol)
+    val (diag, corr) = corrImages(sym, "blackLitterman")
+    // an empty estimator frame (e.g. the balanced panel has no complete
+    // bucket at tiny scale) yields an empty allocation, matching the
+    // hash-gated siblings (minVarianceCG/hrpIterative) and the oracle's
+    // empty CTE chain — not a raise
+    val dminRow = diag.agg(min(col("dq"))).collect()(0)
+    if (dminRow.isNullAt(0)) {
+      val spark = cov.sparkSession
+      import spark.implicits._
+      return Seq.empty[(String, Double, Double, Double)]
+        .toDF("key", "pi", "mu_bl", "weight")
+    }
+    // SCALE-FREE inverse-variance images (the minVarianceCG rhs
+    // convention): ivq = round(10⁶·dmin/dq) — an absolute 10¹²/dq
+    // image rounds to zero on large-variance frames (caught at the
+    // sf0.001 gate: hourly-mean variances there are ~10⁷)
+    val dminV = dminRow.getLong(0)
+    val iv = diag.select(col("k"),
+        round(lit(1e6) * lit(dminV.toDouble) / col("dq").cast("double"))
+          .cast("long").as("ivq"))
+      .coalesce(1).localCheckpoint()
+    val sw = scalarOf(iv.agg(sum(col("ivq").cast(D38q)))).doubleValue
+    require(sw > 0.0, "blackLitterman: degenerate prior (zero inverse-variance mass)")
+    val mvw = sym
+      .join(broadcast(iv.select(col("k").as("b"), col("ivq"))), Seq("b"))
+      .groupBy(col("a").as("k"))
+      .agg(sum(col("covq").cast(D38q) * col("ivq")).as("mvwq"))
+      .coalesce(1).localCheckpoint()
+    val pi = mvw.select(col("k"),
+        (lit(delta) * col("mvwq").cast("double") / (lit(1e6) * lit(sw)))
+          .as("pi"))
+      .withColumn("piq", round(col("pi") * lit(1e6)).cast("long"))
+      .coalesce(1).localCheckpoint()
+    val v = views.select(col("view_id").cast("int").as("vid"),
+        col("key").cast("string").as("k"), col("pq").cast("long").as("pq"))
+      .coalesce(1).localCheckpoint()
+    val vids = v.select("vid").distinct().collect().map(_.getInt(0)).sorted
+    require(vids.nonEmpty && vids.length <= 2,
+      s"blackLitterman supports 1-2 views (closed-form posterior inverse), got ${vids.length}")
+    val tv = sym
+      .join(broadcast(v.select(col("vid"), col("k").as("b"), col("pq"))), Seq("b"))
+      .groupBy(col("vid"), col("a").as("k"))
+      .agg(sum(col("covq").cast(D38q) * col("pq")).cast("long").as("tq"))
+      .coalesce(1).localCheckpoint()
+    def sVU(vv: Int, u: Int): Double = scalarOf(
+      tv.where(col("vid") === vv)
+        .join(v.where(col("vid") === u).select(col("k"), col("pq").as("pu")),
+          Seq("k"))
+        .agg(sum(col("tq").cast(D38q) * col("pu")))).doubleValue / 1e18
+    def ppV(vv: Int): Double = scalarOf(
+      v.where(col("vid") === vv)
+        .join(broadcast(pi.select(col("k"), col("piq"))), Seq("k"))
+        .agg(sum(col("pq").cast(D38q) * col("piq")))).doubleValue / 1e12
+    val s11 = sVU(vids(0), vids(0))
+    val r1 = uplift * ppV(vids(0))
+    val (z1, z2) =
+      if (vids.length == 1) {
+        val a11 = 2.0 * tau * s11
+        (if (a11 != 0.0) r1 / a11 else 0.0, 0.0)
+      } else {
+        val s12 = sVU(vids(0), vids(1))
+        val s22 = sVU(vids(1), vids(1))
+        val r2 = uplift * ppV(vids(1))
+        val a11 = 2.0 * tau * s11
+        val a12 = tau * s12
+        val a22 = 2.0 * tau * s22
+        val det = a11 * a22 - a12 * a12
+        if (det != 0.0)
+          ((r1 * a22 - a12 * r2) / det, (a11 * r2 - a12 * r1) / det)
+        else (0.0, 0.0)
+      }
+    val tpiv = tv.groupBy("k").agg(
+      max(when(col("vid") === vids(0), col("tq"))).as("t1q"),
+      max(when(col("vid") === lit(if (vids.length > 1) vids(1) else -1),
+        col("tq"))).as("t2q"))
+    val mu = pi.join(tpiv, Seq("k"))
+      .select(col("k"), col("pi"),
+        (col("pi") + lit(tau) *
+          (coalesce(col("t1q"), lit(0L)).cast("double") / lit(1e12) * lit(z1) +
+           coalesce(col("t2q"), lit(0L)).cast("double") / lit(1e12) * lit(z2)))
+          .as("mu"))
+      .withColumn("muq", round(col("mu") * lit(1e6)).cast("long"))
+      .coalesce(1).localCheckpoint()
+    val st0 = diag.join(broadcast(mu.select(col("k"), col("muq"))), Seq("k"))
+      .select(col("k"), col("dq"), lit(0L).as("xq"),
+        round(col("muq").cast("double") /
+          sqrt(col("dq").cast("double") / 1e6)).cast("long").as("rq"))
+      .withColumn("pq", col("rq"))
+      .coalesce(1).localCheckpoint()
+    val st = cgRoundLoop(corr, st0, rounds)
+    st.join(broadcast(mu.select(col("k"), col("pi"), col("mu"))), Seq("k"))
+      .select(col("k").as("key"),
+        (round(col("pi"), 6) + lit(0.0)).as("pi"),
+        (round(col("mu"), 6) + lit(0.0)).as("mu_bl"),
+        (round(col("xq").cast("double") / lit(1e6) /
+          sqrt(col("dq").cast("double") / 1e6) / lit(delta), 6) + lit(0.0))
+          .as("weight"))
       .orderBy("key")
   }
 

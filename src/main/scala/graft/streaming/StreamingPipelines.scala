@@ -407,6 +407,87 @@ object StreamingPipelines {
   }
 
   // ------------------------------------------------------------------
+  // Streaming GARCH(1,1) variance filter: the chunk-carry twin of
+  // [[org.apache.spark.sql.graft.GarchVariance]] (every sequential
+  // window function in the engine has a bounded-state streaming twin —
+  // the EWM/Regime/Kalman/LZ76 convention). State is the single double
+  // of the window-function buffer; ω travels WITH each tick, constant
+  // per symbol by contract — variance targeting is a batch estimate a
+  // stream consumes, not something a stream can recompute.
+  // ------------------------------------------------------------------
+
+  case class VarTick(symbol: String, epochSec: Long, x2: Option[Double],
+                     omega: Double)
+  case class GarchCarry(h: Option[Double])
+  case class GarchOut(symbol: String, epochSec: Long, h: Option[Double])
+
+  /** One step of the GARCH(1,1) recursion — the SAME fixed IEEE tree as
+    * the batch window function's updateExpressions, `(ω + α·x²) + β·h`
+    * seeded at the first valid square, so the streaming twin is
+    * bit-identical across any micro-batch cut (the ST3 gate). Null
+    * squares carry the state unchanged. */
+  def garchStep(st: GarchCarry, x2: Option[Double], omega: Double,
+                alpha: Double, beta: Double): GarchCarry =
+    x2 match {
+      case Some(x) => st.h match {
+        case None => GarchCarry(Some(x))
+        case Some(h) => GarchCarry(Some((omega + alpha * x) + beta * h))
+      }
+      case None => st
+    }
+
+  /** Stateful streaming GARCH: per symbol, fold the micro-batch through
+    * [[garchStep]] from the carried variance, emit the filtered h per
+    * tick, keep the final state as carry. */
+  def statefulGarch(ds: Dataset[VarTick], alpha: Double, beta: Double)
+                   (implicit spark: SparkSession): Dataset[GarchOut] = {
+    import spark.implicits._
+    ds.groupByKey(_.symbol)
+      .flatMapGroupsWithState[GarchCarry, GarchOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[VarTick], state: GroupState[GarchCarry]) =>
+          val batch = rows.toIndexedSeq.sortBy(_.epochSec)
+          var st = state.getOption.getOrElse(GarchCarry(None))
+          val out = batch.map { t =>
+            st = garchStep(st, t.x2, t.omega, alpha, beta)
+            GarchOut(t.symbol, t.epochSec, st.h)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** [[statefulGarch]] on Spark 4's `transformWithState` (the
+    * [[RegimeCarryProcessor]] convention: RocksDB-backed ValueState,
+    * same fold, same equivalence gate). */
+  class GarchCarryProcessor(alpha: Double, beta: Double)
+      extends StatefulProcessor[String, VarTick, GarchOut] {
+    @transient private var carry: ValueState[GarchCarry] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      carry = getHandle.getValueState[GarchCarry]("garchCarry",
+        org.apache.spark.sql.Encoders.product[GarchCarry], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[VarTick],
+                                 timerValues: TimerValues): Iterator[GarchOut] = {
+      val batch = rows.toIndexedSeq.sortBy(_.epochSec)
+      var st = Option(carry.get()).getOrElse(GarchCarry(None))
+      val out = batch.map { t =>
+        st = garchStep(st, t.x2, t.omega, alpha, beta)
+        GarchOut(t.symbol, t.epochSec, st.h)
+      }
+      carry.update(st)
+      out.iterator
+    }
+  }
+
+  def statefulGarchTws(ds: Dataset[VarTick], alpha: Double, beta: Double)
+                      (implicit spark: SparkSession): Dataset[GarchOut] = {
+    import spark.implicits._
+    ds.groupByKey(_.symbol)
+      .transformWithState(new GarchCarryProcessor(alpha, beta),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  // ------------------------------------------------------------------
   // Streaming incremental dedup: the 100 TB ingest loop. Each micro-batch
   // probes the standing MinHash index, keeps only docs that near-dup
   // NOTHING already indexed (nor an earlier doc of the same batch), and

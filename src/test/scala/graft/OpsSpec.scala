@@ -4665,6 +4665,119 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("exceeds the 2-key triangle"))
   }
 
+  test("blackLitterman: zero uplift = market prior, diagonal closed-form posterior, relative-view tilt, guards") {
+    import graft.operators.Backtest
+    def mk(rows: Seq[(String, String, Double)]) =
+      rows.toDF("key_a", "key_b", "shrunk_cov")
+    val diag3 = mk(Seq(("A", "A", 1.0), ("B", "B", 4.0), ("C", "C", 2.0),
+      ("A", "B", 0.0), ("A", "C", 0.0), ("B", "C", 0.0)))
+    val absA = Seq((1, "A", 1000000L)).toDF("view_id", "key", "pq")
+    // uplift = 0 → z = 0 → μ_BL = Π → w = w_mkt (ivq/ΣW): on this
+    // frame w_mkt = (1/1, 1/4, 1/2)/1.75 and Π_i = δ σ²_i w_i = δ/1.75
+    // for every key (inverse-variance prior equalizes implied returns)
+    val w0 = Backtest.blackLitterman(diag3, absA, uplift = 0.0).collect()
+      .map(r => r.getAs[String]("key") ->
+        ((r.getAs[Double]("pi"), r.getAs[Double]("mu_bl"),
+          r.getAs[Double]("weight")))).toMap
+    val piE = 2.5 / 1.75
+    Seq("A", "B", "C").foreach { k =>
+      assert(math.abs(w0(k)._1 - piE) < 2e-6, s"pi: $w0")
+      assert(math.abs(w0(k)._2 - piE) < 2e-6, s"mu=pi at zero uplift: $w0")
+    }
+    assert(math.abs(w0("A")._3 - 1.0 / 1.75) < 2e-4 &&
+      math.abs(w0("B")._3 - 0.25 / 1.75) < 2e-4 &&
+      math.abs(w0("C")._3 - 0.5 / 1.75) < 2e-4,
+      s"zero-uplift weights must be the market prior: $w0")
+    // absolute 20% view on A (diagonal frame → scalar posterior):
+    // S = σ²_A = 1, A = 2τS = 0.1, r = 0.2·Π_A → z = 2Π_A,
+    // μ_A = Π + τσ²_A z = Π·1.1, others unchanged; w_A = μ_A/σ²_A/δ
+    val w1 = Backtest.blackLitterman(diag3, absA, uplift = 0.2).collect()
+      .map(r => r.getAs[String]("key") ->
+        ((r.getAs[Double]("mu_bl"), r.getAs[Double]("weight")))).toMap
+    assert(math.abs(w1("A")._1 - piE * 1.1) < 1e-5, s"posterior: $w1")
+    assert(math.abs(w1("B")._1 - piE) < 1e-5 &&
+      math.abs(w1("C")._1 - piE) < 1e-5, s"untouched keys keep Π: $w1")
+    assert(math.abs(w1("A")._2 - piE * 1.1 / 1.0 / 2.5) < 2e-4, s"w_A: $w1")
+    assert(math.abs(w1("B")._2 - w0("B")._3) < 2e-4 &&
+      math.abs(w1("C")._2 - w0("C")._3) < 2e-4,
+      s"view is orthogonal to B/C on a diagonal frame: $w1")
+    // K=2 with a RELATIVE view needs an implied spread to bite: on a
+    // correlated frame Π is no longer flat, so A-over-B tilts A up
+    val corr3 = mk(Seq(("A", "A", 1.0), ("B", "B", 4.0), ("C", "C", 2.0),
+      ("A", "B", 0.8), ("A", "C", 0.2), ("B", "C", 0.4)))
+    val rel = Seq((1, "A", 1000000L), (1, "B", -1000000L), (2, "C", 1000000L))
+      .toDF("view_id", "key", "pq")
+    val b0 = Backtest.blackLitterman(corr3, rel, uplift = 0.0).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Double]("weight")).toMap
+    val b1 = Backtest.blackLitterman(corr3, rel, uplift = 0.3).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Double]("weight")).toMap
+    // Π_A < Π_B on this frame (B carries 4× variance), so the A−B view
+    // target (1+u)·(Π_A−Π_B) is MORE negative → tilts further toward B
+    assert(b1("A") < b0("A") && b1("B") > b0("B"),
+      s"relative view must tilt along its implied spread: $b0 vs $b1")
+    // empty estimator frame → empty allocation (the hash-gated-sibling
+    // convention), never a raise
+    val empty = Backtest.blackLitterman(diag3.where(lit(false)), absA)
+    assert(empty.columns.toSeq == Seq("key", "pi", "mu_bl", "weight") &&
+      empty.count() == 0)
+    // guards
+    intercept[IllegalArgumentException] {
+      Backtest.blackLitterman(diag3, absA, delta = 0.0) }
+    intercept[IllegalArgumentException] {
+      Backtest.blackLitterman(diag3,
+        Seq((1, "A", 1000000L), (2, "B", 1000000L), (3, "C", 1000000L))
+          .toDF("view_id", "key", "pq")) }
+    intercept[Exception] {
+      Backtest.blackLitterman(mk(Seq(("A", "A", 0.0), ("A", "B", 0.0),
+        ("B", "B", 1.0))), absA).collect() }
+  }
+
+  test("brinsonAttribution: equal-variance null effect, hand closed form, universe filter, zero-variance guard") {
+    import graft.operators.Backtest
+    def hourly(rows: Seq[(String, Int, Double)]) = rows.map { case (k, t, v) =>
+      (k, t.toLong, v) }.toDF("k", "t", "v")
+      .withColumn("ts", expr("timestamp_micros(t * 3600000000)"))
+    // equal variances → wp = wb exactly → every allocation effect 0
+    val eq = hourly(Seq(("A", 0, 100.0), ("A", 1, 102.0),
+      ("B", 0, 50.0), ("B", 1, 51.0)))
+    val e = Backtest.brinsonAttribution(eq, "k", "ts", "v").collect()
+    // var images differ (A: ±1e4 around mean ⇒ varq 1e8; B: ±0.5e4 ⇒
+    // 2.5e7) — so instead pin the identity Σ alloc = active return
+    val wps = e.map(_.getAs[Double]("w_port")).sum
+    val wbs = e.map(_.getAs[Double]("w_bench")).sum
+    assert(math.abs(wps - 1.0) < 1e-5 && math.abs(wbs - 1.0) < 1e-5, e.mkString(","))
+    val rb = e.map(r => r.getAs[Double]("w_bench") * r.getAs[Double]("ret")).sum
+    val active = e.map(r =>
+      (r.getAs[Double]("w_port") - r.getAs[Double]("w_bench")) *
+        r.getAs[Double]("ret")).sum
+    val allocSum = e.map(_.getAs[Double]("alloc")).sum
+    assert(math.abs(allocSum - active) < 1e-5,
+      s"single-level Brinson: Sigma alloc = active return; got $allocSum vs $active")
+    // B has 4x less variance ⇒ the IVP portfolio overweights B
+    val byK = e.map(r => r.getAs[String]("key") -> r).toMap
+    assert(byK("B").getAs[Double]("w_port") > byK("B").getAs[Double]("w_bench"), e.mkString(","))
+    assert(byK("A").getAs[Double]("w_port") < byK("A").getAs[Double]("w_bench"), e.mkString(","))
+    // hand closed form for B's allocation effect from the quantized images
+    val (vqA, vqB) = (1e8, 2.5e7) // round(((n·svv − sv²)/n²)) images
+    val wpqA = math.round(1e6 * vqB / vqA); val wpqB = 1000000L
+    val (rqA, rqB) = (math.round(0.02 * 1e6), math.round(0.02 * 1e6))
+    val swp = wpqA + wpqB; val swb = 1000000L
+    val rbE = (500000L * rqA + 500000L * rqB).toDouble / (swb.toDouble * 1e6)
+    val allocB = (wpqB.toDouble / swp - 0.5) * (rqB / 1e6 - rbE)
+    assert(math.abs(byK("B").getAs[Double]("alloc") - allocB) < 2e-6, e.mkString(","))
+    // a key with a non-positive first price leaves the universe
+    val filt = Backtest.brinsonAttribution(hourly(Seq(
+      ("A", 0, 100.0), ("A", 1, 101.0), ("B", 0, 60.0), ("B", 1, 63.0),
+      ("N", 0, -5.0), ("N", 1, 10.0))), "k", "ts", "v").collect()
+    assert(filt.map(_.getAs[String]("key")).toSet == Set("A", "B"), filt.mkString(","))
+    // constant series raises loudly
+    intercept[Exception] {
+      Backtest.brinsonAttribution(hourly(Seq(
+        ("A", 0, 100.0), ("A", 1, 100.0), ("B", 0, 50.0), ("B", 1, 51.0))),
+        "k", "ts", "v").collect()
+    }
+  }
+
   test("minVarianceCG: quantized fixed-rounds CG ≡ exact Gauss-Jordan solve (closed forms + LW estimator chain)") {
     import graft.operators.Backtest
     def mk(rows: Seq[(String, String, Double)]) =

@@ -793,6 +793,91 @@ class SystemSpec extends SparkSpec {
     }
   }
 
+  test("streaming: GARCH chunk-carry ≡ batch window function (ST3, one-double state)") {
+    import StreamingPipelines._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // pseudo-random quantized squares with nulls interleaved, two
+    // symbols folding independently under DIFFERENT ω
+    var seed = 11L
+    def nextX2(i: Int): Option[Double] = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      if (i % 8 == 0) None
+      else Some(((seed >>> 40) % 1000000L).toDouble / 1e6)
+    }
+    val (omA, omB) = (2.5e-3, 7.0e-4)
+    val ticks = (0 until 48).flatMap { i =>
+      val x = nextX2(i)
+      Seq(VarTick("A", 1000L + i, x, omA),
+        VarTick("B", 1000L + i, x.map(v => v * 0.5), omB))
+    }
+    // whole-series reference = the BATCH engine itself (the custom
+    // Catalyst window function), not a hand fold — streaming ≡ batch
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("epochSec"))
+    val whole = ticks.toDF("symbol", "epochSec", "x2", "omega")
+      .select(col("symbol"), col("epochSec"),
+        graft.functions.windows.garchVariance(col("x2"), col("omega"),
+          0.08, 0.90, w).as("h"))
+      .as[GarchOut].collect().sortBy(t => (t.symbol, t.epochSec)).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[VarTick]
+    val q = statefulGarch(mem.toDS(), 0.08, 0.90)
+      .writeStream.format("memory").queryName("garch_out")
+      .outputMode("append").start()
+    val byTime = ticks.sortBy(_.epochSec)
+    mem.addData(byTime.take(33): _*)
+    q.processAllAvailable()
+    mem.addData(byTime.slice(33, 61): _*)
+    q.processAllAvailable()
+    mem.addData(byTime.drop(61): _*)
+    q.processAllAvailable()
+    val got = spark.table("garch_out").as[GarchOut].collect()
+      .sortBy(t => (t.symbol, t.epochSec)).toSeq
+    q.stop()
+    assert(got == whole,
+      "streaming GARCH fold must be bit-identical to the batch window")
+  }
+
+  test("streaming: GARCH transformWithState ≡ batch window function (ST3, Spark-4 API)") {
+    import StreamingPipelines._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val xs: Seq[Option[Double]] =
+        Seq(None, Some(0.002), None) ++
+          (1 to 25).map(i => Some((i % 7).toDouble / 1e3))
+      val ticks = xs.zipWithIndex.map { case (x, i) =>
+        VarTick("A", 1000L + i, x, 1.5e-3) }
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("symbol")).orderBy(col("epochSec"))
+      val whole = ticks.toDF("symbol", "epochSec", "x2", "omega")
+        .select(col("symbol"), col("epochSec"),
+          graft.functions.windows.garchVariance(col("x2"), col("omega"),
+            0.08, 0.90, w).as("h"))
+        .as[GarchOut].collect().sortBy(_.epochSec).toSeq
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[VarTick]
+      val q = statefulGarchTws(mem.toDS(), 0.08, 0.90)
+        .writeStream.format("memory").queryName("garch_tws_out")
+        .outputMode("append").start()
+      mem.addData(ticks.take(11): _*)
+      q.processAllAvailable()
+      mem.addData(ticks.drop(11): _*)
+      q.processAllAvailable()
+      val got = spark.table("garch_tws_out").as[GarchOut].collect()
+        .sortBy(_.epochSec).toSeq
+      q.stop()
+      assert(got == whole)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming: transformWithState chunk-carry ≡ whole-series (ST3, Spark-4 API)") {
     import StreamingPipelines._
     implicit val s: org.apache.spark.sql.SparkSession = spark
