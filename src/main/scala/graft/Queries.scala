@@ -1751,6 +1751,111 @@ object Queries {
       FROM terms t JOIN fit f ON f.key = t.key
       ORDER BY t.key, t.m"""))
 
+  // Detrended fluctuation analysis on the hourly panel — the
+  // trend-robust scaling exponent beside q_hurst (disagreement between
+  // alpha and hurst IS the trend diagnostic). Integer profile
+  // Ỹ = N·C − t·SV, exact per-segment OLS moments with the index-side
+  // constants interpolated as literals, re-quantized SSE images, and
+  // the same three-level log–log fold as the hurst oracle.
+  private val DfaScales = Seq(8, 16, 32, 64)
+  private val qDfa = QDef(
+    "q_dfa",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.dfa(h, "event_type", "hb", "v", ns = DfaScales, scale = 1e4)
+    },
+    Some {
+      val metaRows = DfaScales.map { n =>
+        val sx = n.toLong * (n - 1) / 2
+        val sxx = (n.toLong - 1) * n * (2L * n - 1) / 6
+        val den = n * sxx - sx * sx
+        s"(CAST($n AS BIGINT), ${java.lang.Double.toString(sx.toDouble)}, " +
+          s"${java.lang.Double.toString(den.toDouble)})"
+      }.mkString(", ")
+      s"""
+      WITH h0 AS MATERIALIZED (SELECT event_type AS k,
+                        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      h AS MATERIALIZED (SELECT * FROM h0 WHERE v IS NOT NULL),
+      prof AS MATERIALIZED (SELECT k,
+                    row_number() OVER w AS idx,
+                    SUM(v) OVER w AS c,
+                    COUNT(*) OVER pk AS n,
+                    SUM(v) OVER pk AS sv
+             FROM h WINDOW
+               w AS (PARTITION BY k ORDER BY hb
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               pk AS (PARTITION BY k)),
+      pf AS MATERIALIZED (SELECT k, n, idx,
+                    CAST(n * c - idx * sv AS BIGINT) AS yt FROM prof),
+      nsm AS (SELECT * FROM (VALUES $metaRows) AS t0(nseg, sxl, denl)),
+      wn AS MATERIALIZED (SELECT p.k, p.n, p.yt, m.nseg, m.sxl, m.denl,
+                    CAST((p.idx - 1 - ((p.idx - 1) % m.nseg))
+                         / CAST(m.nseg AS DOUBLE) AS BIGINT) AS blk,
+                    (p.idx - 1) % m.nseg AS i
+             FROM pf p CROSS JOIN nsm m),
+      bl AS MATERIALIZED (SELECT k, nseg, sxl, denl, blk,
+                    COUNT(*) AS cnt, MAX(n) AS nn,
+                    SUM(CAST(yt AS HUGEINT)) AS sy,
+                    SUM(CAST(i AS HUGEINT) * yt) AS sxy,
+                    SUM(CAST(yt AS HUGEINT) * yt) AS syy
+             FROM wn GROUP BY 1, 2, 3, 4, 5),
+      bf AS (SELECT * FROM bl WHERE cnt = nseg),
+      b1 AS (SELECT k, nseg, nn, sy, sxy, syy, sxl, denl,
+                    (CAST(nseg AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - sxl * CAST(sy AS DOUBLE)) / denl AS b
+             FROM bf),
+      b2 AS (SELECT k, nseg, nn, sy, sxy, syy, b,
+                    (CAST(sy AS DOUBLE) - b * sxl) / CAST(nseg AS DOUBLE) AS a
+             FROM b1),
+      sg AS MATERIALIZED (SELECT k, nseg,
+                    CAST(round((CAST(syy AS DOUBLE) - a * CAST(sy AS DOUBLE)
+                                - b * CAST(sxy AS DOUBLE))
+                               / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+                         AS BIGINT) AS sseq
+             FROM b2),
+      lg AS MATERIALIZED (SELECT k, nseg, COUNT(*) AS n_segments,
+                    SUM(CAST(sseq AS HUGEINT)) AS ss
+             FROM sg GROUP BY 1, 2),
+      l2 AS (SELECT k, nseg, n_segments,
+                    CAST(ss AS DOUBLE)
+                      / (CAST(n_segments AS DOUBLE) * CAST(nseg AS DOUBLE)) AS f2
+             FROM lg),
+      l3 AS (SELECT k, nseg, n_segments,
+                    CASE WHEN f2 > 0.0
+                         THEN CAST(floor(sqrt(f2) / 1e4 * 1e6) AS BIGINT) END AS fq
+             FROM l2),
+      l4 AS MATERIALIZED (SELECT k, nseg, n_segments,
+                    CAST(fq AS DOUBLE) / 1e6 AS f_n
+             FROM l3 WHERE fq IS NOT NULL AND fq > 0),
+      terms AS MATERIALIZED (SELECT k, nseg, n_segments, f_n,
+                   CAST(floor(ln(CAST(nseg AS DOUBLE)) * 1e9) AS BIGINT) AS xq,
+                   CAST(floor(ln(f_n) * 1e9) AS BIGINT) AS yq,
+                   CAST(floor(ln(CAST(nseg AS DOUBLE)) * ln(f_n) * 1e9) AS BIGINT) AS xyq,
+                   CAST(floor(ln(CAST(nseg AS DOUBLE)) * ln(CAST(nseg AS DOUBLE)) * 1e9) AS BIGINT) AS xxq
+            FROM l4),
+      fit AS MATERIALIZED (SELECT k, CAST(COUNT(*) AS DOUBLE) AS nsc,
+                   CAST(SUM(xq) AS DOUBLE) / 1e9 AS sx,
+                   CAST(SUM(yq) AS DOUBLE) / 1e9 AS sy,
+                   CAST(SUM(xyq) AS DOUBLE) / 1e9 AS sxy,
+                   CAST(SUM(xxq) AS DOUBLE) / 1e9 AS sxx
+            FROM terms GROUP BY 1)
+      SELECT t.k AS key, t.nseg AS n, t.n_segments,
+             round(t.f_n, 6) AS f_n,
+             CAST(f.nsc AS BIGINT) AS n_scales,
+             CASE WHEN f.nsc >= 2 AND f.nsc * f.sxx - f.sx * f.sx > 0
+                  THEN round((f.nsc * f.sxy - f.sx * f.sy)
+                             / (f.nsc * f.sxx - f.sx * f.sx), 6)
+             END AS alpha
+      FROM terms t JOIN fit f ON f.k = t.k
+      ORDER BY key, n"""
+    })
+
   // AR(1) mean-reversion half-life (the discretized OU exit horizon) on
   // the hourly panel — the Dickey–Fuller regression Δv on v_{t−1} from
   // exact integer moment sums, ln 2 interpolated from the JVM.
@@ -9729,7 +9834,7 @@ object Queries {
     qVpin, qJumpVol, qVarianceRatio, qContainment, qContainmentIncremental,
     qRollSpread, qAmihud, qCsSpread, qArSpread, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
-    qHurst, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
+    qHurst, qDfa, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
     qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,
     qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,

@@ -1522,6 +1522,126 @@ object Relational {
       .orderBy("key", "m")
   }
 
+  /** Detrended fluctuation analysis (Peng et al. 1994) — the
+    * nonstationarity-robust scaling exponent beside [[hurstExponent]]'s
+    * aggregated-variance method: integrate the mean-centered series
+    * into the profile `Y_t = Σ(v_s − v̄)`, split it into
+    * non-overlapping n-point segments, least-squares detrend each, and
+    * regress `log F(n)` on `log n` where `F(n)` is the RMS residual —
+    * α ≈ 0.5 white noise, > 0.5 persistent, 1.5 Brownian. First-order DFA
+    * detrends each profile segment linearly, so level drift that
+    * biases R/S and aggregated-variance estimators drops out;
+    * disagreement between `alpha` and `hurst` IS the trend
+    * diagnostic.
+    *
+    * Determinism contract (the [[hurstExponent]] three-level scheme):
+    *  1. `⌊v·scale⌋` BIGINT images; the INTEGER profile
+    *     `Ỹ_t = N·C_t − t·SV` (C the exact cumsum, SV the exact sum)
+    *     avoids ever materializing the rational mean;
+    *  2. per-segment OLS moments (`ΣỸ`, `Σi·Ỹ`, `ΣỸ²`) are exact
+    *     DECIMAL(38) sums; the segment SSE is one fixed double tree
+    *     with the index-side constants (`Σi`, segment-OLS denominator)
+    *     interpolated as LITERALS (they depend only on n), and
+    *     re-quantizes to `round(SSE/N²)` BIGINTs so the cross-segment
+    *     reduction is order-free;
+    *  3. `F(n)` re-quantizes to a ⌊·10⁶⌋ image in value units so both
+    *     engines take `ln` of the same double; the log–log slope then
+    *     folds through the same ⌊·10⁹⌋ quantized OLS terms as
+    *     [[hurstExponent]].
+    * Overflow envelope: `N²·scale·max|v| < 2⁶³` (N buckets per key —
+    * at the default 10⁴ scale and |v| ≤ 10³ that is N ≲ 3·10⁵; longer
+    * panels should be sharded by era upstream) and segment
+    * `ΣỸ² ≤ n·(2N²·scale·max|v|)²` inside DECIMAL(38) — n ≤ 64 at the
+    * same bound holds with two digits to spare.
+    *
+    * Scale shape: one keyed window pass (profile), a |scales|-way
+    * skinny replicate, one map-side-combined segment agg onto
+    * keys·scales·segments rows, then keys-sized reductions. Gaps in
+    * the bucket grid concatenate (the profile runs over PRESENT
+    * buckets in order) — the standard practice for unevenly sampled
+    * DFA. Returns `(key, n, n_segments, f_n, n_scales, alpha)` with
+    * `alpha` repeated per scale row ([[hurstExponent]] shape). */
+  def dfa(df: DataFrame, keyCol: String, bucketCol: String,
+          valueCol: String, ns: Seq[Int] = Seq(8, 16, 32, 64),
+          scale: Double = 1e4): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 4), s"segment sizes must be >= 4, got $ns")
+    require(ns.distinct.size == ns.size, s"duplicate segment sizes: $ns")
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+    val wk = Window.partitionBy(col("_k")).orderBy(col("_t"))
+    val wka = Window.partitionBy(col("_k"))
+    val prof = base
+      .withColumn("idx", row_number().over(wk).cast("long"))
+      .withColumn("_c", sum(col("_v")).over(wk))
+      .withColumn("_n", count(lit(1)).over(wka))
+      .withColumn("_sv", sum(col("_v")).over(wka))
+      .withColumn("_yt", col("_n") * col("_c") - col("idx") * col("_sv"))
+    val meta = ns.map { n =>
+      val sx = n.toLong * (n - 1) / 2
+      val sxx = (n.toLong - 1) * n * (2L * n - 1) / 6
+      (n.toLong, sx.toDouble, (n * sxx - sx * sx).toDouble)
+    }
+    val withN = prof.withColumn("_m", explode(array(meta.map { case (n, sx, den) =>
+        struct(lit(n).as("nseg"), lit(sx).as("sxl"), lit(den).as("denl"))
+      }: _*)))
+      .select(col("_k").as("key"), col("_n"), col("idx"), col("_yt"),
+        col("_m.nseg").as("nseg"), col("_m.sxl").as("sxl"),
+        col("_m.denl").as("denl"))
+      .withColumn("_blk",
+        ((col("idx") - lit(1L) - pmod(col("idx") - lit(1L), col("nseg")))
+          / col("nseg").cast("double")).cast("long"))
+      .withColumn("_i", pmod(col("idx") - lit(1L), col("nseg")))
+    val blocks = withN
+      .groupBy(col("key"), col("nseg"), col("sxl"), col("denl"), col("_blk"))
+      .agg(count(lit(1)).as("_cnt"), max(col("_n")).as("_nn"),
+        sum(col("_yt").cast(D38)).as("_sy"),
+        sum(col("_i").cast(D38) * col("_yt")).as("_sxy"),
+        sum(col("_yt").cast(D38) * col("_yt")).as("_syy"))
+      .where(col("_cnt") === col("nseg"))
+    val nd = col("nseg").cast("double")
+    val b = (nd * col("_sxy").cast("double") -
+      col("sxl") * col("_sy").cast("double")) / col("denl")
+    val a = (col("_sy").cast("double") - b * col("sxl")) / nd
+    val sse = col("_syy").cast("double") - a * col("_sy").cast("double") -
+      b * col("_sxy").cast("double")
+    val nnD = col("_nn").cast("double")
+    val seg = blocks.withColumn("_sseq",
+      round(sse / (nnD * nnD)).cast("long"))
+    val legs = seg.groupBy(col("key"), col("nseg"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("_sseq").cast(D38)).as("_ss"))
+      .withColumn("_f2",
+        col("_ss").cast("double") /
+          (col("n_segments").cast("double") * col("nseg").cast("double")))
+      .withColumn("_fq", when(col("_f2") > 0.0,
+        floor(sqrt(col("_f2")) / lit(scale) * lit(1e6)).cast("long")))
+      .where(col("_fq").isNotNull && col("_fq") > 0L)
+      .withColumn("f_n", col("_fq").cast("double") / lit(1e6))
+    // level-3 quantized log–log OLS (the hurstExponent tail verbatim)
+    val lx = log(col("nseg").cast("double"))
+    val ly = log(col("f_n"))
+    val terms = legs
+      .withColumn("_xq", floor(lx * lit(1e9)).cast("long"))
+      .withColumn("_yq", floor(ly * lit(1e9)).cast("long"))
+      .withColumn("_xyq", floor(lx * ly * lit(1e9)).cast("long"))
+      .withColumn("_xxq", floor(lx * lx * lit(1e9)).cast("long"))
+    val wkey = Window.partitionBy(col("key"))
+    val fit = terms
+      .withColumn("_ns", count(lit(1)).over(wkey).cast("double"))
+      .withColumn("_sx", sum(col("_xq")).over(wkey).cast("double") / lit(1e9))
+      .withColumn("_sy", sum(col("_yq")).over(wkey).cast("double") / lit(1e9))
+      .withColumn("_sxy", sum(col("_xyq")).over(wkey).cast("double") / lit(1e9))
+      .withColumn("_sxx", sum(col("_xxq")).over(wkey).cast("double") / lit(1e9))
+    val den = col("_ns") * col("_sxx") - col("_sx") * col("_sx")
+    val slope = (col("_ns") * col("_sxy") - col("_sx") * col("_sy")) / den
+    fit.select(col("key"), col("nseg").as("n"), col("n_segments"),
+        round(col("f_n"), 6).as("f_n"),
+        col("_ns").cast("long").as("n_scales"),
+        when(col("_ns") >= 2.0 && den > 0.0,
+          round(slope, 6)).as("alpha"))
+      .orderBy("key", "n")
+  }
+
   /** `ln 2` as THIS JVM computed it — interpolated into the half-life
     * oracle like [[graft.functions.TaIndicators.ParkinsonConst]], so
     * engine-side constant folding can't drift a ulp. */

@@ -82,6 +82,36 @@ object MatrixRehearsal {
       }
       println(f"$tag%-10s eigen=$wEig%6.1fs  minvarCG=$wCg%6.1fs (exact=$wEx%5.1fs, maxΔw=$dMv%.2e)  " +
         f"ercIter=$wEi%6.1fs (exact=$wEe%5.1fs, maxΔw=$dErc%.2e)  mst=$wMst%6.1fs ($mstN%d edges)")
+      // Black–Litterman: walls at k keys + the uplift=0 ≡ market-prior
+      // identity (z = 0 ⇒ μ = Π ⇒ w = w_mkt up to the CG quantization
+      // floor) as the numeric parity check
+      val kw = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+      val ksf = cov.where(col("key_a") === col("key_b"))
+        .select(col("key_a").cast("string").as("k"))
+        .withColumn("rn", row_number().over(kw))
+      val views = ksf.where(col("rn") === 1)
+        .select(lit(1).as("view_id"), col("k").as("key"), lit(1000000L).as("pq"))
+        .unionByName(ksf.where(col("rn") === 2)
+          .select(lit(1).as("view_id"), col("k").as("key"), lit(-1000000L).as("pq")))
+        .unionByName(ksf.where(col("rn") === 3)
+          .select(lit(2).as("view_id"), col("k").as("key"), lit(1000000L).as("pq")))
+        .localCheckpoint()
+      val (_, wBl) = time(Backtest.blackLitterman(cov, views)
+        .localCheckpoint())
+      val (bl0, _) = time(Backtest.blackLitterman(cov, views, uplift = 0.0)
+        .localCheckpoint())
+      val dq = cov.where(col("key_a") === col("key_b"))
+        .select(col("key_a").cast("string").as("key"),
+          round(col("shrunk_cov") * 1e6).cast("long").as("dq"))
+      val dmin = dq.agg(min(col("dq"))).collect()(0).getLong(0)
+      val iv = dq.select(col("key"),
+        round(lit(1e6) * lit(dmin.toDouble) / col("dq").cast("double"))
+          .cast("long").as("ivq"))
+      val sIv = iv.agg(sum(col("ivq"))).collect()(0).getLong(0)
+      val ivp = iv.select(col("key"),
+        (col("ivq").cast("double") / lit(sIv.toDouble)).as("weight"))
+      val dBl = maxAbsDiff(bl0, ivp, "key", "weight")
+      println(f"$tag%-10s blackLitterman=$wBl%6.1fs (uplift0 vs market prior maxΔw=$dBl%.2e)")
     }
 
     // 5-key row: the real LW-CC frame from the events table

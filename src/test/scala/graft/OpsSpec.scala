@@ -4732,6 +4732,68 @@ class OpsSpec extends SparkSpec {
         ("B", "B", 1.0))), absA).collect() }
   }
 
+  test("dfa: hand replay of the quantized protocol, noise ≈ 0.5 vs walk ≈ 1.5, constant-series dropout") {
+    // deterministic LCG noise and its cumsum (random-walk) twin
+    var seed = 17L
+    def nxt(): Double = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % 2000L).toDouble / 1000.0 - 1.0
+    }
+    val noise = (0 until 512).map(_ => nxt())
+    val walk = noise.scanLeft(0.0)(_ + _).tail
+    val rows = noise.zipWithIndex.map { case (v, t) => ("W", t.toLong, 10.0 + v) } ++
+      walk.zipWithIndex.map { case (v, t) => ("B", t.toLong, 100.0 + v) } ++
+      (0 until 128).map(t => ("C", t.toLong, 42.0))
+    val df = rows.toDF("k", "hb", "v")
+    val out = Relational.dfa(df, "k", "hb", "v").collect()
+    val byKN = out.map(r => (r.getAs[String]("key"), r.getAs[Long]("n")) -> r).toMap
+    // constant series: zero profile → zero fluctuation at every scale →
+    // the key drops out entirely (no log of zero anywhere)
+    assert(!out.exists(_.getAs[String]("key") == "C"), out.mkString(","))
+    // scaling exponents: white noise ≈ 0.5, integrated walk ≈ 1.5
+    val aW = byKN(("W", 8L)).getAs[Double]("alpha")
+    val aB = byKN(("B", 8L)).getAs[Double]("alpha")
+    assert(aW > 0.3 && aW < 0.7, s"white-noise alpha: $aW")
+    assert(aB > 1.25 && aB < 1.75, s"random-walk alpha: $aB")
+    // hand replay of the full quantized protocol for key W
+    val vq = noise.map(v => math.floor((10.0 + v) * 1e4).toLong)
+    val nTot = vq.length
+    val sv = vq.sum
+    val cum = vq.scanLeft(0L)(_ + _).tail
+    val yt = cum.zipWithIndex.map { case (c, i) => nTot * c - (i + 1).toLong * sv }
+    def fOf(n: Int): Double = {
+      val sxl = n.toLong * (n - 1) / 2
+      val den = (n * ((n.toLong - 1) * n * (2L * n - 1) / 6) - sxl * sxl).toDouble
+      val sseqs = yt.grouped(n).filter(_.length == n).map { seg =>
+        val sy = seg.map(BigInt(_)).sum.toDouble
+        val sxy = seg.zipWithIndex.map { case (y, i) => BigInt(y) * i }.sum.toDouble
+        val syy = seg.map(y => BigInt(y) * y).sum.toDouble
+        val b = (n.toDouble * sxy - sxl.toDouble * sy) / den
+        val a = (sy - b * sxl.toDouble) / n.toDouble
+        math.round((syy - a * sy - b * sxy) /
+          (nTot.toDouble * nTot.toDouble))
+      }.toSeq
+      val f2 = sseqs.sum.toDouble / (sseqs.length.toDouble * n.toDouble)
+      math.floor(math.sqrt(f2) / 1e4 * 1e6) / 1e6
+    }
+    Seq(8, 16, 32, 64).foreach { n =>
+      val got = byKN(("W", n.toLong)).getAs[Double]("f_n")
+      assert(math.abs(got - fOf(n)) < 2e-6, s"f_$n: got $got want ${fOf(n)}")
+    }
+    val lxy = Seq(8, 16, 32, 64).map(n => (math.log(n.toDouble), math.log(fOf(n))))
+    val ns4 = 4.0
+    val (sx, sy2) = (lxy.map(_._1).sum, lxy.map(_._2).sum)
+    val sxy2 = lxy.map(p => p._1 * p._2).sum
+    val sxx2 = lxy.map(p => p._1 * p._1).sum
+    val expAlpha = (ns4 * sxy2 - sx * sy2) / (ns4 * sxx2 - sx * sx)
+    assert(math.abs(aW - expAlpha) < 1e-4, s"alpha: got $aW want $expAlpha")
+    // guards
+    intercept[IllegalArgumentException] {
+      Relational.dfa(df, "k", "hb", "v", ns = Seq(2)) }
+    intercept[IllegalArgumentException] {
+      Relational.dfa(df, "k", "hb", "v", ns = Seq(8, 8)) }
+  }
+
   test("brinsonAttribution: equal-variance null effect, hand closed form, universe filter, zero-variance guard") {
     import graft.operators.Backtest
     def hourly(rows: Seq[(String, Int, Double)]) = rows.map { case (k, t, v) =>
