@@ -8189,6 +8189,64 @@ object Queries {
       SELECT e.vec_id, CAST(gf.cid AS BIGINT) AS cluster_id
       FROM e LEFT JOIN gf USING (vec_id) ORDER BY e.vec_id"""))
 
+  // Embedding-space drift between deterministic train/eval slices —
+  // symmetric KL over the latent-topic (kmeans-cluster) histograms
+  // with add-one smoothing, the latent counterpart of the token-level
+  // q_source_divergence. Assignment reuses the audited q_kmeans chain
+  // verbatim; each cluster's term quantizes to a ·10⁹ µnat BIGINT
+  // before the cross-cluster reduction.
+  private val qClusterDivergence = QDef(
+    "q_cluster_divergence",
+    (s, dir) => Similarity.clusterDivergence(t(s, dir, "embeddings"),
+        "embedding", "vec_id", k = 8, iters = 2, holdMod = 5L),
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM e WHERE v IS NOT NULL ORDER BY vec_id LIMIT 8),
+      ${kmeansRoundSql(1, "c0")},
+      ${kmeansRoundSql(2, "c1")},
+      af AS (
+        SELECT e.vec_id, c.cid, ${duckCos("e.v", "c.cv")} AS cos
+        FROM e CROSS JOIN c2 c WHERE e.v IS NOT NULL),
+      gf AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+          FROM af)
+        WHERE rn = 1),
+      sp AS (SELECT vec_id, cid,
+                    CASE WHEN vec_id % 5 = 0 THEN 'eval' ELSE 'train' END AS split
+             FROM gf),
+      grid AS (SELECT c.cid, s.split
+               FROM (SELECT unnest(range(8)) AS cid) c
+               CROSS JOIN (SELECT unnest(['train', 'eval']) AS split) s),
+      cnt AS (SELECT cid, split, COUNT(*) AS n FROM sp GROUP BY 1, 2),
+      dn AS (SELECT g.cid, g.split, COALESCE(c2n.n, 0) AS n
+             FROM grid g LEFT JOIN cnt c2n
+               ON c2n.cid = g.cid AND c2n.split = g.split),
+      tt AS (SELECT split, CAST(SUM(n) AS BIGINT) AS tot FROM dn GROUP BY 1),
+      piv AS (SELECT cid,
+               MAX(CASE WHEN d.split = 'train' THEN n END) AS n_train,
+               MAX(CASE WHEN d.split = 'eval' THEN n END) AS n_eval,
+               MAX(CASE WHEN d.split = 'train' THEN tot END) AS ttn,
+               MAX(CASE WHEN d.split = 'eval' THEN tot END) AS ten
+              FROM dn d JOIN tt ON tt.split = d.split GROUP BY cid),
+      tm AS (SELECT cid, n_train, n_eval,
+              CAST(round((((CAST(n_train AS DOUBLE) + 1.0) / (CAST(ttn AS DOUBLE) + 8.0)
+                           - (CAST(n_eval AS DOUBLE) + 1.0) / (CAST(ten AS DOUBLE) + 8.0))
+                          * ln(((CAST(n_train AS DOUBLE) + 1.0) / (CAST(ttn AS DOUBLE) + 8.0))
+                               / ((CAST(n_eval AS DOUBLE) + 1.0) / (CAST(ten AS DOUBLE) + 8.0))))
+                         * 1e9) AS BIGINT) AS termq
+             FROM piv),
+      tot2 AS (SELECT CAST(SUM(CAST(termq AS HUGEINT)) AS BIGINT) AS skl FROM tm)
+      SELECT CAST(cid AS BIGINT) AS cluster_id, n_train, n_eval,
+             round(CAST(termq AS DOUBLE) / 1e9, 6) + 0.0 AS skl_term,
+             round(CAST((SELECT skl FROM tot2) AS DOUBLE) / 1e9, 6) + 0.0 AS skl_total
+      FROM tm ORDER BY cluster_id"""))
+
   /** One power-iteration round for the q_embed_detop oracle: matvec
     * `w = G·u` as a strict q-ordered left fold per row, L2 norm as a
     * strict pos-ordered fold, then `⌊·10⁶⌋`-quantize the new direction —
@@ -9826,7 +9884,7 @@ object Queries {
     qEmbedNearDupLsh, qMultimodal, qMediaDedup,
     qNearDupCluster, qQualityRepetition, qQualityRules, qChunkTokens, qPiiScrub, qPackSequences, qTokenEntropy,
     qSegmentDedup, qSubstringDedup, qUnigramLm, qSemanticDedup, qTemperatureMix, qImportanceResample, qTfidfTerms,
-    qCdcDedup, qBigramLm, qKnLm, qSessionize, qKmeans, qClusterBalance, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qAcf, qPacf, qRangeVol, qDrawdownStats, qPurgedSplit, qCpcvSplit, qVolumeBars, qDollarBars, qImbalanceBars, qTripleBarrier, qMetaLabel, qPsiDrift, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
+    qCdcDedup, qBigramLm, qKnLm, qSessionize, qKmeans, qClusterBalance, qClusterDivergence, qBm25, qHybridSearch, qRrfFuse, qMmrRerank, qCorrelation, qRollingCorr, qRollingBeta, qLeadLagCorr, qAcf, qPacf, qRangeVol, qDrawdownStats, qPurgedSplit, qCpcvSplit, qVolumeBars, qDollarBars, qImbalanceBars, qTripleBarrier, qMetaLabel, qPsiDrift, qEmbedDetop, qProfile, qHistogram, qOutlierMad, qScd2History, qCmsTopk,
     qWeightedSample, qCollocations, qCanonicalizeBest, qLineDedup, qFunnel,
     qBpeTrain, qBpeTokenize, qSourceDivergence, qPipelineE2e, qPageRank, qSessionizeIncremental, qCohortRetention, qKmvOverlap,
     qApproxDistinct, qDupSpans, qHashSplit, qLeakageSplit, qTokenBudget, qStratifiedSample, qBpeTokens,

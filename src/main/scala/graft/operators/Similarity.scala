@@ -430,6 +430,77 @@ object Similarity {
       .select("vec_id", "cluster_id")
   }
 
+  /** Embedding-space drift between two corpus slices — the latent-topic
+    * counterpart of the token-level KL monitor
+    * ([[TextAnalysis]]'s source-divergence): cluster the embedding
+    * space with [[kmeansAssign]], split the corpus deterministically
+    * (`id mod holdMod = 0` → eval, else train — the hash-split
+    * convention on an integral id), and compare the two slices'
+    * cluster histograms with the symmetric KL divergence under add-one
+    * smoothing:
+    *
+    * {{{ skl = Σ_c (p_c − q_c)·ln(p_c/q_c),
+    *     p_c = (n_train,c + 1)/(N_train + k) }}}
+    *
+    * — zero iff the slices populate the latent topics proportionally;
+    * a large term pinpoints WHICH topic drifted (the training-data ops
+    * question behind train/eval contamination-by-omission and corpus
+    * refresh monitoring).
+    *
+    * Determinism: the assignment chain is the audited
+    * [[kmeansAssign]] protocol (deterministic centroids, quantized
+    * Lloyd rounds, zero-shuffle codegen assignment); histogram counts
+    * are exact integers on a DENSE k×2 grid (absent cells zero-filled
+    * so both engines see every cluster); each cluster's term
+    * quantizes to a ·10⁹ µnat BIGINT before the cross-cluster
+    * reduction (order-free, the µnat LM convention). Null vectors are
+    * outside the universe (no cluster).
+    *
+    * Scale shape: the corpus never shuffles — one codegen assignment
+    * scan, one map-side-combined (cluster, split) count agg onto 2k
+    * rows, broadcast scalar joins from there. Returns one row per
+    * cluster `(cluster_id, n_train, n_eval, skl_term, skl_total)`. */
+  def clusterDivergence(df: DataFrame, vecCol: String, idCol: String,
+                        k: Int = 8, iters: Int = 2,
+                        holdMod: Long = 5L): DataFrame = {
+    require(holdMod >= 2L, s"holdMod must be >= 2, got $holdMod")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val asg = kmeansAssign(df, vecCol, idCol, k, iters)
+      .where(col("cluster_id").isNotNull)
+      .withColumn("split",
+        when(pmod(col("vec_id"), lit(holdMod)) === 0L, lit("eval"))
+          .otherwise(lit("train")))
+    val grid = (0 until k).flatMap(c => Seq((c.toLong, "train"), (c.toLong, "eval")))
+      .toDF("cluster_id", "split")
+    val counts = asg.groupBy("cluster_id", "split").agg(count(lit(1)).as("n"))
+    val dense = grid.join(counts, Seq("cluster_id", "split"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val totals = dense.groupBy("split").agg(sum(col("n")).as("tot"))
+    val piv = dense.join(broadcast(totals), "split")
+      .groupBy("cluster_id").agg(
+        max(when(col("split") === "train", col("n"))).as("n_train"),
+        max(when(col("split") === "eval", col("n"))).as("n_eval"),
+        max(when(col("split") === "train", col("tot"))).as("_tt"),
+        max(when(col("split") === "eval", col("tot"))).as("_te"))
+    val kD = k.toDouble
+    val p = (col("n_train").cast("double") + lit(1.0)) /
+      (col("_tt").cast("double") + lit(kD))
+    val q = (col("n_eval").cast("double") + lit(1.0)) /
+      (col("_te").cast("double") + lit(kD))
+    val t1 = piv.withColumn("_termq",
+      round((p - q) * log(p / q) * lit(1e9)).cast("long"))
+    val tot2 = t1.agg(sum(col("_termq").cast(
+      org.apache.spark.sql.types.DecimalType(38, 0))).as("_skl"))
+    t1.crossJoin(broadcast(tot2))
+      .select(col("cluster_id"), col("n_train"), col("n_eval"),
+        (round(col("_termq").cast("double") / lit(1e9), 6) + lit(0.0))
+          .as("skl_term"),
+        (round(col("_skl").cast("double") / lit(1e9), 6) + lit(0.0))
+          .as("skl_total"))
+      .orderBy("cluster_id")
+  }
+
   /** Topic-balanced corpus sampling over LATENT strata: cluster the
     * embedding space with [[kmeansAssign]] and α-temperature-sample per
     * cluster ([[TextAnalysis.temperatureMix]]) — the cluster-balanced

@@ -1359,6 +1359,46 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("discount"), err.getMessage)
   }
 
+  test("clusterDivergence: proportional slices score zero, engineered skew localizes, hand replay") {
+    // two tight clusters along orthogonal axes; ids chosen so the
+    // mod-5 eval slice is PROPORTIONAL across clusters → skl = 0
+    def vec(c: Int, j: Int): Array[Float] =
+      if (c == 0) Array(1f + j * 0.001f, 0f) else Array(0f, 1f + j * 0.001f)
+    // alternating ids (even → cluster 0, odd → cluster 1) seed one
+    // centroid in each cluster and give each cluster exactly two
+    // id%5==0 members (0,10 / 5,15) → p = q per cluster
+    val bal = (0 until 20).map(i => (i.toLong, vec(i % 2, i)))
+    val bdf = bal.toDF("vec_id", "embedding")
+    val bOut = Similarity.clusterDivergence(bdf, "embedding", "vec_id",
+      k = 2, iters = 2, holdMod = 5L).collect()
+    assert(bOut.forall(_.getAs[Double]("skl_total") == 0.0), bOut.mkString(","))
+    assert(bOut.forall(_.getAs[Double]("skl_term") == 0.0), bOut.mkString(","))
+    // skew: move cluster 1's eval members into cluster 0's id range —
+    // ids multiple-of-5 now live ONLY in cluster 0
+    val skew = (0 until 12).map(i => (i.toLong * 5L, vec(0, i))) ++
+      (0 until 12).map(i => (i.toLong * 5L + 1L, vec(1, i)))
+    val sdf = skew.toDF("vec_id", "embedding")
+    val sOut = Similarity.clusterDivergence(sdf, "embedding", "vec_id",
+      k = 2, iters = 2, holdMod = 5L).collect()
+    val byC = sOut.map(r => r.getAs[Long]("cluster_id") -> r).toMap
+    assert(sOut.head.getAs[Double]("skl_total") > 0.1,
+      s"engineered drift must score: ${sOut.mkString(",")}")
+    // hand replay: cluster0 (n_train=0, n_eval=12), cluster1 (12, 0),
+    // totals train=12 eval=12, k=2 smoothing
+    def term(nt: Long, ne: Long): Double = {
+      val p = (nt + 1.0) / (12.0 + 2.0); val q = (ne + 1.0) / (12.0 + 2.0)
+      math.round((p - q) * math.log(p / q) * 1e9) / 1e9
+    }
+    assert(math.abs(byC(0L).getAs[Double]("skl_term") - term(0, 12)) < 1e-6,
+      sOut.mkString(","))
+    assert(math.abs(byC(1L).getAs[Double]("skl_term") - term(12, 0)) < 1e-6,
+      sOut.mkString(","))
+    assert(byC(0L).getAs[Long]("n_train") == 0L &&
+      byC(0L).getAs[Long]("n_eval") == 12L, sOut.mkString(","))
+    intercept[IllegalArgumentException] {
+      Similarity.clusterDivergence(bdf, "embedding", "vec_id", holdMod = 1L) }
+  }
+
   test("semanticDedup: null vectors survive unclustered; empty input returns the empty frame") {
     val vecs = Seq((1L, Array(1f, 0f)), (2L, null.asInstanceOf[Array[Float]]),
       (3L, Array(0f, 1f))).toDF("vec_id", "embedding")

@@ -81,6 +81,33 @@ class PlanSpec extends SparkSpec {
       s"sessionize window must key on the entity: $specs")
   }
 
+  test("round-13 analytics: series windows keyed, NW/DM exchanges keyed, Brinson scalars broadcast") {
+    // the sequential-fold family must window per series — a global
+    // single-partition sort here would serialize the corpus
+    for (q <- Seq("q_garch", "q_dfa", "q_dm_test")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sfDir))
+      val specs = "windowspecdefinition\\(([^,]+),".r
+        .findAllMatchIn(plan).map(_.group(1)).toList
+      assert(specs.nonEmpty && specs.forall(s =>
+        s.contains("event_type") || s.contains("_k") || s.contains("key")),
+        s"$q has an unkeyed window: $specs")
+    }
+    // the HAC layer shuffles only on series keys (lag self-joins +
+    // moment aggs) — never an unkeyed repartition of the series frame
+    val nw = planOf(SparkEntry.queries("q_newey_west")(spark, sfDir))
+    val hashEx = "hashpartitioning\\(([^,]+)".r
+      .findAllMatchIn(nw).map(_.group(1).trim).toList
+    assert(hashEx.nonEmpty && hashEx.forall(s =>
+      s.contains("event_type") || s.contains("_k") || s.contains("key")),
+      s"q_newey_west has an unkeyed exchange: $hashEx")
+    // Brinson's scalar frames (universe stats, weight sums) broadcast —
+    // the key-sized side must never sort-merge against the series frame
+    val br = planOf(SparkEntry.queries("q_brinson")(spark, sfDir))
+    assert(br.contains("BroadcastExchange") ||
+      br.contains("BroadcastNestedLoopJoin"),
+      s"q_brinson scalar joins must broadcast:\n${br.take(1500)}")
+  }
+
   test("bm25Search: corpus explode filters to the query vocabulary before any exchange") {
     val df = Seq((1L, "x y"), (2L, "y z")).toDF("doc_id", "text")
     val plan = planOf(graft.operators.TextAnalysis.bm25Search(
