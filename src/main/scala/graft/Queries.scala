@@ -1751,6 +1751,53 @@ object Queries {
       FROM terms t JOIN fit f ON f.key = t.key
       ORDER BY t.key, t.m"""))
 
+  // Wald–Wolfowitz runs test on the hourly-diff sign tape per event
+  // type — the distribution-free serial-dependence check beside q_acf
+  // and q_variance_ratio: n₊/n₋/R are exact integers (zero diffs drop,
+  // the binary-runs convention), the z statistic one fixed tree.
+  private val qRunsTest = QDef(
+    "q_runs_test",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.runsTest(h, "event_type", "hb", "v", scale = 1e4)
+    },
+    Some("""
+      WITH h0 AS (SELECT event_type AS k,
+                        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      h AS (SELECT * FROM h0 WHERE v IS NOT NULL),
+      d0 AS (SELECT a.k, a.hb + 1 AS t, b.v - a.v AS dv
+             FROM h a JOIN h b ON b.k = a.k AND b.hb = a.hb + 1),
+      d AS (SELECT k, t, CASE WHEN dv > 0 THEN 1 ELSE -1 END AS s
+            FROM d0 WHERE dv <> 0),
+      m AS (SELECT k, s,
+                   CASE WHEN lag(s) OVER (PARTITION BY k ORDER BY t) IS NULL
+                          OR lag(s) OVER (PARTITION BY k ORDER BY t) <> s
+                        THEN 1 ELSE 0 END AS nw
+            FROM d),
+      g AS (SELECT k,
+                   CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                   CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+                   CAST(SUM(nw) AS BIGINT) AS n_runs
+            FROM m GROUP BY k),
+      f AS (SELECT k, n_pos, n_neg, n_runs,
+                   CAST(n_pos + n_neg AS DOUBLE) AS n,
+                   2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) AS a
+            FROM g)
+      SELECT k AS key, n_pos, n_neg, n_runs,
+             round(a / n + 1.0, 6) + 0.0 AS expected_runs,
+             CASE WHEN n_pos > 0 AND n_neg > 0 AND (n_pos + n_neg) > 1
+                    AND a * (a - n) / (n * n * (n - 1.0)) > 0.0
+                  THEN round((CAST(n_runs AS DOUBLE) - (a / n + 1.0))
+                             / sqrt(a * (a - n) / (n * n * (n - 1.0))), 6) + 0.0
+             END AS z
+      FROM f ORDER BY key"""))
+
   // Detrended fluctuation analysis on the hourly panel — the
   // trend-robust scaling exponent beside q_hurst (disagreement between
   // alpha and hurst IS the trend diagnostic). Integer profile
@@ -9892,7 +9939,7 @@ object Queries {
     qVpin, qJumpVol, qVarianceRatio, qContainment, qContainmentIncremental,
     qRollSpread, qAmihud, qCsSpread, qArSpread, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
-    qHurst, qDfa, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
+    qHurst, qDfa, qRunsTest, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
     qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,
     qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,

@@ -1522,6 +1522,60 @@ object Relational {
       .orderBy("key", "m")
   }
 
+  /** Wald–Wolfowitz runs test per series — the classic
+    * distribution-free randomness check on the SIGN sequence of
+    * first differences (is the tape a fair coin, or do up/down moves
+    * cluster/alternate?): with `n₊` up-moves, `n₋` down-moves and `R`
+    * observed runs (maximal same-sign blocks),
+    *
+    * {{{ μ_R = 2n₊n₋/n + 1
+    *     σ²_R = 2n₊n₋(2n₊n₋ − n)/(n²(n−1)),   n = n₊ + n₋
+    *     z = (R − μ_R)/σ_R }}}
+    *
+    * z ≪ 0 → trending (fewer, longer runs than chance), z ≫ 0 →
+    * mean-reverting (excess alternation). Completes the
+    * serial-dependence panel beside [[acf]]/[[neweyWest]] and the
+    * variance-ratio test with a statistic that needs NO moment
+    * assumptions. Zero differences drop (the standard binary-runs
+    * convention); differencing runs on the exact quantized integers.
+    *
+    * Determinism: every input to the statistic (`n₊`, `n₋`, `R`) is an
+    * exact integer — the z tree is the only float arithmetic, fixed
+    * and identical in both engines; outputs round 6 dp.
+    *
+    * Scale shape: one shifted self-join (diffs), one keyed window pass
+    * (run boundaries), one map-side-combined agg onto key rows. */
+  def runsTest(df: DataFrame, keyCol: String, bucketCol: String,
+               valueCol: String, scale: Double = 1e4): DataFrame = {
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+      .withColumn("_t", col("_t").cast("long"))
+    val d = base.as("a").join(base.as("b"),
+        col("b._k") === col("a._k") && col("b._t") === col("a._t") + 1L)
+      .select(col("a._k").as("key"), (col("a._t") + 1L).as("_t"),
+        (col("b._v") - col("a._v")).as("_d"))
+      .where(col("_d") =!= 0L)
+      .withColumn("_s", when(col("_d") > 0L, lit(1)).otherwise(lit(-1)))
+    val w = Window.partitionBy(col("key")).orderBy(col("_t"))
+    val marked = d.withColumn("_new",
+      when(lag(col("_s"), 1).over(w).isNull ||
+        lag(col("_s"), 1).over(w) =!= col("_s"), lit(1L)).otherwise(lit(0L)))
+    val agg = marked.groupBy(col("key")).agg(
+      sum(when(col("_s") === 1, lit(1L)).otherwise(lit(0L))).as("n_pos"),
+      sum(when(col("_s") === -1, lit(1L)).otherwise(lit(0L))).as("n_neg"),
+      sum(col("_new")).as("n_runs"))
+    val n = (col("n_pos") + col("n_neg")).cast("double")
+    val a = lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")
+    val mu = a / n + lit(1.0)
+    val v = a * (a - n) / (n * n * (n - lit(1.0)))
+    agg.select(col("key"), col("n_pos"), col("n_neg"), col("n_runs"),
+        (round(mu, 6) + lit(0.0)).as("expected_runs"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L &&
+          (col("n_pos") + col("n_neg")) > 1L && v > 0.0,
+          round((col("n_runs").cast("double") - mu) / sqrt(v), 6) + lit(0.0))
+          .as("z"))
+      .orderBy("key")
+  }
+
   /** Detrended fluctuation analysis (Peng et al. 1994) — the
     * nonstationarity-robust scaling exponent beside [[hurstExponent]]'s
     * aggregated-variance method: integrate the mean-centered series

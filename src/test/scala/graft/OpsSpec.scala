@@ -4772,6 +4772,41 @@ class OpsSpec extends SparkSpec {
         ("B", "B", 1.0))), absA).collect() }
   }
 
+  test("runsTest: alternating/trending closed forms, zero-diff drop, degenerate one-sided tape") {
+    // strictly alternating diffs: R = n (every move flips) → z > 0;
+    // v = 10, 12, 10, 12 … over 21 points → 20 diffs, n₊ = n₋ = 10,
+    // R = 20, μ = 2·100/20 + 1 = 11, σ² = 200·180/(400·19)
+    val alt = (0 until 21).map(t => ("A", t.toLong, if (t % 2 == 0) 10.0 else 12.0))
+    // two long monotone legs: 10 ups then 10 downs → R = 2 → z < 0
+    val tr = (0 until 21).map(t =>
+      ("T", t.toLong, if (t <= 10) 10.0 + t else 30.0 - t))
+    // interior zero diffs drop before the runs scan
+    val fz = Seq(("Z", 0L, 1.0), ("Z", 1L, 2.0), ("Z", 2L, 2.0),
+      ("Z", 3L, 1.0), ("Z", 4L, 2.0))
+    val df = (alt ++ tr).toDF("k", "hb", "v")
+      .unionByName(fz.toDF("k", "hb", "v"))
+    val out = Relational.runsTest(df, "k", "hb", "v").collect()
+      .map(r => r.getAs[String]("key") -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("n_pos") == 10L && a.getAs[Long]("n_neg") == 10L &&
+      a.getAs[Long]("n_runs") == 20L, a.toString)
+    assert(math.abs(a.getAs[Double]("expected_runs") - 11.0) < 1e-9, a.toString)
+    val zExp = (20.0 - 11.0) / math.sqrt(200.0 * 180.0 / (400.0 * 19.0))
+    assert(math.abs(a.getAs[Double]("z") - zExp) < 1e-5, a.toString)
+    val tRow = out("T")
+    assert(tRow.getAs[Long]("n_runs") == 2L && tRow.getAs[Double]("z") < -3.0,
+      tRow.toString)
+    // Z: diffs +1, 0(drop), −1, +1 → signs +,−,+ → R = 3, n₊=2, n₋=1
+    val z = out("Z")
+    assert(z.getAs[Long]("n_pos") == 2L && z.getAs[Long]("n_neg") == 1L &&
+      z.getAs[Long]("n_runs") == 3L, z.toString)
+    // one-sided tape: no down moves → z undefined (null), counts real
+    val mono = (0 until 6).map(t => ("M", t.toLong, 1.0 + t)).toDF("k", "hb", "v")
+    val m = Relational.runsTest(mono, "k", "hb", "v").collect().head
+    assert(m.getAs[Long]("n_neg") == 0L && m.getAs[Long]("n_runs") == 1L &&
+      m.isNullAt(m.fieldIndex("z")), m.toString)
+  }
+
   test("dfa: hand replay of the quantized protocol, noise ≈ 0.5 vs walk ≈ 1.5, constant-series dropout") {
     // deterministic LCG noise and its cumsum (random-walk) twin
     var seed = 17L
