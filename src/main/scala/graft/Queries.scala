@@ -1798,6 +1798,191 @@ object Queries {
              END AS z
       FROM f ORDER BY key"""))
 
+  // Shared DuckDB CTE prefix for the hourly-diff-tape test family
+  // (q_runs_test's h0/h plus the exact first-difference tape): the
+  // Spark side is quantizedBase(scale=1e4) + diffTape inside the
+  // operators — consecutive hours only, gaps drop the increment.
+  private val DiffTapeSqlPrefix = """
+      WITH h0 AS (SELECT event_type AS k,
+                        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      h AS (SELECT * FROM h0 WHERE v IS NOT NULL),
+      d AS (SELECT a.k, a.hb + 1 AS t, b.v - a.v AS dv
+            FROM h a JOIN h b ON b.k = a.k AND b.hb = a.hb + 1)"""
+
+  // Jarque–Bera normality test on the hourly-diff tape per event type —
+  // the distributional-shape leg of the test panel beside q_runs_test
+  // (serial order) and q_variance_ratio (scaling): exact HUGEINT power
+  // sums, one fixed central-moment tree, χ²(2) 95% call.
+  private val qJarqueBera = QDef(
+    "q_jarque_bera",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.jarqueBera(h, "event_type", "hb", "v", scale = 1e4)
+    },
+    Some(DiffTapeSqlPrefix + s""",
+      g AS (SELECT k, COUNT(*) AS n,
+                   SUM(CAST(dv AS HUGEINT)) AS s1,
+                   SUM(CAST(dv AS HUGEINT) * dv) AS s2,
+                   SUM(CAST(dv AS HUGEINT) * dv * dv) AS s3,
+                   SUM(CAST(dv AS HUGEINT) * dv * dv * dv) AS s4
+            FROM d GROUP BY k),
+      f1 AS (SELECT k, n, CAST(n AS DOUBLE) AS nd,
+                   CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+                   CAST(s3 AS DOUBLE) AS s3d, CAST(s4 AS DOUBLE) AS s4d
+             FROM g),
+      f2 AS (SELECT k, n, nd, s2d, s3d, s4d, s1d / nd AS m1 FROM f1),
+      f3 AS (SELECT k, n, nd,
+                   s2d / nd - m1 * m1 AS m2,
+                   s3d / nd - 3.0 * m1 * s2d / nd + 2.0 * m1 * m1 * m1 AS m3,
+                   s4d / nd - 4.0 * m1 * s3d / nd + 6.0 * m1 * m1 * s2d / nd
+                     - 3.0 * m1 * m1 * m1 * m1 AS m4
+             FROM f2),
+      f4 AS (SELECT k, n, nd, m2,
+                   m3 / sqrt(m2 * m2 * m2) AS skew,
+                   m4 / (m2 * m2) AS kurt
+             FROM f3),
+      f5 AS (SELECT k, n, nd, m2, skew, kurt,
+                   nd / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0) AS jb
+             FROM f4)
+      SELECT k AS key, n,
+             CASE WHEN n >= 2 AND m2 > 0.0 THEN round(skew, 6) + 0.0 END AS skew,
+             CASE WHEN n >= 2 AND m2 > 0.0 THEN round(kurt, 6) + 0.0 END AS kurtosis,
+             CASE WHEN n >= 2 AND m2 > 0.0 THEN round(jb, 6) + 0.0 END AS jb,
+             CASE WHEN n >= 2 AND m2 > 0.0
+                  THEN jb > ${java.lang.Double.toString(Relational.JbCrit5Pct)}
+             END AS reject_normal_5pct
+      FROM f5 ORDER BY key"""))
+
+  // Engle ARCH-LM (q=1) on the hourly-diff tape — the volatility-
+  // clustering prerequisite check in front of q_garch: re-quantized
+  // centered residuals (the q_eg_coint scheme), exact HUGEINT moment
+  // sums over (e²_t, e²_{t−1}), LM = n·R² vs χ²(1).
+  private val qArchLm = QDef(
+    "q_arch_lm",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.archLm(h, "event_type", "hb", "v", scale = 1e4)
+    },
+    Some(DiffTapeSqlPrefix + s""",
+      mu AS (SELECT k, COUNT(*) AS n0,
+                    CAST(SUM(CAST(dv AS HUGEINT)) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE) AS mu
+             FROM d GROUP BY k),
+      e AS (SELECT d.k, d.t, mu.n0,
+                   CAST(floor(CAST(d.dv AS DOUBLE) - mu.mu) AS BIGINT) AS ev
+            FROM d JOIN mu ON mu.k = d.k),
+      y AS (SELECT k, t, n0, ev * ev AS yv FROM e),
+      pr AS (SELECT p.k, p.n0,
+                    CAST(p.yv AS HUGEINT) AS x, CAST(c.yv AS HUGEINT) AS yy
+             FROM y p JOIN y c ON c.k = p.k AND c.t = p.t + 1),
+      g AS (SELECT k, MIN(n0) AS n, COUNT(*) AS n_lag,
+                   SUM(x) AS sx, SUM(yy) AS sy, SUM(x * yy) AS sxy,
+                   SUM(x * x) AS sxx, SUM(yy * yy) AS syy
+            FROM pr GROUP BY k),
+      f1 AS (SELECT k, n, n_lag, CAST(n_lag AS DOUBLE) AS nd,
+                   CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                   CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+                   CAST(syy AS DOUBLE) AS syyd
+             FROM g),
+      f2 AS (SELECT k, n, n_lag, nd,
+                   nd * sxyd - sxd * syd AS cov,
+                   nd * sxxd - sxd * sxd AS vx,
+                   nd * syyd - syd * syd AS vy
+             FROM f1),
+      f3 AS (SELECT k, n, n_lag, nd, cov, vx, vy,
+                   cov / (sqrt(vx) * sqrt(vy)) AS r
+             FROM f2),
+      f4 AS (SELECT k, n, n_lag, cov, vx, vy, nd * (r * r) AS lm FROM f3)
+      SELECT k AS key, n, n_lag,
+             CASE WHEN n_lag >= 3 AND vx > 0.0 AND vy > 0.0
+                  THEN round(cov / vx, 6) + 0.0 END AS arch_slope,
+             CASE WHEN n_lag >= 3 AND vx > 0.0 AND vy > 0.0
+                  THEN round(lm, 6) + 0.0 END AS lm_stat,
+             CASE WHEN n_lag >= 3 AND vx > 0.0 AND vy > 0.0
+                  THEN lm > ${java.lang.Double.toString(Relational.Chi2Crit1Df5Pct)}
+             END AS arch_5pct
+      FROM f4 ORDER BY key"""))
+
+  // Bivariate Granger causality (p=1) over every ordered event-type
+  // pair on the hourly-diff tape — the directional complement of
+  // q_leadlag_corr: closed-form restricted/unrestricted OLS from exact
+  // HUGEINT moment sums (Cramer's rule, the q_har_rv doctrine), F-test
+  // with the documented large-n χ²(1) call.
+  private val qGranger = QDef(
+    "q_granger",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.granger(h, "event_type", "hb", "v", scale = 1e4)
+    },
+    Some(DiffTapeSqlPrefix + s""",
+      tr AS (SELECT xl.k AS kc, c.k AS ke,
+                    CAST(c.dv AS HUGEINT) AS y,
+                    CAST(yl.dv AS HUGEINT) AS yl,
+                    CAST(xl.dv AS HUGEINT) AS xl
+             FROM d c
+             JOIN d yl ON yl.k = c.k AND yl.t = c.t - 1
+             JOIN d xl ON xl.t = c.t - 1 AND xl.k <> c.k),
+      m AS (SELECT kc, ke, COUNT(*) AS n,
+                   SUM(y) AS sy, SUM(yl) AS syl, SUM(xl) AS sxl,
+                   SUM(y * y) AS syy, SUM(y * yl) AS syyl,
+                   SUM(y * xl) AS syxl, SUM(yl * yl) AS sylyl,
+                   SUM(xl * xl) AS sxlxl, SUM(yl * xl) AS sylxl
+            FROM tr GROUP BY kc, ke),
+      f1 AS (SELECT kc, ke, n, CAST(n AS DOUBLE) AS nd,
+                   CAST(sy AS DOUBLE) AS sy, CAST(syl AS DOUBLE) AS syl,
+                   CAST(sxl AS DOUBLE) AS sxl, CAST(syy AS DOUBLE) AS syy,
+                   CAST(syyl AS DOUBLE) AS syyl, CAST(syxl AS DOUBLE) AS syxl,
+                   CAST(sylyl AS DOUBLE) AS sylyl, CAST(sxlxl AS DOUBLE) AS sxlxl,
+                   CAST(sylxl AS DOUBLE) AS sylxl
+             FROM m),
+      f2 AS (SELECT *,
+                   nd * (sylyl * sxlxl - sylxl * sylxl)
+                     - syl * (syl * sxlxl - sylxl * sxl)
+                     + sxl * (syl * sylxl - sylyl * sxl) AS det,
+                   sy * (sylyl * sxlxl - sylxl * sylxl)
+                     - syl * (syyl * sxlxl - sylxl * syxl)
+                     + sxl * (syyl * sylxl - sylyl * syxl) AS det_a,
+                   nd * (syyl * sxlxl - sylxl * syxl)
+                     - sy * (syl * sxlxl - sylxl * sxl)
+                     + sxl * (syl * syxl - syyl * sxl) AS det_b,
+                   nd * (sylyl * syxl - syyl * sylxl)
+                     - syl * (syl * syxl - syyl * sxl)
+                     + sy * (syl * sylxl - sylyl * sxl) AS det_c,
+                   nd * sylyl - syl * syl AS den_r
+             FROM f1),
+      f3 AS (SELECT *, det_a / det AS ua, det_b / det AS ub,
+                   det_c / det AS uc,
+                   (nd * syyl - syl * sy) / den_r AS rb
+             FROM f2),
+      f4 AS (SELECT *, syy - ua * sy - ub * syyl - uc * syxl AS rss_u,
+                   (sy - rb * syl) / nd AS ra
+             FROM f3),
+      f5 AS (SELECT *, syy - ra * sy - rb * syyl AS rss_r FROM f4),
+      f6 AS (SELECT *, (rss_r - rss_u) * (nd - 3.0) / rss_u AS f FROM f5)
+      SELECT kc AS key_cause, ke AS key_effect, n,
+             CASE WHEN n >= 4 AND det <> 0.0 AND den_r > 0.0 AND rss_u > 0.0
+                  THEN round(ub, 6) + 0.0 END AS beta_ar,
+             CASE WHEN n >= 4 AND det <> 0.0 AND den_r > 0.0 AND rss_u > 0.0
+                  THEN round(uc, 6) + 0.0 END AS beta_cross,
+             CASE WHEN n >= 4 AND det <> 0.0 AND den_r > 0.0 AND rss_u > 0.0
+                  THEN round(f, 6) + 0.0 END AS f_stat,
+             CASE WHEN n >= 4 AND det <> 0.0 AND den_r > 0.0 AND rss_u > 0.0
+                  THEN f > ${java.lang.Double.toString(Relational.Chi2Crit1Df5Pct)}
+             END AS granger_5pct
+      FROM f6 ORDER BY key_cause, key_effect"""))
+
   // Detrended fluctuation analysis on the hourly panel — the
   // trend-robust scaling exponent beside q_hurst (disagreement between
   // alpha and hurst IS the trend diagnostic). Integer profile
@@ -9939,7 +10124,7 @@ object Queries {
     qVpin, qJumpVol, qVarianceRatio, qContainment, qContainmentIncremental,
     qRollSpread, qAmihud, qCsSpread, qArSpread, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
-    qHurst, qDfa, qRunsTest, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
+    qHurst, qDfa, qRunsTest, qJarqueBera, qArchLm, qGranger, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
     qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,
     qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,

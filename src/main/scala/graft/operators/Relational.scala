@@ -2279,4 +2279,230 @@ object Relational {
       (col("dq").cast("double") / lit(1e6)).as("dist"))
       .distinct()
   }
+
+  /** χ²(2) 95% critical value for [[jarqueBera]] — interpolated into
+    * the oracle so both engines compare against the identical double. */
+  val JbCrit5Pct: Double = 5.991464547107979
+  /** χ²(1) 95% critical value, shared by [[archLm]] (exact) and
+    * [[granger]] (the F(1, n−3) large-n limit — at the hourly panel's
+    * n ≈ 10³ the exact F critical differs in the third decimal; the
+    * approximation is DOCUMENTED, not hidden). */
+  val Chi2Crit1Df5Pct: Double = 3.841458820694124
+
+  /** Exact first-difference tape of an already-quantized series frame
+    * `(_k, _t: long, _v: long)`: one shifted equi-join on (key, bucket)
+    * → `(_k, _t, _d)` with `_d = v_t − v_{t−1}` in quantized units.
+    * Consecutive buckets only — a gap drops the increment (the
+    * [[engleGranger]] step-2 convention). */
+  private def diffTape(base: DataFrame): DataFrame =
+    base.as("a").join(base.as("b"),
+        col("b._k") === col("a._k") && col("b._t") === col("a._t") + 1L)
+      .select(col("a._k").as("_k"), (col("a._t") + 1L).as("_t"),
+        (col("b._v") - col("a._v")).as("_d"))
+
+  /** Jarque–Bera normality test per series (Jarque & Bera 1980) on the
+    * first-difference tape: from exact raw-moment sums of the quantized
+    * increments,
+    *
+    * {{{ S = m₃/m₂^{3/2},  K = m₄/m₂²,  JB = n/6·(S² + (K−3)²/4) }}}
+    *
+    * with `JB ~ χ²(2)` under normality — the distributional-shape
+    * complement of [[runsTest]] (serial order) and the variance-ratio
+    * test (scaling): fat tails and asymmetry reject here even when the
+    * tape is serially clean. Skew and excess kurtosis are
+    * scale-invariant ratios, so the statistic is identical in quantized
+    * and value units (no /scale anywhere).
+    *
+    * Determinism: the four raw power sums `Σd, Σd², Σd³, Σd⁴`
+    * accumulate as exact DECIMAL(38,0) (Spark) / HUGEINT (oracle)
+    * integers — order-free; central moments, S, K and JB are one fixed
+    * double tree from those exact images, rounded 6 dp. Null S/K/JB on
+    * zero variance or n < 2.
+    *
+    * Overflow envelope: `n·(2·scale·max|v|)⁴ < 10³⁸` — at the default
+    * 10⁴ scale and |v| ≤ 10³ that is n ≲ 3·10⁸ diffs per key; shard by
+    * era far beyond that.
+    *
+    * Scale shape: one shifted self-join (diffs), one map-side-combined
+    * agg onto key rows — nothing corpus-wide. */
+  def jarqueBera(df: DataFrame, keyCol: String, bucketCol: String,
+                 valueCol: String, scale: Double = 1e4): DataFrame = {
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+      .withColumn("_t", col("_t").cast("long"))
+    val d = diffTape(base)
+    val dq = col("_d").cast("decimal(38,0)")
+    val agg = d.groupBy(col("_k").as("key")).agg(
+      count(lit(1)).as("n"),
+      sum(dq).as("_s1"), sum(dq * dq).as("_s2"),
+      sum(dq * dq * dq).as("_s3"), sum(dq * dq * dq * dq).as("_s4"))
+    def dd(c: Column): Column = c.cast("double")
+    val nD = col("n").cast("double")
+    val m1 = dd(col("_s1")) / nD
+    val m2 = dd(col("_s2")) / nD - m1 * m1
+    val m3 = dd(col("_s3")) / nD - lit(3.0) * m1 * dd(col("_s2")) / nD +
+      lit(2.0) * m1 * m1 * m1
+    val m4 = dd(col("_s4")) / nD - lit(4.0) * m1 * dd(col("_s3")) / nD +
+      lit(6.0) * m1 * m1 * dd(col("_s2")) / nD -
+      lit(3.0) * m1 * m1 * m1 * m1
+    val skew = m3 / sqrt(m2 * m2 * m2)
+    val kurt = m4 / (m2 * m2)
+    val jb = nD / lit(6.0) *
+      (skew * skew + (kurt - lit(3.0)) * (kurt - lit(3.0)) / lit(4.0))
+    val ok = col("n") >= 2L && m2 > 0.0
+    agg.select(col("key"), col("n"),
+        when(ok, round(skew, 6) + lit(0.0)).as("skew"),
+        when(ok, round(kurt, 6) + lit(0.0)).as("kurtosis"),
+        when(ok, round(jb, 6) + lit(0.0)).as("jb"),
+        when(ok, jb > lit(JbCrit5Pct)).as("reject_normal_5pct"))
+      .orderBy("key")
+  }
+
+  /** Engle's ARCH-LM test per series (Engle 1982, Econometrica 50),
+    * q = 1: do squared shocks predict tomorrow's squared shock? Demean
+    * the diff tape, regress `e²_t` on `(1, e²_{t−1})`, and report
+    * `LM = n·R² ~ χ²(1)` under the no-ARCH null — the volatility-
+    * clustering PREREQUISITE check in front of the GARCH filter (a
+    * non-rejecting tape gives GARCH nothing to fit). `R²` is invariant
+    * under affine maps of each side, so the regression runs directly in
+    * quantized units.
+    *
+    * Determinism — the [[engleGranger]] residual scheme: diffs are
+    * exact integers; the mean `Σd/n` is one double; centered residuals
+    * re-quantize as `ẽ = ⌊d − μ⌋` (both engines floor the same double),
+    * so `ẽ²` is again an exact integer and the five regression moment
+    * sums accumulate as DECIMAL(38,0)/HUGEINT — order-free; r², LM and
+    * the slope are one fixed double tree, 6 dp. Null on fewer than 3
+    * lag pairs or a zero-variance leg.
+    *
+    * Overflow envelope: `n·(2·scale·max|v|)⁴ < 10³⁸` (the ẽ⁴-class
+    * sums) — n ≲ 3·10⁸ diffs per key at the defaults.
+    *
+    * Scale shape: diffs self-join, the per-key mean via an unordered
+    * key window on the already-key-hashed diff frame (no extra
+    * exchange), one shifted self-join for the lag pair, one moment
+    * agg — all keyed, nothing global. */
+  def archLm(df: DataFrame, keyCol: String, bucketCol: String,
+             valueCol: String, scale: Double = 1e4): DataFrame = {
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+      .withColumn("_t", col("_t").cast("long"))
+    val d = diffTape(base)
+    // per-key mean via an unordered key window — one keyed exchange,
+    // no broadcast stage (the diff frame is already key-hashed)
+    val wk = Window.partitionBy(col("_k"))
+    val e = d
+      .withColumn("_n0", count(lit(1)).over(wk))
+      .withColumn("_mu",
+        sum(col("_d").cast("decimal(38,0)")).over(wk).cast("double") /
+          col("_n0").cast("double"))
+      .select(col("_k"), col("_t"), col("_n0"),
+        floor(col("_d").cast("double") - col("_mu")).cast("long").as("_e"))
+      .withColumn("_y", col("_e") * col("_e"))
+    val pairs = e.as("p").join(e.as("c"),
+        col("c._k") === col("p._k") && col("c._t") === col("p._t") + 1L)
+      .select(col("p._k").as("key"), col("p._n0").as("_n0"),
+        col("p._y").cast("decimal(38,0)").as("_x"),
+        col("c._y").cast("decimal(38,0)").as("_y"))
+    val agg = pairs.groupBy(col("key")).agg(
+      min(col("_n0")).as("n"), count(lit(1)).as("n_lag"),
+      sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+      sum(col("_x") * col("_y")).as("_sxy"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_y") * col("_y")).as("_syy"))
+    def dd(c: Column): Column = c.cast("double")
+    val nD = col("n_lag").cast("double")
+    val cov = nD * dd(col("_sxy")) - dd(col("_sx")) * dd(col("_sy"))
+    val vx = nD * dd(col("_sxx")) - dd(col("_sx")) * dd(col("_sx"))
+    val vy = nD * dd(col("_syy")) - dd(col("_sy")) * dd(col("_sy"))
+    val r2 = (cov / (sqrt(vx) * sqrt(vy))) * (cov / (sqrt(vx) * sqrt(vy)))
+    val lm = nD * r2
+    val ok = col("n_lag") >= 3L && vx > 0.0 && vy > 0.0
+    agg.select(col("key"), col("n"), col("n_lag"),
+        when(ok, round(cov / vx, 6) + lit(0.0)).as("arch_slope"),
+        when(ok, round(lm, 6) + lit(0.0)).as("lm_stat"),
+        when(ok, lm > lit(Chi2Crit1Df5Pct)).as("arch_5pct"))
+      .orderBy("key")
+  }
+
+  /** Bivariate Granger causality (Granger 1969, Econometrica 37) at
+    * lag order p = 1, every ORDERED series pair (x → y): does x's last
+    * move improve the one-step forecast of y beyond y's own history?
+    * Unrestricted `y_t = a + b·y_{t−1} + c·x_{t−1} + u` vs restricted
+    * `y_t = a′ + b′·y_{t−1}`, both by closed-form OLS on exact moment
+    * sums (the [[graft.functions.TaIndicators.harRegression]] normal-
+    * equations doctrine — Cramer's rule, never an iterative solver);
+    *
+    * {{{ F = (RSS_r − RSS_u)·(n − 3)/RSS_u ~ F(1, n−3) }}}
+    *
+    * reported with the large-n χ²(1) 95% call ([[Chi2Crit1Df5Pct]] —
+    * see the constant's caveat). Directional, unlike [[leadLagCorr]]'s
+    * symmetric cross-correlation peaks: x→y and y→x are separate rows,
+    * and the pair of F's distinguishes feedback from one-way leads.
+    * Runs on the first-difference tape (returns), the stationary frame
+    * Granger regressions assume.
+    *
+    * Determinism: diffs are exact integers; the ten regression moment
+    * sums accumulate as DECIMAL(38,0)/HUGEINT — order-free; both OLS
+    * solves and the F are one fixed double tree from those images,
+    * 6 dp. Null when the 3×3 normal determinant vanishes, RSS_u ≤ 0,
+    * or n < 4.
+    *
+    * Overflow envelope: `n·(2·scale·max|v|)² < 10³⁸` — vacuous at any
+    * realistic panel (the products are only quadratic here).
+    *
+    * Scale shape: one shifted three-way equi-join on (bucket) — series
+    * count is the small dimension (the correlation-family contract) —
+    * then one map-side-combined moment agg onto ordered-pair rows. */
+  def granger(df: DataFrame, keyCol: String, bucketCol: String,
+              valueCol: String, scale: Double = 1e4): DataFrame = {
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+      .withColumn("_t", col("_t").cast("long"))
+    val d = diffTape(base)
+    val triple = d.as("c").join(d.as("yl"),
+        col("yl._k") === col("c._k") && col("yl._t") === col("c._t") - 1L)
+      .join(d.as("xl"),
+        col("xl._t") === col("c._t") - 1L && col("xl._k") =!= col("c._k"))
+      .select(col("xl._k").as("key_cause"), col("c._k").as("key_effect"),
+        col("c._d").cast("decimal(38,0)").as("_y"),
+        col("yl._d").cast("decimal(38,0)").as("_yl"),
+        col("xl._d").cast("decimal(38,0)").as("_xl"))
+    val m = triple.groupBy(col("key_cause"), col("key_effect")).agg(
+      count(lit(1)).as("n"),
+      sum(col("_y")).as("_sy"), sum(col("_yl")).as("_syl"),
+      sum(col("_xl")).as("_sxl"),
+      sum(col("_y") * col("_y")).as("_syy"),
+      sum(col("_y") * col("_yl")).as("_syyl"),
+      sum(col("_y") * col("_xl")).as("_syxl"),
+      sum(col("_yl") * col("_yl")).as("_sylyl"),
+      sum(col("_xl") * col("_xl")).as("_sxlxl"),
+      sum(col("_yl") * col("_xl")).as("_sylxl"))
+    def dd(c: Column): Column = c.cast("double")
+    val nD = col("n").cast("double")
+    val (sy, syl, sxl) = (dd(col("_sy")), dd(col("_syl")), dd(col("_sxl")))
+    val (syy, syyl, syxl) = (dd(col("_syy")), dd(col("_syyl")), dd(col("_syxl")))
+    val (sylyl, sxlxl, sylxl) = (dd(col("_sylyl")), dd(col("_sxlxl")), dd(col("_sylxl")))
+    // unrestricted 3×3 normal equations, Cramer's rule
+    val det = nD * (sylyl * sxlxl - sylxl * sylxl) -
+      syl * (syl * sxlxl - sylxl * sxl) + sxl * (syl * sylxl - sylyl * sxl)
+    val detA = sy * (sylyl * sxlxl - sylxl * sylxl) -
+      syl * (syyl * sxlxl - sylxl * syxl) + sxl * (syyl * sylxl - sylyl * syxl)
+    val detB = nD * (syyl * sxlxl - sylxl * syxl) -
+      sy * (syl * sxlxl - sylxl * sxl) + sxl * (syl * syxl - syyl * sxl)
+    val detC = nD * (sylyl * syxl - syyl * sylxl) -
+      syl * (syl * syxl - syyl * sxl) + sy * (syl * sylxl - sylyl * sxl)
+    val (ua, ub, uc) = (detA / det, detB / det, detC / det)
+    val rssU = syy - ua * sy - ub * syyl - uc * syxl
+    // restricted 2×2
+    val denR = nD * sylyl - syl * syl
+    val rb = (nD * syyl - syl * sy) / denR
+    val ra = (sy - rb * syl) / nD
+    val rssR = syy - ra * sy - rb * syyl
+    val f = (rssR - rssU) * (nD - lit(3.0)) / rssU
+    val ok = col("n") >= 4L && det =!= 0.0 && denR > 0.0 && rssU > 0.0
+    m.select(col("key_cause"), col("key_effect"), col("n"),
+        when(ok, round(ub, 6) + lit(0.0)).as("beta_ar"),
+        when(ok, round(uc, 6) + lit(0.0)).as("beta_cross"),
+        when(ok, round(f, 6) + lit(0.0)).as("f_stat"),
+        when(ok, f > lit(Chi2Crit1Df5Pct)).as("granger_5pct"))
+      .orderBy("key_cause", "key_effect")
+  }
 }

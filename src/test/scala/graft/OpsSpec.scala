@@ -6248,6 +6248,133 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("hour/day"), err.getMessage)
   }
 
+  test("jarqueBera: two-point closed forms, skewed-tape hand replay, zero-variance dropout") {
+    // alternating 10,12 → diffs ±2·10⁴ (two-point symmetric): skew 0,
+    // kurtosis m4/m2² = a⁴/(a²)² = 1, JB = n/6·(0 + (1−3)²/4) = n/6
+    val alt = (0 until 21).map(t => ("A", t.toLong, if (t % 2 == 0) 10.0 else 12.0))
+    // skewed diff cycle {+3, −1, −1, −1}: m2 = 3, m3 = 6, m4 = 21 →
+    // skew = 6/3^1.5, kurt = 21/9 (scale-invariant, so quantized units
+    // give the same ratios); 25 cycles → n = 100 diffs, JB ≈ 24.07
+    val skewed = (0 until 101).map { t =>
+      val level = Seq(0.0, 3.0, 2.0, 1.0)(t % 4)
+      ("S", t.toLong, level)
+    }
+    val flat = (0 until 6).map(t => ("C", t.toLong, 7.0))
+    val out = Relational.jarqueBera(
+        (alt ++ skewed ++ flat).toDF("k", "hb", "v"), "k", "hb", "v")
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("n") == 20L, a.toString)
+    assert(math.abs(a.getAs[Double]("skew")) < 1e-9, a.toString)
+    assert(math.abs(a.getAs[Double]("kurtosis") - 1.0) < 1e-9, a.toString)
+    assert(math.abs(a.getAs[Double]("jb") - 20.0 / 6.0) < 1e-5, a.toString)
+    assert(!a.getAs[Boolean]("reject_normal_5pct"), a.toString)
+    val sRow = out("S")
+    val skewExp = 6.0 / math.pow(3.0, 1.5)
+    val kurtExp = 21.0 / 9.0
+    val jbExp = 100.0 / 6.0 * (skewExp * skewExp +
+      (kurtExp - 3.0) * (kurtExp - 3.0) / 4.0)
+    assert(math.abs(sRow.getAs[Double]("skew") - skewExp) < 1e-5, sRow.toString)
+    assert(math.abs(sRow.getAs[Double]("kurtosis") - kurtExp) < 1e-5, sRow.toString)
+    assert(math.abs(sRow.getAs[Double]("jb") - jbExp) < 1e-3, sRow.toString)
+    assert(sRow.getAs[Boolean]("reject_normal_5pct"), sRow.toString)
+    // constant series: every diff 0 → m2 = 0 → null stats, counts real
+    val c = out("C")
+    assert(c.getAs[Long]("n") == 5L && c.isNullAt(c.fieldIndex("jb")), c.toString)
+  }
+
+  test("archLm: volatility-regime tape vs in-test moment replay, constant-|d| dropout") {
+    // regime cycle of diffs {+1,−1,+1,−1,+4,−4,+4,−4}: zero mean per
+    // cycle so e = d exactly; e² clusters → LM rejects at 12 cycles
+    val cycle = Seq(1.0, -1.0, 1.0, -1.0, 4.0, -4.0, 4.0, -4.0)
+    val diffs = Seq.fill(12)(cycle).flatten
+    val levels = diffs.scanLeft(100.0)(_ + _)
+    val vdf = levels.zipWithIndex.map { case (v, i) => ("R", i.toLong, v) }
+    // constant |d| (alternating ±2): e² constant → zero variance → null
+    val altFlat = (0 until 21).map(t => ("F", t.toLong, if (t % 2 == 0) 10.0 else 12.0))
+    val out = Relational.archLm((vdf ++ altFlat).toDF("k", "hb", "v"), "k", "hb", "v")
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    // in-test replay on the exact quantized images (×10⁴, mean 0)
+    val e2 = diffs.map(d => { val q = math.floor(d * 1e4).toLong; q * q })
+    val pairs = e2.zip(e2.tail)
+    val n = pairs.length.toDouble
+    val sx = pairs.map(_._1).map(BigInt(_)).sum.toDouble
+    val sy = pairs.map(_._2).map(BigInt(_)).sum.toDouble
+    val sxy = pairs.map(p => BigInt(p._1) * BigInt(p._2)).sum.toDouble
+    val sxx = pairs.map(p => BigInt(p._1) * BigInt(p._1)).sum.toDouble
+    val syy = pairs.map(p => BigInt(p._2) * BigInt(p._2)).sum.toDouble
+    val cov = n * sxy - sx * sy
+    val r = cov / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val lmExp = n * (r * r)
+    val rRow = out("R")
+    assert(rRow.getAs[Long]("n") == diffs.length.toLong, rRow.toString)
+    assert(rRow.getAs[Long]("n_lag") == pairs.length.toLong, rRow.toString)
+    assert(math.abs(rRow.getAs[Double]("lm_stat") - lmExp) < 1e-4, rRow.toString)
+    assert(rRow.getAs[Double]("arch_slope") > 0.0, rRow.toString)
+    assert(rRow.getAs[Boolean]("arch_5pct") == (lmExp > Relational.Chi2Crit1Df5Pct),
+      rRow.toString)
+    val f = out("F")
+    assert(f.getAs[Long]("n") == 20L && f.isNullAt(f.fieldIndex("lm_stat")), f.toString)
+  }
+
+  test("granger: x leads y one-sidedly; in-test Cramer replay agrees") {
+    // x: deterministic LCG diff tape; y follows x's previous diff plus
+    // a small independent perturbation (keeps RSS_u > 0)
+    var seed = 99L
+    def nxt(mod: Long): Double = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % mod).toDouble
+    }
+    val n = 400
+    val dx = Seq.fill(n)(nxt(200L) / 100.0 - 1.0)       // ±1-ish
+    val eps = Seq.fill(n)(nxt(20L) / 1000.0 - 0.01)     // ±0.01
+    val dy = 0.0 +: dx.init.zip(eps.tail).map { case (x, e) => x + e }
+    val xs = dx.scanLeft(50.0)(_ + _)
+    val ys = dy.scanLeft(50.0)(_ + _)
+    val rows = xs.zipWithIndex.map { case (v, i) => ("X", i.toLong, v) } ++
+      ys.zipWithIndex.map { case (v, i) => ("Y", i.toLong, v) }
+    val out = Relational.granger(rows.toDF("k", "hb", "v"), "k", "hb", "v")
+      .collect()
+      .map(r => (r.getAs[String]("key_cause"), r.getAs[String]("key_effect")) -> r)
+      .toMap
+    val xy = out(("X", "Y"))
+    val yx = out(("Y", "X"))
+    assert(xy.getAs[Boolean]("granger_5pct"), xy.toString)
+    assert(xy.getAs[Double]("f_stat") > 100.0, xy.toString)
+    assert(math.abs(xy.getAs[Double]("beta_cross") - 1.0) < 0.05, xy.toString)
+    assert(xy.getAs[Double]("f_stat") > yx.getAs[Double]("f_stat"), s"$xy vs $yx")
+    // in-test replay of the X→Y solve on the exact quantized diffs
+    val qx = xs.map(v => math.floor(v * 1e4).toLong)
+    val qy = ys.map(v => math.floor(v * 1e4).toLong)
+    val dqx = qx.zip(qx.tail).map { case (a, b) => b - a }
+    val dqy = qy.zip(qy.tail).map { case (a, b) => b - a }
+    // triples (y_t, y_{t−1}, x_{t−1}) for t = 1..n−1 over the diff tapes
+    val trip = (1 until dqy.length).map(t => (dqy(t), dqy(t - 1), dqx(t - 1)))
+    val nn = trip.length.toDouble
+    def s(f: ((Long, Long, Long)) => BigInt): Double = trip.map(f).sum.toDouble
+    val (sy2, syl, sxl) = (s(t => BigInt(t._1)), s(t => BigInt(t._2)), s(t => BigInt(t._3)))
+    val syy = s(t => BigInt(t._1) * BigInt(t._1)); val syyl = s(t => BigInt(t._1) * BigInt(t._2))
+    val syxl = s(t => BigInt(t._1) * BigInt(t._3)); val sylyl = s(t => BigInt(t._2) * BigInt(t._2))
+    val sxlxl = s(t => BigInt(t._3) * BigInt(t._3)); val sylxl = s(t => BigInt(t._2) * BigInt(t._3))
+    val det = nn * (sylyl * sxlxl - sylxl * sylxl) -
+      syl * (syl * sxlxl - sylxl * sxl) + sxl * (syl * sylxl - sylyl * sxl)
+    val detB = nn * (syyl * sxlxl - sylxl * syxl) -
+      sy2 * (syl * sxlxl - sylxl * sxl) + sxl * (syl * syxl - syyl * sxl)
+    val detA = sy2 * (sylyl * sxlxl - sylxl * sylxl) -
+      syl * (syyl * sxlxl - sylxl * syxl) + sxl * (syyl * sylxl - sylyl * syxl)
+    val detC = nn * (sylyl * syxl - syyl * sylxl) -
+      syl * (syl * syxl - syyl * sxl) + sy2 * (syl * sylxl - sylyl * sxl)
+    val (ua, ub, uc) = (detA / det, detB / det, detC / det)
+    val rssU = syy - ua * sy2 - ub * syyl - uc * syxl
+    val rb = (nn * syyl - syl * sy2) / (nn * sylyl - syl * syl)
+    val ra = (sy2 - rb * syl) / nn
+    val rssR = syy - ra * sy2 - rb * syyl
+    val fExp = (rssR - rssU) * (nn - 3.0) / rssU
+    assert(math.abs(xy.getAs[Double]("f_stat") - fExp) < math.abs(fExp) * 1e-6 + 1e-4,
+      s"${xy.getAs[Double]("f_stat")} vs $fExp")
+    assert(xy.getAs[Long]("n") == trip.length.toLong, xy.toString)
+  }
+
 }
 
 /** Test backends for the inference-backend contract spec — top level so
