@@ -1983,6 +1983,150 @@ object Queries {
              END AS granger_5pct
       FROM f6 ORDER BY key_cause, key_effect"""))
 
+  // Two-sample Kolmogorov–Smirnov drift test per event type — the
+  // bin-free distribution-drift check beside q_psi_drift: first half
+  // vs second half of each key's hourly window, D as an exact integer
+  // max |n2·C1 − n1·C2| over distinct quantized values, the 5% call
+  // from interpolated literals.
+  private val qKsDrift = QDef(
+    "q_ks_drift",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.ksTwoSample(h, "event_type", "hb", "v", scale = 1e4)
+    },
+    Some(s"""
+      WITH h0 AS (SELECT event_type AS k,
+                        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      h AS (SELECT * FROM h0 WHERE v IS NOT NULL),
+      lab AS (SELECT k, hb, v,
+                    (min(hb) OVER (PARTITION BY k) +
+                     max(hb) OVER (PARTITION BY k)) // 2 AS mid
+              FROM h),
+      cnt AS (SELECT k, v,
+                    SUM(CASE WHEN hb <= mid THEN 1 ELSE 0 END) AS c1,
+                    SUM(CASE WHEN hb > mid THEN 1 ELSE 0 END) AS c2
+              FROM lab GROUP BY k, v),
+      cum AS (SELECT k, v,
+                    SUM(c1) OVER (PARTITION BY k ORDER BY v) AS f1,
+                    SUM(c2) OVER (PARTITION BY k ORDER BY v) AS f2,
+                    SUM(c1) OVER (PARTITION BY k) AS n1,
+                    SUM(c2) OVER (PARTITION BY k) AS n2
+              FROM cnt),
+      g AS (SELECT k, MIN(n1) AS n1, MIN(n2) AS n2,
+                   MAX(abs(n2 * f1 - n1 * f2)) AS dn
+            FROM cum GROUP BY k)
+      SELECT k AS key, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             CASE WHEN n1 > 0 AND n2 > 0
+                  THEN round(CAST(dn AS DOUBLE)
+                             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) + 0.0
+             END AS d_stat,
+             CASE WHEN n1 > 0 AND n2 > 0
+                  THEN CAST(dn AS DOUBLE)
+                       / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                       > ${java.lang.Double.toString(Relational.KsCrit5Pct)}
+                         * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+             END AS drift_5pct
+      FROM g ORDER BY key"""))
+
+  // Transfer entropy on the binary up/down tape for every ordered
+  // event-type pair — the model-free information-flow complement of
+  // q_granger's linear F: 8-cell sign-transition histogram, exact
+  // integer counts, µnat-quantized order-free term reduction.
+  private val qTransferEntropy = QDef(
+    "q_transfer_entropy",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.transferEntropy(h, "event_type", "hb", "v", scale = 1e4)
+    },
+    Some(DiffTapeSqlPrefix + """,
+      sg AS (SELECT k, t, CASE WHEN dv > 0 THEN 1 ELSE 0 END AS s FROM d),
+      tr AS (SELECT xl.k AS kc, c.k AS ke, c.s AS y, yl.s AS yl, xl.s AS xl
+             FROM sg c
+             JOIN sg yl ON yl.k = c.k AND yl.t = c.t - 1
+             JOIN sg xl ON xl.t = c.t - 1 AND xl.k <> c.k),
+      cells AS (SELECT kc, ke, y, yl, xl, COUNT(*) AS c
+                FROM tr GROUP BY 1, 2, 3, 4, 5),
+      m AS (SELECT kc, ke, c,
+                   SUM(c) OVER (PARTITION BY kc, ke) AS n,
+                   SUM(c) OVER (PARTITION BY kc, ke, yl, xl) AS cylxl,
+                   SUM(c) OVER (PARTITION BY kc, ke, y, yl) AS cyyl,
+                   SUM(c) OVER (PARTITION BY kc, ke, yl) AS cyl
+            FROM cells),
+      tq AS (SELECT kc, ke, n,
+                   CAST(floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                     * ln(CAST(c AS DOUBLE) * CAST(cyl AS DOUBLE)
+                          / (CAST(cylxl AS DOUBLE) * CAST(cyyl AS DOUBLE)))
+                     * 1e9) AS BIGINT) AS q
+             FROM m),
+      g AS (SELECT kc, ke, MIN(n) AS n, SUM(q) AS sq FROM tq GROUP BY kc, ke)
+      SELECT kc AS key_cause, ke AS key_effect, CAST(n AS BIGINT) AS n,
+             round(CAST(sq AS DOUBLE) / 1e9, 6) + 0.0 AS te_nats
+      FROM g ORDER BY key_cause, key_effect"""))
+
+  // Mann–Kendall trend test + Theil–Sen slope on the DAILY panel — the
+  // rank-based monotone-trend detector beside q_trend_scan: exact
+  // integer S and tie correction, exact-percentile median of pairwise
+  // slopes (quadratic per key by contract — daily bars, loud guard).
+  private val qMannKendall = QDef(
+    "q_mann_kendall",
+    (s, dir) => {
+      val dtape = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("db", expr("unix_micros(bucket) div 86400000000"))
+      Relational.mannKendall(dtape, "event_type", "db", "v", scale = 1e4)
+    },
+    Some(s"""
+      WITH h0 AS (SELECT event_type AS k,
+                        epoch_us(date_trunc('day', ts)) // 86400000000 AS db,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      h AS (SELECT * FROM h0 WHERE v IS NOT NULL),
+      pr AS (SELECT i.k,
+                   CASE WHEN j.v > i.v THEN 1 WHEN j.v < i.v THEN -1
+                        ELSE 0 END AS sgn,
+                   CAST(j.v - i.v AS DOUBLE) / CAST(j.db - i.db AS DOUBLE) AS slope
+             FROM h i JOIN h j ON j.k = i.k AND j.db > i.db),
+      pa AS (SELECT k, SUM(sgn) AS s_stat, quantile_cont(slope, 0.5) AS med
+             FROM pr GROUP BY k),
+      tg AS (SELECT k, v, COUNT(*) AS tc FROM h GROUP BY k, v),
+      ti AS (SELECT k, SUM(tc) AS n,
+                   SUM(tc * (tc - 1) * (2 * tc + 5)) AS tie
+             FROM tg GROUP BY k),
+      jn AS (SELECT ti.k, CAST(ti.n AS BIGINT) AS n,
+                   CAST(ti.tie AS DOUBLE) AS tied,
+                   CAST(pa.s_stat AS BIGINT) AS s_stat, pa.med
+             FROM ti LEFT JOIN pa ON pa.k = ti.k),
+      f1 AS (SELECT *, (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                        * (2.0 * CAST(n AS DOUBLE) + 5.0) - tied) / 18.0 AS var_s
+             FROM jn),
+      f2 AS (SELECT *,
+                   CASE WHEN s_stat > 0
+                          THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+                        WHEN s_stat < 0
+                          THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+                        ELSE 0.0 END AS z
+             FROM f1)
+      SELECT k AS key, n, s_stat, round(var_s, 6) + 0.0 AS var_s,
+             CASE WHEN med IS NOT NULL
+                  THEN round(med / 1e4, 6) + 0.0 END AS theil_sen,
+             CASE WHEN var_s > 0.0 THEN round(z, 6) + 0.0 END AS z,
+             CASE WHEN var_s > 0.0
+                  THEN abs(z) > ${java.lang.Double.toString(Relational.Z975)}
+             END AS trend_5pct
+      FROM f2 ORDER BY key"""))
+
   // Detrended fluctuation analysis on the hourly panel — the
   // trend-robust scaling exponent beside q_hurst (disagreement between
   // alpha and hurst IS the trend diagnostic). Integer profile
@@ -10124,7 +10268,7 @@ object Queries {
     qVpin, qJumpVol, qVarianceRatio, qContainment, qContainmentIncremental,
     qRollSpread, qAmihud, qCsSpread, qArSpread, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
-    qHurst, qDfa, qRunsTest, qJarqueBera, qArchLm, qGranger, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
+    qHurst, qDfa, qRunsTest, qJarqueBera, qArchLm, qGranger, qKsDrift, qTransferEntropy, qMannKendall, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
     qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,
     qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,

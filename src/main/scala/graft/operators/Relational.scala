@@ -2505,4 +2505,197 @@ object Relational {
         when(ok, f > lit(Chi2Crit1Df5Pct)).as("granger_5pct"))
       .orderBy("key_cause", "key_effect")
   }
+
+  /** Kolmogorov–Smirnov 95% coefficient `c(α) = √(−ln(α/2)/2)` —
+    * computed once here and interpolated into the oracle as a literal
+    * so both engines compare against the identical double. */
+  val KsCrit5Pct: Double = math.sqrt(-math.log(0.025) / 2.0)
+  /** Standard-normal 97.5% quantile (two-sided 5% tests). */
+  val Z975: Double = 1.959963984540054
+
+  /** Two-sample Kolmogorov–Smirnov drift test per series: split each
+    * key's observation window at its integer midpoint bucket and ask
+    * whether the value DISTRIBUTION of the second half drifted from the
+    * first — `D = sup_v |F̂₁(v) − F̂₂(v)|` with the large-sample 5% call
+    * `D > c(α)·√((n₁+n₂)/(n₁·n₂))`. The distribution-level drift check
+    * beside the binned PSI monitor (q_psi_drift): KS needs no bin
+    * choice and is sensitive anywhere on the CDF, PSI localizes WHICH
+    * region moved.
+    *
+    * Determinism: the statistic is computed as the EXACT INTEGER
+    * `max |n₂·C₁(v) − n₁·C₂(v)|` over distinct quantized values (C the
+    * cumulative counts — RANGE-frame windows make ties well-defined),
+    * divided by `n₁·n₂` only at the very end; the critical-value tree
+    * is fixed from interpolated literals. 6 dp. Null D when either
+    * half is empty.
+    *
+    * Scale shape: one keyed window for the split point, one
+    * (key, value) count agg, one ordered keyed window for the CDFs,
+    * one map-side-combined max — never a pairwise join. */
+  def ksTwoSample(df: DataFrame, keyCol: String, bucketCol: String,
+                  valueCol: String, scale: Double = 1e4): DataFrame = {
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+      .withColumn("_t", col("_t").cast("long"))
+    val wk = Window.partitionBy(col("_k"))
+    val lab = base
+      .withColumn("_mid", expr("(min(_t) over (partition by _k) + " +
+        "max(_t) over (partition by _k)) div 2"))
+      .withColumn("_h1", col("_t") <= col("_mid"))
+    val cnt = lab.groupBy(col("_k"), col("_v")).agg(
+      sum(when(col("_h1"), lit(1L)).otherwise(lit(0L))).as("_c1"),
+      sum(when(!col("_h1"), lit(1L)).otherwise(lit(0L))).as("_c2"))
+    val wkv = Window.partitionBy(col("_k")).orderBy(col("_v"))
+    val cum = cnt
+      .withColumn("_f1", sum(col("_c1")).over(wkv))
+      .withColumn("_f2", sum(col("_c2")).over(wkv))
+      .withColumn("_n1", sum(col("_c1")).over(wk))
+      .withColumn("_n2", sum(col("_c2")).over(wk))
+    val agg = cum.groupBy(col("_k").as("key")).agg(
+      min(col("_n1")).as("n1"), min(col("_n2")).as("n2"),
+      max(abs(col("_n2") * col("_f1") - col("_n1") * col("_f2"))).as("_dn"))
+    val n1D = col("n1").cast("double")
+    val n2D = col("n2").cast("double")
+    val dStat = col("_dn").cast("double") / (n1D * n2D)
+    val crit = lit(KsCrit5Pct) * sqrt((n1D + n2D) / (n1D * n2D))
+    val ok = col("n1") > 0L && col("n2") > 0L
+    agg.select(col("key"), col("n1"), col("n2"),
+        when(ok, round(dStat, 6) + lit(0.0)).as("d_stat"),
+        when(ok, dStat > crit).as("drift_5pct"))
+      .orderBy("key")
+  }
+
+  /** Transfer entropy (Schreiber 2000, PRL 85) on the BINARY up/down
+    * tape, order 1, every ORDERED series pair (x → y):
+    *
+    * {{{ TE(x→y) = Σ p(y_t, y_{t−1}, x_{t−1})
+    *                 · ln [ p(y_t | y_{t−1}, x_{t−1}) / p(y_t | y_{t−1}) ] }}}
+    *
+    * — the model-free, nonlinearity-robust companion of [[granger]]:
+    * Granger's F only sees LINEAR one-step predictability; TE detects
+    * any information flow the 8-cell sign-transition histogram can
+    * express. Plug-in estimate over the joint counts; as a conditional
+    * mutual information of the empirical distribution it is ≥ 0 up to
+    * the term quantization below. Signs binarize as `1[d > 0]` (flat
+    * and down collapse — the 2-symbol alphabet keeps every cell
+    * populated on realistic tapes; callers wanting a 3-symbol tape
+    * should pre-filter zero diffs upstream).
+    *
+    * Determinism — the unigram-LM µnat scheme: all cell and marginal
+    * counts are exact integers (windows over the ≤8-row-per-pair cell
+    * frame); each cell's term `c/n · ln(c·c_yl / (c_ylxl·c_yyl))` is
+    * one fixed double tree and re-quantizes to a ⌊·10⁹⌋ µnat BIGINT so
+    * the cross-cell reduction is order-free; `/10⁹` and 6 dp at the
+    * end.
+    *
+    * Scale shape: the [[granger]] triple join (series count is the
+    * small dimension), an 8-cell-per-pair count agg, window marginals
+    * on that tiny frame, one final agg. */
+  def transferEntropy(df: DataFrame, keyCol: String, bucketCol: String,
+                      valueCol: String, scale: Double = 1e4): DataFrame = {
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+      .withColumn("_t", col("_t").cast("long"))
+    val sgn = diffTape(base)
+      .withColumn("_s", when(col("_d") > 0L, lit(1)).otherwise(lit(0)))
+    val tr = sgn.as("c").join(sgn.as("yl"),
+        col("yl._k") === col("c._k") && col("yl._t") === col("c._t") - 1L)
+      .join(sgn.as("xl"),
+        col("xl._t") === col("c._t") - 1L && col("xl._k") =!= col("c._k"))
+      .select(col("xl._k").as("key_cause"), col("c._k").as("key_effect"),
+        col("c._s").as("_y"), col("yl._s").as("_yl"), col("xl._s").as("_xl"))
+    val cells = tr.groupBy(col("key_cause"), col("key_effect"),
+        col("_y"), col("_yl"), col("_xl"))
+      .agg(count(lit(1)).as("_c"))
+    val pw = Window.partitionBy(col("key_cause"), col("key_effect"))
+    val wYlXl = Window.partitionBy(col("key_cause"), col("key_effect"),
+      col("_yl"), col("_xl"))
+    val wYYl = Window.partitionBy(col("key_cause"), col("key_effect"),
+      col("_y"), col("_yl"))
+    val wYl = Window.partitionBy(col("key_cause"), col("key_effect"),
+      col("_yl"))
+    val withMarg = cells
+      .withColumn("_n", sum(col("_c")).over(pw))
+      .withColumn("_cylxl", sum(col("_c")).over(wYlXl))
+      .withColumn("_cyyl", sum(col("_c")).over(wYYl))
+      .withColumn("_cyl", sum(col("_c")).over(wYl))
+    def dd(c: Column): Column = c.cast("double")
+    val term = dd(col("_c")) / dd(col("_n")) *
+      log(dd(col("_c")) * dd(col("_cyl")) /
+        (dd(col("_cylxl")) * dd(col("_cyyl"))))
+    val agg = withMarg
+      .withColumn("_tq", floor(term * lit(1e9)).cast("long"))
+      .groupBy(col("key_cause"), col("key_effect"))
+      .agg(min(col("_n")).as("n"), sum(col("_tq")).as("_sq"))
+    agg.select(col("key_cause"), col("key_effect"), col("n"),
+        (round(col("_sq").cast("double") / lit(1e9), 6) + lit(0.0))
+          .as("te_nats"))
+      .orderBy("key_cause", "key_effect")
+  }
+
+  /** Mann–Kendall trend test + Theil–Sen slope per series (Mann 1945;
+    * Sen 1968) — the RANK-based monotone-trend detector beside the
+    * parametric [[graft.operators.Labeling]] trend-scan: `S = Σ_{i<j}
+    * sign(v_j − v_i)` with the tie-corrected variance
+    *
+    * {{{ Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18 }}}
+    *
+    * and the continuity-corrected z; the slope estimate is the MEDIAN
+    * of all pairwise slopes — robust to ~29% outliers where OLS breaks.
+    *
+    * Determinism: signs and tie counts are exact integers on the
+    * quantized tape; each pairwise slope `(v_j−v_i)/(t_j−t_i)` is the
+    * identical integer-ratio double in both engines and the median is
+    * exact-percentile interpolation (Spark `percentile` ≡ DuckDB
+    * `quantile_cont` — the W9 contract); z and Var derive in one fixed
+    * tree, 6 dp. Null z on zero variance (all values tied).
+    *
+    * Scale shape: the pairwise self-join is QUADRATIC per key by
+    * construction — feed it coarse bars (daily, weekly), never raw
+    * ticks; a key with more than `maxBuckets` buckets fails loudly
+    * (the [[hayashiYoshida]] guard precedent) instead of silently
+    * exploding n² on an executor. */
+  def mannKendall(df: DataFrame, keyCol: String, bucketCol: String,
+                  valueCol: String, scale: Double = 1e4,
+                  maxBuckets: Int = 4096): DataFrame = {
+    require(maxBuckets >= 2, s"maxBuckets must be >= 2, got $maxBuckets")
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+      .withColumn("_t", col("_t").cast("long"))
+    val over = base.groupBy(col("_k")).count()
+      .where(col("count") > maxBuckets.toLong).limit(1).collect()
+    require(over.isEmpty,
+      s"mannKendall saw a series with ${over.headOption.map(_.getLong(1)).getOrElse(0L)} " +
+        s"buckets > maxBuckets=$maxBuckets — the pairwise join is quadratic " +
+        "per key; aggregate to coarser bars upstream or raise the budget")
+    val pairs = base.as("i").join(base.as("j"),
+        col("j._k") === col("i._k") && col("j._t") > col("i._t"))
+      .select(col("i._k").as("_k"),
+        signum((col("j._v") - col("i._v")).cast("double")).cast("long").as("_sgn"),
+        ((col("j._v") - col("i._v")).cast("double") /
+          (col("j._t") - col("i._t")).cast("double")).as("_slope"))
+    val pAgg = pairs.groupBy(col("_k")).agg(
+        sum(col("_sgn")).as("s_stat"),
+        percentile(col("_slope"), lit(0.5)).as("_med"))
+      .toDF("_k", "s_stat", "_med")
+    val ties = base.groupBy(col("_k"), col("_v")).agg(count(lit(1)).as("_tc"))
+      .groupBy(col("_k")).agg(
+        count(lit(1)).as("_nv"),
+        sum(col("_tc")).as("n"),
+        sum(col("_tc") * (col("_tc") - 1L) * (lit(2L) * col("_tc") + 5L))
+          .as("_tie"))
+      .toDF("_k", "_nv", "n", "_tie")
+    val j = ties.join(pAgg, Seq("_k"), "left")
+    val nD = col("n").cast("double")
+    val varS = (nD * (nD - lit(1.0)) * (lit(2.0) * nD + lit(5.0)) -
+      col("_tie").cast("double")) / lit(18.0)
+    val sD = col("s_stat").cast("double")
+    val z = when(col("s_stat") > 0L, (sD - lit(1.0)) / sqrt(varS))
+      .when(col("s_stat") < 0L, (sD + lit(1.0)) / sqrt(varS))
+      .otherwise(lit(0.0))
+    j.select(col("_k").as("key"), col("n"), col("s_stat"),
+        (round(varS, 6) + lit(0.0)).as("var_s"),
+        when(col("_med").isNotNull,
+          round(col("_med") / lit(scale), 6) + lit(0.0)).as("theil_sen"),
+        when(varS > 0.0, round(z, 6) + lit(0.0)).as("z"),
+        when(varS > 0.0, abs(z) > lit(Z975)).as("trend_5pct"))
+      .orderBy("key")
+  }
 }

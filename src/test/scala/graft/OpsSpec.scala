@@ -6375,6 +6375,110 @@ class OpsSpec extends SparkSpec {
     assert(xy.getAs[Long]("n") == trip.length.toLong, xy.toString)
   }
 
+  test("ksTwoSample: identical halves D=0, disjoint supports D=1, 1/3 hand case, empty-half dropout") {
+    // I: same multiset 1..10 in both halves → D = 0
+    val ident = (0 until 20).map(t => ("I", t.toLong, (t % 10 + 1).toDouble))
+    // J: first half all 1.0, second half all 2.0 → D = 1, reject
+    val disj = (0 until 20).map(t => ("J", t.toLong, if (t < 10) 1.0 else 2.0))
+    // M: {1,2,3} vs {2,3,4} → D = 1/3 (dn = 3 of n1·n2 = 9)
+    val mixed = Seq(("M", 0L, 1.0), ("M", 1L, 2.0), ("M", 2L, 3.0),
+      ("M", 3L, 2.0), ("M", 4L, 3.0), ("M", 5L, 4.0))
+    // E: single bucket → second half empty → null D
+    val single = Seq(("E", 0L, 5.0))
+    val out = Relational.ksTwoSample(
+        (ident ++ disj ++ mixed ++ single).toDF("k", "hb", "v"), "k", "hb", "v")
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    val i = out("I")
+    assert(i.getAs[Long]("n1") == 10L && i.getAs[Long]("n2") == 10L, i.toString)
+    assert(i.getAs[Double]("d_stat") == 0.0 && !i.getAs[Boolean]("drift_5pct"), i.toString)
+    val jj = out("J")
+    assert(jj.getAs[Double]("d_stat") == 1.0 && jj.getAs[Boolean]("drift_5pct"), jj.toString)
+    val m = out("M")
+    assert(math.abs(m.getAs[Double]("d_stat") - 1.0 / 3.0) < 1e-5, m.toString)
+    val e = out("E")
+    assert(e.getAs[Long]("n2") == 0L && e.isNullAt(e.fieldIndex("d_stat")), e.toString)
+  }
+
+  test("transferEntropy: deterministic copy vs in-test replay, constant tape TE=0") {
+    // x: LCG sign tape; y copies x's previous diff exactly → strong
+    // one-way information flow
+    var seed = 7L
+    def nxt(): Double = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      if (((seed >>> 33) & 1L) == 0L) -1.0 else 1.0
+    }
+    val n = 300
+    val dx = Seq.fill(n)(nxt())
+    val dy = 0.5 +: dx.init // y_t's diff = x_{t-1}'s diff
+    val xs = dx.scanLeft(100.0)(_ + _)
+    val ys = dy.scanLeft(100.0)(_ + _)
+    // constant-sign pair: C strictly up, D strictly up → single cell, TE 0
+    val cs = (0 until 50).map(t => ("C", t.toLong, 1.0 + t))
+    val ds = (0 until 50).map(t => ("D", t.toLong, 2.0 + 2 * t))
+    val rows = xs.zipWithIndex.map { case (v, i) => ("X", i.toLong, v) } ++
+      ys.zipWithIndex.map { case (v, i) => ("Y", i.toLong, v) } ++ cs ++ ds
+    val out = Relational.transferEntropy(rows.toDF("k", "hb", "v"), "k", "hb", "v")
+      .collect()
+      .map(r => (r.getAs[String]("key_cause"), r.getAs[String]("key_effect")) -> r)
+      .toMap
+    assert(out(("C", "D")).getAs[Double]("te_nats") == 0.0, out(("C", "D")).toString)
+    assert(out(("D", "C")).getAs[Double]("te_nats") == 0.0, out(("D", "C")).toString)
+    val xy = out(("X", "Y"))
+    val yx = out(("Y", "X"))
+    assert(xy.getAs[Double]("te_nats") > 0.5, xy.toString) // ≈ ln 2
+    assert(xy.getAs[Double]("te_nats") > yx.getAs[Double]("te_nats") + 0.3,
+      s"$xy vs $yx")
+    // in-test replay of the X→Y estimate from the exact sign triples
+    val sx = dx.map(d => if (d > 0) 1 else 0)
+    val sy = dy.map(d => if (d > 0) 1 else 0)
+    val trip = (1 until n).map(t => (sy(t), sy(t - 1), sx(t - 1)))
+    val cCell = trip.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nT = trip.size.toDouble
+    val cYlXl = trip.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
+    val cYYl = trip.groupBy(t => (t._1, t._2)).view.mapValues(_.size.toLong).toMap
+    val cYl = trip.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val teExp = cCell.map { case (cell @ (y, yl, xl), c) =>
+      val term = c.toDouble / nT * math.log(
+        c.toDouble * cYl(yl) / (cYlXl((yl, xl)).toDouble * cYYl((y, yl))))
+      math.floor(term * 1e9).toLong
+    }.sum / 1e9
+    assert(math.abs(xy.getAs[Double]("te_nats") - teExp) < 1e-5,
+      s"${xy.getAs[Double]("te_nats")} vs $teExp")
+  }
+
+  test("mannKendall: linear-trend closed forms, tie hand case, all-tied dropout, loud bucket guard") {
+    // L: v = 2.5·t over 20 days → S = n(n−1)/2, Theil–Sen exactly 2.5
+    val lin = (0 until 20).map(t => ("L", t.toLong, 2.5 * t))
+    // T: values 1,2,2,3 → S = 5, tie group of 2, Var = 138/18, TS = 0.583333
+    val tie = Seq(("T", 0L, 1.0), ("T", 1L, 2.0), ("T", 2L, 2.0), ("T", 3L, 3.0))
+    // F: constant → all tied → Var 0 → null z
+    val flat = (0 until 10).map(t => ("F", t.toLong, 4.0))
+    val out = Relational.mannKendall(
+        (lin ++ tie ++ flat).toDF("k", "db", "v"), "k", "db", "v")
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    val l = out("L")
+    assert(l.getAs[Long]("s_stat") == 190L, l.toString) // 20·19/2
+    val varExp = 20.0 * 19.0 * 45.0 / 18.0
+    assert(math.abs(l.getAs[Double]("var_s") - varExp) < 1e-9, l.toString)
+    assert(math.abs(l.getAs[Double]("theil_sen") - 2.5) < 1e-9, l.toString)
+    assert(math.abs(l.getAs[Double]("z") - 189.0 / math.sqrt(varExp)) < 1e-5, l.toString)
+    assert(l.getAs[Boolean]("trend_5pct"), l.toString)
+    val tr = out("T")
+    assert(tr.getAs[Long]("s_stat") == 5L, tr.toString)
+    assert(math.abs(tr.getAs[Double]("var_s") - 138.0 / 18.0) < 1e-6, tr.toString)
+    assert(math.abs(tr.getAs[Double]("theil_sen") - 0.583333) < 1e-6, tr.toString)
+    assert(!tr.getAs[Boolean]("trend_5pct"), tr.toString)
+    val f = out("F")
+    assert(f.getAs[Long]("s_stat") == 0L && f.isNullAt(f.fieldIndex("z")), f.toString)
+    assert(f.getAs[Double]("theil_sen") == 0.0, f.toString)
+    // quadratic-join guard fails loudly above the bucket budget
+    val err = intercept[IllegalArgumentException] {
+      Relational.mannKendall(lin.toDF("k", "db", "v"), "k", "db", "v",
+        maxBuckets = 10)
+    }
+    assert(err.getMessage.contains("maxBuckets"), err.getMessage)
+  }
+
 }
 
 /** Test backends for the inference-backend contract spec — top level so
