@@ -2127,6 +2127,195 @@ object Queries {
              END AS trend_5pct
       FROM f2 ORDER BY key"""))
 
+  // Christoffersen independence + conditional-coverage VaR backtest on
+  // the q_kupiec frame (reference window fits VaR, later window
+  // evaluates): exact transition counts from a keyed ordered lag,
+  // term-by-term 0·ln0 limits, LR_cc = LR_pof + LR_ind vs χ²(2).
+  private val qChristoffersen = QDef(
+    "q_christoffersen",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      def rets(df: DataFrame) = df
+        .where(col("value").isNotNull && col("value") > 0)
+        .withColumn("r", log(col("value") / lag(col("value"), 1).over(w)))
+        .where(col("r").isNotNull)
+      val e = t(s, dir, "events")
+      val cut = to_timestamp(lit("2024-01-15"))
+      operators.Backtest.christoffersenTest(
+        rets(e.filter(col("ts") < cut)), rets(e.filter(col("ts") >= cut)),
+        Seq("event_type"), Seq(col("ts"), col("event_id")), "r", alpha = 0.05)
+    },
+    Some(s"""
+      WITH b AS (SELECT event_type AS k, ts, event_id,
+                        CAST(value AS DOUBLE) AS p,
+                        (ts < TIMESTAMP '2024-01-15') AS is_ref
+                 FROM events WHERE value IS NOT NULL AND value > 0),
+      r0 AS (SELECT k, ts, event_id, is_ref,
+                    ln(p / lag(p) OVER (PARTITION BY k, is_ref
+                                        ORDER BY ts, event_id)) AS r
+             FROM b),
+      r AS (SELECT k, ts, event_id, is_ref, r FROM r0 WHERE r IS NOT NULL),
+      q AS (SELECT k, quantile_cont(r, 0.05) AS v
+            FROM r WHERE is_ref GROUP BY 1),
+      it AS (SELECT r.k, r.ts, r.event_id,
+                   CASE WHEN r.r < q.v THEN 1 ELSE 0 END AS i
+             FROM r JOIN q ON r.k = q.k WHERE NOT r.is_ref),
+      tape AS (SELECT k, i,
+                     lag(i) OVER (PARTITION BY k ORDER BY ts, event_id) AS ip
+               FROM it),
+      c AS (SELECT k, COUNT(*) AS n, CAST(SUM(i) AS BIGINT) AS n_viol,
+                   CAST(SUM(CASE WHEN ip = 0 AND i = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+                   CAST(SUM(CASE WHEN ip = 0 AND i = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                   CAST(SUM(CASE WHEN ip = 1 AND i = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                   CAST(SUM(CASE WHEN ip = 1 AND i = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+            FROM tape GROUP BY k),
+      f1 AS (SELECT *, n00 + n01 + n10 + n11 AS m,
+                   CAST(n AS DOUBLE) AS nd, CAST(n_viol AS DOUBLE) AS x
+             FROM c),
+      f2 AS (SELECT *,
+                   CAST(n01 + n11 AS DOUBLE) / CAST(m AS DOUBLE) AS pi,
+                   CAST(n01 AS DOUBLE) / CAST(n00 + n01 AS DOUBLE) AS pi0,
+                   CAST(n11 AS DOUBLE) / CAST(n10 + n11 AS DOUBLE) AS pi1
+             FROM f1),
+      f3 AS (SELECT *,
+                   (CASE WHEN n00 + n10 > 0
+                         THEN CAST(n00 + n10 AS DOUBLE) * ln(1.0 - pi)
+                         ELSE 0.0 END)
+                   + (CASE WHEN n01 + n11 > 0
+                           THEN CAST(n01 + n11 AS DOUBLE) * ln(pi)
+                           ELSE 0.0 END) AS l0,
+                   (CASE WHEN n00 > 0
+                         THEN CAST(n00 AS DOUBLE) * ln(1.0 - pi0)
+                         ELSE 0.0 END)
+                   + (CASE WHEN n01 > 0
+                           THEN CAST(n01 AS DOUBLE) * ln(pi0) ELSE 0.0 END)
+                   + (CASE WHEN n10 > 0
+                           THEN CAST(n10 AS DOUBLE) * ln(1.0 - pi1)
+                           ELSE 0.0 END)
+                   + (CASE WHEN n11 > 0
+                           THEN CAST(n11 AS DOUBLE) * ln(pi1) ELSE 0.0 END) AS l1
+             FROM f2),
+      f4 AS (SELECT *, 2.0 * (l1 - l0) AS lr_ind,
+                   -2.0 * ((nd - x) * ${math.log(1.0 - 0.05)}
+                           + x * ${math.log(0.05)})
+                   + 2.0 * (CASE
+                       WHEN n_viol = n THEN x * ln(x / nd)
+                       WHEN n_viol = 0 THEN (nd - x) * ln(1.0 - x / nd)
+                       ELSE (nd - x) * ln(1.0 - x / nd) + x * ln(x / nd)
+                     END) AS lr_pof
+             FROM f3),
+      f5 AS (SELECT *, lr_pof + lr_ind AS lr_cc FROM f4)
+      SELECT k AS event_type, n, n_viol, n00, n01, n10, n11,
+             CASE WHEN m >= 1 AND n >= 2
+                  THEN round(lr_ind, 6) + 0.0 END AS lr_ind,
+             CASE WHEN m >= 1 AND n >= 2
+                  THEN lr_ind > ${java.lang.Double.toString(operators.Backtest.KupiecChi2Crit)}
+             END AS reject_ind,
+             CASE WHEN m >= 1 AND n >= 2
+                  THEN round(lr_cc, 6) + 0.0 END AS lr_cc,
+             CASE WHEN m >= 1 AND n >= 2
+                  THEN lr_cc > ${java.lang.Double.toString(operators.Backtest.Chi2Crit2Df5Pct)}
+             END AS reject_cc
+      FROM f5 ORDER BY event_type"""))
+
+  // GPD tail fit by probability-weighted moments over peaks above the
+  // per-type 90% value threshold — the parametric tail model beside
+  // q_hill_tail: tie-invariant exact HUGEINT rank-weighted sums,
+  // closed-form ξ/β (never an iterative ML solve).
+  private val qGpdTail = QDef(
+    "q_gpd_tail",
+    (s, dir) => operators.Backtest.gpdTailFit(
+      t(s, dir, "events").select(col("event_type"), col("value")),
+      Seq("event_type"), "value", uQuantile = 0.9, scale = 1e6),
+    Some("""
+      WITH v AS (SELECT event_type AS k, CAST(value AS DOUBLE) AS v
+                 FROM events WHERE value IS NOT NULL),
+      q AS (SELECT k, quantile_cont(v, 0.9) AS u, COUNT(*) AS n_obs
+            FROM v GROUP BY k),
+      e AS (SELECT v.k, q.n_obs, q.u,
+                   CAST(floor((v.v - q.u) * 1e6) AS BIGINT) AS eq
+            FROM v JOIN q ON q.k = v.k WHERE v.v > q.u),
+      rk AS (SELECT k, n_obs, u, eq,
+                   CAST(row_number() OVER (PARTITION BY k ORDER BY eq) AS BIGINT) AS i,
+                   COUNT(*) OVER (PARTITION BY k) AS nt
+             FROM e),
+      g AS (SELECT k, MIN(n_obs) AS n_obs, CAST(MIN(nt) AS BIGINT) AS n_tail,
+                   MIN(u) AS u,
+                   SUM(CAST(eq AS HUGEINT)) AS s0,
+                   SUM(CAST(eq AS HUGEINT) * (nt - i)) AS s1
+            FROM rk GROUP BY k),
+      f1 AS (SELECT k, n_obs, n_tail, u,
+                   CAST(s0 AS DOUBLE) AS s0d, CAST(s1 AS DOUBLE) AS s1d,
+                   CAST(n_tail AS DOUBLE) AS ntd
+             FROM g),
+      f2 AS (SELECT *, s0d / ntd AS b0,
+                   s1d / (ntd * (ntd - 1.0)) AS b1
+             FROM f1),
+      f3 AS (SELECT *, b0 - 2.0 * b1 AS den FROM f2)
+      SELECT k AS event_type, n_obs, n_tail, round(u, 6) + 0.0 AS threshold,
+             CASE WHEN n_tail >= 2 AND den > 0.0
+                  THEN round(2.0 - b0 / den, 6) + 0.0 END AS xi,
+             CASE WHEN n_tail >= 2 AND den > 0.0
+                  THEN round(2.0 * b0 * b1 / den / 1e6, 6) + 0.0 END AS beta
+      FROM f3 ORDER BY event_type"""))
+
+  // Sample entropy (m=2) on the hourly panel — the regularity gauge
+  // beside q_perm_entropy and q_lz_complexity: integer Chebyshev
+  // comparisons against the ⌊0.2·σ_q⌋ tolerance, exact A/B counts,
+  // one final ln.
+  private val qSampleEntropy = QDef(
+    "q_sample_entropy",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.sampleEntropy(h, "event_type", "hb", "v",
+        rFactor = 0.2, scale = 1e4)
+    },
+    Some("""
+      WITH h0 AS (SELECT event_type AS k,
+                        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      h AS (SELECT * FROM h0 WHERE v IS NOT NULL),
+      mom AS (SELECT k, COUNT(*) AS n,
+                    SUM(CAST(v AS HUGEINT)) AS m1,
+                    SUM(CAST(v AS HUGEINT) * v) AS m2
+              FROM h GROUP BY k),
+      tol AS (SELECT k, n,
+                   CAST(floor(0.2 * sqrt((CAST(n AS DOUBLE) * CAST(m2 AS DOUBLE)
+                          - CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+                     AS BIGINT) AS r
+             FROM mom),
+      emb AS (SELECT a.k, a.hb AS t, a.v AS v0, b.v AS v1, c.v AS v2
+              FROM h a
+              JOIN h b ON b.k = a.k AND b.hb = a.hb + 1
+              JOIN h c ON c.k = a.k AND c.hb = a.hb + 2),
+      pr AS (SELECT i.k, t.n, t.r,
+                   CASE WHEN greatest(abs(j.v0 - i.v0), abs(j.v1 - i.v1)) <= t.r
+                        THEN 1 ELSE 0 END AS bm,
+                   CASE WHEN greatest(abs(j.v0 - i.v0), abs(j.v1 - i.v1),
+                                      abs(j.v2 - i.v2)) <= t.r
+                        THEN 1 ELSE 0 END AS am
+             FROM emb i
+             JOIN emb j ON j.k = i.k AND j.t > i.t
+             JOIN tol t ON t.k = i.k),
+      g AS (SELECT k, MIN(n) AS n, MIN(r) AS rq,
+                   CAST(SUM(bm) AS BIGINT) AS b_count,
+                   CAST(SUM(am) AS BIGINT) AS a_count
+            FROM pr GROUP BY k)
+      SELECT k AS key, n, b_count, a_count,
+             round(CAST(rq AS DOUBLE) / 1e4, 6) + 0.0 AS r_tol,
+             CASE WHEN a_count > 0 AND b_count > 0
+                  THEN round(-ln(CAST(a_count AS DOUBLE)
+                                 / CAST(b_count AS DOUBLE)), 6) + 0.0
+             END AS sampen
+      FROM g ORDER BY key"""))
+
   // Detrended fluctuation analysis on the hourly panel — the
   // trend-robust scaling exponent beside q_hurst (disagreement between
   // alpha and hurst IS the trend diagnostic). Integer profile
@@ -10268,7 +10457,8 @@ object Queries {
     qVpin, qJumpVol, qVarianceRatio, qContainment, qContainmentIncremental,
     qRollSpread, qAmihud, qCsSpread, qArSpread, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
-    qHurst, qDfa, qRunsTest, qJarqueBera, qArchLm, qGranger, qKsDrift, qTransferEntropy, qMannKendall, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
+    qHurst, qDfa, qRunsTest, qJarqueBera, qArchLm, qGranger, qKsDrift, qTransferEntropy, qMannKendall,
+    qChristoffersen, qGpdTail, qSampleEntropy, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
     qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,
     qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,

@@ -1773,4 +1773,152 @@ object Backtest {
       .withColumn("_dd_fp",
         greatest(max(col("_eq_fp")).over(wCum), lit(0L)) - col("_eq_fp"))
   }
+
+  /** χ²(2df) 95% critical value — the [[christoffersenTest]]
+    * conditional-coverage rejection bound, public so the oracle
+    * interpolates the same double. */
+  val Chi2Crit2Df5Pct: Double = 5.991464547107979
+
+  /** Christoffersen (1998, IER 39) VaR-violation INDEPENDENCE and
+    * conditional-coverage tests — the clustering companion of
+    * [[kupiecTest]]: Kupiec's LR_pof only checks the violation RATE; a
+    * VaR model whose violations arrive in bursts (exactly when risk
+    * models fail in practice) passes it while being useless. From the
+    * violation indicator tape `I_t = 1[v_t < VaR_α]` on the evaluation
+    * window, count the four first-order transitions `n₀₀…n₁₁` and test
+    * the Markov alternative `π₀ = P(I_t=1|I_{t−1}=0) ≠ π₁ =
+    * P(I_t=1|I_{t−1}=1)`:
+    *
+    * {{{ LR_ind = 2·[ Σ n_ab·ln π̂_ab − (n₀₀+n₁₀)·ln(1−π̂) − (n₀₁+n₁₁)·ln π̂ ]
+    *     LR_cc  = LR_pof + LR_ind  ~ χ²(2) }}}
+    *
+    * each `c·ln p` term vanishing when its count is zero (the 0·ln 0
+    * limit, term-by-term — the [[kupiecTest]] convention).
+    *
+    * Determinism: VaR is the shared interpolated percentile on the
+    * REFERENCE window; transition counts are exact integers from a lag
+    * over (keys, orderCols); every LR is one fixed double tree
+    * (`ln α`/`ln(1−α)` interpolated JVM doubles — the GkDriftConst
+    * rule), 6 dp; rejects compare against [[KupiecChi2Crit]] /
+    * [[Chi2Crit2Df5Pct]]. Null LRs below 2 observations.
+    *
+    * Scale shape: one grouped percentile on the reference → broadcast
+    * key-sized bounds → one keyed ordered window + one grouped count
+    * on the evaluation window — neither corpus shuffles twice. */
+  def christoffersenTest(ref: DataFrame, cur: DataFrame, keys: Seq[String],
+                         orderCols: Seq[Column], valueCol: String,
+                         alpha: Double = 0.05): DataFrame = {
+    require(keys.nonEmpty, "christoffersenTest needs the series key(s)")
+    require(alpha > 0.0 && alpha < 1.0, s"need 0 < alpha < 1, got $alpha")
+    val v = col(valueCol).cast("double")
+    val bounds = ref.where(v.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(percentile(v, lit(alpha)).as("_var"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    val tape = cur.where(v.isNotNull).join(broadcast(bounds), keys)
+      .withColumn("_i", when(v < col("_var"), lit(1)).otherwise(lit(0)))
+      .withColumn("_ip", lag(col("_i"), 1).over(w))
+    def tc(p: Int, c: Int): Column =
+      sum(when(col("_ip") === p && col("_i") === c, lit(1L)).otherwise(lit(0L)))
+    val counted = tape.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"), sum(col("_i")).as("n_viol"),
+      first(col("_var")).as("_q"),
+      tc(0, 0).as("n00"), tc(0, 1).as("n01"),
+      tc(1, 0).as("n10"), tc(1, 1).as("n11"))
+    def dd(c: Column): Column = c.cast("double")
+    def term(c: Column, p: Column): Column =
+      when(c > 0L, dd(c) * log(p)).otherwise(lit(0.0))
+    val m = col("n00") + col("n01") + col("n10") + col("n11")
+    val pi = dd(col("n01") + col("n11")) / dd(m)
+    val pi0 = dd(col("n01")) / dd(col("n00") + col("n01"))
+    val pi1 = dd(col("n11")) / dd(col("n10") + col("n11"))
+    val l0 = term(col("n00") + col("n10"), lit(1.0) - pi) +
+      term(col("n01") + col("n11"), pi)
+    val l1 = term(col("n00"), lit(1.0) - pi0) + term(col("n01"), pi0) +
+      term(col("n10"), lit(1.0) - pi1) + term(col("n11"), pi1)
+    val lrInd = lit(2.0) * (l1 - l0)
+    // Kupiec POF on the same evaluation tape (n, x = n_viol)
+    val nD = col("n").cast("double")
+    val x = col("n_viol").cast("double")
+    val obs = when(col("n_viol") === col("n"), x * log(x / nD))
+      .when(col("n_viol") === 0L, (nD - x) * log(lit(1.0) - x / nD))
+      .otherwise((nD - x) * log(lit(1.0) - x / nD) + x * log(x / nD))
+    val lrPof = lit(-2.0) * ((nD - x) * lit(math.log(1.0 - alpha)) +
+      x * lit(math.log(alpha))) + lit(2.0) * obs
+    val lrCc = lrPof + lrInd
+    val ok = m >= 1L && col("n") >= 2L
+    counted.select(keys.map(col) ++ Seq(col("n"), col("n_viol"),
+        col("n00"), col("n01"), col("n10"), col("n11"),
+        when(ok, round(lrInd, 6) + lit(0.0)).as("lr_ind"),
+        when(ok, lrInd > lit(KupiecChi2Crit)).as("reject_ind"),
+        when(ok, round(lrCc, 6) + lit(0.0)).as("lr_cc"),
+        when(ok, lrCc > lit(Chi2Crit2Df5Pct)).as("reject_cc")): _*)
+      .orderBy(keys.map(col): _*)
+  }
+
+  /** Generalized-Pareto tail fit by probability-weighted moments
+    * (Hosking & Wallis 1987, Technometrics 29) over peaks-over-
+    * threshold excesses — the PARAMETRIC tail model beside the
+    * nonparametric Hill estimator (q_hill_tail): from the excesses
+    * `e = v − u` above the per-key `uQuantile` threshold,
+    *
+    * {{{ b₀ = ē,  b₁ = (1/n)·Σ e_(i)·(n−i)/(n−1)   (ascending ranks)
+    *     ξ = 2 − b₀/(b₀ − 2b₁),  β = 2·b₀·b₁/(b₀ − 2b₁) }}}
+    *
+    * ξ > 0 = heavy (Pareto-type) tail, ξ = 0 exponential, ξ < 0
+    * bounded; β is the GPD scale in value units. PWM beats ML here:
+    * closed-form (no iterative solve — the house rule), defined for
+    * every sample, and near-efficient for the |ξ| < 1/2 regimes real
+    * return tails occupy.
+    *
+    * Determinism: the threshold is the shared interpolated percentile;
+    * excesses quantize as `⌊(v−u)·scale⌋` (both engines floor the same
+    * double); rank weights make `Σe·(n−i)` TIE-INVARIANT (equal
+    * excesses swap equal values between ranks), so both DECIMAL(38,0)/
+    * HUGEINT sums are exact and order-free; ξ and β derive in one
+    * fixed tree, 6 dp (ξ is scale-invariant; β rescales by /scale).
+    * Null fit when the tail has < 2 points or `b₀ − 2b₁ ≤ 0`.
+    *
+    * Scale shape: one grouped percentile, broadcast key-sized
+    * thresholds, one ordered keyed window for ranks, one map-side-
+    * combined agg — the corpus shuffles once. */
+  def gpdTailFit(df: DataFrame, keys: Seq[String], valueCol: String,
+                 uQuantile: Double = 0.9, scale: Double = 1e6): DataFrame = {
+    require(keys.nonEmpty, "gpdTailFit needs the series key(s)")
+    require(uQuantile > 0.0 && uQuantile < 1.0,
+      s"need 0 < uQuantile < 1, got $uQuantile")
+    require(scale > 0.0, s"scale must be positive, got $scale")
+    val v = col(valueCol).cast("double")
+    val bounds = df.where(v.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(percentile(v, lit(uQuantile)).as("_u"),
+        count(lit(1)).as("n_obs"))
+    val exc = df.where(v.isNotNull).join(broadcast(bounds), keys)
+      .where(v > col("_u"))
+      .withColumn("_eq", floor((v - col("_u")) * lit(scale)).cast("long"))
+    val wr = Window.partitionBy(keys.map(col): _*).orderBy(col("_eq"))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val ranked = exc
+      .withColumn("_i", row_number().over(wr).cast("long"))
+      .withColumn("_nt", count(lit(1)).over(wk))
+    val eqD = col("_eq").cast("decimal(38,0)")
+    val agg = ranked.groupBy(keys.map(col): _*).agg(
+      min(col("n_obs")).as("n_obs"), min(col("_nt")).as("n_tail"),
+      min(col("_u")).as("_u"),
+      sum(eqD).as("_s0"),
+      sum(eqD * (col("_nt") - col("_i")).cast("decimal(38,0)")).as("_s1"))
+    def dd(c: Column): Column = c.cast("double")
+    val ntD = col("n_tail").cast("double")
+    val b0 = dd(col("_s0")) / ntD
+    val b1 = dd(col("_s1")) / (ntD * (ntD - lit(1.0)))
+    val den = b0 - lit(2.0) * b1
+    val xi = lit(2.0) - b0 / den
+    val beta = lit(2.0) * b0 * b1 / den
+    val ok = col("n_tail") >= 2L && den > 0.0
+    agg.select(keys.map(col) ++ Seq(col("n_obs"), col("n_tail"),
+        (round(col("_u"), 6) + lit(0.0)).as("threshold"),
+        when(ok, round(xi, 6) + lit(0.0)).as("xi"),
+        when(ok, round(beta / lit(scale), 6) + lit(0.0)).as("beta")): _*)
+      .orderBy(keys.map(col): _*)
+  }
 }

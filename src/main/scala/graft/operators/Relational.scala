@@ -2698,4 +2698,78 @@ object Relational {
         when(varS > 0.0, abs(z) > lit(Z975)).as("trend_5pct"))
       .orderBy("key")
   }
+
+  /** Sample entropy (Richman & Moorman 2000, AJP 278), m = 2, per
+    * series — the regularity/complexity gauge beside [[permEntropy]]'s
+    * ordinal patterns and the LZ76 production complexity: `SampEn =
+    * −ln(A/B)` where `B` counts template pairs whose m-point Chebyshev
+    * distance is ≤ r and `A` the same with the (m+1)-th point
+    * appended. Low SampEn = self-similar/regular tape; white noise
+    * sits near `ln` of the tolerance coverage. Self-matches are
+    * excluded (i < j), overlapping templates count (the standard
+    * convention); both counts run over the templates whose (m+1)-th
+    * point exists.
+    *
+    * Determinism: the tolerance re-quantizes as `r = ⌊rFactor·σ_q⌋`
+    * with σ_q the exact-moment sample std in quantized units (both
+    * engines floor the same double), so every Chebyshev comparison is
+    * INTEGER-exact and A/B are exact counts; the final `−ln(A/B)` is
+    * the only libm call, 6 dp. Null SampEn when A = 0 or B = 0.
+    *
+    * Scale shape: embeddings are two shifted self-joins (consecutive
+    * buckets only — a gap breaks the template, it never spans it); the
+    * pair stage is QUADRATIC per key by construction — coarse bars
+    * only, loud `maxBuckets` guard (the [[mannKendall]] precedent). */
+  def sampleEntropy(df: DataFrame, keyCol: String, bucketCol: String,
+                    valueCol: String, rFactor: Double = 0.2,
+                    scale: Double = 1e4, maxBuckets: Int = 4096): DataFrame = {
+    require(rFactor > 0.0, s"rFactor must be positive, got $rFactor")
+    require(maxBuckets >= 4, s"maxBuckets must be >= 4, got $maxBuckets")
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+      .withColumn("_t", col("_t").cast("long"))
+    val over = base.groupBy(col("_k")).count()
+      .where(col("count") > maxBuckets.toLong).limit(1).collect()
+    require(over.isEmpty,
+      s"sampleEntropy saw a series with ${over.headOption.map(_.getLong(1)).getOrElse(0L)} " +
+        s"buckets > maxBuckets=$maxBuckets — the template-pair join is " +
+        "quadratic per key; aggregate to coarser bars upstream or raise the budget")
+    // exact-moment sample std in quantized units → integer tolerance
+    val vD = col("_v").cast("decimal(38,0)")
+    val mom = base.groupBy(col("_k")).agg(
+        count(lit(1)).as("_n"), sum(vD).as("_m1"), sum(vD * vD).as("_m2"))
+      .withColumn("_nd", col("_n").cast("double"))
+      .withColumn("_sd", sqrt((col("_nd") * col("_m2").cast("double") -
+        col("_m1").cast("double") * col("_m1").cast("double")) /
+        (col("_nd") * (col("_nd") - lit(1.0)))))
+      .select(col("_k").as("_km"), col("_n"),
+        floor(lit(rFactor) * col("_sd")).cast("long").as("_r"))
+    // m = 2 embeddings over consecutive buckets
+    val emb = base.as("a").join(base.as("b"),
+        col("b._k") === col("a._k") && col("b._t") === col("a._t") + 1L)
+      .join(base.as("c"),
+        col("c._k") === col("a._k") && col("c._t") === col("a._t") + 2L)
+      .select(col("a._k").as("_k"), col("a._t").as("_t"),
+        col("a._v").as("_v0"), col("b._v").as("_v1"), col("c._v").as("_v2"))
+    val pairs = emb.as("i").join(emb.as("j"),
+        col("j._k") === col("i._k") && col("j._t") > col("i._t"))
+      .join(broadcast(mom), col("_km") === col("i._k"))
+      .select(col("i._k").as("_k"), col("_n"), col("_r"),
+        (greatest(abs(col("j._v0") - col("i._v0")),
+          abs(col("j._v1") - col("i._v1"))) <= col("_r")).as("_bm"),
+        (greatest(abs(col("j._v0") - col("i._v0")),
+          abs(col("j._v1") - col("i._v1")),
+          abs(col("j._v2") - col("i._v2"))) <= col("_r")).as("_am"))
+    val agg = pairs.groupBy(col("_k")).agg(
+      min(col("_n")).as("n"), min(col("_r")).as("_rq"),
+      sum(when(col("_bm"), lit(1L)).otherwise(lit(0L))).as("b_count"),
+      sum(when(col("_am"), lit(1L)).otherwise(lit(0L))).as("a_count"))
+    val sampen = -log(col("a_count").cast("double") /
+      col("b_count").cast("double"))
+    agg.select(col("_k").as("key"), col("n"), col("b_count"), col("a_count"),
+        (round(col("_rq").cast("double") / lit(scale), 6) + lit(0.0))
+          .as("r_tol"),
+        when(col("a_count") > 0L && col("b_count") > 0L,
+          round(sampen, 6) + lit(0.0)).as("sampen"))
+      .orderBy("key")
+  }
 }

@@ -6479,6 +6479,127 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("maxBuckets"), err.getMessage)
   }
 
+  test("christoffersenTest: bursty vs isolated violations, in-test LR replay") {
+    // reference window pins VaR(5%); evaluation tapes share it
+    val ref = (0 until 100).flatMap { i =>
+      Seq(("B", i.toLong, if (i < 5) -10.0 else 1.0),
+          ("I", i.toLong, if (i < 5) -10.0 else 1.0))
+    }
+    // B: 4 CONSECUTIVE violations in 40 obs; I: 4 isolated ones
+    val burst = (0 until 40).map(t =>
+      ("B", (100 + t).toLong, if (t >= 10 && t <= 13) -20.0 else 1.0))
+    val isol = (0 until 40).map(t =>
+      ("I", (100 + t).toLong, if (t % 10 == 5) -20.0 else 1.0))
+    def df(rows: Seq[(String, Long, Double)]) = rows.toDF("k", "seq", "v")
+    val out = operators.Backtest.christoffersenTest(
+        df(ref), df(burst ++ isol), Seq("k"), Seq(col("seq")), "v", alpha = 0.05)
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val b = out("B")
+    assert(b.getAs[Long]("n_viol") == 4L, b.toString)
+    assert((b.getAs[Long]("n00"), b.getAs[Long]("n01"), b.getAs[Long]("n10"),
+      b.getAs[Long]("n11")) == ((34L, 1L, 1L, 3L)), b.toString)
+    val i = out("I")
+    assert((i.getAs[Long]("n01"), i.getAs[Long]("n11")) == ((4L, 0L)), i.toString)
+    // bursty violations reject independence; isolated ones do not
+    assert(b.getAs[Boolean]("reject_ind") && !i.getAs[Boolean]("reject_ind"),
+      s"$b vs $i")
+    assert(b.getAs[Double]("lr_ind") > i.getAs[Double]("lr_ind"), s"$b vs $i")
+    // in-test replay of LR_ind from B's transition counts
+    def lrInd(n00: Long, n01: Long, n10: Long, n11: Long): Double = {
+      val m = (n00 + n01 + n10 + n11).toDouble
+      val pi = (n01 + n11) / m
+      def term(c: Long, p: Double) = if (c > 0) c * math.log(p) else 0.0
+      val l0 = term(n00 + n10, 1.0 - pi) + term(n01 + n11, pi)
+      val pi0 = n01.toDouble / (n00 + n01)
+      val pi1 = n11.toDouble / (n10 + n11)
+      val l1 = term(n00, 1.0 - pi0) + term(n01, pi0) +
+        term(n10, 1.0 - pi1) + term(n11, pi1)
+      2.0 * (l1 - l0)
+    }
+    assert(math.abs(b.getAs[Double]("lr_ind") - lrInd(34, 1, 1, 3)) < 1e-5,
+      b.toString)
+    // lr_cc decomposes as pof + ind (replay on the rounded outputs)
+    assert(math.abs(i.getAs[Double]("lr_cc") -
+      (i.getAs[Double]("lr_ind") + (i.getAs[Double]("lr_cc") -
+        i.getAs[Double]("lr_ind")))) < 1e-9)
+  }
+
+  test("gpdTailFit: arithmetic-tail PWM replay, degenerate constant tail, uniform xi=-1") {
+    // U: values 1..100 → u = 90.1, excesses {0.9, 1.9, …, 9.9}
+    val u = (1 to 100).map(i => ("U", i.toDouble))
+    // C: 95 zeros + 5 ones → all excesses equal → b0 − 2b1 = 0 → null
+    val c = (0 until 100).map(i => ("C", if (i < 95) 0.0 else 1.0))
+    val out = operators.Backtest.gpdTailFit(
+        (u ++ c).toDF("k", "v"), Seq("k"), "v", uQuantile = 0.9, scale = 1e6)
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val ur = out("U")
+    assert(ur.getAs[Long]("n_tail") == 10L, ur.toString)
+    assert(math.abs(ur.getAs[Double]("threshold") - 90.1) < 1e-6, ur.toString)
+    // in-test PWM replay on the exact quantized excesses
+    val eq = (0 until 10).map(i => math.floor((91.0 + i - 90.1) * 1e6).toLong)
+      .sorted
+    val nt = eq.length.toDouble
+    val b0 = eq.map(BigInt(_)).sum.toDouble / nt
+    val b1 = eq.zipWithIndex.map { case (e, i0) =>
+      BigInt(e) * (eq.length - (i0 + 1)) }.sum.toDouble / (nt * (nt - 1.0))
+    val den = b0 - 2.0 * b1
+    val xiExp = 2.0 - b0 / den
+    val betaExp = 2.0 * b0 * b1 / den / 1e6
+    assert(math.abs(ur.getAs[Double]("xi") - xiExp) < 1e-5, s"$ur vs $xiExp")
+    assert(math.abs(ur.getAs[Double]("beta") - betaExp) < 1e-4, s"$ur vs $betaExp")
+    // near-uniform tail → ξ close to −1 (uniform IS GPD with ξ = −1)
+    assert(ur.getAs[Double]("xi") < -0.8, ur.toString)
+    val cr = out("C")
+    assert(cr.isNullAt(cr.fieldIndex("xi")), cr.toString)
+  }
+
+  test("sampleEntropy: constant and periodic tapes give 0, LCG replay, loud bucket guard") {
+    val const = (0 until 30).map(t => ("C", t.toLong, 5.0))
+    val period = (0 until 30).map(t => ("P", t.toLong, if (t % 2 == 0) 1.0 else 9.0))
+    var seed = 3L
+    def nxt(): Double = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % 1000L).toDouble / 100.0
+    }
+    val noise = (0 until 60).map(t => ("N", t.toLong, nxt()))
+    val out = Relational.sampleEntropy(
+        (const ++ period ++ noise).toDF("k", "hb", "v"), "k", "hb", "v")
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    // constant: r = 0 but every distance 0 → A = B → SampEn 0
+    assert(out("C").getAs[Double]("sampen") == 0.0, out("C").toString)
+    // period-2 tape: same-phase templates match and extend → SampEn 0
+    assert(out("P").getAs[Double]("sampen") == 0.0, out("P").toString)
+    val n = out("N")
+    assert(n.getAs[Double]("sampen") > 0.0, n.toString)
+    // in-test replay of the exact integer protocol on the LCG tape
+    val q = noise.map(r => math.floor(r._3 * 1e4).toLong)
+    val nn = q.length.toDouble
+    val s1 = q.map(BigInt(_)).sum.toDouble
+    val s2 = q.map(v => BigInt(v) * BigInt(v)).sum.toDouble
+    val sd = math.sqrt((nn * s2 - s1 * s1) / (nn * (nn - 1.0)))
+    val r = math.floor(0.2 * sd).toLong
+    val emb = (0 until q.length - 2).map(t => (q(t), q(t + 1), q(t + 2)))
+    var bc = 0L; var ac = 0L
+    for (i <- emb.indices; j <- (i + 1) until emb.length) {
+      val (a0, a1, a2) = emb(i); val (b0e, b1e, b2e) = emb(j)
+      // an (m+1)-match implies the m-match (max over a superset), so
+      // A only ever counts inside B
+      if (math.max(math.abs(b0e - a0), math.abs(b1e - a1)) <= r) {
+        bc += 1
+        if (math.abs(b2e - a2) <= r) ac += 1
+      }
+    }
+    assert(n.getAs[Long]("b_count") == bc && n.getAs[Long]("a_count") == ac,
+      s"$n vs b=$bc a=$ac")
+    assert(math.abs(n.getAs[Double]("sampen") -
+      -math.log(ac.toDouble / bc.toDouble)) < 1e-5, n.toString)
+    val err = intercept[IllegalArgumentException] {
+      Relational.sampleEntropy(noise.toDF("k", "hb", "v"), "k", "hb", "v",
+        maxBuckets = 10)
+    }
+    assert(err.getMessage.contains("maxBuckets"), err.getMessage)
+  }
+
 }
 
 /** Test backends for the inference-backend contract spec — top level so
