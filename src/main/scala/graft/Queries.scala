@@ -2316,6 +2316,183 @@ object Queries {
              END AS sampen
       FROM g ORDER BY key"""))
 
+  // Cramér–von Mises drift on the q_ks_drift half-split frame — the
+  // integrated-squared ECDF distance (every departure accumulates
+  // where KS only sees the worst point): exact HUGEINT numerator
+  // Σ w·(n₂C₁ − n₁C₂)², one division at the end.
+  private val qCvmDrift = QDef(
+    "q_cvm_drift",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.cvmTwoSample(h, "event_type", "hb", "v", scale = 1e4)
+    },
+    Some(s"""
+      WITH h0 AS (SELECT event_type AS k,
+                        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      h AS (SELECT * FROM h0 WHERE v IS NOT NULL),
+      lab AS (SELECT k, hb, v,
+                    (min(hb) OVER (PARTITION BY k) +
+                     max(hb) OVER (PARTITION BY k)) // 2 AS mid
+              FROM h),
+      cnt AS (SELECT k, v,
+                    SUM(CASE WHEN hb <= mid THEN 1 ELSE 0 END) AS c1,
+                    SUM(CASE WHEN hb > mid THEN 1 ELSE 0 END) AS c2
+              FROM lab GROUP BY k, v),
+      cum AS (SELECT k, v, c1, c2,
+                    SUM(c1) OVER (PARTITION BY k ORDER BY v) AS f1,
+                    SUM(c2) OVER (PARTITION BY k ORDER BY v) AS f2,
+                    SUM(c1) OVER (PARTITION BY k) AS n1,
+                    SUM(c2) OVER (PARTITION BY k) AS n2
+              FROM cnt),
+      g AS (SELECT k, MIN(n1) AS n1, MIN(n2) AS n2,
+                   SUM(CAST(c1 + c2 AS HUGEINT)
+                       * (n2 * f1 - n1 * f2) * (n2 * f1 - n1 * f2)) AS num
+            FROM cum GROUP BY k),
+      f1 AS (SELECT k, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                   CAST(num AS DOUBLE) AS numd,
+                   CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+             FROM g),
+      f2 AS (SELECT *, numd / ((n1d + n2d) * (n1d + n2d) * (n1d * n2d)) AS t
+             FROM f1)
+      SELECT k AS key, n1, n2,
+             CASE WHEN n1 > 0 AND n2 > 0
+                  THEN round(t, 6) + 0.0 END AS t_stat,
+             CASE WHEN n1 > 0 AND n2 > 0
+                  THEN t > ${java.lang.Double.toString(Relational.CvmCrit5Pct)}
+             END AS drift_5pct
+      FROM f2 ORDER BY key"""))
+
+  // Chow structural-break F at the midpoint of each hourly series on
+  // the linear-trend model — twelve exact conditional moment sums in
+  // one agg, three closed-form OLS fits, large-n χ²(2)/2 call; the
+  // parametric trend-break companion of q_ks_drift/q_cvm_drift.
+  private val qChowTest = QDef(
+    "q_chow_test",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.chowTest(h, "event_type", "hb", "v", scale = 1e4)
+    },
+    Some(s"""
+      WITH h0 AS (SELECT event_type AS k,
+                        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      h AS (SELECT * FROM h0 WHERE v IS NOT NULL),
+      r1 AS (SELECT k, v, hb - min(hb) OVER (PARTITION BY k) AS ti FROM h),
+      r2 AS (SELECT k, v, ti, max(ti) OVER (PARTITION BY k) AS mx FROM r1),
+      r3 AS (SELECT k, v, ti, (ti <= mx // 2) AS s1 FROM r2),
+      g AS (SELECT k,
+                   SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS n1,
+                   SUM(CASE WHEN s1 THEN CAST(ti AS HUGEINT) ELSE 0 END) AS st1,
+                   SUM(CASE WHEN s1 THEN CAST(ti AS HUGEINT) * ti ELSE 0 END) AS stt1,
+                   SUM(CASE WHEN s1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS sv1,
+                   SUM(CASE WHEN s1 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS svv1,
+                   SUM(CASE WHEN s1 THEN CAST(ti AS HUGEINT) * v ELSE 0 END) AS stv1,
+                   SUM(CASE WHEN NOT s1 THEN 1 ELSE 0 END) AS n2,
+                   SUM(CASE WHEN NOT s1 THEN CAST(ti AS HUGEINT) ELSE 0 END) AS st2,
+                   SUM(CASE WHEN NOT s1 THEN CAST(ti AS HUGEINT) * ti ELSE 0 END) AS stt2,
+                   SUM(CASE WHEN NOT s1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS sv2,
+                   SUM(CASE WHEN NOT s1 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS svv2,
+                   SUM(CASE WHEN NOT s1 THEN CAST(ti AS HUGEINT) * v ELSE 0 END) AS stv2
+            FROM r3 GROUP BY k),
+      d1 AS (SELECT k, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                   CAST(n1 AS DOUBLE) AS n1d, CAST(st1 AS DOUBLE) AS st1d,
+                   CAST(stt1 AS DOUBLE) AS stt1d, CAST(sv1 AS DOUBLE) AS sv1d,
+                   CAST(svv1 AS DOUBLE) AS svv1d, CAST(stv1 AS DOUBLE) AS stv1d,
+                   CAST(n2 AS DOUBLE) AS n2d, CAST(st2 AS DOUBLE) AS st2d,
+                   CAST(stt2 AS DOUBLE) AS stt2d, CAST(sv2 AS DOUBLE) AS sv2d,
+                   CAST(svv2 AS DOUBLE) AS svv2d, CAST(stv2 AS DOUBLE) AS stv2d,
+                   CAST(n1 + n2 AS DOUBLE) AS npd,
+                   CAST(st1 + st2 AS DOUBLE) AS stpd,
+                   CAST(stt1 + stt2 AS DOUBLE) AS sttpd,
+                   CAST(sv1 + sv2 AS DOUBLE) AS svpd,
+                   CAST(svv1 + svv2 AS DOUBLE) AS svvpd,
+                   CAST(stv1 + stv2 AS DOUBLE) AS stvpd
+             FROM g),
+      d2 AS (SELECT *, n1d * stt1d - st1d * st1d AS den1,
+                   n2d * stt2d - st2d * st2d AS den2,
+                   npd * sttpd - stpd * stpd AS denp
+             FROM d1),
+      d3 AS (SELECT *, (n1d * stv1d - st1d * sv1d) / den1 AS b1,
+                   (n2d * stv2d - st2d * sv2d) / den2 AS b2,
+                   (npd * stvpd - stpd * svpd) / denp AS bp
+             FROM d2),
+      d4 AS (SELECT *, (sv1d - b1 * st1d) / n1d AS a1,
+                   (sv2d - b2 * st2d) / n2d AS a2,
+                   (svpd - bp * stpd) / npd AS ap
+             FROM d3),
+      d5 AS (SELECT *, svv1d - a1 * sv1d - b1 * stv1d AS rss1,
+                   svv2d - a2 * sv2d - b2 * stv2d AS rss2,
+                   svvpd - ap * svpd - bp * stvpd AS rssp
+             FROM d4),
+      d6 AS (SELECT *, rss1 + rss2 AS rss_sum FROM d5),
+      d7 AS (SELECT *, (rssp - rss_sum) / 2.0 / (rss_sum / (npd - 4.0)) AS f
+             FROM d6)
+      SELECT k AS key, n1, n2,
+             CASE WHEN n1 >= 3 AND n2 >= 3 AND den1 > 0.0 AND den2 > 0.0
+                    AND denp > 0.0 AND rss_sum > 0.0
+                  THEN round(b1 / 1e4, 6) + 0.0 END AS slope1,
+             CASE WHEN n1 >= 3 AND n2 >= 3 AND den1 > 0.0 AND den2 > 0.0
+                    AND denp > 0.0 AND rss_sum > 0.0
+                  THEN round(b2 / 1e4, 6) + 0.0 END AS slope2,
+             CASE WHEN n1 >= 3 AND n2 >= 3 AND den1 > 0.0 AND den2 > 0.0
+                    AND denp > 0.0 AND rss_sum > 0.0
+                  THEN round(f, 6) + 0.0 END AS f_stat,
+             CASE WHEN n1 >= 3 AND n2 >= 3 AND den1 > 0.0 AND den2 > 0.0
+                    AND denp > 0.0 AND rss_sum > 0.0
+                  THEN f > ${java.lang.Double.toString(Relational.JbCrit5Pct / 2.0)}
+             END AS break_5pct
+      FROM d7 ORDER BY key"""))
+
+  // N-gram novelty of the md5-hash test split against the train split
+  // — the generalization-gap probe beside q_contamination: train-side
+  // distinct 8-gram set, occurrence-weighted novel-window fraction per
+  // test doc. Spark joins 8-byte rolling hashes; the oracle replays
+  // textual windows (exact absent 64-bit collisions — the standing
+  // shingle contract).
+  private val qNgramNovelty = QDef(
+    "q_ngram_novelty",
+    (s, dir) => TextAnalysis.ngramNovelty(t(s, dir, "documents"),
+        "text", "doc_id", n = 8)
+      .orderBy("doc_id"),
+    Some(raw"""
+      WITH d AS (SELECT doc_id,
+                        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 AS bkt,
+                        string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents),
+      sp AS (SELECT doc_id,
+                   CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val'
+                        ELSE 'test' END AS split, toks
+             FROM d),
+      w AS (SELECT doc_id, split,
+                   unnest(list_transform(range(CAST(len(toks) - 7 AS BIGINT)),
+                     i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' '))) AS sh
+            FROM sp WHERE len(toks) >= 8),
+      tr AS (SELECT DISTINCT sh FROM w WHERE split = 'train'),
+      ev AS (SELECT w.doc_id, COUNT(*) AS n_windows,
+                   CAST(SUM(CASE WHEN tr.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+             FROM w LEFT JOIN tr ON tr.sh = w.sh
+             WHERE w.split = 'test' GROUP BY 1)
+      SELECT sp.doc_id,
+             COALESCE(ev.n_windows, 0) AS n_windows,
+             COALESCE(ev.n_novel, 0) AS n_novel,
+             CASE WHEN ev.n_windows IS NOT NULL
+                  THEN CAST(ev.n_novel AS DOUBLE) / CAST(ev.n_windows AS DOUBLE)
+             END AS novelty_rate
+      FROM sp LEFT JOIN ev ON ev.doc_id = sp.doc_id
+      WHERE sp.split = 'test'
+      ORDER BY sp.doc_id"""))
+
   // Detrended fluctuation analysis on the hourly panel — the
   // trend-robust scaling exponent beside q_hurst (disagreement between
   // alpha and hurst IS the trend diagnostic). Integer profile
@@ -10458,7 +10635,7 @@ object Queries {
     qRollSpread, qAmihud, qCsSpread, qArSpread, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qDfa, qRunsTest, qJarqueBera, qArchLm, qGranger, qKsDrift, qTransferEntropy, qMannKendall,
-    qChristoffersen, qGpdTail, qSampleEntropy, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
+    qChristoffersen, qGpdTail, qSampleEntropy, qCvmDrift, qChowTest, qNgramNovelty, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
     qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,
     qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,

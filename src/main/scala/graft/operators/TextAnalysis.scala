@@ -1231,6 +1231,55 @@ object TextAnalysis {
           .as("dup_rate"))
   }
 
+  /** N-gram novelty of the held-out split against the training split —
+    * the corpus-level generalization-gap probe beside the span-mining
+    * decontaminator: split documents with [[split3]] (the q_hash_split
+    * convention), collect the TRAIN side's distinct n-gram set, and
+    * score each TEST document by the fraction of its n-gram windows
+    * never seen in training. A near-zero novelty rate means the eval
+    * slice is effectively memorizable from train (leakage or heavy
+    * duplication); a rate near 1 means distribution shift. Occurrence-
+    * weighted (every window counts, not distinct-per-doc) — a doc that
+    * repeats one stale n-gram 100 times IS stale.
+    *
+    * Determinism: windows hash through the codegen rolling-hash kernel
+    * (`graft_window_hashes`, the [[dupNgramRate]] path) — the oracle
+    * replays textual windows; agreement is exact absent 64-bit
+    * collisions (none in the corpus, the standing shingle contract).
+    *
+    * Scale shape: doc bodies never shuffle — only 8-byte window hashes
+    * move; the train set is `distinct` on those hashes and the probe
+    * is one hash-keyed left join. At contamination scale, pre-screen
+    * with the Bloom path ([[Dedup.contaminationBloomFlags]]' broadcast
+    * filter) so the clean majority never joins. */
+  def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 8): DataFrame = {
+    require(n >= 2, s"n must be >= 2 (1 would score the vocabulary), got $n")
+    org.apache.spark.sql.graft.GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol).as("doc_id"),
+      split3(col(idCol)).as("split"), tokens(col(textCol)).as("toks"))
+    val occ = base.select(col("doc_id"), col("split"),
+      explode(call_function(
+        org.apache.spark.sql.graft.GraftFunctions.WindowHashesName,
+        col("toks"), lit(n))).as("h"))
+    val trainSet = occ.where(col("split") === "train")
+      .select(col("h")).distinct().withColumn("_seen", lit(1))
+    val perDoc = occ.where(col("split") === "test")
+      .join(trainSet, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("_seen").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_novel"))
+    base.where(col("split") === "test").select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_windows").isNotNull,
+          col("n_novel").cast("double") / col("n_windows").cast("double"))
+          .as("novelty_rate"))
+  }
+
   /** Corpus unigram-LM scoring — the relational proxy for the
     * CCNet/KenLM perplexity quality filter: pass 1 builds the unigram
     * model (token → count / total) over the WHOLE corpus, pass 2 scores

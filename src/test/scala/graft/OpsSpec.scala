@@ -6600,6 +6600,103 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("maxBuckets"), err.getMessage)
   }
 
+  test("cvmTwoSample: identical halves T=0, disjoint closed form, mixed hand case") {
+    val ident = (0 until 20).map(t => ("I", t.toLong, (t % 10 + 1).toDouble))
+    // disjoint supports, n=m=10: single step of Δ=100 with weight 10 →
+    // T = 10·100² / (20²·100) = 2.5
+    val disj = (0 until 20).map(t => ("J", t.toLong, if (t < 10) 1.0 else 2.0))
+    // {1,2,3} vs {2,3,4}: Δ=3 at v=1(w1),2(w2),3(w2) → num=45,
+    // T = 45/(36·9) = 0.138889
+    val mixed = Seq(("M", 0L, 1.0), ("M", 1L, 2.0), ("M", 2L, 3.0),
+      ("M", 3L, 2.0), ("M", 4L, 3.0), ("M", 5L, 4.0))
+    val out = Relational.cvmTwoSample(
+        (ident ++ disj ++ mixed).toDF("k", "hb", "v"), "k", "hb", "v")
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(out("I").getAs[Double]("t_stat") == 0.0 &&
+      !out("I").getAs[Boolean]("drift_5pct"), out("I").toString)
+    assert(math.abs(out("J").getAs[Double]("t_stat") - 2.5) < 1e-9 &&
+      out("J").getAs[Boolean]("drift_5pct"), out("J").toString)
+    assert(math.abs(out("M").getAs[Double]("t_stat") - 45.0 / 324.0) < 1e-6,
+      out("M").toString)
+  }
+
+  test("chowTest: stable zigzag vs slope break, in-test OLS replay, perfect-fit dropout") {
+    // S: same zigzag-around-trend in both halves → tiny F, no break
+    val stable = (0 until 20).map(t => ("S", t.toLong, 2.0 * t + 0.1 * (t % 2)))
+    // B: slope 1 then slope 5, each half zigzag-perturbed → huge F
+    val break_ = (0 until 20).map { t =>
+      val base = if (t <= 9) t.toDouble else 9.0 + 5.0 * (t - 9)
+      ("B", t.toLong, base + 0.1 * (t % 2))
+    }
+    // P: perfect single line → RSS_sum = 0 → null F (0/0 guarded)
+    val perfect = (0 until 20).map(t => ("P", t.toLong, 3.0 + 2.0 * t))
+    val out = Relational.chowTest(
+        (stable ++ break_ ++ perfect).toDF("k", "hb", "v"), "k", "hb", "v")
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    val s = out("S")
+    assert(!s.getAs[Boolean]("break_5pct"), s.toString)
+    assert(math.abs(s.getAs[Double]("slope1") - 2.0) < 0.1, s.toString)
+    val b = out("B")
+    assert(b.getAs[Boolean]("break_5pct"), b.toString)
+    assert(math.abs(b.getAs[Double]("slope1") - 1.0) < 0.1 &&
+      math.abs(b.getAs[Double]("slope2") - 5.0) < 0.1, b.toString)
+    assert(b.getAs[Double]("f_stat") > s.getAs[Double]("f_stat"), s"$b vs $s")
+    // in-test replay of B's three fits on the exact quantized images
+    val q = break_.map { case (_, t, v) => (t, math.floor(v * 1e4).toLong) }
+    def ols(pts: Seq[(Long, Long)]): (Double, Double) = {
+      val n = pts.length.toDouble
+      val st = pts.map(_._1).sum.toDouble
+      val stt = pts.map(p => p._1 * p._1).sum.toDouble
+      val sv = pts.map(p => BigInt(p._2)).sum.toDouble
+      val svv = pts.map(p => BigInt(p._2) * BigInt(p._2)).sum.toDouble
+      val stv = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum.toDouble
+      val bb = (n * stv - st * sv) / (n * stt - st * st)
+      val aa = (sv - bb * st) / n
+      (bb, svv - aa * sv - bb * stv)
+    }
+    val (_, r1) = ols(q.filter(_._1 <= 9))
+    val (_, r2) = ols(q.filter(_._1 > 9))
+    val (_, rp) = ols(q)
+    val fExp = (rp - (r1 + r2)) / 2.0 / ((r1 + r2) / (20.0 - 4.0))
+    assert(math.abs(b.getAs[Double]("f_stat") - fExp) < math.abs(fExp) * 1e-5,
+      s"${b.getAs[Double]("f_stat")} vs $fExp")
+    assert(out("P").isNullAt(out("P").fieldIndex("f_stat")), out("P").toString)
+  }
+
+  test("ngramNovelty: seen/unseen test docs score 0/1, short docs null out") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = (1L to 300L)
+    val splits = ids.map(i => ("d", i)).toDF("x", "id")
+      .select(col("id"), TextAnalysis.split3(col("id")).as("sp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainIds = ids.filter(splits(_) == "train")
+    val testIds = ids.filter(splits(_) == "test")
+    assert(trainIds.nonEmpty && testIds.size >= 4, s"split skew: ${testIds.size}")
+    val seenText = (1 to 10).map(i => s"tok$i").mkString(" ")   // 10 tokens → 3 windows
+    val novelText = (1 to 10).map(i => s"new$i").mkString(" ")
+    val (seenDocs, novelDocs) = testIds.splitAt(testIds.size / 2)
+    val docs =
+      trainIds.map(i => (i, seenText)) ++
+      seenDocs.map(i => (i, seenText)) ++
+      novelDocs.filter(_ != testIds.last).map(i => (i, novelText)) :+
+      (testIds.last, "too short")                               // < 8 tokens
+    val out = TextAnalysis.ngramNovelty(docs.toDF("doc_id", "text"),
+        "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == testIds.size, s"${out.size} vs ${testIds.size}")
+    seenDocs.foreach { i =>
+      assert(out(i).getAs[Long]("n_windows") == 3L &&
+        out(i).getAs[Double]("novelty_rate") == 0.0, out(i).toString)
+    }
+    novelDocs.filter(_ != testIds.last).foreach { i =>
+      assert(out(i).getAs[Double]("novelty_rate") == 1.0, out(i).toString)
+    }
+    val short = out(testIds.last)
+    assert(short.getAs[Long]("n_windows") == 0L &&
+      short.isNullAt(short.fieldIndex("novelty_rate")), short.toString)
+  }
+
 }
 
 /** Test backends for the inference-backend contract spec — top level so
