@@ -2493,6 +2493,161 @@ object Queries {
       WHERE sp.split = 'test'
       ORDER BY sp.doc_id"""))
 
+  // Quandt–Andrews sup-F on the hourly panel — q_chow_test with the
+  // break date unknown: prefix-moment windows give every trimmed
+  // candidate's two segment fits in place (the SADF ladder doctrine —
+  // one keyed exchange, zero joins), sup with earliest-candidate tie
+  // resolution. No 5% flag (Andrews' null is table-based, documented).
+  private val qSupChow = QDef(
+    "q_sup_chow",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.supChow(h, "event_type", "hb", "v", scale = 1e4)
+    },
+    Some("""
+      WITH h0 AS (SELECT event_type AS k,
+                        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      h AS (SELECT * FROM h0 WHERE v IS NOT NULL),
+      r1 AS (SELECT k, v, hb - min(hb) OVER (PARTITION BY k) AS ti,
+                   min(hb) OVER (PARTITION BY k) AS t0
+             FROM h),
+      m AS (SELECT k, t0, ti, v,
+                   COUNT(*) OVER wo AS cn,
+                   SUM(CAST(ti AS HUGEINT)) OVER wo AS cst,
+                   SUM(CAST(ti AS HUGEINT) * ti) OVER wo AS cstt,
+                   SUM(CAST(v AS HUGEINT)) OVER wo AS csv,
+                   SUM(CAST(v AS HUGEINT) * v) OVER wo AS csvv,
+                   SUM(CAST(ti AS HUGEINT) * v) OVER wo AS cstv,
+                   COUNT(*) OVER wk AS n,
+                   SUM(CAST(ti AS HUGEINT)) OVER wk AS st,
+                   SUM(CAST(ti AS HUGEINT) * ti) OVER wk AS stt,
+                   SUM(CAST(v AS HUGEINT)) OVER wk AS sv,
+                   SUM(CAST(v AS HUGEINT) * v) OVER wk AS svv,
+                   SUM(CAST(ti AS HUGEINT) * v) OVER wk AS stv
+            FROM r1
+            WINDOW wo AS (PARTITION BY k ORDER BY ti
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wk AS (PARTITION BY k)),
+      d1 AS (SELECT k, t0, ti, CAST(n AS BIGINT) AS n,
+                   CAST(cn AS BIGINT) AS n1, CAST(n - cn AS BIGINT) AS n2,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(cn AS DOUBLE) AS n1d, CAST(cst AS DOUBLE) AS st1d,
+                   CAST(cstt AS DOUBLE) AS stt1d, CAST(csv AS DOUBLE) AS sv1d,
+                   CAST(csvv AS DOUBLE) AS svv1d, CAST(cstv AS DOUBLE) AS stv1d,
+                   CAST(n - cn AS DOUBLE) AS n2d,
+                   CAST(st - cst AS DOUBLE) AS st2d,
+                   CAST(stt - cstt AS DOUBLE) AS stt2d,
+                   CAST(sv - csv AS DOUBLE) AS sv2d,
+                   CAST(svv - csvv AS DOUBLE) AS svv2d,
+                   CAST(stv - cstv AS DOUBLE) AS stv2d,
+                   CAST(st AS DOUBLE) AS stpd, CAST(stt AS DOUBLE) AS sttpd,
+                   CAST(sv AS DOUBLE) AS svpd, CAST(svv AS DOUBLE) AS svvpd,
+                   CAST(stv AS DOUBLE) AS stvpd
+             FROM m),
+      d2 AS (SELECT *, n1d * stt1d - st1d * st1d AS den1,
+                   n2d * stt2d - st2d * st2d AS den2,
+                   nd * sttpd - stpd * stpd AS denp
+             FROM d1),
+      d3 AS (SELECT *, (n1d * stv1d - st1d * sv1d) / den1 AS b1,
+                   (n2d * stv2d - st2d * sv2d) / den2 AS b2,
+                   (nd * stvpd - stpd * svpd) / denp AS bp
+             FROM d2),
+      d4 AS (SELECT *, (sv1d - b1 * st1d) / n1d AS a1,
+                   (sv2d - b2 * st2d) / n2d AS a2,
+                   (svpd - bp * stpd) / nd AS ap
+             FROM d3),
+      d5 AS (SELECT *, svv1d - a1 * sv1d - b1 * stv1d AS rss1,
+                   svv2d - a2 * sv2d - b2 * stv2d AS rss2,
+                   svvpd - ap * svpd - bp * stvpd AS rssp
+             FROM d4),
+      d6 AS (SELECT *, rss1 + rss2 AS rss_sum,
+                   greatest(3, CAST(ceil(0.15 * nd) AS BIGINT)) AS minseg
+             FROM d5),
+      cand AS (SELECT k, t0, ti, n,
+                     (rssp - rss_sum) / 2.0 / (rss_sum / (nd - 4.0)) AS f
+               FROM d6
+               WHERE n1 >= minseg AND n2 >= minseg AND den1 > 0.0
+                 AND den2 > 0.0 AND denp > 0.0 AND rss_sum > 0.0),
+      s1 AS (SELECT k, MIN(n) AS n, COUNT(*) AS n_candidates,
+                   MAX(f) AS supf
+             FROM cand GROUP BY k),
+      s2 AS (SELECT c.k, MIN(c.ti) AS bt, MIN(c.t0) AS t0
+             FROM cand c JOIN s1 ON s1.k = c.k AND c.f = s1.supf
+             GROUP BY c.k)
+      SELECT s1.k AS key, s1.n, s1.n_candidates,
+             round(s1.supf, 6) + 0.0 AS sup_f,
+             s2.bt + s2.t0 AS break_bucket,
+             round(CAST(s2.bt AS DOUBLE) / CAST(s1.n AS DOUBLE), 6) + 0.0
+               AS break_frac
+      FROM s1 JOIN s2 ON s2.k = s1.k ORDER BY key"""))
+
+  // Kruskal–Wallis across the five event types on the hourly panel —
+  // the k-sample location omnibus: doubled midranks on the value
+  // histogram (exact integers), µ-quantized per-group terms, χ²(k−1)
+  // call from the shared critical table.
+  private val qKruskal = QDef(
+    "q_kruskal",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.kruskalWallis(h, "event_type", "hb", "v", scale = 1e4)
+    },
+    Some {
+      val critCase = Relational.Chi2Crit5PctByDf.toSeq.sortBy(_._1)
+        .map { case (d, c) =>
+          s"WHEN k_groups - 1 = $d THEN h / corr > ${java.lang.Double.toString(c)}"
+        }.mkString("\n                   ")
+      s"""
+      WITH h0 AS (SELECT event_type AS k,
+                        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      h AS (SELECT * FROM h0 WHERE v IS NOT NULL),
+      kv AS (SELECT k, v, COUNT(*) AS c FROM h GROUP BY k, v),
+      vh AS (SELECT v, SUM(c) AS w FROM kv GROUP BY v),
+      rk AS (SELECT v, w, SUM(w) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fle
+             FROM vh),
+      r2 AS (SELECT v, 2 * (fle - w) + w + 1 AS m2 FROM rk),
+      pk AS (SELECT kv.k, SUM(kv.c) AS nj,
+                   SUM(CAST(kv.c AS HUGEINT) * m2) AS r2j
+             FROM kv JOIN r2 ON r2.v = kv.v GROUP BY kv.k),
+      tq AS (SELECT k, nj,
+                   CAST(floor(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)
+                     / 4.0 / CAST(nj AS DOUBLE) * 1e6) AS BIGINT) AS q
+             FROM pk),
+      g AS (SELECT COUNT(*) AS k_groups, CAST(SUM(nj) AS BIGINT) AS n,
+                   SUM(q) AS sq
+            FROM tq),
+      tt AS (SELECT SUM(CAST(w AS HUGEINT) * w * w - w) AS tie FROM vh),
+      f1 AS (SELECT g.n, g.k_groups, CAST(g.sq AS DOUBLE) AS sqd,
+                   CAST(tt.tie AS DOUBLE) AS tied, CAST(g.n AS DOUBLE) AS nd
+             FROM g, tt),
+      f2 AS (SELECT *,
+                   12.0 / (nd * (nd + 1.0)) * (sqd / 1e6)
+                     - 3.0 * (nd + 1.0) AS h,
+                   1.0 - tied / (nd * nd * nd - nd) AS corr
+             FROM f1)
+      SELECT n, k_groups,
+             CASE WHEN n >= 2 AND k_groups >= 2 AND corr > 0.0
+                  THEN round(h, 6) + 0.0 END AS h,
+             CASE WHEN n >= 2 AND k_groups >= 2 AND corr > 0.0
+                  THEN round(h / corr, 6) + 0.0 END AS h_adj,
+             CASE WHEN n >= 2 AND k_groups >= 2 AND corr > 0.0
+                  THEN CASE $critCase END
+             END AS reject_5pct
+      FROM f2"""
+    })
+
   // Detrended fluctuation analysis on the hourly panel — the
   // trend-robust scaling exponent beside q_hurst (disagreement between
   // alpha and hurst IS the trend diagnostic). Integer profile
@@ -10635,7 +10790,7 @@ object Queries {
     qRollSpread, qAmihud, qCsSpread, qArSpread, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qDfa, qRunsTest, qJarqueBera, qArchLm, qGranger, qKsDrift, qTransferEntropy, qMannKendall,
-    qChristoffersen, qGpdTail, qSampleEntropy, qCvmDrift, qChowTest, qNgramNovelty, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
+    qChristoffersen, qGpdTail, qSampleEntropy, qCvmDrift, qChowTest, qNgramNovelty, qSupChow, qKruskal, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
     qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,
     qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,

@@ -2905,4 +2905,173 @@ object Relational {
           round(sampen, 6) + lit(0.0)).as("sampen"))
       .orderBy("key")
   }
+
+  /** Quandt–Andrews sup-F (Quandt 1960; Andrews 1993, Econometrica 61)
+    * — [[chowTest]] with the break date UNKNOWN: compute the Chow F at
+    * EVERY candidate split inside the 15%-trimmed interior and report
+    * the supremum and where it lands. No 5% flag: sup-F's null
+    * distribution is non-standard (Andrews' tables, trim-dependent) —
+    * callers compare `sup_f` against the table for their trim; the
+    * single-F large-n call lives on [[chowTest]].
+    *
+    * Scale story — this is the [[chowTest]] ladder WITHOUT a quadratic
+    * blowup: one ordered keyed window materializes the PREFIX moment
+    * sums at every row, the unordered key window the totals, so every
+    * candidate's two segment fits derive from exact integer prefix/
+    * complement images IN PLACE (the SADF bounded-ladder doctrine: one
+    * keyed exchange, fan-out = the candidate count, zero joins).
+    *
+    * Determinism: cumulative DECIMAL(38,0) sums are exact at any
+    * partitioning (distinct integral buckets order totally); every
+    * F(τ) is the [[chowTest]] fixed tree; the sup resolves ties to the
+    * EARLIEST candidate via `max(struct(f, −τ))` ≡ the oracle's
+    * min-τ-at-max-f — deterministic because tied doubles are identical
+    * trees. Candidates where either segment is degenerate (n < 3,
+    * zero time-variance, RSS ≤ 0) drop out of the sup. 6 dp.
+    *
+    * Returns `(key, n, n_candidates, sup_f, break_bucket, break_frac)`
+    * — `break_bucket` in ORIGINAL bucket units, `break_frac` the
+    * position of the break in (0,1). */
+  def supChow(df: DataFrame, keyCol: String, bucketCol: String,
+              valueCol: String, scale: Double = 1e4,
+              trim: Double = 0.15): DataFrame = {
+    require(trim > 0.0 && trim < 0.5, s"need 0 < trim < 0.5, got $trim")
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+      .withColumn("_t", col("_t").cast("long"))
+    val wk = Window.partitionBy(col("_k"))
+    val wo = Window.partitionBy(col("_k")).orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val seg = base
+      .withColumn("_t0", min(col("_t")).over(wk))
+      .withColumn("_ti", col("_t") - col("_t0"))
+    val withMoments = seg
+      .withColumn("_cn", count(lit(1)).over(wo))
+      .withColumn("_cst", sum(d38(col("_ti"))).over(wo))
+      .withColumn("_cstt", sum(d38(col("_ti")) * d38(col("_ti"))).over(wo))
+      .withColumn("_csv", sum(d38(col("_v"))).over(wo))
+      .withColumn("_csvv", sum(d38(col("_v")) * d38(col("_v"))).over(wo))
+      .withColumn("_cstv", sum(d38(col("_ti")) * d38(col("_v"))).over(wo))
+      .withColumn("_n", count(lit(1)).over(wk))
+      .withColumn("_st", sum(d38(col("_ti"))).over(wk))
+      .withColumn("_stt", sum(d38(col("_ti")) * d38(col("_ti"))).over(wk))
+      .withColumn("_sv", sum(d38(col("_v"))).over(wk))
+      .withColumn("_svv", sum(d38(col("_v")) * d38(col("_v"))).over(wk))
+      .withColumn("_stv", sum(d38(col("_ti")) * d38(col("_v"))).over(wk))
+    def dd(c: Column): Column = c.cast("double")
+    def fit(n: Column, st: Column, stt: Column, sv: Column, svv: Column,
+            stv: Column): (Column, Column) = {
+      val nD = n.cast("double")
+      val den = nD * dd(stt) - dd(st) * dd(st)
+      val b = (nD * dd(stv) - dd(st) * dd(sv)) / den
+      val a = (dd(sv) - b * dd(st)) / nD
+      (dd(svv) - a * dd(sv) - b * dd(stv), den)
+    }
+    val n1 = col("_cn")
+    val n2 = col("_n") - col("_cn")
+    val (rss1, den1) = fit(n1, col("_cst"), col("_cstt"), col("_csv"),
+      col("_csvv"), col("_cstv"))
+    val (rss2, den2) = fit(n2, col("_st") - col("_cst"),
+      col("_stt") - col("_cstt"), col("_sv") - col("_csv"),
+      col("_svv") - col("_csvv"), col("_stv") - col("_cstv"))
+    val (rssP, denP) = fit(col("_n"), col("_st"), col("_stt"), col("_sv"),
+      col("_svv"), col("_stv"))
+    val nD = col("_n").cast("double")
+    val rssSum = rss1 + rss2
+    val f = (rssP - rssSum) / lit(2.0) / (rssSum / (nD - lit(4.0)))
+    val minSeg = greatest(lit(3L), ceil(lit(trim) * nD).cast("long"))
+    val cand = withMoments
+      .withColumn("_f",
+        when(n1 >= minSeg && n2 >= minSeg && den1 > 0.0 && den2 > 0.0 &&
+          denP > 0.0 && rssSum > 0.0, f))
+      .where(col("_f").isNotNull)
+    val agg = cand.groupBy(col("_k").as("key")).agg(
+      min(col("_n")).as("n"), count(lit(1)).as("n_candidates"),
+      max(col("_f")).as("_supf"),
+      max(struct(col("_f").as("_fv"), (lit(-1L) * col("_ti")).as("_negt"),
+        (lit(-1L) * col("_t0")).as("_negt0"))).as("_arg"))
+    agg.select(col("key"), col("n"), col("n_candidates"),
+        (round(col("_supf"), 6) + lit(0.0)).as("sup_f"),
+        (lit(-1L) * col("_arg._negt") + lit(-1L) * col("_arg._negt0"))
+          .as("break_bucket"),
+        (round((lit(-1L) * col("_arg._negt")).cast("double") /
+          col("n").cast("double"), 6) + lit(0.0)).as("break_frac"))
+      .orderBy("key")
+  }
+
+  /** χ²(df) 95% critical values for the small degrees of freedom the
+    * rank tests use — public so oracles interpolate the same doubles. */
+  val Chi2Crit5PctByDf: Map[Int, Double] = Map(
+    1 -> 3.841458820694124, 2 -> 5.991464547107979, 3 -> 7.814727903251179,
+    4 -> 9.487729036781154, 5 -> 11.070497693516351, 6 -> 12.591587243743977,
+    7 -> 14.067140449340169, 8 -> 15.50731305586545)
+
+  /** Kruskal–Wallis rank test ACROSS series (Kruskal & Wallis 1952):
+    * do the keys' value distributions share a location? — the k-sample
+    * omnibus companion of the two-sample drift tests ([[ksTwoSample]]
+    * across time, this across series). Midranks handle ties; the
+    * tie-corrected statistic
+    *
+    * {{{ H = 12/(N(N+1)) · Σ_j R_j²/n_j − 3(N+1)
+    *     H_adj = H / (1 − Σ(w³−w)/(N³−N)) ~ χ²(k−1) }}}
+    *
+    * Determinism: DOUBLED midranks `2m_v = 2·F_<(v) + w_v + 1` are
+    * exact integers on the quantized value histogram, so the doubled
+    * rank sums `2R_j = Σ c_jv·2m_v` accumulate exactly
+    * (DECIMAL(38,0)/HUGEINT); each group's `R_j²/n_j` term re-quantizes
+    * to a ⌊·10⁶⌋ image so the cross-group reduction is order-free
+    * (the µnat scheme); the 5% call reads [[Chi2Crit5PctByDf]] at k−1
+    * (null when k−1 is outside the table).
+    *
+    * Scale shape: the ordered window runs over the VALUE HISTOGRAM
+    * (distinct quantized values), never the corpus — the corpus
+    * contributes one (key, value) count agg; the histogram frame is
+    * bounded by value cardinality — coarsen `scale` before feeding
+    * raw high-precision ticks.
+    *
+    * Returns one row: `(n, k_groups, h, h_adj, reject_5pct)`. */
+  def kruskalWallis(df: DataFrame, keyCol: String, bucketCol: String,
+                    valueCol: String, scale: Double = 1e4): DataFrame = {
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+    val kv = base.groupBy(col("_k"), col("_v")).agg(count(lit(1)).as("_c"))
+    val vh = kv.groupBy(col("_v")).agg(sum(col("_c")).as("_w"))
+    val wv = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = vh
+      .withColumn("_fle", sum(col("_w")).over(wv))
+      .withColumn("_m2", lit(2L) * (col("_fle") - col("_w")) + col("_w") + lit(1L))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val perKey = kv.join(ranked.select(col("_v"), col("_m2")), Seq("_v"))
+      .groupBy(col("_k")).agg(
+        sum(col("_c")).as("_nj"),
+        sum(d38(col("_c")) * d38(col("_m2"))).as("_r2j"))
+    def dd(c: Column): Column = c.cast("double")
+    // Σ R_j²/n_j with R_j = (2R_j)/2 — fold per-group terms through
+    // ⌊·10⁶⌋ integers so the cross-group reduction is order-free
+    val term = dd(col("_r2j")) * dd(col("_r2j")) / lit(4.0) /
+      col("_nj").cast("double")
+    val keyAgg = perKey
+      .withColumn("_tq", floor(term * lit(1e6)).cast("long"))
+      .agg(count(lit(1)).as("k_groups"), sum(col("_nj")).as("n"),
+        sum(col("_tq")).as("_sq"))
+    val tieAgg = vh.select(
+      sum(d38(col("_w")) * d38(col("_w")) * d38(col("_w")) - d38(col("_w")))
+        .as("_tie")).withColumn("_j", lit(1))
+    val j = keyAgg.withColumn("_j", lit(1))
+      .join(broadcast(tieAgg), Seq("_j")).drop("_j")
+    val nD = col("n").cast("double")
+    val h = lit(12.0) / (nD * (nD + lit(1.0))) *
+      (col("_sq").cast("double") / lit(1e6)) - lit(3.0) * (nD + lit(1.0))
+    val corr = lit(1.0) - col("_tie").cast("double") / (nD * nD * nD - nD)
+    val hAdj = h / corr
+    val df1 = col("k_groups") - lit(1L)
+    val critCol = Chi2Crit5PctByDf.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, c)) => when(df1 === d.toLong, lit(c)).otherwise(acc)
+    }
+    val ok = col("n") >= 2L && col("k_groups") >= 2L && corr > 0.0
+    j.select(col("n"), col("k_groups"),
+        when(ok, round(h, 6) + lit(0.0)).as("h"),
+        when(ok, round(hAdj, 6) + lit(0.0)).as("h_adj"),
+        when(ok && critCol.isNotNull, hAdj > critCol).as("reject_5pct"))
+  }
 }

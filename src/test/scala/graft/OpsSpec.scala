@@ -6697,6 +6697,57 @@ class OpsSpec extends SparkSpec {
       short.isNullAt(short.fieldIndex("novelty_rate")), short.toString)
   }
 
+  test("supChow: locates an off-center break, beats the midpoint Chow, counts candidates") {
+    // B: slope 1 → slope 5 at t = 25 of 0..39 (off-center), zigzag so
+    // segment RSS stays positive; buckets offset by 1000
+    val bq = (0 until 40).map { t =>
+      val base = if (t <= 25) t.toDouble else 25.0 + 5.0 * (t - 25)
+      ("B", (1000 + t).toLong, base + 0.1 * (t % 2))
+    }
+    val out = Relational.supChow(bq.toDF("k", "hb", "v"), "k", "hb", "v")
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    val b = out("B")
+    // minseg = max(3, ceil(0.15·40)) = 6 → candidates cn ∈ [6, 34] → 29
+    assert(b.getAs[Long]("n") == 40L && b.getAs[Long]("n_candidates") == 29L,
+      b.toString)
+    val bb = b.getAs[Long]("break_bucket")
+    assert(bb >= 1023L && bb <= 1027L, b.toString)
+    assert(b.getAs[Double]("break_frac") > 0.55 &&
+      b.getAs[Double]("break_frac") < 0.72, b.toString)
+    // the sup dominates the fixed-midpoint Chow F on the same tape
+    val chowF = Relational.chowTest(bq.toDF("k", "hb", "v"), "k", "hb", "v")
+      .collect().head.getAs[Double]("f_stat")
+    assert(b.getAs[Double]("sup_f") >= chowF - 1e-9,
+      s"${b.getAs[Double]("sup_f")} vs midpoint $chowF")
+  }
+
+  test("kruskalWallis: no-tie and tie closed forms, shifted group rejects") {
+    // {1,2} vs {3,4}: R = 3|7 → H = 2.4, no ties, df=1 → keep null? no:
+    // crit(1) = 3.84 → no reject
+    val a = Seq(("A", 0L, 1.0), ("A", 1L, 2.0), ("B", 0L, 3.0), ("B", 1L, 4.0))
+    val r1 = Relational.kruskalWallis(a.toDF("k", "hb", "v"), "k", "hb", "v")
+      .collect().head
+    assert(r1.getAs[Long]("n") == 4L && r1.getAs[Long]("k_groups") == 2L, r1.toString)
+    assert(math.abs(r1.getAs[Double]("h") - 2.4) < 1e-9, r1.toString)
+    assert(math.abs(r1.getAs[Double]("h_adj") - 2.4) < 1e-9, r1.toString)
+    assert(!r1.getAs[Boolean]("reject_5pct"), r1.toString)
+    // {1,1} vs {2,2}: midranks 1.5|3.5 → H = 2.4, tie = 12,
+    // corr = 0.8 → H_adj = 3.0
+    val b = Seq(("A", 0L, 1.0), ("A", 1L, 1.0), ("B", 0L, 2.0), ("B", 1L, 2.0))
+    val r2 = Relational.kruskalWallis(b.toDF("k", "hb", "v"), "k", "hb", "v")
+      .collect().head
+    assert(math.abs(r2.getAs[Double]("h") - 2.4) < 1e-9, r2.toString)
+    assert(math.abs(r2.getAs[Double]("h_adj") - 3.0) < 1e-9, r2.toString)
+    // a clearly shifted third group over a longer tape rejects (k=3 → χ²(2))
+    val big = (0 until 30).flatMap(t => Seq(
+      ("A", t.toLong, (t % 5).toDouble), ("B", t.toLong, (t % 5).toDouble),
+      ("C", t.toLong, 100.0 + (t % 5))))
+    val r3 = Relational.kruskalWallis(big.toDF("k", "hb", "v"), "k", "hb", "v")
+      .collect().head
+    assert(r3.getAs[Long]("k_groups") == 3L && r3.getAs[Boolean]("reject_5pct"),
+      r3.toString)
+  }
+
 }
 
 /** Test backends for the inference-backend contract spec — top level so
