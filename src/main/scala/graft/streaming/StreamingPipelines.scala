@@ -488,6 +488,101 @@ object StreamingPipelines {
   }
 
   // ------------------------------------------------------------------
+  // Streaming VaR-violation transition counter: the chunk-carry twin
+  // of [[graft.operators.Backtest.christoffersenTest]]'s sequential
+  // piece (the EWM/Regime/Kalman/LZ76/GARCH convention — every
+  // order-sensitive fold gets a bounded-state streaming twin). State
+  // is seven integers: the previous indicator and the running
+  // (n, n_viol, n₀₀…n₁₁); `varAlpha` travels WITH each tick — the VaR
+  // threshold is a batch estimate a stream consumes (the GARCH ω
+  // contract), re-fit on a reference window, never recomputed
+  // mid-stream. The LR statistics are pure functions of the emitted
+  // counts, so count-equivalence across micro-batch cuts IS
+  // statistic-equivalence.
+  // ------------------------------------------------------------------
+
+  case class ViolTick(symbol: String, epochSec: Long, v: Option[Double],
+                      varAlpha: Double)
+  /** `prev = -1` before the first valid observation. */
+  case class ViolCarry(prev: Int, n: Long, nViol: Long,
+                       n00: Long, n01: Long, n10: Long, n11: Long)
+  case class ViolOut(symbol: String, epochSec: Long, n: Long, nViol: Long,
+                     n00: Long, n01: Long, n10: Long, n11: Long)
+
+  /** One step of the violation-transition count — the SAME integer
+    * fold as the batch lag + conditional sums, so the twin is
+    * bit-identical across any micro-batch cut (the ST3 gate). Null
+    * values carry the state unchanged (the batch side filters them
+    * before the lag — a null never forms a transition). */
+  def violStep(st: ViolCarry, v: Option[Double], varAlpha: Double): ViolCarry =
+    v match {
+      case Some(x) =>
+        val i = if (x < varAlpha) 1 else 0
+        val upd = (st.prev, i) match {
+          case (-1, _) => st
+          case (0, 0) => st.copy(n00 = st.n00 + 1)
+          case (0, _) => st.copy(n01 = st.n01 + 1)
+          case (_, 0) => st.copy(n10 = st.n10 + 1)
+          case _ => st.copy(n11 = st.n11 + 1)
+        }
+        upd.copy(prev = i, n = st.n + 1, nViol = st.nViol + i)
+      case None => st
+    }
+
+  /** Stateful streaming violation counter: per symbol, fold the
+    * micro-batch through [[violStep]] from the carried counts, emit
+    * the running counts per tick, keep the final state as carry. */
+  def statefulViolations(ds: Dataset[ViolTick])
+                        (implicit spark: SparkSession): Dataset[ViolOut] = {
+    import spark.implicits._
+    ds.groupByKey(_.symbol)
+      .flatMapGroupsWithState[ViolCarry, ViolOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[ViolTick], state: GroupState[ViolCarry]) =>
+          val batch = rows.toIndexedSeq.sortBy(_.epochSec)
+          var st = state.getOption.getOrElse(ViolCarry(-1, 0L, 0L, 0L, 0L, 0L, 0L))
+          val out = batch.map { t =>
+            st = violStep(st, t.v, t.varAlpha)
+            ViolOut(t.symbol, t.epochSec, st.n, st.nViol,
+              st.n00, st.n01, st.n10, st.n11)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** [[statefulViolations]] on Spark 4's `transformWithState` (the
+    * [[RegimeCarryProcessor]] convention: RocksDB-backed ValueState,
+    * same fold, same equivalence gate). */
+  class ViolCarryProcessor
+      extends StatefulProcessor[String, ViolTick, ViolOut] {
+    @transient private var carry: ValueState[ViolCarry] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      carry = getHandle.getValueState[ViolCarry]("violCarry",
+        org.apache.spark.sql.Encoders.product[ViolCarry], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[ViolTick],
+                                 timerValues: TimerValues): Iterator[ViolOut] = {
+      val batch = rows.toIndexedSeq.sortBy(_.epochSec)
+      var st = Option(carry.get()).getOrElse(ViolCarry(-1, 0L, 0L, 0L, 0L, 0L, 0L))
+      val out = batch.map { t =>
+        st = violStep(st, t.v, t.varAlpha)
+        ViolOut(t.symbol, t.epochSec, st.n, st.nViol,
+          st.n00, st.n01, st.n10, st.n11)
+      }
+      carry.update(st)
+      out.iterator
+    }
+  }
+
+  def statefulViolationsTws(ds: Dataset[ViolTick])
+                           (implicit spark: SparkSession): Dataset[ViolOut] = {
+    import spark.implicits._
+    ds.groupByKey(_.symbol)
+      .transformWithState(new ViolCarryProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  // ------------------------------------------------------------------
   // Streaming incremental dedup: the 100 TB ingest loop. Each micro-batch
   // probes the standing MinHash index, keeps only docs that near-dup
   // NOTHING already indexed (nor an earlier doc of the same batch), and

@@ -915,4 +915,39 @@ class PlanSpec extends SparkSpec {
     assert(specs.nonEmpty && specs.forall(_.contains("k#")),
       s"unkeyed regimeProb window: $specs")
   }
+
+  test("round-13 test panel: split tests join-free and keyed, pair tests equi-only") {
+    import graft.operators.Relational
+    val df = (0 until 120).map(i =>
+      ("S" + (i % 3), i.toLong, 10.0 + (i % 7) * 0.4)).toDF("k", "hb", "v")
+    // the half-split/prefix family promises: zero joins, every window
+    // partitioned by the series key (never a global sort)
+    def joinFree(p: String, name: String): Unit = {
+      assert(!p.contains("Join"), s"$name must not join:\n${p.take(1200)}")
+      val specs = "windowspecdefinition\\(([^,]+),".r
+        .findAllMatchIn(p).map(_.group(1)).toList
+      assert(specs.nonEmpty && specs.forall(_.contains("_k#")),
+        s"unkeyed $name window: $specs")
+    }
+    joinFree(planOf(Relational.ksTwoSample(df, "k", "hb", "v")), "ksTwoSample")
+    joinFree(planOf(Relational.cvmTwoSample(df, "k", "hb", "v")), "cvmTwoSample")
+    joinFree(planOf(Relational.chowTest(df, "k", "hb", "v")), "chowTest")
+    // supChow: the whole trimmed ladder rides keyed windows — ONE data
+    // exchange (+ the display sort's range partitioning), zero joins
+    val sc = planOf(Relational.supChow(df, "k", "hb", "v"))
+    joinFree(sc, "supChow")
+    val scEx = raw"\(\d+\) Exchange".r.findAllIn(sc).length
+    assert(scEx <= 2, // the keyed data exchange + the display sort's range
+      s"supChow should ride one keyed exchange, got $scEx:\n${sc.take(1500)}")
+    // the ordered-pair regressions join, but only EQUI — a nested-loop
+    // or cartesian here would be the quadratic blowup sneaking back
+    Seq("granger" -> planOf(Relational.granger(df, "k", "hb", "v")),
+      "transferEntropy" -> planOf(Relational.transferEntropy(df, "k", "hb", "v")),
+      "jarqueBera" -> planOf(Relational.jarqueBera(df, "k", "hb", "v")),
+      "archLm" -> planOf(Relational.archLm(df, "k", "hb", "v"))).foreach {
+      case (name, p) =>
+        assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+          s"$name must stay equi-join-only:\n${p.take(1200)}")
+    }
+  }
 }

@@ -878,6 +878,89 @@ class SystemSpec extends SparkSpec {
     }
   }
 
+  test("streaming: violation-transition fold ≡ batch christoffersen counts (ST3)") {
+    import StreamingPipelines._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.functions.{col, lit, percentile}
+    // reference window pins VaR(5%) per symbol — the batch estimate
+    // the stream consumes (the GARCH ω contract)
+    val ref = (0 until 100).flatMap { i =>
+      Seq(("A", i.toLong, if (i < 5) -10.0 else 1.0),
+        ("B", i.toLong, if (i < 7) -8.0 else 2.0))
+    }
+    var seed = 23L
+    def nextV(base: Double): Option[Double] = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      if ((seed >>> 33) % 11 == 0L) None
+      else Some(if ((seed >>> 33) % 13 == 0L) -25.0 else base)
+    }
+    val curA = (0 until 60).map(i => ("A", (100 + i).toLong, nextV(1.0)))
+    val curB = (0 until 60).map(i => ("B", (100 + i).toLong, nextV(2.0)))
+    // batch reference = the oracle-gated operator itself
+    val refDf = ref.toDF("k", "seq", "v")
+    val curDf = (curA ++ curB).collect { case (k, t, Some(v)) => (k, t, v) }
+      .toDF("k", "seq", "v")
+    val batchCounts = graft.operators.Backtest.christoffersenTest(
+        refDf, curDf, Seq("k"), Seq(col("seq")), "v", alpha = 0.05)
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_viol"), r.getAs[Long]("n00"),
+          r.getAs[Long]("n01"), r.getAs[Long]("n10"), r.getAs[Long]("n11")))
+      .toMap
+    val varByKey = refDf.groupBy("k")
+      .agg(percentile(col("v"), lit(0.05)).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ticks = (curA ++ curB).map { case (k, t, v) =>
+      ViolTick(k, t, v, varByKey(k)) }
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ViolTick]
+    val q = statefulViolations(mem.toDS())
+      .writeStream.format("memory").queryName("viol_out")
+      .outputMode("append").start()
+    val byTime = ticks.sortBy(_.epochSec)
+    mem.addData(byTime.take(40): _*)
+    q.processAllAvailable()
+    mem.addData(byTime.slice(40, 90): _*)
+    q.processAllAvailable()
+    mem.addData(byTime.drop(90): _*)
+    q.processAllAvailable()
+    val fin = spark.table("viol_out").as[ViolOut].collect()
+      .groupBy(_.symbol).map { case (k, rows) =>
+        k -> rows.maxBy(_.epochSec) }
+    q.stop()
+    Seq("A", "B").foreach { k =>
+      val f = fin(k)
+      assert((f.n, f.nViol, f.n00, f.n01, f.n10, f.n11) == batchCounts(k),
+        s"$k: $f vs ${batchCounts(k)}")
+    }
+    // the Spark-4 transformWithState variant folds identically
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ViolTick]
+      val q2 = statefulViolationsTws(mem2.toDS())
+        .writeStream.format("memory").queryName("viol_tws_out")
+        .outputMode("append").start()
+      mem2.addData(byTime.take(71): _*)
+      q2.processAllAvailable()
+      mem2.addData(byTime.drop(71): _*)
+      q2.processAllAvailable()
+      val fin2 = spark.table("viol_tws_out").as[ViolOut].collect()
+        .groupBy(_.symbol).map { case (k, rows) => k -> rows.maxBy(_.epochSec) }
+      q2.stop()
+      Seq("A", "B").foreach { k =>
+        val f = fin2(k)
+        assert((f.n, f.nViol, f.n00, f.n01, f.n10, f.n11) == batchCounts(k),
+          s"tws $k: $f vs ${batchCounts(k)}")
+      }
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming: transformWithState chunk-carry ≡ whole-series (ST3, Spark-4 API)") {
     import StreamingPipelines._
     implicit val s: org.apache.spark.sql.SparkSession = spark
