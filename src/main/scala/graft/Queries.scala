@@ -2648,6 +2648,126 @@ object Queries {
       FROM f2"""
     })
 
+  // Brown–Forsythe median-Levene across the five event types — the
+  // dispersion omnibus beside q_kruskal's location test: doubled
+  // deviations |2v − 2·med| are exact integers, per-group ANOVA terms
+  // µ-quantized for the order-free fold, large-n F(k−1,∞) call.
+  private val qBrownForsythe = QDef(
+    "q_brown_forsythe",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.brownForsythe(h, "event_type", "hb", "v", scale = 1e4)
+    },
+    Some {
+      val critCase = Relational.Chi2Crit5PctByDf.toSeq.sortBy(_._1)
+        .map { case (d, c) =>
+          s"WHEN k_groups - 1 = $d THEN f > ${java.lang.Double.toString(c / d)}"
+        }.mkString("\n                   ")
+      s"""
+      WITH h0 AS (SELECT event_type AS k,
+                        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      h AS (SELECT * FROM h0 WHERE v IS NOT NULL),
+      md AS (SELECT k, CAST(quantile_cont(CAST(v AS DOUBLE), 0.5) * 2.0 AS BIGINT) AS m2
+             FROM h GROUP BY k),
+      z AS (SELECT h.k, abs(2 * h.v - md.m2) AS z
+            FROM h JOIN md ON md.k = h.k),
+      gp AS (SELECT k, COUNT(*) AS nj, SUM(CAST(z AS HUGEINT)) AS sz,
+                   SUM(CAST(z AS HUGEINT) * z) AS szz
+             FROM z GROUP BY k),
+      tq AS (SELECT k, nj, sz,
+                   CAST(floor((CAST(sz AS DOUBLE) / 20000.0)
+                     * (CAST(sz AS DOUBLE) / 20000.0)
+                     / CAST(nj AS DOUBLE) * 1e6) AS BIGINT) AS bq,
+                   CAST(floor((CAST(szz AS DOUBLE) / (20000.0 * 20000.0)
+                     - (CAST(sz AS DOUBLE) / 20000.0)
+                       * (CAST(sz AS DOUBLE) / 20000.0)
+                       / CAST(nj AS DOUBLE)) * 1e6) AS BIGINT) AS wq
+             FROM gp),
+      g AS (SELECT COUNT(*) AS k_groups, CAST(SUM(nj) AS BIGINT) AS n,
+                   CAST(SUM(sz) AS DOUBLE) AS szall,
+                   SUM(bq) AS b, SUM(wq) AS w
+            FROM tq),
+      f1 AS (SELECT *, CAST(n AS DOUBLE) AS nd, CAST(k_groups AS DOUBLE) AS kd,
+                   CAST(b AS DOUBLE) AS bd, CAST(w AS DOUBLE) AS wd
+             FROM g),
+      f2 AS (SELECT *, bd / 1e6 - (szall / 20000.0) * (szall / 20000.0) / nd AS ssb,
+                   wd / 1e6 AS ssw
+             FROM f1),
+      f3 AS (SELECT *, (ssb / (kd - 1.0)) / (ssw / (nd - kd)) AS f FROM f2)
+      SELECT n, k_groups,
+             CASE WHEN k_groups >= 2 AND nd - kd > 0.0 AND ssw > 0.0
+                  THEN round(f, 6) + 0.0 END AS f_bf,
+             CASE WHEN k_groups >= 2 AND nd - kd > 0.0 AND ssw > 0.0
+                  THEN CASE $critCase END
+             END AS reject_5pct
+      FROM f3"""
+    })
+
+  // Friedman rank test over complete hourly blocks — the blocked
+  // companion of q_kruskal (the shared time effect drops out):
+  // doubled within-block midranks, exact rank sums, χ²(k−1) call.
+  private val qFriedman = QDef(
+    "q_friedman",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.friedman(h, "event_type", "hb", "v", scale = 1e4)
+    },
+    Some {
+      val critCase = Relational.Chi2Crit5PctByDf.toSeq.sortBy(_._1)
+        .map { case (d, c) =>
+          s"WHEN k_groups - 1 = $d THEN c2 > ${java.lang.Double.toString(c)}"
+        }.mkString("\n                   ")
+      s"""
+      WITH h0 AS (SELECT event_type AS k,
+                        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hb,
+                        CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) * 1e4) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      h AS (SELECT * FROM h0 WHERE v IS NOT NULL),
+      kt AS (SELECT COUNT(DISTINCT k) AS ktot FROM h),
+      cc AS (SELECT hb, COUNT(*) AS cnt FROM h GROUP BY hb),
+      cb AS (SELECT h.k, h.hb, h.v
+             FROM h JOIN cc ON cc.hb = h.hb, kt WHERE cc.cnt = kt.ktot),
+      tv AS (SELECT hb, v, COUNT(*) AS w FROM cb GROUP BY hb, v),
+      rk AS (SELECT hb, v, w,
+                   SUM(w) OVER (PARTITION BY hb ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fle
+             FROM tv),
+      r2 AS (SELECT hb, v, 2 * (fle - w) + w + 1 AS m2 FROM rk),
+      pk AS (SELECT cb.k, COUNT(*) AS nb, SUM(CAST(m2 AS HUGEINT)) AS r2j
+             FROM cb JOIN r2 ON r2.hb = cb.hb AND r2.v = cb.v
+             GROUP BY cb.k),
+      tq AS (SELECT k, nb,
+                   CAST(floor(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)
+                     / 4.0 * 1e6) AS BIGINT) AS q
+             FROM pk),
+      g AS (SELECT COUNT(*) AS k_groups, CAST(MIN(nb) AS BIGINT) AS n_blocks,
+                   SUM(q) AS sq
+            FROM tq),
+      f1 AS (SELECT *, CAST(n_blocks AS DOUBLE) AS nd,
+                   CAST(k_groups AS DOUBLE) AS kd, CAST(sq AS DOUBLE) AS sqd
+             FROM g),
+      f2 AS (SELECT *, 12.0 / (nd * kd * (kd + 1.0)) * (sqd / 1e6)
+                     - 3.0 * nd * (kd + 1.0) AS c2
+             FROM f1)
+      SELECT n_blocks, k_groups,
+             CASE WHEN n_blocks >= 2 AND k_groups >= 2
+                  THEN round(c2, 6) + 0.0 END AS chi2_f,
+             CASE WHEN n_blocks >= 2 AND k_groups >= 2
+                  THEN CASE $critCase END
+             END AS reject_5pct
+      FROM f2"""
+    })
+
   // Detrended fluctuation analysis on the hourly panel — the
   // trend-robust scaling exponent beside q_hurst (disagreement between
   // alpha and hurst IS the trend diagnostic). Integer profile
@@ -10790,7 +10910,8 @@ object Queries {
     qRollSpread, qAmihud, qCsSpread, qArSpread, qBookSnapshots, qBookSnapshotsChunked, qHyCov, qDupNgramRate,
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qDfa, qRunsTest, qJarqueBera, qArchLm, qGranger, qKsDrift, qTransferEntropy, qMannKendall,
-    qChristoffersen, qGpdTail, qSampleEntropy, qCvmDrift, qChowTest, qNgramNovelty, qSupChow, qKruskal, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
+    qChristoffersen, qGpdTail, qSampleEntropy, qCvmDrift, qChowTest, qNgramNovelty, qSupChow, qKruskal,
+    qBrownForsythe, qFriedman, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
     qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,
     qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,

@@ -3074,4 +3074,148 @@ object Relational {
         when(ok, round(hAdj, 6) + lit(0.0)).as("h_adj"),
         when(ok && critCol.isNotNull, hAdj > critCol).as("reject_5pct"))
   }
+
+  /** Shared χ²(df)/df large-n F critical lookup for the ANOVA-style
+    * tests ([[brownForsythe]]) — F(df, ∞) = χ²(df)/df; the exact
+    * F(df, N−k) critical differs in the second decimal at N ≈ 10²
+    * (documented, the [[granger]] convention). */
+  private def fCritLargeN(df1: Column): Column =
+    Chi2Crit5PctByDf.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, c)) => when(df1 === d.toLong, lit(c / d)).otherwise(acc)
+    }
+
+  /** Brown–Forsythe / median-Levene test ACROSS series (Brown &
+    * Forsythe 1974, JASA 69): do the keys share a SCALE? — the
+    * dispersion companion of [[kruskalWallis]]'s location omnibus:
+    * one-way ANOVA on the absolute deviations from each group's
+    * MEDIAN (the median variant is the robust one — mean-Levene
+    * chases the same outliers it is testing for),
+    *
+    * {{{ F = [Σ n_j(z̄_j − z̄)²/(k−1)] / [Σ(z − z̄_j)²/(N−k)] }}}
+    *
+    * Determinism: the doubled deviations `z₂ = |2v − 2·med_j|` are
+    * EXACT integers (2·median of integers is the exact integer sum of
+    * the two middle order statistics — interpolated percentile at
+    * p = ½); the per-group moment sums accumulate as DECIMAL(38,0)/
+    * HUGEINT; each group's `(Σz)²/n` and SSW terms re-quantize
+    * (⌊·10⁶⌋) for an order-free cross-group fold; F is one fixed tree
+    * from those images (z₂'s doubling cancels — F is scale-invariant),
+    * 6 dp; the 5% call is the large-n F(k−1, ∞) = χ²(k−1)/(k−1) from
+    * the shared table.
+    *
+    * Scale shape: one grouped percentile, broadcast key-sized medians,
+    * one map-side-combined moment agg, a key-count fold — the corpus
+    * shuffles once. Returns one row:
+    * `(n, k_groups, f_bf, reject_5pct)`. */
+  def brownForsythe(df: DataFrame, keyCol: String, bucketCol: String,
+                    valueCol: String, scale: Double = 1e4): DataFrame = {
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+    val med = base.groupBy(col("_k")).agg(
+        (percentile(col("_v").cast("double"), lit(0.5)) * lit(2.0)).as("_m2d"))
+      .select(col("_k").as("_km"), col("_m2d").cast("long").as("_m2"))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val z = base.join(broadcast(med), col("_km") === col("_k"))
+      .withColumn("_z", abs(lit(2L) * col("_v") - col("_m2")))
+    val grp = z.groupBy(col("_k")).agg(
+      count(lit(1)).as("_nj"), sum(d38(col("_z"))).as("_sz"),
+      sum(d38(col("_z")) * d38(col("_z"))).as("_szz"))
+    def dd(c: Column): Column = c.cast("double")
+    val njD = col("_nj").cast("double")
+    // per-group images in VALUE units (divide the exact sums by the
+    // doubling·scale factor BEFORE squaring — F is scale-invariant and
+    // the quantized-unit squares would overflow the ⌊·10⁶⌋ BIGINT
+    // image at panel scale): (Σz)²/n (between-groups building block)
+    // and Σz² − (Σz)²/n (the group's within-SS) — µ-quantized for an
+    // order-free cross-group reduction. Envelope: n·maxz²·10⁶ < 2⁶³ →
+    // n ≲ 3·10⁷ rows per group at |v| ≤ 10³.
+    val ds = lit(2.0 * scale)
+    val bTerm = (dd(col("_sz")) / ds) * (dd(col("_sz")) / ds) / njD
+    val wTerm = dd(col("_szz")) / (ds * ds) -
+      (dd(col("_sz")) / ds) * (dd(col("_sz")) / ds) / njD
+    val folded = grp
+      .withColumn("_bq", floor(bTerm * lit(1e6)).cast("long"))
+      .withColumn("_wq", floor(wTerm * lit(1e6)).cast("long"))
+      .agg(count(lit(1)).as("k_groups"), sum(col("_nj")).as("n"),
+        sum(d38(col("_sz"))).as("_szAll"),
+        sum(col("_bq")).as("_b"), sum(col("_wq")).as("_w"))
+    val nD = col("n").cast("double")
+    val kD = col("k_groups").cast("double")
+    val ssb = col("_b").cast("double") / lit(1e6) -
+      (col("_szAll").cast("double") / ds) *
+        (col("_szAll").cast("double") / ds) / nD
+    val ssw = col("_w").cast("double") / lit(1e6)
+    val f = (ssb / (kD - lit(1.0))) / (ssw / (nD - kD))
+    val crit = fCritLargeN(col("k_groups") - lit(1L))
+    val ok = col("k_groups") >= 2L && (nD - kD) > 0.0 && ssw > 0.0
+    folded.select(col("n"), col("k_groups"),
+        when(ok, round(f, 6) + lit(0.0)).as("f_bf"),
+        when(ok && crit.isNotNull, f > crit).as("reject_5pct"))
+  }
+
+  /** Friedman rank test (Friedman 1937, JASA 32) — the BLOCKED
+    * companion of [[kruskalWallis]]: rank the k series WITHIN each
+    * complete bucket (block), so the common time effect every series
+    * shares drops out before comparing locations,
+    *
+    * {{{ χ²_F = 12/(n·k·(k+1)) · Σ_j R_j² − 3·n·(k+1) ~ χ²(k−1) }}}
+    *
+    * over the n blocks where ALL k series report (incomplete buckets
+    * drop — the classic complete-block design). Midranks break ties
+    * inside a block; the statistic is the classic uncorrected one
+    * (conservative under heavy ties — documented, rare on quantized
+    * hourly means).
+    *
+    * Determinism: doubled within-block midranks `2m = 2F_< + w + 1`
+    * are exact integers (the [[kruskalWallis]] scheme, per block);
+    * doubled rank sums accumulate exactly; each group's `R_j²` term
+    * re-quantizes (⌊·10⁶⌋) for the order-free cross-group fold; χ²_F
+    * is one fixed tree, 6 dp; 5% from [[Chi2Crit5PctByDf]] at k−1.
+    *
+    * Scale shape: block completeness and ranks are (bucket)-keyed
+    * windows/aggs — blocks are tiny (k rows); one (bucket, value)
+    * agg, one keyed rank window, one group fold. Returns one row:
+    * `(n_blocks, k_groups, chi2_f, reject_5pct)`. */
+  def friedman(df: DataFrame, keyCol: String, bucketCol: String,
+               valueCol: String, scale: Double = 1e4): DataFrame = {
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+    val kTotal = base.agg(countDistinct(col("_k")).as("_kt"))
+      .withColumn("_j", lit(1))
+    val complete = base
+      .withColumn("_cnt",
+        count(lit(1)).over(Window.partitionBy(col("_t"))))
+      .withColumn("_j", lit(1))
+      .join(broadcast(kTotal), Seq("_j")).drop("_j")
+      .where(col("_cnt") === col("_kt"))
+    val tv = complete.groupBy(col("_t"), col("_v"))
+      .agg(count(lit(1)).as("_w"))
+    val wb = Window.partitionBy(col("_t")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = tv
+      .withColumn("_fle", sum(col("_w")).over(wb))
+      .withColumn("_m2", lit(2L) * (col("_fle") - col("_w")) + col("_w") + lit(1L))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val perKey = complete.join(ranked.select(col("_t"), col("_v"), col("_m2")),
+        Seq("_t", "_v"))
+      .groupBy(col("_k")).agg(
+        count(lit(1)).as("_nb"), sum(d38(col("_m2"))).as("_r2j"))
+    def dd(c: Column): Column = c.cast("double")
+    val term = dd(col("_r2j")) * dd(col("_r2j")) / lit(4.0)
+    val folded = perKey
+      .withColumn("_tq", floor(term * lit(1e6)).cast("long"))
+      .agg(count(lit(1)).as("k_groups"), min(col("_nb")).as("n_blocks"),
+        sum(col("_tq")).as("_sq"))
+    val nD = col("n_blocks").cast("double")
+    val kD = col("k_groups").cast("double")
+    val chi2 = lit(12.0) / (nD * kD * (kD + lit(1.0))) *
+      (col("_sq").cast("double") / lit(1e6)) -
+      lit(3.0) * nD * (kD + lit(1.0))
+    val critCol = Chi2Crit5PctByDf.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, c)) => when(col("k_groups") - lit(1L) === d.toLong,
+        lit(c)).otherwise(acc)
+    }
+    val ok = col("n_blocks") >= 2L && col("k_groups") >= 2L
+    folded.select(col("n_blocks"), col("k_groups"),
+        when(ok, round(chi2, 6) + lit(0.0)).as("chi2_f"),
+        when(ok && critCol.isNotNull, chi2 > critCol).as("reject_5pct"))
+  }
 }

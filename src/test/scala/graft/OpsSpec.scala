@@ -6748,6 +6748,54 @@ class OpsSpec extends SparkSpec {
       r3.toString)
   }
 
+  test("brownForsythe: location shift doesn't reject, scale blowup does, hand ANOVA replay") {
+    // location-only shift: identical deviation tapes → SSB = 0 → F = 0
+    val p = (0 until 30).map(t => (t % 7).toDouble)
+    val loc = p.zipWithIndex.flatMap { case (v, t) =>
+      Seq(("A", t.toLong, v), ("B", t.toLong, v + 100.0)) }
+    val r1 = Relational.brownForsythe(loc.toDF("k", "hb", "v"), "k", "hb", "v")
+      .collect().head
+    // exact-zero SSB lands within one ⌊·10⁶⌋ quantum of 0
+    assert(math.abs(r1.getAs[Double]("f_bf")) < 1e-5 &&
+      !r1.getAs[Boolean]("reject_5pct"), r1.toString)
+    // 10× scale on one leg rejects
+    val sc = p.zipWithIndex.flatMap { case (v, t) =>
+      Seq(("A", t.toLong, v), ("C", t.toLong, v * 10.0)) }
+    val r2 = Relational.brownForsythe(sc.toDF("k", "hb", "v"), "k", "hb", "v")
+      .collect().head
+    assert(r2.getAs[Boolean]("reject_5pct"), r2.toString)
+    // {1,2,3} vs {1,5,9}: SSB = 24, SSW = 136/3 → F = 288/136
+    val hand = Seq(("A", 0L, 1.0), ("A", 1L, 2.0), ("A", 2L, 3.0),
+      ("B", 0L, 1.0), ("B", 1L, 5.0), ("B", 2L, 9.0))
+    val r3 = Relational.brownForsythe(hand.toDF("k", "hb", "v"), "k", "hb", "v")
+      .collect().head
+    assert(r3.getAs[Long]("n") == 6L && r3.getAs[Long]("k_groups") == 2L, r3.toString)
+    assert(math.abs(r3.getAs[Double]("f_bf") - 288.0 / 136.0) < 1e-4, r3.toString)
+    assert(!r3.getAs[Boolean]("reject_5pct"), r3.toString)
+  }
+
+  test("friedman: constant-order closed form 2n, tie midranks 1.5n, incomplete blocks drop") {
+    // B < A < C in every block → ranks 1,2,3 → χ²_F = 2n exactly;
+    // one incomplete bucket (only A) must drop
+    val ordered = (0 until 10).flatMap(t => Seq(
+      ("A", t.toLong, 5.0 + t), ("B", t.toLong, 1.0 + t), ("C", t.toLong, 9.0 + t))) :+
+      ("A", 99L, 1.0)
+    val r1 = Relational.friedman(ordered.toDF("k", "hb", "v"), "k", "hb", "v")
+      .collect().head
+    assert(r1.getAs[Long]("n_blocks") == 10L && r1.getAs[Long]("k_groups") == 3L,
+      r1.toString)
+    assert(math.abs(r1.getAs[Double]("chi2_f") - 20.0) < 1e-4, r1.toString)
+    assert(r1.getAs[Boolean]("reject_5pct"), r1.toString)
+    // A = B tied in every block, C above → midranks 1.5,1.5,3 →
+    // χ²_F = 1.5n (the classic uncorrected statistic with midranks)
+    val tied = (0 until 10).flatMap(t => Seq(
+      ("A", t.toLong, 2.0 + t), ("B", t.toLong, 2.0 + t), ("C", t.toLong, 9.0 + t)))
+    val r2 = Relational.friedman(tied.toDF("k", "hb", "v"), "k", "hb", "v")
+      .collect().head
+    assert(math.abs(r2.getAs[Double]("chi2_f") - 15.0) < 1e-4, r2.toString)
+    assert(r2.getAs[Boolean]("reject_5pct"), r2.toString)
+  }
+
 }
 
 /** Test backends for the inference-backend contract spec — top level so
