@@ -2768,6 +2768,125 @@ object Queries {
       FROM f2"""
     })
 
+  // Lag-0 sign mutual information for every unordered pair — the
+  // symmetric companion of q_transfer_entropy (MI ≫ 0 with both TEs
+  // ≈ 0 is the common-driver signature): 4-cell histogram, exact
+  // counts, µnat-quantized order-free fold.
+  private val qMutualInfo = QDef(
+    "q_mutual_info",
+    (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("hb", expr("unix_micros(bucket) div 3600000000"))
+      Relational.mutualInfo(h, "event_type", "hb", "v", scale = 1e4)
+    },
+    Some(DiffTapeSqlPrefix + """,
+      sg AS (SELECT k, t, CASE WHEN dv > 0 THEN 1 ELSE 0 END AS s FROM d),
+      pr AS (SELECT a.k AS ka, b.k AS kb, a.s AS sa, b.s AS sb
+             FROM sg a JOIN sg b ON b.t = a.t AND a.k < b.k),
+      cells AS (SELECT ka, kb, sa, sb, COUNT(*) AS c
+                FROM pr GROUP BY 1, 2, 3, 4),
+      m AS (SELECT ka, kb, c,
+                   SUM(c) OVER (PARTITION BY ka, kb) AS n,
+                   SUM(c) OVER (PARTITION BY ka, kb, sa) AS ca,
+                   SUM(c) OVER (PARTITION BY ka, kb, sb) AS cb
+            FROM cells),
+      tq AS (SELECT ka, kb, n,
+                   CAST(floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                     * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                          / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)))
+                     * 1e9) AS BIGINT) AS q
+             FROM m),
+      g AS (SELECT ka, kb, MIN(n) AS n, SUM(q) AS sq FROM tq GROUP BY ka, kb)
+      SELECT ka AS key_a, kb AS key_b, CAST(n AS BIGINT) AS n,
+             round(CAST(sq AS DOUBLE) / 1e9, 6) + 0.0 AS mi_nats
+      FROM g ORDER BY key_a, key_b"""))
+
+  // Gini concentration of per-user spend within each event type — the
+  // inequality gauge beside q_source_quota's share caps: exact-cent
+  // member totals, tie-invariant rank-weighted HUGEINT sums.
+  private val qGini = QDef(
+    "q_gini",
+    (s, dir) => Relational.gini(t(s, dir, "events"),
+      Seq("event_type"), "user_id", "value"),
+    Some("""
+      WITH c AS (SELECT event_type, user_id,
+                        CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      rk AS (SELECT event_type, x,
+                   row_number() OVER (PARTITION BY event_type ORDER BY x) AS i
+             FROM c),
+      g AS (SELECT event_type, COUNT(*) AS n_members,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(i AS HUGEINT) * x) AS swx
+            FROM rk GROUP BY event_type),
+      f1 AS (SELECT event_type, n_members,
+                   CAST(n_members AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                   CAST(swx AS DOUBLE) AS swxd
+             FROM g)
+      SELECT event_type, n_members,
+             round(sxd / 100.0, 6) + 0.0 AS total,
+             CASE WHEN n_members >= 1 AND sxd > 0.0
+                  THEN round(2.0 * swxd / (nd * sxd) - (nd + 1.0) / nd, 6) + 0.0
+             END AS gini
+      FROM f1 ORDER BY event_type"""))
+
+  // Tokenizer fertility by language — BPE pieces per whitespace word
+  // and chars per piece from the q_bpe_tokenize machinery (merges=6):
+  // the tokenizer-efficiency lens a multilingual corpus needs (a lang
+  // with fertility ≫ others is under-served by the merge table).
+  private val qTokenizerFertility = QDef(
+    "q_tokenizer_fertility",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val tok = TextAnalysis.bpeTokenize(d, "text", "doc_id", merges = 6)
+      d.select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(tok, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          sum(col("n_chars")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_pieces"), col("n_chars"),
+          when(col("n_words") > 0L,
+            round(col("n_pieces").cast("double") /
+              col("n_words").cast("double"), 6) + lit(0.0)).as("fertility"),
+          when(col("n_pieces") > 0L,
+            round(col("n_chars").cast("double") /
+              col("n_pieces").cast("double"), 6) + lit(0.0))
+            .as("chars_per_piece"))
+        .orderBy("lang")
+    },
+    Some(raw"""
+      WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+      w0 AS (SELECT w, string_split(w, '') AS p, CAST(count(*) AS BIGINT) AS c
+             FROM tok WHERE w <> '' GROUP BY w),""" +
+      (1 to 6).map(bpeRoundSql).mkString(",") + raw""",
+      cnt AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(SUM(len(w6.p)) AS BIGINT) AS n_pieces
+              FROM tok t JOIN w6 ON t.w = w6.w GROUP BY t.doc_id),
+      per AS (SELECT d.lang, d.n_chars,
+                    COALESCE(cnt.n_words, 0) AS n_words,
+                    COALESCE(cnt.n_pieces, 0) AS n_pieces
+              FROM documents d LEFT JOIN cnt USING (doc_id)),
+      g AS (SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_words) AS BIGINT) AS n_words,
+                   CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars
+            FROM per GROUP BY lang)
+      SELECT lang, n_docs, n_words, n_pieces, n_chars,
+             CASE WHEN n_words > 0
+                  THEN round(CAST(n_pieces AS DOUBLE)
+                             / CAST(n_words AS DOUBLE), 6) + 0.0
+             END AS fertility,
+             CASE WHEN n_pieces > 0
+                  THEN round(CAST(n_chars AS DOUBLE)
+                             / CAST(n_pieces AS DOUBLE), 6) + 0.0
+             END AS chars_per_piece
+      FROM g ORDER BY lang"""))
+
   // Detrended fluctuation analysis on the hourly panel — the
   // trend-robust scaling exponent beside q_hurst (disagreement between
   // alpha and hurst IS the trend diagnostic). Integer profile
@@ -10911,7 +11030,7 @@ object Queries {
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qDfa, qRunsTest, qJarqueBera, qArchLm, qGranger, qKsDrift, qTransferEntropy, qMannKendall,
     qChristoffersen, qGpdTail, qSampleEntropy, qCvmDrift, qChowTest, qNgramNovelty, qSupChow, qKruskal,
-    qBrownForsythe, qFriedman, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
+    qBrownForsythe, qFriedman, qMutualInfo, qGini, qTokenizerFertility, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
     qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,
     qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,

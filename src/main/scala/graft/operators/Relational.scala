@@ -2764,6 +2764,101 @@ object Relational {
       .orderBy("key_cause", "key_effect")
   }
 
+  /** Lag-0 mutual information on the binary up/down tape, every
+    * UNORDERED series pair — the symmetric companion of
+    * [[transferEntropy]] (TE asks "does x's PAST inform y's future?",
+    * MI asks "do the two tapes co-move AT ALL?"; MI ≫ 0 with both TEs
+    * ≈ 0 is the common-driver signature):
+    *
+    * {{{ MI = Σ_{a,b} p(a,b) · ln[ p(a,b) / (p(a)·p(b)) ] }}}
+    *
+    * over the 4-cell contemporaneous sign histogram. Plug-in estimate;
+    * ≥ 0 up to the term quantization.
+    *
+    * Determinism — the [[transferEntropy]] µnat scheme: exact integer
+    * cell/marginal counts, each term `c/n · ln(c·n/(c_a·c_b))` is one
+    * fixed tree re-quantized to a ⌊·10⁹⌋ BIGINT, order-free reduction,
+    * 6 dp.
+    *
+    * Scale shape: one bucket equi-join to pair the tapes (series count
+    * is the small dimension), a 4-cell-per-pair count agg, window
+    * marginals on that tiny frame, one final agg. */
+  def mutualInfo(df: DataFrame, keyCol: String, bucketCol: String,
+                 valueCol: String, scale: Double = 1e4): DataFrame = {
+    val base = quantizedBase(df, keyCol, bucketCol, valueCol, scale)
+      .withColumn("_t", col("_t").cast("long"))
+    val sgn = diffTape(base)
+      .withColumn("_s", when(col("_d") > 0L, lit(1)).otherwise(lit(0)))
+    val paired = sgn.as("a").join(sgn.as("b"),
+        col("b._t") === col("a._t") && col("a._k") < col("b._k"))
+      .select(col("a._k").as("key_a"), col("b._k").as("key_b"),
+        col("a._s").as("_sa"), col("b._s").as("_sb"))
+    val cells = paired.groupBy(col("key_a"), col("key_b"),
+        col("_sa"), col("_sb"))
+      .agg(count(lit(1)).as("_c"))
+    val pw = Window.partitionBy(col("key_a"), col("key_b"))
+    val wA = Window.partitionBy(col("key_a"), col("key_b"), col("_sa"))
+    val wB = Window.partitionBy(col("key_a"), col("key_b"), col("_sb"))
+    val withMarg = cells
+      .withColumn("_n", sum(col("_c")).over(pw))
+      .withColumn("_ca", sum(col("_c")).over(wA))
+      .withColumn("_cb", sum(col("_c")).over(wB))
+    def dd(c: Column): Column = c.cast("double")
+    val term = dd(col("_c")) / dd(col("_n")) *
+      log(dd(col("_c")) * dd(col("_n")) / (dd(col("_ca")) * dd(col("_cb"))))
+    val agg = withMarg
+      .withColumn("_tq", floor(term * lit(1e9)).cast("long"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(min(col("_n")).as("n"), sum(col("_tq")).as("_sq"))
+    agg.select(col("key_a"), col("key_b"), col("n"),
+        (round(col("_sq").cast("double") / lit(1e9), 6) + lit(0.0))
+          .as("mi_nats"))
+      .orderBy("key_a", "key_b")
+  }
+
+  /** Gini concentration of an exact-cent measure over members of a
+    * group (volume by user, tokens by source — "how unequal is the
+    * contribution distribution?"): with member totals sorted ascending,
+    *
+    * {{{ G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n }}}
+    *
+    * 0 = perfectly even, → 1 = one member carries everything. The
+    * inequality gauge beside the share-quota samplers (a corpus whose
+    * G → 1 is one source in a trench coat).
+    *
+    * Determinism: member totals are exact DECIMAL(18,2) sums emitted
+    * as integer CENTS; rank weights make `Σ i·x` TIE-INVARIANT (equal
+    * totals swap equal values between ranks), so the weighted sum
+    * accumulates as DECIMAL(38,0)/HUGEINT exactly; G is one fixed
+    * tree, 6 dp. Null on an empty group or Σx ≤ 0.
+    *
+    * Scale shape: one (group, member) agg, one ordered keyed window
+    * for ranks, one map-side-combined agg onto group rows. */
+  def gini(df: DataFrame, groupCols: Seq[String], memberCol: String,
+           valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "gini needs the group key(s)")
+    val cents = df.where(col(valueCol).isNotNull)
+      .groupBy((groupCols :+ memberCol).map(col): _*)
+      .agg((sum(col(valueCol).cast("decimal(18,2)")) * lit(100))
+        .cast("long").as("_x"))
+    val wr = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_x"))
+    val ranked = cents.withColumn("_i", row_number().over(wr).cast("long"))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val agg = ranked.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_members"),
+      sum(d38(col("_x"))).as("_sx"),
+      sum(d38(col("_i")) * d38(col("_x"))).as("_swx"))
+    def dd(c: Column): Column = c.cast("double")
+    val nD = col("n_members").cast("double")
+    val g = lit(2.0) * dd(col("_swx")) / (nD * dd(col("_sx"))) -
+      (nD + lit(1.0)) / nD
+    val ok = col("n_members") >= 1L && dd(col("_sx")) > 0.0
+    agg.select(groupCols.map(col) ++ Seq(col("n_members"),
+        (round(dd(col("_sx")) / lit(100.0), 6) + lit(0.0)).as("total"),
+        when(ok, round(g, 6) + lit(0.0)).as("gini")): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+
   /** Mann–Kendall trend test + Theil–Sen slope per series (Mann 1945;
     * Sen 1968) — the RANK-based monotone-trend detector beside the
     * parametric [[graft.operators.Labeling]] trend-scan: `S = Σ_{i<j}

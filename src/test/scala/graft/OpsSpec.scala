@@ -6796,6 +6796,61 @@ class OpsSpec extends SparkSpec {
     assert(r2.getAs[Boolean]("reject_5pct"), r2.toString)
   }
 
+  test("mutualInfo: copied tape ln2, anti-aligned ln2, independent near 0") {
+    // X and its copy Y: balanced alternating diffs → MI = ln 2 exactly;
+    // Z = mirrored (anti-aligned) → the SAME ln 2 (MI is relabel-blind)
+    val alt = (0 until 41).map(t => if (t % 2 == 0) 10.0 else 12.0)
+    val rows = alt.zipWithIndex.flatMap { case (v, t) =>
+      Seq(("A", t.toLong, v), ("B", t.toLong, v), ("C", t.toLong, 22.0 - v)) }
+    var seed = 41L
+    def nxt(): Double = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % 1000L).toDouble / 100.0
+    }
+    val ind = (0 until 41).flatMap(t => Seq(("X", t.toLong, nxt()), ("Y", t.toLong, nxt())))
+    val out = Relational.mutualInfo((rows ++ ind).toDF("k", "hb", "v"), "k", "hb", "v")
+      .collect()
+      .map(r => (r.getAs[String]("key_a"), r.getAs[String]("key_b")) -> r).toMap
+    assert(out(("A", "B")).getAs[Double]("mi_nats") == 0.693147, out(("A", "B")).toString)
+    assert(out(("A", "C")).getAs[Double]("mi_nats") == 0.693147, out(("A", "C")).toString)
+    assert(math.abs(out(("X", "Y")).getAs[Double]("mi_nats")) < 0.05,
+      out(("X", "Y")).toString)
+  }
+
+  test("gini: even split 0, single-holder (n-1)/n, 1..4 hand case, exact cent totals") {
+    val even = (1 to 5).map(u => ("E", u.toLong, 10.0))
+    val conc = (1 to 5).map(u => ("K", u.toLong, if (u == 3) 50.0 else 0.0))
+    val hand = (1 to 4).map(u => ("H", u.toLong, u.toDouble))
+    val out = Relational.gini((even ++ conc ++ hand).toDF("k", "u", "v"),
+        Seq("k"), "u", "v")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(out("E").getAs[Double]("gini") == 0.0, out("E").toString)
+    assert(math.abs(out("K").getAs[Double]("gini") - 0.8) < 1e-9, out("K").toString)
+    assert(math.abs(out("H").getAs[Double]("gini") - 0.25) < 1e-9, out("H").toString)
+    assert(out("H").getAs[Double]("total") == 10.0 &&
+      out("H").getAs[Long]("n_members") == 4L, out("H").toString)
+  }
+
+  test("tokenizerFertility composition: single-char words give fertility exactly 1") {
+    // single-char words are merge-independent: pieces ≡ words at any
+    // merge budget, so fertility is exactly 1 and chars/piece is the
+    // raw ratio — the composition seam is what this pins (the BPE
+    // machinery itself is oracle-gated)
+    val docs = Seq(
+      (1L, "a b c", "aa", 5L), (2L, "d e", "aa", 3L),
+      (3L, "x y z w", "bb", 7L)).toDF("doc_id", "text", "lang", "n_chars")
+    val tok = TextAnalysis.bpeTokenize(docs, "text", "doc_id", merges = 6)
+    val got = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(tok, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_words")).as("w"), sum(col("n_pieces")).as("p"),
+        sum(col("n_chars")).as("c"))
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("w"), r.getAs[Long]("p"), r.getAs[Long]("c"))).toMap
+    assert(got("aa") == ((5L, 5L, 8L)), got("aa").toString)
+    assert(got("bb") == ((4L, 4L, 7L)), got("bb").toString)
+  }
+
 }
 
 /** Test backends for the inference-backend contract spec — top level so
