@@ -2887,6 +2887,59 @@ object Queries {
              END AS chars_per_piece
       FROM g ORDER BY lang"""))
 
+  // First-order partial correlations over the hourly panel — the
+  // spurious-correlation screen on the q_correlation images: a pair
+  // whose partials all collapse is co-moving through the controls.
+  // Composes the 6-dp pair frame (determinism-first by construction).
+  private val qPartialCorr = QDef(
+    "q_partial_corr",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((dsum(col("value")) / count(lit(1))).as("mean_v"))
+      Relational.partialCorrelation(hourly, "event_type", "bucket", "mean_v",
+        scale = 1e4)
+    },
+    Some("""
+      WITH h0 AS (
+        SELECT event_type AS k, date_trunc('hour', ts) AS t,
+               CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1e4) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2),
+      h AS (SELECT * FROM h0 WHERE v IS NOT NULL),
+      p AS (SELECT x.k AS key_a, y.k AS key_b, x.v AS xa, y.v AS xb
+            FROM h x JOIN h y ON x.t = y.t AND x.k < y.k),
+      s AS (SELECT key_a, key_b, COUNT(*) AS n,
+                   CAST(SUM(xa) AS BIGINT) AS sx, CAST(SUM(xb) AS BIGINT) AS sy,
+                   CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+                   CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+                   CAST(SUM(xb * xb) AS BIGINT) AS syy
+            FROM p GROUP BY 1, 2),
+      cm AS (SELECT key_a, key_b,
+             CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+                   AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+                  THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             END AS corr
+             FROM s),
+      sym AS (SELECT key_a, key_b, corr FROM cm
+              UNION ALL SELECT key_b, key_a, corr FROM cm),
+      ks AS (SELECT DISTINCT key_a AS kk FROM sym),
+      tri AS (SELECT c.key_a, c.key_b, c.corr, k.kk
+              FROM cm c JOIN ks k ON k.kk <> c.key_a AND k.kk <> c.key_b),
+      j1 AS (SELECT t.*, s.corr AS r_az
+             FROM tri t JOIN sym s ON s.key_a = t.key_a AND s.key_b = t.kk),
+      j2 AS (SELECT j1.*, s.corr AS r_bz
+             FROM j1 JOIN sym s ON s.key_a = j1.key_b AND s.key_b = j1.kk),
+      f AS (SELECT *, 1.0 - r_az * r_az AS da, 1.0 - r_bz * r_bz AS db
+            FROM j2)
+      SELECT key_a, key_b, kk AS key_ctrl, corr AS corr_raw,
+             CASE WHEN corr IS NOT NULL AND r_az IS NOT NULL
+                    AND r_bz IS NOT NULL AND da > 0.0 AND db > 0.0
+                  THEN round((corr - r_az * r_bz) / (sqrt(da) * sqrt(db)), 6) + 0.0
+             END AS partial_corr
+      FROM f ORDER BY key_a, key_b, key_ctrl"""))
+
   // Detrended fluctuation analysis on the hourly panel — the
   // trend-robust scaling exponent beside q_hurst (disagreement between
   // alpha and hurst IS the trend diagnostic). Integer profile
@@ -11030,7 +11083,7 @@ object Queries {
     qEventStudy, qSeasonality, qWinsorize, qLedoitWolf, qLedoitWolfCc,
     qHurst, qDfa, qRunsTest, qJarqueBera, qArchLm, qGranger, qKsDrift, qTransferEntropy, qMannKendall,
     qChristoffersen, qGpdTail, qSampleEntropy, qCvmDrift, qChowTest, qNgramNovelty, qSupChow, qKruskal,
-    qBrownForsythe, qFriedman, qMutualInfo, qGini, qTokenizerFertility, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
+    qBrownForsythe, qFriedman, qMutualInfo, qGini, qTokenizerFertility, qPartialCorr, qHalfLife, qEgCoint, qDriftMonitor, qCusum, qRealizedMoments, qFracDiff,
     qTrendScan, qRunBars, qPermEntropy, qPbo, qSadf, qAvgUniqueness,
     qKalmanHedge, qSeqBootstrap, qBetSize, qLeeReady, qSpreadCompare,
     qHasbrouckLambda, qRegimeProb, qRegimeAttribution, qXsMomentum, qImplShortfall,

@@ -2764,6 +2764,56 @@ object Relational {
       .orderBy("key_cause", "key_effect")
   }
 
+  /** First-order partial correlation for every pair GIVEN each other
+    * series as the control:
+    *
+    * {{{ r_xy·z = (r_xy − r_xz·r_yz) / √(1−r_xz²)·√(1−r_yz²) }}}
+    *
+    * — the spurious-correlation screen on top of
+    * [[correlationMatrix]]: a pair whose raw r is large but whose
+    * partials all collapse toward 0 is co-moving through the controls
+    * (the market factor), not with each other; the pairwise complement
+    * of q_detoned_corr's global factor removal.
+    *
+    * Determinism: derives from the 6-dp-ROUNDED pair images the
+    * hash-gated [[correlationMatrix]] already emits (both engines
+    * compose identical doubles — determinism-first by construction);
+    * one fixed tree per triple, 6 dp. Null when either control pair is
+    * null/degenerate (|r| = 1) or never co-observed (the triple drops
+    * with its missing leg).
+    *
+    * Scale shape: the pair frame is keys²-sized (the correlation-
+    * family small-dimension contract); the triple expansion joins
+    * broadcast key-sized frames — the corpus is touched only by the
+    * underlying [[correlationMatrix]] pass. */
+  def partialCorrelation(df: DataFrame, keyCol: String, bucketCol: String,
+                         valueCol: String, scale: Double = 1e4): DataFrame = {
+    val cm = correlationMatrix(df, keyCol, bucketCol, valueCol, scale)
+      .select(col("key_a"), col("key_b"), col("corr"))
+    val sym = cm.unionByName(cm.select(col("key_b").as("key_a"),
+      col("key_a").as("key_b"), col("corr")))
+    val keys = sym.select(col("key_a").as("kk")).distinct()
+    val tri = cm.join(broadcast(keys),
+      col("kk") =!= col("key_a") && col("kk") =!= col("key_b"))
+    val withCtrl = tri
+      .join(broadcast(sym.select(col("key_a").as("_xa"), col("key_b").as("_xz"),
+          col("corr").as("_raz"))),
+        col("_xa") === col("key_a") && col("_xz") === col("kk"))
+      .join(broadcast(sym.select(col("key_a").as("_ya"), col("key_b").as("_yz"),
+          col("corr").as("_rbz"))),
+        col("_ya") === col("key_b") && col("_yz") === col("kk"))
+    val da = lit(1.0) - col("_raz") * col("_raz")
+    val db = lit(1.0) - col("_rbz") * col("_rbz")
+    val partial = (col("corr") - col("_raz") * col("_rbz")) /
+      (sqrt(da) * sqrt(db))
+    val ok = col("corr").isNotNull && col("_raz").isNotNull &&
+      col("_rbz").isNotNull && da > 0.0 && db > 0.0
+    withCtrl.select(col("key_a"), col("key_b"), col("kk").as("key_ctrl"),
+        col("corr").as("corr_raw"),
+        when(ok, round(partial, 6) + lit(0.0)).as("partial_corr"))
+      .orderBy("key_a", "key_b", "key_ctrl")
+  }
+
   /** Lag-0 mutual information on the binary up/down tape, every
     * UNORDERED series pair — the symmetric companion of
     * [[transferEntropy]] (TE asks "does x's PAST inform y's future?",

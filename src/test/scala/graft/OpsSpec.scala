@@ -6851,6 +6851,45 @@ class OpsSpec extends SparkSpec {
     assert(got("bb") == ((4L, 4L, 7L)), got("bb").toString)
   }
 
+  test("partialCorrelation: common driver collapses, direct link survives, image replay") {
+    // Z drives X and Y through independent noises; W is tied to X
+    // directly — controlling Z must kill r_XY but not r_WX
+    var seed = 77L
+    def nxt(mod: Long): Double = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % mod).toDouble / mod.toDouble
+    }
+    val n = 500
+    val rows = (0 until n).flatMap { t =>
+      val z = nxt(1000L) * 10.0
+      val x = z + nxt(1000L)
+      val y = z + nxt(1000L)
+      val w = x + nxt(1000L) * 0.1
+      Seq(("Z", t.toLong, z), ("X", t.toLong, x), ("Y", t.toLong, y),
+        ("W", t.toLong, w))
+    }
+    val df = rows.toDF("k", "hb", "v")
+    val out = Relational.partialCorrelation(df, "k", "hb", "v")
+      .collect().map(r => (r.getAs[String]("key_a"), r.getAs[String]("key_b"),
+        r.getAs[String]("key_ctrl")) -> r).toMap
+    val xyz = out(("X", "Y", "Z"))
+    assert(xyz.getAs[Double]("corr_raw") > 0.85, xyz.toString)
+    assert(math.abs(xyz.getAs[Double]("partial_corr")) < 0.15, xyz.toString)
+    val wxz = out(("W", "X", "Z"))
+    assert(wxz.getAs[Double]("partial_corr") > 0.9, wxz.toString)
+    // replay from the operator's own 6-dp pair images
+    val cm = Relational.correlationMatrix(df, "k", "hb", "v")
+      .collect().flatMap { r =>
+        val (a, b) = (r.getAs[String]("key_a"), r.getAs[String]("key_b"))
+        val c = r.getAs[Double]("corr")
+        Seq((a, b) -> c, (b, a) -> c)
+      }.toMap
+    val exp = (cm(("X", "Y")) - cm(("X", "Z")) * cm(("Y", "Z"))) /
+      (math.sqrt(1.0 - cm(("X", "Z")) * cm(("X", "Z"))) *
+        math.sqrt(1.0 - cm(("Y", "Z")) * cm(("Y", "Z"))))
+    assert(math.abs(xyz.getAs[Double]("partial_corr") - exp) < 1e-5, s"$xyz vs $exp")
+  }
+
 }
 
 /** Test backends for the inference-backend contract spec — top level so
