@@ -53,9 +53,19 @@ object Bench {
     // can both straddle one window; a third ~30 s clean pass is cheap
     // insurance that best-of-N reflects the plan, not the host
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // AQE's partition coalescing is size-targeted (default floor 1 MB /
+    // advisory 64 MB), which at small scale collapses CPU-BOUND stages
+    // (text kernels, per-window ladders) onto 1-4 tasks while the other
+    // cores idle — measured r13: q_sadf 3.9→2.7 s, q_trend_scan 3.3→2.1,
+    // q_bet_size 2.5→1.5, q_embed_neardup_lsh 4.9→2.2 just from a 64 KB
+    // floor. At production partition sizes (100s of MB) a 64 KB floor is
+    // inert — this is parallelism insurance for compute-dense stages, not
+    // a local[32] constant (override via SPARK_GRAFT_MIN_PARTITION_SIZE).
+    val minPart = sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
       // same session semantics Verify green-lights: timing a query that
       // computes different rows than the verified one would be meaningless
       .config("spark.sql.session.timeZone", "UTC")

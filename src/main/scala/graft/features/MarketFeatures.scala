@@ -97,13 +97,21 @@ object MarketFeatures {
       s"buildChunked: ${chunkIds.size} chunks exceeds maxChunks=$maxChunks " +
         "— raise chunkUs (each chunk is a driver-loop fold)")
     var carry = MarketIncremental.emptyFeatCarry(spark, cfg)
-    var out = MarketIncremental.emptyFeatures(spark, cfg)
+    // union ONCE at the end (the bookSnapshotsChunked rationale): each
+    // `feat` is a filter+project over the fold's checkpointed window
+    // frame, so per-chunk `out.localCheckpoint` re-materialized every
+    // prior chunk's features each round — O(chunks²) rows + one eager
+    // job per chunk removed, and the final action computes all chunk
+    // branches in one parallel job. (r13)
+    val parts = Seq.newBuilder[DataFrame]
     chunkIds.foreach { c =>
       val (feat, carry2) = MarketIncremental.marketFeaturesFold(
         carry, base.where(col("_chunk") === c).drop("_chunk"), cfg, dropnaFinal)
-      out = out.unionByName(feat).localCheckpoint(true)
+      parts += feat
       carry = carry2
     }
+    val out = (MarketIncremental.emptyFeatures(spark, cfg) +: parts.result())
+      .reduce(_ unionByName _)
     Schemas.conformTo(out, Schemas.FEATURE, keepExtra = false)
   }
 }

@@ -376,15 +376,25 @@ object OrderbookFeatures {
         "— raise chunkUs (each chunk is a driver-loop fold)")
     var book = MarketIncremental.emptyBook(spark, cfg)
     var cursor = MarketIncremental.emptyBookCursor(spark, cfg)
-    var out = MarketIncremental.emptySnapshots(spark, cfg)
+    // Accumulate the per-chunk snapshot branches and union ONCE at the
+    // end: each `snaps` already has shallow lineage (its inputs — dedup,
+    // cursor image, frontier — are checkpointed inside the fold), so a
+    // per-chunk `out.unionByName(snaps).localCheckpoint` re-materializes
+    // every PRIOR chunk's snapshots again each round: O(chunks²) rows
+    // materialized and one extra eager job per chunk, at every scale.
+    // Deferring also lets the final action compute all chunk branches in
+    // one parallel job instead of `chunks` sequential ones. (r13)
+    val parts = Seq.newBuilder[DataFrame]
     chunkIds.foreach { c =>
       val (snaps, b2, c2) = MarketIncremental.bookSnapshotFold(
         book, cursor, base.where(col("_chunk") === c).drop("_chunk"), cfg)
-      out = out.unionByName(snaps).localCheckpoint(true)
+      parts += snaps
       book = b2
       cursor = c2
     }
-    out.unionByName(MarketIncremental.provisionalSnapshots(book, cursor, cfg))
+    (MarketIncremental.emptySnapshots(spark, cfg) +: parts.result())
+      .reduce(_ unionByName _)
+      .unionByName(MarketIncremental.provisionalSnapshots(book, cursor, cfg))
   }
 
   /** Lee–Ready trade classification (Lee & Ready 1991, J. Finance 46(2))
