@@ -610,39 +610,63 @@ object Backtest {
   def leadingEigen(cov: DataFrame, covCol: String = "shrunk_cov",
                    rounds: Int = 8): DataFrame = {
     val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // SinglePartition fold (r13): the pair image is key²-sized by
+    // contract, so after the one materialization every loop frame lives
+    // in ONE partition — SinglePartition satisfies every downstream
+    // distribution requirement, so each round plans with ZERO exchanges
+    // and ZERO broadcast stages (guide §2.4: remove shuffles outright).
+    // The norm attaches as a global-frame window over the same single
+    // partition (exact DECIMAL sum, same tree as the old scalar agg).
+    // Rounds still checkpoint (one cheap single-stage job each): a fully
+    // lazy 8-round nest was measured SLOWER — Catalyst re-analysis of
+    // the ~50-operator plan per rep cost more than the jobs it saved.
     val pairs = cov.select(col("key_a").cast("string").as("a"),
         col("key_b").cast("string").as("b"),
         round(col(covCol) * 1e6).cast("long").as("covq"))
       .localCheckpoint()
+      .coalesce(1)
     val sym = pairs.unionByName(pairs.where(col("a") =!= col("b"))
       .select(col("b").as("a"), col("a").as("b"), col("covq")))
+      .coalesce(1)
+    val wAll = Window.partitionBy()
     var v = sym.select(col("a").as("k")).distinct()
       .withColumn("vq", lit(1000000L))
     (1 to rounds).foreach { _ =>
-      val mv = sym.join(broadcast(v.select(col("k").as("b"), col("vq"))), Seq("b"))
+      // the free coalesce(1) after the join re-asserts SinglePartition:
+      // a join's PartitioningCollection output does NOT satisfy the next
+      // keyed requirement in this Spark build, so without it every
+      // downstream groupBy/agg re-shuffles both sides
+      val mv = sym.join(v.select(col("k").as("b"), col("vq")).hint("shuffle_hash"),
+          Seq("b"))
+        .coalesce(1)
         .groupBy(col("a")).agg(sum(col("covq") * col("vq")).as("mv"))
-      val norm = mv.agg(
-        sqrt(sum(col("mv").cast(D38) * col("mv").cast(D38)).cast("double"))
-          .as("nrm"))
-      // truncate the lineage each round: the vector is key-sized, and
-      // chained join+agg rounds otherwise stack into one deep plan
-      // whose analysis dominates the wall
-      v = mv.crossJoin(broadcast(norm))
+      v = mv
+        .withColumn("nrm",
+          sqrt(sum(col("mv").cast(D38) * col("mv").cast(D38)).over(wAll)
+            .cast("double")))
         .select(col("a").as("k"),
           when(col("nrm") > 0.0,
             round(col("mv").cast("double") / col("nrm") * 1e6).cast("long"))
             .otherwise(lit(0L)).as("vq"))
         .localCheckpoint()
+        .coalesce(1)
     }
+    val vf = v
     val num = sym
-      .join(broadcast(v.select(col("k").as("a"), col("vq").as("va"))), Seq("a"))
-      .join(broadcast(v.select(col("k").as("b"), col("vq").as("vb"))), Seq("b"))
+      .join(vf.select(col("k").as("a"), col("vq").as("va")).hint("shuffle_hash"),
+        Seq("a"))
+      .coalesce(1)
+      .join(vf.select(col("k").as("b"), col("vq").as("vb")).hint("shuffle_hash"),
+        Seq("b"))
+      .coalesce(1)
       .agg(sum(col("covq").cast(D38) * col("va") * col("vb")).cast("double")
         .as("num"))
-    val den = v.agg(sum(col("vq") * col("vq")).cast("double").as("den"))
+    val den = vf.agg(sum(col("vq") * col("vq")).cast("double").as("den"))
     val tr = pairs.where(col("a") === col("b"))
       .agg(sum(col("covq")).cast("double").as("tr"))
-    v.crossJoin(broadcast(num)).crossJoin(broadcast(den)).crossJoin(broadcast(tr))
+    vf.hint("shuffle_replicate_nl").crossJoin(num)
+      .hint("shuffle_replicate_nl").crossJoin(den)
+      .hint("shuffle_replicate_nl").crossJoin(tr)
       .select(col("k"), (col("vq").cast("double") / lit(1e6)).as("loading"),
         (round(col("num") / col("den") / lit(1e6), 6) + lit(0.0))
           .as("eigenvalue"),
