@@ -664,9 +664,9 @@ object Backtest {
     val den = vf.agg(sum(col("vq") * col("vq")).cast("double").as("den"))
     val tr = pairs.where(col("a") === col("b"))
       .agg(sum(col("covq")).cast("double").as("tr"))
-    vf.hint("shuffle_replicate_nl").crossJoin(num)
-      .hint("shuffle_replicate_nl").crossJoin(den)
-      .hint("shuffle_replicate_nl").crossJoin(tr)
+    vf.crossJoin(broadcast(num))
+      .crossJoin(broadcast(den))
+      .crossJoin(broadcast(tr))
       .select(col("k"), (col("vq").cast("double") / lit(1e6)).as("loading"),
         (round(col("num") / col("den") / lit(1e6), 6) + lit(0.0))
           .as("eigenvalue"),
