@@ -610,55 +610,77 @@ object Backtest {
   def leadingEigen(cov: DataFrame, covCol: String = "shrunk_cov",
                    rounds: Int = 8): DataFrame = {
     val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    // SinglePartition fold (r13): the pair image is key²-sized by
-    // contract, so after the one materialization every loop frame lives
-    // in ONE partition — SinglePartition satisfies every downstream
-    // distribution requirement, so each round plans with ZERO exchanges
-    // and ZERO broadcast stages (guide §2.4: remove shuffles outright).
-    // The norm attaches as a global-frame window over the same single
-    // partition (exact DECIMAL sum, same tree as the old scalar agg).
-    // Rounds still checkpoint (one cheap single-stage job each): a fully
-    // lazy 8-round nest was measured SLOWER — Catalyst re-analysis of
-    // the ~50-operator plan per rep cost more than the jobs it saved.
-    val pairs = cov.select(col("key_a").cast("string").as("a"),
-        col("key_b").cast("string").as("b"),
-        round(col(covCol) * 1e6).cast("long").as("covq"))
-      .localCheckpoint()
-      .coalesce(1)
-    val sym = pairs.unionByName(pairs.where(col("a") =!= col("b"))
-      .select(col("b").as("a"), col("a").as("b"), col("covq")))
-      .coalesce(1)
-    val wAll = Window.partitionBy()
-    var v = sym.select(col("a").as("k")).distinct()
-      .withColumn("vq", lit(1000000L))
-    (1 to rounds).foreach { _ =>
-      // the free coalesce(1) after the join re-asserts SinglePartition:
-      // a join's PartitioningCollection output does NOT satisfy the next
-      // keyed requirement in this Spark build, so without it every
-      // downstream groupBy/agg re-shuffles both sides
-      val mv = sym.join(v.select(col("k").as("b"), col("vq")).hint("shuffle_hash"),
-          Seq("b"))
-        .coalesce(1)
+    // r13 optimization-round restructure (the cgRoundLoop rationale —
+    // the wall was the driver-loop scheduling floor, one checkpoint job
+    // per round): the key-sized vector rides the rounds as a
+    // driver-collected LocalRelation, so each round schedules exactly
+    // ONE job (the matvec over the key²-sized LocalRelation pair image,
+    // broadcast-joined against the vector — broadcasts of a
+    // LocalRelation build driver-side without a job). The norm folds on
+    // the driver in unbounded-integer arithmetic — exact and order-free,
+    // hence value-identical to the old DECIMAL(38,0) window sum — and
+    // re-injects as a literal into the UNCHANGED per-key update tree
+    // (a Project over the LocalRelation: evaluated by Spark's own
+    // evaluator, no job). Early exit at the quantized fixed point: a
+    // round that leaves every vq image unchanged proves every later
+    // round is the identity (the vector is the only loop-carried
+    // input), so breaking is bit-identical to running all `rounds`
+    // folds — which is what the unrolled SQL oracle does.
+    val spark = cov.sparkSession
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // coalesce(1): see cgRoundLoop — single-task exchange-free rounds
+    val pairs = localize(cov.select(col("key_a").cast("string").as("a"),
+      col("key_b").cast("string").as("b"),
+      round(col(covCol) * 1e6).cast("long").as("covq")))
+    val sym = localize(pairs.unionByName(pairs.where(col("a") =!= col("b"))
+      .select(col("b").as("a"), col("a").as("b"), col("covq")))).coalesce(1)
+    val vSchema = StructType(Seq(StructField("k", StringType),
+      StructField("vq", LongType)))
+    def vFrame(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), vSchema)
+    var v: Seq[org.apache.spark.sql.Row] = sym.select(col("a").as("k"))
+      .distinct().withColumn("vq", lit(1000000L)).collect().toSeq
+    var i = 0
+    var frozen = false
+    while (i < rounds && !frozen) {
+      // single-partition shuffle-hash matvec — one exchange-free
+      // single-task stage per round (the cgRoundLoop pattern)
+      val mvRows = sym
+        .join(vFrame(v).coalesce(1).select(col("k").as("b"), col("vq"))
+          .hint("shuffle_hash"), Seq("b"))
+        .coalesce(1) // re-assert SinglePartition (see cgRoundLoop)
         .groupBy(col("a")).agg(sum(col("covq") * col("vq")).as("mv"))
-      v = mv
-        .withColumn("nrm",
-          sqrt(sum(col("mv").cast(D38) * col("mv").cast(D38)).over(wAll)
-            .cast("double")))
+        .collect()
+      // Σ mv² in unbounded integers ≡ the DECIMAL(38,0) window sum; the
+      // double cast of either is the same correctly-rounded value
+      val sumSq = mvRows.foldLeft(BigInt(0)) { (acc, r) =>
+        if (r.isNullAt(1)) acc
+        else acc + BigInt(r.getLong(1)) * BigInt(r.getLong(1))
+      }
+      val nrm = math.sqrt(new java.math.BigDecimal(sumSq.bigInteger).doubleValue)
+      val upd = spark.createDataFrame(java.util.Arrays.asList(mvRows: _*),
+          StructType(Seq(StructField("a", StringType),
+            StructField("mv", LongType))))
         .select(col("a").as("k"),
-          when(col("nrm") > 0.0,
-            round(col("mv").cast("double") / col("nrm") * 1e6).cast("long"))
+          when(lit(nrm) > 0.0,
+            round(col("mv").cast("double") / lit(nrm) * 1e6).cast("long"))
             .otherwise(lit(0L)).as("vq"))
-        .localCheckpoint()
-        .coalesce(1)
+        .collect().toSeq
+      frozen = upd.size == v.size && {
+        val prev = v.map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+        upd.forall(r => prev.get(r.getString(0))
+          .contains(if (r.isNullAt(1)) null else r.getLong(1)))
+      }
+      v = upd
+      i += 1
     }
-    val vf = v
+    val vf = vFrame(v)
     val num = sym
-      .join(vf.select(col("k").as("a"), col("vq").as("va")).hint("shuffle_hash"),
+      .join(broadcast(vf.select(col("k").as("a"), col("vq").as("va"))),
         Seq("a"))
-      .coalesce(1)
-      .join(vf.select(col("k").as("b"), col("vq").as("vb")).hint("shuffle_hash"),
+      .join(broadcast(vf.select(col("k").as("b"), col("vq").as("vb"))),
         Seq("b"))
-      .coalesce(1)
       .agg(sum(col("covq").cast(D38) * col("va") * col("vb")).cast("double")
         .as("num"))
     val den = vf.agg(sum(col("vq") * col("vq")).cast("double").as("den"))
@@ -739,15 +761,45 @@ object Backtest {
 
   private val D38q = org.apache.spark.sql.types.DecimalType(38, 0)
 
+  /** Materialize a key-sized (or key²-sized) frame as a driver-local
+    * relation (r13 optimization round): `collect` replaces an eager
+    * `localCheckpoint` job 1:1, and every later use costs NO job —
+    * broadcasts of a LocalRelation build driver-side (a checkpointed
+    * RDD pays a collect job per broadcast build), and deterministic
+    * Projects over a LocalRelation are folded at optimization time by
+    * `ConvertToLocalRelation`, so per-key update trees between solver
+    * rounds evaluate through Spark's own expression evaluator without
+    * touching the scheduler. Values pass through untouched — this is
+    * re-injection (the existing scalar-literal pattern, vectorized),
+    * not driver arithmetic. Key-sized frames ONLY (the k / k² solver
+    * contract; the corpus never flows through here). */
+  private def localize(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  /** Exact Σ rowᵢ.colA · rowᵢ.colB over collected long columns — the
+    * driver twin of `sum(colA.cast(D38q) * colB)`: integer products
+    * summed in unbounded BigInt arithmetic are exact and order-free,
+    * so the value is IDENTICAL to the distributed DECIMAL(38,0) fold
+    * (both are the unique exact integer; `.doubleValue` on either is
+    * the same correctly-rounded double). */
+  private def dotLong(rows: Seq[org.apache.spark.sql.Row],
+                      ia: Int, ib: Int): BigInt =
+    rows.foldLeft(BigInt(0)) { (acc, r) =>
+      acc + BigInt(r.getLong(ia)) * BigInt(r.getLong(ib))
+    }
+
   /** Upper-triangle pair frame → symmetric `(a, b, covq)` long images
     * (·10⁶), localCheckpointed — the shared prologue of the quantized
     * iterative solvers ([[minVarianceCG]], [[ercIterative]], the
     * [[leadingEigen]] shape). */
   private def symPairs(cov: DataFrame, covCol: String): DataFrame = {
-    val pairs = cov.select(col("key_a").cast("string").as("a"),
+    // localized (r13): key²-sized by contract — see [[localize]]
+    val pairs = localize(cov.select(col("key_a").cast("string").as("a"),
         col("key_b").cast("string").as("b"),
-        round(col(covCol) * 1e6).cast("long").as("covq"))
-      .localCheckpoint()
+        round(col(covCol) * 1e6).cast("long").as("covq")))
     pairs.unionByName(pairs.where(col("a") =!= col("b"))
       .select(col("b").as("a"), col("a").as("b"), col("covq")))
   }
@@ -807,21 +859,22 @@ object Backtest {
     * the query session runs NON-ANSI, so an unguarded zero diagonal
     * would cast `inf` corr images to silent Long.MaxValue garbage. */
   private def corrImages(sym: DataFrame, who: String): (DataFrame, DataFrame) = {
-    val diag = sym.where(col("a") === col("b"))
+    // localized (r13): key-/key²-sized by contract — the collect IS the
+    // materialization the old localCheckpoint paid, and every later
+    // broadcast of either frame builds driver-side with no job
+    val diag = localize(sym.where(col("a") === col("b"))
       .select(col("a").as("k"),
         when(col("covq") <= 0L,
           raise_error(concat(lit(s"$who: non-positive variance for key "),
             col("a"), lit(" — the estimator frame must carry a positive diagonal"))))
-        .otherwise(col("covq")).as("dq"))
-      .localCheckpoint()
-    val corr = sym
+        .otherwise(col("covq")).as("dq")))
+    val corr = localize(sym
       .join(broadcast(diag.select(col("k").as("a"), col("dq").as("da"))), Seq("a"))
       .join(broadcast(diag.select(col("k").as("b"), col("dq").as("db"))), Seq("b"))
       .select(col("a"), col("b"),
         round(col("covq").cast("double") /
           (sqrt(col("da").cast("double") / 1e6) *
-           sqrt(col("db").cast("double") / 1e6))).cast("long").as("cq"))
-      .localCheckpoint()
+           sqrt(col("db").cast("double") / 1e6))).cast("long").as("cq")))
     (diag, corr)
   }
 
@@ -829,48 +882,104 @@ object Backtest {
     * [[minVarianceCG]] (rhs = σ_min/σ images) and [[blackLitterman]]
     * (rhs = posterior-return/σ images): `st0` carries
     * `(k, dq, xq = 0, rq = pq = b image)`; returns the state after
-    * `rounds` folds. CG's α/β are GLOBAL scalars with a strict serial
-    * dependency — each round collects two exact-decimal reductions
-    * (one number each, not a driver solve; the rounds are
-    * driver-sequenced plans either way) and re-injects them as
+    * `rounds` folds (or after the round whose residual image is already
+    * exact zero — the frozen tail is the identity on the consumed
+    * state, see below). CG's α/β are GLOBAL scalars with a strict
+    * serial dependency — each round folds two exact integer reductions
+    * (unbounded-integer driver sums, value-identical to the
+    * DECIMAL(38,0) aggregates; not a driver solve — every per-key
+    * float tree stays a Spark expression) and re-injects them as
     * literals. */
   private def cgRoundLoop(corr: DataFrame, st0: DataFrame,
                           rounds: Int): DataFrame = {
-    var st = st0
-    var rz = scalarOf(st.agg(sum(col("rq").cast(D38q) * col("rq"))))
-    (1 to rounds).foreach { _ =>
+    // r13 optimization-round restructure (guide §1.2/§5: the wall here
+    // was the DRIVER-LOOP SCHEDULING FLOOR — 4 jobs × ~40 ms per round,
+    // not the plans). The key-sized state rides the rounds as a
+    // LocalRelation: per round exactly ONE scheduled job remains (the
+    // exact-BIGINT matvec over the key²-sized corr image); the pᵀCp and
+    // rᵀr reductions fold on the driver in unbounded-integer arithmetic
+    // (exact + order-free ⇒ bit-identical to the DECIMAL(38,0) sums they
+    // replace), and the per-key x/r/p update trees are UNCHANGED Spark
+    // expressions, evaluated as Projects over the LocalRelation by
+    // Spark's own evaluator (ConvertToLocalRelation) without a job.
+    // Early exit once the quantized residual image hits EXACT integer
+    // zero: from then on α = β = 0 and every later round is the
+    // identity on (xq, dq) — the only state downstream consumers read —
+    // so the exit is bit-identical to running all `rounds` folds, which
+    // is what the unrolled SQL oracle does.
+    val spark = corr.sparkSession
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // coalesce(1): a LocalRelation scan otherwise parallelizes its few
+    // hundred rows over many slices and the groupBy pays a full
+    // exchange + AQE stage per round; SinglePartition satisfies the
+    // agg's distribution, so each round is ONE single-task stage
+    val corrL = localize(corr).coalesce(1)
+    // (k, dq, xq, rq, pq) — collect once; the caller's plan runs here
+    var st: Seq[org.apache.spark.sql.Row] =
+      st0.select("k", "dq", "xq", "rq", "pq").collect().toSeq
+    def longSchema(names: String*): StructType =
+      StructType(StructField("k", StringType) +:
+        names.map(StructField(_, LongType)))
+    def frameOf(rows: Seq[org.apache.spark.sql.Row],
+                schema: StructType): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    def stFrame(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      frameOf(rows, longSchema("dq", "xq", "rq", "pq"))
+    var rz = dotLong(st, 3, 3)
+    var i = 0
+    while (i < rounds && rz.signum > 0) {
       // DECIMAL(38,0) product: a LongType multiply would WRAP silently in
       // a non-ANSI session where the oracle's BIGINT multiply raises —
       // |cq·pq| ≤ ~10¹² per term leaves 26 digits of headroom, so the
       // decimal path is exact and symmetric with the pap/rz reductions
-      val mv = corr
-        .join(broadcast(st.select(col("k").as("b"), col("pq"))), Seq("b"))
+      // shuffle-hash over two SINGLE-PARTITION sides: SinglePartition
+      // satisfies the join's clustering requirement AND the agg's, so
+      // the whole matvec is ONE exchange-free single-task stage — no
+      // broadcast query stage, no AQE job split (the 8607345 pattern)
+      val mvRows = corrL
+        .join(stFrame(st).coalesce(1).select(col("k").as("b"), col("pq"))
+          .hint("shuffle_hash"), Seq("b"))
+        .coalesce(1) // re-assert SinglePartition: a join's
+        // PartitioningCollection does not satisfy the agg's clustering
         .groupBy(col("a").as("k"))
         .agg(sum(col("cq").cast(D38q) * col("pq")).cast("long").as("mv"))
-        .coalesce(1).localCheckpoint()
-      val pap = scalarOf(st.join(broadcast(mv), Seq("k"))
-        .agg(sum(col("pq").cast(D38q) * col("mv"))))
+        .collect()
+      val mv = mvRows.map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
+      // joined state (pure row plumbing — no arithmetic on the driver)
+      val joinedRows = st.map { r =>
+        org.apache.spark.sql.Row(r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), mv.getOrElse(r.getString(0), 0L))
+      }
+      val pap = dotLong(joinedRows, 4, 5)
       val alpha =
         if (pap.signum > 0 && rz.signum > 0)
           rz.doubleValue * 1e6 / pap.doubleValue
         else 0.0
-      val joined = st.join(broadcast(mv), Seq("k"))
+      val joined = frameOf(joinedRows,
+        longSchema("dq", "xq", "rq", "pq", "mv"))
       val rUpd = round(col("rq").cast("double") -
         lit(alpha) * col("mv").cast("double") / lit(1e6)).cast("long")
-      val rz2 = scalarOf(joined
-        .agg(sum(rUpd.cast(D38q) * rUpd)))
-      val beta = if (rz.signum > 0) rz2.doubleValue / rz.doubleValue else 0.0
-      st = joined
+      // Project over a LocalRelation: Spark's evaluator computes the
+      // same trees the checkpointed variant ran, with no job scheduled
+      val upd = joined
         .select(col("k"), col("dq"),
           round(col("xq").cast("double") +
             lit(alpha) * col("pq").cast("double")).cast("long").as("xq"),
-          rUpd.as("rq"),
-          round(rUpd.cast("double") +
-            lit(beta) * col("pq").cast("double")).cast("long").as("pq"))
-        .coalesce(1).localCheckpoint()
+          rUpd.as("rq"), col("pq").as("pqPrev"))
+        .collect().toSeq
+      val rz2 = dotLong(upd, 3, 3)
+      val beta = if (rz.signum > 0) rz2.doubleValue / rz.doubleValue else 0.0
+      // pq' = round(rq' + β·pq) — same tree, evaluated jobless as above
+      st = frameOf(upd, longSchema("dq", "xq", "rq", "pqPrev"))
+        .select(col("k"), col("dq"), col("xq"), col("rq"),
+          round(col("rq").cast("double") +
+            lit(beta) * col("pqPrev").cast("double")).cast("long").as("pq"))
+        .collect().toSeq
       rz = rz2
+      i += 1
     }
-    st
+    stFrame(st)
   }
 
   def minVarianceCG(cov: DataFrame, covCol: String = "shrunk_cov",
@@ -884,7 +993,6 @@ object Backtest {
         round(lit(1e6) * sqrt(col("dmin").cast("double") / 1e6) /
           sqrt(col("dq").cast("double") / 1e6)).cast("long").as("rq"))
       .withColumn("pq", col("rq"))
-      .coalesce(1).localCheckpoint()
     val st = cgRoundLoop(corr, st0, rounds)
     // y → x: xw = round(yq·10³/σ); weight = xw/Σxw (order-free integer
     // sum); port_variance = σ_min·10⁹/Σxw
@@ -1041,25 +1149,21 @@ object Backtest {
     // image rounds to zero on large-variance frames (caught at the
     // sf0.001 gate: hourly-mean variances there are ~10⁷)
     val dminV = dminRow.getLong(0)
-    val iv = diag.select(col("k"),
+    val iv = localize(diag.select(col("k"),
         round(lit(1e6) * lit(dminV.toDouble) / col("dq").cast("double"))
-          .cast("long").as("ivq"))
-      .coalesce(1).localCheckpoint()
+          .cast("long").as("ivq")))
     val sw = scalarOf(iv.agg(sum(col("ivq").cast(D38q)))).doubleValue
     require(sw > 0.0, "blackLitterman: degenerate prior (zero inverse-variance mass)")
     val mvw = sym
       .join(broadcast(iv.select(col("k").as("b"), col("ivq"))), Seq("b"))
       .groupBy(col("a").as("k"))
       .agg(sum(col("covq").cast(D38q) * col("ivq")).as("mvwq"))
-      .coalesce(1).localCheckpoint()
     val pi = mvw.select(col("k"),
         (lit(delta) * col("mvwq").cast("double") / (lit(1e6) * lit(sw)))
           .as("pi"))
       .withColumn("piq", round(col("pi") * lit(1e6)).cast("long"))
-      .coalesce(1).localCheckpoint()
-    val v = views.select(col("view_id").cast("int").as("vid"),
-        col("key").cast("string").as("k"), col("pq").cast("long").as("pq"))
-      .coalesce(1).localCheckpoint()
+    val v = localize(views.select(col("view_id").cast("int").as("vid"),
+        col("key").cast("string").as("k"), col("pq").cast("long").as("pq")))
     val vids = v.select("vid").distinct().collect().map(_.getInt(0)).sorted
     require(vids.nonEmpty && vids.length <= 2,
       s"blackLitterman supports 1-2 views (closed-form posterior inverse), got ${vids.length}")
@@ -1067,7 +1171,6 @@ object Backtest {
       .join(broadcast(v.select(col("vid"), col("k").as("b"), col("pq"))), Seq("b"))
       .groupBy(col("vid"), col("a").as("k"))
       .agg(sum(col("covq").cast(D38q) * col("pq")).cast("long").as("tq"))
-      .coalesce(1).localCheckpoint()
     def sVU(vv: Int, u: Int): Double = scalarOf(
       tv.where(col("vid") === vv)
         .join(v.where(col("vid") === u).select(col("k"), col("pq").as("pu")),
@@ -1099,20 +1202,18 @@ object Backtest {
       max(when(col("vid") === vids(0), col("tq"))).as("t1q"),
       max(when(col("vid") === lit(if (vids.length > 1) vids(1) else -1),
         col("tq"))).as("t2q"))
-    val mu = pi.join(tpiv, Seq("k"))
+    val mu = localize(pi.join(tpiv, Seq("k"))
       .select(col("k"), col("pi"),
         (col("pi") + lit(tau) *
           (coalesce(col("t1q"), lit(0L)).cast("double") / lit(1e12) * lit(z1) +
            coalesce(col("t2q"), lit(0L)).cast("double") / lit(1e12) * lit(z2)))
           .as("mu"))
-      .withColumn("muq", round(col("mu") * lit(1e6)).cast("long"))
-      .coalesce(1).localCheckpoint()
+      .withColumn("muq", round(col("mu") * lit(1e6)).cast("long")))
     val st0 = diag.join(broadcast(mu.select(col("k"), col("muq"))), Seq("k"))
       .select(col("k"), col("dq"), lit(0L).as("xq"),
         round(col("muq").cast("double") /
           sqrt(col("dq").cast("double") / 1e6)).cast("long").as("rq"))
       .withColumn("pq", col("rq"))
-      .coalesce(1).localCheckpoint()
     val st = cgRoundLoop(corr, st0, rounds)
     st.join(broadcast(mu.select(col("k"), col("pi"), col("mu"))), Seq("k"))
       .select(col("k").as("key"),
@@ -1152,11 +1253,12 @@ object Backtest {
     val trk = sym.where(col("a") === col("b"))
       .agg(sum(col("covq")).cast("double").as("trd"),
         count(lit(1)).cast("double").as("kd"))
-    val covn = sym.crossJoin(broadcast(trk))
+    // coalesce(1): see cgRoundLoop — keeps each round's matvec agg a
+    // single-task exchange-free stage over the key²-sized image
+    val covn = localize(sym.crossJoin(broadcast(trk))
       .select(col("a"), col("b"), col("kd"),
         round(col("covq").cast("double") * col("kd") * lit(1e6) / col("trd"))
-          .cast("long").as("cq"))
-      .localCheckpoint()
+          .cast("long").as("cq"))).coalesce(1)
     // non-ANSI sessions would fold sqrt(≤0) into silent NaN→0 images —
     // raise at the diagonal probe instead (the minVarianceCG guard)
     val diag = covn.where(col("a") === col("b"))
@@ -1165,15 +1267,41 @@ object Backtest {
           raise_error(concat(lit("ercIterative: non-positive variance for key "),
             col("a"), lit(" — the estimator frame must carry a positive diagonal"))))
         .otherwise(col("cq")).as("dq"), col("kd"))
-    var st = diag
+    // r13 optimization-round restructure (the cgRoundLoop rationale):
+    // the key-sized state rides the rounds as a driver-collected
+    // LocalRelation — ONE scheduled job per round (the matvec + update
+    // plan, collected) instead of a checkpoint job plus a broadcast
+    // build job; values identical (same expression trees over the same
+    // rows). Early exit at the quantized FIXED POINT: once a round
+    // leaves every xq image unchanged, every later round recomputes the
+    // identical update (the state is the only loop-carried input), so
+    // breaking is bit-identical to running all `rounds` folds — which
+    // is what the unrolled SQL oracle does.
+    val spark = cov.sparkSession
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val stSchema = StructType(Seq(StructField("k", StringType),
+      StructField("dq", LongType), StructField("kd", DoubleType),
+      StructField("xq", LongType)))
+    def stFrame(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), stSchema)
+    var st: Seq[org.apache.spark.sql.Row] = diag
       .select(col("k"), col("dq"), col("kd"),
         round(lit(1e9) / sqrt(col("dq").cast("double"))).cast("long").as("xq"))
-      .coalesce(1).localCheckpoint()
-    (1 to rounds).foreach { _ =>
+      .collect().toSeq
+    var i = 0
+    var frozen = false
+    while (i < rounds && !frozen) {
       // DECIMAL(38,0) product — same wrap-vs-raise symmetry note as
       // minVarianceCG's matvec; |cq·xq| ≤ ~10¹² per term
+      // single-partition shuffle-hash rounds: the matvec, its agg, and
+      // the update join all ride SinglePartition — one exchange-free
+      // single-task stage per round, no broadcast query stages (the
+      // cgRoundLoop / 8607345 pattern)
+      val stDF = stFrame(st).coalesce(1)
       val mv = covn
-        .join(broadcast(st.select(col("k").as("b"), col("xq"))), Seq("b"))
+        .join(stDF.select(col("k").as("b"), col("xq")).hint("shuffle_hash"),
+          Seq("b"))
+        .coalesce(1) // re-assert SinglePartition (see cgRoundLoop)
         .groupBy(col("a").as("k"))
         .agg(sum(col("cq").cast(D38q) * col("xq")).cast("long").as("mv"))
       val c = (col("mv").cast("double") -
@@ -1181,14 +1309,21 @@ object Backtest {
       val aii = col("dq").cast("double") / lit(1e6)
       val u = (negate(c) + sqrt(c * c + lit(4.0) * aii / col("kd"))) /
         (lit(2.0) * aii)
-      st = st.join(broadcast(mv), Seq("k"))
+      val upd = stDF.join(mv.hint("shuffle_hash"), Seq("k"))
         .select(col("k"), col("dq"), col("kd"),
           round(lit(1.0 - damping) * col("xq").cast("double") +
             lit(damping) * u * lit(1e6)).cast("long").as("xq"))
-        .coalesce(1).localCheckpoint()
+        .collect().toSeq
+      frozen = upd.size == st.size && {
+        val prev = st.map(r => r.getString(0) -> r.getLong(3)).toMap
+        upd.forall(r => prev.get(r.getString(0)).contains(r.getLong(3)))
+      }
+      st = upd
+      i += 1
     }
-    val sx = st.agg(sum(col("xq")).as("sx"))
-    st.crossJoin(broadcast(sx))
+    val stOut = stFrame(st)
+    val sx = stOut.agg(sum(col("xq")).as("sx"))
+    stOut.crossJoin(broadcast(sx))
       .select(col("k").as("key"),
         (round(col("xq").cast("double") / col("sx").cast("double"), 6)
           + lit(0.0)).as("weight"))
