@@ -2201,21 +2201,38 @@ object Relational {
     require(rounds > 0 || jumps <= 0,
       s"minSpanningTree: auto rounds (rounds=$rounds) require fixpoint " +
         s"label propagation — drop the jumps pin (got jumps=$jumps) or pin both")
-    val edges = dist
+    // r13 optimization-round restructure (the Backtest.cgRoundLoop
+    // rationale — the wall was ~7 checkpoint/broadcast-build/count jobs
+    // per Borůvka round, pure driver-loop scheduling floor): every
+    // frame here is key-/key²-sized by the solver contract, so state
+    // rides the rounds as driver-collected LocalRelations. Broadcasts
+    // build driver-side with no job; the picked edges accumulate in a
+    // driver buffer and materialize ONCE at the end (the deferred
+    // chunk-union rationale); the fixpoint's change test compares the
+    // collected label rows instead of running a join+count job. Values
+    // are untouched — collect-and-reinject only; every min/least/
+    // row_number stays a Spark expression over the same rows.
+    val spark = dist.sparkSession
+    def localize(df: DataFrame): DataFrame = {
+      val rows = df.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    }
+    val edges = localize(dist
       .select(col("key_a").cast("string").as("a"),
         col("key_b").cast("string").as("b"),
         round(col(distCol) * 1e6).cast("long").as("dq"))
-      .where(col("dq").isNotNull && col("a") < col("b"))
-      .localCheckpoint()
-    var comp = edges.select(col("a").as("node"))
+      .where(col("dq").isNotNull && col("a") < col("b"))).coalesce(1)
+    var comp = localize(edges.select(col("a").as("node"))
       .unionByName(edges.select(col("b").as("node"))).distinct()
-      .withColumn("comp", col("node"))
-    val n: Long = if (rounds > 0 && jumps > 0) -1L else comp.count()
+      .withColumn("comp", col("node")))
+    val n: Long =
+      if (rounds > 0 && jumps > 0) -1L else comp.count()
     val r: Int =
       if (rounds > 0) rounds
       else math.max(1, math.ceil(math.log(math.max(2L, n).toDouble) /
         math.log(2.0)).toInt)
-    var mst = edges.where(lit(false))
+    val mstRows = Seq.newBuilder[org.apache.spark.sql.Row]
+    val edgeSchema = edges.schema
     (1 to r).foreach { _ =>
       val oe = edges
         .join(broadcast(comp.select(col("node").as("a"), col("comp").as("ca"))), Seq("a"))
@@ -2225,34 +2242,55 @@ object Relational {
           col("ca"), col("cb"))
         .unionByName(oe.select(col("cb").as("c"), col("a"), col("b"), col("dq"),
           col("ca"), col("cb")))
-      val pick = bi
+      val pick = localize(bi
+        .coalesce(1) // SinglePartition satisfies the window's clustering
         .withColumn("_rn", row_number().over(
           Window.partitionBy(col("c")).orderBy(col("dq"), col("a"), col("b"))))
-        .where(col("_rn") === 1)
-        .localCheckpoint()
-      mst = mst.unionByName(pick.select(col("a"), col("b"), col("dq")).distinct())
-        .localCheckpoint()
+        .where(col("_rn") === 1))
+      mstRows ++= pick.select(col("a"), col("b"), col("dq")).collect()
       // min-label propagation over the picked component edges
-      val ce = pick.select(col("ca").as("x"), col("cb").as("y"))
+      val ce = localize(pick.select(col("ca").as("x"), col("cb").as("y"))
         .unionByName(pick.select(col("cb").as("x"), col("ca").as("y")))
-        .distinct().localCheckpoint()
-      var lab = comp.select(col("comp").as("l")).distinct()
-        .withColumn("lab", col("l"))
-      def jump(): Unit = {
-        val nb = ce.join(broadcast(lab.select(col("l").as("y"), col("lab").as("nlab"))),
-            Seq("y"))
+        .coalesce(1).distinct()).coalesce(1)
+      var lab = localize(comp.coalesce(1)
+        .select(col("comp").as("l")).distinct()
+        .withColumn("lab", col("l")))
+      var labRows: Seq[org.apache.spark.sql.Row] = lab.collect().toSeq
+      // single-partition shuffle-hash chain: one jump is ONE
+      // exchange-free single-task plan layer (the cgRoundLoop pattern)
+      def jumpPlan(l0: DataFrame): DataFrame = {
+        val nb = ce.join(l0.coalesce(1)
+            .select(col("l").as("y"), col("lab").as("nlab"))
+            .hint("shuffle_hash"), Seq("y"))
+          .coalesce(1)
           .groupBy(col("x")).agg(min(col("nlab")).as("mn"))
-        lab = lab.join(broadcast(nb.select(col("x").as("l"), col("mn"))), Seq("l"), "left")
+        l0.coalesce(1)
+          .join(nb.select(col("x").as("l"), col("mn")).hint("shuffle_hash"),
+            Seq("l"), "left")
           .select(col("l"), least(col("lab"), coalesce(col("mn"), col("lab"))).as("lab"))
-          .localCheckpoint()
+          .coalesce(1)
       }
-      if (jumps > 0) (1 to jumps).foreach(_ => jump())
-      else {
+      def jump(): Boolean = {
+        val nextRows = jumpPlan(lab).collect().toSeq
+        val prev = labRows.map(r0 => r0.getString(0) -> r0.getString(1)).toMap
+        val changed = nextRows.exists(r0 => !prev.get(r0.getString(0)).contains(r0.getString(1)))
+        labRows = nextRows
+        lab = spark.createDataFrame(java.util.Arrays.asList(nextRows: _*), lab.schema)
+        changed
+      }
+      if (jumps > 0) {
+        // pinned budget needs no per-jump change test — chain the
+        // `jumps` layers lazily and collect ONCE per round
+        val rows = (1 to jumps).foldLeft(lab)((l0, _) => jumpPlan(l0))
+          .collect().toSeq
+        labRows = rows
+        lab = spark.createDataFrame(java.util.Arrays.asList(rows: _*), lab.schema)
+      } else {
         // fixpoint: iterate until no label moves. jump() is ONE-HOP
         // min-neighbor propagation (no pointer doubling), so a
         // path-shaped component needs O(diameter) iterations — the
         // n−1 cap is that worst case, not a log bound. Each step is
-        // one broadcast join over a key-sized frame, and per-round
+        // one join over a key-sized LocalRelation, and per-round
         // component graphs are Borůvka-contracted (≤ half the labels
         // survive a round), so diameters stay small in practice; the
         // pinned (rounds, jumps) path shares jump()'s one-hop
@@ -2260,23 +2298,23 @@ object Relational {
         var it = 0L
         var changed = true
         while (changed && it < math.max(1L, n - 1L)) {
-          val prev = lab
-          jump()
-          changed = lab.as("nw").join(prev.as("od"), col("nw.l") === col("od.l"))
-            .where(col("nw.lab") =!= col("od.lab")).limit(1).count() > 0
+          changed = jump()
           it += 1
         }
       }
-      comp = comp.join(broadcast(lab.select(col("l").as("comp"), col("lab"))), Seq("comp"))
-        .select(col("node"), col("lab").as("comp"))
-        .localCheckpoint()
+      comp = localize(comp.coalesce(1)
+        .join(lab.coalesce(1).select(col("l").as("comp"), col("lab"))
+          .hint("shuffle_hash"), Seq("comp"))
+        .select(col("node"), col("lab").as("comp")))
     }
     // dedup ACROSS rounds too: with `jumps` below a merged component's
     // chain diameter, two still-distinct sub-labels of one component can
     // re-pick the edge already joining them in a later round — the edge
     // set must stay a set (and must match an oracle that dedups globally)
-    mst.select(col("a").as("key_a"), col("b").as("key_b"),
-      (col("dq").cast("double") / lit(1e6)).as("dist"))
+    spark.createDataFrame(java.util.Arrays.asList(mstRows.result(): _*),
+        edgeSchema)
+      .select(col("a").as("key_a"), col("b").as("key_b"),
+        (col("dq").cast("double") / lit(1e6)).as("dist"))
       .distinct()
   }
 
