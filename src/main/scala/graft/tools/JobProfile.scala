@@ -22,6 +22,8 @@ object JobProfile {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k")) // mirror Bench
       .config("spark.ui.enabled", "false")
     // A/B harness: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" layers candidate
     // session confs over the bench baseline without editing Bench.scala
