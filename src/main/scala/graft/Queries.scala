@@ -4303,18 +4303,19 @@ object Queries {
         .where(col("value").isNotNull && col("value") > 0)
         .withColumn("chg", signum(col("value") - lag(col("value"), 1).over(w)))
         .withColumn("r_full", log(col("value") / lag(col("value"), 1).over(w)))
-      val split = Relational.cpcvSplit(base, "event_id", "ts", k = 4,
-          pTest = 2, horizonUs = 12L * 3600 * 1000000,
-          embargoUs = 6L * 3600 * 1000000)
-        .select(col("event_id").as("_sid"), col("split_id"), col("role"),
-          col("path"))
-      val tagged = base.join(split, col("event_id") === col("_sid")).drop("_sid")
+      // fused role tagging (r13): the split's group bounds are driver
+      // constants, so cpcvTagged stamps (split_id, role, path) with a
+      // codegen explode instead of the crossJoin+groupBy+id-join that
+      // re-shuffled the corpus twice — row-identical by construction
+      val tagged = Relational.cpcvTagged(base, "ts", k = 4,
+        pTest = 2, horizonUs = 12L * 3600 * 1000000,
+        embargoUs = 6L * 3600 * 1000000)
       val fit = tagged.where(col("role") === "train")
         .groupBy(col("split_id").as("_f_s"), col("event_type").as("_f_et"))
         .agg(signum(coalesce(sum(round(col("r_full") * 1e9).cast("long")),
           lit(0L))).cast("long").as("side"))
       val test = tagged.where(col("role") === "test")
-        .join(fit, col("split_id") === col("_f_s") &&
+        .join(broadcast(fit), col("split_id") === col("_f_s") &&
           col("event_type") === col("_f_et"))
         .withColumn("sig", col("side").cast("double") * col("chg"))
       operators.Backtest.signalBacktest(test, Seq("path", "event_type"),

@@ -402,11 +402,21 @@ object Labeling {
   def conditionalUniqueness(ticks: DataFrame, spans: DataFrame,
                             drawn: DataFrame, keys: Seq[String],
                             tsCol: String, idCol: String,
+                            t0Col: String, t1Col: String): DataFrame =
+    conditionalUniquenessPrepared(tickInstants(ticks, keys, tsCol),
+      spanShape(spans, keys, idCol, t0Col, t1Col),
+      drawn, keys, idCol, t0Col, t1Col)
+
+  /** [[conditionalUniqueness]] over PRE-SHAPED tick/span frames — the
+    * seam [[sequentialBootstrap]] uses to materialize the
+    * draw-invariant inputs once instead of re-deriving them from the
+    * raw corpus on every sequential pass (r13 optimization round). */
+  private def conditionalUniquenessPrepared(tk: DataFrame, sp: DataFrame,
+                            drawn: DataFrame, keys: Seq[String],
+                            idCol: String,
                             t0Col: String, t1Col: String): DataFrame = {
     require(keys.nonEmpty, "conditionalUniqueness needs the series key(s)")
     val kCols = keys.map(col)
-    val tk = tickInstants(ticks, keys, tsCol)
-    val sp = spanShape(spans, keys, idCol, t0Col, t1Col)
     val dr = spanShape(drawn, keys, idCol, t0Col, t1Col)
     // kernel: per tick instance 1/(1 + c_drawn) — the "+1" is the
     // candidate itself joining the concurrency it would create; deltas
@@ -471,12 +481,24 @@ object Labeling {
             org.apache.spark.sql.types.DoubleType),
           org.apache.spark.sql.types.StructField("sample_key",
             org.apache.spark.sql.types.DoubleType))))
-    var drawnAcc = empty
+    // r13 optimization round: the drawn set is ≤ nDraws·series rows (a
+    // key-sized frame), so it rides the sequential passes as a
+    // driver-collected LocalRelation instead of re-materializing the
+    // growing union each draw (an O(draws²) checkpoint chain) — each
+    // draw is exactly ONE scheduled job (the conditionalUniqueness
+    // sweep + top-1, collected); values pass through untouched
+    val drawnRows = Seq.newBuilder[org.apache.spark.sql.Row]
+    def drawnAcc: DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(drawnRows.result(): _*), empty.schema)
+    // draw-invariant inputs materialize ONCE — every pass re-derived
+    // them from the raw corpus before (scan + shuffle per draw)
+    val tk = tickInstants(ticks, keys, tsCol).localCheckpoint(true)
+    val sp = spanShape(spans, keys, idCol, t0Col, t1Col).localCheckpoint(true)
     (1 to nDraws).foreach { b =>
-      val cand = conditionalUniqueness(ticks, spans,
+      val cand = conditionalUniquenessPrepared(tk, sp,
         drawnAcc.select(kCols ++ Seq(col(idCol), col("t0_us").as(t0Col),
           col("t1_us").as(t1Col)): _*),
-        keys, tsCol, idCol, t0Col, t1Col)
+        keys, idCol, t0Col, t1Col)
       val h = graft.operators.TextAnalysis.tokenHash48(
         concat(col(idCol).cast("string"), lit(s":$salt:$b")))
       val lnuFp = round(log((h.cast("double") + 1.0) / lit(281474976710656.0))
@@ -491,7 +513,7 @@ object Labeling {
         .select(kCols ++ Seq(col(idCol), col("t0_us"), col("t1_us"),
           lit(b.toLong).as("draw"), col("n_ticks"), col("uniqueness"),
           col("sample_key")): _*)
-      drawnAcc = drawnAcc.unionByName(winner).localCheckpoint(true)
+      drawnRows ++= winner.collect()
     }
     drawnAcc.select(kCols ++ Seq(col("draw"), col(idCol), col("t0_us"),
       col("t1_us"), col("n_ticks"), col("uniqueness"), col("sample_key")): _*)

@@ -2148,6 +2148,81 @@ object Relational {
         when(col("_t") === 1, col("_path")).as("path"))
   }
 
+  /** [[cpcvSplit]]'s assignment FUSED onto the carrying frame (r13
+    * optimization round): the group bounds are driver constants, so
+    * the per-split role/path logic compiles to literal codegen
+    * predicates inside one `explode` of `nSplits` structs — no
+    * crossJoin fan-out, no groupBy, and no id-join back onto the
+    * carrier (q_cpcv_paths paid two corpus shuffles for exactly that).
+    * Emits every carrier column plus `(split_id, fold, role, path)`,
+    * row-for-row identical to `df JOIN cpcvSplit(df) ON idCol` modulo
+    * the join's column pruning. [[cpcvSplit]] stays the declared
+    * split operator; this is the composition seam.
+    *
+    * Null-`tsCol` rows raise (the cpcvSplit contract); an empty frame
+    * returns empty with the extended schema. */
+  def cpcvTagged(df: DataFrame, tsCol: String,
+                 k: Int, pTest: Int, horizonUs: Long,
+                 embargoUs: Long = 0L): DataFrame = {
+    require(k >= 2, s"need k >= 2 groups, got $k")
+    require(pTest >= 1 && pTest < k, s"need 1 <= pTest < k, got $pTest/$k")
+    require(horizonUs >= 0L && embargoUs >= 0L,
+      s"horizon/embargo must be non-negative, got $horizonUs/$embargoUs")
+    val nSplits = (0 until k).combinations(pTest).size
+    require(nSplits <= 4096,
+      s"cpcvTagged: C($k, $pTest) = $nSplits splits — the output fans " +
+        "out per split; use fewer groups")
+    val withTs = df.withColumn("_cp_ts",
+      unix_micros(col(tsCol).cast("timestamp")))
+    val bounds = withTs.agg(min("_cp_ts").as("lo"), max("_cp_ts").as("hi"),
+      count(when(col("_cp_ts").isNull, lit(1))).as("n_null")).head()
+    require(bounds.getLong(2) == 0L,
+      s"cpcvTagged: ${bounds.getLong(2)} rows have a null $tsCol — " +
+        "a leakage control cannot place unknown-time samples")
+    if (bounds.isNullAt(0))
+      return withTs.drop("_cp_ts")
+        .withColumn("split_id", lit(null).cast("long"))
+        .withColumn("fold", lit(null).cast("long"))
+        .withColumn("role", lit(null).cast("string"))
+        .withColumn("path", lit(null).cast("long"))
+    val lo = bounds.getLong(0)
+    val hi = bounds.getLong(1)
+    val span = hi - lo + 1L
+    val step = span / k
+    require(step > 0L,
+      s"cpcvTagged: the corpus spans only $span µs — fewer than k=$k groups")
+    def gLo(g: Long) = lo + g * step
+    def gHi(g: Long) = if (g == k - 1) hi + 1L else lo + (g + 1) * step
+    val ts = col("_cp_ts")
+    val fold = least(lit(k - 1L), expr(s"(_cp_ts - ${lo}L) div ${step}L"))
+    // one struct per split, every predicate a literal-bound codegen
+    // tree — the exact when-precedence of cpcvSplit's aggregate flags
+    val perSplit = cpcvCombos(k, pTest).groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (sid, rowsG) =>
+        val gs = rowsG.map { case (_, g, p) => (g, p, gLo(g), gHi(g)) }
+        val isTest = gs.map { case (g, _, _, _) => fold === lit(g) }
+          .reduce(_ || _)
+        val pathOf = gs.foldLeft(lit(null).cast("long")) {
+          case (acc, (g, p, _, _)) => when(fold === lit(g), lit(p)).otherwise(acc)
+        }
+        val purged = gs.map { case (_, _, glo, _) =>
+          ts < lit(glo) && ts + lit(horizonUs) >= lit(glo) }.reduce(_ || _)
+        val embargo = gs.map { case (_, _, _, ghi) =>
+          ts >= lit(ghi) && ts < lit(ghi) + lit(embargoUs) }.reduce(_ || _)
+        struct(lit(sid).as("split_id"),
+          when(isTest, lit("test")).when(purged, lit("purged"))
+            .when(embargo, lit("embargo")).otherwise(lit("train")).as("role"),
+          when(isTest, pathOf).otherwise(lit(null).cast("long")).as("path"))
+      }
+    withTs
+      .withColumn("fold", fold)
+      .withColumn("_cp", explode(array(perSplit: _*)))
+      .withColumn("split_id", col("_cp.split_id"))
+      .withColumn("role", col("_cp.role"))
+      .withColumn("path", col("_cp.path"))
+      .drop("_cp", "_cp_ts")
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
