@@ -569,6 +569,10 @@ object MarketIncremental {
     val bAgg = dedup.groupBy(K.map(col): _*)
       .agg(max(struct(col("ts_us"), col("_tb"))).as("_w"),
         min(col("ts_us")).as("_lo"))
+    // lazy since r13: cursor2 materializes through the combined frame
+    // below; the grid branch re-derives this lineage inside the final
+    // deferred-snaps job (dedup is checkpointed, so the re-run is one
+    // cheap agg over materialized rows, not the guard window again)
     val cur = cursor.join(bAgg, K, "full")
       .withColumn("_w2", coalesce(col("_w").getField("ts_us"), col("w_ts_us")))
       .withColumn("_tb2", coalesce(col("_w").getField("_tb"), col("w_tb")))
@@ -576,7 +580,6 @@ object MarketIncremental {
         expr(s"(_lo - pmod(_lo, ${S}L)) div ${S}L")))
       .withColumn("_knew", greatest(col("_kbase"),
         expr(s"((_w2 - 1) - pmod(_w2 - 1, ${S}L)) div ${S}L")))
-      .localCheckpoint(true)
     val cursor2 = cur.select(K.map(col) ++ Seq(
       col("_knew").as("k_emitted"), col("_w2").as("w_ts_us"),
       col("_tb2").as("w_tb")): _*)
@@ -613,7 +616,7 @@ object MarketIncremental {
         col("level"), col("price"), col("amount")): _*)
     // new frontier: last update per level across frontier ∪ batch,
     // dead (zero-amount) levels leave the fold
-    val book2 = rightAll.groupBy(lvl.map(col): _*)
+    val book2plan = rightAll.groupBy(lvl.map(col): _*)
       .agg(max_by(struct(col("amount"), col("ts_us"), col("_tb")),
         struct(col("ts_us"), col("_tb"))).as("_last"))
       .select(K.map(col) ++ Seq(col("side"), col("price"),
@@ -621,8 +624,30 @@ object MarketIncremental {
         col("_last").getField("ts_us").as("ts_us"),
         col("_last").getField("_tb").as("_tb")): _*)
       .where(col("amount") > 0.0)
+    // ONE eager materialization carries BOTH cross-chunk frames (r13 —
+    // the [[marketFeaturesFold]] combined-frame precedent): the
+    // returned frames filter it by tag, so a chunk loop pays TWO
+    // scheduled checkpoint jobs (dedup + combined) instead of four,
+    // and lineage across chunks stays truncated exactly as before
+    val nL = lit(null).cast("long")
+    val combined = book2plan
+      .select(K.map(col) ++ Seq(lit("b").as("_cf"), col("side"),
+        col("price"), col("amount"), col("ts_us"), col("_tb"),
+        nL.as("k_emitted"), nL.as("w_ts_us"), nL.as("w_tb")): _*)
+      .unionByName(cursor2
+        .select(K.map(col) ++ Seq(lit("c").as("_cf"),
+          lit(null).cast("string").as("side"),
+          lit(null).cast("double").as("price"),
+          lit(null).cast("double").as("amount"),
+          nL.as("ts_us"), nL.as("_tb"),
+          col("k_emitted"), col("w_ts_us"), col("w_tb")): _*))
       .localCheckpoint(true)
-    (snaps, book2, cursor2)
+    val book2 = combined.where(col("_cf") === "b")
+      .select((lvl ++ Seq("amount", "ts_us", "_tb")).map(col): _*)
+    val cursor2out = combined.where(col("_cf") === "c")
+      .select(K.map(col) ++ Seq(col("k_emitted"), col("w_ts_us"),
+        col("w_tb")): _*)
+    (snaps, book2, cursor2out)
   }
 
   /** The provisional tail: snapshots at the 1–2 grid boundaries not yet
