@@ -4307,9 +4307,13 @@ object Queries {
       // constants, so cpcvTagged stamps (split_id, role, path) with a
       // codegen explode instead of the crossJoin+groupBy+id-join that
       // re-shuffled the corpus twice — row-identical by construction
+      // the repartition spreads the ×6 fan-out beyond the |series|
+      // window partitions AND is the shared exchange all consumers
+      // reuse (ReuseExchange), so the tag lineage computes once
       val tagged = Relational.cpcvTagged(base, "ts", k = 4,
         pTest = 2, horizonUs = 12L * 3600 * 1000000,
         embargoUs = 6L * 3600 * 1000000)
+        .repartition(col("split_id"), col("event_type"))
       val fit = tagged.where(col("role") === "train")
         .groupBy(col("split_id").as("_f_s"), col("event_type").as("_f_et"))
         .agg(signum(coalesce(sum(round(col("r_full") * 1e9).cast("long")),
